@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver testdata tables (TESTDATA.md).
+  *
+  * Analogue of the reference's input-side catalog: each table is the
+  * Spark-native stand-in for a Datastore entity kind
+  * (reference: python/src/mapreduce/input_readers.py:247-580). The parquet
+  * scan replaces `AbstractDatastoreInputReader.split_input` — Spark's
+  * FileSourceScanExec plans splits, and Catalyst pushes predicates and
+  * projections into the scan (SURVEY.md §4 rows 1-4).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read nanos as long and floor to
+    * microseconds (Spark's native TimestampType precision). Flooring can
+    * never flip a >=/< predicate at whole-second boundaries, so oracle
+    * comparisons at day/hour granularity are unaffected. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(s, d, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.floor(
+            df("ts") / 1000L).cast("long")))
+    else df
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register all tables as temp views so spark.sql(...) mirrors the
+    * DuckDB oracle's table naming. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,14 @@
+package graft.queries
+
+/** All declared check queries, aggregated for SparkEntry. */
+object Registry {
+  def all: Seq[QueryDef] =
+    RelationalQueries.all ++ MapReduceQueries.all
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

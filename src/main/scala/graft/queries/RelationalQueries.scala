@@ -1,0 +1,444 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.sources.Inputs
+
+/** The relational check-query surface (SURVEY.md §2.2–§2.9): every
+  * capability the reference's built-ins and canonical user programs
+  * express, as declarative DataFrame programs so Catalyst plans pushdown,
+  * pruning, join strategy, and partial aggregation.
+  */
+object RelationalQueries {
+  import QueryDef._
+
+  /** DECIMAL(12,2) — exact money arithmetic, identical in Spark and
+    * DuckDB regardless of summation order (see QueryDef scaladoc). */
+  private val Dec = "decimal(12,2)"
+
+  // ---- §2.1 scans / sources -------------------------------------------
+
+  val scanFullCount = sql("scan_full_count",
+    "SELECT count(*) AS cnt FROM lineitem") { (s, d) =>
+    Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+  }
+
+  // DatastoreInputReader analogue: conjunctive pushdown filters + projection
+  // (reference input_readers.py:607-785). Range + equality conjunction.
+  val scanFilterRange = sql("scan_filter_range",
+    """SELECT o_orderkey, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND o_orderstatus = 'F'""") { (s, d) =>
+    Inputs.tableScan(s, s"$d/orders.parquet",
+        filters = Seq(
+          ("o_orderdate", ">=", java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+          ("o_orderdate", "<", java.sql.Timestamp.valueOf("1997-01-01 00:00:00")),
+          ("o_orderstatus", "=", "F")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(Dec).cast("double").as("price"))
+  }
+
+  // Keys-only scan (input_readers.py:788-791): column pruning to the key.
+  val scanKeysOnly = sql("scan_keys_only",
+    "SELECT c_custkey FROM customer") { (s, d) =>
+    Inputs.keyScan(s, s"$d/customer.parquet", "c_custkey")
+  }
+
+  // LogInputReader analogue (input_readers.py:2022-2244): time-range scan
+  // + level filter, aggregated per type.
+  val scanLogWindow = sql("scan_log_window",
+    """SELECT event_type, count(*) AS cnt,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+         AND event_type IN ('error', 'purchase')
+       GROUP BY event_type""") { (s, d) =>
+    Inputs.logScan(s, s"$d/events.parquet",
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+        eventTypes = Seq("error", "purchase"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"))
+  }
+
+  // ConsecutiveLongInput analogue (inputs/ConsecutiveLongInput.java).
+  val rangeInputSum = sql("range_input_sum",
+    """SELECT CAST(sum(range) AS BIGINT) AS s, count(*) AS n
+       FROM range(0, 100000)""") { (s, _) =>
+    Inputs.consecutiveLongs(s, 0L, 100000L, shards = 8).toDF("v")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+  }
+
+  // ConcatenatingInputReader analogue (UNION ALL of two scans re-unioned,
+  // SURVEY.md §2.8): split orders in halves, re-union, aggregate.
+  val unionConcat = sql("union_concat",
+    """SELECT o_orderstatus, count(*) AS cnt FROM (
+         SELECT * FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT * FROM orders WHERE o_orderkey % 2 = 1
+       ) t GROUP BY o_orderstatus""") { (s, d) =>
+    val o = Tables.orders(s, d)
+    Inputs.concatenating(Seq(
+        o.filter(col("o_orderkey") % 2 === 0),
+        o.filter(col("o_orderkey") % 2 === 1)))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+  }
+
+  // ---- §2.2 filters / projections -------------------------------------
+
+  val filterConj = sql("filter_conj",
+    """SELECT count(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount = 0.05""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_discount") === 0.05)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
+  }
+
+  val projectScalar = sql("project_scalar",
+    """SELECT p_partkey, upper(p_name) AS name_up,
+       concat(p_brand, ':', p_type) AS brand_type
+       FROM part""") { (s, d) =>
+    Tables.part(s, d).select(col("p_partkey"),
+      upper(col("p_name")).as("name_up"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+  }
+
+  // HAVING (CollisionFindingReducer pattern: keep groups over a threshold).
+  val having = sql("having",
+    """SELECT o_custkey, count(*) AS cnt FROM orders
+       GROUP BY o_custkey HAVING count(*) >= 12""") { (s, d) =>
+    Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 12)
+  }
+
+  // ---- §2.4 aggregation ------------------------------------------------
+
+  // TPC-H Q1 shape — the canonical grouped-aggregate program. Partial
+  // aggregation (the reference's combiner) is Catalyst's
+  // HashAggregate(partial)/HashAggregate(final) split around the exchange.
+  val aggQ1 = sql("agg_q1",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc,
+       count(*) AS cnt
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+       GROUP BY l_returnflag, l_linestatus""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_base"),
+        sum(col("l_extendedprice").cast(Dec) *
+          (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+          .cast("double").as("sum_disc"),
+        count(lit(1)).as("cnt"))
+  }
+
+  // DISTINCT == the KeyProjectionReducer pattern
+  // (reducers/KeyProjectionReducer.java).
+  val distinctKeys = sql("distinct_keys",
+    "SELECT DISTINCT o_custkey FROM orders") { (s, d) =>
+    Tables.orders(s, d).select(col("o_custkey")).distinct()
+  }
+
+  val distinctCount = sql("distinct_count",
+    """SELECT count(DISTINCT o_custkey) AS n_cust,
+       count(DISTINCT o_orderpriority) AS n_prio FROM orders""") { (s, d) =>
+    Tables.orders(s, d).agg(
+      countDistinct(col("o_custkey")).as("n_cust"),
+      countDistinct(col("o_orderpriority")).as("n_prio"))
+  }
+
+  // ---- §2.5 joins ------------------------------------------------------
+
+  val joinInner = sql("join_inner",
+    """SELECT c_mktsegment, count(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""") { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("revenue"))
+  }
+
+  // Customers without orders — LEFT ANTI (the reference would need a
+  // reduce-side tagged join; Spark plans broadcast-anti automatically).
+  val joinAnti = sql("join_anti",
+    """SELECT c_custkey FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""") { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+  }
+
+  val joinSemi = sql("join_semi",
+    """SELECT count(*) AS n FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders)""") { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // Small-dim broadcast join: part is tiny at every SF — explicitly
+  // broadcast so the 100 TB plan has no shuffle on the fact side.
+  val joinBroadcast = sql("join_broadcast",
+    """SELECT p_brand,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"), "inner")
+      .groupBy(col("p_brand"))
+      .agg(sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+  }
+
+  // TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
+  val joinQ3 = sql("join_q3",
+    """SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY o_orderkey, o_orderdate
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""") { (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice").cast(Dec) *
+          (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+        .cast("double").as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  // LEFT OUTER with empty-side groups preserved.
+  val joinOuter = sql("join_outer",
+    """SELECT n_name, count(c_custkey) AS n_customers
+       FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+       GROUP BY n_name""") { (s, d) =>
+    Tables.nation(s, d)
+      .join(Tables.customer(s, d),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"))
+  }
+
+  // ---- §2.6 windows ----------------------------------------------------
+
+  val windowRowNumber = sql("window_rownum",
+    """SELECT o_custkey, o_orderkey, rn FROM (
+         SELECT o_custkey, o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders) t WHERE rn <= 3""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+  }
+
+  val windowRunning = sql("window_running",
+    """SELECT l_orderkey, l_linenumber,
+       SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
+         ORDER BY l_linenumber, l_quantity
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+       FROM lineitem""") { (s, d) =>
+    // (l_orderkey, l_linenumber) is not unique in the testdata; ordering
+    // additionally by l_quantity makes the running sums permutation-
+    // invariant across tied rows (equal quantities commute).
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast("long")).over(w).as("running_qty"))
+  }
+
+  val windowLag = sql("window_lag",
+    """SELECT event_id,
+       lag(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY event_id) AS prev_cents
+       FROM events""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        lag(round(col("value") * 100).cast("long"), 1).over(w).as("prev_cents"))
+  }
+
+  // ---- §2.7 sort / top-k ----------------------------------------------
+
+  // TakeOrderedAndProject: no global sort materialized, per-partition
+  // top-k merged on the driver — the right plan at 100 TB.
+  val topK = sql("topk",
+    """SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+       FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(Dec).cast("double").as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(15)
+  }
+
+  // Global total-order sort (range-partitioned in Spark).
+  val globalSort = sql("global_sort",
+    """SELECT n_name,
+       row_number() OVER (ORDER BY n_name) AS pos
+       FROM nation""") { (s, d) =>
+    Tables.nation(s, d)
+      .select(col("n_name"),
+        row_number().over(Window.orderBy(col("n_name"))).as("pos"))
+  }
+
+  // ---- §2.8 set operations --------------------------------------------
+
+  private def custkeysOfYear(s: SparkSession, d: String, y: Int): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp")
+        && col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+
+  val setIntersect = sql("set_intersect",
+    """SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       INTERSECT
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""") {
+    (s, d) => custkeysOfYear(s, d, 1996).intersect(custkeysOfYear(s, d, 1997))
+  }
+
+  val setExcept = sql("set_except",
+    """SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       EXCEPT
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""") {
+    (s, d) => custkeysOfYear(s, d, 1996).except(custkeysOfYear(s, d, 1997))
+  }
+
+  val unionDistinct = sql("union_distinct",
+    """SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       UNION
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""") {
+    (s, d) =>
+      custkeysOfYear(s, d, 1996).union(custkeysOfYear(s, d, 1997)).distinct()
+  }
+
+  // ---- §2.9 scalar functions ------------------------------------------
+
+  val scalarString = sql("scalar_string",
+    """SELECT p_partkey, lower(p_type) AS type_lo, length(p_name) AS name_len,
+       substr(p_name, 1, 5) AS name5,
+       replace(p_type, ' ', '_') AS type_us,
+       concat_ws('|', p_brand, p_type) AS joined
+       FROM part""") { (s, d) =>
+    Tables.part(s, d).select(col("p_partkey"),
+      lower(col("p_type")).as("type_lo"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      regexp_replace(col("p_type"), " ", "_").as("type_us"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+  }
+
+  val scalarDate = sql("scalar_date",
+    """SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS dd,
+       strftime(o_orderdate, '%Y-%m-%d') AS ds,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+       FROM orders""") { (s, d) =>
+    Tables.orders(s, d).select(col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dd"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"))
+  }
+
+  val scalarMath = sql("scalar_math",
+    """SELECT l_orderkey, l_linenumber,
+       abs(l_quantity - 25) AS qd,
+       CAST(ceil(l_quantity / 7) AS BIGINT) AS qc,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS qf,
+       sqrt(l_quantity) AS qs,
+       CAST(l_quantity AS BIGINT) % 5 AS qm
+       FROM lineitem WHERE l_orderkey <= 100""") { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("qd"),
+        ceil(col("l_quantity") / 7).as("qc"),
+        floor(col("l_quantity") / 7).as("qf"),
+        sqrt(col("l_quantity")).as("qs"),
+        (col("l_quantity").cast("long") % 5).as("qm"))
+  }
+
+  // JSON property extraction from events.props (the reference's Jackson
+  // JSON marshaller surface, Marshallers.java:212-262).
+  val scalarJson = sql("scalar_json",
+    """SELECT k, count(*) AS cnt FROM (
+         SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k
+         FROM events) t GROUP BY k""") { (s, d) =>
+    Tables.events(s, d)
+      .select((regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+        .cast("long") % 10).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+  }
+
+  // Hash functions (reference murmur3/crc32, §2.9): md5/sha2 are the
+  // portable pair both engines implement identically.
+  val scalarHash = sql("scalar_hash",
+    """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha
+       FROM part""") { (s, d) =>
+    Tables.part(s, d).select(col("p_partkey"),
+      md5(col("p_name")).as("h_md5"),
+      sha2(col("p_name"), 256).as("h_sha"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    scanFullCount, scanFilterRange, scanKeysOnly, scanLogWindow,
+    rangeInputSum, unionConcat,
+    filterConj, projectScalar, having,
+    aggQ1, distinctKeys, distinctCount,
+    joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinOuter,
+    windowRowNumber, windowRunning, windowLag,
+    topK, globalSort,
+    setIntersect, setExcept, unionDistinct,
+    scalarString, scalarDate, scalarMath, scalarJson, scalarHash)
+}
