@@ -36,10 +36,10 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's
+      // exact range, so float division would be off by ±1µs.
       df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.floor(
-            df("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -1,0 +1,417 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Large-scale training-data pipeline operators (the north-star extension
+  * surface): deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash),
+  * similarity search (brute-force cosine top-k and a bucketed scale
+  * variant), and text analysis (language ID, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * Everything is expressed with codegen'd built-in functions (no UDFs) so
+  * the whole pipeline stays inside WholeStageCodegen, and every operator
+  * has a DuckDB oracle. Portable hashing uses md5 — identical output in
+  * both engines — so even the probabilistic operators (MinHash bands) are
+  * bit-deterministic and hash-checkable.
+  *
+  * Scale notes (100 TB): the pairwise n-gram Jaccard join is the
+  * *verification* stage only; candidate generation at scale is the
+  * MinHash/LSH operator (shuffle keyed on band signature, candidates ≪
+  * pairs). The brute-force cosine join is the correctness baseline for the
+  * bucketed variant, which prunes the cross product by sign-pattern
+  * buckets (an IVF-style coarse quantizer).
+  */
+object DataPipelineQueries {
+  import QueryDef._
+
+  /** Whitespace tokens, empties dropped — the tokenization contract shared
+    * with the DuckDB oracle (string_split + list_filter). */
+  private val tokensCol: Column = expr("filter(split(text, ' '), x -> x != '')")
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("w", tokensCol)
+
+  /** Distinct word 3-gram shingles per doc. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .withColumn("sh", expr(
+        """CASE WHEN size(w) >= 3
+             THEN array_distinct(transform(sequence(0, size(w)-3),
+                  i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+             ELSE CAST(array() AS ARRAY<STRING>) END"""))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+
+  /** Shared oracle CTE: distinct word 3-gram shingles per doc. */
+  private val shingleCte =
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-1, 1))) AS i) t)"""
+
+  // ---- deduplication ---------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on content. At 100 TB this groups on
+    * md5(text) (fixed-width shuffle key) rather than the raw text. */
+  val dedupExactStats = sql("dedup_exact_stats",
+    """SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       count(*) - count(DISTINCT md5(text)) AS n_dups
+       FROM documents""") { (s, d) =>
+    Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_distinct"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
+  }
+
+  /** Exact dedup keep-first: survivors are min(doc_id) per content hash. */
+  val dedupKeepFirst = sql("dedup_keep_first",
+    """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS group_size
+       FROM documents GROUP BY md5(text)""") { (s, d) =>
+    Tables.documents(s, d).groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+      .select(col("keep_id"), col("group_size"))
+  }
+
+  /** N-gram Jaccard near-dup pairs, jaccard >= 0.8 — kept in integer
+    * arithmetic (5*common >= 4*union) so there is no float boundary.
+    * This is the exhaustive verifier; LSH below is the candidate
+    * generator at scale. */
+  val dedupJaccard = sql("dedup_jaccard",
+    shingleCte + """,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT d1, d2, common, x.n AS n1, y.n AS n2
+       FROM pairs JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       WHERE 5 * common >= 4 * (x.n + y.n - common)""") { (s, d) =>
+    val sh = shingles(s, d)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("d1", "s")
+    val b = sh.toDF("d2", "s2")
+    val pairs = a.join(b, a("s") === b("s2") && a("d1") < b("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    pairs
+      .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
+      .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
+      .filter(lit(5) * col("common") >= lit(4) * (col("n1") + col("n2") - col("common")))
+      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"))
+  }
+
+  /** MinHash + LSH near-dup detection, fully deterministic via md5:
+    * hash_i(shingle) = md5(i || ':' || shingle); signature_i = min over
+    * shingles; 12 hashes in 4 bands of 3; band signature = md5 of the
+    * band's minhashes; candidates = pairs sharing a band bucket;
+    * candidates verified with exact integer Jaccard >= 0.8.
+    *
+    * At scale: candidate generation is one shuffle keyed on
+    * (band, band_sig) — cost O(docs × hashes), never O(docs²). */
+  val dedupMinhashLsh = sql("dedup_minhash_lsh",
+    shingleCte + """,
+       hs AS (
+         SELECT doc_id, i,
+           min(md5(concat(CAST(i AS VARCHAR), ':', s))) AS mh
+         FROM sh, LATERAL (SELECT unnest(range(0, 12)) AS i) t
+         GROUP BY doc_id, i),
+       bands AS (
+         SELECT doc_id, i // 3 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS sig
+         FROM hs GROUP BY doc_id, band),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       common AS (
+         SELECT c.d1, c.d2, count(*) AS common
+         FROM cand c JOIN sh a ON a.doc_id = c.d1
+                     JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+         GROUP BY c.d1, c.d2)
+       SELECT m.d1, m.d2 FROM common m
+       JOIN sz x ON x.doc_id = m.d1 JOIN sz y ON y.doc_id = m.d2
+       WHERE 5 * m.common >= 4 * (x.n + y.n - m.common)""") { (s, d) =>
+    val sh = shingles(s, d)
+    val hs = sh
+      .select(col("doc_id"), col("s"),
+        explode(lit((0 until 12).toArray)).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("s")))).as("mh"))
+    val bands = hs.withColumn("band", (col("i") / 3).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(expr(
+        "md5(array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '|'))")
+        .as("sig"))
+    val ba = bands.toDF("d1", "band", "sig")
+    val bb = bands.toDF("d2", "band2", "sig2")
+    val cand = ba.join(bb,
+        col("band") === col("band2") && col("sig") === col("sig2")
+          && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.toDF("d1k", "s1"), col("d1") === col("d1k"))
+      .join(sh.toDF("d2k", "s2"),
+        col("d2") === col("d2k") && col("s2") === col("s1"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    common
+      .join(sz.toDF("n1k", "n1"), col("d1") === col("n1k"))
+      .join(sz.toDF("n2k", "n2"), col("d2") === col("n2k"))
+      .filter(lit(5) * col("common") >= lit(4) * (col("n1") + col("n2") - col("common")))
+      .select(col("d1"), col("d2"))
+  }
+
+  /** SimHash document fingerprint: 32 bits; bit p is the sign of the
+    * frequency-weighted vote of md5-hex-digit-p's high bit across all
+    * tokens. Near-dup docs get near-identical signatures; grouping or
+    * banding the signature is the scale path. */
+  val dedupSimhash = sql("dedup_simhash",
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       tok AS (SELECT doc_id, unnest(w) AS tok FROM w),
+       bits AS (
+         SELECT doc_id, i AS p,
+           sum(CASE WHEN substr(md5(tok), CAST(i AS INT)+1, 1) BETWEEN '8' AND '9'
+                      OR substr(md5(tok), CAST(i AS INT)+1, 1) BETWEEN 'a' AND 'f'
+                    THEN 1 ELSE -1 END) AS sv
+         FROM tok, LATERAL (SELECT unnest(range(0, 32)) AS i) t
+         GROUP BY doc_id, i)
+       SELECT doc_id,
+         string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS simhash
+       FROM bits GROUP BY doc_id""") { (s, d) =>
+    docsWithTokens(s, d)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .select(col("doc_id"), col("tok"),
+        explode(lit((0 until 32).toArray)).as("p"))
+      .withColumn("ch", expr("substring(md5(tok), p + 1, 1)"))
+      .withColumn("v",
+        when(col("ch").between("8", "9") || col("ch").between("a", "f"), 1)
+          .otherwise(-1))
+      .groupBy(col("doc_id"), col("p")).agg(sum(col("v")).as("sv"))
+      .withColumn("bit", when(col("sv") > 0, "1").otherwise("0"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(p, bit))), x -> x.bit), '')")
+        .as("simhash"))
+  }
+
+  // ---- similarity search ----------------------------------------------
+
+  private val dotExpr =
+    """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       0D, (acc, x) -> acc + x)"""
+
+  /** Brute-force cosine top-1 neighbor per vector — the exactness
+    * baseline. All arithmetic in double with identical evaluation order
+    * on both engines. */
+  val annCosineTop1 = sql("ann_cosine_top1",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       p AS (
+         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosim
+         FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+       SELECT vec_id, neighbor_id, round(cosim, 3) AS sim FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rn
+         FROM p) t WHERE rn = 1""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .withColumn("nrm", expr(
+        """sqrt(aggregate(embedding, 0D,
+           (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
+    val a = e.select(col("vec_id").as("vec_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosim", expr(dotExpr) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosim").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("neighbor_id"), round(col("cosim"), 3).as("sim"))
+  }
+
+  /** Bucketed (IVF-style) ANN: coarse-quantize each vector by the sign
+    * pattern of its first 6 dimensions, search only within the bucket.
+    * 64× fewer pairs than brute force; the approximation contract (only
+    * same-bucket neighbors found) is deterministic and oracle-checked. */
+  val annBucketedTop1 = sql("ann_bucketed_top1",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           array_to_string(list_transform(embedding[1:6],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       p AS (
+         SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosim
+         FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       SELECT vec_id, bucket, neighbor_id, round(cosim, 3) AS sim FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rn
+         FROM p) t WHERE rn = 1""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", expr(
+        """concat_ws('', transform(slice(embedding, 1, 6),
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"""))
+      .withColumn("nrm", expr(
+        """sqrt(aggregate(embedding, 0D,
+           (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
+    val a = e.select(col("vec_id"), col("bucket"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("neighbor_id"),
+      col("bucket").as("bucket2"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val pairs = a.join(b,
+        col("bucket") === col("bucket2") && col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosim", expr(dotExpr) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosim").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("bucket"), col("neighbor_id"),
+        round(col("cosim"), 3).as("sim"))
+  }
+
+  // ---- text analysis ---------------------------------------------------
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in")
+  private val stopEs = Seq("el", "la", "los", "de", "y", "que")
+  private val stopDe = Seq("der", "die", "das", "und", "ein", "ist")
+  private val stopFr = Seq("le", "les", "des", "et", "un", "une")
+
+  private def hitsExpr(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(w, x -> array_contains(array($arr), x)))"
+  }
+  private def hitsSql(words: Seq[String]): String = {
+    val in = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(w, x -> x IN ($in)))"
+  }
+
+  /** Heuristic language ID by stopword-set voting with a deterministic
+    * precedence on ties (de > en > es > fr), 'und' when no hits. */
+  val textLangid = sql("text_langid",
+    s"""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        h AS (SELECT doc_id,
+          ${hitsSql(stopEn)} AS he, ${hitsSql(stopEs)} AS hs,
+          ${hitsSql(stopDe)} AS hd, ${hitsSql(stopFr)} AS hf FROM w)
+        SELECT doc_id,
+          CASE WHEN he = 0 AND hs = 0 AND hd = 0 AND hf = 0 THEN 'und'
+               WHEN hd >= he AND hd >= hs AND hd >= hf THEN 'de'
+               WHEN he >= hs AND he >= hf THEN 'en'
+               WHEN hs >= hf THEN 'es'
+               ELSE 'fr' END AS pred_lang
+        FROM h""") { (s, d) =>
+    docsWithTokens(s, d)
+      .withColumn("he", expr(hitsExpr(stopEn)))
+      .withColumn("hs", expr(hitsExpr(stopEs)))
+      .withColumn("hd", expr(hitsExpr(stopDe)))
+      .withColumn("hf", expr(hitsExpr(stopFr)))
+      .withColumn("pred_lang",
+        when(col("he") === 0 && col("hs") === 0 && col("hd") === 0 && col("hf") === 0, "und")
+          .when(col("hd") >= col("he") && col("hd") >= col("hs") && col("hd") >= col("hf"), "de")
+          .when(col("he") >= col("hs") && col("he") >= col("hf"), "en")
+          .when(col("hs") >= col("hf"), "es")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("pred_lang"))
+  }
+
+  /** Document quality features: token counts, type-token ratio, stopword
+    * ratio, and a composite score. Ratios are emitted as *floored basis
+    * points* (integers): floor() of a rational a/b (b ≤ tokens) can never
+    * sit within an ulp of an integer boundary, unlike round(x, 4), which
+    * differs between engines at binary midpoints. */
+  val textQuality = sql("text_quality",
+    s"""WITH w AS (
+          SELECT doc_id, length(text) AS n_chars2,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        f AS (SELECT doc_id, n_chars2,
+          len(w) AS n_tokens,
+          len(list_distinct(w)) AS n_uniq,
+          ${hitsSql(stopEn)} AS stop_hits FROM w)
+        SELECT doc_id, n_chars2, n_tokens, n_uniq,
+          CAST(floor(n_uniq * 10000.0 / greatest(n_tokens, 1)) AS BIGINT) AS ttr_bp,
+          CAST(floor(stop_hits * 10000.0 / greatest(n_tokens, 1)) AS BIGINT) AS stop_bp,
+          CAST(floor((n_uniq * 7000.0 + stop_hits * 3000.0) / greatest(n_tokens, 1)) AS BIGINT) AS score_bp
+        FROM f""") { (s, d) =>
+    docsWithTokens(s, d)
+      .withColumn("n_chars2", length(col("text")))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("n_uniq", size(array_distinct(col("w"))))
+      .withColumn("stop_hits", expr(hitsExpr(stopEn)))
+      .select(col("doc_id"), col("n_chars2"), col("n_tokens"), col("n_uniq"),
+        floor(col("n_uniq") * 10000.0 / greatest(col("n_tokens"), lit(1)))
+          .cast("long").as("ttr_bp"),
+        floor(col("stop_hits") * 10000.0 / greatest(col("n_tokens"), lit(1)))
+          .cast("long").as("stop_bp"),
+        floor((col("n_uniq") * 7000.0 + col("stop_hits") * 3000.0)
+          / greatest(col("n_tokens"), lit(1))).cast("long").as("score_bp"))
+  }
+
+  /** Token counting: whitespace tokens and a regex (BPE-ish word piece)
+    * token count. */
+  val textTokenCount = sql("text_token_count",
+    """SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+')) AS re_tokens
+       FROM documents""") { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      expr("size(filter(split(text, ' '), x -> x != ''))").as("ws_tokens"),
+      expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("re_tokens"))
+  }
+
+  /** Rolling-hash document fingerprint: the minimum md5 over all 5-char
+    * shingles (a winnowing-style content signature). */
+  val textFingerprint = sql("text_fingerprint",
+    """SELECT doc_id,
+       list_aggregate(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+         i -> md5(substr(text, CAST(i AS INT), 5))), 'min') AS fp
+       FROM documents""") { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      expr("""array_min(transform(sequence(1, greatest(length(text) - 4, 1)),
+              i -> md5(substring(text, i, 5))))""").as("fp"))
+  }
+
+  /** Multimodal column plumbing: treat content as opaque bytes with typed
+    * metadata; "decode" is a deterministic stand-in (byte length, sha256,
+    * fake width/height) — the real decode would run in
+    * graft.multimodal.Multimodal over the same schema. */
+  val multimodalFeatures = sql("multimodal_features",
+    """SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       sha256(text) AS sha,
+       octet_length(CAST(text AS BLOB)) % 640 AS width,
+       (octet_length(CAST(text AS BLOB)) // 7) % 480 AS height
+       FROM documents""") { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      octet_length(col("text")).as("n_bytes"),
+      sha2(col("text").cast("binary"), 256).as("sha"),
+      (octet_length(col("text")) % 640).as("width"),
+      (expr("octet_length(text) div 7") % 480).as("height"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExactStats, dedupKeepFirst, dedupJaccard, dedupMinhashLsh,
+    dedupSimhash, annCosineTop1, annBucketedTop1,
+    textLangid, textQuality, textTokenCount, textFingerprint,
+    multimodalFeatures)
+}

@@ -107,7 +107,7 @@ object MapReduceQueries {
          FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
                FROM documents) d,
               LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) s
-       ) t GROUP BY p HAVING count(*) >= 20""") { (s, d) =>
+       ) t GROUP BY p HAVING count(*) >= 5""") { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("text")).as[String]
     MapReduceJob.run(MapReduceSpecification(
@@ -126,7 +126,7 @@ object MapReduceQueries {
         def reduce(key: String, values: Iterator[Long],
             emit: ((String, Long)) => Unit): Unit = {
           val n = values.sum
-          if (n >= 20L) emit((key, n))
+          if (n >= 5L) emit((key, n))
         }
       },
       combiner = Some(SumCombiner)))
@@ -183,7 +183,7 @@ object MapReduceQueries {
   /** Combiner path over numeric values: per-user spend in integer cents
     * (exact, order-independent). */
   val combinerSum = sql("mr_combiner_sum",
-    """SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+    """SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
        FROM events GROUP BY user_id""") { (s, d) =>
     import s.implicits._
     val ev = Tables.events(s, d)

@@ -53,7 +53,7 @@ object RelationalQueries {
   // + level filter, aggregated per type.
   val scanLogWindow = sql("scan_log_window",
     """SELECT event_type, count(*) AS cnt,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
        FROM events
        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
          AND event_type IN ('error', 'purchase')
@@ -272,9 +272,9 @@ object RelationalQueries {
 
   val windowRunning = sql("window_running",
     """SELECT l_orderkey, l_linenumber,
-       SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
+       CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
          ORDER BY l_linenumber, l_quantity
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
        FROM lineitem""") { (s, d) =>
     // (l_orderkey, l_linenumber) is not unique in the testdata; ordering
     // additionally by l_quantity makes the running sums permutation-

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.streaming.StreamingJobs
+
+/** Stream-shaped check queries: a real Structured Streaming job (memory
+  * sink, AvailableNow) whose final table must equal the batch SQL, and a
+  * gap-based sessionization (the stateful-processing shape that
+  * `flatMapGroupsWithState` handles unbounded; expressed here with window
+  * functions so it is oracle-checkable).
+  */
+object StreamingQueries {
+  import QueryDef._
+
+  /** Structured Streaming tumbling-window agg == batch GROUP BY on epoch
+    * hour buckets. Spark windows align to the epoch, so
+    * floor(epoch/3600)*3600 is exactly window.start. */
+  val streamWindowAgg = sql("stream_window_agg",
+    """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+       event_type, count(*) AS cnt,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM events GROUP BY 1, 2""") { (s, d) =>
+    StreamingJobs.windowedEventCounts(s, d)
+  }
+
+  /** Gap-based sessionization (30-minute inactivity): per-user session
+    * boundaries via lag + running sum, then per-session aggregates.
+    * Millisecond epochs keep the arithmetic integer-exact. */
+  val sessionize = sql("sessionize",
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events),
+       gaps AS (
+         SELECT *, CASE WHEN ms - lag(ms) OVER w > 1800000 OR
+                             lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+       sess AS (
+         SELECT *, SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         FROM gaps)
+       SELECT user_id, session_no, min(ms) AS session_start_ms,
+         count(*) AS n_events, SUM(cents) AS total_cents
+       FROM sess GROUP BY user_id, session_no""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L
+          || lag(col("ms"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ms")).as("session_start_ms"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("total_cents"))
+  }
+
+  val all: Seq[QueryDef] = Seq(streamWindowAgg, sessionize)
+}

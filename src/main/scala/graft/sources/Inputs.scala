@@ -168,8 +168,7 @@ object Inputs {
     val raw = spark.read.parquet(path)
     val withTs =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          timestamp_micros(floor(raw("ts") / 1000L).cast("long")))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
     val base = withTs
       .filter(col("ts") >= lit(startTs) && col("ts") < lit(endTs))
