@@ -1,0 +1,72 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.TestSpark
+
+case class Inner(tag: String, score: Double)
+case class Outer(id: Long, name: String, inner: Inner, labels: Seq[String])
+
+class OutputsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("derivedSchema reflects nested + repeated fields (BigQuery analogue)") {
+    val schema = Outputs.derivedSchema[Outer]
+    assert(schema.fieldNames === Array("id", "name", "inner", "labels"))
+    val fields = Outputs.schemaFields(schema)
+    assert(fields.contains(("inner", "RECORD", "NULLABLE")))
+    assert(fields.contains(("inner.tag", "STRING", "NULLABLE")))
+    assert(fields.contains(("id", "LONG", "REQUIRED")))
+    assert(fields.exists { case (n, _, m) => n == "labels" && m == "REPEATED" })
+  }
+
+  test("ndjson writes one JSON object per record with derived schema") {
+    val dir = Files.createTempDirectory("graft-ndjson").toString
+    val ds = spark.createDataset(Seq(
+      Outer(1, "a", Inner("x", 0.5), Seq("p", "q"))))
+    Outputs.ndjson(ds, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === 1)
+    assert(back.select("inner.tag").as[String].collect() === Array("x"))
+  }
+
+  test("segmented write caps records per file") {
+    val dir = Files.createTempDirectory("graft-seg").toString
+    Outputs.segmented(spark.range(100).coalesce(1), dir, maxRecordsPerFile = 30)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 4) // 30+30+30+10
+    assert(spark.read.parquet(dir).count() === 100)
+  }
+
+  test("shardedBy writes key-partitioned directories") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val df = spark.range(20).selectExpr("id", "id % 3 AS k")
+    Outputs.shardedBy(df.toDF(), dir, "k")
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("k="))
+    assert(parts.sorted === Array("k=0", "k=1", "k=2"))
+    assert(spark.read.parquet(dir).count() === 20)
+  }
+
+  test("hashSharded produces at most the requested shard count") {
+    val dir = Files.createTempDirectory("graft-hash").toString
+    val df = spark.range(100).selectExpr("id", "id % 10 AS k").toDF()
+    Outputs.hashSharded(df, dir, shards = 4, keyCol = "k")
+    // empty hash partitions write no file, so <= shards files
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 1 && files <= 4)
+    assert(spark.read.parquet(dir).count() === 100)
+    assert(df.repartition(4, df("k")).rdd.getNumPartitions === 4)
+  }
+
+  test("inMemory collects and parquet round-trips") {
+    val dir = Files.createTempDirectory("graft-pq").toString
+    val ds = spark.createDataset(Seq(1L, 2L, 3L))
+    Outputs.parquet(ds, dir)
+    assert(spark.read.parquet(dir).as[Long].collect().sorted === Array(1L, 2L, 3L))
+    assert(Outputs.inMemory(ds).sorted === Seq(1L, 2L, 3L))
+  }
+}
