@@ -34,15 +34,21 @@ object DataPipelineQueries {
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("w", tokensCol)
 
-  /** Distinct word 3-gram shingles per doc. */
+  /** Distinct word 3-gram shingles per doc.
+    *
+    * Deliberately explode + flat projection + relational distinct rather
+    * than a `transform(sequence(...), i -> ...)` lambda: higher-order
+    * array functions are interpreted (no WholeStageCodegen), measured
+    * ~10× slower; the exploded form is fully codegen'd and the distinct
+    * is one hash aggregate. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     docsWithTokens(s, d)
-      .withColumn("sh", expr(
-        """CASE WHEN size(w) >= 3
-             THEN array_distinct(transform(sequence(0, size(w)-3),
-                  i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
-             ELSE CAST(array() AS ARRAY<STRING>) END"""))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w) - 3)")).as("i"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', w[i], w[i+1], w[i+2])").as("s"))
+      .distinct()
 
   /** Shared oracle CTE: distinct word 3-gram shingles per doc. */
   private val shingleCte =
@@ -92,7 +98,10 @@ object DataPipelineQueries {
        SELECT d1, d2, common, x.n AS n1, y.n AS n2
        FROM pairs JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
        WHERE 5 * common >= 4 * (x.n + y.n - common)""") { (s, d) =>
+    // the shingle relation feeds three plan branches (both join sides +
+    // sizes); persist it so the text explode runs once, not three times
     val sh = shingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.toDF("d1", "s")
     val b = sh.toDF("d2", "s2")
@@ -136,7 +145,10 @@ object DataPipelineQueries {
        SELECT m.d1, m.d2 FROM common m
        JOIN sz x ON x.doc_id = m.d1 JOIN sz y ON y.doc_id = m.d2
        WHERE 5 * m.common >= 4 * (x.n + y.n - m.common)""") { (s, d) =>
+    // four consumers of the shingle relation (minhash, verify-join ×2,
+    // sizes) — persist to compute the explode+distinct once
     val sh = shingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hs = sh
       .select(col("doc_id"), col("s"),
         explode(lit((0 until 12).toArray)).as("i"))
@@ -209,7 +221,15 @@ object DataPipelineQueries {
 
   /** Brute-force cosine top-1 neighbor per vector — the exactness
     * baseline. All arithmetic in double with identical evaluation order
-    * on both engines. */
+    * on both engines (ascending-index multiply-add, then sqrt-normalize).
+    *
+    * Execution: the vector set is broadcast and each partition scans its
+    * vectors against the broadcast copy in a tight loop — the standard
+    * distributed brute-force kNN shape. A relational n² self-join
+    * materializes (and shuffles) every pair; the broadcast loop streams
+    * them, ~10× faster here and the only viable form when n² pairs dwarf
+    * memory. At 100 TB the candidate set comes from the bucketed variant
+    * below; this operator is the re-rank/verification kernel. */
   val annCosineTop1 = sql("ann_cosine_top1",
     """WITH n AS (
          SELECT vec_id, embedding,
@@ -227,19 +247,43 @@ object DataPipelineQueries {
          SELECT *, row_number() OVER (
            PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rn
          FROM p) t WHERE rn = 1""") { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .withColumn("nrm", expr(
-        """sqrt(aggregate(embedding, 0D,
-           (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
-    val a = e.select(col("vec_id").as("vec_id"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosim", expr(dotExpr) / (col("na") * col("nb")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosim").desc, col("neighbor_id"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val all = vecs.collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(all)
+    vecs.mapPartitions { it =>
+      val cand = bc.value
+      // norms once per partition, ascending-index accumulation to match
+      // the oracle's list_sum order bit-for-bit
+      val norms = cand.map { case (_, v) =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      }
+      it.map { case (id, emb) =>
+        var acc = 0.0; var i = 0
+        while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        val na = math.sqrt(acc)
+        var bestSim = Double.NegativeInfinity
+        var bestId = Long.MaxValue
+        var j = 0
+        while (j < cand.length) {
+          val (cid, cv) = cand(j)
+          if (cid != id) {
+            var dot = 0.0; var k = 0
+            while (k < cv.length) { dot += emb(k).toDouble * cv(k).toDouble; k += 1 }
+            val sim = dot / (na * norms(j))
+            if (sim > bestSim || (sim == bestSim && cid < bestId)) {
+              bestSim = sim; bestId = cid
+            }
+          }
+          j += 1
+        }
+        (id, bestId, bestSim)
+      }
+    }.toDF("vec_id", "neighbor_id", "cosim")
       .select(col("vec_id"), col("neighbor_id"), round(col("cosim"), 3).as("sim"))
   }
 
