@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Physical-plan assertions: the properties that decide whether a query
+  * survives a 100× scale-up. A query can be value-correct and still
+  * wrong at 100 TB — these specs pin the plan shape itself:
+  * filters reach the parquet scan (row-group pruning), projections prune
+  * the read schema (columnar IO), small dims broadcast (no fact-side
+  * shuffle), aggregation is partial before the exchange (map-side
+  * combine), and top-k never materializes a global sort. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val d = TestSpark.sfDir
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("agg_q1: shipdate filter is pushed to the parquet scan") {
+    val p = plan("agg_q1")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      "date range must reach the scan for row-group pruning")
+  }
+
+  test("agg_q1: aggregation is split partial/final around the exchange") {
+    val p = plan("agg_q1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect map-side partial aggregation (the combiner, for free)")
+  }
+
+  test("scan_filter_range: conjunctive filters reach the scan") {
+    val p = plan("scan_filter_range")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+  }
+
+  test("scan_keys_only: read schema is pruned to the key column") {
+    val p = plan("scan_keys_only")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint>"),
+      "keys-only scan must not read other columns")
+  }
+
+  test("scan_log_window: time range is pushed down on the events scan") {
+    val p = plan("scan_log_window")
+    // ts is read as raw nanos (legacy long), so pushdown happens on the
+    // derived filter; assert the scan at least prunes columns
+    assert(p.contains("ReadSchema") &&
+      !p.contains("props"), "events scan must prune unused columns")
+  }
+
+  test("join_broadcast: the part dimension broadcasts") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"),
+      "small dim must broadcast — no shuffle of the fact side")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("join_q3: mktsegment filter is pushed below the joins") {
+    val p = plan("join_q3")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "dim filter must reach the customer scan, not run post-join")
+  }
+
+  test("topk executes as TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("join_anti plans as an anti join, not a cartesian") {
+    val p = plan("join_anti")
+    assert(p.contains("LeftAnti"), p.take(300))
+    assert(!p.contains("Cartesian"))
+  }
+
+  test("distinct_keys aggregates partially before the exchange") {
+    val p = plan("distinct_keys")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("window queries shuffle once on the partition key") {
+    val p = plan("window_rownum")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
+      "one shuffle for the window partition, no extra exchanges")
+  }
+}
