@@ -215,10 +215,6 @@ object DataPipelineQueries {
 
   // ---- similarity search ----------------------------------------------
 
-  private val dotExpr =
-    """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       0D, (acc, x) -> acc + x)"""
-
   /** Brute-force cosine top-1 neighbor per vector — the exactness
     * baseline. All arithmetic in double with identical evaluation order
     * on both engines (ascending-index multiply-add, then sqrt-normalize).
@@ -310,21 +306,21 @@ object DataPipelineQueries {
          SELECT *, row_number() OVER (
            PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rn
          FROM p) t WHERE rn = 1""") { (s, d) =>
+    graft.functions.VectorExpressions.register(s)
     val e = Tables.embeddings(s, d)
       .withColumn("bucket", expr(
         """concat_ws('', transform(slice(embedding, 1, 6),
            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"""))
-      .withColumn("nrm", expr(
-        """sqrt(aggregate(embedding, 0D,
-           (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"""))
-    val a = e.select(col("vec_id"), col("bucket"),
-      col("embedding").as("ea"), col("nrm").as("na"))
+    val a = e.select(col("vec_id"), col("bucket"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("neighbor_id"),
-      col("bucket").as("bucket2"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
+      col("bucket").as("bucket2"), col("embedding").as("eb"))
+    // cosine via the codegen'd native expression (graft.functions.
+    // CosineSimilarity): same double arithmetic as the oracle —
+    // ascending multiply-add, sqrt-normalize — but inside
+    // WholeStageCodegen instead of interpreted array lambdas
     val pairs = a.join(b,
         col("bucket") === col("bucket2") && col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosim", expr(dotExpr) / (col("na") * col("nb")))
+      .withColumn("cosim", expr("cosine_sim(ea, eb)"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosim").desc, col("neighbor_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

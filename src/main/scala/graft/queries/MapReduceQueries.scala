@@ -219,7 +219,39 @@ object MapReduceQueries {
       .toDF("priority")
   }
 
+  /** Chained two-stage MapReduce (the ChainedMapReduceJob /
+    * MapreducePipeline analogue, SURVEY.md §3.2): stage 1 wordcount,
+    * stage 2 a second MR over stage 1's output building the
+    * occurrence-count histogram. Catalyst fuses both stages into one
+    * plan — the reference needed GCS files and four sub-pipelines. */
+  val chained = sql("mr_chained",
+    """SELECT cnt, count(*) AS n_words FROM (
+         SELECT w AS word, count(*) AS cnt FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         WHERE w <> '' GROUP BY w) wc
+       GROUP BY cnt""") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("text")).as[String]
+    val stage1 = (in: org.apache.spark.sql.Dataset[String]) =>
+      MapReduceJob.run(MapReduceSpecification(
+        "wc-stage1", in, new TokenizeMapper, new SumReducer,
+        combiner = Some(SumCombiner)))
+    val stage2 = (wc: org.apache.spark.sql.Dataset[(String, Long)]) =>
+      MapReduceJob.run(MapReduceSpecification(
+        "histogram-stage2", wc,
+        mapper = new Mapper[(String, Long), Long, Long] {
+          def map(in: (String, Long), emit: (Long, Long) => Unit): Unit =
+            emit(in._2, 1L)
+        },
+        reducer = new Reducer[Long, Long, (Long, Long)] {
+          def reduce(k: Long, vs: Iterator[Long],
+              emit: ((Long, Long)) => Unit): Unit = emit((k, vs.sum))
+        },
+        combiner = Some(SumCombiner)))
+    Pipeline.chain(stage1, stage2)(docs).toDF("cnt", "n_words")
+  }
+
   val all: Seq[QueryDef] = Seq(
     wordCount, charCount, invertedIndex, phrases, collisions,
-    mapOnly, combinerSum, distinctViaReducer)
+    mapOnly, combinerSum, distinctViaReducer, chained)
 }

@@ -48,4 +48,62 @@ object StreamingJobs {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("cnt"), col("total_cents"))
   }
+
+  case class SessionEvent(user_id: Long, event_id: Long, ms: Long, cents: Long)
+  case class SessionOut(user_id: Long, session_no: Long,
+      session_start_ms: Long, n_events: Long, total_cents: Long)
+  case class UserSessions(nextSessionNo: Long, lastMs: Long)
+
+  /** Stateful sessionization with `flatMapGroupsWithState` — the custom
+    * per-key state machine shape (SURVEY.md §2.10). 30-minute inactivity
+    * gap; state carries the open session across micro-batches. Events
+    * within a batch arrive unordered, so each batch sorts its group
+    * slice — correct when batches respect event-time order per key (as
+    * with AvailableNow over one file; unbounded use would add a
+    * watermark + event-time timeout). */
+  def sessionizeStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val events = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[SessionEvent]
+
+    def fn(userId: Long, batch: Iterator[SessionEvent],
+        state: GroupState[UserSessions]): Iterator[SessionOut] = {
+      val evs = batch.toVector.sortBy(e => (e.ms, e.event_id))
+      if (evs.isEmpty) Iterator.empty
+      else {
+        var st = state.getOption.getOrElse(UserSessions(0L, Long.MinValue))
+        val out = Vector.newBuilder[SessionOut]
+        var cur: SessionOut = null
+        evs.foreach { e =>
+          if (st.lastMs == Long.MinValue || e.ms - st.lastMs > 1800000L) {
+            if (cur != null) out += cur
+            st = UserSessions(st.nextSessionNo + 1, e.ms)
+            cur = SessionOut(userId, st.nextSessionNo, e.ms, 1L, e.cents)
+          } else {
+            cur = cur.copy(n_events = cur.n_events + 1L,
+              total_cents = cur.total_cents + e.cents)
+          }
+          st = st.copy(lastMs = e.ms)
+        }
+        if (cur != null) out += cur
+        state.update(st)
+        out.result().iterator
+      }
+    }
+
+    val qname = "graft_stream_sessions"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    val q = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(qname)
+  }
 }

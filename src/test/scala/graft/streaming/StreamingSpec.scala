@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val d = TestSpark.sfDir
+
+  test("stateful sessionization matches the batch window-function result") {
+    val streamed = StreamingJobs.sessionizeStateful(spark, d)
+      .select("user_id", "session_no", "session_start_ms", "n_events", "total_cents")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.StreamingQueries.sessionize.fn(spark, d)
+      .select("user_id", "session_no", "session_start_ms", "n_events", "total_cents")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
+  test("windowed streaming agg partitions every event into exactly one window") {
+    val win = StreamingJobs.windowedEventCounts(spark, d)
+    val total = win.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total === graft.core.Tables.events(spark, d).count())
+    // windows are hour-aligned
+    val aligned = win.filter(expr("win_start % 3600 != 0")).count()
+    assert(aligned === 0)
+  }
+
+  test("custom cosine expression agrees with interpreted HOF arithmetic") {
+    graft.functions.VectorExpressions.register(spark)
+    val e = spark.read.parquet(s"$d/embeddings.parquet").limit(50)
+    val a = e.select(col("vec_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("eb"))
+    val both = a.join(b, col("vec_id") < col("v2"))
+      .withColumn("fast", expr("cosine_sim(ea, eb)"))
+      .withColumn("slow", expr(
+        """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           0D, (acc, x) -> acc + x)
+           / (sqrt(aggregate(ea, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+            * sqrt(aggregate(eb, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"""))
+    val bad = both.filter(col("fast") =!= col("slow")).count()
+    assert(bad === 0, "codegen'd cosine must be bit-identical to HOF form")
+  }
+}
