@@ -32,6 +32,13 @@ import scala.collection.mutable
 trait Mapper[I, K, V] extends Serializable {
   def beginShard(): Unit = {}
   def endShard(): Unit = {}
+  /** Slice hooks (reference beginSlice/endSlice, Worker.java:70-97): the
+    * reference checkpoints every ~15s/180s of work; Spark needs no
+    * checkpoint, so a "slice" here is a fixed record batch
+    * (MapReduceSpecification.sliceSize) — the hook point for periodic
+    * flushing the reference used slices for. */
+  def beginSlice(): Unit = {}
+  def endSlice(): Unit = {}
   def map(input: I, emit: (K, V) => Unit): Unit
 }
 
@@ -125,7 +132,10 @@ case class MapReduceSpecification[I, K, V, O](
     /** Secondary sort of values within each group. The reference never
       * guarantees value order (impl/Shuffling.java:104-113); this is the
       * explicit opt-in helper promised in SURVEY.md §7.4. */
-    valueOrdering: Option[Ordering[V]] = None)
+    valueOrdering: Option[Ordering[V]] = None,
+    /** Records per slice for beginSlice/endSlice hooks; <=0 disables
+      * (one implicit slice per shard). */
+    sliceSize: Int = -1)
 
 object MapReduceJob {
 
@@ -142,18 +152,29 @@ object MapReduceJob {
     val mapperCalls = counters.map(_.counter(CounterNames.MapperCalls))
     val reducerCalls = counters.map(_.counter(CounterNames.ReducerCalls))
     val m = spec.mapper
+    val sliceSize = spec.sliceSize
     val mapped: Dataset[(K, V)] = spec.input.mapPartitions { iter =>
       m.beginShard()
+      m.beginSlice()
+      var inSlice = 0L
       val out = mutable.ArrayBuffer.empty[(K, V)]
       // Stream: emit buffered per input record, not per partition.
       val it = iter.flatMap { rec =>
         out.clear()
+        if (sliceSize > 0 && inSlice >= sliceSize) {
+          m.endSlice(); m.beginSlice(); inSlice = 0L
+        }
+        inSlice += 1L
         mapperCalls.foreach(_.add(1L))
         m.map(rec, (k, v) => out += ((k, v)))
         out.toList
       }
       new Iterator[(K, V)] {
-        def hasNext: Boolean = { val h = it.hasNext; if (!h) m.endShard(); h }
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) { m.endSlice(); m.endShard() }
+          h
+        }
         def next(): (K, V) = it.next()
       }
     }

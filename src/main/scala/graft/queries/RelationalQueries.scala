@@ -163,6 +163,30 @@ object RelationalQueries {
       countDistinct(col("o_orderpriority")).as("n_prio"))
   }
 
+  // ROLLUP subtotals — a capability upgrade over the reference
+  // (SURVEY.md §2.4: "no grouping sets/cube/rollup … expressible for
+  // free"), exact-checked against DuckDB's GROUP BY ROLLUP.
+  val aggRollup = sql("agg_rollup",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""") { (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("revenue"))
+  }
+
+  // HLL sketch distinct-count (approx_count_distinct): the sketch
+  // algorithms differ between engines, so this is a rows-only check; the
+  // exact result is pinned by distinct_count above. At 100 TB this is
+  // the right default for cardinality estimation — no exact-distinct
+  // shuffle of the full key set.
+  val aggApproxDistinct = rowsOnly("agg_approx_distinct") { (s, d) =>
+    Tables.orders(s, d).agg(
+      approx_count_distinct(col("o_custkey")).as("approx_cust"),
+      approx_count_distinct(col("o_orderkey")).as("approx_orders"))
+  }
+
   // ---- §2.5 joins ------------------------------------------------------
 
   val joinInner = sql("join_inner",
@@ -435,7 +459,7 @@ object RelationalQueries {
     scanFullCount, scanFilterRange, scanKeysOnly, scanLogWindow,
     rangeInputSum, unionConcat,
     filterConj, projectScalar, having,
-    aggQ1, distinctKeys, distinctCount,
+    aggQ1, aggRollup, aggApproxDistinct, distinctKeys, distinctCount,
     joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinOuter,
     windowRowNumber, windowRunning, windowLag,
     topK, globalSort,

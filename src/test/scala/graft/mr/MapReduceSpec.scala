@@ -109,6 +109,24 @@ class MapReduceSpec extends AnyFunSuite {
     assert(acc.value === 2L) // one beginShard per partition
   }
 
+  test("slice lifecycle hooks fire every sliceSize records") {
+    val slices = spark.sparkContext.longAccumulator("slices")
+    val input = spark.createDataset(1L to 25L).repartition(1)
+    val spec = MapReduceSpecification[Long, Long, Long, (Long, Long)](
+      "sliced", input,
+      new Mapper[Long, Long, Long] {
+        override def beginSlice(): Unit = slices.add(1L)
+        def map(x: Long, emit: (Long, Long) => Unit): Unit = emit(0L, x)
+      },
+      new Reducer[Long, Long, (Long, Long)] {
+        def reduce(k: Long, vs: Iterator[Long],
+            emit: ((Long, Long)) => Unit): Unit = emit((k, vs.sum))
+      },
+      sliceSize = 10)
+    assert(MapReduceJob.run(spec).collect() === Array((0L, 325L)))
+    assert(slices.value === 3L) // 10 + 10 + 5
+  }
+
   test("reduceShards controls shuffle partitioning") {
     val input = spark.createDataset(1L to 100L)
     val spec = MapReduceSpecification[Long, Long, Long, (Long, Long)](
