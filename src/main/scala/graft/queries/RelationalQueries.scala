@@ -67,6 +67,13 @@ object RelationalQueries {
         sum(round(col("value") * 100).cast("long")).as("total_cents"))
   }
 
+  // NamespaceInputReader analogue (input_readers.py:1929-2019): metadata
+  // namespace enumeration == distinct over the name column.
+  val scanNamespaces = sql("scan_namespaces",
+    "SELECT DISTINCT n_name FROM nation") { (s, d) =>
+    Tables.nation(s, d).select(col("n_name")).distinct()
+  }
+
   // ConsecutiveLongInput analogue (inputs/ConsecutiveLongInput.java).
   val rangeInputSum = sql("range_input_sum",
     """SELECT CAST(sum(range) AS BIGINT) AS s, count(*) AS n
@@ -322,6 +329,21 @@ object RelationalQueries {
         lag(round(col("value") * 100).cast("long"), 1).over(w).as("prev_cents"))
   }
 
+  // rank/dense_rank: tie-sharing ranks are permutation-invariant, so the
+  // output multiset is deterministic without a total-order tiebreak.
+  val windowRank = sql("window_rank",
+    """SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+       rank() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)) AS rnk,
+       dense_rank() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)) AS drnk
+       FROM lineitem""") { (s, d) =>
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").cast("long"))
+    Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("qty"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"))
+  }
+
   // ---- §2.7 sort / top-k ----------------------------------------------
 
   // TakeOrderedAndProject: no global sort materialized, per-partition
@@ -445,6 +467,16 @@ object RelationalQueries {
       .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
   }
 
+  // Typed JSON parsing (from_json — the Jackson marshaller surface,
+  // Marshallers.java:212-262) checked against DuckDB's JSON extension.
+  val scalarJsonTyped = sql("scalar_json_typed",
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events""") { (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      expr("from_json(props, 'k BIGINT').k").as("k"))
+  }
+
   // Hash functions (reference murmur3/crc32, §2.9): md5/sha2 are the
   // portable pair both engines implement identically.
   val scalarHash = sql("scalar_hash",
@@ -457,12 +489,13 @@ object RelationalQueries {
 
   val all: Seq[QueryDef] = Seq(
     scanFullCount, scanFilterRange, scanKeysOnly, scanLogWindow,
-    rangeInputSum, unionConcat,
+    scanNamespaces, rangeInputSum, unionConcat,
     filterConj, projectScalar, having,
     aggQ1, aggRollup, aggApproxDistinct, distinctKeys, distinctCount,
     joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinOuter,
-    windowRowNumber, windowRunning, windowLag,
+    windowRowNumber, windowRunning, windowLag, windowRank,
     topK, globalSort,
     setIntersect, setExcept, unionDistinct,
-    scalarString, scalarDate, scalarMath, scalarJson, scalarHash)
+    scalarString, scalarDate, scalarMath, scalarJson, scalarJsonTyped,
+    scalarHash)
 }
