@@ -149,16 +149,19 @@ object DataPipelineQueries {
     // sizes) — persist to compute the explode+distinct once
     val sh = shingles(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hs = sh
-      .select(col("doc_id"), col("s"),
-        explode(lit((0 until 12).toArray)).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("s")))).as("mh"))
-    val bands = hs.withColumn("band", (col("i") / 3).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(expr(
-        "md5(array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '|'))")
-        .as("sig"))
+    // all 12 minhashes in ONE aggregation pass (12 min() columns): no
+    // 12× row explosion, no (doc, i) shuffle, no collect_list/sort
+    // band assembly — the same signatures, one hash aggregate
+    val mhCols = (0 until 12).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      md5(concat_ws("|", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
+        col(s"mh${3 * b + 2}"))).as(s"sig$b")
+    }
+    val bands = sigs.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id",
+        "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
     val ba = bands.toDF("d1", "band", "sig")
     val bb = bands.toDF("d2", "band2", "sig2")
     val cand = ba.join(bb,
