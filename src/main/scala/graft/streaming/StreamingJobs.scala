@@ -49,6 +49,29 @@ object StreamingJobs {
         col("event_type"), col("cnt"), col("total_cents"))
   }
 
+  /** Watermarked variant for unbounded use: bounds window state to
+    * `delay` of event-time lateness (append mode — only finalized
+    * windows emit, which is what a downstream sink wants; the
+    * complete-mode variant above is the bounded-replay form the oracle
+    * checks). */
+  def windowedEventCountsWatermarked(spark: SparkSession, sfDir: String,
+      delay: String = "2 hours"): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"))
+    val qname = "graft_stream_events_wm"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    val q = agg.writeStream
+      .outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(qname)
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("cnt"), col("total_cents"))
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ms: Long, cents: Long)
   case class SessionOut(user_id: Long, session_no: Long,
       session_start_ms: Long, n_events: Long, total_cents: Long)

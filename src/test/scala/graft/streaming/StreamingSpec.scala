@@ -27,6 +27,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(aligned === 0)
   }
 
+  test("watermarked append-mode windows are a subset of the complete result") {
+    val complete = StreamingJobs.windowedEventCounts(spark, d)
+      .collect().map(_.toSeq).toSet
+    val appended = StreamingJobs.windowedEventCountsWatermarked(spark, d)
+      .collect().map(_.toSeq).toSet
+    // append emits only windows closed by the watermark — never extra rows,
+    // and every emitted row must equal its complete-mode counterpart
+    assert(appended.subsetOf(complete))
+  }
+
+  test("GraftExtensions descriptors build working expressions and apply cleanly") {
+    // extension-builder path: apply to a fresh SparkSessionExtensions
+    new graft.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    // and the injected builder constructs an evaluable expression
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val (_, _, builder) = graft.GraftExtensions.functions.head
+    val arr = Literal.create(ArrayData.toArrayData(Array(1.0f, 0.0f)),
+      ArrayType(FloatType))
+    val e = builder(Seq(arr, arr))
+    assert(e.eval(null).asInstanceOf[Double] === 1.0)
+    intercept[IllegalArgumentException] { builder(Seq(arr)) }
+    // same function via the per-session registry path evaluates in SQL
+    graft.functions.VectorExpressions.register(spark)
+    assert(spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT)))").collect()(0).getDouble(0) === 1.0)
+  }
+
   test("custom cosine expression agrees with interpreted HOF arithmetic") {
     graft.functions.VectorExpressions.register(spark)
     val e = spark.read.parquet(s"$d/embeddings.parquet").limit(50)
