@@ -434,6 +434,43 @@ object DataPipelineQueries {
               i -> md5(substring(text, i, 5))))""").as("fp"))
   }
 
+  /** TF-IDF-style top-3 terms per document. idf is the *rational* form
+    * N/df rather than ln(N/df): transcendental libm functions differ
+    * between engines by ulps (measured — ln broke bit-exact comparison),
+    * while division and multiplication over identical integer operands
+    * are IEEE-exact. The raw double scores and the top-3 ordering (term
+    * tiebreak) then hash-match with no rounding at all. */
+  val textTfidf = sql("text_tfidf",
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+           x -> x <> '')) AS w
+         FROM documents),
+       tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+       df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+       n AS (SELECT count(*) AS n FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.w AS term,
+           tf.tf * (CAST(n.n AS DOUBLE) / df.df) AS score
+         FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+       SELECT doc_id, term, score FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+         FROM scored) t WHERE rn <= 3""") { (s, d) =>
+    val tok = docsWithTokens(s, d)
+      .select(col("doc_id"), explode(col("w")).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      .withColumnRenamed("w", "w2")
+    val n = Tables.documents(s, d).count()
+    val scored = tf.join(df, col("w") === col("w2"))
+      .select(col("doc_id"), col("w").as("term"),
+        (col("tf") * (lit(n.toDouble) / col("df"))).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("score"))
+  }
+
   /** Multimodal column plumbing: treat content as opaque bytes with typed
     * metadata; "decode" is a deterministic stand-in (byte length, sha256,
     * fake width/height) — the real decode would run in
@@ -455,6 +492,6 @@ object DataPipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupMinhashLsh,
     dedupSimhash, annCosineTop1, annBucketedTop1,
-    textLangid, textQuality, textTokenCount, textFingerprint,
+    textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
     multimodalFeatures)
 }

@@ -273,6 +273,40 @@ object RelationalQueries {
       .limit(10)
   }
 
+  // TPC-H Q5 shape: 6-table snowflake join (fact + 5 dims) with local
+  // supplier constraint. At scale: lineitem is the only large input —
+  // every dimension broadcasts, so the plan is a broadcast-join chain
+  // with a single fact-side scan and one aggregation shuffle.
+  val joinQ5 = sql("join_q5",
+    """SELECT n_name, count(*) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1999-01-01'
+       GROUP BY n_name""") { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast(Dec) *
+          (lit(1).cast(Dec) - col("l_discount").cast(Dec)))
+          .cast("double").as("revenue"))
+  }
+
   // LEFT OUTER with empty-side groups preserved.
   val joinOuter = sql("join_outer",
     """SELECT n_name, count(c_custkey) AS n_customers
@@ -492,7 +526,7 @@ object RelationalQueries {
     scanNamespaces, rangeInputSum, unionConcat,
     filterConj, projectScalar, having,
     aggQ1, aggRollup, aggApproxDistinct, distinctKeys, distinctCount,
-    joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinOuter,
+    joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinQ5, joinOuter,
     windowRowNumber, windowRunning, windowLag, windowRank,
     topK, globalSort,
     setIntersect, setExcept, unionDistinct,
