@@ -456,15 +456,19 @@ object DataPipelineQueries {
          SELECT *, row_number() OVER (
            PARTITION BY doc_id ORDER BY score DESC, term) AS rn
          FROM scored) t WHERE rn <= 3""") { (s, d) =>
+    // token relation feeds both the tf and df branches — persist so the
+    // explode+tokenize runs once; N stays lazy via a cross-joined
+    // single-row aggregate (mirrors the oracle's CROSS JOIN n)
     val tok = docsWithTokens(s, d)
       .select(col("doc_id"), explode(col("w")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
       .withColumnRenamed("w", "w2")
-    val n = Tables.documents(s, d).count()
-    val scored = tf.join(df, col("w") === col("w2"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(df, col("w") === col("w2")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("w").as("term"),
-        (col("tf") * (lit(n.toDouble) / col("df"))).as("score"))
+        (col("tf") * (col("n") / col("df"))).as("score"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)

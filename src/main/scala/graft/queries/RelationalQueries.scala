@@ -274,9 +274,10 @@ object RelationalQueries {
   }
 
   // TPC-H Q5 shape: 6-table snowflake join (fact + 5 dims) with local
-  // supplier constraint. At scale: lineitem is the only large input —
-  // every dimension broadcasts, so the plan is a broadcast-join chain
-  // with a single fact-side scan and one aggregation shuffle.
+  // supplier constraint. At scale: supplier/nation/region broadcast
+  // (explicit hints); customer⋈orders and the join to lineitem are
+  // shuffle equi-joins on their keys — customer and orders grow with SF
+  // and are not broadcastable, so those two exchanges are inherent.
   val joinQ5 = sql("join_q5",
     """SELECT n_name, count(*) AS cnt,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
