@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Fault-injection check (SURVEY.md §5(f) — the RougeMapper analogue,
+  * reference EndToEndTest.java:400-697): a mapper whose first attempt on
+  * every partition throws, run under `local[4,3]` so Spark's task retry
+  * (the reference's slice/shard retry taxonomy) re-executes it.
+  *
+  * Asserts the semantics the reference encodes:
+  *  - OUTPUT is exactly-once: retried tasks replace, never duplicate
+  *    (Spark lineage + task commit = the reference's idempotent slice
+  *    re-enqueue with deterministic task names);
+  *  - COUNTERS are exactly-once under task FAILURE: accumulator updates
+  *    from failed attempts are discarded (matching the reference's
+  *    per-shard aggregation). The at-least-once caveat documented in
+  *    mr.Counters applies to lineage RECOMPUTE: a second action over an
+  *    uncached transformation re-runs it and counts again.
+  *
+  * Runs as its own main because the retry-enabled master must be set at
+  * SparkContext creation — it cannot share the test suite's session.
+  */
+object RetryCheck {
+  // per-JVM attempt tracker: first attempt of each partition fails
+  val attempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4, 3]") // 4 threads, 3 task failures tolerated
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val counters = new graft.mr.Counters(spark)
+    val processed = counters.counter("records-processed")
+
+    val ds = spark.range(0, 1000, 1, 4).as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val n = attempts.computeIfAbsent(pid, _ => new AtomicInteger(0))
+          .incrementAndGet()
+        it.map { x =>
+          processed.add(1L)
+          if (n == 1 && x % 250 == 249) // fail late in the first attempt,
+            throw new RuntimeException(s"injected failure, partition $pid")
+          x * 2
+        }
+      }
+
+    val out = ds.collect()
+    val ok1 = out.length == 1000 && out.toSet == (0L until 1000L).map(_ * 2).toSet
+    // every partition ran twice (1 failed + 1 successful attempt)
+    val ok2 = attempts.size == 4 &&
+      attempts.values.stream.allMatch(a => a.get == 2)
+    // failed-attempt updates were discarded: exactly 1000 despite retries
+    val exactUnderFailure = counters.value("records-processed") == 1000L
+    // a second action recomputes the uncached lineage → counts again
+    ds.count()
+    val overOnRecompute = counters.value("records-processed") == 2000L
+
+    println(s"[retry-check] exactly-once-output=$ok1 " +
+      s"all-partitions-retried=$ok2 " +
+      s"counters-exact-under-failure=$exactUnderFailure " +
+      s"counters-overcount-on-recompute=$overOnRecompute " +
+      s"final-counter=${counters.value("records-processed")}")
+    spark.stop()
+    if (!(ok1 && ok2 && exactUnderFailure && overOnRecompute)) sys.exit(1)
+  }
+}

@@ -88,8 +88,12 @@ class IdentityReducer[K, V] extends Reducer[K, V, (K, V)] {
 
 /** Named monotonic job counters (reference CountersMap,
   * python/src/mapreduce/model.py:228-334; CounterNames.java:19-74).
-  * Backed by LongAccumulators — at-least-once under task retry, which we
-  * document (SURVEY.md §7.4) rather than hide.
+  * Backed by LongAccumulators. Semantics (demonstrated by
+  * graft.RetryCheck): exactly-once under task FAILURE+retry — updates
+  * from failed attempts are discarded, matching the reference's
+  * per-shard aggregation — but at-least-once under lineage RECOMPUTE
+  * (a second action over an uncached transformation counts again).
+  * Read counters after one action, or cache the dataset.
   */
 class Counters(spark: SparkSession) extends Serializable {
   private val accs = mutable.Map.empty[String, LongAccumulator]
