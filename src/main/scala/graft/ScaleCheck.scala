@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up probe: replicates the bench inputs N× (keys shifted so join
+  * semantics are preserved) and times the scale-sensitive operators.
+  * This is the local stand-in for the 100× question the design targets:
+  * which operators grow linearly (scans, aggs, joins, LSH candidate
+  * generation) and which are inherently quadratic (exhaustive pair
+  * verification, brute-force kNN) — the numbers land in BENCH_NOTES.md.
+  *
+  * Replication multiplies near-dup density too (every doc gains N-1
+  * exact clones), which stresses LSH candidate explosion — a worst case
+  * for dedup at scale, not a best case.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.core.Tables
+
+    val shift = 1000000000L
+    def rep(df: DataFrame, keyCols: Seq[String]): DataFrame =
+      (0 until copies).map { i =>
+        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + i * shift))
+      }.reduce(_ union _)
+
+    val li = rep(Tables.lineitem(spark, sfDir), Seq("l_orderkey"))
+    val o = rep(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"))
+    val c = rep(Tables.customer(spark, sfDir), Seq("c_custkey"))
+    val docs = rep(Tables.documents(spark, sfDir), Seq("doc_id"))
+    val emb = rep(Tables.embeddings(spark, sfDir), Seq("vec_id"))
+    li.count(); o.count() // warmup
+
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      times(name) = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale] $name%-22s ${times(name)}%8.2f s rows=$rows")
+    }
+
+    time("agg_q1") {
+      li.filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("sq"),
+          count(lit(1)).as("n")).count()
+    }
+    time("join_3way_topk") {
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).as("rev"))
+        .orderBy(col("rev").desc, col("o_orderkey")).limit(10).count()
+    }
+    time("wordcount") {
+      docs.select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1))).count()
+    }
+    // LSH candidate generation + verify (the dedup scale path)
+    time("minhash_lsh") {
+      val sh = docs
+        .withColumn("w", expr("filter(split(text, ' '), x -> x != '')"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, size(w) - 3)")).as("i"))
+        .select(col("doc_id"),
+          expr("concat_ws(' ', w[i], w[i+1], w[i+2])").as("s"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mhCols = (0 until 12).map(i =>
+        min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+      val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+      val bandCols = (0 until 4).map { b =>
+        md5(concat_ws("|", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
+          col(s"mh${3 * b + 2}"))).as(s"sig$b")
+      }
+      val bands = sigs.select(col("doc_id") +: bandCols: _*)
+        .selectExpr("doc_id",
+          "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
+      val n = bands.toDF("d1", "band", "sig")
+        .join(bands.toDF("d2", "band2", "sig2"),
+          col("band") === col("band2") && col("sig") === col("sig2")
+            && col("d1") < col("d2"))
+        .select("d1", "d2").distinct().count()
+      sh.unpersist()
+      n
+    }
+    time("ann_bucketed") {
+      graft.functions.VectorExpressions.register(spark)
+      val e = emb.withColumn("bucket", expr(
+        """concat_ws('', transform(slice(embedding, 1, 6),
+           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"""))
+      val a = e.select(col("vec_id"), col("bucket"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("v2"), col("bucket").as("b2"),
+        col("embedding").as("eb"))
+      a.join(b, col("bucket") === col("b2") && col("vec_id") =!= col("v2"))
+        .withColumn("cs", expr("cosine_sim(ea, eb)"))
+        .groupBy(col("vec_id")).agg(max(col("cs"))).count()
+    }
+
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_check","copies":$copies,"unit":"sec","ops":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
