@@ -84,4 +84,17 @@ object Outputs {
     * the HashingSharder fan-out analogue (MapReduceJob.java:138-143). */
   def hashSharded(df: DataFrame, path: String, shards: Int, keyCol: String): Unit =
     df.repartition(shards, df(keyCol)).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Save as a bucketed (+ optionally sorted) catalog table: the storage
+    * form of the reference's hash-sharded intermediate files
+    * (FilesByShard), but queryable — two tables bucketed on the same key
+    * with the same bucket count join with NO exchange on either side
+    * (asserted in OutputsSpec). At 100 TB this is how repeated joins on
+    * a fact key amortize their shuffle to write time. */
+  def bucketTable(df: DataFrame, table: String, buckets: Int,
+      keyCol: String, sorted: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keyCol)
+    (if (sorted) w.sortBy(keyCol) else w).saveAsTable(table)
+  }
 }

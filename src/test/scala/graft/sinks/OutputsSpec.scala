@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import java.nio.file.Files
 import graft.TestSpark
 
@@ -60,6 +61,27 @@ class OutputsSpec extends AnyFunSuite {
     assert(files >= 1 && files <= 4)
     assert(spark.read.parquet(dir).count() === 100)
     assert(df.repartition(4, df("k")).rdd.getNumPartitions === 4)
+  }
+
+  test("bucketed tables join with no exchange on either side") {
+    val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+    val o = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+    Outputs.bucketTable(li, "li_bucketed", buckets = 4, keyCol = "l_orderkey")
+    Outputs.bucketTable(o, "o_bucketed", buckets = 4, keyCol = "o_orderkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bucketed").join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        "bucketed join must not shuffle either side:\n" + plan.take(800))
+      assert(j.count() === li.count()) // every lineitem matches its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
   }
 
   test("inMemory collects and parquet round-trips") {
