@@ -502,6 +502,69 @@ object RelationalQueries {
       .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
   }
 
+  val scalarString2 = sql("scalar_string2",
+    """SELECT p_partkey,
+       trim(concat('  ', p_brand, '  ')) AS trimmed,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+       reverse(p_brand) AS rev,
+       repeat(left(p_type, 2), 2) AS rep2,
+       right(p_name, 3) AS tail3,
+       CAST(strpos(p_type, 'E') AS INT) AS pos_e,
+       translate(p_brand, 'AB', 'xy') AS tr,
+       CASE WHEN regexp_matches(p_type, '^PROMO') THEN 1 ELSE 0 END AS is_promo
+       FROM part""") { (s, d) =>
+    Tables.part(s, d).select(col("p_partkey"),
+      trim(concat(lit("  "), col("p_brand"), lit("  "))).as("trimmed"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+      reverse(col("p_brand")).as("rev"),
+      repeat(substring(col("p_type"), 1, 2), 2).as("rep2"),
+      substring(col("p_name"), -3, 3).as("tail3"),
+      instr(col("p_type"), "E").cast("int").as("pos_e"),
+      translate(col("p_brand"), "AB", "xy").as("tr"),
+      when(col("p_type").rlike("^PROMO"), 1).otherwise(0).as("is_promo"))
+  }
+
+  val scalarDate2 = sql("scalar_date2",
+    """SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+       CAST(date_diff('day', TIMESTAMP '1996-01-01', o_orderdate) AS INT) AS days_since,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow,
+       CAST(quarter(o_orderdate) AS INT) AS q
+       FROM orders""") { (s, d) =>
+    Tables.orders(s, d).select(col("o_orderkey"),
+      date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").as("plus30"),
+      datediff(col("o_orderdate"), lit("1996-01-01").cast("date")).as("days_since"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+      // DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+      (dayofweek(col("o_orderdate")) - 1).as("dow"),
+      quarter(col("o_orderdate")).as("q"))
+  }
+
+  // NULL-handling semantics over outer-join nulls.
+  val nullHandling = sql("null_handling",
+    """SELECT c_custkey,
+       coalesce(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total,
+       count(o_orderkey) AS n_orders,
+       CASE WHEN count(o_orderkey) = 0 THEN 'none'
+            WHEN count(o_orderkey) < 12 THEN 'few' ELSE 'many' END AS bucket,
+       nullif(count(o_orderkey), 0) AS n_or_null
+       FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       GROUP BY c_custkey""") { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        coalesce(sum(col("o_totalprice").cast(Dec)).cast("double"), lit(0.0)).as("total"),
+        count(col("o_orderkey")).as("n_orders"))
+      .select(col("c_custkey"), col("total"), col("n_orders"),
+        when(col("n_orders") === 0, "none")
+          .when(col("n_orders") < 12, "few").otherwise("many").as("bucket"),
+        nullif(col("n_orders"), lit(0)).as("n_or_null"))
+  }
+
   // Typed JSON parsing (from_json — the Jackson marshaller surface,
   // Marshallers.java:212-262) checked against DuckDB's JSON extension.
   val scalarJsonTyped = sql("scalar_json_typed",
@@ -531,6 +594,6 @@ object RelationalQueries {
     windowRowNumber, windowRunning, windowLag, windowRank,
     topK, globalSort,
     setIntersect, setExcept, unionDistinct,
-    scalarString, scalarDate, scalarMath, scalarJson, scalarJsonTyped,
-    scalarHash)
+    scalarString, scalarString2, scalarDate, scalarDate2, scalarMath,
+    scalarJson, scalarJsonTyped, scalarHash, nullHandling)
 }
