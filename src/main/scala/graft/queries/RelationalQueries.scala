@@ -183,6 +183,40 @@ object RelationalQueries {
         sum(col("o_totalprice").cast(Dec)).cast("double").as("revenue"))
   }
 
+  // CUBE over two dims (all four grouping combinations).
+  val aggCube = sql("agg_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""") { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  // Exact median (percentile with linear interpolation — both engines
+  // interpolate identically over the same sorted integer values).
+  val aggMedian = sql("agg_median",
+    """SELECT l_returnflag,
+       quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS med_qty,
+       quantile_cont(CAST(l_quantity AS BIGINT), 0.9) AS p90_qty
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(CAST(l_quantity AS BIGINT), 0.5)").as("med_qty"),
+        expr("percentile(CAST(l_quantity AS BIGINT), 0.9)").as("p90_qty"))
+  }
+
+  // Manual pivot via conditional aggregation (engine-portable PIVOT).
+  val aggPivot = sql("agg_pivot",
+    """SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (o_orderstatus = 'P') AS n_p
+       FROM orders GROUP BY o_orderpriority""") { (s, d) =>
+    Tables.orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+  }
+
   // HLL sketch distinct-count (approx_count_distinct): the sketch
   // algorithms differ between engines, so this is a rows-only check; the
   // exact result is pinned by distinct_count above. At 100 TB this is
@@ -575,6 +609,18 @@ object RelationalQueries {
       expr("from_json(props, 'k BIGINT').k").as("k"))
   }
 
+  // Array column access (no arithmetic — raw floats pass through both
+  // engines bit-identically).
+  val scalarArray = sql("scalar_array",
+    """SELECT vec_id, len(embedding) AS dim,
+       embedding[1] AS first_d, embedding[64] AS last_d
+       FROM embeddings""") { (s, d) =>
+    Tables.embeddings(s, d).select(col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).as("first_d"),
+      element_at(col("embedding"), 64).as("last_d"))
+  }
+
   // Hash functions (reference murmur3/crc32, §2.9): md5/sha2 are the
   // portable pair both engines implement identically.
   val scalarHash = sql("scalar_hash",
@@ -589,11 +635,12 @@ object RelationalQueries {
     scanFullCount, scanFilterRange, scanKeysOnly, scanLogWindow,
     scanNamespaces, rangeInputSum, unionConcat,
     filterConj, projectScalar, having,
-    aggQ1, aggRollup, aggApproxDistinct, distinctKeys, distinctCount,
+    aggQ1, aggRollup, aggCube, aggMedian, aggPivot, aggApproxDistinct,
+    distinctKeys, distinctCount,
     joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinQ5, joinOuter,
     windowRowNumber, windowRunning, windowLag, windowRank,
     topK, globalSort,
     setIntersect, setExcept, unionDistinct,
     scalarString, scalarString2, scalarDate, scalarDate2, scalarMath,
-    scalarJson, scalarJsonTyped, scalarHash, nullHandling)
+    scalarJson, scalarJsonTyped, scalarHash, scalarArray, nullHandling)
 }
