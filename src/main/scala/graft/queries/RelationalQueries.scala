@@ -613,12 +613,12 @@ object RelationalQueries {
   // engines bit-identically).
   val scalarArray = sql("scalar_array",
     """SELECT vec_id, len(embedding) AS dim,
-       embedding[1] AS first_d, embedding[64] AS last_d
+       embedding[1] AS first_d, embedding[len(embedding)] AS last_d
        FROM embeddings""") { (s, d) =>
     Tables.embeddings(s, d).select(col("vec_id"),
       size(col("embedding")).as("dim"),
       element_at(col("embedding"), 1).as("first_d"),
-      element_at(col("embedding"), 64).as("last_d"))
+      element_at(col("embedding"), size(col("embedding"))).as("last_d"))
   }
 
   // Hash functions (reference murmur3/crc32, §2.9): md5/sha2 are the
