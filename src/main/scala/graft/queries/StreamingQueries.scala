@@ -61,5 +61,13 @@ object StreamingQueries {
         sum(col("cents")).as("total_cents"))
   }
 
-  val all: Seq[QueryDef] = Seq(streamWindowAgg, sessionize)
+  /** Streaming dedup: the input is replayed twice (union of the same
+    * stream), dropDuplicates restores exactly-once — counts must equal
+    * the single-copy batch aggregation. */
+  val streamDedup = sql("stream_dedup",
+    """SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type""") {
+    (s, d) => StreamingJobs.dedupedEventCounts(s, d)
+  }
+
+  val all: Seq[QueryDef] = Seq(streamWindowAgg, sessionize, streamDedup)
 }

@@ -72,6 +72,27 @@ object StreamingJobs {
         col("event_type"), col("cnt"), col("total_cents"))
   }
 
+  /** Streaming exactly-once ingestion dedup: `dropDuplicates` on the
+    * event key holds seen-key state across micro-batches (with a
+    * watermark the state is bounded by event-time). The batch-equivalent
+    * result is `SELECT DISTINCT ON (event_id)`-style — oracle-checked via
+    * per-type counts in `stream_dedup`. */
+  def dedupedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val doubled = eventsStream(spark, sfDir) // replay the same file twice
+      .union(eventsStream(spark, sfDir))
+    val deduped = doubled
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val qname = "graft_stream_dedup"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    val q = deduped.writeStream
+      .outputMode("complete").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(qname)
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ms: Long, cents: Long)
   case class SessionOut(user_id: Long, session_no: Long,
       session_start_ms: Long, n_events: Long, total_cents: Long)
