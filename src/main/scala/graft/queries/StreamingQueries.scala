@@ -69,5 +69,53 @@ object StreamingQueries {
     (s, d) => StreamingJobs.dedupedEventCounts(s, d)
   }
 
-  val all: Seq[QueryDef] = Seq(streamWindowAgg, sessionize, streamDedup)
+  /** Funnel: per user, signup followed by a purchase within one hour.
+    * Window lead over typed events; millisecond integers keep it exact. */
+  val funnel = sql("funnel",
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000000 AS ms
+         FROM events WHERE event_type IN ('signup', 'purchase')),
+       w AS (
+         SELECT *, lead(event_type) OVER win AS next_type,
+                   lead(ms) OVER win AS next_ms
+         FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ms, event_id))
+       SELECT user_id, count(*) AS conversions
+       FROM w
+       WHERE event_type = 'signup' AND next_type = 'purchase'
+         AND next_ms - ms <= 3600000
+       GROUP BY user_id""") { (s, d) =>
+    val win = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(win))
+      .withColumn("next_ms", lead(col("ms"), 1).over(win))
+      .filter(col("event_type") === "signup" && col("next_type") === "purchase"
+        && col("next_ms") - col("ms") <= 3600000L)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("conversions"))
+  }
+
+  /** Cohort retention: first-seen day per user (the cohort) × activity
+    * day offsets — integer epoch-day arithmetic end to end. */
+  val cohortRetention = sql("cohort_retention",
+    """WITH e AS (
+         SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+       cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+       SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+         count(DISTINCT e.user_id) AS active_users
+       FROM e JOIN cohort c ON e.user_id = c.user_id
+       GROUP BY c.cohort_day, day_offset""") { (s, d) =>
+    val e = Tables.events(s, d)
+      // integer div: float division can round up across a day boundary
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      .withColumnRenamed("user_id", "u2")
+    e.join(cohort, col("user_id") === col("u2"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  val all: Seq[QueryDef] = Seq(streamWindowAgg, sessionize, streamDedup,
+    funnel, cohortRetention)
 }
