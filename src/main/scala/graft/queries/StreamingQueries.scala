@@ -116,6 +116,32 @@ object StreamingQueries {
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
 
+  /** As-of lookup as a query: for each purchase, the user's most recent
+    * strictly-prior click (max over a preceding window frame — order-free
+    * and so deterministic under ties). The general two-table form is
+    * graft.functions.AsOf.joinAsOf. */
+  val asofPriorEvent = sql("asof_prior_event",
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000000 AS ms
+         FROM events)
+       SELECT event_id, prev_click_ms, ms - prev_click_ms AS gap_ms FROM (
+         SELECT *, max(CASE WHEN event_type = 'click' THEN ms END) OVER (
+           PARTITION BY user_id ORDER BY ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ms
+         FROM e) t
+       WHERE event_type = 'purchase' AND prev_click_ms IS NOT NULL""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("prev_click_ms",
+        max(when(col("event_type") === "click", col("ms"))).over(w))
+      .filter(col("event_type") === "purchase" && col("prev_click_ms").isNotNull)
+      .select(col("event_id"), col("prev_click_ms"),
+        (col("ms") - col("prev_click_ms")).as("gap_ms"))
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, sessionize, streamDedup,
-    funnel, cohortRetention)
+    funnel, cohortRetention, asofPriorEvent)
 }
