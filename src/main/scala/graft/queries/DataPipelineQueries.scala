@@ -475,6 +475,53 @@ object DataPipelineQueries {
       .select(col("doc_id"), col("term"), col("score"))
   }
 
+  /** Deterministic content-hash sampling — the reproducible alternative
+    * to rand(): membership depends only on the row key, so the sample is
+    * stable across runs, retries, and engines (md5 is the portable
+    * hash). First hex char '0' ⇒ a 1/16 sample. */
+  val sampleHash = sql("sample_hash",
+    """SELECT event_id, event_type FROM events
+       WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'""") { (s, d) =>
+    Tables.events(s, d)
+      .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+      .select(col("event_id"), col("event_type"))
+  }
+
+  /** Deterministic train/val/test split assignment by hash bucket
+    * (16-way: 0-11 train, 12-13 val, 14-15 test) with per-split counts —
+    * the canonical dataset-split operator, engine-portable. */
+  val sampleSplit = sql("sample_split",
+    """SELECT split, count(*) AS cnt FROM (
+         SELECT CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val'
+           ELSE 'test' END AS split
+         FROM documents) t GROUP BY split""") { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .withColumn("split",
+        when(col("h").between("0", "b"), "train")
+          .when(col("h").isin("c", "d"), "val")
+          .otherwise("test"))
+      .groupBy(col("split")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Deterministic stratified sampling: top-20 rows per event_type in
+    * content-hash order — equal-size per-stratum samples, reproducible
+    * and skew-proof (one window shuffle on the stratum key). */
+  val sampleStratified = sql("sample_stratified",
+    """SELECT event_type, event_id FROM (
+         SELECT event_type, event_id, row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+         FROM events) t WHERE rn <= 20""") { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+      .select(col("event_type"), col("event_id"))
+  }
+
   /** Multimodal column plumbing: treat content as opaque bytes with typed
     * metadata; "decode" is a deterministic stand-in (byte length, sha256,
     * fake width/height) — the real decode would run in
@@ -497,5 +544,6 @@ object DataPipelineQueries {
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupMinhashLsh,
     dedupSimhash, annCosineTop1, annBucketedTop1,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
+    sampleHash, sampleSplit, sampleStratified,
     multimodalFeatures)
 }

@@ -631,7 +631,29 @@ object RelationalQueries {
       sha2(col("p_name"), 256).as("h_sha"))
   }
 
+  /** The pure-SQL interface: registered views + spark.sql — the same
+    * engine surface a SQL-only user gets (TPC-H Q6 shape). */
+  val sqlInterfaceQ6 = sql("sql_interface_q6",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       count(*) AS cnt
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""") { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                     CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         count(*) AS cnt
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""")
+  }
+
   val all: Seq[QueryDef] = Seq(
+    sqlInterfaceQ6,
     scanFullCount, scanFilterRange, scanKeysOnly, scanLogWindow,
     scanNamespaces, rangeInputSum, unionConcat,
     filterConj, projectScalar, having,
