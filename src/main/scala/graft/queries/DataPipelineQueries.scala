@@ -522,6 +522,96 @@ object DataPipelineQueries {
       .select(col("event_type"), col("event_id"))
   }
 
+  /** Embedding-cosine near-duplicate detection: every unordered pair
+    * whose cosine similarity clears the threshold, keep-first oriented
+    * (keep_id < dup_id). Same broadcast scan-the-candidates kernel as
+    * ann_cosine_top1 — each partition streams its vectors against the
+    * broadcast set, no n² shuffle; at 100 TB the candidate pairs come
+    * from the IVF buckets / LSH tiers above and this exact kernel
+    * re-scores only the candidates. */
+  val dedupEmbedding = sql("dedup_embedding",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       p AS (
+         SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosim
+         FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       SELECT keep_id, dup_id, round(cosim, 3) AS sim
+       FROM p WHERE cosim >= 0.5""") { (s, d) =>
+    import s.implicits._
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val all = vecs.collect().sortBy(_._1)
+    val bc = s.sparkContext.broadcast(all)
+    vecs.mapPartitions { it =>
+      val cand = bc.value
+      val norms = cand.map { case (_, v) =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      }
+      it.flatMap { case (id, emb) =>
+        var acc = 0.0; var i = 0
+        while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        val na = math.sqrt(acc)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var j = 0
+        while (j < cand.length) {
+          val (cid, cv) = cand(j)
+          if (cid > id) {
+            var dot = 0.0; var k = 0
+            while (k < cv.length) { dot += emb(k).toDouble * cv(k).toDouble; k += 1 }
+            val sim = dot / (na * norms(j))
+            if (sim >= 0.5) out += ((id, cid, sim))
+          }
+          j += 1
+        }
+        out
+      }
+    }.toDF("keep_id", "dup_id", "cosim")
+      .select(col("keep_id"), col("dup_id"), round(col("cosim"), 3).as("sim"))
+  }
+
+  /** Fuzzy matching: exact nearest other part name by Levenshtein
+    * distance (integer DP — exact in both engines) for a deterministic
+    * 1/97 probe sample. Probes × corpus is linear in |part| (broadcast
+    * nested-loop, no shuffle of the big side), not the quadratic full
+    * self-join; the all-pairs version at scale reuses the LSH candidate
+    * machinery above — this is the exact verification kernel. */
+  val textEditDistance = sql("text_editdist",
+    """SELECT p_partkey, neighbor, dist FROM (
+         SELECT a.p_partkey, b.p_name AS neighbor,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           row_number() OVER (PARTITION BY a.p_partkey
+             ORDER BY levenshtein(a.p_name, b.p_name), b.p_name) AS rn
+         FROM part a JOIN part b ON a.p_partkey <> b.p_partkey
+         WHERE a.p_partkey % 97 = 0) t
+       WHERE rn = 1""") { (s, d) =>
+    val a = Tables.part(s, d)
+      .filter(col("p_partkey") % 97 === 0)
+      .select(col("p_partkey"), col("p_name"))
+    // the corpus side of the broadcast nested-loop join is a single
+    // parquet split at small SF — spread it so the O(probes × corpus)
+    // levenshtein projection parallelizes across all cores
+    val b = Tables.part(s, d).select(
+        col("p_partkey").as("pk2"), col("p_name").as("p_name2"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("dist"), col("p_name2"))
+    broadcast(a).join(b, col("p_partkey") =!= col("pk2"))
+      .withColumn("dist", levenshtein(col("p_name"), col("p_name2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_partkey"), col("p_name2").as("neighbor"), col("dist"))
+  }
+
   /** Multimodal column plumbing: treat content as opaque bytes with typed
     * metadata; "decode" is a deterministic stand-in (byte length, sha256,
     * fake width/height) — the real decode would run in
@@ -542,8 +632,8 @@ object DataPipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupMinhashLsh,
-    dedupSimhash, annCosineTop1, annBucketedTop1,
+    dedupSimhash, dedupEmbedding, annCosineTop1, annBucketedTop1,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
-    sampleHash, sampleSplit, sampleStratified,
+    sampleHash, sampleSplit, sampleStratified, textEditDistance,
     multimodalFeatures)
 }

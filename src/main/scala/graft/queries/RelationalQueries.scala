@@ -192,6 +192,21 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  // GROUPING SETS with disjoint sets — not expressible as cube/rollup;
+  // Spark 4's Dataset.groupingSets API (one shuffle, Expand-based).
+  val aggGroupingSets = sql("agg_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("revenue"))
+  }
+
   // Exact median (percentile with linear interpolation — both engines
   // interpolate identically over the same sorted integer values).
   val aggMedian = sql("agg_median",
@@ -354,6 +369,27 @@ object RelationalQueries {
       .agg(count(col("c_custkey")).as("n_customers"))
   }
 
+  // Range join: equi key + band predicate (lineitems shipped within 90
+  // days of their order). Spark keeps the equi part as the shuffle key
+  // (sort-merge/shuffled-hash) and evaluates the band as a residual —
+  // no cartesian blow-up, same plan shape at 100 TB.
+  val joinRange = sql("join_range",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+       GROUP BY 1""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
   // ---- §2.6 windows ----------------------------------------------------
 
   val windowRowNumber = sql("window_rownum",
@@ -413,6 +449,29 @@ object RelationalQueries {
       dense_rank().over(w).as("drnk"))
   }
 
+  // ntile quartiles within each priority, summarized per bucket; the
+  // window ORDER BY carries a unique tiebreak (o_orderkey) so bucket
+  // membership — hence min/max boundaries — is deterministic.
+  val windowNtile = sql("window_ntile",
+    """SELECT o_orderpriority, q, count(*) AS cnt,
+       CAST(CAST(min(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS lo,
+       CAST(CAST(max(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS hi
+       FROM (SELECT o_orderpriority, o_totalprice, ntile(4) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS q
+             FROM orders) t
+       GROUP BY o_orderpriority, q""") { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("q"))
+      .groupBy(col("o_orderpriority"), col("q"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_totalprice")).cast(Dec).cast("double").as("lo"),
+        max(col("o_totalprice")).cast(Dec).cast("double").as("hi"))
+  }
+
   // ---- §2.7 sort / top-k ----------------------------------------------
 
   // TakeOrderedAndProject: no global sort materialized, per-partition
@@ -463,6 +522,27 @@ object RelationalQueries {
        SELECT o_custkey FROM orders
        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""") {
     (s, d) => custkeysOfYear(s, d, 1996).except(custkeysOfYear(s, d, 1997))
+  }
+
+  // Bag-semantics set ops: duplicates survive by multiplicity (the
+  // multiset difference a reducer-based EXCEPT can't express without
+  // counting). Spark plans these as aggregate-on-count + generate.
+  val setIntersectAll = sql("set_intersect_all",
+    """SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       INTERSECT ALL
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""") {
+    (s, d) => custkeysOfYear(s, d, 1996).intersectAll(custkeysOfYear(s, d, 1997))
+  }
+
+  val setExceptAll = sql("set_except_all",
+    """SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       EXCEPT ALL
+       SELECT o_custkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""") {
+    (s, d) => custkeysOfYear(s, d, 1996).exceptAll(custkeysOfYear(s, d, 1997))
   }
 
   val unionDistinct = sql("union_distinct",
@@ -657,12 +737,13 @@ object RelationalQueries {
     scanFullCount, scanFilterRange, scanKeysOnly, scanLogWindow,
     scanNamespaces, rangeInputSum, unionConcat,
     filterConj, projectScalar, having,
-    aggQ1, aggRollup, aggCube, aggMedian, aggPivot, aggApproxDistinct,
-    distinctKeys, distinctCount,
+    aggQ1, aggRollup, aggCube, aggGroupingSets, aggMedian, aggPivot,
+    aggApproxDistinct, distinctKeys, distinctCount,
     joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinQ5, joinOuter,
-    windowRowNumber, windowRunning, windowLag, windowRank,
+    joinRange,
+    windowRowNumber, windowRunning, windowLag, windowRank, windowNtile,
     topK, globalSort,
-    setIntersect, setExcept, unionDistinct,
+    setIntersect, setExcept, setIntersectAll, setExceptAll, unionDistinct,
     scalarString, scalarString2, scalarDate, scalarDate2, scalarMath,
     scalarJson, scalarJsonTyped, scalarHash, scalarArray, nullHandling)
 }

@@ -85,4 +85,25 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
       "one shuffle for the window partition, no extra exchanges")
   }
+
+  test("join_range keeps the equi key as join key; band is residual") {
+    val p = plan("join_range")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "equi+band join must not degrade to a nested-loop/cartesian")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text_editdist broadcasts the probe sample over the corpus") {
+    val p = plan("text_editdist")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "tiny probe side must broadcast; corpus side streams")
+  }
+
+  test("agg_grouping_sets expands once and aggregates partial/final") {
+    val p = plan("agg_grouping_sets")
+    assert(p.contains("Expand"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
 }
