@@ -17,6 +17,20 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamingJobs {
 
+  /** Each stateful operator allocates one state store per
+    * `spark.sql.shuffle.partitions` at query start (the count is pinned
+    * into the checkpoint), and store setup/commit dominates a bounded
+    * replay whose state is tiny. Run the bounded checks with a few
+    * stores; an unbounded production job sizes this to its key
+    * cardinality and cluster instead. */
+  private def withStreamShufflePartitions[T](spark: SparkSession, n: Int)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Read events as a stream, handling the TIMESTAMP(NANOS) column the
     * same way Tables.events does (nanos→µs floor). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -40,10 +54,12 @@ object StreamingJobs {
         sum(round(col("value") * 100).cast("long")).as("total_cents"))
     val qname = "graft_stream_events"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
-    val q = agg.writeStream
-      .outputMode("complete").format("memory").queryName(qname)
-      .trigger(Trigger.AvailableNow()).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStreamShufflePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     spark.table(qname)
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("cnt"), col("total_cents"))
@@ -63,10 +79,12 @@ object StreamingJobs {
         sum(round(col("value") * 100).cast("long")).as("total_cents"))
     val qname = "graft_stream_events_wm"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
-    val q = agg.writeStream
-      .outputMode("append").format("memory").queryName(qname)
-      .trigger(Trigger.AvailableNow()).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStreamShufflePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("append").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     spark.table(qname)
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("cnt"), col("total_cents"))
@@ -86,10 +104,46 @@ object StreamingJobs {
       .agg(count(lit(1)).as("cnt"))
     val qname = "graft_stream_dedup"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
-    val q = deduped.writeStream
-      .outputMode("complete").format("memory").queryName(qname)
-      .trigger(Trigger.AvailableNow()).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStreamShufflePartitions(spark, 8) {
+      val q = deduped.writeStream
+        .outputMode("complete").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    spark.table(qname)
+  }
+
+  /** Stream-stream inner join with an event-time range condition:
+    * purchases matched to the same user's signup within the following
+    * hour. Both sides carry watermarks and the join condition bounds
+    * their event-time distance, so each side's join state is evictable
+    * (watermark + range ⇒ Spark drops buffered rows that can no longer
+    * match) — the requirement for running this unbounded. */
+  def signupPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val signups = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_event"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "2 hours")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user")
+        && col("p_ts") >= col("s_ts")
+        && col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("s_user").as("user_id"), col("signup_event"),
+        col("purchase_event"))
+    val qname = "graft_stream_join"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    withStreamShufflePartitions(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     spark.table(qname)
   }
 
@@ -141,13 +195,15 @@ object StreamingJobs {
 
     val qname = "graft_stream_sessions"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
-    val q = events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
-      .toDF()
-      .writeStream.outputMode("append").format("memory").queryName(qname)
-      .trigger(Trigger.AvailableNow()).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStreamShufflePartitions(spark, 8) {
+      val q = events.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(fn)
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     spark.table(qname)
   }
 }

@@ -37,6 +37,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(appended.subsetOf(complete))
   }
 
+  test("stream-stream join matches the batch join on the same condition") {
+    val streamed = StreamingJobs.signupPurchaseJoin(spark, d)
+      .collect().map(_.toSeq).toSet
+    val ev = graft.core.Tables.events(spark, d)
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_event"),
+        col("ts").as("s_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event"),
+        col("ts").as("p_ts"))
+    val batch = s.join(p,
+        col("s_user") === col("p_user")
+          && col("p_ts") >= col("s_ts")
+          && col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("s_user").as("user_id"), col("signup_event"),
+        col("purchase_event"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "testdata must exercise the join")
+  }
+
   test("GraftExtensions descriptors build working expressions and apply cleanly") {
     // extension-builder path: apply to a fresh SparkSessionExtensions
     new graft.GraftExtensions().apply(
