@@ -207,6 +207,49 @@ object RelationalQueries {
         sum(col("o_totalprice").cast(Dec)).cast("double").as("revenue"))
   }
 
+  // Variance / stddev / correlation from exact integer moments
+  // (n, Σx, Σx², Σy, Σy², Σxy) — one partial-aggregatable pass, and
+  // engine-portable where built-in var_samp/corr are not (their
+  // partition-order-dependent double accumulation differs between
+  // engines; integer moments are exact, and the final single division /
+  // sqrt over identical exact operands is bit-deterministic). Moments
+  // fit BIGINT here (|x|≤50, |y|≤10, n≤~1M per group); a 100 TB run
+  // widens them to DECIMAL(38,0).
+  val aggStats = sql("agg_stats",
+    """WITH m AS (
+         SELECT l_returnflag, count(*) AS n,
+           CAST(SUM(q) AS BIGINT) AS sx, CAST(SUM(q*q) AS BIGINT) AS sxx,
+           CAST(SUM(dc) AS BIGINT) AS sy, CAST(SUM(dc*dc) AS BIGINT) AS syy,
+           CAST(SUM(q*dc) AS BIGINT) AS sxy
+         FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                 CAST(round(l_discount * 100) AS BIGINT) AS dc
+               FROM lineitem) t
+         GROUP BY l_returnflag)
+       SELECT l_returnflag, n,
+         CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS var_qty,
+         sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS std_qty,
+         CAST(n*sxy - sx*sy AS DOUBLE)
+           / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_disc
+       FROM m""") { (s, d) =>
+    val m = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_discount") * 100).cast("long").as("dc"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("sx"), sum(col("q") * col("q")).as("sxx"),
+        sum(col("dc")).as("sy"), sum(col("dc") * col("dc")).as("syy"),
+        sum(col("q") * col("dc")).as("sxy"))
+    val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("l_returnflag"), col("n"),
+      (dxx / (col("n") * (col("n") - 1)).cast("double")).as("var_qty"),
+      sqrt(dxx / (col("n") * (col("n") - 1)).cast("double")).as("std_qty"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (sqrt(dxx) * sqrt(dyy))).as("corr_qty_disc"))
+  }
+
   // Exact median (percentile with linear interpolation — both engines
   // interpolate identically over the same sorted integer values).
   val aggMedian = sql("agg_median",
@@ -738,7 +781,7 @@ object RelationalQueries {
     scanNamespaces, rangeInputSum, unionConcat,
     filterConj, projectScalar, having,
     aggQ1, aggRollup, aggCube, aggGroupingSets, aggMedian, aggPivot,
-    aggApproxDistinct, distinctKeys, distinctCount,
+    aggStats, aggApproxDistinct, distinctKeys, distinctCount,
     joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinQ5, joinOuter,
     joinRange,
     windowRowNumber, windowRunning, windowLag, windowRank, windowNtile,
