@@ -65,6 +65,57 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a video record — the row-explosion (UDTF)
+    * shape of media processing. */
+  case class FrameRecord(id: Long, frameIdx: Int, content: Array[Byte])
+
+  /** STUB resize — deterministic byte-stride downsample standing in for
+    * a real scaler: keeps every k-th byte where k is the integer scale
+    * factor to the target box. Real plumbing, fake pixels. */
+  def resizeStub(content: Array[Byte], w: Int, h: Int,
+      targetW: Int, targetH: Int): Array[Byte] = {
+    val stride = math.max(1, math.max(
+      w / math.max(targetW, 1), h / math.max(targetH, 1)))
+    if (stride == 1) content
+    else content.indices.collect {
+      case i if i % stride == 0 => content(i)
+    }.toArray
+  }
+
+  /** Resize every record to fit a target box: streams through
+    * mapPartitions (per-partition codec init), content replaced by the
+    * resized bytes, metadata updated to the target dimensions. */
+  def resize(ds: Dataset[MediaRecord], targetW: Int,
+      targetH: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, _) = decodeStub(r.content)
+        r.copy(content = resizeStub(r.content, w, h, targetW, targetH),
+          declaredWidth = targetW, declaredHeight = targetH)
+      }
+    }
+  }
+
+  /** Sample every `everyN`-th frame of each record — one output row per
+    * sampled frame (flatMap: rows multiply, the generator/UDTF shape).
+    * Frame bytes are a deterministic slice stub; frame count comes from
+    * the (stub) decode. */
+  def sampleFrames(ds: Dataset[MediaRecord],
+      everyN: Int): Dataset[FrameRecord] = {
+    import ds.sparkSession.implicits._
+    require(everyN >= 1, "everyN must be >= 1")
+    ds.flatMap { r =>
+      val (_, _, frames) = decodeStub(r.content)
+      val n = r.content.length
+      (0 until frames by everyN).map { i =>
+        val from = if (frames == 0) 0 else (n.toLong * i / frames).toInt
+        val until = if (frames == 0) n else (n.toLong * (i + 1) / frames).toInt
+        FrameRecord(r.id, i, java.util.Arrays.copyOfRange(r.content, from, until))
+      }
+    }
+  }
+
   /** Build a media dataset from the documents table (text bytes standing
     * in for media bytes), partitioned for parallel decode. */
   def fromDocuments(spark: SparkSession, sfDir: String,

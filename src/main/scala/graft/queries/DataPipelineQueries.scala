@@ -50,6 +50,37 @@ object DataPipelineQueries {
         expr("concat_ws(' ', w[i], w[i+1], w[i+2])").as("s"))
       .distinct()
 
+  /** Shingles restricted to those appearing in more than one doc — the
+    * only ones that can contribute to a candidate pair, so the pairwise
+    * self-joins never shuffle the full shingle relation. The hot set is
+    * proportional to the near-dup rate (tiny for real corpora), hence
+    * the broadcast; a corpus with a huge dup rate would drop the hint
+    * and let AQE pick the join. Pair-producing shingles all survive by
+    * construction, so downstream pair/common counts are unchanged. */
+  private def pairableShingles(sh: DataFrame): DataFrame = {
+    // persist the hot set: it is referenced from both sides of every
+    // pair join, and its aggregate is the one full shuffle here
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select(col("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a USING join puts the join column first — restore (doc_id, s) so
+    // positional toDF renames downstream stay correct
+    sh.join(broadcast(hot), Seq("s"), "leftsemi")
+      .select(col("doc_id"), col("s"))
+  }
+
+  /** Run `body` with a temporarily lowered shuffle-partition count —
+    * for iterative driver loops over small derived relations (e.g. the
+    * near-dup edge graph), where per-round fixed task overhead at the
+    * session's full partition count dwarfs the actual work. Restored
+    * afterward; a big-graph run would keep the session setting. */
+  private def withFewPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** Shared oracle CTE: distinct word 3-gram shingles per doc. */
   private val shingleCte =
     """WITH w AS (
@@ -103,8 +134,9 @@ object DataPipelineQueries {
     val sh = shingles(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.toDF("d1", "s")
-    val b = sh.toDF("d2", "s2")
+    val pairable = pairableShingles(sh)
+    val a = pairable.toDF("d1", "s")
+    val b = pairable.toDF("d2", "s2")
     val pairs = a.join(b, a("s") === b("s2") && a("d1") < b("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
     pairs
@@ -112,6 +144,78 @@ object DataPipelineQueries {
       .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
       .filter(lit(5) * col("common") >= lit(4) * (col("n1") + col("n2") - col("common")))
       .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"))
+  }
+
+  /** Dedup clustering: connected components over the near-dup pair
+    * graph (Jaccard >= 0.8 edges), cluster id = min doc_id reachable.
+    * Spark side is iterative min-label propagation to a fixpoint — each
+    * round is one join + one aggregate, and the driver only ever sees a
+    * convergence boolean, never the data. Rounds are bounded by
+    * component diameter (tiny for dedup graphs); a 100 TB run with long
+    * chains would switch to large-star/small-star contraction for
+    * O(log n) rounds. The oracle walks the same graph with a recursive
+    * CTE. */
+  val dedupClusters = sql("dedup_clusters",
+    "WITH RECURSIVE" + shingleCte.stripPrefix("WITH") + """,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pr AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       ed AS (
+         SELECT d1, d2 FROM pr
+         JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+         WHERE 5 * common >= 4 * (x.n + y.n - common)),
+       edges AS (SELECT d1 AS src, d2 AS dst FROM ed
+                 UNION ALL SELECT d2, d1 FROM ed),
+       walk(node, label) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node)
+       SELECT CAST(node AS BIGINT) AS doc_id,
+         CAST(min(label) AS BIGINT) AS cluster_id
+       FROM walk GROUP BY node""") { (s, d) =>
+    val sh = shingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairable = pairableShingles(sh)
+    val a = pairable.toDF("d1", "s")
+    val b = pairable.toDF("d2", "s2")
+    val ed = a.join(b, a("s") === b("s2") && a("d1") < b("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+      .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
+      .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
+      .filter(lit(5) * col("common") >= lit(4) * (col("n1") + col("n2") - col("common")))
+      .select(col("d1"), col("d2"))
+      // persist the threshold pairs BEFORE mirroring: the union below
+      // references this plan twice, and without the persist each branch
+      // would run the full pair join again
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = ed.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(ed.select(col("d2").as("src"), col("d1").as("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    // Labels only ever decrease (min is monotone), so the label sum
+    // strictly decreases iff any node changed — convergence is one
+    // aggregate per round, no old-vs-new join. (Sum fits a long here;
+    // a 100 TB id space would use a decimal sum.)
+    var prevSum = Option.empty[Long]
+    var converged = false
+    withFewPartitions(s, 4) {
+      while (!converged) {
+        val prop = labels.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), col("label"))
+        val next = labels.union(prop)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sm = Option(next.agg(sum(col("label"))).first().get(0))
+          .fold(0L)(_.asInstanceOf[Long])
+        converged = prevSum.contains(sm)
+        prevSum = Some(sm)
+        labels = next
+      }
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** MinHash + LSH near-dup detection, fully deterministic via md5:
@@ -169,9 +273,12 @@ object DataPipelineQueries {
           && col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // common-shingle counting only ever matches shingles present in both
+    // docs of a pair, so the verify join runs on the pairable subset
+    val pairable = pairableShingles(sh)
     val common = cand
-      .join(sh.toDF("d1k", "s1"), col("d1") === col("d1k"))
-      .join(sh.toDF("d2k", "s2"),
+      .join(pairable.toDF("d1k", "s1"), col("d1") === col("d1k"))
+      .join(pairable.toDF("d2k", "s2"),
         col("d2") === col("d2k") && col("s2") === col("s1"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
     common
@@ -632,7 +739,8 @@ object DataPipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupEmbedding, annCosineTop1, annBucketedTop1,
+    dedupSimhash, dedupEmbedding, dedupClusters, annCosineTop1,
+    annBucketedTop1,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
     sampleHash, sampleSplit, sampleStratified, textEditDistance,
     multimodalFeatures)

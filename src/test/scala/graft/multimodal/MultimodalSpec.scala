@@ -27,6 +27,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert((w0, h0, f0) === (0, 0, 1))
   }
 
+  test("resize fits the target box metadata and never grows content") {
+    val media = Multimodal.fromDocuments(spark, TestSpark.sfDir)
+    val before = media.collect().map(r => r.id -> r.content.length).toMap
+    val resized = Multimodal.resize(media, 64, 64).collect()
+    assert(resized.length === before.size)
+    resized.foreach { r =>
+      assert(r.declaredWidth === 64 && r.declaredHeight === 64)
+      assert(r.content.length <= before(r.id))
+      assert(r.content.nonEmpty)
+    }
+    // deterministic across runs
+    val again = Multimodal.resize(
+      Multimodal.fromDocuments(spark, TestSpark.sfDir), 64, 64)
+      .collect().map(r => r.id -> r.content.toSeq).toMap
+    assert(resized.map(r => r.id -> r.content.toSeq).toMap === again)
+  }
+
+  test("frame sampling explodes to every Nth frame and partitions bytes") {
+    val media = Multimodal.fromDocuments(spark, TestSpark.sfDir)
+    val everyN = 7
+    val expected = media.collect().map { r =>
+      val (_, _, frames) = Multimodal.decodeStub(r.content)
+      r.id -> (0 until frames by everyN).size
+    }.toMap
+    val frames = Multimodal.sampleFrames(media, everyN).collect()
+    val got = frames.groupBy(_.id).map { case (k, v) => k -> v.length }
+    assert(got === expected)
+    frames.foreach(f => assert(f.frameIdx % everyN === 0))
+  }
+
   test("sha256 matches Spark's own sha2 over the same bytes") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
