@@ -207,6 +207,16 @@ object RelationalQueries {
         sum(col("o_totalprice").cast(Dec)).cast("double").as("revenue"))
   }
 
+  // Ordered string aggregation (LISTAGG/string_agg): deterministic via
+  // an explicit ORDER BY inside the aggregate — expressed portably as
+  // sort-then-join so both engines concatenate identical sequences.
+  val aggStringAgg = sql("agg_stringagg",
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+       FROM nation GROUP BY n_regionkey""") { (s, d) =>
+    Tables.nation(s, d).groupBy(col("n_regionkey"))
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("names"))
+  }
+
   // Variance / stddev / correlation from exact integer moments
   // (n, Σx, Σx², Σy, Σy², Σxy) — one partial-aggregatable pass, and
   // engine-portable where built-in var_samp/corr are not (their
@@ -588,6 +598,32 @@ object RelationalQueries {
     (s, d) => custkeysOfYear(s, d, 1996).exceptAll(custkeysOfYear(s, d, 1997))
   }
 
+  // Bitwise scalar surface (integer-exact in both engines).
+  val scalarBitwise = sql("scalar_bitwise",
+    """SELECT o_orderkey, o_orderkey & 255 AS band, o_orderkey | 1 AS orr,
+       xor(o_orderkey, 255) AS xr, o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr, bit_count(o_orderkey) AS bc
+       FROM orders""") { (s, d) =>
+    Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderkey").bitwiseAND(255).as("band"),
+      col("o_orderkey").bitwiseOR(1).as("orr"),
+      col("o_orderkey").bitwiseXOR(255).as("xr"),
+      shiftleft(col("o_orderkey"), 2).as("shl"),
+      shiftright(col("o_orderkey"), 3).as("shr"),
+      bit_count(col("o_orderkey")).as("bc"))
+  }
+
+  // Row-generating scalar (UDTF shape, §2.12): explode/unnest token
+  // lists relationally — rows multiply inside WholeStageCodegen.
+  val scalarExplode = sql("scalar_explode",
+    """SELECT tok, count(*) AS cnt FROM (
+         SELECT unnest(list_filter(string_split(p_name, ' '), x -> x <> '')) AS tok
+         FROM part) t GROUP BY tok""") { (s, d) =>
+    Tables.part(s, d)
+      .select(explode(expr("filter(split(p_name, ' '), x -> x != '')")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+  }
+
   val unionDistinct = sql("union_distinct",
     """SELECT o_custkey FROM orders
        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -781,12 +817,13 @@ object RelationalQueries {
     scanNamespaces, rangeInputSum, unionConcat,
     filterConj, projectScalar, having,
     aggQ1, aggRollup, aggCube, aggGroupingSets, aggMedian, aggPivot,
-    aggStats, aggApproxDistinct, distinctKeys, distinctCount,
+    aggStats, aggStringAgg, aggApproxDistinct, distinctKeys, distinctCount,
     joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinQ5, joinOuter,
     joinRange,
     windowRowNumber, windowRunning, windowLag, windowRank, windowNtile,
     topK, globalSort,
     setIntersect, setExcept, setIntersectAll, setExceptAll, unionDistinct,
     scalarString, scalarString2, scalarDate, scalarDate2, scalarMath,
-    scalarJson, scalarJsonTyped, scalarHash, scalarArray, nullHandling)
+    scalarJson, scalarJsonTyped, scalarHash, scalarArray, scalarBitwise,
+    scalarExplode, nullHandling)
 }
