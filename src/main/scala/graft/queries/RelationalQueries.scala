@@ -525,6 +525,25 @@ object RelationalQueries {
         max(col("o_totalprice")).cast(Dec).cast("double").as("hi"))
   }
 
+  // RANGE frame: the running sum includes ORDER BY peers, so tied order
+  // dates aggregate together — deterministic without a unique tiebreak
+  // (unlike ROWS frames), and exact through decimal.
+  val windowRangeFrame = sql("window_range_frame",
+    """SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS od,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+       FROM orders""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).select(col("o_custkey"),
+      unix_timestamp(col("o_orderdate")).as("od"),
+      sum(col("o_totalprice").cast(Dec)).over(w).cast("double")
+        .as("running_total"))
+  }
+
   // ---- §2.7 sort / top-k ----------------------------------------------
 
   // TakeOrderedAndProject: no global sort materialized, per-partition
@@ -821,6 +840,7 @@ object RelationalQueries {
     joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinQ5, joinOuter,
     joinRange,
     windowRowNumber, windowRunning, windowLag, windowRank, windowNtile,
+    windowRangeFrame,
     topK, globalSort,
     setIntersect, setExcept, setIntersectAll, setExceptAll, unionDistinct,
     scalarString, scalarString2, scalarDate, scalarDate2, scalarMath,
