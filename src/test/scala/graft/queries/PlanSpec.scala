@@ -106,4 +106,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"))
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("window_range_frame shuffles once on the partition key") {
+    val p = plan("window_range_frame")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
+      "one shuffle for the window partition, no extra exchanges")
+    assert(p.contains("Window"))
+  }
+
+  test("dedup pair joins are equi joins, never cartesian") {
+    for (q <- Seq("dedup_jaccard", "dedup_minhash_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: candidate pairs must come from equi joins on shingle/band keys")
+    }
+  }
 }
