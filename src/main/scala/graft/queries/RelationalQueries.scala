@@ -286,14 +286,28 @@ object RelationalQueries {
   }
 
   // HLL sketch distinct-count (approx_count_distinct): the sketch
-  // algorithms differ between engines, so this is a rows-only check; the
-  // exact result is pinned by distinct_count above. At 100 TB this is
+  // algorithms differ between engines, so raw estimates can't hash-match.
+  // Instead each engine asserts its own sketch lands within 10% of the
+  // exact distinct count (HLL++ default rsd is 5%) — a portable boolean
+  // plus the exact counts, all oracle-checkable. At 100 TB the sketch is
   // the right default for cardinality estimation — no exact-distinct
   // shuffle of the full key set.
-  val aggApproxDistinct = rowsOnly("agg_approx_distinct") { (s, d) =>
+  val aggApproxDistinct = sql("agg_approx_distinct",
+    """SELECT
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS exact_orders,
+       abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey)) * 10
+         <= count(DISTINCT o_custkey) AS cust_within_10pct,
+       abs(approx_count_distinct(o_orderkey) - count(DISTINCT o_orderkey)) * 10
+         <= count(DISTINCT o_orderkey) AS orders_within_10pct
+       FROM orders""") { (s, d) =>
     Tables.orders(s, d).agg(
-      approx_count_distinct(col("o_custkey")).as("approx_cust"),
-      approx_count_distinct(col("o_orderkey")).as("approx_orders"))
+      countDistinct(col("o_custkey")).as("exact_cust"),
+      countDistinct(col("o_orderkey")).as("exact_orders"),
+      (abs(approx_count_distinct(col("o_custkey")) - countDistinct(col("o_custkey"))) * 10
+        <= countDistinct(col("o_custkey"))).as("cust_within_10pct"),
+      (abs(approx_count_distinct(col("o_orderkey")) - countDistinct(col("o_orderkey"))) * 10
+        <= countDistinct(col("o_orderkey"))).as("orders_within_10pct"))
   }
 
   // ---- §2.5 joins ------------------------------------------------------

@@ -42,8 +42,9 @@ object StreamingQueries {
            PARTITION BY user_id ORDER BY ms, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
          FROM gaps)
-       SELECT user_id, session_no, min(ms) AS session_start_ms,
-         count(*) AS n_events, SUM(cents) AS total_cents
+       SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+         min(ms) AS session_start_ms,
+         count(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS total_cents
        FROM sess GROUP BY user_id, session_no""") { (s, d) =>
     val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

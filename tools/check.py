@@ -40,7 +40,19 @@ def main(sf_dir, out_dir):
             results[name] = f"ERROR: {e}"
             continue
         g, w = norm(got), norm(want)
-        if list(g.columns) != list(w.columns):
+        # The driver's hash is dtype-sensitive: DuckDB HUGEINT (from an
+        # un-CAST integer SUM) arrives as float64 and hash-mismatches an
+        # int64 Spark column even when every value is equal.
+        dtype_drift = [
+            c for c in g.columns if c in w.columns and
+            (pd.api.types.is_integer_dtype(g[c]) != pd.api.types.is_integer_dtype(w[c])
+             or pd.api.types.is_float_dtype(g[c]) != pd.api.types.is_float_dtype(w[c]))
+        ]
+        if dtype_drift:
+            results[name] = ("DTYPE-MISMATCH " +
+                             ", ".join(f"{c}: got={g[c].dtype} want={w[c].dtype}"
+                                       for c in dtype_drift))
+        elif list(g.columns) != list(w.columns):
             results[name] = f"SCHEMA-MISMATCH got={list(g.columns)} want={list(w.columns)}"
         elif len(g) != len(w):
             results[name] = f"ROWCOUNT-MISMATCH got={len(g)} want={len(w)}"
