@@ -558,6 +558,69 @@ object RelationalQueries {
         .as("running_total"))
   }
 
+  // first/last/nth over the full-partition frame: with a total-order
+  // ORDER BY (unique o_orderkey tiebreak) every navigation value is
+  // deterministic.
+  val windowFirstLast = sql("window_first_last",
+    """SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_ok,
+       last_value(o_orderkey) OVER w AS last_ok,
+       nth_value(o_orderkey, 2) OVER w AS second_ok
+       FROM orders WINDOW w AS (PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(w).as("first_ok"),
+      last(col("o_orderkey")).over(w).as("last_ok"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+  }
+
+  // percent_rank/cume_dist: tie-sharing relative ranks — a single double
+  // division of identical integer operands in both engines (bit-equal
+  // per the parity rules), permutation-invariant without a tiebreak.
+  val windowPercent = sql("window_percent",
+    """SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+       percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+       FROM lineitem WINDOW w AS (PARTITION BY l_returnflag
+         ORDER BY CAST(l_quantity AS BIGINT))""") { (s, d) =>
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").cast("long"))
+    Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("qty"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+  }
+
+  // Percent-of-total: per-nation revenue share of its region via a window
+  // SUM over the aggregated rows — one extra exchange over 25 rows, not a
+  // self-join back onto the fact table. Shares as floored basis points of
+  // exact integer cents (integer div is engine-portable; see QueryDef).
+  val windowShare = sql("window_share",
+    """WITH rev AS (
+         SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name)
+       SELECT r_name, n_name,
+         CAST(cents * 10000 // SUM(cents) OVER (PARTITION BY r_name) AS BIGINT)
+           AS share_bps
+       FROM rev""") { (s, d) =>
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg((sum(col("o_totalprice").cast(Dec)) * 100).cast("long").as("cents"))
+    rev.select(col("r_name"), col("n_name"),
+      expr("cents * 10000 div sum(cents) OVER (PARTITION BY r_name)").as("share_bps"))
+  }
+
   // ---- §2.7 sort / top-k ----------------------------------------------
 
   // TakeOrderedAndProject: no global sort materialized, per-partition
@@ -823,6 +886,100 @@ object RelationalQueries {
       sha2(col("p_name"), 256).as("h_sha"))
   }
 
+  // Wide-to-long unpivot (the inverse of agg_pivot): Dataset.unpivot
+  // plans a Generate (codegen'd row expansion), not a 3-way self-union.
+  val unpivotMelt = sql("unpivot_melt",
+    """WITH wide AS (
+         SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority)
+       SELECT o_orderpriority, 'n_f' AS status, n_f AS cnt FROM wide
+       UNION ALL
+       SELECT o_orderpriority, 'n_o' AS status, n_o AS cnt FROM wide
+       UNION ALL
+       SELECT o_orderpriority, 'n_p' AS status, n_p AS cnt FROM wide""") { (s, d) =>
+    Tables.orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")), "status", "cnt")
+  }
+
+  // regexp_extract_all (all matches, not just the first) — joined to a
+  // string because list-column renderings differ between engines.
+  val scalarRegexAll = sql("scalar_regex_all",
+    """SELECT p_partkey,
+       array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS vowel_runs,
+       len(regexp_extract_all(p_name, '[a-z]+')) AS n_words
+       FROM part""") { (s, d) =>
+    Tables.part(s, d).select(col("p_partkey"),
+      array_join(expr("regexp_extract_all(p_name, '[aeiou]+', 0)"), ",")
+        .as("vowel_runs"),
+      size(expr("regexp_extract_all(p_name, '[a-z]+', 0)")).as("n_words"))
+  }
+
+  // FULL OUTER join with key coalescing: year-over-year revenue per
+  // customer where either side may be absent.
+  val joinFullCoalesce = sql("join_full_coalesce",
+    """WITH a AS (
+         SELECT o_custkey AS k,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev96
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_custkey),
+       b AS (
+         SELECT o_custkey AS k,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev97
+         FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY o_custkey)
+       SELECT coalesce(a.k, b.k) AS custkey,
+         coalesce(rev96, 0.0) AS rev96, coalesce(rev97, 0.0) AS rev97
+       FROM a FULL OUTER JOIN b ON a.k = b.k""") { (s, d) =>
+    def revOfYear(y: Int, as: String): DataFrame =
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp")
+          && col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey").as(s"k_$y"))
+        .agg(sum(col("o_totalprice").cast(Dec)).cast("double").as(as))
+    revOfYear(1996, "rev96")
+      .join(revOfYear(1997, "rev97"), col("k_1996") === col("k_1997"), "full_outer")
+      .select(coalesce(col("k_1996"), col("k_1997")).as("custkey"),
+        coalesce(col("rev96"), lit(0.0)).as("rev96"),
+        coalesce(col("rev97"), lit(0.0)).as("rev97"))
+  }
+
+  // CROSS JOIN (cartesian of two small dims — 25 × 5 rows).
+  val joinCross = sql("join_cross",
+    "SELECT n_name, r_name FROM nation CROSS JOIN region") { (s, d) =>
+    Tables.nation(s, d).select(col("n_name"))
+      .crossJoin(Tables.region(s, d).select(col("r_name")))
+  }
+
+  // Approximate quantiles (Spark t-digest-style percentile_approx vs
+  // DuckDB t-digest approx_quantile): like agg_approx_distinct, the
+  // sketches differ, so each engine asserts its own estimate lands
+  // within 2% of its own exact continuous quantile over integer cents.
+  val aggApproxQuantile = sql("agg_approx_quantile",
+    """WITH t AS (
+         SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           AS cents FROM lineitem)
+       SELECT count(*) AS n,
+         abs(approx_quantile(cents, 0.5) - quantile_cont(cents, 0.5)) * 50
+           <= quantile_cont(cents, 0.5) AS p50_within_2pct,
+         abs(approx_quantile(cents, 0.95) - quantile_cont(cents, 0.95)) * 50
+           <= quantile_cont(cents, 0.95) AS p95_within_2pct
+       FROM t""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .select((col("l_extendedprice").cast(Dec) * 100).cast("long").as("cents"))
+      .agg(count(lit(1)).as("n"),
+        (abs(expr("approx_percentile(cents, 0.5, 10000)") - expr("percentile(cents, 0.5)")) * 50
+          <= expr("percentile(cents, 0.5)")).as("p50_within_2pct"),
+        (abs(expr("approx_percentile(cents, 0.95, 10000)") - expr("percentile(cents, 0.95)")) * 50
+          <= expr("percentile(cents, 0.95)")).as("p95_within_2pct"))
+  }
+
   /** The pure-SQL interface: registered views + spark.sql — the same
     * engine surface a SQL-only user gets (TPC-H Q6 shape). */
   val sqlInterfaceQ6 = sql("sql_interface_q6",
@@ -852,12 +1009,13 @@ object RelationalQueries {
     aggQ1, aggRollup, aggCube, aggGroupingSets, aggMedian, aggPivot,
     aggStats, aggStringAgg, aggApproxDistinct, distinctKeys, distinctCount,
     joinInner, joinAnti, joinSemi, joinBroadcast, joinQ3, joinQ5, joinOuter,
-    joinRange,
+    joinRange, joinFullCoalesce, joinCross,
     windowRowNumber, windowRunning, windowLag, windowRank, windowNtile,
-    windowRangeFrame,
+    windowRangeFrame, windowFirstLast, windowPercent, windowShare,
     topK, globalSort,
     setIntersect, setExcept, setIntersectAll, setExceptAll, unionDistinct,
     scalarString, scalarString2, scalarDate, scalarDate2, scalarMath,
     scalarJson, scalarJsonTyped, scalarHash, scalarArray, scalarBitwise,
-    scalarExplode, nullHandling)
+    scalarExplode, scalarRegexAll, nullHandling, unpivotMelt,
+    aggApproxQuantile)
 }

@@ -62,6 +62,35 @@ object StreamingQueries {
         sum(col("cents")).as("total_cents"))
   }
 
+  /** Spark's native session_window operator (batch form; the same
+    * operator runs in Structured Streaming with watermarked state):
+    * 30-minute gap-merged sessions per user. The oracle replays the gap
+    * logic with lag + running-sum at µs precision — Spark merges an
+    * event into the open session iff its gap from the previous event is
+    * <= the 30-minute window (verified: no exact-boundary gaps exist in
+    * the testdata, so the <=/< distinction cannot flip a row). */
+  val sessionWindowNative = sql("session_window_native",
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+       gaps AS (
+         SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR
+                             lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       sess AS (
+         SELECT *, SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM gaps)
+       SELECT user_id, min(us) AS session_start_us, count(*) AS n_events
+       FROM sess GROUP BY user_id, sid""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+  }
+
   /** Streaming dedup: the input is replayed twice (union of the same
     * stream), dropDuplicates restores exactly-once — counts must equal
     * the single-copy batch aggregation. */
@@ -143,6 +172,6 @@ object StreamingQueries {
         (col("ms") - col("prev_click_ms")).as("gap_ms"))
   }
 
-  val all: Seq[QueryDef] = Seq(streamWindowAgg, sessionize, streamDedup,
-    funnel, cohortRetention, asofPriorEvent)
+  val all: Seq[QueryDef] = Seq(streamWindowAgg, sessionize, sessionWindowNative,
+    streamDedup, funnel, cohortRetention, asofPriorEvent)
 }
