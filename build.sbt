@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep `runMain graft.Bench` machine-parseable: sbt otherwise routes
+// the forked JVM's stdout through its logger (prefixing every line
+// with "[info] ") and prints "[success] Total time: ..." after it —
+// either one breaks a consumer that json-parses the result line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,8 +3,9 @@ package graft.queries
 /** All declared check queries, aggregated for SparkEntry. */
 object Registry {
   def all: Seq[QueryDef] =
-    RelationalQueries.all ++ MapReduceQueries.all ++
-      DataPipelineQueries.all ++ StreamingQueries.all
+    RelationalQueries.all ++ RelationalQueries2.all ++
+      MapReduceQueries.all ++ DataPipelineQueries.all ++
+      StreamingQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame] =

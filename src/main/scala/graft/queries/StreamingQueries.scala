@@ -25,6 +25,36 @@ object StreamingQueries {
     StreamingJobs.windowedEventCounts(s, d)
   }
 
+  /** Sliding windows (1 h window / 30 min slide): every event belongs to
+    * exactly two windows, whose starts are the two slide-aligned epochs
+    * within the preceding hour — which is how the oracle unrolls the
+    * overlap with integer arithmetic. */
+  val streamSlidingWindow = sql("stream_sliding_window",
+    """WITH e AS (
+         SELECT epoch_ns(ts) // 1000000000 AS sec, event_type FROM events),
+       x AS (
+         SELECT (sec // 1800) * 1800 AS win_start, event_type FROM e
+         UNION ALL
+         SELECT (sec // 1800) * 1800 - 1800, event_type FROM e)
+       SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+         count(*) AS cnt
+       FROM x GROUP BY 1, 2""") { (s, d) =>
+    StreamingJobs.slidingEventCounts(s, d)
+  }
+
+  /** Watermarked stream-stream inner join over a bounded replay must
+    * emit exactly the batch join: purchases matched to the same user's
+    * signup within the following hour (µs-exact interval endpoints). */
+  val streamJoin = sql("stream_join",
+    """SELECT s.user_id, s.event_id AS signup_event,
+         p.event_id AS purchase_event
+       FROM events s JOIN events p ON s.user_id = p.user_id
+       WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+         AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR""") { (s, d) =>
+    StreamingJobs.signupPurchaseJoin(s, d)
+      .select(col("user_id"), col("signup_event"), col("purchase_event"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity): per-user session
     * boundaries via lag + running sum, then per-session aggregates.
     * Millisecond epochs keep the arithmetic integer-exact. */
@@ -172,6 +202,7 @@ object StreamingQueries {
         (col("ms") - col("prev_click_ms")).as("gap_ms"))
   }
 
-  val all: Seq[QueryDef] = Seq(streamWindowAgg, sessionize, sessionWindowNative,
+  val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
+    streamJoin, sessionize, sessionWindowNative,
     streamDedup, funnel, cohortRetention, asofPriorEvent)
 }

@@ -65,6 +65,27 @@ object StreamingJobs {
         col("event_type"), col("cnt"), col("total_cents"))
   }
 
+  /** Sliding (overlapping) event-time windows: 1-hour windows advancing
+    * every 30 minutes, so each event lands in exactly two windows.
+    * Window starts align to epoch multiples of the slide — the property
+    * the oracle replays with integer arithmetic. */
+  def slidingEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val qname = "graft_stream_sliding"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    withStreamShufflePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    spark.table(qname)
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("cnt"))
+  }
+
   /** Watermarked variant for unbounded use: bounds window state to
     * `delay` of event-time lateness (append mode — only finalized
     * windows emit, which is what a downstream sink wants; the

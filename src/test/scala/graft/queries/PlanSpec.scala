@@ -122,4 +122,36 @@ class PlanSpec extends AnyFunSuite {
         s"$q: candidate pairs must come from equi joins on shingle/band keys")
     }
   }
+
+  test("window_sliding shuffles once on the partition key") {
+    val p = plan("window_sliding")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
+      "sliding ROWS frame must reuse the single window shuffle")
+    assert(p.contains("Window"))
+  }
+
+  test("subquery_scalar broadcasts the one-row aggregate") {
+    val p = plan("subquery_scalar")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the scalar must broadcast; the fact side must not shuffle")
+    assert("""\(\d+\) Exchange hashpartitioning""".r.findAllIn(p).isEmpty,
+      "no hash exchange anywhere: scalar compare is map-side work")
+  }
+
+  test("topk_per_group broadcasts the part dimension") {
+    val p = plan("topk_per_group")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("join_salted leaves no salt column in the output") {
+    val df = Registry.queries("join_salted")(spark, d)
+    assert(!df.columns.contains("_salt"))
+  }
+
+  test("subquery_correlated aggregates partially before its exchange") {
+    val p = plan("subquery_correlated")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
