@@ -64,13 +64,13 @@ object ScaleCheck {
         .orderBy(col("rev").desc, col("o_orderkey")).limit(10).count()
     }
     time("wordcount") {
-      docs.select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      docs.select(explode(expr("array_remove(split(text, ' '), '')")).as("w"))
         .groupBy(col("w")).agg(count(lit(1))).count()
     }
     // LSH candidate generation + verify (the dedup scale path)
     time("minhash_lsh") {
       val sh = docs
-        .withColumn("w", expr("filter(split(text, ' '), x -> x != '')"))
+        .withColumn("w", expr("array_remove(split(text, ' '), '')"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), col("w"),
           explode(expr("sequence(0, size(w) - 3)")).as("i"))

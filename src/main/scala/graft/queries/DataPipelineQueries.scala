@@ -29,7 +29,7 @@ object DataPipelineQueries {
 
   /** Whitespace tokens, empties dropped — the tokenization contract shared
     * with the DuckDB oracle (string_split + list_filter). */
-  private val tokensCol: Column = expr("filter(split(text, ' '), x -> x != '')")
+  private val tokensCol: Column = expr("array_remove(split(text, ' '), '')")
 
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).withColumn("w", tokensCol)
@@ -90,6 +90,60 @@ object DataPipelineQueries {
          SELECT DISTINCT doc_id,
            w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS s
          FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-1, 1))) AS i) t)"""
+
+  // ---- embedding column analytics --------------------------------------
+
+  /** Per-dimension statistics over the whole embedding table — the
+    * columnar profile pass a vector store runs before indexing (means
+    * feed centroid seeds; min/max feed scalar quantization). Float
+    * components are fixed-pointed by floor(v·2^20): scaling by a power
+    * of two is exact in IEEE arithmetic and floor is engine-portable,
+    * so the integer sums are bit-exact where a raw float sum would
+    * depend on accumulation order. One posexplode + one hash aggregate
+    * — at 100 TB this is a single shuffle keyed on the (tiny) dim. */
+  val embDimStats = sql("emb_dim_stats",
+    """SELECT CAST(i - 1 AS BIGINT) AS dim, count(*) AS n,
+       CAST(SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             * 1048576) AS BIGINT)) AS BIGINT) AS sum_fx,
+       CAST(MIN(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             * 1048576) AS BIGINT)) AS BIGINT) AS min_fx,
+       CAST(MAX(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             * 1048576) AS BIGINT)) AS BIGINT) AS max_fx
+       FROM embeddings,
+         LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+       GROUP BY 1""") { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("dim"),
+        floor(col("v").cast("double") * 1048576).cast("long").as("fx"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("fx")).as("sum_fx"),
+        min(col("fx")).as("min_fx"), max(col("fx")).as("max_fx"))
+  }
+
+  /** Top-k vectors by fixed-point squared norm (vec_id tiebreak): the
+    * magnitude screen that precedes normalization. Executes as
+    * TakeOrderedAndProject over one aggregate — no global sort. */
+  val embNormTopk = sql("emb_norm_topk",
+    """SELECT vec_id, CAST(norm_fx AS BIGINT) AS norm_fx FROM (
+         SELECT vec_id,
+           SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+               * 1048576) AS BIGINT)
+             * CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+               * 1048576) AS BIGINT)) AS norm_fx
+         FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+         GROUP BY vec_id) z
+       ORDER BY norm_fx DESC, vec_id LIMIT 10""") { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), explode(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        floor(col("v").cast("double") * 1048576).cast("long").as("fx"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("fx") * col("fx")).as("norm_fx"))
+      .orderBy(col("norm_fx").desc, col("vec_id"))
+      .limit(10)
+  }
 
   // ---- deduplication ---------------------------------------------------
 
@@ -525,7 +579,7 @@ object DataPipelineQueries {
        len(regexp_extract_all(text, '[a-z]+')) AS re_tokens
        FROM documents""") { (s, d) =>
     Tables.documents(s, d).select(col("doc_id"),
-      expr("size(filter(split(text, ' '), x -> x != ''))").as("ws_tokens"),
+      expr("size(array_remove(split(text, ' '), ''))").as("ws_tokens"),
       expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("re_tokens"))
   }
 
@@ -740,7 +794,7 @@ object DataPipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupMinhashLsh,
     dedupSimhash, dedupEmbedding, dedupClusters, annCosineTop1,
-    annBucketedTop1,
+    annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
     sampleHash, sampleSplit, sampleStratified, textEditDistance,
     multimodalFeatures)

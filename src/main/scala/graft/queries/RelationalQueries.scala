@@ -716,7 +716,7 @@ object RelationalQueries {
          SELECT unnest(list_filter(string_split(p_name, ' '), x -> x <> '')) AS tok
          FROM part) t GROUP BY tok""") { (s, d) =>
     Tables.part(s, d)
-      .select(explode(expr("filter(split(p_name, ' '), x -> x != '')")).as("tok"))
+      .select(explode(expr("array_remove(split(p_name, ' '), '')")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
   }
 

@@ -125,7 +125,7 @@ object StreamingJobs {
       .agg(count(lit(1)).as("cnt"))
     val qname = "graft_stream_dedup"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
-    withStreamShufflePartitions(spark, 8) {
+    withStreamShufflePartitions(spark, 4) {
       val q = deduped.writeStream
         .outputMode("complete").format("memory").queryName(qname)
         .trigger(Trigger.AvailableNow()).start()
@@ -159,7 +159,7 @@ object StreamingJobs {
         col("purchase_event"))
     val qname = "graft_stream_join"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
-    withStreamShufflePartitions(spark, 8) {
+    withStreamShufflePartitions(spark, 4) {
       val q = joined.writeStream
         .outputMode("append").format("memory").queryName(qname)
         .trigger(Trigger.AvailableNow()).start()
