@@ -583,6 +583,80 @@ object DataPipelineQueries {
       expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("re_tokens"))
   }
 
+  /** Intra-document repetition rate (a Gopher-style quality rule):
+    * fraction of word bigrams that are repeats, in floored basis points.
+    * High repetition marks boilerplate/spam for filtering. */
+  val textRepetition = sql("text_repetition",
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       bg AS (
+         SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] AS b
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w), 1))) AS i) t
+         WHERE len(w) >= 2)
+       SELECT doc_id, count(*) AS n_bigrams,
+         count(DISTINCT b) AS n_distinct,
+         CAST(floor((count(*) - count(DISTINCT b)) * 10000.0 / count(*))
+           AS BIGINT) AS rep_bp
+       FROM bg GROUP BY doc_id""") { (s, d) =>
+    docsWithTokens(s, d)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w) - 2)")).as("i"))
+      .select(col("doc_id"), expr("concat_ws(' ', w[i], w[i+1])").as("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("b")).as("n_distinct"),
+        floor((count(lit(1)) - countDistinct(col("b"))) * 10000.0
+          / count(lit(1))).cast("long").as("rep_bp"))
+  }
+
+  /** Text normalization (the canonicalization pass that precedes exact
+    * dedup): lowercase + collapse runs of spaces + trim, emitted as a
+    * content signature (md5) plus normalized length. */
+  val textNormalize = sql("text_normalize",
+    """SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_sig,
+       length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_len
+       FROM documents""") { (s, d) =>
+    val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+    Tables.documents(s, d).select(col("doc_id"),
+      md5(norm).as("norm_sig"), length(norm).cast("long").as("norm_len"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any word
+    * 5-gram with a held-out benchmark set (doc_id % 7 = 0 stands in
+    * for the eval suite). 5-grams are selective enough that overlap
+    * means contamination, not chance. At 100 TB both sides reduce to
+    * fixed-width md5 fingerprints and this is one semi-join keyed on
+    * the fingerprint — the benchmark side is tiny and broadcasts. */
+  val decontaminate = sql("decontaminate",
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       g5 AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' ||
+           w[CAST(i AS INT)+2] || ' ' || w[CAST(i AS INT)+3] || ' ' ||
+           w[CAST(i AS INT)+4] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-3, 1))) AS i) t
+         WHERE len(w) >= 5)
+       SELECT DISTINCT g.doc_id FROM g5 g
+       JOIN (SELECT s FROM g5 WHERE doc_id % 7 = 0) b ON g.s = b.s
+       WHERE g.doc_id % 7 <> 0""") { (s, d) =>
+    val g5 = docsWithTokens(s, d)
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w) - 5)")).as("i"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])").as("s"))
+      .distinct()
+    val bench = g5.filter(col("doc_id") % 7 === 0).select(col("s"))
+    g5.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(bench), Seq("s"), "leftsemi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Rolling-hash document fingerprint: the minimum md5 over all 5-char
     * shingles (a winnowing-style content signature). */
   val textFingerprint = sql("text_fingerprint",
@@ -796,6 +870,7 @@ object DataPipelineQueries {
     dedupSimhash, dedupEmbedding, dedupClusters, annCosineTop1,
     annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
+    textRepetition, textNormalize, decontaminate,
     sampleHash, sampleSplit, sampleStratified, textEditDistance,
     multimodalFeatures)
 }
