@@ -208,7 +208,38 @@ object RelationalQueries2 {
         size(arr).cast("long").as("n"))
   }
 
+  // MapType surface (the dynamic-schema escape hatch for property-bag
+  // entities, SURVEY §7.4): construction from arrays, key extraction,
+  // missing-key probe, key enumeration. Both engines preserve map
+  // insertion order, so the joined key string is deterministic.
+  val scalarMap = sql("scalar_map",
+    """SELECT l_orderkey, l_linenumber,
+       m['qty'][1] AS qty_v,
+       len(map_keys(m)) AS nk,
+       array_to_string(map_keys(m), ',') AS ks,
+       len(m['missing']) > 0 AS has_missing
+       FROM (
+         SELECT l_orderkey, l_linenumber,
+           MAP(['qty', 'line'],
+               [CAST(floor(l_quantity) AS BIGINT),
+                CAST(l_linenumber AS BIGINT)]) AS m
+         FROM lineitem WHERE l_orderkey % 100 = 0) t""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        map_from_arrays(
+          array(lit("qty"), lit("line")),
+          array(floor(col("l_quantity")).cast("long"),
+            col("l_linenumber").cast("long"))).as("m"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(col("m"), "qty").as("qty_v"),
+        size(map_keys(col("m"))).cast("long").as("nk"),
+        array_join(map_keys(col("m")), ",").as("ks"),
+        element_at(col("m"), "missing").isNotNull.as("has_missing"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     subqueryScalar, subqueryCorrelated, windowSliding, topkPerGroup,
-    histogramBucket, genSequence, joinSalted, aggMode, scalarArray2)
+    histogramBucket, genSequence, joinSalted, aggMode, scalarArray2,
+    scalarMap)
 }
