@@ -96,6 +96,34 @@ object ScaleCheck {
       sh.unpersist()
       n
     }
+    // decontamination: n-gram overlap semi-join. Replication grows the
+    // benchmark side along with the corpus (ids are shifted, so %7
+    // keeps selecting ~1/7 of every copy) — a worst case: real
+    // decontamination holds the benchmark fixed while the corpus grows
+    time("decontaminate") {
+      val g5 = docs
+        .withColumn("w", expr("array_remove(split(text, ' '), '')"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, size(w) - 5)")).as("i"))
+        .select(col("doc_id"),
+          expr("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])").as("s"))
+        .distinct()
+      val bench = g5.filter(col("doc_id") % 7 === 0).select(col("s"))
+      g5.filter(col("doc_id") % 7 =!= 0)
+        .join(broadcast(bench), Seq("s"), "leftsemi")
+        .select(col("doc_id")).distinct().count()
+    }
+    // embedding profile: one posexplode + one aggregate keyed on the
+    // (constant-cardinality) dimension — pure linear scan work
+    time("emb_dim_stats") {
+      emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("pos").cast("long").as("dim"),
+          floor(col("v").cast("double") * 1048576).cast("long").as("fx"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)), sum(col("fx")), min(col("fx")), max(col("fx")))
+        .count()
+    }
     time("ann_bucketed") {
       graft.functions.VectorExpressions.register(spark)
       val e = emb.withColumn("bucket", expr(

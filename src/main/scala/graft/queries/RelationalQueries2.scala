@@ -238,8 +238,34 @@ object RelationalQueries2 {
         element_at(col("m"), "missing").isNotNull.as("has_missing"))
   }
 
+  // Time-series densification: daily order counts with missing days
+  // filled as zero. The spine is generated from the data's own bounds
+  // (a one-row aggregate feeding sequence+explode), then left-joined —
+  // the calendar side is tiny and broadcasts; the fact side aggregates
+  // before the join, so the shuffle carries days, not orders.
+  val timeseriesFill = sql("timeseries_fill",
+    """WITH daily AS (
+         SELECT epoch_ns(o_orderdate) // 86400000000000 AS day,
+           count(*) AS cnt
+         FROM orders GROUP BY 1),
+       bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+       spine AS (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds)
+       SELECT CAST(s.day AS BIGINT) AS day, COALESCE(d.cnt, 0) AS cnt
+       FROM spine s LEFT JOIN daily d ON s.day = d.day""") { (s, d) =>
+    // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast to
+    // TIMESTAMP is identity and matches DuckDB's naive epoch_ns
+    val daily = Tables.orders(s, d)
+      .select(expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     subqueryScalar, subqueryCorrelated, windowSliding, topkPerGroup,
     histogramBucket, genSequence, joinSalted, aggMode, scalarArray2,
-    scalarMap)
+    scalarMap, timeseriesFill)
 }

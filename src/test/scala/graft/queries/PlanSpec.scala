@@ -154,4 +154,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("decontaminate probes the benchmark set as a broadcast semi-join") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the held-out set must broadcast; the corpus side must stream")
+  }
+
+  test("timeseries_fill joins the generated spine without a cartesian") {
+    val p = plan("timeseries_fill")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftOuter"), "missing days must come from the spine")
+  }
 }
