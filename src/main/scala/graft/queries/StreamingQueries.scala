@@ -44,13 +44,19 @@ object StreamingQueries {
 
   /** Watermarked stream-stream inner join over a bounded replay must
     * emit exactly the batch join: purchases matched to the same user's
-    * signup within the following hour (µs-exact interval endpoints). */
+    * signup within the following hour. The oracle compares µs-floored
+    * epochs (epoch_ns // 1000) because the Spark side reads the
+    * TIMESTAMP(NANOS) column floored to µs — comparing DuckDB's raw ns
+    * timestamps instead would diverge on sub-µs gaps. */
   val streamJoin = sql("stream_join",
-    """SELECT s.user_id, s.event_id AS signup_event,
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+         FROM events)
+       SELECT s.user_id, s.event_id AS signup_event,
          p.event_id AS purchase_event
-       FROM events s JOIN events p ON s.user_id = p.user_id
+       FROM e s JOIN e p ON s.user_id = p.user_id
        WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
-         AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR""") { (s, d) =>
+         AND p.us >= s.us AND p.us < s.us + 3600000000""") { (s, d) =>
     StreamingJobs.signupPurchaseJoin(s, d)
       .select(col("user_id"), col("signup_event"), col("purchase_event"))
   }
@@ -95,15 +101,15 @@ object StreamingQueries {
   /** Spark's native session_window operator (batch form; the same
     * operator runs in Structured Streaming with watermarked state):
     * 30-minute gap-merged sessions per user. The oracle replays the gap
-    * logic with lag + running-sum at µs precision — Spark merges an
-    * event into the open session iff its gap from the previous event is
-    * <= the 30-minute window (verified: no exact-boundary gaps exist in
-    * the testdata, so the <=/< distinction cannot flip a row). */
+    * logic with lag + running-sum at µs precision. Boundary semantics:
+    * each event spans [ts, ts+gap) and sessions merge on OVERLAP, so an
+    * event at exactly prev+gap starts a NEW session — hence the >= in
+    * the oracle's new-session predicate (strictly-less-than merges). */
   val sessionWindowNative = sql("session_window_native",
     """WITH e AS (
          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
        gaps AS (
-         SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR
+         SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 OR
                              lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
        sess AS (
