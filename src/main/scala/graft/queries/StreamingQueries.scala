@@ -102,14 +102,16 @@ object StreamingQueries {
     * operator runs in Structured Streaming with watermarked state):
     * 30-minute gap-merged sessions per user. The oracle replays the gap
     * logic with lag + running-sum at µs precision. Boundary semantics:
-    * each event spans [ts, ts+gap) and sessions merge on OVERLAP, so an
-    * event at exactly prev+gap starts a NEW session — hence the >= in
-    * the oracle's new-session predicate (strictly-less-than merges). */
+    * Spark merges an event into the open session iff its gap from the
+    * previous event is <= the window — INCLUSIVE at exactly the gap
+    * (pinned empirically by StreamingSpec's boundary test, since the
+    * testdata has no exact-boundary gaps) — hence strict > in the
+    * oracle's new-session predicate. */
   val sessionWindowNative = sql("session_window_native",
     """WITH e AS (
          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
        gaps AS (
-         SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 OR
+         SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR
                              lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
        sess AS (

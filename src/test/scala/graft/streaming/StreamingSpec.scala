@@ -93,4 +93,29 @@ class StreamingSpec extends AnyFunSuite {
     val bad = both.filter(col("fast") =!= col("slow")).count()
     assert(bad === 0, "codegen'd cosine must be bit-identical to HOF form")
   }
+
+  test("session_window MERGES an event at a gap of exactly the window") {
+    // Pins the boundary the session_window_native oracle encodes
+    // (new session iff gap > window, i.e. merge is INCLUSIVE at exactly
+    // the gap). The synthetic events table has no exact-boundary gaps,
+    // so only this test exercises the semantics — measured here, since
+    // the [ts, ts+gap) window notation suggests (wrongly) that an event
+    // at exactly prev+gap would start a new session.
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00"),  // opens the session
+      (1L, "2024-01-01 00:30:00"),  // exactly 30min later → still merges
+      (1L, "2024-01-01 01:00:01"),  // 30:01 after prev → new session
+      (2L, "2024-01-01 00:00:00"),
+      (2L, "2024-01-01 00:29:59"))  // merges
+      .toDF("user_id", "t")
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"))
+    val sess = rows
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sess === Set((1L, 2L), (1L, 1L), (2L, 2L)),
+      "gap == window must merge; gap > window must split")
+  }
 }
