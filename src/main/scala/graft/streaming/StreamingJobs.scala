@@ -31,6 +31,19 @@ object StreamingJobs {
     try body finally spark.conf.set(key, old)
   }
 
+  /** Run `body` without the no-data micro-batches Spark schedules to
+    * advance the watermark after the data is consumed. Safe ONLY for
+    * sinks whose results are emitted during data batches (complete-mode
+    * aggregation, stream-stream INNER join matches, dropDuplicates) —
+    * append-mode windowed aggregation NEEDS those batches to finalize
+    * windows, so `windowedEventCountsWatermarked` must not use this. */
+  private def withoutNoDataBatches[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Read events as a stream, handling the TIMESTAMP(NANOS) column the
     * same way Tables.events does (nanos→µs floor). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -126,10 +139,12 @@ object StreamingJobs {
     val qname = "graft_stream_dedup"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
     withStreamShufflePartitions(spark, 4) {
-      val q = deduped.writeStream
-        .outputMode("complete").format("memory").queryName(qname)
-        .trigger(Trigger.AvailableNow()).start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      withoutNoDataBatches(spark) {
+        val q = deduped.writeStream
+          .outputMode("complete").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
     }
     spark.table(qname)
   }
@@ -160,10 +175,14 @@ object StreamingJobs {
     val qname = "graft_stream_join"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
     withStreamShufflePartitions(spark, 4) {
-      val q = joined.writeStream
-        .outputMode("append").format("memory").queryName(qname)
-        .trigger(Trigger.AvailableNow()).start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      // inner-join matches emit during the data batch; the no-data
+      // batches would only run watermark state eviction
+      withoutNoDataBatches(spark) {
+        val q = joined.writeStream
+          .outputMode("append").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
     }
     spark.table(qname)
   }
