@@ -264,8 +264,38 @@ object RelationalQueries2 {
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  // IGNORE NULLS navigation: the most recent prior click's value at
+  // each purchase, via lag over a sparse (CASE-nulled) column. Same
+  // semantics as asof_prior_event's max-over-frame form, but exercising
+  // the native IGNORE NULLS modifier both engines implement.
+  val windowIgnoreNulls = sql("window_ignore_nulls",
+    """WITH e AS (
+         SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000000 AS ms,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events)
+       SELECT event_id, last_click_cents FROM (
+         SELECT event_id, event_type,
+           lag(CASE WHEN event_type = 'click' THEN cents END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ms, event_id)
+             AS last_click_cents
+         FROM e) t
+       WHERE event_type = 'purchase' AND last_click_cents IS NOT NULL""") {
+    (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("last_click_cents",
+        lag(when(col("event_type") === "click", col("cents")), 1, null,
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase"
+        && col("last_click_cents").isNotNull)
+      .select(col("event_id"), col("last_click_cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     subqueryScalar, subqueryCorrelated, windowSliding, topkPerGroup,
     histogramBucket, genSequence, joinSalted, aggMode, scalarArray2,
-    scalarMap, timeseriesFill)
+    scalarMap, timeseriesFill, windowIgnoreNulls)
 }
