@@ -201,14 +201,12 @@ object DataPipelineQueries {
   }
 
   /** Dedup clustering: connected components over the near-dup pair
-    * graph (Jaccard >= 0.8 edges), cluster id = min doc_id reachable.
-    * Spark side is iterative min-label propagation to a fixpoint — each
-    * round is one join + one aggregate, and the driver only ever sees a
-    * convergence boolean, never the data. Rounds are bounded by
-    * component diameter (tiny for dedup graphs); a 100 TB run with long
-    * chains would switch to large-star/small-star contraction for
-    * O(log n) rounds. The oracle walks the same graph with a recursive
-    * CTE. */
+    * graph (Jaccard >= 0.8 edges), cluster id = min doc_id reachable —
+    * the reusable operator is functions.ConnectedComponents (iterative
+    * min-label propagation; see its scaladoc for the convergence and
+    * scale story, and ConnectedComponentsSpec for the long-chain /
+    * star / clique topology tests this corpus can't exercise). The
+    * oracle walks the same graph with a recursive CTE. */
   val dedupClusters = sql("dedup_clusters",
     "WITH RECURSIVE" + shingleCte.stripPrefix("WITH") + """,
        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -240,34 +238,11 @@ object DataPipelineQueries {
       .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
       .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
       .filter(lit(5) * col("common") >= lit(4) * (col("n1") + col("n2") - col("common")))
-      .select(col("d1"), col("d2"))
-      // persist the threshold pairs BEFORE mirroring: the union below
-      // references this plan twice, and without the persist each branch
-      // would run the full pair join again
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = ed.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(ed.select(col("d2").as("src"), col("d1").as("dst")))
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-    // Labels only ever decrease (min is monotone), so the label sum
-    // strictly decreases iff any node changed — convergence is one
-    // aggregate per round, no old-vs-new join. (Sum fits a long here;
-    // a 100 TB id space would use a decimal sum.)
-    var prevSum = Option.empty[Long]
-    var converged = false
-    withFewPartitions(s, 4) {
-      while (!converged) {
-        val prop = labels.join(edges, col("node") === col("src"))
-          .select(col("dst").as("node"), col("label"))
-        val next = labels.union(prop)
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sm = Option(next.agg(sum(col("label"))).first().get(0))
-          .fold(0L)(_.asInstanceOf[Long])
-        converged = prevSum.contains(sm)
-        prevSum = Some(sm)
-        labels = next
-      }
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    // the edge graph is a small derived relation: run the iterative
+    // loop at few partitions (per-round task overhead dominates)
+    val labels = withFewPartitions(s, 4) {
+      graft.functions.ConnectedComponents.run(s, ed)
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
