@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Reusable near-duplicate-detection operators over a text corpus —
+  * the library form of the dedup pipeline the check queries exercise
+  * (exact Jaccard verification, MinHash signatures, LSH banding).
+  *
+  * Everything is codegen'd built-ins (explode + flat projections +
+  * relational aggregates; no interpreted higher-order lambdas on hot
+  * paths) and all hashing is md5, so results are deterministic across
+  * runs, retries, and engines.
+  *
+  * Scale contract (100 TB): `lshCandidatePairs` is the candidate
+  * generator — one shuffle keyed on (band, band-signature), cost
+  * O(docs × hashes), never O(docs²). `jaccardPairs` is the exhaustive
+  * verifier — quadratic in co-shingled docs by definition — and at
+  * scale runs only over candidate pairs (`lshVerifiedPairs`), not the
+  * whole corpus.
+  */
+object TextDedup {
+
+  /** Whitespace tokens, empties dropped — codegen'd (`array_remove`,
+    * not an interpreted `filter` lambda). */
+  def tokens(text: Column): Column =
+    array_remove(split(text, " "), "")
+
+  /** Adds a `w` token-array column. */
+  def withTokens(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("w", tokens(col(textCol)))
+
+  /** Distinct word n-gram shingles per document: (idCol, s).
+    *
+    * Explode + flat projection + relational distinct rather than a
+    * `transform(sequence(...), …)` lambda: higher-order array functions
+    * are interpreted (no WholeStageCodegen, measured ~10× slower);
+    * this form is fully codegen'd and the distinct is one hash
+    * aggregate. */
+  def shingles(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    require(n >= 1)
+    val gram = (0 until n)
+      .map(k => if (k == 0) "w[i]" else s"w[i+$k]")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    withTokens(df, textCol)
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), col("w"),
+        explode(expr(s"sequence(0, size(w) - $n)")).as("i"))
+      .select(col(idCol), expr(gram).as("s"))
+      .distinct()
+  }
+
+  /** Shingle count per document (the |A| and |B| of the Jaccard union). */
+  def sizes(sh: DataFrame, idCol: String = "doc_id"): DataFrame =
+    sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+
+  /** Shingles restricted to those appearing in more than one doc — the
+    * only ones that can contribute to a pair, so pairwise self-joins
+    * never shuffle the full shingle relation. The hot set is
+    * proportional to the near-dup rate (tiny for real corpora), hence
+    * the broadcast; a corpus with a huge dup rate would drop the hint
+    * and let AQE pick the join. Pair-producing shingles all survive by
+    * construction, so downstream pair/common counts are unchanged.
+    *
+    * The hot set is persisted: it is referenced from both sides of
+    * every pair join, and its aggregate is the one full shuffle here. */
+  def pairableShingles(sh: DataFrame): DataFrame = {
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select(col("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // a USING join puts the join column first — restore (doc_id, s) so
+    // positional toDF renames downstream stay correct
+    sh.join(broadcast(hot), Seq("s"), "leftsemi")
+      .select(col("doc_id"), col("s"))
+  }
+
+  /** Exhaustive near-dup pairs with Jaccard >= num/den, in integer
+    * arithmetic (den·common >= num·union) so there is no float
+    * boundary: (d1, d2, common, n1, n2) with d1 < d2. */
+  def jaccardPairs(sh: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
+    val sz = sizes(sh)
+    val pairable = pairableShingles(sh)
+    val a = pairable.toDF("d1", "s")
+    val b = pairable.toDF("d2", "s2")
+    a.join(b, a("s") === b("s2") && a("d1") < b("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+      .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
+      .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
+      .filter(lit(den) * col("common") >=
+        lit(num) * (col("n1") + col("n2") - col("common")))
+      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"))
+  }
+
+  /** MinHash signatures: hash_i(shingle) = md5(i || ':' || shingle),
+    * signature_i = min over the doc's shingles. All `numHashes`
+    * signatures come out of ONE aggregation pass (`numHashes` min()
+    * columns): no row explosion, no (doc, i) shuffle, no
+    * collect_list/sort band assembly. Returns (doc_id, mh0..mhK). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 12): DataFrame = {
+    val mhCols = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** LSH banding of minhash signatures: band signature = md5 of the
+    * band's minhashes joined — (doc_id, band, sig), one row per band. */
+  def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+        col(s"mh${rowsPerBand * b + r}")): _*)).as(s"sig$b")
+    }
+    val stackArgs = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .selectExpr("doc_id", s"stack($bands, $stackArgs) AS (band, sig)")
+  }
+
+  /** Candidate pairs = distinct doc pairs sharing any band bucket:
+    * one shuffle keyed on (band, sig) — the scale path. */
+  def lshCandidatePairs(sh: DataFrame, numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val b = lshBands(minhashSignatures(sh, numHashes), bands, numHashes / bands)
+    val ba = b.toDF("d1", "band", "sig")
+    val bb = b.toDF("d2", "band2", "sig2")
+    ba.join(bb, col("band") === col("band2") && col("sig") === col("sig2")
+        && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** LSH candidates verified with exact integer Jaccard >= num/den —
+    * the full two-tier dedup operator: (d1, d2). The verify join runs
+    * on the pairable shingle subset (common-shingle counting only ever
+    * matches shingles present in both docs of a pair). */
+  def lshVerifiedPairs(sh: DataFrame, numHashes: Int = 12, bands: Int = 4,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    val cand = lshCandidatePairs(sh, numHashes, bands)
+    val sz = sizes(sh)
+    val pairable = pairableShingles(sh)
+    val common = cand
+      .join(pairable.toDF("d1k", "s1"), col("d1") === col("d1k"))
+      .join(pairable.toDF("d2k", "s2"),
+        col("d2") === col("d2k") && col("s2") === col("s1"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    common
+      .join(sz.toDF("n1k", "n1"), col("d1") === col("n1k"))
+      .join(sz.toDF("n2k", "n2"), col("d2") === col("n2k"))
+      .filter(lit(den) * col("common") >=
+        lit(num) * (col("n1") + col("n2") - col("common")))
+      .select(col("d1"), col("d2"))
+  }
+}

@@ -27,47 +27,15 @@ import graft.core.Tables
 object DataPipelineQueries {
   import QueryDef._
 
-  /** Whitespace tokens, empties dropped — the tokenization contract shared
-    * with the DuckDB oracle (string_split + list_filter). */
-  private val tokensCol: Column = expr("array_remove(split(text, ' '), '')")
-
+  /** Whitespace tokens, empties dropped — the tokenization contract
+    * shared with the DuckDB oracle (string_split + list_filter). The
+    * operators themselves live in graft.functions.TextDedup; these
+    * queries are its oracle-checked exercises. */
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).withColumn("w", tokensCol)
+    graft.functions.TextDedup.withTokens(Tables.documents(s, d))
 
-  /** Distinct word 3-gram shingles per doc.
-    *
-    * Deliberately explode + flat projection + relational distinct rather
-    * than a `transform(sequence(...), i -> ...)` lambda: higher-order
-    * array functions are interpreted (no WholeStageCodegen), measured
-    * ~10× slower; the exploded form is fully codegen'd and the distinct
-    * is one hash aggregate. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    docsWithTokens(s, d)
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("w"),
-        explode(expr("sequence(0, size(w) - 3)")).as("i"))
-      .select(col("doc_id"),
-        expr("concat_ws(' ', w[i], w[i+1], w[i+2])").as("s"))
-      .distinct()
-
-  /** Shingles restricted to those appearing in more than one doc — the
-    * only ones that can contribute to a candidate pair, so the pairwise
-    * self-joins never shuffle the full shingle relation. The hot set is
-    * proportional to the near-dup rate (tiny for real corpora), hence
-    * the broadcast; a corpus with a huge dup rate would drop the hint
-    * and let AQE pick the join. Pair-producing shingles all survive by
-    * construction, so downstream pair/common counts are unchanged. */
-  private def pairableShingles(sh: DataFrame): DataFrame = {
-    // persist the hot set: it is referenced from both sides of every
-    // pair join, and its aggregate is the one full shuffle here
-    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") > 1).select(col("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // a USING join puts the join column first — restore (doc_id, s) so
-    // positional toDF renames downstream stay correct
-    sh.join(broadcast(hot), Seq("s"), "leftsemi")
-      .select(col("doc_id"), col("s"))
-  }
+    graft.functions.TextDedup.shingles(Tables.documents(s, d))
 
   /** Run `body` with a temporarily lowered shuffle-partition count —
     * for iterative driver loops over small derived relations (e.g. the
@@ -187,17 +155,7 @@ object DataPipelineQueries {
     // sizes); persist it so the text explode runs once, not three times
     val sh = shingles(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairable = pairableShingles(sh)
-    val a = pairable.toDF("d1", "s")
-    val b = pairable.toDF("d2", "s2")
-    val pairs = a.join(b, a("s") === b("s2") && a("d1") < b("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-    pairs
-      .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
-      .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
-      .filter(lit(5) * col("common") >= lit(4) * (col("n1") + col("n2") - col("common")))
-      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"))
+    graft.functions.TextDedup.jaccardPairs(sh, num = 4, den = 5)
   }
 
   /** Dedup clustering: connected components over the near-dup pair
@@ -229,15 +187,7 @@ object DataPipelineQueries {
        FROM walk GROUP BY node""") { (s, d) =>
     val sh = shingles(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairable = pairableShingles(sh)
-    val a = pairable.toDF("d1", "s")
-    val b = pairable.toDF("d2", "s2")
-    val ed = a.join(b, a("s") === b("s2") && a("d1") < b("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-      .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
-      .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
-      .filter(lit(5) * col("common") >= lit(4) * (col("n1") + col("n2") - col("common")))
+    val ed = graft.functions.TextDedup.jaccardPairs(sh, num = 4, den = 5)
       .select(col("d1").as("src"), col("d2").as("dst"))
     // the edge graph is a small derived relation: run the iterative
     // loop at few partitions (per-round task overhead dominates)
@@ -282,39 +232,8 @@ object DataPipelineQueries {
     // sizes) — persist to compute the explode+distinct once
     val sh = shingles(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // all 12 minhashes in ONE aggregation pass (12 min() columns): no
-    // 12× row explosion, no (doc, i) shuffle, no collect_list/sort
-    // band assembly — the same signatures, one hash aggregate
-    val mhCols = (0 until 12).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-    val bandCols = (0 until 4).map { b =>
-      md5(concat_ws("|", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
-        col(s"mh${3 * b + 2}"))).as(s"sig$b")
-    }
-    val bands = sigs.select(col("doc_id") +: bandCols: _*)
-      .selectExpr("doc_id",
-        "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
-    val ba = bands.toDF("d1", "band", "sig")
-    val bb = bands.toDF("d2", "band2", "sig2")
-    val cand = ba.join(bb,
-        col("band") === col("band2") && col("sig") === col("sig2")
-          && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // common-shingle counting only ever matches shingles present in both
-    // docs of a pair, so the verify join runs on the pairable subset
-    val pairable = pairableShingles(sh)
-    val common = cand
-      .join(pairable.toDF("d1k", "s1"), col("d1") === col("d1k"))
-      .join(pairable.toDF("d2k", "s2"),
-        col("d2") === col("d2k") && col("s2") === col("s1"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-    common
-      .join(sz.toDF("n1k", "n1"), col("d1") === col("n1k"))
-      .join(sz.toDF("n2k", "n2"), col("d2") === col("n2k"))
-      .filter(lit(5) * col("common") >= lit(4) * (col("n1") + col("n2") - col("common")))
-      .select(col("d1"), col("d2"))
+    graft.functions.TextDedup.lshVerifiedPairs(sh,
+      numHashes = 12, bands = 4, num = 4, den = 5)
   }
 
   /** SimHash document fingerprint: 32 bits; bit p is the sign of the

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Unit tests for the TextDedup operators on tiny in-memory corpora —
+  * the oracle gate covers the 3-gram defaults end-to-end; these pin
+  * the parameterized forms and edge behavior. */
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def corpus(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: n-gram generality and short-doc exclusion") {
+    val df = corpus(
+      1L -> "a b c d",     // bigrams: a b, b c, c d
+      2L -> "x",           // too short for n=2
+      3L -> "a  b")        // double space collapses: one bigram
+    val got = TextDedup.shingles(df, n = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a b"), (1L, "b c"), (1L, "c d"), (3L, "a b")))
+  }
+
+  test("shingles are distinct per doc") {
+    val got = TextDedup.shingles(corpus(1L -> "a b a b a b"), n = 2)
+      .collect().map(_.getString(1)).sorted
+    assert(got.toSeq === Seq("a b", "b a"))
+  }
+
+  test("jaccardPairs finds exact duplicates and respects the threshold") {
+    val df = corpus(
+      1L -> "w1 w2 w3 w4 w5 w6",
+      2L -> "w1 w2 w3 w4 w5 w6",   // exact dup of 1
+      3L -> "z1 z2 z3 z4 z5 z6")   // disjoint
+    val pairs = TextDedup.jaccardPairs(TextDedup.shingles(df))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("lshVerifiedPairs agrees with exhaustive jaccardPairs here") {
+    val df = corpus(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      2L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 different",
+      4L -> "q1 q2 q3 q4 q5 q6 q7 q8")
+    val sh = TextDedup.shingles(df)
+    val exact = TextDedup.jaccardPairs(sh)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDedup.lshVerifiedPairs(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs share every band bucket, so recall is total here;
+    // verification guarantees precision
+    assert(lsh === exact)
+  }
+}
