@@ -301,43 +301,7 @@ object DataPipelineQueries {
          SELECT *, row_number() OVER (
            PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rn
          FROM p) t WHERE rn = 1""") { (s, d) =>
-    import s.implicits._
-    val vecs = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val all = vecs.collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(all)
-    vecs.mapPartitions { it =>
-      val cand = bc.value
-      // norms once per partition, ascending-index accumulation to match
-      // the oracle's list_sum order bit-for-bit
-      val norms = cand.map { case (_, v) =>
-        var acc = 0.0; var i = 0
-        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(acc)
-      }
-      it.map { case (id, emb) =>
-        var acc = 0.0; var i = 0
-        while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
-        val na = math.sqrt(acc)
-        var bestSim = Double.NegativeInfinity
-        var bestId = Long.MaxValue
-        var j = 0
-        while (j < cand.length) {
-          val (cid, cv) = cand(j)
-          if (cid != id) {
-            var dot = 0.0; var k = 0
-            while (k < cv.length) { dot += emb(k).toDouble * cv(k).toDouble; k += 1 }
-            val sim = dot / (na * norms(j))
-            if (sim > bestSim || (sim == bestSim && cid < bestId)) {
-              bestSim = sim; bestId = cid
-            }
-          }
-          j += 1
-        }
-        (id, bestId, bestSim)
-      }
-    }.toDF("vec_id", "neighbor_id", "cosim")
+    graft.functions.VectorSearch.bruteForceCosineTop1(Tables.embeddings(s, d))
       .select(col("vec_id"), col("neighbor_id"), round(col("cosim"), 3).as("sim"))
   }
 
@@ -364,24 +328,7 @@ object DataPipelineQueries {
          SELECT *, row_number() OVER (
            PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rn
          FROM p) t WHERE rn = 1""") { (s, d) =>
-    graft.functions.VectorExpressions.register(s)
-    val e = Tables.embeddings(s, d)
-      .withColumn("bucket", expr(
-        """concat_ws('', transform(slice(embedding, 1, 6),
-           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"""))
-    val a = e.select(col("vec_id"), col("bucket"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("neighbor_id"),
-      col("bucket").as("bucket2"), col("embedding").as("eb"))
-    // cosine via the codegen'd native expression (graft.functions.
-    // CosineSimilarity): same double arithmetic as the oracle —
-    // ascending multiply-add, sqrt-normalize — but inside
-    // WholeStageCodegen instead of interpreted array lambdas
-    val pairs = a.join(b,
-        col("bucket") === col("bucket2") && col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosim", expr("cosine_sim(ea, eb)"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosim").desc, col("neighbor_id"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    graft.functions.VectorSearch.bucketedCosineTop1(Tables.embeddings(s, d))
       .select(col("vec_id"), col("bucket"), col("neighbor_id"),
         round(col("cosim"), 3).as("sim"))
   }
@@ -680,38 +627,8 @@ object DataPipelineQueries {
          FROM n a JOIN n b ON a.vec_id < b.vec_id)
        SELECT keep_id, dup_id, round(cosim, 3) AS sim
        FROM p WHERE cosim >= 0.5""") { (s, d) =>
-    import s.implicits._
-    val vecs = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-    val all = vecs.collect().sortBy(_._1)
-    val bc = s.sparkContext.broadcast(all)
-    vecs.mapPartitions { it =>
-      val cand = bc.value
-      val norms = cand.map { case (_, v) =>
-        var acc = 0.0; var i = 0
-        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(acc)
-      }
-      it.flatMap { case (id, emb) =>
-        var acc = 0.0; var i = 0
-        while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
-        val na = math.sqrt(acc)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var j = 0
-        while (j < cand.length) {
-          val (cid, cv) = cand(j)
-          if (cid > id) {
-            var dot = 0.0; var k = 0
-            while (k < cv.length) { dot += emb(k).toDouble * cv(k).toDouble; k += 1 }
-            val sim = dot / (na * norms(j))
-            if (sim >= 0.5) out += ((id, cid, sim))
-          }
-          j += 1
-        }
-        out
-      }
-    }.toDF("keep_id", "dup_id", "cosim")
+    graft.functions.VectorSearch
+      .cosineThresholdPairs(Tables.embeddings(s, d), minSim = 0.5)
       .select(col("keep_id"), col("dup_id"), round(col("cosim"), 3).as("sim"))
   }
 
