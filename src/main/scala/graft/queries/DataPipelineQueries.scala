@@ -565,8 +565,8 @@ object DataPipelineQueries {
   val sampleHash = sql("sample_hash",
     """SELECT event_id, event_type FROM events
        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'""") { (s, d) =>
-    Tables.events(s, d)
-      .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "0")
+    graft.functions.Sampling
+      .hashSample(Tables.events(s, d), col("event_id"), sixteenths = 1)
       .select(col("event_id"), col("event_type"))
   }
 
@@ -581,11 +581,7 @@ object DataPipelineQueries {
            ELSE 'test' END AS split
          FROM documents) t GROUP BY split""") { (s, d) =>
     Tables.documents(s, d)
-      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
-      .withColumn("split",
-        when(col("h").between("0", "b"), "train")
-          .when(col("h").isin("c", "d"), "val")
-          .otherwise("test"))
+      .withColumn("split", graft.functions.Sampling.splitColumn(col("doc_id")))
       .groupBy(col("split")).agg(count(lit(1)).as("cnt"))
   }
 
@@ -598,10 +594,8 @@ object DataPipelineQueries {
            PARTITION BY event_type
            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
          FROM events) t WHERE rn <= 20""") { (s, d) =>
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
-    Tables.events(s, d)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+    graft.functions.Sampling.stratified(Tables.events(s, d),
+        stratum = col("event_type"), key = col("event_id"), perStratum = 20)
       .select(col("event_type"), col("event_id"))
   }
 
