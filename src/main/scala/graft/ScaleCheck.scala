@@ -67,32 +67,13 @@ object ScaleCheck {
       docs.select(explode(expr("array_remove(split(text, ' '), '')")).as("w"))
         .groupBy(col("w")).agg(count(lit(1))).count()
     }
-    // LSH candidate generation + verify (the dedup scale path)
+    // LSH candidate generation (the dedup scale path) — drives the
+    // library operator, so the probe measures what the product ships
     time("minhash_lsh") {
-      val sh = docs
-        .withColumn("w", expr("array_remove(split(text, ' '), '')"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), col("w"),
-          explode(expr("sequence(0, size(w) - 3)")).as("i"))
-        .select(col("doc_id"),
-          expr("concat_ws(' ', w[i], w[i+1], w[i+2])").as("s"))
-        .distinct()
+      val sh = graft.functions.TextDedup.shingles(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mhCols = (0 until 12).map(i =>
-        min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
-      val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-      val bandCols = (0 until 4).map { b =>
-        md5(concat_ws("|", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
-          col(s"mh${3 * b + 2}"))).as(s"sig$b")
-      }
-      val bands = sigs.select(col("doc_id") +: bandCols: _*)
-        .selectExpr("doc_id",
-          "stack(4, 0, sig0, 1, sig1, 2, sig2, 3, sig3) AS (band, sig)")
-      val n = bands.toDF("d1", "band", "sig")
-        .join(bands.toDF("d2", "band2", "sig2"),
-          col("band") === col("band2") && col("sig") === col("sig2")
-            && col("d1") < col("d2"))
-        .select("d1", "d2").distinct().count()
+      val n = graft.functions.TextDedup
+        .lshCandidatePairs(sh, numHashes = 12, bands = 4).count()
       sh.unpersist()
       n
     }
@@ -101,14 +82,7 @@ object ScaleCheck {
     // keeps selecting ~1/7 of every copy) — a worst case: real
     // decontamination holds the benchmark fixed while the corpus grows
     time("decontaminate") {
-      val g5 = docs
-        .withColumn("w", expr("array_remove(split(text, ' '), '')"))
-        .filter(size(col("w")) >= 5)
-        .select(col("doc_id"), col("w"),
-          explode(expr("sequence(0, size(w) - 5)")).as("i"))
-        .select(col("doc_id"),
-          expr("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])").as("s"))
-        .distinct()
+      val g5 = graft.functions.TextDedup.shingles(docs, n = 5)
       // unpersisted on purpose: the disjoint %7 filters push below the
       // explode+distinct, splitting the corpus between the branches
       val bench = g5.filter(col("doc_id") % 7 === 0).select(col("s"))
@@ -127,16 +101,7 @@ object ScaleCheck {
         .count()
     }
     time("ann_bucketed") {
-      graft.functions.VectorExpressions.register(spark)
-      val e = emb.withColumn("bucket", expr(
-        """concat_ws('', transform(slice(embedding, 1, 6),
-           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))"""))
-      val a = e.select(col("vec_id"), col("bucket"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("v2"), col("bucket").as("b2"),
-        col("embedding").as("eb"))
-      a.join(b, col("bucket") === col("b2") && col("vec_id") =!= col("v2"))
-        .withColumn("cs", expr("cosine_sim(ea, eb)"))
-        .groupBy(col("vec_id")).agg(max(col("cs"))).count()
+      graft.functions.VectorSearch.bucketedCosineTop1(emb).count()
     }
 
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
