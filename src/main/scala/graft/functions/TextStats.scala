@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis operators: language ID, normalization,
+  * and content fingerprinting. All deterministic (md5 hashing, integer
+  * votes with explicit precedence) so results are identical across
+  * runs, retries, and engines. The aggregate-shaped text recipes
+  * (quality features, TF-IDF, repetition rate) live as check queries —
+  * they are pipelines over these columns, not single columns.
+  */
+object TextStats {
+
+  /** Count of tokens in the named token-array column that appear in
+    * the stopword list — the vote basis for language ID. */
+  def stopwordHits(wColName: String, words: Seq[String]): Column = {
+    val arr = words.map(s => s"'$s'").mkString(", ")
+    expr(s"size(filter($wColName, x -> array_contains(array($arr), x)))")
+  }
+
+  /** Heuristic language ID by stopword-set voting: `langs` lists
+    * (code, stopwords) in PRECEDENCE order — the first language whose
+    * hit count is >= every later language's wins; no hits at all is
+    * `undCode`. Deterministic by construction (ties resolve to the
+    * earlier language). */
+  def languageId(wColName: String, langs: Seq[(String, Seq[String])],
+      undCode: String = "und"): Column = {
+    require(langs.nonEmpty)
+    val hits = langs.map { case (code, words) =>
+      code -> stopwordHits(wColName, words) }
+    val allZero = hits.map(_._2 === 0).reduce(_ && _)
+    val ranked = hits.zipWithIndex.init.foldRight(lit(hits.last._1)) {
+      case ((((code, h)), i), otherwise) =>
+        val later = hits.drop(i + 1).map(_._2)
+        when(later.map(h >= _).reduce(_ && _), code).otherwise(otherwise)
+    }
+    when(allZero, undCode).otherwise(ranked)
+  }
+
+  /** Canonicalization preceding exact dedup: lowercase, collapse runs
+    * of spaces, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), " +", " "))
+
+  /** Winnowing-style content fingerprint: the minimum md5 over all
+    * k-char shingles of the text. Near-identical texts share most
+    * shingles, so they collide on the minimum with high probability —
+    * grouping on the fingerprint is a cheap near-dup pre-cluster. */
+  def minFingerprint(textColName: String, k: Int = 5): Column =
+    expr(s"""array_min(transform(
+         sequence(1, greatest(length($textColName) - ${k - 1}, 1)),
+         i -> md5(substring($textColName, i, $k))))""")
+}

@@ -366,16 +366,8 @@ object DataPipelineQueries {
                ELSE 'fr' END AS pred_lang
         FROM h""") { (s, d) =>
     docsWithTokens(s, d)
-      .withColumn("he", expr(hitsExpr(stopEn)))
-      .withColumn("hs", expr(hitsExpr(stopEs)))
-      .withColumn("hd", expr(hitsExpr(stopDe)))
-      .withColumn("hf", expr(hitsExpr(stopFr)))
-      .withColumn("pred_lang",
-        when(col("he") === 0 && col("hs") === 0 && col("hd") === 0 && col("hf") === 0, "und")
-          .when(col("hd") >= col("he") && col("hd") >= col("hs") && col("hd") >= col("hf"), "de")
-          .when(col("he") >= col("hs") && col("he") >= col("hf"), "en")
-          .when(col("hs") >= col("hf"), "es")
-          .otherwise("fr"))
+      .withColumn("pred_lang", graft.functions.TextStats.languageId("w",
+        Seq("de" -> stopDe, "en" -> stopEn, "es" -> stopEs, "fr" -> stopFr)))
       .select(col("doc_id"), col("pred_lang"))
   }
 
@@ -460,7 +452,7 @@ object DataPipelineQueries {
        md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_sig,
        length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_len
        FROM documents""") { (s, d) =>
-    val norm = trim(regexp_replace(lower(col("text")), " +", " "))
+    val norm = graft.functions.TextStats.normalize(col("text"))
     Tables.documents(s, d).select(col("doc_id"),
       md5(norm).as("norm_sig"), length(norm).cast("long").as("norm_len"))
   }
@@ -513,8 +505,7 @@ object DataPipelineQueries {
          i -> md5(substr(text, CAST(i AS INT), 5))), 'min') AS fp
        FROM documents""") { (s, d) =>
     Tables.documents(s, d).select(col("doc_id"),
-      expr("""array_min(transform(sequence(1, greatest(length(text) - 4, 1)),
-              i -> md5(substring(text, i, 5))))""").as("fp"))
+      graft.functions.TextStats.minFingerprint("text", k = 5).as("fp"))
   }
 
   /** TF-IDF-style top-3 terms per document. idf is the *rational* form
