@@ -1,11 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.Locale
 
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   * A warmup pass absorbs JVM/codegen/classloading cost so per-query
-  * numbers reflect steady-state execution. */
+  * numbers reflect steady-state execution.
+  *
+  * The round driver records only the LAST 2000 bytes of stdout, so the
+  * printed line must fit in that window to be machine-parseable
+  * (BENCH_r01/r02 both recorded `parsed: null` because the full
+  * 117-query map overflows it). Strategy: the complete per-query map is
+  * written to BENCH_FULL.json; the stdout line carries the total plus as
+  * many of the slowest queries as fit the budget, with an `omitted`
+  * count for the rest.
+  */
 object Bench {
+  private val LineBudget = 1900 // bytes; driver tail keeps last 2000
+
+  private def fmt(v: Double): String = "%.3f".formatLocal(Locale.US, v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,12 +44,28 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()
-    // Print the result line AFTER spark.stop() so no executor/session
-    // shutdown logging can land between it and end-of-stream.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision record for the repo (survives the tail window).
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+
+    // Compact stdout line: keep the slowest queries, drop the fastest
+    // until the serialized line fits the driver's tail window.
+    def line(kept: Seq[(String, Double)]): String = {
+      val qs = kept.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"omitted":${results.size - kept.size},"full":"BENCH_FULL.json","queries":$qs,"sf":"$sfDir"}"""
+    }
+    var kept = results.sortBy(-_._2)
+    while (kept.nonEmpty && line(kept).length > LineBudget) kept = kept.dropRight(1)
+    // Print AFTER spark.stop() so no shutdown logging lands after it.
+    println(line(kept))
   }
 }
