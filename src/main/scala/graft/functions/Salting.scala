@@ -42,4 +42,19 @@ object Salting {
       .groupBy(col("k"))
       .agg(sum(col("_partial")).as("cnt"))
   }
+
+  /** Two-stage salted SUM: stage 1 sums per (key, salt), stage 2 merges
+    * the `salts` partials per key — a hot key's rows spread over `salts`
+    * reducers instead of one. Decimal/integer sums are associative, so
+    * the result is exactly the unsalted `sum`. Returns (k, total) with
+    * the value's widened sum type (caller casts). */
+  def saltedSum(df: DataFrame, key: Column, value: Column,
+      salts: Int): DataFrame = {
+    require(salts > 0)
+    df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+      .groupBy(key.as("k"), col("_salt"))
+      .agg(sum(value).as("_partial"))
+      .groupBy(col("k"))
+      .agg(sum(col("_partial")).as("total"))
+  }
 }

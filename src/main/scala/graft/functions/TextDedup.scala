@@ -93,6 +93,30 @@ object TextDedup {
       .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"))
   }
 
+  /** Cluster representatives ("keep best"): given connected-component
+    * labels (node, label) over the near-dup graph and a per-document
+    * score, keep the highest-scoring doc per cluster (id tiebreak) —
+    * the soft-dedup policy that keeps the best copy instead of the
+    * first. Returns (cluster_id, rep_id, rep_score, sz).
+    *
+    * One shuffle: both window functions share the cluster-id
+    * partitioning, so rank and cluster size come out of a single
+    * exchange+sort. */
+  def clusterRepresentatives(labels: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = labels.join(
+      docs.select(col(idCol).as("node"), col(scoreCol).as("score")), Seq("node"))
+    val byCluster = Window.partitionBy(col("label"))
+    val w = byCluster.orderBy(col("score").desc, col("node"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("label").as("cluster_id"), col("node").as("rep_id"),
+        col("score").as("rep_score"), col("sz"))
+  }
+
   /** MinHash signatures: hash_i(shingle) = md5(i || ':' || shingle),
     * signature_i = min over the doc's shingles. All `numHashes`
     * signatures come out of ONE aggregation pass (`numHashes` min()

@@ -107,6 +107,53 @@ object VectorSearch {
     expr(s"""concat_ws('', transform(slice($embCol, 1, $dims),
          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))""")
 
+  /** IVF cell assignment with data-derived centroids: the first
+    * `numCentroids` vectors by id act as the coarse codebook (the
+    * deterministic stand-in for a trained k-means codebook — swapping
+    * in learned centroids changes nothing downstream), and every
+    * vector goes to its max-cosine centroid (centroid-id tiebreak).
+    *
+    * Execution shape is the real IVF one: the codebook is broadcast,
+    * assignment is a broadcast nested-loop scan (numCentroids ≪ n, so
+    * cost is O(n·k) inside codegen via CosineSimilarity), and the
+    * argmax is one window over the (tiny) per-vector candidate set.
+    * Returns (vec_id, embedding, cell). */
+  def ivfAssign(df: DataFrame, numCentroids: Int = 8): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    val cents = df.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    df.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(embedding, cemb)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+  }
+
+  /** IVF cosine top-1: assign to centroid cells, then search only
+    * within the vector's own cell — the single-probe IVF query. The
+    * candidate join is an equi join on the cell id (one shuffle, never
+    * a cross product); at scale nprobe>1 means unioning a few cell
+    * keys per query vector, same plan shape. Returns (vec_id, cell,
+    * neighbor_id, cosim); vectors alone in their cell are absent. */
+  def ivfCosineTop1(df: DataFrame, numCentroids: Int = 8): DataFrame = {
+    val assigned = ivfAssign(df, numCentroids)
+      // both sides of the in-cell self-join need the SAME assignment
+      // rows — persist so the broadcast argmax runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("vec_id"), col("cell"), col("embedding").as("ea"))
+    val b = assigned.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell2"), col("embedding").as("eb"))
+    val pairs = a.join(b,
+        col("cell") === col("cell2") && col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosim", expr("cosine_sim(ea, eb)"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosim").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("neighbor_id"), col("cosim"))
+  }
+
   /** Bucketed (IVF-style) cosine top-1: search only within the
     * vector's own bucket — the candidate space shrinks by the bucket
     * fan-out, and the join is an equi join on the bucket key (one

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{ConnectedComponents, QualityFilters, TextDedup, VectorSearch}
+
+/** Round-3 training-data pipeline operators: the sequential quality
+  * funnel (C4/Gopher-style rule chain), keep-best soft dedup (cluster
+  * representative by quality instead of first-id), and the
+  * centroid-codebook IVF ANN path (the trained-quantizer upgrade of
+  * the sign-bucket variant).
+  */
+object DataPipelineQueries2 {
+  import QueryDef._
+
+  private def withFewPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
+  /** Same shingle CTE as DataPipelineQueries (shared plan fragment on
+    * the Spark side hits the same cache). */
+  private val shingleCte =
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-1, 1))) AS i) t)"""
+
+  private val stopAll = Seq(
+    "the", "a", "of", "and", "to", "in",          // en
+    "el", "la", "los", "de", "y", "que",           // es
+    "der", "die", "das", "und", "ein", "ist",      // de
+    "le", "les", "des", "et", "un", "une")         // fr
+
+  /** Sequential quality-filter funnel: how many documents survive each
+    * rule of the chain (min length → mean token length → has stopwords
+    * → declared-language filter). One codegen'd aggregate over one
+    * scan regardless of rule count — the per-rule accounting a corpus
+    * pipeline reports after every filtering run. */
+  val qualityFunnel = sql("quality_funnel",
+    s"""WITH w AS (
+          SELECT doc_id, lang,
+            list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents),
+        f AS (SELECT
+          len(w) >= 20 AS r1,
+          floor(length(array_to_string(w, '')) * 100.0
+            / greatest(len(w), 1)) BETWEEN 300 AND 799 AS r2,
+          len(list_filter(w, x -> x IN (${stopAll.map(w => s"'$w'").mkString(", ")}))) >= 1 AS r3,
+          lang = 'en' AS r4
+          FROM w),
+        agg AS (SELECT
+          CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+          CAST(SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+          CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+          FROM f)
+        SELECT CAST(1 AS BIGINT) AS stage, 'min_tokens' AS rule, c1 AS n_pass FROM agg
+        UNION ALL SELECT 2, 'mean_token_len', c2 FROM agg
+        UNION ALL SELECT 3, 'has_stopwords', c3 FROM agg
+        UNION ALL SELECT 4, 'lang_en', c4 FROM agg""") { (s, d) =>
+    val docs = TextDedup.withTokens(Tables.documents(s, d))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("mwl_cc", QualityFilters.meanTokenLenCentichars(col("w")))
+      .withColumn("stop_hits",
+        graft.functions.TextStats.stopwordHits("w", stopAll))
+    QualityFilters.funnel(docs, Seq(
+      "min_tokens" -> (col("n_tokens") >= 20),
+      "mean_token_len" -> col("mwl_cc").between(300, 799),
+      "has_stopwords" -> (col("stop_hits") >= 1),
+      "lang_en" -> (col("lang") === "en")))
+  }
+
+  /** Keep-best soft dedup: cluster the near-dup graph (same Jaccard >=
+    * 0.8 edges as dedup_clusters), then keep the longest document per
+    * cluster (doc_id tiebreak) instead of the first — the quality-aware
+    * representative policy. The oracle re-walks the graph with a
+    * recursive CTE and picks the same argmax. */
+  val dedupKeepBest = sql("dedup_keep_best",
+    "WITH RECURSIVE" + shingleCte.stripPrefix("WITH") + """,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pr AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       ed AS (
+         SELECT d1, d2 FROM pr
+         JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+         WHERE 5 * common >= 4 * (x.n + y.n - common)),
+       edges AS (SELECT d1 AS src, d2 AS dst FROM ed
+                 UNION ALL SELECT d2, d1 FROM ed),
+       walk(node, label) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node),
+       cl AS (
+         SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(label) AS BIGINT) AS cluster_id
+         FROM walk GROUP BY node)
+       SELECT cluster_id, rep_id, rep_score, sz FROM (
+         SELECT cl.cluster_id, cl.doc_id AS rep_id, d.n_chars AS rep_score,
+           row_number() OVER (PARTITION BY cl.cluster_id
+             ORDER BY d.n_chars DESC, cl.doc_id) AS rn,
+           count(*) OVER (PARTITION BY cl.cluster_id) AS sz
+         FROM cl JOIN documents d ON d.doc_id = cl.doc_id) t
+       WHERE rn = 1""") { (s, d) =>
+    val sh = TextDedup.shingles(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ed = TextDedup.jaccardPairs(sh, num = 4, den = 5)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = withFewPartitions(s, 4) { ConnectedComponents.run(s, ed) }
+    TextDedup.clusterRepresentatives(labels, Tables.documents(s, d))
+  }
+
+  /** IVF ANN with a centroid codebook (single-probe): assign every
+    * vector to its max-cosine centroid, search top-1 within the cell.
+    * The deterministic codebook (first 8 vectors by id) stands in for
+    * a trained k-means codebook; the plan shape — broadcast codebook
+    * scan, equi join on cell id — is exactly the production IVF one. */
+  val annIvfTop1 = sql("ann_ivf_top1",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+             FROM n WHERE vec_id < 8),
+       asg AS (
+         SELECT vec_id, embedding, nrm, cid FROM (
+           SELECT a.vec_id, a.embedding, a.nrm, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               (list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+                / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+           FROM n a CROSS JOIN c) t WHERE rn = 1),
+       p AS (
+         SELECT a.vec_id, a.cid AS cell, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosim
+         FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+       SELECT vec_id, CAST(cell AS BIGINT) AS cell, neighbor_id,
+         round(cosim, 3) AS sim FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rn
+         FROM p) t WHERE rn = 1""") { (s, d) =>
+    VectorSearch.ivfCosineTop1(Tables.embeddings(s, d), numCentroids = 8)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("neighbor_id"), round(col("cosim"), 3).as("sim"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qualityFunnel, dedupKeepBest, annIvfTop1)
+}

@@ -4,7 +4,8 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ RelationalQueries2.all ++
-      MapReduceQueries.all ++ DataPipelineQueries.all ++
+      RelationalQueries3.all ++ MapReduceQueries.all ++
+      DataPipelineQueries.all ++ DataPipelineQueries2.all ++
       StreamingQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>

@@ -29,6 +29,19 @@ class SaltingSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("saltedSum equals a plain groupBy sum (decimal exactness)") {
+    val df = spark.range(5000)
+      .selectExpr("id % 3 AS k", "CAST(id AS DECIMAL(12,2)) / 100 AS v")
+    val plain = df.groupBy("k").agg(sum("v").as("total"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val salted = Salting.saltedSum(df, col("k"), col("v"), salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(salted.keySet === plain.keySet)
+    salted.foreach { case (k, v) =>
+      assert(v.compareTo(plain(k)) === 0, s"key $k")
+    }
+  }
+
   test("salted join spreads a hot key over multiple partitions") {
     val large = spark.range(1000).selectExpr("0L AS k", "id AS v")
     val small = spark.range(1).selectExpr("id AS k", "id AS w")

@@ -55,4 +55,18 @@ class TextDedupSpec extends AnyFunSuite {
     // verification guarantees precision
     assert(lsh === exact)
   }
+
+  test("clusterRepresentatives keeps the max-score doc per cluster") {
+    import spark.implicits._
+    // two clusters: {1,2,3} labeled 1, {10,11} labeled 10
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "label")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 2L))
+      .toDF("doc_id", "n_chars")
+    val reps = TextDedup.clusterRepresentatives(labels, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // score tie between 2 and 3 → lower doc_id wins
+    assert(reps === Set((1L, 2L, 9L, 3L), (10L, 10L, 4L, 2L)))
+  }
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class VectorSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.core.Tables.embeddings(spark, TestSpark.sfDir)
+
+  test("ivfAssign sends every vector to its max-cosine centroid") {
+    VectorExpressions.register(spark)
+    val assigned = VectorSearch.ivfAssign(emb, numCentroids = 4)
+    assert(assigned.count() === emb.count())
+    // recompute the argmax relationally and compare
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val best = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", expr("cosine_sim(embedding, cemb)"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+    val mismatches = assigned.select(col("vec_id"), col("cell").as("got"))
+      .join(best, "vec_id")
+      .filter(col("got") =!= col("cell")).count()
+    assert(mismatches === 0)
+  }
+
+  test("ivfCosineTop1 finds the exact in-cell nearest neighbor") {
+    val top = VectorSearch.ivfCosineTop1(emb, numCentroids = 4)
+    // soundness: neighbor is in the same cell and is the in-cell argmax
+    val assigned = VectorSearch.ivfAssign(emb, numCentroids = 4)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val a = assigned.toDF("vec_id", "cell", "ea")
+    val b = assigned.toDF("nid", "cell2", "eb")
+    val exact = a.join(b,
+        col("cell") === col("cell2") && col("vec_id") =!= col("nid"))
+      .withColumn("cs", expr("cosine_sim(ea, eb)"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("nid"), struct(col("cs"), -col("nid"))).as("want"))
+    val bad = top.join(exact, "vec_id")
+      .filter(col("neighbor_id") =!= col("want")).count()
+    assert(bad === 0)
+    assert(top.count() > 0)
+  }
+
+  test("ivf top-1 similarity is bounded by the brute-force top-1") {
+    val sample = emb.limit(60).cache()
+    val brute = VectorSearch.bruteForceCosineTop1(sample)
+      .select(col("vec_id"), col("cosim").as("brute_sim"))
+    val ivf = VectorSearch.ivfCosineTop1(sample, numCentroids = 4)
+      .select(col("vec_id"), col("cosim").as("ivf_sim"))
+    // an in-cell neighbor can never beat the global nearest neighbor
+    val violations = ivf.join(brute, "vec_id")
+      .filter(col("ivf_sim") > col("brute_sim") + lit(1e-12)).count()
+    assert(violations === 0)
+    sample.unpersist()
+  }
+}
