@@ -107,6 +107,28 @@ object VectorSearch {
     expr(s"""concat_ws('', transform(slice($embCol, 1, $dims),
          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))""")
 
+  /** Scalar quantization codes (the int8 compression pass a vector
+    * store runs after profiling): per-dimension min-max codes in
+    * [0, levels). Floats are fixed-pointed by floor(v·2^20) first —
+    * power-of-two scaling is IEEE-exact — so the whole code path is
+    * integer arithmetic: deterministic, order-independent, and
+    * engine-portable. Two linear passes: a 64-row per-dim stats
+    * aggregate (broadcast back) and the code projection; no shuffle of
+    * vector rows at all. Returns (vec_id, dim, code). */
+  def scalarQuantizeCodes(df: DataFrame, levels: Int = 256,
+      scale: Long = 1048576L): DataFrame = {
+    def fx = df
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        floor(col("v").cast("double") * scale).cast("long").as("fx"))
+    val stats = fx.groupBy(col("dim"))
+      .agg(min(col("fx")).as("mn"), max(col("fx")).as("mx"))
+    fx.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        expr(s"CAST(((fx - mn) * ${levels - 1}) DIV greatest(mx - mn, 1) AS INT)")
+          .as("code"))
+  }
+
   /** IVF cell assignment with data-derived centroids: the first
     * `numCentroids` vectors by id act as the coarse codebook (the
     * deterministic stand-in for a trained k-means codebook — swapping

@@ -157,5 +157,25 @@ object DataPipelineQueries2 {
         col("neighbor_id"), round(col("cosim"), 3).as("sim"))
   }
 
-  val all: Seq[QueryDef] = Seq(qualityFunnel, dedupKeepBest, annIvfTop1)
+  /** Int8 scalar quantization of the embedding table: per-dimension
+    * min-max codes over fixed-point components — the compression pass
+    * between profiling (emb_dim_stats) and indexing. All-integer
+    * arithmetic end to end, so codes are bit-identical across engines
+    * and accumulation orders. */
+  val embQuantize = sql("emb_quantize",
+    """WITH fx AS (
+         SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)
+             AS BIGINT) AS fx
+         FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+       st AS (SELECT dim, min(fx) AS mn, max(fx) AS mx FROM fx GROUP BY dim)
+       SELECT f.vec_id, f.dim,
+         CAST((f.fx - s.mn) * 255 // greatest(s.mx - s.mn, 1) AS INT) AS code
+       FROM fx f JOIN st s ON f.dim = s.dim""") { (s, d) =>
+    VectorSearch.scalarQuantizeCodes(Tables.embeddings(s, d))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qualityFunnel, dedupKeepBest, annIvfTop1, embQuantize)
 }

@@ -164,6 +164,39 @@ object RelationalQueries3 {
       .toDF("priority", "first3")
   }
 
+  /** General two-table as-of join (functions.AsOf): for each event,
+    * the user's most recent prior order. The right side is pre-reduced
+    * to one row per (key, time) — max orderkey — so the as-of match is
+    * deterministic on both engines (neither Spark's carry-forward nor
+    * DuckDB's ASOF JOIN promises a tiebreak among equal right times).
+    * One shuffle on the key; the window pass costs |L|+|R|. */
+  val joinAsOfEvents = sql("join_asof",
+    """WITH o AS (
+         SELECT o_custkey AS user_id, o_orderdate,
+           max(o_orderkey) AS o_orderkey
+         FROM orders GROUP BY 1, 2)
+       SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+         epoch_us(o.o_orderdate) AS asof_ts
+       FROM events e ASOF JOIN o
+         ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""") { (s, d) =>
+    // time columns go through epoch micros (the library's long/epoch
+    // contract): exact for both the µs event times and the midnight
+    // order dates, no timestamp-precision comparisons anywhere
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("unix_micros(ts)").as("ts"), col("event_id"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("user_id"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("ts"),
+        col("o_orderkey"))
+    graft.functions.AsOf.joinAsOf(ev, ord, "user_id", "ts", "o_orderkey")
+      .filter(col("asof_o_orderkey").isNotNull)
+      .select(col("event_id"),
+        col("asof_o_orderkey").as("asof_orderkey"), col("asof_ts"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    aggSaltedSum, scalarStruct, joinQ10, joinQ18, mrSecondarySort)
+    aggSaltedSum, scalarStruct, joinQ10, joinQ18, mrSecondarySort,
+    joinAsOfEvents)
 }

@@ -47,6 +47,20 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(top.count() > 0)
   }
 
+  test("scalarQuantizeCodes spans [0, 255] per dimension") {
+    val codes = VectorSearch.scalarQuantizeCodes(emb)
+    val byDim = codes.groupBy("dim")
+      .agg(min("code").as("lo"), max("code").as("hi"))
+      .collect()
+    assert(byDim.nonEmpty)
+    byDim.foreach { r =>
+      assert(r.getAs[Int]("lo") === 0)
+      // integer floor division maps the max fx to exactly levels-1
+      assert(r.getAs[Int]("hi") === 255)
+    }
+    assert(codes.count() === emb.count() * 64)
+  }
+
   test("ivf top-1 similarity is bounded by the brute-force top-1") {
     val sample = emb.limit(60).cache()
     val brute = VectorSearch.bruteForceCosineTop1(sample)
