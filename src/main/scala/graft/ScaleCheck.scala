@@ -103,6 +103,26 @@ object ScaleCheck {
     time("ann_bucketed") {
       graft.functions.VectorSearch.bucketedCosineTop1(emb).count()
     }
+    // IVF: assignment is O(n·k) broadcast work, search is an equi join
+    // on the cell id — both linear in rows for a fixed codebook
+    time("ann_ivf") {
+      graft.functions.VectorSearch.ivfCosineTop1(emb, numCentroids = 8).count()
+    }
+    // scalar quantization: per-dim stats (broadcast back) + a linear
+    // code projection — no shuffle of vector rows
+    time("emb_quantize") {
+      graft.functions.VectorSearch.scalarQuantizeCodes(emb).count()
+    }
+    // the rule funnel is a single scan + single aggregate at any rule
+    // count — the flattest possible scaling profile
+    time("quality_funnel") {
+      val d2 = graft.functions.TextDedup.withTokens(docs)
+      graft.functions.QualityFilters.funnel(d2, Seq(
+        "min_tokens" -> (size(col("w")) >= 20),
+        "has_en_stop" -> (graft.functions.TextStats.stopwordHits("w",
+          Seq("the", "a", "of", "and", "to", "in")) >= 1),
+        "lang_en" -> (col("lang") === "en"))).count()
+    }
 
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

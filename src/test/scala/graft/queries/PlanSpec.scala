@@ -166,4 +166,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("LeftOuter"), "missing days must come from the spine")
   }
+
+  test("quality_funnel is one scan + one aggregate, no data shuffle") {
+    val p = plan("quality_funnel")
+    // formatted explain names each scan twice (tree + details): count
+    // the Location lines, one per physical scan node
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).size === 1,
+      "every rule must ride the same single scan")
+    assert(!p.contains("hashpartitioning"),
+      "a global aggregate needs no hash exchange — partials meet at one partition")
+  }
+
+  test("join_q10: filters reach both fact scans, nation broadcasts, top-k avoids global sort") {
+    val p = plan("join_q10")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter must reach the lineitem scan")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date window must reach the orders scan")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must not materialize a global sort")
+  }
+
+  test("agg_salted_sum: both stages aggregate partially before their exchange") {
+    val p = plan("agg_salted_sum")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "two stages x partial/final halves")
+  }
+
+  test("emb_quantize broadcasts the per-dimension stats") {
+    val p = plan("emb_quantize")
+    assert(p.contains("BroadcastHashJoin"),
+      "64-row stats must broadcast — vector rows never shuffle")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("ann_ivf_top1: in-cell search is an equi join, never a cartesian") {
+    val p = plan("ann_ivf_top1")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("cosine_sim"),
+      "similarity must run through the codegen'd expression")
+  }
+
+  test("join_asof runs as one keyed window pass, not a join") {
+    val p = plan("join_asof")
+    assert(p.contains("Window"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "the as-of composition is union + carry-forward window — no pairwise join")
+  }
 }
