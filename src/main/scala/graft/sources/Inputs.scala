@@ -186,4 +186,22 @@ object Inputs {
     * (inputs/ConcatenatingInputReader.java:16). UNION ALL, no shuffle. */
   def concatenating(inputs: Seq[DataFrame]): DataFrame =
     inputs.reduce(_ unionByName _)
+
+  /** Newline-delimited JSON read — the inverse of Outputs.ndjson (the
+    * BigQuery load-job side of the reference's NDJSON export,
+    * outputs/BigQueryGoogleCloudStorageStoreOutput.java). With an
+    * explicit schema the scan skips inference (one pass, not two) —
+    * always pass one at scale. */
+  def ndjson(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read.json(path))(s => spark.read.schema(s).json(path))
+
+  /** Header-aware CSV read. Like ndjson: schema optional for
+    * exploration, explicit at scale (inference scans the data twice). */
+  def csv(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true")
+    schema.fold(base.option("inferSchema", "true").csv(path))(
+      s => base.schema(s).csv(path))
+  }
 }

@@ -88,4 +88,27 @@ class InputsSpec extends AnyFunSuite {
     val u = Inputs.concatenating(Seq(o.limit(10), o.limit(5)))
     assert(u.count() === 15)
   }
+
+  test("ndjson round-trips Outputs.ndjson with an explicit schema") {
+    val dir = "/tmp/graft-test-ndjson"
+    val src = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+    graft.sinks.Outputs.ndjson(src, dir)
+    val back = Inputs.ndjson(spark, dir, Some(src.schema))
+    assert(back.count() === src.count())
+    assert(back.schema === src.schema)
+    // values survive the encode/decode round trip
+    val a = src.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("csv reads back a header-ful csv with explicit schema") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test-csv"
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = Inputs.csv(spark, dir, Some(src.schema))
+    assert(back.orderBy("k").collect().map(_.toSeq).toSeq ===
+      src.orderBy("k").collect().map(_.toSeq).toSeq)
+  }
 }
