@@ -4,8 +4,10 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ RelationalQueries2.all ++
-      RelationalQueries3.all ++ MapReduceQueries.all ++
+      RelationalQueries3.all ++ RelationalQueries4.all ++
+      TpchQueries.all ++ MapReduceQueries.all ++
       DataPipelineQueries.all ++ DataPipelineQueries2.all ++
+      DataPipelineQueries3.all ++
       StreamingQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Fourth relational batch: boolean/bitwise aggregates, exact-moment
+  * linear regression and higher-moment shape statistics, and the
+  * correlated LATERAL join through the SQL interface.
+  *
+  * Moment-based statistics follow the agg_stats precedent: accumulate
+  * raw moments exactly (integer/decimal sums are associative and
+  * order-independent where float accumulation is not), then evaluate
+  * the closed-form formula as a fixed sequence of double operations —
+  * identical inputs + identical operation order = bit-identical output
+  * on both engines.
+  */
+object RelationalQueries4 {
+  import QueryDef._
+
+  private val Dec = "decimal(12,2)"
+
+  /** Boolean aggregates: ALL/ANY per group plus a filtered count — the
+    * predicate-summary surface (bool_and / bool_or / count_if). */
+  val aggBool = sql("agg_bool",
+    """SELECT o_orderpriority,
+         bool_and(o_totalprice > 1000.0) AS all_over_1k,
+         bool_or(o_orderstatus = 'F') AS any_finished,
+         CAST(count_if(o_totalprice > 50000.0) AS BIGINT) AS n_big
+       FROM orders GROUP BY o_orderpriority""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        bool_or(col("o_orderstatus") === "F").as("any_finished"),
+        count_if(col("o_totalprice") > 50000.0).as("n_big"))
+  }
+
+  /** Bitwise aggregates over integer keys: AND/OR/XOR fold per group.
+    * XOR is the useful one at scale — an order-independent checksum of
+    * a key set (the reference's counters are the same idea for counts). */
+  val aggBitagg = sql("agg_bitagg",
+    """SELECT l_returnflag,
+         bit_and(l_orderkey) AS key_and,
+         bit_or(l_orderkey) AS key_or,
+         bit_xor(l_orderkey) AS key_xor
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bit_and(col("l_orderkey")).as("key_and"),
+        bit_or(col("l_orderkey")).as("key_or"),
+        bit_xor(col("l_orderkey")).as("key_xor"))
+  }
+
+  /** Least-squares regression of price on quantity per return flag,
+    * from exact decimal raw moments (n, Σx, Σy, Σxy, Σx²):
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), then intercept from the
+    * slope — built-in regr_slope accumulates floats in partition order
+    * and is NOT reproducible across engines; the moment form is. */
+  val aggRegr = sql("agg_regr",
+    """SELECT l_returnflag,
+         round(CAST(n * sxy - sx * sy AS DOUBLE) /
+               CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         round((CAST(sy AS DOUBLE) -
+                CAST(n * sxy - sx * sy AS DOUBLE) /
+                CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n,
+               6) AS intercept
+       FROM (
+         SELECT l_returnflag, count(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+           SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+               CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+           SUM(CAST(l_quantity AS DECIMAL(12,2)) *
+               CAST(l_quantity AS DECIMAL(12,2))) AS sxx
+         FROM lineitem GROUP BY l_returnflag) m""") { (s, d) =>
+    val x = col("l_quantity").cast(Dec)
+    val y = col("l_extendedprice").cast(Dec)
+    val m = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("l_returnflag"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n"), 6).as("intercept"))
+  }
+
+  /** Skewness and excess kurtosis of quantity per return flag from
+    * exact INTEGER raw moments (quantity is integer-valued 1..50, so
+    * Σx..Σx⁴ are exact bigints at any accumulation order); the
+    * standardized central-moment formulas then run in doubles. */
+  val aggSkew = sql("agg_skew",
+    """SELECT l_returnflag,
+         round((CAST(s3 AS DOUBLE) / n
+                - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                + 2.0 * pow(CAST(s1 AS DOUBLE) / n, 3))
+               / pow(CAST(s2 AS DOUBLE) / n
+                     - pow(CAST(s1 AS DOUBLE) / n, 2), 1.5), 6) AS skew,
+         round((CAST(s4 AS DOUBLE) / n
+                - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                + 6.0 * pow(CAST(s1 AS DOUBLE) / n, 2) * (CAST(s2 AS DOUBLE) / n)
+                - 3.0 * pow(CAST(s1 AS DOUBLE) / n, 4))
+               / pow(CAST(s2 AS DOUBLE) / n
+                     - pow(CAST(s1 AS DOUBLE) / n, 2), 2) - 3.0, 6) AS kurt
+       FROM (
+         SELECT l_returnflag, count(*) AS n,
+           SUM(CAST(l_quantity AS BIGINT)) AS s1,
+           SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+           SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS s3,
+           SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+               * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+         FROM lineitem GROUP BY l_returnflag) m""") { (s, d) =>
+    val q = col("l_quantity").cast("bigint")
+    val m = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"),
+        sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+    val m1 = col("s1").cast("double") / col("n")
+    val m2 = col("s2").cast("double") / col("n")
+    val m3 = col("s3").cast("double") / col("n")
+    val m4 = col("s4").cast("double") / col("n")
+    val variance = m2 - pow(m1, 2)
+    m.select(col("l_returnflag"),
+      round((m3 - lit(3.0) * m1 * m2 + lit(2.0) * pow(m1, 3)) /
+        pow(variance, 1.5), 6).as("skew"),
+      round((m4 - lit(4.0) * m1 * m3 + lit(6.0) * pow(m1, 2) * m2 -
+        lit(3.0) * pow(m1, 4)) / pow(variance, 2) - lit(3.0), 6).as("kurt"))
+  }
+
+  /** Correlated LATERAL join through the SQL interface: for each
+    * region, the top-2 nations by customer count. Catalyst decorrelates
+    * the lateral subquery into a grouped aggregate + window rank —
+    * same plan the DataFrame topk_per_group builds by hand. */
+  val sqlLateralTopn = sql("sql_lateral_topn",
+    """SELECT r_name, n_name, n_cust
+       FROM region, LATERAL (
+         SELECT n_name, count(*) AS n_cust
+         FROM nation JOIN customer ON c_nationkey = n_nationkey
+         WHERE n_regionkey = r_regionkey
+         GROUP BY n_name
+         ORDER BY n_cust DESC, n_name LIMIT 2) t""") { (s, d) =>
+    Tables.region(s, d).createOrReplaceTempView("region")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT r_name, n_name, n_cust
+         FROM region, LATERAL (
+           SELECT n_name, count(*) AS n_cust
+           FROM nation JOIN customer ON c_nationkey = n_nationkey
+           WHERE n_regionkey = r_regionkey
+           GROUP BY n_name
+           ORDER BY n_cust DESC, n_name LIMIT 2) t""")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    aggBool, aggBitagg, aggRegr, aggSkew, sqlLateralTopn)
+}

@@ -208,6 +208,72 @@ class PlanSpec extends AnyFunSuite {
       "similarity must run through the codegen'd expression")
   }
 
+  test("tpch_q2: dims broadcast; the min-cost rank needs no extra exchange") {
+    val p = plan("tpch_q2")
+    assert(p.contains("BroadcastHashJoin"),
+      "supplier/nation/region and the filtered part list must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("EqualTo(p_size,15)"),
+      "part filters must reach the part scan")
+  }
+
+  test("tpch_q4: EXISTS plans as a semi join with the lateness residual") {
+    val p = plan("tpch_q4")
+    assert(p.contains("LeftSemi"), p.take(300))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date window must reach the orders scan")
+  }
+
+  test("tpch_q11: the global total broadcasts; no fact-side hash exchange for the compare") {
+    val p = plan("tpch_q11")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "one-row total must broadcast against the grouped relation")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both aggregates split partial/final")
+  }
+
+  test("tpch_q15: scalar max broadcasts; winner selection is map-side") {
+    val p = plan("tpch_q15")
+    // the one-row max may plan as BNLJ or as a broadcast cross BHJ —
+    // either way the revenue relation must not shuffle for the compare
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin Cross"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch_q16: complaint suppliers exclude via broadcast ANTI join") {
+    val p = plan("tpch_q16")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("tpch_q19: disjunctive residual rides the broadcast part join") {
+    val p = plan("tpch_q19")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tpch_q21: lateness flags come from grouped passes, never correlated probes") {
+    val p = plan("tpch_q21")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must not materialize a global sort")
+  }
+
+  test("vocab_oov: the vocabulary probes as a broadcast join") {
+    val p = plan("vocab_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      "top-100 vocab must broadcast; the token stream must not shuffle")
+  }
+
+  test("seq_pack: packing reuses the source partitioning for the batch aggregate") {
+    val p = plan("seq_pack")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
+      "window partitioning by source must satisfy the (source, batch) " +
+        "aggregate's distribution — no second exchange")
+  }
+
   test("join_asof runs as one keyed window pass, not a join") {
     val p = plan("join_asof")
     assert(p.contains("Window"))
