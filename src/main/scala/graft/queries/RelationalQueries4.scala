@@ -156,6 +156,77 @@ object RelationalQueries4 {
            ORDER BY n_cust DESC, n_name LIMIT 2) t""")
   }
 
+  /** Time-bounded moving window: 7-day trailing spend per customer via
+    * a RANGE frame over epoch days (integer bounds — Spark's
+    * rangeBetween is numeric, so event time becomes an exact epoch-day
+    * long on both engines; no interval-frame semantics to reconcile). */
+  val windowTimeRange = sql("window_time_range",
+    """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           PARTITION BY o_custkey ORDER BY epoch_day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+       FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           epoch_us(o_orderdate) // 86400000000 AS epoch_day
+         FROM orders) t""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("epoch_day",
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(Dec)).over(w).cast("double")
+          .as("spend_7d"))
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` =
+    * DuckDB `quantile_cont`: both sort the group and lerp between the
+    * two neighbors of rank (n-1)·p — quantity is integer-valued, so the
+    * lerp runs on exactly-representable doubles). */
+  val aggPercentile = sql("agg_percentile",
+    """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+         round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+         round(quantile_cont(l_quantity, 0.75), 6) AS p75
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_quantity, 0.50)"), 6).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"))
+  }
+
+  /** The native codegen'd expression surface through SQL: cosine_sim
+    * (functions.CosineSimilarity, also injectable cluster-wide via
+    * GraftExtensions) ranking pairs of the first 20 vectors — proves
+    * the registered function produces the same doubles as the oracle's
+    * ascending-index multiply-add formulation. */
+  val sqlExtensionCosine = sql("sql_extension_cosine",
+    """WITH e AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings WHERE vec_id < 20)
+       SELECT a.vec_id AS v1, b.vec_id AS v2,
+         round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+           / (a.nrm * b.nrm), 3) AS sim
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       ORDER BY sim DESC, v1, v2 LIMIT 5""") { (s, d) =>
+    graft.functions.VectorExpressions.register(s)
+    Tables.embeddings(s, d).filter(col("vec_id") < 20)
+      .createOrReplaceTempView("emb_small")
+    s.sql(
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(cosine_sim(a.embedding, b.embedding), 3) AS sim
+         FROM emb_small a JOIN emb_small b ON a.vec_id < b.vec_id
+         ORDER BY sim DESC, v1, v2 LIMIT 5""")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    aggBool, aggBitagg, aggRegr, aggSkew, sqlLateralTopn)
+    aggBool, aggBitagg, aggRegr, aggSkew, sqlLateralTopn,
+    windowTimeRange, aggPercentile, sqlExtensionCosine)
 }

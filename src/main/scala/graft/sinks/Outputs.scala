@@ -35,6 +35,12 @@ object Outputs {
   def ndjson[T](ds: Dataset[T], path: String): Unit =
     ds.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC write — columnar alternative to parquet with the same commit
+    * protocol, for consumers standardized on the ORC stack. */
+  def orc[T](ds: Dataset[T], path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    ds.write.mode(mode).orc(path)
+
   /** Derive the declared schema for a case class the way the reference
     * derives a BigQuery TableSchema by reflection. */
   def derivedSchema[T: TypeTag]: StructType =

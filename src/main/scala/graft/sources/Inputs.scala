@@ -204,4 +204,10 @@ object Inputs {
     schema.fold(base.option("inferSchema", "true").csv(path))(
       s => base.schema(s).csv(path))
   }
+
+  /** ORC scan — the second columnar format Spark ships natively.
+    * Schema rides in the file footer (no inference pass); predicate
+    * pushdown and column pruning work exactly as for parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -111,4 +111,14 @@ class InputsSpec extends AnyFunSuite {
     assert(back.orderBy("k").collect().map(_.toSeq).toSeq ===
       src.orderBy("k").collect().map(_.toSeq).toSeq)
   }
+
+  test("orc round-trips Outputs.orc with schema and values intact") {
+    val dir = "/tmp/graft-test-orc"
+    val src = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+    graft.sinks.Outputs.orc(src, dir)
+    val back = Inputs.orc(spark, dir)
+    assert(back.schema === src.schema)
+    assert(back.orderBy("n_nationkey").collect().map(_.toSeq).toSeq ===
+      src.orderBy("n_nationkey").collect().map(_.toSeq).toSeq)
+  }
 }
