@@ -124,6 +124,53 @@ object ScaleCheck {
         "lang_en" -> (col("lang") === "en"))).count()
     }
 
+    // deep join tree (TPC-H Q9 shape): fact×fact shuffle join + three
+    // broadcast dims + grouped decimal aggregate — the canonical
+    // multi-join analytics profile. Dims are unreplicated (their keys
+    // are not shifted), matching how dimensions scale in practice.
+    time("tpch_q9_profit") {
+      val Dec = "decimal(12,2)"
+      val p = Tables.part(spark, sfDir).filter(col("p_name").like("%widget%"))
+      val amount = col("l_extendedprice").cast(Dec) *
+        (lit(1).cast(Dec) - col("l_discount").cast(Dec)) -
+        col("p_retailprice").cast(Dec) * lit(0.5).cast(Dec) *
+        col("l_quantity").cast(Dec)
+      li.join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(spark, sfDir)),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(Tables.nation(spark, sfDir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")))
+        .agg(sum(amount)).count()
+    }
+    // vocabulary/OOV: token explode + top-k vocab + broadcast probe —
+    // the probe join never shuffles the token stream
+    time("vocab_oov") {
+      val tok = graft.functions.TextDedup.withTokens(docs)
+        .select(col("lang"), explode(col("w")).as("wd"))
+      val vocab = tok.groupBy(col("wd")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("wd")).limit(100)
+        .select(col("wd").as("vw"))
+      tok.join(broadcast(vocab), col("wd") === col("vw"), "left")
+        .groupBy(col("lang"))
+        .agg(sum(when(col("vw").isNull, 1L).otherwise(0L)),
+          count(lit(1))).count()
+    }
+    // sequence packing: per-source window + reused-partitioning agg
+    time("seq_pack") {
+      import org.apache.spark.sql.expressions.Window
+      val t = graft.functions.TextDedup.withTokens(docs)
+        .select(col("source"), col("doc_id"),
+          size(col("w")).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("prior", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("batch_id", expr("prior div 2048"))
+        .groupBy(col("source"), col("batch_id"))
+        .agg(count(lit(1)), sum(col("n_tok"))).count()
+    }
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","copies":$copies,"unit":"sec","ops":$qs,"sf":"$sfDir"}""")

@@ -20,11 +20,15 @@ import org.apache.spark.sql.expressions.Window
   * @param keyCol    equi-key column name (present on both sides)
   * @param timeCol   ordering column name (long/epoch, present on both)
   * @param valueCol  right-side column to carry to each left row
+  * @param tolerance optional max allowed `timeCol` distance (same units
+  *                  as the long time values): matches staler than this
+  *                  are nulled out — pandas merge_asof's `tolerance`
   * @return left rows + `asof_<valueCol>` + `asof_<timeCol>` columns
   */
 object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame, keyCol: String,
-      timeCol: String, valueCol: String): DataFrame = {
+      timeCol: String, valueCol: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val lTag = left.withColumn("_side", F.lit(1))
       .withColumn("_rv", F.lit(null).cast(right.schema(valueCol).dataType))
       .withColumn("_rt", F.lit(null).cast("long"))
@@ -41,10 +45,20 @@ object AsOf {
     val w = Window.partitionBy(F.col(keyCol))
       .orderBy(F.col(timeCol), F.col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val base = unioned
       .withColumn(s"asof_$valueCol", F.last(F.col("_rv"), ignoreNulls = true).over(w))
       .withColumn(s"asof_$timeCol", F.last(F.col("_rt"), ignoreNulls = true).over(w))
       .filter(F.col("_side") === 1)
       .drop("_side", "_rv", "_rt")
+    tolerance.fold(base) { tol =>
+      // tolerance is a post-window projection, not a join change: the
+      // carry-forward already found the nearest prior row, so a stale
+      // match simply nulls (exact long arithmetic, no float distance)
+      val ok = F.col(s"asof_$timeCol").isNotNull &&
+        F.col(timeCol).cast("long") - F.col(s"asof_$timeCol") <= tol
+      base
+        .withColumn(s"asof_$valueCol", F.when(ok, F.col(s"asof_$valueCol")))
+        .withColumn(s"asof_$timeCol", F.when(ok, F.col(s"asof_$timeCol")))
+    }
   }
 }

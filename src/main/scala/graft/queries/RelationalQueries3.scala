@@ -196,7 +196,55 @@ object RelationalQueries3 {
         col("asof_o_orderkey").as("asof_orderkey"), col("asof_ts"))
   }
 
+  /** As-of join with a tolerance bound (pandas merge_asof semantics):
+    * same as join_asof but matches staler than 7 days null out — the
+    * oracle filters DuckDB's ASOF JOIN result by the same exact
+    * microsecond distance. */
+  val joinAsOfTolerance = sql("join_asof_tolerance",
+    """WITH o AS (
+         SELECT o_custkey AS user_id, o_orderdate,
+           max(o_orderkey) AS o_orderkey
+         FROM orders GROUP BY 1, 2)
+       SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+         epoch_us(o.o_orderdate) AS asof_ts
+       FROM events e ASOF JOIN o
+         ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+       WHERE epoch_ns(e.ts) // 1000 - epoch_us(o.o_orderdate)
+             <= 604800000000""") { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("unix_micros(ts)").as("ts"), col("event_id"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("user_id"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("ts"),
+        col("o_orderkey"))
+    graft.functions.AsOf.joinAsOf(ev, ord, "user_id", "ts", "o_orderkey",
+        tolerance = Some(604800000000L)) // 7 days in µs
+      .filter(col("asof_o_orderkey").isNotNull)
+      .select(col("event_id"),
+        col("asof_o_orderkey").as("asof_orderkey"), col("asof_ts"))
+  }
+
+  /** Multiple DISTINCT aggregates beside a plain aggregate in one query
+    * — exercises Catalyst's Expand-based multi-distinct rewrite (each
+    * distinct column tags its own expand branch; one pass, no
+    * self-join). */
+  val aggMultiDistinct = sql("agg_multi_distinct",
+    """SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem GROUP BY l_returnflag""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     aggSaltedSum, scalarStruct, joinQ10, joinQ18, mrSecondarySort,
-    joinAsOfEvents)
+    joinAsOfEvents, joinAsOfTolerance, aggMultiDistinct)
 }

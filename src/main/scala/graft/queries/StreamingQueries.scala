@@ -129,6 +129,35 @@ object StreamingQueries {
         col("n_events"))
   }
 
+  /** Streaming session windows under a watermark (append mode): only
+    * sessions the final watermark finalized emit — with zero delay the
+    * watermark ends at max(ts), so the oracle is the batch gap-merge
+    * restricted to sessions whose end + gap <= global max event time.
+    * (The complete-mode batch equivalence is session_window_native;
+    * this checks the unbounded-production append contract.) */
+  val streamSessionWindow = sql("stream_session_window",
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+       mx AS (SELECT max(us) AS max_us FROM e),
+       gaps AS (
+         SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR
+                             lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       sess AS (
+         SELECT *, SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM gaps),
+       agg AS (
+         SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+           count(*) AS n_events
+         FROM sess GROUP BY user_id, sid)
+       SELECT user_id, session_start_us, n_events
+       FROM agg, mx
+       WHERE session_end_us + 1800000000 <= max_us""") { (s, d) =>
+    StreamingJobs.sessionWindowStreaming(s, d)
+  }
+
   /** Streaming dedup: the input is replayed twice (union of the same
     * stream), dropDuplicates restores exactly-once — counts must equal
     * the single-copy batch aggregation. */
@@ -211,6 +240,6 @@ object StreamingQueries {
   }
 
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
-    streamJoin, sessionize, sessionWindowNative,
+    streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent)
 }

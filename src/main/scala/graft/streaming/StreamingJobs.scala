@@ -187,6 +187,34 @@ object StreamingJobs {
     spark.table(qname)
   }
 
+  /** Streaming-native session windows: the session_window operator
+    * under a watermark in APPEND mode — sessions emit only once the
+    * watermark passes their end (last event + gap), which is the
+    * unbounded-production contract (bounded state, finalized-only
+    * output). Needs the no-data micro-batches: after the data batch
+    * they advance the watermark and flush finalized sessions. With a
+    * zero-delay watermark the final watermark is the global max event
+    * time, so exactly the sessions with end <= max(ts) emit — the
+    * cutoff the oracle replays. */
+  def sessionWindowStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val qname = "graft_stream_session_window"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    withStreamShufflePartitions(spark, 4) {
+      val q = agg.writeStream
+        .outputMode("append").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    spark.table(qname)
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ms: Long, cents: Long)
   case class SessionOut(user_id: Long, session_no: Long,
       session_start_ms: Long, n_events: Long, total_cents: Long)

@@ -29,6 +29,20 @@ class AsOfSpec extends AnyFunSuite {
       ("t5", None, None)))             // B's only quote is later
   }
 
+  test("joinAsOf tolerance nulls out matches staler than the bound") {
+    val trades = Seq(("A", 10L, "t1"), ("A", 100L, "t2"))
+      .toDF("sym", "ts", "trade")
+    val quotes = Seq(("A", 8L, 100.0)).toDF("sym", "ts", "px")
+    val out = AsOf.joinAsOf(trades, quotes, "sym", "ts", "px",
+        tolerance = Some(10L))
+      .select("trade", "asof_px")
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]))).toSet
+    assert(out === Set(
+      ("t1", Some(100.0)), // distance 2 <= 10
+      ("t2", None)))       // distance 92 > 10: stale, nulled
+  }
+
   test("joinAsOf preserves the left side's row count and columns") {
     val left = Seq(("k", 1L, "x")).toDF("key", "ts", "payload")
     val right = Seq(("k", 1L, 9.0)).toDF("key", "ts", "v")
