@@ -226,7 +226,22 @@ object RelationalQueries4 {
          ORDER BY sim DESC, v1, v2 LIMIT 5""")
   }
 
+  /** The DataSource V2 range source (sources.v2.RangeSource) under the
+    * oracle: a pushed range predicate prunes shards at split-planning
+    * time (the custom-Input extension point of SURVEY §2.12, realized
+    * as planInputPartitions + SupportsPushDownFilters instead of a
+    * flatMap over spark.range). */
+  val rangeV2Pushdown = sql("range_v2_pushdown",
+    """SELECT CAST(sum(range) AS BIGINT) AS s, count(*) AS n
+       FROM range(0, 1000000) WHERE range >= 250000 AND range < 750000""") { (s, _) =>
+    s.read.format("graft.sources.v2.RangeSource")
+      .option("start", "0").option("end", "1000000").option("shards", "32")
+      .load()
+      .where(col("id") >= 250000L && col("id") < 750000L)
+      .agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     aggBool, aggBitagg, aggRegr, aggSkew, sqlLateralTopn,
-    windowTimeRange, aggPercentile, sqlExtensionCosine)
+    windowTimeRange, aggPercentile, sqlExtensionCosine, rangeV2Pushdown)
 }
