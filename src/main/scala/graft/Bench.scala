@@ -42,7 +42,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries persist intermediates (shingle relations, hot sets) and
+      // a bench JVM runs 150+ of them: without clearing, the storage
+      // pool accumulates every query's leftovers and later queries pay
+      // GC/eviction churn that has nothing to do with their own plan
+      // (measured: topk_per_group 0.9 s alone vs 7 s late in a full
+      // run). Clearing between queries prices each query standalone —
+      // a query's own persists still serve it during execution.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()

@@ -5,6 +5,7 @@ object Registry {
   def all: Seq[QueryDef] =
     RelationalQueries.all ++ RelationalQueries2.all ++
       RelationalQueries3.all ++ RelationalQueries4.all ++
+      RelationalQueries5.all ++
       TpchQueries.all ++ MapReduceQueries.all ++
       DataPipelineQueries.all ++ DataPipelineQueries2.all ++
       DataPipelineQueries3.all ++
