@@ -215,6 +215,38 @@ object StreamingJobs {
         col("n_events"))
   }
 
+  /** Idempotent micro-batch writer for `foreachBatch`: every batch
+    * lands in its own batch_id partition under dynamic
+    * partitionOverwrite, so a RETRIED batch (same batchId after a sink
+    * failure) overwrites its own partition instead of appending
+    * duplicates — the exactly-once recipe for file sinks without a
+    * transactional commit protocol (the reference's
+    * GoogleCloudStorageConsistentOutputWriter solves the same problem
+    * with per-slice tmp files, output_writers.py:851-1053). */
+  def idempotentBatchWriter(spark: SparkSession, outDir: String)
+      : (DataFrame, Long) => Unit = { (df, batchId) =>
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+  }
+
+  /** Stream events to parquet through the idempotent foreachBatch
+    * sink; returns the written table. */
+  def eventsToParquetExactlyOnce(spark: SparkSession, sfDir: String,
+      outDir: String): DataFrame = {
+    val writer = idempotentBatchWriter(spark, outDir)
+    val qname = "graft_stream_foreachbatch"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    val q = eventsStream(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.queryName(qname)
+      .foreachBatch(writer)
+      .trigger(Trigger.AvailableNow()).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.read.parquet(outDir)
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ms: Long, cents: Long)
   case class SessionOut(user_id: Long, session_no: Long,
       session_start_ms: Long, n_events: Long, total_cents: Long)

@@ -18,6 +18,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("foreachBatch idempotent sink: a replayed batch does not duplicate rows") {
+    val out = "/tmp/graft-test-foreachbatch"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val written = StreamingJobs.eventsToParquetExactlyOnce(spark, d, out)
+    val expected = spark.read.parquet(s"$d/events.parquet").count()
+    assert(written.count() === expected)
+    // simulate a sink-side retry: re-apply the SAME batch (id 0) — the
+    // dynamic partition overwrite must replace, not append
+    val batch0 = written.where(col("batch_id") === 0)
+      .drop("batch_id").limit(1000000)
+    StreamingJobs.idempotentBatchWriter(spark, out)(batch0.toDF(), 0L)
+    assert(spark.read.parquet(out).count() === expected,
+      "replaying batch 0 must leave the table unchanged")
+  }
+
   test("windowed streaming agg partitions every event into exactly one window") {
     val win = StreamingJobs.windowedEventCounts(spark, d)
     val total = win.agg(sum("cnt")).collect()(0).getLong(0)
