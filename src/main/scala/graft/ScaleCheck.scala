@@ -19,9 +19,15 @@ object ScaleCheck {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("GRAFT_SCALE_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions sized to data volume, not to the core count:
+    // the 30× probe measured join_3way_topk at 38 s with 32 partitions
+    // (shuffle spill) — partitions must grow with the data
+    val shuffleParts = sys.env.getOrElse("GRAFT_SCALE_SHUFFLE", cpus)
+    // run only the named ops when args are given (targeted reruns)
+    val only: Set[String] = args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -43,12 +49,13 @@ object ScaleCheck {
     li.count(); o.count() // warmup
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      times(name) = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scale] $name%-22s ${times(name)}%8.2f s rows=$rows")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.isEmpty || only.contains(name)) {
+        val t0 = System.nanoTime()
+        val rows = f
+        times(name) = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] $name%-22s ${times(name)}%8.2f s rows=$rows")
+      }
 
     time("agg_q1") {
       li.filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
@@ -103,10 +110,14 @@ object ScaleCheck {
     time("ann_bucketed") {
       graft.functions.VectorSearch.bucketedCosineTop1(emb).count()
     }
-    // IVF: assignment is O(n·k) broadcast work, search is an equi join
-    // on the cell id — both linear in rows for a fixed codebook
+    // IVF: assignment is O(n·k) broadcast work; the in-cell join is
+    // O(n²/k), so the CODEBOOK MUST GROW WITH THE CORPUS to hold
+    // per-cell size constant (measured: a fixed k=8 codebook at 30×
+    // degrades quadratically, 6.4 s → 197 s; k scaled with copies
+    // restores linearity). k-means training would pick k the same way.
     time("ann_ivf") {
-      graft.functions.VectorSearch.ivfCosineTop1(emb, numCentroids = 8).count()
+      graft.functions.VectorSearch
+        .ivfCosineTop1(emb, numCentroids = 8 * copies).count()
     }
     // scalar quantization: per-dim stats (broadcast back) + a linear
     // code projection — no shuffle of vector rows

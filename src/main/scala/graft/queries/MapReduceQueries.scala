@@ -251,7 +251,51 @@ object MapReduceQueries {
     Pipeline.chain(stage1, stage2)(docs).toDF("cnt", "n_words")
   }
 
+  /** The classic reduce-side join, the reference's only join idiom
+    * (SURVEY §2.5: tag both inputs, union, reduce = per-key pairing).
+    * `valueOrdering` puts the dimension row first in each group, so the
+    * reducer streams fact rows against one held value — no buffering,
+    * the secondary-sort join pattern. Spark-native joins are the scale
+    * path (join_*); this check pins the MR surface's ability to express
+    * the same semantics. */
+  val mrJoin = sql("mr_join",
+    """SELECT c.c_custkey, n.n_name
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""") { (s, d) =>
+    import s.implicits._
+    // tag 0 = nation (dimension), tag 1 = customer (fact)
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), lit(0), lit(-1L), col("n_name"))
+      .as[(Long, Int, Long, String)]
+    val customers = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long"), lit(1), col("c_custkey"),
+        lit("")).as[(Long, Int, Long, String)]
+    val tagged = nations.union(customers)
+    MapReduceJob.run(MapReduceSpecification(
+      jobName = "reduce-side-join",
+      input = tagged,
+      mapper = new Mapper[(Long, Int, Long, String), Long, (Int, Long, String)] {
+        def map(r: (Long, Int, Long, String),
+            emit: (Long, (Int, Long, String)) => Unit): Unit =
+          emit(r._1, (r._2, r._3, r._4))
+      },
+      reducer = new Reducer[Long, (Int, Long, String), (Long, String)] {
+        def reduce(key: Long, values: Iterator[(Int, Long, String)],
+            emit: ((Long, String)) => Unit): Unit = {
+          var dimName: String = null
+          values.foreach {
+            case (0, _, name) => dimName = name
+            case (1, custkey, _) =>
+              if (dimName != null) emit((custkey, dimName))
+            case _ =>
+          }
+        }
+      },
+      // dimension rows (tag 0) sort before fact rows within each group
+      valueOrdering = Some(Ordering.by((v: (Int, Long, String)) => v._1))))
+      .toDF("c_custkey", "n_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     wordCount, charCount, invertedIndex, phrases, collisions,
-    mapOnly, combinerSum, distinctViaReducer, chained)
+    mapOnly, combinerSum, distinctViaReducer, chained, mrJoin)
 }
