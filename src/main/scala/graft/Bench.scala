@@ -28,6 +28,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // fewer, larger post-shuffle partitions: tiny-task scheduling is
+      // pure overhead at bench data sizes (measured ~5% of total) and
+      // the dominant inflation when the host is concurrently loaded
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,7 +54,13 @@ object Bench {
       // (measured: topk_per_group 0.9 s alone vs 7 s late in a full
       // run). Clearing between queries prices each query standalone —
       // a query's own persists still serve it during execution.
+      // clearCache() drops DataFrame persists, but NOT localCheckpoint
+      // blocks (those free only when the RDD is GC'd) — unpersist every
+      // persistent RDD explicitly so the storage pool returns to zero
+      // instead of ratcheting up across 160+ queries.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> dt
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

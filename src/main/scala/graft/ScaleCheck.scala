@@ -78,20 +78,20 @@ object ScaleCheck {
     // library operator, so the probe measures what the product ships
     time("minhash_lsh") {
       val sh = graft.functions.TextDedup.shingles(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = graft.functions.TextDedup
+        .localCheckpoint(true)
+      graft.functions.TextDedup
         .lshCandidatePairs(sh, numHashes = 12, bands = 4).count()
-      sh.unpersist()
-      n
     }
     // decontamination: n-gram overlap semi-join. Replication grows the
     // benchmark side along with the corpus (ids are shifted, so %7
     // keeps selecting ~1/7 of every copy) — a worst case: real
     // decontamination holds the benchmark fixed while the corpus grows
     time("decontaminate") {
-      val g5 = graft.functions.TextDedup.shingles(docs, n = 5)
+      val g5 = graft.functions.TextDedup.ngrams(docs, n = 5)
       // unpersisted on purpose: the disjoint %7 filters push below the
-      // explode+distinct, splitting the corpus between the branches
+      // explode, splitting the corpus between the branches; per-doc
+      // dedup is skipped — it changes neither semi-join membership nor
+      // the final DISTINCT doc_id
       val bench = g5.filter(col("doc_id") % 7 === 0).select(col("s"))
       g5.filter(col("doc_id") % 7 =!= 0)
         .join(broadcast(bench), Seq("s"), "leftsemi")

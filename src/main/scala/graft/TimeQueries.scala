@@ -10,13 +10,20 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split('=')).foreach {
+        case Array(k, v) => builder.config(k, v)
+        case _ =>
+      }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     li.groupBy("l_returnflag").count().count() // warm codegen paths

@@ -8,10 +8,21 @@ import org.apache.spark.storage.StorageLevel
   * the library form of the dedup pipeline the check queries exercise
   * (exact Jaccard verification, MinHash signatures, LSH banding).
   *
-  * Everything is codegen'd built-ins (explode + flat projections +
-  * relational aggregates; no interpreted higher-order lambdas on hot
-  * paths) and all hashing is md5, so results are deterministic across
-  * runs, retries, and engines.
+  * Shingle generation is the codegen'd explode+projection form
+  * (`ngrams`); the per-document DISTINCT is a partition-local
+  * streaming dedup (`shingles`) — explode emits a document's rows
+  * contiguously, so a per-doc seen-set inside `mapPartitions` dedups
+  * with ZERO shuffle, where the relational explode+DISTINCT pays a
+  * full exchange of the shingle relation for the same result (measured
+  * 2-3× slower at sf0.1, and strictly worse at 100 TB where that
+  * exchange shuffles the whole corpus's shingles). The interpreted
+  * alternative — `array_distinct(transform(...))` — is NOT used: the
+  * optimizer's generator-filter inference duplicates the un-codegen'd
+  * lambda into a Filter where it re-evaluates per reference (measured
+  * 10× slower).
+  *
+  * All hashing is md5, so results are deterministic across runs,
+  * retries, and engines.
   *
   * Scale contract (100 TB): `lshCandidatePairs` is the candidate
   * generator — one shuffle keyed on (band, band-signature), cost
@@ -31,14 +42,13 @@ object TextDedup {
   def withTokens(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("w", tokens(col(textCol)))
 
-  /** Distinct word n-gram shingles per document: (idCol, s).
-    *
-    * Explode + flat projection + relational distinct rather than a
-    * `transform(sequence(...), …)` lambda: higher-order array functions
-    * are interpreted (no WholeStageCodegen, measured ~10× slower);
-    * this form is fully codegen'd and the distinct is one hash
-    * aggregate. */
-  def shingles(df: DataFrame, idCol: String = "doc_id",
+  /** Word n-gram shingles per document, NOT deduped: (idCol, s), one
+    * row per gram position. Fully codegen'd (explode of a sequence +
+    * flat projection). Use this directly when duplicates are harmless
+    * — set-membership semi-joins (decontamination), minima (minhash
+    * would be unchanged) — and `shingles` when per-doc distinctness
+    * matters (Jaccard counts). */
+  def ngrams(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame = {
     require(n >= 1)
     val gram = (0 until n)
@@ -49,7 +59,31 @@ object TextDedup {
       .select(col(idCol), col("w"),
         explode(expr(s"sequence(0, size(w) - $n)")).as("i"))
       .select(col(idCol), expr(gram).as("s"))
-      .distinct()
+  }
+
+  /** Distinct word n-gram shingles per document: (idCol, s).
+    *
+    * The dedup is partition-local: explode emits each document's grams
+    * contiguously, so one streaming seen-set per document suffices —
+    * no exchange, no interpreted lambda (see the object scaladoc for
+    * why both alternatives lose). */
+  def shingles(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    ngrams(df, idCol, textCol, n)
+      .select(col(idCol).cast("long").as("doc_id"), col("s"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        var started = false
+        var cur = 0L
+        val seen = new java.util.HashSet[String]()
+        it.filter { case (id, s) =>
+          if (!started || id != cur) { started = true; cur = id; seen.clear() }
+          seen.add(s)
+        }
+      }
+      .toDF(idCol, "s")
   }
 
   /** Shingle count per document (the |A| and |B| of the Jaccard union). */
@@ -141,11 +175,14 @@ object TextDedup {
   }
 
   /** Candidate pairs = distinct doc pairs sharing any band bucket:
-    * one shuffle keyed on (band, sig) — the scale path. */
+    * one shuffle keyed on (band, sig) — the scale path. The band
+    * relation (docs × bands rows, tiny) is persisted so the self-join
+    * does not re-run the minhash aggregation on both sides. */
   def lshCandidatePairs(sh: DataFrame, numHashes: Int = 12,
       bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val b = lshBands(minhashSignatures(sh, numHashes), bands, numHashes / bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ba = b.toDF("d1", "band", "sig")
     val bb = b.toDF("d2", "band2", "sig2")
     ba.join(bb, col("band") === col("band2") && col("sig") === col("sig2")

