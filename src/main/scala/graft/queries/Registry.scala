@@ -6,7 +6,7 @@ object Registry {
     RelationalQueries.all ++ RelationalQueries2.all ++
       RelationalQueries3.all ++ RelationalQueries4.all ++
       RelationalQueries5.all ++
-      TpchQueries.all ++ MapReduceQueries.all ++
+      TpchQueries.all ++ MapReduceQueries.all ++ StorageQueries.all ++
       DataPipelineQueries.all ++ DataPipelineQueries2.all ++
       DataPipelineQueries3.all ++
       StreamingQueries.all

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import graft.core.Tables
+import graft.sinks.{KeyedTable, Outputs}
+import graft.sources.Inputs
+
+/** Oracle-checked exercises of the source/sink surface that writes (or
+  * fabricates) data and reads it back — the checks that used to be
+  * spec-only because "writes aren't oracle-able". They are: write to a
+  * scratch dir, read back through the public source operator, and
+  * reduce to a relation DuckDB can recompute from the original parquet
+  * (or from constants, for the generator sources). Only zip archives
+  * (no zip testdata) and seeded PRNGs (no DuckDB analogue) remain
+  * legitimately spec-only.
+  */
+object StorageQueries {
+  import QueryDef._
+
+  private val Dec = "decimal(12,2)"
+
+  private def scratch(prefix: String): String =
+    sys.props("java.io.tmpdir") + "/graft_" + prefix + "_" +
+      java.util.UUID.randomUUID().toString
+
+  /** Keyed upsert through the bucketed parquet table (DatastoreOutput
+    * semantics — reference outputs/DatastoreOutput.java:1-50,
+    * DatastoreMutationPool.java:56): build the table from customer,
+    * apply a mutation batch that UPDATES every custkey ≡ 3 (mod 10)
+    * (doubled balance) and INSERTS a shifted key for every custkey ≡ 7
+    * (mod 100), then read the table back. The oracle computes the same
+    * merge relationally (updates ∪ untouched base). Balances ride
+    * DECIMAL(12,2) (doubling is exact) and cast to double at the end. */
+  val upsertKeyed = sql("upsert_keyed",
+    s"""WITH base AS (
+          SELECT c_custkey AS k,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v
+          FROM customer),
+        up AS (
+          SELECT c_custkey AS k,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 2 AS DOUBLE) AS v
+          FROM customer WHERE c_custkey % 10 = 3
+          UNION ALL
+          SELECT c_custkey + 1000000 AS k, CAST(c_custkey AS DOUBLE) AS v
+          FROM customer WHERE c_custkey % 100 = 7)
+        SELECT k, v FROM up
+        UNION ALL
+        SELECT b.k, b.v FROM base b
+        WHERE b.k NOT IN (SELECT k FROM up)""") { (s, d) =>
+    val dir = scratch("upsert")
+    val cust = Tables.customer(s, d)
+    val base = cust.select(col("c_custkey").as("k"),
+      col("c_acctbal").cast(Dec).cast("double").as("v"))
+    KeyedTable.create(base, dir, "k")
+    val updates = cust.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("k"),
+        (col("c_acctbal").cast(Dec) * 2).cast("double").as("v"))
+      .unionByName(cust.filter(col("c_custkey") % 100 === 7)
+        .select((col("c_custkey") + 1000000L).as("k"),
+          col("c_custkey").cast("double").as("v")))
+    KeyedTable.upsert(s, dir, updates, "k")
+    KeyedTable.read(s, dir).select(col("k"), col("v"))
+  }
+
+  /** InMemoryInput (reference InMemoryInput.java:18): two shards of
+    * longs, reduced to their sum — DuckDB recomputes the constant. */
+  val sourceInMemory = sql("source_inmemory",
+    "SELECT CAST(5050 AS BIGINT) AS total") { (s, _) =>
+    import s.implicits._
+    Inputs.inMemory(s, Seq((1L to 50L), (51L to 100L)).map(_.toSeq))
+      .toDF("x").agg(sum(col("x")).as("total"))
+  }
+
+  /** NoInput (reference NoInput.java:20): zero records, schema intact —
+    * observable as a zero count. */
+  val sourceNone = sql("source_none",
+    "SELECT CAST(0 AS BIGINT) AS n") { (s, _) =>
+    import s.implicits._
+    Inputs.none[Long](s).toDF("x").agg(count(col("x")).as("n"))
+  }
+
+  /** NDJSON write → read round trip (the BigQuery NDJSON export/load
+    * pair, outputs/BigQueryGoogleCloudStorageStoreOutput.java +
+    * load-side read): events' key columns survive the trip bit-exactly
+    * and re-aggregate to what DuckDB computes from the parquet. */
+  val sourceNdjsonRoundtrip = sql("source_ndjson_roundtrip",
+    """SELECT event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(sum(user_id) AS BIGINT) AS sum_user
+       FROM events GROUP BY event_type""") { (s, d) =>
+    val dir = scratch("ndjson")
+    val rows = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    Outputs.ndjson(rows, dir)
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+      .add("event_type", StringType)
+    Inputs.ndjson(s, dir, Some(schema))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"),
+        sum(col("user_id")).as("sum_user"))
+  }
+
+  /** CSV write → header-aware read round trip (the reference's
+    * text-file output + line-input pair, typed). */
+  val sourceCsvRoundtrip = sql("source_csv_roundtrip",
+    """SELECT event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS sum_id
+       FROM events GROUP BY event_type""") { (s, d) =>
+    val dir = scratch("csv")
+    Tables.events(s, d).select(col("event_id"), col("event_type"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = new StructType()
+      .add("event_id", LongType).add("event_type", StringType)
+    Inputs.csv(s, dir, Some(schema))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
+  }
+
+  /** Multi-prefix file-set read (reference
+    * _GoogleCloudStorageInputReader glob expansion,
+    * input_readers.py:2247-2538): events split across two directory
+    * prefixes, read back as ONE input via fileSet, re-aggregated. */
+  val sourceFileset = sql("source_fileset",
+    """SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id
+       FROM events""") { (s, d) =>
+    val dir = scratch("fileset")
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/shard0")
+    ev.filter(col("event_id") % 2 =!= 0).write.parquet(s"$dir/shard1")
+    Inputs.fileSet(s, "parquet", Seq(s"$dir/shard0", s"$dir/shard1"))
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    upsertKeyed, sourceInMemory, sourceNone, sourceNdjsonRoundtrip,
+    sourceCsvRoundtrip, sourceFileset)
+}

@@ -49,6 +49,66 @@ object Outputs {
       case other => new StructType().add("value", other)
     }
 
+  /** Per-field (rename, mode, ignore) adjustments read from the
+    * OutputName / OutputMode / OutputIgnore annotations on T's primary
+    * constructor — reference BigQueryDataField.java / BigQueryIgnore
+    * .java as honored by impl/BigQueryFieldUtil.java:47-56. */
+  private def fieldAdjustments[T: TypeTag]
+      : Seq[(String, Option[String], Option[String], Boolean)] = {
+    import scala.reflect.runtime.universe._
+    val ctor = typeOf[T].typeSymbol.asClass.primaryConstructor
+    if (!ctor.isMethod) Nil
+    else ctor.asMethod.paramLists.headOption.getOrElse(Nil).map { p =>
+      val anns = p.annotations
+      def strArg(t: Type): Option[String] =
+        anns.find(_.tree.tpe =:= t).flatMap(_.tree.children.tail.collectFirst {
+          case Literal(Constant(s: String)) => s
+        })
+      (p.name.decodedName.toString,
+        strArg(typeOf[OutputName]),
+        strArg(typeOf[OutputMode]),
+        anns.exists(_.tree.tpe =:= typeOf[OutputIgnore]))
+    }
+  }
+
+  /** Derived schema with annotation overrides applied: OutputIgnore
+    * drops the field, OutputName renames it, OutputMode("REQUIRED")
+    * makes it non-nullable (NULLABLE the inverse) — the annotated
+    * TableSchema derivation of the reference. */
+  def annotatedSchema[T: TypeTag]: StructType = {
+    val adj = fieldAdjustments[T]
+    StructType(derivedSchema[T].fields.toSeq.flatMap { f =>
+      adj.find(_._1 == f.name) match {
+        case Some((_, _, _, true)) => None
+        case Some((_, rename, mode, _)) =>
+          Some(f.copy(
+            name = rename.getOrElse(f.name),
+            nullable = mode match {
+              case Some("REQUIRED") => false
+              case Some("NULLABLE") => true
+              case _ => f.nullable
+            }))
+        case None => Some(f)
+      }
+    })
+  }
+
+  /** Marshal a typed Dataset to a DataFrame honoring the annotations —
+    * ignored fields dropped, renamed fields renamed — so any writer
+    * (ndjson, parquet, ...) emits the annotated shape. */
+  def toAnnotatedDF[T: TypeTag](ds: Dataset[T]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val adj = fieldAdjustments[T]
+    val cols = ds.toDF().columns.toSeq.flatMap { c =>
+      adj.find(_._1 == c) match {
+        case Some((_, _, _, true)) => None
+        case Some((_, rename, _, _)) => Some(col(c).as(rename.getOrElse(c)))
+        case None => Some(col(c))
+      }
+    }
+    ds.toDF().select(cols: _*)
+  }
+
   /** Render a derived schema in a BigQuery-ish field list form
     * (name, type, mode) — the TableSchema analogue. */
   def schemaFields(schema: StructType, prefix: String = ""): Seq[(String, String, String)] =

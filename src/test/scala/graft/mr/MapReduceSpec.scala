@@ -50,6 +50,17 @@ class MapReduceSpec extends AnyFunSuite {
       Set(CounterNames.MapperCalls, CounterNames.ReducerCalls))
   }
 
+  test("runWithResult returns output, counters, and a settled progress snapshot") {
+    val res = Pipeline.runWithResult(wordcountSpec(None))
+    assert(res.output.collect().toMap === Map("a" -> 3L, "b" -> 2L, "c" -> 4L))
+    assert(res.counters(CounterNames.MapperCalls) === 5L)
+    assert(res.counters(CounterNames.ReducerCalls) === 3L)
+    // progress reflects a finished run: stages all completed, tasks ran
+    assert(res.progress.stagesRunning === 0L)
+    assert(res.progress.stagesCompleted > 0L)
+    assert(res.progress.tasksEnded > 0L)
+  }
+
   test("reduce values arrive as a streamed iterator, reducer can emit 0..n") {
     val input = spark.createDataset(Seq(1L, 2L, 3L, 4L, 5L, 6L))
     val spec = MapReduceSpecification[Long, Long, Long, Long](

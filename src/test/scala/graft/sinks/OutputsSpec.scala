@@ -8,6 +8,15 @@ import graft.TestSpark
 case class Inner(tag: String, score: Double)
 case class Outer(id: Long, name: String, inner: Inner, labels: Seq[String])
 
+/** Golden shape mirroring the reference's annotated-marshalling cases
+  * (BigQuerySchemaMarshallerTest.java: rename via @BigQueryDataField,
+  * exclusion via @BigQueryIgnore, explicit mode). */
+case class Annotated(
+    @OutputName("renamed_id") id: Long,
+    @OutputMode("REQUIRED") name: String,
+    @OutputIgnore secret: String,
+    plain: Double)
+
 class OutputsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -20,6 +29,29 @@ class OutputsSpec extends AnyFunSuite {
     assert(fields.contains(("inner.tag", "STRING", "NULLABLE")))
     assert(fields.contains(("id", "LONG", "REQUIRED")))
     assert(fields.exists { case (n, _, m) => n == "labels" && m == "REPEATED" })
+  }
+
+  test("annotatedSchema honors rename/ignore/mode annotations") {
+    val schema = Outputs.annotatedSchema[Annotated]
+    assert(schema.fieldNames === Array("renamed_id", "name", "plain"))
+    assert(!schema("name").nullable) // REQUIRED
+    assert(!schema("renamed_id").nullable) // Long derives non-nullable
+    val fields = Outputs.schemaFields(schema)
+    assert(fields.contains(("renamed_id", "LONG", "REQUIRED")))
+    assert(fields.contains(("name", "STRING", "REQUIRED")))
+    assert(fields.contains(("plain", "DOUBLE", "REQUIRED")))
+    assert(!fields.exists(_._1 == "secret"))
+  }
+
+  test("toAnnotatedDF marshals renamed/ignored columns for any writer") {
+    val ds = spark.createDataset(Seq(Annotated(7L, "n", "hide-me", 1.5)))
+    val df = Outputs.toAnnotatedDF(ds)
+    assert(df.columns === Array("renamed_id", "name", "plain"))
+    val dir = Files.createTempDirectory("graft-annjson").toString
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+    assert(back.select("renamed_id").as[Long].collect() === Array(7L))
+    assert(!back.columns.contains("secret"))
   }
 
   test("ndjson writes one JSON object per record with derived schema") {
