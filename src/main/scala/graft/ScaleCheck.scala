@@ -41,10 +41,29 @@ object ScaleCheck {
         keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + i * shift))
       }.reduce(_ union _)
 
+    // GRAFT_SCALE_MUTATE=1 makes each document copy textually DISTINCT
+    // (every token suffixed with the copy index — whitespace structure
+    // untouched, so within-copy shingle similarity is EXACTLY the base
+    // corpus's): near-dup structure per copy is preserved, nothing
+    // matches across copies — dup DENSITY stays constant while the
+    // corpus grows, which is how a real corpus scales. The default
+    // (exact clones) instead multiplies dup density: every doc becomes
+    // a `copies`-clique, a worst case where true pair OUTPUT is
+    // quadratic in `copies` by definition — useful for stress, wrong
+    // for judging linear growth.
+    val mutate = sys.env.getOrElse("GRAFT_SCALE_MUTATE", "0") == "1"
     val li = rep(Tables.lineitem(spark, sfDir), Seq("l_orderkey"))
     val o = rep(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"))
     val c = rep(Tables.customer(spark, sfDir), Seq("c_custkey"))
-    val docs = rep(Tables.documents(spark, sfDir), Seq("doc_id"))
+    val docs =
+      if (mutate)
+        (0 until copies).map { i =>
+          Tables.documents(spark, sfDir)
+            .withColumn("doc_id", col("doc_id") + i * shift)
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"$$1c$i"))
+        }.reduce(_ union _)
+      else rep(Tables.documents(spark, sfDir), Seq("doc_id"))
     val emb = rep(Tables.embeddings(spark, sfDir), Seq("vec_id"))
     li.count(); o.count() // warmup
 
@@ -107,8 +126,23 @@ object ScaleCheck {
         .agg(count(lit(1)), sum(col("fx")), min(col("fx")), max(col("fx")))
         .count()
     }
+    // bucket bits grow with the corpus exactly like the IVF codebook
+    // below: fixed 2^6 buckets at 100× means 100× denser buckets and a
+    // quadratic in-bucket join; +log2(copies) bits holds per-bucket
+    // population (and therefore candidate count per vector) constant
+    val bucketDims = 6 + (math.log(copies) / math.log(2)).ceil.toInt
     time("ann_bucketed") {
-      graft.functions.VectorSearch.bucketedCosineTop1(emb).count()
+      graft.functions.VectorSearch.bucketedCosineTop1(emb, bucketDims).count()
+    }
+    // full dedup clustering at scale: LSH candidates → exact verify →
+    // connected components (the dedup_clusters scale path; exhaustive
+    // jaccard is quadratic by definition and not the path shipped)
+    time("cc_clusters") {
+      val sh = graft.functions.TextDedup.shingles(docs)
+        .localCheckpoint(true)
+      val ed = graft.functions.TextDedup.lshVerifiedPairs(sh)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      graft.functions.ConnectedComponents.run(spark, ed).count()
     }
     // IVF: assignment is O(n·k) broadcast work; the in-cell join is
     // O(n²/k), so the CODEBOOK MUST GROW WITH THE CORPUS to hold

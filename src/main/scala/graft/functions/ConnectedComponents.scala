@@ -29,8 +29,14 @@ object ConnectedComponents {
     val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // head start: label_0 = min(node, min neighbor) — one aggregate
+    // that already converges near-cliques (every node sees the
+    // component minimum directly), so dedup graphs usually need just
+    // the confirmation round instead of 2-3 propagation rounds
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"),
+        least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
     // Sum fits a long for any realistic id space at this scale; a
     // 100 TB id space would accumulate the convergence sum as decimal.

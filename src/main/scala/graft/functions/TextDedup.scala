@@ -110,16 +110,29 @@ object TextDedup {
       .select(col("doc_id"), col("s"))
   }
 
+  /** Common-shingle counts per doc pair, generated from the grouped
+    * doc lists of shared shingles: ONE exchange keyed on the shingle
+    * (the unavoidable one) and a pair-count aggregate — no hot-set
+    * materialization, no broadcast, no self-join. A shingle shared by
+    * k docs emits k·(k-1)/2 ordered pairs, exactly what the
+    * equivalent self-join would produce (a pathologically hot shingle
+    * costs k² either way; boilerplate that hot belongs in a stop-list
+    * upstream). Returns (d1, d2, common) with d1 < d2. */
+  def commonShingleCounts(sh: DataFrame): DataFrame =
+    sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(posexplode(col("ds")).as(Seq("i", "d1")), col("ds"))
+      .select(col("d1"),
+        explode(expr("slice(ds, i + 2, size(ds))")).as("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+
   /** Exhaustive near-dup pairs with Jaccard >= num/den, in integer
     * arithmetic (den·common >= num·union) so there is no float
     * boundary: (d1, d2, common, n1, n2) with d1 < d2. */
   def jaccardPairs(sh: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
     val sz = sizes(sh)
-    val pairable = pairableShingles(sh)
-    val a = pairable.toDF("d1", "s")
-    val b = pairable.toDF("d2", "s2")
-    a.join(b, a("s") === b("s2") && a("d1") < b("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    commonShingleCounts(sh)
       .join(sz.toDF("d1k", "n1"), col("d1") === col("d1k"))
       .join(sz.toDF("d2k", "n2"), col("d2") === col("d2k"))
       .filter(lit(den) * col("common") >=
@@ -191,19 +204,29 @@ object TextDedup {
   }
 
   /** LSH candidates verified with exact integer Jaccard >= num/den —
-    * the full two-tier dedup operator: (d1, d2). The verify join runs
-    * on the pairable shingle subset (common-shingle counting only ever
-    * matches shingles present in both docs of a pair). */
+    * the full two-tier dedup operator: (d1, d2). The candidate set is
+    * proportional to the near-dup rate (tiny for real corpora), so it
+    * BROADCASTS into both verify joins: common counting is two
+    * map-side joins over the shingle relation plus one small pair
+    * aggregate — no hot-set pass, no extra exchange of the corpus. A
+    * corpus with a massive dup rate would drop the hints and let AQE
+    * pick the join sides. */
   def lshVerifiedPairs(sh: DataFrame, numHashes: Int = 12, bands: Int = 4,
       num: Int = 4, den: Int = 5): DataFrame = {
     val cand = lshCandidatePairs(sh, numHashes, bands)
-    val sz = sizes(sh)
-    val pairable = pairableShingles(sh)
-    val common = cand
-      .join(pairable.toDF("d1k", "s1"), col("d1") === col("d1k"))
-      .join(pairable.toDF("d2k", "s2"),
-        col("d2") === col("d2k") && col("s2") === col("s1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // shingles of each candidate pair's d1 side, tagged with the pair
+    val d1Shingles = sh.join(broadcast(cand), col("doc_id") === col("d1"))
+      .select(col("d1"), col("d2"), col("s"))
+    // matched against the d2 side's shingles: equi join on (doc, s)
+    val common = broadcast(d1Shingles)
+      .join(sh.toDF("d2k", "s2"),
+        col("d2") === col("d2k") && col("s2") === col("s"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    // sizes only for docs that appear in a candidate pair
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2")))
+    val sz = sizes(sh.join(broadcast(candDocs), Seq("doc_id"), "leftsemi"))
     common
       .join(sz.toDF("n1k", "n1"), col("d1") === col("n1k"))
       .join(sz.toDF("n2k", "n2"), col("d2") === col("n2k"))

