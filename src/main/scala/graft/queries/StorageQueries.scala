@@ -134,7 +134,41 @@ object StorageQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
   }
 
+  /** Zip-archive line reader (reference BlobstoreZipLineInputReader,
+    * input_readers.py:1604-1831): no zip file ships in the testdata, so
+    * the check SYNTHESIZES one deterministically from it — a bounded
+    * key sample (~1/50 of events) written as text lines across two
+    * archives × two entries — then reads it back through the public
+    * zipTextLines operator (binaryFile scan + streamed decode,
+    * distributed) and re-aggregates. Only the tiny fixture is built on
+    * the driver; the read path under test is the distributed one. */
+  val sourceZipLines = sql("source_zip_lines",
+    """SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id
+       FROM events WHERE event_id % 50 = 0""") { (s, d) =>
+    import s.implicits._
+    val dir = scratch("zip")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val ids = Tables.events(s, d).filter(col("event_id") % 50 === 0)
+      .select(col("event_id")).as[Long].collect().sorted
+    for (archive <- 0 until 2) {
+      val zout = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(s"$dir/fixture$archive.zip")))
+      try for (entry <- 0 until 2) {
+        zout.putNextEntry(new java.util.zip.ZipEntry(s"part$entry.txt"))
+        val lines = ids.zipWithIndex
+          .filter { case (_, i) => i % 4 == archive * 2 + entry }
+          .map(_._1.toString).mkString("", "\n", "\n")
+        zout.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zout.closeEntry()
+      } finally zout.close()
+    }
+    Inputs.zipTextLines(s, s"$dir/*.zip")
+      .select(col("line").cast("long").as("event_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     upsertKeyed, sourceInMemory, sourceNone, sourceNdjsonRoundtrip,
-    sourceCsvRoundtrip, sourceFileset)
+    sourceCsvRoundtrip, sourceFileset, sourceZipLines)
 }
