@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, concat, lit}
 import java.util.concurrent.atomic.AtomicInteger
 
 /** Fault-injection check (SURVEY.md §5(f) — the RougeMapper analogue,
@@ -24,6 +25,8 @@ import java.util.concurrent.atomic.AtomicInteger
 object RetryCheck {
   // per-JVM attempt tracker: first attempt of each partition fails
   val attempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+  // separate tracker for the upsert write-path scenario
+  val upsertAttempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -66,7 +69,42 @@ object RetryCheck {
       s"counters-exact-under-failure=$exactUnderFailure " +
       s"counters-overcount-on-recompute=$overOnRecompute " +
       s"final-counter=${counters.value("records-processed")}")
+
+    // --- keyed-upsert sink under injected write-path failures ---
+    // (reference DatastoreOutput applies mutations transactionally; the
+    // Spark analogue is task retry + the file-commit protocol: a batch
+    // whose computation fails mid-task must still apply exactly once)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-retry-upsert").toString + "/t"
+    val base = spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    graft.sinks.KeyedTable.create(base, dir, "k")
+    val updates = spark.range(0, 20, 1, 4).as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val n = upsertAttempts.computeIfAbsent(pid, _ => new AtomicInteger(0))
+          .incrementAndGet()
+        it.flatMap { x =>
+          if (n == 1 && x % 5 == 4)
+            throw new RuntimeException(s"injected upsert failure, partition $pid")
+          Seq((x * 5, s"U${x * 5}"), (x * 5 + 1000, s"I${x * 5 + 1000}"))
+        }
+      }.toDF("k", "v")
+    graft.sinks.KeyedTable.upsert(spark, dir, updates, "k")
+    val got = graft.sinks.KeyedTable.read(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val expected =
+      (0L until 100L).map(k =>
+        k -> (if (k % 5 == 0) s"U$k" else s"v$k")).toMap ++
+      (0L until 20L).map(x => (x * 5 + 1000) -> s"I${x * 5 + 1000}").toMap
+    val upsertOk = got == expected
+    val upsertRetried = upsertAttempts.size == 4 &&
+      upsertAttempts.values.stream.allMatch(a => a.get == 2)
+    println(s"[retry-check] upsert-exactly-once=$upsertOk " +
+      s"upsert-partitions-retried=$upsertRetried rows=${got.size}")
+
     spark.stop()
-    if (!(ok1 && ok2 && exactUnderFailure && overOnRecompute)) sys.exit(1)
+    if (!(ok1 && ok2 && exactUnderFailure && overOnRecompute &&
+      upsertOk && upsertRetried)) sys.exit(1)
   }
 }

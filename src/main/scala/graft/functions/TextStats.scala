@@ -51,4 +51,22 @@ object TextStats {
     expr(s"""array_min(transform(
          sequence(1, greatest(length($textColName) - ${k - 1}, 1)),
          i -> md5(substring($textColName, i, $k))))""")
+
+  /** Email addresses matched by the redaction pass. Anchored to word
+    * style (lowercase corpus); the same pattern compiles identically
+    * under Java regex and RE2-style engines. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** Long digit runs (phone/account/card shapes). */
+  val LongNumberPattern = "[0-9]{7,}"
+
+  /** PII scrub (the redaction pass a training-data pipeline runs
+    * before anything else sees the text): emails → <EMAIL>, 7+ digit
+    * runs → <NUM>. Pure codegen'd regexp_replace chain — linear scan,
+    * no shuffle; extend with further (pattern, token) pairs as
+    * policies grow. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
 }

@@ -8,7 +8,7 @@ object Registry {
       RelationalQueries5.all ++
       TpchQueries.all ++ MapReduceQueries.all ++ StorageQueries.all ++
       DataPipelineQueries.all ++ DataPipelineQueries2.all ++
-      DataPipelineQueries3.all ++
+      DataPipelineQueries3.all ++ DataPipelineQueries4.all ++
       StreamingQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
