@@ -63,4 +63,82 @@ object ConnectedComponents {
     ed.unpersist(blocking = false)
     labels
   }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round scale path for HIGH-DIAMETER graphs, where plain
+    * min-label propagation needs O(diameter) rounds. Each round is two
+    * grouped aggregates + joins over the (shrinking) edge relation;
+    * lineage is truncated per round exactly as in [[run]].
+    *
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: on canonical (u > v) edges, every node attaches its
+    *    smaller neighbors and itself to their minimum.
+    *
+    * Both steps preserve connectivity; at the fixed point the edges form
+    * stars (node → component minimum). Convergence is detected by an
+    * (edge count, order-independent hash checksum) pair — at the fixed
+    * point the edge SET is exactly stable, so checksum equality is the
+    * set equality it stands for (64-bit collision odds negligible, and
+    * a collision could only delay, not corrupt: we re-check next round).
+    *
+    * Same contract as [[run]]: undirected input (`src`, `dst`), one
+    * direction per pair suffices; isolated nodes absent from output;
+    * returns (`node`, `label`) with label = min reachable node id. */
+  def runStar(spark: SparkSession, edges: DataFrame): DataFrame =
+    runStarWithRounds(spark, edges)._1
+
+  /** [[runStar]] plus the number of large+small rounds executed —
+    * exposed so tests can pin the O(log n) round bound. */
+  def runStarWithRounds(spark: SparkSession, edges: DataFrame): (DataFrame, Int) = {
+    def canonical(df: DataFrame): DataFrame =
+      df.where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    var e = canonical(edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v")))
+      .localCheckpoint()
+    var prev = Option.empty[(Long, Long)]
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      // large-star over the full symmetric neighborhood of each node
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // (v, m) for v > u: m ≤ u < v, so the emitted edge is already
+      // canonical and never a self-loop
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on canonical edges: each node u with its smaller
+      // neighbors Γ(u); attach all of Γ(u) ∪ {u} to min(Γ(u))
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = large.join(minsS, "u")
+      val small = canonical(
+        withM.select(col("v").as("u"), col("m").as("v"))
+          .union(minsS.select(col("u"), col("m").as("v"))))
+        .localCheckpoint()
+      rounds += 1
+      // pmod bounds each term so the sum cannot overflow a long
+      // (ANSI mode makes that an error, not a wrap)
+      val chk = small.agg(count(lit(1)),
+          sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))))
+        .first()
+      val sig = (chk.getLong(0), if (chk.isNullAt(1)) 0L else chk.getLong(1))
+      converged = prev.contains(sig)
+      prev = Some(sig)
+      e = small
+    }
+    val symF = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val labels = symF.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("label"))
+    (labels, rounds)
+  }
 }

@@ -234,4 +234,69 @@ object TextDedup {
         lit(num) * (col("n1") + col("n2") - col("common")))
       .select(col("d1"), col("d2"))
   }
+
+  /** Incremental ingestion dedup — the 100 TB operating mode, where a
+    * NEW batch is deduped against an already-indexed corpus without
+    * rescanning the corpus: the corpus participates only through
+    * (a) its LSH band-signature index (docs × bands rows, the thing a
+    * production pipeline keeps materialized between ingests) and
+    * (b) a shingle fetch restricted BY ID to corpus docs that actually
+    * collide with a batch band — cost proportional to the batch size
+    * and the dup rate, never to the corpus.
+    *
+    * Per batch doc: `corpus_dup` (verified Jaccard >= num/den against
+    * some corpus doc; `dup_of` = smallest such corpus id) else
+    * `batch_dup` (near-dup of an EARLIER batch doc — keep-first within
+    * the batch) else `new`. `dup_of` = -1 for `new`.
+    *
+    * @param corpusSh shingles (doc_id, s) of the indexed corpus — only
+    *                 candidate docs' rows are ever read
+    * @param batchSh  shingles of the incoming batch
+    * @param batchIds one row per batch doc (`doc_id`) — docs with no
+    *                 shingles still get a `new` row */
+  def incrementalDedup(corpusSh: DataFrame, batchSh: DataFrame,
+      batchIds: DataFrame, numHashes: Int = 12, bands: Int = 4,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val cIdx = lshBands(minhashSignatures(corpusSh, numHashes), bands, rows)
+    val bBands = lshBands(minhashSignatures(batchSh, numHashes), bands, rows)
+    // candidate (batch, corpus) pairs = band-bucket collisions against
+    // the index: one equi join keyed on (band, sig)
+    val cand = bBands.toDF("bdoc", "band", "sig")
+      .join(cIdx.toDF("cdoc", "band2", "sig2"),
+        col("band") === col("band2") && col("sig") === col("sig2"))
+      .select(col("bdoc"), col("cdoc")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // fetch-by-id: shingles only for docs appearing in a candidate pair
+    val cSh = corpusSh.join(
+      broadcast(cand.select(col("cdoc").as("doc_id")).distinct()),
+      Seq("doc_id"), "leftsemi")
+    val bShC = batchSh.join(
+      broadcast(cand.select(col("bdoc").as("doc_id")).distinct()),
+      Seq("doc_id"), "leftsemi")
+    val tagged = bShC.join(broadcast(cand), col("doc_id") === col("bdoc"))
+      .select(col("bdoc"), col("cdoc"), col("s"))
+    val common = tagged.join(cSh.toDF("ck", "s2"),
+        col("cdoc") === col("ck") && col("s2") === col("s"))
+      .groupBy(col("bdoc"), col("cdoc")).agg(count(lit(1)).as("common"))
+    val crossDup = common
+      .join(sizes(bShC).toDF("bk", "bn"), col("bdoc") === col("bk"))
+      .join(sizes(cSh).toDF("ck2", "cn"), col("cdoc") === col("ck2"))
+      .filter(lit(den) * col("common") >=
+        lit(num) * (col("bn") + col("cn") - col("common")))
+      .groupBy(col("bdoc")).agg(min(col("cdoc")).as("corpus_dup_of"))
+    // keep-first within the batch itself (earlier doc id survives)
+    val internal = lshVerifiedPairs(batchSh, numHashes, bands, num, den)
+      .groupBy(col("d2")).agg(min(col("d1")).as("batch_dup_of"))
+    batchIds.select(col("doc_id"))
+      .join(crossDup, col("doc_id") === col("bdoc"), "left")
+      .join(internal, col("doc_id") === col("d2"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_dup_of").isNotNull, lit("corpus_dup"))
+          .when(col("batch_dup_of").isNotNull, lit("batch_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("corpus_dup_of"), col("batch_dup_of"), lit(-1L))
+          .as("dup_of"))
+  }
 }

@@ -285,6 +285,70 @@ object VectorSearch {
       .select(col("vec_id"), col("cell"), col("neighbor_id"), col("cosim"))
   }
 
+  /** Product-quantization codes — the memory-side compression of a
+    * vector store (IVF narrows the search, PQ shrinks the residency:
+    * 64 floats → `m` byte-sized codes, 64× here). The vector splits
+    * into `m` contiguous subvectors; each is assigned to its nearest
+    * per-subspace centroid by squared L2 distance. Codebook = the
+    * subvectors of the first `codesPerSub` vectors by id (the
+    * deterministic stand-in for a trained per-subspace k-means — a
+    * learned codebook swaps in without touching the shape, exactly as
+    * in `ivfAssign`).
+    *
+    * Determinism/oracle contract: components are fixed-pointed by
+    * floor(v·2^20) (IEEE-exact power-of-two scale), so distances are
+    * INTEGER sums — order-independent, engine-portable; ties take the
+    * smallest code. Execution: the codebook is m·k tiny rows collected
+    * bounded and broadcast; assignment is one mapPartitions kernel —
+    * no join, no Exchange between the scan and the codes (same
+    * shuffle-free contract as `ivfAssign`, asserted in PlanSpec). Cost
+    * O(n·m·k·d/m) = O(n·k·d), one pass.
+    *
+    * Returns (vec_id, sub, code, d2) with d2 the integer distortion —
+    * callers roll up per-vector code words or per-cell occupancy. */
+  def pqAssign(df: DataFrame, m: Int = 4, codesPerSub: Int = 16,
+      scale: Long = 1048576L): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val cb = df.filter(col("vec_id") < codesPerSub)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .take(codesPerSub + 1)
+      .sortBy(_._1)
+      .map { case (cid, emb) =>
+        (cid, emb.map(v => math.floor(v.toDouble * scale).toLong))
+      }
+    require(cb.nonEmpty, "pqAssign: empty codebook")
+    val bc = sp.sparkContext.broadcast(cb)
+    df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val codebook = bc.value
+        val d = emb.length
+        require(d % m == 0, s"pqAssign: m=$m must divide dim=$d")
+        val sd = d / m
+        val fx = emb.map(v => math.floor(v.toDouble * scale).toLong)
+        (0 until m).map { sub =>
+          val off = sub * sd
+          var bestD2 = Long.MaxValue
+          var bestCode = 0L
+          var j = 0
+          while (j < codebook.length) {
+            val (cid, cfx) = codebook(j)
+            var d2 = 0L; var i = 0
+            while (i < sd) {
+              val diff = fx(off + i) - cfx(off + i)
+              d2 += diff * diff; i += 1
+            }
+            // strict < keeps the smallest code id on ties (sorted)
+            if (d2 < bestD2) { bestD2 = d2; bestCode = cid }
+            j += 1
+          }
+          (id, sub.toLong, bestCode, bestD2)
+        }
+      }.toDF("vec_id", "sub", "code", "d2")
+  }
+
   /** Bucketed (IVF-style) cosine top-1: search only within the
     * vector's own bucket — the candidate space shrinks by the bucket
     * fan-out, and the join is an equi join on the bucket key (one

@@ -48,7 +48,7 @@ object DataPipelineQueries {
     * near-dup edge graph), where per-round fixed task overhead at the
     * session's full partition count dwarfs the actual work. Restored
     * afterward; a big-graph run would keep the session setting. */
-  private def withFewPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[queries] def withFewPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
     s.conf.set(key, n.toString)
@@ -233,6 +233,69 @@ object DataPipelineQueries {
     graft.functions.TextDedup.lshVerifiedPairs(
       checkpointedShingles(s, d),
       numHashes = 12, bands = 4, num = 4, den = 5)
+  }
+
+  /** Incremental ingestion dedup (TextDedup.incrementalDedup): docs
+    * with doc_id % 4 = 0 play the incoming batch, the rest the indexed
+    * corpus. Each batch doc is labeled corpus_dup / batch_dup / new
+    * with the id it duplicates. The corpus is touched only through its
+    * LSH band index plus a by-id shingle fetch for colliding docs —
+    * at 100 TB the per-ingest cost tracks the BATCH, not the corpus.
+    * The oracle replays the same deterministic md5 LSH + exact-Jaccard
+    * verify restricted to the same split. */
+  val dedupIncremental = sql("dedup_incremental",
+    shingleCte + """,
+       hs AS (
+         SELECT doc_id, i,
+           min(md5(concat(CAST(i AS VARCHAR), ':', s))) AS mh
+         FROM sh, LATERAL (SELECT unnest(range(0, 12)) AS i) t
+         GROUP BY doc_id, i),
+       bands AS (
+         SELECT doc_id, i // 3 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS sig
+         FROM hs GROUP BY doc_id, band),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       cand AS (
+         SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
+         FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
+         WHERE b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0),
+       com AS (
+         SELECT cd.bdoc, cd.cdoc, count(*) AS common
+         FROM cand cd JOIN sh a ON a.doc_id = cd.bdoc
+                      JOIN sh b ON b.doc_id = cd.cdoc AND b.s = a.s
+         GROUP BY 1, 2),
+       crossdup AS (
+         SELECT bdoc, min(cdoc) AS cdup FROM com
+         JOIN sz x ON x.doc_id = bdoc JOIN sz y ON y.doc_id = cdoc
+         WHERE 5 * common >= 4 * (x.n + y.n - common) GROUP BY 1),
+       bcand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0),
+       bcom AS (
+         SELECT c.d1, c.d2, count(*) AS common
+         FROM bcand c JOIN sh a ON a.doc_id = c.d1
+                      JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+         GROUP BY 1, 2),
+       bdup AS (
+         SELECT d2, min(d1) AS bfirst FROM bcom
+         JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+         WHERE 5 * common >= 4 * (x.n + y.n - common) GROUP BY 1)
+       SELECT d.doc_id,
+         CASE WHEN cd.cdup IS NOT NULL THEN 'corpus_dup'
+              WHEN bd.bfirst IS NOT NULL THEN 'batch_dup'
+              ELSE 'new' END AS status,
+         CAST(coalesce(cd.cdup, bd.bfirst, -1) AS BIGINT) AS dup_of
+       FROM documents d
+       LEFT JOIN crossdup cd ON cd.bdoc = d.doc_id
+       LEFT JOIN bdup bd ON bd.d2 = d.doc_id
+       WHERE d.doc_id % 4 = 0""") { (s, d) =>
+    val sh = checkpointedShingles(s, d)
+    val isBatch = col("doc_id") % 4 === 0
+    graft.functions.TextDedup.incrementalDedup(
+      corpusSh = sh.where(!isBatch),
+      batchSh = sh.where(isBatch),
+      batchIds = Tables.documents(s, d).where(isBatch).select(col("doc_id")))
   }
 
   /** SimHash document fingerprint: 32 bits; bit p is the sign of the
@@ -668,6 +731,7 @@ object DataPipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupMinhashLsh,
+    dedupIncremental,
     dedupSimhash, dedupEmbedding, dedupClusters, annCosineTop1,
     annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,

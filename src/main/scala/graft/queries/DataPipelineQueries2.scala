@@ -176,6 +176,42 @@ object DataPipelineQueries2 {
     VectorSearch.scalarQuantizeCodes(Tables.embeddings(s, d))
   }
 
+  /** Product-quantization code words (VectorSearch.pqAssign): 4
+    * subspaces of 16 dims, 16 codes each — 256-byte vectors become
+    * 4-byte words (the memory-side compression that complements IVF's
+    * search-side narrowing). Assignment is a shuffle-free broadcast-
+    * codebook kernel; all distances are fixed-point INTEGER sums, so
+    * the code words and distortions are bit-identical in DuckDB. */
+  val embPqCodes = sql("emb_pq_codes",
+    """WITH fx AS (
+         SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, i - 1 AS pos,
+           CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)
+             AS BIGINT) AS fx
+         FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+       cb AS (SELECT vec_id AS code, sub, pos, fx AS cfx
+              FROM fx WHERE vec_id < 16),
+       dist AS (
+         SELECT f.vec_id, f.sub, c.code,
+           sum((f.fx - c.cfx) * (f.fx - c.cfx)) AS d2
+         FROM fx f JOIN cb c ON c.sub = f.sub AND c.pos = f.pos
+         GROUP BY 1, 2, 3),
+       best AS (
+         SELECT vec_id, sub, code, d2, row_number() OVER (
+           PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         FROM dist)
+       SELECT vec_id,
+         string_agg(CAST(code AS VARCHAR), '|' ORDER BY sub) AS pq,
+         CAST(sum(d2) AS BIGINT) AS d2_total
+       FROM best WHERE rn = 1 GROUP BY vec_id""") { (s, d) =>
+    VectorSearch.pqAssign(Tables.embeddings(s, d), m = 4, codesPerSub = 16)
+      .groupBy(col("vec_id"))
+      .agg(expr("""array_join(transform(array_sort(collect_list(
+             struct(sub, code))), x -> CAST(x.code AS STRING)), '|')""")
+          .as("pq"),
+        sum(col("d2")).as("d2_total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qualityFunnel, dedupKeepBest, annIvfTop1, embQuantize)
+    qualityFunnel, dedupKeepBest, annIvfTop1, embQuantize, embPqCodes)
 }

@@ -96,5 +96,46 @@ object DataPipelineQueries4 {
           .as("doc_sig"))
   }
 
-  val all: Seq[QueryDef] = Seq(textPiiScrub, textChunkDedup)
+  /** Connected components by large-star/small-star contraction
+    * (functions.ConnectedComponents.runStar) on a HIGH-DIAMETER graph:
+    * consecutive doc_ids within each (lang, source) group form chains
+    * of length ~n/groups (diameter ~40 at sf0.01, ~400 at sf0.1).
+    * Plain min-label propagation needs O(diameter) rounds here; star
+    * contraction converges in O(log n) — this check pins the scale
+    * path on the topology it exists for, while `dedup_clusters` pins
+    * the near-clique dedup topology. The oracle walks the same chains
+    * with a recursive CTE. */
+  val graphComponentsStar = sql("graph_components_star",
+    """WITH RECURSIVE base AS (
+         SELECT doc_id,
+           row_number() OVER (PARTITION BY lang, source ORDER BY doc_id)
+             AS rn, lang, source
+         FROM documents),
+       ed AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2 FROM base a
+         JOIN base b ON a.lang = b.lang AND a.source = b.source
+           AND b.rn = a.rn + 1),
+       edges AS (SELECT d1 AS src, d2 AS dst FROM ed
+                 UNION ALL SELECT d2, d1 FROM ed),
+       walk(node, label) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node)
+       SELECT CAST(node AS BIGINT) AS doc_id,
+         CAST(min(label) AS BIGINT) AS cluster_id
+       FROM walk GROUP BY node""") { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    val ed = Tables.documents(s, d)
+      .select(col("doc_id"), lead(col("doc_id"), 1).over(w).as("nxt"))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id").as("src"), col("nxt").as("dst"))
+    val labels = graft.queries.DataPipelineQueries.withFewPartitions(s, 4) {
+      graft.functions.ConnectedComponents.runStar(s, ed)
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(textPiiScrub, textChunkDedup,
+    graphComponentsStar)
 }

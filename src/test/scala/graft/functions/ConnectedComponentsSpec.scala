@@ -40,4 +40,35 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("edge direction does not matter") {
     assert(cc(Seq((5L, 3L), (3L, 9L))) === Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
+
+  private def ccStar(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (df, rounds) =
+      ConnectedComponents.runStarWithRounds(spark, edges.toDF("src", "dst"))
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("star contraction matches propagation on mixed topologies") {
+    val star = (101L to 110L).map(leaf => (100L, leaf))
+    val cliqueA = for {
+      x <- 200L to 203L; y <- 200L to 203L if x < y } yield (x, y)
+    val chain = Seq((400L, 401L), (401L, 402L), (402L, 403L))
+    val edges = star ++ cliqueA ++ chain
+    assert(ccStar(edges)._1 === cc(edges))
+  }
+
+  test("star contraction needs O(log n) rounds on a long chain") {
+    // path of 257 nodes: diameter 256. Propagation would need ~256
+    // rounds; star contraction halves component height per round pair.
+    val (labels, rounds) = ccStar((0L until 256L).map(i => (i, i + 1)))
+    assert(labels.keySet === (0L to 256L).toSet)
+    assert(labels.values.toSet === Set(0L))
+    assert(rounds <= 12, s"expected O(log n) rounds, took $rounds")
+  }
+
+  test("star contraction handles single edges and reversed input") {
+    assert(ccStar(Seq((5L, 3L), (3L, 9L)))._1 ===
+      Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+    assert(ccStar(Seq((7L, 2L)))._1 === Map(2L -> 2L, 7L -> 2L))
+  }
 }

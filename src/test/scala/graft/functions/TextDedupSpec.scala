@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.TestSpark
 
 /** Unit tests for the TextDedup operators on tiny in-memory corpora —
@@ -54,6 +55,31 @@ class TextDedupSpec extends AnyFunSuite {
     // identical docs share every band bucket, so recall is total here;
     // verification guarantees precision
     assert(lsh === exact)
+  }
+
+  test("incrementalDedup labels batch docs against the corpus index") {
+    import spark.implicits._
+    // corpus: 1, 3; batch: 2 (dup of 1), 4 (dup of 6? no — unique),
+    // 6 and 8 near-dups of each other (batch-internal, keep-first)
+    val docs = corpus(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      3L -> "q1 q2 q3 q4 q5 q6 q7 q8",
+      2L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      4L -> "z1 z2 z3 z4 z5 z6 z7 z8",
+      6L -> "m1 m2 m3 m4 m5 m6 m7 m8",
+      8L -> "m1 m2 m3 m4 m5 m6 m7 m8")
+    val sh = TextDedup.shingles(docs)
+    val isBatch = col("doc_id") % 2 === 0
+    val out = TextDedup.incrementalDedup(
+        corpusSh = sh.where(!isBatch),
+        batchSh = sh.where(isBatch),
+        batchIds = docs.where(isBatch).select(col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set(
+      (2L, "corpus_dup", 1L),
+      (4L, "new", -1L),
+      (6L, "new", -1L),
+      (8L, "batch_dup", 6L)))
   }
 
   test("clusterRepresentatives keeps the max-score doc per cluster") {

@@ -100,6 +100,22 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(pairs.count() === sameBucket.count())
   }
 
+  test("pqAssign: every vector gets m in-range codes; codebook " +
+      "vectors quantize to themselves with zero distortion") {
+    val m = 4
+    val k = 16
+    val codes = VectorSearch.pqAssign(emb, m = m, codesPerSub = k).cache()
+    val n = emb.count()
+    assert(codes.count() === n * m)
+    assert(codes.filter(col("code") < 0 || col("code") >= k).count() === 0)
+    assert(codes.filter(col("sub") < 0 || col("sub") >= m).count() === 0)
+    // a codebook vector's own subvector is in the codebook → exact match
+    val self = codes.filter(col("vec_id") < k)
+    assert(self.filter(col("code") =!= col("vec_id")).count() === 0)
+    assert(self.filter(col("d2") =!= 0L).count() === 0)
+    codes.unpersist()
+  }
+
   test("ivf top-1 similarity is bounded by the brute-force top-1") {
     val sample = emb.limit(60).cache()
     val brute = VectorSearch.bruteForceCosineTop1(sample, sample)
