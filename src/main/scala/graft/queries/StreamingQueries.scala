@@ -239,7 +239,23 @@ object StreamingQueries {
         (col("ms") - col("prev_click_ms")).as("gap_ms"))
   }
 
+  /** Stream-static enrichment (StreamingJobs.staticEnrichedCounts):
+    * streamed events broadcast-join the static customer→nation
+    * dimension, no stream state — the bounded replay's final table
+    * must equal the batch join+aggregate the oracle runs. */
+  val streamStaticJoin = sql("stream_static_join",
+    """SELECT n.n_name, count(*) AS cnt,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+       FROM events e
+       JOIN customer c ON e.user_id = c.c_custkey
+       JOIN nation n ON n.n_nationkey = c.c_nationkey
+       GROUP BY n.n_name""") { (s, d) =>
+    graft.streaming.StreamingJobs.staticEnrichedCounts(s, d)
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
-    streamDedup, funnel, cohortRetention, asofPriorEvent)
+    streamDedup, funnel, cohortRetention, asofPriorEvent,
+    streamStaticJoin)
 }

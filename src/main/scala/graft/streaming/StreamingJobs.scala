@@ -187,6 +187,66 @@ object StreamingJobs {
     spark.table(qname)
   }
 
+  /** Stream-static join: streamed events enrich against a STATIC
+    * dimension (customer → nation), then aggregate per nation. The
+    * static side is broadcast — each micro-batch joins map-side with
+    * NO stream state at all (unlike stream-stream joins there is
+    * nothing to watermark: the dimension is re-resolvable every
+    * batch). This is the unbounded-ingest enrichment shape: at 100 TB
+    * the dimension stays a broadcast (or a storage-partition-pruned
+    * shuffle join for a huge dimension) while the stream scales with
+    * executor count. Complete-mode memory sink over the bounded
+    * replay; the final table equals the batch join+aggregate. */
+  def staticEnrichedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val dim = broadcast(
+      cust.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")))
+    val agg = eventsStream(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("total_cents"))
+    val qname = "graft_stream_static"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    withStreamShufflePartitions(spark, 4) {
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    spark.table(qname)
+  }
+
+  /** Streaming upsert: each micro-batch folds into a keyed table via
+    * KeyedTable.upsert inside foreachBatch — the streaming face of the
+    * DatastoreOutput mutation-pool semantics (put-by-key, batched).
+    * Per batch: aggregate the batch's rows per key, then merge-into
+    * the bucketed parquet table (last write wins per key). foreachBatch
+    * retries re-run the whole batch, and upsert is idempotent per
+    * batch content, so a retried batch cannot double-apply — the same
+    * exactly-once contract as eventsToParquetExactlyOnce. Returns the
+    * table's final content. */
+  def streamUpsertKeyed(spark: SparkSession, sfDir: String,
+      tableDir: String): DataFrame = {
+    val qname = "graft_stream_upsert"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    val q = eventsStream(spark, sfDir)
+      .writeStream.queryName(qname)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val up = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+        graft.sinks.KeyedTable.upsert(batch.sparkSession, tableDir, up,
+          keyCol = "user_id")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    graft.sinks.KeyedTable.read(spark, tableDir)
+  }
+
   /** Streaming-native session windows: the session_window operator
     * under a watermark in APPEND mode — sessions emit only once the
     * watermark passes their end (last event + gap), which is the

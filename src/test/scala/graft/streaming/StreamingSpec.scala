@@ -18,6 +18,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming upsert into KeyedTable: last write wins per key and " +
+      "a replay leaves the table unchanged") {
+    val dir = "/tmp/graft-test-stream-upsert"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    // seed: every customer key starts at n_events = 0; streamed events
+    // then upsert real per-user counts over it
+    val seed = spark.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey").as("user_id"), lit(0L).as("n_events"))
+    graft.sinks.KeyedTable.create(seed, dir, keyCol = "user_id")
+    val result = StreamingJobs.streamUpsertKeyed(spark, d, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = graft.core.Tables.events(spark, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeded = seed.collect().map(r => r.getLong(0) -> 0L).toMap
+    assert(result === seeded ++ expected)
+    // replaying the same bounded stream must not change the table
+    val again = StreamingJobs.streamUpsertKeyed(spark, d, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === result)
+    rm(new java.io.File(dir))
+  }
+
   test("foreachBatch idempotent sink: a replayed batch does not duplicate rows") {
     val out = "/tmp/graft-test-foreachbatch"
     def rm(f: java.io.File): Unit = {
