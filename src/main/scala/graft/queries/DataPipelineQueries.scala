@@ -553,6 +553,44 @@ object DataPipelineQueries {
       .select(col("doc_id")).distinct()
   }
 
+  /** Bloom-filter decontamination — same contract as `decontaminate`,
+    * restructured the way a 100 TB pass is: the benchmark 5-gram set
+    * reduces to a ~100 KB bloom sketch (Spark's native
+    * BloomFilterAggregate, surfaced via functions.BloomFunctions),
+    * embedded as a LITERAL in a codegen'd `might_contain` filter — so
+    * ~all clean corpus grams are dropped map-side, before any join or
+    * shuffle, and the exact semi-join verify (which removes bloom
+    * false positives — output stays exact, same oracle) touches only
+    * the suspected sliver. Against 100 TB this turns "broadcast-join
+    * every corpus gram" into "filter the scan, join ~nothing". */
+  val decontaminateBloom = sql("decontaminate_bloom",
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       g5 AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' ||
+           w[CAST(i AS INT)+2] || ' ' || w[CAST(i AS INT)+3] || ' ' ||
+           w[CAST(i AS INT)+4] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-3, 1))) AS i) t
+         WHERE len(w) >= 5)
+       SELECT DISTINCT g.doc_id FROM g5 g
+       JOIN (SELECT s FROM g5 WHERE doc_id % 7 = 0) b ON g.s = b.s
+       WHERE g.doc_id % 7 <> 0""") { (s, d) =>
+    graft.functions.BloomFunctions.register(s)
+    val g5 = graft.functions.TextDedup.ngrams(Tables.documents(s, d), n = 5)
+    val bench = g5.filter(col("doc_id") % 7 === 0).select(col("s"))
+    val sketch = bench
+      .agg(expr("""graft_bloom_agg(xxhash64(s),
+             CAST(200000 AS BIGINT), CAST(800000 AS BIGINT))"""))
+      .head.getAs[Array[Byte]](0)
+    val bloomLit = graft.functions.BloomFunctions.sketchLiteral(sketch)
+    g5.filter(col("doc_id") % 7 =!= 0)
+      .filter(expr(s"graft_might_contain($bloomLit, xxhash64(s))"))
+      .join(broadcast(bench), Seq("s"), "leftsemi")
+      .select(col("doc_id")).distinct()
+  }
+
   /** Rolling-hash document fingerprint: the minimum md5 over all 5-char
     * shingles (a winnowing-style content signature). */
   val textFingerprint = sql("text_fingerprint",
@@ -735,7 +773,7 @@ object DataPipelineQueries {
     dedupSimhash, dedupEmbedding, dedupClusters, annCosineTop1,
     annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
-    textRepetition, textNormalize, decontaminate,
+    textRepetition, textNormalize, decontaminate, decontaminateBloom,
     sampleHash, sampleSplit, sampleStratified, textEditDistance,
     multimodalFeatures)
 }

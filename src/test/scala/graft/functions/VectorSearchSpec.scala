@@ -67,6 +67,12 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("pqAssign is shuffle-free — no Exchange between scan and codes") {
+    val codes = VectorSearch.pqAssign(emb, m = 4, codesPerSub = 16)
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("exact kernels enforce the candidate row cap") {
     val e = intercept[IllegalArgumentException] {
       VectorSearch.bruteForceCosineTop1(emb, emb, maxCandidates = 10).count()

@@ -274,6 +274,17 @@ class PlanSpec extends AnyFunSuite {
         "aggregate's distribution — no second exchange")
   }
 
+  test("decontaminate_bloom: the sketch filters map-side, the verify " +
+      "join broadcasts") {
+    val p = plan("decontaminate_bloom")
+    assert(p.toLowerCase.contains("might_contain"),
+      "the bloom probe must appear as a filter in the corpus branch")
+    assert(p.contains("BroadcastHashJoin"),
+      "the exact verify must broadcast the benchmark grams")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must never shuffle for the verify")
+  }
+
   test("join_asof runs as one keyed window pass, not a join") {
     val p = plan("join_asof")
     assert(p.contains("Window"))
