@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.CosineSimilarity
 
 /** Session-extension wiring: load graft's native functions into any
@@ -26,5 +27,25 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "cosine_sim takes two ARRAY<FLOAT> args")
         CosineSimilarity(exprs(0), exprs(1))
+      }),
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new BloomFilterAggregate(c).toAggregateExpression()
+        case Seq(c, n) =>
+          new BloomFilterAggregate(c, n).toAggregateExpression()
+        case Seq(c, n, b) =>
+          new BloomFilterAggregate(c, n, b).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_agg takes 1-3 arguments, got ${other.length}")
+      }),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_might_contain takes (sketch, value)")
+        BloomFilterMightContain(exprs(0), exprs(1))
       }))
 }

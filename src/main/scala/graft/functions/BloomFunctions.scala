@@ -37,7 +37,20 @@ object BloomFunctions {
       exprs => BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
   }
 
-  /** Hex literal for embedding a collected sketch into expr() text. */
+  /** Hex literal for embedding a collected sketch into expr() text —
+    * fine for SQL-surface use at modest sketch sizes; the Column form
+    * below avoids re-parsing megabytes of hex when sketches grow. */
   def sketchLiteral(bytes: Array[Byte]): String =
     "X'" + bytes.map("%02x".format(_)).mkString + "'"
+
+  /** Probe expression text with the sketch as a SCALAR SUBQUERY over a
+    * temp view ("SELECT <col> FROM <view>") — `BloomFilterMightContain`
+    * accepts a scalar subquery in the sketch slot, so the sketch never
+    * round-trips through the driver or the SQL text at all: the
+    * aggregate runs distributed and feeds the filter as a one-row
+    * broadcast. The form a 100 TB decontamination pass uses when the
+    * sketch is tens of MB. */
+  def mightContainViaView(sketchView: String, sketchCol: String,
+      valueExprText: String): String =
+    s"graft_might_contain((SELECT $sketchCol FROM $sketchView), $valueExprText)"
 }

@@ -580,9 +580,17 @@ object DataPipelineQueries {
     graft.functions.BloomFunctions.register(s)
     val g5 = graft.functions.TextDedup.ngrams(Tables.documents(s, d), n = 5)
     val bench = g5.filter(col("doc_id") % 7 === 0).select(col("s"))
+    // size the sketch to the benchmark side (8 bits/item ≈ 2% fpp).
+    // SIZING IS A SCALE CLIFF, not a tuning nicety: every partial
+    // aggregate buffer is a bits/8-byte bitmap and the merge moves
+    // one per task — a 5× oversized sketch at the 100× probe turned
+    // the build super-linear (6 s → 49 s; see BENCH_NOTES). In
+    // production the benchmark-set size is known; here one cheap
+    // count over the small side stands in.
+    val items = math.max(bench.count(), 1024L)
     val sketch = bench
-      .agg(expr("""graft_bloom_agg(xxhash64(s),
-             CAST(200000 AS BIGINT), CAST(800000 AS BIGINT))"""))
+      .agg(expr(s"""graft_bloom_agg(xxhash64(s),
+             CAST($items AS BIGINT), CAST(${8 * items} AS BIGINT))"""))
       .head.getAs[Array[Byte]](0)
     val bloomLit = graft.functions.BloomFunctions.sketchLiteral(sketch)
     g5.filter(col("doc_id") % 7 =!= 0)
