@@ -67,7 +67,12 @@ object Bench {
     // warm standalone re-run of the same query. Storage is reset
     // between runs, so the second run re-pays its own persists/
     // checkpoints — only codegen/JIT warmth carries over.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args: query names to time (local iteration only — the
+    // driver's no-arg run times everything and writes BENCH_FULL.json).
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -85,9 +90,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"runs":2,"agg":"min","queries":$fullQs,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
 
     // Compact stdout line: keep the slowest queries, drop the fastest
     // until the serialized line fits the driver's tail window.

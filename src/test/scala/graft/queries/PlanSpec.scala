@@ -291,4 +291,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
       "the as-of composition is union + carry-forward window — no pairwise join")
   }
+
+  test("profile_columns: two passes — stats, and hash-agg'd distincts") {
+    val p = plan("profile_columns")
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).size === 2,
+      "exactly one stats pass + one shared multi-distinct pass — " +
+        "never a scan per column")
+    assert(p.contains("Expand") && p.contains("HashAggregate"),
+      "the four distinct counts must share one Expand with all-numeric " +
+        "buffers (hash aggregation); mixing string min/max into it would " +
+        "force SortAggregate over the expanded rows")
+  }
+
+  test("mix_rebalance: per-source thresholds broadcast; corpus never shuffles") {
+    val p = plan("mix_rebalance")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source weight relation is tiny — it must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the document side must not shuffle for the weight join")
+  }
+
+  test("heavy_hitters: top-10 is TakeOrdered over a partial-agg'd count") {
+    val p = plan("heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must never materialize a global sort")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the per-key count must partial-aggregate before the exchange")
+  }
+
+  test("zorder_layout: the z-key is pure projection, one exchange total") {
+    val p = plan("zorder_layout")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"),
+      "the interleave must stay column arithmetic — no UDF, no object round-trip")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
+      "only the deterministic-file window may exchange; the z-key itself " +
+        "must be a map-side projection")
+  }
 }
