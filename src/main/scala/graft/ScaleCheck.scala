@@ -261,6 +261,43 @@ object ScaleCheck {
         .agg(count(lit(1)), sum(col("n_tok"))).count()
     }
 
+    // cross-source overlap: one collect_set shuffle keyed on the gram;
+    // with GRAFT_SCALE_MUTATE=1 each copy's grams are distinct, so the
+    // gram relation grows linearly and the per-gram source sets stay
+    // the base corpus's — the expected growth is linear-in-data
+    time("corpus_overlap") {
+      val srcs = graft.functions.TextDedup.ngrams(docs, idCol = "source")
+        .groupBy(col("s")).agg(collect_set(col("source")).as("ss"))
+        .persist()
+      val n = srcs.where(size(col("ss")) >= 2)
+        .select(explode(col("ss")).as("a"), col("ss"))
+        .select(col("a"), explode(col("ss")).as("b"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1))).count()
+      srcs.unpersist(blocking = false)
+      n
+    }
+    // rare-bigram filter: bigram frequency aggregate + join-back —
+    // two shuffles, both keyed on the gram; linear growth expected
+    time("quality_rare_ngram") {
+      val bg = graft.functions.TextDedup.ngrams(docs, n = 2)
+        .withColumnRenamed("s", "b")
+      val cnt = bg.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      bg.join(cnt, "b").groupBy(col("doc_id"))
+        .agg(count(lit(1)),
+          sum(when(col("n") <= 2, 1L).otherwise(0L))).count()
+    }
+    // global training shuffle: range repartition on the md5 key +
+    // zipWithIndex (a count job + the attach pass) — the sort is the
+    // cost, O(n log n) with no single-partition stage
+    time("corpus_shuffle") {
+      val keyed = docs.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("k"))
+      graft.functions.Layout
+        .globalRowNumber(keyed, col("k"), col("doc_id"))
+        .groupBy(col("rn") % 64).agg(count(lit(1))).count()
+    }
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","copies":$copies,"unit":"sec","ops":$qs,"sf":"$sfDir"}""")
