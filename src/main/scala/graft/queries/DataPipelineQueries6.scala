@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.{Bpe, PageRank}
+
+/** Round-4 continuation, batch 3: link-graph authority (fixed-point
+  * PageRank), BPE tokenizer induction, URL canonicalization, and
+  * keyed pseudonymization — the remaining web-corpus curation ops.
+  */
+object DataPipelineQueries6 {
+  import QueryDef._
+
+  /** Fixed-point PageRank (3 rounds, d = 17/20) over the per-(lang,
+    * source) doc-chain graph, both directions — the link-authority
+    * signal fed into quality weighting. Integer fixed-point ranks
+    * (scaled 10^6, per-edge contributions floored) make the result
+    * engine- and order-independent, so the oracle unrolls the exact
+    * same three rounds in SQL. Each round is one join of ranks onto
+    * edges + one aggregate keyed on dst — the classic distributed PR
+    * round; lineage truncated per round (see functions.PageRank). */
+  val pagerankChain = sql("pagerank_chain",
+    s"""WITH base AS (
+         SELECT doc_id, row_number() OVER (
+           PARTITION BY lang, source ORDER BY doc_id) AS rn, lang, source
+         FROM documents),
+       ed AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2 FROM base a
+         JOIN base b ON a.lang = b.lang AND a.source = b.source
+           AND b.rn = a.rn + 1),
+       edges AS (SELECT d1 AS src, d2 AS dst FROM ed
+                 UNION ALL SELECT d2, d1 FROM ed),
+       nodes AS (SELECT doc_id AS node FROM documents),
+       ${PageRank.sqlUnrolled(3)}
+       SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_fx
+       FROM r3""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    val ed = docs
+      .select(col("doc_id"), lead(col("doc_id"), 1).over(w).as("nxt"))
+      .where(col("nxt").isNotNull)
+    val edges = ed.select(col("doc_id").as("src"), col("nxt").as("dst"))
+      .union(ed.select(col("nxt").as("src"), col("doc_id").as("dst")))
+    val nodes = docs.select(col("doc_id").as("node"))
+    DataPipelineQueries.withFewPartitions(s, 4) {
+      PageRank.runFixedPoint(s, nodes, edges, iters = 3)
+    }
+  }
+
+  /** BPE tokenizer induction: the first 8 merges learned from the
+    * corpus word-frequency table (rank, left, right, weighted pair
+    * count). Not SQL-expressible (per-round argmax + greedy re-merge)
+    * → rows-only gate here; BpeSpec pins the distributed trainer
+    * against a driver-side reference on the same corpus AND on the
+    * classic hand-checked example. Corpus-scale work is ONE word-count
+    * shuffle; every round runs on the compact word-type relation. */
+  val bpeVocabMerges = rowsOnly("bpe_vocab_merges") { (s, d) =>
+    val words = graft.functions.TextDedup.withTokens(Tables.documents(s, d))
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // the word-type relation is tiny relative to the corpus: run the
+    // 8 driver-paced rounds at few partitions (per-round task overhead
+    // dominates — same argument as the CC/star iterative loops)
+    val merges = DataPipelineQueries.withFewPartitions(s, 4) {
+      Bpe.trainMerges(s, words, numMerges = 8)
+    }
+    import s.implicits._
+    merges.toDF()
+  }
+
+  /** URL canonicalization + domain stats (the C4/RefinedWeb dedup
+    * preamble): lowercase, strip scheme/www/query/fragment/trailing
+    * slash, then count raw vs canonical per domain. The synthetic
+    * corpus has no URLs, so the check injects one deterministically
+    * per document (same concat on both engines — the `text_pii_scrub`
+    * pattern). One codegen'd scan + one aggregate keyed on the
+    * domain; at 100 TB this is scan-speed. */
+  val urlNormalize = sql("url_normalize",
+    """WITH u AS (
+         SELECT 'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+           '.COM/path/' || CAST(doc_id % 13 AS VARCHAR) ||
+           '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '#frag' AS url
+         FROM documents),
+       c AS (
+         SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(url), '[?#].*$', ''), '^https?://', ''), '^www\.', ''),
+             '/+$', '') AS canon
+         FROM u)
+       SELECT regexp_extract(canon, '^([^/]+)', 1) AS domain,
+         count(*) AS n_urls, count(DISTINCT canon) AS n_canonical
+       FROM c GROUP BY 1""") { (s, d) =>
+    val url = concat(
+      lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+      lit(".COM/path/"), (col("doc_id") % 13).cast("string"),
+      lit("/?utm_source=x&id="), col("doc_id").cast("string"), lit("#frag"))
+    val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(url), "[?#].*$", ""), "^https?://", ""), "^www\\.", ""),
+      "/+$", "")
+    Tables.documents(s, d)
+      .select(canon.as("canon"))
+      .groupBy(regexp_extract(col("canon"), "^([^/]+)", 1).as("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canon")).as("n_canonical"))
+  }
+
+  /** Keyed pseudonymization: replace user ids with a salted-hash
+    * token that is stable (same user → same token, across tables and
+    * runs) yet unlinkable without the salt — the privacy pass run
+    * before user-event data enters a training corpus. The check
+    * verifies collision-freeness (n_raw = 1 per token) and that
+    * event counts survive re-keying. Pure projection + one aggregate:
+    * scan-speed at 100 TB. */
+  val pseudonymize = sql("pseudonymize",
+    """SELECT pid, count(*) AS n_events, count(DISTINCT user_id) AS n_raw
+       FROM (
+         SELECT user_id,
+           substr(md5('pepper-1' || CAST(user_id AS VARCHAR)), 1, 16) AS pid
+         FROM events) t
+       GROUP BY pid""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+        substring(md5(concat(lit("pepper-1"), col("user_id").cast("string"))),
+          1, 16).as("pid"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_raw"))
+  }
+
+  val all: Seq[QueryDef] = Seq(pagerankChain, bpeVocabMerges, urlNormalize,
+    pseudonymize)
+}

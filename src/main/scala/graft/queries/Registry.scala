@@ -9,7 +9,7 @@ object Registry {
       TpchQueries.all ++ MapReduceQueries.all ++ StorageQueries.all ++
       DataPipelineQueries.all ++ DataPipelineQueries2.all ++
       DataPipelineQueries3.all ++ DataPipelineQueries4.all ++
-      DataPipelineQueries5.all ++
+      DataPipelineQueries5.all ++ DataPipelineQueries6.all ++
       StreamingQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>
