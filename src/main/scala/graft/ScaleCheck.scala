@@ -298,6 +298,31 @@ object ScaleCheck {
         .groupBy(col("rn") % 64).agg(count(lit(1))).count()
     }
 
+    // PageRank: replication stretches each (lang, source) chain 10×,
+    // so edges grow linearly; rounds are fixed (3) — expect linear
+    time("pagerank_chain") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+      val ed = docs
+        .select(col("doc_id"), lead(col("doc_id"), 1).over(w).as("nxt"))
+        .where(col("nxt").isNotNull)
+      val edges = ed.select(col("doc_id").as("src"), col("nxt").as("dst"))
+        .union(ed.select(col("nxt").as("src"), col("doc_id").as("dst")))
+      graft.functions.PageRank.runFixedPoint(spark,
+        docs.select(col("doc_id").as("node")), edges, iters = 3).count()
+    }
+    // BPE: with GRAFT_SCALE_MUTATE=1 every copy's tokens are distinct,
+    // so the word-TYPE table grows ~linearly — the worst case for the
+    // design claim that rounds run over a compact relation (a real
+    // corpus grows tokens, not types); rounds fixed at 8
+    time("bpe_merges") {
+      val words = graft.functions.TextDedup.withTokens(docs)
+        .select(explode(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      graft.functions.Bpe.trainMerges(spark, words, numMerges = 8).size.toLong
+    }
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","copies":$copies,"unit":"sec","ops":$qs,"sf":"$sfDir"}""")

@@ -126,6 +126,48 @@ object DataPipelineQueries6 {
       .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_raw"))
   }
 
+  /** Corpus snapshot diff (dataset versioning): classify every doc as
+    * added / removed / changed / unchanged between two corpus
+    * versions by keyed content hash. The check derives v2 from v1
+    * deterministically (drop %17, mutate %13, add %23 under shifted
+    * ids — same derivation on both engines). Texts are hashed BEFORE
+    * the join, so the full-outer join shuffles fixed-width (id, hash)
+    * rows, never document bodies — at 100 TB the join is the only
+    * exchange and both sides are pre-hashed scans. */
+  val corpusDiff = sql("corpus_diff",
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+       v2 AS (
+         SELECT doc_id,
+           md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
+         FROM documents WHERE doc_id % 17 <> 0
+         UNION ALL
+         SELECT doc_id + 1000000, md5(text || ' new')
+         FROM documents WHERE doc_id % 23 = 0)
+       SELECT status, count(*) AS n FROM (
+         SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                     WHEN v2.doc_id IS NULL THEN 'removed'
+                     WHEN v1.h <> v2.h THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id) t
+       GROUP BY status""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val v2 = docs.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h"))
+      .union(docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          md5(concat(col("text"), lit(" new"))).as("h")))
+    v1.as("v1").join(v2.as("v2"),
+        col("v1.doc_id") === col("v2.doc_id"), "full_outer")
+      .select(when(col("v1.doc_id").isNull, "added")
+        .when(col("v2.doc_id").isNull, "removed")
+        .when(col("v1.h") =!= col("v2.h"), "changed")
+        .otherwise("unchanged").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(pagerankChain, bpeVocabMerges, urlNormalize,
-    pseudonymize)
+    pseudonymize, corpusDiff)
 }
