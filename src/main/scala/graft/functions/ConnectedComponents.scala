@@ -51,9 +51,12 @@ object ConnectedComponents {
       // iteration requires lineage TRUNCATION. A production cluster
       // job uses checkpoint(reliableDir) for the same reason plus
       // executor-loss recovery.
+      // LAZY checkpoint: the convergence aggregate right below is the
+      // materializing action, so each round runs ONE job, not an
+      // eager-checkpoint job plus the aggregate job
       val next = labels.union(prop)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val sm = Option(next.agg(sum(col("label"))).first().get(0))
         .fold(0L)(_.asInstanceOf[Long])
       converged = prevSum.contains(sm)
@@ -120,10 +123,12 @@ object ConnectedComponents {
       // neighbors Γ(u); attach all of Γ(u) ∪ {u} to min(Γ(u))
       val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val withM = large.join(minsS, "u")
+      // lazy: the checksum aggregate below materializes the checkpoint
+      // in the same job (see [[run]])
       val small = canonical(
         withM.select(col("v").as("u"), col("m").as("v"))
           .union(minsS.select(col("u"), col("m").as("v"))))
-        .localCheckpoint()
+        .localCheckpoint(false)
       rounds += 1
       // pmod bounds each term so the sum cannot overflow a long
       // (ANSI mode makes that an error, not a wrap)
