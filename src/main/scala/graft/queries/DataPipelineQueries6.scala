@@ -168,6 +168,64 @@ object DataPipelineQueries6 {
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    * embeddings into coarse IVF cells, find within-cell cosine
+    * near-dup pairs, connect them into components, keep the minimum
+    * id per cluster. The candidate set is cell-scoped — the n² of a
+    * naive semantic dedup never materializes; the pair join is an
+    * equi join on the cell id, assignment is the shuffle-free
+    * broadcast-codebook projection of `VectorSearch.ivfAssign`, and
+    * clustering is the same `ConnectedComponents` loop as the text
+    * dedup family. The oracle replays assignment, pairing, and a
+    * recursive-CTE walk. */
+  val dedupSemantic = sql("dedup_semantic",
+    """WITH RECURSIVE n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+             FROM n WHERE vec_id < 8),
+       asg AS (
+         SELECT vec_id, embedding, nrm, cid FROM (
+           SELECT a.vec_id, a.embedding, a.nrm, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               (list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+                / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+           FROM n a CROSS JOIN c) t WHERE rn = 1),
+       pr AS (
+         SELECT a.vec_id AS src, b.vec_id AS dst
+         FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         WHERE (list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+                / (a.nrm * b.nrm)) >= 0.5),
+       edges AS (SELECT src, dst FROM pr UNION ALL SELECT dst, src FROM pr),
+       walk(node, label) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node)
+       SELECT CAST(node AS BIGINT) AS vec_id,
+         CAST(min(label) AS BIGINT) AS cluster_id,
+         CAST(node AS BIGINT) = CAST(min(label) AS BIGINT) AS keep
+       FROM walk GROUP BY node""") { (s, d) =>
+    val asg = graft.functions.VectorSearch
+      .ivfAssign(Tables.embeddings(s, d), numCentroids = 8)
+      .localCheckpoint(true)
+    val pairs = asg.as("a")
+      .join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(expr("cosine_sim(a.embedding, b.embedding)") >= 0.5)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val labels = DataPipelineQueries.withFewPartitions(s, 4) {
+      graft.functions.ConnectedComponents.run(s, pairs)
+    }
+    labels.select(col("node").as("vec_id"), col("label").as("cluster_id"),
+      (col("node") === col("label")).as("keep"))
+  }
+
   val all: Seq[QueryDef] = Seq(pagerankChain, bpeVocabMerges, urlNormalize,
-    pseudonymize, corpusDiff)
+    pseudonymize, corpusDiff, dedupSemantic)
 }

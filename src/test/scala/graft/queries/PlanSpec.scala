@@ -319,6 +319,26 @@ class PlanSpec extends AnyFunSuite {
       "the per-key count must partial-aggregate before the exchange")
   }
 
+  test("no registered query plans a non-broadcast cartesian product") {
+    // CartesianProduct (both sides shuffled, |L|×|R| work with no key)
+    // is the one join shape that can never survive a 100× scale-up.
+    // BroadcastNestedLoopJoin is allowed: every use in this suite
+    // broadcasts a 1-row aggregate or a capped probe sample (asserted
+    // individually above); a CartesianProduct would mean a join lost
+    // its keys entirely. Streaming and driver-looped queries can't be
+    // explained statically — they are exercised by their own specs.
+    val skip = Set("bpe_vocab_merges", "corpus_shuffle") ++
+      Registry.queries.keys.filter(_.startsWith("stream_"))
+    val offenders = Registry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip.contains(n) }
+      .flatMap { case (name, fn) =>
+        val p = try plan(name) catch { case _: Throwable => "" }
+        if (p.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"cartesian joins found in: ${offenders.mkString(", ")}")
+  }
+
   test("zorder_layout: the z-key is pure projection, one exchange total") {
     val p = plan("zorder_layout")
     assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"),
