@@ -226,6 +226,32 @@ object DataPipelineQueries6 {
       (col("node") === col("label")).as("keep"))
   }
 
+  /** End-to-end BPE tokenization: train 8 merges, apply them to the
+    * word-TYPE table once (typed map over the compact relation), then
+    * join subword counts back onto the corpus token stream — the
+    * corpus never sees the merge loop, only one join keyed on the
+    * word. Emits per-source word and BPE-token totals (the
+    * compression a tokenizer report shows). Not SQL-expressible
+    * (training loop) → rows-only gate; BpeSpec pins the distributed
+    * totals against a driver-side reference. */
+  val bpeTokenize = rowsOnly("bpe_tokenize") { (s, d) =>
+    import s.implicits._
+    val docs = graft.functions.TextDedup.withTokens(Tables.documents(s, d))
+    val words = docs.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val merges = DataPipelineQueries.withFewPartitions(s, 4) {
+      Bpe.trainMerges(s, words, numMerges = 8)
+    }
+    val bc = s.sparkContext.broadcast(merges)
+    val typeTokens = words.select(col("word")).as[String]
+      .map(w => (w, Bpe.applyMerges(w, bc.value).length.toLong))
+      .toDF("word", "n_sub")
+    docs.select(col("source"), explode(col("w")).as("word"))
+      .join(typeTokens, "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+  }
+
   val all: Seq[QueryDef] = Seq(pagerankChain, bpeVocabMerges, urlNormalize,
-    pseudonymize, corpusDiff, dedupSemantic)
+    pseudonymize, corpusDiff, dedupSemantic, bpeTokenize)
 }

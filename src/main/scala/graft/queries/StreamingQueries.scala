@@ -254,8 +254,34 @@ object StreamingQueries {
     graft.streaming.StreamingJobs.staticEnrichedCounts(s, d)
   }
 
+  /** Streaming decontamination (StreamingJobs.decontaminationHits):
+    * streamed documents' 5-grams semi-join the static benchmark gram
+    * set (docs ≡ 0 mod 7), per-source hit counts accumulate in the
+    * one stateful complete-mode aggregate. The oracle runs the batch
+    * equivalent: every non-benchmark gram occurrence that appears in
+    * the (distinct) benchmark set counts once. */
+  val streamDecontaminate = sql("stream_decontaminate",
+    """WITH w AS (
+         SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       g AS (
+         SELECT doc_id, source,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' ||
+           w[CAST(i AS INT)+2] || ' ' || w[CAST(i AS INT)+3] || ' ' ||
+           w[CAST(i AS INT)+4] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-3, 1))) AS i) t
+         WHERE len(w) >= 5),
+       b AS (SELECT DISTINCT s FROM g WHERE doc_id % 7 = 0)
+       SELECT source, count(*) AS n_hits
+       FROM g JOIN b USING (s)
+       WHERE g.doc_id % 7 <> 0
+       GROUP BY source""") { (s, d) =>
+    graft.streaming.StreamingJobs.decontaminationHits(s, d)
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent,
-    streamStaticJoin)
+    streamStaticJoin, streamDecontaminate)
 }

@@ -366,4 +366,44 @@ object StreamingJobs {
     }
     spark.table(qname)
   }
+
+  /** Streaming benchmark decontamination: documents arrive as a
+    * stream, their 5-grams are checked against the STATIC held-out
+    * benchmark gram set (docs ≡ 0 mod 7), and per-source benchmark-hit
+    * counts accumulate — the continuous-ingest face of
+    * `decontaminate`. The gram explode is stateless, the membership
+    * check is a stream-static broadcast SEMI join (the benchmark side
+    * is bounded by the eval suite, never the corpus — the same sizing
+    * rule as the bloom variant), and the only stateful operator is the
+    * final complete-mode aggregate. At 100 TB the semi join's
+    * broadcast becomes the ~100 KB bloom-literal prefilter of
+    * `decontaminate_bloom` with this exact verify join behind it. */
+  def decontaminationHits(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextDedup
+    val bench = broadcast(
+      TextDedup.ngrams(spark.read.parquet(s"$sfDir/documents.parquet"), n = 5)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("s")).distinct())
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val grams = TextDedup.withTokens(docs)
+      .filter(size(col("w")) >= 5 && col("doc_id") % 7 =!= 0)
+      .select(col("source"), col("w"),
+        explode(expr("sequence(0, size(w) - 5)")).as("i"))
+      .select(col("source"),
+        expr("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])").as("s"))
+    val agg = grams.join(bench, Seq("s"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_hits"))
+    val qname = "graft_stream_decontaminate"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    withStreamShufflePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    spark.table(qname)
+  }
 }

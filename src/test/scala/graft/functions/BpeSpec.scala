@@ -44,6 +44,23 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.applyMerges("banana", m).exists(_.length > 1))
   }
 
+  test("distributed tokenization totals match a driver-side replay") {
+    import spark.implicits._
+    val got = graft.queries.Registry.queries("bpe_tokenize")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = TextDedup.withTokens(graft.core.Tables.documents(spark, d))
+      .select(col("source"), col("w")).as[(String, Seq[String])].collect()
+    val wordCounts = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    val merges = Bpe.trainRef(wordCounts.sortBy(_._1), 8)
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val ws = rows.flatMap(_._2)
+      src -> (ws.length.toLong,
+        ws.map(w => Bpe.applyMerges(w, merges).length.toLong).sum)
+    }
+    assert(got === want)
+  }
+
   test("greedy left-to-right merge handles overlapping pairs") {
     assert(Bpe.mergeOnce(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
     assert(Bpe.mergeOnce(Seq("a", "b", "a", "b"), "a", "b") === Seq("ab", "ab"))
