@@ -230,7 +230,12 @@ object RelationalQueries4 {
     * oracle: a pushed range predicate prunes shards at split-planning
     * time (the custom-Input extension point of SURVEY §2.12, realized
     * as planInputPartitions + SupportsPushDownFilters instead of a
-    * flatMap over spark.range). */
+    * flatMap over spark.range) — and the whole-table aggregate then
+    * pushes COMPLETELY into the source (SupportsPushDownAggregates):
+    * count/min/max/sum over the pruned range are closed-form, so the
+    * plan is a Project over a one-row pre-aggregated BatchScan with no
+    * Aggregate node and zero data rows materialized (PlanSpec pins
+    * this; SourcesSpec pins the grouped-aggregate fallback). */
   val rangeV2Pushdown = sql("range_v2_pushdown",
     """SELECT CAST(sum(range) AS BIGINT) AS s, count(*) AS n
        FROM range(0, 1000000) WHERE range >= 250000 AND range < 750000""") { (s, _) =>

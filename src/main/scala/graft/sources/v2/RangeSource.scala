@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Transform, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -59,12 +60,61 @@ class RangeTable(start: Long, end: Long, shards: Int)
     new RangeScanBuilder(start, end, shards)
 }
 
-/** Filter pushdown tightens the range before split planning. */
+/** Filter pushdown tightens the range before split planning; aggregate
+  * pushdown goes further — COUNT/MIN/MAX/SUM over the (pruned) range
+  * are closed-form arithmetic, so the "scan" emits ONE pre-aggregated
+  * row and zero data rows ever materialize. This is the
+  * `SupportsPushDownAggregates` analogue of what a storage engine with
+  * range statistics does for a 100 TB table: answer the aggregate from
+  * metadata. Complete pushdown is claimed only for the no-grouping,
+  * whole-function-set case; anything else falls back to the row scan. */
 class RangeScanBuilder(start: Long, end: Long, shards: Int)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var lo = start
   private var hi = end // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var aggSchema: Option[StructType] = None
+  private var aggFuncs: Seq[String] = Nil
+
+  private def isId(children: Array[org.apache.spark.sql.connector.expressions.Expression]): Boolean =
+    children.length == 1 && (children(0) match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    })
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && isId(c.children)
+        case m: Min => isId(m.children)
+        case m: Max => isId(m.children)
+        case s: Sum => !s.isDistinct && isId(s.children)
+        case _ => false
+      }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    val fields = new StructType()
+    val (schema, funcs) = agg.aggregateExpressions.zipWithIndex
+      .foldLeft((fields, Seq.empty[String])) { case ((sc, fs), (e, i)) =>
+        val kind = e match {
+          case _: CountStar => "count_star"
+          case _: Count => "count_id"
+          case _: Min => "min"
+          case _: Max => "max"
+          case _: Sum => "sum"
+        }
+        // min/max/sum are NULL over an empty range (SQL semantics);
+        // only counts are never null
+        (sc.add(s"agg_$i", LongType, nullable = kind != "count_star" &&
+          kind != "count_id"), fs :+ kind)
+      }
+    aggSchema = Some(schema)
+    aggFuncs = funcs
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -90,8 +140,56 @@ class RangeScanBuilder(start: Long, end: Long, shards: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new RangeScan(start, end, shards, lo, math.max(lo, hi))
+  override def build(): Scan = aggSchema match {
+    case Some(schema) =>
+      new RangeAggScan(schema, aggFuncs, lo, math.max(lo, hi))
+    case None =>
+      new RangeScan(start, end, shards, lo, math.max(lo, hi))
+  }
+}
+
+/** The pre-aggregated "scan": one partition, one row, each value a
+  * closed form over [lo, hi) — count = hi-lo, min = lo, max = hi-1,
+  * sum = (lo + hi - 1)(hi - lo)/2. Empty range ⇒ count/sum 0, min/max
+  * null (matching Spark's aggregate-over-empty semantics). */
+class RangeAggScan(schema: StructType, funcs: Seq[String],
+    lo: Long, hi: Long) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description: String =
+    s"graft_range AGGREGATED [$lo, $hi): ${funcs.mkString(", ")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangeAggPartition(funcs, lo, hi))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeAggReaderFactory
+}
+
+case class RangeAggPartition(funcs: Seq[String], lo: Long, hi: Long)
+    extends InputPartition
+
+class RangeAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ap = p.asInstanceOf[RangeAggPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val n = math.max(0L, ap.hi - ap.lo)
+        val vals: Seq[Any] = ap.funcs.map {
+          case "count_star" | "count_id" => n
+          case "min" => if (n == 0) null else ap.lo
+          case "max" => if (n == 0) null else ap.hi - 1
+          // pairwise (lo + hi-1) * n / 2 in BigInt to dodge the
+          // intermediate overflow a 10^9-row range would hit in longs
+          case "sum" =>
+            if (n == 0) null
+            else ((BigInt(ap.lo) + BigInt(ap.hi - 1)) * BigInt(n) / 2).toLong
+        }
+        InternalRow.fromSeq(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class RangeScan(start: Long, end: Long, shards: Int,

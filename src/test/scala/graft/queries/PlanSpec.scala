@@ -319,6 +319,14 @@ class PlanSpec extends AnyFunSuite {
       "the per-key count must partial-aggregate before the exchange")
   }
 
+  test("range_v2_pushdown: the aggregate pushes completely into the source") {
+    val p = plan("range_v2_pushdown")
+    assert(p.contains("AGGREGATED"),
+      "the scan must answer count/sum from range arithmetic")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "complete pushdown leaves no Aggregate node in the plan")
+  }
+
   test("no registered query plans a non-broadcast cartesian product") {
     // CartesianProduct (both sides shuffled, |L|×|R| work with no key)
     // is the one join shape that can never survive a 100× scale-up.

@@ -53,4 +53,47 @@ class RangeSourceSpec extends AnyFunSuite {
     val df = read(0, 1000, 8).where("id = 123")
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(123L))
   }
+
+  test("whole-table aggregates push completely into the source") {
+    import org.apache.spark.sql.functions._
+    val df = read(0, 1000000, 32).where("id < 600000")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"),
+        max("id").as("mx"), sum("id").as("sm"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AGGREGATED"), p.take(400))
+    assert(!p.contains("HashAggregate"), "no Aggregate node may remain")
+    val r = df.head()
+    assert(r.getLong(0) === 600000L && r.getLong(1) === 0L &&
+      r.getLong(2) === 599999L && r.getLong(3) === 599999L * 600000L / 2)
+  }
+
+  test("aggregate over an empty pruned range keeps SQL null semantics") {
+    import org.apache.spark.sql.functions._
+    val r = read(0, 100, 4).where("id > 500")
+      .agg(count(lit(1)), min("id"), max("id"), sum("id")).head()
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("grouped or unsupported aggregates fall back to the row scan") {
+    import org.apache.spark.sql.functions._
+    val grouped = read(0, 1000, 4)
+      .groupBy((col("id") % 2).as("par")).agg(count(lit(1)).as("n"))
+    val gp = grouped.queryExecution.executedPlan.toString
+    assert(!gp.contains("AGGREGATED"), "grouping must not claim pushdown")
+    assert(grouped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(0L -> 500L, 1L -> 500L))
+    val sd = read(0, 1000, 4).agg(stddev(col("id")))
+    assert(!sd.queryExecution.executedPlan.toString.contains("AGGREGATED"),
+      "stddev is not a closed form the source claims")
+    assert(math.abs(sd.head().getDouble(0) - 288.819) < 0.01)
+  }
+
+  test("avg rewrites to pushed sum/count and stays source-answered") {
+    import org.apache.spark.sql.functions._
+    val avg = read(0, 1000, 4).agg(org.apache.spark.sql.functions.avg("id"))
+    assert(avg.queryExecution.executedPlan.toString.contains("AGGREGATED"),
+      "Spark decomposes avg into sum + count, both closed-form here")
+    assert(avg.head().getDouble(0) === 499.5)
+  }
 }
