@@ -298,6 +298,34 @@ object ScaleCheck {
         .groupBy(col("rn") % 64).agg(count(lit(1))).count()
     }
 
+    // Semantic dedup: embeddings replicate under a per-copy Rademacher
+    // SIGN pattern — s∘x preserves every within-copy dot product and
+    // norm exactly (Σ s_i² x_i y_i = x·y), while cross-copy cosines
+    // become pseudo-random sums around 0, far under the 0.5 threshold:
+    // dup DENSITY stays the base corpus's as the table grows, like the
+    // mutate probe does for text. The codebook grows with the corpus
+    // (k = 8 × copies) — the SemDeDup scale rule that keeps cell
+    // populations constant; a FIXED codebook would grow cells linearly
+    // and the in-cell pair join quadratically (the cliff the r3 IVF
+    // probe caught for search).
+    time("dedup_semantic") {
+      val flipped = (0 until copies).map { i =>
+        Tables.embeddings(spark, sfDir)
+          .withColumn("vec_id", col("vec_id") + i * shift)
+          .withColumn("embedding", expr(
+            s"transform(embedding, (v, d) -> CASE WHEN pmod(hash(d, $i), 2) = 0" +
+              " THEN v ELSE -v END)"))
+      }.reduce(_ union _)
+      val asg = graft.functions.VectorSearch
+        .ivfAssign(flipped, numCentroids = 8 * copies)
+        .localCheckpoint(true)
+      val pairs = asg.as("a")
+        .join(asg.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .where(expr("cosine_sim(a.embedding, b.embedding)") >= 0.5)
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      graft.functions.ConnectedComponents.run(spark, pairs).count()
+    }
     // PageRank: replication stretches each (lang, source) chain 10×,
     // so edges grow linearly; rounds are fixed (3) — expect linear
     time("pagerank_chain") {
