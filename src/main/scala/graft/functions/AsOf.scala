@@ -37,8 +37,9 @@ object AsOf {
         F.col(valueCol).as("_rv"), F.col(timeCol).cast("long").as("_rt"))
       .withColumn("_side", F.lit(0))
     val cols = Seq(keyCol, timeCol, "_side", "_rv", "_rt")
-    val unioned = lTag.select(lTag.columns.filter(cols.contains).map(F.col) ++
-        lTag.columns.filterNot(cols.contains).map(F.col): _*)
+    val unioned = lTag.select(
+        (lTag.columns.filter(cols.contains).map(F.col) ++
+          lTag.columns.filterNot(cols.contains).map(F.col)).toIndexedSeq: _*)
       .unionByName(rTag.select(cols.map(F.col): _*), allowMissingColumns = true)
     // right rows (side 0) sort before left rows at equal time: "at or
     // before" semantics

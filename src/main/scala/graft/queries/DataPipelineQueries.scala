@@ -591,7 +591,7 @@ object DataPipelineQueries {
     val sketch = bench
       .agg(expr(s"""graft_bloom_agg(xxhash64(s),
              CAST($items AS BIGINT), CAST(${8 * items} AS BIGINT))"""))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val bloomLit = graft.functions.BloomFunctions.sketchLiteral(sketch)
     g5.filter(col("doc_id") % 7 =!= 0)
       .filter(expr(s"graft_might_contain($bloomLit, xxhash64(s))"))

@@ -56,7 +56,7 @@ object KeyedTable {
     val touched = up.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted // bounded by numBuckets
     val existing = spark.read.parquet(dir)
-      .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+      .filter(col("__bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
     val survivors = existing.join(
       broadcast(up.select(col(keyCol))), Seq(keyCol), "left_anti")
     val merged = up.unionByName(survivors).localCheckpoint(true)
