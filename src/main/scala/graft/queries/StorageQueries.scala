@@ -168,7 +168,37 @@ object StorageQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
   }
 
+  /** Hive-style partition pruning — the OTHER half of the scan story
+    * (PlanSpec pins file-level `PushedFilters` elsewhere; this pins
+    * directory-level `PartitionFilters`): write events partitioned by
+    * event_type, read back with a partition predicate, and verify the
+    * aggregate against the original table. At 100 TB a partition
+    * column turns a predicate into a directory listing — whole
+    * partitions never produce splits, which is layout-level pruning no
+    * row-group statistic can match. The PlanSpec row asserts the
+    * predicate lands in PartitionFilters (not as a data filter). */
+  val scanPartitionedTable = sql("scan_partitioned_table",
+    """SELECT event_type, count(*) AS cnt,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM events WHERE event_type IN ('purchase', 'signup')
+       GROUP BY event_type""") { (s, d) =>
+    partitionedEventsAgg(s, d)
+  }
+
+  private[queries] def partitionedEventsAgg(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch("part_events")
+    Tables.events(s, d)
+      .select(col("event_id"), col("value"), col("event_type"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .where(col("event_type").isin("purchase", "signup"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     upsertKeyed, sourceInMemory, sourceNone, sourceNdjsonRoundtrip,
-    sourceCsvRoundtrip, sourceFileset, sourceZipLines)
+    sourceCsvRoundtrip, sourceFileset, sourceZipLines,
+    scanPartitionedTable)
 }

@@ -327,6 +327,15 @@ class PlanSpec extends AnyFunSuite {
       "complete pushdown leaves no Aggregate node in the plan")
   }
 
+  test("scan_partitioned_table: the predicate prunes PARTITIONS, not rows") {
+    val p = plan("scan_partitioned_table")
+    assert(p.contains("PartitionFilters: [") &&
+      """PartitionFilters: \[[^\]]*event_type""".r.findFirstIn(p).isDefined,
+      "the event_type predicate must prune at the directory level")
+    assert(!p.contains("PushedFilters: [In(event_type"),
+      "a partition-column predicate must not degrade to a data filter")
+  }
+
   test("no registered query plans a non-broadcast cartesian product") {
     // CartesianProduct (both sides shuffled, |L|×|R| work with no key)
     // is the one join shape that can never survive a 100× scale-up.
