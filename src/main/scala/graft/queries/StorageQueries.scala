@@ -197,8 +197,41 @@ object StorageQueries {
         sum(round(col("value") * 100).cast("long")).as("cents"))
   }
 
+  /** Co-bucketed join — the pre-partitioned co-location story: write
+    * customer and orders bucketed on the SAME key into catalog tables,
+    * join them, and the shuffle disappears — both sides' bucket layout
+    * already satisfies the join's distribution (PlanSpec asserts zero
+    * Exchange on the join path). At 100 TB this is the difference
+    * between re-shuffling two fact tables per run and paying the
+    * layout cost ONCE at ingest (reference analogue: FilesByShard's
+    * hash-bucketed shuffle files, java/.../shuffle/FilesByShard.java —
+    * made durable and reusable instead of per-job). The oracle joins
+    * the original parquet. */
+  val joinBucketed = sql("join_bucketed",
+    s"""SELECT c.c_mktsegment AS seg, count(*) AS cnt,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1""") { (s, d) =>
+    Outputs.bucketTable(Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")),
+      "graft_bkt_customer", buckets = 8, keyCol = "c_custkey")
+    Outputs.bucketTable(Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice")),
+      "graft_bkt_orders", buckets = 8, keyCol = "o_custkey")
+    // merge hint: at check SF the tables fit the broadcast threshold,
+    // which would ALSO be exchange-free but hide the bucket-layout
+    // point; the hint pins the 100 TB plan (sort-merge over
+    // co-bucketed scans, no Exchange on either side)
+    s.table("graft_bkt_customer").hint("merge")
+      .join(s.table("graft_bkt_orders"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     upsertKeyed, sourceInMemory, sourceNone, sourceNdjsonRoundtrip,
     sourceCsvRoundtrip, sourceFileset, sourceZipLines,
-    scanPartitionedTable)
+    scanPartitionedTable, joinBucketed)
 }

@@ -336,6 +336,17 @@ class PlanSpec extends AnyFunSuite {
       "a partition-column predicate must not degrade to a data filter")
   }
 
+  test("join_bucketed: co-bucketed layout satisfies the join — one " +
+      "exchange total (the final aggregate's)") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
+      "neither join side may shuffle: the bucket layout IS the " +
+        "distribution; only the mktsegment aggregate exchanges")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      "both scans must read as bucketed")
+  }
+
   test("no registered query plans a non-broadcast cartesian product") {
     // CartesianProduct (both sides shuffled, |L|×|R| work with no key)
     // is the one join shape that can never survive a 100× scale-up.
