@@ -212,12 +212,25 @@ object StorageQueries {
         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY 1""") { (s, d) =>
-    Outputs.bucketTable(Tables.customer(s, d)
+    // a managed table's location can survive a previous JVM whose
+    // in-memory catalog is gone — drop both name and leftover dir, or
+    // saveAsTable fails with LOCATION_ALREADY_EXISTS
+    def freshBucketTable(df: DataFrame, name: String, key: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, name)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      if (loc.exists) rm(loc)
+      Outputs.bucketTable(df, name, buckets = 8, keyCol = key)
+    }
+    freshBucketTable(Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment")),
-      "graft_bkt_customer", buckets = 8, keyCol = "c_custkey")
-    Outputs.bucketTable(Tables.orders(s, d)
+      "graft_bkt_customer", "c_custkey")
+    freshBucketTable(Tables.orders(s, d)
       .select(col("o_custkey"), col("o_totalprice")),
-      "graft_bkt_orders", buckets = 8, keyCol = "o_custkey")
+      "graft_bkt_orders", "o_custkey")
     // merge hint: at check SF the tables fit the broadcast threshold,
     // which would ALSO be exchange-free but hide the bucket-layout
     // point; the hint pins the 100 TB plan (sort-merge over
