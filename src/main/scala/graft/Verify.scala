@@ -40,8 +40,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+    // Dynamic oracles (QueryDef.replayed): generated here, at verify
+    // time, by an independent driver-side replay — the generator emits
+    // a VALUES-literal SELECT that DuckDB runs like any static oracle.
+    val dynamic = graft.queries.Registry.all
+      .filter(qd => only.forall(_.contains(qd.name)))
+      .flatMap(qd => qd.dynOracle.flatMap { gen =>
+        try Some(qd.name -> gen(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] dyn oracle ${qd.name} failed: ${e.getMessage}")
+          None
+        }
+      }).toMap
+    val json = (SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) } ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

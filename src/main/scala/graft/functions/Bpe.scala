@@ -43,7 +43,38 @@ object Bpe {
     out.toSeq
   }
 
-  /** Driver-side reference trainer for specs: same argmax + tiebreak. */
+  /** Unsigned UTF-8 byte order — Spark compares strings as UTF8String
+    * binary (UTF-8 bytes), which differs from java.lang.String's
+    * UTF-16 code-unit order for supplementary characters vs BMP chars
+    * >= U+E000. The reference trainer must tie-break the same way the
+    * distributed `orderBy` does or the two can learn different merge
+    * tables on non-ASCII corpora. */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private val argmaxOrder: Ordering[((String, String), Long)] =
+    (p: ((String, String), Long), q: ((String, String), Long)) => {
+      val c = java.lang.Long.compare(q._2, p._2) // higher count first
+      if (c != 0) c
+      else {
+        val cl = utf8Compare(p._1._1, q._1._1)
+        if (cl != 0) cl else utf8Compare(p._1._2, q._1._2)
+      }
+    }
+
+  /** Driver-side reference trainer for specs: same argmax + tiebreak
+    * (count desc, then left/right in UTF-8 byte order, matching the
+    * distributed `orderBy`'s binary collation). */
   def trainRef(words: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
     var cur: Seq[(Seq[String], Long)] =
       words.map { case (w, c) => (w.map(_.toString): Seq[String], c) }
@@ -54,7 +85,7 @@ object Bpe {
       }
       if (counts.isEmpty) None
       else {
-        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.toSeq.min(argmaxOrder)
         cur = cur.map { case (s, cn) => (mergeOnce(s, l, r), cn) }
         Some(Merge(rank, l, r, c))
       }

@@ -59,13 +59,22 @@ object Layout {
     * for the result to be deterministic; range boundaries come from
     * sampling and may vary, but the attached rank is the global order
     * rank regardless of where the boundaries land. */
-  def globalRowNumber(df: DataFrame, key: Column, tiebreak: Column,
-      outCol: String = "rn", partitions: Int = 0): DataFrame = {
+  /** The parallel range-partitioned sort stage underneath
+    * [[globalRowNumber]], exposed so plan tests can pin its shape:
+    * the exchange must be `rangepartitioning(..., N)` with N > 1 —
+    * never a single-partition sort. */
+  def rangeSorted(df: DataFrame, key: Column, tiebreak: Column,
+      partitions: Int = 0): DataFrame = {
     val sp = df.sparkSession
     val n = if (partitions > 0) partitions
       else sp.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df.repartitionByRange(n, key, tiebreak)
-      .sortWithinPartitions(key, tiebreak)
+    df.repartitionByRange(n, key, tiebreak).sortWithinPartitions(key, tiebreak)
+  }
+
+  def globalRowNumber(df: DataFrame, key: Column, tiebreak: Column,
+      outCol: String = "rn", partitions: Int = 0): DataFrame = {
+    val sp = df.sparkSession
+    val sorted = rangeSorted(df, key, tiebreak, partitions)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)

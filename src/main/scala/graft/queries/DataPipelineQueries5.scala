@@ -111,9 +111,13 @@ object DataPipelineQueries5 {
        sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1)
        SELECT src_a, src_b, common, x.n AS n_a, y.n AS n_b
        FROM pairs JOIN sz x ON x.source = src_a JOIN sz y ON y.source = src_b""") { (s, d) =>
+    // eager localCheckpoint, not persist(): a persisted-but-never-
+    // unpersisted relation leaks cached partitions for the rest of a
+    // 193-query run; checkpoint blocks are reclaimed by the
+    // ContextCleaner once this query's DataFrames go unreachable
     val srcs = TextDedup.ngrams(Tables.documents(s, d), idCol = "source")
       .groupBy(col("s")).agg(collect_set(col("source")).as("ss"))
-      .persist()
+      .localCheckpoint(true)
     val sz = srcs.select(explode(col("ss")).as("source"))
       .groupBy(col("source")).agg(count(lit(1)).as("n"))
     val pairs = srcs.where(size(col("ss")) >= 2)
@@ -169,11 +173,15 @@ object DataPipelineQueries5 {
     * two independent dimensions and show that every resulting "file"
     * (16 equal run-length slices of the z-sorted order) carries tight
     * min/max bounds on BOTH dimensions — the property that makes
-    * parquet row-group pruning work for 2-D predicates. The `ntile`
-    * window here only pins deterministic file boundaries for the
-    * oracle; the production layout pass is `repartitionByRange(zkey)`
-    * + `sortWithinPartitions` + write, no global window (see
-    * `Layout.globalRowNumber` for the same argument). */
+    * parquet row-group pruning work for 2-D predicates. File
+    * boundaries come from `Layout.globalRowNumber` — a PARALLEL
+    * range-partitioned sort + zipWithIndex (`floor(rn*16/n)` slices) —
+    * the same pass a production `repartitionByRange(zkey) +
+    * sortWithinPartitions + write` runs; no single-partition window
+    * anywhere (that was the one benched plan here that could not
+    * survive a 100× scale-up). The oracle replays the identical
+    * boundary arithmetic on a row_number window (DuckDB side only —
+    * oracle scale is not a concern). */
   val zorderLayout = sql("zorder_layout",
     s"""WITH z AS (
          SELECT event_id, user_id % 256 AS x, event_id % 256 AS y
@@ -181,9 +189,12 @@ object DataPipelineQueries5 {
        zk AS (
          SELECT event_id, x, y, ${Layout.zkeySql("x", "y", 8)} AS zkey
          FROM z),
+       n AS (SELECT count(*) AS n_tot FROM zk),
        f AS (
-         SELECT x, y, ntile(16) OVER (ORDER BY zkey, event_id) AS file_id
-         FROM zk)
+         SELECT x, y, CAST(
+           ((row_number() OVER (ORDER BY zkey, event_id) - 1) * 16) // n_tot
+           AS INTEGER) + 1 AS file_id
+         FROM zk, n)
        SELECT file_id, count(*) AS n,
          CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
          CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
@@ -193,8 +204,10 @@ object DataPipelineQueries5 {
         (col("user_id") % 256).as("x"),
         (col("event_id") % 256).as("y"))
       .withColumn("zkey", Layout.zkey(col("x"), col("y"), 8))
-    val w = Window.orderBy(col("zkey"), col("event_id"))
-    z.withColumn("file_id", ntile(16).over(w))
+    val withRn = Layout.globalRowNumber(z, col("zkey"), col("event_id"))
+    withRn.crossJoin(broadcast(z.agg(count(lit(1)).as("n_tot"))))
+      .select((expr("(rn * 16) div n_tot") + 1).cast("int").as("file_id"),
+        col("x"), col("y"))
       .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),

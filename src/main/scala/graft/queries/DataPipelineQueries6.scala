@@ -48,14 +48,35 @@ object DataPipelineQueries6 {
     }
   }
 
+  /** Driver-side BPE replay backing the two dynamic oracles below:
+    * re-tokenizes the documents table with the same whitespace rule as
+    * `TextDedup.tokens` and trains the reference merge table
+    * ([[Bpe.trainRef]] — an independent pure-Scala implementation of
+    * the same argmax + greedy re-merge, UTF-8 tie-break). ORACLE
+    * GENERATION ONLY (runs once in Verify at sf0.01, like BpeSpec's
+    * replay) — never a production path; the engine-side queries stay
+    * fully distributed. */
+  private def bpeReplay(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(String, Seq[String])], Seq[Bpe.Merge]) = {
+    val docs = Tables.documents(s, d).select(col("source"), col("text"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1).split(" ").toSeq.filter(_.nonEmpty)))
+    val wordCounts = docs.iterator.flatMap(_._2).toSeq.groupBy(identity)
+      .map { case (w, g) => (w, g.size.toLong) }.toSeq
+    (docs, Bpe.trainRef(wordCounts, numMerges = 8))
+  }
+
   /** BPE tokenizer induction: the first 8 merges learned from the
     * corpus word-frequency table (rank, left, right, weighted pair
-    * count). Not SQL-expressible (per-round argmax + greedy re-merge)
-    * → rows-only gate here; BpeSpec pins the distributed trainer
-    * against a driver-side reference on the same corpus AND on the
-    * classic hand-checked example. Corpus-scale work is ONE word-count
-    * shuffle; every round runs on the compact word-type relation. */
-  val bpeVocabMerges = rowsOnly("bpe_vocab_merges") { (s, d) =>
+    * count). The merge loop is not SQL-expressible, but the OUTPUT is
+    * a small deterministic relation — the oracle is generated at
+    * verify time as a VALUES literal from an independent driver-side
+    * replay ([[Bpe.trainRef]]), so the driver hash-compares the
+    * distributed trainer against the reference. BpeSpec additionally
+    * pins the classic hand-checked example. Corpus-scale work is ONE
+    * word-count shuffle; every round runs on the compact word-type
+    * relation. */
+  val bpeVocabMerges = replayed("bpe_vocab_merges") { (s, d) =>
     val words = graft.functions.TextDedup.withTokens(Tables.documents(s, d))
       .select(explode(col("w")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -67,6 +88,19 @@ object DataPipelineQueries6 {
     }
     import s.implicits._
     merges.toDF()
+  } { (s, d) =>
+    val merges = bpeReplay(s, d)._2
+    if (merges.isEmpty)
+      """SELECT CAST(NULL AS INTEGER) AS "rank", CAST(NULL AS VARCHAR) AS "left",
+         CAST(NULL AS VARCHAR) AS "right", CAST(NULL AS BIGINT) AS "count"
+         WHERE 1 = 0"""
+    else {
+      val rows = merges.map(m => s"(${m.rank}, ${sqlLit(m.left)}, " +
+        s"${sqlLit(m.right)}, ${m.count})").mkString(", ")
+      s"""SELECT CAST(r AS INTEGER) AS "rank", l AS "left", rr AS "right",
+            CAST(c AS BIGINT) AS "count"
+          FROM (VALUES $rows) AS t(r, l, rr, c)"""
+    }
   }
 
   /** URL canonicalization + domain stats (the C4/RefinedWeb dedup
@@ -231,10 +265,11 @@ object DataPipelineQueries6 {
     * join subword counts back onto the corpus token stream — the
     * corpus never sees the merge loop, only one join keyed on the
     * word. Emits per-source word and BPE-token totals (the
-    * compression a tokenizer report shows). Not SQL-expressible
-    * (training loop) → rows-only gate; BpeSpec pins the distributed
-    * totals against a driver-side reference. */
-  val bpeTokenize = rowsOnly("bpe_tokenize") { (s, d) =>
+    * compression a tokenizer report shows). The training loop is not
+    * SQL-expressible, so the oracle is a verify-time VALUES literal
+    * from the driver-side replay (same mechanism as
+    * `bpe_vocab_merges`); BpeSpec pins the same totals in-suite. */
+  val bpeTokenize = replayed("bpe_tokenize") { (s, d) =>
     import s.implicits._
     val docs = graft.functions.TextDedup.withTokens(Tables.documents(s, d))
     val words = docs.select(explode(col("w")).as("word"))
@@ -250,6 +285,18 @@ object DataPipelineQueries6 {
       .join(typeTokens, "word")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+  } { (s, d) =>
+    val (docs, merges) = bpeReplay(s, d)
+    val subLen = scala.collection.mutable.HashMap[String, Long]()
+    def nSub(w: String): Long =
+      subLen.getOrElseUpdate(w, Bpe.applyMerges(w, merges).length.toLong)
+    val rows = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
+      val ws = rs.flatMap(_._2)
+      s"(${sqlLit(src)}, ${ws.size}, ${ws.iterator.map(nSub).sum})"
+    }.mkString(", ")
+    s"""SELECT s AS "source", CAST(nw AS BIGINT) AS n_words,
+          CAST(nb AS BIGINT) AS n_bpe_tokens
+        FROM (VALUES $rows) AS t(s, nw, nb)"""
   }
 
   val all: Seq[QueryDef] = Seq(pagerankChain, bpeVocabMerges, urlNormalize,

@@ -20,7 +20,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    dynOracle: Option[(SparkSession, String) => String] = None)
 
 object QueryDef {
   def sql(name: String, oracle: String)(
@@ -29,4 +30,18 @@ object QueryDef {
 
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** A check whose oracle SQL is *generated at verify time* by an
+    * independent driver-side replay of the same computation (e.g. the
+    * BPE reference trainer): the generator returns a `VALUES`-literal
+    * SELECT that DuckDB runs and the driver hash-compares against the
+    * distributed result. Used for ops whose algorithm is not
+    * SQL-expressible but whose *output* is a small, deterministic
+    * relation. */
+  def replayed(name: String)(fn: (SparkSession, String) => DataFrame)(
+      gen: (SparkSession, String) => String): QueryDef =
+    QueryDef(name, fn, None, Some(gen))
+
+  /** SQL single-quoted string literal (escapes embedded quotes). */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 }

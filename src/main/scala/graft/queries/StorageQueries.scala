@@ -119,6 +119,25 @@ object StorageQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
   }
 
+  /** ORC write → read round trip (the second columnar format,
+    * Inputs.orc/Outputs.orc): events' key columns survive the trip
+    * bit-exactly and re-aggregate to what DuckDB computes from the
+    * parquet — closes the one source path that was spec-only. */
+  val sourceOrcRoundtrip = sql("source_orc_roundtrip",
+    """SELECT event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(sum(user_id) AS BIGINT) AS sum_user
+       FROM events GROUP BY event_type""") { (s, d) =>
+    val dir = scratch("orc")
+    val rows = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    Outputs.orc(rows, dir)
+    Inputs.orc(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"),
+        sum(col("user_id")).as("sum_user"))
+  }
+
   /** Multi-prefix file-set read (reference
     * _GoogleCloudStorageInputReader glob expansion,
     * input_readers.py:2247-2538): events split across two directory
@@ -245,6 +264,6 @@ object StorageQueries {
 
   val all: Seq[QueryDef] = Seq(
     upsertKeyed, sourceInMemory, sourceNone, sourceNdjsonRoundtrip,
-    sourceCsvRoundtrip, sourceFileset, sourceZipLines,
+    sourceCsvRoundtrip, sourceOrcRoundtrip, sourceFileset, sourceZipLines,
     scanPartitionedTable, joinBucketed)
 }

@@ -90,9 +90,24 @@ class RangeScanBuilder(start: Long, end: Long, shards: Int)
         case c: Count => !c.isDistinct && isId(c.children)
         case m: Min => isId(m.children)
         case m: Max => isId(m.children)
-        case s: Sum => !s.isDistinct && isId(s.children)
+        // decline SUM whose closed form overflows Long: Spark's own
+        // aggregate then raises ARITHMETIC_OVERFLOW under ANSI mode,
+        // where a completed pushdown would silently wrap the value
+        case s: Sum => !s.isDistinct && isId(s.children) && sumFitsInLong
         case _ => false
       }
+
+  /** The exact SUM over [lo, hi) fits in a Long. Filters are pushed
+    * before aggregates (V2ScanRelationPushDown order), so lo/hi are
+    * final here. If the closed form overflows, DECLINE the pushdown:
+    * Spark's own aggregate then raises ARITHMETIC_OVERFLOW under ANSI
+    * mode — completing the pushdown would silently wrap the value,
+    * changing an error into a wrong answer. */
+  private def sumFitsInLong: Boolean = {
+    val n = math.max(0L, hi - lo)
+    n == 0 ||
+      ((BigInt(lo) + BigInt(hi - 1)) * BigInt(n) / 2).isValidLong
+  }
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (!supportCompletePushDown(agg)) return false

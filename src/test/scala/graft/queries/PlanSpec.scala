@@ -355,24 +355,53 @@ class PlanSpec extends AnyFunSuite {
     // individually above); a CartesianProduct would mean a join lost
     // its keys entirely. Streaming and driver-looped queries can't be
     // explained statically — they are exercised by their own specs.
-    val skip = Set("bpe_vocab_merges", "corpus_shuffle") ++
+    val skip = Set("bpe_vocab_merges", "bpe_tokenize", "corpus_shuffle") ++
       Registry.queries.keys.filter(_.startsWith("stream_"))
+    val unplannable = scala.collection.mutable.ArrayBuffer[String]()
     val offenders = Registry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => skip.contains(n) }
       .flatMap { case (name, fn) =>
-        val p = try plan(name) catch { case _: Throwable => "" }
+        val p = try plan(name)
+          catch { case e: Throwable =>
+            unplannable += s"$name (${e.getClass.getSimpleName})"; ""
+          }
         if (p.contains("CartesianProduct")) Some(name) else None
       }
+    assert(unplannable.isEmpty,
+      s"queries that failed to PLAN (silently skipping them would " +
+        s"void this gate): ${unplannable.mkString(", ")}")
     assert(offenders.isEmpty,
       s"cartesian joins found in: ${offenders.mkString(", ")}")
   }
 
-  test("zorder_layout: the z-key is pure projection, one exchange total") {
+  test("zorder_layout: no global window; layout exchange is a PARALLEL " +
+      "range partitioning (never single-partition)") {
     val p = plan("zorder_layout")
-    assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"),
-      "the interleave must stay column arithmetic — no UDF, no object round-trip")
-    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
-      "only the deterministic-file window may exchange; the z-key itself " +
-        "must be a map-side projection")
+    assert(!p.contains("BatchEvalPython"), "no Python/UDF round-trip")
+    assert(!p.contains("Window"),
+      "file boundaries must come from globalRowNumber (range repartition " +
+        "+ zipWithIndex), not a global ntile window")
+    // The layout stage itself sits behind the RDD boundary of
+    // globalRowNumber — pin its shape directly: the one exchange is
+    // rangepartitioning over N > 1 partitions.
+    import org.apache.spark.sql.functions._
+    val z = graft.core.Tables.events(spark, d).select(
+        col("event_id"),
+        (col("user_id") % 256).as("x"),
+        (col("event_id") % 256).as("y"))
+      .withColumn("zkey", graft.functions.Layout.zkey(col("x"), col("y"), 8))
+    val lp = graft.functions.Layout.rangeSorted(z, col("zkey"), col("event_id"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!lp.contains("SinglePartition"), lp.take(800))
+    val nParts = """rangepartitioning\([^)]*\brows\b[^)]*, (\d+)\)""".r
+      .findFirstMatchIn(lp)
+      .orElse("""rangepartitioning\(.*?, (\d+)\)""".r.findFirstMatchIn(lp))
+      .map(_.group(1).toInt)
+    assert(nParts.exists(_ > 1),
+      s"layout exchange must be a parallel range partitioning, got: " +
+        lp.linesIterator.filter(_.contains("partitioning")).mkString("; "))
+    assert(!lp.contains("SerializeFromObject"),
+      "the z-key must stay column arithmetic inside codegen")
   }
 }

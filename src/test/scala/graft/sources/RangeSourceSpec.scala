@@ -89,6 +89,27 @@ class RangeSourceSpec extends AnyFunSuite {
     assert(math.abs(sd.head().getDouble(0) - 288.819) < 0.01)
   }
 
+  test("SUM that overflows Long declines pushdown (ANSI error preserved)") {
+    import org.apache.spark.sql.functions._
+    // sum of [4e18, 4e18+10) ≈ 4e19 > Long.MaxValue: complete pushdown
+    // would silently wrap; declining leaves Spark's own aggregate to
+    // raise ARITHMETIC_OVERFLOW under ANSI mode.
+    val big = read(4000000000000000000L, 4000000000000000010L, 2)
+      .agg(sum("id").as("sm"))
+    assert(!big.queryExecution.executedPlan.toString.contains("AGGREGATED"),
+      "overflowing SUM must not claim complete pushdown")
+    val e = intercept[Exception] { big.head() }
+    assert(e.getMessage.contains("overflow") ||
+      e.getMessage.contains("ARITHMETIC_OVERFLOW"), e.getMessage)
+    // count/min/max over the same range still push (no overflow there)
+    val ok = read(4000000000000000000L, 4000000000000000010L, 2)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+    assert(ok.queryExecution.executedPlan.toString.contains("AGGREGATED"))
+    val r = ok.head()
+    assert(r.getLong(0) === 10L && r.getLong(1) === 4000000000000000000L &&
+      r.getLong(2) === 4000000000000000009L)
+  }
+
   test("avg rewrites to pushed sum/count and stays source-answered") {
     import org.apache.spark.sql.functions._
     val avg = read(0, 1000, 4).agg(org.apache.spark.sql.functions.avg("id"))
