@@ -177,7 +177,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     require(everyN >= 1, "everyN must be >= 1")
     ds.flatMap { r =>
-      val (_, _, frames) = decodeStub(r.content)
+      val (_, _, frames) = decode(r.content)
       val n = r.content.length
       (0 until frames by everyN).map { i =>
         val from = if (frames == 0) 0 else (n.toLong * i / frames).toInt

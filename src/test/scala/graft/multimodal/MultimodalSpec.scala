@@ -57,6 +57,54 @@ class MultimodalSpec extends AnyFunSuite {
     frames.foreach(f => assert(f.frameIdx % everyN === 0))
   }
 
+  /** A real in-memory image, encoded with the JDK's own writer. */
+  private def makeImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos),
+      s"JDK must ship a $format writer")
+    bos.toByteArray
+  }
+
+  test("REAL codec: PNG and BMP decode to true dimensions, distributed") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", makeImage(37, 21, "png"), 0, 0),
+      Multimodal.MediaRecord(2L, "image", makeImage(64, 48, "bmp"), 0, 0),
+      Multimodal.MediaRecord(3L, "image", makeImage(5, 300, "gif"), 0, 0),
+      // not an image: must fall back to the deterministic stub
+      Multimodal.MediaRecord(9L, "audio",
+        "just some text bytes".getBytes("UTF-8"), 0, 0))
+    val feats = Multimodal.extractFeatures(
+        spark.createDataset(recs).repartition(3))
+      .collect().map(f => f.id -> f).toMap
+    assert((feats(1L).width, feats(1L).height) === (37, 21))
+    assert((feats(2L).width, feats(2L).height) === (64, 48))
+    assert((feats(3L).width, feats(3L).height) === (5, 300))
+    assert(feats(1L).frames === 1)
+    val stubBytes = "just some text bytes".getBytes("UTF-8")
+    val (sw, sh, sf) = Multimodal.decodeStub(stubBytes)
+    assert((feats(9L).width, feats(9L).height, feats(9L).frames) ===
+      (sw, sh, sf))
+    // decodeImage itself: Some for real images, None for other bytes
+    assert(Multimodal.decodeImage(stubBytes).isEmpty)
+    assert(Multimodal.decodeImage(makeImage(8, 9, "png")) === Some((8, 9, 1)))
+  }
+
+  test("REAL codec: resize rescales a PNG to the target box") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "image", makeImage(100, 80, "png"), 100, 80))
+    val out = Multimodal.resize(spark.createDataset(recs), 16, 16).collect()
+    assert(out.length === 1)
+    assert(out(0).declaredWidth === 16 && out(0).declaredHeight === 16)
+    // the resized bytes are themselves a decodable 16x16 image
+    assert(Multimodal.decodeImage(out(0).content) === Some((16, 16, 1)))
+  }
+
   test("sha256 matches Spark's own sha2 over the same bytes") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
