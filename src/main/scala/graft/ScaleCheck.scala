@@ -153,6 +153,15 @@ object ScaleCheck {
       graft.functions.VectorSearch
         .ivfCosineTop1(emb, numCentroids = 8 * copies).count()
     }
+    // trained-codebook IVF: adds `iters` Lloyd rounds, each ONE
+    // shuffle-free assignment+partial-sum job (O(n·k) work, O(k·P)
+    // driver rows) — training cost is linear in n with k scaled the
+    // same way as above, and the in-cell search shape is unchanged
+    time("ann_ivf_trained") {
+      graft.functions.VectorSearch
+        .ivfCosineTop1Trained(emb, numCentroids = 8 * copies, iters = 4)
+        .count()
+    }
     // scalar quantization: per-dim stats (broadcast back) + a linear
     // code projection — no shuffle of vector rows
     time("emb_quantize") {

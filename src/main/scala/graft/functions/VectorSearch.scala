@@ -208,15 +208,32 @@ object VectorSearch {
     * generated-code size). No join, no window, no Exchange between the
     * scan and the assignment. Cost is O(n·k) in both forms. Returns
     * (vec_id, embedding, cell). */
-  def ivfAssign(df: DataFrame, numCentroids: Int = 8): DataFrame = {
+  def ivfAssign(df: DataFrame, numCentroids: Int = 8): DataFrame =
+    assignWithCodebook(df, firstKCodebook(df, numCentroids))
+
+  /** Deterministic init codebook: the first `k` vectors by id (also
+    * the Lloyd's-iteration seed — k-means++ would sharpen convergence
+    * but costs k extra passes and a random source; first-k is the
+    * reproducible choice). */
+  def firstKCodebook(df: DataFrame, k: Int): Array[(Long, Array[Float])] = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .take(k + 1)
+      .sortBy(_._1)
+  }
+
+  /** Cell assignment against an EXPLICIT codebook — the shared kernel
+    * of the untrained (first-k) and k-means-trained IVF tiers. See
+    * [[ivfAssign]] for the execution-shape contract (shuffle-free
+    * either way). `cents` must be sorted by centroid id. */
+  def assignWithCodebook(df: DataFrame,
+      cents: Array[(Long, Array[Float])]): DataFrame = {
     VectorExpressions.register(df.sparkSession)
     val sp = df.sparkSession
     import sp.implicits._
-    val cents = df.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .take(numCentroids + 1)
-      .sortBy(_._1)
     require(cents.nonEmpty, "ivfAssign: empty codebook")
     if (cents.length <= ProjectionCodebookMax) {
       // struct(csim, -cid): greatest picks max cosine, then (via max
@@ -271,8 +288,20 @@ object VectorSearch {
     * cross product); at scale nprobe>1 means unioning a few cell keys
     * per query vector, same plan shape. Returns (vec_id, cell,
     * neighbor_id, cosim); vectors alone in their cell are absent. */
-  def ivfCosineTop1(df: DataFrame, numCentroids: Int = 8): DataFrame = {
-    val assigned = ivfAssign(df, numCentroids)
+  def ivfCosineTop1(df: DataFrame, numCentroids: Int = 8): DataFrame =
+    inCellTop1(ivfAssign(df, numCentroids))
+
+  /** IVF cosine top-1 over a TRAINED codebook: Lloyd's k-means
+    * ([[trainKmeansCodebook]]) replaces the first-k stand-in; the
+    * assignment and in-cell search shapes are identical. */
+  def ivfCosineTop1Trained(df: DataFrame, numCentroids: Int = 8,
+      iters: Int = 4): DataFrame =
+    inCellTop1(assignWithCodebook(df,
+      trainKmeansCodebook(df, numCentroids, iters)))
+
+  /** Exact top-1 within each assigned cell (see [[ivfCosineTop1]] for
+    * the contract): equi join on the cell id, one window on vec_id. */
+  def inCellTop1(assigned: DataFrame): DataFrame = {
     val a = assigned.select(col("vec_id"), col("cell"), col("embedding").as("ea"))
     val b = assigned.select(col("vec_id").as("neighbor_id"),
       col("cell").as("cell2"), col("embedding").as("eb"))
@@ -347,6 +376,146 @@ object VectorSearch {
           (id, sub.toLong, bestCode, bestD2)
         }
       }.toDF("vec_id", "sub", "code", "d2")
+  }
+
+  /** Distributed k-means (Lloyd's) codebook training for the IVF/PQ
+    * tiers: deterministic first-k init, a FIXED number of rounds (no
+    * data-dependent stopping — job count is known up front), empty
+    * cells keep their previous centroid.
+    *
+    * Execution shape per round: ONE job — the broadcast-codebook
+    * assignment kernel fused with per-partition partial aggregation
+    * (each partition emits ≤ k rows of (cell, component sums, count)),
+    * partials merged on the driver. Nothing corpus-sized moves: no
+    * shuffle at all, and the driver sees O(k · partitions) tiny rows
+    * per round — the same bounded-collect discipline as `Bpe
+    * .trainMerges`' 1-row argmax.
+    *
+    * Determinism contract (why centroids are bit-identical regardless
+    * of partitioning or engine): components are fixed-pointed by
+    * floor(v·2^20) (IEEE-exact power-of-two scale) BEFORE summation,
+    * so per-cell sums are INTEGER adds — order-independent; the new
+    * centroid is floorDiv(sum, count) / 2^20, exactly representable
+    * as a float for |v| ≲ 16. Assignment cosines are ascending-index
+    * double multiply-adds, same as every other kernel here. */
+  def trainKmeansCodebook(df: DataFrame, k: Int, iters: Int = 4,
+      scale: Long = 1048576L): Array[(Long, Array[Float])] = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    var cb = firstKCodebook(df, k)
+    require(cb.nonEmpty, "trainKmeans: empty init codebook")
+    val vecs = df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var round = 0
+    while (round < iters) {
+      val bc = sp.sparkContext.broadcast(cb)
+      val partials = vecs.mapPartitions { it =>
+        val codebook = bc.value
+        val norms = codebook.map { case (_, v) =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(acc)
+        }
+        val acc = scala.collection.mutable.HashMap
+          .empty[Long, (Array[Long], Long)]
+        it.foreach { case (_, emb) =>
+          var na = 0.0; var i = 0
+          while (i < emb.length) { na += emb(i).toDouble * emb(i).toDouble; i += 1 }
+          na = math.sqrt(na)
+          var bestSim = Double.NegativeInfinity
+          var bestCid = 0L
+          var j = 0
+          while (j < codebook.length) {
+            val (cid, cv) = codebook(j)
+            var dot = 0.0; var p = 0
+            while (p < cv.length) { dot += emb(p).toDouble * cv(p).toDouble; p += 1 }
+            val sim = dot / (na * norms(j))
+            if (sim > bestSim) { bestSim = sim; bestCid = cid } // sorted: min cid on ties
+            j += 1
+          }
+          val slot = acc.getOrElseUpdate(bestCid,
+            (new Array[Long](emb.length), 0L))
+          var q = 0
+          while (q < emb.length) {
+            slot._1(q) += math.floor(emb(q).toDouble * scale).toLong; q += 1
+          }
+          acc(bestCid) = (slot._1, slot._2 + 1)
+        }
+        acc.iterator.map { case (cell, (s, n)) => (cell, s, n) }
+      }.collect() // bounded: ≤ k rows per partition
+      val merged = scala.collection.mutable.HashMap.empty[Long, (Array[Long], Long)]
+      partials.foreach { case (cell, s, n) =>
+        merged.get(cell) match {
+          case Some((ms, mn)) =>
+            var i = 0; while (i < ms.length) { ms(i) += s(i); i += 1 }
+            merged(cell) = (ms, mn + n)
+          case None => merged(cell) = (s.clone(), n)
+        }
+      }
+      cb = cb.map { case (cid, old) =>
+        merged.get(cid) match {
+          case Some((sums, n)) =>
+            (cid, sums.map(s2 => (Math.floorDiv(s2, n).toDouble / scale).toFloat))
+          case None => (cid, old) // empty cell: centroid unchanged
+        }
+      }
+      round += 1
+    }
+    cb
+  }
+
+  /** Driver-side reference k-means for specs and replay oracles: the
+    * same arithmetic spec as [[trainKmeansCodebook]] (fixed-point
+    * integer sums, floorDiv means, ascending-index double cosines,
+    * min-cid ties) implemented as independent plain-Scala loops —
+    * bit-identical output by construction. ORACLE/SPEC ONLY. */
+  def trainKmeansRef(vecs: Seq[(Long, Array[Float])], k: Int,
+      iters: Int = 4, scale: Long = 1048576L): Array[(Long, Array[Float])] = {
+    var cb = vecs.filter(_._1 < k).sortBy(_._1).toArray
+    require(cb.nonEmpty, "trainKmeansRef: empty init codebook")
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.HashMap.empty[Long, (Array[Long], Long)]
+      vecs.foreach { case (_, emb) =>
+        val cell = assignRef(emb, cb)
+        val slot = sums.getOrElseUpdate(cell, (new Array[Long](emb.length), 0L))
+        var i = 0
+        while (i < emb.length) {
+          slot._1(i) += math.floor(emb(i).toDouble * scale).toLong; i += 1
+        }
+        sums(cell) = (slot._1, slot._2 + 1)
+      }
+      cb = cb.map { case (cid, old) =>
+        sums.get(cid) match {
+          case Some((s, n)) =>
+            (cid, s.map(v => (Math.floorDiv(v, n).toDouble / scale).toFloat))
+          case None => (cid, old)
+        }
+      }
+    }
+    cb
+  }
+
+  /** Reference max-cosine assignment (min cid on ties); `cb` sorted. */
+  def assignRef(emb: Array[Float], cb: Array[(Long, Array[Float])]): Long = {
+    var na = 0.0; var i = 0
+    while (i < emb.length) { na += emb(i).toDouble * emb(i).toDouble; i += 1 }
+    na = math.sqrt(na)
+    var bestSim = Double.NegativeInfinity
+    var bestCid = 0L
+    var j = 0
+    while (j < cb.length) {
+      val (cid, cv) = cb(j)
+      var nc = 0.0; var dot = 0.0; var p = 0
+      while (p < cv.length) {
+        nc += cv(p).toDouble * cv(p).toDouble
+        dot += emb(p).toDouble * cv(p).toDouble
+        p += 1
+      }
+      val sim = dot / (na * math.sqrt(nc))
+      if (sim > bestSim) { bestSim = sim; bestCid = cid }
+      j += 1
+    }
+    bestCid
   }
 
   /** Bucketed (IVF-style) cosine top-1: search only within the

@@ -110,8 +110,8 @@ object DataPipelineQueries2 {
            count(*) OVER (PARTITION BY cl.cluster_id) AS sz
          FROM cl JOIN documents d ON d.doc_id = cl.doc_id) t
        WHERE rn = 1""") { (s, d) =>
-    val sh = TextDedup.shingles(Tables.documents(s, d))
-      .localCheckpoint(true)
+    // the dedup family's shared shingle scan (memoized localCheckpoint)
+    val sh = DataPipelineQueries.checkpointedShingles(s, d)
     val ed = TextDedup.jaccardPairs(sh, num = 4, den = 5)
       .select(col("d1").as("src"), col("d2").as("dst"))
     val labels = withFewPartitions(s, 4) { ConnectedComponents.run(s, ed) }
@@ -155,6 +155,60 @@ object DataPipelineQueries2 {
     VectorSearch.ivfCosineTop1(Tables.embeddings(s, d), numCentroids = 8)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("neighbor_id"), round(col("cosim"), 3).as("sim"))
+  }
+
+  /** IVF ANN over a TRAINED codebook: 4 rounds of distributed Lloyd's
+    * k-means (VectorSearch.trainKmeansCodebook — one shuffle-free
+    * assignment+partial-sum job per round, integer fixed-point sums so
+    * centroids are bit-identical regardless of partitioning), then the
+    * same in-cell top-1 as `ann_ivf_top1`. The k-means loop is not
+    * SQL-expressible → the oracle is a verify-time VALUES literal from
+    * the independent driver-side replay (trainKmeansRef + assignRef +
+    * exact in-cell top-1) — the same dynamic-oracle mechanism as the
+    * BPE checks. */
+  val annIvfTrainedTop1 = replayed("ann_ivf_trained_top1") { (s, d) =>
+    VectorSearch.ivfCosineTop1Trained(Tables.embeddings(s, d),
+        numCentroids = 8, iters = 4)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("neighbor_id"), round(col("cosim"), 3).as("sim"))
+  } { (s, d) =>
+    import s.implicits._
+    // ORACLE GENERATION ONLY (sf0.01 scale): replay k-means, the cell
+    // assignment, and the exact in-cell top-1 with plain driver loops.
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val cb = VectorSearch.trainKmeansRef(vecs, k = 8, iters = 4)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var na = 0.0; var nb = 0.0; var dot = 0.0; var i = 0
+      while (i < a.length) {
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        dot += a(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = vecs.groupBy { case (_, e) => VectorSearch.assignRef(e, cb) }
+      .toSeq.flatMap { case (cell, members) =>
+        if (members.length < 2) Nil
+        else members.map { case (id, emb) =>
+          val (nid, sim) = members.iterator.filter(_._1 != id)
+            .map { case (oid, oemb) => (oid, cosine(emb, oemb)) }
+            .reduceLeft { (p, q) =>
+              if (q._2 > p._2 || (q._2 == p._2 && q._1 < p._1)) q else p
+            }
+          val rounded = java.math.BigDecimal.valueOf(sim)
+            .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+          (id, cell, nid, rounded)
+        }
+      }.sortBy(_._1)
+    val values = rows.map { case (id, cell, nid, sim) =>
+      s"($id, $cell, $nid, $sim)"
+    }.mkString(", ")
+    s"""SELECT CAST(v AS BIGINT) AS vec_id, CAST(c AS BIGINT) AS cell,
+          CAST(n AS BIGINT) AS neighbor_id, CAST(s AS DOUBLE) AS sim
+        FROM (VALUES $values) AS t(v, c, n, s)"""
   }
 
   /** Int8 scalar quantization of the embedding table: per-dimension
@@ -213,5 +267,6 @@ object DataPipelineQueries2 {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qualityFunnel, dedupKeepBest, annIvfTop1, embQuantize, embPqCodes)
+    qualityFunnel, dedupKeepBest, annIvfTop1, annIvfTrainedTop1,
+    embQuantize, embPqCodes)
 }
