@@ -19,6 +19,17 @@ object TextStats {
     expr(s"size(filter($wColName, x -> array_contains(array($arr), x)))")
   }
 
+  /** Boolean "contains any stopword" — prefer this over
+    * `stopwordHits(...) >= 1` when only existence matters:
+    * `arrays_overlap` is a codegen'd expression with early exit,
+    * where the hit COUNT goes through an interpreted higher-order
+    * `filter` lambda (CodegenFallback) whose cost grows with the
+    * stopword list. */
+  def hasAnyStopword(wColName: String, words: Seq[String]): Column = {
+    val arr = words.map(s => s"'$s'").mkString(", ")
+    expr(s"arrays_overlap($wColName, array($arr))")
+  }
+
   /** Heuristic language ID by stopword-set voting: `langs` lists
     * (code, stopwords) in PRECEDENCE order — the first language whose
     * hit count is >= every later language's wins; no hits at all is

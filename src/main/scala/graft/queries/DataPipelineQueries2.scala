@@ -68,12 +68,16 @@ object DataPipelineQueries2 {
     val docs = TextDedup.withTokens(Tables.documents(s, d))
       .withColumn("n_tokens", size(col("w")))
       .withColumn("mwl_cc", QualityFilters.meanTokenLenCentichars(col("w")))
-      .withColumn("stop_hits",
-        graft.functions.TextStats.stopwordHits("w", stopAll))
+      // arrays_overlap, not stopwordHits(...) >= 1: existence is all
+      // this rule needs, and the overlap form is codegen'd with early
+      // exit where the count form is an interpreted filter lambda
+      // whose cost grew with the r4 multi-language stop list
+      .withColumn("has_stop",
+        graft.functions.TextStats.hasAnyStopword("w", stopAll))
     QualityFilters.funnel(docs, Seq(
       "min_tokens" -> (col("n_tokens") >= 20),
       "mean_token_len" -> col("mwl_cc").between(300, 799),
-      "has_stopwords" -> (col("stop_hits") >= 1),
+      "has_stopwords" -> col("has_stop"),
       "lang_en" -> (col("lang") === "en")))
   }
 
