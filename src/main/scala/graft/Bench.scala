@@ -75,7 +75,13 @@ object Bench {
       .map { case (name, fn) =>
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // failures MUST be loud: a swallowed exception records as an
+        // impossibly fast "min" and silently poisons the bench totals
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          -1L
+        }
         val t = (System.nanoTime() - t0) / 1e9
         resetStorage()
         t

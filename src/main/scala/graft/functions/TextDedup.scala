@@ -98,12 +98,16 @@ object TextDedup {
     * and let AQE pick the join. Pair-producing shingles all survive by
     * construction, so downstream pair/common counts are unchanged.
     *
-    * The hot set is persisted: it is referenced from both sides of
-    * every pair join, and its aggregate is the one full shuffle here. */
+    * The hot set is materialized eagerly (localCheckpoint, not a
+    * never-unpersisted persist — checkpoint blocks are reclaimed by
+    * the ContextCleaner once unreachable, where a forgotten persist
+    * leaks cached partitions for the rest of a multi-query run): it is
+    * referenced from both sides of every pair join, and its aggregate
+    * is the one full shuffle here. */
   def pairableShingles(sh: DataFrame): DataFrame = {
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1).select(col("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // a USING join puts the join column first — restore (doc_id, s) so
     // positional toDF renames downstream stay correct
     sh.join(broadcast(hot), Seq("s"), "leftsemi")
@@ -189,13 +193,14 @@ object TextDedup {
 
   /** Candidate pairs = distinct doc pairs sharing any band bucket:
     * one shuffle keyed on (band, sig) — the scale path. The band
-    * relation (docs × bands rows, tiny) is persisted so the self-join
-    * does not re-run the minhash aggregation on both sides. */
+    * relation (docs × bands rows, tiny) is materialized eagerly
+    * (localCheckpoint — reclaimable, see pairableShingles) so the
+    * self-join does not re-run the minhash aggregation on both sides. */
   def lshCandidatePairs(sh: DataFrame, numHashes: Int = 12,
       bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val b = lshBands(minhashSignatures(sh, numHashes), bands, numHashes / bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val ba = b.toDF("d1", "band", "sig")
     val bb = b.toDF("d2", "band2", "sig2")
     ba.join(bb, col("band") === col("band2") && col("sig") === col("sig2")
@@ -214,7 +219,7 @@ object TextDedup {
   def lshVerifiedPairs(sh: DataFrame, numHashes: Int = 12, bands: Int = 4,
       num: Int = 4, den: Int = 5): DataFrame = {
     val cand = lshCandidatePairs(sh, numHashes, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // shingles of each candidate pair's d1 side, tagged with the pair
     val d1Shingles = sh.join(broadcast(cand), col("doc_id") === col("d1"))
       .select(col("d1"), col("d2"), col("s"))
@@ -263,11 +268,14 @@ object TextDedup {
     val bBands = lshBands(minhashSignatures(batchSh, numHashes), bands, rows)
     // candidate (batch, corpus) pairs = band-bucket collisions against
     // the index: one equi join keyed on (band, sig)
+    // eager localCheckpoint, not persist: cand feeds three broadcasts
+    // below and a forgotten persist would leak across a multi-query
+    // run (checkpoint blocks are ContextCleaner-reclaimed)
     val cand = bBands.toDF("bdoc", "band", "sig")
       .join(cIdx.toDF("cdoc", "band2", "sig2"),
         col("band") === col("band2") && col("sig") === col("sig2"))
       .select(col("bdoc"), col("cdoc")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // fetch-by-id: shingles only for docs appearing in a candidate pair
     val cSh = corpusSh.join(
       broadcast(cand.select(col("cdoc").as("doc_id")).distinct()),

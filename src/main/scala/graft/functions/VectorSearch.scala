@@ -336,10 +336,19 @@ object VectorSearch {
     * Returns (vec_id, sub, code, d2) with d2 the integer distortion —
     * callers roll up per-vector code words or per-cell occupancy. */
   def pqAssign(df: DataFrame, m: Int = 4, codesPerSub: Int = 16,
-      scale: Long = 1048576L): DataFrame = {
+      scale: Long = 1048576L): DataFrame =
+    pqAssignWith(df, firstKPqCodebook(df, m, codesPerSub, scale), scale)
+
+  /** First-k PQ init codebook in fixed-point space: code j of every
+    * subspace is the j-th vector's subvector, LABELED by that vector's
+    * id (the label the `emb_pq_codes` oracle uses; the same
+    * deterministic stand-in/seed role as [[firstKCodebook]]). Layout:
+    * [sub] → codes as (label, components(dim/m)), label-ascending. */
+  def firstKPqCodebook(df: DataFrame, m: Int, codesPerSub: Int,
+      scale: Long = 1048576L): Array[Array[(Long, Array[Long])]] = {
     val sp = df.sparkSession
     import sp.implicits._
-    val cb = df.filter(col("vec_id") < codesPerSub)
+    val firsts = df.filter(col("vec_id") < codesPerSub)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .take(codesPerSub + 1)
@@ -347,7 +356,25 @@ object VectorSearch {
       .map { case (cid, emb) =>
         (cid, emb.map(v => math.floor(v.toDouble * scale).toLong))
       }
-    require(cb.nonEmpty, "pqAssign: empty codebook")
+    require(firsts.nonEmpty, "pqAssign: empty codebook")
+    val d = firsts.head._2.length
+    require(d % m == 0, s"pqAssign: m=$m must divide dim=$d")
+    val sd = d / m
+    Array.tabulate(m)(sub =>
+      firsts.map { case (cid, fx) =>
+        (cid, fx.slice(sub * sd, (sub + 1) * sd))
+      })
+  }
+
+  /** PQ assignment against an EXPLICIT per-subspace fixed-point
+    * codebook `cb[sub] = [(label, components)]` (label-ascending) —
+    * shared by the first-k and trained tiers; see [[pqAssign]] for
+    * the execution contract. */
+  def pqAssignWith(df: DataFrame, cb: Array[Array[(Long, Array[Long])]],
+      scale: Long = 1048576L): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val m = cb.length
     val bc = sp.sparkContext.broadcast(cb)
     df.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -358,24 +385,161 @@ object VectorSearch {
         val sd = d / m
         val fx = emb.map(v => math.floor(v.toDouble * scale).toLong)
         (0 until m).map { sub =>
+          val subCb = codebook(sub)
           val off = sub * sd
           var bestD2 = Long.MaxValue
           var bestCode = 0L
           var j = 0
-          while (j < codebook.length) {
-            val (cid, cfx) = codebook(j)
+          while (j < subCb.length) {
+            val (label, cfx) = subCb(j)
             var d2 = 0L; var i = 0
             while (i < sd) {
-              val diff = fx(off + i) - cfx(off + i)
+              val diff = fx(off + i) - cfx(i)
               d2 += diff * diff; i += 1
             }
-            // strict < keeps the smallest code id on ties (sorted)
-            if (d2 < bestD2) { bestD2 = d2; bestCode = cid }
+            // strict < keeps the smallest label on ties (ordered)
+            if (d2 < bestD2) { bestD2 = d2; bestCode = label }
             j += 1
           }
           (id, sub.toLong, bestCode, bestD2)
         }
       }.toDF("vec_id", "sub", "code", "d2")
+  }
+
+  /** Distributed per-subspace k-means for the PQ codebook — the
+    * trained upgrade of the first-k stand-in, same Lloyd's discipline
+    * as [[trainKmeansCodebook]] but ENTIRELY in integer arithmetic:
+    * assignment by fixed-point squared-L2 (min code on ties), update
+    * by floorDiv integer means — every round is exactly reproducible
+    * on any partitioning and any engine, no float accumulation
+    * anywhere. One shuffle-free job per round; partials are
+    * (sub, code) keyed — ≤ m·k rows per partition to the driver.
+    * Empty codes keep their previous centroid. */
+  def trainPqCodebook(df: DataFrame, m: Int = 4, codesPerSub: Int = 16,
+      iters: Int = 4,
+      scale: Long = 1048576L): Array[Array[(Long, Array[Long])]] = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    var cb = firstKPqCodebook(df, m, codesPerSub, scale)
+    val vecs = df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    var round = 0
+    while (round < iters) {
+      val bc = sp.sparkContext.broadcast(cb)
+      val partials = vecs.mapPartitions { it =>
+        val codebook = bc.value
+        val mm = codebook.length
+        val acc = scala.collection.mutable.HashMap
+          .empty[(Int, Int), (Array[Long], Long)]
+        it.foreach { case (_, emb) =>
+          val d = emb.length
+          val sd = d / mm
+          val fx = emb.map(v => math.floor(v.toDouble * scale).toLong)
+          var sub = 0
+          while (sub < mm) {
+            val subCb = codebook(sub)
+            val off = sub * sd
+            var bestD2 = Long.MaxValue
+            var bestIdx = 0
+            var j = 0
+            while (j < subCb.length) {
+              val cfx = subCb(j)._2
+              var d2 = 0L; var i = 0
+              while (i < sd) {
+                val diff = fx(off + i) - cfx(i); d2 += diff * diff; i += 1
+              }
+              if (d2 < bestD2) { bestD2 = d2; bestIdx = j }
+              j += 1
+            }
+            val slot = acc.getOrElseUpdate((sub, bestIdx),
+              (new Array[Long](sd), 0L))
+            var q = 0
+            while (q < sd) { slot._1(q) += fx(off + q); q += 1 }
+            acc((sub, bestIdx)) = (slot._1, slot._2 + 1)
+            sub += 1
+          }
+        }
+        acc.iterator.map { case ((sub, idx), (s, n)) => (sub, idx, s, n) }
+      }.collect() // bounded: ≤ m·k rows per partition
+      val merged = scala.collection.mutable.HashMap
+        .empty[(Int, Int), (Array[Long], Long)]
+      partials.foreach { case (sub, idx, s, n) =>
+        merged.get((sub, idx)) match {
+          case Some((ms, mn)) =>
+            var i = 0; while (i < ms.length) { ms(i) += s(i); i += 1 }
+            merged((sub, idx)) = (ms, mn + n)
+          case None => merged((sub, idx)) = (s.clone(), n)
+        }
+      }
+      cb = Array.tabulate(cb.length)(sub =>
+        Array.tabulate(cb(sub).length) { idx =>
+          val (label, old) = cb(sub)(idx)
+          merged.get((sub, idx)) match {
+            case Some((s, n)) => (label, s.map(v => Math.floorDiv(v, n)))
+            case None => (label, old) // empty code: centroid unchanged
+          }
+        })
+      round += 1
+    }
+    cb
+  }
+
+  /** Driver-side reference PQ k-means (same integer arithmetic as
+    * [[trainPqCodebook]], plain loops) — specs and replay oracles. */
+  def trainPqCodebookRef(vecs: Seq[(Long, Array[Float])], m: Int = 4,
+      codesPerSub: Int = 16, iters: Int = 4,
+      scale: Long = 1048576L): Array[Array[(Long, Array[Long])]] = {
+    val firsts = vecs.filter(_._1 < codesPerSub).sortBy(_._1)
+      .map { case (cid, e) =>
+        (cid, e.map(v => math.floor(v.toDouble * scale).toLong))
+      }
+    require(firsts.nonEmpty, "trainPqCodebookRef: empty codebook")
+    val d = firsts.head._2.length
+    val sd = d / m
+    var cb: Array[Array[(Long, Array[Long])]] =
+      Array.tabulate(m)(sub => firsts.toArray.map { case (cid, fx) =>
+        (cid, fx.slice(sub * sd, (sub + 1) * sd))
+      })
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.HashMap
+        .empty[(Int, Int), (Array[Long], Long)]
+      vecs.foreach { case (_, emb) =>
+        val fx = emb.map(v => math.floor(v.toDouble * scale).toLong)
+        for (sub <- 0 until m) {
+          val (idx, _) = pqNearestRef(fx, cb(sub), sub * sd, sd)
+          val slot = sums.getOrElseUpdate((sub, idx),
+            (new Array[Long](sd), 0L))
+          var i = 0
+          while (i < sd) { slot._1(i) += fx(sub * sd + i); i += 1 }
+          sums((sub, idx)) = (slot._1, slot._2 + 1)
+        }
+      }
+      cb = Array.tabulate(m)(sub => Array.tabulate(cb(sub).length) { idx =>
+        val (label, old) = cb(sub)(idx)
+        sums.get((sub, idx)) match {
+          case Some((s, n)) => (label, s.map(v => Math.floorDiv(v, n)))
+          case None => (label, old)
+        }
+      })
+    }
+    cb
+  }
+
+  /** Reference nearest PQ code for one subvector: (index, d2) into the
+    * label-ascending sub-codebook (strict < keeps the smallest). */
+  def pqNearestRef(fx: Array[Long], subCb: Array[(Long, Array[Long])],
+      off: Int, sd: Int): (Int, Long) = {
+    var bestD2 = Long.MaxValue
+    var bestIdx = 0
+    var j = 0
+    while (j < subCb.length) {
+      val cfx = subCb(j)._2
+      var d2 = 0L; var i = 0
+      while (i < sd) { val diff = fx(off + i) - cfx(i); d2 += diff * diff; i += 1 }
+      if (d2 < bestD2) { bestD2 = d2; bestIdx = j }
+      j += 1
+    }
+    (bestIdx, bestD2)
   }
 
   /** Distributed k-means (Lloyd's) codebook training for the IVF/PQ

@@ -46,12 +46,31 @@ object DataPipelineQueries {
     * use; this is a materialized intermediate, not cross-query result
     * coupling. Eager (not lazy persist) because two branches racing
     * the first materialization would double-compute. */
-  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private case class SharedScan(df: DataFrame,
+      rddIds: scala.collection.Set[Int])
+  private val shingleCache =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), SharedScan]
   private[queries] def checkpointedShingles(s: SparkSession, d: String): DataFrame =
-    shingleCache.computeIfAbsent((s, d), _ =>
-      graft.functions.TextDedup.shingles(Tables.documents(s, d))
-        .localCheckpoint(true))
+    shingleCache.synchronized {
+      // liveness check: a memoized localCheckpoint is only reusable
+      // while its blocks are still registered — a harness that clears
+      // storage between timed runs (graft.Bench.resetStorage) would
+      // otherwise leave us handing out a DataFrame whose checkpoint
+      // blocks are gone (localCheckpoint has no lineage to recompute
+      // from — reading it throws)
+      val persisted = s.sparkContext.getPersistentRDDs.keySet
+      shingleCache.get((s, d))
+        .filter(e => e.rddIds.nonEmpty && e.rddIds.subsetOf(persisted))
+        .map(_.df)
+        .getOrElse {
+          val before = s.sparkContext.getPersistentRDDs.keySet
+          val df = graft.functions.TextDedup.shingles(Tables.documents(s, d))
+            .localCheckpoint(true)
+          val ids = s.sparkContext.getPersistentRDDs.keySet.diff(before)
+          shingleCache((s, d)) = SharedScan(df, ids)
+          df
+        }
+    }
 
   /** Run `body` with a temporarily lowered shuffle-partition count —
     * for iterative driver loops over small derived relations (e.g. the

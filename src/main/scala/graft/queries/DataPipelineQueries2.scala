@@ -270,7 +270,52 @@ object DataPipelineQueries2 {
         sum(col("d2")).as("d2_total"))
   }
 
+  /** PQ codes from a TRAINED per-subspace codebook: 4 rounds of
+    * integer-arithmetic Lloyd's per subspace
+    * (VectorSearch.trainPqCodebook — fixed-point L2 assignment,
+    * floorDiv integer means; one shuffle-free job per round), then the
+    * same code-word rollup as `emb_pq_codes`. Training is pure integer
+    * arithmetic end to end, so codes AND the learned codebook are
+    * bit-identical on any partitioning; checked against the
+    * independent driver replay via a verify-time VALUES oracle. The
+    * trained codebook must not increase total distortion vs first-k —
+    * VectorSearchSpec pins that too. */
+  val embPqTrainedCodes = replayed("emb_pq_trained_codes") { (s, d) =>
+    val cb = VectorSearch.trainPqCodebook(Tables.embeddings(s, d),
+      m = 4, codesPerSub = 16, iters = 4)
+    VectorSearch.pqAssignWith(Tables.embeddings(s, d), cb)
+      .groupBy(col("vec_id"))
+      .agg(expr("""array_join(transform(array_sort(collect_list(
+             struct(sub, code))), x -> CAST(x.code AS STRING)), '|')""")
+          .as("pq"),
+        sum(col("d2")).as("d2_total"))
+  } { (s, d) =>
+    import s.implicits._
+    // ORACLE GENERATION ONLY: full driver replay of training + codes.
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val m = 4
+    val cb = VectorSearch.trainPqCodebookRef(vecs, m = m, codesPerSub = 16,
+      iters = 4)
+    val scale = 1048576L
+    val rows = vecs.map { case (id, emb) =>
+      val sd = emb.length / m
+      val fx = emb.map(v => math.floor(v.toDouble * scale).toLong)
+      val perSub = (0 until m).map { sub =>
+        val (idx, d2) = VectorSearch.pqNearestRef(fx, cb(sub), sub * sd, sd)
+        (cb(sub)(idx)._1, d2)
+      }
+      (id, perSub.map(_._1).mkString("|"), perSub.map(_._2).sum)
+    }
+    val values = rows.map { case (id, pq, d2) => s"($id, '$pq', $d2)" }
+      .mkString(", ")
+    s"""SELECT CAST(v AS BIGINT) AS vec_id, p AS pq,
+          CAST(d AS BIGINT) AS d2_total
+        FROM (VALUES $values) AS t(v, p, d)"""
+  }
+
   val all: Seq[QueryDef] = Seq(
     qualityFunnel, dedupKeepBest, annIvfTop1, annIvfTrainedTop1,
-    embQuantize, embPqCodes)
+    embQuantize, embPqCodes, embPqTrainedCodes)
 }

@@ -109,6 +109,31 @@ class VectorSearchSpec extends AnyFunSuite {
       f"trained objective $trained%.4f must beat first-k $init%.4f")
   }
 
+  test("trainPqCodebook: distributed == driver reference (pure integer " +
+      "arithmetic), and training never increases total distortion") {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val dist = VectorSearch.trainPqCodebook(
+      emb.repartition(5), m = 4, codesPerSub = 16, iters = 4)
+    val ref = VectorSearch.trainPqCodebookRef(vecs, m = 4,
+      codesPerSub = 16, iters = 4)
+    assert(dist.length === ref.length)
+    dist.zip(ref).foreach { case (ds, rs) =>
+      ds.zip(rs).foreach { case ((ld, vd), (lr, vr)) =>
+        assert(ld === lr)
+        assert(vd.toSeq === vr.toSeq)
+      }
+    }
+    // distortion: sum of d2 over all (vector, sub) assignments
+    def totalD2(cb: Array[Array[(Long, Array[Long])]]): Long =
+      VectorSearch.pqAssignWith(emb, cb)
+        .agg(sum(col("d2"))).head.getLong(0)
+    val d2First = totalD2(VectorSearch.firstKPqCodebook(emb, 4, 16))
+    val d2Trained = totalD2(dist)
+    assert(d2Trained <= d2First,
+      s"trained distortion $d2Trained vs first-k $d2First")
+  }
+
   test("scalarQuantizeCodes spans [0, 255] per dimension") {
     val codes = VectorSearch.scalarQuantizeCodes(emb)
     val byDim = codes.groupBy("dim")
