@@ -131,6 +131,24 @@ object TextDedup {
         explode(expr("slice(ds, i + 2, size(ds))")).as("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
 
+  /** Shingle relation with HOT shingles stop-listed: grams whose
+    * document frequency exceeds `maxDF` are dropped from the shingle
+    * universe — the standard mitigation for the k² cost a
+    * pathologically common gram (boilerplate, license headers,
+    * navigation chrome) imposes on pair generation, where it carries
+    * no dedup signal. The stop list itself is tiny by construction
+    * (≤ total_grams/maxDF entries), so it applies as a broadcast
+    * anti join — the corpus-side relation never re-shuffles.
+    * Downstream Jaccard semantics stay consistent: stop-listed grams
+    * leave BOTH the common counts and the per-doc sizes. */
+  def stopListedShingles(sh: DataFrame, maxDF: Int): DataFrame = {
+    require(maxDF >= 1, s"maxDF must be >= 1, got $maxDF")
+    val stop = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDF).select(col("s"))
+    sh.join(broadcast(stop), Seq("s"), "left_anti")
+      .select(col("doc_id"), col("s"))
+  }
+
   /** Exhaustive near-dup pairs with Jaccard >= num/den, in integer
     * arithmetic (den·common >= num·union) so there is no float
     * boundary: (d1, d2, common, n1, n2) with d1 < d2. */

@@ -542,6 +542,79 @@ object VectorSearch {
     (bestIdx, bestD2)
   }
 
+  /** Multi-probe cell assignment: every vector gets its `nprobe`
+    * NEAREST centroids as (vec_id, embedding, cell, prank) rows,
+    * prank 1 = home cell (identical to [[assignWithCodebook]]'s
+    * choice). Shuffle-free: one broadcast-codebook flatMap kernel —
+    * row count grows by nprobe, never the corpus. Ties break toward
+    * the smaller centroid id, same as everywhere else. */
+  def multiProbeAssign(df: DataFrame, cents: Array[(Long, Array[Float])],
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(cents)
+    df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val cb = bc.value
+        val norms = cb.map { case (_, v) =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(acc)
+        }
+        var na = 0.0
+        var i = 0
+        while (i < emb.length) { na += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        na = math.sqrt(na)
+        // (sim, cid) for every centroid, then take the top nprobe by
+        // (sim desc, cid asc) — k is codebook-sized, a simple sort
+        val scored = new Array[(Double, Long)](cb.length)
+        var j = 0
+        while (j < cb.length) {
+          val (cid, cv) = cb(j)
+          var dot = 0.0; var p = 0
+          while (p < cv.length) { dot += emb(p).toDouble * cv(p).toDouble; p += 1 }
+          scored(j) = (dot / (na * norms(j)), cid)
+          j += 1
+        }
+        scored.sortBy { case (sim, cid) => (-sim, cid) }
+          .take(math.min(nprobe, scored.length))
+          .zipWithIndex
+          .map { case ((_, cid), rank) => (id, emb, cid, rank + 1) }
+      }.toDF("vec_id", "embedding", "cell", "prank")
+  }
+
+  /** Multi-probe IVF cosine top-k: every vector probes its `nprobe`
+    * nearest cells and ranks the exact cosine against the vectors
+    * whose HOME cell (prank 1 — each vector lives in exactly one
+    * cell, so no candidate dedup is ever needed) is among them;
+    * keep the best `k` (cosine desc, neighbor-id tiebreak). This is
+    * the production recall knob the single-probe operators lack:
+    * nprobe scales candidates linearly (n·nprobe/cells) while the
+    * plan shape stays the single-probe one — a broadcast-codebook
+    * probe projection, ONE equi join on the cell id, one window.
+    * Returns (vec_id, neighbor_id, rank, cosim); vectors with no
+    * candidate in any probed cell are absent. */
+  def ivfCosineTopK(df: DataFrame, k: Int = 3, numCentroids: Int = 8,
+      nprobe: Int = 2): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    val cents = firstKCodebook(df, numCentroids)
+    val probed = multiProbeAssign(df, cents, nprobe)
+    val a = probed.select(col("vec_id"), col("cell"), col("embedding").as("ea"))
+    val home = probed.filter(col("prank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell").as("cell2"),
+        col("embedding").as("eb"))
+    val pairs = a.join(home,
+        col("cell") === col("cell2") && col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosim", expr("cosine_sim(ea, eb)"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosim").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosim"))
+  }
+
   /** Distributed k-means (Lloyd's) codebook training for the IVF/PQ
     * tiers: deterministic first-k init, a FIXED number of rounds (no
     * data-dependent stopping — job count is known up front), empty

@@ -190,6 +190,34 @@ object DataPipelineQueries {
       checkpointedShingles(s, d), num = 4, den = 5)
   }
 
+  /** The same exhaustive verifier behind a HOT-SHINGLE STOP LIST
+    * (TextDedup.stopListedShingles, maxDF=5): grams in more than
+    * maxDF docs leave the shingle universe before pair generation —
+    * the k² mitigation for boilerplate grams that the jaccardPairs
+    * scaladoc names. The stop list is ≤ total/maxDF entries, applied
+    * as a broadcast anti join — no extra corpus shuffle. On this
+    * corpus the surviving pairs are identical to `dedup_jaccard`
+    * (boilerplate carries no dedup signal — that is the point), but
+    * the per-doc sizes and commons legitimately shrink, which the
+    * oracle reproduces gram-for-gram. */
+  val dedupJaccardStoplist = sql("dedup_jaccard_stoplist",
+    shingleCte + """,
+       keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 5),
+       sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT d1, d2, common, x.n AS n1, y.n AS n2
+       FROM pairs JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+       WHERE 5 * common >= 4 * (x.n + y.n - common)""") { (s, d) =>
+    graft.functions.TextDedup.jaccardPairs(
+      graft.functions.TextDedup.stopListedShingles(
+        checkpointedShingles(s, d), maxDF = 5),
+      num = 4, den = 5)
+  }
+
   /** Dedup clustering: connected components over the near-dup pair
     * graph (Jaccard >= 0.8 edges), cluster id = min doc_id reachable —
     * the reusable operator is functions.ConnectedComponents (iterative
@@ -805,8 +833,8 @@ object DataPipelineQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    dedupExactStats, dedupKeepFirst, dedupJaccard, dedupMinhashLsh,
-    dedupIncremental,
+    dedupExactStats, dedupKeepFirst, dedupJaccard, dedupJaccardStoplist,
+    dedupMinhashLsh, dedupIncremental,
     dedupSimhash, dedupEmbedding, dedupClusters, annCosineTop1,
     annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,

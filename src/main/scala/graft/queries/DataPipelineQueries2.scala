@@ -215,6 +215,49 @@ object DataPipelineQueries2 {
         FROM (VALUES $values) AS t(v, c, n, s)"""
   }
 
+  /** Multi-probe IVF cosine top-k (nprobe=2, k=3): the recall knob of
+    * a production IVF index — each vector probes its 2 nearest cells
+    * and exact-ranks against the vectors living there. Plan shape is
+    * identical to single-probe (shuffle-free probe kernel, one equi
+    * join on cell, one window); candidates scale as n·nprobe/cells.
+    * The oracle replays probing, home-cell membership, and the top-k
+    * window in SQL. */
+  val annIvfTopK = sql("ann_ivf_topk",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+             FROM n WHERE vec_id < 8),
+       scored AS (
+         SELECT a.vec_id, a.embedding, a.nrm, c.cid,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             (list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+              / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+         FROM n a CROSS JOIN c),
+       p AS (
+         SELECT a.vec_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosim
+         FROM (SELECT * FROM scored WHERE rn <= 2) a
+         JOIN (SELECT * FROM scored WHERE rn = 1) b
+           ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+       SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+         round(cosim, 3) AS sim FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rnk
+         FROM p) t WHERE rnk <= 3""") { (s, d) =>
+    VectorSearch.ivfCosineTopK(Tables.embeddings(s, d),
+        k = 3, numCentroids = 8, nprobe = 2)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cosim"), 3).as("sim"))
+  }
+
   /** Int8 scalar quantization of the embedding table: per-dimension
     * min-max codes over fixed-point components — the compression pass
     * between profiling (emb_dim_stats) and indexing. All-integer
@@ -317,5 +360,5 @@ object DataPipelineQueries2 {
 
   val all: Seq[QueryDef] = Seq(
     qualityFunnel, dedupKeepBest, annIvfTop1, annIvfTrainedTop1,
-    embQuantize, embPqCodes, embPqTrainedCodes)
+    annIvfTopK, embQuantize, embPqCodes, embPqTrainedCodes)
 }

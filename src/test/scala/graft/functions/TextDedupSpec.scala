@@ -41,6 +41,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("stopListedShingles drops only grams above maxDF; dedup signal " +
+      "on clone pairs survives") {
+    val df = corpus(
+      1L -> "boiler plate header w1 w2 w3 w4",
+      2L -> "boiler plate header w1 w2 w3 w4",  // clone of 1
+      3L -> "boiler plate header z1 z2 z3 z4",
+      4L -> "boiler plate header y1 y2 y3 y4",
+      5L -> "boiler plate header q1 q2 q3 q4")
+    val sh = TextDedup.shingles(df)
+    // "boiler plate header" has df=5 — the only gram above maxDF=4
+    val kept = TextDedup.stopListedShingles(sh, maxDF = 4)
+    val dropped = sh.count() - kept.count()
+    assert(dropped === 5, "exactly the df=5 gram's rows leave")
+    assert(kept.filter(col("s") === "boiler plate header").count() === 0)
+    // the clone pair is still found without the boilerplate gram
+    val pairs = TextDedup.jaccardPairs(kept)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // maxDF >= max df is the identity
+    assert(TextDedup.stopListedShingles(sh, maxDF = 5).count() === sh.count())
+  }
+
   test("lshVerifiedPairs agrees with exhaustive jaccardPairs here") {
     val df = corpus(
       1L -> "w1 w2 w3 w4 w5 w6 w7 w8",

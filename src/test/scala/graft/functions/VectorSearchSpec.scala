@@ -209,6 +209,42 @@ class VectorSearchSpec extends AnyFunSuite {
     codes.unpersist()
   }
 
+  test("multi-probe IVF: prank-1 equals the single-probe assignment, " +
+      "and nprobe=cells recovers exact in-probed-set top-k") {
+    VectorExpressions.register(spark)
+    val cents = VectorSearch.firstKCodebook(emb, 4)
+    val single = VectorSearch.assignWithCodebook(emb, cents)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val home = VectorSearch.multiProbeAssign(emb, cents, nprobe = 2)
+      .filter(col("prank") === 1)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(home === single)
+    // probing EVERY cell makes IVF top-k exact: compare against the
+    // brute-force top-1 (rank 1 neighbor must coincide)
+    val full = VectorSearch.ivfCosineTopK(emb, k = 1,
+        numCentroids = 4, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = VectorSearch.bruteForceCosineTop1(emb, emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === brute)
+  }
+
+  test("multi-probe recall dominates single-probe at the same k") {
+    val top1 = VectorSearch.ivfCosineTopK(emb, k = 1,
+        numCentroids = 4, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val top2 = VectorSearch.ivfCosineTopK(emb, k = 1,
+        numCentroids = 4, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // a wider probe can only find an equal-or-better neighbor
+    top1.foreach { case (id, sim1) =>
+      assert(top2(id) >= sim1, s"vec $id: nprobe=2 ${top2(id)} < $sim1")
+    }
+    assert(top2.size >= top1.size)
+  }
+
   test("ivf top-1 similarity is bounded by the brute-force top-1") {
     val sample = emb.limit(60).cache()
     val brute = VectorSearch.bruteForceCosineTop1(sample, sample)
