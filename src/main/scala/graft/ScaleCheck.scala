@@ -162,6 +162,19 @@ object ScaleCheck {
         .ivfCosineTop1Trained(emb, numCentroids = 8 * copies, iters = 4)
         .count()
     }
+    // serving-mode search: the batch stays base-corpus-sized while the
+    // indexed corpus grows — per-query cost must track the batch and
+    // per-cell density (held constant by k = 8·copies), not the corpus
+    time("ann_ivf_search") {
+      val cents = graft.functions.VectorSearch
+        .firstKCodebook(emb, 8 * copies)
+      val corpus = graft.functions.VectorSearch
+        .assignWithCodebook(emb.where(col("vec_id") % 5 =!= 0), cents)
+      val batch = emb.where(col("vec_id") % 5 === 0)
+        .where(col("vec_id") < 1000000000L) // base copy only: fixed batch
+      graft.functions.VectorSearch
+        .ivfSearch(batch, corpus, cents, k = 1, nprobe = 2).count()
+    }
     // scalar quantization: per-dim stats (broadcast back) + a linear
     // code projection — no shuffle of vector rows
     time("emb_quantize") {

@@ -615,6 +615,35 @@ object VectorSearch {
         col("rank").cast("long").as("rank"), col("cosim"))
   }
 
+  /** Query-time IVF search — the incremental/serving mode, where a
+    * BATCH of query vectors searches an already-indexed corpus
+    * without the corpus ever re-shuffling (the ANN analogue of
+    * `TextDedup.incrementalDedup`): the corpus participates only
+    * through its cell assignment (the thing a production pipeline
+    * keeps materialized between ingests), the batch probes its
+    * `nprobe` nearest cells via the broadcast-codebook kernel, and
+    * the candidate join is the one equi join on the cell id — cost
+    * tracks the batch size and cell density, never the corpus.
+    * Returns (vec_id, neighbor_id, rank, cosim) for batch vectors;
+    * batch vectors probing only empty cells are absent. */
+  def ivfSearch(batch: DataFrame, corpusAssigned: DataFrame,
+      cents: Array[(Long, Array[Float])], k: Int = 1,
+      nprobe: Int = 2): DataFrame = {
+    VectorExpressions.register(batch.sparkSession)
+    val probes = multiProbeAssign(batch, cents, nprobe)
+      .select(col("vec_id"), col("cell"), col("embedding").as("ea"))
+    val members = corpusAssigned.select(col("vec_id").as("neighbor_id"),
+      col("cell").as("cell2"), col("embedding").as("eb"))
+    val pairs = probes.join(members,
+        col("cell") === col("cell2") && col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosim", expr("cosine_sim(ea, eb)"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosim").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cosim"))
+  }
+
   /** Distributed k-means (Lloyd's) codebook training for the IVF/PQ
     * tiers: deterministic first-k init, a FIXED number of rounds (no
     * data-dependent stopping — job count is known up front), empty

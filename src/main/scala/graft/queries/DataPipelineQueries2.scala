@@ -258,6 +258,63 @@ object DataPipelineQueries2 {
         round(col("cosim"), 3).as("sim"))
   }
 
+  /** Query-time IVF search (VectorSearch.ivfSearch): vectors with
+    * id % 5 = 0 act as the incoming query batch, the rest as the
+    * indexed corpus (deterministic split, reproduced by the oracle).
+    * The corpus participates only through its cell assignment — the
+    * serving-mode shape where per-query cost tracks the batch and
+    * cell density, never the corpus. nprobe=2, top-1. */
+  val annIvfSearch = sql("ann_ivf_search",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+             FROM n WHERE vec_id < 8),
+       corpus AS (SELECT * FROM n WHERE vec_id % 5 <> 0),
+       batch AS (SELECT * FROM n WHERE vec_id % 5 = 0),
+       chome AS (
+         SELECT vec_id, embedding, nrm, cid FROM (
+           SELECT a.vec_id, a.embedding, a.nrm, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               (list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+                / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+           FROM corpus a CROSS JOIN c) t WHERE rn = 1),
+       bprobe AS (
+         SELECT vec_id, embedding, nrm, cid FROM (
+           SELECT a.vec_id, a.embedding, a.nrm, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               (list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+                / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+           FROM batch a CROSS JOIN c) t WHERE rn <= 2),
+       p AS (
+         SELECT a.vec_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosim
+         FROM bprobe a JOIN chome b
+           ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+       SELECT vec_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+         round(cosim, 3) AS sim FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rnk
+         FROM p) t WHERE rnk <= 1""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cents = VectorSearch.firstKCodebook(emb, 8)
+    val corpus = VectorSearch.assignWithCodebook(
+      emb.where(col("vec_id") % 5 =!= 0), cents)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    VectorSearch.ivfSearch(batch, corpus, cents, k = 1, nprobe = 2)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cosim"), 3).as("sim"))
+  }
+
   /** Int8 scalar quantization of the embedding table: per-dimension
     * min-max codes over fixed-point components — the compression pass
     * between profiling (emb_dim_stats) and indexing. All-integer
@@ -360,5 +417,5 @@ object DataPipelineQueries2 {
 
   val all: Seq[QueryDef] = Seq(
     qualityFunnel, dedupKeepBest, annIvfTop1, annIvfTrainedTop1,
-    annIvfTopK, embQuantize, embPqCodes, embPqTrainedCodes)
+    annIvfTopK, annIvfSearch, embQuantize, embPqCodes, embPqTrainedCodes)
 }

@@ -245,6 +245,17 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(top2.size >= top1.size)
   }
 
+  test("ivfSearch with batch == corpus reproduces ivfCosineTopK") {
+    val cents = VectorSearch.firstKCodebook(emb, 4)
+    val served = VectorSearch.ivfSearch(emb,
+        VectorSearch.assignWithCodebook(emb, cents), cents, k = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val direct = VectorSearch.ivfCosineTopK(emb, k = 2,
+        numCentroids = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    assert(served === direct)
+  }
+
   test("ivf top-1 similarity is bounded by the brute-force top-1") {
     val sample = emb.limit(60).cache()
     val brute = VectorSearch.bruteForceCosineTop1(sample, sample)
