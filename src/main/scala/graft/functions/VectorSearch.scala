@@ -784,6 +784,111 @@ object VectorSearch {
     bestCid
   }
 
+  /** PQ asymmetric-distance (ADC) top-1 — the serving path that makes
+    * PQ compression pay at query time: each query precomputes a
+    * lookup table LUT[sub][code] = ||q_sub − c_{sub,code}||² (m·k
+    * integers — tiny), and every corpus vector is scored from its
+    * CODE WORD alone as Σ_sub LUT[sub][code] — m table lookups per
+    * (query, vector) instead of d multiplies, and the corpus side
+    * reads 4-byte words, never embeddings (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search").
+    *
+    * Execution shape: the query batch is collected BOUNDED
+    * (maxCandidates-style require — the batch is the small side by
+    * definition) and its LUTs broadcast; the corpus code relation
+    * streams through one mapPartitions kernel that reassembles each
+    * vector's m contiguous code rows (pqAssignWith emits them
+    * adjacent, same run-fold trick as TextDedup.shingles) and keeps a
+    * per-query running best — per-partition output is ≤ |batch| rows,
+    * folded by one tiny min_by aggregate. All arithmetic is
+    * fixed-point INTEGER (same contract as pqAssign): scores and
+    * ties (smallest neighbor id) are bit-identical on any
+    * partitioning and any engine.
+    *
+    * Returns (vec_id, neighbor_id, d2_adc) — one row per query that
+    * found any neighbor. */
+  def pqAdcTop1(queries: DataFrame, codes: DataFrame,
+      cb: Array[Array[(Long, Array[Long])]], scale: Long = 1048576L,
+      maxBatch: Int = DefaultMaxCandidates): DataFrame = {
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val m = cb.length
+    val q = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .take(maxBatch + 1)
+    require(q.length <= maxBatch,
+      s"query batch exceeds maxBatch=$maxBatch — ADC batches the small " +
+        "side; stream larger batches through repeated calls")
+    require(q.nonEmpty, "pqAdcTop1: empty query batch")
+    val qs = q.sortBy(_._1)
+    val d = qs.head._2.length
+    require(d % m == 0, s"pqAdcTop1: m=$m must divide dim=$d")
+    val sd = d / m
+    // label → dense index per subspace (labels are codebook row ids)
+    val labelIdx: Array[Map[Long, Int]] =
+      cb.map(_.iterator.zipWithIndex.map { case ((l, _), i) => l -> i }.toMap)
+    // LUT[query][sub][codeIdx] = integer squared distance
+    val luts: Array[(Long, Array[Array[Long]])] = qs.map { case (qid, emb) =>
+      val fx = emb.map(v => math.floor(v.toDouble * scale).toLong)
+      (qid, Array.tabulate(m) { sub =>
+        cb(sub).map { case (_, cfx) =>
+          var d2 = 0L; var i = 0
+          while (i < sd) {
+            val diff = fx(sub * sd + i) - cfx(i); d2 += diff * diff; i += 1
+          }
+          d2
+        }
+      })
+    }
+    val bcLut = sp.sparkContext.broadcast(luts)
+    val bcIdx = sp.sparkContext.broadcast(labelIdx)
+    val partBests = codes.select(col("vec_id"), col("sub"), col("code"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val lut = bcLut.value
+        val idx = bcIdx.value
+        val nq = lut.length
+        val best = Array.fill(nq)(Long.MaxValue)
+        val bestId = Array.fill(nq)(Long.MaxValue)
+        val word = new Array[Int](m)
+        var got = 0
+        var cur = Long.MinValue
+        def scoreWord(vid: Long): Unit = if (got == m) {
+          var qi = 0
+          while (qi < nq) {
+            val (qid, ql) = lut(qi)
+            if (qid != vid) {
+              var s = 0L; var sub = 0
+              while (sub < m) { s += ql(sub)(word(sub)); sub += 1 }
+              if (s < best(qi) || (s == best(qi) && vid < bestId(qi))) {
+                best(qi) = s; bestId(qi) = vid
+              }
+            }
+            qi += 1
+          }
+        }
+        var started = false
+        it.foreach { case (vid, sub, code) =>
+          if (!started || vid != cur) {
+            if (started) scoreWord(cur)
+            started = true; cur = vid; got = 0
+          }
+          word(sub.toInt) = idx(sub.toInt)(code)
+          got += 1
+        }
+        if (started) scoreWord(cur)
+        (0 until nq).iterator
+          .filter(qi => bestId(qi) != Long.MaxValue)
+          .map(qi => (lut(qi)._1, bestId(qi), best(qi)))
+      }.toDF("vec_id", "neighbor_id", "d2_adc")
+    // fold per-partition bests: min (score, id) per query
+    partBests
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2_adc"), col("neighbor_id"))).as("b"))
+      .select(col("vec_id"), col("b.neighbor_id").as("neighbor_id"),
+        col("b.d2_adc").as("d2_adc"))
+  }
+
   /** Bucketed (IVF-style) cosine top-1: search only within the
     * vector's own bucket — the candidate space shrinks by the bucket
     * fan-out, and the join is an equi join on the bucket key (one

@@ -415,7 +415,57 @@ object DataPipelineQueries2 {
         FROM (VALUES $values) AS t(v, p, d)"""
   }
 
+  /** PQ asymmetric-distance (ADC) top-1 (VectorSearch.pqAdcTop1):
+    * queries (id % 5 = 0) search the corpus from its 4-byte PQ code
+    * words alone — per-query lookup tables over the shared codebook,
+    * m table lookups per candidate instead of d multiplies, corpus
+    * embeddings never read. All-integer arithmetic end to end, so the
+    * scores and ties are engine-exact and the oracle replays the LUT
+    * join in SQL. */
+  val annPqAdcTop1 = sql("ann_pq_adc_top1",
+    """WITH fx AS (
+         SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, i - 1 AS pos,
+           CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)
+             AS BIGINT) AS fx
+         FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+       cb AS (SELECT vec_id AS code, sub, pos, fx AS cfx
+              FROM fx WHERE vec_id < 16),
+       dist AS (
+         SELECT f.vec_id, f.sub, c.code,
+           sum((f.fx - c.cfx) * (f.fx - c.cfx)) AS d2
+         FROM fx f JOIN cb c ON c.sub = f.sub AND c.pos = f.pos
+         GROUP BY 1, 2, 3),
+       codes AS (
+         SELECT vec_id, sub, code FROM (
+           SELECT vec_id, sub, code, row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+           FROM dist) t WHERE rn = 1),
+       q AS (SELECT vec_id AS qid, sub, pos, fx AS qfx
+             FROM fx WHERE vec_id % 5 = 0),
+       lut AS (
+         SELECT q.qid, c.sub, c.code,
+           sum((q.qfx - c.cfx) * (q.qfx - c.cfx)) AS d2
+         FROM q JOIN cb c ON c.sub = q.sub AND c.pos = q.pos
+         GROUP BY 1, 2, 3),
+       score AS (
+         SELECT l.qid, k.vec_id AS nid, sum(l.d2) AS s
+         FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+         WHERE k.vec_id <> l.qid
+         GROUP BY 1, 2)
+       SELECT qid AS vec_id, nid AS neighbor_id,
+         CAST(s AS BIGINT) AS d2_adc FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY qid ORDER BY s, nid) AS rn FROM score) t
+       WHERE rn = 1""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cb = VectorSearch.firstKPqCodebook(emb, m = 4, codesPerSub = 16)
+    val codes = VectorSearch.pqAssignWith(emb, cb)
+    VectorSearch.pqAdcTop1(emb.where(col("vec_id") % 5 === 0), codes, cb)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qualityFunnel, dedupKeepBest, annIvfTop1, annIvfTrainedTop1,
-    annIvfTopK, annIvfSearch, embQuantize, embPqCodes, embPqTrainedCodes)
+    annIvfTopK, annIvfSearch, embQuantize, embPqCodes, embPqTrainedCodes,
+    annPqAdcTop1)
 }

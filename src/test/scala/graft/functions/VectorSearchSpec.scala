@@ -256,6 +256,42 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(served === direct)
   }
 
+  test("pqAdcTop1 matches a driver-side LUT replay and enforces the " +
+      "batch cap") {
+    val cb = VectorSearch.firstKPqCodebook(emb, m = 4, codesPerSub = 16)
+    val codes = VectorSearch.pqAssignWith(emb, cb)
+    val queries = emb.filter(col("vec_id") % 5 === 0)
+    val got = VectorSearch.pqAdcTop1(queries, codes, cb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // replay: integer LUT scoring over the collected code words
+    val scale = 1048576L
+    val sd = 16
+    val wordRows = codes.collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+    val words = wordRows.groupBy(_._1).map { case (vid, rs) =>
+      vid -> rs.sortBy(_._2).map(_._3)
+    }
+    val labelIdx = cb.map(_.zipWithIndex.map { case ((l, _), i) => l -> i }.toMap)
+    val want = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().map { case (qid, embq) =>
+      val fx = embq.map(v => math.floor(v.toDouble * scale).toLong)
+      val lut = Array.tabulate(4)(sub => cb(sub).map { case (_, cfx) =>
+        (0 until sd).map(i => { val df = fx(sub * sd + i) - cfx(i); df * df }).sum
+      })
+      val scored = words.iterator.filter(_._1 != qid).map { case (vid, w) =>
+        (vid, (0 until 4).map(sub => lut(sub)(labelIdx(sub)(w(sub)))).sum)
+      }.toSeq
+      val (nid, s) = scored.minBy { case (vid, s) => (s, vid) }
+      qid -> (nid, s)
+    }.toMap
+    assert(got === want)
+    // the query batch is the bounded side: the cap must be enforced
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.pqAdcTop1(emb, codes, cb, maxBatch = 10)
+    }
+    assert(e.getMessage.contains("maxBatch"))
+  }
+
   test("ivf top-1 similarity is bounded by the brute-force top-1") {
     val sample = emb.limit(60).cache()
     val brute = VectorSearch.bruteForceCosineTop1(sample, sample)
