@@ -175,6 +175,18 @@ object ScaleCheck {
       graft.functions.VectorSearch
         .ivfSearch(batch, corpus, cents, k = 1, nprobe = 2).count()
     }
+    // ADC serving: fixed query batch, corpus scored from 4-byte code
+    // words — the corpus-side pass is a code-word scan (m lookups per
+    // candidate), so growth tracks corpus rows with a tiny constant;
+    // embeddings are read once to CODE the corpus, never to search it
+    time("ann_pq_adc") {
+      val cb = graft.functions.VectorSearch.firstKPqCodebook(emb, 4, 16)
+      val codes = graft.functions.VectorSearch.pqAssignWith(emb, cb)
+        .localCheckpoint(true) // the materialized index a store keeps
+      val batch = emb.where(col("vec_id") % 5 === 0)
+        .where(col("vec_id") < 1000000000L)
+      graft.functions.VectorSearch.pqAdcTop1(batch, codes, cb).count()
+    }
     // scalar quantization: per-dim stats (broadcast back) + a linear
     // code projection — no shuffle of vector rows
     time("emb_quantize") {
