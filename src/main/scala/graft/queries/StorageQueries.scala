@@ -119,6 +119,54 @@ object StorageQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_id"))
   }
 
+  /** ANN index MAINTENANCE: the PQ code index lives as a keyed table
+    * (vec_id → code word); an ingest batch (vec_id % 5 = 0) is coded
+    * with the SHARED codebook and merged in via KeyedTable.upsert —
+    * O(batch) coding plus O(touched buckets) rewrite, the continuous
+    * index-refresh shape of a production vector store. The invariant
+    * the oracle checks: corpus-index + batch-upsert must equal coding
+    * the WHOLE table in one pass (the emb_pq_codes oracle verbatim). */
+  val pqIndexUpsert = sql("pq_index_upsert",
+    """WITH fx AS (
+         SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, i - 1 AS pos,
+           CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)
+             AS BIGINT) AS fx
+         FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+       cb AS (SELECT vec_id AS code, sub, pos, fx AS cfx
+              FROM fx WHERE vec_id < 16),
+       dist AS (
+         SELECT f.vec_id, f.sub, c.code,
+           sum((f.fx - c.cfx) * (f.fx - c.cfx)) AS d2
+         FROM fx f JOIN cb c ON c.sub = f.sub AND c.pos = f.pos
+         GROUP BY 1, 2, 3),
+       best AS (
+         SELECT vec_id, sub, code, d2, row_number() OVER (
+           PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         FROM dist)
+       SELECT vec_id,
+         string_agg(CAST(code AS VARCHAR), '|' ORDER BY sub) AS pq,
+         CAST(sum(d2) AS BIGINT) AS d2_total
+       FROM best WHERE rn = 1 GROUP BY vec_id""") { (s, d) =>
+    import graft.functions.VectorSearch
+    val dir = scratch("pq_index")
+    val emb = Tables.embeddings(s, d)
+    val cb = VectorSearch.firstKPqCodebook(emb, m = 4, codesPerSub = 16)
+    def codeWords(df: DataFrame): DataFrame =
+      VectorSearch.pqAssignWith(df, cb)
+        .groupBy(col("vec_id"))
+        .agg(expr("""array_join(transform(array_sort(collect_list(
+               struct(sub, code))), x -> CAST(x.code AS STRING)), '|')""")
+            .as("pq"),
+          sum(col("d2")).as("d2_total"))
+    KeyedTable.create(codeWords(emb.where(col("vec_id") % 5 =!= 0)),
+      dir, "vec_id")
+    KeyedTable.upsert(s, dir,
+      codeWords(emb.where(col("vec_id") % 5 === 0)), "vec_id")
+    KeyedTable.read(s, dir)
+      .select(col("vec_id"), col("pq"), col("d2_total"))
+  }
+
   /** ORC write → read round trip (the second columnar format,
     * Inputs.orc/Outputs.orc): events' key columns survive the trip
     * bit-exactly and re-aggregate to what DuckDB computes from the
@@ -263,7 +311,7 @@ object StorageQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    upsertKeyed, sourceInMemory, sourceNone, sourceNdjsonRoundtrip,
-    sourceCsvRoundtrip, sourceOrcRoundtrip, sourceFileset, sourceZipLines,
-    scanPartitionedTable, joinBucketed)
+    upsertKeyed, pqIndexUpsert, sourceInMemory, sourceNone,
+    sourceNdjsonRoundtrip, sourceCsvRoundtrip, sourceOrcRoundtrip,
+    sourceFileset, sourceZipLines, scanPartitionedTable, joinBucketed)
 }
