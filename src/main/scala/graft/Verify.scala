@@ -43,13 +43,19 @@ object Verify {
     // Dynamic oracles (QueryDef.replayed): generated here, at verify
     // time, by an independent driver-side replay — the generator emits
     // a VALUES-literal SELECT that DuckDB runs like any static oracle.
+    // A generator failure must NOT silently degrade the query from
+    // verified to unchecked (a broken replay is exactly what the oracle
+    // guards): emit an oracle that cannot match the dumped result, so
+    // the driver's compare records a loud red row instead of a gap.
     val dynamic = graft.queries.Registry.all
       .filter(qd => only.forall(_.contains(qd.name)))
-      .flatMap(qd => qd.dynOracle.flatMap { gen =>
-        try Some(qd.name -> gen(spark, sfDir))
+      .flatMap(qd => qd.dynOracle.map { gen =>
+        try qd.name -> gen(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[verify] dyn oracle ${qd.name} failed: ${e.getMessage}")
-          None
+          qd.name -> ("SELECT 'dyn oracle generation FAILED: " +
+            String.valueOf(e.getMessage).replace("'", "''").take(200) +
+            "' AS dyn_oracle_error")
         }
       }).toMap
     val json = (SparkEntry.oracleSql

@@ -231,25 +231,37 @@ object TextDedup {
     * proportional to the near-dup rate (tiny for real corpora), so it
     * BROADCASTS into both verify joins: common counting is two
     * map-side joins over the shingle relation plus one small pair
-    * aggregate — no hot-set pass, no extra exchange of the corpus. A
-    * corpus with a massive dup rate would drop the hints and let AQE
-    * pick the join sides. */
+    * aggregate — no hot-set pass, no extra exchange of the corpus.
+    *
+    * The broadcast is GATED, not assumed: the candidate count is a
+    * data-dependent quantity (a pathological dup rate makes it
+    * corpus-sized), so the hints apply only while the materialized
+    * candidate set is at most `maxBroadcastCandidates` pairs — above
+    * that the same joins run un-hinted and AQE picks the sides. The
+    * count is free: `cand` is already eagerly checkpointed for reuse
+    * across the three joins. (The broadcast pair-shingle relation is
+    * candidates × shingles-per-doc; the pair gate bounds it within a
+    * document-length factor, the quantity the shingle contract already
+    * bounds.) */
   def lshVerifiedPairs(sh: DataFrame, numHashes: Int = 12, bands: Int = 4,
-      num: Int = 4, den: Int = 5): DataFrame = {
+      num: Int = 4, den: Int = 5,
+      maxBroadcastCandidates: Long = 100000L): DataFrame = {
     val cand = lshCandidatePairs(sh, numHashes, bands)
       .localCheckpoint(true)
+    val hint: DataFrame => DataFrame =
+      if (cand.count() <= maxBroadcastCandidates) broadcast else identity
     // shingles of each candidate pair's d1 side, tagged with the pair
-    val d1Shingles = sh.join(broadcast(cand), col("doc_id") === col("d1"))
+    val d1Shingles = sh.join(hint(cand), col("doc_id") === col("d1"))
       .select(col("d1"), col("d2"), col("s"))
     // matched against the d2 side's shingles: equi join on (doc, s)
-    val common = broadcast(d1Shingles)
+    val common = hint(d1Shingles)
       .join(sh.toDF("d2k", "s2"),
         col("d2") === col("d2k") && col("s2") === col("s"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
     // sizes only for docs that appear in a candidate pair
     val candDocs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2")))
-    val sz = sizes(sh.join(broadcast(candDocs), Seq("doc_id"), "leftsemi"))
+    val sz = sizes(sh.join(hint(candDocs), Seq("doc_id"), "leftsemi"))
     common
       .join(sz.toDF("n1k", "n1"), col("d1") === col("n1k"))
       .join(sz.toDF("n2k", "n2"), col("d2") === col("n2k"))
@@ -279,7 +291,8 @@ object TextDedup {
     *                 shingles still get a `new` row */
   def incrementalDedup(corpusSh: DataFrame, batchSh: DataFrame,
       batchIds: DataFrame, numHashes: Int = 12, bands: Int = 4,
-      num: Int = 4, den: Int = 5): DataFrame = {
+      num: Int = 4, den: Int = 5,
+      maxBroadcastCandidates: Long = 100000L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val cIdx = lshBands(minhashSignatures(corpusSh, numHashes), bands, rows)
@@ -294,14 +307,19 @@ object TextDedup {
         col("band") === col("band2") && col("sig") === col("sig2"))
       .select(col("bdoc"), col("cdoc")).distinct()
       .localCheckpoint(true)
+    // gated broadcast, same contract as lshVerifiedPairs: collisions
+    // are data-dependent, so the hints hold only while the candidate
+    // set is actually small; above the gate AQE picks the join sides
+    val hint: DataFrame => DataFrame =
+      if (cand.count() <= maxBroadcastCandidates) broadcast else identity
     // fetch-by-id: shingles only for docs appearing in a candidate pair
     val cSh = corpusSh.join(
-      broadcast(cand.select(col("cdoc").as("doc_id")).distinct()),
+      hint(cand.select(col("cdoc").as("doc_id")).distinct()),
       Seq("doc_id"), "leftsemi")
     val bShC = batchSh.join(
-      broadcast(cand.select(col("bdoc").as("doc_id")).distinct()),
+      hint(cand.select(col("bdoc").as("doc_id")).distinct()),
       Seq("doc_id"), "leftsemi")
-    val tagged = bShC.join(broadcast(cand), col("doc_id") === col("bdoc"))
+    val tagged = bShC.join(hint(cand), col("doc_id") === col("bdoc"))
       .select(col("bdoc"), col("cdoc"), col("s"))
     val common = tagged.join(cSh.toDF("ck", "s2"),
         col("cdoc") === col("ck") && col("s2") === col("s"))

@@ -556,32 +556,37 @@ object VectorSearch {
     val bc = sp.sparkContext.broadcast(cents)
     df.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .flatMap { case (id, emb) =>
+      // mapPartitions so the centroid-norm array is computed once per
+      // partition, not once per row (same hoist as trainKmeansCodebook
+      // and assignWithCodebook — O(k·d) per row saved)
+      .mapPartitions { rows =>
         val cb = bc.value
         val norms = cb.map { case (_, v) =>
           var acc = 0.0; var i = 0
           while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
           math.sqrt(acc)
         }
-        var na = 0.0
-        var i = 0
-        while (i < emb.length) { na += emb(i).toDouble * emb(i).toDouble; i += 1 }
-        na = math.sqrt(na)
-        // (sim, cid) for every centroid, then take the top nprobe by
-        // (sim desc, cid asc) — k is codebook-sized, a simple sort
-        val scored = new Array[(Double, Long)](cb.length)
-        var j = 0
-        while (j < cb.length) {
-          val (cid, cv) = cb(j)
-          var dot = 0.0; var p = 0
-          while (p < cv.length) { dot += emb(p).toDouble * cv(p).toDouble; p += 1 }
-          scored(j) = (dot / (na * norms(j)), cid)
-          j += 1
+        rows.flatMap { case (id, emb) =>
+          var na = 0.0
+          var i = 0
+          while (i < emb.length) { na += emb(i).toDouble * emb(i).toDouble; i += 1 }
+          na = math.sqrt(na)
+          // (sim, cid) for every centroid, then take the top nprobe by
+          // (sim desc, cid asc) — k is codebook-sized, a simple sort
+          val scored = new Array[(Double, Long)](cb.length)
+          var j = 0
+          while (j < cb.length) {
+            val (cid, cv) = cb(j)
+            var dot = 0.0; var p = 0
+            while (p < cv.length) { dot += emb(p).toDouble * cv(p).toDouble; p += 1 }
+            scored(j) = (dot / (na * norms(j)), cid)
+            j += 1
+          }
+          scored.sortBy { case (sim, cid) => (-sim, cid) }
+            .take(math.min(nprobe, scored.length))
+            .zipWithIndex
+            .map { case ((_, cid), rank) => (id, emb, cid, rank + 1) }
         }
-        scored.sortBy { case (sim, cid) => (-sim, cid) }
-          .take(math.min(nprobe, scored.length))
-          .zipWithIndex
-          .map { case ((_, cid), rank) => (id, emb, cid, rank + 1) }
       }.toDF("vec_id", "embedding", "cell", "prank")
   }
 
@@ -851,9 +856,21 @@ object VectorSearch {
         val best = Array.fill(nq)(Long.MaxValue)
         val bestId = Array.fill(nq)(Long.MaxValue)
         val word = new Array[Int](m)
+        val seen = new Array[Boolean](m)
         var got = 0
         var cur = Long.MinValue
-        def scoreWord(vid: Long): Unit = if (got == m) {
+        // The kernel's correctness rests on an input invariant: each
+        // vector's m code rows arrive ADJACENT within one partition,
+        // each sub exactly once (pqAssignWith emits them that way). A
+        // repartitioned/re-read/duplicated code relation would
+        // otherwise be scored from stale `word` slots or silently
+        // skipped — enforce, don't assume.
+        def scoreWord(vid: Long): Unit = {
+          if (got != m) throw new IllegalStateException(
+            s"pqAdcTop1: vector $vid ended its run with $got of $m code " +
+              "rows — the code relation must keep each vector's m rows " +
+              "adjacent in one partition with every sub present exactly " +
+              "once (was it repartitioned or partially written?)")
           var qi = 0
           while (qi < nq) {
             val (qid, ql) = lut(qi)
@@ -872,8 +889,14 @@ object VectorSearch {
           if (!started || vid != cur) {
             if (started) scoreWord(cur)
             started = true; cur = vid; got = 0
+            java.util.Arrays.fill(seen, false)
           }
-          word(sub.toInt) = idx(sub.toInt)(code)
+          val si = sub.toInt
+          if (seen(si)) throw new IllegalStateException(
+            s"pqAdcTop1: duplicate code row (vec_id=$vid, sub=$si) in one " +
+              "run — each (vec_id, sub) must appear exactly once")
+          seen(si) = true
+          word(si) = idx(si)(code)
           got += 1
         }
         if (started) scoreWord(cur)

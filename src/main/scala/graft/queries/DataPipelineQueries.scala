@@ -35,41 +35,41 @@ object DataPipelineQueries {
     graft.functions.TextDedup.withTokens(Tables.documents(s, d))
 
   /** The distinct shingle relation — the dedup FAMILY's shared scan,
-    * materialized ONCE per (session, dataset) as an eager
-    * localCheckpoint and memoized: every dedup consumer across the
-    * suite (jaccard verify, LSH, clusters, keep-best, incremental)
-    * branches from the same checkpointed blocks, so the
-    * tokenize+shingle pass over the corpus runs exactly once per suite
+    * memoized per (session, dataset) and `persist()`ed: every dedup
+    * consumer across the suite (jaccard verify, LSH, clusters,
+    * keep-best, incremental) branches from the same cached relation,
+    * so the tokenize+shingle pass over the corpus runs once per suite
     * run instead of once per query (at sf0.1 that pass dominated the
     * bench's five most expensive queries). Each query stays
     * independently correct — a cold session just computes it on first
     * use; this is a materialized intermediate, not cross-query result
-    * coupling. Eager (not lazy persist) because two branches racing
-    * the first materialization would double-compute. */
-  private case class SharedScan(df: DataFrame,
-      rddIds: scala.collection.Set[Int])
+    * coupling.
+    *
+    * `persist()`, NOT `localCheckpoint`: a checkpoint truncates
+    * lineage, so a harness that clears storage between timed runs
+    * (graft.Bench.resetStorage) or a memory-pressure eviction on a
+    * contended host kills the blocks with nothing to recompute from —
+    * every later read throws, unrecoverably (this was the one recorded
+    * failure in the round-5 driver bench). A persisted plan keeps its
+    * lineage: an evicted or unpersisted block silently recomputes from
+    * the parquet scan — worst case the shared pass re-runs, never a
+    * failure. If a storage reset dropped the cache entry entirely we
+    * re-register it at hand-out so within-query branch sharing (the
+    * dedup queries each read the relation 2-4×) is always in effect. */
   private val shingleCache =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String), SharedScan]
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
   private[queries] def checkpointedShingles(s: SparkSession, d: String): DataFrame =
     shingleCache.synchronized {
-      // liveness check: a memoized localCheckpoint is only reusable
-      // while its blocks are still registered — a harness that clears
-      // storage between timed runs (graft.Bench.resetStorage) would
-      // otherwise leave us handing out a DataFrame whose checkpoint
-      // blocks are gone (localCheckpoint has no lineage to recompute
-      // from — reading it throws)
-      val persisted = s.sparkContext.getPersistentRDDs.keySet
-      shingleCache.get((s, d))
-        .filter(e => e.rddIds.nonEmpty && e.rddIds.subsetOf(persisted))
-        .map(_.df)
-        .getOrElse {
-          val before = s.sparkContext.getPersistentRDDs.keySet
-          val df = graft.functions.TextDedup.shingles(Tables.documents(s, d))
-            .localCheckpoint(true)
-          val ids = s.sparkContext.getPersistentRDDs.keySet.diff(before)
-          shingleCache((s, d)) = SharedScan(df, ids)
-          df
-        }
+      // drop entries for stopped sessions: test suites create many
+      // sessions and the memo must not retain them (or their plans)
+      // past stop()
+      shingleCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped }
+      val df = shingleCache.getOrElseUpdate((s, d),
+        graft.functions.TextDedup.shingles(Tables.documents(s, d)))
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
     }
 
   /** Run `body` with a temporarily lowered shuffle-partition count —

@@ -114,7 +114,7 @@ object DataPipelineQueries2 {
            count(*) OVER (PARTITION BY cl.cluster_id) AS sz
          FROM cl JOIN documents d ON d.doc_id = cl.doc_id) t
        WHERE rn = 1""") { (s, d) =>
-    // the dedup family's shared shingle scan (memoized localCheckpoint)
+    // the dedup family's shared shingle scan (memoized persist)
     val sh = DataPipelineQueries.checkpointedShingles(s, d)
     val ed = TextDedup.jaccardPairs(sh, num = 4, den = 5)
       .select(col("d1").as("src"), col("d2").as("dst"))

@@ -79,6 +79,44 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("lshVerifiedPairs broadcast gate: the un-hinted fallback is " +
+      "result-identical and actually plans no broadcast of the candidates") {
+    val df = corpus(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      2L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 different",
+      4L -> "q1 q2 q3 q4 q5 q6 q7 q8")
+    val sh = TextDedup.shingles(df)
+    val hinted = TextDedup.lshVerifiedPairs(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // gate = 0 forces the fallback path: every candidate set exceeds it
+    val fallback = TextDedup.lshVerifiedPairs(sh, maxBroadcastCandidates = 0L)
+    assert(fallback.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === hinted)
+    // and the fallback plan carries no builder-forced broadcast hint
+    // (AQE may still legitimately choose a broadcast join on size)
+    val analyzed = fallback.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"fallback plan still carries a broadcast hint:\n$analyzed")
+  }
+
+  test("incrementalDedup broadcast gate: fallback is result-identical") {
+    val docs = corpus(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      3L -> "q1 q2 q3 q4 q5 q6 q7 q8",
+      2L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      8L -> "m1 m2 m3 m4 m5 m6 m7 m8")
+    val sh = TextDedup.shingles(docs)
+    val isBatch = col("doc_id") % 2 === 0
+    def run(gate: Long) = TextDedup.incrementalDedup(
+        corpusSh = sh.where(!isBatch),
+        batchSh = sh.where(isBatch),
+        batchIds = docs.where(isBatch).select(col("doc_id")),
+        maxBroadcastCandidates = gate)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(run(0L) === run(100000L))
+  }
+
   test("incrementalDedup labels batch docs against the corpus index") {
     import spark.implicits._
     // corpus: 1, 3; batch: 2 (dup of 1), 4 (dup of 6? no — unique),
