@@ -13,12 +13,17 @@ import java.security.MessageDigest
   * partition, the same contract as a Pandas-UDF `mapInPandas` batch).
   * The decode path is two-tier: formats the JVM ships a codec for
   * (PNG/BMP/GIF/JPEG via `javax.imageio` — pure JVM, no native deps)
-  * decode for REAL (`decodeImage`); bytes no registered reader accepts
-  * (this container has no audio/video codecs) fall back to the
+  * decode for REAL (`decodeImage`), and audio/video CONTAINER HEADERS
+  * that are pure-JVM-parseable (WAV/RIFF chunk lists, MP4/ISO-BMFF box
+  * trees — `decodeWav`/`decodeMp4`) parse for REAL metadata (codec,
+  * channels, sample rate, duration, track dimensions) without any
+  * native codec. Only bytes in no recognizable format fall back to the
   * clearly-marked deterministic STUB (`decodeStub`), which derives
   * fake-but-stable dimensions from the bytes so the distributed
-  * plumbing stays fully testable for every `kind`. Swapping in further
-  * codecs touches only the decode functions.
+  * plumbing stays fully testable for every `kind`. Sample-level
+  * audio/video decode (PCM frames, video rasters) would still need a
+  * codec library this container doesn't ship; swapping one in touches
+  * only the decode functions.
   */
 object Multimodal {
 
@@ -55,7 +60,14 @@ object Multimodal {
     * 100 MB image costs header bytes, not a decode — and the frame
     * count from the container (animated GIF > 1). Returns None when no
     * registered reader accepts the bytes; callers fall back to
-    * [[decodeStub]]. */
+    * [[decodeStub]].
+    *
+    * Failures are caught as NonFatal, not just IOException: ImageIO
+    * readers routinely throw RuntimeExceptions (IllegalArgument,
+    * IndexOutOfBounds, NegativeArraySize) on corrupt/truncated bytes
+    * whose magic number matched — exactly the adversarial inputs the
+    * two-tier fallback exists for, which must degrade to the stub, not
+    * kill the task. */
   def decodeImage(content: Array[Byte]): Option[(Int, Int, Int)] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(content))
@@ -71,18 +83,196 @@ object Multimodal {
           val h = r.getHeight(0)
           val frames =
             try math.max(1, r.getNumImages(true))
-            catch { case _: Exception => 1 }
+            catch { case scala.util.control.NonFatal(_) => 1 }
           Some((w, h, frames))
-        } catch { case _: java.io.IOException => None }
+        } catch { case scala.util.control.NonFatal(_) => None }
         finally r.dispose()
       }
     } finally iis.close()
   }
 
-  /** Two-tier decode: real codec when the JVM has one for these bytes,
-    * deterministic stub otherwise. */
+  /** Parsed audio/video container metadata — the REAL (pure-JVM,
+    * header-only) decode tier for media the container ships no codec
+    * for. `container` is "wav" | "mp4"; unknown bytes get None from
+    * the parsers and "unknown" from the extraction fallback. */
+  case class AvMeta(
+      id: Long,
+      kind: String,
+      container: String,
+      codec: String,        // WAV: fmt tag; MP4: ftyp major brand
+      channels: Int,        // audio only; 0 when n/a
+      sampleRate: Int,      // Hz; 0 when n/a
+      durationMs: Long,     // -1 when not derivable
+      width: Int,           // MP4 tkhd 16.16; 0 for audio
+      height: Int,
+      tracks: Int)          // MP4 trak count; 1 for WAV
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def be32(b: Array[Byte], o: Int): Long =
+    (b(o + 3) & 0xffL) | ((b(o + 2) & 0xffL) << 8) |
+      ((b(o + 1) & 0xffL) << 16) | ((b(o) & 0xffL) << 24)
+  private def be64(b: Array[Byte], o: Int): Long = (be32(b, o) << 32) | be32(b, o + 4)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** REAL WAV/RIFF header parse — pure JVM, no codec needed: walks the
+    * RIFF chunk list for `fmt ` (format tag, channels, sample rate,
+    * byte rate) and `data` (payload size → duration). Header-only:
+    * cost is the chunk walk, never the samples. None unless the bytes
+    * are a well-formed RIFF/WAVE with a complete fmt chunk. */
+  def decodeWav(b: Array[Byte]): Option[AvMeta] =
+    try {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        return None
+      var off = 12
+      var fmt: Option[(Int, Int, Long, Long)] = None
+      var dataLen = -1L
+      while (off + 8 <= b.length) {
+        val id = tag(b, off)
+        val size = le32(b, off + 4)
+        if (id == "fmt " && size >= 16 && off + 24 <= b.length)
+          fmt = Some((le16(b, off + 8), le16(b, off + 10),
+            le32(b, off + 12), le32(b, off + 16)))
+        else if (id == "data") dataLen = size
+        // chunks are word-aligned: odd sizes carry one pad byte
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+      fmt.map { case (fmtTag, ch, sr, byteRate) =>
+        val codec = fmtTag match {
+          case 1 => "pcm"
+          case 3 => "ieee_float"
+          case 6 => "alaw"
+          case 7 => "mulaw"
+          case t => s"fmt_$t"
+        }
+        val durMs =
+          if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else -1L
+        AvMeta(0L, "audio", "wav", codec, ch, sr.toInt, durMs, 0, 0, 1)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL MP4/ISO-BMFF box parse — pure JVM: top-level box walk
+    * requires an `ftyp` (major brand → codec field), then `moov` is
+    * walked for `mvhd` (timescale + duration → durationMs), the `trak`
+    * count, and each track's `tkhd` 16.16 fixed-point width/height
+    * (the video track carries the nonzero ones). Handles 64-bit
+    * largesize boxes. Header-only — `mdat` is skipped by size. */
+  def decodeMp4(b: Array[Byte]): Option[AvMeta] =
+    try {
+      // walk one box level: returns (type, payloadStart, payloadEnd)
+      def boxes(from: Int, until: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var off = from
+          def hasNext: Boolean = off + 8 <= until
+          def next(): (String, Int, Int) = {
+            val size32 = be32(b, off)
+            val t = tag(b, off + 4)
+            val (payload, end) =
+              if (size32 == 1 && off + 16 <= until)
+                (off + 16, off + be64(b, off + 8))
+              else if (size32 == 0) (off + 8, until.toLong) // to end of file
+              else (off + 8, off + size32)
+            val e = math.min(math.max(end, payload), until.toLong).toInt
+            off = math.max(e, payload) // always advance
+            (t, payload, e)
+          }
+        }
+      val top = boxes(0, b.length).toSeq
+      if (!top.exists(_._1 == "ftyp")) return None
+      val brand = top.find(_._1 == "ftyp")
+        .filter { case (_, p, e) => e - p >= 4 }
+        .map { case (_, p, _) => tag(b, p).trim }
+        .getOrElse("")
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      var durMs = -1L
+      var w = 0; var h = 0; var tracks = 0
+      boxes(moov._2, moov._3).foreach {
+        case ("mvhd", p, e) if e - p >= 20 =>
+          val v = b(p) & 0xff
+          val (ts, dur) =
+            if (v == 1 && e - p >= 32) (be32(b, p + 20), be64(b, p + 24))
+            else (be32(b, p + 12), be32(b, p + 16))
+          if (ts > 0) durMs = dur * 1000L / ts
+        case ("trak", p, e) =>
+          tracks += 1
+          boxes(p, e).foreach {
+            case ("tkhd", tp, te) =>
+              val v = b(tp) & 0xff
+              val dimOff = if (v == 1) 88 else 76 // matrix end, per spec
+              if (te - tp >= dimOff + 8) {
+                val tw = (be32(b, tp + dimOff) >> 16).toInt
+                val th = (be32(b, tp + dimOff + 4) >> 16).toInt
+                if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+      Some(AvMeta(0L, if (w > 0) "video" else "audio", "mp4", brand,
+        0, 0, durMs, w, h, tracks))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio/video container parse: WAV then MP4, None for neither. */
+  def decodeAv(content: Array[Byte]): Option[AvMeta] =
+    decodeWav(content).orElse(decodeMp4(content))
+
+  /** Deterministic REAL-format fixture: a canonical 44-byte PCM
+    * WAV/RIFF header plus `dataLen` zero payload bytes. Parsing it
+    * with [[decodeWav]] recovers exactly the parameters — which is
+    * what makes the parser oracle-checkable end-to-end (the oracle
+    * recomputes the expected metadata arithmetically). */
+  def synthWav(channels: Int, sampleRate: Int, dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  /** Deterministic REAL-format fixture: a minimal valid MP4 —
+    * ftyp(isom) + moov(mvhd v0 + trak(tkhd v0 with 16.16 w×h)). */
+  def synthMp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 216)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(size: Int, t: String): Unit = {
+      bb.putInt(size); bb.put(t.getBytes("US-ASCII"))
+    }
+    box(16, "ftyp")
+    bb.put("isom".getBytes("US-ASCII")).putInt(0)
+    box(216, "moov")
+    box(108, "mvhd") // v0: 100-byte payload
+    bb.putInt(0).putInt(0).putInt(0)
+      .putInt(timescale).putInt(duration)
+      .putInt(0x00010000).putShort(0x0100.toShort)
+    bb.position(bb.position() + 10 + 36 + 24)
+    bb.putInt(2)
+    box(100, "trak")
+    box(92, "tkhd") // v0: 84-byte payload
+    bb.putInt(0).putInt(0).putInt(0).putInt(1)
+      .putInt(0).putInt(duration)
+    bb.position(bb.position() + 8 + 2 + 2 + 2 + 2 + 36)
+    bb.putInt(w << 16).putInt(h << 16)
+    bb.array()
+  }
+
+  /** Two-tier decode: real codec when the JVM has one for these bytes
+    * (images) or the container header is pure-JVM-parseable (WAV/MP4 —
+    * width/height from the tkhd, frames stay 1), deterministic stub
+    * otherwise. */
   def decode(content: Array[Byte]): (Int, Int, Int) =
-    decodeImage(content).getOrElse(decodeStub(content))
+    decodeImage(content)
+      .orElse(decodeAv(content).map(m => (m.width, m.height, 1)))
+      .getOrElse(decodeStub(content))
 
   private def sha256Hex(bytes: Array[Byte]): String = {
     val d = MessageDigest.getInstance("SHA-256").digest(bytes)
@@ -102,6 +292,26 @@ object Multimodal {
         val (w, h, f) = decode(r.content)
         MediaFeatures(r.id, r.kind, r.content.length,
           sha256Hex(r.content), w, h, f)
+      }
+    }
+  }
+
+  /** Partition-batched audio/video metadata extraction — the same
+    * distributed shape as [[extractFeatures]], but through the REAL
+    * container parsers: WAV and MP4 headers parse for codec, channels,
+    * sample rate, duration, and track dimensions; bytes in neither
+    * container degrade to a deterministic "unknown" row (stub
+    * dimensions), never a task failure. */
+  def extractAvMeta(ds: Dataset[MediaRecord]): Dataset[AvMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        decodeAv(r.content) match {
+          case Some(m) => m.copy(id = r.id, kind = r.kind)
+          case None =>
+            val (w, h, _) = decodeStub(r.content)
+            AvMeta(r.id, r.kind, "unknown", "", 0, 0, -1L, w, h, 0)
+        }
       }
     }
   }
@@ -131,7 +341,9 @@ object Multimodal {
     val img =
       try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(content)))
-      catch { case _: java.io.IOException => None }
+      // NonFatal, not IOException: corrupt bytes whose magic matched a
+      // reader throw RuntimeExceptions — fall back, don't kill the task
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { src =>
       val out = new java.awt.image.BufferedImage(
         targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -832,6 +832,63 @@ object DataPipelineQueries {
       (expr("octet_length(text) div 7") % 480).as("height"))
   }
 
+  /** REAL audio/video container parsing, oracle-checked end-to-end:
+    * every document synthesizes a deterministic REAL media file from
+    * its own fields — even doc_ids a canonical PCM WAV whose header
+    * encodes (channels, sample rate, data size), odd ones a minimal
+    * valid MP4 (ftyp + moov/mvhd/trak/tkhd) — the distributed parser
+    * (Multimodal.extractAvMeta: RIFF chunk walk, ISO-BMFF box walk)
+    * recovers the metadata, and the oracle recomputes what a correct
+    * parse MUST yield arithmetically from the same fields (duration =
+    * data bytes over byte rate, etc.). A parser bug in byte order,
+    * offsets, or chunk advance breaks the hash match. */
+  val multimodalAvMeta = sql("multimodal_av_meta",
+    """SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+       CASE WHEN doc_id % 2 = 0 THEN 'pcm' ELSE 'isom' END AS codec,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
+            ELSE 0 END AS INT) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 1000
+            ELSE 0 END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN (n_chars * 4 * 1000) // ((8000 + (doc_id % 8) * 1000)
+                 * (1 + (doc_id // 2) % 2) * 2)
+            ELSE n_chars * 3 END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+            ELSE 160 + (doc_id % 16) * 8 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+            ELSE 90 + (doc_id % 9) * 8 END AS INT) AS height,
+       CAST(1 AS INT) AS tracks
+       FROM documents""") { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    val recs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        val bytes =
+          if (id % 2 == 0)
+            Multimodal.synthWav(
+              channels = (1 + (id / 2) % 2).toInt,
+              sampleRate = (8000 + (id % 8) * 1000).toInt,
+              dataLen = (nc * 4).toInt)
+          else
+            Multimodal.synthMp4(
+              timescale = 1000, duration = (nc * 3).toInt,
+              w = (160 + (id % 16) * 8).toInt,
+              h = (90 + (id % 9) * 8).toInt)
+        Multimodal.MediaRecord(id,
+          if (id % 2 == 0) "audio" else "video", bytes, 0, 0)
+      })
+    Multimodal.extractAvMeta(recs).toDF()
+      .select(col("id").as("doc_id"), col("kind"), col("container"),
+        col("codec"), col("channels"),
+        col("sampleRate").as("sample_rate"),
+        col("durationMs").as("duration_ms"),
+        col("width"), col("height"), col("tracks"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupJaccardStoplist,
     dedupMinhashLsh, dedupIncremental,
@@ -840,5 +897,5 @@ object DataPipelineQueries {
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
     textRepetition, textNormalize, decontaminate, decontaminateBloom,
     sampleHash, sampleSplit, sampleStratified, textEditDistance,
-    multimodalFeatures)
+    multimodalFeatures, multimodalAvMeta)
 }

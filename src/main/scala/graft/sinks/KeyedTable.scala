@@ -28,6 +28,59 @@ object KeyedTable {
   private def bucket(keyCol: String, numBuckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
 
+  /** Single-writer enforcement. The merge-into protocol reads the
+    * touched buckets and rewrites them under a dynamic-partition
+    * overwrite; two writers interleaving those phases would silently
+    * lose one writer's rows (read-modify-write with no isolation — the
+    * reference got transactional batching from the Datastore itself,
+    * `outputs/DatastoreOutput.java:1-50`). Full snapshot isolation
+    * needs a table format; what this guard promises is strictly less
+    * but loud: a second concurrent writer FAILS with a clear error
+    * instead of corrupting the table. The lock is an atomically-created
+    * marker file (`FileSystem.createNewFile` — atomic on HDFS and
+    * local FS alike) holding writer/host/time for diagnosis; a crashed
+    * writer leaves a stale lock that must be cleared explicitly with
+    * [[clearLock]] — failing closed is the point. */
+  private def withTableLock[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val created =
+      try fs.createNewFile(path)
+      catch { case _: java.io.IOException => false }
+    if (!created) {
+      val holder =
+        try {
+          val in = fs.open(path)
+          try {
+            val buf = new Array[Byte](256)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0), "UTF-8")
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+      throw new IllegalStateException(
+        s"KeyedTable at $dir is locked by another writer [$holder] — " +
+          "concurrent upserts are not isolated and would corrupt the " +
+          "table; wait for the writer, or clearLock() if it crashed")
+    }
+    try {
+      val out = fs.create(path, true)
+      try out.write(
+        s"pid=${ProcessHandle.current().pid()} host=${
+          java.net.InetAddress.getLocalHost.getHostName} t=${
+          System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
+      body
+    } finally fs.delete(path, false)
+  }
+
+  /** Remove a stale writer lock left by a crashed writer. Only safe
+    * once the operator has confirmed no writer is alive. */
+  def clearLock(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, false)
+  }
+
   /** Create (or replace) the bucketed table from a full snapshot. */
   def create(df: DataFrame, dir: String, keyCol: String,
       numBuckets: Int = 16): Unit =
@@ -50,7 +103,7 @@ object KeyedTable {
     * merged rows are checkpointed before the dynamic-partition
     * overwrite so no task reads a file the commit is about to replace. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCol: String, numBuckets: Int = 16): Unit = {
+      keyCol: String, numBuckets: Int = 16): Unit = withTableLock(spark, dir) {
     val up = updates.withColumn("__bucket", bucket(keyCol, numBuckets))
       .localCheckpoint(true)
     val touched = up.select("__bucket").distinct()

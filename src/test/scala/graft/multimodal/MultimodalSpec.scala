@@ -105,6 +105,98 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(out(0).content) === Some((16, 16, 1)))
   }
 
+  /** A real canonical 44-byte PCM WAV header + payload. */
+  private def makeWav(channels: Int, sampleRate: Int,
+      dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                      // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(byteRate)
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16)                     // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  /** A minimal real MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+  private def makeMp4(timescale: Int, duration: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 216)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(size: Int, t: String): Unit = {
+      bb.putInt(size); bb.put(t.getBytes("US-ASCII"))
+    }
+    box(16, "ftyp")
+    bb.put("isom".getBytes("US-ASCII")).putInt(0)    // brand, minor
+    box(216, "moov")
+    box(108, "mvhd")                                 // v0: 100-byte payload
+    bb.putInt(0)                                     // version+flags
+      .putInt(0).putInt(0)                           // creation, modification
+      .putInt(timescale).putInt(duration)
+      .putInt(0x00010000).putShort(0x0100.toShort)   // rate, volume
+    bb.position(bb.position() + 10 + 36 + 24)        // reserved, matrix, predefined
+    bb.putInt(2)                                     // next track id
+    box(100, "trak")
+    box(92, "tkhd")                                  // v0: 84-byte payload
+    bb.putInt(0)                                     // version+flags
+      .putInt(0).putInt(0).putInt(1)                 // creation, mod, track id
+      .putInt(0).putInt(duration)                    // reserved, duration
+    bb.position(bb.position() + 8 + 2 + 2 + 2 + 2 + 36) // reserved..matrix
+    bb.putInt(w << 16).putInt(h << 16)               // 16.16 fixed
+    bb.array()
+  }
+
+  test("REAL container parse: WAV and MP4 headers through the " +
+      "distributed path; garbage degrades to unknown") {
+    import spark.implicits._
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "audio", makeWav(2, 44100, 176400), 0, 0),
+      Multimodal.MediaRecord(2L, "video", makeMp4(600, 1200, 320, 240), 0, 0),
+      Multimodal.MediaRecord(3L, "audio",
+        "not a media container".getBytes("UTF-8"), 0, 0))
+    val metas = Multimodal.extractAvMeta(
+        spark.createDataset(recs).repartition(3))
+      .collect().map(m => m.id -> m).toMap
+    val wav = metas(1L)
+    assert(wav.container === "wav" && wav.codec === "pcm")
+    assert(wav.channels === 2 && wav.sampleRate === 44100)
+    // 176400 data bytes / (44100*2*2 B/s) = 1.000 s
+    assert(wav.durationMs === 1000L && wav.tracks === 1)
+    val mp4 = metas(2L)
+    assert(mp4.container === "mp4" && mp4.codec === "isom")
+    // 1200 ticks / 600 ticks-per-s = 2.000 s
+    assert(mp4.durationMs === 2000L)
+    assert((mp4.width, mp4.height, mp4.tracks) === (320, 240, 1))
+    assert(metas(3L).container === "unknown" && metas(3L).durationMs === -1L)
+    // the two-tier triple decode picks up real MP4 dimensions too
+    assert(Multimodal.decode(makeMp4(600, 1200, 320, 240)) === ((320, 240, 1)))
+  }
+
+  test("corrupt/truncated bytes never kill the decode: fall back, not throw") {
+    val png = makeImage(20, 20, "png")
+    // truncations at every prefix length must degrade silently (the
+    // magic still matches a reader for >=8 bytes — the reader then
+    // throws on the missing body, which must be swallowed)
+    (0 until png.length by 7).foreach { n =>
+      val cut = java.util.Arrays.copyOf(png, n)
+      Multimodal.decode(cut)       // must not throw
+      Multimodal.resizeImage(cut, 8, 8)  // must not throw
+    }
+    // same for the container parsers: truncated WAV/MP4 headers
+    val wav = makeWav(2, 8000, 64)
+    val mp4 = makeMp4(600, 600, 64, 64)
+    (0 until 44).foreach { n =>
+      Multimodal.decodeWav(java.util.Arrays.copyOf(wav, n))
+      Multimodal.decodeMp4(java.util.Arrays.copyOf(mp4, n))
+    }
+  }
+
   test("sha256 matches Spark's own sha2 over the same bytes") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")

@@ -374,6 +374,35 @@ class PlanSpec extends AnyFunSuite {
       s"cartesian joins found in: ${offenders.mkString(", ")}")
   }
 
+  test("exactly three queries may plan an unpartitioned window — all " +
+      "bounded-cardinality inputs; a fourth is a scale regression") {
+    // A Window with an empty partitionSpec forces every row through ONE
+    // task — the canonical does-not-survive-100× shape. Three uses are
+    // deliberate because their inputs are bounded far below corpus
+    // scale, and this sweep is the line that keeps a corpus-scale one
+    // from hiding behind the same WindowExec warning:
+    //   compaction_plan — file-LISTING running sum (metadata scale)
+    //   global_sort     — 25-row nation dimension
+    //   length_band     — length-histogram cumsum (distinct lengths)
+    val allowed = Set("compaction_plan", "global_sort", "length_band")
+    val skip = Set("bpe_vocab_merges", "bpe_tokenize", "corpus_shuffle") ++
+      Registry.queries.keys.filter(_.startsWith("stream_"))
+    val offenders = Registry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip.contains(n) }
+      .filter { case (name, fn) =>
+        fn(spark, d).queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+      }.map(_._1).toSet
+    assert(offenders === allowed,
+      s"unpartitioned-window queries changed: unexpected=" +
+        s"${(offenders -- allowed).mkString(",")} missing=" +
+        s"${(allowed -- offenders).mkString(",")}")
+  }
+
   test("zorder_layout: no global window; layout exchange is a PARALLEL " +
       "range partitioning (never single-partition)") {
     val p = plan("zorder_layout")

@@ -68,6 +68,46 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(bucketFiles(before) !== bucketFiles(after))
   }
 
+  test("a second concurrent writer fails loudly instead of corrupting") {
+    val dir = freshDir()
+    KeyedTable.create(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k")
+    // simulate a writer mid-flight: its lock marker is present
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, false)
+    out.write("pid=999 host=other t=0".getBytes("UTF-8")); out.close()
+    val before = contents(dir)
+    val e = intercept[IllegalStateException] {
+      KeyedTable.upsert(spark, dir, Seq((1L, "CLOBBER")).toDF("k", "v"), "k")
+    }
+    assert(e.getMessage.contains("locked by another writer"))
+    assert(e.getMessage.contains("pid=999"), "lock holder surfaces in the error")
+    assert(contents(dir) === before, "failed writer must not touch the table")
+    // after the stale lock is cleared, writes proceed (and the reader
+    // never tripped on the marker file: '_'-prefixed files are hidden)
+    KeyedTable.clearLock(spark, dir)
+    KeyedTable.upsert(spark, dir, Seq((1L, "OK")).toDF("k", "v"), "k")
+    assert(contents(dir)(1L) === "OK")
+    assert(!fs.exists(lock), "lock released after a successful upsert")
+  }
+
+  test("the lock is released when the upsert body fails") {
+    val dir = freshDir()
+    KeyedTable.create(Seq((1L, "v1")).toDF("k", "v"), dir, "k")
+    // mismatched schema makes the merge fail after the lock is taken
+    intercept[Throwable] {
+      KeyedTable.upsert(spark, dir,
+        Seq((2L, "x", 1)).toDF("k", "v", "extra"), "k")
+    }
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lock), "a failed writer must not leave the table locked")
+    // and the table still accepts the next writer
+    KeyedTable.upsert(spark, dir, Seq((2L, "v2")).toDF("k", "v"), "k")
+    assert(contents(dir) === Map(1L -> "v1", 2L -> "v2"))
+  }
+
   test("upsert reads only the touched buckets (partition pruning)") {
     val dir = freshDir()
     KeyedTable.create(
