@@ -385,6 +385,43 @@ object ScaleCheck {
       graft.functions.Bpe.trainMerges(spark, words, numMerges = 8).size.toLong
     }
 
+    // The fixed-cost question one decade further out (r5 verdict #7):
+    // at sf0.1 the CC loop's wall time is dominated by per-round JOB
+    // cost (scheduling + a handful of tasks), which at a real scale
+    // factor amortizes — what must NOT grow with the corpus is the
+    // ROUND COUNT. Dedup graphs keep constant diameter as the corpus
+    // grows (near-dup clusters are local), so propagation rounds must
+    // stay flat while edges grow 10×/100×; a chain graph's diameter
+    // grows linearly, so star-contraction rounds must grow ~log n.
+    // These probes synthesize exactly those two shapes and report the
+    // executed round count alongside wall time.
+    time("cc_rounds_propagation") {
+      // copies × 30k disjoint 4-node paths (diameter 3) — the dup-graph
+      // shape at growing corpus size; rounds must NOT grow with copies
+      val n = 30000L * copies
+      val base = spark.range(n)
+      val ed = base.select((col("id") * 4).as("src"), (col("id") * 4 + 1).as("dst"))
+        .union(base.select((col("id") * 4 + 1).as("src"), (col("id") * 4 + 2).as("dst")))
+        .union(base.select((col("id") * 4 + 2).as("src"), (col("id") * 4 + 3).as("dst")))
+      val (labels, rounds) =
+        graft.functions.ConnectedComponents.runWithRounds(spark, ed)
+      val c = labels.count()
+      System.err.println(s"[scale] cc_rounds_propagation rounds=$rounds components=$n")
+      c
+    }
+    time("cc_rounds_star") {
+      // ONE chain of 10k × copies nodes: linear diameter — propagation
+      // would need O(n) rounds; star contraction must stay ~log n
+      val len = 10000L * copies
+      val ed = spark.range(len - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val (labels, rounds) =
+        graft.functions.ConnectedComponents.runStarWithRounds(spark, ed)
+      val c = labels.count()
+      System.err.println(s"[scale] cc_rounds_star rounds=$rounds chain=$len")
+      c
+    }
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","copies":$copies,"unit":"sec","ops":$qs,"sf":"$sfDir"}""")

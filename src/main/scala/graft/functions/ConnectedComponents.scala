@@ -25,7 +25,14 @@ object ConnectedComponents {
     *              nodes (no edges) are absent from the result, as they
     *              are from the input.
     * @return (`node`, `label`) where label = min node id reachable. */
-  def run(spark: SparkSession, edges: DataFrame): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame): DataFrame =
+    runWithRounds(spark, edges)._1
+
+  /** [[run]] plus the number of propagation rounds executed (including
+    * the final confirmation round) — exposed so scale probes can show
+    * that ROUNDS, not per-round cost, is the scaling term for the
+    * constant-diameter graphs dedup produces. */
+  def runWithRounds(spark: SparkSession, edges: DataFrame): (DataFrame, Int) = {
     val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
@@ -42,7 +49,9 @@ object ConnectedComponents {
     // 100 TB id space would accumulate the convergence sum as decimal.
     var prevSum = Option.empty[Long]
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val prop = labels.join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
       // localCheckpoint (not persist): persist caches DATA but the
@@ -64,7 +73,7 @@ object ConnectedComponents {
       labels = next
     }
     ed.unpersist(blocking = false)
-    labels
+    (labels, rounds)
   }
 
   /** Alternating large-star/small-star contraction (Kiveris et al.,

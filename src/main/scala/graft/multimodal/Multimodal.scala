@@ -105,7 +105,9 @@ object Multimodal {
       durationMs: Long,     // -1 when not derivable
       width: Int,           // MP4 tkhd 16.16; 0 for audio
       height: Int,
-      tracks: Int)          // MP4 trak count; 1 for WAV
+      tracks: Int,          // MP4 trak count; 1 for WAV
+      samples: Int)         // WAV: data/blockAlign (PCM frames);
+                            // MP4: Σ stsz sample counts; 0 if absent
 
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -129,19 +131,19 @@ object Multimodal {
       if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
         return None
       var off = 12
-      var fmt: Option[(Int, Int, Long, Long)] = None
+      var fmt: Option[(Int, Int, Long, Long, Int)] = None
       var dataLen = -1L
       while (off + 8 <= b.length) {
         val id = tag(b, off)
         val size = le32(b, off + 4)
         if (id == "fmt " && size >= 16 && off + 24 <= b.length)
           fmt = Some((le16(b, off + 8), le16(b, off + 10),
-            le32(b, off + 12), le32(b, off + 16)))
+            le32(b, off + 12), le32(b, off + 16), le16(b, off + 20)))
         else if (id == "data") dataLen = size
         // chunks are word-aligned: odd sizes carry one pad byte
         off += 8 + size.toInt + (size.toInt & 1)
       }
-      fmt.map { case (fmtTag, ch, sr, byteRate) =>
+      fmt.map { case (fmtTag, ch, sr, byteRate, blockAlign) =>
         val codec = fmtTag match {
           case 1 => "pcm"
           case 3 => "ieee_float"
@@ -151,7 +153,9 @@ object Multimodal {
         }
         val durMs =
           if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else -1L
-        AvMeta(0L, "audio", "wav", codec, ch, sr.toInt, durMs, 0, 0, 1)
+        val samples =
+          if (blockAlign > 0 && dataLen >= 0) (dataLen / blockAlign).toInt else 0
+        AvMeta(0L, "audio", "wav", codec, ch, sr.toInt, durMs, 0, 0, 1, samples)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -189,7 +193,10 @@ object Multimodal {
         .getOrElse("")
       val moov = top.find(_._1 == "moov").getOrElse(return None)
       var durMs = -1L
-      var w = 0; var h = 0; var tracks = 0
+      var w = 0; var h = 0; var tracks = 0; var samples = 0L
+      // descend one named level: the child boxes of the first `t` box
+      def child(p: Int, e: Int, t: String): Option[(Int, Int)] =
+        boxes(p, e).collectFirst { case (`t`, cp, ce) => (cp, ce) }
       boxes(moov._2, moov._3).foreach {
         case ("mvhd", p, e) if e - p >= 20 =>
           val v = b(p) & 0xff
@@ -208,12 +215,23 @@ object Multimodal {
                 val th = (be32(b, tp + dimOff + 4) >> 16).toInt
                 if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
               }
+            case ("mdia", mp, me) =>
+              // sample table: mdia/minf/stbl/stsz carries the track's
+              // sample COUNT at payload offset 8 (after version/flags
+              // and the fixed-size field) — the real frame count
+              for {
+                (ip, ie) <- child(mp, me, "minf")
+                (sp, se) <- child(ip, ie, "stbl")
+                (zp, ze) <- child(sp, se, "stsz")
+                if ze - zp >= 12
+              } samples += be32(b, zp + 8)
             case _ =>
           }
         case _ =>
       }
       Some(AvMeta(0L, if (w > 0) "video" else "audio", "mp4", brand,
-        0, 0, durMs, w, h, tracks))
+        0, 0, durMs, w, h, tracks,
+        math.min(samples, Int.MaxValue.toLong).toInt))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Audio/video container parse: WAV then MP4, None for neither. */
@@ -240,38 +258,46 @@ object Multimodal {
   }
 
   /** Deterministic REAL-format fixture: a minimal valid MP4 —
-    * ftyp(isom) + moov(mvhd v0 + trak(tkhd v0 with 16.16 w×h)). */
-  def synthMp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(16 + 216)
+    * ftyp(isom) + moov(mvhd v0 + trak(tkhd v0 with 16.16 w×h +
+    * mdia/minf/stbl/stsz with `samples` sample entries declared)). */
+  def synthMp4(timescale: Int, duration: Int, w: Int, h: Int,
+      samples: Int = 0): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 260)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     def box(size: Int, t: String): Unit = {
       bb.putInt(size); bb.put(t.getBytes("US-ASCII"))
     }
     box(16, "ftyp")
     bb.put("isom".getBytes("US-ASCII")).putInt(0)
-    box(216, "moov")
+    box(260, "moov")
     box(108, "mvhd") // v0: 100-byte payload
     bb.putInt(0).putInt(0).putInt(0)
       .putInt(timescale).putInt(duration)
       .putInt(0x00010000).putShort(0x0100.toShort)
     bb.position(bb.position() + 10 + 36 + 24)
     bb.putInt(2)
-    box(100, "trak")
+    box(144, "trak")
     box(92, "tkhd") // v0: 84-byte payload
     bb.putInt(0).putInt(0).putInt(0).putInt(1)
       .putInt(0).putInt(duration)
     bb.position(bb.position() + 8 + 2 + 2 + 2 + 2 + 36)
     bb.putInt(w << 16).putInt(h << 16)
+    box(44, "mdia")
+    box(36, "minf")
+    box(28, "stbl")
+    box(20, "stsz") // version/flags, sample_size(0 = per-sample), count
+    bb.putInt(0).putInt(0).putInt(samples)
     bb.array()
   }
 
   /** Two-tier decode: real codec when the JVM has one for these bytes
     * (images) or the container header is pure-JVM-parseable (WAV/MP4 —
-    * width/height from the tkhd, frames stay 1), deterministic stub
-    * otherwise. */
+    * width/height from the tkhd, frames from the sample table / data
+    * chunk), deterministic stub otherwise. */
   def decode(content: Array[Byte]): (Int, Int, Int) =
     decodeImage(content)
-      .orElse(decodeAv(content).map(m => (m.width, m.height, 1)))
+      .orElse(decodeAv(content).map(m =>
+        (m.width, m.height, math.max(1, m.samples))))
       .getOrElse(decodeStub(content))
 
   private def sha256Hex(bytes: Array[Byte]): String = {
@@ -310,7 +336,7 @@ object Multimodal {
           case Some(m) => m.copy(id = r.id, kind = r.kind)
           case None =>
             val (w, h, _) = decodeStub(r.content)
-            AvMeta(r.id, r.kind, "unknown", "", 0, 0, -1L, w, h, 0)
+            AvMeta(r.id, r.kind, "unknown", "", 0, 0, -1L, w, h, 0, 0)
         }
       }
     }

@@ -859,7 +859,10 @@ object DataPipelineQueries {
             ELSE 160 + (doc_id % 16) * 8 END AS INT) AS width,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 0
             ELSE 90 + (doc_id % 9) * 8 END AS INT) AS height,
-       CAST(1 AS INT) AS tracks
+       CAST(1 AS INT) AS tracks,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN (n_chars * 4) // ((1 + (doc_id // 2) % 2) * 2)
+            ELSE n_chars END AS INT) AS samples
        FROM documents""") { (s, d) =>
     import s.implicits._
     import graft.multimodal.Multimodal
@@ -877,7 +880,8 @@ object DataPipelineQueries {
             Multimodal.synthMp4(
               timescale = 1000, duration = (nc * 3).toInt,
               w = (160 + (id % 16) * 8).toInt,
-              h = (90 + (id % 9) * 8).toInt)
+              h = (90 + (id % 9) * 8).toInt,
+              samples = nc.toInt)
         Multimodal.MediaRecord(id,
           if (id % 2 == 0) "audio" else "video", bytes, 0, 0)
       })
@@ -886,7 +890,7 @@ object DataPipelineQueries {
         col("codec"), col("channels"),
         col("sampleRate").as("sample_rate"),
         col("durationMs").as("duration_ms"),
-        col("width"), col("height"), col("tracks"))
+        col("width"), col("height"), col("tracks"), col("samples"))
   }
 
   val all: Seq[QueryDef] = Seq(

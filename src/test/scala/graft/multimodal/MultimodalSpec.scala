@@ -168,14 +168,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav.channels === 2 && wav.sampleRate === 44100)
     // 176400 data bytes / (44100*2*2 B/s) = 1.000 s
     assert(wav.durationMs === 1000L && wav.tracks === 1)
+    // 176400 data bytes / 4-byte blocks = 44100 PCM frames
+    assert(wav.samples === 44100)
     val mp4 = metas(2L)
     assert(mp4.container === "mp4" && mp4.codec === "isom")
     // 1200 ticks / 600 ticks-per-s = 2.000 s
     assert(mp4.durationMs === 2000L)
     assert((mp4.width, mp4.height, mp4.tracks) === (320, 240, 1))
+    // this hand-rolled MP4 carries no sample table → 0, not a guess
+    assert(mp4.samples === 0)
     assert(metas(3L).container === "unknown" && metas(3L).durationMs === -1L)
     // the two-tier triple decode picks up real MP4 dimensions too
     assert(Multimodal.decode(makeMp4(600, 1200, 320, 240)) === ((320, 240, 1)))
+    // stsz sample counts parse through the full mdia/minf/stbl descent
+    val withStsz = Multimodal.synthMp4(600, 1200, 64, 48, samples = 77)
+    assert(Multimodal.decodeMp4(withStsz).get.samples === 77)
+    assert(Multimodal.decode(withStsz) === ((64, 48, 77)))
   }
 
   test("corrupt/truncated bytes never kill the decode: fall back, not throw") {
