@@ -464,8 +464,84 @@ object DataPipelineQueries2 {
     VectorSearch.pqAdcTop1(emb.where(col("vec_id") % 5 === 0), codes, cb)
   }
 
+  /** ANN index-quality measurement — recall@1 of the IVF index against
+    * the exact brute-force answer, per nprobe — the acceptance check a
+    * production pipeline runs before deploying an index (and the
+    * monotone recall-vs-cost curve the nprobe knob exists for). All
+    * counts are integers (no float recall division), so the row is
+    * hash-exact. At 100 TB the brute side runs over a SAMPLE of probes
+    * (the maxCandidates-capped kernel); recall estimation needs only a
+    * sample — here the corpus is check-sized and the bound admits it
+    * whole. The oracle replays probing, home cells, both top-1s, and
+    * the match counts in SQL. */
+  val annIvfRecall = sql("ann_ivf_recall",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+             FROM n WHERE vec_id < 8),
+       scored AS (
+         SELECT a.vec_id, a.embedding, a.nrm, c.cid,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             (list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+              / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+         FROM n a CROSS JOIN c),
+       brute AS (
+         SELECT vec_id, neighbor_id FROM (
+           SELECT a.vec_id, b.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               (list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+                / (a.nrm * b.nrm)) DESC, b.vec_id) AS rn
+           FROM n a JOIN n b ON a.vec_id <> b.vec_id) t WHERE rn = 1),
+       probes AS (SELECT 1 AS nprobe UNION ALL SELECT 2),
+       ivf AS (
+         SELECT pr.nprobe, a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY pr.nprobe, a.vec_id ORDER BY
+             (list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+              / (a.nrm * b.nrm)) DESC, b.vec_id) AS rn
+         FROM probes pr
+         JOIN scored a ON a.rn <= pr.nprobe
+         JOIN (SELECT * FROM scored WHERE rn = 1) b
+           ON b.cid = a.cid AND a.vec_id <> b.vec_id),
+       top AS (SELECT nprobe, vec_id, neighbor_id FROM ivf WHERE rn = 1)
+       SELECT CAST(pr.nprobe AS BIGINT) AS nprobe,
+         CAST(count(b.vec_id) AS BIGINT) AS n_vectors,
+         CAST(count(t.neighbor_id) AS BIGINT) AS n_found,
+         CAST(sum(CASE WHEN t.neighbor_id = b.neighbor_id
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       FROM probes pr
+       CROSS JOIN brute b
+       LEFT JOIN top t ON t.nprobe = pr.nprobe AND t.vec_id = b.vec_id
+       GROUP BY pr.nprobe""") { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val brute = VectorSearch.bruteForceCosineTop1(emb, emb)
+      .select(col("vec_id"), col("neighbor_id").as("bn"))
+    val ivf = Seq(1, 2).map { np =>
+      VectorSearch.ivfCosineTopK(emb, k = 1, numCentroids = 8, nprobe = np)
+        .where(col("rank") === 1)
+        .select(lit(np.toLong).as("nprobe"), col("vec_id"),
+          col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    Seq(1L, 2L).toDF("nprobe").crossJoin(brute)
+      .join(ivf, Seq("nprobe", "vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(col("vec_id")).as("n_vectors"),
+        count(col("neighbor_id")).as("n_found"),
+        sum(when(col("neighbor_id") === col("bn"), 1L).otherwise(0L))
+          .as("n_correct"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qualityFunnel, dedupKeepBest, annIvfTop1, annIvfTrainedTop1,
     annIvfTopK, annIvfSearch, embQuantize, embPqCodes, embPqTrainedCodes,
-    annPqAdcTop1)
+    annPqAdcTop1, annIvfRecall)
 }
