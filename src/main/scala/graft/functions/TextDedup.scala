@@ -245,9 +245,20 @@ object TextDedup {
     * bounds.) */
   def lshVerifiedPairs(sh: DataFrame, numHashes: Int = 12, bands: Int = 4,
       num: Int = 4, den: Int = 5,
+      maxBroadcastCandidates: Long = 100000L): DataFrame =
+    verifyCandidates(sh, lshCandidatePairs(sh, numHashes, bands),
+      num, den, maxBroadcastCandidates)
+
+  /** Exact integer-Jaccard verification of an ARBITRARY candidate pair
+    * relation (d1, d2) against the shingle relation — the verify tier
+    * decoupled from its candidate source, so any generator (LSH bands,
+    * SimHash buckets, embedding cells, a caller's own heuristic) feeds
+    * the same exact filter. Candidates are materialized eagerly and
+    * the broadcast gating is as in [[lshVerifiedPairs]]. */
+  def verifyCandidates(sh: DataFrame, candidates: DataFrame,
+      num: Int = 4, den: Int = 5,
       maxBroadcastCandidates: Long = 100000L): DataFrame = {
-    val cand = lshCandidatePairs(sh, numHashes, bands)
-      .localCheckpoint(true)
+    val cand = candidates.localCheckpoint(true)
     val hint: DataFrame => DataFrame =
       if (cand.count() <= maxBroadcastCandidates) broadcast else identity
     // shingles of each candidate pair's d1 side, tagged with the pair

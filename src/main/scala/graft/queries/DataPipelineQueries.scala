@@ -355,6 +355,70 @@ object DataPipelineQueries {
       batchIds = Tables.documents(s, d).where(isBatch).select(col("doc_id")))
   }
 
+  /** LSH index-quality measurement — the candidate FUNNEL against the
+    * exhaustive truth: band-bucket candidate pairs generated, pairs
+    * surviving exact verification, and the true near-dup pair count
+    * from the exhaustive verifier. Verified pairs are a subset of true
+    * pairs by construction (same integer-Jaccard criterion), so
+    * n_found/n_true IS recall and n_found/n_candidates the verify
+    * precision — the two numbers that size a production banding
+    * config (more bands → recall up, candidates up). Integer counts →
+    * hash-exact oracle. At 100 TB the exhaustive side runs over a
+    * document SAMPLE (recall estimation needs only a sample); here the
+    * check corpus admits it whole. One-row output via three 1-row
+    * aggregates cross-joined (BroadcastNestedLoopJoin over single
+    * rows — the allowed shape PlanSpec's cartesian sweep notes). */
+  val dedupLshRecall = sql("dedup_lsh_recall",
+    shingleCte + """,
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pr AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       true_pairs AS (
+         SELECT d1, d2 FROM pr
+         JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+         WHERE 5 * common >= 4 * (x.n + y.n - common)),
+       hs AS (
+         SELECT doc_id, i,
+           min(md5(concat(CAST(i AS VARCHAR), ':', s))) AS mh
+         FROM sh, LATERAL (SELECT unnest(range(0, 12)) AS i) t
+         GROUP BY doc_id, i),
+       bands AS (
+         SELECT doc_id, i // 3 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS sig
+         FROM hs GROUP BY doc_id, band),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       common AS (
+         SELECT c.d1, c.d2, count(*) AS common
+         FROM cand c JOIN sh a ON a.doc_id = c.d1
+                     JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+         GROUP BY c.d1, c.d2),
+       found AS (
+         SELECT m.d1, m.d2 FROM common m
+         JOIN sz x ON x.doc_id = m.d1 JOIN sz y ON y.doc_id = m.d2
+         WHERE 5 * m.common >= 4 * (x.n + y.n - m.common))
+       SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+         CAST((SELECT count(*) FROM true_pairs) AS BIGINT) AS n_true""") { (s, d) =>
+    val sh = checkpointedShingles(s, d)
+    // candidates computed ONCE: counted directly and fed to the verify
+    // tier (verifyCandidates), instead of lshVerifiedPairs re-running
+    // the minhash+banding pass a second time
+    val cand = graft.functions.TextDedup
+      .lshCandidatePairs(sh, numHashes = 12, bands = 4)
+      .localCheckpoint(true)
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nFound = graft.functions.TextDedup
+      .verifyCandidates(sh, cand, num = 4, den = 5)
+      .agg(count(lit(1)).as("n_found"))
+    val nTrue = graft.functions.TextDedup.jaccardPairs(sh, num = 4, den = 5)
+      .agg(count(lit(1)).as("n_true"))
+    nCand.crossJoin(nFound).crossJoin(nTrue)
+  }
+
   /** SimHash document fingerprint: 32 bits; bit p is the sign of the
     * frequency-weighted vote of md5-hex-digit-p's high bit across all
     * tokens. Near-dup docs get near-identical signatures; grouping or
@@ -895,7 +959,7 @@ object DataPipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupJaccardStoplist,
-    dedupMinhashLsh, dedupIncremental,
+    dedupMinhashLsh, dedupIncremental, dedupLshRecall,
     dedupSimhash, dedupEmbedding, dedupClusters, annCosineTop1,
     annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
