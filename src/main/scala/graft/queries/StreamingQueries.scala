@@ -280,8 +280,74 @@ object StreamingQueries {
     graft.streaming.StreamingJobs.decontaminationHits(s, d)
   }
 
+  /** Streaming ingestion dedup (StreamingJobs.streamingIncrementalDedup):
+    * the stream of incoming docs (doc_id % 4 = 0) deduped per
+    * micro-batch against the static indexed corpus through the exact
+    * batch operator inside foreachBatch — so the oracle is
+    * `dedup_incremental`'s SQL verbatim: streaming and batch answers
+    * are identical by construction (AvailableNow delivers the file as
+    * one batch; an unbounded deployment adds only more batches, each
+    * idempotently overwriting its own batch_id partition). */
+  val streamIncrementalDedup = sql("stream_incremental_dedup",
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-1, 1))) AS i) t),
+       hs AS (
+         SELECT doc_id, i,
+           min(md5(concat(CAST(i AS VARCHAR), ':', s))) AS mh
+         FROM sh, LATERAL (SELECT unnest(range(0, 12)) AS i) t
+         GROUP BY doc_id, i),
+       bands AS (
+         SELECT doc_id, i // 3 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS sig
+         FROM hs GROUP BY doc_id, band),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       cand AS (
+         SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
+         FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
+         WHERE b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0),
+       com AS (
+         SELECT cd.bdoc, cd.cdoc, count(*) AS common
+         FROM cand cd JOIN sh a ON a.doc_id = cd.bdoc
+                      JOIN sh b ON b.doc_id = cd.cdoc AND b.s = a.s
+         GROUP BY 1, 2),
+       crossdup AS (
+         SELECT bdoc, min(cdoc) AS cdup FROM com
+         JOIN sz x ON x.doc_id = bdoc JOIN sz y ON y.doc_id = cdoc
+         WHERE 5 * common >= 4 * (x.n + y.n - common) GROUP BY 1),
+       bcand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0),
+       bcom AS (
+         SELECT c.d1, c.d2, count(*) AS common
+         FROM bcand c JOIN sh a ON a.doc_id = c.d1
+                      JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+         GROUP BY 1, 2),
+       bdup AS (
+         SELECT d2, min(d1) AS bfirst FROM bcom
+         JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+         WHERE 5 * common >= 4 * (x.n + y.n - common) GROUP BY 1)
+       SELECT d.doc_id,
+         CASE WHEN cd.cdup IS NOT NULL THEN 'corpus_dup'
+              WHEN bd.bfirst IS NOT NULL THEN 'batch_dup'
+              ELSE 'new' END AS status,
+         CAST(coalesce(cd.cdup, bd.bfirst, -1) AS BIGINT) AS dup_of
+       FROM documents d
+       LEFT JOIN crossdup cd ON cd.bdoc = d.doc_id
+       LEFT JOIN bdup bd ON bd.d2 = d.doc_id
+       WHERE d.doc_id % 4 = 0""") { (s, d) =>
+    val dir = sys.props("java.io.tmpdir") + "/graft_stream_incr_" +
+      java.util.UUID.randomUUID().toString
+    graft.streaming.StreamingJobs.streamingIncrementalDedup(s, d, dir)
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent,
-    streamStaticJoin, streamDecontaminate)
+    streamStaticJoin, streamDecontaminate, streamIncrementalDedup)
 }

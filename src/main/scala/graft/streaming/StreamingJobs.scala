@@ -367,6 +367,47 @@ object StreamingJobs {
     spark.table(qname)
   }
 
+  /** Streaming ingestion dedup — the continuous-ingest face of
+    * `TextDedup.incrementalDedup`, the operating mode of a 100 TB
+    * training pipeline: documents arrive as a stream and each
+    * micro-batch is deduped against the STATIC indexed corpus (docs
+    * with doc_id % 4 ≠ 0 here) without the corpus ever re-scanning —
+    * the corpus participates only through its materialized shingle
+    * relation (band index derived from it per batch; a production
+    * deployment would keep the bands themselves in a KeyedTable and
+    * `pq_index_upsert`-style maintain them). Inside `foreachBatch`
+    * the batch runs the exact batch operator — LSH collision join,
+    * by-id fetch, integer-Jaccard verify, keep-first within the
+    * batch — so streaming and batch answers are IDENTICAL by
+    * construction, and results land through the idempotent batch_id
+    * writer (a retried batch overwrites its own partition; the
+    * exactly-once recipe of eventsToParquetExactlyOnce). */
+  def streamingIncrementalDedup(spark: SparkSession, sfDir: String,
+      outDir: String): DataFrame = {
+    import graft.functions.TextDedup
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isBatch = col("doc_id") % 4 === 0
+    // the static index a pipeline keeps materialized between ingests
+    val corpusSh = TextDedup.shingles(all.where(!isBatch))
+      .localCheckpoint(true)
+    val docs = spark.readStream.schema(all.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val writer = idempotentBatchWriter(spark, outDir)
+    val qname = "graft_stream_incr_dedup"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    val q = docs.where(isBatch).writeStream.queryName(qname)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writer(TextDedup.incrementalDedup(
+          corpusSh = corpusSh,
+          batchSh = TextDedup.shingles(batch),
+          batchIds = batch.select(col("doc_id"))), id)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.read.parquet(outDir).drop("batch_id")
+  }
+
   /** Streaming benchmark decontamination: documents arrive as a
     * stream, their 5-grams are checked against the STATIC held-out
     * benchmark gram set (docs ≡ 0 mod 7), and per-source benchmark-hit
