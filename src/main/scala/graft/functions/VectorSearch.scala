@@ -406,6 +406,53 @@ object VectorSearch {
       }.toDF("vec_id", "sub", "code", "d2")
   }
 
+  /** [[pqAssignWith]] carrying each vector's IVF cell through to its
+    * code rows — the materialized IVF-PQ index layout (FAISS-style
+    * inverted lists: codes clustered by coarse cell, 4-byte words in
+    * place of embeddings; Jégou et al. 2011 §IV). Input needs
+    * (vec_id, cell, embedding) — i.e. [[assignWithCodebook]] output;
+    * output rows (vec_id, cell, sub, code) keep each vector's m rows
+    * adjacent in one partition with one constant cell — the adjacency
+    * contract [[ivfPqSearch]]'s run-fold kernel enforces. Same
+    * fixed-point integer assignment as [[pqAssignWith]] (min code on
+    * ties), so codes are bit-identical on any partitioning/engine. */
+  def pqAssignWithCell(df: DataFrame,
+      cb: Array[Array[(Long, Array[Long])]],
+      scale: Long = 1048576L): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val m = cb.length
+    val bc = sp.sparkContext.broadcast(cb)
+    df.select(col("vec_id"), col("cell"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .flatMap { case (id, cell, emb) =>
+        val codebook = bc.value
+        val d = emb.length
+        require(d % m == 0, s"pqAssignWithCell: m=$m must divide dim=$d")
+        val sd = d / m
+        val fx = emb.map(v => math.floor(v.toDouble * scale).toLong)
+        (0 until m).map { sub =>
+          val subCb = codebook(sub)
+          val off = sub * sd
+          var bestD2 = Long.MaxValue
+          var bestCode = 0L
+          var j = 0
+          while (j < subCb.length) {
+            val (label, cfx) = subCb(j)
+            var d2 = 0L; var i = 0
+            while (i < sd) {
+              val diff = fx(off + i) - cfx(i)
+              d2 += diff * diff; i += 1
+            }
+            // strict < keeps the smallest label on ties (ordered)
+            if (d2 < bestD2) { bestD2 = d2; bestCode = label }
+            j += 1
+          }
+          (id, cell, sub.toLong, bestCode)
+        }
+      }.toDF("vec_id", "cell", "sub", "code")
+  }
+
   /** Distributed per-subspace k-means for the PQ codebook — the
     * trained upgrade of the first-k stand-in, same Lloyd's discipline
     * as [[trainKmeansCodebook]] but ENTIRELY in integer arithmetic:
@@ -815,19 +862,40 @@ object VectorSearch {
   def pqAdcTop1(queries: DataFrame, codes: DataFrame,
       cb: Array[Array[(Long, Array[Long])]], scale: Long = 1048576L,
       maxBatch: Int = DefaultMaxCandidates): DataFrame = {
+    val qs = collectQueryBatch(queries, maxBatch, "pqAdcTop1")
+    val (luts, labelIdx) = buildAdcLuts(qs, cb, scale, "pqAdcTop1")
+    adcTop1Kernel(
+      codes.select(col("vec_id"), lit(0L).as("cell"), col("sub"),
+        col("code")),
+      luts, labelIdx, None, cb.length)
+  }
+
+  /** Bounded-collect of a query batch (the small side by definition):
+    * same `require` discipline as [[collectBounded]], sorted by id so
+    * downstream LUT/probe arrays align deterministically. */
+  private def collectQueryBatch(queries: DataFrame, maxBatch: Int,
+      who: String): Array[(Long, Array[Float])] = {
     val sp = queries.sparkSession
     import sp.implicits._
-    val m = cb.length
     val q = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .take(maxBatch + 1)
     require(q.length <= maxBatch,
       s"query batch exceeds maxBatch=$maxBatch — ADC batches the small " +
         "side; stream larger batches through repeated calls")
-    require(q.nonEmpty, "pqAdcTop1: empty query batch")
-    val qs = q.sortBy(_._1)
+    require(q.nonEmpty, s"$who: empty query batch")
+    q.sortBy(_._1)
+  }
+
+  /** Per-query integer LUTs (LUT[sub][codeIdx] = fixed-point ‖q_sub −
+    * c_{sub,code}‖²) plus the label→dense-index maps — the broadcast
+    * payload of every ADC path. */
+  private def buildAdcLuts(qs: Array[(Long, Array[Float])],
+      cb: Array[Array[(Long, Array[Long])]], scale: Long, who: String)
+      : (Array[(Long, Array[Array[Long]])], Array[Map[Long, Int]]) = {
+    val m = cb.length
     val d = qs.head._2.length
-    require(d % m == 0, s"pqAdcTop1: m=$m must divide dim=$d")
+    require(d % m == 0, s"$who: m=$m must divide dim=$d")
     val sd = d / m
     // label → dense index per subspace (labels are codebook row ids)
     val labelIdx: Array[Map[Long, Int]] =
@@ -845,13 +913,35 @@ object VectorSearch {
         }
       })
     }
+    (luts, labelIdx)
+  }
+
+  /** The shared ADC run-fold kernel: streams a (vec_id, cell, sub,
+    * code) relation, reassembles each vector's m contiguous code rows,
+    * and keeps a per-query running best of Σ_sub LUT[sub][code]. When
+    * `probe` is given (aligned with `luts`, each array SORTED), a
+    * vector is scored for a query only if the vector's cell is in that
+    * query's probe set — the IVF gate of the IVF-PQ composite; `None`
+    * scores every vector for every query (plain ADC). Per-partition
+    * output is ≤ |batch| rows, folded by one tiny min aggregate. */
+  private def adcTop1Kernel(codes: DataFrame,
+      luts: Array[(Long, Array[Array[Long]])],
+      labelIdx: Array[Map[Long, Int]],
+      probe: Option[Array[Array[Long]]], m: Int): DataFrame = {
+    val sp = codes.sparkSession
+    import sp.implicits._
+    require(probe.forall(_.length == luts.length),
+      "adcTop1Kernel: probe sets must align 1:1 with the query LUTs")
     val bcLut = sp.sparkContext.broadcast(luts)
     val bcIdx = sp.sparkContext.broadcast(labelIdx)
-    val partBests = codes.select(col("vec_id"), col("sub"), col("code"))
-      .as[(Long, Long, Long)]
+    val bcProbe = sp.sparkContext.broadcast(probe)
+    val partBests = codes
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+      .as[(Long, Long, Long, Long)]
       .mapPartitions { it =>
         val lut = bcLut.value
         val idx = bcIdx.value
+        val prb: Array[Array[Long]] = bcProbe.value.orNull
         val nq = lut.length
         val best = Array.fill(nq)(Long.MaxValue)
         val bestId = Array.fill(nq)(Long.MaxValue)
@@ -859,22 +949,26 @@ object VectorSearch {
         val seen = new Array[Boolean](m)
         var got = 0
         var cur = Long.MinValue
+        var curCell = Long.MinValue
         // The kernel's correctness rests on an input invariant: each
         // vector's m code rows arrive ADJACENT within one partition,
-        // each sub exactly once (pqAssignWith emits them that way). A
+        // each sub exactly once, all carrying the vector's ONE cell
+        // (pqAssignWith/pqAssignWithCell emit them that way, and a
+        // cell filter drops whole runs without splitting them). A
         // repartitioned/re-read/duplicated code relation would
         // otherwise be scored from stale `word` slots or silently
         // skipped — enforce, don't assume.
-        def scoreWord(vid: Long): Unit = {
+        def scoreWord(vid: Long, cell: Long): Unit = {
           if (got != m) throw new IllegalStateException(
-            s"pqAdcTop1: vector $vid ended its run with $got of $m code " +
-              "rows — the code relation must keep each vector's m rows " +
-              "adjacent in one partition with every sub present exactly " +
-              "once (was it repartitioned or partially written?)")
+            s"adcTop1Kernel: vector $vid ended its run with $got of $m " +
+              "code rows — the code relation must keep each vector's m " +
+              "rows adjacent in one partition with every sub present " +
+              "exactly once (was it repartitioned or partially written?)")
           var qi = 0
           while (qi < nq) {
             val (qid, ql) = lut(qi)
-            if (qid != vid) {
+            if (qid != vid && (prb == null ||
+                java.util.Arrays.binarySearch(prb(qi), cell) >= 0)) {
               var s = 0L; var sub = 0
               while (sub < m) { s += ql(sub)(word(sub)); sub += 1 }
               if (s < best(qi) || (s == best(qi) && vid < bestId(qi))) {
@@ -885,21 +979,24 @@ object VectorSearch {
           }
         }
         var started = false
-        it.foreach { case (vid, sub, code) =>
+        it.foreach { case (vid, cell, sub, code) =>
           if (!started || vid != cur) {
-            if (started) scoreWord(cur)
-            started = true; cur = vid; got = 0
+            if (started) scoreWord(cur, curCell)
+            started = true; cur = vid; curCell = cell; got = 0
             java.util.Arrays.fill(seen, false)
           }
+          if (cell != curCell) throw new IllegalStateException(
+            s"adcTop1Kernel: vector $vid carries two cells ($curCell, " +
+              s"$cell) within one run — the index relation is corrupt")
           val si = sub.toInt
           if (seen(si)) throw new IllegalStateException(
-            s"pqAdcTop1: duplicate code row (vec_id=$vid, sub=$si) in one " +
-              "run — each (vec_id, sub) must appear exactly once")
+            s"adcTop1Kernel: duplicate code row (vec_id=$vid, sub=$si) " +
+              "in one run — each (vec_id, sub) must appear exactly once")
           seen(si) = true
           word(si) = idx(si)(code)
           got += 1
         }
-        if (started) scoreWord(cur)
+        if (started) scoreWord(cur, curCell)
         (0 until nq).iterator
           .filter(qi => bestId(qi) != Long.MaxValue)
           .map(qi => (lut(qi)._1, bestId(qi), best(qi)))
@@ -910,6 +1007,51 @@ object VectorSearch {
       .agg(min(struct(col("d2_adc"), col("neighbor_id"))).as("b"))
       .select(col("vec_id"), col("b.neighbor_id").as("neighbor_id"),
         col("b.d2_adc").as("d2_adc"))
+  }
+
+  /** IVF-PQ composite search — the billion-vector serving index
+    * (Jégou et al. 2011 §IV; the FAISS IndexIVFPQ architecture,
+    * no-residual mode): the IVF tier narrows WHERE to look (each query
+    * probes its `nprobe` nearest coarse cells through the SAME
+    * distributed kernel as every other IVF path, so probe choices are
+    * bit-identical), and the PQ tier shrinks WHAT is read (candidates
+    * are scored from their 4-byte code words via the per-query integer
+    * LUT — corpus embeddings are never touched at query time).
+    *
+    * `codes` is the materialized index relation (vec_id, cell, sub,
+    * code) from [[pqAssignWithCell]] — clustered by cell like FAISS
+    * inverted lists, so at scale the probed-cell restriction is
+    * partition pruning on the storage layout; here it is one
+    * `isInCollection` filter on the ≤|cells| probed-cell set, which
+    * preserves the kernel's run adjacency (a filter on the
+    * run-constant cell drops whole runs, never splits them).
+    *
+    * Per-query cost tracks batch size × probed-cell density; the
+    * corpus participates only through its pruned code relation. All
+    * arithmetic is fixed-point integer. Returns (vec_id, neighbor_id,
+    * d2_adc) — top-1 by (quantized L2 asc, neighbor id asc); queries
+    * probing only empty cells are absent. */
+  def ivfPqSearch(batch: DataFrame, codes: DataFrame,
+      cb: Array[Array[(Long, Array[Long])]],
+      cents: Array[(Long, Array[Float])], nprobe: Int = 2,
+      scale: Long = 1048576L,
+      maxBatch: Int = DefaultMaxCandidates): DataFrame = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val qs = collectQueryBatch(batch, maxBatch, "ivfPqSearch")
+    val (luts, labelIdx) = buildAdcLuts(qs, cb, scale, "ivfPqSearch")
+    // probe assignment through the shared multi-probe kernel; the
+    // collect is bounded by |batch| × nprobe (batch already bounded)
+    val probeRows = multiProbeAssign(batch, cents, nprobe)
+      .select(col("vec_id"), col("cell"))
+      .as[(Long, Long)].collect()
+    val byQuery: Map[Long, Array[Long]] = probeRows.groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).sorted }
+    val probeSets: Array[Array[Long]] =
+      qs.map { case (qid, _) => byQuery.getOrElse(qid, Array.empty[Long]) }
+    val probedCells = probeRows.map(_._2).distinct.sorted.toSeq
+    adcTop1Kernel(codes.filter(col("cell").isInCollection(probedCells)),
+      luts, labelIdx, Some(probeSets), cb.length)
   }
 
   /** Bucketed (IVF-style) cosine top-1: search only within the

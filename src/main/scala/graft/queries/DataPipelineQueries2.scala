@@ -464,6 +464,175 @@ object DataPipelineQueries2 {
     VectorSearch.pqAdcTop1(emb.where(col("vec_id") % 5 === 0), codes, cb)
   }
 
+  /** PQ quantization-quality measurement — recall@1 of ADC search
+    * (integer LUT distances over 4-byte code words) against the exact
+    * cosine answer for the same query batch: THE number that decides a
+    * compression config (m × codesPerSub) before the index ships, and
+    * the companion to `ann_ivf_recall` for the compression tier. ADC
+    * minimizes quantized L2 while the truth maximizes exact cosine, so
+    * the match count directly measures what quantization costs. All
+    * integer counts → hash-exact oracle (the ADC side replays the
+    * integer LUT join in SQL; the brute side the cosine argmax). */
+  val annPqRecall = sql("ann_pq_recall",
+    """WITH fx AS (
+         SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, i - 1 AS pos,
+           CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)
+             AS BIGINT) AS fx
+         FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+       cb AS (SELECT vec_id AS code, sub, pos, fx AS cfx
+              FROM fx WHERE vec_id < 16),
+       dist AS (
+         SELECT f.vec_id, f.sub, c.code,
+           sum((f.fx - c.cfx) * (f.fx - c.cfx)) AS d2
+         FROM fx f JOIN cb c ON c.sub = f.sub AND c.pos = f.pos
+         GROUP BY 1, 2, 3),
+       codes AS (
+         SELECT vec_id, sub, code FROM (
+           SELECT vec_id, sub, code, row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+           FROM dist) t WHERE rn = 1),
+       q AS (SELECT vec_id AS qid, sub, pos, fx AS qfx
+             FROM fx WHERE vec_id % 5 = 0),
+       lut AS (
+         SELECT q.qid, c.sub, c.code,
+           sum((q.qfx - c.cfx) * (q.qfx - c.cfx)) AS d2
+         FROM q JOIN cb c ON c.sub = q.sub AND c.pos = q.pos
+         GROUP BY 1, 2, 3),
+       score AS (
+         SELECT l.qid, k.vec_id AS nid, sum(l.d2) AS s
+         FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+         WHERE k.vec_id <> l.qid
+         GROUP BY 1, 2),
+       adc AS (
+         SELECT qid AS vec_id, nid AS neighbor_id FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY qid ORDER BY s, nid) AS rn FROM score) t
+         WHERE rn = 1),
+       n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       brute AS (
+         SELECT vec_id, neighbor_id FROM (
+           SELECT a.vec_id, b.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               (list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+                / (a.nrm * b.nrm)) DESC, b.vec_id) AS rn
+           FROM n a JOIN n b ON a.vec_id <> b.vec_id
+           WHERE a.vec_id % 5 = 0) t WHERE rn = 1)
+       SELECT CAST(count(b.vec_id) AS BIGINT) AS n_queries,
+         CAST(count(a.neighbor_id) AS BIGINT) AS n_found,
+         CAST(sum(CASE WHEN a.neighbor_id = b.neighbor_id
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       FROM brute b LEFT JOIN adc a ON a.vec_id = b.vec_id""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val cb = VectorSearch.firstKPqCodebook(emb, m = 4, codesPerSub = 16)
+    val codes = VectorSearch.pqAssignWith(emb, cb)
+    val adc = VectorSearch.pqAdcTop1(batch, codes, cb)
+      .select(col("vec_id"), col("neighbor_id"))
+    val brute = VectorSearch.bruteForceCosineTop1(batch, emb)
+      .select(col("vec_id"), col("neighbor_id").as("bn"))
+    brute.join(adc, Seq("vec_id"), "left")
+      .agg(count(col("vec_id")).as("n_queries"),
+        count(col("neighbor_id")).as("n_found"),
+        sum(when(col("neighbor_id") === col("bn"), 1L).otherwise(0L))
+          .as("n_correct"))
+  }
+
+  /** IVF-PQ composite search (VectorSearch.ivfPqSearch) — the
+    * billion-vector serving architecture (FAISS IndexIVFPQ,
+    * no-residual): vectors with id % 5 = 0 are the query batch, the
+    * rest the indexed corpus, materialized as the (vec_id, cell, sub,
+    * code) inverted-list relation (pqAssignWithCell over the coarse
+    * assignment). Each query probes its 2 nearest coarse cells and
+    * ADC-scores ONLY the code words living there — the IVF tier
+    * narrows where to look, the PQ tier shrinks what is read, and
+    * corpus embeddings are never touched at query time. The oracle
+    * replays both tiers in SQL: coarse assignment + probe windows from
+    * the ann_ivf_search oracle, code assignment + LUT scoring from the
+    * ann_pq_* oracles, joined through the cell gate. */
+  val annIvfPqSearch = sql("ann_ivfpq_search",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+             FROM n WHERE vec_id < 8),
+       chome AS (
+         SELECT vec_id, cid FROM (
+           SELECT a.vec_id, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               (list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+                / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+           FROM (SELECT * FROM n WHERE vec_id % 5 <> 0) a CROSS JOIN c) t
+         WHERE rn = 1),
+       bprobe AS (
+         SELECT vec_id, cid FROM (
+           SELECT a.vec_id, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               (list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+                / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+           FROM (SELECT * FROM n WHERE vec_id % 5 = 0) a CROSS JOIN c) t
+         WHERE rn <= 2),
+       fx AS (
+         SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, i - 1 AS pos,
+           CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1048576)
+             AS BIGINT) AS fx
+         FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+       cbk AS (SELECT vec_id AS code, sub, pos, fx AS cfx
+               FROM fx WHERE vec_id < 16),
+       dist AS (
+         SELECT f.vec_id, f.sub, c.code,
+           sum((f.fx - c.cfx) * (f.fx - c.cfx)) AS d2
+         FROM (SELECT * FROM fx WHERE vec_id % 5 <> 0) f
+         JOIN cbk c ON c.sub = f.sub AND c.pos = f.pos
+         GROUP BY 1, 2, 3),
+       codes AS (
+         SELECT vec_id, sub, code FROM (
+           SELECT vec_id, sub, code, row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+           FROM dist) t WHERE rn = 1),
+       q AS (SELECT vec_id AS qid, sub, pos, fx AS qfx
+             FROM fx WHERE vec_id % 5 = 0),
+       lut AS (
+         SELECT q.qid, c.sub, c.code,
+           sum((q.qfx - c.cfx) * (q.qfx - c.cfx)) AS d2
+         FROM q JOIN cbk c ON c.sub = q.sub AND c.pos = q.pos
+         GROUP BY 1, 2, 3),
+       score AS (
+         SELECT l.qid, k.vec_id AS nid, sum(l.d2) AS s
+         FROM codes k
+         JOIN chome ch ON ch.vec_id = k.vec_id
+         JOIN bprobe bp ON bp.cid = ch.cid
+         JOIN lut l ON l.qid = bp.vec_id
+           AND l.sub = k.sub AND l.code = k.code
+         GROUP BY 1, 2)
+       SELECT qid AS vec_id, nid AS neighbor_id,
+         CAST(s AS BIGINT) AS d2_adc
+       FROM (SELECT *, row_number() OVER (
+         PARTITION BY qid ORDER BY s, nid) AS rn FROM score) t
+       WHERE rn = 1""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cents = VectorSearch.firstKCodebook(emb, 8)
+    val cb = VectorSearch.firstKPqCodebook(emb, m = 4, codesPerSub = 16)
+    val corpus = VectorSearch.assignWithCodebook(
+      emb.where(col("vec_id") % 5 =!= 0), cents)
+    val codes = VectorSearch.pqAssignWithCell(corpus, cb)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    VectorSearch.ivfPqSearch(batch, codes, cb, cents, nprobe = 2)
+  }
+
   /** ANN index-quality measurement — recall@1 of the IVF index against
     * the exact brute-force answer, per nprobe — the acceptance check a
     * production pipeline runs before deploying an index (and the
@@ -543,5 +712,5 @@ object DataPipelineQueries2 {
   val all: Seq[QueryDef] = Seq(
     qualityFunnel, dedupKeepBest, annIvfTop1, annIvfTrainedTop1,
     annIvfTopK, annIvfSearch, embQuantize, embPqCodes, embPqTrainedCodes,
-    annPqAdcTop1, annIvfRecall)
+    annPqAdcTop1, annIvfRecall, annPqRecall, annIvfPqSearch)
 }

@@ -292,6 +292,33 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxBatch"))
   }
 
+  test("ivfPqSearch probing ALL cells reduces to plain ADC, and the " +
+      "IVF gate only ever narrows the candidate set") {
+    val cents = VectorSearch.firstKCodebook(emb, 4)
+    val cb = VectorSearch.firstKPqCodebook(emb, m = 4, codesPerSub = 16)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val assigned = VectorSearch.assignWithCodebook(corpus, cents)
+    val codes = VectorSearch.pqAssignWithCell(assigned, cb)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    // nprobe == numCentroids probes every cell → the cell gate is a
+    // no-op and the composite must equal ADC over the same codes
+    val all = VectorSearch.ivfPqSearch(batch, codes, cb, cents, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val adc = VectorSearch.pqAdcTop1(batch,
+        VectorSearch.pqAssignWith(corpus, cb), cb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(all === adc)
+    // narrow probing returns a (weakly) worse ADC distance per query —
+    // the gate restricts candidates, never invents them
+    val narrow = VectorSearch.ivfPqSearch(batch, codes, cb, cents,
+        nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    narrow.foreach { case (qid, d2) =>
+      assert(d2 >= adc(qid)._2, s"query $qid: narrowed probe found a " +
+        "better distance than full ADC — the gate is corrupt")
+    }
+  }
+
   test("ivf top-1 similarity is bounded by the brute-force top-1") {
     val sample = emb.limit(60).cache()
     val brute = VectorSearch.bruteForceCosineTop1(sample, sample)
