@@ -88,6 +88,65 @@ object VectorSearch {
       }.toDF("vec_id", "neighbor_id", "cosim")
   }
 
+  /** Exact cosine top-K among `candidates` for every probe — the
+    * kNN-graph construction kernel: one output row per (probe, rank)
+    * with rank 1..k ordered by cosine desc, ties broken by ascending
+    * neighbor id (the suite-wide convention, and the same ORDER BY the
+    * oracle's window uses). Same broadcast streaming shape and
+    * `maxCandidates` enforcement as the top-1 kernel; the per-probe
+    * state is a k-slot insertion buffer (k is small — the kernel is
+    * O(candidates · k) per probe, not a sort). At scale this re-ranks
+    * candidates from the bucketed/IVF tiers, never the full corpus. */
+  def bruteForceCosineTopK(probes: DataFrame, candidates: DataFrame,
+      k: Int, maxCandidates: Int = DefaultMaxCandidates): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sp = probes.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(collectBounded(candidates, maxCandidates))
+    probes.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cand = bc.value
+        val norms = cand.map { case (_, v) =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(acc)
+        }
+        it.flatMap { case (id, emb) =>
+          var acc = 0.0; var i = 0
+          while (i < emb.length) { acc += emb(i).toDouble * emb(i).toDouble; i += 1 }
+          val na = math.sqrt(acc)
+          // k-slot insertion buffer, kept sorted best-first
+          val topSim = new Array[Double](k)
+          val topId = new Array[Long](k)
+          var filled = 0
+          var j = 0
+          while (j < cand.length) {
+            val (cid, cv) = cand(j)
+            if (cid != id) {
+              var dot = 0.0; var m = 0
+              while (m < cv.length) { dot += emb(m).toDouble * cv(m).toDouble; m += 1 }
+              val sim = dot / (na * norms(j))
+              val beatsLast = filled < k || sim > topSim(filled - 1) ||
+                (sim == topSim(filled - 1) && cid < topId(filled - 1))
+              if (beatsLast) {
+                var pos = if (filled < k) filled else k - 1
+                while (pos > 0 && (sim > topSim(pos - 1) ||
+                    (sim == topSim(pos - 1) && cid < topId(pos - 1)))) {
+                  topSim(pos) = topSim(pos - 1); topId(pos) = topId(pos - 1)
+                  pos -= 1
+                }
+                topSim(pos) = sim; topId(pos) = cid
+                if (filled < k) filled += 1
+              }
+            }
+            j += 1
+          }
+          (0 until filled).map(r => (id, r + 1, topId(r), topSim(r)))
+        }
+      }.toDF("vec_id", "rank", "neighbor_id", "cosim")
+  }
+
   /** Exact near-duplicate pairs between probes and a BOUNDED candidate
     * set: ordered pairs (keep_id < dup_id) with cosine >= minSim — the
     * verification kernel of embedding dedup. Same broadcast streaming

@@ -243,6 +243,364 @@ object Multimodal {
     * with [[decodeWav]] recovers exactly the parameters — which is
     * what makes the parser oracle-checkable end-to-end (the oracle
     * recomputes the expected metadata arithmetically). */
+  /** Integer stats over a decoded PCM sample stream — the audio
+    * features a quality/filtering pipeline computes per clip
+    * (loudness via sum|s| and Σs², clipping via peak, spectral
+    * content proxy via zero-crossing rate). All-integer so results
+    * are bit-identical on any engine. */
+  case class PcmStats(
+      channels: Int,
+      sampleRate: Int,
+      nSamples: Long,        // interleaved int16 samples in the data chunk
+      peak: Long,            // max |s|
+      sumAbs: Long,          // Σ |s|
+      sumSq: Long,           // Σ s²  (energy; RMS² · n)
+      zeroCrossings: Long)   // #(i>0) where sign(s[i-1]) != sign(s[i])
+
+  /** Locate the raw int16 sample stream of a PCM-16 WAV: walks the
+    * RIFF chunks, requires fmt PCM 16-bit with an in-bounds data
+    * chunk. Returns (channels, sampleRate, dataOffset, nSamples)
+    * where nSamples counts interleaved int16 words. The shared
+    * header walk under [[decodePcm]] and [[pcmWindowStats]]. */
+  private def pcm16(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (fmtTag, channels, rate)
+    var bits = 0
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val size = le32(b, off + 4).toInt
+      if (id == "fmt " && size >= 16 && off + 24 <= b.length) {
+        fmt = Some((le16(b, off + 8), le16(b, off + 10),
+          le32(b, off + 12).toInt))
+        bits = le16(b, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1)
+    }
+    fmt match {
+      case Some((1, ch, rate)) if bits == 16 && dataOff >= 0 &&
+          dataLen >= 0 && dataOff + dataLen <= b.length =>
+        Some((ch, rate, dataOff, dataLen / 2))
+      case _ => None
+    }
+  }
+
+  /** The i-th interleaved int16 sample (little-endian). */
+  @inline private def sample16(b: Array[Byte], dataOff: Int, i: Int): Long = {
+    val o = dataOff + i * 2
+    ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toLong
+  }
+
+  /** REAL sample-level PCM decode — WAV carries its samples as raw
+    * little-endian int16 words, so "decoding" audio in the most
+    * common interchange format needs no codec library at all: walk
+    * the RIFF chunks, require fmt PCM 16-bit, then read every int16
+    * in the data chunk and fold the integer stats in one pass.
+    * Returns None for non-WAV / non-PCM-16 / truncated bytes (the
+    * caller's two-tier contract: real decode where the format allows,
+    * stub elsewhere). Sign convention for crossings: negative vs
+    * non-negative (s=0 counts as positive side). */
+  def decodePcm(b: Array[Byte]): Option[PcmStats] =
+    try pcm16(b).map { case (ch, rate, dataOff, n) =>
+      var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+      var prevNeg = false
+      var i = 0
+      while (i < n) {
+        val s = sample16(b, dataOff, i)
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumAbs += a
+        sumSq += s * s
+        val neg = s < 0
+        if (i > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        i += 1
+      }
+      PcmStats(ch, rate, n.toLong, peak, sumAbs, sumSq, zc)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-window integer stats over a PCM-16 stream — the
+    * silence-detection / voice-activity shape of audio filtering:
+    * fixed windows of `win` interleaved samples (last window may be
+    * short), a window is silent when its peak |s| is below
+    * `silenceThreshold`. All-integer, single pass. */
+  case class PcmWindowStats(
+      channels: Int,
+      sampleRate: Int,
+      nWindows: Int,
+      silentWindows: Int,
+      maxWinSumAbs: Long,    // loudest window's Σ|s|
+      peak: Long)            // global max |s|
+
+  /** Windowed REAL PCM decode for silence detection: same RIFF/PCM-16
+    * walk as [[decodePcm]], folding per-window peak and Σ|s| instead
+    * of whole-clip stats. */
+  def pcmWindowStats(b: Array[Byte], win: Int,
+      silenceThreshold: Int): Option[PcmWindowStats] =
+    try {
+      require(win >= 1, "win must be >= 1")
+      pcm16(b).map { case (ch, rate, dataOff, n) =>
+        var nW = 0; var silent = 0; var maxSum = 0L; var gPeak = 0L
+        var i = 0
+        while (i < n) {
+          val end = math.min(i + win, n)
+          var wPeak = 0L; var wSum = 0L
+          var j = i
+          while (j < end) {
+            val a = math.abs(sample16(b, dataOff, j))
+            if (a > wPeak) wPeak = a
+            wSum += a
+            j += 1
+          }
+          nW += 1
+          if (wPeak < silenceThreshold) silent += 1
+          if (wSum > maxSum) maxSum = wSum
+          if (wPeak > gPeak) gPeak = wPeak
+          i = end
+        }
+        PcmWindowStats(ch, rate, nW, silent, maxSum, gPeak)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic REAL-PCM fixture: a valid 16-bit WAV whose data
+    * chunk holds `n` interleaved samples s(i) = ((seed·131 + i·17)
+    * mod 65536) − 32768 — arithmetic an oracle can replay exactly,
+    * so a byte-order or offset bug in [[decodePcm]] breaks the
+    * recomputed stats, not just a smoke test. */
+  def synthPcmWav(channels: Int, sampleRate: Int, frames: Int,
+      seed: Long): Array[Byte] = {
+    val n = frames * channels
+    val bytes = synthWav(channels, sampleRate, n * 2)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(44)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((seed * 131L + i * 17L) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bytes
+  }
+
+  /** Deterministic gated-PCM fixture: like [[synthPcmWav]] but every
+    * alternate `win`-sample block is silent (all-zero) — the
+    * speech-pause shape that makes windowed silence detection
+    * meaningful. s(i) = 0 when (i/win) % 2 == 1, else the
+    * [[synthPcmWav]] formula; an oracle replays the same CASE. */
+  def synthGatedPcmWav(channels: Int, sampleRate: Int, frames: Int,
+      seed: Long, win: Int): Array[Byte] = {
+    val n = frames * channels
+    val bytes = synthWav(channels, sampleRate, n * 2)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(44)
+    var i = 0
+    while (i < n) {
+      val v =
+        if ((i / win) % 2 == 1) 0L
+        else ((seed * 131L + i * 17L) % 65536L) - 32768L
+      bb.putShort(v.toShort)
+      i += 1
+    }
+    bytes
+  }
+
+  /** Deterministic REAL-PNG fixture: a w×h grayscale-in-RGB image with
+    * pixel value g(x,y) = (seed·31 + x·7 + y·13) mod 256, encoded
+    * through the JDK's real PNG writer. PNG is lossless, so a real
+    * decode recovers every pixel exactly — which makes pixel-level
+    * image operators (e.g. [[averageHash]]) oracle-checkable from the
+    * generating arithmetic. */
+  def synthPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((seed * 31L + x * 7L + y * 13L) % 256L).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 8×8 average-hash (aHash) perceptual fingerprint over a REAL image
+    * decode: gray = integer ITU-R 601 luma (299r+587g+114b)/1000, mean
+    * = floor(Σgray/64), bit (y·8+x) set when gray > mean (strict).
+    * Non-8×8 images go through the real bilinear [[resizeImage]] path
+    * first. The two 32-bit halves are returned separately so the full
+    * 64-bit hash never needs bit 63 of a signed value. */
+  case class AHash(mean: Int, nAbove: Int, hashHi: Long, hashLo: Long)
+
+  def averageHash(content: Array[Byte]): Option[AHash] =
+    try {
+      val img0 =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(content)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      img0.flatMap { src0 =>
+        val src =
+          if (src0.getWidth == 8 && src0.getHeight == 8) Some(src0)
+          else resizeImage(content, 8, 8).flatMap(b =>
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b))))
+        src.map { im =>
+          val gray = new Array[Int](64)
+          var sum = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = im.getRGB(x, y)
+              val g = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              gray(y * 8 + x) = g
+              sum += g
+              x += 1
+            }
+            y += 1
+          }
+          val mean = (sum / 64L).toInt
+          var nAbove = 0; var hi = 0L; var lo = 0L
+          var i = 0
+          while (i < 64) {
+            if (gray(i) > mean) {
+              nAbove += 1
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          AHash(mean, nAbove, hi, lo)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One decoded frame of an MJPEG-in-AVI clip: the frame's index in
+    * stream order and its REAL-decoded pixel dimensions. */
+  case class AviFrame(frameIdx: Int, width: Int, height: Int,
+      byteLen: Int)
+
+  /** REAL video decode — the one video format a bare JVM can decode
+    * end-to-end: MJPEG-in-AVI, where the container is a RIFF tree
+    * (pure byte walk, same discipline as the WAV parser) and every
+    * frame is an ordinary JPEG that `javax.imageio` really decodes.
+    * Walks the top-level RIFF chunks to the `movi` LIST, iterates the
+    * `..dc`/`..db` frame chunks in stream order, and decodes each
+    * frame's pixels for its true dimensions. Returns None for
+    * non-AVI bytes, a missing `movi` list, or any frame the JPEG
+    * decoder rejects (strict: a clip with one corrupt frame is a
+    * corrupt clip — callers route it to quarantine, not silently
+    * shortened output). */
+  def decodeAviFrames(b: Array[Byte]): Option[Seq[AviFrame]] =
+    try {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+        return None
+      javax.imageio.ImageIO.setUseCache(false)
+      var off = 12
+      var moviOff = -1
+      var moviEnd = -1
+      while (off + 8 <= b.length) {
+        val id = tag(b, off)
+        val size = le32(b, off + 4).toInt
+        if (id == "LIST" && off + 12 <= b.length &&
+            tag(b, off + 8) == "movi") {
+          moviOff = off + 12; moviEnd = off + 8 + size
+        }
+        off += 8 + size + (size & 1)
+      }
+      if (moviOff < 0 || moviEnd > b.length) return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[AviFrame]
+      var p = moviOff
+      var idx = 0
+      var ok = true
+      while (ok && p + 8 <= moviEnd) {
+        val cid = tag(b, p)
+        val clen = le32(b, p + 4).toInt
+        if (p + 8 + clen > moviEnd) ok = false
+        else {
+          if (cid.endsWith("dc") || cid.endsWith("db")) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b, p + 8, clen))
+            if (img == null) ok = false
+            else {
+              out += AviFrame(idx, img.getWidth, img.getHeight, clen)
+              idx += 1
+            }
+          }
+          p += 8 + clen + (clen & 1)
+        }
+      }
+      if (ok) Some(out.toSeq) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic REAL-JPEG fixture: a w×h gradient image through the
+    * JDK's real JPEG encoder. JPEG is lossy, so (unlike the PNG
+    * fixture) pixel VALUES are not oracle-replayable — but decoded
+    * DIMENSIONS are exact, which is what the AVI round trip checks. */
+  def synthJpeg(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((seed * 31L + x * 7L + y * 13L) % 256L).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Mux real JPEG frames into a minimal REAL AVI: RIFF(AVI ) with a
+    * LIST(hdrl) carrying avih + one vids/MJPG stream header, and a
+    * LIST(movi) of `00dc` frame chunks (even-padded, per the RIFF
+    * rule). [[decodeAviFrames]] demuxes it — and any other
+    * MJPEG-in-AVI — back to per-frame real decodes. */
+  def synthAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int = 25): Array[Byte] = {
+    val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(t: String): Unit = bb.put(t.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffBody); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlBody); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0x10) // HASINDEX off, INTERLEAVED-ish flags kept minimal
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    bb.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps) // scale, rate
+      .putInt(0).putInt(frames.length).putInt(0).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    fourcc("MJPG")
+    bb.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); bb.putInt(moviBody); fourcc("movi")
+    frames.foreach { f =>
+      fourcc("00dc"); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
   def synthWav(channels: Int, sampleRate: Int, dataLen: Int): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

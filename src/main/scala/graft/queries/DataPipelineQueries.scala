@@ -957,6 +957,62 @@ object DataPipelineQueries {
         col("width"), col("height"), col("tracks"), col("samples"))
   }
 
+  /** REAL sample-level audio decode, oracle-checked end-to-end: every
+    * document synthesizes a valid 16-bit PCM WAV whose data chunk
+    * holds deterministic samples s(i) = ((doc_id·131 + i·17) mod
+    * 65536) − 32768 (Multimodal.synthPcmWav), the distributed decoder
+    * (Multimodal.decodePcm — RIFF walk + raw int16 reads, no codec
+    * library because PCM needs none) reads every sample back and
+    * folds the integer audio features a filtering pipeline wants
+    * (peak/clipping, Σ|s| and Σs² loudness/energy, zero-crossing
+    * count), and the oracle recomputes the same stats from the
+    * generating arithmetic — a byte-order, offset, or sign-extension
+    * bug anywhere in the sample path breaks the hash. All-integer →
+    * engine- and partitioning-independent. */
+  val audioPcmStats = sql("audio_pcm_stats",
+    """WITH p AS (
+         SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+           (120 + doc_id % 37) * (1 + doc_id % 2) AS n
+         FROM documents),
+       s AS (
+         SELECT doc_id, channels, sample_rate, n, i,
+           ((doc_id * 131 + i * 17) % 65536) - 32768 AS v
+         FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) t),
+       z AS (
+         SELECT doc_id, channels, sample_rate, n, v,
+           lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+         FROM s)
+       SELECT doc_id, channels, sample_rate,
+         CAST(max(n) AS BIGINT) AS n_samples,
+         CAST(max(abs(v)) AS BIGINT) AS peak,
+         CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+         CAST(sum(v * v) AS BIGINT) AS sum_sq,
+         CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       FROM z GROUP BY 1, 2, 3""") { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.Multimodal
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = Multimodal.synthPcmWav(
+          channels = (1 + id % 2).toInt,
+          sampleRate = (8000 + (id % 8) * 1000).toInt,
+          frames = (120 + id % 37).toInt,
+          seed = id)
+        val st = Multimodal.decodePcm(bytes).getOrElse(
+          throw new IllegalStateException(
+            s"audio_pcm_stats: synthesized WAV for doc $id failed to " +
+              "decode — the PCM path is broken"))
+        (id, st.channels, st.sampleRate, st.nSamples, st.peak,
+          st.sumAbs, st.sumSq, st.zeroCrossings)
+      })
+      .toDF("doc_id", "channels", "sample_rate", "n_samples", "peak",
+        "sum_abs", "sum_sq", "zero_crossings")
+  }
+
   val all: Seq[QueryDef] = Seq(
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupJaccardStoplist,
     dedupMinhashLsh, dedupIncremental, dedupLshRecall,
@@ -965,5 +1021,5 @@ object DataPipelineQueries {
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
     textRepetition, textNormalize, decontaminate, decontaminateBloom,
     sampleHash, sampleSplit, sampleStratified, textEditDistance,
-    multimodalFeatures, multimodalAvMeta)
+    multimodalFeatures, multimodalAvMeta, audioPcmStats)
 }

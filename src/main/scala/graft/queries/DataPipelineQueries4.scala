@@ -136,6 +136,56 @@ object DataPipelineQueries4 {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** kNN graph construction — the structure semantic dedup, diversity
+    * sampling, and graph-based curation (e.g. label propagation over a
+    * neighbor graph) all start from: every vector's exact top-3 cosine
+    * neighbors, each edge flagged `mutual` when its reverse edge is
+    * also a top-3 edge (mutual-kNN is the usual symmetrization before
+    * clustering). Execution: the broadcast top-K re-rank kernel
+    * (O(n·k) insertion buffer, no sort, same `maxCandidates` bound as
+    * all exact kernels — a 100 TB corpus routes candidates through the
+    * IVF/LSH tiers first), then the mutual flag is one equi join of
+    * the n·k edge list against itself on the reversed key — the edge
+    * list is k× the corpus row count, never pairs². Oracle replays
+    * with an all-pairs window + self left join. */
+  val knnGraph = sql("knn_graph",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       p AS (
+         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosim
+         FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       e AS (
+         SELECT vec_id, CAST(rn AS INT) AS nn_rank, neighbor_id,
+           round(cosim, 3) AS sim
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id)
+                 AS rn FROM p) t
+         WHERE rn <= 3)
+       SELECT e.vec_id, e.nn_rank, e.neighbor_id, e.sim,
+         CAST(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS mutual
+       FROM e LEFT JOIN e r ON e.vec_id = r.neighbor_id
+         AND e.neighbor_id = r.vec_id""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val topk = graft.functions.VectorSearch.bruteForceCosineTopK(emb, emb, 3)
+    val edges = topk.select(col("vec_id"), col("rank").as("nn_rank"),
+      col("neighbor_id"), round(col("cosim"), 3).as("sim"))
+    val rev = topk.select(col("vec_id").as("r_nbr"),
+      col("neighbor_id").as("r_vec"))
+    edges.join(rev,
+        edges("vec_id") === rev("r_vec") &&
+          edges("neighbor_id") === rev("r_nbr"), "left")
+      .select(col("vec_id"), col("nn_rank"), col("neighbor_id"), col("sim"),
+        when(col("r_vec").isNotNull, 1).otherwise(0).cast("int").as("mutual"))
+  }
+
   val all: Seq[QueryDef] = Seq(textPiiScrub, textChunkDedup,
-    graphComponentsStar)
+    graphComponentsStar, knnGraph)
 }

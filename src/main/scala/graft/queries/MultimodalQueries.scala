@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.Multimodal
+
+/** Round-6 media batch: REAL decode paths over synthesized REAL-format
+  * media, each oracle-checked end-to-end against arithmetic replays of
+  * the generating formulas (the `multimodal_av_meta` pattern — a valid
+  * binary fixture is synthesized from table fields inside the
+  * distributed task, parsed/decoded for real, and the oracle recomputes
+  * what a correct decode MUST yield):
+  *
+  *  - `audio_silence`: windowed PCM silence detection (voice-activity
+  *    shape) over gated 16-bit WAVs — real sample-level decode;
+  *  - `image_ahash`: 8×8 average-hash perceptual fingerprint through a
+  *    real PNG encode → real `javax.imageio` decode round trip — PNG is
+  *    lossless, so pixel arithmetic is exact on both sides;
+  *  - `video_frame_sample`: every-k-th-frame sampling (the row-exploding
+  *    UDTF shape) driven by a real MP4 sample-table parse.
+  *
+  * All outputs are integers derived from exact integer arithmetic —
+  * engine- and partitioning-independent by construction.
+  */
+object MultimodalQueries {
+  import QueryDef._
+
+  /** Windowed silence detection over REAL PCM samples: every document
+    * synthesizes a gated 16-bit WAV (alternate 80-sample blocks are
+    * silent — the speech-pause shape), the distributed decoder
+    * (Multimodal.pcmWindowStats) walks the RIFF chunks and folds
+    * per-80-sample-window peak and Σ|s|, flagging windows whose peak
+    * is under 512, and the oracle replays the generating CASE
+    * arithmetic. An off-by-one in window boundaries, a byte-order bug,
+    * or a wrong gate phase all break the hash. */
+  val audioSilence = sql("audio_silence",
+    """WITH p AS (
+         SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+           (200 + doc_id % 41) * (1 + doc_id % 2) AS n
+         FROM documents),
+       s AS (
+         SELECT doc_id, channels, sample_rate, i,
+           CASE WHEN (i // 80) % 2 = 1 THEN 0
+                ELSE ((doc_id * 131 + i * 17) % 65536) - 32768 END AS v
+         FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) t),
+       w AS (
+         SELECT doc_id, channels, sample_rate, i // 80 AS wi,
+           max(abs(v)) AS wpeak, sum(abs(v)) AS wsum
+         FROM s GROUP BY 1, 2, 3, 4)
+       SELECT doc_id, channels, sample_rate,
+         CAST(count(*) AS INT) AS n_windows,
+         CAST(sum(CASE WHEN wpeak < 512 THEN 1 ELSE 0 END) AS INT)
+           AS silent_windows,
+         CAST(max(wsum) AS BIGINT) AS max_win_sum_abs,
+         CAST(max(wpeak) AS BIGINT) AS peak
+       FROM w GROUP BY 1, 2, 3""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = Multimodal.synthGatedPcmWav(
+          channels = (1 + id % 2).toInt,
+          sampleRate = (8000 + (id % 8) * 1000).toInt,
+          frames = (200 + id % 41).toInt,
+          seed = id, win = 80)
+        val st = Multimodal.pcmWindowStats(bytes, win = 80,
+          silenceThreshold = 512).getOrElse(
+          throw new IllegalStateException(
+            s"audio_silence: synthesized WAV for doc $id failed to decode"))
+        (id, st.channels, st.sampleRate, st.nWindows, st.silentWindows,
+          st.maxWinSumAbs, st.peak)
+      })
+      .toDF("doc_id", "channels", "sample_rate", "n_windows",
+        "silent_windows", "max_win_sum_abs", "peak")
+  }
+
+  /** Perceptual image fingerprint through a REAL codec round trip:
+    * every document synthesizes an 8×8 grayscale PNG with pixel
+    * g(x,y) = (doc_id·31 + x·7 + y·13) mod 256 through the JDK's real
+    * PNG encoder, the distributed decoder (Multimodal.averageHash)
+    * decodes it back with `javax.imageio` and computes the 8×8
+    * average-hash (integer luma, mean = floor(Σ/64), bit y·8+x set
+    * when gray > mean), and the oracle recomputes hash halves, mean,
+    * and popcount from the generating formula — PNG losslessness is
+    * what makes the pixel arithmetic exact on both sides. The 64-bit
+    * hash is emitted as two 32-bit halves so neither side needs bit 63
+    * of a signed BIGINT. */
+  val imageAhash = sql("image_ahash",
+    """WITH px AS (
+         SELECT doc_id, i AS idx,
+           (doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256 AS g
+         FROM documents,
+           LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+       m AS (
+         SELECT doc_id, CAST(sum(g) // 64 AS INT) AS mean
+         FROM px GROUP BY 1)
+       SELECT px.doc_id,
+         CAST(max(m.mean) AS INT) AS mean,
+         CAST(sum(CASE WHEN g > m.mean THEN 1 ELSE 0 END) AS INT)
+           AS n_above,
+         CAST(sum(CASE WHEN g > m.mean AND idx >= 32
+              THEN (CAST(1 AS BIGINT) << CAST(idx - 32 AS INT))
+              ELSE 0 END) AS BIGINT) AS hash_hi,
+         CAST(sum(CASE WHEN g > m.mean AND idx < 32
+              THEN (CAST(1 AS BIGINT) << CAST(idx AS INT))
+              ELSE 0 END) AS BIGINT) AS hash_lo
+       FROM px JOIN m ON px.doc_id = m.doc_id
+       GROUP BY 1""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val png = Multimodal.synthPng(8, 8, id)
+          val h = Multimodal.averageHash(png).getOrElse(
+            throw new IllegalStateException(
+              s"image_ahash: synthesized PNG for doc $id failed to decode"))
+          (id, h.mean, h.nAbove, h.hashHi, h.hashLo)
+        }
+      }
+      .toDF("doc_id", "mean", "n_above", "hash_hi", "hash_lo")
+  }
+
+  /** Every-k-th-frame sampling — the row-exploding (UDTF) media shape,
+    * oracle-checked: every document synthesizes a minimal REAL MP4
+    * whose stsz sample table declares 4 + doc_id%13 frames, the
+    * distributed path (Multimodal.sampleFrames) parses the box tree
+    * for the frame count and explodes one row per every-3rd frame with
+    * a proportional byte slice, and the oracle replays the slice
+    * arithmetic: len(i) = floor(276(i+1)/frames) − floor(276i/frames)
+    * (synthMp4 emits exactly 276 bytes — pinned by MultimodalSpec). */
+  val videoFrameSample = sql("video_frame_sample",
+    """WITH p AS (
+         SELECT doc_id, CAST(4 + doc_id % 13 AS INT) AS frames
+         FROM documents),
+       s AS (
+         SELECT doc_id, frames, i
+         FROM p, LATERAL (SELECT unnest(range(0, frames)) AS i) t
+         WHERE i % 3 = 0)
+       SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         CAST((276 * (i + 1)) // frames - (276 * i) // frames AS INT)
+           AS frame_len
+       FROM s""") { (s, d) =>
+    import s.implicits._
+    val recs = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = Multimodal.synthMp4(
+          timescale = 1000, duration = 5000, w = 64, h = 48,
+          samples = (4 + id % 13).toInt)
+        Multimodal.MediaRecord(id, "video", bytes, 0, 0)
+      })
+    Multimodal.sampleFrames(recs, everyN = 3).toDF()
+      .select(col("id").as("doc_id"), col("frameIdx").as("frame_idx"),
+        octet_length(col("content")).as("frame_len"))
+  }
+
+  /** REAL video decode end-to-end — the one video format a bare JVM
+    * handles with no codec library: MJPEG-in-AVI. Every document
+    * synthesizes 2 + doc_id%5 REAL JPEG frames (JDK encoder) with
+    * per-frame dimensions w(i) = 16 + 8·((doc_id+i) mod 3),
+    * h(i) = 16 + 8·((7·doc_id+i) mod 3), muxes them into a REAL AVI
+    * (RIFF hdrl/movi), and the distributed path demuxes the container
+    * and REALLY decodes every frame's pixels back
+    * (Multimodal.decodeAviFrames → javax.imageio). JPEG is lossy so
+    * pixel values aren't replayable — decoded DIMENSIONS are exact,
+    * and the oracle replays the dimension arithmetic per frame. A bug
+    * in the muxer, the RIFF walk, chunk padding, or frame ordering
+    * breaks the hash. */
+  val videoMjpegFrames = sql("video_mjpeg_frames",
+    """WITH p AS (
+         SELECT doc_id, CAST(2 + doc_id % 5 AS INT) AS frames
+         FROM documents),
+       s AS (
+         SELECT doc_id, frames, i
+         FROM p, LATERAL (SELECT unnest(range(0, frames)) AS i) t)
+       SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         CAST(16 + 8 * ((doc_id + i) % 3) AS INT) AS width,
+         CAST(16 + 8 * ((7 * doc_id + i) % 3) AS INT) AS height,
+         CAST(frames AS INT) AS n_frames
+       FROM s""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          val n = (2 + id % 5).toInt
+          val jpegs = (0 until n).map { i =>
+            Multimodal.synthJpeg(
+              w = (16 + 8 * ((id + i) % 3)).toInt,
+              h = (16 + 8 * ((7 * id + i) % 3)).toInt,
+              seed = id * 1000 + i)
+          }
+          val avi = Multimodal.synthAvi(jpegs, w = 32, h = 32)
+          val frames = Multimodal.decodeAviFrames(avi).getOrElse(
+            throw new IllegalStateException(
+              s"video_mjpeg_frames: synthesized AVI for doc $id failed " +
+                "to demux/decode — the MJPEG path is broken"))
+          frames.map(f => (id, f.frameIdx, f.width, f.height, n))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "width", "height", "n_frames")
+  }
+
+  val all: Seq[QueryDef] = Seq(audioSilence, imageAhash, videoFrameSample,
+    videoMjpegFrames)
+}

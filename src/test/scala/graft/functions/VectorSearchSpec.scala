@@ -331,4 +331,35 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(violations === 0)
     sample.unpersist()
   }
+
+  test("bruteForceCosineTopK: rank 1 equals top-1, ranks are ordered, " +
+      "and a window-function replay agrees exactly") {
+    val k = 3
+    val topk = VectorSearch.bruteForceCosineTopK(emb, emb, k)
+    // rank 1 must reproduce the top-1 kernel exactly (id AND sim)
+    val r1 = topk.filter(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id"), col("cosim"))
+    val t1 = VectorSearch.bruteForceCosineTop1(emb, emb)
+    assert(r1.except(t1).count() === 0 && t1.except(r1).count() === 0)
+    // every probe emits exactly k rows (corpus > k) with ranks 1..k
+    val counts = topk.groupBy("vec_id").agg(
+      count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+    assert(counts.filter(col("n") =!= k || col("lo") =!= 1 ||
+      col("hi") =!= k).count() === 0)
+    // relational replay: row_number over the exact pairwise cosine
+    VectorExpressions.register(spark)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("nid"),
+        col("embedding").as("eb")))
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("cs", expr("cosine_sim(ea, eb)"))
+    val want = pairs.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cs").desc, col("nid"))))
+      .filter(col("rn") <= k)
+      .select(col("vec_id"), col("rn").as("rank"),
+        col("nid").as("neighbor_id"))
+    val got = topk.select(col("vec_id"), col("rank"), col("neighbor_id"))
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+  }
 }

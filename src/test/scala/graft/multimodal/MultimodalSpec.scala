@@ -186,6 +186,136 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decode(withStsz) === ((64, 48, 77)))
   }
 
+  test("REAL sample decode: decodePcm reads back the exact int16 " +
+      "stream, matching a direct fold of the generating formula") {
+    val (ch, sr, frames, seed) = (2, 16000, 333, 42L)
+    val bytes = Multimodal.synthPcmWav(ch, sr, frames, seed)
+    val st = Multimodal.decodePcm(bytes).get
+    val n = frames * ch
+    val samples = (0 until n).map(i =>
+      ((seed * 131L + i * 17L) % 65536L) - 32768L)
+    assert(st.channels === ch && st.sampleRate === sr)
+    assert(st.nSamples === n.toLong)
+    assert(st.peak === samples.map(math.abs).max)
+    assert(st.sumAbs === samples.map(math.abs).sum)
+    assert(st.sumSq === samples.map(s => s * s).sum)
+    val zc = samples.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    assert(st.zeroCrossings === zc.toLong)
+    // the header-only parser and the sample decoder agree on metadata
+    val meta = Multimodal.decodeWav(bytes).get
+    assert(meta.channels === ch && meta.sampleRate === sr)
+    assert(meta.samples === frames) // PCM frames, not interleaved samples
+    // non-PCM / truncated / garbage → None, never a throw
+    assert(Multimodal.decodePcm(bytes.take(50)).isEmpty)
+    assert(Multimodal.decodePcm("junk".getBytes("UTF-8")).isEmpty)
+    val float = bytes.clone()
+    float(20) = 3 // fmt tag → ieee_float: sample decode must decline
+    assert(Multimodal.decodePcm(float).isEmpty)
+  }
+
+  test("windowed PCM stats: gated fixture yields exactly the gated " +
+      "silent windows, matching a direct fold of the formula") {
+    val (ch, sr, frames, seed, win) = (2, 12000, 405, 7L, 80)
+    val bytes = Multimodal.synthGatedPcmWav(ch, sr, frames, seed, win)
+    val st = Multimodal.pcmWindowStats(bytes, win, 512).get
+    val n = frames * ch
+    val samples = (0 until n).map { i =>
+      if ((i / win) % 2 == 1) 0L
+      else ((seed * 131L + i * 17L) % 65536L) - 32768L
+    }
+    val windows = samples.grouped(win).toSeq
+    assert(st.channels === ch && st.sampleRate === sr)
+    assert(st.nWindows === windows.length)
+    assert(st.silentWindows ===
+      windows.count(_.map(math.abs).max < 512))
+    assert(st.maxWinSumAbs === windows.map(_.map(math.abs).sum).max)
+    assert(st.peak === samples.map(math.abs).max)
+    // the last window is short (810 % 80 = 10 samples) — boundary math
+    assert(n % win !== 0)
+    // non-PCM bytes decline
+    assert(Multimodal.pcmWindowStats("junk".getBytes, win, 512).isEmpty)
+  }
+
+  test("averageHash round-trips a real PNG encode/decode with exact " +
+      "pixel arithmetic") {
+    val seed = 99L
+    val png = Multimodal.synthPng(8, 8, seed)
+    // it really is a PNG (magic) decoded by the real reader
+    assert((png(1) & 0xff) === 'P'.toInt)
+    val h = Multimodal.averageHash(png).get
+    val g = for (y <- 0 until 8; x <- 0 until 8)
+      yield ((seed * 31L + x * 7L + y * 13L) % 256L).toInt
+    val mean = (g.map(_.toLong).sum / 64L).toInt
+    assert(h.mean === mean)
+    assert(h.nAbove === g.count(_ > mean))
+    val expLo = g.zipWithIndex.collect {
+      case (v, i) if v > mean && i < 32 => 1L << i }.sum
+    val expHi = g.zipWithIndex.collect {
+      case (v, i) if v > mean && i >= 32 => 1L << (i - 32) }.sum
+    assert(h.hashLo === expLo && h.hashHi === expHi)
+    // non-8×8 input goes through the real resize path and still hashes
+    val big = Multimodal.synthPng(32, 32, seed)
+    assert(Multimodal.averageHash(big).isDefined)
+    // garbage declines instead of throwing
+    assert(Multimodal.averageHash("nope".getBytes).isEmpty)
+  }
+
+  test("synthMp4 emits exactly 276 bytes (video_frame_sample oracle " +
+      "slice arithmetic depends on it)") {
+    assert(Multimodal.synthMp4(1000, 5000, 64, 48, samples = 9).length === 276)
+  }
+
+  test("MJPEG-in-AVI round trip: real JPEG frames mux into a real AVI " +
+      "and demux back with exact per-frame decoded dimensions") {
+    val dims = Seq((16, 24), (32, 16), (24, 32), (17, 19)) // odd sizes too
+    val jpegs = dims.zipWithIndex.map { case ((w, h), i) =>
+      Multimodal.synthJpeg(w, h, seed = 7L * i + 3)
+    }
+    // frames really are JPEGs (SOI marker) from the real encoder
+    jpegs.foreach { j =>
+      assert((j(0) & 0xff) === 0xff && (j(1) & 0xff) === 0xd8)
+    }
+    val avi = Multimodal.synthAvi(jpegs, w = 32, h = 32)
+    assert(new String(avi.slice(8, 12), "US-ASCII") === "AVI ")
+    val frames = Multimodal.decodeAviFrames(avi).get
+    assert(frames.length === dims.length)
+    frames.zip(dims).zipWithIndex.foreach { case ((f, (w, h)), i) =>
+      assert(f.frameIdx === i)
+      assert(f.width === w, s"frame $i width")
+      assert(f.height === h, s"frame $i height")
+      assert(f.byteLen === jpegs(i).length)
+    }
+    // non-AVI bytes decline
+    assert(Multimodal.decodeAviFrames("junk".getBytes).isEmpty)
+    assert(Multimodal.decodeAviFrames(
+      Multimodal.synthWav(1, 8000, 16)).isEmpty)
+    // a corrupt frame makes the CLIP decline (strict contract)
+    val bad = avi.clone()
+    // find the first frame chunk's payload start and wreck its header
+    val moviAt = {
+      var o = 12; var at = -1
+      while (at < 0 && o + 12 <= bad.length) {
+        if (new String(bad.slice(o, o + 4), "US-ASCII") == "LIST" &&
+            new String(bad.slice(o + 8, o + 12), "US-ASCII") == "movi")
+          at = o
+        else {
+          val sz = java.nio.ByteBuffer.wrap(bad, o + 4, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+          o += 8 + sz + (sz & 1)
+        }
+      }
+      at
+    }
+    assert(moviAt > 0)
+    bad(moviAt + 12 + 8) = 0 // first 00dc payload byte: kill the SOI
+    bad(moviAt + 12 + 9) = 0
+    assert(Multimodal.decodeAviFrames(bad).isEmpty)
+    // truncations never throw
+    (0 until avi.length by 97).foreach { n =>
+      Multimodal.decodeAviFrames(java.util.Arrays.copyOf(avi, n))
+    }
+  }
+
   test("corrupt/truncated bytes never kill the decode: fall back, not throw") {
     val png = makeImage(20, 20, "png")
     // truncations at every prefix length must degrade silently (the
