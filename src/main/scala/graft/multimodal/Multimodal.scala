@@ -414,14 +414,26 @@ object Multimodal {
     * decode recovers every pixel exactly — which makes pixel-level
     * image operators (e.g. [[averageHash]]) oracle-checkable from the
     * generating arithmetic. */
-  def synthPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+  def synthPng(w: Int, h: Int, seed: Long): Array[Byte] =
+    synthPngGray(Array.tabulate(w * h)(i =>
+      ((seed * 31L + (i % w) * 7L + (i / w) * 13L) % 256L).toInt), w, h)
+
+  /** REAL-PNG encode of an explicit row-major gray array (gray(y·w+x),
+    * values 0..255, rendered as r=g=b). The caller owns the pixel
+    * formula — which is what lets a query synthesize REPLAYABLE
+    * near-duplicate images (e.g. controlled pixel inversions) and an
+    * oracle recompute every pixel. PNG losslessness keeps the real
+    * decode exact. */
+  def synthPngGray(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(gray.length == w * h,
+      s"gray has ${gray.length} pixels, expected ${w * h}")
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = ((seed * 31L + x * 7L + y * 13L) % 256L).toInt
+        val g = gray(y * w + x) & 0xff
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }

@@ -206,6 +206,107 @@ object MultimodalQueries {
       .toDF("doc_id", "frame_idx", "width", "height", "n_frames")
   }
 
+  /** Perceptual image near-dup at scale — the LSH architecture applied
+    * to image fingerprints: real-decode every image to its 64-bit
+    * aHash, split the hash into four 16-bit bands, equi-join on
+    * (band, value) for candidates, then verify candidates exactly with
+    * bit_count(xor) and keep pairs at Hamming distance <= 6. Recall
+    * contract, same as every LSH tier: pairs within distance 3 are
+    * GUARANTEED found (pigeonhole — 4 bands, <= 3 differing bits leave
+    * one band untouched); 4..6 are found iff the differing bits leave
+    * some band clean. The oracle replays the identical banded
+    * semantics, so the check is exact, approximation included. Never
+    * all-pairs: one shuffle keyed by band value. The fixture
+    * plants REPLAYABLE near-duplicates: base image from doc_id mod 97,
+    * variant (doc_id div 97) mod 5 inverts the first `variant` pixels
+    * — same-variant docs hash identically, near variants differ in a
+    * few bits, distinct bases are far. At 100 TB the fingerprint scan
+    * is a write-once materialized table; here it recomputes per branch
+    * (decode is O(rows), no shuffle). Oracle replays pixels → mean →
+    * bits → bands → the same banded join in SQL. */
+  val imageNeardup = sql("image_neardup",
+    """WITH px AS (
+         SELECT doc_id, i AS idx,
+           CASE WHEN i < (doc_id // 97) % 5
+             THEN 255 - ((doc_id % 97) * 31 + (i % 8) * 7 + (i // 8) * 13) % 256
+             ELSE ((doc_id % 97) * 31 + (i % 8) * 7 + (i // 8) * 13) % 256
+           END AS g
+         FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+       m AS (
+         SELECT doc_id, CAST(sum(g) // 64 AS INT) AS mean
+         FROM px GROUP BY 1),
+       h AS (
+         SELECT px.doc_id,
+           CAST(sum(CASE WHEN g > mean AND idx >= 32
+                THEN (CAST(1 AS BIGINT) << CAST(idx - 32 AS INT))
+                ELSE 0 END) AS BIGINT) AS hi,
+           CAST(sum(CASE WHEN g > mean AND idx < 32
+                THEN (CAST(1 AS BIGINT) << CAST(idx AS INT))
+                ELSE 0 END) AS BIGINT) AS lo
+         FROM px JOIN m ON px.doc_id = m.doc_id GROUP BY 1),
+       bands AS (
+         SELECT doc_id, b,
+           CASE b WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                  WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bv
+         FROM h, LATERAL (SELECT unnest(range(0, 4)) AS b) t),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM bands a JOIN bands c
+           ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+       SELECT doc_a, doc_b, hamming FROM (
+         SELECT cand.doc_a, cand.doc_b,
+           CAST(bit_count(xor(ha.hi, hb.hi))
+              + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+         FROM cand
+         JOIN h ha ON ha.doc_id = cand.doc_a
+         JOIN h hb ON hb.doc_id = cand.doc_b) v
+       WHERE hamming <= 6""") { (s, d) =>
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val base = id % 97
+          val variant = ((id / 97) % 5).toInt
+          val gray = Array.tabulate(64) { i =>
+            val g = ((base * 31L + (i % 8) * 7L + (i / 8) * 13L) % 256L).toInt
+            if (i < variant) 255 - g else g
+          }
+          val png = Multimodal.synthPngGray(gray, 8, 8)
+          val h = Multimodal.averageHash(png).getOrElse(
+            throw new IllegalStateException(
+              s"image_neardup: synthesized PNG for doc $id failed to decode"))
+          (id, h.hashHi, h.hashLo)
+        }
+      }
+      .toDF("doc_id", "hi", "lo")
+    val bands = hashes.select(col("doc_id"), explode(array(
+        struct(lit(0).as("b"),
+          col("lo").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("b"), shiftright(col("lo"), 16).as("bv")),
+        struct(lit(2).as("b"),
+          col("hi").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(3).as("b"), shiftright(col("hi"), 16).as("bv"))))
+        .as("e"))
+      .select(col("doc_id"), col("e.b").as("b"), col("e.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"),
+        col("hi").as("ha_hi"), col("lo").as("ha_lo")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"),
+        col("hi").as("hb_hi"), col("lo").as("hb_lo")), "doc_b")
+      .withColumn("hamming",
+        (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+          bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("int"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val all: Seq[QueryDef] = Seq(audioSilence, imageAhash, videoFrameSample,
-    videoMjpegFrames)
+    videoMjpegFrames, imageNeardup)
 }
