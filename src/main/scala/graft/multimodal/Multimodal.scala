@@ -466,31 +466,18 @@ object Multimodal {
               new java.io.ByteArrayInputStream(b))))
         src.map { im =>
           val gray = new Array[Int](64)
-          var sum = 0L
           var y = 0
           while (y < 8) {
             var x = 0
             while (x < 8) {
               val rgb = im.getRGB(x, y)
-              val g = (((rgb >> 16) & 0xff) * 299 +
+              gray(y * 8 + x) = (((rgb >> 16) & 0xff) * 299 +
                 ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-              gray(y * 8 + x) = g
-              sum += g
               x += 1
             }
             y += 1
           }
-          val mean = (sum / 64L).toInt
-          var nAbove = 0; var hi = 0L; var lo = 0L
-          var i = 0
-          while (i < 64) {
-            if (gray(i) > mean) {
-              nAbove += 1
-              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-            }
-            i += 1
-          }
-          AHash(mean, nAbove, hi, lo)
+          grayHash(gray)
         }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -581,7 +568,25 @@ object Multimodal {
     * rule). [[decodeAviFrames]] demuxes it — and any other
     * MJPEG-in-AVI — back to per-frame real decodes. */
   def synthAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
-      fps: Int = 25): Array[Byte] = {
+      fps: Int = 25): Array[Byte] =
+    aviMux(frames, w, h, fps, handler = "MJPG", biCompression = mjpgFourcc,
+      chunkId = "00dc")
+
+  /** 'MJPG' as the little-endian biCompression int. */
+  private val mjpgFourcc =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Mux frames of uncompressed 24-bit DIB video (biCompression=0,
+    * BI_RGB) — each frame's bytes must already be in DIB layout:
+    * bottom-up rows, BGR pixels, rows padded to a 4-byte stride.
+    * [[synthDibFrame]] builds one from a logical top-down gray array. */
+  def synthAviDib(frames: Seq[Array[Byte]], w: Int, h: Int,
+      fps: Int = 25): Array[Byte] =
+    aviMux(frames, w, h, fps, handler = "DIB ", biCompression = 0,
+      chunkId = "00db")
+
+  private def aviMux(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+      handler: String, biCompression: Int, chunkId: String): Array[Byte] = {
     val moviBody = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
     val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
     val riffBody = 4 + (8 + hdrlBody) + (8 + moviBody)
@@ -596,21 +601,149 @@ object Multimodal {
       .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
     fourcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
     fourcc("strh"); bb.putInt(56)
-    fourcc("vids"); fourcc("MJPG")
+    fourcc("vids"); fourcc(handler)
     bb.putInt(0).putShort(0).putShort(0).putInt(0)
       .putInt(1).putInt(fps) // scale, rate
       .putInt(0).putInt(frames.length).putInt(0).putInt(-1).putInt(0)
       .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
     fourcc("strf"); bb.putInt(40)
     bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-    fourcc("MJPG")
+    bb.putInt(biCompression)
     bb.putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
     fourcc("LIST"); bb.putInt(moviBody); fourcc("movi")
     frames.foreach { f =>
-      fourcc("00dc"); bb.putInt(f.length); bb.put(f)
+      fourcc(chunkId); bb.putInt(f.length); bb.put(f)
       if ((f.length & 1) == 1) bb.put(0.toByte)
     }
     bb.array()
+  }
+
+  /** Build one uncompressed 24-bit DIB frame from a LOGICAL top-down
+    * row-major gray array: rows are stored bottom-up, pixels as BGR
+    * (r=g=b=gray here), each row zero-padded to a 4-byte stride — the
+    * three classic DIB decode hazards, all exercised on purpose. */
+  def synthDibFrame(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(gray.length == w * h,
+      s"gray has ${gray.length} pixels, expected ${w * h}")
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val storedRow = h - 1 - y // bottom-up
+      var x = 0
+      while (x < w) {
+        val g = (gray(y * w + x) & 0xff).toByte
+        val o = storedRow * stride + x * 3
+        out(o) = g; out(o + 1) = g; out(o + 2) = g // B, G, R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** One decoded frame of an uncompressed-DIB AVI clip: logical
+    * top-down row-major gray values (ITU-R 601 integer luma). */
+  case class DibFrame(frameIdx: Int, width: Int, height: Int,
+      gray: Array[Int])
+
+  /** REAL uncompressed-video decode: AVI carrying BI_RGB 24-bit DIB
+    * frames. Walks the RIFF tree for the strf BITMAPINFOHEADER
+    * (width, height, bit count, compression — must be 0/BI_RGB,
+    * 24-bit), then decodes every `..db`/`..dc` movi chunk: bottom-up
+    * row order un-flipped, BGR unpacked through the same integer
+    * 601 luma as the image path, 4-byte row stride honored. Returns
+    * None for non-AVI bytes, a non-DIB stream, or any frame whose
+    * chunk is not exactly stride×height bytes (strict, like the
+    * MJPEG path). */
+  def decodeDibFrames(b: Array[Byte]): Option[Seq[DibFrame]] =
+    try {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ")
+        return None
+      // find strf (recursive LIST walk) and the movi LIST
+      var strfOff = -1
+      var moviOff = -1
+      var moviEnd = -1
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = tag(b, off)
+          val size = le32(b, off + 4).toInt
+          if (id == "LIST" && off + 12 <= to) {
+            if (tag(b, off + 8) == "movi") {
+              moviOff = off + 12; moviEnd = off + 8 + size
+            } else walk(off + 12, math.min(off + 8 + size, to))
+          } else if (id == "strf" && strfOff < 0) strfOff = off + 8
+          off += 8 + size + (size & 1)
+        }
+      }
+      walk(12, b.length)
+      if (strfOff < 0 || strfOff + 20 > b.length) return None
+      if (moviOff < 0 || moviEnd > b.length) return None
+      val w = le32(b, strfOff + 4).toInt
+      val h = le32(b, strfOff + 8).toInt
+      val bits = le16(b, strfOff + 14)
+      val compression = le32(b, strfOff + 16).toInt
+      if (compression != 0 || bits != 24 || w <= 0 || h <= 0) return None
+      val stride = (w * 3 + 3) & ~3
+      val out = scala.collection.mutable.ArrayBuffer.empty[DibFrame]
+      var p = moviOff
+      var idx = 0
+      var ok = true
+      while (ok && p + 8 <= moviEnd) {
+        val cid = tag(b, p)
+        val clen = le32(b, p + 4).toInt
+        if (p + 8 + clen > moviEnd) ok = false
+        else {
+          if (cid.endsWith("db") || cid.endsWith("dc")) {
+            if (clen != stride * h) ok = false
+            else {
+              val gray = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                val storedRow = h - 1 - y
+                var x = 0
+                while (x < w) {
+                  val o = p + 8 + storedRow * stride + x * 3
+                  val bl = b(o) & 0xff
+                  val gr = b(o + 1) & 0xff
+                  val rd = b(o + 2) & 0xff
+                  gray(y * w + x) = (rd * 299 + gr * 587 + bl * 114) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              out += DibFrame(idx, w, h, gray)
+              idx += 1
+            }
+          }
+          p += 8 + clen + (clen & 1)
+        }
+      }
+      if (ok) Some(out.toSeq) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Average-hash fold over an explicit gray array (≤ 64 pixels):
+    * floor mean, bit i set when gray(i) > mean, split into 32-bit
+    * halves. The shared core of [[averageHash]] (which feeds it from
+    * a real image decode) and the DIB video fingerprint path. */
+  def grayHash(gray: Array[Int]): AHash = {
+    require(gray.length >= 1 && gray.length <= 64,
+      s"grayHash packs at most 64 bits, got ${gray.length}")
+    var sum = 0L
+    var i = 0
+    while (i < gray.length) { sum += gray(i); i += 1 }
+    val mean = (sum / gray.length).toInt
+    var nAbove = 0; var hi = 0L; var lo = 0L
+    i = 0
+    while (i < gray.length) {
+      if (gray(i) > mean) {
+        nAbove += 1
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    AHash(mean, nAbove, hi, lo)
   }
 
   def synthWav(channels: Int, sampleRate: Int, dataLen: Int): Array[Byte] = {

@@ -307,6 +307,123 @@ object MultimodalQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Perceptual VIDEO near-dup — the full media-dedup composition:
+    * every document synthesizes a 4-frame clip of REAL uncompressed
+    * 24-bit DIB-in-AVI video (bottom-up rows, BGR, 4-byte stride —
+    * frames are 10×6 so the stride really pads, 30 → 32 bytes), the
+    * distributed path demuxes the container and decodes every frame
+    * (Multimodal.decodeDibFrames — DIB is lossless, so unlike MJPEG
+    * the decoded PIXELS are oracle-replayable), fingerprints each
+    * frame with the 60-bit gray average-hash, and near-dup clips come
+    * from the banded-LSH architecture with a frame dimension:
+    * candidates share (frame, band, value) — one equi-join shuffle,
+    * never all-pairs — verified by the total Hamming distance summed
+    * across all 4 frames, kept at <= 12. The fixture plants replayable
+    * near-duplicate clips (base from doc_id mod 97, variant inverts
+    * the first pixels of every frame), and the oracle replays pixels →
+    * per-frame mean/bits → bands → the same banded join + summed
+    * verify. A row-flip, stride, or BGR-order bug in either the muxer
+    * or the decoder breaks the hash. */
+  val videoNeardup = sql("video_neardup",
+    """WITH px AS (
+         SELECT doc_id, f, i,
+           CASE WHEN i < (doc_id // 97) % 5
+             THEN 255 - ((doc_id % 97) * 31 + f * 59 + (i % 10) * 7
+                         + (i // 10) * 13) % 256
+             ELSE ((doc_id % 97) * 31 + f * 59 + (i % 10) * 7
+                   + (i // 10) * 13) % 256
+           END AS g
+         FROM documents,
+           LATERAL (SELECT unnest(range(0, 4)) AS f) tf,
+           LATERAL (SELECT unnest(range(0, 60)) AS i) ti),
+       m AS (
+         SELECT doc_id, f, CAST(sum(g) // 60 AS INT) AS mean
+         FROM px GROUP BY 1, 2),
+       h AS (
+         SELECT px.doc_id, px.f,
+           CAST(sum(CASE WHEN g > mean AND i >= 32
+                THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+                ELSE 0 END) AS BIGINT) AS hi,
+           CAST(sum(CASE WHEN g > mean AND i < 32
+                THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                ELSE 0 END) AS BIGINT) AS lo
+         FROM px JOIN m ON px.doc_id = m.doc_id AND px.f = m.f
+         GROUP BY 1, 2),
+       bands AS (
+         SELECT doc_id, f, b,
+           CASE b WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                  WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bv
+         FROM h, LATERAL (SELECT unnest(range(0, 4)) AS b) t),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM bands a JOIN bands c
+           ON a.f = c.f AND a.b = c.b AND a.bv = c.bv
+             AND a.doc_id < c.doc_id)
+       SELECT doc_a, doc_b, hamming FROM (
+         SELECT cand.doc_a, cand.doc_b,
+           CAST(sum(bit_count(xor(ha.hi, hb.hi))
+                  + bit_count(xor(ha.lo, hb.lo))) AS INT) AS hamming
+         FROM cand
+         JOIN h ha ON ha.doc_id = cand.doc_a
+         JOIN h hb ON hb.doc_id = cand.doc_b AND hb.f = ha.f
+         GROUP BY 1, 2) v
+       WHERE hamming <= 12""") { (s, d) =>
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val base = id % 97
+          val variant = ((id / 97) % 5).toInt
+          val frames = (0 until 4).map { f =>
+            Multimodal.synthDibFrame(Array.tabulate(60) { i =>
+              val g = ((base * 31L + f * 59L + (i % 10) * 7L +
+                (i / 10) * 13L) % 256L).toInt
+              if (i < variant) 255 - g else g
+            }, 10, 6)
+          }
+          val avi = Multimodal.synthAviDib(frames, 10, 6)
+          val dec = Multimodal.decodeDibFrames(avi).getOrElse(
+            throw new IllegalStateException(
+              s"video_neardup: synthesized DIB AVI for doc $id failed " +
+                "to demux/decode"))
+          dec.map { fr =>
+            val h = Multimodal.grayHash(fr.gray)
+            (id, fr.frameIdx, h.hashHi, h.hashLo)
+          }
+        }
+      }
+      .toDF("doc_id", "f", "hi", "lo")
+    val bands = hashes.select(col("doc_id"), col("f"), explode(array(
+        struct(lit(0).as("b"),
+          col("lo").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("b"), shiftright(col("lo"), 16).as("bv")),
+        struct(lit(2).as("b"),
+          col("hi").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(3).as("b"), shiftright(col("hi"), 16).as("bv"))))
+        .as("e"))
+      .select(col("doc_id"), col("f"), col("e.b").as("b"),
+        col("e.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("c"),
+        col("a.f") === col("c.f") && col("a.b") === col("c.b") &&
+          col("a.bv") === col("c.bv") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"), col("f"),
+        col("hi").as("ha_hi"), col("lo").as("ha_lo")), "doc_a")
+      .join(hashes.select(col("doc_id").as("b_doc"), col("f").as("fb"),
+        col("hi").as("hb_hi"), col("lo").as("hb_lo")),
+        col("doc_b") === col("b_doc") && col("f") === col("fb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+        bit_count(col("ha_lo").bitwiseXOR(col("hb_lo"))))
+        .cast("int").as("hamming"))
+      .filter(col("hamming") <= 12)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val all: Seq[QueryDef] = Seq(audioSilence, imageAhash, videoFrameSample,
-    videoMjpegFrames, imageNeardup)
+    videoMjpegFrames, imageNeardup, videoNeardup)
 }

@@ -346,8 +346,40 @@ object StreamingQueries {
     graft.streaming.StreamingJobs.streamingIncrementalDedup(s, d, dir)
   }
 
+  /** Streaming media ingest with REAL sample-level decode
+    * (StreamingJobs.streamingMediaDecode): micro-batches synthesize
+    * and fully decode PCM-16 WAVs (every int16 sample read back),
+    * folded into per-(channels, sample_rate) corpus audio stats by a
+    * complete-mode aggregate whose state is bounded by the key space.
+    * Decode is stateless, so streaming == batch by construction and
+    * the oracle replays the batch arithmetic of `audio_pcm_stats`
+    * grouped one level up. */
+  val streamMediaDecode = sql("stream_media_decode",
+    """WITH p AS (
+         SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+           (120 + doc_id % 37) * (1 + doc_id % 2) AS n
+         FROM documents),
+       s AS (
+         SELECT doc_id, channels, sample_rate, n,
+           ((doc_id * 131 + i * 17) % 65536) - 32768 AS v
+         FROM p, LATERAL (SELECT unnest(range(0, n)) AS i) t),
+       d AS (
+         SELECT doc_id, channels, sample_rate, max(n) AS ns,
+           sum(abs(v)) AS sa, max(abs(v)) AS pk
+         FROM s GROUP BY 1, 2, 3)
+       SELECT channels, sample_rate, count(*) AS n_docs,
+         CAST(sum(ns) AS BIGINT) AS total_samples,
+         CAST(sum(sa) AS BIGINT) AS total_sum_abs,
+         CAST(max(pk) AS BIGINT) AS max_peak
+       FROM d GROUP BY 1, 2""") { (s, d) =>
+    graft.streaming.StreamingJobs.streamingMediaDecode(s, d)
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent,
-    streamStaticJoin, streamDecontaminate, streamIncrementalDedup)
+    streamStaticJoin, streamDecontaminate, streamIncrementalDedup,
+    streamMediaDecode)
 }

@@ -447,4 +447,53 @@ object StreamingJobs {
     }
     spark.table(qname)
   }
+
+  /** Streaming media ingest with REAL sample-level decode: each
+    * micro-batch synthesizes its documents' PCM-16 WAVs and decodes
+    * every sample through `Multimodal.decodePcm` (a stateless
+    * mapPartitions — codec init per partition, rows stream through),
+    * then a complete-mode aggregate folds per-(channels, sample_rate)
+    * corpus audio stats. Decode is stateless so the streaming result
+    * is the batch result by construction — the oracle replays the
+    * batch arithmetic; the aggregation state is bounded by the
+    * (channels × rate) key space, not the corpus. This is the
+    * continuous-ingest face of `audio_pcm_stats`, as
+    * `stream_incremental_dedup` is of `dedup_incremental`. */
+  def streamingMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val stats = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = Multimodal.synthPcmWav(
+            channels = (1 + id % 2).toInt,
+            sampleRate = (8000 + (id % 8) * 1000).toInt,
+            frames = (120 + id % 37).toInt,
+            seed = id)
+          val st = Multimodal.decodePcm(bytes).getOrElse(
+            throw new IllegalStateException(
+              s"stream_media_decode: WAV for doc $id failed to decode"))
+          (st.channels, st.sampleRate, st.nSamples, st.sumAbs, st.peak)
+        }
+      }
+      .toDF("channels", "sample_rate", "n_samples", "sum_abs", "peak")
+    val agg = stats.groupBy(col("channels"), col("sample_rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_samples")).as("total_samples"),
+        sum(col("sum_abs")).as("total_sum_abs"),
+        max(col("peak")).as("max_peak"))
+    val qname = "graft_stream_media"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    withStreamShufflePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    spark.table(qname)
+  }
 }

@@ -316,6 +316,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("DIB-in-AVI round trip: bottom-up rows, BGR, and stride padding " +
+      "all decode back to the exact logical gray pixels") {
+    val (w, h) = (10, 6) // stride 32 > 30: padding is really exercised
+    val grays = (0 until 3).map(f =>
+      Array.tabulate(w * h)(i => (f * 59 + i * 7) % 256))
+    val frames = grays.map(Multimodal.synthDibFrame(_, w, h))
+    assert(frames.head.length === 32 * h)
+    // byte-level pin: the FIRST stored row is the LAST logical row —
+    // a missing flip in BOTH mux and demux would cancel; this can't
+    val lastLogical = grays.head.slice((h - 1) * w, h * w)
+    (0 until w).foreach { x =>
+      assert((frames.head(x * 3) & 0xff) === lastLogical(x))
+    }
+    val avi = Multimodal.synthAviDib(frames, w, h)
+    val dec = Multimodal.decodeDibFrames(avi).get
+    assert(dec.length === 3)
+    dec.zip(grays).zipWithIndex.foreach { case ((fr, g), i) =>
+      assert(fr.frameIdx === i && fr.width === w && fr.height === h)
+      assert(fr.gray.toSeq === g.toSeq, s"frame $i pixels") // luma(g,g,g)=g
+    }
+    // grayHash over 60 pixels packs bits 0..59 exactly
+    val hsh = Multimodal.grayHash(dec.head.gray)
+    val mean = (dec.head.gray.map(_.toLong).sum / 60L).toInt
+    assert(hsh.mean === mean)
+    assert(hsh.nAbove === dec.head.gray.count(_ > mean))
+    // the MJPEG decoder declines a DIB stream and vice versa
+    assert(Multimodal.decodeAviFrames(avi).isEmpty)
+    val jpegAvi = Multimodal.synthAvi(
+      Seq(Multimodal.synthJpeg(8, 8, 1L)), 8, 8)
+    assert(Multimodal.decodeDibFrames(jpegAvi).isEmpty)
+    // wrong-size frame chunk → whole clip declines (strict)
+    val badAvi = Multimodal.synthAviDib(
+      frames.head.take(32 * h - 32) +: frames.tail, w, h)
+    assert(Multimodal.decodeDibFrames(badAvi).isEmpty)
+    // truncations never throw
+    (0 until avi.length by 89).foreach { n =>
+      Multimodal.decodeDibFrames(java.util.Arrays.copyOf(avi, n))
+    }
+  }
+
   test("corrupt/truncated bytes never kill the decode: fall back, not throw") {
     val png = makeImage(20, 20, "png")
     // truncations at every prefix length must degrade silently (the
