@@ -365,6 +365,67 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Acoustic fingerprint of a PCM-16 clip — the Shazam/Chromaprint
+    * bit shape reduced to its integer core: window the sample stream
+    * (`win` interleaved samples), fold each window's energy Σ|s|, and
+    * set bit w when energy rises from window w to w+1 (strict; ties
+    * and falls are 0). At most 64 bits (the first 65 complete
+    * windows), packed as two 32-bit halves like [[AHash]]. Energy
+    * deltas survive gain changes and small edits, which is what makes
+    * the bits a near-dup key; all-integer, so the fingerprint is
+    * replayable on any engine. */
+  case class PcmFingerprint(nWindows: Int, nBits: Int,
+      hashHi: Long, hashLo: Long)
+
+  /** REAL-decode acoustic fingerprint: same RIFF/PCM-16 walk as
+    * [[decodePcm]], then per-window energies and rise bits. Uses only
+    * COMPLETE windows; needs at least two (else None). */
+  def pcmEnergyFingerprint(b: Array[Byte], win: Int): Option[PcmFingerprint] =
+    try {
+      require(win >= 1, "win must be >= 1")
+      pcm16(b).flatMap { case (_, _, dataOff, n) =>
+        val nW = n / win
+        if (nW < 2) None
+        else {
+          val e = new Array[Long](nW)
+          var w = 0
+          while (w < nW) {
+            var acc = 0L
+            var j = w * win
+            val end = j + win
+            while (j < end) { acc += math.abs(sample16(b, dataOff, j)); j += 1 }
+            e(w) = acc
+            w += 1
+          }
+          val nBits = math.min(nW - 1, 64)
+          var hi = 0L; var lo = 0L
+          var i = 0
+          while (i < nBits) {
+            if (e(i + 1) > e(i)) { // rise
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          Some(PcmFingerprint(nW, nBits, hi, lo))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL-PCM encode of an explicit interleaved int16 sample array —
+    * the caller owns the sample formula (mirrors [[synthPngGray]]),
+    * which is what lets a query plant replayable near-duplicate
+    * clips. */
+  def synthPcmWavSamples(channels: Int, sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val bytes = synthWav(channels, sampleRate, samples.length * 2)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(44)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bytes
+  }
+
   /** Deterministic REAL-PCM fixture: a valid 16-bit WAV whose data
     * chunk holds `n` interleaved samples s(i) = ((seed·131 + i·17)
     * mod 65536) − 32768 — arithmetic an oracle can replay exactly,

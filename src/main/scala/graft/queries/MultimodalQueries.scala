@@ -217,7 +217,10 @@ object MultimodalQueries {
     * some band clean. The oracle replays the identical banded
     * semantics, so the check is exact, approximation included. Never
     * all-pairs: one shuffle keyed by band value. The fixture
-    * plants REPLAYABLE near-duplicates: base image from doc_id mod 97,
+    * plants REPLAYABLE near-duplicates: base image from doc_id mod 97
+    * through an md5-derived pixel formula (distinct bases decorrelate
+    * to ~32-bit distance — any smooth/linear formula makes every
+    * image hash alike and explodes the pair set toward n²);
     * variant (doc_id div 97) mod 5 inverts the first `variant` pixels
     * — same-variant docs hash identically, near variants differ in a
     * few bits, distinct bases are far. At 100 TB the fingerprint scan
@@ -225,13 +228,20 @@ object MultimodalQueries {
     * (decode is O(rows), no shuffle). Oracle replays pixels → mean →
     * bits → bands → the same banded join in SQL. */
   val imageNeardup = sql("image_neardup",
-    """WITH px AS (
-         SELECT doc_id, i AS idx,
-           CASE WHEN i < (doc_id // 97) % 5
-             THEN 255 - ((doc_id % 97) * 31 + (i % 8) * 7 + (i // 8) * 13) % 256
-             ELSE ((doc_id % 97) * 31 + (i % 8) * 7 + (i // 8) * 13) % 256
-           END AS g
+    """WITH raw AS (
+         SELECT doc_id, i,
+           md5(CAST(doc_id % 97 AS VARCHAR) || ':'
+               || CAST(i AS VARCHAR)) AS hx
          FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS i) t),
+       gg AS (
+         SELECT doc_id, i,
+           (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS g0
+         FROM raw),
+       px AS (
+         SELECT doc_id, i AS idx,
+           CASE WHEN i < (doc_id // 97) % 5 THEN 255 - g0 ELSE g0 END AS g
+         FROM gg),
        m AS (
          SELECT doc_id, CAST(sum(g) // 64 AS INT) AS mean
          FROM px GROUP BY 1),
@@ -266,11 +276,13 @@ object MultimodalQueries {
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { id =>
           val base = id % 97
           val variant = ((id / 97) % 5).toInt
           val gray = Array.tabulate(64) { i =>
-            val g = ((base * 31L + (i % 8) * 7L + (i / 8) * 13L) % 256L).toInt
+            // first md5 byte == first two hex chars of the digest
+            val g = md.digest(s"$base:$i".getBytes("UTF-8"))(0) & 0xff
             if (i < variant) 255 - g else g
           }
           val png = Multimodal.synthPngGray(gray, 8, 8)
@@ -319,23 +331,30 @@ object MultimodalQueries {
     * candidates share (frame, band, value) — one equi-join shuffle,
     * never all-pairs — verified by the total Hamming distance summed
     * across all 4 frames, kept at <= 12. The fixture plants replayable
-    * near-duplicate clips (base from doc_id mod 97, variant inverts
-    * the first pixels of every frame), and the oracle replays pixels →
+    * near-duplicate clips (base from doc_id mod 97 through the same
+    * md5-derived decorrelating pixel formula as `image_neardup`;
+    * variant inverts the first pixels of every frame), and the oracle
+    * replays pixels →
     * per-frame mean/bits → bands → the same banded join + summed
     * verify. A row-flip, stride, or BGR-order bug in either the muxer
     * or the decoder breaks the hash. */
   val videoNeardup = sql("video_neardup",
-    """WITH px AS (
+    """WITH raw AS (
          SELECT doc_id, f, i,
-           CASE WHEN i < (doc_id // 97) % 5
-             THEN 255 - ((doc_id % 97) * 31 + f * 59 + (i % 10) * 7
-                         + (i // 10) * 13) % 256
-             ELSE ((doc_id % 97) * 31 + f * 59 + (i % 10) * 7
-                   + (i // 10) * 13) % 256
-           END AS g
+           md5(CAST(doc_id % 97 AS VARCHAR) || ':'
+               || CAST(f * 60 + i AS VARCHAR)) AS hx
          FROM documents,
            LATERAL (SELECT unnest(range(0, 4)) AS f) tf,
            LATERAL (SELECT unnest(range(0, 60)) AS i) ti),
+       gg AS (
+         SELECT doc_id, f, i,
+           (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS g0
+         FROM raw),
+       px AS (
+         SELECT doc_id, f, i,
+           CASE WHEN i < (doc_id // 97) % 5 THEN 255 - g0 ELSE g0 END AS g
+         FROM gg),
        m AS (
          SELECT doc_id, f, CAST(sum(g) // 60 AS INT) AS mean
          FROM px GROUP BY 1, 2),
@@ -372,13 +391,14 @@ object MultimodalQueries {
     val hashes = Tables.documents(s, d)
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { id =>
           val base = id % 97
           val variant = ((id / 97) % 5).toInt
           val frames = (0 until 4).map { f =>
             Multimodal.synthDibFrame(Array.tabulate(60) { i =>
-              val g = ((base * 31L + f * 59L + (i % 10) * 7L +
-                (i / 10) * 13L) % 256L).toInt
+              val g = md.digest(
+                s"$base:${f * 60 + i}".getBytes("UTF-8"))(0) & 0xff
               if (i < variant) 255 - g else g
             }, 10, 6)
           }
@@ -424,6 +444,128 @@ object MultimodalQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Acoustic near-dup — completing the image/video/audio perceptual
+    * dedup family: every document synthesizes a REAL PCM-16 WAV of 65
+    * 80-sample windows, the distributed path fully decodes the
+    * samples and fingerprints the clip with 64 energy-rise bits
+    * (Multimodal.pcmEnergyFingerprint — bit w set when window w+1's
+    * Σ|s| exceeds window w's, the Chromaprint shape in integer form),
+    * and near-dup clips come from the same banded-Hamming join as the
+    * image tier: four 16-bit bands, candidates on (band, value), exact
+    * bit_count(xor) verify ≤ 6. The fixture plants replayable near
+    * dups: base stream from doc_id mod 97 (md5-derived 16-bit phase
+    * per (base, window), so energy patterns decorrelate); variant
+    * (doc_id div 97)
+    * mod 5 zeroes every other sample in the first `variant` windows —
+    * halving those windows' energies and flipping only boundary bits.
+    * The oracle replays samples → window energies → lead() rises →
+    * packed bits → the same banded join. */
+  val audioNeardup = sql("audio_neardup",
+    """WITH p AS (
+         SELECT doc_id, (doc_id // 97) % 5 AS variant FROM documents),
+       hw AS (
+         SELECT doc_id, variant, w,
+           (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS hv
+         FROM (
+           SELECT doc_id, variant, w,
+             md5(CAST(doc_id % 97 AS VARCHAR) || ':'
+                 || CAST(w AS VARCHAR)) AS hx
+           FROM p, LATERAL (SELECT unnest(range(0, 65)) AS w) t) q),
+       s AS (
+         SELECT doc_id, w,
+           CASE WHEN w < variant AND j % 2 = 0 THEN 0
+                ELSE abs(((hv + j * 17) % 65536) - 32768)
+           END AS a
+         FROM hw, LATERAL (SELECT unnest(range(0, 80)) AS j) t),
+       e AS (SELECT doc_id, w, sum(a) AS en FROM s GROUP BY 1, 2),
+       bits AS (
+         SELECT doc_id, w,
+           CASE WHEN nxt > en THEN 1 ELSE 0 END AS bit
+         FROM (SELECT doc_id, w, en,
+                 lead(en) OVER (PARTITION BY doc_id ORDER BY w) AS nxt
+               FROM e) q
+         WHERE w < 64),
+       h AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN bit = 1 AND w >= 32
+                THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INT))
+                ELSE 0 END) AS BIGINT) AS hi,
+           CAST(sum(CASE WHEN bit = 1 AND w < 32
+                THEN (CAST(1 AS BIGINT) << CAST(w AS INT))
+                ELSE 0 END) AS BIGINT) AS lo
+         FROM bits GROUP BY 1),
+       bands AS (
+         SELECT doc_id, b,
+           CASE b WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                  WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bv
+         FROM h, LATERAL (SELECT unnest(range(0, 4)) AS b) t),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM bands a JOIN bands c
+           ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+       SELECT doc_a, doc_b, hamming FROM (
+         SELECT cand.doc_a, cand.doc_b,
+           CAST(bit_count(xor(ha.hi, hb.hi))
+              + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+         FROM cand
+         JOIN h ha ON ha.doc_id = cand.doc_a
+         JOIN h hb ON hb.doc_id = cand.doc_b) v
+       WHERE hamming <= 6""") { (s, d) =>
+    import s.implicits._
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+        val base = id % 97
+        val variant = ((id / 97) % 5).toInt
+        // 16-bit phase per window == first four hex chars of the digest
+        val phase = Array.tabulate(65) { w =>
+          val d = md.digest(s"$base:$w".getBytes("UTF-8"))
+          ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+        }
+        val samples = Array.tabulate[Short](5200) { i =>
+          val w = i / 80; val j = i % 80
+          if (w < variant && i % 2 == 0) 0
+          else (((phase(w) + j * 17L) % 65536L) - 32768L).toShort
+        }
+        val wav = Multimodal.synthPcmWavSamples(1, 8000, samples)
+        val fp = Multimodal.pcmEnergyFingerprint(wav, win = 80).getOrElse(
+          throw new IllegalStateException(
+            s"audio_neardup: synthesized WAV for doc $id failed to decode"))
+        (id, fp.hashHi, fp.hashLo)
+        }
+      }
+      .toDF("doc_id", "hi", "lo")
+    val bands = hashes.select(col("doc_id"), explode(array(
+        struct(lit(0).as("b"),
+          col("lo").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("b"), shiftright(col("lo"), 16).as("bv")),
+        struct(lit(2).as("b"),
+          col("hi").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(3).as("b"), shiftright(col("hi"), 16).as("bv"))))
+        .as("e"))
+      .select(col("doc_id"), col("e.b").as("b"), col("e.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("doc_a"),
+        col("hi").as("ha_hi"), col("lo").as("ha_lo")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"),
+        col("hi").as("hb_hi"), col("lo").as("hb_lo")), "doc_b")
+      .withColumn("hamming",
+        (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
+          bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("int"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val all: Seq[QueryDef] = Seq(audioSilence, imageAhash, videoFrameSample,
-    videoMjpegFrames, imageNeardup, videoNeardup)
+    videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup)
 }

@@ -356,6 +356,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pcmEnergyFingerprint: rise bits match a direct fold, gain " +
+      "invariance holds, and degenerate inputs decline") {
+    val samples = Array.tabulate[Short](5200)(i =>
+      (((7L * 131L + i * 17L) % 65536L) - 32768L).toShort)
+    val wav = Multimodal.synthPcmWavSamples(1, 8000, samples)
+    val fp = Multimodal.pcmEnergyFingerprint(wav, 80).get
+    assert(fp.nWindows === 65 && fp.nBits === 64)
+    val e = samples.map(s => math.abs(s.toLong)).grouped(80)
+      .map(_.sum).toArray
+    (0 until 64).foreach { w =>
+      val bit =
+        if (w < 32) (fp.hashLo >> w) & 1L else (fp.hashHi >> (w - 32)) & 1L
+      assert(bit === (if (e(w + 1) > e(w)) 1L else 0L), s"bit $w")
+    }
+    // halving every sample halves energies but keeps every rise bit —
+    // the gain invariance that makes the bits a dedup key
+    val half = Multimodal.synthPcmWavSamples(1, 8000,
+      samples.map(s => (s / 2).toShort))
+    val fph = Multimodal.pcmEnergyFingerprint(half, 80).get
+    assert(fph.hashHi === fp.hashHi && fph.hashLo === fp.hashLo)
+    // fewer than two complete windows, or garbage → None
+    assert(Multimodal.pcmEnergyFingerprint(
+      Multimodal.synthPcmWavSamples(1, 8000, new Array[Short](79)), 80).isEmpty)
+    assert(Multimodal.pcmEnergyFingerprint("junk".getBytes, 80).isEmpty)
+  }
+
   test("corrupt/truncated bytes never kill the decode: fall back, not throw") {
     val png = makeImage(20, 20, "png")
     // truncations at every prefix length must degrade silently (the
