@@ -422,6 +422,49 @@ object ScaleCheck {
       c
     }
 
+    // REAL media decode throughput: synth + full PCM sample decode per
+    // doc in one stateless mapPartitions — no shuffle at all, so cost
+    // must track corpus rows exactly (the embarrassingly-parallel
+    // baseline every media op builds on)
+    time("media_pcm_decode") {
+      import spark.implicits._
+      docs.select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val b = graft.multimodal.Multimodal.synthPcmWav(
+            channels = (1 + math.floorMod(id, 2)).toInt,
+            sampleRate = (8000 + math.floorMod(id, 8) * 1000).toInt,
+            frames = (120 + math.floorMod(id, 37)).toInt, seed = id)
+          graft.multimodal.Multimodal.decodePcm(b)
+            .map(_.nSamples).getOrElse(-1L)
+        })
+        .filter(_ >= 0).count()
+    }
+    // banded-Hamming media near-dup: fingerprints replicate with the
+    // docs (ids shifted per copy → fresh base groups, constant dup
+    // density); candidate growth must track real collisions, not pairs²
+    time("media_neardup_banded") {
+      import spark.implicits._
+      val hashes = docs.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { id =>
+            // fold the copy index into the base so replicated docs form
+            // FRESH dup groups (constant dup density, like the mutate
+            // flag for text) instead of multiplying group sizes
+            val base = math.floorMod(id, 97) + (id / shift) * 97L
+            val variant = (math.floorMod(id / 97, 5)).toInt
+            val gray = Array.tabulate(64) { i =>
+              val g = md.digest(s"$base:$i".getBytes("UTF-8"))(0) & 0xff
+              if (i < variant) 255 - g else g
+            }
+            val h = graft.multimodal.Multimodal.grayHash(gray)
+            (id, h.hashHi, h.hashLo)
+          }
+        }
+        .toDF("id", "hi", "lo")
+      graft.functions.Fingerprints.bandedHammingPairs(hashes, 6).count()
+    }
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","copies":$copies,"unit":"sec","ops":$qs,"sf":"$sfDir"}""")

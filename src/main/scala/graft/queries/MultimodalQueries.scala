@@ -293,30 +293,8 @@ object MultimodalQueries {
         }
       }
       .toDF("doc_id", "hi", "lo")
-    val bands = hashes.select(col("doc_id"), explode(array(
-        struct(lit(0).as("b"),
-          col("lo").bitwiseAND(lit(65535L)).as("bv")),
-        struct(lit(1).as("b"), shiftright(col("lo"), 16).as("bv")),
-        struct(lit(2).as("b"),
-          col("hi").bitwiseAND(lit(65535L)).as("bv")),
-        struct(lit(3).as("b"), shiftright(col("hi"), 16).as("bv"))))
-        .as("e"))
-      .select(col("doc_id"), col("e.b").as("b"), col("e.bv").as("bv"))
-    val cand = bands.as("a").join(bands.as("c"),
-        col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
-          col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(hashes.select(col("doc_id").as("doc_a"),
-        col("hi").as("ha_hi"), col("lo").as("ha_lo")), "doc_a")
-      .join(hashes.select(col("doc_id").as("doc_b"),
-        col("hi").as("hb_hi"), col("lo").as("hb_lo")), "doc_b")
-      .withColumn("hamming",
-        (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
-          bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("int"))
-      .filter(col("hamming") <= 6)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    graft.functions.Fingerprints.bandedHammingPairs(
+      hashes.withColumnRenamed("doc_id", "id"), maxHamming = 6)
   }
 
   /** Perceptual VIDEO near-dup — the full media-dedup composition:
@@ -414,34 +392,9 @@ object MultimodalQueries {
         }
       }
       .toDF("doc_id", "f", "hi", "lo")
-    val bands = hashes.select(col("doc_id"), col("f"), explode(array(
-        struct(lit(0).as("b"),
-          col("lo").bitwiseAND(lit(65535L)).as("bv")),
-        struct(lit(1).as("b"), shiftright(col("lo"), 16).as("bv")),
-        struct(lit(2).as("b"),
-          col("hi").bitwiseAND(lit(65535L)).as("bv")),
-        struct(lit(3).as("b"), shiftright(col("hi"), 16).as("bv"))))
-        .as("e"))
-      .select(col("doc_id"), col("f"), col("e.b").as("b"),
-        col("e.bv").as("bv"))
-    val cand = bands.as("a").join(bands.as("c"),
-        col("a.f") === col("c.f") && col("a.b") === col("c.b") &&
-          col("a.bv") === col("c.bv") &&
-          col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(hashes.select(col("doc_id").as("doc_a"), col("f"),
-        col("hi").as("ha_hi"), col("lo").as("ha_lo")), "doc_a")
-      .join(hashes.select(col("doc_id").as("b_doc"), col("f").as("fb"),
-        col("hi").as("hb_hi"), col("lo").as("hb_lo")),
-        col("doc_b") === col("b_doc") && col("f") === col("fb"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
-        bit_count(col("ha_lo").bitwiseXOR(col("hb_lo"))))
-        .cast("int").as("hamming"))
-      .filter(col("hamming") <= 12)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    graft.functions.Fingerprints.bandedHammingPairs(
+      hashes.withColumnRenamed("doc_id", "id"), maxHamming = 12,
+      groupCol = Some("f"))
   }
 
   /** Acoustic near-dup — completing the image/video/audio perceptual
@@ -540,32 +493,59 @@ object MultimodalQueries {
         }
       }
       .toDF("doc_id", "hi", "lo")
-    val bands = hashes.select(col("doc_id"), explode(array(
-        struct(lit(0).as("b"),
-          col("lo").bitwiseAND(lit(65535L)).as("bv")),
-        struct(lit(1).as("b"), shiftright(col("lo"), 16).as("bv")),
-        struct(lit(2).as("b"),
-          col("hi").bitwiseAND(lit(65535L)).as("bv")),
-        struct(lit(3).as("b"), shiftright(col("hi"), 16).as("bv"))))
-        .as("e"))
-      .select(col("doc_id"), col("e.b").as("b"), col("e.bv").as("bv"))
-    val cand = bands.as("a").join(bands.as("c"),
-        col("a.b") === col("c.b") && col("a.bv") === col("c.bv") &&
-          col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(hashes.select(col("doc_id").as("doc_a"),
-        col("hi").as("ha_hi"), col("lo").as("ha_lo")), "doc_a")
-      .join(hashes.select(col("doc_id").as("doc_b"),
-        col("hi").as("hb_hi"), col("lo").as("hb_lo")), "doc_b")
-      .withColumn("hamming",
-        (bit_count(col("ha_hi").bitwiseXOR(col("hb_hi"))) +
-          bit_count(col("ha_lo").bitwiseXOR(col("hb_lo")))).cast("int"))
-      .filter(col("hamming") <= 6)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    graft.functions.Fingerprints.bandedHammingPairs(
+      hashes.withColumnRenamed("doc_id", "id"), maxHamming = 6)
+  }
+
+  /** Corrupt-media quarantine routing — the two-tier decode contract as
+    * a first-class, oracle-checked operator: a 100 TB media ingest WILL
+    * contain truncated and garbage clips, and the pipeline's job is to
+    * route them to quarantine while decoding the rest, never killing a
+    * task. The fixture corrupts deterministically chosen docs (mod-13
+    * truncation to 20 bytes, mod-17 garbage header), the distributed
+    * path attempts a REAL full-sample decode on every clip and folds
+    * each outcome into a status + integer evidence (decoded sample
+    * count, or -1 for quarantined), and the oracle replays which docs
+    * MUST fail (a decoder that throws on corrupt bytes, or one that
+    * silently "succeeds", both break the hash). mod-13 wins when both
+    * apply, matching the CASE order on both sides. */
+  val mediaQuarantine = sql("media_quarantine",
+    """SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'quarantine_truncated'
+              WHEN doc_id % 17 = 0 THEN 'quarantine_garbage'
+              ELSE 'ok' END AS status,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN CAST(-1 AS BIGINT)
+              ELSE CAST((120 + doc_id % 37) * (1 + doc_id % 2) AS BIGINT)
+         END AS n_samples
+       FROM documents""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val clean = Multimodal.synthPcmWav(
+          channels = (1 + id % 2).toInt,
+          sampleRate = (8000 + (id % 8) * 1000).toInt,
+          frames = (120 + id % 37).toInt,
+          seed = id)
+        val bytes =
+          if (id % 13 == 0) java.util.Arrays.copyOf(clean, 20) // mid-header
+          else if (id % 17 == 0) {
+            val g = clean.clone(); g(0) = 'X'.toByte; g // not RIFF
+          } else clean
+        Multimodal.decodePcm(bytes) match {
+          case Some(st) => (id, "ok", st.nSamples)
+          case None =>
+            val status =
+              if (id % 13 == 0) "quarantine_truncated"
+              else if (id % 17 == 0) "quarantine_garbage"
+              else "decode_bug" // a clean clip failed: break the hash
+            (id, status, -1L)
+        }
+      })
+      .toDF("doc_id", "status", "n_samples")
   }
 
   val all: Seq[QueryDef] = Seq(audioSilence, imageAhash, videoFrameSample,
-    videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup)
+    videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup,
+    mediaQuarantine)
 }
