@@ -784,6 +784,133 @@ object Multimodal {
       if (ok) Some(out.toSeq) else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL image decode to an integer luma array (ITU-R 601, the same
+    * formula as [[averageHash]] and the DIB path): (width, height,
+    * row-major gray). None when no installed reader accepts the
+    * bytes. */
+  def decodeGray(content: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))).map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            gray(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, gray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Exact 2× box downscale of a gray array: each output pixel is the
+    * truncating mean of its 2×2 source block — all-integer, so the
+    * resize a vision pipeline runs before feature extraction is
+    * oracle-replayable pixel by pixel (the bilinear path in
+    * [[resizeImage]] covers arbitrary ratios with float kernels; this
+    * is the exact power-of-two fast path). Requires even w and h. */
+  def boxDownscale2x(gray: Array[Int], w: Int, h: Int): Array[Int] = {
+    require(w % 2 == 0 && h % 2 == 0, s"need even dims, got ${w}x$h")
+    require(gray.length == w * h,
+      s"gray has ${gray.length} pixels, expected ${w * h}")
+    val ow = w / 2; val oh = h / 2
+    val out = new Array[Int](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        out(y * ow + x) = (gray(2 * y * w + 2 * x) +
+          gray(2 * y * w + 2 * x + 1) +
+          gray((2 * y + 1) * w + 2 * x) +
+          gray((2 * y + 1) * w + 2 * x + 1)) / 4
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL audio resample, 2:1 decimation with pair averaging: decode
+    * the PCM-16 stream, replace each adjacent sample pair with its
+    * truncating mean, and re-encode a valid WAV at half the rate (odd
+    * trailing sample dropped). All-integer (Scala and SQL integer
+    * division both truncate toward zero), so the resampled SAMPLES are
+    * oracle-replayable — the downsample a speech pipeline runs before
+    * feature extraction, checkable end to end. Mono streams only (pair
+    * averaging across interleaved channels would mix them). */
+  def resamplePcmHalf(b: Array[Byte]): Option[Array[Byte]] =
+    try pcm16(b).flatMap { case (ch, rate, dataOff, n) =>
+      if (ch != 1) None
+      else {
+        val outN = n / 2
+        val samples = new Array[Short](outN)
+        var j = 0
+        while (j < outN) {
+          val s0 = sample16(b, dataOff, 2 * j)
+          val s1 = sample16(b, dataOff, 2 * j + 1)
+          samples(j) = ((s0 + s1) / 2).toShort
+          j += 1
+        }
+        Some(synthPcmWavSamples(1, rate / 2, samples))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Append a PNG `tEXt` metadata chunk (keyword + Latin-1 text) right
+    * before IEND — real PNG chunk surgery: length/type/data/CRC32
+    * framing per the spec, so any standards-compliant reader (and
+    * [[readPngText]]) sees the metadata and the image still decodes. */
+  def addPngText(png: Array[Byte], key: String, value: String): Array[Byte] = {
+    val data = key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+      value.getBytes("ISO-8859-1")
+    val crc = new java.util.zip.CRC32()
+    val typ = "tEXt".getBytes("US-ASCII")
+    crc.update(typ); crc.update(data)
+    val chunk = java.nio.ByteBuffer.allocate(12 + data.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(data.length).put(typ).put(data).putInt(crc.getValue.toInt)
+      .array()
+    // IEND is always the last 12 bytes of a valid PNG
+    val cut = png.length - 12
+    png.take(cut) ++ chunk ++ png.drop(cut)
+  }
+
+  /** Parse all `tEXt` chunks of a PNG — a real chunk-tree walk (8-byte
+    * signature, then length/type/data/CRC frames) with CRC32
+    * verification; a corrupted chunk fails the whole parse (None), and
+    * non-PNG bytes decline. */
+  def readPngText(png: Array[Byte]): Option[Seq[(String, String)]] =
+    try {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte)
+      if (png.length < 8 || !png.take(8).sameElements(sig)) return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var off = 8
+      while (off + 12 <= png.length) {
+        val len = java.nio.ByteBuffer.wrap(png, off, 4).getInt
+        if (len < 0 || off + 12 + len > png.length) return None
+        val typ = new String(png, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(png, off + 4, 4 + len)
+        val stored = java.nio.ByteBuffer.wrap(png, off + 8 + len, 4).getInt
+        if (crc.getValue.toInt != stored) return None
+        if (typ == "tEXt") {
+          val data = png.slice(off + 8, off + 8 + len)
+          val z = data.indexOf(0.toByte)
+          if (z < 0) return None
+          out += ((new String(data, 0, z, "ISO-8859-1"),
+            new String(data, z + 1, data.length - z - 1, "ISO-8859-1")))
+        }
+        off += 12 + len
+      }
+      Some(out.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Average-hash fold over an explicit gray array (≤ 64 pixels):
     * floor mean, bit i set when gray(i) > mean, split into 32-bit
     * halves. The shared core of [[averageHash]] (which feeds it from

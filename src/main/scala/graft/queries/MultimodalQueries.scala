@@ -545,7 +545,150 @@ object MultimodalQueries {
       .toDF("doc_id", "status", "n_samples")
   }
 
+  /** Pixel-exact image downscale — the resize every vision-data
+    * pipeline runs before feature extraction, checked at the pixel
+    * level: a 16×16 PNG goes through REAL decode → exact 2× box
+    * downscale (truncating mean of each 2×2 block) → REAL re-encode →
+    * REAL re-decode, and the output is summarized by the downscaled
+    * image's checksum and average-hash. PNG losslessness on both codec
+    * trips means the oracle can replay every output pixel from the
+    * generating formula — a block-offset or rounding bug anywhere in
+    * the chain breaks the hash. */
+  val imageDownscale = sql("image_downscale",
+    """WITH g2 AS (
+         SELECT doc_id, j,
+           ((doc_id * 31 + (2 * (j % 8)) * 7 + (2 * (j // 8)) * 13) % 256
+            + (doc_id * 31 + (2 * (j % 8) + 1) * 7
+               + (2 * (j // 8)) * 13) % 256
+            + (doc_id * 31 + (2 * (j % 8)) * 7
+               + (2 * (j // 8) + 1) * 13) % 256
+            + (doc_id * 31 + (2 * (j % 8) + 1) * 7
+               + (2 * (j // 8) + 1) * 13) % 256) // 4 AS g
+         FROM documents, LATERAL (SELECT unnest(range(0, 64)) AS j) t),
+       m AS (
+         SELECT doc_id, CAST(sum(g) AS BIGINT) AS sum_gray,
+           CAST(sum(g) // 64 AS INT) AS mean
+         FROM g2 GROUP BY 1)
+       SELECT g2.doc_id, max(m.sum_gray) AS sum_gray,
+         CAST(max(m.mean) AS INT) AS mean,
+         CAST(sum(CASE WHEN g > m.mean THEN 1 ELSE 0 END) AS INT)
+           AS n_above,
+         CAST(sum(CASE WHEN g > m.mean AND j >= 32
+              THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT))
+              ELSE 0 END) AS BIGINT) AS hash_hi,
+         CAST(sum(CASE WHEN g > m.mean AND j < 32
+              THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+              ELSE 0 END) AS BIGINT) AS hash_lo
+       FROM g2 JOIN m ON g2.doc_id = m.doc_id
+       GROUP BY 1""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val gray16 = Array.tabulate(256)(i =>
+            ((id * 31L + (i % 16) * 7L + (i / 16) * 13L) % 256L).toInt)
+          val png = Multimodal.synthPngGray(gray16, 16, 16)
+          val (w, h, g) = Multimodal.decodeGray(png).getOrElse(
+            throw new IllegalStateException(
+              s"image_downscale: 16x16 PNG for doc $id failed to decode"))
+          val small = Multimodal.boxDownscale2x(g, w, h)
+          val png2 = Multimodal.synthPngGray(small, 8, 8)
+          val (_, _, g2) = Multimodal.decodeGray(png2).getOrElse(
+            throw new IllegalStateException(
+              s"image_downscale: 8x8 PNG for doc $id failed to decode"))
+          val hsh = Multimodal.grayHash(g2)
+          (id, g2.map(_.toLong).sum, hsh.mean, hsh.nAbove,
+            hsh.hashHi, hsh.hashLo)
+        }
+      }
+      .toDF("doc_id", "sum_gray", "mean", "n_above", "hash_hi", "hash_lo")
+  }
+
+  /** Sample-exact audio resample — the 2:1 downsample a speech
+    * pipeline runs before feature extraction: REAL decode of the
+    * source WAV, adjacent-pair truncating means, REAL re-encode at
+    * half the rate, then a full REAL decode of the RESULT feeding the
+    * standard audio stats. Integer division truncates toward zero in
+    * both engines, so every resampled sample — and therefore every
+    * stat — is oracle-replayable. */
+  val audioResample = sql("audio_resample",
+    """WITH p AS (
+         SELECT doc_id, (240 + doc_id % 33) AS n FROM documents),
+       s AS (
+         SELECT doc_id, j,
+           ((((doc_id * 131 + (2 * j) * 17) % 65536) - 32768)
+            + (((doc_id * 131 + (2 * j + 1) * 17) % 65536) - 32768))
+           // 2 AS v
+         FROM p, LATERAL (SELECT unnest(range(0, n // 2)) AS j) t),
+       z AS (
+         SELECT doc_id, v,
+           lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+         FROM s)
+       SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(max(abs(v)) AS BIGINT) AS peak,
+         CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+         CAST(sum(v * v) AS BIGINT) AS sum_sq,
+         CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       FROM z GROUP BY 1""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wav = Multimodal.synthPcmWav(
+          channels = 1, sampleRate = 16000,
+          frames = (240 + id % 33).toInt, seed = id)
+        val half = Multimodal.resamplePcmHalf(wav).getOrElse(
+          throw new IllegalStateException(
+            s"audio_resample: WAV for doc $id failed to resample"))
+        val st = Multimodal.decodePcm(half).getOrElse(
+          throw new IllegalStateException(
+            s"audio_resample: resampled WAV for doc $id failed to decode"))
+        (id, st.sampleRate, st.nSamples, st.peak, st.sumAbs, st.sumSq,
+          st.zeroCrossings)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "peak", "sum_abs",
+        "sum_sq", "zero_crossings")
+  }
+
+  /** Image metadata extraction through REAL PNG chunk surgery: each
+    * document's PNG gets `tEXt` chunks (title from the doc id, lang
+    * from the table) spliced in with spec-correct length/type/CRC32
+    * framing, the distributed path walks the chunk tree back (CRC
+    * verified — a corrupted chunk fails the parse), and the image must
+    * STILL decode after surgery (dims pinned in the output). The
+    * sidecar-metadata shape of a multimodal corpus, oracle-checked
+    * against the table fields the chunks were derived from. */
+  val imageMetadata = sql("image_metadata",
+    """SELECT doc_id, CAST(2 AS INT) AS n_text,
+         'doc-' || CAST(doc_id AS VARCHAR) AS title, lang,
+         CAST(8008 AS INT) AS dims
+       FROM documents""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, lang) =>
+          val png = Multimodal.synthPng(8, 8, id)
+          val tagged = Multimodal.addPngText(
+            Multimodal.addPngText(png, "title", s"doc-$id"), "lang", lang)
+          val kv = Multimodal.readPngText(tagged).getOrElse(
+            throw new IllegalStateException(
+              s"image_metadata: tEXt parse failed for doc $id")).toMap
+          val dims = Multimodal.decodeGray(tagged)
+            .map(t => t._1 * 1000 + t._2).getOrElse(-1)
+          (id, kv.size, kv("title"), kv("lang"), dims)
+        }
+      }
+      .toDF("doc_id", "n_text", "title", "lang", "dims")
+  }
+
   val all: Seq[QueryDef] = Seq(audioSilence, imageAhash, videoFrameSample,
     videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup,
-    mediaQuarantine)
+    mediaQuarantine, imageDownscale, audioResample, imageMetadata)
 }

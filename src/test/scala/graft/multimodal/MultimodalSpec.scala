@@ -382,6 +382,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.pcmEnergyFingerprint("junk".getBytes, 80).isEmpty)
   }
 
+  test("boxDownscale2x + decodeGray: the 16->8 PNG round trip is " +
+      "pixel-exact against a direct fold") {
+    val g16 = Array.tabulate(256)(i => (i * 7 + 3) % 256)
+    val png = Multimodal.synthPngGray(g16, 16, 16)
+    val (w, h, back) = Multimodal.decodeGray(png).get
+    assert(w === 16 && h === 16 && back.toSeq === g16.toSeq)
+    val small = Multimodal.boxDownscale2x(back, 16, 16)
+    val want = for (y <- 0 until 8; x <- 0 until 8) yield
+      (g16(2 * y * 16 + 2 * x) + g16(2 * y * 16 + 2 * x + 1) +
+        g16((2 * y + 1) * 16 + 2 * x) +
+        g16((2 * y + 1) * 16 + 2 * x + 1)) / 4
+    assert(small.toSeq === want)
+    // re-encode and re-decode: still exact (PNG lossless both trips)
+    val (_, _, g2) = Multimodal.decodeGray(
+      Multimodal.synthPngGray(small, 8, 8)).get
+    assert(g2.toSeq === want)
+    assert(Multimodal.decodeGray("junk".getBytes).isEmpty)
+  }
+
+  test("resamplePcmHalf: sample-exact pair means, half rate, and " +
+      "stereo/garbage decline") {
+    val samples = Array.tabulate[Short](481)(i => // odd count: tail drops
+      (((11L * 131L + i * 17L) % 65536L) - 32768L).toShort)
+    val wav = Multimodal.synthPcmWavSamples(1, 16000, samples)
+    val half = Multimodal.resamplePcmHalf(wav).get
+    val st = Multimodal.decodePcm(half).get
+    assert(st.sampleRate === 8000 && st.nSamples === 240L)
+    val want = (0 until 240).map(j =>
+      (samples(2 * j).toLong + samples(2 * j + 1).toLong) / 2)
+    assert(st.sumAbs === want.map(math.abs).sum)
+    assert(st.peak === want.map(math.abs).max)
+    // negative odd sums truncate toward zero (matches SQL //)
+    assert((-7L + 0L) / 2L === -3L)
+    val stereo = Multimodal.synthPcmWav(2, 16000, 100, 5L)
+    assert(Multimodal.resamplePcmHalf(stereo).isEmpty)
+    assert(Multimodal.resamplePcmHalf("junk".getBytes).isEmpty)
+  }
+
+  test("PNG tEXt chunk surgery: spec-framed insert, CRC-verified " +
+      "parse, image still decodes, corruption fails the parse") {
+    val png = Multimodal.synthPng(8, 8, 42L)
+    val tagged = Multimodal.addPngText(
+      Multimodal.addPngText(png, "title", "doc-42"), "lang", "en")
+    val kv = Multimodal.readPngText(tagged).get
+    assert(kv === Seq("title" -> "doc-42", "lang" -> "en"))
+    // the real decoder still accepts the modified file
+    val (w, h, _) = Multimodal.decodeGray(tagged).get
+    assert(w === 8 && h === 8)
+    // plain PNG from the JDK writer carries no tEXt
+    assert(Multimodal.readPngText(png).get === Seq())
+    // flip one byte inside a tEXt payload: CRC check must fail the parse
+    val bad = tagged.clone()
+    val idx = {
+      val probe = "doc-42".getBytes("ISO-8859-1")
+      (0 until bad.length - probe.length).find(o =>
+        probe.indices.forall(k => bad(o + k) == probe(k))).get
+    }
+    bad(idx) = 'X'.toByte
+    assert(Multimodal.readPngText(bad).isEmpty)
+    assert(Multimodal.readPngText("junk".getBytes).isEmpty)
+  }
+
   test("corrupt/truncated bytes never kill the decode: fall back, not throw") {
     val png = makeImage(20, 20, "png")
     // truncations at every prefix length must degrade silently (the
