@@ -688,7 +688,98 @@ object MultimodalQueries {
       .toDF("doc_id", "n_text", "title", "lang", "dims")
   }
 
+  /** End-to-end multimodal curation manifest — the query this library
+    * exists for, as one declarative plan: every document's text,
+    * audio, and image modalities are gated in a SINGLE pass (one scan,
+    * no shuffle until the final projection): token count from the
+    * text column, silence profile from a REAL full PCM decode, aHash
+    * population from a REAL PNG decode — then the keep/drop decision a
+    * training-data pipeline ships to its sampler. Every gate input is
+    * integer and every formula replayable, so the oracle recomputes
+    * the whole manifest, decision included. */
+  val multimodalManifest = sql("multimodal_manifest",
+    """WITH tok AS (
+         SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS INT) AS n_tokens
+         FROM documents),
+       au AS (
+         SELECT doc_id,
+           CAST(count(*) AS INT) AS n_windows,
+           CAST(sum(CASE WHEN wpeak < 512 THEN 1 ELSE 0 END) AS INT)
+             AS silent_windows
+         FROM (
+           SELECT doc_id, i // 80 AS wi, max(abs(v)) AS wpeak
+           FROM (
+             SELECT doc_id, i,
+               CASE WHEN (i // 80) % 2 = 1 THEN 0
+                    ELSE ((doc_id * 131 + i * 17) % 65536) - 32768 END AS v
+             FROM (SELECT doc_id,
+                     (200 + doc_id % 41) * (1 + doc_id % 2) AS n
+                   FROM documents) p,
+               LATERAL (SELECT unnest(range(0, n)) AS i) t) s
+           GROUP BY 1, 2) w
+         GROUP BY 1),
+       im AS (
+         SELECT px.doc_id,
+           CAST(sum(CASE WHEN g > m.mean THEN 1 ELSE 0 END) AS INT)
+             AS n_above
+         FROM (
+           SELECT doc_id, i,
+             (doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256 AS g
+           FROM documents,
+             LATERAL (SELECT unnest(range(0, 64)) AS i) t) px
+         JOIN (
+           SELECT doc_id, CAST(sum(g) // 64 AS INT) AS mean
+           FROM (
+             SELECT doc_id,
+               (doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256 AS g
+             FROM documents,
+               LATERAL (SELECT unnest(range(0, 64)) AS i) t) q
+           GROUP BY 1) m ON px.doc_id = m.doc_id
+         GROUP BY 1)
+       SELECT tok.doc_id, n_tokens, n_windows, silent_windows, n_above,
+         CAST(CASE WHEN n_tokens >= 5 AND n_tokens <= 1000
+              AND silent_windows * 2 < n_windows
+              AND n_above >= 16 AND n_above <= 48
+              THEN 1 ELSE 0 END AS INT) AS keep
+       FROM tok
+       JOIN au ON au.doc_id = tok.doc_id
+       JOIN im ON im.doc_id = tok.doc_id""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val nTokens = text.split(' ').count(_.nonEmpty)
+          val wav = Multimodal.synthGatedPcmWav(
+            channels = (1 + id % 2).toInt,
+            sampleRate = (8000 + (id % 8) * 1000).toInt,
+            frames = (200 + id % 41).toInt,
+            seed = id, win = 80)
+          val au = Multimodal.pcmWindowStats(wav, win = 80,
+            silenceThreshold = 512).getOrElse(
+            throw new IllegalStateException(
+              s"multimodal_manifest: WAV for doc $id failed to decode"))
+          val png = Multimodal.synthPng(8, 8, id)
+          val im = Multimodal.averageHash(png).getOrElse(
+            throw new IllegalStateException(
+              s"multimodal_manifest: PNG for doc $id failed to decode"))
+          val keep =
+            if (nTokens >= 5 && nTokens <= 1000 &&
+              au.silentWindows * 2 < au.nWindows &&
+              im.nAbove >= 16 && im.nAbove <= 48) 1 else 0
+          (id, nTokens, au.nWindows, au.silentWindows, im.nAbove, keep)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_windows", "silent_windows",
+        "n_above", "keep")
+  }
+
   val all: Seq[QueryDef] = Seq(audioSilence, imageAhash, videoFrameSample,
     videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup,
-    mediaQuarantine, imageDownscale, audioResample, imageMetadata)
+    mediaQuarantine, imageDownscale, audioResample, imageMetadata,
+    multimodalManifest)
 }
