@@ -186,6 +186,66 @@ object DataPipelineQueries4 {
         when(col("r_vec").isNotNull, 1).otherwise(0).cast("int").as("mutual"))
   }
 
+  /** kNN graph through the IVF tier — the CONCRETE 100 TB path that
+    * `knn_graph`'s scale note points at: neighbor candidates come from
+    * the multi-probe IVF index (each vector probes its 2 nearest of 8
+    * cells; candidates scale as n·nprobe/cells, one equi join on cell,
+    * no broadcast of the corpus), exact-ranked to top-3 in-cell, then
+    * the same mutual-kNN symmetrization as the brute variant — one
+    * equi join of the n·k edge list against its reverse. The recall
+    * trade vs `knn_graph` is the standard IVF contract (only same-cell
+    * neighbors found) and the oracle replays it exactly: probing,
+    * home-cell membership, the top-k window, and the mutual join. */
+  val knnGraphIvf = sql("knn_graph_ivf",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+             FROM n WHERE vec_id < 8),
+       scored AS (
+         SELECT a.vec_id, a.embedding, a.nrm, c.cid,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             (list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+              / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+         FROM n a CROSS JOIN c),
+       p AS (
+         SELECT a.vec_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosim
+         FROM (SELECT * FROM scored WHERE rn <= 2) a
+         JOIN (SELECT * FROM scored WHERE rn = 1) b
+           ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       e AS (
+         SELECT vec_id, CAST(rnk AS INT) AS nn_rank, neighbor_id,
+           round(cosim, 3) AS sim FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rnk
+           FROM p) t WHERE rnk <= 3)
+       SELECT e.vec_id, e.nn_rank, e.neighbor_id, e.sim,
+         CAST(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+           AS mutual
+       FROM e LEFT JOIN e r ON e.vec_id = r.neighbor_id
+         AND e.neighbor_id = r.vec_id""") { (s, d) =>
+    val topk = graft.functions.VectorSearch.ivfCosineTopK(
+      Tables.embeddings(s, d), k = 3, numCentroids = 8, nprobe = 2)
+    val edges = topk.select(col("vec_id"),
+      col("rank").cast("int").as("nn_rank"),
+      col("neighbor_id"), round(col("cosim"), 3).as("sim"))
+    val rev = topk.select(col("vec_id").as("r_nbr"),
+      col("neighbor_id").as("r_vec"))
+    edges.join(rev,
+        edges("vec_id") === rev("r_vec") &&
+          edges("neighbor_id") === rev("r_nbr"), "left")
+      .select(col("vec_id"), col("nn_rank"), col("neighbor_id"), col("sim"),
+        when(col("r_vec").isNotNull, 1).otherwise(0).cast("int").as("mutual"))
+  }
+
   val all: Seq[QueryDef] = Seq(textPiiScrub, textChunkDedup,
-    graphComponentsStar, knnGraph)
+    graphComponentsStar, knnGraph, knnGraphIvf)
 }
