@@ -246,6 +246,83 @@ object DataPipelineQueries4 {
         when(col("r_vec").isNotNull, 1).otherwise(0).cast("int").as("mutual"))
   }
 
+  /** kNN-graph index-quality measurement — the acceptance number for
+    * the IVF-tier graph before a pipeline trusts it: integer edge
+    * counts of the exact brute-force top-3 graph (truth), the IVF
+    * top-3 graph, and their overlap. common/brute IS edge recall;
+    * common/ivf the precision (both 1.0 only when every neighbor
+    * lives in a probed cell). Mirrors `ann_ivf_recall`/`ann_pq_recall`
+    * for the graph operator; all counts integer → hash-exact oracle.
+    * At 100 TB the brute truth runs over a vector SAMPLE (the
+    * maxCandidates-capped kernel), exactly like the other recall
+    * checks. */
+  val knnRecall = sql("knn_recall",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       allp AS (
+         SELECT a.vec_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosim
+         FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       brute AS (
+         SELECT vec_id, neighbor_id FROM (
+           SELECT vec_id, neighbor_id, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rn
+           FROM allp) t WHERE rn <= 3),
+       c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+             FROM n WHERE vec_id < 8),
+       scored AS (
+         SELECT a.vec_id, a.embedding, a.nrm, c.cid,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             (list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+              / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+         FROM n a CROSS JOIN c),
+       ivfp AS (
+         SELECT a.vec_id, b.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosim
+         FROM (SELECT * FROM scored WHERE rn <= 2) a
+         JOIN (SELECT * FROM scored WHERE rn = 1) b
+           ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       ivf AS (
+         SELECT vec_id, neighbor_id FROM (
+           SELECT vec_id, neighbor_id, row_number() OVER (
+             PARTITION BY vec_id ORDER BY cosim DESC, neighbor_id) AS rn
+           FROM ivfp) t WHERE rn <= 3)
+       SELECT
+         CAST((SELECT count(*) FROM n) AS BIGINT) AS n_vectors,
+         CAST((SELECT count(*) FROM brute) AS BIGINT) AS brute_edges,
+         CAST((SELECT count(*) FROM ivf) AS BIGINT) AS ivf_edges,
+         CAST((SELECT count(*) FROM brute JOIN ivf
+               ON brute.vec_id = ivf.vec_id
+               AND brute.neighbor_id = ivf.neighbor_id) AS BIGINT)
+           AS common_edges""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val brute = graft.functions.VectorSearch
+      .bruteForceCosineTopK(emb, emb, 3)
+      .select(col("vec_id"), col("neighbor_id"))
+    val ivf = graft.functions.VectorSearch
+      .ivfCosineTopK(emb, k = 3, numCentroids = 8, nprobe = 2)
+      .select(col("vec_id").as("iv"), col("neighbor_id").as("in_"))
+    val common = brute.join(ivf,
+      col("vec_id") === col("iv") && col("neighbor_id") === col("in_"))
+    brute.agg(count(lit(1)).as("brute_edges"))
+      .crossJoin(emb.agg(count(lit(1)).as("n_vectors")))
+      .crossJoin(ivf.agg(count(lit(1)).as("ivf_edges")))
+      .crossJoin(common.agg(count(lit(1)).as("common_edges")))
+      .select(col("n_vectors"), col("brute_edges"), col("ivf_edges"),
+        col("common_edges"))
+  }
+
   val all: Seq[QueryDef] = Seq(textPiiScrub, textChunkDedup,
-    graphComponentsStar, knnGraph, knnGraphIvf)
+    graphComponentsStar, knnGraph, knnGraphIvf, knnRecall)
 }
