@@ -27,26 +27,45 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as long and floor to
-    * microseconds (Spark's native TimestampType precision). Flooring can
-    * never flip a >=/< predicate at whole-second boundaries, so oracle
-    * comparisons at day/hour granularity are unaffected. */
+  /** The events table's `ts` column normalized to Spark's native
+    * TimestampType regardless of how the generator annotated it —
+    * the physical encoding has varied across testdata generations:
+    *  - parquet TIMESTAMP(NANOS) (not UTC-adjusted), which Spark's
+    *    vectorized reader rejects → read nanos as long, floor to
+    *    micros (integer `div`, NOT `/`: epoch nanos ~1.7e18 exceed
+    *    double's exact range, so float division would be off by ±1µs);
+    *  - parquet TIMESTAMP(MICROS) not UTC-adjusted → Spark reads
+    *    TIMESTAMP_NTZ, which time functions (unix_millis, windowing)
+    *    reject → cast to TimestampType; the session timezone is
+    *    pinned to UTC everywhere (Verify/Bench/TestSpark), so the
+    *    cast reinterprets the naive value as the same instant DuckDB
+    *    sees.
+    * Flooring nanos can never flip a >=/< predicate at whole-second
+    * boundaries, so oracle comparisons at day/hour granularity are
+    * unaffected. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer `div`, NOT `/`: epoch nanos (~1.7e18) exceed double's
-      // exact range, so float division would be off by ±1µs.
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register all tables as temp views so spark.sql(...) mirrors the
-    * DuckDB oracle's table naming. */
+    * DuckDB oracle's table naming. `events` goes through its
+    * ts-normalizing loader so SQL-interface queries see TimestampType
+    * no matter which physical encoding the generator used. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -166,10 +166,15 @@ object Inputs {
       eventTypes: Seq[String] = Nil): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path)
-    val withTs =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    // same ts normalization as Tables.events: nanos-as-long OR
+    // TIMESTAMP_NTZ, depending on the generator's annotation
+    val withTs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
     val base = withTs
       .filter(col("ts") >= lit(startTs) && col("ts") < lit(endTs))
     if (eventTypes.nonEmpty) base.filter(col("event_type").isin(eventTypes: _*))

@@ -44,17 +44,22 @@ object StreamingJobs {
     try body finally spark.conf.set(key, old)
   }
 
-  /** Read events as a stream, handling the TIMESTAMP(NANOS) column the
-    * same way Tables.events does (nanos→µs floor). */
+  /** Read events as a stream, normalizing the `ts` column the same way
+    * Tables.events does (nanos-as-long → µs floor, or TIMESTAMP_NTZ →
+    * TimestampType — the generator's annotation has varied). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour event-time windows: count + exact cents sum per
