@@ -121,6 +121,19 @@ object Multimodal {
   private def tag(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
 
+  /** Overflow-safe RIFF chunk advance. Chunk sizes are unsigned
+    * 32-bit, so the arithmetic stays in Long: a crafted size >=
+    * 0x80000000 would wrap to a negative Int and leave the walker
+    * standing still (or moving backwards) — an infinite loop that
+    * hangs the executor task and defeats the corrupt-media
+    * "degrade, never kill the task" contract. Returns the next
+    * offset, or -1 when the advance does not strictly move forward
+    * or cannot fit an Int — callers treat -1 as a corrupt record. */
+  private def riffNext(off: Int, size: Long): Int = {
+    val next = off.toLong + 8L + size + (size & 1L)
+    if (next <= off || next > Int.MaxValue) -1 else next.toInt
+  }
+
   /** REAL WAV/RIFF header parse — pure JVM, no codec needed: walks the
     * RIFF chunk list for `fmt ` (format tag, channels, sample rate,
     * byte rate) and `data` (payload size → duration). Header-only:
@@ -141,7 +154,8 @@ object Multimodal {
             le32(b, off + 12), le32(b, off + 16), le16(b, off + 20)))
         else if (id == "data") dataLen = size
         // chunks are word-aligned: odd sizes carry one pad byte
-        off += 8 + size.toInt + (size.toInt & 1)
+        off = riffNext(off, size)
+        if (off < 0) return None // hostile size: refuse, don't loop
       }
       fmt.map { case (fmtTag, ch, sr, byteRate, blockAlign) =>
         val codec = fmtTag match {
@@ -238,6 +252,105 @@ object Multimodal {
   def decodeAv(content: Array[Byte]): Option[AvMeta] =
     decodeWav(content).orElse(decodeMp4(content))
 
+  /** MP3 stream metadata from a frame-header walk. */
+  case class Mp3Meta(
+      bitrateKbps: Int,     // first frame's bitrate; see cbr
+      sampleRate: Int,      // Hz, constant across the stream (enforced)
+      nFrames: Int,
+      cbr: Boolean,         // every frame carries the same bitrate
+      durationMs: Long)     // nFrames * 1152 samples / sampleRate
+
+  private val Mp3Bitrates = // MPEG-1 Layer III, kbit/s; 0=free, 15=bad
+    Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+      320, -1)
+  private val Mp3Rates = Array(44100, 48000, 32000, -1)
+
+  /** REAL MP3 frame-HEADER walk — the metadata tier a curation
+    * pipeline needs (codec check, duration, CBR/VBR, frame count)
+    * without a sample decoder: MPEG-1 Layer III framing is public-spec
+    * arithmetic (11-bit sync, 4-bit bitrate index + 2-bit samplerate
+    * index through the standard tables, frame length = 144000·bitrate/
+    * rate + padding), so frames are walked exactly, never scanned. A
+    * leading ID3v2 tag is skipped by its syncsafe size. STRICT, like
+    * every parser here: a desync, reserved/free bitrate index, rate
+    * change mid-stream, or trailing garbage declines the whole clip
+    * (quarantine routing, not silent truncation). Sample-level MP3
+    * decode (Huffman + IMDCT + synthesis filterbank) stays out of
+    * scope in a bare JVM — COVERAGE.md records the decision; this
+    * walk is the part of the format a 100 TB ingest actually gates
+    * on. */
+  def decodeMp3Meta(b: Array[Byte]): Option[Mp3Meta] =
+    try {
+      var off = 0
+      if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        off = 10 + size
+      }
+      var n = 0
+      var sr = -1
+      var firstBr = -1
+      var cbr = true
+      while (off + 4 <= b.length) {
+        val h = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if ((h >>> 21) != 0x7ff) return None // desync: corrupt stream
+        val version = (h >>> 19) & 3
+        val layer = (h >>> 17) & 3
+        if (version != 3 || layer != 1) return None // MPEG-1 Layer III only
+        val br = Mp3Bitrates((h >>> 12) & 0xf)
+        val rate = Mp3Rates((h >>> 10) & 3)
+        val pad = (h >>> 9) & 1
+        if (br <= 0 || rate <= 0) return None // free/reserved: decline
+        if (sr < 0) sr = rate else if (sr != rate) return None
+        if (firstBr < 0) firstBr = br else if (firstBr != br) cbr = false
+        val flen = 144000 * br / rate + pad
+        if (flen <= 4) return None
+        off += flen
+        n += 1
+      }
+      if (n == 0 || off != b.length) None // trailing garbage: decline
+      else Some(Mp3Meta(firstBr, sr, n, cbr, n * 1152L * 1000L / sr))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic REAL-framing MP3 fixture: `nFrames` MPEG-1 Layer
+    * III frames with correct sync/index headers and spec-exact frame
+    * lengths (zero main-data payload — [[decodeMp3Meta]] never reads
+    * it), optionally behind an ID3v2 tag. bitrateKbps and sampleRate
+    * must be table values. */
+  def synthMp3Frames(nFrames: Int, bitrateKbps: Int, sampleRate: Int,
+      id3Bytes: Int = 0): Array[Byte] = {
+    val bi = Mp3Bitrates.indexOf(bitrateKbps)
+    val si = Mp3Rates.indexOf(sampleRate)
+    require(bi > 0 && bi < 15, s"not an MPEG-1 L3 bitrate: $bitrateKbps")
+    require(si >= 0 && si < 3, s"not an MPEG-1 rate: $sampleRate")
+    require(nFrames >= 1)
+    val flen = 144000 * bitrateKbps / sampleRate
+    val tag =
+      if (id3Bytes <= 0) Array.emptyByteArray
+      else {
+        val t = new Array[Byte](10 + id3Bytes)
+        t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 4
+        t(6) = ((id3Bytes >> 21) & 0x7f).toByte
+        t(7) = ((id3Bytes >> 14) & 0x7f).toByte
+        t(8) = ((id3Bytes >> 7) & 0x7f).toByte
+        t(9) = (id3Bytes & 0x7f).toByte
+        t
+      }
+    val out = new Array[Byte](tag.length + nFrames * flen)
+    System.arraycopy(tag, 0, out, 0, tag.length)
+    var f = 0
+    while (f < nFrames) {
+      val o = tag.length + f * flen
+      out(o) = 0xff.toByte
+      out(o + 1) = 0xfb.toByte // sync + MPEG-1 + Layer III + no CRC
+      out(o + 2) = ((bi << 4) | (si << 2)).toByte // no padding
+      out(o + 3) = 0xc0.toByte // mono
+      f += 1
+    }
+    out
+  }
+
   /** Deterministic REAL-format fixture: a canonical 44-byte PCM
     * WAV/RIFF header plus `dataLen` zero payload bytes. Parsing it
     * with [[decodeWav]] recovers exactly the parameters — which is
@@ -272,13 +385,16 @@ object Multimodal {
     var dataLen = -1
     while (off + 8 <= b.length) {
       val id = tag(b, off)
-      val size = le32(b, off + 4).toInt
+      val size = le32(b, off + 4)
       if (id == "fmt " && size >= 16 && off + 24 <= b.length) {
         fmt = Some((le16(b, off + 8), le16(b, off + 10),
           le32(b, off + 12).toInt))
         bits = le16(b, off + 22)
-      } else if (id == "data") { dataOff = off + 8; dataLen = size }
-      off += 8 + size + (size & 1)
+      } else if (id == "data" && size <= Int.MaxValue) {
+        dataOff = off + 8; dataLen = size.toInt
+      }
+      off = riffNext(off, size)
+      if (off < 0) return None // hostile size: refuse, don't loop
     }
     fmt match {
       case Some((1, ch, rate)) if bits == 16 && dataOff >= 0 &&
@@ -566,15 +682,16 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       var off = 12
       var moviOff = -1
-      var moviEnd = -1
+      var moviEnd = -1L
       while (off + 8 <= b.length) {
         val id = tag(b, off)
-        val size = le32(b, off + 4).toInt
+        val size = le32(b, off + 4)
         if (id == "LIST" && off + 12 <= b.length &&
             tag(b, off + 8) == "movi") {
-          moviOff = off + 12; moviEnd = off + 8 + size
+          moviOff = off + 12; moviEnd = off.toLong + 8L + size
         }
-        off += 8 + size + (size & 1)
+        off = riffNext(off, size)
+        if (off < 0) return None // hostile size: refuse, don't loop
       }
       if (moviOff < 0 || moviEnd > b.length) return None
       val out = scala.collection.mutable.ArrayBuffer.empty[AviFrame]
@@ -583,19 +700,20 @@ object Multimodal {
       var ok = true
       while (ok && p + 8 <= moviEnd) {
         val cid = tag(b, p)
-        val clen = le32(b, p + 4).toInt
-        if (p + 8 + clen > moviEnd) ok = false
+        val clen = le32(b, p + 4)
+        if (p.toLong + 8L + clen > moviEnd) ok = false
         else {
           if (cid.endsWith("dc") || cid.endsWith("db")) {
             val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(b, p + 8, clen))
+              new java.io.ByteArrayInputStream(b, p + 8, clen.toInt))
             if (img == null) ok = false
             else {
-              out += AviFrame(idx, img.getWidth, img.getHeight, clen)
+              out += AviFrame(idx, img.getWidth, img.getHeight, clen.toInt)
               idx += 1
             }
           }
-          p += 8 + clen + (clen & 1)
+          p = riffNext(p, clen)
+          if (p < 0) ok = false // hostile size: refuse, don't loop
         }
       }
       if (ok) Some(out.toSeq) else None
@@ -724,21 +842,25 @@ object Multimodal {
       // find strf (recursive LIST walk) and the movi LIST
       var strfOff = -1
       var moviOff = -1
-      var moviEnd = -1
+      var moviEnd = -1L
+      var corrupt = false
       def walk(from: Int, to: Int): Unit = {
         var off = from
-        while (off + 8 <= to) {
+        while (!corrupt && off + 8 <= to) {
           val id = tag(b, off)
-          val size = le32(b, off + 4).toInt
+          val size = le32(b, off + 4)
           if (id == "LIST" && off + 12 <= to) {
             if (tag(b, off + 8) == "movi") {
-              moviOff = off + 12; moviEnd = off + 8 + size
-            } else walk(off + 12, math.min(off + 8 + size, to))
+              moviOff = off + 12; moviEnd = off.toLong + 8L + size
+            } else walk(off + 12,
+              math.min(off.toLong + 8L + size, to.toLong).toInt)
           } else if (id == "strf" && strfOff < 0) strfOff = off + 8
-          off += 8 + size + (size & 1)
+          off = riffNext(off, size)
+          if (off < 0) corrupt = true // hostile size: refuse, don't loop
         }
       }
       walk(12, b.length)
+      if (corrupt) return None
       if (strfOff < 0 || strfOff + 20 > b.length) return None
       if (moviOff < 0 || moviEnd > b.length) return None
       val w = le32(b, strfOff + 4).toInt
@@ -753,11 +875,11 @@ object Multimodal {
       var ok = true
       while (ok && p + 8 <= moviEnd) {
         val cid = tag(b, p)
-        val clen = le32(b, p + 4).toInt
-        if (p + 8 + clen > moviEnd) ok = false
+        val clen = le32(b, p + 4)
+        if (p.toLong + 8L + clen > moviEnd) ok = false
         else {
           if (cid.endsWith("db") || cid.endsWith("dc")) {
-            if (clen != stride * h) ok = false
+            if (clen != stride.toLong * h) ok = false
             else {
               val gray = new Array[Int](w * h)
               var y = 0
@@ -778,7 +900,8 @@ object Multimodal {
               idx += 1
             }
           }
-          p += 8 + clen + (clen & 1)
+          p = riffNext(p, clen)
+          if (p < 0) ok = false // hostile size: refuse, don't loop
         }
       }
       if (ok) Some(out.toSeq) else None
@@ -864,7 +987,11 @@ object Multimodal {
   /** Append a PNG `tEXt` metadata chunk (keyword + Latin-1 text) right
     * before IEND — real PNG chunk surgery: length/type/data/CRC32
     * framing per the spec, so any standards-compliant reader (and
-    * [[readPngText]]) sees the metadata and the image still decodes. */
+    * [[readPngText]]) sees the metadata and the image still decodes.
+    * IEND is located by walking the chunk list (NOT assumed to be the
+    * trailing 12 bytes — a spec-valid PNG may carry trailing garbage
+    * after IEND, and splicing inside IEND would corrupt the file
+    * silently); throws loudly when the bytes have no IEND chunk. */
   def addPngText(png: Array[Byte], key: String, value: String): Array[Byte] = {
     val data = key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
       value.getBytes("ISO-8859-1")
@@ -875,9 +1002,27 @@ object Multimodal {
       .order(java.nio.ByteOrder.BIG_ENDIAN)
       .putInt(data.length).put(typ).put(data).putInt(crc.getValue.toInt)
       .array()
-    // IEND is always the last 12 bytes of a valid PNG
-    val cut = png.length - 12
+    val cut = pngIendOffset(png).getOrElse(
+      throw new IllegalArgumentException(
+        "addPngText: no IEND chunk found — not a well-formed PNG"))
     png.take(cut) ++ chunk ++ png.drop(cut)
+  }
+
+  /** Offset of the IEND chunk header via the chunk-list walk (the same
+    * frame discipline as [[readPngText]]); None for non-PNG bytes or a
+    * chunk list that never reaches IEND. */
+  private def pngIendOffset(png: Array[Byte]): Option[Int] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (png.length < 8 || !png.take(8).sameElements(sig)) return None
+    var off = 8
+    while (off + 12 <= png.length) {
+      val len = java.nio.ByteBuffer.wrap(png, off, 4).getInt
+      if (len < 0 || off + 12 + len > png.length) return None
+      if (new String(png, off + 4, 4, "US-ASCII") == "IEND")
+        return Some(off)
+      off += 12 + len
+    }
+    None
   }
 
   /** Parse all `tEXt` chunks of a PNG — a real chunk-tree walk (8-byte
@@ -906,6 +1051,9 @@ object Multimodal {
           out += ((new String(data, 0, z, "ISO-8859-1"),
             new String(data, z + 1, data.length - z - 1, "ISO-8859-1")))
         }
+        // IEND terminates the PNG datastream per spec: bytes after it
+        // are not chunks (spec-valid files may carry trailing garbage)
+        if (typ == "IEND") return Some(out.toSeq)
         off += 12 + len
       }
       Some(out.toSeq)

@@ -463,6 +463,84 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile RIFF chunk sizes (unsigned wrap) decline instead of " +
+      "looping the walker forever") {
+    // size 0xFFFFFFF8 wraps to a negative Int: the pre-fix advance
+    // `off += 8 + size.toInt` stood still (infinite loop). The walk
+    // must return None promptly for every parser that walks RIFF.
+    def le(n: Long): Array[Byte] = Array[Byte](
+      (n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+    def riff(form: String, hostileSize: Long): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ le(200) ++ form.getBytes("US-ASCII") ++
+        "junk".getBytes("US-ASCII") ++ le(hostileSize) ++ new Array[Byte](64)
+    for (sz <- Seq(0xFFFFFFF8L, 0x80000000L, 0xFFFFFFFFL)) {
+      assert(Multimodal.decodeWav(riff("WAVE", sz)).isEmpty)
+      assert(Multimodal.decodePcm(riff("WAVE", sz)).isEmpty)
+      assert(Multimodal.decodeAviFrames(riff("AVI ", sz)).isEmpty)
+      assert(Multimodal.decodeDibFrames(riff("AVI ", sz)).isEmpty)
+    }
+    // hostile frame-chunk size INSIDE a movi list: the inner loops
+    // must also refuse to stand still
+    val movi = "LIST".getBytes("US-ASCII") ++ le(4 + 8 + 64) ++
+      "movi".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le(0xFFFFFFF8L) ++ new Array[Byte](64)
+    val avi = "RIFF".getBytes("US-ASCII") ++ le(4 + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ movi
+    assert(Multimodal.decodeAviFrames(avi).fold(true)(_.isEmpty))
+    assert(Multimodal.decodeDibFrames(avi).isEmpty)
+  }
+
+  test("addPngText splices before a WALKED IEND: trailing bytes after " +
+      "IEND survive and the tagged file still parses") {
+    val png = Multimodal.synthPng(8, 8, 7L)
+    // spec-valid: bytes after IEND are not part of the datastream
+    val trailing = png ++ "GARBAGE-AFTER-IEND".getBytes("US-ASCII")
+    val tagged = Multimodal.addPngText(trailing, "title", "doc-7")
+    assert(Multimodal.readPngText(tagged).get === Seq("title" -> "doc-7"))
+    val (w, h, _) = Multimodal.decodeGray(tagged).get
+    assert(w === 8 && h === 8)
+    // the trailing garbage is preserved verbatim at the very end
+    assert(new String(tagged.takeRight(18), "US-ASCII") ===
+      "GARBAGE-AFTER-IEND")
+    // no IEND anywhere -> loud decline, never silent corruption
+    intercept[IllegalArgumentException] {
+      Multimodal.addPngText("notapng".getBytes, "k", "v")
+    }
+  }
+
+  test("MP3 frame-header walk: exact frame accounting, ID3v2 skip, " +
+      "VBR detection, and strict declines") {
+    // CBR round trip: parameters recovered exactly
+    val mp3 = Multimodal.synthMp3Frames(5, 128, 44100)
+    val m = Multimodal.decodeMp3Meta(mp3).get
+    assert(m.bitrateKbps === 128 && m.sampleRate === 44100 &&
+      m.nFrames === 5 && m.cbr)
+    assert(m.durationMs === 5L * 1152 * 1000 / 44100)
+    // frame length is the spec formula: 144000*128/44100 = 417 bytes
+    assert(mp3.length === 5 * 417)
+    // leading ID3v2 tag is skipped by its syncsafe size
+    val tagged = Multimodal.synthMp3Frames(3, 192, 48000, id3Bytes = 300)
+    val mt = Multimodal.decodeMp3Meta(tagged).get
+    assert(mt.nFrames === 3 && mt.sampleRate === 48000)
+    // VBR: frames with differing bitrates walk fine, cbr=false
+    val vbr = Multimodal.synthMp3Frames(2, 128, 32000) ++
+      Multimodal.synthMp3Frames(3, 64, 32000)
+    val mv = Multimodal.decodeMp3Meta(vbr).get
+    assert(mv.nFrames === 5 && !mv.cbr)
+    // strict declines: truncation, desync, reserved bitrate index,
+    // rate change mid-stream, trailing garbage
+    assert(Multimodal.decodeMp3Meta(mp3.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeMp3Meta("junk".getBytes).isEmpty)
+    val badIdx = mp3.clone(); badIdx(2) = 0xf0.toByte // bitrate idx 15
+    assert(Multimodal.decodeMp3Meta(badIdx).isEmpty)
+    val rateFlip = Multimodal.synthMp3Frames(2, 128, 44100) ++
+      Multimodal.synthMp3Frames(2, 128, 48000)
+    assert(Multimodal.decodeMp3Meta(rateFlip).isEmpty)
+    assert(Multimodal.decodeMp3Meta(
+      mp3 ++ "tail".getBytes).isEmpty)
+  }
+
   test("sha256 matches Spark's own sha2 over the same bytes") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
