@@ -932,6 +932,7 @@ object DataPipelineQueries {
     import graft.multimodal.Multimodal
     val recs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"))
+      .repartition(s.sparkContext.defaultParallelism) // cores, not files
       .as[(Long, Long)]
       .mapPartitions(_.map { case (id, nc) =>
         val bytes =
@@ -995,7 +996,9 @@ object DataPipelineQueries {
     import s.implicits._
     import graft.multimodal.Multimodal
     Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism) // cores, not files
+      .as[Long]
       .mapPartitions(_.map { id =>
         val bytes = Multimodal.synthPcmWav(
           channels = (1 + id % 2).toInt,

@@ -58,7 +58,11 @@ object MultimodalQueries {
        FROM w GROUP BY 1, 2, 3""") { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      // decode parallelism must track cores, not the id-list's file
+      // count: a single small parquet file scans as ONE partition and
+      // would run the whole per-doc synth/decode single-threaded
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions(_.map { id =>
         val bytes = Multimodal.synthGatedPcmWav(
           channels = (1 + id % 2).toInt,
@@ -110,7 +114,11 @@ object MultimodalQueries {
        GROUP BY 1""") { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      // decode parallelism must track cores, not the id-list's file
+      // count: a single small parquet file scans as ONE partition and
+      // would run the whole per-doc synth/decode single-threaded
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
@@ -146,7 +154,11 @@ object MultimodalQueries {
        FROM s""") { (s, d) =>
     import s.implicits._
     val recs = Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      // decode parallelism must track cores, not the id-list's file
+      // count: a single small parquet file scans as ONE partition and
+      // would run the whole per-doc synth/decode single-threaded
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions(_.map { id =>
         val bytes = Multimodal.synthMp4(
           timescale = 1000, duration = 5000, w = 64, h = 48,
@@ -184,7 +196,11 @@ object MultimodalQueries {
        FROM s""") { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      // decode parallelism must track cores, not the id-list's file
+      // count: a single small parquet file scans as ONE partition and
+      // would run the whole per-doc synth/decode single-threaded
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { id =>
@@ -227,7 +243,10 @@ object MultimodalQueries {
     * is a write-once materialized table; here it recomputes per branch
     * (decode is O(rows), no shuffle). Oracle replays pixels → mean →
     * bits → bands → the same banded join in SQL. */
-  val imageNeardup = sql("image_neardup",
+  /** Oracle CTE prefix shared by `image_neardup` and
+    * `media_band_funnel`: replays the image fixture's pixels → mean →
+    * hash bits → 16-bit bands in pure SQL (relations `h` and `bands`). */
+  private val imageFpCte =
     """WITH raw AS (
          SELECT doc_id, i,
            md5(CAST(doc_id % 97 AS VARCHAR) || ':'
@@ -262,18 +281,22 @@ object MultimodalQueries {
        cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          FROM bands a JOIN bands c
-           ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
-       SELECT doc_a, doc_b, hamming FROM (
-         SELECT cand.doc_a, cand.doc_b,
-           CAST(bit_count(xor(ha.hi, hb.hi))
-              + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
-         FROM cand
-         JOIN h ha ON ha.doc_id = cand.doc_a
-         JOIN h hb ON hb.doc_id = cand.doc_b) v
-       WHERE hamming <= 6""") { (s, d) =>
+           ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)"""
+
+  /** The image fixture's fingerprint relation (id, hi, lo): REAL
+    * PNG encode → real decode → aHash per document, with replayable
+    * near-duplicates planted (base = doc_id mod 97 through an
+    * md5-derived decorrelating pixel formula; variant inverts the
+    * first pixels). Shared by `image_neardup` and `media_band_funnel`. */
+  private def imageFixtureHashes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val hashes = Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      // decode parallelism must track cores, not the id-list's file
+      // count: a single small parquet file scans as ONE partition and
+      // would run the whole per-doc synth/decode single-threaded
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -292,9 +315,106 @@ object MultimodalQueries {
           (id, h.hashHi, h.hashLo)
         }
       }
-      .toDF("doc_id", "hi", "lo")
+      .toDF("id", "hi", "lo")
+  }
+
+  val imageNeardup = sql("image_neardup",
+    imageFpCte + """
+       SELECT doc_a, doc_b, hamming FROM (
+         SELECT cand.doc_a, cand.doc_b,
+           CAST(bit_count(xor(ha.hi, hb.hi))
+              + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+         FROM cand
+         JOIN h ha ON ha.doc_id = cand.doc_a
+         JOIN h hb ON hb.doc_id = cand.doc_b) v
+       WHERE hamming <= 6""") { (s, d) =>
     graft.functions.Fingerprints.bandedHammingPairs(
-      hashes.withColumnRenamed("doc_id", "id"), maxHamming = 6)
+      imageFixtureHashes(s, d), maxHamming = 6)
+  }
+
+  /** MP3 metadata tier — REAL MPEG-1 Layer III frame-header walk
+    * (public-spec framing arithmetic: 11-bit sync, bitrate/samplerate
+    * index tables, frame length = 144000·bitrate/rate; leading ID3v2
+    * skipped by its syncsafe size — docs at id % 7 == 0 carry one, so
+    * the tag path runs distributed). Every document synthesizes a
+    * spec-framed MP3 whose parameters derive from doc_id; the decoder
+    * recovers them exactly and the oracle replays the generating
+    * arithmetic, duration included. Sample-level MP3 decode stays a
+    * documented non-goal (COVERAGE.md) — this walk is the metadata
+    * gate a 100 TB audio ingest actually runs. */
+  val audioMp3Meta = sql("audio_mp3_meta",
+    """SELECT doc_id,
+         CAST(CASE doc_id % 4 WHEN 0 THEN 128 WHEN 1 THEN 192
+              WHEN 2 THEN 320 ELSE 64 END AS INT) AS bitrate_kbps,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS INT) AS sample_rate,
+         CAST(3 + doc_id % 5 AS INT) AS n_frames,
+         CAST((3 + doc_id % 5) * 1152 * 1000
+           // CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              ELSE 32000 END AS BIGINT) AS duration_ms
+       FROM documents""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism) // cores, not files
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val sr = Array(44100, 48000, 32000)((id % 3).toInt)
+        val br = Array(128, 192, 320, 64)((id % 4).toInt)
+        val nf = (3 + id % 5).toInt
+        val id3 = if (id % 7 == 0) 64 else 0
+        val m = Multimodal.decodeMp3Meta(
+          Multimodal.synthMp3Frames(nf, br, sr, id3)).getOrElse(
+          throw new IllegalStateException(
+            s"audio_mp3_meta: synthesized MP3 for doc $id failed to parse"))
+        (id, m.bitrateKbps, m.sampleRate, m.nFrames, m.durationMs)
+      })
+      .toDF("doc_id", "bitrate_kbps", "sample_rate", "n_frames",
+        "duration_ms")
+  }
+
+  /** Candidate-funnel measurement for the banded-Hamming media join —
+    * the `dedup_lsh_recall` pattern applied to perceptual fingerprints:
+    * band-bucket candidate pairs generated, pairs surviving the exact
+    * Hamming verify, and the TRUE pair count from the exhaustive
+    * verifier. found/true IS the banding recall and found/candidates
+    * the verify precision — the two numbers that size a banding config
+    * (band width down → recall up, candidates up), and the band-bucket
+    * skew check BENCH_NOTES calls for before trusting the join shape
+    * at scale. Integer counts → hash-exact oracle. At 100 TB the
+    * exhaustive truth tier runs over a document SAMPLE (recall
+    * estimation needs only a sample); here the check corpus admits it
+    * whole. One-row output via three 1-row aggregates cross-joined
+    * (BroadcastNestedLoopJoin over single rows — the allowed shape). */
+  val mediaBandFunnel = sql("media_band_funnel",
+    imageFpCte + """,
+       found AS (
+         SELECT cand.doc_a, cand.doc_b
+         FROM cand
+         JOIN h ha ON ha.doc_id = cand.doc_a
+         JOIN h hb ON hb.doc_id = cand.doc_b
+         WHERE bit_count(xor(ha.hi, hb.hi))
+             + bit_count(xor(ha.lo, hb.lo)) <= 6),
+       true_pairs AS (
+         SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM h a JOIN h c ON a.doc_id < c.doc_id
+         WHERE bit_count(xor(a.hi, c.hi))
+             + bit_count(xor(a.lo, c.lo)) <= 6)
+       SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+         CAST((SELECT count(*) FROM true_pairs) AS BIGINT) AS n_true""") {
+      (s, d) =>
+    import graft.functions.Fingerprints
+    // fingerprints computed ONCE (eager checkpoint), then each funnel
+    // tier reads the materialized relation — the decode never re-runs
+    val fp = imageFixtureHashes(s, d).localCheckpoint(true)
+    val nCand = Fingerprints.bandedCandidatePairs(fp)
+      .agg(count(lit(1)).as("n_candidates"))
+    val nFound = Fingerprints.bandedHammingPairs(fp, maxHamming = 6)
+      .agg(count(lit(1)).as("n_found"))
+    val nTrue = Fingerprints.exhaustiveHammingPairs(fp, maxHamming = 6)
+      .agg(count(lit(1)).as("n_true"))
+    nCand.crossJoin(nFound).crossJoin(nTrue)
   }
 
   /** Perceptual VIDEO near-dup — the full media-dedup composition:
@@ -367,7 +487,11 @@ object MultimodalQueries {
        WHERE hamming <= 12""") { (s, d) =>
     import s.implicits._
     val hashes = Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      // decode parallelism must track cores, not the id-list's file
+      // count: a single small parquet file scans as ONE partition and
+      // would run the whole per-doc synth/decode single-threaded
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { id =>
@@ -469,7 +593,11 @@ object MultimodalQueries {
        WHERE hamming <= 6""") { (s, d) =>
     import s.implicits._
     val hashes = Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      // decode parallelism must track cores, not the id-list's file
+      // count: a single small parquet file scans as ONE partition and
+      // would run the whole per-doc synth/decode single-threaded
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { id =>
@@ -520,7 +648,11 @@ object MultimodalQueries {
        FROM documents""") { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      // decode parallelism must track cores, not the id-list's file
+      // count: a single small parquet file scans as ONE partition and
+      // would run the whole per-doc synth/decode single-threaded
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions(_.map { id =>
         val clean = Multimodal.synthPcmWav(
           channels = (1 + id % 2).toInt,
@@ -583,7 +715,11 @@ object MultimodalQueries {
        GROUP BY 1""") { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      // decode parallelism must track cores, not the id-list's file
+      // count: a single small parquet file scans as ONE partition and
+      // would run the whole per-doc synth/decode single-threaded
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
@@ -636,7 +772,11 @@ object MultimodalQueries {
        FROM z GROUP BY 1""") { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      // decode parallelism must track cores, not the id-list's file
+      // count: a single small parquet file scans as ONE partition and
+      // would run the whole per-doc synth/decode single-threaded
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions(_.map { id =>
         val wav = Multimodal.synthPcmWav(
           channels = 1, sampleRate = 16000,
@@ -670,6 +810,7 @@ object MultimodalQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"))
+      .repartition(s.sparkContext.defaultParallelism) // cores, not files
       .as[(Long, String)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -749,6 +890,7 @@ object MultimodalQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism) // cores, not files
       .as[(Long, String)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
@@ -778,7 +920,8 @@ object MultimodalQueries {
         "n_above", "keep")
   }
 
-  val all: Seq[QueryDef] = Seq(audioSilence, imageAhash, videoFrameSample,
+  val all: Seq[QueryDef] = Seq(mediaBandFunnel, audioMp3Meta,
+    audioSilence, imageAhash, videoFrameSample,
     videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup,
     mediaQuarantine, imageDownscale, audioResample, imageMetadata,
     multimodalManifest)

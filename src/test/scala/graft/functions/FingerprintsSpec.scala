@@ -43,4 +43,30 @@ class FingerprintsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L, 2)))
     assert(!pairs.exists(p => p._1 == 1L && p._2 == 3L))
   }
+
+  test("bandedHammingPairs ENFORCES identical group sets: a pair whose " +
+      "shared frames match but whose lengths differ is dropped") {
+    val rows = Seq(
+      // clip 1: two frames
+      (1L, 0, 100L, 200L), (1L, 1, 300L, 400L),
+      // clip 2: frames 0-1 IDENTICAL to clip 1, but a third frame
+      // exists — summing only shared groups would report hamming 0
+      // while frame 2 was never compared
+      (2L, 0, 100L, 200L), (2L, 1, 300L, 400L), (2L, 2, 555L, 666L),
+      // clip 3: identical to clip 1, same length — stays a near-dup
+      (3L, 0, 100L, 200L), (3L, 1, 300L, 400L),
+      // clip 4: same group COUNT as clip 1 but different group SET
+      // ({1,2}): only frame 1 is shared, so count equality alone
+      // would not catch it — set equality must
+      (4L, 1, 300L, 400L), (4L, 2, 100L, 200L))
+    val pairs = Fingerprints.bandedHammingPairs(
+        rows.toDF("id", "g", "hi", "lo"), maxHamming = 4,
+        groupCol = Some("g"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 3L, 0)), "equal-length exact dup survives")
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      "length-mismatched pair must be dropped, not scored on its prefix")
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L),
+      "same count but different group set must be dropped")
+  }
 }
