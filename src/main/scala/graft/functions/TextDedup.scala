@@ -281,6 +281,47 @@ object TextDedup {
       .select(col("d1"), col("d2"))
   }
 
+  /** Corpus-level duplicate-span removal (the C4 rule, on consecutive
+    * `chunkTokens`-token chunks): a chunk whose text appears in more
+    * than one document is dropped from EVERY document, and each
+    * document is reassembled from its surviving chunks in order.
+    * Returns (doc_id, n_chunks, doc_sig) where doc_sig is the md5 of
+    * the reassembled text.
+    *
+    * Plan shape at 100 TB: chunking is a codegen'd explode; the only
+    * corpus-wide shuffles are the chunk-text frequency aggregate and
+    * the per-doc reassembly — both keyed aggregations, no corpus
+    * self-joins. The duplicated-chunk relation fed to the anti join is
+    * proportional to the DUP RATE — data-dependent — so its broadcast
+    * is GATED exactly like [[verifyCandidates]]: materialize eagerly
+    * (localCheckpoint — ContextCleaner-reclaimed), count, and hint
+    * only while at most `maxBroadcastDupChunks` rows; above the gate
+    * the anti join runs un-hinted and AQE picks the sides (a
+    * pathological dup rate makes the relation corpus-sized). */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 8,
+      maxBroadcastDupChunks: Long = 100000L): DataFrame = {
+    require(chunkTokens >= 1)
+    val tok = withTokens(docs)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "w")))
+    val chunk = tok
+      .groupBy(col("doc_id"), expr(s"i div $chunkTokens").as("c"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(i, w))), x -> x.w), ' ')")
+        .as("ctxt"))
+    val freq = chunk.groupBy(col("ctxt"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("ctxt").as("dup_txt"))
+      .localCheckpoint(true)
+    val hint: DataFrame => DataFrame =
+      if (freq.count() <= maxBroadcastDupChunks) broadcast else identity
+    chunk.join(hint(freq), col("ctxt") === col("dup_txt"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(c, ctxt))), x -> x.ctxt), ' ')"))
+          .as("doc_sig"))
+  }
+
   /** Incremental ingestion dedup — the 100 TB operating mode, where a
     * NEW batch is deduped against an already-indexed corpus without
     * rescanning the corpus: the corpus participates only through

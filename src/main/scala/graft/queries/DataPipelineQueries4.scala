@@ -55,9 +55,13 @@ object DataPipelineQueries4 {
     * Plan shape at 100 TB: chunking is a codegen'd explode; the
     * only corpus-wide shuffles are the chunk-text frequency aggregate
     * and the per-doc reassembly — both keyed aggregations, no joins of
-    * the corpus against itself (the frequency relation is
-    * broadcast-joined back, proportional to the dup rate... here the
-    * full chunk relation re-aggregates, which AQE sizes). */
+    * the corpus against itself. The duplicated-chunk relation is
+    * proportional to the DUP RATE, a data-dependent quantity, so its
+    * broadcast into the anti join is GATED the same way as
+    * TextDedup.verifyCandidates: hint only while the materialized
+    * relation is at most `maxBroadcastDupChunks` rows, else the anti
+    * join runs un-hinted and AQE picks the sides (a pathological dup
+    * rate makes the relation corpus-sized). */
   val textChunkDedup = sql("text_chunk_dedup",
     """WITH tok AS (
          SELECT doc_id, i - 1 AS i, w[CAST(i AS INT)] AS w
@@ -78,22 +82,7 @@ object DataPipelineQueries4 {
        SELECT doc_id, count(*) AS n_chunks,
          md5(string_agg(ctxt, ' ' ORDER BY c)) AS doc_sig
        FROM kept GROUP BY doc_id""") { (s, d) =>
-    val tok = graft.functions.TextDedup.withTokens(Tables.documents(s, d))
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "w")))
-    val chunk = tok
-      .groupBy(col("doc_id"), expr("i div 8").as("c"))
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(i, w))), x -> x.w), ' ')")
-        .as("ctxt"))
-    val freq = chunk.groupBy(col("ctxt"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1).select(col("ctxt").as("dup_txt"))
-    chunk.join(broadcast(freq), col("ctxt") === col("dup_txt"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        md5(expr(
-          "array_join(transform(array_sort(collect_list(struct(c, ctxt))), x -> x.ctxt), ' ')"))
-          .as("doc_sig"))
+    graft.functions.TextDedup.chunkDedup(Tables.documents(s, d))
   }
 
   /** Connected components by large-star/small-star contraction

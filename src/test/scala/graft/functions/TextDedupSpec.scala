@@ -100,6 +100,31 @@ class TextDedupSpec extends AnyFunSuite {
       s"fallback plan still carries a broadcast hint:\n$analyzed")
   }
 
+  test("chunkDedup drops cross-doc duplicate chunks and its broadcast " +
+      "gate fallback is result-identical and un-hinted") {
+    // 4-token chunks: docs 1 and 2 share their FIRST chunk exactly, so
+    // it is dropped from both; every other chunk is unique and survives
+    val df = corpus(
+      1L -> "c1 c2 c3 c4 a1 a2 a3 a4",
+      2L -> "c1 c2 c3 c4 b1 b2 b3 b4",
+      3L -> "z1 z2 z3 z4")
+    def rows(gate: Long) =
+      TextDedup.chunkDedup(df, chunkTokens = 4, maxBroadcastDupChunks = gate)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val hinted = rows(100000L)
+    assert(hinted.map { case (id, n, _) => (id, n) } ===
+      Set((1L, 1L), (2L, 1L), (3L, 1L)), "shared chunk leaves both docs")
+    // surviving text differs doc by doc -> doc_sigs are all distinct
+    assert(hinted.map(_._3).size === 3)
+    // gate = 0 forces the fallback: identical rows, no forced hint
+    assert(rows(0L) === hinted)
+    val fallback =
+      TextDedup.chunkDedup(df, chunkTokens = 4, maxBroadcastDupChunks = 0L)
+    val analyzed = fallback.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"fallback plan still carries a broadcast hint:\n$analyzed")
+  }
+
   test("incrementalDedup broadcast gate: fallback is result-identical") {
     val docs = corpus(
       1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
