@@ -230,9 +230,15 @@ object TpchQueries {
   }
 
   /** Q11 — important stock: per-part value above a fraction of the
-    * global total. The scalar subquery is a one-row aggregate broadcast
-    * against the grouped relation; `val > 0.001 * total` cross-
-    * multiplies to exact decimals (val * 1000 > total). */
+    * global total. ONE lineitem pass: `rollup(l_partkey)` computes
+    * every per-part sum AND the grand total (grouping_id = 1) in a
+    * single scan+aggregate — at 100 TB the naive two-aggregate form
+    * doubles fact-table IO for a 1-row total. The rolled relation
+    * (#parts + 1 rows, the size any engine's aggregate output already
+    * is) is materialized eagerly so the total row and the per-part
+    * side both read it, not the fact table; the 1-row total then
+    * broadcasts. `val > 0.001 * total` cross-multiplies to exact
+    * decimals (val * 1000 > total). */
   val tpchQ11 = sql("tpch_q11",
     """WITH v AS (
          SELECT l_partkey,
@@ -242,11 +248,15 @@ object TpchQueries {
        FROM v
        WHERE pval * 1000 > (
          SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FROM lineitem)""") { (s, d) =>
-    val li = Tables.lineitem(s, d)
-    val perPart = li.groupBy(col("l_partkey"))
-      .agg(sum(col("l_extendedprice").cast(Dec)).as("pval"))
-    val total = li.agg(sum(col("l_extendedprice").cast(Dec)).as("total"))
-    perPart.crossJoin(broadcast(total))
+    val rolled = Tables.lineitem(s, d)
+      .rollup(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(Dec)).as("pval"),
+        grouping_id().as("gid"))
+      .localCheckpoint(true)
+    val total = rolled.filter(col("gid") === 1)
+      .select(col("pval").as("total"))
+    rolled.filter(col("gid") === 0)
+      .crossJoin(broadcast(total))
       .where(col("pval") * 1000 > col("total"))
       .select(col("l_partkey"), col("pval").cast("double").as("value"))
   }

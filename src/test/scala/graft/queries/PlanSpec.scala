@@ -225,12 +225,18 @@ class PlanSpec extends AnyFunSuite {
       "date window must reach the orders scan")
   }
 
-  test("tpch_q11: the global total broadcasts; no fact-side hash exchange for the compare") {
+  test("tpch_q11: ONE fact pass — rollup supplies per-part sums and the " +
+      "total together; the total broadcasts; lineitem is never rescanned") {
     val p = plan("tpch_q11")
     assert(p.contains("BroadcastNestedLoopJoin"),
       "one-row total must broadcast against the grouped relation")
-    assert("HashAggregate".r.findAllIn(p).size >= 4,
-      "both aggregates split partial/final")
+    // the single lineitem scan ran inside the eager rollup
+    // materialization; the final plan reads the checkpointed aggregate
+    // on BOTH sides — a second FileScan here would mean 2x fact IO
+    assert(!p.contains("FileScan"),
+      "fact table must not be rescanned for the global total:\n" + p.take(800))
+    assert(p.contains("ExistingRDD"),
+      "both sides must read the materialized rollup:\n" + p.take(800))
   }
 
   test("tpch_q15: scalar max broadcasts; winner selection is map-side") {
