@@ -28,6 +28,48 @@ object KeyedTable {
   private def bucket(keyCol: String, numBuckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
 
+  /** Lease duration written into the lock marker: a holder that has
+    * not heartbeat-renewed within this window is presumed crashed. */
+  private[sinks] val DefaultLeaseMs = 600000L // 10 min
+
+  private def lockPayload(leaseMs: Long): String = {
+    val now = System.currentTimeMillis()
+    s"pid=${ProcessHandle.current().pid()} host=${
+      java.net.InetAddress.getLocalHost.getHostName
+    } acquired=$now expires=${now + leaseMs}"
+  }
+
+  /** Atomic marker creation. HDFS `createNewFile` is genuinely atomic,
+    * but Hadoop's LOCAL implementation is exists-then-create — a
+    * check-then-act race two local writers can both win. For `file://`
+    * the acquire goes through java.nio CREATE_NEW instead: one atomic
+    * open(O_CREAT|O_EXCL) syscall that also writes the payload. Object
+    * stores without atomic create keep the weaker HDFS-path guarantee
+    * (documented: the lock is best-effort there; a table format is the
+    * real answer for multi-writer isolation). */
+  private def tryCreateMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, payload: String): Boolean =
+    if (fs.getUri.getScheme == "file") {
+      try {
+        val local = java.nio.file.Paths.get(
+          org.apache.hadoop.fs.Path
+            .getPathWithoutSchemeAndAuthority(path).toString)
+        java.nio.file.Files.write(local, payload.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      val created =
+        try fs.createNewFile(path)
+        catch { case _: java.io.IOException => false }
+      if (created) {
+        val out = fs.create(path, true)
+        try out.write(payload.getBytes("UTF-8")) finally out.close()
+      }
+      created
+    }
+
   /** Single-writer enforcement. The merge-into protocol reads the
     * touched buckets and rewrites them under a dynamic-partition
     * overwrite; two writers interleaving those phases would silently
@@ -36,18 +78,24 @@ object KeyedTable {
     * `outputs/DatastoreOutput.java:1-50`). Full snapshot isolation
     * needs a table format; what this guard promises is strictly less
     * but loud: a second concurrent writer FAILS with a clear error
-    * instead of corrupting the table. The lock is an atomically-created
-    * marker file (`FileSystem.createNewFile` — atomic on HDFS and
-    * local FS alike) holding writer/host/time for diagnosis; a crashed
-    * writer leaves a stale lock that must be cleared explicitly with
-    * [[clearLock]] — failing closed is the point. */
-  private def withTableLock[T](spark: SparkSession, dir: String)(body: => T): T = {
+    * instead of corrupting the table.
+    *
+    * The lock marker carries a LEASE (holder pid/host + acquired +
+    * expires timestamps), renewed by a heartbeat thread at a third of
+    * the lease period while the write runs. A supervisor hitting the
+    * conflict can therefore tell a live writer from a crashed one from
+    * the error alone: within the lease → live, wait; past it → no
+    * heartbeat for a full lease period, holder presumed crashed, safe
+    * to [[clearLock]]. Recovery stays explicit (still loud, never an
+    * automatic lock steal — two writers that both think the other is
+    * stale must not both proceed); what the lease removes is the need
+    * for out-of-band knowledge about whether the holder is alive. */
+  private def withTableLock[T](spark: SparkSession, dir: String,
+      leaseMs: Long = DefaultLeaseMs)(body: => T): T = {
     val path = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val created =
-      try fs.createNewFile(path)
-      catch { case _: java.io.IOException => false }
-    if (!created) {
+    fs.mkdirs(path.getParent)
+    if (!tryCreateMarker(fs, path, lockPayload(leaseMs))) {
       val holder =
         try {
           val in = fs.open(path)
@@ -57,20 +105,36 @@ object KeyedTable {
             new String(buf, 0, math.max(n, 0), "UTF-8")
           } finally in.close()
         } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
-      throw new IllegalStateException(
-        s"KeyedTable at $dir is locked by another writer [$holder] — " +
-          "concurrent upserts are not isolated and would corrupt the " +
-          "table; wait for the writer, or clearLock() if it crashed")
+      val expired = "expires=(\\d+)".r.findFirstMatchIn(holder)
+        .map(_.group(1).toLong < System.currentTimeMillis())
+      throw new IllegalStateException(expired match {
+        case Some(true) =>
+          s"KeyedTable at $dir holds an EXPIRED write lease [$holder] — " +
+            "the holder stopped heartbeating for a full lease period and " +
+            "is presumed crashed; confirm it is dead, then clearLock()"
+        case _ =>
+          s"KeyedTable at $dir is locked by a LIVE writer [$holder] — " +
+            "concurrent upserts are not isolated and would corrupt the " +
+            "table; wait for the writer (its lease expires if it crashes)"
+      })
     }
-    try {
-      val out = fs.create(path, true)
-      try out.write(
-        s"pid=${ProcessHandle.current().pid()} host=${
-          java.net.InetAddress.getLocalHost.getHostName} t=${
-          System.currentTimeMillis()}".getBytes("UTF-8"))
-      finally out.close()
-      body
-    } finally fs.delete(path, false)
+    // heartbeat: renew the lease while the write runs, so a long write
+    // never looks crashed and a crashed writer stops renewing
+    val hb = new Thread(() => {
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(math.max(leaseMs / 3, 1L))
+        val out = fs.create(path, true)
+        try out.write(lockPayload(leaseMs).getBytes("UTF-8"))
+        finally out.close()
+      } catch {
+        case _: InterruptedException => ()
+        case scala.util.control.NonFatal(_) => ()
+      }
+    }, s"graft-keyedtable-lease-$dir")
+    hb.setDaemon(true)
+    hb.start()
+    try body
+    finally { hb.interrupt(); fs.delete(path, false) }
   }
 
   /** Remove a stale writer lock left by a crashed writer. Only safe

@@ -76,12 +76,14 @@ class KeyedTableSpec extends AnyFunSuite {
     val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(lock, false)
-    out.write("pid=999 host=other t=0".getBytes("UTF-8")); out.close()
+    val live = System.currentTimeMillis() + 600000L
+    out.write(s"pid=999 host=other acquired=0 expires=$live"
+      .getBytes("UTF-8")); out.close()
     val before = contents(dir)
     val e = intercept[IllegalStateException] {
       KeyedTable.upsert(spark, dir, Seq((1L, "CLOBBER")).toDF("k", "v"), "k")
     }
-    assert(e.getMessage.contains("locked by another writer"))
+    assert(e.getMessage.contains("locked by a LIVE writer"))
     assert(e.getMessage.contains("pid=999"), "lock holder surfaces in the error")
     assert(contents(dir) === before, "failed writer must not touch the table")
     // after the stale lock is cleared, writes proceed (and the reader
@@ -90,6 +92,82 @@ class KeyedTableSpec extends AnyFunSuite {
     KeyedTable.upsert(spark, dir, Seq((1L, "OK")).toDF("k", "v"), "k")
     assert(contents(dir)(1L) === "OK")
     assert(!fs.exists(lock), "lock released after a successful upsert")
+  }
+
+  test("a stale (expired) lease is self-describing: the error names the " +
+      "expiry so no out-of-band knowledge is needed, and recovery stays " +
+      "explicit via clearLock") {
+    val dir = freshDir()
+    KeyedTable.create(Seq((1L, "v1")).toDF("k", "v"), dir, "k")
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed writer's marker: its lease expired long ago
+    val out = fs.create(lock, false)
+    out.write("pid=12345 host=deadhost acquired=1000 expires=2000"
+      .getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      KeyedTable.upsert(spark, dir, Seq((1L, "X")).toDF("k", "v"), "k")
+    }
+    assert(e.getMessage.contains("EXPIRED"),
+      s"stale lease must be called out: ${e.getMessage}")
+    assert(e.getMessage.contains("pid=12345"))
+    assert(e.getMessage.contains("clearLock"),
+      "the error must name the recovery step")
+    // never an automatic steal: the table is untouched and still locked
+    assert(fs.exists(lock))
+    assert(contents(dir) === Map(1L -> "v1"))
+    KeyedTable.clearLock(spark, dir)
+    KeyedTable.upsert(spark, dir, Seq((1L, "OK")).toDF("k", "v"), "k")
+    assert(contents(dir)(1L) === "OK")
+  }
+
+  test("a marker with no parseable lease (foreign/corrupt) is treated " +
+      "as live — fail conservative, never steal") {
+    val dir = freshDir()
+    KeyedTable.create(Seq((1L, "v1")).toDF("k", "v"), dir, "k")
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, false)
+    out.write("something-else-entirely".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      KeyedTable.upsert(spark, dir, Seq((1L, "X")).toDF("k", "v"), "k")
+    }
+    assert(e.getMessage.contains("LIVE"), e.getMessage)
+    KeyedTable.clearLock(spark, dir)
+  }
+
+  test("the winning writer's marker carries the lease fields") {
+    val dir = freshDir()
+    KeyedTable.create(Seq((1L, "v1")).toDF("k", "v"), dir, "k")
+    // run an upsert and capture the marker mid-flight via a hidden
+    // concurrent read: simplest deterministic probe is the payload the
+    // acquire writes — exercised here through the local nio path
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // acquire via the public API in a thread, sample the marker, then
+    // let the write finish
+    var payload: String = ""
+    val t = new Thread(() => {
+      KeyedTable.upsert(spark, dir, Seq((2L, "v2")).toDF("k", "v"), "k")
+    })
+    t.start()
+    // poll until the marker exists, then read it (upsert takes seconds)
+    val deadline = System.currentTimeMillis() + 30000
+    while (payload.isEmpty && System.currentTimeMillis() < deadline) {
+      if (fs.exists(lock)) {
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](256)
+          val n = in.read(buf)
+          payload = new String(buf, 0, math.max(n, 0), "UTF-8")
+        } finally in.close()
+      } else Thread.sleep(10)
+    }
+    t.join()
+    assert(payload.contains("pid=") && payload.contains("host=") &&
+      payload.contains("acquired=") && payload.contains("expires="),
+      s"marker must be a self-describing lease, got: $payload")
+    assert(!fs.exists(lock), "lock released after the upsert")
   }
 
   test("the lock is released when the upsert body fails") {
