@@ -215,6 +215,34 @@ object ScaleCheck {
         batchSh = sh.where(isBatch),
         batchIds = docs.where(isBatch).select(col("doc_id"))).count()
     }
+    // per-ingest cost must track the BATCH: cost curve over batch sizes
+    // ~10² → ~10⁴ docs against the SAME fixed corpus (the streaming form
+    // stream_incremental_dedup runs this operator per micro-batch, so
+    // this curve IS its per-batch cost model). t(B) = C + m·B where C is
+    // the fixed per-invocation cost (job scheduling + the corpus band
+    // index, recomputed here — a production pipeline keeps it
+    // materialized, making C scheduling-only) and m·B the true marginal
+    // ingest cost; the claim under test is that m stays flat while B
+    // grows 100×. Batch subsets are deterministic hash-mod slices of the
+    // pool; actual batch sizes land in the row names' rows= output.
+    locally {
+      val shAll = graft.functions.TextDedup.shingles(docs)
+        .localCheckpoint(true)
+      val isPool = col("doc_id") % 4 === 0
+      val corpusShN = shAll.where(!isPool).localCheckpoint(true)
+      val poolIds = docs.where(isPool).select(col("doc_id"))
+      val poolN = math.max(poolIds.count(), 1L)
+      for (b <- Seq(100L, 1000L, 10000L)) {
+        val p = math.max(poolN / b, 1L)
+        val pick = pmod(xxhash64(col("doc_id")), lit(p)) === 0
+        time(s"dedup_incr_b$b") {
+          graft.functions.TextDedup.incrementalDedup(
+            corpusSh = corpusShN,
+            batchSh = shAll.where(isPool && pick),
+            batchIds = poolIds.where(pick)).count()
+        }
+      }
+    }
     // bloom decontamination with the benchmark held FIXED (copy-0 docs
     // only) while the corpus grows — how real decontamination scales
     // (the eval suite doesn't grow with the crawl). The `decontaminate`
