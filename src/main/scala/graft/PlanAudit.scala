@@ -58,7 +58,24 @@ object PlanAudit {
       "in one aggregate after two equi joins of the n*k edge list."),
     "knn_graph" -> ("Broadcast top-K kernel (no shuffle to score); " +
       "the mutual flag is ONE equi join of the n*k edge list against " +
-      "its reverse, never pairs."))
+      "its reverse, never pairs."),
+    "tpch_q11" -> ("ONE lineitem pass: rollup(l_partkey) yields every " +
+      "per-part sum AND the grand total from a single scan+aggregate " +
+      "(the Expand feeds partial aggregation before the exchange); " +
+      "the final plan reads the materialized rollup on BOTH sides — " +
+      "no FileScan, so the fact table is never rescanned for the " +
+      "1-row total, which broadcasts."),
+    "media_band_funnel" -> ("Candidate/verified tiers are the banded " +
+      "equi-join shape (image_neardup); the exhaustive TRUTH tier is " +
+      "one BroadcastNestedLoopJoin whose Hamming test is the join " +
+      "residual — surviving pairs are the only rows that materialize, " +
+      "and the broadcast side is the 4-longs-per-row hash relation, " +
+      "sample-sized by the tier's contract at 100 TB."),
+    "text_chunk_dedup" -> ("Chunking is a codegen'd explode; the two " +
+      "corpus-wide shuffles are keyed aggregations (chunk-frequency, " +
+      "per-doc reassembly). The duplicated-chunk relation's broadcast " +
+      "into the anti join is GATED on a counted threshold — above it " +
+      "the join runs un-hinted and AQE picks the sides."))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
