@@ -239,6 +239,21 @@ class PlanSpec extends AnyFunSuite {
       "both sides must read the materialized rollup:\n" + p.take(800))
   }
 
+  test("media_band_funnel: truth tier is a nested loop with the Hamming " +
+      "test as the join residual — pairs never materialize past it") {
+    val p = plan("media_band_funnel")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "exhaustive tier must be one broadcast nested loop")
+    assert(!p.contains("CartesianProduct"))
+    // the residual lives IN the join: in formatted explain the BNLJ's
+    // details carry a "Join condition:" line — the Hamming bit_count
+    // must appear there, so only surviving pairs flow out of the loop
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join condition:") && l.contains("bit_count")),
+      "Hamming test must be the BNLJ residual, not a post-join filter " +
+        s"over the n^2 pair relation:\n${p.take(1200)}")
+  }
+
   test("tpch_q15: scalar max broadcasts; winner selection is map-side") {
     val p = plan("tpch_q15")
     // the one-row max may plan as BNLJ or as a broadcast cross BHJ —
