@@ -436,7 +436,11 @@ object MultimodalQueries {
     * per-frame mean/bits → bands → the same banded join + summed
     * verify. A row-flip, stride, or BGR-order bug in either the muxer
     * or the decoder breaks the hash. */
-  val videoNeardup = sql("video_neardup",
+  /** Oracle CTE prefix shared by `video_neardup` and
+    * `video_band_funnel`: replays the clip fixture's per-frame pixels →
+    * mean → hash bits → bands → banded candidates (relations `h`,
+    * `bands`, `cand`, all carrying the frame dimension `f`). */
+  private val videoFpCte =
     """WITH raw AS (
          SELECT doc_id, f, i,
            md5(CAST(doc_id % 97 AS VARCHAR) || ':'
@@ -475,18 +479,16 @@ object MultimodalQueries {
          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
          FROM bands a JOIN bands c
            ON a.f = c.f AND a.b = c.b AND a.bv = c.bv
-             AND a.doc_id < c.doc_id)
-       SELECT doc_a, doc_b, hamming FROM (
-         SELECT cand.doc_a, cand.doc_b,
-           CAST(sum(bit_count(xor(ha.hi, hb.hi))
-                  + bit_count(xor(ha.lo, hb.lo))) AS INT) AS hamming
-         FROM cand
-         JOIN h ha ON ha.doc_id = cand.doc_a
-         JOIN h hb ON hb.doc_id = cand.doc_b AND hb.f = ha.f
-         GROUP BY 1, 2) v
-       WHERE hamming <= 12""") { (s, d) =>
+             AND a.doc_id < c.doc_id)"""
+
+  /** The video fixture's per-frame fingerprint relation (id, f, hi,
+    * lo): REAL DIB-in-AVI mux → demux → per-frame decode → gray
+    * average-hash per frame. Shared by `video_neardup` and
+    * `video_band_funnel`. */
+  private def videoFixtureHashes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val hashes = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"))
       // decode parallelism must track cores, not the id-list's file
       // count: a single small parquet file scans as ONE partition and
@@ -515,10 +517,78 @@ object MultimodalQueries {
           }
         }
       }
-      .toDF("doc_id", "f", "hi", "lo")
+      .toDF("id", "f", "hi", "lo")
+  }
+
+  val videoNeardup = sql("video_neardup",
+    videoFpCte + """
+       SELECT doc_a, doc_b, hamming FROM (
+         SELECT cand.doc_a, cand.doc_b,
+           CAST(sum(bit_count(xor(ha.hi, hb.hi))
+                  + bit_count(xor(ha.lo, hb.lo))) AS INT) AS hamming
+         FROM cand
+         JOIN h ha ON ha.doc_id = cand.doc_a
+         JOIN h hb ON hb.doc_id = cand.doc_b AND hb.f = ha.f
+         GROUP BY 1, 2) v
+       WHERE hamming <= 12""") { (s, d) =>
     graft.functions.Fingerprints.bandedHammingPairs(
-      hashes.withColumnRenamed("doc_id", "id"), maxHamming = 12,
-      groupCol = Some("f"))
+      videoFixtureHashes(s, d), maxHamming = 12, groupCol = Some("f"))
+  }
+
+  /** The GROUPED funnel with a SAMPLED truth tier — the shape a 100 TB
+    * deployment actually runs (the full exhaustive tier of
+    * `media_band_funnel` is only affordable because the check corpus is
+    * small): candidates and verified pairs are counted over the FULL
+    * corpus, while recall is estimated on a deterministic 1-in-5
+    * document sample — the truth tier's n² cost applies to the sample
+    * only, and found∩sample / true(sample) is an unbiased recall
+    * estimate because banding is oblivious to the sampling key.
+    * Exercises the grouped (per-frame summed Hamming) code path of
+    * every tier, group-set enforcement included. Integer counts →
+    * hash-exact oracle. */
+  val videoBandFunnel = sql("video_band_funnel",
+    videoFpCte + """,
+       scored AS (
+         SELECT cand.doc_a, cand.doc_b,
+           CAST(sum(bit_count(xor(ha.hi, hb.hi))
+                  + bit_count(xor(ha.lo, hb.lo))) AS INT) AS hamming
+         FROM cand
+         JOIN h ha ON ha.doc_id = cand.doc_a
+         JOIN h hb ON hb.doc_id = cand.doc_b AND hb.f = ha.f
+         GROUP BY 1, 2),
+       found AS (SELECT doc_a, doc_b FROM scored WHERE hamming <= 12),
+       true_s AS (
+         SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         FROM h a JOIN h c ON a.f = c.f AND a.doc_id < c.doc_id
+         WHERE a.doc_id % 5 = 0 AND c.doc_id % 5 = 0
+         GROUP BY 1, 2
+         HAVING sum(bit_count(xor(a.hi, c.hi))
+                  + bit_count(xor(a.lo, c.lo))) <= 12)
+       SELECT
+         CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+         CAST((SELECT count(*) FROM found
+               WHERE doc_a % 5 = 0 AND doc_b % 5 = 0) AS BIGINT)
+           AS n_found_sample,
+         CAST((SELECT count(*) FROM true_s) AS BIGINT)
+           AS n_true_sample""") { (s, d) =>
+    import graft.functions.Fingerprints
+    val fp = videoFixtureHashes(s, d).localCheckpoint(true)
+    val found = Fingerprints
+      .bandedHammingPairs(fp, maxHamming = 12, groupCol = Some("f"))
+      .localCheckpoint(true)
+    val inSample = (c: org.apache.spark.sql.Column) => c % 5 === 0
+    val nCand = Fingerprints.bandedCandidatePairs(fp, Some("f"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val nFound = found.agg(count(lit(1)).as("n_found"))
+    val nFoundS = found
+      .filter(inSample(col("doc_a")) && inSample(col("doc_b")))
+      .agg(count(lit(1)).as("n_found_sample"))
+    val nTrueS = Fingerprints.exhaustiveHammingPairs(
+        fp.filter(inSample(col("id"))), maxHamming = 12,
+        groupCol = Some("f"))
+      .agg(count(lit(1)).as("n_true_sample"))
+    nCand.crossJoin(nFound).crossJoin(nFoundS).crossJoin(nTrueS)
   }
 
   /** Acoustic near-dup — completing the image/video/audio perceptual
@@ -920,8 +990,8 @@ object MultimodalQueries {
         "n_above", "keep")
   }
 
-  val all: Seq[QueryDef] = Seq(mediaBandFunnel, audioMp3Meta,
-    audioSilence, imageAhash, videoFrameSample,
+  val all: Seq[QueryDef] = Seq(mediaBandFunnel, videoBandFunnel,
+    audioMp3Meta, audioSilence, imageAhash, videoFrameSample,
     videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup,
     mediaQuarantine, imageDownscale, audioResample, imageMetadata,
     multimodalManifest)
