@@ -217,6 +217,41 @@ object VectorSearch {
     expr(s"""concat_ws('', transform(slice($embCol, 1, $dims),
          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END))""")
 
+  /** Multi-probe set over a sign bucket: the bucket itself plus every
+    * one-bit flip — 1 + dims probes. */
+  def signBucketProbes(bucketCol: String, dims: Int = 6): Column =
+    array((col(bucketCol) +: (1 to dims).map(i =>
+      expr(s"""concat(substr($bucketCol, 1, ${i - 1}),
+        CASE WHEN substr($bucketCol, $i, 1) = '1' THEN '0' ELSE '1' END,
+        substr($bucketCol, ${i + 1}, ${dims - i}))"""))): _*)
+
+  /** Multi-probe sign-bucket near-dup: recall extends from same-bucket
+    * to sign-Hamming <= 1 for a bounded (1 + dims)× candidate
+    * multiplier — the remediation `emb_dedup_funnel`'s measured recall
+    * motivates at moderate thresholds, where requiring ALL sign bits
+    * equal is too selective. The probe expansion happens on ONE side
+    * only: a distance-1 pair differs in exactly one sign bit, so that
+    * side's flip of the bit lands on the other's bucket, and a
+    * same-bucket pair matches via the un-flipped probe — each
+    * unordered pair is generated exactly once, no distinct pass. Still
+    * one equi join; still never n². Returns (keep_id, dup_id, cosim)
+    * with keep_id < dup_id, exact cosine >= minSim. */
+  def multiProbeBucketedThresholdPairs(df: DataFrame, minSim: Double,
+      dims: Int = 6): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    val e = df.withColumn("bucket", signBucket("embedding", dims))
+    val a = e.select(col("vec_id").as("keep_id"),
+      explode(signBucketProbes("bucket", dims)).as("probe"),
+      col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("dup_id"),
+      col("bucket").as("bucket2"), col("embedding").as("eb"))
+    a.join(b, col("probe") === col("bucket2") &&
+        col("keep_id") < col("dup_id"))
+      .withColumn("cosim", expr("cosine_sim(ea, eb)"))
+      .filter(col("cosim") >= minSim)
+      .select(col("keep_id"), col("dup_id"), col("cosim"))
+  }
+
   /** Scalar quantization codes (the int8 compression pass a vector
     * store runs after profiling): per-dimension min-max codes in
     * [0, levels). Floats are fixed-pointed by floor(v·2^20) first —

@@ -922,6 +922,80 @@ object DataPipelineQueries {
     nCand.crossJoin(nFound).crossJoin(nFoundS).crossJoin(nTrueS)
   }
 
+  /** The REMEDIATION row for `emb_dedup_funnel`'s measured 0.05
+    * recall: the same funnel with multi-probe bucketing (own bucket +
+    * every one-bit sign flip, probes exploded on one side of the same
+    * single equi join). Side-by-side with the baseline funnel the
+    * record shows the trade the probe count buys — candidates grow
+    * ~(1+dims)×, sample recall grows several-fold — which is exactly
+    * how a deployment picks its probe schedule: run both measurement
+    * rows on a sample, then choose. Counts are integers → hash-exact
+    * oracle. */
+  val embMultiprobeFunnel = sql("emb_multiprobe_funnel",
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           array_to_string(list_transform(embedding[1:6],
+             x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       pr AS (
+         SELECT vec_id, embedding, nrm, unnest(list_prepend(bucket,
+           list_transform(range(1, 7), i ->
+             substr(bucket, 1, CAST(i - 1 AS INT)) ||
+             (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
+                   THEN '0' ELSE '1' END) ||
+             substr(bucket, CAST(i + 1 AS INT), 6 - CAST(i AS INT)))))
+           AS probe
+         FROM n),
+       cand AS (
+         SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+           a.embedding AS ea, a.nrm AS na, b.embedding AS eb, b.nrm AS nb
+         FROM pr a JOIN n b ON a.probe = b.bucket AND a.vec_id < b.vec_id),
+       p AS (
+         SELECT keep_id, dup_id FROM cand
+         WHERE list_sum(list_transform(range(1, len(ea) + 1),
+             i -> CAST(ea[CAST(i AS INT)] AS DOUBLE)
+                * CAST(eb[CAST(i AS INT)] AS DOUBLE))) / (na * nb) >= 0.3),
+       true_s AS (
+         SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+           AND list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) >= 0.3)
+       SELECT
+         CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM p) AS BIGINT) AS n_found,
+         CAST((SELECT count(*) FROM p
+               WHERE keep_id % 5 = 0 AND dup_id % 5 = 0) AS BIGINT)
+           AS n_found_sample,
+         CAST((SELECT count(*) FROM true_s) AS BIGINT)
+           AS n_true_sample""") { (s, d) =>
+    import graft.functions.VectorSearch
+    val emb = Tables.embeddings(s, d)
+    val e = emb.withColumn("bucket", VectorSearch.signBucket("embedding"))
+    val nCand = e.select(col("vec_id").as("keep_id"),
+        explode(VectorSearch.signBucketProbes("bucket")).as("probe"))
+      .join(e.select(col("vec_id").as("dup_id"),
+        col("bucket").as("bucket2")),
+        col("probe") === col("bucket2") && col("keep_id") < col("dup_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val found = VectorSearch
+      .multiProbeBucketedThresholdPairs(emb, minSim = 0.3)
+      .localCheckpoint(true)
+    val nFound = found.agg(count(lit(1)).as("n_found"))
+    val nFoundS = found
+      .filter(col("keep_id") % 5 === 0 && col("dup_id") % 5 === 0)
+      .agg(count(lit(1)).as("n_found_sample"))
+    val sampleEmb = emb.filter(col("vec_id") % 5 === 0)
+    val nTrueS = VectorSearch
+      .cosineThresholdPairs(sampleEmb, sampleEmb, minSim = 0.3)
+      .agg(count(lit(1)).as("n_true_sample"))
+    nCand.crossJoin(nFound).crossJoin(nFoundS).crossJoin(nTrueS)
+  }
+
   /** Fuzzy matching: exact nearest other part name by Levenshtein
     * distance (integer DP — exact in both engines) for a deterministic
     * 1/97 probe sample. Probes × corpus is linear in |part| (broadcast
@@ -1096,8 +1170,8 @@ object DataPipelineQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupJaccardStoplist,
     dedupMinhashLsh, dedupIncremental, dedupLshRecall,
-    dedupSimhash, dedupEmbedding, embDedupFunnel, dedupClusters,
-    annCosineTop1,
+    dedupSimhash, dedupEmbedding, embDedupFunnel, embMultiprobeFunnel,
+    dedupClusters, annCosineTop1,
     annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
     textRepetition, textNormalize, decontaminate, decontaminateBloom,

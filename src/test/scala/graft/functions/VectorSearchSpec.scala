@@ -193,6 +193,34 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(pairs.count() === sameBucket.count())
   }
 
+  test("multiProbeBucketedThresholdPairs covers sign-Hamming <= 1, " +
+      "emits each pair exactly once, and stays sound") {
+    val mp = VectorSearch.multiProbeBucketedThresholdPairs(emb, minSim = 0.2)
+      .localCheckpoint(true)
+    // no duplicate pair rows: the one-sided probe expansion generates
+    // each unordered pair exactly once
+    assert(mp.count() === mp.select("keep_id", "dup_id").distinct().count())
+    // soundness: every pair is a true threshold pair (exact cosine)
+    val exact = VectorSearch.cosineThresholdPairs(emb, emb, minSim = 0.2)
+      .withColumnRenamed("cosim", "exact_sim").localCheckpoint(true)
+    val joined = mp.join(exact, Seq("keep_id", "dup_id"), "left")
+    assert(joined.filter(col("exact_sim").isNull).count() === 0)
+    // completeness boundary: found == exact pairs at sign-Hamming <= 1,
+    // a strict superset of the same-bucket tier
+    val e2 = emb.withColumn("bucket", VectorSearch.signBucket("embedding"))
+      .select(col("vec_id"), col("bucket"))
+    val withB = exact
+      .join(e2.toDF("keep_id", "b1"), "keep_id")
+      .join(e2.toDF("dup_id", "b2"), "dup_id")
+    val withinOne = withB.filter(
+      expr("""aggregate(zip_with(split(b1, ''), split(b2, ''),
+               (x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END),
+               0, (acc, v) -> acc + v) <= 1"""))
+    assert(mp.count() === withinOne.count())
+    assert(mp.count() >=
+      VectorSearch.bucketedThresholdPairs(emb, minSim = 0.2).count())
+  }
+
   test("pqAssign: every vector gets m in-range codes; codebook " +
       "vectors quantize to themselves with zero distortion") {
     val m = 4
