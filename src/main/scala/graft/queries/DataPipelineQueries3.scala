@@ -117,6 +117,127 @@ object DataPipelineQueries3 {
       .select(col("w1"), col("w2"), col("num"), col("den"))
   }
 
+  /** Per-document LM surprisal — the CCNet-shape quality filter (score
+    * every document by its cross-entropy under a corpus LM; outliers
+    * in either direction are cut) over the corpus's own bigram model,
+    * made ENGINE-EXACT: instead of float log-probabilities (whose ln
+    * and non-associative summation diverge across engines in the last
+    * ulp), each bigram occurrence scores the integer floor-log2 of its
+    * inverse probability — `length(bin(den div num)) - 1`, pure
+    * integer/string arithmetic, bit-identical everywhere. The per-doc
+    * sum of these bits IS total surprisal in whole bits (cross-entropy
+    * × n, floored per term); sum_bits/n_bigrams ranks documents the
+    * way a perplexity filter does. The model trains on the full corpus
+    * in the same job (two keyed aggregates); every doc bigram is
+    * therefore in-vocabulary by construction, so no smoothing path is
+    * needed. Plan: one explode scan, two keyed count aggregates, two
+    * equi joins of the bigram stream against the (bigram, head) count
+    * relations, one per-doc aggregate — every step partial-aggregated,
+    * nothing collected. */
+  val textLmSurprisal = sql("text_lm_surprisal",
+    """WITH w AS (
+         SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       bg AS (
+         SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+         FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+         WHERE len(w) >= 2),
+       cnt AS (SELECT w1, w2, count(*) AS num FROM bg GROUP BY w1, w2),
+       tot AS (SELECT w1, CAST(sum(num) AS BIGINT) AS den
+               FROM cnt GROUP BY w1)
+       SELECT bg.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(length(bin(den // num)) - 1) AS BIGINT) AS sum_bits
+       FROM bg
+       JOIN cnt ON cnt.w1 = bg.w1 AND cnt.w2 = bg.w2
+       JOIN tot ON tot.w1 = bg.w1
+       GROUP BY bg.doc_id""") { (s, d) =>
+    val w = TextDedup.withTokens(Tables.documents(s, d))
+      .filter(size(col("w")) >= 2)
+    val bg = w.select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, size(w) - 2)")).as("i"))
+      .select(col("doc_id"), expr("w[i]").as("w1"), expr("w[i+1]").as("w2"))
+    val cnt = bg.groupBy(col("w1").as("c1"), col("w2").as("c2"))
+      .agg(count(lit(1)).as("num"))
+    val tot = cnt.groupBy(col("c1").as("t1")).agg(sum(col("num")).as("den"))
+    bg.join(cnt, col("w1") === col("c1") && col("w2") === col("c2"))
+      .join(tot, col("w1") === col("t1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(expr("den div num"))) - 1).as("sum_bits"))
+  }
+
+  /** DSIR-shape importance weights (Xie et al. 2023, public paper:
+    * Data Selection with Importance Resampling) — score every raw
+    * document by how much its hashed-n-gram feature distribution looks
+    * like a TARGET distribution (here: the lang='en' slice), the
+    * operator a pipeline runs to up-sample target-domain-like data
+    * from a raw crawl. Features are md5-hashed bigrams into 256
+    * buckets (the same cross-engine hash trick as `feature_hash`);
+    * both distributions are add-1 smoothed over the bucket space; and
+    * the log-weight is computed in EXACT integer floor-log2 bits per
+    * occurrence — (bits_raw − bits_target), summed per document — the
+    * same engine-exact log surrogate as `text_lm_surprisal` (float
+    * log-ratios would diverge across engines in the last ulp).
+    * Positive log2_w ⇒ the doc's features are more probable under the
+    * target than the raw distribution — up-sample it.
+    * Plan: one explode scan; the per-bucket model is ≤256 rows + a
+    * 1-row total, so model application is a BROADCAST join over the
+    * feature stream — nothing corpus-sized shuffles except the
+    * per-doc aggregate. */
+  val dsirWeights = sql("dsir_weights",
+    """WITH w AS (
+         SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       f AS (
+         SELECT doc_id, lang,
+           substr(md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]),
+             1, 2) AS b
+         FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+         WHERE len(w) >= 2),
+       rc AS (SELECT b, count(*) AS cr FROM f GROUP BY b),
+       tc AS (SELECT b, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY b),
+       tots AS (SELECT count(*) AS tr,
+                  count(*) FILTER (lang = 'en') AS tt FROM f),
+       model AS (
+         SELECT rc.b, rc.cr + 1 AS num_r, tr + 256 AS den_r,
+           coalesce(tc.ct, 0) + 1 AS num_t, tt + 256 AS den_t
+         FROM rc LEFT JOIN tc ON tc.b = rc.b, tots)
+       SELECT f.doc_id,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum((length(bin(den_r // num_r)) - 1)
+                - (length(bin(den_t // num_t)) - 1)) AS BIGINT) AS log2_w
+       FROM f JOIN model ON model.b = f.b
+       GROUP BY f.doc_id""") { (s, d) =>
+    val w = TextDedup.withTokens(Tables.documents(s, d))
+      .filter(size(col("w")) >= 2)
+    val feats = w.select(col("doc_id"), col("lang"),
+        col("w"), explode(expr("sequence(0, size(w) - 2)")).as("i"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(concat(expr("w[i]"), lit(" "), expr("w[i+1]"))),
+          1, 2).as("b"))
+    val rawCnt = feats.groupBy(col("b").as("rb"))
+      .agg(count(lit(1)).as("cr"))
+    val tgtCnt = feats.filter(col("lang") === "en")
+      .groupBy(col("b").as("tb")).agg(count(lit(1)).as("ct"))
+    val totals = feats.agg(count(lit(1)).as("tr"),
+      count(when(col("lang") === "en", 1)).as("tt"))
+    val model = rawCnt
+      .join(tgtCnt, col("rb") === col("tb"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("rb").as("mb"),
+        (col("cr") + 1).as("num_r"), (col("tr") + 256).as("den_r"),
+        (coalesce(col("ct"), lit(0L)) + 1).as("num_t"),
+        (col("tt") + 256).as("den_t"))
+    feats.join(broadcast(model), col("b") === col("mb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum((length(bin(expr("den_r div num_r"))) - 1) -
+          (length(bin(expr("den_t div num_t"))) - 1)).as("log2_w"))
+  }
+
   /** Exact percentile length band [P10, P90] via the distributed-
     * friendly value-histogram form: group by length, running cumulative
     * count over the (tiny) distinct-value relation, thresholds cross-
@@ -171,5 +292,6 @@ object DataPipelineQueries3 {
   }
 
   val all: Seq[QueryDef] = Seq(
-    seqPack, vocabOov, bigramLm, lengthBand, corpusStats)
+    seqPack, vocabOov, bigramLm, textLmSurprisal, dsirWeights,
+    lengthBand, corpusStats)
 }
