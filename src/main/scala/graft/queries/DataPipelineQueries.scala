@@ -674,6 +674,53 @@ object DataPipelineQueries {
       .select(col("doc_id")).distinct()
   }
 
+  /** Contamination FRACTION per document — the n-gram overlap REPORT
+    * (the GPT-3/PaLM-style appendix: not just which docs touch the
+    * benchmark, but how much of each doc is contaminated, the number
+    * that separates a quoted sentence from a wholesale copy and
+    * drives drop-vs-redact policy). Per non-benchmark doc with at
+    * least one contaminated distinct 5-gram: total distinct 5-grams,
+    * contaminated count, and floored basis points. Same plan shape as
+    * `decontaminate` (benchmark side broadcasts; corpus side streams)
+    * with a LEFT SEMI replaced by a conditional count so the clean
+    * grams still count toward the denominator. */
+  val decontaminateOverlap = sql("decontaminate_overlap",
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       g5 AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' ||
+           w[CAST(i AS INT)+2] || ' ' || w[CAST(i AS INT)+3] || ' ' ||
+           w[CAST(i AS INT)+4] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-3, 1))) AS i) t
+         WHERE len(w) >= 5),
+       b AS (SELECT DISTINCT s FROM g5 WHERE doc_id % 7 = 0)
+       SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(b.s) AS BIGINT) AS n_contaminated,
+         CAST(count(b.s) * 10000 // count(*) AS BIGINT) AS overlap_bp
+       FROM g5 g LEFT JOIN b ON b.s = g.s
+       WHERE g.doc_id % 7 <> 0
+       GROUP BY g.doc_id
+       HAVING count(b.s) > 0""") { (s, d) =>
+    // distinct per-doc grams here (unlike `decontaminate`, where dups
+    // don't change membership): the fraction's numerator and
+    // denominator must count each gram once
+    val g5 = graft.functions.TextDedup
+      .shingles(Tables.documents(s, d), n = 5)
+    val bench = g5.filter(col("doc_id") % 7 === 0)
+      .select(col("s").as("bs")).distinct()
+    g5.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(bench), col("s") === col("bs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("bs")).as("n_contaminated"),
+        expr("CAST(count(bs) * 10000 DIV count(1) AS BIGINT)")
+          .as("overlap_bp"))
+      .filter(col("n_contaminated") > 0)
+  }
+
   /** Bloom-filter decontamination — same contract as `decontaminate`,
     * restructured the way a 100 TB pass is: the benchmark 5-gram set
     * reduces to a ~100 KB bloom sketch (Spark's native
@@ -1174,7 +1221,8 @@ object DataPipelineQueries {
     dedupClusters, annCosineTop1,
     annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,
-    textRepetition, textNormalize, decontaminate, decontaminateBloom,
+    textRepetition, textNormalize, decontaminate, decontaminateOverlap,
+    decontaminateBloom,
     sampleHash, sampleSplit, sampleStratified, textEditDistance,
     multimodalFeatures, multimodalAvMeta, audioPcmStats)
 }
