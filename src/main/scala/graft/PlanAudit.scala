@@ -75,7 +75,11 @@ object PlanAudit {
       "corpus-wide shuffles are keyed aggregations (chunk-frequency, " +
       "per-doc reassembly). The duplicated-chunk relation's broadcast " +
       "into the anti join is GATED on a counted threshold — above it " +
-      "the join runs un-hinted and AQE picks the sides."))
+      "the join runs un-hinted and AQE picks the sides."),
+    "dsir_weights" -> ("The per-bucket model (<= 256 rows + a 1-row " +
+      "total) BROADCASTS over the hashed-feature stream — nothing " +
+      "corpus-sized shuffles except the per-doc aggregate; scoring is " +
+      "exact integer floor-log2 arithmetic inside codegen."))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
