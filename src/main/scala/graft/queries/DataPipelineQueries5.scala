@@ -25,7 +25,9 @@ object DataPipelineQueries5 {
     * into the Expand branch), while the four exact distinct counts
     * share ONE Expand + HashAggregate pass (all-numeric buffers). A
     * single combined statement plans as SortAggregate over the 5×
-    * expanded rows — measured 4.9 s vs 1.3 s for this shape at sf0.1.
+    * expanded rows — measured ~4× slower than this split shape when
+    * the query landed (r4); the split shape's intrinsic cost is
+    * ~1.0 s at sf0.1 (r7 standalone re-run).
     * The 100 TB variant swaps `countDistinct` for
     * `approx_count_distinct` (no Expand at all — see
     * `agg_approx_distinct`), exactness kept here for the oracle.

@@ -363,14 +363,112 @@ object MultimodalQueries {
         val br = Array(128, 192, 320, 64)((id % 4).toInt)
         val nf = (3 + id % 5).toInt
         val id3 = if (id % 7 == 0) 64 else 0
+        // every other tagged clip also carries the ID3v2.4 footer (10
+        // trailing bytes beyond the syncsafe size) — the spec corner
+        // the walk must skip; meta output is identical either way
         val m = Multimodal.decodeMp3Meta(
-          Multimodal.synthMp3Frames(nf, br, sr, id3)).getOrElse(
+          Multimodal.synthMp3Frames(nf, br, sr, id3,
+            id3Footer = id3 > 0 && id % 2 == 0)).getOrElse(
           throw new IllegalStateException(
             s"audio_mp3_meta: synthesized MP3 for doc $id failed to parse"))
         (id, m.bitrateKbps, m.sampleRate, m.nFrames, m.durationMs)
       })
       .toDF("doc_id", "bitrate_kbps", "sample_rate", "n_frames",
         "duration_ms")
+  }
+
+  /** REAL sample-level decode of a genuinely COMPRESSED audio codec —
+    * IMA-ADPCM WAV (fmt 0x11, 4 bits/sample): every document
+    * synthesizes a multi-block ADPCM stream whose block headers and
+    * nibble codes derive from doc_id by replayable arithmetic, the
+    * distributed path container-parses AND sample-decodes it for real
+    * (Multimodal.decodeAdpcm — public-spec step/index tables, pure
+    * integer), and the oracle is an INDEPENDENT driver-side replay of
+    * the same public spec (own tables, walks the generating formulas
+    * rather than the bytes — the Bpe.trainRef pattern), emitted as a
+    * VALUES literal. A nibble-order, block-boundary, clamp, or header
+    * bug in either the muxer or the decoder breaks the hash. Extends
+    * real compressed-sample decode to where MP3/AAC are documented
+    * non-goals (no resolvable codec dependency); ADPCM needs none. */
+  val audioAdpcmStats = replayed("audio_adpcm_stats") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism) // cores, not files
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val st = Multimodal.decodeAdpcm(Multimodal.synthAdpcmWav(
+          nBlocks = 2 + (id % 3).toInt, blockAlign = 64,
+          sampleRate = 8000 + ((id % 8) * 1000).toInt, seed = id))
+          .getOrElse(throw new IllegalStateException(
+            s"audio_adpcm_stats: synthesized ADPCM for doc $id failed"))
+        (id, st.sampleRate, st.nSamples, st.peak, st.sumAbs, st.sumSq,
+          st.zeroCrossings)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "peak", "sum_abs",
+        "sum_sq", "zero_crossings")
+  } { (s, d) =>
+    // ORACLE GENERATION ONLY (runs once in Verify at sf0.01):
+    // independent IMA-ADPCM replay — its own copy of the public-spec
+    // tables, iterating the doc_id formulas directly instead of
+    // parsing RIFF bytes, so container packing and decode are checked
+    // against spec arithmetic, not against themselves.
+    val step = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+      34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+      143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+      494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+      1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+      4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+      11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+      27086, 29794, 32767)
+    val idxAdj = Array(-1, -1, -1, -1, 2, 4, 6, 8,
+      -1, -1, -1, -1, 2, 4, 6, 8)
+    import s.implicits._
+    val ids = graft.core.Tables.documents(s, d)
+      .select(col("doc_id")).as[Long].collect().sorted
+    val rows = ids.map { id =>
+      val nBlocks = 2 + (id % 3).toInt
+      val rate = 8000 + ((id % 8) * 1000).toInt
+      val codesPerBlock = (64 - 4) * 2
+      var peak = 0L; var sa = 0L; var ss = 0L; var zc = 0L; var n = 0L
+      var prevNeg = false
+      def emit(v: Int): Unit = {
+        val a = math.abs(v.toLong)
+        if (a > peak) peak = a
+        sa += a; ss += v.toLong * v.toLong
+        val neg = v < 0
+        if (n > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg; n += 1
+      }
+      var k = 0
+      while (k < nBlocks) {
+        var pred = ((id * 131 + k * 257) % 65536).toInt - 32768
+        var idx = ((id * 13 + k * 29) % 89).toInt
+        emit(pred)
+        var i = 0
+        while (i < codesPerBlock) {
+          val code = ((id * 31 + k * 17 + i * 7) % 16).toInt
+          val st0 = step(idx)
+          var diff = st0 >> 3
+          if ((code & 1) != 0) diff += st0 >> 2
+          if ((code & 2) != 0) diff += st0 >> 1
+          if ((code & 4) != 0) diff += st0
+          pred = math.max(-32768, math.min(32767,
+            if ((code & 8) != 0) pred - diff else pred + diff))
+          idx = math.max(0, math.min(88, idx + idxAdj(code)))
+          emit(pred)
+          i += 1
+        }
+        k += 1
+      }
+      s"($id, $rate, $n, $peak, $sa, $ss, $zc)"
+    }.mkString(", ")
+    s"""SELECT CAST(d AS BIGINT) AS doc_id, CAST(sr AS INT) AS sample_rate,
+          CAST(n AS BIGINT) AS n_samples, CAST(pk AS BIGINT) AS peak,
+          CAST(sa AS BIGINT) AS sum_abs, CAST(ss AS BIGINT) AS sum_sq,
+          CAST(zc AS BIGINT) AS zero_crossings
+        FROM (VALUES $rows) AS t(d, sr, n, pk, sa, ss, zc)"""
   }
 
   /** Candidate-funnel measurement for the banded-Hamming media join —
@@ -406,12 +504,13 @@ object MultimodalQueries {
       (s, d) =>
     import graft.functions.Fingerprints
     // fingerprints computed ONCE (eager checkpoint), then each funnel
-    // tier reads the materialized relation — the decode never re-runs
+    // tier reads the materialized relation — the decode never re-runs;
+    // bandedTiers shares ONE persisted normalized relation between the
+    // candidate and verified tiers (not one persist per entry point)
     val fp = imageFixtureHashes(s, d).localCheckpoint(true)
-    val nCand = Fingerprints.bandedCandidatePairs(fp)
-      .agg(count(lit(1)).as("n_candidates"))
-    val nFound = Fingerprints.bandedHammingPairs(fp, maxHamming = 6)
-      .agg(count(lit(1)).as("n_found"))
+    val (cand, found) = Fingerprints.bandedTiers(fp, maxHamming = 6)
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nFound = found.agg(count(lit(1)).as("n_found"))
     val nTrue = Fingerprints.exhaustiveHammingPairs(fp, maxHamming = 6)
       .agg(count(lit(1)).as("n_true"))
     nCand.crossJoin(nFound).crossJoin(nTrue)
@@ -574,12 +673,14 @@ object MultimodalQueries {
            AS n_true_sample""") { (s, d) =>
     import graft.functions.Fingerprints
     val fp = videoFixtureHashes(s, d).localCheckpoint(true)
-    val found = Fingerprints
-      .bandedHammingPairs(fp, maxHamming = 12, groupCol = Some("f"))
-      .localCheckpoint(true)
+    // one shared normalized persist feeds both the candidate count and
+    // the verified tier (bandedTiers); found is checkpointed because
+    // it is consumed twice (full count + sample count)
+    val (cand, foundLazy) = Fingerprints
+      .bandedTiers(fp, maxHamming = 12, groupCol = Some("f"))
+    val found = foundLazy.localCheckpoint(true)
     val inSample = (c: org.apache.spark.sql.Column) => c % 5 === 0
-    val nCand = Fingerprints.bandedCandidatePairs(fp, Some("f"))
-      .agg(count(lit(1)).as("n_candidates"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nFound = found.agg(count(lit(1)).as("n_found"))
     val nFoundS = found
       .filter(inSample(col("doc_a")) && inSample(col("doc_b")))
@@ -991,7 +1092,7 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(mediaBandFunnel, videoBandFunnel,
-    audioMp3Meta, audioSilence, imageAhash, videoFrameSample,
+    audioMp3Meta, audioAdpcmStats, audioSilence, imageAhash, videoFrameSample,
     videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup,
     mediaQuarantine, imageDownscale, audioResample, imageMetadata,
     multimodalManifest)

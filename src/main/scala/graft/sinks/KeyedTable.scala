@@ -111,7 +111,8 @@ object KeyedTable {
         case Some(true) =>
           s"KeyedTable at $dir holds an EXPIRED write lease [$holder] — " +
             "the holder stopped heartbeating for a full lease period and " +
-            "is presumed crashed; confirm it is dead, then clearLock()"
+            "is presumed crashed; stealExpiredLock() (or clearLock() " +
+            "after confirming it is dead)"
         case _ =>
           s"KeyedTable at $dir is locked by a LIVE writer [$holder] — " +
             "concurrent upserts are not isolated and would corrupt the " +
@@ -134,7 +135,14 @@ object KeyedTable {
     hb.setDaemon(true)
     hb.start()
     try body
-    finally { hb.interrupt(); fs.delete(path, false) }
+    finally {
+      // join BEFORE deleting: interrupt() does not stop a heartbeat
+      // already inside its fs.create rewrite, which could otherwise
+      // recreate the marker AFTER the delete and leave an orphaned
+      // lease the next writer mistakes for a live one. The rewrite is
+      // millisecond-scale, so the join is cheap.
+      hb.interrupt(); hb.join(); fs.delete(path, false)
+    }
   }
 
   /** Remove a stale writer lock left by a crashed writer. Only safe
@@ -143,6 +151,50 @@ object KeyedTable {
     val path = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(path, false)
+  }
+
+  /** Supervisor takeover of an EXPIRED lease: verifies from the marker
+    * itself that the holder stopped heartbeat-renewing for a full lease
+    * period (presumed crashed), then removes the lock LOUDLY — the old
+    * holder's recorded identity is returned and logged so the steal is
+    * auditable. Refuses (throws) while the lease is still live or the
+    * marker is unreadable: two writers that both think the other is
+    * stale must never both proceed, so the only automatic path is the
+    * one the lease protocol itself proves safe.
+    *
+    * @return the stolen lease's payload (pid/host/acquired/expires of
+    *         the presumed-crashed holder) */
+  def stealExpiredLock(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      throw new IllegalStateException(
+        s"KeyedTable at $dir has no write lock to steal")
+    val holder = {
+      val in = fs.open(path)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8")
+      } finally in.close()
+    }
+    val expiresAt = "expires=(\\d+)".r.findFirstMatchIn(holder)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"KeyedTable at $dir lock payload is unreadable [$holder] — " +
+          "cannot prove the lease expired; use clearLock() only after " +
+          "out-of-band confirmation the holder is dead"))
+    val now = System.currentTimeMillis()
+    if (expiresAt >= now)
+      throw new IllegalStateException(
+        s"KeyedTable at $dir lease is still LIVE [$holder] — refusing " +
+          s"to steal (expires in ${expiresAt - now} ms); a heartbeating " +
+          "writer must never lose its lock underneath a running write")
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"KeyedTable at $dir: stealing EXPIRED write lease from presumed-" +
+        s"crashed holder [$holder] (expired ${now - expiresAt} ms ago)")
+    fs.delete(path, false)
+    holder
   }
 
   /** Create (or replace) the bucketed table from a full snapshot. */

@@ -390,4 +390,66 @@ class VectorSearchSpec extends AnyFunSuite {
     val got = topk.select(col("vec_id"), col("rank"), col("neighbor_id"))
     assert(got.except(want).count() === 0 && want.except(got).count() === 0)
   }
+
+  test("srpSignatures: per vector, `tables` signatures of `bits` 0/1 " +
+      "chars, deterministic across runs") {
+    val sg = VectorSearch.srpSignatures(emb, bits = 6, tables = 8)
+    val bad = sg.filter(size(col("sigs")) =!= 8 ||
+      exists(col("sigs"), s => length(s) =!= 6 ||
+        s.rlike("[^01]"))).count()
+    assert(bad === 0)
+    assert(sg.count() === emb.count())
+    // md5-derived weights: a second run is bit-identical
+    val sg2 = VectorSearch.srpSignatures(emb, bits = 6, tables = 8)
+    assert(sg.except(sg2).count() === 0 && sg2.except(sg).count() === 0)
+  }
+
+  test("srpLshCandidatePairs generates each pair EXACTLY once across " +
+      "the table union (first colliding table, no distinct)") {
+    // identical vectors collide in EVERY table — the maximal stress on
+    // the exactly-once contract
+    val tiny = Seq(
+      (1L, Array(0.5f, -0.25f, 0.75f, 0.1f)),
+      (2L, Array(0.5f, -0.25f, 0.75f, 0.1f)), // == vec 1
+      (3L, Array(0.5f, -0.25f, 0.75f, 0.1f)), // == vec 1
+      (4L, Array(-0.9f, 0.8f, -0.7f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val cand = VectorSearch
+      .srpLshCandidatePairs(tiny, bits = 4, tables = 6, dims = 4)
+    val perPair = cand.groupBy("keep_id", "dup_id")
+      .agg(count(lit(1)).as("n"))
+    assert(perPair.filter(col("n") =!= 1).count() === 0,
+      "a pair colliding in several tables must surface once")
+    // identical vectors are GUARANTEED candidates (collide everywhere)
+    val got = cand.as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(got))
+    // orientation: keep_id < dup_id always
+    assert(cand.filter(col("keep_id") >= col("dup_id")).count() === 0)
+    // and on the real corpus: no duplicates either
+    val real = VectorSearch.srpLshCandidatePairs(emb, bits = 6, tables = 8)
+    assert(real.groupBy("keep_id", "dup_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= 1).count() === 0)
+  }
+
+  test("srpThresholdPairs = exact threshold pairs restricted to SRP " +
+      "candidates; OR-amplification recalls more than one sign bucket") {
+    VectorExpressions.register(spark)
+    val minSim = 0.3
+    val srp = VectorSearch
+      .srpThresholdPairs(emb, minSim, bits = 6, tables = 16)
+    // soundness: every reported pair really clears the exact cosine
+    val exact = VectorSearch.cosineThresholdPairs(emb, emb, minSim)
+      .select(col("keep_id"), col("dup_id"))
+    val srpPairs = srp.select(col("keep_id"), col("dup_id"))
+    assert(srpPairs.except(exact).count() === 0)
+    // completeness relative to its own candidate tier: candidates that
+    // clear the threshold are all reported
+    val cand = VectorSearch.srpLshCandidatePairs(emb, bits = 6, tables = 16)
+    val candTrue = cand.join(exact, Seq("keep_id", "dup_id"), "leftsemi")
+    assert(candTrue.except(srpPairs).count() === 0)
+    // OR-amplification: 16 independent tables recall at least as many
+    // true pairs as the single all-bits-equal sign bucket
+    val bucket = VectorSearch.bucketedThresholdPairs(emb, minSim)
+    assert(srpPairs.count() >= bucket.count())
+  }
 }

@@ -523,6 +523,14 @@ class MultimodalSpec extends AnyFunSuite {
     val tagged = Multimodal.synthMp3Frames(3, 192, 48000, id3Bytes = 300)
     val mt = Multimodal.decodeMp3Meta(tagged).get
     assert(mt.nFrames === 3 && mt.sampleRate === 48000)
+    // ID3v2.4 footer flag: the syncsafe size covers the body only, the
+    // footer adds 10 trailing bytes the walk must also skip — a
+    // spec-valid tag, not a decline
+    val footered = Multimodal.synthMp3Frames(3, 192, 48000,
+      id3Bytes = 300, id3Footer = true)
+    assert(footered.length === tagged.length + 10)
+    val mf = Multimodal.decodeMp3Meta(footered).get
+    assert(mf.nFrames === 3 && mf.sampleRate === 48000 && mf.cbr)
     // VBR: frames with differing bitrates walk fine, cbr=false
     val vbr = Multimodal.synthMp3Frames(2, 128, 32000) ++
       Multimodal.synthMp3Frames(3, 64, 32000)
@@ -539,6 +547,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeMp3Meta(rateFlip).isEmpty)
     assert(Multimodal.decodeMp3Meta(
       mp3 ++ "tail".getBytes).isEmpty)
+  }
+
+  test("IMA-ADPCM: real compressed-sample decode — spec replay agrees, " +
+      "block accounting exact, strict declines") {
+    val b = Multimodal.synthAdpcmWav(nBlocks = 3, blockAlign = 64,
+      sampleRate = 11000, seed = 42L)
+    val st = Multimodal.decodeAdpcm(b).get
+    assert(st.channels === 1 && st.sampleRate === 11000)
+    // per mono block: 1 header sample + (align-4) bytes * 2 nibbles
+    assert(st.nSamples === 3L * (1 + 60 * 2))
+    assert(st.peak <= 32768 && st.sumSq >= st.sumAbs)
+    // independent in-test replay of the public-spec arithmetic over
+    // the generating formulas (never touches the bytes)
+    val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
+      25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+      118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+      408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+      1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+      3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
+      10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+      24623, 27086, 29794, 32767)
+    val adj = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (k <- 0 until 3) {
+      var pred = ((42L * 131 + k * 257) % 65536).toInt - 32768
+      var idx = ((42L * 13 + k * 29) % 89).toInt
+      samples += pred
+      for (i <- 0 until 120) {
+        val code = ((42L * 31 + k * 17 + i * 7) % 16).toInt
+        val s0 = step(idx)
+        var diff = s0 >> 3
+        if ((code & 1) != 0) diff += s0 >> 2
+        if ((code & 2) != 0) diff += s0 >> 1
+        if ((code & 4) != 0) diff += s0
+        pred = math.max(-32768, math.min(32767,
+          if ((code & 8) != 0) pred - diff else pred + diff))
+        idx = math.max(0, math.min(88, idx + adj(code)))
+        samples += pred
+      }
+    }
+    assert(st.sumAbs === samples.map(v => math.abs(v.toLong)).sum)
+    assert(st.sumSq === samples.map(v => v.toLong * v.toLong).sum)
+    assert(st.peak === samples.map(v => math.abs(v.toLong)).max)
+    // strict declines (quarantine contract): truncation, hostile step
+    // index, nonzero reserved byte, stereo
+    assert(Multimodal.decodeAdpcm(b.dropRight(1)).isEmpty)
+    val badIdx = b.clone(); badIdx(48 + 2) = 100.toByte
+    assert(Multimodal.decodeAdpcm(badIdx).isEmpty)
+    val badRes = b.clone(); badRes(48 + 3) = 1.toByte
+    assert(Multimodal.decodeAdpcm(badRes).isEmpty)
+    val stereo = b.clone(); stereo(22) = 2.toByte
+    assert(Multimodal.decodeAdpcm(stereo).isEmpty)
+    // and plain PCM-16 is not claimed by the ADPCM decoder
+    assert(Multimodal.decodeAdpcm(
+      Multimodal.synthGatedPcmWav(1, 8000, 100, 1L, 80)).isEmpty)
   }
 
   test("sha256 matches Spark's own sha2 over the same bytes") {

@@ -121,6 +121,53 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(contents(dir)(1L) === "OK")
   }
 
+  test("stealExpiredLock: an expired lease is taken over loudly — the " +
+      "old holder's identity is returned and the next writer proceeds") {
+    val dir = freshDir()
+    KeyedTable.create(Seq((1L, "v1")).toDF("k", "v"), dir, "k")
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, false)
+    out.write("pid=4242 host=deadhost acquired=1000 expires=2000"
+      .getBytes("UTF-8")); out.close()
+    val stolen = KeyedTable.stealExpiredLock(spark, dir)
+    assert(stolen.contains("pid=4242") && stolen.contains("deadhost"),
+      s"the steal must surface the crashed holder's identity: $stolen")
+    assert(!fs.exists(lock), "the expired marker is removed")
+    KeyedTable.upsert(spark, dir, Seq((1L, "OK")).toDF("k", "v"), "k")
+    assert(contents(dir)(1L) === "OK")
+  }
+
+  test("stealExpiredLock refuses a LIVE lease and an unparseable marker") {
+    val dir = freshDir()
+    KeyedTable.create(Seq((1L, "v1")).toDF("k", "v"), dir, "k")
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // live lease: expires far in the future
+    val live = fs.create(lock, false)
+    live.write(s"pid=1 host=h acquired=1 expires=${System.currentTimeMillis() + 3600000}"
+      .getBytes("UTF-8")); live.close()
+    val e1 = intercept[IllegalStateException] {
+      KeyedTable.stealExpiredLock(spark, dir)
+    }
+    assert(e1.getMessage.contains("LIVE"), e1.getMessage)
+    assert(fs.exists(lock), "a live lease is never stolen")
+    fs.delete(lock, false)
+    // unparseable payload: cannot prove expiry, refuse
+    val corrupt = fs.create(lock, false)
+    corrupt.write("not-a-lease".getBytes("UTF-8")); corrupt.close()
+    val e2 = intercept[IllegalStateException] {
+      KeyedTable.stealExpiredLock(spark, dir)
+    }
+    assert(e2.getMessage.contains("unreadable"), e2.getMessage)
+    assert(fs.exists(lock), "an unprovable lease is never stolen")
+    KeyedTable.clearLock(spark, dir)
+    // and with no lock at all: loud, not a silent no-op
+    intercept[IllegalStateException] {
+      KeyedTable.stealExpiredLock(spark, dir)
+    }
+  }
+
   test("a marker with no parseable lease (foreign/corrupt) is treated " +
       "as live — fail conservative, never steal") {
     val dir = freshDir()
