@@ -79,7 +79,18 @@ object PlanAudit {
     "dsir_weights" -> ("The per-bucket model (<= 256 rows + a 1-row " +
       "total) BROADCASTS over the hashed-feature stream — nothing " +
       "corpus-sized shuffles except the per-doc aggregate; scoring is " +
-      "exact integer floor-log2 arithmetic inside codegen."))
+      "exact integer floor-log2 arithmetic inside codegen."),
+    "emb_srp_funnel" -> ("SRP-LSH OR-amplification: candidates come " +
+      "from per-table equi joins on the exploded (t, sig) key — L " +
+      "short signature rows per vector shuffle, never L embedding " +
+      "copies (PlanSpec-pinned); exactly-once pairs via the first-" +
+      "colliding-table residual, no distinct pass; the verify tier " +
+      "joins embeddings back by id so vector bytes shuffle once. The " +
+      "funnel's counts read the checkpointed candidate relation."),
+    "audio_adpcm_stats" -> ("Stateless per-doc synth + REAL IMA-ADPCM " +
+      "sample decode in one mapPartitions over a core-count " +
+      "repartition — no shuffle after the repartition, cost linear in " +
+      "clips; the decode is pure public-spec integer arithmetic."))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

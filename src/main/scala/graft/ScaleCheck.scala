@@ -349,6 +349,61 @@ object ScaleCheck {
         .agg(count(lit(1)),
           sum(when(col("n") <= 2, 1L).otherwise(0L))).count()
     }
+    // LM surprisal (r7 family, probed per r7 verdict #4): model = two
+    // keyed count aggregates over the bigram stream, application = two
+    // equi joins + per-doc aggregate. With MUTATE=1 each copy's bigrams
+    // are distinct, so the model relation grows ~linearly (a real
+    // corpus grows types sub-linearly — this is the worst case); all
+    // five shuffles key on the gram or doc_id, so linear growth is the
+    // design claim under probe
+    time("lm_surprisal") {
+      val w = graft.functions.TextDedup.withTokens(docs)
+        .filter(size(col("w")) >= 2)
+      val bg = w.select(col("doc_id"), col("w"),
+          explode(expr("sequence(0, size(w) - 2)")).as("i"))
+        .select(col("doc_id"), expr("w[i]").as("w1"), expr("w[i+1]").as("w2"))
+      val cnt = bg.groupBy(col("w1").as("c1"), col("w2").as("c2"))
+        .agg(count(lit(1)).as("num"))
+      val tot = cnt.groupBy(col("c1").as("t1")).agg(sum(col("num")).as("den"))
+      bg.join(cnt, col("w1") === col("c1") && col("w2") === col("c2"))
+        .join(tot, col("w1") === col("t1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(length(bin(expr("den div num"))) - 1).as("sum_bits")).count()
+    }
+    // DSIR importance weights (r7 family, probed per r7 verdict #4):
+    // the model is ≤256 hashed-bucket rows + a 1-row total regardless
+    // of corpus size — the design claim is that model application stays
+    // a BROADCAST join over the feature stream (only the per-doc
+    // aggregate shuffles), so cost must track the explode scan linearly
+    time("dsir_weights") {
+      val w = graft.functions.TextDedup.withTokens(docs)
+        .filter(size(col("w")) >= 2)
+      val feats = w.select(col("doc_id"), col("lang"),
+          col("w"), explode(expr("sequence(0, size(w) - 2)")).as("i"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(concat(expr("w[i]"), lit(" "), expr("w[i+1]"))),
+            1, 2).as("b"))
+      val rawCnt = feats.groupBy(col("b").as("rb"))
+        .agg(count(lit(1)).as("cr"))
+      val tgtCnt = feats.filter(col("lang") === "en")
+        .groupBy(col("b").as("tb")).agg(count(lit(1)).as("ct"))
+      val totals = feats.agg(count(lit(1)).as("tr"),
+        count(when(col("lang") === "en", 1)).as("tt"))
+      val model = rawCnt
+        .join(tgtCnt, col("rb") === col("tb"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("rb").as("mb"),
+          (col("cr") + 1).as("num_r"), (col("tr") + 256).as("den_r"),
+          (coalesce(col("ct"), lit(0L)) + 1).as("num_t"),
+          (col("tt") + 256).as("den_t"))
+      feats.join(broadcast(model), col("b") === col("mb"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          sum((length(bin(expr("den_r div num_r"))) - 1) -
+            (length(bin(expr("den_t div num_t"))) - 1)).as("log2_w")).count()
+    }
+
     // global training shuffle: range repartition on the md5 key +
     // zipWithIndex (a count job + the attach pass) — the sort is the
     // cost, O(n log n) with no single-partition stage
@@ -387,6 +442,30 @@ object ScaleCheck {
         .where(expr("cosine_sim(a.embedding, b.embedding)") >= 0.5)
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
       graft.functions.ConnectedComponents.run(spark, pairs).count()
+    }
+    // SRP-LSH dedup (r8 operator): embeddings replicate under the same
+    // per-copy Rademacher sign pattern as dedup_semantic — within-copy
+    // dots (and so signatures-vs-each-other collisions) are preserved,
+    // cross-copy dots are pseudo-random around 0, so dup density stays
+    // constant as the corpus grows. Candidates = L equi joins on the
+    // (t, sig) key. The SCALE RULE under probe: per-table random-pair
+    // collision is ~2^-bits, so bits must grow with log2(n) to keep
+    // per-table candidate pairs linear-in-n (the SRP analogue of the
+    // IVF k = 8·copies codebook rule); recall at the target cosine is
+    // then bought back with MORE TABLES (geometric in Δbits — the real
+    // cost of SRP-LSH at scale, measured in BENCH_NOTES)
+    time("srp_lsh_pairs") {
+      val flipped = (0 until copies).map { i =>
+        Tables.embeddings(spark, sfDir)
+          .withColumn("vec_id", col("vec_id") + i * shift)
+          .withColumn("embedding", expr(
+            s"transform(embedding, (v, d) -> CASE WHEN pmod(hash(d, $i), 2) = 0" +
+              " THEN v ELSE -v END)"))
+      }.reduce(_ union _)
+      val bits = 6 + (31 - Integer.numberOfLeadingZeros(copies)) // +log2(n)
+      graft.functions.VectorSearch
+        .srpThresholdPairs(flipped, minSim = 0.3, bits = bits, tables = 16)
+        .count()
     }
     // PageRank: replication stretches each (lang, source) chain 10×,
     // so edges grow linearly; rounds are fixed (3) — expect linear

@@ -123,6 +123,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("srp candidate generation is an equi join on (table, sig) — " +
+      "never cartesian, embeddings not carried through the explode") {
+    val cand = graft.functions.VectorSearch.srpLshCandidatePairs(
+      graft.core.Tables.embeddings(spark, d), bits = 6, tables = 8)
+    val p = cand.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "OR-amplified candidates must come from per-table equi joins")
+    // the join keys are the exploded (t, sig) pair
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+    // candidate generation shuffles L small signature rows per vector,
+    // not L embedding copies: no exchange carries the embedding column
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(!_.contains("embedding")),
+      s"embedding must not shuffle in candidate generation:\n${exchanges.mkString("\n")}")
+  }
+
   test("window_sliding shuffles once on the partition key") {
     val p = plan("window_sliding")
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
