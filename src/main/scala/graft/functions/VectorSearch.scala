@@ -276,14 +276,17 @@ object VectorSearch {
 
   /** Per-vector SRP-LSH signatures: `tables` independent sign-hash
     * signatures of `bits` bits each — sig t bit j is the sign of the
-    * Rademacher projection Σ_d w(t,j,d)·floor(emb(d)·2^20). Returns
-    * (vec_id, sigs: Array[String]); the signature relation is tiny
-    * (L short strings per vector), computed in one shuffle-free
+    * Rademacher projection Σ_d w(t,j,d)·floor(emb(d)·2^20), packed as
+    * an INTEGER in [0, 2^bits) (bit j contributes 2^(bits-1-j) when
+    * the dot is >= 0). Returns (vec_id, sigs: Array[Int]); the
+    * signature relation is tiny (L ints per vector — integers, not
+    * strings, so the downstream join keys are fixed-width and the
+    * exploded relation stays narrow), computed in one shuffle-free
     * broadcast-weights kernel pass (the weight tensor is
     * tables×bits×dims ints — KBs). */
   def srpSignatures(df: DataFrame, bits: Int, tables: Int,
       dims: Int = 64): DataFrame = {
-    require(bits >= 1 && tables >= 1 && dims >= 1)
+    require(bits >= 1 && bits <= 30 && tables >= 1 && dims >= 1)
     val sp = df.sparkSession
     import sp.implicits._
     val bc = sp.sparkContext.broadcast(srpWeights(bits, tables, dims))
@@ -299,19 +302,19 @@ object VectorSearch {
           fx(d) = math.floor(emb(d).toDouble * SrpFixedPointScale).toLong
           d += 1
         }
-        val sigs = new Array[String](tables)
+        val sigs = new Array[Int](tables)
         var t = 0
         while (t < tables) {
-          val sb = new java.lang.StringBuilder(bits)
+          var sig = 0
           var j = 0
           while (j < bits) {
             var dot = 0L
             var k = 0
             while (k < dims) { dot += w(t)(j)(k) * fx(k); k += 1 }
-            sb.append(if (dot >= 0L) '1' else '0')
+            if (dot >= 0L) sig |= 1 << (bits - 1 - j)
             j += 1
           }
-          sigs(t) = sb.toString
+          sigs(t) = sig
           t += 1
         }
         (id, sigs)
@@ -327,50 +330,78 @@ object VectorSearch {
     * in L (measured at sf0.01: 6 bits × 24 tables → 0.71 sample recall
     * at 0.33·n² candidates; see `emb_srp_funnel`).
     *
-    * Exactly-once pair generation WITHOUT a distinct pass: a pair
-    * colliding in several tables is emitted only for its FIRST
-    * colliding table — both sides carry their full signature array,
-    * the equi join keys on (t, sig), and a residual predicate drops
-    * the pair unless every earlier table's signatures differ. Plan
-    * shape: ONE equi join over the (t, sig)-exploded signature
-    * relation (L small rows per vector, embeddings NOT carried through
-    * the explode — candidates are id pairs; the verify tier joins
-    * vectors back by id so embedding bytes shuffle once, not L×). */
+    * Exactly-once pair generation: raw per-table collisions come from
+    * ONE equi join on the exploded (t, sig) integer key, and a pair
+    * colliding in several tables is collapsed by a keyed aggregate —
+    * exactly-once BY CONSTRUCTION, with only narrow (id, id) rows in
+    * the aggregate's shuffle. (A join-side first-colliding-table
+    * residual over the signature arrays avoids that shuffle but costs
+    * interpreted slice/zip_with/exists per RAW collision — measured 3×
+    * slower than aggregating the narrow rows at sf0.1.) Embeddings are
+    * NOT carried through the explode — candidates are id pairs; the
+    * verify tier joins vectors back by id so embedding bytes shuffle
+    * once, not L×. */
   def srpLshCandidatePairs(df: DataFrame, bits: Int, tables: Int,
-      dims: Int = 64): DataFrame = {
-    val sg = srpSignatures(df, bits, tables, dims)
-    val a = sg.select(col("vec_id").as("keep_id"), col("sigs").as("sa"),
+      dims: Int = 64): DataFrame =
+    srpRawCollisions(srpSignatures(df, bits, tables, dims))
+      .groupBy(col("keep_id"), col("dup_id")).agg(count(lit(1)).as("_n"))
+      .select(col("keep_id"), col("dup_id"))
+
+  /** Raw per-table collision pairs (a pair appears once PER colliding
+    * table): the shared join under the candidate tier and the
+    * verify-then-dedup production path. */
+  private def srpRawCollisions(sg: DataFrame): DataFrame = {
+    val a = sg.select(col("vec_id").as("keep_id"),
       posexplode(col("sigs")).as(Seq("t", "sig")))
-    val b = sg.select(col("vec_id").as("dup_id"), col("sigs").as("sb"),
+    val b = sg.select(col("vec_id").as("dup_id"),
       posexplode(col("sigs")).as(Seq("t2", "sig2")))
     a.join(b,
         col("t") === col("t2") && col("sig") === col("sig2") &&
-          col("keep_id") < col("dup_id") &&
-          !exists(
-            zip_with(slice(col("sa"), lit(1), col("t")),
-              slice(col("sb"), lit(1), col("t")),
-              (x, y) => x === y),
-            p => p))
+          col("keep_id") < col("dup_id"))
       .select(col("keep_id"), col("dup_id"))
   }
 
-  /** SRP-LSH near-dup: the OR-amplified candidate tier verified with
-    * the exact codegen'd cosine — the production embedding-dedup
-    * operator for moderate similarity thresholds where
-    * [[bucketedThresholdPairs]] under-recalls. Returns (keep_id,
-    * dup_id, cosim) with keep_id < dup_id, cosine >= minSim. */
-  def srpThresholdPairs(df: DataFrame, minSim: Double, bits: Int,
-      tables: Int, dims: Int = 64): DataFrame = {
+  /** Raw collisions scored with the exact codegen'd cosine — shared by
+    * the threshold and funnel tiers. A pair colliding in k tables is
+    * scored k times (the OR-amplification overhead, ~25% extra cosine
+    * evals at the funnel config) — cheaper than deduplicating FIRST,
+    * which would shuffle every raw collision through a keyed aggregate
+    * before any filter can shrink the stream. */
+  private def srpScoredRaw(df: DataFrame, bits: Int, tables: Int,
+      dims: Int): DataFrame = {
     VectorExpressions.register(df.sparkSession)
-    srpLshCandidatePairs(df, bits, tables, dims)
+    srpRawCollisions(srpSignatures(df, bits, tables, dims))
       .join(df.select(col("vec_id").as("keep_id"),
         col("embedding").as("ea")), "keep_id")
       .join(df.select(col("vec_id").as("dup_id"),
         col("embedding").as("eb")), "dup_id")
       .withColumn("cosim", expr("cosine_sim(ea, eb)"))
-      .filter(col("cosim") >= minSim)
       .select(col("keep_id"), col("dup_id"), col("cosim"))
   }
+
+  /** Every distinct SRP candidate pair with its exact cosine,
+    * UNFILTERED — the funnel measurement relation: count = candidate
+    * volume, count(cosim >= θ) = verified pairs, one pass. */
+  def srpScoredCandidatePairs(df: DataFrame, bits: Int, tables: Int,
+      dims: Int = 64): DataFrame =
+    srpScoredRaw(df, bits, tables, dims)
+      .groupBy(col("keep_id"), col("dup_id"))
+      .agg(max(col("cosim")).as("cosim")) // duplicates carry equal cosims
+
+  /** SRP-LSH near-dup: the OR-amplified candidate tier verified with
+    * the exact codegen'd cosine — the production embedding-dedup
+    * operator for moderate similarity thresholds where
+    * [[bucketedThresholdPairs]] under-recalls. The threshold filter
+    * runs BEFORE the exactly-once dedup, so the aggregate's shuffle
+    * carries only verified pairs, not every raw collision. Returns
+    * (keep_id, dup_id, cosim) with keep_id < dup_id, cosine >=
+    * minSim. */
+  def srpThresholdPairs(df: DataFrame, minSim: Double, bits: Int,
+      tables: Int, dims: Int = 64): DataFrame =
+    srpScoredRaw(df, bits, tables, dims)
+      .filter(col("cosim") >= minSim)
+      .groupBy(col("keep_id"), col("dup_id"))
+      .agg(max(col("cosim")).as("cosim"))
 
   /** Scalar quantization codes (the int8 compression pass a vector
     * store runs after profiling): per-dimension min-max codes in

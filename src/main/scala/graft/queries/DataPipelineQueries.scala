@@ -1066,25 +1066,20 @@ object DataPipelineQueries {
          FROM embeddings),
        sgt AS (
          SELECT vec_id, t.t AS t,
-           array_to_string(list_transform(range(0, 6), j ->
+           list_sum(list_transform(range(0, 6), j ->
              CASE WHEN list_sum(list_transform(range(0, 64), d ->
                (CASE WHEN strpos('13579bdf', substr(
                     md5('srp:' || t.t || ':' || j || ':' || d), 1, 1)) > 0
                   THEN 1 ELSE -1 END)
                * CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
                    * 1048576) AS BIGINT))) >= 0
-             THEN '1' ELSE '0' END), '') AS sig
+             THEN (1 << CAST(5 - j AS INT)) ELSE 0 END)) AS sig
          FROM embeddings, range(0, 24) t(t)),
-       sgl AS (
-         SELECT vec_id, list(sig ORDER BY t) AS sigs FROM sgt GROUP BY 1),
        cand AS (
          SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
          FROM sgt a JOIN sgt b
            ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
-         JOIN sgl la ON la.vec_id = a.vec_id
-         JOIN sgl lb ON lb.vec_id = b.vec_id
-         WHERE len(list_filter(range(1, a.t + 1),
-               i -> la.sigs[CAST(i AS INT)] = lb.sigs[CAST(i AS INT)])) = 0),
+         GROUP BY 1, 2),
        p AS (
          SELECT c.keep_id, c.dup_id
          FROM cand c
@@ -1112,19 +1107,15 @@ object DataPipelineQueries {
            AS n_true_sample""") { (s, d) =>
     import graft.functions.VectorSearch
     val emb = Tables.embeddings(s, d)
-    val cand = VectorSearch
-      .srpLshCandidatePairs(emb, bits = 6, tables = 24)
+    // ONE pass scores every distinct candidate with its exact cosine
+    // (raw collisions → broadcast embedding fetch → codegen'd cosine →
+    // keyed dedup aggregate); the funnel's three corpus-wide counts
+    // all read the checkpointed scored relation
+    val scored = VectorSearch
+      .srpScoredCandidatePairs(emb, bits = 6, tables = 24)
       .localCheckpoint(true)
-    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-    graft.functions.VectorExpressions.register(s)
-    val found = cand
-      .join(emb.select(col("vec_id").as("keep_id"),
-        col("embedding").as("ea")), "keep_id")
-      .join(emb.select(col("vec_id").as("dup_id"),
-        col("embedding").as("eb")), "dup_id")
-      .filter(expr("cosine_sim(ea, eb)") >= 0.3)
-      .select(col("keep_id"), col("dup_id"))
-      .localCheckpoint(true)
+    val nCand = scored.agg(count(lit(1)).as("n_candidates"))
+    val found = scored.filter(col("cosim") >= 0.3)
     val nFound = found.agg(count(lit(1)).as("n_found"))
     val nFoundS = found
       .filter(col("keep_id") % 5 === 0 && col("dup_id") % 5 === 0)

@@ -391,21 +391,22 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(got.except(want).count() === 0 && want.except(got).count() === 0)
   }
 
-  test("srpSignatures: per vector, `tables` signatures of `bits` 0/1 " +
-      "chars, deterministic across runs") {
+  test("srpSignatures: per vector, `tables` integer signatures in " +
+      "[0, 2^bits), deterministic across runs") {
     val sg = VectorSearch.srpSignatures(emb, bits = 6, tables = 8)
     val bad = sg.filter(size(col("sigs")) =!= 8 ||
-      exists(col("sigs"), s => length(s) =!= 6 ||
-        s.rlike("[^01]"))).count()
+      exists(col("sigs"), s => s < 0 || s >= 64)).count()
     assert(bad === 0)
     assert(sg.count() === emb.count())
+    // signatures actually spread over the bucket space (not degenerate)
+    assert(sg.select(explode(col("sigs"))).distinct().count() > 8)
     // md5-derived weights: a second run is bit-identical
     val sg2 = VectorSearch.srpSignatures(emb, bits = 6, tables = 8)
     assert(sg.except(sg2).count() === 0 && sg2.except(sg).count() === 0)
   }
 
   test("srpLshCandidatePairs generates each pair EXACTLY once across " +
-      "the table union (first colliding table, no distinct)") {
+      "the table union (keyed dedup aggregate over raw collisions)") {
     // identical vectors collide in EVERY table — the maximal stress on
     // the exactly-once contract
     val tiny = Seq(
@@ -451,5 +452,13 @@ class VectorSearchSpec extends AnyFunSuite {
     // true pairs as the single all-bits-equal sign bucket
     val bucket = VectorSearch.bucketedThresholdPairs(emb, minSim)
     assert(srpPairs.count() >= bucket.count())
+    // the scored funnel relation is consistent with both tiers: one
+    // row per candidate, and its threshold slice IS srpThresholdPairs
+    val scored = VectorSearch.srpScoredCandidatePairs(emb, bits = 6, tables = 16)
+    assert(scored.count() === cand.count())
+    val sliced = scored.filter(col("cosim") >= minSim)
+      .select(col("keep_id"), col("dup_id"))
+    assert(sliced.except(srpPairs).count() === 0 &&
+      srpPairs.except(sliced).count() === 0)
   }
 }
