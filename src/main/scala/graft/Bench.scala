@@ -30,13 +30,16 @@ import scala.jdk.CollectionConverters._
   *    regression — the churn burns real process CPU, which is exactly
   *    the case the cpu-only heuristic could not adjudicate (r7: 8 rows
   *    at 2-5x the committed numbers, all reproduced standalone).
-  *  - After the main pass, every row whose min exceeded 1.5x its
-  *    committed reference (the repo's previous BENCH_FULL.json, read
-  *    BEFORE overwriting) or whose spread exceeded 1.5 is re-run once
-  *    more in a freshly-reset storage state after an explicit GC; the
-  *    recorded value is the min across ALL successful runs. Re-run rows
-  *    are listed under `rerun` so the record shows which numbers needed
-  *    the extra pass.
+  *  - Every row whose min exceeded 1.5x its committed reference (the
+  *    repo's previous BENCH_FULL.json, read BEFORE overwriting) or
+  *    whose spread exceeded 1.5 at a non-trivial wall time is
+  *    IMMEDIATELY re-run once more in a freshly-reset storage state
+  *    after an explicit GC — clearing the exact churn mechanism the r7
+  *    adjudication identified (accumulated storage + GC pressure); the
+  *    recorded value is the min across ALL successful runs. Re-run
+  *    rows are listed under `rerun`, so a row that is STILL high after
+  *    its clean-state re-run reads as a real regression from the
+  *    record alone.
   *  - The run-level `cpu_total` / `gc_total` / `load_avg_end` give the
   *    same signals in aggregate.
   *  - A FAILED run records nothing: failures are excluded from

@@ -80,13 +80,15 @@ object PlanAudit {
       "total) BROADCASTS over the hashed-feature stream — nothing " +
       "corpus-sized shuffles except the per-doc aggregate; scoring is " +
       "exact integer floor-log2 arithmetic inside codegen."),
-    "emb_srp_funnel" -> ("SRP-LSH OR-amplification: candidates come " +
-      "from per-table equi joins on the exploded (t, sig) key — L " +
-      "short signature rows per vector shuffle, never L embedding " +
-      "copies (PlanSpec-pinned); exactly-once pairs via the first-" +
-      "colliding-table residual, no distinct pass; the verify tier " +
-      "joins embeddings back by id so vector bytes shuffle once. The " +
-      "funnel's counts read the checkpointed candidate relation."),
+    "emb_srp_funnel" -> ("SRP-LSH OR-amplification: raw collisions " +
+      "come from per-table equi joins on the exploded (t, sig) INTEGER " +
+      "key — L narrow signature rows per vector shuffle, never L " +
+      "embedding copies (PlanSpec-pinned); embeddings join back by id " +
+      "(broadcast at this scale) and the codegen'd cosine scores every " +
+      "raw collision BEFORE the exactly-once keyed dedup aggregate, so " +
+      "one pass yields candidate volume AND verified count from a " +
+      "single checkpointed scored relation (the interpreted-HOF " +
+      "first-table residual this replaced was 3x slower — BENCH_NOTES)."),
     "audio_adpcm_stats" -> ("Stateless per-doc synth + REAL IMA-ADPCM " +
       "sample decode in one mapPartitions over a core-count " +
       "repartition — no shuffle after the repartition, cost linear in " +

@@ -403,6 +403,64 @@ object VectorSearch {
       .groupBy(col("keep_id"), col("dup_id"))
       .agg(max(col("cosim")).as("cosim"))
 
+  /** Incremental ingestion dedup for embeddings — the vector analogue
+    * of TextDedup.incrementalDedup (band index + by-id fetch), built
+    * on the SRP tables: every batch vector is labeled `corpus_dup`
+    * (cosine >= minSim against an indexed corpus vector — dup_of is
+    * the smallest such id), `batch_dup` (duplicates an EARLIER batch
+    * vector, keep-first), or `new`. Corpus precedence over batch, like
+    * the text operator.
+    *
+    * Scale contract: the corpus is touched only through its SRP
+    * signature relation (at 100 TB a materialized index table — L ints
+    * per vector) plus a by-id embedding fetch for COLLIDING ids; the
+    * per-ingest cost tracks the batch and its collisions, never the
+    * corpus. No dedup pass anywhere: min() is duplicate-insensitive,
+    * so raw per-table collisions feed the verify join directly and the
+    * per-vector aggregate collapses multiplicity for free. */
+  def incrementalEmbeddingDedup(corpus: DataFrame, batch: DataFrame,
+      batchIds: DataFrame, minSim: Double, bits: Int, tables: Int,
+      dims: Int = 64): DataFrame = {
+    VectorExpressions.register(batch.sparkSession)
+    def sigRows(df: DataFrame, idName: String): DataFrame =
+      srpSignatures(df, bits, tables, dims)
+        .select(col("vec_id").as(idName),
+          posexplode(col("sigs")).as(Seq(s"_t_$idName", s"_s_$idName")))
+    val bs = sigRows(batch, "bvec")
+    val be = batch.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    // batch vs corpus: collide on (t, sig), verify exact cosine, keep
+    // the smallest corpus id per batch vector
+    val cdup = bs
+      .join(sigRows(corpus, "cvec"),
+        col("_t_bvec") === col("_t_cvec") && col("_s_bvec") === col("_s_cvec"))
+      .select(col("bvec"), col("cvec"))
+      .join(be, col("bvec") === col("b_id"))
+      .join(corpus.select(col("vec_id").as("c_id"),
+        col("embedding").as("ec")), col("cvec") === col("c_id"))
+      .filter(expr("cosine_sim(eb, ec)") >= minSim)
+      .groupBy(col("bvec")).agg(min(col("cvec")).as("cdup"))
+    // batch vs earlier batch: keep-first orientation d1 < d2
+    val b2 = sigRows(batch, "d2")
+      .withColumnRenamed("_t_d2", "t2").withColumnRenamed("_s_d2", "s2")
+    val bdup = sigRows(batch, "d1")
+      .join(b2, col("_t_d1") === col("t2") && col("_s_d1") === col("s2") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .join(be, col("d1") === col("b_id"))
+      .join(batch.select(col("vec_id").as("b2_id"),
+        col("embedding").as("eb2")), col("d2") === col("b2_id"))
+      .filter(expr("cosine_sim(eb, eb2)") >= minSim)
+      .groupBy(col("d2")).agg(min(col("d1")).as("bfirst"))
+    batchIds
+      .join(cdup, col("vec_id") === col("bvec"), "left")
+      .join(bdup, col("vec_id") === col("d2"), "left")
+      .select(col("vec_id"),
+        when(col("cdup").isNotNull, "corpus_dup")
+          .when(col("bfirst").isNotNull, "batch_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("cdup"), col("bfirst"), lit(-1L)).as("dup_of"))
+  }
+
   /** Scalar quantization codes (the int8 compression pass a vector
     * store runs after profiling): per-dimension min-max codes in
     * [0, levels). Floats are fixed-pointed by floor(v·2^20) first —

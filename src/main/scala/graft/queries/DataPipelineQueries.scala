@@ -1127,6 +1127,75 @@ object DataPipelineQueries {
     nCand.crossJoin(nFound).crossJoin(nFoundS).crossJoin(nTrueS)
   }
 
+  /** Incremental ingestion dedup for EMBEDDINGS — closing the serving-
+    * mode symmetry with the text family (`dedup_incremental` /
+    * `stream_incremental_dedup`): vectors with vec_id % 4 = 0 play the
+    * incoming batch, the rest the indexed corpus; each batch vector is
+    * labeled corpus_dup / batch_dup (keep-first) / new with the id it
+    * duplicates at exact cosine >= 0.5. The corpus participates only
+    * through its SRP signature index (6 bits × 16 tables — recall
+    * ~0.77 at cosine 0.5 by the OR-amplification formula) plus a by-id
+    * embedding fetch for colliding ids — per-ingest cost tracks the
+    * BATCH, not the corpus. min() over raw collisions needs no dedup
+    * pass (duplicate-insensitive). The oracle replays the identical
+    * md5-derived integer signatures and verify. */
+  val embIncrementalDedup = sql("emb_incremental_dedup",
+    """WITH e AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       sgt AS (
+         SELECT vec_id, t.t AS t,
+           list_sum(list_transform(range(0, 6), j ->
+             CASE WHEN list_sum(list_transform(range(0, 64), d ->
+               (CASE WHEN strpos('13579bdf', substr(
+                    md5('srp:' || t.t || ':' || j || ':' || d), 1, 1)) > 0
+                  THEN 1 ELSE -1 END)
+               * CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
+                   * 1048576) AS BIGINT))) >= 0
+             THEN (1 << CAST(5 - j AS INT)) ELSE 0 END)) AS sig
+         FROM embeddings, range(0, 16) t(t)),
+       cosim AS (
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cs
+         FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       cdup AS (
+         SELECT x.bvec, min(x.cvec) AS cdup FROM (
+           SELECT DISTINCT b.vec_id AS bvec, c.vec_id AS cvec
+           FROM sgt b JOIN sgt c ON b.t = c.t AND b.sig = c.sig
+           WHERE b.vec_id % 4 = 0 AND c.vec_id % 4 <> 0) x
+         JOIN cosim ON cosim.v1 = x.bvec AND cosim.v2 = x.cvec
+         WHERE cosim.cs >= 0.5 GROUP BY 1),
+       bdup AS (
+         SELECT x.d2, min(x.d1) AS bfirst FROM (
+           SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+           FROM sgt a JOIN sgt b
+             ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+           WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0) x
+         JOIN cosim ON cosim.v1 = x.d1 AND cosim.v2 = x.d2
+         WHERE cosim.cs >= 0.5 GROUP BY 1)
+       SELECT v.vec_id,
+         CASE WHEN cd.cdup IS NOT NULL THEN 'corpus_dup'
+              WHEN bd.bfirst IS NOT NULL THEN 'batch_dup'
+              ELSE 'new' END AS status,
+         CAST(coalesce(cd.cdup, bd.bfirst, -1) AS BIGINT) AS dup_of
+       FROM embeddings v
+       LEFT JOIN cdup cd ON cd.bvec = v.vec_id
+       LEFT JOIN bdup bd ON bd.d2 = v.vec_id
+       WHERE v.vec_id % 4 = 0""") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val isBatch = col("vec_id") % 4 === 0
+    graft.functions.VectorSearch.incrementalEmbeddingDedup(
+      corpus = emb.where(!isBatch),
+      batch = emb.where(isBatch),
+      batchIds = emb.where(isBatch).select(col("vec_id")),
+      minSim = 0.5, bits = 6, tables = 16)
+  }
+
   /** Fuzzy matching: exact nearest other part name by Levenshtein
     * distance (integer DP — exact in both engines) for a deterministic
     * 1/97 probe sample. Probes × corpus is linear in |part| (broadcast
@@ -1302,7 +1371,7 @@ object DataPipelineQueries {
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupJaccardStoplist,
     dedupMinhashLsh, dedupIncremental, dedupLshRecall,
     dedupSimhash, dedupEmbedding, embDedupFunnel, embMultiprobeFunnel,
-    embSrpFunnel,
+    embSrpFunnel, embIncrementalDedup,
     dedupClusters, annCosineTop1,
     annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,

@@ -461,4 +461,36 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(sliced.except(srpPairs).count() === 0 &&
       srpPairs.except(sliced).count() === 0)
   }
+
+  test("incrementalEmbeddingDedup labels corpus_dup / batch_dup / new " +
+      "with keep-first ids and corpus precedence") {
+    val v = Array(0.5f, -0.25f, 0.75f, 0.1f)
+    val u = Array(-0.9f, 0.8f, -0.7f, 0.6f)
+    val w = Array(0.1f, 0.9f, 0.2f, -0.8f)
+    val corpus = Seq((1L, v), (3L, u)).toDF("vec_id", "embedding")
+    // batch: 10 dups corpus vec 1; 14 == 12 (batch dup, keep-first);
+    // 16 matches nothing
+    val batch = Seq((10L, v), (12L, u), (14L, u), (16L, w))
+      .toDF("vec_id", "embedding")
+    val out = VectorSearch.incrementalEmbeddingDedup(
+        corpus, batch, batch.select(col("vec_id")),
+        minSim = 0.99, bits = 4, tables = 6, dims = 4)
+      .as[(Long, String, Long)].collect()
+      .map { case (k, s, d) => k -> (s, d) }.toMap
+    assert(out(10L) === ("corpus_dup", 1L))
+    // 12 also duplicates corpus vec 3 — corpus takes precedence
+    assert(out(12L) === ("corpus_dup", 3L))
+    // 14 duplicates BOTH corpus 3 and batch 12: corpus precedence
+    assert(out(14L) === ("corpus_dup", 3L))
+    assert(out(16L) === ("new", -1L))
+    // without the corpus match, 14 falls back to the earlier batch id
+    val out2 = VectorSearch.incrementalEmbeddingDedup(
+        Seq((1L, v)).toDF("vec_id", "embedding"), batch,
+        batch.select(col("vec_id")),
+        minSim = 0.99, bits = 4, tables = 6, dims = 4)
+      .as[(Long, String, Long)].collect()
+      .map { case (k, s, d) => k -> (s, d) }.toMap
+    assert(out2(12L) === ("new", -1L))
+    assert(out2(14L) === ("batch_dup", 12L))
+  }
 }
