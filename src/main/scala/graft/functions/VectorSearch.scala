@@ -403,6 +403,25 @@ object VectorSearch {
       .groupBy(col("keep_id"), col("dup_id"))
       .agg(max(col("cosim")).as("cosim"))
 
+  /** Per-pair FIRST colliding table over the SRP tables: (keep_id,
+    * dup_id, mt) where mt = min table index on which the pair's
+    * signatures agree. Because OR-amplification over the first L
+    * tables finds exactly the pairs with mt < L, this single relation
+    * carries the ENTIRE recall-vs-L curve — one min-aggregate instead
+    * of L separate candidate runs. */
+  def srpFirstCollisionTable(df: DataFrame, bits: Int, tables: Int,
+      dims: Int = 64): DataFrame = {
+    val sg = srpSignatures(df, bits, tables, dims)
+    val a = sg.select(col("vec_id").as("keep_id"),
+      posexplode(col("sigs")).as(Seq("t", "sig")))
+    val b = sg.select(col("vec_id").as("dup_id"),
+      posexplode(col("sigs")).as(Seq("t2", "sig2")))
+    a.join(b,
+        col("t") === col("t2") && col("sig") === col("sig2") &&
+          col("keep_id") < col("dup_id"))
+      .groupBy(col("keep_id"), col("dup_id")).agg(min(col("t")).as("mt"))
+  }
+
   /** Incremental ingestion dedup for embeddings — the vector analogue
     * of TextDedup.incrementalDedup (band index + by-id fetch), built
     * on the SRP tables: every batch vector is labeled `corpus_dup`

@@ -1127,6 +1127,94 @@ object DataPipelineQueries {
     nCand.crossJoin(nFound).crossJoin(nFoundS).crossJoin(nTrueS)
   }
 
+  /** The full OR-amplification ACCEPTANCE CURVE in one pass — the
+    * sizing table a deployment reads to pick its SRP table count:
+    * recall and candidate volume per L for EVERY L in 1..24
+    * simultaneously, on the 1-in-5 measurement sample. Key identity:
+    * the first-L-tables union finds exactly the pairs whose FIRST
+    * colliding table index is < L, so one min-aggregate per pair
+    * (VectorSearch.srpFirstCollisionTable) + a cumulative count over
+    * the 24-row histogram carries the whole curve — 24 candidate runs
+    * collapse into one. Verified tier = exact cosine >= 0.3 on the
+    * (distinct) sample pairs; truth = the bounded exhaustive kernel on
+    * the same sample, constant across L. Full-corpus candidate volume
+    * for the SHIPPED config stays `emb_srp_funnel`'s job; this row is
+    * the L-selection curve beside it. Integer counts → hash-exact. */
+  val embSrpCurve = sql("emb_srp_curve",
+    """WITH s AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM embeddings WHERE vec_id % 5 = 0),
+       sgt AS (
+         SELECT vec_id, t.t AS t,
+           list_sum(list_transform(range(0, 6), j ->
+             CASE WHEN list_sum(list_transform(range(0, 64), d ->
+               (CASE WHEN strpos('13579bdf', substr(
+                    md5('srp:' || t.t || ':' || j || ':' || d), 1, 1)) > 0
+                  THEN 1 ELSE -1 END)
+               * CAST(floor(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)
+                   * 1048576) AS BIGINT))) >= 0
+             THEN (1 << CAST(5 - j AS INT)) ELSE 0 END)) AS sig
+         FROM s, range(0, 24) t(t)),
+       first_c AS (
+         SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, min(a.t) AS mt
+         FROM sgt a JOIN sgt b
+           ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT f.mt,
+           CASE WHEN list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+               / (a.nrm * b.nrm) >= 0.3 THEN 1 ELSE 0 END AS hit
+         FROM first_c f
+         JOIN s a ON a.vec_id = f.keep_id
+         JOIN s b ON b.vec_id = f.dup_id),
+       truth AS (
+         SELECT count(*) AS n_true FROM s a JOIN s b
+           ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+             i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+             / (a.nrm * b.nrm) >= 0.3)
+       SELECT CAST(l.l AS INT) AS tables_l,
+         CAST(coalesce(sum(CASE WHEN scored.mt < l.l THEN 1 END), 0)
+           AS BIGINT) AS n_candidates_sample,
+         CAST(coalesce(sum(CASE WHEN scored.mt < l.l THEN hit END), 0)
+           AS BIGINT) AS n_found_sample,
+         CAST(max(truth.n_true) AS BIGINT) AS n_true_sample
+       FROM range(1, 25) l(l), truth
+       LEFT JOIN scored ON true
+       GROUP BY 1""") { (s, d) =>
+    import graft.functions.{VectorSearch, VectorExpressions}
+    VectorExpressions.register(s)
+    val sample = Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+    val scored = VectorSearch
+      .srpFirstCollisionTable(sample, bits = 6, tables = 24)
+      .join(sample.select(col("vec_id").as("keep_id"),
+        col("embedding").as("ea")), "keep_id")
+      .join(sample.select(col("vec_id").as("dup_id"),
+        col("embedding").as("eb")), "dup_id")
+      .select(col("mt"),
+        when(expr("cosine_sim(ea, eb)") >= 0.3, 1L).otherwise(0L).as("hit"))
+    // 24-row histogram keyed on the first-collision table, then the
+    // cumulative counts per L — the whole curve from one aggregate
+    val hist = scored.groupBy(col("mt"))
+      .agg(count(lit(1)).as("nc"), sum(col("hit")).as("nf"))
+    val nTrue = VectorSearch
+      .cosineThresholdPairs(sample, sample, minSim = 0.3)
+      .agg(count(lit(1)).as("n_true"))
+    s.range(1, 25).select(col("id").cast("int").as("tables_l"))
+      .join(hist, col("mt") < col("tables_l"), "left")
+      .groupBy(col("tables_l"))
+      .agg(coalesce(sum(col("nc")), lit(0L)).as("n_candidates_sample"),
+        coalesce(sum(col("nf")), lit(0L)).as("n_found_sample"))
+      .crossJoin(broadcast(nTrue))
+      .select(col("tables_l"), col("n_candidates_sample"),
+        col("n_found_sample"), col("n_true").as("n_true_sample"))
+  }
+
   /** Incremental ingestion dedup for EMBEDDINGS — closing the serving-
     * mode symmetry with the text family (`dedup_incremental` /
     * `stream_incremental_dedup`): vectors with vec_id % 4 = 0 play the
@@ -1371,7 +1459,7 @@ object DataPipelineQueries {
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupJaccardStoplist,
     dedupMinhashLsh, dedupIncremental, dedupLshRecall,
     dedupSimhash, dedupEmbedding, embDedupFunnel, embMultiprobeFunnel,
-    embSrpFunnel, embIncrementalDedup,
+    embSrpFunnel, embSrpCurve, embIncrementalDedup,
     dedupClusters, annCosineTop1,
     annBucketedTop1, embDimStats, embNormTopk,
     textLangid, textQuality, textTokenCount, textFingerprint, textTfidf,

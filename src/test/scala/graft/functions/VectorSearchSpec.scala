@@ -462,6 +462,21 @@ class VectorSearchSpec extends AnyFunSuite {
       srpPairs.except(sliced).count() === 0)
   }
 
+  test("srpFirstCollisionTable carries the whole OR-amplification " +
+      "curve: mt < L reproduces the L-table candidate operator exactly") {
+    // weights depend only on (t, j, d), so the first L tables of a
+    // 8-table run ARE the L-table run — the cumulative identity the
+    // emb_srp_curve query rests on
+    val first = VectorSearch.srpFirstCollisionTable(emb, bits = 6, tables = 8)
+    for (l <- Seq(2, 5, 8)) {
+      val viaCurve = first.filter(col("mt") < l)
+        .select(col("keep_id"), col("dup_id"))
+      val direct = VectorSearch.srpLshCandidatePairs(emb, bits = 6, tables = l)
+      assert(viaCurve.except(direct).count() === 0 &&
+        direct.except(viaCurve).count() === 0, s"L=$l")
+    }
+  }
+
   test("incrementalEmbeddingDedup labels corpus_dup / batch_dup / new " +
       "with keep-first ids and corpus precedence") {
     val v = Array(0.5f, -0.25f, 0.75f, 0.1f)
