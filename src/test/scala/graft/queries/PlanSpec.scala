@@ -443,6 +443,35 @@ class PlanSpec extends AnyFunSuite {
         s"${(allowed -- offenders).mkString(",")}")
   }
 
+  test("interpreted higher-order lambdas appear only at per-ROW sites " +
+      "(allowed list) — never in per-PAIR hot paths") {
+    // HOFs (transform/exists/zip_with/...) never enter whole-stage
+    // codegen — per-PAIR they tax every candidate (the SRP residual
+    // measured 3x at sf0.1 before its removal, BENCH_NOTES r8); per-ROW
+    // over short arrays they are noise. This sweep freezes the per-row
+    // sites so a new lambda anywhere (most dangerously inside a join
+    // condition or post-join filter) fails loudly and gets reviewed:
+    //   ann_bucketed_top1 / dedup_embedding / emb_*_funnel — the
+    //     6-element signBucket projection (per vector, not per pair)
+    //   text_langid / text_quality / text_fingerprint — per-doc token
+    //     voting and stats over already-exploded small arrays
+    val allowed = Set("ann_bucketed_top1", "dedup_embedding",
+      "emb_dedup_funnel", "emb_multiprobe_funnel",
+      "text_fingerprint", "text_langid", "text_quality")
+    val skip = Set("bpe_vocab_merges", "bpe_tokenize", "corpus_shuffle") ++
+      Registry.queries.keys.filter(_.startsWith("stream_"))
+    val offenders = Registry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip.contains(n) }
+      .filter { case (_, fn) =>
+        fn(spark, d).queryExecution.sparkPlan.toString
+          .toLowerCase.contains("lambdafunction")
+      }.map(_._1).toSet
+    assert(offenders === allowed,
+      s"lambda sites changed: unexpected=" +
+        s"${(offenders -- allowed).mkString(",")} missing=" +
+        s"${(allowed -- offenders).mkString(",")}")
+  }
+
   test("zorder_layout: no global window; layout exchange is a PARALLEL " +
       "range partitioning (never single-partition)") {
     val p = plan("zorder_layout")
