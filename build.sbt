@@ -32,5 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the full 238-query bench at 8g spent 15.6 s
+  // in GC with 45 churn-triggered re-runs; at 16g, 6.6 s and 16 —
+  // total 149.6 -> 128.1 s on the same host (BENCH_NOTES r8). The
+  // host has 128 GiB; one JVM runs at a time.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
