@@ -604,6 +604,46 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.synthGatedPcmWav(1, 8000, 100, 1L, 80)).isEmpty)
   }
 
+  test("IMA-ADPCM property: synth -> decode equals the independent " +
+      "spec replay for arbitrary seeds and block geometries") {
+    // the same two-implementations check as the fixed-seed test, swept
+    // across seeds and block sizes (incl. the minimal 8-byte block)
+    val step = Array(7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23,
+      25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107,
+      118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+      408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+      1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+      3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
+      10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+      24623, 27086, 29794, 32767)
+    val adj = Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+    for (seed <- Seq(0L, 1L, 7L, 96L, 97L, 1234567L, 999999937L);
+         (nb, align) <- Seq((1, 8), (2, 16), (4, 64), (3, 256))) {
+      val st = Multimodal.decodeAdpcm(
+        Multimodal.synthAdpcmWav(nb, align, 8000, seed)).get
+      var sa = 0L; var ss = 0L; var n = 0L
+      for (k <- 0 until nb) {
+        var pred = ((seed * 131 + k * 257) % 65536).toInt - 32768
+        var idx = ((seed * 13 + k * 29) % 89).toInt
+        sa += math.abs(pred.toLong); ss += pred.toLong * pred; n += 1
+        for (i <- 0 until (align - 4) * 2) {
+          val code = ((seed * 31 + k * 17 + i * 7) % 16).toInt
+          val s0 = step(idx)
+          var diff = s0 >> 3
+          if ((code & 1) != 0) diff += s0 >> 2
+          if ((code & 2) != 0) diff += s0 >> 1
+          if ((code & 4) != 0) diff += s0
+          pred = math.max(-32768, math.min(32767,
+            if ((code & 8) != 0) pred - diff else pred + diff))
+          idx = math.max(0, math.min(88, idx + adj(code)))
+          sa += math.abs(pred.toLong); ss += pred.toLong * pred; n += 1
+        }
+      }
+      assert((st.nSamples, st.sumAbs, st.sumSq) === ((n, sa, ss)),
+        s"seed=$seed blocks=$nb align=$align")
+    }
+  }
+
   test("sha256 matches Spark's own sha2 over the same bytes") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
