@@ -355,6 +355,94 @@ object DataPipelineQueries {
       batchIds = Tables.documents(s, d).where(isBatch).select(col("doc_id")))
   }
 
+  /** The LSH banding ACCEPTANCE CURVE — `emb_srp_curve`'s trick
+    * applied to the text MinHash tables: treating each of the 4
+    * 3-hash bands as an independent OR-amplification table, the
+    * first-L-bands union finds exactly the pairs whose FIRST
+    * colliding band index is < L, so one min-aggregate per candidate
+    * pair + a cumulative count carries candidates AND exact-Jaccard
+    * verified pairs for every band count L in 1..4 simultaneously —
+    * the table a deployment reads to pick its band count (recall
+    * 1-(1-p³)^L rises in L, candidate volume with it). Candidate and
+    * verified tiers only — both linear-in-collisions; the exhaustive
+    * truth these divide by lives in `dedup_lsh_recall` at the SAME
+    * scope (full check corpus here; both run over a document sample
+    * at 100 TB), so recall@L = n_found(L) / that row's n_true without
+    * re-paying the n² tier per L. Integer counts → hash-exact. */
+  val dedupLshCurve = sql("dedup_lsh_curve",
+    """WITH w AS (
+         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' ||
+             w[CAST(i AS INT)+2] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-1, 1))) AS i) t),
+       hs AS (
+         SELECT doc_id, i,
+           min(md5(concat(CAST(i AS VARCHAR), ':', s))) AS mh
+         FROM sh, LATERAL (SELECT unnest(range(0, 12)) AS i) t
+         GROUP BY doc_id, i),
+       bands AS (
+         SELECT doc_id, i // 3 AS band,
+           md5(string_agg(mh, '|' ORDER BY i)) AS sig
+         FROM hs GROUP BY doc_id, band),
+       first_c AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, min(a.band) AS mb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       scored AS (
+         SELECT f.mb,
+           CASE WHEN 5 * com.common >= 4 * (x.n + y.n - com.common)
+                THEN 1 ELSE 0 END AS hit
+         FROM first_c f
+         JOIN (SELECT c.d1, c.d2, count(*) AS common
+               FROM first_c c
+               JOIN sh a ON a.doc_id = c.d1
+               JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+               GROUP BY 1, 2) com ON com.d1 = f.d1 AND com.d2 = f.d2
+         JOIN sz x ON x.doc_id = f.d1
+         JOIN sz y ON y.doc_id = f.d2)
+       SELECT CAST(l.l AS INT) AS bands_l,
+         CAST(coalesce(sum(CASE WHEN scored.mb < l.l THEN 1 END), 0)
+           AS BIGINT) AS n_candidates,
+         CAST(coalesce(sum(CASE WHEN scored.mb < l.l THEN hit END), 0)
+           AS BIGINT) AS n_found
+       FROM range(1, 5) l(l)
+       LEFT JOIN scored ON true
+       GROUP BY 1""") { (s, d) =>
+    import graft.functions.TextDedup
+    val docs = Tables.documents(s, d)
+    val sh = TextDedup.shingles(docs).localCheckpoint(true)
+    val bandRel = TextDedup
+      .lshBands(TextDedup.minhashSignatures(sh, numHashes = 12),
+        bands = 4, rowsPerBand = 3)
+      .localCheckpoint(true)
+    // per candidate pair: FIRST colliding band — the whole curve
+    val first = bandRel.toDF("d1", "band", "sig")
+      .join(bandRel.toDF("d2", "band2", "sig2"),
+        col("band") === col("band2") && col("sig") === col("sig2") &&
+          col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(min(col("band")).as("mb"))
+      .localCheckpoint(true)
+    val verified = TextDedup
+      .verifyCandidates(sh, first.select(col("d1"), col("d2")),
+        num = 4, den = 5)
+      .withColumn("hit", lit(1L))
+    val hist = first
+      .join(verified, Seq("d1", "d2"), "left")
+      .select(col("mb"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("mb"))
+      .agg(count(lit(1)).as("nc"), sum(col("hit")).as("nf"))
+    s.range(1, 5).select(col("id").cast("int").as("bands_l"))
+      .join(hist, col("mb") < col("bands_l"), "left")
+      .groupBy(col("bands_l"))
+      .agg(coalesce(sum(col("nc")), lit(0L)).as("n_candidates"),
+        coalesce(sum(col("nf")), lit(0L)).as("n_found"))
+  }
+
   /** LSH index-quality measurement — the candidate FUNNEL against the
     * exhaustive truth: band-bucket candidate pairs generated, pairs
     * surviving exact verification, and the true near-dup pair count
@@ -1457,7 +1545,7 @@ object DataPipelineQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExactStats, dedupKeepFirst, dedupJaccard, dedupJaccardStoplist,
-    dedupMinhashLsh, dedupIncremental, dedupLshRecall,
+    dedupMinhashLsh, dedupIncremental, dedupLshRecall, dedupLshCurve,
     dedupSimhash, dedupEmbedding, embDedupFunnel, embMultiprobeFunnel,
     embSrpFunnel, embSrpCurve, embIncrementalDedup,
     dedupClusters, annCosineTop1,
