@@ -92,7 +92,16 @@ object PlanAudit {
     "audio_adpcm_stats" -> ("Stateless per-doc synth + REAL IMA-ADPCM " +
       "sample decode in one mapPartitions over a core-count " +
       "repartition — no shuffle after the repartition, cost linear in " +
-      "clips; the decode is pure public-spec integer arithmetic."))
+      "clips; the decode is pure public-spec integer arithmetic."),
+    "quality_classifier" -> ("Pocket-perceptron training runs BEFORE " +
+      "this plan (one Spark job per round: broadcast weight join + " +
+      "per-doc margin aggregate + per-bucket update, the bias " +
+      "bucket's row count doubling as the mistake counter); the query " +
+      "plan itself is the final scoring pass — the <=257-row learned " +
+      "weight relation broadcast onto the checkpointed feature " +
+      "stream, one per-doc aggregate, one per-label aggregate. " +
+      "Training state between rounds is driver-held like the IVF " +
+      "codebook (bounded: one row per hash bucket)."))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
