@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Exact-substring duplicate detection via winnowing fingerprints —
+  * the character-level dedup tier (find *verbatim repeated spans*, not
+  * near-duplicate documents) that training-data pipelines run alongside
+  * document-level MinHash (Lee et al. 2022, "Deduplicating Training
+  * Data Makes Language Models Better", arXiv:2107.06499, use suffix
+  * arrays for the single-machine form; Schleimer/Wilkerson/Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD,
+  * give the distribution-friendly one used here).
+  *
+  * The reference library has no analogue — its closest surface is a
+  * word-count MapReduce over text lines (mapreduce/main.py:61-76);
+  * this module exists for the 100 TB training-data north star.
+  *
+  * Algorithm. Slide a k-char window over each document; hash every
+  * k-gram (md5 — deterministic and engine-identical, so the DuckDB
+  * oracle replays selection bit-for-bit). From each run of `w`
+  * consecutive gram hashes select the RIGHTMOST MINIMUM as an anchor
+  * (classic winnowing). Two guarantees follow, both content-local, so
+  * two copies of the same text at DIFFERENT offsets in different
+  * documents select the same anchors:
+  *   - any duplicated substring of length >= w + k - 1 contains a full
+  *     gram window in each copy, and each copy selects the same gram
+  *     from it -> every sufficiently long verbatim duplicate is caught
+  *     (no false negatives above the threshold);
+  *   - density is ~2/(w+1) of positions, so the shuffled anchor
+  *     relation is a small constant fraction of corpus characters.
+  * Anchors carry the gram STRING, so a cross-document match means the
+  * k chars are truly equal (no hash false positives); at 100 TB the
+  * payload would switch to (xxhash64, length) with a collision rate of
+  * ~n²/2⁶⁴ accepted or re-verified against the corpus by position.
+  *
+  * Scale contract: anchor generation is a linear per-partition scan
+  * (monotone-deque sliding minimum, O(chars) per document, no
+  * shuffle); duplicate detection is ONE exchange keyed on the gram;
+  * span merging is a per-document window (partitioned by doc_id,
+  * thousands of parallel groups, each a handful of rows). Nothing is
+  * quadratic in documents or characters.
+  */
+object SubstringDedup {
+
+  /** Defaults: k=20-char grams, w=11-gram windows -> any verbatim
+    * duplicate of >= 30 chars is guaranteed caught. */
+  val DefaultK = 20
+  val DefaultW = 11
+
+  private def md5hex(md: java.security.MessageDigest, s: String): String = {
+    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    var i = 0
+    while (i < b.length) { sb.append(f"${b(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  /** Winnowing anchor positions for one text: 1-based gram positions
+    * (matching SQL `substr`), rightmost-minimum per full window of `w`
+    * gram hashes. Texts shorter than w + k - 1 chars have no full
+    * window and yield nothing — correct, because they cannot contain a
+    * duplicate of threshold length either.
+    *
+    * Sliding minimum is the textbook monotone deque: each index is
+    * pushed and popped at most once, O(grams) total. Rightmost
+    * tie-break = "pop equal keys from the back", which also makes the
+    * selection independent of absolute position (both copies of a
+    * duplicated window keep the same RELATIVE survivor), preserving
+    * the guarantee even when a window contains the same gram twice. */
+  private[functions] def winnowPositions(
+      text: String, k: Int, w: Int): Seq[(Int, String)] = {
+    val n = text.length
+    val m = n - k + 1
+    if (m < w) return Nil
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = new Array[String](m)
+    val hashes = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      grams(i) = text.substring(i, i + k)
+      hashes(i) = md5hex(md, grams(i))
+      i += 1
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val dq = new java.util.ArrayDeque[Int]() // indices, hashes increasing
+    i = 0
+    while (i < m) {
+      // rightmost tie-break: an equal hash arriving later evicts the
+      // earlier one, so the deque head is always the rightmost minimum
+      while (!dq.isEmpty && hashes(dq.peekLast) >= hashes(i)) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst <= i - w) dq.pollFirst()
+      if (i >= w - 1) out += dq.peekFirst
+      i += 1
+    }
+    out.toSeq.map(p => (p + 1, grams(p))) // 1-based for SQL substr parity
+  }
+
+  /** Anchor relation (doc_id, pos, g): winnowing fingerprints of every
+    * document. One linear pass, no shuffle. */
+  def anchors(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = DefaultK,
+      w: Int = DefaultW): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        winnowPositions(text, k, w).map { case (p, g) => (id, p, g) }
+      }
+      .toDF(idCol, "pos", "g")
+  }
+
+  /** Anchors whose gram recurs — selected at >= 2 distinct (doc, pos)
+    * sites anywhere in the corpus (cross-document AND within-document
+    * repetition both count, as in exact-substring dedup). ONE exchange
+    * keyed on the gram; the recurring-gram set is duplicate-rate-
+    * proportional (tiny for real corpora), hence the broadcast
+    * semi-join back, mirroring TextDedup.pairableShingles — a corpus
+    * with a pathological dup rate would drop the hint and let AQE
+    * choose. */
+  def duplicatedAnchors(anch: DataFrame): DataFrame = {
+    val hot = anch.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).select(col("g"))
+      .localCheckpoint(true)
+    anch.join(broadcast(hot), Seq("g"), "leftsemi")
+  }
+
+  /** Scrubbed corpus: every duplicated span removed from every
+    * document (the CCNet-style boilerplate cut — repeated content
+    * contributes nothing to training, so it goes everywhere it
+    * appears; a keep-one policy would thread a canonical-holder
+    * choice through the span join and is a caller-side variant).
+    *
+    * Reconstruction is relational: each span row yields the kept
+    * segment BEFORE it (from the previous span's end + 1), a final
+    * per-doc segment covers the tail, segments cut `substring` from
+    * the rejoined text, and a per-doc sort + join stitches them. The
+    * stitch is an `array_join(transform(array_sort(...)))` over the
+    * handful of per-doc segments — an interpreted lambda at a per-ROW
+    * site (bounded by spans-per-doc, never per-pair; same contract as
+    * the other allowed per-row lambda sites in PlanSpec).
+    *
+    * Returns (doc_id, text_scrubbed) for EVERY document — docs with
+    * no duplicated span pass through unchanged. */
+  def scrub(df: DataFrame, spans: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("span_start"))
+    // kept segment before each span + one tail segment per touched doc
+    val pre = spans
+      .withColumn("seg_start",
+        coalesce(lag(col("span_end"), 1).over(byDoc) + 1, lit(1)))
+      .select(col(idCol), col("seg_start"), (col("span_start") - 1).as("seg_end"))
+    val tail = spans.groupBy(col(idCol))
+      .agg((max(col("span_end")) + 1).as("seg_start"))
+      .withColumn("seg_end", lit(Int.MaxValue))
+    val segs = pre.unionByName(tail)
+      .filter(col("seg_end") >= col("seg_start"))
+    val touched = segs
+      .join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol),
+        expr(s"substring($textCol, seg_start, " +
+          s"greatest(least(seg_end, length($textCol)) - seg_start + 1, 0))")
+          .as("seg"),
+        col("seg_start"))
+      .groupBy(col(idCol))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(seg_start, seg))), x -> x.seg), '')").as("text_scrubbed"))
+    df.select(col(idCol), col(textCol))
+      .join(touched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_scrubbed"), col(textCol)).as("text_scrubbed"))
+  }
+
+  /** Duplicated spans per document: each duplicated anchor covers
+    * chars [pos, pos+k-1]; overlapping-or-adjacent intervals merge
+    * (gaps-and-islands over a per-document window — parallel across
+    * documents, a handful of rows each). Returns
+    * (doc_id, span_start, span_end) with 1-based inclusive bounds. */
+  def duplicatedSpans(dup: DataFrame, idCol: String = "doc_id",
+      k: Int = DefaultK): DataFrame = {
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dup.select(col(idCol), col("pos"), (col("pos") + (k - 1)).as("end"))
+      .withColumn("prev_max_end",
+        max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("pos") > col("prev_max_end") + 1, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_island")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("end")).as("span_end"))
+      .drop("island")
+  }
+}

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.SubstringDedup
+
+/** Round-8 pipeline additions: character-level exact-substring
+  * duplicate detection (winnowing fingerprints — the Lee et al. 2022
+  * ExactSubstr tier, distinct from the document-level MinHash family).
+  * See `functions/SubstringDedup.scala` for the algorithm and the
+  * scale contract; the DuckDB oracles replay winnowing selection
+  * bit-for-bit via md5 + a rightmost-min composite key.
+  *
+  * Texts in the corpus are ASCII, so DuckDB's character-based
+  * `substr` and Scala's code-unit `substring` index identically; a
+  * multibyte corpus would pin one definition (bytes) on both sides.
+  */
+object DataPipelineQueries7 {
+  import QueryDef._
+
+  private val K = SubstringDedup.DefaultK // 20-char grams
+  private val W = SubstringDedup.DefaultW // 11-gram windows -> 30-char guarantee
+
+  /** Shared oracle CTE prefix: gram hashes -> winnowing anchor
+    * selection (rightmost minimum per full window, encoded as a plain
+    * `min` over `md5hash || lpad(10^9 - pos)` so larger positions win
+    * ties) -> anchors that recur anywhere in the corpus -> merged
+    * per-document spans (gaps-and-islands). */
+  private val OracleCtes =
+    s"""WITH g AS (
+         SELECT doc_id, length(text) - ${K - 1} AS m,
+           unnest(generate_series(1, length(text) - ${K - 1})) AS i,
+           text
+         FROM documents),
+       k1 AS (
+         SELECT doc_id, m, i, substr(text, i, $K) AS gram,
+           md5(substr(text, i, $K))
+             || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0') AS key
+         FROM g),
+       wm AS (
+         SELECT doc_id, i, m,
+           min(key) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS mk
+         FROM k1),
+       sel AS (
+         SELECT DISTINCT doc_id,
+           1000000000 - CAST(substr(mk, 33, 10) AS BIGINT) AS pos
+         FROM wm WHERE i <= m - ${W - 1}),
+       anch AS (
+         SELECT s.doc_id, s.pos, k1.gram
+         FROM sel s JOIN k1 ON k1.doc_id = s.doc_id AND k1.i = s.pos),
+       dup AS (
+         SELECT doc_id, pos FROM anch
+         WHERE gram IN (SELECT gram FROM anch
+                        GROUP BY gram HAVING count(*) > 1)),
+       isl AS (
+         SELECT doc_id, pos, pos + ${K - 1} AS e,
+           CASE WHEN pos > coalesce(
+               max(pos + ${K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) + 1
+             THEN 1 ELSE 0 END AS ni
+         FROM dup),
+       isl2 AS (
+         SELECT doc_id, pos, e,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM isl),
+       spans AS (
+         SELECT doc_id, island,
+           min(pos) AS span_start, max(e) AS span_end
+         FROM isl2 GROUP BY doc_id, island)"""
+
+  /** Per-document duplicated-span report: how many verbatim-repeated
+    * regions (>= 30 chars guaranteed caught) each document carries and
+    * how many characters they cover — the relation an exact-substring
+    * scrub pass consumes (drop the spans, or drop the doc when
+    * dup_chars/length crosses a policy line). */
+  val substrDedupSpans = sql("substr_dedup_spans",
+    s"""$OracleCtes
+       SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
+       FROM spans GROUP BY doc_id""") { (s, d) =>
+    val anch = SubstringDedup.anchors(Tables.documents(s, d), k = K, w = W)
+    val spans = SubstringDedup.duplicatedSpans(
+      SubstringDedup.duplicatedAnchors(anch), k = K)
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_chars"))
+  }
+
+  /** Corpus-level funnel for the exact-substring tier — the integer
+    * acceptance numbers (anchor volume, recurring-gram rate, span
+    * coverage) a deployment reads to size k/w before a 100 TB run,
+    * mirroring the LSH/SRP funnel rows. */
+  val substrDedupFunnel = sql("substr_dedup_funnel",
+    s"""$OracleCtes
+       SELECT
+         CAST((SELECT count(*) FROM anch) AS BIGINT) AS n_anchors,
+         CAST((SELECT count(DISTINCT gram) FROM anch) AS BIGINT)
+           AS n_grams,
+         CAST((SELECT count(*) FROM (SELECT gram FROM anch
+               GROUP BY gram HAVING count(*) > 1)) AS BIGINT)
+           AS n_dup_grams,
+         CAST((SELECT count(*) FROM dup) AS BIGINT) AS n_dup_anchors,
+         CAST((SELECT count(DISTINCT doc_id) FROM dup) AS BIGINT)
+           AS n_docs_touched,
+         CAST((SELECT count(*) FROM spans) AS BIGINT) AS n_spans,
+         CAST((SELECT sum(span_end - span_start + 1) FROM spans)
+           AS BIGINT) AS dup_chars_total""") { (s, d) =>
+    val anch = SubstringDedup.anchors(Tables.documents(s, d), k = K, w = W)
+      .localCheckpoint(true)
+    val dup = SubstringDedup.duplicatedAnchors(anch).localCheckpoint(true)
+    val spans = SubstringDedup.duplicatedSpans(dup, k = K)
+      .withColumn("len", col("span_end") - col("span_start") + 1)
+      .localCheckpoint(true)
+    val a = anch.agg(count(lit(1)).as("n_anchors"),
+      count_distinct(col("g")).as("n_grams"))
+    val dg = anch.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1).agg(count(lit(1)).as("n_dup_grams"))
+    val du = dup.agg(count(lit(1)).as("n_dup_anchors"),
+      count_distinct(col("doc_id")).as("n_docs_touched"))
+    val sp = spans.agg(count(lit(1)).as("n_spans"),
+      sum(col("len")).as("dup_chars_total"))
+    a.crossJoin(dg).crossJoin(du).crossJoin(sp)
+  }
+
+  /** The scrub pass itself: duplicated spans REMOVED from every
+    * document, untouched documents passing through verbatim — the
+    * relation a training pipeline writes back after the
+    * exact-substring tier. The stitch is relational (kept segments
+    * from a per-doc window over the span list, `substring` cuts, one
+    * per-doc sort-and-join); string equality against the oracle pins
+    * the reconstruction exactly. */
+  val substrDedupScrub = sql("substr_dedup_scrub",
+    s"""$OracleCtes,
+       seg AS (
+         SELECT doc_id,
+           coalesce(lag(span_end) OVER (PARTITION BY doc_id
+             ORDER BY span_start) + 1, 1) AS seg_start,
+           span_start - 1 AS seg_end
+         FROM spans
+         UNION ALL
+         SELECT doc_id, max(span_end) + 1 AS seg_start,
+           2147483647 AS seg_end
+         FROM spans GROUP BY doc_id),
+       stitched AS (
+         SELECT s.doc_id,
+           string_agg(substr(d.text, CAST(seg_start AS BIGINT),
+             CAST(greatest(least(seg_end, length(d.text))
+               - seg_start + 1, 0) AS BIGINT)),
+             '' ORDER BY seg_start) AS text_scrubbed
+         FROM seg s JOIN documents d USING (doc_id)
+         WHERE seg_end >= seg_start
+         GROUP BY s.doc_id)
+       SELECT d.doc_id,
+         coalesce(st.text_scrubbed, d.text) AS text_scrubbed,
+         CAST(length(d.text) AS BIGINT) AS n_chars_before,
+         CAST(length(coalesce(st.text_scrubbed, d.text)) AS BIGINT)
+           AS n_chars_after
+       FROM documents d LEFT JOIN stitched st ON st.doc_id = d.doc_id""") {
+    (s, d) =>
+    val docs = Tables.documents(s, d)
+    val anch = SubstringDedup.anchors(docs, k = K, w = W)
+    val spans = SubstringDedup.duplicatedSpans(
+      SubstringDedup.duplicatedAnchors(anch), k = K)
+    SubstringDedup.scrub(docs, spans)
+      .select(col("doc_id"), col("text_scrubbed"),
+        length(col("text_scrubbed")).as("n_chars_after"))
+      .join(docs.select(col("doc_id"),
+        length(col("text")).as("n_chars_before")), Seq("doc_id"))
+      .select(col("doc_id"), col("text_scrubbed"),
+        col("n_chars_before").cast("long").as("n_chars_before"),
+        col("n_chars_after").cast("long").as("n_chars_after"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    * paper: "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data"): rank every document by LM cross-entropy per
+    * token and split the corpus into head / middle / tail thirds —
+    * the partition CCNet materializes so downstream training samples
+    * more from the head. Scoring reuses `text_lm_surprisal`'s
+    * engine-exact integer floor-log2 bits; the rank key is the single
+    * double division sum_bits/n_bigrams of identical integers
+    * (bit-exact in both engines), tiebroken by doc_id.
+    *
+    * Scale: the global rank is `Layout.globalRowNumber` — a range
+    * repartition + per-partition sort + zipWithIndex, never a
+    * single-partition window; the corpus size joins back as a
+    * broadcast 1-row aggregate. (Production CCNet cuts at FIXED
+    * perplexity thresholds estimated from a sample — one scan, no
+    * rank at all; the exact-tertile form here is the measurement that
+    * calibrates those thresholds.) */
+  val lmPerplexityBuckets = sql("lm_perplexity_buckets",
+    """WITH w AS (
+         SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       bg AS (
+         SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+         FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+         WHERE len(w) >= 2),
+       cnt AS (SELECT w1, w2, count(*) AS num FROM bg GROUP BY w1, w2),
+       tot AS (SELECT w1, CAST(sum(num) AS BIGINT) AS den
+               FROM cnt GROUP BY w1),
+       s AS (
+         SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(length(bin(den // num)) - 1) AS BIGINT) AS sum_bits
+         FROM bg
+         JOIN cnt ON cnt.w1 = bg.w1 AND cnt.w2 = bg.w2
+         JOIN tot ON tot.w1 = bg.w1
+         GROUP BY bg.doc_id),
+       r AS (
+         SELECT doc_id, n_bigrams, sum_bits,
+           CAST(sum_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS ratio
+         FROM s),
+       rn AS (
+         SELECT doc_id, n_bigrams, sum_bits, ratio,
+           row_number() OVER (ORDER BY ratio, doc_id) - 1 AS rn,
+           (SELECT count(*) FROM r) AS n
+         FROM r)
+       SELECT
+         CASE (rn * 3) // n + 1 WHEN 1 THEN 'head'
+           WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+         CAST(sum(sum_bits) AS BIGINT) AS total_bits,
+         min(ratio) AS min_ratio,
+         max(ratio) AS max_ratio
+       FROM rn GROUP BY 1""") { (s, d) =>
+    import graft.functions.Layout
+    val scored = DataPipelineQueries3.textLmSurprisal.fn(s, d)
+      .withColumn("ratio",
+        col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+    val ranked = Layout.globalRowNumber(scored, col("ratio"), col("doc_id"))
+    ranked
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .withColumn("bucket",
+        expr("CASE (rn * 3) div n + 1 WHEN 1 THEN 'head' " +
+          "WHEN 2 THEN 'middle' ELSE 'tail' END"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("total_bigrams"),
+        sum(col("sum_bits")).as("total_bits"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"))
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(substrDedupSpans, substrDedupFunnel, substrDedupScrub,
+      lmPerplexityBuckets)
+}

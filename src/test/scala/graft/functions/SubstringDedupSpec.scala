@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Pins the winnowing selection rule (vs a naive per-window argmin
+  * reference), the detection guarantee (any verbatim duplicate of
+  * length >= w+k-1 is caught at any offset), and span merging. */
+class SubstringDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def corpus(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Naive reference: for every full window, the rightmost position
+    * achieving the minimum md5 — the definition the deque implements
+    * and the DuckDB oracle encodes via its composite min-key. */
+  private def naiveWinnow(text: String, k: Int, w: Int): Set[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = text.length - k + 1
+    if (m < w) return Set.empty
+    val h = (0 until m).map { i =>
+      md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    (0 to m - w).map { t =>
+      (t until t + w).minBy(i => (h(i), -i))
+    }.toSet.map((p: Int) => p + 1)
+  }
+
+  /** Deterministic filler over a 3-letter lowercase alphabet disjoint
+    * per seed (bases a, d, g, ...) — planted duplicates below use
+    * UPPERCASE letters, so filler can never collide with them or, for
+    * k-gram purposes, across seeds. */
+  private def filler(seed: Int, n: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val base = 'a' + (3 * seed) % 24
+    (0 until n).map(_ => (base + rnd.nextInt(3)).toChar).mkString
+  }
+
+  test("winnowPositions matches the naive per-window argmin on random text") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val n = 30 + rnd.nextInt(400)
+      val text = (0 until n).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      val k = 1 + rnd.nextInt(8)
+      val w = 2 + rnd.nextInt(9)
+      val got = SubstringDedup.winnowPositions(text, k, w).map(_._1).toSet
+      assert(got === naiveWinnow(text, k, w), s"trial $trial k=$k w=$w")
+    }
+  }
+
+  test("coverage: every full window of w grams contains an anchor") {
+    val rnd = new scala.util.Random(7)
+    val text = (0 until 500).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val (k, w) = (5, 8)
+    val pos = SubstringDedup.winnowPositions(text, k, w).map(_._1).toSet
+    val m = text.length - k + 1
+    for (t <- 1 to m - w + 1)
+      assert((t until t + w).exists(pos.contains),
+        s"window starting at $t has no anchor")
+  }
+
+  test("guarantee: a shared substring of exactly w+k-1 chars is caught " +
+      "at different offsets, below-threshold overlap is not") {
+    val k = 20; val w = 11
+    val shared = (0 until (w + k - 1)).map(i => ('P' + i % 4).toChar).mkString
+    val docA = filler(0, 57) + shared + filler(1, 83)
+    val docB = filler(2, 131) + shared + filler(3, 41)
+    // below threshold: first k-1 chars of shared only (cannot share a gram)
+    val docC = filler(4, 60) + shared.take(k - 1) + filler(5, 60)
+    val anch = SubstringDedup.anchors(
+      corpus(1L -> docA, 2L -> docB, 3L -> docC), k = k, w = w)
+    val dup = SubstringDedup.duplicatedAnchors(anch)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(dup === Set(1L, 2L),
+      "both holders of the full-length duplicate, and only them")
+  }
+
+  test("anchors carry the true gram at the reported 1-based position") {
+    val rnd = new scala.util.Random(11)
+    val text = (0 until 200).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    val rows = SubstringDedup.anchors(corpus(9L -> text), k = 7, w = 5)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Int]("pos"); val g = r.getAs[String]("g")
+      assert(text.substring(p - 1, p - 1 + 7) === g)
+    }
+  }
+
+  test("short documents (no full gram window) yield no anchors") {
+    val df = corpus(1L -> "x" * 29) // w+k-1 = 30 with defaults
+    assert(SubstringDedup.anchors(df).count() === 0)
+  }
+
+  test("duplicatedSpans merges overlapping and adjacent anchor intervals") {
+    import spark.implicits._
+    // k=10: [1,10] + [8,17] overlap -> [1,17]; [18,27] starts right at
+    // end+1 -> adjacent, merges into [1,27]; [30,39] leaves a gap of
+    // two chars (28,29) -> separate
+    val dup = Seq((1L, 1), (1L, 8), (1L, 18), (1L, 30), (2L, 5))
+      .toDF("doc_id", "pos")
+    val spans = SubstringDedup.duplicatedSpans(dup, k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"))).toSet
+    assert(spans === Set((1L, 1, 27), (1L, 30, 39), (2L, 5, 14)))
+  }
+
+  test("scrub removes exactly the duplicated spans and passes " +
+      "untouched documents through verbatim") {
+    val k = 20; val w = 11
+    val shared = (0 until 40).map(i => ('P' + i % 4).toChar).mkString
+    val a0 = filler(0, 57); val a1 = filler(1, 83)
+    val b0 = filler(2, 131); val b1 = filler(3, 41)
+    val clean = filler(4, 120)
+    val docs = corpus(1L -> (a0 + shared + a1), 2L -> (b0 + shared + b1),
+      3L -> clean)
+    val anch = SubstringDedup.anchors(docs, k = k, w = w)
+    val spans = SubstringDedup.duplicatedSpans(
+      SubstringDedup.duplicatedAnchors(anch), k = k)
+    val out = SubstringDedup.scrub(docs, spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) === clean, "untouched doc is verbatim")
+    for (id <- Seq(1L, 2L)) {
+      assert(!out(id).contains(shared.substring(0, k)),
+        s"doc $id still contains a duplicated gram")
+      // scrub only cuts characters, never reorders: the result is a
+      // subsequence of the original made of the two filler blocks
+      // (anchors can't start in pure filler, so at most k-1 chars of
+      // filler adjacent to the span are lost)
+      val (f0, f1) = if (id == 1L) (a0, a1) else (b0, b1)
+      assert(out(id).startsWith(f0.take(f0.length - k)),
+        s"doc $id prefix filler survives")
+      assert(out(id).endsWith(f1.drop(k)),
+        s"doc $id suffix filler survives")
+      assert(out(id).length < (f0 + shared + f1).length)
+    }
+  }
+
+  test("within-document repetition counts as duplicated") {
+    val k = 20; val w = 11
+    val rep = (0 until (w + k - 1)).map(i => ('Q' + i % 3).toChar).mkString
+    val doc = filler(6, 50) + rep + filler(7, 50) + rep + filler(8, 50)
+    val anch = SubstringDedup.anchors(corpus(5L -> doc), k = k, w = w)
+    val dup = SubstringDedup.duplicatedAnchors(anch)
+    assert(dup.count() >= 2, "both copies anchor the repeated gram")
+  }
+}

@@ -455,6 +455,10 @@ class PlanSpec extends AnyFunSuite {
     //     6-element signBucket projection (per vector, not per pair)
     //   text_langid / text_quality / text_fingerprint — per-doc token
     //     voting and stats over already-exploded small arrays
+    // (substr_dedup_scrub's per-doc segment stitch — array_join ∘
+    // transform over spans-per-doc segments — is also per-row and
+    // bounded, but its lambda lives inside an aggregate expression
+    // the sparkPlan string does not surface, so it needs no entry)
     val allowed = Set("ann_bucketed_top1", "dedup_embedding",
       "emb_dedup_funnel", "emb_multiprobe_funnel",
       "text_fingerprint", "text_langid", "text_quality")
