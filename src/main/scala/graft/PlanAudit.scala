@@ -101,7 +101,20 @@ object PlanAudit {
       "weight relation broadcast onto the checkpointed feature " +
       "stream, one per-doc aggregate, one per-label aggregate. " +
       "Training state between rounds is driver-held like the IVF " +
-      "codebook (bounded: one row per hash bucket)."))
+      "codebook (bounded: one row per hash bucket)."),
+    "substr_dedup_spans" -> ("Winnowing exact-substring tier: anchor " +
+      "generation is a shuffle-free per-partition flatMap (monotone-" +
+      "deque sliding minimum over gram md5s); the ONLY corpus-wide " +
+      "exchange keys on the gram (recurring-anchor aggregate + " +
+      "broadcast semi-join back); span merging is a per-doc window " +
+      "(partitioned by doc_id, never global); the per-doc report is " +
+      "one keyed aggregate."),
+    "lm_perplexity_buckets" -> ("Tertile cut over the surprisal " +
+      "scores: the global rank is Layout.globalRowNumber — range " +
+      "repartition + per-partition sort + zipWithIndex, NO single-" +
+      "partition window; corpus size re-enters as a broadcast 1-row " +
+      "aggregate onto the ranked stream; bucket assignment is pure " +
+      "integer arithmetic inside the final aggregate's projection."))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -376,6 +376,19 @@ object ScaleCheck {
     // of corpus size — the design claim is that model application stays
     // a BROADCAST join over the feature stream (only the per-doc
     // aggregate shuffles), so cost must track the explode scan linearly
+    // Exact-substring dedup (r8 winnowing tier): anchor generation is
+    // a shuffle-free linear scan (monotone-deque winnowing inside
+    // flatMap), then ONE exchange keyed on the gram + a per-doc span
+    // window. With MUTATE=1 every copy's token suffixes shift gram
+    // content, so recurring-gram density stays ~constant — the claim
+    // under probe is end-to-end linear growth in corpus characters.
+    time("substr_dedup") {
+      val anch = graft.functions.SubstringDedup.anchors(docs)
+        .localCheckpoint(true)
+      val spans = graft.functions.SubstringDedup.duplicatedSpans(
+        graft.functions.SubstringDedup.duplicatedAnchors(anch))
+      spans.count()
+    }
     time("dsir_weights") {
       val w = graft.functions.TextDedup.withTokens(docs)
         .filter(size(col("w")) >= 2)

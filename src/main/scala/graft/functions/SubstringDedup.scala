@@ -49,19 +49,21 @@ object SubstringDedup {
   val DefaultK = 20
   val DefaultW = 11
 
-  private def md5hex(md: java.security.MessageDigest, s: String): String = {
-    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    var i = 0
-    while (i < b.length) { sb.append(f"${b(i) & 0xff}%02x"); i += 1 }
-    sb.toString
-  }
-
   /** Winnowing anchor positions for one text: 1-based gram positions
     * (matching SQL `substr`), rightmost-minimum per full window of `w`
     * gram hashes. Texts shorter than w + k - 1 chars have no full
     * window and yield nothing — correct, because they cannot contain a
     * duplicate of threshold length either.
+    *
+    * Hashes stay RAW 16-byte md5 digests: unsigned byte-wise order is
+    * exactly the lexicographic order of the lowercase-hex encoding the
+    * DuckDB oracle compares (each byte's two hex digits are monotone in
+    * the byte value, fixed width), so selection is bit-identical to the
+    * oracle's `min(md5hex || inverted-pos)` with zero hex encoding in
+    * the hot path. For ASCII text (char index == UTF-8 byte offset)
+    * each gram digests straight from the shared byte array — no
+    * per-gram substring/encode; non-ASCII text falls back to per-gram
+    * encoding, preserving "md5 of the gram's UTF-8 bytes" exactly.
     *
     * Sliding minimum is the textbook monotone deque: each index is
     * pushed and popped at most once, O(grams) total. Rightmost
@@ -75,39 +77,56 @@ object SubstringDedup {
     val m = n - k + 1
     if (m < w) return Nil
     val md = java.security.MessageDigest.getInstance("MD5")
-    val grams = new Array[String](m)
-    val hashes = new Array[String](m)
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val direct = bytes.length == n // pure ASCII: char index == byte offset
+    val hashes = new Array[Array[Byte]](m)
     var i = 0
     while (i < m) {
-      grams(i) = text.substring(i, i + k)
-      hashes(i) = md5hex(md, grams(i))
+      if (direct) md.update(bytes, i, k)
+      else md.update(text.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hashes(i) = md.digest() // finalizes AND resets the digest
       i += 1
     }
+    @inline def geq(a: Array[Byte], b: Array[Byte]): Boolean =
+      java.util.Arrays.compareUnsigned(a, b) >= 0
     val out = scala.collection.mutable.LinkedHashSet.empty[Int]
     val dq = new java.util.ArrayDeque[Int]() // indices, hashes increasing
     i = 0
     while (i < m) {
       // rightmost tie-break: an equal hash arriving later evicts the
       // earlier one, so the deque head is always the rightmost minimum
-      while (!dq.isEmpty && hashes(dq.peekLast) >= hashes(i)) dq.pollLast()
+      while (!dq.isEmpty && geq(hashes(dq.peekLast), hashes(i))) dq.pollLast()
       dq.addLast(i)
       if (dq.peekFirst <= i - w) dq.pollFirst()
       if (i >= w - 1) out += dq.peekFirst
       i += 1
     }
-    out.toSeq.map(p => (p + 1, grams(p))) // 1-based for SQL substr parity
+    // gram strings materialize only for the ~2/(w+1) selected anchors
+    out.toSeq.map(p => (p + 1, text.substring(p, p + k)))
   }
 
   /** Anchor relation (doc_id, pos, g): winnowing fingerprints of every
-    * document. One linear pass, no shuffle. */
+    * document. One linear pass; shuffle-free EXCEPT when the input
+    * arrives in fewer partitions than the session's parallelism (the
+    * local small-file case: one parquet row-group = one partition
+    * would pin the whole CPU-bound winnowing scan to one core), where
+    * a round-robin repartition spreads it first — at real scale the
+    * corpus already has >= parallelism partitions and no shuffle
+    * happens. */
   def anchors(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = DefaultK,
       w: Int = DefaultW): DataFrame = {
     require(k >= 1 && w >= 1)
     val sp = df.sparkSession
     import sp.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    val target = sp.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
+    val spread =
+      if (base.rdd.getNumPartitions < target) base.repartition(target)
+      else base
+    spread
       .flatMap { case (id, text) =>
         winnowPositions(text, k, w).map { case (p, g) => (id, p, g) }
       }

@@ -21,12 +21,12 @@ object DataPipelineQueries7 {
   private val K = SubstringDedup.DefaultK // 20-char grams
   private val W = SubstringDedup.DefaultW // 11-gram windows -> 30-char guarantee
 
-  /** Shared oracle CTE prefix: gram hashes -> winnowing anchor
-    * selection (rightmost minimum per full window, encoded as a plain
-    * `min` over `md5hash || lpad(10^9 - pos)` so larger positions win
-    * ties) -> anchors that recur anywhere in the corpus -> merged
-    * per-document spans (gaps-and-islands). */
-  private val OracleCtes =
+  /** Oracle CTE prefix for a given (k, w): gram hashes -> winnowing
+    * anchor selection (rightmost minimum per full window, encoded as a
+    * plain `min` over `md5hash || lpad(10^9 - pos)` so larger
+    * positions win ties) -> anchors that recur anywhere in the corpus
+    * -> merged per-document spans (gaps-and-islands). */
+  private def oracleCtesFor(K: Int, W: Int): String =
     s"""WITH g AS (
          SELECT doc_id, length(text) - ${K - 1} AS m,
            unnest(generate_series(1, length(text) - ${K - 1})) AS i,
@@ -71,6 +71,8 @@ object DataPipelineQueries7 {
            min(pos) AS span_start, max(e) AS span_end
          FROM isl2 GROUP BY doc_id, island)"""
 
+  private val OracleCtes = oracleCtesFor(K, W)
+
   /** Per-document duplicated-span report: how many verbatim-repeated
     * regions (>= 30 chars guaranteed caught) each document carries and
     * how many characters they cover — the relation an exact-substring
@@ -82,7 +84,11 @@ object DataPipelineQueries7 {
          CAST(count(*) AS BIGINT) AS n_spans,
          CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
        FROM spans GROUP BY doc_id""") { (s, d) =>
+    // checkpointed: the anchor relation is read twice (hot-gram
+    // aggregate + semi-join back) — without it the winnowing scan
+    // recomputes per consumer
     val anch = SubstringDedup.anchors(Tables.documents(s, d), k = K, w = W)
+      .localCheckpoint(true)
     val spans = SubstringDedup.duplicatedSpans(
       SubstringDedup.duplicatedAnchors(anch), k = K)
     spans.groupBy(col("doc_id"))
@@ -163,8 +169,10 @@ object DataPipelineQueries7 {
     (s, d) =>
     val docs = Tables.documents(s, d)
     val anch = SubstringDedup.anchors(docs, k = K, w = W)
+      .localCheckpoint(true)
     val spans = SubstringDedup.duplicatedSpans(
       SubstringDedup.duplicatedAnchors(anch), k = K)
+      .localCheckpoint(true) // read by both the pre-segment window and the tail aggregate
     SubstringDedup.scrub(docs, spans)
       .select(col("doc_id"), col("text_scrubbed"),
         length(col("text_scrubbed")).as("n_chars_after"))
@@ -173,6 +181,49 @@ object DataPipelineQueries7 {
       .select(col("doc_id"), col("text_scrubbed"),
         col("n_chars_before").cast("long").as("n_chars_before"),
         col("n_chars_after").cast("long").as("n_chars_after"))
+  }
+
+  /** (k, w) settings the acceptance curve sweeps: the shipped default
+    * (30-char guarantee), an aggressive short-match config, and a
+    * conservative long-match one. */
+  private val CurveConfigs = Seq((12, 7), (20, 11), (28, 15))
+
+  /** Acceptance curve for the winnowing tier — anchor volume (the
+    * shuffled-bytes cost driver, ~2/(w+1) of corpus chars) vs span
+    * coverage, per (k, w): the sizing table a deployment reads to pick
+    * the gram length and guarantee threshold before a 100 TB run,
+    * mirroring `dedup_lsh_curve` / `emb_srp_curve`. Each config is an
+    * independent pass over the corpus (the sweep is the measurement's
+    * definition — production ships ONE config). */
+  val substrDedupCurve = sql("substr_dedup_curve",
+    CurveConfigs.map { case (k, w) =>
+      s"""SELECT CAST($k AS INT) AS kk, CAST($w AS INT) AS ww,
+           CAST(${w + k - 1} AS INT) AS threshold,
+           n_anchors, n_dup_anchors, n_spans, dup_chars
+         FROM (${oracleCtesFor(k, w)}
+           SELECT
+             CAST((SELECT count(*) FROM anch) AS BIGINT) AS n_anchors,
+             CAST((SELECT count(*) FROM dup) AS BIGINT) AS n_dup_anchors,
+             CAST((SELECT count(*) FROM spans) AS BIGINT) AS n_spans,
+             CAST((SELECT coalesce(sum(span_end - span_start + 1), 0)
+               FROM spans) AS BIGINT) AS dup_chars)"""
+    }.mkString("\n       UNION ALL\n")) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    CurveConfigs.map { case (k, w) =>
+      val anch = SubstringDedup.anchors(docs, k = k, w = w)
+        .localCheckpoint(true)
+      val dup = SubstringDedup.duplicatedAnchors(anch).localCheckpoint(true)
+      val spans = SubstringDedup.duplicatedSpans(dup, k = k)
+      anch.agg(count(lit(1)).as("n_anchors"))
+        .crossJoin(dup.agg(count(lit(1)).as("n_dup_anchors")))
+        .crossJoin(spans.agg(count(lit(1)).as("n_spans"),
+          coalesce(sum(col("span_end") - col("span_start") + 1), lit(0L))
+            .as("dup_chars")))
+        .select(lit(k).as("kk"), lit(w).as("ww"),
+          lit(w + k - 1).as("threshold"),
+          col("n_anchors"), col("n_dup_anchors"), col("n_spans"),
+          col("dup_chars"))
+    }.reduce(_ unionByName _)
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
@@ -250,5 +301,5 @@ object DataPipelineQueries7 {
 
   def all: Seq[QueryDef] =
     Seq(substrDedupSpans, substrDedupFunnel, substrDedupScrub,
-      lmPerplexityBuckets)
+      substrDedupCurve, lmPerplexityBuckets)
 }

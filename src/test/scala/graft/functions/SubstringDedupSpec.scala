@@ -142,6 +142,20 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("anchors spread a single-partition input across the session's " +
+      "parallelism (the CPU-bound winnowing scan must never pin to one " +
+      "core on a small-file input)") {
+    import spark.implicits._
+    val docs = (1L to 40L)
+      .map(i => (i, filler((i % 8).toInt, 120))).toDF("doc_id", "text")
+      .coalesce(1)
+    assert(docs.rdd.getNumPartitions === 1)
+    val parts = SubstringDedup.anchors(docs, k = 5, w = 4)
+      .rdd.getNumPartitions
+    assert(parts >= spark.sparkContext.defaultParallelism,
+      s"winnowing ran in $parts partition(s)")
+  }
+
   test("within-document repetition counts as duplicated") {
     val k = 20; val w = 11
     val rep = (0 until (w + k - 1)).map(i => ('Q' + i % 3).toChar).mkString
