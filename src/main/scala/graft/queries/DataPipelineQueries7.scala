@@ -226,6 +226,62 @@ object DataPipelineQueries7 {
     }.reduce(_ unionByName _)
   }
 
+  /** Incremental ingestion dedup for the SUBSTRING tier — closing the
+    * serving-mode symmetry with `dedup_incremental` (LSH) and
+    * `emb_incremental_dedup` (SRP): documents with doc_id % 4 = 0 play
+    * the incoming batch, the rest the indexed corpus. Each batch
+    * ANCHOR is labeled corpus_dup (its gram is in the index's anchor-
+    * gram set), batch_dup (an earlier batch anchor — (doc_id, pos)
+    * order — carries the same gram; keep-first), or new; the per-doc
+    * label counts are the ingest report. Per-ingest cost tracks the
+    * BATCH: batch anchors are linear in batch characters, the label
+    * pass is one equi join against the index's distinct-gram relation
+    * (in production a KeyedTable-maintained anchor index, exactly like
+    * the LSH band index) plus a gram-keyed window over BATCH anchors
+    * only. Grams compare as full strings, so no verify tier is needed;
+    * the 100 TB hash-payload variant re-verifies colliding grams by a
+    * by-id position fetch, as the scaladoc of SubstringDedup notes. */
+  val substrIncrementalDedup = sql("substr_incremental_dedup",
+    s"""${oracleCtesFor(K, W)},
+       idx AS (
+         SELECT DISTINCT gram FROM anch WHERE doc_id % 4 <> 0),
+       b AS (
+         SELECT doc_id, pos, gram FROM anch WHERE doc_id % 4 = 0),
+       lab AS (
+         SELECT doc_id, pos, gram,
+           row_number() OVER (PARTITION BY gram
+             ORDER BY doc_id, pos) AS rn,
+           CASE WHEN gram IN (SELECT gram FROM idx)
+             THEN 1 ELSE 0 END AS ii
+         FROM b)
+       SELECT doc_id,
+         CAST(sum(CASE WHEN ii = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_corpus_dup,
+         CAST(sum(CASE WHEN ii = 0 AND rn > 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_batch_dup,
+         CAST(sum(CASE WHEN ii = 0 AND rn = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_new
+       FROM lab GROUP BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val anch = SubstringDedup.anchors(Tables.documents(s, d), k = K, w = W)
+      .localCheckpoint(true)
+    val idx = anch.filter(col("doc_id") % 4 =!= 0)
+      .select(col("g")).distinct().withColumn("in_idx", lit(1))
+    val b = anch.filter(col("doc_id") % 4 === 0)
+    val byGram = Window.partitionBy(col("g"))
+      .orderBy(col("doc_id"), col("pos"))
+    b.join(idx, Seq("g"), "left")
+      .withColumn("rn", row_number().over(byGram))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("in_idx") === 1, 1L).otherwise(0L))
+          .as("n_corpus_dup"),
+        sum(when(col("in_idx").isNull && col("rn") > 1, 1L).otherwise(0L))
+          .as("n_batch_dup"),
+        sum(when(col("in_idx").isNull && col("rn") === 1, 1L).otherwise(0L))
+          .as("n_new"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
     * paper: "CCNet: Extracting High Quality Monolingual Datasets from
     * Web Crawl Data"): rank every document by LM cross-entropy per
@@ -301,5 +357,5 @@ object DataPipelineQueries7 {
 
   def all: Seq[QueryDef] =
     Seq(substrDedupSpans, substrDedupFunnel, substrDedupScrub,
-      substrDedupCurve, lmPerplexityBuckets)
+      substrDedupCurve, substrIncrementalDedup, lmPerplexityBuckets)
 }
