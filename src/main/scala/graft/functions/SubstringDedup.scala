@@ -148,6 +148,33 @@ object SubstringDedup {
     anch.join(broadcast(hot), Seq("g"), "leftsemi")
   }
 
+  /** Incremental ingest report: each batch anchor labeled against the
+    * indexed corpus's anchor-gram set, aggregated per batch document —
+    * (doc_id, n_corpus_dup, n_batch_dup, n_new). corpus_dup = the gram
+    * is indexed; batch_dup = an earlier batch anchor ((doc_id, pos)
+    * order — keep-first) carries the same gram; new otherwise. One
+    * gram-keyed equi join against the index relation plus a gram-keyed
+    * window over BATCH anchors only: per-ingest cost tracks the batch,
+    * never the corpus (the index is a materialized table between
+    * ingests — the anchor analogue of the LSH band index). */
+  def incrementalDedup(indexGrams: DataFrame, batchAnchors: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val idx = indexGrams.select(col("g")).distinct()
+      .withColumn("in_idx", lit(1))
+    val byGram = Window.partitionBy(col("g"))
+      .orderBy(col(idCol), col("pos"))
+    batchAnchors.join(idx, Seq("g"), "left")
+      .withColumn("rn", row_number().over(byGram))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("in_idx") === 1, 1L).otherwise(0L))
+          .as("n_corpus_dup"),
+        sum(when(col("in_idx").isNull && col("rn") > 1, 1L).otherwise(0L))
+          .as("n_batch_dup"),
+        sum(when(col("in_idx").isNull && col("rn") === 1, 1L).otherwise(0L))
+          .as("n_new"))
+  }
+
   /** Scrubbed corpus: every duplicated span removed from every
     * document (the CCNet-style boilerplate cut — repeated content
     * contributes nothing to training, so it goes everywhere it

@@ -240,8 +240,12 @@ object DataPipelineQueries7 {
     * the LSH band index) plus a gram-keyed window over BATCH anchors
     * only. Grams compare as full strings, so no verify tier is needed;
     * the 100 TB hash-payload variant re-verifies colliding grams by a
-    * by-id position fetch, as the scaladoc of SubstringDedup notes. */
-  val substrIncrementalDedup = sql("substr_incremental_dedup",
+    * by-id position fetch, as the scaladoc of SubstringDedup notes.
+    *
+    * The oracle is shared with `stream_substr_dedup`
+    * (StreamingQueries): streaming and batch answers are identical by
+    * construction, so it is this SQL verbatim there. */
+  private[queries] val SubstrIncrementalOracle: String =
     s"""${oracleCtesFor(K, W)},
        idx AS (
          SELECT DISTINCT gram FROM anch WHERE doc_id % 4 <> 0),
@@ -261,25 +265,15 @@ object DataPipelineQueries7 {
            AS BIGINT) AS n_batch_dup,
          CAST(sum(CASE WHEN ii = 0 AND rn = 1 THEN 1 ELSE 0 END)
            AS BIGINT) AS n_new
-       FROM lab GROUP BY doc_id""") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val anch = SubstringDedup.anchors(Tables.documents(s, d), k = K, w = W)
-      .localCheckpoint(true)
-    val idx = anch.filter(col("doc_id") % 4 =!= 0)
-      .select(col("g")).distinct().withColumn("in_idx", lit(1))
-    val b = anch.filter(col("doc_id") % 4 === 0)
-    val byGram = Window.partitionBy(col("g"))
-      .orderBy(col("doc_id"), col("pos"))
-    b.join(idx, Seq("g"), "left")
-      .withColumn("rn", row_number().over(byGram))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("in_idx") === 1, 1L).otherwise(0L))
-          .as("n_corpus_dup"),
-        sum(when(col("in_idx").isNull && col("rn") > 1, 1L).otherwise(0L))
-          .as("n_batch_dup"),
-        sum(when(col("in_idx").isNull && col("rn") === 1, 1L).otherwise(0L))
-          .as("n_new"))
+       FROM lab GROUP BY doc_id"""
+
+  val substrIncrementalDedup = sql("substr_incremental_dedup",
+    SubstrIncrementalOracle) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isBatch = col("doc_id") % 4 === 0
+    SubstringDedup.incrementalDedup(
+      indexGrams = SubstringDedup.anchors(docs.where(!isBatch), k = K, w = W),
+      batchAnchors = SubstringDedup.anchors(docs.where(isBatch), k = K, w = W))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public

@@ -346,6 +346,19 @@ object StreamingQueries {
     graft.streaming.StreamingJobs.streamingIncrementalDedup(s, d, dir)
   }
 
+  /** Streaming substring-tier ingestion dedup
+    * (StreamingJobs.streamingSubstrDedup): the winnowing-anchor batch
+    * operator per micro-batch against the static anchor-gram index;
+    * streaming == batch by construction, so the oracle is
+    * `substr_incremental_dedup`'s SQL verbatim (see
+    * DataPipelineQueries7 for the semantics). */
+  val streamSubstrDedup = sql("stream_substr_dedup",
+    DataPipelineQueries7.SubstrIncrementalOracle) { (s, d) =>
+    val dir = sys.props("java.io.tmpdir") + "/graft_stream_substr_" +
+      java.util.UUID.randomUUID().toString
+    graft.streaming.StreamingJobs.streamingSubstrDedup(s, d, dir)
+  }
+
   /** Streaming media ingest with REAL sample-level decode
     * (StreamingJobs.streamingMediaDecode): micro-batches synthesize
     * and fully decode PCM-16 WAVs (every int16 sample read back),
@@ -381,5 +394,5 @@ object StreamingQueries {
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent,
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,
-    streamMediaDecode)
+    streamSubstrDedup, streamMediaDecode)
 }

@@ -413,6 +413,40 @@ object StreamingJobs {
     spark.read.parquet(outDir).drop("batch_id")
   }
 
+  /** Streaming ingestion dedup for the SUBSTRING tier: incoming docs
+    * (doc_id % 4 = 0) run the exact batch operator
+    * (`SubstringDedup.incrementalDedup`) per micro-batch inside
+    * foreachBatch against the STATIC anchor-gram index (the relation a
+    * pipeline keeps materialized between ingests — the substring
+    * analogue of the LSH band index `streamingIncrementalDedup`
+    * holds). Results land via the idempotent batch_id writer, so a
+    * retried micro-batch overwrites its own partition; streaming ==
+    * batch by construction, and the oracle is
+    * `substr_incremental_dedup`'s SQL verbatim. */
+  def streamingSubstrDedup(spark: SparkSession, sfDir: String,
+      outDir: String): DataFrame = {
+    import graft.functions.SubstringDedup
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isBatch = col("doc_id") % 4 === 0
+    val idxGrams = SubstringDedup.anchors(all.where(!isBatch))
+      .select(col("g")).distinct().localCheckpoint(true)
+    val docs = spark.readStream.schema(all.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val writer = idempotentBatchWriter(spark, outDir)
+    val qname = "graft_stream_substr_dedup"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    val q = docs.where(isBatch).writeStream.queryName(qname)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writer(SubstringDedup.incrementalDedup(
+          indexGrams = idxGrams,
+          batchAnchors = SubstringDedup.anchors(batch)), id)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.read.parquet(outDir).drop("batch_id")
+  }
+
   /** Streaming benchmark decontamination: documents arrive as a
     * stream, their 5-grams are checked against the STATIC held-out
     * benchmark gram set (docs ≡ 0 mod 7), and per-source benchmark-hit

@@ -156,6 +156,37 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"winnowing ran in $parts partition(s)")
   }
 
+  test("incrementalDedup labels corpus_dup, batch_dup (keep-first by " +
+      "doc order), and new") {
+    // NON-periodic planted strings (a periodic plant repeats its own
+    // grams within one doc, which is a genuine within-batch dup and
+    // muddies the keep-first assertion)
+    val r1 = new scala.util.Random(101)
+    val s1 = (0 until 40).map(_ => ('P' + r1.nextInt(4)).toChar).mkString
+    val s2 = (0 until 40).map(_ => ('T' + r1.nextInt(4)).toChar).mkString
+    val corpusDoc = filler(0, 60) + s1 + filler(1, 60)
+    val docs = corpus(
+      1L -> corpusDoc,                                        // index
+      4L -> (filler(2, 60) + s1 + filler(3, 40) + s2 + filler(4, 40)),
+      8L -> (filler(5, 60) + s2 + filler(6, 60)),
+      12L -> filler(7, 120))
+    val isBatch = org.apache.spark.sql.functions.col("doc_id") % 4 === 0
+    val rep = SubstringDedup.incrementalDedup(
+        indexGrams = SubstringDedup.anchors(docs.where(!isBatch)),
+        batchAnchors = SubstringDedup.anchors(docs.where(isBatch)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (c4, b4, n4) = rep(4L)
+    assert(c4 >= 1, "doc 4 shares s1 with the index")
+    assert(b4 === 0, "doc 4 is the FIRST batch holder of s2 — keep-first")
+    assert(n4 >= 1, "doc 4's s2 anchors are new")
+    val (c8, b8, _) = rep(8L)
+    assert(c8 === 0, "doc 8 shares nothing with the index")
+    assert(b8 >= 1, "doc 8's s2 anchors duplicate doc 4's (earlier doc)")
+    assert(rep(12L)._1 === 0 && rep(12L)._2 === 0 && rep(12L)._3 >= 1,
+      "untouched doc is all-new")
+  }
+
   test("within-document repetition counts as duplicated") {
     val k = 20; val w = 11
     val rep = (0 until (w + k - 1)).map(i => ('Q' + i % 3).toChar).mkString
