@@ -26,7 +26,7 @@ object DataPipelineQueries7 {
     * plain `min` over `md5hash || lpad(10^9 - pos)` so larger
     * positions win ties) -> anchors that recur anywhere in the corpus
     * -> merged per-document spans (gaps-and-islands). */
-  private def oracleCtesFor(K: Int, W: Int): String =
+  private[queries] def oracleCtesFor(K: Int, W: Int): String =
     s"""WITH g AS (
          SELECT doc_id, length(text) - ${K - 1} AS m,
            unnest(generate_series(1, length(text) - ${K - 1})) AS i,

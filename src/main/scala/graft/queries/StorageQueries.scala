@@ -167,6 +167,43 @@ object StorageQueries {
       .select(col("vec_id"), col("pq"), col("d2_total"))
   }
 
+  /** SUBSTRING-index MAINTENANCE: the winnowing anchor index lives as
+    * a keyed table (doc_id → anchor count + md5 digest of the ordered
+    * anchor-gram list); the indexed corpus (doc_id % 4 <> 0) creates
+    * it, an ingest batch (% 4 = 0) merges in via KeyedTable.upsert,
+    * and a RE-INGEST of already-indexed docs (% 8 = 1) upserts
+    * identical rows — idempotent by construction. The invariant the
+    * oracle checks: corpus-index + batch-upsert + re-ingest must equal
+    * winnowing the WHOLE corpus in one pass, per-doc digest included
+    * (the digest pins every anchor gram and its order, not just
+    * counts). This is the materialized index `substr_incremental_dedup`
+    * labels against, as a doc-keyed table a production pipeline
+    * refreshes per ingest — O(batch) winnowing plus O(touched buckets)
+    * rewrite. */
+  val substrIndexUpsert = sql("substr_index_upsert",
+    s"""${DataPipelineQueries7.oracleCtesFor(20, 11)}
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_anchors,
+         md5(string_agg(gram, '|' ORDER BY pos)) AS sig
+       FROM anch GROUP BY doc_id""") { (s, d) =>
+    import graft.functions.SubstringDedup
+    val dir = scratch("substr_index")
+    val docs = Tables.documents(s, d)
+    def perDoc(df: DataFrame): DataFrame =
+      SubstringDedup.anchors(df)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_anchors"),
+          md5(expr("""array_join(transform(array_sort(collect_list(
+              struct(pos, g))), x -> x.g), '|')""")).as("sig"))
+    val isBatch = col("doc_id") % 4 === 0
+    KeyedTable.create(perDoc(docs.where(!isBatch)), dir, "doc_id")
+    KeyedTable.upsert(s, dir, perDoc(docs.where(isBatch)), "doc_id")
+    // re-ingest: identical rows for already-indexed docs — a no-op
+    KeyedTable.upsert(s, dir,
+      perDoc(docs.where(col("doc_id") % 8 === 1)), "doc_id")
+    KeyedTable.read(s, dir)
+      .select(col("doc_id"), col("n_anchors"), col("sig"))
+  }
+
   /** ORC write → read round trip (the second columnar format,
     * Inputs.orc/Outputs.orc): events' key columns survive the trip
     * bit-exactly and re-aggregate to what DuckDB computes from the
@@ -311,7 +348,7 @@ object StorageQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    upsertKeyed, pqIndexUpsert, sourceInMemory, sourceNone,
+    upsertKeyed, pqIndexUpsert, substrIndexUpsert, sourceInMemory, sourceNone,
     sourceNdjsonRoundtrip, sourceCsvRoundtrip, sourceOrcRoundtrip,
     sourceFileset, sourceZipLines, scanPartitionedTable, joinBucketed)
 }
