@@ -276,6 +276,50 @@ object DataPipelineQueries7 {
       batchAnchors = SubstringDedup.anchors(docs.where(isBatch), k = K, w = W))
   }
 
+  /** Substring-tier near-dup clustering: doc pairs sharing >= 3
+    * distinct anchor grams become edges, connected components (min
+    * doc_id label — the same reusable
+    * `functions.ConnectedComponents` as `dedup_clusters`) group the
+    * verbatim-overlap families. The pair join runs on DISTINCT
+    * (doc, gram) anchors keyed on the gram — fanout is bounded by the
+    * recurring-anchor rate (max 5 docs/gram on this corpus), the same
+    * hot-set containment argument as `pairableShingles`; a corpus
+    * with boilerplate grams would put `maxDF` stop-listing in front,
+    * exactly like the shingle tier. Oracle: recursive-CTE walk of the
+    * identical edge set. */
+  val substrDedupClusters = sql("substr_dedup_clusters",
+    s"""${oracleCtesFor(K, W).replaceFirst("^WITH", "WITH RECURSIVE")},
+       dgm AS (SELECT DISTINCT doc_id, gram FROM anch),
+       pr AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+         FROM dgm a JOIN dgm b
+           ON a.gram = b.gram AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       ed AS (SELECT d1, d2 FROM pr WHERE shared >= 3),
+       edges AS (SELECT d1 AS src, d2 AS dst FROM ed
+                 UNION ALL SELECT d2, d1 FROM ed),
+       walk(node, label) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.dst, wk.label FROM walk wk JOIN edges e ON e.src = wk.node)
+       SELECT CAST(node AS BIGINT) AS doc_id,
+         CAST(min(label) AS BIGINT) AS cluster_id
+       FROM walk GROUP BY node""") { (s, d) =>
+    val dg = SubstringDedup.anchors(Tables.documents(s, d), k = K, w = W)
+      .select(col("doc_id"), col("g")).distinct()
+      .localCheckpoint(true)
+    val ed = dg.join(dg.select(col("doc_id").as("d2"), col("g")), Seq("g"))
+      .filter(col("doc_id") < col("d2"))
+      .groupBy(col("doc_id").as("d1"), col("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = DataPipelineQueries.withFewPartitions(s, 4) {
+      graft.functions.ConnectedComponents.run(s, ed)
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
     * paper: "CCNet: Extracting High Quality Monolingual Datasets from
     * Web Crawl Data"): rank every document by LM cross-entropy per
@@ -351,5 +395,6 @@ object DataPipelineQueries7 {
 
   def all: Seq[QueryDef] =
     Seq(substrDedupSpans, substrDedupFunnel, substrDedupScrub,
-      substrDedupCurve, substrIncrementalDedup, lmPerplexityBuckets)
+      substrDedupCurve, substrIncrementalDedup, substrDedupClusters,
+      lmPerplexityBuckets)
 }
