@@ -223,6 +223,36 @@ object StorageQueries {
         sum(col("user_id")).as("sum_user"))
   }
 
+  /** Schema-EVOLUTION read (Inputs.parquetEvolving): generation-1
+    * files carry (event_id, event_type), generation-2 files add
+    * user_id — the late-added-column shape every long-lived table
+    * grows. mergeSchema unions the footers; gen-1 rows read user_id
+    * as null. The oracle reproduces the evolution with a CASE that
+    * nulls user_id exactly where the old files lack it, and the
+    * aggregate proves both the union (counts) and the null semantics
+    * (sum over the surviving user_ids only). */
+  val sourceEvolvingSchema = sql("source_evolving_schema",
+    """SELECT event_type, count(*) AS cnt,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN NULL ELSE user_id END)
+         AS BIGINT) AS sum_user,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_legacy
+       FROM events GROUP BY event_type""") { (s, d) =>
+    val dir = scratch("evolve")
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"))
+      .write.parquet(s"$dir/gen1")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .write.parquet(s"$dir/gen2")
+    Inputs.parquetEvolving(s, s"$dir/gen1", s"$dir/gen2")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("user_id")).as("sum_user"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_legacy"))
+  }
+
   /** Multi-prefix file-set read (reference
     * _GoogleCloudStorageInputReader glob expansion,
     * input_readers.py:2247-2538): events split across two directory
@@ -348,7 +378,8 @@ object StorageQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    upsertKeyed, pqIndexUpsert, substrIndexUpsert, sourceInMemory, sourceNone,
+    upsertKeyed, pqIndexUpsert, substrIndexUpsert, sourceEvolvingSchema,
+    sourceInMemory, sourceNone,
     sourceNdjsonRoundtrip, sourceCsvRoundtrip, sourceOrcRoundtrip,
     sourceFileset, sourceZipLines, scanPartitionedTable, joinBucketed)
 }

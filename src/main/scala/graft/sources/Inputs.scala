@@ -215,4 +215,18 @@ object Inputs {
     * pushdown and column pruning work exactly as for parquet. */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Parquet scan across files whose schemas EVOLVED — the multi-year
+    * table case at 100 TB, where early files lack columns later ones
+    * added. `mergeSchema` unions the per-file schemas (one footer read
+    * per file, parallelized on the cluster — which is why it is not
+    * Spark's default: a million-file table pays a million footer
+    * reads, so production tables pin the merged schema in a catalog
+    * and this reader is the BACKFILL/exploration path); rows from
+    * files missing a column read as null for it, which is exactly the
+    * semantic a late-added nullable column has. The reference's
+    * BigQuery load path got this from BigQuery's schema-update options
+    * (ALLOW_FIELD_ADDITION); this is the Spark-native equivalent. */
+  def parquetEvolving(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }
