@@ -393,8 +393,42 @@ object DataPipelineQueries7 {
         max(col("ratio")).as("max_ratio"))
   }
 
+  /** k-anonymity risk report — the release gate a dataset runs after
+    * pseudonymization (`pseudonymize` swaps identifiers, but a row is
+    * still re-identifiable when its QUASI-identifier combination is
+    * rare): group documents by (lang, source, length-centile band) and
+    * count the groups smaller than k=5 plus the documents inside them.
+    * One keyed aggregate + one 4-row-per-band summary — the same shape
+    * at any corpus size; the grouped relation is bounded by the QI
+    * domain, never the corpus. (Sweeney 2002, public paper:
+    * "k-anonymity: a model for protecting privacy".) */
+  val kanonRisk = sql("kanon_risk",
+    """WITH q AS (
+         SELECT lang, source, length(text) // 100 AS band,
+           count(*) AS sz
+         FROM documents GROUP BY 1, 2, 3)
+       SELECT
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_small_groups,
+         CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+           AS n_docs_at_risk,
+         CAST(min(sz) AS BIGINT) AS min_group,
+         CAST(max(sz) AS BIGINT) AS max_group
+       FROM q""") { (s, d) =>
+    val q = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr("CAST(length(text) AS BIGINT) div 100").as("band"))
+      .agg(count(lit(1)).as("sz"))
+    q.agg(count(lit(1)).as("n_groups"),
+      sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+      sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("n_docs_at_risk"),
+      min(col("sz")).as("min_group"),
+      max(col("sz")).as("max_group"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(substrDedupSpans, substrDedupFunnel, substrDedupScrub,
       substrDedupCurve, substrIncrementalDedup, substrDedupClusters,
-      lmPerplexityBuckets)
+      lmPerplexityBuckets, kanonRisk)
 }
