@@ -389,6 +389,41 @@ object ScaleCheck {
         graft.functions.SubstringDedup.duplicatedAnchors(anch))
       spans.count()
     }
+    // Substring anchor-index maintenance (r8): create = one winnowing
+    // pass + bucketed write, linear in corpus; upsert of a FIXED batch
+    // must track the batch, not the table — which holds only under the
+    // production rule numBuckets ∝ corpus (each touched bucket's
+    // rewrite is then constant-size; a fixed bucket count would grow
+    // every rewrite linearly with the corpus — the same cliff rule as
+    // the IVF codebook). Both components print separately.
+    time("substr_index_maintenance") {
+      import graft.sinks.KeyedTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_scale_substr_idx").toString
+      def perDoc(df: DataFrame): DataFrame =
+        graft.functions.SubstringDedup.anchors(df)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_anchors"),
+            md5(expr("""array_join(transform(array_sort(collect_list(
+                struct(pos, g))), x -> x.g), '|')""")).as("sig"))
+      // buckets scale with corpus (constant bucket SIZE) — and must
+      // also EXCEED the batch key count, or every bucket is touched
+      // and the "upsert rewrites only touched buckets" bound
+      // degenerates to a full-table rewrite (measured: 20.5 s at 100×
+      // with nb=160 < batch=500 — all 160 buckets touched)
+      val nb = 16 * copies
+      val t0 = System.nanoTime()
+      KeyedTable.create(perDoc(docs), dir, "doc_id", numBuckets = nb)
+      val tc = (System.nanoTime() - t0) / 1e9
+      val batch = perDoc(Tables.documents(spark, sfDir)
+        .withColumn("doc_id", col("doc_id") + 999L * shift))
+      val t1 = System.nanoTime()
+      KeyedTable.upsert(spark, dir, batch, "doc_id", numBuckets = nb)
+      val tu = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"[scale]   substr_index create=$tc%.2f s upsert(fixed batch)=$tu%.2f s buckets=$nb")
+      KeyedTable.read(spark, dir).count()
+    }
     time("dsir_weights") {
       val w = graft.functions.TextDedup.withTokens(docs)
         .filter(size(col("w")) >= 2)
