@@ -393,6 +393,47 @@ object DataPipelineQueries7 {
         max(col("ratio")).as("max_ratio"))
   }
 
+  /** Overlapping token-window chunking — the retrieval/embedding prep
+    * step (size-32 windows at stride 24, 8-token overlap) that carries
+    * each chunk's doc back-pointer, position, and content digest so an
+    * embedding index can map hits back to spans. Pure stateless
+    * projection: one explode of the stride starts, a `slice` per
+    * window, no aggregate and NO shuffle anywhere — at 100 TB this is
+    * scan-speed. (`text_chunk_dedup` uses disjoint chunks for dedup;
+    * retrieval chunking overlaps so no query phrase falls across a
+    * boundary.) */
+  val textChunkWindows = sql("text_chunk_windows",
+    """WITH w AS (
+         SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       st AS (
+         SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w), 1), 24)) AS st
+         FROM w),
+       ch AS (
+         SELECT doc_id, (st - 1) // 24 AS chunk_id, st,
+           list_slice(w, st, least(st + 31, len(w))) AS cw
+         FROM st WHERE st <= len(w))
+       SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         CAST(st AS BIGINT) AS start_tok,
+         CAST(len(cw) AS BIGINT) AS n_tokens,
+         md5(array_to_string(cw, ' ')) AS sig
+       FROM ch""") { (s, d) =>
+    import graft.functions.TextDedup
+    TextDedup.withTokens(Tables.documents(s, d))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(1, size(w), 24)")).as("st"))
+      .select(col("doc_id"),
+        expr("CAST((st - 1) div 24 AS BIGINT)").as("chunk_id"),
+        col("st").cast("long").as("start_tok"),
+        expr("slice(w, st, 32)").as("cw"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("cw")).cast("long").as("n_tokens"),
+        md5(array_join(col("cw"), " ")).as("sig"))
+  }
+
   /** k-anonymity risk report — the release gate a dataset runs after
     * pseudonymization (`pseudonymize` swaps identifiers, but a row is
     * still re-identifiable when its QUASI-identifier combination is
@@ -430,5 +471,5 @@ object DataPipelineQueries7 {
   def all: Seq[QueryDef] =
     Seq(substrDedupSpans, substrDedupFunnel, substrDedupScrub,
       substrDedupCurve, substrIncrementalDedup, substrDedupClusters,
-      lmPerplexityBuckets, kanonRisk)
+      lmPerplexityBuckets, kanonRisk, textChunkWindows)
 }

@@ -53,6 +53,26 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowPositions non-ASCII fallback: multibyte text matches the " +
+      "naive reference and positions stay CHAR-indexed") {
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abcdeéüñ中日ß"
+    for (trial <- 1 to 10) {
+      val n = 40 + rnd.nextInt(200)
+      val text = (0 until n)
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(text.getBytes("UTF-8").length > text.length,
+        "fixture must actually exercise the non-ASCII path")
+      val k = 3 + rnd.nextInt(5)
+      val w = 2 + rnd.nextInt(7)
+      val got = SubstringDedup.winnowPositions(text, k, w)
+      assert(got.map(_._1).toSet === naiveWinnow(text, k, w),
+        s"trial $trial k=$k w=$w")
+      got.foreach { case (p, g) =>
+        assert(text.substring(p - 1, p - 1 + k) === g) }
+    }
+  }
+
   test("coverage: every full window of w grams contains an anchor") {
     val rnd = new scala.util.Random(7)
     val text = (0 until 500).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
