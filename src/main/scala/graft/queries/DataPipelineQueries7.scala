@@ -393,6 +393,63 @@ object DataPipelineQueries7 {
         max(col("ratio")).as("max_ratio"))
   }
 
+  /** Span-level exact-substring decontamination — the VERBATIM-leak
+    * report (every >= 30-char literal copy from the benchmark set is
+    * guaranteed a shared winnowing anchor; the GPT-3-appendix /
+    * Lee et al. exact-substring check, strictly stronger on literal
+    * quotes than the token 5-gram `decontaminate_overlap`): corpus
+    * anchors whose gram appears among the benchmark docs' (doc_id %
+    * 7 = 0) anchors mark leaked regions, merged to spans, reported as
+    * chars + floored basis points of the doc — the number that drives
+    * drop-vs-redact. The benchmark anchor-gram set is bounded by the
+    * eval suite (never the corpus), hence the broadcast semi-join; the
+    * corpus side is the linear anchor scan. */
+  val substrDecontaminate = sql("substr_decontaminate",
+    s"""${oracleCtesFor(K, W)},
+       bg AS (SELECT DISTINCT gram FROM anch WHERE doc_id % 7 = 0),
+       mm AS (
+         SELECT a.doc_id, a.pos FROM anch a
+         WHERE a.doc_id % 7 <> 0
+           AND a.gram IN (SELECT gram FROM bg)),
+       mi AS (
+         SELECT doc_id, pos, pos + ${K - 1} AS e,
+           CASE WHEN pos > coalesce(
+               max(pos + ${K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) + 1
+             THEN 1 ELSE 0 END AS ni
+         FROM mm),
+       mi2 AS (
+         SELECT doc_id, pos, e,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM mi),
+       ms AS (
+         SELECT doc_id, island, min(pos) AS s0, max(e) AS e0
+         FROM mi2 GROUP BY doc_id, island)
+       SELECT ms.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e0 - s0 + 1) AS BIGINT) AS leaked_chars,
+         CAST(sum(e0 - s0 + 1) * 10000 // max(length(d.text)) AS BIGINT)
+           AS leak_bp
+       FROM ms JOIN documents d ON d.doc_id = ms.doc_id
+       GROUP BY ms.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val anch = SubstringDedup.anchors(docs, k = K, w = W)
+      .localCheckpoint(true)
+    val bg = anch.filter(col("doc_id") % 7 === 0).select(col("g")).distinct()
+    val matched = anch.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(bg), Seq("g"), "leftsemi")
+    SubstringDedup.duplicatedSpans(matched, k = K)
+      .withColumn("len", col("span_end") - col("span_start") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("len")).as("leaked_chars"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("tl")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("leaked_chars"),
+        expr("CAST(leaked_chars * 10000 DIV tl AS BIGINT)").as("leak_bp"))
+  }
+
   /** Overlapping token-window chunking — the retrieval/embedding prep
     * step (size-32 windows at stride 24, 8-token overlap) that carries
     * each chunk's doc back-pointer, position, and content digest so an
@@ -471,5 +528,6 @@ object DataPipelineQueries7 {
   def all: Seq[QueryDef] =
     Seq(substrDedupSpans, substrDedupFunnel, substrDedupScrub,
       substrDedupCurve, substrIncrementalDedup, substrDedupClusters,
-      lmPerplexityBuckets, kanonRisk, textChunkWindows)
+      substrDecontaminate, lmPerplexityBuckets, kanonRisk,
+      textChunkWindows)
 }
