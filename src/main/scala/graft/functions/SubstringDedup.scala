@@ -191,7 +191,13 @@ object SubstringDedup {
     * the other allowed per-row lambda sites in PlanSpec).
     *
     * Returns (doc_id, text_scrubbed) for EVERY document — docs with
-    * no duplicated span pass through unchanged. */
+    * no duplicated span pass through unchanged.
+    *
+    * `spans` feeds TWO plan branches (the per-span pre-segments and
+    * the per-doc tail aggregate): pass it localCheckpointed when it
+    * derives from an expensive pipeline, as the `substr_dedup_scrub`
+    * check query does, or Spark recomputes the whole anchor chain per
+    * branch. */
   def scrub(df: DataFrame, spans: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("span_start"))
