@@ -109,6 +109,14 @@ object PlanAudit {
       "broadcast semi-join back); span merging is a per-doc window " +
       "(partitioned by doc_id, never global); the per-doc report is " +
       "one keyed aggregate."),
+    "text_chunk_windows" -> ("Retrieval chunking is a pure stateless " +
+      "projection: explode of the stride starts + a slice per window " +
+      "— ZERO exchanges in the plan, scan-speed at any corpus size."),
+    "substr_decontaminate" -> ("Verbatim-leak spans: the benchmark " +
+      "anchor-gram set (eval-suite-bounded) broadcasts into a " +
+      "semi-join over the linear anchor scan; span merge is the " +
+      "per-doc window; the only corpus-keyed exchange is the final " +
+      "per-doc aggregate."),
     "lm_perplexity_buckets" -> ("Tertile cut over the surprisal " +
       "scores: the global rank is Layout.globalRowNumber — range " +
       "repartition + per-partition sort + zipWithIndex, NO single-" +
