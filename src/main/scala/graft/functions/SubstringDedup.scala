@@ -118,6 +118,13 @@ object SubstringDedup {
       textCol: String = "text", k: Int = DefaultK,
       w: Int = DefaultW): DataFrame = {
     require(k >= 1 && w >= 1)
+    // fail fast on non-integral ids: a silent cast("long") would map
+    // string/UUID ids to null and collapse every document onto one key
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"anchors: id column '$idCol' must be an integral type, got " +
+        s"${idType.typeName}; hash or dense-rank non-numeric ids first")
     val sp = df.sparkSession
     import sp.implicits._
     val target = sp.sparkContext.defaultParallelism
@@ -156,22 +163,40 @@ object SubstringDedup {
     * gram-keyed equi join against the index relation plus a gram-keyed
     * window over BATCH anchors only: per-ingest cost tracks the batch,
     * never the corpus (the index is a materialized table between
-    * ingests — the anchor analogue of the LSH band index). */
+    * ingests — the anchor analogue of the LSH band index).
+    *
+    * `priorIngestGrams` (streaming use): grams already seen in EARLIER
+    * micro-batches of the SAME logical ingest. Anchors matching them
+    * (and not the corpus index) label `batch_dup` regardless of their
+    * within-batch rank, so splitting one ingest across micro-batches
+    * that arrive in (doc_id, pos) order produces labels identical to
+    * the one-batch run — the batch-split invariance the streaming
+    * wrapper relies on. Defaults to None (pure batch semantics). */
   def incrementalDedup(indexGrams: DataFrame, batchAnchors: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      priorIngestGrams: Option[DataFrame] = None): DataFrame = {
     val idx = indexGrams.select(col("g")).distinct()
       .withColumn("in_idx", lit(1))
     val byGram = Window.partitionBy(col("g"))
       .orderBy(col(idCol), col("pos"))
-    batchAnchors.join(idx, Seq("g"), "left")
+    val withPrior = priorIngestGrams match {
+      case Some(pg) =>
+        batchAnchors.join(
+          pg.select(col("g")).distinct().withColumn("in_prior", lit(1)),
+          Seq("g"), "left")
+      case None => batchAnchors.withColumn("in_prior", lit(null))
+    }
+    withPrior.join(idx, Seq("g"), "left")
       .withColumn("rn", row_number().over(byGram))
       .groupBy(col(idCol))
       .agg(
         sum(when(col("in_idx") === 1, 1L).otherwise(0L))
           .as("n_corpus_dup"),
-        sum(when(col("in_idx").isNull && col("rn") > 1, 1L).otherwise(0L))
+        sum(when(col("in_idx").isNull &&
+            (col("in_prior") === 1 || col("rn") > 1), 1L).otherwise(0L))
           .as("n_batch_dup"),
-        sum(when(col("in_idx").isNull && col("rn") === 1, 1L).otherwise(0L))
+        sum(when(col("in_idx").isNull && col("in_prior").isNull &&
+            col("rn") === 1, 1L).otherwise(0L))
           .as("n_new"))
   }
 
@@ -197,7 +222,16 @@ object SubstringDedup {
     * the per-doc tail aggregate): pass it localCheckpointed when it
     * derives from an expensive pipeline, as the `substr_dedup_scrub`
     * check query does, or Spark recomputes the whole anchor chain per
-    * branch. */
+    * branch.
+    *
+    * PRECONDITION: `spans` must be per-document NON-OVERLAPPING and
+    * merged (adjacent/overlapping intervals coalesced), exactly what
+    * `duplicatedSpans` produces — the lag-based segment reconstruction
+    * derives each kept segment from the PREVIOUS span's end, so raw
+    * overlapping spans would emit overlapping kept segments and
+    * duplicate characters in the output. Callers with raw intervals
+    * must run them through `duplicatedSpans`-style islands merging
+    * first. */
   def scrub(df: DataFrame, spans: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("span_start"))

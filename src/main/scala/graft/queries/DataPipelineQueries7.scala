@@ -376,9 +376,13 @@ object DataPipelineQueries7 {
          max(ratio) AS max_ratio
        FROM rn GROUP BY 1""") { (s, d) =>
     import graft.functions.Layout
+    // checkpointed: the scored relation feeds BOTH the global-rank path
+    // and the corpus-count aggregate — without it the full bigram-LM
+    // scoring pipeline recomputes per consumer
     val scored = DataPipelineQueries3.textLmSurprisal.fn(s, d)
       .withColumn("ratio",
         col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+      .localCheckpoint(true)
     val ranked = Layout.globalRowNumber(scored, col("ratio"), col("doc_id"))
     ranked
       .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))

@@ -420,9 +420,16 @@ object StreamingJobs {
     * pipeline keeps materialized between ingests — the substring
     * analogue of the LSH band index `streamingIncrementalDedup`
     * holds). Results land via the idempotent batch_id writer, so a
-    * retried micro-batch overwrites its own partition; streaming ==
-    * batch by construction, and the oracle is
-    * `substr_incremental_dedup`'s SQL verbatim. */
+    * retried micro-batch overwrites its own partition.
+    *
+    * Batch-split invariance: each processed micro-batch folds its
+    * anchor grams into a `priorIngestGrams` relation that later
+    * micro-batches label against (`batch_dup`, not `new`), so the
+    * answer matches the one-shot batch operator under ANY split of
+    * the ingest into micro-batches that arrives in (doc_id, pos)
+    * order — the file source here delivers files in order, and the
+    * single-file case degenerates to the pure batch path. The oracle
+    * is `substr_incremental_dedup`'s SQL verbatim. */
   def streamingSubstrDedup(spark: SparkSession, sfDir: String,
       outDir: String): DataFrame = {
     import graft.functions.SubstringDedup
@@ -436,11 +443,21 @@ object StreamingJobs {
     val writer = idempotentBatchWriter(spark, outDir)
     val qname = "graft_stream_substr_dedup"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    // grams of already-processed micro-batches of this ingest; foreachBatch
+    // runs sequentially, so the var swap is single-threaded by contract
+    var priorGrams: Option[DataFrame] = None
     val q = docs.where(isBatch).writeStream.queryName(qname)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val batchAnchors = SubstringDedup.anchors(batch)
+          .localCheckpoint(true)
         writer(SubstringDedup.incrementalDedup(
           indexGrams = idxGrams,
-          batchAnchors = SubstringDedup.anchors(batch)), id)
+          batchAnchors = batchAnchors,
+          priorIngestGrams = priorGrams), id)
+        val bg = batchAnchors.select(col("g")).distinct()
+        priorGrams = Some(priorGrams
+          .map(_.unionByName(bg).distinct().localCheckpoint(true))
+          .getOrElse(bg.localCheckpoint(true)))
       }
       .trigger(Trigger.AvailableNow()).start()
     try { q.processAllAvailable() } finally { q.stop() }

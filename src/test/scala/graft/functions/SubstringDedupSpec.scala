@@ -207,6 +207,45 @@ class SubstringDedupSpec extends AnyFunSuite {
       "untouched doc is all-new")
   }
 
+  test("incrementalDedup with priorIngestGrams is batch-split-invariant: " +
+      "two sequential sub-batches == the one-shot run") {
+    val r1 = new scala.util.Random(303)
+    val s1 = (0 until 40).map(_ => ('P' + r1.nextInt(4)).toChar).mkString
+    val s2 = (0 until 40).map(_ => ('T' + r1.nextInt(4)).toChar).mkString
+    val docs = corpus(
+      1L -> (filler(0, 60) + s1 + filler(1, 60)),                // index
+      4L -> (filler(2, 60) + s1 + filler(3, 40) + s2 + filler(4, 40)),
+      8L -> (filler(5, 60) + s2 + filler(6, 60)),
+      12L -> filler(7, 120))
+    val isBatch = col("doc_id") % 4 === 0
+    val idx = SubstringDedup.anchors(docs.where(!isBatch))
+      .select(col("g")).distinct()
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val oneShot = report(SubstringDedup.incrementalDedup(
+      indexGrams = idx,
+      batchAnchors = SubstringDedup.anchors(docs.where(isBatch))))
+    // split the ingest in (doc_id) order: {4} then {8, 12}
+    val a1 = SubstringDedup.anchors(docs.where(col("doc_id") === 4))
+    val a2 = SubstringDedup.anchors(docs.where(col("doc_id").isin(8, 12)))
+    val first = report(SubstringDedup.incrementalDedup(idx, a1))
+    val second = report(SubstringDedup.incrementalDedup(idx, a2,
+      priorIngestGrams = Some(a1.select(col("g")).distinct())))
+    assert(first ++ second === oneShot,
+      "micro-batch split labels must equal the one-shot batch labels")
+  }
+
+  test("anchors rejects a non-integral id column instead of silently " +
+      "casting to null") {
+    import spark.implicits._
+    val df = Seq(("a", "x" * 60), ("b", "y" * 60)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SubstringDedup.anchors(df)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("within-document repetition counts as duplicated") {
     val k = 20; val w = 11
     val rep = (0 until (w + k - 1)).map(i => ('Q' + i % 3).toChar).mkString
