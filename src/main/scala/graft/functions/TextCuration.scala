@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The text-curation CAPSTONE: one per-document keep/drop/redact
+  * manifest composing every text tier this library ships — exact
+  * dedup (keep-first), MinHash+LSH near-dup (verified Jaccard),
+  * winnowing exact-substring spans, 5-gram benchmark decontamination,
+  * the C4/Gopher-style quality rule chain, and the pocket-perceptron
+  * learned quality classifier — into the single decision relation a
+  * training-data pipeline ships to its sampler, with a named drop
+  * reason per document (the chained-job pattern of the reference's
+  * example/.../entitycount/ChainedMapReduceJob.java, re-expressed as
+  * one composed Catalyst plan).
+  *
+  * Decision policy, first matching rule wins (priority order is the
+  * contract — each reason names the FIRST gate the doc failed):
+  *   1. benchmark_member  — the doc IS eval-suite material (drop)
+  *   2. exact_dup         — non-first holder of its content hash (drop)
+  *   3. near_dup          — verified Jaccard >= 0.8 partner with a
+  *                          smaller id (pairwise keep-first) (drop)
+  *   4. contaminated      — >= `contaminatedBp` basis points of its
+  *                          distinct 5-grams hit the benchmark (drop)
+  *   5. low_quality       — fails the rule chain (min tokens, mean
+  *                          token length band, stopword presence) (drop)
+  *   6. classifier_reject — pocket-perceptron margin <= 0 (drop)
+  *   7. dup_spans         — survives every drop gate but carries
+  *                          duplicated substring spans or sub-threshold
+  *                          contamination -> scrub, keep rest (redact)
+  *   8. clean             — keep verbatim (keep)
+  *
+  * Scale contract: each tier contributes exactly its own keyed
+  * exchange — content-hash groupBy (exact), band-signature join + by-id
+  * verify (LSH, candidate-bounded), ONE gram-keyed exchange
+  * (winnowing), a broadcast semi-type join on the bounded benchmark
+  * gram set (decontamination), a stateless projection (quality rules),
+  * and per-round broadcast weight joins over doc-keyed aggregates
+  * (classifier). The tiers then meet in per-doc-keyed left joins — no
+  * cross product, no corpus-sized broadcast, nothing quadratic. Every
+  * signal is integer (margins, basis points, counts), so a SQL oracle
+  * replays the whole manifest including the decision column.
+  */
+object TextCuration {
+
+  /** Tunable policy knobs; defaults mirror the standalone tier queries
+    * (`quality_funnel`, `decontaminate_overlap`, `quality_classifier`)
+    * so the manifest is exactly their composition. */
+  final case class Config(
+      stopwords: Seq[String],
+      minTokens: Int = 20,
+      mwlLoCc: Int = 300,
+      mwlHiCc: Int = 799,
+      contaminatedBp: Long = 1000L,
+      classifierRounds: Int = 8,
+      benchmarkMod: Long = 7L)
+
+  /** Build the manifest over `docs` (doc_id, text, lang, n_chars) with
+    * the dedup family's shared distinct-shingle relation `sh`
+    * (doc_id, s) — pass the suite's memoized one so the LSH tier reuses
+    * the same cached scan as the standalone dedup queries. */
+  def manifest(spark: SparkSession, docs: DataFrame, sh: DataFrame,
+      cfg: Config): DataFrame = {
+    // tier 1: exact keep-first — rank within content-hash groups
+    val ex = docs.select(col("doc_id"),
+      when(row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))) > 1,
+        1).otherwise(0).as("exact_dup"))
+
+    // tier 2: verified near-dup pairs; pairwise keep-first drops d2
+    // (always the larger id), so "has a smaller verified partner" = drop
+    val nd = TextDedup.lshVerifiedPairs(sh, numHashes = 12, bands = 4,
+        num = 4, den = 5)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(1))
+
+    // tier 3: winnowing duplicated-span coverage (chars of each doc
+    // inside a verbatim-repeated region anywhere in the corpus)
+    val anch = SubstringDedup.anchors(docs).localCheckpoint(true)
+    val sub = SubstringDedup.duplicatedSpans(
+        SubstringDedup.duplicatedAnchors(anch))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_chars"))
+
+    // tier 4: benchmark 5-gram contamination (distinct per-doc grams;
+    // the benchmark side is bounded by the eval suite -> broadcast)
+    val g5 = TextDedup.shingles(docs, n = 5).localCheckpoint(true)
+    val bench = g5.filter(col("doc_id") % cfg.benchmarkMod === 0)
+      .select(col("s").as("bs")).distinct()
+    val cont = g5.filter(col("doc_id") % cfg.benchmarkMod =!= 0)
+      .join(broadcast(bench), col("s") === col("bs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(count(bs) * 10000 DIV count(1) AS BIGINT)")
+        .as("overlap_bp"))
+
+    // tier 5: quality rule chain (stateless projection over tokens)
+    val q = TextDedup.withTokens(docs).select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      QualityFilters.meanTokenLenCentichars(col("w")).as("mwl_cc"),
+      TextStats.hasAnyStopword("w", cfg.stopwords).as("has_stop"))
+
+    // tier 6: learned classifier (same features, label, and rounds as
+    // `quality_classifier`; docs with < 2 tokens carry no features and
+    // are out of classifier scope — the min-tokens rule gates them
+    // before the margin is ever consulted)
+    val feats = classifierFeatures(docs).localCheckpoint(true)
+    val weights = LinearClassifier.trainPocketPerceptron(spark, feats,
+      rounds = cfg.classifierRounds)
+    val margins = LinearClassifier.score(spark, feats, weights)
+      .select(col("doc_id"), col("margin"))
+
+    // assemble: per-doc-keyed left joins, integer signals, one CASE
+    val m = docs.select(col("doc_id"))
+      .join(ex, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .join(sub, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(q, Seq("doc_id"), "left")
+      .join(margins, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("exact_dup").cast("int").as("exact_dup"),
+        coalesce(col("near_dup"), lit(0)).cast("int").as("near_dup"),
+        coalesce(col("dup_chars"), lit(0L)).cast("long").as("dup_chars"),
+        coalesce(col("overlap_bp"), lit(0L)).cast("long").as("overlap_bp"),
+        col("n_tokens"),
+        when(col("n_tokens") >= cfg.minTokens &&
+          col("mwl_cc").between(cfg.mwlLoCc, cfg.mwlHiCc) &&
+          col("has_stop"), 1).otherwise(0).as("quality_pass"),
+        coalesce(col("margin"), lit(0L)).cast("long").as("margin"))
+    val reason =
+      when(col("doc_id") % cfg.benchmarkMod === 0, "benchmark_member")
+        .when(col("exact_dup") === 1, "exact_dup")
+        .when(col("near_dup") === 1, "near_dup")
+        .when(col("overlap_bp") >= cfg.contaminatedBp, "contaminated")
+        .when(col("quality_pass") === 0, "low_quality")
+        .when(col("margin") <= 0, "classifier_reject")
+        .when(col("dup_chars") > 0 || col("overlap_bp") > 0, "dup_spans")
+        .otherwise("clean")
+    m.withColumn("reason", reason)
+      .withColumn("decision",
+        when(col("reason") === "clean", "keep")
+          .when(col("reason") === "dup_spans", "redact")
+          .otherwise("drop"))
+  }
+
+  /** The `quality_classifier` feature relation: md5-hashed bigram
+    * bucket counts + the constant bias feature, labeled by the length
+    * band (see DataPipelineQueries3.qualityClassifier for why that is
+    * the one learnable signal in this synthetic corpus — the operator
+    * itself is label-agnostic). */
+  def classifierFeatures(docs: DataFrame): DataFrame = {
+    val w = TextDedup.withTokens(docs).filter(size(col("w")) >= 2)
+    val y = when(col("n_chars") >= 300, 1).otherwise(-1)
+    val base = w.select(col("doc_id"), y.as("y"),
+        col("w"), explode(expr("sequence(0, size(w) - 2)")).as("i"))
+      .select(col("doc_id"), col("y"),
+        substring(md5(concat(expr("w[i]"), lit(" "), expr("w[i+1]"))),
+          1, 2).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val bias = w.select(col("doc_id"), y.as("y"),
+      lit("__bias__").as("b"), lit(1L).as("cnt"))
+    base.unionByName(bias)
+  }
+}

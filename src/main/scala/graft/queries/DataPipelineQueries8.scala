@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{SubstringDedup, TextCuration}
+
+/** Round-9 pipeline additions. The headliner is the text-curation
+  * CAPSTONE manifest — the query the text side of this library exists
+  * for: every tier built across rounds (exact / MinHash / substring
+  * dedup, 5-gram decontamination, the quality rule chain, the learned
+  * classifier) composed into ONE per-document keep/drop/redact decision
+  * relation with a named reason per document. The oracle replays every
+  * tier AND the decision column, so a green row proves the operators
+  * compose, not just that each works alone.
+  */
+object DataPipelineQueries8 {
+  import QueryDef._
+
+  private val K = SubstringDedup.DefaultK
+  private val W = SubstringDedup.DefaultW
+
+  private def stopList: String =
+    DataPipelineQueries2.stopAll.map(w => s"'$w'").mkString(", ")
+
+  /** The full manifest oracle: each CTE block is the proven oracle of
+    * its standalone tier query (`dedup_keep_first`'s rank,
+    * `dedup_minhash_lsh`'s band+verify chain, `substr_dedup_spans`'
+    * winnowing CTEs, `decontaminate_overlap`'s 5-gram join,
+    * `quality_funnel`'s rules, `quality_classifier`'s unrolled pocket
+    * perceptron), then one per-doc join + the priority CASE. */
+  private def manifestOracle: String =
+    s"""WITH w AS (
+         SELECT doc_id, lang, n_chars, text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       ${DataPipelineQueries7.oracleCtesFor(K, W).stripPrefix("WITH ")},
+       ex AS (
+         SELECT doc_id,
+           CASE WHEN row_number() OVER (PARTITION BY md5(text)
+             ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS exact_dup
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' '
+             || w[CAST(i AS INT)+2] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-1, 1)))
+           AS i) t),
+       hs AS (
+         SELECT doc_id, i,
+           min(md5(concat(CAST(i AS VARCHAR), ':', s))) AS mh
+         FROM sh, LATERAL (SELECT unnest(range(0, 12)) AS i) t
+         GROUP BY doc_id, i),
+       bands AS (
+         SELECT doc_id, i // 3 AS band,
+           md5(string_agg(mh, '|' ORDER BY i)) AS sig
+         FROM hs GROUP BY doc_id, band),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       common AS (
+         SELECT c.d1, c.d2, count(*) AS common
+         FROM cand c JOIN sh a ON a.doc_id = c.d1
+                     JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+         GROUP BY c.d1, c.d2),
+       ndup AS (
+         SELECT DISTINCT m.d2 AS doc_id FROM common m
+         JOIN sz x ON x.doc_id = m.d1 JOIN sz y ON y.doc_id = m.d2
+         WHERE 5 * m.common >= 4 * (x.n + y.n - m.common)),
+       sub AS (
+         SELECT doc_id, sum(span_end - span_start + 1) AS dup_chars
+         FROM spans GROUP BY doc_id),
+       g5 AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' ||
+           w[CAST(i AS INT)+2] || ' ' || w[CAST(i AS INT)+3] || ' ' ||
+           w[CAST(i AS INT)+4] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-3, 1)))
+           AS i) t
+         WHERE len(w) >= 5),
+       b5 AS (SELECT DISTINCT s FROM g5 WHERE doc_id % 7 = 0),
+       cont AS (
+         SELECT g.doc_id,
+           CAST(count(b5.s) * 10000 // count(*) AS BIGINT) AS overlap_bp
+         FROM g5 g LEFT JOIN b5 ON b5.s = g.s
+         WHERE g.doc_id % 7 <> 0
+         GROUP BY g.doc_id),
+       q AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           floor(length(array_to_string(w, '')) * 100.0
+             / greatest(len(w), 1)) AS mwl_cc,
+           len(list_filter(w, x -> x IN ($stopList))) >= 1 AS has_stop
+         FROM w),
+       f0 AS MATERIALIZED (
+         SELECT doc_id, n_chars,
+           substr(md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]),
+             1, 2) AS b
+         FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+         WHERE len(w) >= 2),
+       f AS MATERIALIZED (
+         SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
+           b, CAST(count(*) AS BIGINT) AS cnt
+         FROM f0 GROUP BY 1, 2, 3
+         UNION ALL
+         SELECT DISTINCT doc_id,
+           CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END,
+           '__bias__', CAST(1 AS BIGINT)
+         FROM f0)
+       ${graft.functions.LinearClassifier.sqlUnrolled(8)},
+       base AS (
+         SELECT d.doc_id,
+           CAST(ex.exact_dup AS INT) AS exact_dup,
+           CAST(CASE WHEN ndup.doc_id IS NOT NULL THEN 1 ELSE 0 END
+             AS INT) AS near_dup,
+           CAST(coalesce(sub.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(coalesce(cont.overlap_bp, 0) AS BIGINT) AS overlap_bp,
+           q.n_tokens,
+           CAST(CASE WHEN q.n_tokens >= 20
+                AND q.mwl_cc BETWEEN 300 AND 799
+                AND q.has_stop THEN 1 ELSE 0 END AS INT) AS quality_pass,
+           CAST(coalesce(mf.margin, 0) AS BIGINT) AS margin
+         FROM documents d
+         JOIN ex ON ex.doc_id = d.doc_id
+         LEFT JOIN ndup ON ndup.doc_id = d.doc_id
+         LEFT JOIN sub ON sub.doc_id = d.doc_id
+         LEFT JOIN cont ON cont.doc_id = d.doc_id
+         JOIN q ON q.doc_id = d.doc_id
+         LEFT JOIN mf ON mf.doc_id = d.doc_id),
+       lab AS (
+         SELECT *, CASE
+           WHEN doc_id % 7 = 0 THEN 'benchmark_member'
+           WHEN exact_dup = 1 THEN 'exact_dup'
+           WHEN near_dup = 1 THEN 'near_dup'
+           WHEN overlap_bp >= 1000 THEN 'contaminated'
+           WHEN quality_pass = 0 THEN 'low_quality'
+           WHEN margin <= 0 THEN 'classifier_reject'
+           WHEN dup_chars > 0 OR overlap_bp > 0 THEN 'dup_spans'
+           ELSE 'clean' END AS reason
+         FROM base)
+       SELECT doc_id, exact_dup, near_dup, dup_chars, overlap_bp,
+         n_tokens, quality_pass, margin, reason,
+         CASE WHEN reason = 'clean' THEN 'keep'
+              WHEN reason = 'dup_spans' THEN 'redact'
+              ELSE 'drop' END AS decision
+       FROM lab"""
+
+  /** The capstone: see TextCuration.manifest for the policy and the
+    * scale contract. Reuses the dedup family's memoized shingle
+    * relation so the LSH tier shares its scan with the standalone
+    * dedup queries. */
+  val textCurationManifest = sql("text_curation_manifest",
+    manifestOracle) { (s, d) =>
+    TextCuration.manifest(s, Tables.documents(s, d),
+      DataPipelineQueries.checkpointedShingles(s, d),
+      TextCuration.Config(stopwords = DataPipelineQueries2.stopAll))
+  }
+
+  def all: Seq[QueryDef] = Seq(textCurationManifest)
+}

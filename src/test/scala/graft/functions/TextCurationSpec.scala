@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.mr.{CounterNames, Counters, MapReduceSpecification, Mapper,
+  Pipeline, Reducer}
+
+/** The capstone manifest's composition contract: the decision column
+  * partitions the corpus, reasons map to decisions per the policy
+  * table, the priority order is what the scaladoc promises, and the
+  * per-reason NAMED COUNTERS ride the MR counter machinery
+  * (Pipeline.runWithResult) in agreement with the relational
+  * aggregation — the chained-job accounting the reference's
+  * ChainedMapReduceJob surfaces through its counters map. */
+class TextCurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val manifest = {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfDir)
+    val sh = TextDedup.shingles(docs)
+    TextCuration.manifest(spark, docs, sh,
+      TextCuration.Config(stopwords = Seq(
+        "the", "a", "of", "and", "to", "in",
+        "el", "la", "los", "de", "y", "que",
+        "der", "die", "das", "und", "ein", "ist",
+        "le", "les", "des", "et", "un", "une")))
+      .localCheckpoint(true)
+  }
+
+  test("manifest covers every document exactly once with a valid " +
+      "(decision, reason) pair") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfDir)
+    assert(manifest.count() === docs.count())
+    assert(manifest.select(col("doc_id")).distinct().count() === docs.count())
+    val pairs = manifest.select(col("decision"), col("reason"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val dropReasons = Set("benchmark_member", "exact_dup", "near_dup",
+      "contaminated", "low_quality", "classifier_reject")
+    pairs.foreach {
+      case ("keep", r)   => assert(r === "clean")
+      case ("redact", r) => assert(r === "dup_spans")
+      case ("drop", r)   => assert(dropReasons.contains(r), r)
+      case (d, r)        => fail(s"unknown decision $d (reason $r)")
+    }
+  }
+
+  test("priority order: a reason implies every higher-priority gate " +
+      "passed (signals are on the row, so this is checkable per doc)") {
+    manifest.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val exact = r.getAs[Int]("exact_dup")
+      val near = r.getAs[Int]("near_dup")
+      val dupChars = r.getAs[Long]("dup_chars")
+      val obp = r.getAs[Long]("overlap_bp")
+      val qp = r.getAs[Int]("quality_pass")
+      val margin = r.getAs[Long]("margin")
+      val expected =
+        if (id % 7 == 0) "benchmark_member"
+        else if (exact == 1) "exact_dup"
+        else if (near == 1) "near_dup"
+        else if (obp >= 1000) "contaminated"
+        else if (qp == 0) "low_quality"
+        else if (margin <= 0) "classifier_reject"
+        else if (dupChars > 0 || obp > 0) "dup_spans"
+        else "clean"
+      assert(r.getAs[String]("reason") === expected, s"doc $id")
+    }
+  }
+
+  test("per-reason counters through Pipeline.runWithResult agree with " +
+      "the relational aggregation; mapper-calls == corpus size") {
+    import spark.implicits._
+    val rows = manifest
+      .select(col("doc_id"), col("reason")).as[(Long, String)]
+    // named per-reason counters — the ChainedMapReduceJob accounting:
+    // the mapper closes over its own Counters (accumulators registered
+    // on the driver, updated exactly-once per successful task)
+    val counters = new Counters(spark)
+    // accumulators must be registered on the DRIVER before the closure
+    // ships (an executor-side counter() call has no SparkContext):
+    // pre-declare one named counter per policy reason
+    Seq("benchmark_member", "exact_dup", "near_dup", "contaminated",
+      "low_quality", "classifier_reject", "dup_spans", "clean")
+      .foreach(r => counters.counter("reason:" + r))
+    val spec = MapReduceSpecification[(Long, String), String, Long,
+        (String, Long)](
+      jobName = "curation-reason-count",
+      input = rows,
+      mapper = new Mapper[(Long, String), String, Long] {
+        def map(in: (Long, String), emit: (String, Long) => Unit): Unit = {
+          counters.counter("reason:" + in._2).add(1L)
+          emit(in._2, 1L)
+        }
+      },
+      reducer = new Reducer[String, Long, (String, Long)] {
+        def reduce(k: String, vs: Iterator[Long],
+            emit: ((String, Long)) => Unit): Unit = emit((k, vs.sum))
+      })
+    val res = Pipeline.runWithResult(spec)
+    val fromJob = res.output.collect().toMap
+    val fromSql = manifest.groupBy(col("reason")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromJob === fromSql)
+    val fromCounters = counters.snapshot.collect {
+      case (k, v) if k.startsWith("reason:") && v > 0 =>
+        k.stripPrefix("reason:") -> v
+    }
+    assert(fromCounters === fromSql)
+    assert(res.counters(CounterNames.MapperCalls) === manifest.count())
+    assert(res.progress.stagesRunning === 0L)
+  }
+}

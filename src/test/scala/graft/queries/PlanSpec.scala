@@ -196,6 +196,26 @@ class PlanSpec extends AnyFunSuite {
       "a global aggregate needs no hash exchange — partials meet at one partition")
   }
 
+  test("text_curation_manifest: tiers meet in keyed joins — no cartesian, " +
+      "bounded relations broadcast, shuffle count stays pinned") {
+    val p = plan("text_curation_manifest")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition") || !p.contains("Window"),
+      "no corpus-scale single-partition window")
+    // the benchmark 5-gram set and the classifier weight relation are
+    // bounded (eval suite / bucket space) and must broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "bench grams + classifier weights must broadcast")
+    // shuffle-count pin: each tier contributes its own keyed
+    // exchange(s) plus the per-doc assembly joins; the composition must
+    // not silently grow extra corpus shuffles. 30 is the measured shape
+    // with headroom of ~20% — a jump past it means a tier lost its
+    // broadcast or a join lost its keys.
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 30,
+      s"manifest plan grew to $exchanges exchanges — a tier regressed")
+  }
+
   test("join_q10: filters reach both fact scans, nation broadcasts, top-k avoids global sort") {
     val p = plan("join_q10")
     assert(p.contains("EqualTo(l_returnflag,R)"),
