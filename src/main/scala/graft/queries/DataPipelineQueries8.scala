@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.{SubstringDedup, TextCuration}
+import graft.functions.{SubstringDedup, TextCuration, TextDedup, UnigramLm}
 
 /** Round-9 pipeline additions. The headliner is the text-curation
   * CAPSTONE manifest — the query the text side of this library exists
@@ -156,5 +156,64 @@ object DataPipelineQueries8 {
       TextCuration.Config(stopwords = DataPipelineQueries2.stopAll))
   }
 
-  def all: Seq[QueryDef] = Seq(textCurationManifest)
+  /** Unigram-LM (SentencePiece-style) subword segmentation — the
+    * Viterbi counterpart of `bpe_tokenize` (see
+    * functions/UnigramLm.scala for the algorithm and the engine-exact
+    * integer-bits surrogate). Segmentation runs once per word TYPE
+    * with the bounded bits table broadcast; the corpus sees ONE join
+    * keyed on the word plus the per-source aggregate — identical plan
+    * shape to `bpe_tokenize`. The Viterbi DP is not SQL-expressible,
+    * so the oracle is a verify-time VALUES literal from the
+    * independent driver-side replay ([[UnigramLm.refVocabBits]] —
+    * pure-Scala substring counting with the same top-V tie-break);
+    * UnigramLmSpec pins viterbi against exhaustive enumeration and
+    * the replay against the distributed vocab. */
+  val unigramTokenize = replayed("unigram_tokenize") { (s, d) =>
+    import s.implicits._
+    val docs = TextDedup.withTokens(Tables.documents(s, d))
+    val words = docs.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds substring counting AND segmentation
+    // vocab passes run on the compact word-type relation: few
+    // partitions (task overhead dominates — the Bpe.trainMerges rule)
+    val bits = UnigramLm.bitsTable(
+      DataPipelineQueries.withFewPartitions(s, 4) {
+        UnigramLm.vocab(s, words)
+      })
+    val bc = s.sparkContext.broadcast(bits)
+    val typePieces = words.select(col("word")).as[String]
+      .map { w =>
+        val (np, b) = UnigramLm.viterbi(w, bc.value)
+        (w, np.toLong, b)
+      }
+      .toDF("word", "n_pieces", "w_bits")
+    docs.select(col("source"), explode(col("w")).as("word"))
+      .join(typePieces, "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("w_bits")).as("total_bits"))
+  } { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("source"), col("text"))
+      .collect().toSeq
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ").toSeq.filter(_.nonEmpty)))
+    val wordCounts = docs.iterator.flatMap(_._2).toSeq
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    val bits = UnigramLm.refVocabBits(wordCounts)
+    val memo = scala.collection.mutable.HashMap[String, (Int, Long)]()
+    def seg(w: String): (Int, Long) =
+      memo.getOrElseUpdate(w, UnigramLm.viterbi(w, bits))
+    val rows = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
+      val ws = rs.flatMap(_._2)
+      val np = ws.iterator.map(w => seg(w)._1.toLong).sum
+      val tb = ws.iterator.map(w => seg(w)._2).sum
+      s"(${sqlLit(src)}, ${ws.size}, $np, $tb)"
+    }.mkString(", ")
+    s"""SELECT s AS "source", CAST(nw AS BIGINT) AS n_words,
+          CAST(np AS BIGINT) AS n_pieces, CAST(tb AS BIGINT) AS total_bits
+        FROM (VALUES $rows) AS t(s, nw, np, tb)"""
+  }
+
+  def all: Seq[QueryDef] = Seq(textCurationManifest, unigramTokenize)
 }
