@@ -1,0 +1,457 @@
+package graft.multimodal
+
+/** REAL sample-level FLAC decode — the last pure-integer public-spec
+  * audio codec a bare JVM can decode honestly (RFC 9639: constant /
+  * verbatim / fixed-predictor subframes with Rice-coded residuals are
+  * all integer arithmetic; no psychoacoustics, no float transforms —
+  * unlike MP3/AAC, whose sample decode stays a documented non-goal).
+  *
+  * Decoder scope (strict, like every parser in [[Multimodal]]):
+  * mono 16-bit streams; CONSTANT, VERBATIM, and FIXED (order 0..4)
+  * subframes; Rice methods 0 (4-bit params) and 1 (5-bit params) with
+  * any partition order; wasted-bits shifts; UTF-8-coded frame numbers;
+  * CRC-8 header and CRC-16 frame checksums VERIFIED. Anything outside
+  * that envelope — LPC subframes, stereo decorrelation, an escaped
+  * Rice partition, a checksum mismatch, a hostile length — declines
+  * the clip (quarantine routing, not silent truncation).
+  *
+  * The fixture synthesizer emits spec-layout streams whose frame
+  * headers, Rice partitions, and checksums are real: a nibble-level
+  * bug in either the muxer or the decoder breaks the round trip, and
+  * the verify-time oracle replays the generating FORMULAS instead of
+  * the bytes (the `audio_adpcm_stats` pattern), so container packing
+  * and decode are checked against spec arithmetic, not each other.
+  *
+  * Reference: the library this engine re-expresses has no audio
+  * anything (closest: blob-store pass-through,
+  * python/src/mapreduce/input_readers.py:660-724) — this module exists
+  * for the multimodal north star. Linear per clip, shuffle-free.
+  */
+object Flac {
+
+  // ---- checksums (public spec polynomials) -----------------------------
+
+  /** CRC-8, poly 0x07, init 0 — FLAC frame-header checksum. */
+  def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff)
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+              else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly 0x8005, init 0 — FLAC whole-frame checksum. */
+  def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ---- bit-level IO (MSB-first, as the spec reads) ---------------------
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nBits = 0
+    def writeBits(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >>> k) & 1L).toInt
+        nBits += 1
+        if (nBits == 8) { buf += cur.toByte; cur = 0; nBits = 0 }
+        k -= 1
+      }
+    }
+    /** Spec unary: q zero bits then a one bit. */
+    def writeUnary(q: Int): Unit = { writeBits(0L, q); writeBits(1L, 1) }
+    def alignByte(): Unit = if (nBits != 0) writeBits(0L, 8 - nBits)
+    def size: Int = buf.size
+    def toBytes: Array[Byte] = { alignByte(); buf.toArray }
+    def byteAt(i: Int): Byte = buf(i)
+  }
+
+  private final class BitReader(b: Array[Byte]) {
+    private var pos = 0 // absolute bit position
+    def bytePos: Int = pos >>> 3
+    def bitAligned: Boolean = (pos & 7) == 0
+    def seekByte(byteOff: Int): Unit = pos = byteOff << 3
+    def remainingBits: Int = (b.length << 3) - pos
+    def readBits(n: Int): Long = {
+      if (n > remainingBits) throw new IllegalStateException("EOF")
+      var v = 0L
+      var k = 0
+      while (k < n) {
+        val byte = b(pos >>> 3) & 0xff
+        val bit = (byte >>> (7 - (pos & 7))) & 1
+        v = (v << 1) | bit
+        pos += 1
+        k += 1
+      }
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val v = readBits(n)
+      (v << (64 - n) >> (64 - n)).toInt // sign-extend
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBits(1) == 0L) {
+        q += 1
+        if (q > (1 << 20)) throw new IllegalStateException("unary runaway")
+      }
+      q
+    }
+    def alignByte(): Unit = if ((pos & 7) != 0) pos = (pos | 7) + 1
+  }
+
+  // ---- decoder ---------------------------------------------------------
+
+  private def zigzagDecode(u: Long): Int =
+    if ((u & 1L) == 0L) (u >>> 1).toInt else (-(u >>> 1) - 1).toInt
+
+  /** Fixed-predictor recurrences, order 0..4 (public spec). */
+  @inline private def fixedPredict(order: Int, s: Array[Int], i: Int): Int =
+    order match {
+      case 0 => 0
+      case 1 => s(i - 1)
+      case 2 => 2 * s(i - 1) - s(i - 2)
+      case 3 => 3 * s(i - 1) - 3 * s(i - 2) + s(i - 3)
+      case 4 => 4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4)
+    }
+
+  /** UTF-8-style coded number (frame header; spec extends UTF-8 to 36
+    * bits). Returns -1 on malformed coding. */
+  private def readCodedNumber(r: BitReader): Long = {
+    val b0 = r.readBits(8).toInt
+    if ((b0 & 0x80) == 0) return b0.toLong
+    var nCont = 0
+    var mask = 0x40
+    while ((b0 & mask) != 0 && nCont < 7) { nCont += 1; mask >>= 1 }
+    if (nCont == 0 || nCont == 7) return -1L
+    var v = (b0 & (mask - 1)).toLong
+    var i = 0
+    while (i < nCont) {
+      val c = r.readBits(8).toInt
+      if ((c & 0xc0) != 0x80) return -1L
+      v = (v << 6) | (c & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  /** Decode a whole FLAC stream to the same integer fold as
+    * [[Multimodal.decodePcm]]: (channels=1, rate, n, peak, sumAbs,
+    * sumSq, zeroCrossings). None = decline (quarantine). */
+  def decodeFlac(b: Array[Byte]): Option[Multimodal.PcmStats] =
+    try {
+      if (b.length < 42 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
+        b(3) != 'C') return None
+      // metadata blocks: need STREAMINFO (must be first per spec)
+      var off = 4
+      var last = false
+      var rate = -1
+      var bps = -1
+      var channels = -1
+      var first = true
+      while (!last) {
+        if (off + 4 > b.length) return None
+        val h = b(off) & 0xff
+        last = (h & 0x80) != 0
+        val typ = h & 0x7f
+        val len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) |
+          (b(off + 3) & 0xff)
+        if (off + 4 + len > b.length) return None
+        if (first) {
+          if (typ != 0 || len != 34) return None // STREAMINFO must lead
+          val r = new BitReader(b)
+          r.seekByte(off + 4)
+          r.readBits(16); r.readBits(16) // min/max block size
+          r.readBits(24); r.readBits(24) // min/max frame size
+          rate = r.readBits(20).toInt
+          channels = r.readBits(3).toInt + 1
+          bps = r.readBits(5).toInt + 1
+          first = false
+        }
+        off += 4 + len
+      }
+      if (rate <= 0 || channels != 1 || bps != 16) return None // scope: mono 16-bit
+      var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+      var n = 0L
+      var prevNeg = false
+      @inline def emit(s: Int): Unit = {
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        sumAbs += a
+        sumSq += s.toLong * s.toLong
+        val neg = s < 0
+        if (n > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        n += 1
+      }
+      val r = new BitReader(b)
+      r.seekByte(off)
+      while (r.remainingBits >= 16) {
+        val frameStart = r.bytePos
+        // frame header: 14-bit sync + reserved + blocking strategy
+        if (r.readBits(14) != 0x3ffe) return None
+        r.readBits(1) // reserved
+        r.readBits(1) // blocking strategy (both handled: coded number below)
+        val bsBits = r.readBits(4).toInt
+        val srBits = r.readBits(4).toInt
+        val chanAsg = r.readBits(4).toInt
+        val ssBits = r.readBits(3).toInt
+        if (r.readBits(1) != 0L) return None // reserved bit must be 0
+        if (chanAsg != 0) return None        // scope: mono
+        if (ssBits != 0x4) return None       // scope: 16-bit (code 100)
+        if (readCodedNumber(r) < 0L) return None
+        val blockSize = bsBits match {
+          case 0x1 => 192
+          case v if v >= 0x2 && v <= 0x5 => 576 << (v - 2)
+          case 0x6 => r.readBits(8).toInt + 1
+          case 0x7 => r.readBits(16).toInt + 1
+          case v if v >= 0x8 => 256 << (v - 8)
+          case _ => return None
+        }
+        srBits match {
+          case 0x0 => // from STREAMINFO
+          case 0xc => r.readBits(8)  // kHz value follows — ignore, use streaminfo
+          case 0xd | 0xe => r.readBits(16)
+          case 0xf => return None
+          case _ => // table-coded rate: header-only, streaminfo governs
+        }
+        if (r.bytePos >= b.length) return None
+        val hcrc = r.readBits(8).toInt
+        if (crc8(b, frameStart, r.bytePos - 1) != hcrc) return None
+        // one subframe (mono)
+        if (r.readBits(1) != 0L) return None // subframe padding bit
+        val sfType = r.readBits(6).toInt
+        var wasted = 0
+        if (r.readBits(1) == 1L) wasted = r.readUnary() + 1
+        val eff = 16 - wasted
+        if (eff <= 0) return None
+        val s = new Array[Int](blockSize)
+        if (sfType == 0) { // CONSTANT
+          val c = r.readSigned(eff)
+          java.util.Arrays.fill(s, c)
+        } else if (sfType == 1) { // VERBATIM
+          var i = 0
+          while (i < blockSize) { s(i) = r.readSigned(eff); i += 1 }
+        } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0..4
+          val order = sfType - 8
+          if (order > blockSize) return None
+          var i = 0
+          while (i < order) { s(i) = r.readSigned(eff); i += 1 }
+          // residual: 2-bit method, 4-bit partition order, partitions
+          val method = r.readBits(2).toInt
+          if (method > 1) return None
+          val pBits = if (method == 0) 4 else 5
+          val escape = if (method == 0) 0xf else 0x1f
+          val partOrder = r.readBits(4).toInt
+          val nParts = 1 << partOrder
+          if (blockSize % nParts != 0) return None
+          var part = 0
+          while (part < nParts) {
+            val k = r.readBits(pBits).toInt
+            if (k == escape) return None // escaped partitions: out of scope
+            val cnt = (blockSize >> partOrder) -
+              (if (part == 0) order else 0)
+            if (cnt < 0) return None
+            var j = 0
+            while (j < cnt) {
+              val q = r.readUnary()
+              val rem = if (k > 0) r.readBits(k) else 0L
+              val res = zigzagDecode((q.toLong << k) | rem)
+              s(i) = fixedPredict(order, s, i) + res
+              i += 1
+              j += 1
+            }
+            part += 1
+          }
+        } else return None // LPC / reserved: out of scope -> decline
+        r.alignByte()
+        val fcrc = r.readBits(16).toInt
+        if (crc16(b, frameStart, r.bytePos - 2) != fcrc) return None
+        var i = 0
+        while (i < blockSize) { emit(s(i) << wasted); i += 1 }
+      }
+      if (n == 0) None
+      else Some(Multimodal.PcmStats(1, rate, n, peak, sumAbs, sumSq, zc))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- fixture synthesis ----------------------------------------------
+
+  /** Deterministic per-frame sample generator — the replayable formula
+    * contract both the muxer and the verify-time oracle walk. Frame
+    * type cycles CONSTANT / VERBATIM / FIXED-1 / FIXED-2:
+    *   f%4 == 0: s_i = C(f)            (constant)
+    *   f%4 == 1: s_i = V(f, i)          (verbatim, full int16 range)
+    *   f%4 == 2: s_i = s_{i-1} + d(f,i) (order-1 recurrence, |d|<=32)
+    *   f%4 == 3: bounded direct signal  (order-2 residuals stay small)
+    */
+  def synthSamples(frame: Int, blockSize: Int, seed: Long): Array[Int] = {
+    val s = new Array[Int](blockSize)
+    (frame % 4) match {
+      case 0 =>
+        val c = (((seed * 131 + frame * 257) % 65536 + 65536) % 65536)
+          .toInt - 32768
+        java.util.Arrays.fill(s, c)
+      case 1 =>
+        var i = 0
+        while (i < blockSize) {
+          s(i) = (((seed * 31 + frame * 17 + i * 7) % 65536 + 65536)
+            % 65536).toInt - 32768
+          i += 1
+        }
+      case 2 =>
+        s(0) = (((seed * 241 + frame * 37) % 16384 + 16384) % 16384)
+          .toInt - 8192
+        var i = 1
+        while (i < blockSize) {
+          val d = (((seed * 13 + frame * 7 + i * 11) % 64 + 64) % 64)
+            .toInt - 32
+          s(i) = s(i - 1) + d
+          i += 1
+        }
+      case _ =>
+        var i = 0
+        while (i < blockSize) {
+          s(i) = (((seed * 29 + frame * 23 + i * 5) % 256 + 256) % 256)
+            .toInt - 128
+          i += 1
+        }
+    }
+    s
+  }
+
+  /** Encoder-side Rice parameter rule: bit length of the mean zigzag
+    * residual, clamped to [1, 14] — deterministic, decoder reads it
+    * from the stream so the rule is muxer-internal. */
+  private def riceParam(res: Seq[Int]): Int = {
+    if (res.isEmpty) return 1
+    val meanZ = res.iterator.map { v =>
+      if (v >= 0) 2L * v else -2L * v - 1L
+    }.sum / res.length
+    val k = 64 - java.lang.Long.numberOfLeadingZeros(meanZ + 1)
+    math.max(1, math.min(14, k.toInt))
+  }
+
+  /** Spec-layout mono 16-bit FLAC stream: STREAMINFO + `nFrames`
+    * frames of `blockSize` samples from [[synthSamples]], subframe
+    * type by frame index (constant / verbatim / fixed-1 / fixed-2 with
+    * 2 Rice partitions), real CRC-8/CRC-16. blockSize must be even and
+    * <= 256 (8-bit block size coding, partition order 1). */
+  def synthFlac(nFrames: Int, blockSize: Int, sampleRate: Int,
+      seed: Long): Array[Byte] = {
+    require(nFrames >= 1 && blockSize >= 8 && blockSize <= 256 &&
+      blockSize % 2 == 0 && sampleRate > 0 && sampleRate < (1 << 20))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= "fLaC".getBytes("US-ASCII")
+    // STREAMINFO (last metadata block): 34 bytes
+    val si = new BitWriter
+    si.writeBits(blockSize.toLong, 16)      // min block size
+    si.writeBits(blockSize.toLong, 16)      // max block size
+    si.writeBits(0L, 24); si.writeBits(0L, 24) // min/max frame size unknown
+    si.writeBits(sampleRate.toLong, 20)
+    si.writeBits(0L, 3)                     // channels - 1
+    si.writeBits(15L, 5)                    // bps - 1
+    si.writeBits(nFrames.toLong * blockSize, 36)
+    var i = 0
+    while (i < 16) { si.writeBits(0L, 8); i += 1 } // MD5 unknown
+    val siBytes = si.toBytes
+    out += 0x80.toByte // last-block flag, type 0
+    out += 0; out += 0; out += 34
+    out ++= siBytes
+    var f = 0
+    while (f < nFrames) {
+      val s = synthSamples(f, blockSize, seed)
+      val w = new BitWriter
+      w.writeBits(0x3ffe, 14) // sync
+      w.writeBits(0L, 1)      // reserved
+      w.writeBits(0L, 1)      // fixed block size strategy
+      w.writeBits(0x6, 4)     // block size: 8-bit value at header end
+      w.writeBits(0x0, 4)     // sample rate: from STREAMINFO
+      w.writeBits(0x0, 4)     // channel assignment: mono
+      w.writeBits(0x4, 3)     // sample size: 16-bit
+      w.writeBits(0L, 1)      // reserved
+      require(f < 128, "coded frame number kept single-byte")
+      w.writeBits(f.toLong, 8)            // UTF-8 frame number (< 0x80)
+      w.writeBits(blockSize - 1L, 8)      // 8-bit block size - 1
+      val headerBytes = w.toBytesNoAlign()
+      w.writeBits(crc8(headerBytes, 0, headerBytes.length).toLong, 8)
+      // subframe
+      (f % 4) match {
+        case 0 =>
+          w.writeBits(0L, 1); w.writeBits(0L, 6); w.writeBits(0L, 1)
+          w.writeBits(s(0).toLong & 0xffff, 16)
+        case 1 =>
+          w.writeBits(0L, 1); w.writeBits(1L, 6); w.writeBits(0L, 1)
+          var j = 0
+          while (j < blockSize) {
+            w.writeBits(s(j).toLong & 0xffff, 16); j += 1
+          }
+        case tf =>
+          val order = if (tf == 2) 1 else 2
+          w.writeBits(0L, 1); w.writeBits(8L + order, 6); w.writeBits(0L, 1)
+          var j = 0
+          while (j < order) {
+            w.writeBits(s(j).toLong & 0xffff, 16); j += 1
+          }
+          val res = (order until blockSize).map { k =>
+            s(k) - (order match {
+              case 1 => s(k - 1)
+              case _ => 2 * s(k - 1) - s(k - 2)
+            })
+          }
+          w.writeBits(0L, 2) // rice method 0 (4-bit params)
+          w.writeBits(1L, 4) // partition order 1 -> 2 partitions
+          val half = blockSize / 2
+          val p1 = res.take(half - order)
+          val p2 = res.drop(half - order)
+          for (part <- Seq(p1, p2)) {
+            val k = riceParam(part)
+            w.writeBits(k.toLong, 4)
+            part.foreach { v =>
+              val z = if (v >= 0) 2L * v else -2L * v - 1L
+              w.writeUnary((z >>> k).toInt)
+              if (k > 0) w.writeBits(z & ((1L << k) - 1), k)
+            }
+          }
+      }
+      w.alignByte()
+      val frameBytes = w.toBytesNoAlign()
+      w.writeBits(crc16(frameBytes, 0, frameBytes.length).toLong, 16)
+      out ++= w.toBytesNoAlign()
+      f += 1
+    }
+    out.toArray
+  }
+
+  /** BitWriter view that snapshots bytes WITHOUT forcing alignment —
+    * valid only at byte-aligned positions (enforced). */
+  implicit private class WriterOps(w: BitWriter) {
+    def toBytesNoAlign(): Array[Byte] = {
+      val arr = new Array[Byte](w.size)
+      var i = 0
+      while (i < arr.length) { arr(i) = w.byteAt(i); i += 1 }
+      arr
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Flac, Multimodal}
 
 /** Round-6 media batch: REAL decode paths over synthesized REAL-format
   * media, each oracle-checked end-to-end against arithmetic replays of
@@ -461,6 +461,91 @@ object MultimodalQueries {
           i += 1
         }
         k += 1
+      }
+      s"($id, $rate, $n, $peak, $sa, $ss, $zc)"
+    }.mkString(", ")
+    s"""SELECT CAST(d AS BIGINT) AS doc_id, CAST(sr AS INT) AS sample_rate,
+          CAST(n AS BIGINT) AS n_samples, CAST(pk AS BIGINT) AS peak,
+          CAST(sa AS BIGINT) AS sum_abs, CAST(ss AS BIGINT) AS sum_sq,
+          CAST(zc AS BIGINT) AS zero_crossings
+        FROM (VALUES $rows) AS t(d, sr, n, pk, sa, ss, zc)"""
+  }
+
+  /** REAL sample-level decode of a SECOND compressed audio codec —
+    * FLAC (RFC 9639), the one remaining pure-integer public-spec
+    * format a bare JVM decodes honestly (see multimodal/Flac.scala):
+    * every document synthesizes a spec-layout mono 16-bit stream
+    * cycling CONSTANT / VERBATIM / FIXED-1 / FIXED-2 subframes with
+    * Rice-coded residuals and real CRC-8/CRC-16, the distributed path
+    * bit-parses and sample-decodes it (checksums verified), and the
+    * oracle is an INDEPENDENT driver-side replay of the generating
+    * FORMULAS (never the bytes — the audio_adpcm_stats pattern), so a
+    * Rice, predictor, zigzag, CRC, or bit-packing bug on either side
+    * breaks the hash. MP3/AAC sample decode stays the documented
+    * non-goal; with ADPCM and FLAC the compressed-decode family now
+    * covers both predictive and entropy-coded integer codecs. */
+  val audioFlacStats = replayed("audio_flac_stats") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism) // cores, not files
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val st = Flac.decodeFlac(Flac.synthFlac(
+          nFrames = 2 + (id % 4).toInt,
+          blockSize = 32 + ((id % 4) * 16).toInt,
+          sampleRate = 8000 + ((id % 8) * 1000).toInt, seed = id))
+          .getOrElse(throw new IllegalStateException(
+            s"audio_flac_stats: synthesized FLAC for doc $id failed"))
+        (id, st.sampleRate, st.nSamples, st.peak, st.sumAbs, st.sumSq,
+          st.zeroCrossings)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "peak", "sum_abs",
+        "sum_sq", "zero_crossings")
+  } { (s, d) =>
+    // ORACLE GENERATION ONLY: independent replay of the per-frame
+    // sample formulas (constant / full-range verbatim / order-1
+    // recurrence / bounded direct), folding the same integer stats —
+    // container packing, Rice coding, and CRC verification on the
+    // distributed side are checked against this formula arithmetic.
+    import s.implicits._
+    val ids = graft.core.Tables.documents(s, d)
+      .select(col("doc_id")).as[Long].collect().sorted
+    val rows = ids.map { id =>
+      val nFrames = 2 + (id % 4).toInt
+      val blockSize = 32 + ((id % 4) * 16).toInt
+      val rate = 8000 + ((id % 8) * 1000).toInt
+      var peak = 0L; var sa = 0L; var ss = 0L; var zc = 0L; var n = 0L
+      var prevNeg = false
+      def emit(v: Int): Unit = {
+        val a = math.abs(v.toLong)
+        if (a > peak) peak = a
+        sa += a; ss += v.toLong * v.toLong
+        val neg = v < 0
+        if (n > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg; n += 1
+      }
+      for (f <- 0 until nFrames) (f % 4) match {
+        case 0 =>
+          val c = (((id * 131 + f * 257) % 65536 + 65536) % 65536)
+            .toInt - 32768
+          for (_ <- 0 until blockSize) emit(c)
+        case 1 =>
+          for (i <- 0 until blockSize)
+            emit((((id * 31 + f * 17 + i * 7) % 65536 + 65536) % 65536)
+              .toInt - 32768)
+        case 2 =>
+          var s0 = (((id * 241 + f * 37) % 16384 + 16384) % 16384)
+            .toInt - 8192
+          emit(s0)
+          for (i <- 1 until blockSize) {
+            s0 += (((id * 13 + f * 7 + i * 11) % 64 + 64) % 64).toInt - 32
+            emit(s0)
+          }
+        case _ =>
+          for (i <- 0 until blockSize)
+            emit((((id * 29 + f * 23 + i * 5) % 256 + 256) % 256)
+              .toInt - 128)
       }
       s"($id, $rate, $n, $peak, $sa, $ss, $zc)"
     }.mkString(", ")
@@ -1092,7 +1177,8 @@ object MultimodalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(mediaBandFunnel, videoBandFunnel,
-    audioMp3Meta, audioAdpcmStats, audioSilence, imageAhash, videoFrameSample,
+    audioMp3Meta, audioAdpcmStats, audioFlacStats, audioSilence,
+    imageAhash, videoFrameSample,
     videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup,
     mediaQuarantine, imageDownscale, audioResample, imageMetadata,
     multimodalManifest)

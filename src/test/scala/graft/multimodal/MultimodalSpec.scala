@@ -644,6 +644,85 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Test-local replay of the FLAC fixture's generating formulas —
+    * independent of Flac.synthSamples (the two-implementations rule
+    * every codec test here follows). */
+  private def flacRefSamples(nFrames: Int, blockSize: Int,
+      seed: Long): Seq[Int] =
+    (0 until nFrames).flatMap { f =>
+      (f % 4) match {
+        case 0 =>
+          val c = (((seed * 131 + f * 257) % 65536 + 65536) % 65536)
+            .toInt - 32768
+          Seq.fill(blockSize)(c)
+        case 1 =>
+          (0 until blockSize).map(i =>
+            (((seed * 31 + f * 17 + i * 7) % 65536 + 65536) % 65536)
+              .toInt - 32768)
+        case 2 =>
+          val s = new Array[Int](blockSize)
+          s(0) = (((seed * 241 + f * 37) % 16384 + 16384) % 16384)
+            .toInt - 8192
+          for (i <- 1 until blockSize)
+            s(i) = s(i - 1) +
+              (((seed * 13 + f * 7 + i * 11) % 64 + 64) % 64).toInt - 32
+          s.toSeq
+        case _ =>
+          (0 until blockSize).map(i =>
+            (((seed * 29 + f * 23 + i * 5) % 256 + 256) % 256).toInt - 128)
+      }
+    }
+
+  test("FLAC: real compressed-sample decode — constant/verbatim/fixed " +
+      "subframes, Rice residuals, CRCs verified; formula replay agrees") {
+    val b = Flac.synthFlac(nFrames = 5, blockSize = 64,
+      sampleRate = 22050, seed = 42L)
+    val st = Flac.decodeFlac(b).get
+    assert(st.channels === 1 && st.sampleRate === 22050)
+    assert(st.nSamples === 5L * 64)
+    val ref = flacRefSamples(5, 64, 42L)
+    assert(st.sumAbs === ref.map(v => math.abs(v.toLong)).sum)
+    assert(st.sumSq === ref.map(v => v.toLong * v).sum)
+    assert(st.peak === ref.map(v => math.abs(v.toLong)).max)
+    val zc = ref.zip(ref.tail).count { case (a, c) => (a < 0) != (c < 0) }
+    assert(st.zeroCrossings === zc)
+  }
+
+  test("FLAC property: synth -> decode equals the formula replay " +
+      "across seeds and geometries") {
+    for (seed <- Seq(0L, 1L, 7L, 97L, 1234567L, 999999937L);
+         (nf, bs) <- Seq((1, 8), (4, 16), (8, 64), (3, 256))) {
+      val st = Flac.decodeFlac(Flac.synthFlac(nf, bs, 8000, seed)).get
+      val ref = flacRefSamples(nf, bs, seed)
+      assert(st.nSamples === ref.length.toLong, s"seed=$seed $nf x $bs")
+      assert(st.sumAbs === ref.map(v => math.abs(v.toLong)).sum,
+        s"seed=$seed $nf x $bs")
+      assert(st.sumSq === ref.map(v => v.toLong * v).sum,
+        s"seed=$seed $nf x $bs")
+    }
+  }
+
+  test("FLAC strict declines (quarantine contract): truncation, bit " +
+      "flips caught by CRC, foreign formats not claimed") {
+    val b = Flac.synthFlac(4, 64, 16000, 7L)
+    assert(Flac.decodeFlac(b.dropRight(1)).isEmpty, "truncated stream")
+    // flip one bit mid-stream: either a header (CRC-8) or frame body
+    // (CRC-16) — both must decline, never return wrong samples
+    for (off <- Seq(50, b.length / 2, b.length - 3)) {
+      val bad = b.clone(); bad(off) = (bad(off) ^ 0x10).toByte
+      assert(Flac.decodeFlac(bad).isEmpty, s"bit flip at $off")
+    }
+    assert(Flac.decodeFlac("junk".getBytes).isEmpty)
+    assert(Flac.decodeFlac(Array.empty[Byte]).isEmpty)
+    // other real formats are not claimed by the FLAC decoder
+    assert(Flac.decodeFlac(
+      Multimodal.synthAdpcmWav(2, 64, 8000, 1L)).isEmpty)
+    assert(Flac.decodeFlac(Multimodal.synthPng(8, 8, 1L)).isEmpty)
+    // and the WAV decoders do not claim FLAC
+    assert(Multimodal.decodePcm(b).isEmpty)
+    assert(Multimodal.decodeAdpcm(b).isEmpty)
+  }
+
   test("sha256 matches Spark's own sha2 over the same bytes") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
