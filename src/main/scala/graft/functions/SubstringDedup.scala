@@ -106,6 +106,85 @@ object SubstringDedup {
     out.toSeq.map(p => (p + 1, text.substring(p, p + k)))
   }
 
+  private val HexDigits = "0123456789ABCDEF".getBytes(
+    java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** BYTE-based winnowing anchors for one text: positions are 1-based
+    * offsets into the UTF-8 ENCODING, grams are the k bytes in
+    * uppercase hex — the multibyte-corpus variant that removes the
+    * char-vs-byte indexing caveat (`substr` in the oracle slices the
+    * blob's hex string: byte p ↦ hex offset 2p-1, k bytes ↦ 2k hex
+    * chars, so both engines hash the identical VARCHAR). Guarantee:
+    * any verbatim duplicate of >= w + k - 1 BYTES shares an anchor —
+    * the same bound in bytes that the char variant gives in chars,
+    * now independent of the corpus's encoding width. */
+  private[functions] def winnowBytePositions(
+      text: String, k: Int, w: Int): Seq[(Int, String)] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    val m = n - k + 1
+    if (m < w) return Nil
+    // hex encoding once per doc; gram i digests hexBytes[2i, 2i+2k)
+    val hexBytes = new Array[Byte](2 * n)
+    var b = 0
+    while (b < n) {
+      val v = bytes(b) & 0xff
+      hexBytes(2 * b) = HexDigits(v >>> 4)
+      hexBytes(2 * b + 1) = HexDigits(v & 0xf)
+      b += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      md.update(hexBytes, 2 * i, 2 * k)
+      hashes(i) = md.digest()
+      i += 1
+    }
+    @inline def geq(a: Array[Byte], bb: Array[Byte]): Boolean =
+      java.util.Arrays.compareUnsigned(a, bb) >= 0
+    val out = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val dq = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < m) {
+      while (!dq.isEmpty && geq(hashes(dq.peekLast), hashes(i))) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst <= i - w) dq.pollFirst()
+      if (i >= w - 1) out += dq.peekFirst
+      i += 1
+    }
+    out.toSeq.map(p => (p + 1, new String(hexBytes, 2 * p, 2 * k,
+      java.nio.charset.StandardCharsets.US_ASCII)))
+  }
+
+  /** Byte-based anchor relation (doc_id, pos, g): [[anchors]] over the
+    * UTF-8 encoding — pos is a byte offset, g the hex-encoded gram.
+    * Feed the result to the same [[duplicatedAnchors]] /
+    * [[duplicatedSpans]] chain (span bounds then measure BYTES). */
+  def anchorsBytes(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = DefaultK,
+      w: Int = DefaultW): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"anchorsBytes: id column '$idCol' must be an integral type, got " +
+        s"${idType.typeName}; hash or dense-rank non-numeric ids first")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val target = sp.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+    val spread =
+      if (base.rdd.getNumPartitions < target) base.repartition(target)
+      else base
+    spread
+      .flatMap { case (id, text) =>
+        winnowBytePositions(text, k, w).map { case (p, g) => (id, p, g) }
+      }
+      .toDF(idCol, "pos", "g")
+  }
+
   /** Anchor relation (doc_id, pos, g): winnowing fingerprints of every
     * document. One linear pass; shuffle-free EXCEPT when the input
     * arrives in fewer partitions than the session's parallelism (the

@@ -12,8 +12,12 @@ import graft.functions.SubstringDedup
   * bit-for-bit via md5 + a rightmost-min composite key.
   *
   * Texts in the corpus are ASCII, so DuckDB's character-based
-  * `substr` and Scala's code-unit `substring` index identically; a
-  * multibyte corpus would pin one definition (bytes) on both sides.
+  * `substr` and Scala's code-unit `substring` index identically in the
+  * char-based tier. For genuinely multibyte corpora the BYTE-based
+  * variant (`substr_dedup_spans_bytes`, `SubstringDedup.anchorsBytes`)
+  * pins gram extraction to the UTF-8 encoding on both engines (hex
+  * slicing of the blob in the oracle), giving the same >= w+k-1
+  * guarantee in BYTES independent of encoding width.
   */
 object DataPipelineQueries7 {
   import QueryDef._
@@ -94,6 +98,84 @@ object DataPipelineQueries7 {
     spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start") + 1).as("dup_chars"))
+  }
+
+  /** BYTE-based winnowing CTEs over a non-ASCII corpus (every 'e'
+    * replaced with 'é' on BOTH engines, making most docs genuinely
+    * multibyte): grams are k BYTES of the UTF-8 encoding, sliced from
+    * the blob's hex string (byte p ↦ hex offset 2p-1, k bytes ↦ 2k hex
+    * chars), positions are byte offsets. Same winnowing selection,
+    * recurrence, and span-merge chain as the char tier. */
+  private[queries] def oracleBytesCtesFor(K: Int, W: Int): String =
+    s"""WITH d2 AS (
+         SELECT doc_id, replace(text, 'e', 'é') AS text FROM documents),
+       g AS (
+         SELECT doc_id, octet_length(encode(text)) - ${K - 1} AS m,
+           unnest(generate_series(1,
+             octet_length(encode(text)) - ${K - 1})) AS i,
+           hex(encode(text)) AS hx
+         FROM d2),
+       k1 AS (
+         SELECT doc_id, m, i, substring(hx, 2 * i - 1, ${2 * K}) AS gram,
+           md5(substring(hx, 2 * i - 1, ${2 * K}))
+             || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0') AS key
+         FROM g),
+       wm AS (
+         SELECT doc_id, i, m,
+           min(key) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS mk
+         FROM k1),
+       sel AS (
+         SELECT DISTINCT doc_id,
+           1000000000 - CAST(substr(mk, 33, 10) AS BIGINT) AS pos
+         FROM wm WHERE i <= m - ${W - 1}),
+       anch AS (
+         SELECT s.doc_id, s.pos, k1.gram
+         FROM sel s JOIN k1 ON k1.doc_id = s.doc_id AND k1.i = s.pos),
+       dup AS (
+         SELECT doc_id, pos FROM anch
+         WHERE gram IN (SELECT gram FROM anch
+                        GROUP BY gram HAVING count(*) > 1)),
+       isl AS (
+         SELECT doc_id, pos, pos + ${K - 1} AS e,
+           CASE WHEN pos > coalesce(
+               max(pos + ${K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) + 1
+             THEN 1 ELSE 0 END AS ni
+         FROM dup),
+       isl2 AS (
+         SELECT doc_id, pos, e,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM isl),
+       spans AS (
+         SELECT doc_id, island,
+           min(pos) AS span_start, max(e) AS span_end
+         FROM isl2 GROUP BY doc_id, island)"""
+
+  /** The byte-based tier on a genuinely multibyte corpus — the caveat
+    * remediation: same per-doc span report as `substr_dedup_spans`,
+    * but positions/coverage in BYTES of the UTF-8 encoding, so the
+    * >= 30 guarantee holds regardless of encoding width. The fixture
+    * injects 'é' for every 'e' with the same `replace` on both
+    * engines; a char-indexed implementation would mis-place every
+    * gram after the first multibyte char and break the hash. */
+  val substrDedupSpansBytes = sql("substr_dedup_spans_bytes",
+    s"""${oracleBytesCtesFor(K, W)}
+       SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_bytes
+       FROM spans GROUP BY doc_id""") { (s, d) =>
+    val docs2 = Tables.documents(s, d)
+      .select(col("doc_id"), expr("replace(text, 'e', 'é')").as("text"))
+    val anch = SubstringDedup.anchorsBytes(docs2, k = K, w = W)
+      .localCheckpoint(true)
+    val spans = SubstringDedup.duplicatedSpans(
+      SubstringDedup.duplicatedAnchors(anch), k = K)
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_bytes"))
   }
 
   /** Corpus-level funnel for the exact-substring tier — the integer
@@ -530,8 +612,8 @@ object DataPipelineQueries7 {
   }
 
   def all: Seq[QueryDef] =
-    Seq(substrDedupSpans, substrDedupFunnel, substrDedupScrub,
-      substrDedupCurve, substrIncrementalDedup, substrDedupClusters,
-      substrDecontaminate, lmPerplexityBuckets, kanonRisk,
-      textChunkWindows)
+    Seq(substrDedupSpans, substrDedupSpansBytes, substrDedupFunnel,
+      substrDedupScrub, substrDedupCurve, substrIncrementalDedup,
+      substrDedupClusters, substrDecontaminate, lmPerplexityBuckets,
+      kanonRisk, textChunkWindows)
 }

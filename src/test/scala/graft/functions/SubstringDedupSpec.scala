@@ -246,6 +246,55 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("byte-based winnowing: equals the char tier on pure ASCII " +
+      "(hex-gram payloads aside), and on multibyte text positions are " +
+      "BYTE offsets with the guarantee measured in bytes") {
+    val rnd = new scala.util.Random(55)
+    // ASCII: byte offsets == char offsets, selections identical
+    val ascii = (0 until 300).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    val charSel = SubstringDedup.winnowPositions(ascii, 7, 5)
+    val byteSel = SubstringDedup.winnowBytePositions(ascii, 7, 5)
+    // selection keys differ (md5 of raw chars vs md5 of hex), so the
+    // anchor SETS may differ — but both obey coverage and both carry
+    // the true gram; check payload correctness byte-for-byte
+    byteSel.foreach { case (p, hexGram) =>
+      val bytes = ascii.getBytes("UTF-8")
+      val want = bytes.slice(p - 1, p - 1 + 7)
+        .map(b => f"${b & 0xff}%02X").mkString
+      assert(hexGram === want)
+    }
+    assert(charSel.nonEmpty && byteSel.nonEmpty)
+    // multibyte: two docs share a >= w+k-1 BYTE duplicate that is
+    // mostly 2-byte chars; the byte tier must catch it
+    val k = 20; val w = 11
+    val shared = (0 until 20).map(i => "éüñß".charAt(i % 4)).mkString // 40 bytes
+    assert(shared.getBytes("UTF-8").length >= w + k - 1)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, filler(0, 57) + shared + filler(1, 83)),
+      (2L, filler(2, 131) + shared + filler(3, 41)),
+      (3L, filler(4, 150))).toDF("doc_id", "text")
+    val anch = SubstringDedup.anchorsBytes(docs, k = k, w = w)
+    val dup = SubstringDedup.duplicatedAnchors(anch)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(dup === Set(1L, 2L),
+      "both holders of the multibyte duplicate, and only them")
+    // and every byte anchor's position is a valid UTF-8 byte offset
+    // carrying the true hex gram
+    val rows = anch.collect()
+    val textById = Map(1L -> (filler(0, 57) + shared + filler(1, 83)),
+      2L -> (filler(2, 131) + shared + filler(3, 41)),
+      3L -> filler(4, 150))
+    rows.foreach { r =>
+      val bytes = textById(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val p = r.getAs[Int]("pos")
+      val want = bytes.slice(p - 1, p - 1 + k)
+        .map(b => f"${b & 0xff}%02X").mkString
+      assert(r.getAs[String]("g") === want)
+    }
+  }
+
   test("within-document repetition counts as duplicated") {
     val k = 20; val w = 11
     val rep = (0 until (w + k - 1)).map(i => ('Q' + i % 3).toChar).mkString
