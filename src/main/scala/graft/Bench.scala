@@ -206,6 +206,18 @@ object Bench {
       val spread = all.map(_.wall).max / all.map(_.wall).min
       (name, best.wall, best.cpu, best.gc, spread, rerun)
     }
+    // Self-diffing record: every re-run row carries min ÷ committed
+    // reference, so a residual >2x outlier is classifiable from the
+    // JSON alone — no git archaeology to fetch the previous
+    // BENCH_FULL.json (the round-8 adjudication needed exactly that
+    // for 3 rows). Rows with no committed reference (new queries)
+    // record -1.
+    val refRatios: Seq[(String, String)] = scored.filter(_._6).map { r =>
+      r._1 -> reference.get(r._1)
+        .filter(_ > 0)
+        .map(ref => fmt(r._2 / ref))
+        .getOrElse("-1")
+    }
     val total = scored.map(_._2).sum
     val cpuTotal = procCpuSec() - benchStartCpu
     val gcTotal = gcSec() - benchStartGc
@@ -225,7 +237,8 @@ object Bench {
       val cs = mapOf(scored.map(r => r._1 -> fmt(r._3)))
       val gs = mapOf(scored.map(r => r._1 -> fmt(r._4)))
       val ss = mapOf(scored.map(r => r._1 -> fmt(r._5)))
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${scored.size},"runs":2,"agg":"min",$evidence,"queries":$qs,"cpu":$cs,"gc":$gs,"spread":$ss,"sf":"$sfDir"}"""
+      val rr = mapOf(refRatios)
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${scored.size},"runs":2,"agg":"min",$evidence,"queries":$qs,"cpu":$cs,"gc":$gs,"spread":$ss,"ref_ratio":$rr,"sf":"$sfDir"}"""
     }
     if (only.isEmpty)
       java.nio.file.Files.write(
