@@ -452,6 +452,30 @@ object ScaleCheck {
             (length(bin(expr("den_t div num_t"))) - 1)).as("log2_w")).count()
     }
 
+    // Pocket-perceptron training (r8 classifier; probed per r8 verdict
+    // #6): fixed rounds, growing corpus. Per round ONE broadcast join
+    // of the weight relation onto the feature stream, one per-doc
+    // margin aggregate, one bucket-keyed update aggregate whose
+    // collect is BUCKET-SPACE-bounded (≤257 rows: 256 md5 buckets +
+    // bias) no matter the corpus — the same driver-loop contract as
+    // the IVF codebook. Claim under probe: per-round cost tracks the
+    // feature stream linearly; the driver-held state stays flat.
+    time("quality_classifier") {
+      val feats = graft.functions.TextCuration.classifierFeatures(docs)
+        .localCheckpoint(true)
+      val rounds = 4
+      val t0 = System.nanoTime()
+      val weights = graft.functions.LinearClassifier
+        .trainPocketPerceptron(spark, feats, rounds = rounds)
+      val tt = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[scale]   classifier: $rounds rounds ${tt / rounds}%.2f s/round, " +
+          s"weight relation = ${weights.size} rows (bucket-space, " +
+          "corpus-independent)")
+      graft.functions.LinearClassifier.score(spark, feats, weights)
+        .filter(col("margin") > 0).count()
+    }
+
     // global training shuffle: range repartition on the md5 key +
     // zipWithIndex (a count job + the attach pass) — the sort is the
     // cost, O(n log n) with no single-partition stage
