@@ -207,6 +207,102 @@ object KeyedTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop("__bucket")
 
+  /** Per-bucket compaction report: files before/after and bytes. */
+  final case class CompactionReport(bucket: Int, filesBefore: Int,
+      filesAfter: Int, bytes: Long)
+
+  /** Compact buckets that have accumulated small files (every upsert's
+    * dynamic-partition overwrite writes one file per task that held
+    * rows for the bucket, so a bucket's file count creeps toward the
+    * writer's parallelism): group each listed bucket's files into
+    * `ceil(totalBytes / targetBytes)` bins by GREEDY CONTIGUOUS
+    * cumulative-size binning — the `compaction_plan` rule, bin =
+    * floor(cumBytes · nBins / total) over the name-ordered listing —
+    * then rewrite the bucket with one output file per bin through the
+    * same dynamic-partition overwrite + commit protocol as [[upsert]]
+    * (a crashed rewrite never leaves a partially-replaced bucket).
+    *
+    * Runs under the table write lease: compaction is a writer like any
+    * other — an upsert interleaving with a compaction would lose the
+    * upsert's rows when the compacted partition commits over them.
+    *
+    * Idempotent and resumable: a bucket already at or below its bin
+    * count is skipped (a second run is a metadata-only no-op), and a
+    * crash between buckets leaves every committed bucket compacted,
+    * every other bucket untouched, and the table's ROWS identical —
+    * re-running finishes the rest.
+    *
+    * File listings are metadata-scale; only compacted buckets' data is
+    * read. At 100 TB a maintenance job passes `buckets` from the same
+    * listing-driven plan a `compaction_plan` query produces, bounding
+    * each run.
+    *
+    * @return one report per INSPECTED bucket (skipped buckets report
+    *         filesAfter == filesBefore). */
+  def compact(spark: SparkSession, dir: String,
+      buckets: Option[Seq[Int]] = None,
+      targetBytes: Long = 128L << 20): Seq[CompactionReport] =
+    compactImpl(spark, dir, buckets, targetBytes, _ => ())
+
+  /** Test seam: `onBucketCompacted` fires after each bucket's commit —
+    * specs inject a crash there to pin mid-compaction recovery. */
+  private[sinks] def compactImpl(spark: SparkSession, dir: String,
+      buckets: Option[Seq[Int]], targetBytes: Long,
+      onBucketCompacted: Int => Unit): Seq[CompactionReport] =
+    withTableLock(spark, dir) {
+      require(targetBytes > 0, "targetBytes must be positive")
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bucketDirs = fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
+        .map(s => s.getPath.getName.stripPrefix("__bucket=").toInt -> s.getPath)
+        .filter { case (b, _) => buckets.forall(_.contains(b)) }
+        .sortBy(_._1)
+      bucketDirs.map { case (b, path) =>
+        val files = fs.listStatus(path).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val total = files.map(_.getLen).sum
+        val nBins = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+        if (files.size <= nBins)
+          CompactionReport(b, files.size, files.size, total) // already compact
+        else {
+          // greedy contiguous binning by cumulative bytes (the
+          // compaction_plan rule); one coalesced output file per bin
+          var cum = 0L
+          val binned = files.map { f =>
+            val bin = if (total == 0) 0 else (cum * nBins / total).toInt
+            cum += f.getLen
+            (math.min(bin, nBins - 1), f.getPath.toString)
+          }.groupBy(_._1).toSeq.sortBy(_._1)
+          // one DataFrame per bin, coalesced to one partition, united
+          // at the RDD level: a Dataset-level union of coalesce(1)
+          // children gets collapsed by the optimizer into ONE partition
+          // (one output file regardless of bins); sparkContext.union
+          // preserves each bin's partition, so the write emits exactly
+          // one file per bin
+          val binDfs = binned.map { case (_, fsInBin) =>
+            spark.read.parquet(fsInBin.map(_._2): _*).coalesce(1)
+          }
+          val merged = spark.createDataFrame(
+              spark.sparkContext.union(binDfs.map(_.rdd)),
+              binDfs.head.schema)
+            .withColumn("__bucket", lit(b))
+            .localCheckpoint(true) // never read a file the commit replaces
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val old = spark.conf.getOption(key)
+          spark.conf.set(key, "dynamic")
+          try merged.write.mode(SaveMode.Overwrite)
+            .partitionBy("__bucket").parquet(dir)
+          finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+          onBucketCompacted(b)
+          val after = fs.listStatus(path).count(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet"))
+          CompactionReport(b, files.size, after, total)
+        }
+      }
+    }
+
   /** Apply a keyed mutation batch: rows whose key exists are replaced,
     * new keys are inserted (entity put semantics — the reference has no
     * partial-property update either). Idempotent: re-applying the same

@@ -68,6 +68,128 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(bucketFiles(before) !== bucketFiles(after))
   }
 
+  private def parquetFilesPerBucket(dir: String): Map[Int, Int] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        "__bucket=(\\d+)".r.findFirstMatchIn(f.getAbsolutePath)
+          .map(_.group(1).toInt)
+      }
+      .groupBy(identity).map { case (b, g) => b -> g.size }
+  }
+
+  /** A table whose buckets carry many small files: several upserts,
+    * each writing from a multi-partition batch. */
+  private def fragmentedTable(dir: String, numBuckets: Int): Unit = {
+    KeyedTable.create(
+      (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(8), dir, "k", numBuckets = numBuckets)
+    for (r <- 1 to 3)
+      KeyedTable.upsert(spark, dir,
+        (1L to 200L by 2).map(i => (i, s"u$r-$i")).toDF("k", "v")
+          .repartition(8), "k", numBuckets = numBuckets)
+  }
+
+  test("compact reduces each bucket's file count to its bin count " +
+      "without changing a single row; a second run is a no-op") {
+    val dir = freshDir()
+    fragmentedTable(dir, numBuckets = 4)
+    val rowsBefore = contents(dir)
+    val filesBefore = parquetFilesPerBucket(dir)
+    assert(filesBefore.values.exists(_ > 1),
+      "fixture must actually fragment buckets")
+    // tiny table: every bucket fits one target bin -> one file each
+    val reports = KeyedTable.compact(spark, dir)
+    assert(reports.map(_.bucket).toSet === filesBefore.keySet)
+    reports.foreach { r =>
+      assert(r.filesBefore === filesBefore(r.bucket), s"bucket ${r.bucket}")
+      if (r.filesBefore > 1)
+        assert(r.filesAfter === 1,
+          s"bucket ${r.bucket}: ${r.filesBefore} -> ${r.filesAfter}")
+    }
+    assert(parquetFilesPerBucket(dir).values.forall(_ === 1))
+    assert(contents(dir) === rowsBefore, "compaction must not change rows")
+    // idempotence: already-compact buckets are skipped untouched
+    val again = KeyedTable.compact(spark, dir)
+    again.foreach(r => assert(r.filesAfter === r.filesBefore))
+    assert(contents(dir) === rowsBefore)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lock), "lease released after compaction")
+  }
+
+  test("compact honors targetBytes binning (the compaction_plan rule): " +
+      "output file count equals an independent replay of the greedy " +
+      "contiguous binning, and a small target yields multiple bins") {
+    val dir = freshDir()
+    fragmentedTable(dir, numBuckets = 2)
+    // independent replay of the rule over the name-ordered pre-compact
+    // listing: bin(file) = floor(cumStartBytes * nBins / total)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val target = 2048L
+    val expected: Map[Int, (Int, Int)] = walk(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        "__bucket=(\\d+)".r.findFirstMatchIn(f.getAbsolutePath)
+          .map(m => (m.group(1).toInt, f.getName, f.length()))
+      }
+      .groupBy(_._1).map { case (b, fs0) =>
+        val sizes = fs0.sortBy(_._2).map(_._3)
+        val total = sizes.sum
+        val nBins = math.max(1L, (total + target - 1) / target).toInt
+        val cums = sizes.scanLeft(0L)(_ + _).init
+        val distinctBins = cums.map(c =>
+          math.min((c * nBins / total).toInt, nBins - 1)).distinct.size
+        b -> ((nBins, distinctBins))
+      }
+    val reports = KeyedTable.compact(spark, dir, targetBytes = target)
+    reports.foreach { r =>
+      val (nBins, distinctBins) = expected(r.bucket)
+      if (r.filesBefore > nBins)
+        assert(r.filesAfter === distinctBins,
+          s"bucket ${r.bucket}: ${r.bytes} bytes, got ${r.filesAfter}")
+      else // already at/below bin count: skipped untouched
+        assert(r.filesAfter === r.filesBefore)
+    }
+    assert(reports.exists(_.filesAfter > 1),
+      s"fixture too small to exercise multi-bin: $expected / $reports")
+  }
+
+  test("crash mid-compaction: committed buckets stay compacted, the " +
+      "rest stay untouched, rows identical, lease released — re-running " +
+      "finishes the job") {
+    val dir = freshDir()
+    fragmentedTable(dir, numBuckets = 4)
+    val rowsBefore = contents(dir)
+    val filesBefore = parquetFilesPerBucket(dir)
+    val fragmented = filesBefore.filter(_._2 > 1).keySet
+    assert(fragmented.size >= 2, s"need >= 2 fragmented buckets: $filesBefore")
+    // crash after the FIRST bucket commits
+    val crashed = intercept[RuntimeException] {
+      KeyedTable.compactImpl(spark, dir, None, 128L << 20,
+        onBucketCompacted = _ => throw new RuntimeException("crash"))
+    }
+    assert(crashed.getMessage === "crash")
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lock), "lease released even on a crashed compaction")
+    assert(contents(dir) === rowsBefore,
+      "a crashed compaction must never change table rows")
+    val filesMid = parquetFilesPerBucket(dir)
+    val firstCompacted = fragmented.min // buckets process in order
+    assert(filesMid(firstCompacted) === 1, "committed bucket is compacted")
+    (fragmented - firstCompacted).foreach { b =>
+      assert(filesMid(b) === filesBefore(b), s"bucket $b touched pre-crash")
+    }
+    // resume: the second run skips the done bucket, finishes the rest
+    KeyedTable.compact(spark, dir)
+    assert(parquetFilesPerBucket(dir).values.forall(_ === 1))
+    assert(contents(dir) === rowsBefore)
+  }
+
   test("a second concurrent writer fails loudly instead of corrupting") {
     val dir = freshDir()
     KeyedTable.create(
