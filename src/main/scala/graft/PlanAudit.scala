@@ -122,7 +122,32 @@ object PlanAudit {
       "repartition + per-partition sort + zipWithIndex, NO single-" +
       "partition window; corpus size re-enters as a broadcast 1-row " +
       "aggregate onto the ranked stream; bucket assignment is pure " +
-      "integer arithmetic inside the final aggregate's projection."))
+      "integer arithmetic inside the final aggregate's projection."),
+    "text_curation_manifest" -> ("The capstone composition: classifier " +
+      "training runs before the plan (driver-paced rounds, bounded " +
+      "collects); the plan itself is each tier's own keyed exchange — " +
+      "content-hash window (exact), band-signature join + by-id " +
+      "verify (LSH), ONE gram-keyed exchange (winnowing), a BROADCAST " +
+      "join on the bounded benchmark 5-gram set (decontamination), a " +
+      "stateless projection (quality rules), the broadcast weight " +
+      "relation (classifier scoring) — meeting in per-doc-keyed left " +
+      "joins. No cartesian; exchange count PlanSpec-pinned (<= 30)."),
+    "substr_dedup_spans_bytes" -> ("Byte-based winnowing: identical " +
+      "shape to substr_dedup_spans (shuffle-free anchor flatMap, one " +
+      "gram-keyed exchange, per-doc span window) — the per-doc scan " +
+      "hexes the UTF-8 encoding once and digests 2k-byte gram slices, " +
+      "so multibyte corpora pay the same linear cost as ASCII."),
+    "unigram_tokenize" -> ("Viterbi segmentation runs once per word " +
+      "TYPE (typed map with the bounded bits table broadcast — vocab " +
+      "selection is a TakeOrderedAndProject over the compact substring " +
+      "relation); the corpus-scale work is the word-count aggregate " +
+      "and ONE join keyed on the word + the per-source aggregate — " +
+      "the bpe_tokenize plan shape."),
+    "audio_flac_stats" -> ("Stateless per-doc synth + REAL FLAC " +
+      "bit-level decode (Rice residuals, fixed predictors, CRC " +
+      "verification) in one mapPartitions over a core-count " +
+      "repartition — no shuffle after the repartition, cost linear " +
+      "in clips; pure public-spec integer arithmetic."))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
