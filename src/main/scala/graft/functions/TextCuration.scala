@@ -144,6 +144,48 @@ object TextCuration {
           .otherwise("drop"))
   }
 
+  /** Execute the manifest's decisions — the curated corpus a pipeline
+    * actually writes: `drop` rows removed, `keep` rows verbatim,
+    * `redact` rows with their repeated/leaked regions scrubbed. The
+    * scrub set is the islands-merged union of the winnowing
+    * duplicated spans and the benchmark-matched (leaked) spans, so a
+    * redacted doc loses exactly the regions the substring tier can
+    * prove verbatim-repeated or quoted (>= w+k-1 chars guaranteed);
+    * sub-threshold token-gram contamination with no provable span
+    * passes through verbatim under its `redact` label — the
+    * conservative action when no span is attributable.
+    *
+    * Scale: one winnowing anchor scan (shuffle-free), one gram-keyed
+    * exchange (recurrence), a broadcast semi-join for the leak marks,
+    * per-doc span windows, and the same relational scrub stitch as
+    * `substr_dedup_scrub` — nothing beyond the tiers' own exchanges.
+    * Returns (doc_id, decision, n_chars_out, sig) for every SURVIVING
+    * document (sig = md5 of the emitted text, so an oracle pins the
+    * reconstruction string-exactly). */
+  def applyManifest(spark: SparkSession, docs: DataFrame,
+      manifest: DataFrame, cfg: Config): DataFrame = {
+    val anch = SubstringDedup.anchors(docs).localCheckpoint(true)
+    val dup = SubstringDedup.duplicatedAnchors(anch)
+    val bg = anch.filter(col("doc_id") % cfg.benchmarkMod === 0)
+      .select(col("g")).distinct()
+    val leaked = anch.filter(col("doc_id") % cfg.benchmarkMod =!= 0)
+      .join(broadcast(bg), Seq("g"), "leftsemi")
+    val marked = dup.select(col("doc_id"), col("pos"))
+      .unionByName(leaked.select(col("doc_id"), col("pos"))).distinct()
+    val redactIds = manifest.filter(col("reason") === "dup_spans")
+      .select(col("doc_id"))
+    val spans = SubstringDedup.duplicatedSpans(
+        marked.join(redactIds, Seq("doc_id"), "leftsemi"))
+      .localCheckpoint(true) // feeds the pre-segment window AND the tail
+    val scrubbed = SubstringDedup.scrub(docs, spans)
+    manifest.filter(col("decision") =!= "drop")
+      .select(col("doc_id"), col("decision"))
+      .join(scrubbed, Seq("doc_id"))
+      .select(col("doc_id"), col("decision"),
+        length(col("text_scrubbed")).cast("long").as("n_chars_out"),
+        md5(col("text_scrubbed")).as("sig"))
+  }
+
   /** The `quality_classifier` feature relation: md5-hashed bigram
     * bucket counts + the constant bias feature, labeled by the length
     * band (see DataPipelineQueries3.qualityClassifier for why that is

@@ -28,7 +28,7 @@ object DataPipelineQueries8 {
     * winnowing CTEs, `decontaminate_overlap`'s 5-gram join,
     * `quality_funnel`'s rules, `quality_classifier`'s unrolled pocket
     * perceptron), then one per-doc join + the priority CASE. */
-  private def manifestOracle: String =
+  private def manifestCtes: String =
     s"""WITH w AS (
          SELECT doc_id, lang, n_chars, text,
            list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -137,7 +137,10 @@ object DataPipelineQueries8 {
            WHEN margin <= 0 THEN 'classifier_reject'
            WHEN dup_chars > 0 OR overlap_bp > 0 THEN 'dup_spans'
            ELSE 'clean' END AS reason
-         FROM base)
+         FROM base)"""
+
+  private def manifestOracle: String =
+    s"""$manifestCtes
        SELECT doc_id, exact_dup, near_dup, dup_chars, overlap_bp,
          n_tokens, quality_pass, margin, reason,
          CASE WHEN reason = 'clean' THEN 'keep'
@@ -153,6 +156,81 @@ object DataPipelineQueries8 {
     manifestOracle) { (s, d) =>
     TextCuration.manifest(s, Tables.documents(s, d),
       DataPipelineQueries.checkpointedShingles(s, d),
+      TextCuration.Config(stopwords = DataPipelineQueries2.stopAll))
+  }
+
+  /** The manifest EXECUTED — the curated corpus the pipeline writes:
+    * drops removed, keeps verbatim, redacts scrubbed of their
+    * repeated/leaked spans (winnowing duplicated ∪ benchmark-matched,
+    * islands-merged). The oracle replays the full manifest AND the
+    * scrub reconstruction; `sig` = md5 of each emitted text pins the
+    * output string-exactly, so this one green row proves decision +
+    * action compose end-to-end. */
+  val textCurationApply = sql("text_curation_apply",
+    s"""$manifestCtes,
+       mm AS (
+         SELECT a.doc_id, a.pos FROM anch a
+         WHERE a.doc_id % 7 <> 0
+           AND a.gram IN (SELECT gram FROM anch WHERE doc_id % 7 = 0)),
+       uall AS (
+         SELECT doc_id, pos FROM dup
+         UNION
+         SELECT doc_id, pos FROM mm),
+       ured AS (
+         SELECT u.doc_id, u.pos FROM uall u
+         JOIN lab ON lab.doc_id = u.doc_id AND lab.reason = 'dup_spans'),
+       ri AS (
+         SELECT doc_id, pos, pos + ${K - 1} AS e,
+           CASE WHEN pos > coalesce(
+               max(pos + ${K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) + 1
+             THEN 1 ELSE 0 END AS ni
+         FROM ured),
+       ri2 AS (
+         SELECT doc_id, pos, e,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM ri),
+       rspans AS (
+         SELECT doc_id, island,
+           min(pos) AS span_start, max(e) AS span_end
+         FROM ri2 GROUP BY doc_id, island),
+       seg AS (
+         SELECT doc_id,
+           coalesce(lag(span_end) OVER (PARTITION BY doc_id
+             ORDER BY span_start) + 1, 1) AS seg_start,
+           span_start - 1 AS seg_end
+         FROM rspans
+         UNION ALL
+         SELECT doc_id, max(span_end) + 1 AS seg_start,
+           2147483647 AS seg_end
+         FROM rspans GROUP BY doc_id),
+       stitched AS (
+         SELECT s.doc_id,
+           string_agg(substr(d.text, CAST(seg_start AS BIGINT),
+             CAST(greatest(least(seg_end, length(d.text))
+               - seg_start + 1, 0) AS BIGINT)),
+             '' ORDER BY seg_start) AS text_scrubbed
+         FROM seg s JOIN documents d USING (doc_id)
+         WHERE seg_end >= seg_start
+         GROUP BY s.doc_id)
+       SELECT lab.doc_id,
+         CASE WHEN lab.reason = 'clean' THEN 'keep'
+              ELSE 'redact' END AS decision,
+         CAST(length(coalesce(st.text_scrubbed, d.text)) AS BIGINT)
+           AS n_chars_out,
+         md5(coalesce(st.text_scrubbed, d.text)) AS sig
+       FROM lab
+       JOIN documents d ON d.doc_id = lab.doc_id
+       LEFT JOIN stitched st ON st.doc_id = lab.doc_id
+       WHERE lab.reason IN ('clean', 'dup_spans')""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val manifest = TextCuration.manifest(s, docs,
+        DataPipelineQueries.checkpointedShingles(s, d),
+        TextCuration.Config(stopwords = DataPipelineQueries2.stopAll))
+      .localCheckpoint(true) // decision relation feeds filter + join
+    TextCuration.applyManifest(s, docs, manifest,
       TextCuration.Config(stopwords = DataPipelineQueries2.stopAll))
   }
 
@@ -215,5 +293,6 @@ object DataPipelineQueries8 {
         FROM (VALUES $rows) AS t(s, nw, np, tb)"""
   }
 
-  def all: Seq[QueryDef] = Seq(textCurationManifest, unigramTokenize)
+  def all: Seq[QueryDef] =
+    Seq(textCurationManifest, textCurationApply, unigramTokenize)
 }

@@ -933,6 +933,58 @@ object MultimodalQueries {
       .toDF("doc_id", "status", "n_samples")
   }
 
+  /** Quarantine routing for the FLAC decoder — the corrupt-input
+    * contract of `media_quarantine` exercised against CHECKSUMMED
+    * entropy-coded input: mod-13 docs truncate mid-header (the
+    * stream is shorter than STREAMINFO), mod-17 docs flip ONE BIT in
+    * the frame region — caught only because the decoder VERIFIES
+    * CRC-8/CRC-16, the corruption class a container walk cannot see.
+    * A decoder that skips checksum verification "succeeds" on the
+    * flipped clip with wrong samples and breaks the hash; one that
+    * throws kills the task. Clean clips must fully decode to the
+    * formula-predicted sample count. */
+  val flacQuarantine = sql("flac_quarantine",
+    """SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'quarantine_truncated'
+              WHEN doc_id % 17 = 0 THEN 'quarantine_bitflip'
+              ELSE 'ok' END AS status,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 17 = 0 THEN CAST(-1 AS BIGINT)
+              ELSE CAST((2 + doc_id % 4) * (32 + (doc_id % 4) * 16)
+                AS BIGINT)
+         END AS n_samples
+       FROM documents""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism) // cores, not files
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val clean = Flac.synthFlac(
+          nFrames = 2 + (id % 4).toInt,
+          blockSize = 32 + ((id % 4) * 16).toInt,
+          sampleRate = 8000 + ((id % 8) * 1000).toInt, seed = id)
+        val bytes =
+          if (id % 13 == 0) java.util.Arrays.copyOf(clean, 30) // < STREAMINFO
+          else if (id % 17 == 0) {
+            // one bit, mid-stream: always inside the frame region
+            // (header+STREAMINFO = 42 bytes < len/2), so only the
+            // CRC verification can catch it
+            val g = clean.clone(); g(g.length / 2) =
+              (g(g.length / 2) ^ 0x10).toByte; g
+          } else clean
+        Flac.decodeFlac(bytes) match {
+          case Some(st) => (id, "ok", st.nSamples)
+          case None =>
+            val status =
+              if (id % 13 == 0) "quarantine_truncated"
+              else if (id % 17 == 0) "quarantine_bitflip"
+              else "decode_bug" // a clean clip failed: break the hash
+            (id, status, -1L)
+        }
+      })
+      .toDF("doc_id", "status", "n_samples")
+  }
+
   /** Pixel-exact image downscale — the resize every vision-data
     * pipeline runs before feature extraction, checked at the pixel
     * level: a 16×16 PNG goes through REAL decode → exact 2× box
@@ -1180,6 +1232,7 @@ object MultimodalQueries {
     audioMp3Meta, audioAdpcmStats, audioFlacStats, audioSilence,
     imageAhash, videoFrameSample,
     videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup,
-    mediaQuarantine, imageDownscale, audioResample, imageMetadata,
+    mediaQuarantine, flacQuarantine, imageDownscale, audioResample,
+    imageMetadata,
     multimodalManifest)
 }
