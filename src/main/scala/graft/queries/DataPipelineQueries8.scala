@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.functions.{SubstringDedup, TextCuration, TextDedup, UnigramLm}
+import graft.functions.{SubstringDedup, TextCuration, TextDedup, UnigramLm,
+  Wordpiece}
 
 /** Round-9 pipeline additions. The headliner is the text-curation
   * CAPSTONE manifest — the query the text side of this library exists
@@ -293,6 +294,61 @@ object DataPipelineQueries8 {
         FROM (VALUES $rows) AS t(s, nw, np, tb)"""
   }
 
+  /** WordPiece (BERT-style greedy longest-match-first) segmentation —
+    * the third member of the tokenizer family (see
+    * functions/Wordpiece.scala): two-namespace deterministic vocab
+    * (word-initial vs continuation, the "##" convention), greedy scan
+    * per word TYPE with the bounded vocab sets broadcast, corpus sees
+    * one word-keyed join + the per-source aggregate. Oracle is a
+    * verify-time VALUES literal from the independent pure-Scala vocab
+    * replay; WordpieceSpec pins greedy-vs-replay equality and the
+    * longest-match property. */
+  val wordpieceTokenize = replayed("wordpiece_tokenize") { (s, d) =>
+    import s.implicits._
+    val docs = TextDedup.withTokens(Tables.documents(s, d))
+    val words = docs.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val (ini, cont) = DataPipelineQueries.withFewPartitions(s, 4) {
+      Wordpiece.vocab(s, words)
+    }
+    val bc = s.sparkContext.broadcast((ini, cont))
+    val typePieces = words.select(col("word")).as[String]
+      .map { w =>
+        val (np, lg) = Wordpiece.segment(w, bc.value._1, bc.value._2)
+        (w, np.toLong, lg.toLong)
+      }
+      .toDF("word", "n_pieces", "longest")
+    docs.select(col("source"), explode(col("w")).as("word"))
+      .join(typePieces, "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        max(col("longest")).as("max_piece_len"))
+  } { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("source"), col("text"))
+      .collect().toSeq
+      .map(r => (r.getString(0),
+        r.getString(1).split(" ").toSeq.filter(_.nonEmpty)))
+    val wordCounts = docs.iterator.flatMap(_._2).toSeq
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
+    val (ini, cont) = Wordpiece.refVocab(wordCounts)
+    val memo = scala.collection.mutable.HashMap[String, (Int, Int)]()
+    def seg(w: String): (Int, Int) =
+      memo.getOrElseUpdate(w, Wordpiece.segment(w, ini, cont))
+    val rows = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
+      val ws = rs.flatMap(_._2)
+      val np = ws.iterator.map(w => seg(w)._1.toLong).sum
+      val mx = ws.iterator.map(w => seg(w)._2).max
+      s"(${sqlLit(src)}, ${ws.size}, $np, $mx)"
+    }.mkString(", ")
+    s"""SELECT s AS "source", CAST(nw AS BIGINT) AS n_words,
+          CAST(np AS BIGINT) AS n_pieces,
+          CAST(mx AS BIGINT) AS max_piece_len
+        FROM (VALUES $rows) AS t(s, nw, np, mx)"""
+  }
+
   def all: Seq[QueryDef] =
-    Seq(textCurationManifest, textCurationApply, unigramTokenize)
+    Seq(textCurationManifest, textCurationApply, unigramTokenize,
+      wordpieceTokenize)
 }
