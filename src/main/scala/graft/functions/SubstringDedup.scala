@@ -165,10 +165,22 @@ object SubstringDedup {
       textCol: String = "text", k: Int = DefaultK,
       w: Int = DefaultW): DataFrame = {
     require(k >= 1 && w >= 1)
+    anchorRelation(df, idCol, textCol)(winnowBytePositions(_, k, w))
+  }
+
+  /** Shared anchor-scan scaffolding for [[anchors]]/[[anchorsBytes]]:
+    * integral-id validation (a silent cast("long") would map
+    * string/UUID ids to null and collapse every document onto one
+    * key), the parallelism-aware spread (the CPU-bound winnowing scan
+    * must never pin to one core on a small-file input — at real scale
+    * the corpus already has >= parallelism partitions and no shuffle
+    * happens), and the per-text flatMap. */
+  private def anchorRelation(df: DataFrame, idCol: String,
+      textCol: String)(perText: String => Seq[(Int, String)]): DataFrame = {
     val idType = df.schema(idCol).dataType
     require(Seq("byte", "short", "integer", "long")
         .contains(idType.typeName),
-      s"anchorsBytes: id column '$idCol' must be an integral type, got " +
+      s"anchor scan: id column '$idCol' must be an integral type, got " +
         s"${idType.typeName}; hash or dense-rank non-numeric ids first")
     val sp = df.sparkSession
     import sp.implicits._
@@ -180,7 +192,7 @@ object SubstringDedup {
       else base
     spread
       .flatMap { case (id, text) =>
-        winnowBytePositions(text, k, w).map { case (p, g) => (id, p, g) }
+        perText(text).map { case (p, g) => (id, p, g) }
       }
       .toDF(idCol, "pos", "g")
   }
@@ -197,26 +209,7 @@ object SubstringDedup {
       textCol: String = "text", k: Int = DefaultK,
       w: Int = DefaultW): DataFrame = {
     require(k >= 1 && w >= 1)
-    // fail fast on non-integral ids: a silent cast("long") would map
-    // string/UUID ids to null and collapse every document onto one key
-    val idType = df.schema(idCol).dataType
-    require(Seq("byte", "short", "integer", "long")
-        .contains(idType.typeName),
-      s"anchors: id column '$idCol' must be an integral type, got " +
-        s"${idType.typeName}; hash or dense-rank non-numeric ids first")
-    val sp = df.sparkSession
-    import sp.implicits._
-    val target = sp.sparkContext.defaultParallelism
-    val base = df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-    val spread =
-      if (base.rdd.getNumPartitions < target) base.repartition(target)
-      else base
-    spread
-      .flatMap { case (id, text) =>
-        winnowPositions(text, k, w).map { case (p, g) => (id, p, g) }
-      }
-      .toDF(idCol, "pos", "g")
+    anchorRelation(df, idCol, textCol)(winnowPositions(_, k, w))
   }
 
   /** Anchors whose gram recurs — selected at >= 2 distinct (doc, pos)

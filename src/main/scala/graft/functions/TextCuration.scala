@@ -59,9 +59,15 @@ object TextCuration {
   /** Build the manifest over `docs` (doc_id, text, lang, n_chars) with
     * the dedup family's shared distinct-shingle relation `sh`
     * (doc_id, s) — pass the suite's memoized one so the LSH tier reuses
-    * the same cached scan as the standalone dedup queries. */
+    * the same cached scan as the standalone dedup queries.
+    *
+    * `anchorsOpt`: the (checkpointed) winnowing anchor relation, when
+    * the caller already computed it — [[applyManifest]] consumes the
+    * same relation, and recomputing the per-char anchor scan (the most
+    * expensive linear pass here) per consumer would double it. None =
+    * computed and checkpointed internally. */
   def manifest(spark: SparkSession, docs: DataFrame, sh: DataFrame,
-      cfg: Config): DataFrame = {
+      cfg: Config, anchorsOpt: Option[DataFrame] = None): DataFrame = {
     // tier 1: exact keep-first — rank within content-hash groups
     val ex = docs.select(col("doc_id"),
       when(row_number().over(
@@ -77,7 +83,8 @@ object TextCuration {
 
     // tier 3: winnowing duplicated-span coverage (chars of each doc
     // inside a verbatim-repeated region anywhere in the corpus)
-    val anch = SubstringDedup.anchors(docs).localCheckpoint(true)
+    val anch = anchorsOpt.getOrElse(
+      SubstringDedup.anchors(docs).localCheckpoint(true))
     val sub = SubstringDedup.duplicatedSpans(
         SubstringDedup.duplicatedAnchors(anch))
       .groupBy(col("doc_id"))
@@ -163,8 +170,13 @@ object TextCuration {
     * document (sig = md5 of the emitted text, so an oracle pins the
     * reconstruction string-exactly). */
   def applyManifest(spark: SparkSession, docs: DataFrame,
-      manifest: DataFrame, cfg: Config): DataFrame = {
-    val anch = SubstringDedup.anchors(docs).localCheckpoint(true)
+      manifest: DataFrame, cfg: Config,
+      anchorsOpt: Option[DataFrame] = None): DataFrame = {
+    // pass the manifest's checkpointed anchor relation via anchorsOpt:
+    // the per-char winnowing scan is the most expensive linear pass in
+    // the whole composition and must not run twice
+    val anch = anchorsOpt.getOrElse(
+      SubstringDedup.anchors(docs).localCheckpoint(true))
     val dup = SubstringDedup.duplicatedAnchors(anch)
     val bg = anch.filter(col("doc_id") % cfg.benchmarkMod === 0)
       .select(col("g")).distinct()

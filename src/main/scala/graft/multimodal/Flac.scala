@@ -83,6 +83,7 @@ object Flac {
     /** Spec unary: q zero bits then a one bit. */
     def writeUnary(q: Int): Unit = { writeBits(0L, q); writeBits(1L, 1) }
     def alignByte(): Unit = if (nBits != 0) writeBits(0L, 8 - nBits)
+    def isAligned: Boolean = nBits == 0
     def size: Int = buf.size
     def toBytes: Array[Byte] = { alignByte(); buf.toArray }
     def byteAt(i: Int): Byte = buf(i)
@@ -171,6 +172,7 @@ object Flac {
       var bps = -1
       var channels = -1
       var first = true
+      var headerMd5: Array[Byte] = null
       while (!last) {
         if (off + 4 > b.length) return None
         val h = b(off) & 0xff
@@ -188,6 +190,12 @@ object Flac {
           rate = r.readBits(20).toInt
           channels = r.readBits(3).toInt + 1
           bps = r.readBits(5).toInt + 1
+          // 36-bit total samples then the 16-byte MD5 of the decoded
+          // sample stream (the spec's own end-to-end integrity field —
+          // frame CRCs cover frame BYTES, this covers the SAMPLES);
+          // all-zero = unknown per spec, then not verified
+          headerMd5 = java.util.Arrays.copyOfRange(b,
+            off + 4 + 18, off + 4 + 34)
           first = false
         }
         off += 4 + len
@@ -196,6 +204,7 @@ object Flac {
       var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var zc = 0L
       var n = 0L
       var prevNeg = false
+      val sampleMd = java.security.MessageDigest.getInstance("MD5")
       @inline def emit(s: Int): Unit = {
         val a = math.abs(s.toLong)
         if (a > peak) peak = a
@@ -205,6 +214,9 @@ object Flac {
         if (n > 0 && neg != prevNeg) zc += 1
         prevNeg = neg
         n += 1
+        // spec MD5 input: the unencoded samples, 16-bit little-endian
+        sampleMd.update((s & 0xff).toByte)
+        sampleMd.update(((s >> 8) & 0xff).toByte)
       }
       val r = new BitReader(b)
       r.seekByte(off)
@@ -292,8 +304,15 @@ object Flac {
         var i = 0
         while (i < blockSize) { emit(s(i) << wasted); i += 1 }
       }
-      if (n == 0) None
-      else Some(Multimodal.PcmStats(1, rate, n, peak, sumAbs, sumSq, zc))
+      if (n == 0) return None
+      // verify the stream-level sample MD5 when STREAMINFO carries one
+      // (all-zero = unknown per spec): this is the integrity tier the
+      // frame CRCs cannot give — it spans frames and covers the
+      // DECODED samples, so a decoder bug that produces plausible but
+      // wrong samples also fails here
+      if (headerMd5 != null && headerMd5.exists(_ != 0) &&
+        !java.util.Arrays.equals(sampleMd.digest(), headerMd5)) return None
+      Some(Multimodal.PcmStats(1, rate, n, peak, sumAbs, sumSq, zc))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   // ---- fixture synthesis ----------------------------------------------
@@ -364,6 +383,13 @@ object Flac {
       blockSize % 2 == 0 && sampleRate > 0 && sampleRate < (1 << 20))
     val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
     out ++= "fLaC".getBytes("US-ASCII")
+    // spec MD5 of the unencoded sample stream (16-bit LE), written
+    // into STREAMINFO so the decoder's stream-level verify is real
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (f <- 0 until nFrames; s <- synthSamples(f, blockSize, seed)) {
+      md.update((s & 0xff).toByte); md.update(((s >> 8) & 0xff).toByte)
+    }
+    val sampleMd5 = md.digest()
     // STREAMINFO (last metadata block): 34 bytes
     val si = new BitWriter
     si.writeBits(blockSize.toLong, 16)      // min block size
@@ -374,7 +400,7 @@ object Flac {
     si.writeBits(15L, 5)                    // bps - 1
     si.writeBits(nFrames.toLong * blockSize, 36)
     var i = 0
-    while (i < 16) { si.writeBits(0L, 8); i += 1 } // MD5 unknown
+    while (i < 16) { si.writeBits(sampleMd5(i).toLong & 0xff, 8); i += 1 }
     val siBytes = si.toBytes
     out += 0x80.toByte // last-block flag, type 0
     out += 0; out += 0; out += 34
@@ -445,9 +471,14 @@ object Flac {
   }
 
   /** BitWriter view that snapshots bytes WITHOUT forcing alignment —
-    * valid only at byte-aligned positions (enforced). */
+    * valid only at byte-aligned positions (enforced: a snapshot with
+    * pending sub-byte bits would silently drop them and compute CRCs
+    * over the wrong range). */
   implicit private class WriterOps(w: BitWriter) {
     def toBytesNoAlign(): Array[Byte] = {
+      require(w.isAligned,
+        "toBytesNoAlign at an unaligned bit position — pending bits " +
+          "would be dropped from the snapshot")
       val arr = new Array[Byte](w.size)
       var i = 0
       while (i < arr.length) { arr(i) = w.byteAt(i); i += 1 }

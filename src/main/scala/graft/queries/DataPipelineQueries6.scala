@@ -290,10 +290,14 @@ object DataPipelineQueries6 {
     val subLen = scala.collection.mutable.HashMap[String, Long]()
     def nSub(w: String): Long =
       subLen.getOrElseUpdate(w, Bpe.applyMerges(w, merges).length.toLong)
-    val rows = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
-      val ws = rs.flatMap(_._2)
-      s"(${sqlLit(src)}, ${ws.size}, ${ws.iterator.map(nSub).sum})"
-    }.mkString(", ")
+    // sources whose docs all tokenize to zero words produce no rows on
+    // the engine side (explode of an empty array) — skip them here too
+    val rows = docs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, rs) => (src, rs.flatMap(_._2)) }
+      .filter(_._2.nonEmpty)
+      .map { case (src, ws) =>
+        s"(${sqlLit(src)}, ${ws.size}, ${ws.iterator.map(nSub).sum})"
+      }.mkString(", ")
     s"""SELECT s AS "source", CAST(nw AS BIGINT) AS n_words,
           CAST(nb AS BIGINT) AS n_bpe_tokens
         FROM (VALUES $rows) AS t(s, nw, nb)"""

@@ -227,12 +227,16 @@ object DataPipelineQueries8 {
        LEFT JOIN stitched st ON st.doc_id = lab.doc_id
        WHERE lab.reason IN ('clean', 'dup_spans')""") { (s, d) =>
     val docs = Tables.documents(s, d)
+    val cfg = TextCuration.Config(stopwords = DataPipelineQueries2.stopAll)
+    // ONE winnowing anchor scan feeds both the manifest's dup-span
+    // tier and the apply step's scrub-span construction
+    val anch = SubstringDedup.anchors(docs).localCheckpoint(true)
     val manifest = TextCuration.manifest(s, docs,
-        DataPipelineQueries.checkpointedShingles(s, d),
-        TextCuration.Config(stopwords = DataPipelineQueries2.stopAll))
+        DataPipelineQueries.checkpointedShingles(s, d), cfg,
+        anchorsOpt = Some(anch))
       .localCheckpoint(true) // decision relation feeds filter + join
-    TextCuration.applyManifest(s, docs, manifest,
-      TextCuration.Config(stopwords = DataPipelineQueries2.stopAll))
+    TextCuration.applyManifest(s, docs, manifest, cfg,
+      anchorsOpt = Some(anch))
   }
 
   /** Unigram-LM (SentencePiece-style) subword segmentation — the
@@ -283,12 +287,16 @@ object DataPipelineQueries8 {
     val memo = scala.collection.mutable.HashMap[String, (Int, Long)]()
     def seg(w: String): (Int, Long) =
       memo.getOrElseUpdate(w, UnigramLm.viterbi(w, bits))
-    val rows = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
-      val ws = rs.flatMap(_._2)
-      val np = ws.iterator.map(w => seg(w)._1.toLong).sum
-      val tb = ws.iterator.map(w => seg(w)._2).sum
-      s"(${sqlLit(src)}, ${ws.size}, $np, $tb)"
-    }.mkString(", ")
+    // sources whose docs all tokenize to zero words produce no rows on
+    // the engine side (explode of an empty array) — skip them here too
+    val rows = docs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, rs) => (src, rs.flatMap(_._2)) }
+      .filter(_._2.nonEmpty)
+      .map { case (src, ws) =>
+        val np = ws.iterator.map(w => seg(w)._1.toLong).sum
+        val tb = ws.iterator.map(w => seg(w)._2).sum
+        s"(${sqlLit(src)}, ${ws.size}, $np, $tb)"
+      }.mkString(", ")
     s"""SELECT s AS "source", CAST(nw AS BIGINT) AS n_words,
           CAST(np AS BIGINT) AS n_pieces, CAST(tb AS BIGINT) AS total_bits
         FROM (VALUES $rows) AS t(s, nw, np, tb)"""
@@ -336,12 +344,17 @@ object DataPipelineQueries8 {
     val memo = scala.collection.mutable.HashMap[String, (Int, Int)]()
     def seg(w: String): (Int, Int) =
       memo.getOrElseUpdate(w, Wordpiece.segment(w, ini, cont))
-    val rows = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rs) =>
-      val ws = rs.flatMap(_._2)
-      val np = ws.iterator.map(w => seg(w)._1.toLong).sum
-      val mx = ws.iterator.map(w => seg(w)._2).max
-      s"(${sqlLit(src)}, ${ws.size}, $np, $mx)"
-    }.mkString(", ")
+    // sources whose docs all tokenize to zero words produce no rows on
+    // the engine side (explode of an empty array) — skip them here too
+    // (and an empty ws would crash the .max)
+    val rows = docs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, rs) => (src, rs.flatMap(_._2)) }
+      .filter(_._2.nonEmpty)
+      .map { case (src, ws) =>
+        val np = ws.iterator.map(w => seg(w)._1.toLong).sum
+        val mx = ws.iterator.map(w => seg(w)._2).max
+        s"(${sqlLit(src)}, ${ws.size}, $np, $mx)"
+      }.mkString(", ")
     s"""SELECT s AS "source", CAST(nw AS BIGINT) AS n_words,
           CAST(np AS BIGINT) AS n_pieces,
           CAST(mx AS BIGINT) AS max_piece_len

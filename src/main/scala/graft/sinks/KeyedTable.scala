@@ -216,8 +216,9 @@ object KeyedTable {
     * rows for the bucket, so a bucket's file count creeps toward the
     * writer's parallelism): group each listed bucket's files into
     * `ceil(totalBytes / targetBytes)` bins by GREEDY CONTIGUOUS
-    * cumulative-size binning — the `compaction_plan` rule, bin =
-    * floor(cumBytes · nBins / total) over the name-ordered listing —
+    * cumulative-size binning — the `compaction_plan` rule in its
+    * overflow-free form, bin = min(cumStartBytes div targetBytes,
+    * nBins - 1) over the name-ordered listing —
     * then rewrite the bucket with one output file per bin through the
     * same dynamic-partition overwrite + commit protocol as [[upsert]]
     * (a crashed rewrite never leaves a partially-replaced bucket).
@@ -268,12 +269,14 @@ object KeyedTable {
           CompactionReport(b, files.size, files.size, total) // already compact
         else {
           // greedy contiguous binning by cumulative bytes (the
-          // compaction_plan rule); one coalesced output file per bin
+          // compaction_plan rule, expressed as cumStart div target so
+          // no product can overflow Long on very large buckets); one
+          // coalesced output file per bin
           var cum = 0L
           val binned = files.map { f =>
-            val bin = if (total == 0) 0 else (cum * nBins / total).toInt
+            val bin = math.min(cum / targetBytes, nBins - 1L).toInt
             cum += f.getLen
-            (math.min(bin, nBins - 1), f.getPath.toString)
+            (bin, f.getPath.toString)
           }.groupBy(_._1).toSeq.sortBy(_._1)
           // one DataFrame per bin, coalesced to one partition, united
           // at the RDD level: a Dataset-level union of coalesce(1)

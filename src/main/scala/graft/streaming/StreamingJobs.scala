@@ -428,8 +428,20 @@ object StreamingJobs {
     * answer matches the one-shot batch operator under ANY split of
     * the ingest into micro-batches that arrives in (doc_id, pos)
     * order — the file source here delivers files in order, and the
-    * single-file case degenerates to the pure batch path. The oracle
-    * is `substr_incremental_dedup`'s SQL verbatim. */
+    * single-file case degenerates to the pure batch path. The fold is
+    * guarded by batch id, so a Spark RE-INVOCATION of the same
+    * micro-batch (the retry the idempotent writer absorbs) labels
+    * against the same prior state instead of seeing its own grams.
+    *
+    * SCOPE: the fold is in-memory per-RUN state, like the
+    * localCheckpointed index relation beside it — right for this
+    * one-shot AvailableNow ingest, where a failed run is re-run whole.
+    * A deployment resuming a LONG-LIVED query from a durable
+    * checkpoint mid-ingest must persist the ingest gram set between
+    * restarts the same way the corpus index is persisted — as a
+    * KeyedTable-maintained anchor index (`substr_index_upsert`), with
+    * each committed micro-batch's grams upserted after its write.
+    * The oracle is `substr_incremental_dedup`'s SQL verbatim. */
   def streamingSubstrDedup(spark: SparkSession, sfDir: String,
       outDir: String): DataFrame = {
     import graft.functions.SubstringDedup
@@ -443,21 +455,33 @@ object StreamingJobs {
     val writer = idempotentBatchWriter(spark, outDir)
     val qname = "graft_stream_substr_dedup"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
-    // grams of already-processed micro-batches of this ingest; foreachBatch
-    // runs sequentially, so the var swap is single-threaded by contract
+    // grams of already-processed micro-batches of this ingest, keyed by
+    // the highest folded batch id; one level of pre-fold history makes
+    // a RE-INVOKED batch (streaming retries only replay the latest)
+    // label against the state before its own fold — idempotent output.
+    // foreachBatch runs sequentially, so the var swaps are
+    // single-threaded by contract
     var priorGrams: Option[DataFrame] = None
+    var priorBeforeLastFold: Option[DataFrame] = None
+    var lastFolded = -1L
     val q = docs.where(isBatch).writeStream.queryName(qname)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val prior =
+          if (id == lastFolded) priorBeforeLastFold else priorGrams
         val batchAnchors = SubstringDedup.anchors(batch)
           .localCheckpoint(true)
         writer(SubstringDedup.incrementalDedup(
           indexGrams = idxGrams,
           batchAnchors = batchAnchors,
-          priorIngestGrams = priorGrams), id)
-        val bg = batchAnchors.select(col("g")).distinct()
-        priorGrams = Some(priorGrams
-          .map(_.unionByName(bg).distinct().localCheckpoint(true))
-          .getOrElse(bg.localCheckpoint(true)))
+          priorIngestGrams = prior), id)
+        if (id > lastFolded) {
+          val bg = batchAnchors.select(col("g")).distinct()
+          priorBeforeLastFold = priorGrams
+          priorGrams = Some(priorGrams
+            .map(_.unionByName(bg).distinct().localCheckpoint(true))
+            .getOrElse(bg.localCheckpoint(true)))
+          lastFolded = id
+        }
       }
       .trigger(Trigger.AvailableNow()).start()
     try { q.processAllAvailable() } finally { q.stop() }

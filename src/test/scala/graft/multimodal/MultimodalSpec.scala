@@ -714,6 +714,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(Flac.decodeFlac("junk".getBytes).isEmpty)
     assert(Flac.decodeFlac(Array.empty[Byte]).isEmpty)
+    // the spec's stream-level sample MD5 (STREAMINFO bytes 18..33 of
+    // the block, i.e. stream offsets 26..41): a flip there is invisible
+    // to the frame CRCs and must be caught by the MD5 verify
+    val badMd5 = b.clone(); badMd5(30) = (badMd5(30) ^ 0x01).toByte
+    assert(Flac.decodeFlac(badMd5).isEmpty,
+      "sample-MD5 mismatch must decline")
+    // all-zero MD5 = unknown per spec: not verified, clip accepted
+    val zeroMd5 = b.clone()
+    for (i <- 26 until 42) zeroMd5(i) = 0
+    assert(Flac.decodeFlac(zeroMd5).nonEmpty,
+      "unknown (all-zero) MD5 is not an integrity failure")
     // other real formats are not claimed by the FLAC decoder
     assert(Flac.decodeFlac(
       Multimodal.synthAdpcmWav(2, 64, 8000, 1L)).isEmpty)

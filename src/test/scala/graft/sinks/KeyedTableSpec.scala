@@ -126,7 +126,7 @@ class KeyedTableSpec extends AnyFunSuite {
     val dir = freshDir()
     fragmentedTable(dir, numBuckets = 2)
     // independent replay of the rule over the name-ordered pre-compact
-    // listing: bin(file) = floor(cumStartBytes * nBins / total)
+    // listing: bin(file) = min(cumStartBytes div target, nBins - 1)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     val target = 2048L
@@ -142,7 +142,7 @@ class KeyedTableSpec extends AnyFunSuite {
         val nBins = math.max(1L, (total + target - 1) / target).toInt
         val cums = sizes.scanLeft(0L)(_ + _).init
         val distinctBins = cums.map(c =>
-          math.min((c * nBins / total).toInt, nBins - 1)).distinct.size
+          math.min(c / target, nBins - 1L).toInt).distinct.size
         b -> ((nBins, distinctBins))
       }
     val reports = KeyedTable.compact(spark, dir, targetBytes = target)
