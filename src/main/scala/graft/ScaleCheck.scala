@@ -476,6 +476,25 @@ object ScaleCheck {
         .filter(col("margin") > 0).count()
     }
 
+    // Full curation-manifest composition (r9 capstone): every text
+    // tier in ONE query. Each tier's growth is probed individually
+    // above (minhash_lsh, substr_dedup, decontaminate,
+    // quality_classifier) — the claim THIS probe pins is that the
+    // COMPOSITION adds nothing superlinear: the tiers meet in
+    // per-doc-keyed joins, so end-to-end growth must track the sum of
+    // the tiers, not multiply them.
+    time("curation_manifest") {
+      val sh = graft.functions.TextDedup.shingles(docs)
+        .localCheckpoint(true)
+      graft.functions.TextCuration.manifest(spark, docs, sh,
+        graft.functions.TextCuration.Config(stopwords = Seq(
+          "the", "a", "of", "and", "to", "in",
+          "el", "la", "los", "de", "y", "que",
+          "der", "die", "das", "und", "ein", "ist",
+          "le", "les", "des", "et", "un", "une")))
+        .groupBy(col("decision"), col("reason")).count().count()
+    }
+
     // global training shuffle: range repartition on the md5 key +
     // zipWithIndex (a count job + the attach pass) — the sort is the
     // cost, O(n log n) with no single-partition stage
