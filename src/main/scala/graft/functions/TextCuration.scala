@@ -61,13 +61,15 @@ object TextCuration {
     * (doc_id, s) — pass the suite's memoized one so the LSH tier reuses
     * the same cached scan as the standalone dedup queries.
     *
-    * `anchorsOpt`: the (checkpointed) winnowing anchor relation, when
-    * the caller already computed it — [[applyManifest]] consumes the
-    * same relation, and recomputing the per-char anchor scan (the most
-    * expensive linear pass here) per consumer would double it. None =
-    * computed and checkpointed internally. */
+    * `anchorsOpt` / `dupAnchorsOpt`: the (checkpointed) winnowing
+    * anchor relation and its duplicated-anchor subset, when the caller
+    * already computed them — [[applyManifest]] consumes the same
+    * relations, and recomputing the per-char anchor scan (the most
+    * expensive linear pass here) or its gram-keyed recurrence exchange
+    * per consumer would double them. None = computed internally. */
   def manifest(spark: SparkSession, docs: DataFrame, sh: DataFrame,
-      cfg: Config, anchorsOpt: Option[DataFrame] = None): DataFrame = {
+      cfg: Config, anchorsOpt: Option[DataFrame] = None,
+      dupAnchorsOpt: Option[DataFrame] = None): DataFrame = {
     // tier 1: exact keep-first — rank within content-hash groups
     val ex = docs.select(col("doc_id"),
       when(row_number().over(
@@ -86,7 +88,7 @@ object TextCuration {
     val anch = anchorsOpt.getOrElse(
       SubstringDedup.anchors(docs).localCheckpoint(true))
     val sub = SubstringDedup.duplicatedSpans(
-        SubstringDedup.duplicatedAnchors(anch))
+        dupAnchorsOpt.getOrElse(SubstringDedup.duplicatedAnchors(anch)))
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start") + 1).as("dup_chars"))
 
@@ -171,13 +173,15 @@ object TextCuration {
     * reconstruction string-exactly). */
   def applyManifest(spark: SparkSession, docs: DataFrame,
       manifest: DataFrame, cfg: Config,
-      anchorsOpt: Option[DataFrame] = None): DataFrame = {
-    // pass the manifest's checkpointed anchor relation via anchorsOpt:
-    // the per-char winnowing scan is the most expensive linear pass in
-    // the whole composition and must not run twice
+      anchorsOpt: Option[DataFrame] = None,
+      dupAnchorsOpt: Option[DataFrame] = None): DataFrame = {
+    // pass the manifest's checkpointed anchor relations via the Opts:
+    // the per-char winnowing scan (and its gram-keyed recurrence
+    // exchange) are the most expensive passes in the whole composition
+    // and must not run twice
     val anch = anchorsOpt.getOrElse(
       SubstringDedup.anchors(docs).localCheckpoint(true))
-    val dup = SubstringDedup.duplicatedAnchors(anch)
+    val dup = dupAnchorsOpt.getOrElse(SubstringDedup.duplicatedAnchors(anch))
     val bg = anch.filter(col("doc_id") % cfg.benchmarkMod === 0)
       .select(col("g")).distinct()
     val leaked = anch.filter(col("doc_id") % cfg.benchmarkMod =!= 0)

@@ -20,6 +20,18 @@ object DataPipelineQueries8 {
   private val K = SubstringDedup.DefaultK
   private val W = SubstringDedup.DefaultW
 
+  /** Pocket-perceptron rounds for the CAPSTONE queries: 4 — training
+    * depth is a policy knob of the composition, and the capstone's
+    * claim is that the tiers COMPOSE, not the classifier's ceiling
+    * (the standalone `quality_classifier` row keeps the full 8-round
+    * pocket training and its measured accuracy). Halves the capstone's
+    * driver-paced round jobs. Both engines use this same constant. */
+  private val CapstoneRounds = 4
+
+  private def capstoneConfig = TextCuration.Config(
+    stopwords = DataPipelineQueries2.stopAll,
+    classifierRounds = CapstoneRounds)
+
   private def stopList: String =
     DataPipelineQueries2.stopAll.map(w => s"'$w'").mkString(", ")
 
@@ -108,7 +120,7 @@ object DataPipelineQueries8 {
            CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END,
            '__bias__', CAST(1 AS BIGINT)
          FROM f0)
-       ${graft.functions.LinearClassifier.sqlUnrolled(8)},
+       ${graft.functions.LinearClassifier.sqlUnrolled(CapstoneRounds)},
        base AS (
          SELECT d.doc_id,
            CAST(ex.exact_dup AS INT) AS exact_dup,
@@ -156,8 +168,7 @@ object DataPipelineQueries8 {
   val textCurationManifest = sql("text_curation_manifest",
     manifestOracle) { (s, d) =>
     TextCuration.manifest(s, Tables.documents(s, d),
-      DataPipelineQueries.checkpointedShingles(s, d),
-      TextCuration.Config(stopwords = DataPipelineQueries2.stopAll))
+      DataPipelineQueries.checkpointedShingles(s, d), capstoneConfig)
   }
 
   /** The manifest EXECUTED — the curated corpus the pipeline writes:
@@ -227,16 +238,18 @@ object DataPipelineQueries8 {
        LEFT JOIN stitched st ON st.doc_id = lab.doc_id
        WHERE lab.reason IN ('clean', 'dup_spans')""") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val cfg = TextCuration.Config(stopwords = DataPipelineQueries2.stopAll)
-    // ONE winnowing anchor scan feeds both the manifest's dup-span
-    // tier and the apply step's scrub-span construction
+    // ONE winnowing anchor scan + ONE gram-keyed recurrence exchange
+    // feed both the manifest's dup-span tier and the apply step's
+    // scrub-span construction
     val anch = SubstringDedup.anchors(docs).localCheckpoint(true)
+    val dupAnch = SubstringDedup.duplicatedAnchors(anch)
+      .localCheckpoint(true)
     val manifest = TextCuration.manifest(s, docs,
-        DataPipelineQueries.checkpointedShingles(s, d), cfg,
-        anchorsOpt = Some(anch))
+        DataPipelineQueries.checkpointedShingles(s, d), capstoneConfig,
+        anchorsOpt = Some(anch), dupAnchorsOpt = Some(dupAnch))
       .localCheckpoint(true) // decision relation feeds filter + join
-    TextCuration.applyManifest(s, docs, manifest, cfg,
-      anchorsOpt = Some(anch))
+    TextCuration.applyManifest(s, docs, manifest, capstoneConfig,
+      anchorsOpt = Some(anch), dupAnchorsOpt = Some(dupAnch))
   }
 
   /** Unigram-LM (SentencePiece-style) subword segmentation — the

@@ -216,6 +216,20 @@ class PlanSpec extends AnyFunSuite {
       s"manifest plan grew to $exchanges exchanges — a tier regressed")
   }
 
+  test("text_curation_apply: scrub/assembly stays keyed — no cartesian, " +
+      "one shared anchor scan, bounded exchanges") {
+    val p = plan("text_curation_apply")
+    assert(!p.contains("CartesianProduct"))
+    // the winnowing anchor relation is checkpointed ONCE and shared by
+    // the manifest's dup-span tier and the apply step's scrub spans —
+    // a second Scan of the documents parquet for anchors would show as
+    // extra FileScans; the apply plan reads only checkpointed RDDs +
+    // the documents scan for the text join
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 16,
+      s"apply plan grew to $exchanges exchanges — a tier regressed")
+  }
+
   test("join_q10: filters reach both fact scans, nation broadcasts, top-k avoids global sort") {
     val p = plan("join_q10")
     assert(p.contains("EqualTo(l_returnflag,R)"),
