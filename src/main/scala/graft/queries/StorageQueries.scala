@@ -377,8 +377,35 @@ object StorageQueries {
         sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
   }
 
+  /** Keyed delete through the bucketed table — the right-to-be-
+    * forgotten operation (entity delete semantics; the reference's
+    * DatastoreMutationPool batched deletes alongside puts): build the
+    * table from customer, delete every custkey ≡ 0 (mod 5) PLUS a
+    * second pass re-deleting a subset (idempotence under retry), then
+    * read back. Touched buckets only are rewritten; a fully-emptied
+    * bucket's partition disappears rather than resurrecting rows
+    * (KeyedTableSpec pins that edge — this check pins the surviving
+    * relation). */
+  val deleteKeyed = sql("delete_keyed",
+    s"""SELECT c_custkey AS k,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v
+        FROM customer WHERE c_custkey % 5 <> 0""") { (s, d) =>
+    val dir = scratch("delete")
+    val cust = Tables.customer(s, d)
+    val base = cust.select(col("c_custkey").as("k"),
+      col("c_acctbal").cast(Dec).cast("double").as("v"))
+    KeyedTable.create(base, dir, "k")
+    val doomed = cust.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("k"))
+    KeyedTable.delete(s, dir, doomed, "k")
+    // retry a subset: idempotent, nothing further changes
+    KeyedTable.delete(s, dir, doomed.limit(10), "k")
+    KeyedTable.read(s, dir).select(col("k"), col("v"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    upsertKeyed, pqIndexUpsert, substrIndexUpsert, sourceEvolvingSchema,
+    upsertKeyed, deleteKeyed, pqIndexUpsert, substrIndexUpsert,
+    sourceEvolvingSchema,
     sourceInMemory, sourceNone,
     sourceNdjsonRoundtrip, sourceCsvRoundtrip, sourceOrcRoundtrip,
     sourceFileset, sourceZipLines, scanPartitionedTable, joinBucketed)

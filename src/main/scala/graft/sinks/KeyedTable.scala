@@ -207,6 +207,56 @@ object KeyedTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).drop("__bucket")
 
+  /** Delete a batch of keys — the right-to-be-forgotten operation a
+    * training-data store must support (the reference's Datastore gave
+    * it entity deletes; here it is the upsert protocol minus the
+    * inserts): touched buckets are discovered from the (bounded) key
+    * batch, survivors come from an anti join of ONLY those partitions,
+    * and the rewrite goes through the same dynamic-partition overwrite
+    * + commit protocol as [[upsert]] — O(batch), not O(table), and a
+    * retried delete of the same keys is a no-op.
+    *
+    * Edge the overwrite protocol cannot express: a bucket whose rows
+    * are ALL deleted produces zero output rows, and a dynamic
+    * overwrite never rewrites a partition it emits no rows for — the
+    * doomed rows would silently survive. Those buckets' partition
+    * directories are removed explicitly after the commit, still under
+    * the write lease. */
+  def delete(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String, numBuckets: Int = 16): Unit =
+    withTableLock(spark, dir) {
+      val del = keys.select(col(keyCol))
+        .withColumn("__bucket", bucket(keyCol, numBuckets))
+        .localCheckpoint(true)
+      val touched = del.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted // bounded by numBuckets
+      if (touched.nonEmpty) {
+        val existing = spark.read.parquet(dir)
+          .filter(col("__bucket")
+            .isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
+        val survivors = existing.join(
+            broadcast(del.select(col(keyCol))), Seq(keyCol), "left_anti")
+          .localCheckpoint(true)
+        val surviving = survivors.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (surviving.nonEmpty) {
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val old = spark.conf.getOption(key)
+          spark.conf.set(key, "dynamic")
+          try survivors.write.mode(SaveMode.Overwrite)
+            .partitionBy("__bucket").parquet(dir)
+          finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        }
+        // fully-emptied buckets: no output rows -> never overwritten
+        // above; remove their partition dirs explicitly
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        touched.filterNot(surviving).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, s"__bucket=$b"), true)
+        }
+      }
+    }
+
   /** Per-bucket compaction report: files before/after and bytes. */
   final case class CompactionReport(bucket: Int, filesBefore: Int,
       filesAfter: Int, bytes: Long)

@@ -190,6 +190,58 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(contents(dir) === rowsBefore)
   }
 
+  test("delete removes exactly the named keys — O(batch) bucket " +
+      "touching, idempotent retry, and a fully-emptied bucket's " +
+      "partition dir disappears instead of resurrecting its rows") {
+    val dir = freshDir()
+    KeyedTable.create(
+      (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 8)
+    def fileState(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    // find one bucket and delete EVERY key in it, plus a few others
+    val bucketOf = spark.range(0).sparkSession
+      .createDataset((1L to 200L))(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(8L)).cast("int").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val doomedBucket = bucketOf(1L)
+    val wholeBucket = bucketOf.collect {
+      case (k, b) if b == doomedBucket => k
+    }.toSeq
+    val extras = bucketOf.collect {
+      case (k, b) if b != doomedBucket => k
+    }.toSeq.sorted.take(3)
+    val before = fileState()
+    val doomed = (wholeBucket ++ extras)
+    KeyedTable.delete(spark, dir, doomed.toDF("k"), "k", numBuckets = 8)
+    val got = contents(dir)
+    assert(got.keySet === (1L to 200L).toSet -- doomed)
+    assert(extras.forall(k => !got.contains(k)))
+    // the emptied bucket's partition dir is gone entirely
+    assert(!new java.io.File(s"$dir/__bucket=$doomedBucket").exists(),
+      "fully-emptied bucket must not leave a partition dir")
+    // untouched buckets' files survive byte-identical
+    val touchedBuckets = doomed.map(bucketOf).toSet
+    val after = fileState()
+    before.filter { case (p, _) =>
+      !touchedBuckets.exists(b => p.contains(s"__bucket=$b")) }
+      .foreach { case (p, m) =>
+        assert(after.get(p).contains(m), s"untouched file rewritten: $p")
+      }
+    // idempotent retry: deleting the same keys again changes nothing
+    KeyedTable.delete(spark, dir, doomed.toDF("k"), "k", numBuckets = 8)
+    assert(contents(dir) === got)
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lock), "lease released after delete")
+  }
+
   test("a second concurrent writer fails loudly instead of corrupting") {
     val dir = freshDir()
     KeyedTable.create(
