@@ -252,6 +252,279 @@ object DataPipelineQueries8 {
       anchorsOpt = Some(anch), dupAnchorsOpt = Some(dupAnch))
   }
 
+  /** SERVING-MODE curation — the capstone's continuous-ingest face:
+    * documents with doc_id % 4 = 0 play the incoming batch, the rest
+    * the INDEXED corpus, and every decision signal comes from the
+    * incremental tiers that already exist individually — exact dedup
+    * against the corpus content-hash set (keep-first within the
+    * batch), `TextDedup.incrementalDedup` LSH labels against the band
+    * index, `SubstringDedup.incrementalDedup` anchor labels against
+    * the gram index, 5-gram contamination against the INDEXED
+    * benchmark suite (corpus docs ≡ 0 mod 7 — bounded, broadcast),
+    * stateless quality rules, and a classifier TRAINED ON THE CORPUS
+    * scoring the batch (the frozen-model production shape: the index
+    * side never re-trains per ingest). Per-ingest cost tracks the
+    * BATCH everywhere: the corpus participates only through its
+    * materialized index relations. Priority-ordered decision identical
+    * in shape to `text_curation_manifest`; the oracle replays every
+    * tier and the decision. */
+  val incrementalCuration = sql("incremental_curation",
+    s"""WITH w AS (
+         SELECT doc_id, lang, n_chars, text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+         FROM documents),
+       ${DataPipelineQueries7.oracleCtesFor(K, W).stripPrefix("WITH ")},
+       exc AS (
+         SELECT DISTINCT md5(text) AS h FROM documents
+         WHERE doc_id % 4 <> 0),
+       exb AS (
+         SELECT doc_id, md5(text) AS h,
+           row_number() OVER (PARTITION BY md5(text)
+             ORDER BY doc_id) AS rn
+         FROM documents WHERE doc_id % 4 = 0),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' '
+             || w[CAST(i AS INT)+2] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-1, 1)))
+           AS i) t),
+       hs AS (
+         SELECT doc_id, i,
+           min(md5(concat(CAST(i AS VARCHAR), ':', s))) AS mh
+         FROM sh, LATERAL (SELECT unnest(range(0, 12)) AS i) t
+         GROUP BY doc_id, i),
+       bands AS (
+         SELECT doc_id, i // 3 AS band,
+           md5(string_agg(mh, '|' ORDER BY i)) AS sig
+         FROM hs GROUP BY doc_id, band),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       cand AS (
+         SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
+         FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
+         WHERE b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0),
+       com AS (
+         SELECT cd.bdoc, cd.cdoc, count(*) AS common
+         FROM cand cd JOIN sh a ON a.doc_id = cd.bdoc
+                      JOIN sh b ON b.doc_id = cd.cdoc AND b.s = a.s
+         GROUP BY 1, 2),
+       crossdup AS (
+         SELECT bdoc FROM com
+         JOIN sz x ON x.doc_id = bdoc JOIN sz y ON y.doc_id = cdoc
+         WHERE 5 * common >= 4 * (x.n + y.n - common) GROUP BY 1),
+       bcand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0),
+       bcom AS (
+         SELECT c.d1, c.d2, count(*) AS common
+         FROM bcand c JOIN sh a ON a.doc_id = c.d1
+                      JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+         GROUP BY 1, 2),
+       bdup AS (
+         SELECT d2 FROM bcom
+         JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+         WHERE 5 * common >= 4 * (x.n + y.n - common) GROUP BY 1),
+       sidx AS (
+         SELECT DISTINCT gram FROM anch WHERE doc_id % 4 <> 0),
+       sb AS (
+         SELECT doc_id, pos, gram FROM anch WHERE doc_id % 4 = 0),
+       slab AS (
+         SELECT doc_id, pos, gram,
+           row_number() OVER (PARTITION BY gram
+             ORDER BY doc_id, pos) AS srn,
+           CASE WHEN gram IN (SELECT gram FROM sidx)
+             THEN 1 ELSE 0 END AS ii
+         FROM sb),
+       sagg AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN ii = 1 OR srn > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS dup_anchors
+         FROM slab GROUP BY doc_id),
+       g5 AS (
+         SELECT DISTINCT doc_id,
+           w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' ||
+           w[CAST(i AS INT)+2] || ' ' || w[CAST(i AS INT)+3] || ' ' ||
+           w[CAST(i AS INT)+4] AS s
+         FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-3, 1)))
+           AS i) t
+         WHERE len(w) >= 5),
+       b5 AS (SELECT DISTINCT s FROM g5
+              WHERE doc_id % 4 <> 0 AND doc_id % 7 = 0),
+       contb AS (
+         SELECT g.doc_id,
+           CAST(count(b5.s) * 10000 // count(*) AS BIGINT) AS overlap_bp
+         FROM g5 g LEFT JOIN b5 ON b5.s = g.s
+         WHERE g.doc_id % 4 = 0
+         GROUP BY g.doc_id),
+       q AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           floor(length(array_to_string(w, '')) * 100.0
+             / greatest(len(w), 1)) AS mwl_cc,
+           len(list_filter(w, x -> x IN ($stopList))) >= 1 AS has_stop
+         FROM w WHERE doc_id % 4 = 0),
+       f0 AS MATERIALIZED (
+         SELECT doc_id, n_chars,
+           substr(md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]),
+             1, 2) AS b
+         FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+         WHERE len(w) >= 2 AND doc_id % 4 <> 0),
+       f AS MATERIALIZED (
+         SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
+           b, CAST(count(*) AS BIGINT) AS cnt
+         FROM f0 GROUP BY 1, 2, 3
+         UNION ALL
+         SELECT DISTINCT doc_id,
+           CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END,
+           '__bias__', CAST(1 AS BIGINT)
+         FROM f0)
+       ${graft.functions.LinearClassifier.sqlUnrolled(CapstoneRounds)},
+       fb0 AS MATERIALIZED (
+         SELECT doc_id,
+           substr(md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]),
+             1, 2) AS b
+         FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+         WHERE len(w) >= 2 AND doc_id % 4 = 0),
+       fb AS (
+         SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
+         FROM fb0 GROUP BY 1, 2
+         UNION ALL
+         SELECT DISTINCT doc_id, '__bias__', CAST(1 AS BIGINT) FROM fb0),
+       mb AS (
+         SELECT fb.doc_id,
+           coalesce(sum(fb.cnt * wbest.wv), 0) AS margin
+         FROM fb LEFT JOIN wbest ON wbest.b = fb.b GROUP BY 1),
+       base AS (
+         SELECT d.doc_id,
+           CAST(CASE WHEN exc.h IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS corpus_exact,
+           CAST(CASE WHEN exc.h IS NULL AND exb.rn > 1 THEN 1 ELSE 0 END
+             AS INT) AS batch_exact,
+           CAST(CASE WHEN cd.bdoc IS NOT NULL OR bd.d2 IS NOT NULL
+             THEN 1 ELSE 0 END AS INT) AS near_dup,
+           CAST(coalesce(sagg.dup_anchors, 0) AS BIGINT) AS dup_anchors,
+           CAST(coalesce(contb.overlap_bp, 0) AS BIGINT) AS overlap_bp,
+           q.n_tokens,
+           CAST(CASE WHEN q.n_tokens >= 20
+                AND q.mwl_cc BETWEEN 300 AND 799
+                AND q.has_stop THEN 1 ELSE 0 END AS INT) AS quality_pass,
+           CAST(coalesce(mb.margin, 0) AS BIGINT) AS margin
+         FROM documents d
+         JOIN exb ON exb.doc_id = d.doc_id
+         LEFT JOIN exc ON exc.h = exb.h
+         LEFT JOIN crossdup cd ON cd.bdoc = d.doc_id
+         LEFT JOIN bdup bd ON bd.d2 = d.doc_id
+         LEFT JOIN sagg ON sagg.doc_id = d.doc_id
+         LEFT JOIN contb ON contb.doc_id = d.doc_id
+         JOIN q ON q.doc_id = d.doc_id
+         LEFT JOIN mb ON mb.doc_id = d.doc_id
+         WHERE d.doc_id % 4 = 0),
+       lab AS (
+         SELECT *, CASE
+           WHEN doc_id % 7 = 0 THEN 'benchmark_member'
+           WHEN corpus_exact = 1 THEN 'corpus_exact_dup'
+           WHEN batch_exact = 1 THEN 'batch_exact_dup'
+           WHEN near_dup = 1 THEN 'near_dup'
+           WHEN overlap_bp >= 1000 THEN 'contaminated'
+           WHEN quality_pass = 0 THEN 'low_quality'
+           WHEN margin <= 0 THEN 'classifier_reject'
+           WHEN dup_anchors > 0 OR overlap_bp > 0 THEN 'dup_spans'
+           ELSE 'clean' END AS reason
+         FROM base)
+       SELECT doc_id, corpus_exact, batch_exact, near_dup, dup_anchors,
+         overlap_bp, n_tokens, quality_pass, margin, reason,
+         CASE WHEN reason = 'clean' THEN 'keep'
+              WHEN reason = 'dup_spans' THEN 'redact'
+              ELSE 'drop' END AS decision
+       FROM lab""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val isBatch = col("doc_id") % 4 === 0
+    val batchDocs = docs.where(isBatch)
+    // exact tier against the corpus content-hash set + batch keep-first
+    val corpusHashes = docs.where(!isBatch)
+      .select(md5(col("text")).as("h")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val byHash = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val exact = batchDocs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(byHash))
+      .join(corpusHashes, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("in_corpus") === 1, 1).otherwise(0).as("corpus_exact"),
+        when(col("in_corpus").isNull && col("rn") > 1, 1).otherwise(0)
+          .as("batch_exact"))
+    // LSH tier: the incremental band-index operator
+    val sh = DataPipelineQueries.checkpointedShingles(s, d)
+    val nd = TextDedup.incrementalDedup(
+        corpusSh = sh.where(!isBatch), batchSh = sh.where(isBatch),
+        batchIds = batchDocs.select(col("doc_id")))
+      .select(col("doc_id"),
+        when(col("status") =!= "new", 1).otherwise(0).as("near_dup"))
+    // substring tier: incremental anchor labels against the gram index
+    val anch = SubstringDedup.anchors(docs).localCheckpoint(true)
+    val srep = SubstringDedup.incrementalDedup(
+        indexGrams = anch.where(!isBatch),
+        batchAnchors = anch.where(isBatch))
+      .select(col("doc_id"),
+        (col("n_corpus_dup") + col("n_batch_dup")).as("dup_anchors"))
+    // contamination vs the INDEXED benchmark suite (bounded, broadcast)
+    val g5 = TextDedup.shingles(docs, n = 5).localCheckpoint(true)
+    val bench = g5.filter(!isBatch && col("doc_id") % 7 === 0)
+      .select(col("s").as("bs")).distinct()
+    val cont = g5.filter(isBatch)
+      .join(broadcast(bench), col("s") === col("bs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(count(bs) * 10000 DIV count(1) AS BIGINT)")
+        .as("overlap_bp"))
+    // quality rules (stateless, batch only)
+    val q = TextDedup.withTokens(batchDocs).select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      graft.functions.QualityFilters.meanTokenLenCentichars(col("w"))
+        .as("mwl_cc"),
+      graft.functions.TextStats
+        .hasAnyStopword("w", DataPipelineQueries2.stopAll).as("has_stop"))
+    // classifier: trained on the CORPUS, scoring the batch (frozen)
+    val featsAll = TextCuration.classifierFeatures(docs)
+      .localCheckpoint(true)
+    val weights = graft.functions.LinearClassifier.trainPocketPerceptron(
+      s, featsAll.where(!isBatch), rounds = CapstoneRounds)
+    val margins = graft.functions.LinearClassifier
+      .score(s, featsAll.where(isBatch), weights)
+      .select(col("doc_id"), col("margin"))
+    val m = batchDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(nd, Seq("doc_id"), "left")
+      .join(srep, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(q, Seq("doc_id"))
+      .join(margins, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("corpus_exact"), col("batch_exact"),
+        coalesce(col("near_dup"), lit(0)).cast("int").as("near_dup"),
+        coalesce(col("dup_anchors"), lit(0L)).cast("long")
+          .as("dup_anchors"),
+        coalesce(col("overlap_bp"), lit(0L)).cast("long").as("overlap_bp"),
+        col("n_tokens"),
+        when(col("n_tokens") >= 20 && col("mwl_cc").between(300, 799) &&
+          col("has_stop"), 1).otherwise(0).as("quality_pass"),
+        coalesce(col("margin"), lit(0L)).cast("long").as("margin"))
+    val reason =
+      when(col("doc_id") % 7 === 0, "benchmark_member")
+        .when(col("corpus_exact") === 1, "corpus_exact_dup")
+        .when(col("batch_exact") === 1, "batch_exact_dup")
+        .when(col("near_dup") === 1, "near_dup")
+        .when(col("overlap_bp") >= 1000, "contaminated")
+        .when(col("quality_pass") === 0, "low_quality")
+        .when(col("margin") <= 0, "classifier_reject")
+        .when(col("dup_anchors") > 0 || col("overlap_bp") > 0, "dup_spans")
+        .otherwise("clean")
+    m.withColumn("reason", reason)
+      .withColumn("decision",
+        when(col("reason") === "clean", "keep")
+          .when(col("reason") === "dup_spans", "redact")
+          .otherwise("drop"))
+  }
+
   /** Unigram-LM (SentencePiece-style) subword segmentation — the
     * Viterbi counterpart of `bpe_tokenize` (see
     * functions/UnigramLm.scala for the algorithm and the engine-exact
@@ -375,6 +648,6 @@ object DataPipelineQueries8 {
   }
 
   def all: Seq[QueryDef] =
-    Seq(textCurationManifest, textCurationApply, unigramTokenize,
-      wordpieceTokenize)
+    Seq(textCurationManifest, textCurationApply, incrementalCuration,
+      unigramTokenize, wordpieceTokenize)
 }
