@@ -25,8 +25,9 @@ import java.util.concurrent.atomic.AtomicInteger
 object RetryCheck {
   // per-JVM attempt tracker: first attempt of each partition fails
   val attempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
-  // separate tracker for the upsert write-path scenario
+  // separate trackers for the upsert/delete write-path scenarios
   val upsertAttempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+  val deleteAttempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -103,8 +104,36 @@ object RetryCheck {
     println(s"[retry-check] upsert-exactly-once=$upsertOk " +
       s"upsert-partitions-retried=$upsertRetried rows=${got.size}")
 
+    // --- keyed-delete under injected key-computation failures ---
+    // (the right-to-be-forgotten path must hold the same exactly-once
+    // contract: a doomed-key batch whose computation fails mid-task
+    // deletes each named key exactly once after retry — never a
+    // partial deletion, never a resurrected row)
+    val doomed = spark.range(0, 100, 1, 4).as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val n = deleteAttempts.computeIfAbsent(pid, _ => new AtomicInteger(0))
+          .incrementAndGet()
+        it.flatMap { x =>
+          if (n == 1 && x % 25 == 24)
+            throw new RuntimeException(s"injected delete failure, partition $pid")
+          if (x % 3 == 0) Some(x) else None
+        }
+      }.toDF("k")
+    graft.sinks.KeyedTable.delete(spark, dir, doomed, "k")
+    val afterDelete = graft.sinks.KeyedTable.read(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val expectedAfterDelete = expected.filter {
+      case (k, _) => !(k < 100 && k % 3 == 0)
+    }
+    val deleteOk = afterDelete == expectedAfterDelete
+    val deleteRetried = deleteAttempts.size == 4 &&
+      deleteAttempts.values.stream.allMatch(a => a.get == 2)
+    println(s"[retry-check] delete-exactly-once=$deleteOk " +
+      s"delete-partitions-retried=$deleteRetried rows=${afterDelete.size}")
+
     spark.stop()
     if (!(ok1 && ok2 && exactUnderFailure && overOnRecompute &&
-      upsertOk && upsertRetried)) sys.exit(1)
+      upsertOk && upsertRetried && deleteOk && deleteRetried)) sys.exit(1)
   }
 }

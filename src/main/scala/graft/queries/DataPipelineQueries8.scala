@@ -247,6 +247,9 @@ object DataPipelineQueries8 {
     val manifest = TextCuration.manifest(s, docs,
         DataPipelineQueries.checkpointedShingles(s, d), capstoneConfig,
         anchorsOpt = Some(anch), dupAnchorsOpt = Some(dupAnch))
+      // only the decision columns feed the apply step — checkpoint the
+      // narrow projection, not the 10-column signal relation
+      .select(col("doc_id"), col("decision"), col("reason"))
       .localCheckpoint(true) // decision relation feeds filter + join
     TextCuration.applyManifest(s, docs, manifest, capstoneConfig,
       anchorsOpt = Some(anch), dupAnchorsOpt = Some(dupAnch))
