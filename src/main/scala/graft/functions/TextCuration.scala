@@ -202,6 +202,149 @@ object TextCuration {
         md5(col("text_scrubbed")).as("sig"))
   }
 
+  /** The frozen corpus-side state a serving-mode curation ingest
+    * labels against — every member a MATERIALIZED index relation (or a
+    * driver-held bounded model), computed once per index build, never
+    * per ingest: the content-hash set (exact tier), the corpus shingle
+    * relation (LSH band index derives from it per batch; production
+    * materializes the bands themselves), the anchor-gram relation
+    * (substring tier), the benchmark 5-gram set (bounded by the eval
+    * suite), and the pocket-perceptron weights (bucket-space). */
+  final case class ServingIndex(
+      corpusHashes: DataFrame,
+      corpusShingles: DataFrame,
+      indexGrams: DataFrame,
+      benchGrams: DataFrame,
+      weights: Map[String, Long])
+
+  /** Grams/hashes/shingles of EARLIER micro-batches of the same
+    * logical ingest — the fold that makes streaming labels
+    * batch-split-invariant (see [[servingDecisions]]). All None =
+    * one-shot batch semantics. */
+  final case class IngestPrior(
+      hashes: Option[DataFrame] = None,
+      shingles: Option[DataFrame] = None,
+      grams: Option[DataFrame] = None)
+
+  /** Build the serving index from the corpus (the docs an ingest is
+    * deduped against). Checkpoints every relation — these persist
+    * between ingests by contract. */
+  def buildServingIndex(spark: SparkSession, corpusDocs: DataFrame,
+      cfg: Config, classifierRounds: Int): ServingIndex = {
+    val hashes = corpusDocs.select(md5(col("text")).as("h")).distinct()
+      .localCheckpoint(true)
+    val sh = TextDedup.shingles(corpusDocs).localCheckpoint(true)
+    val grams = SubstringDedup.anchors(corpusDocs)
+      .select(col("g")).distinct().localCheckpoint(true)
+    val bench = TextDedup.shingles(corpusDocs, n = 5)
+      .filter(col("doc_id") % cfg.benchmarkMod === 0)
+      .select(col("s").as("bs")).distinct().localCheckpoint(true)
+    val weights = LinearClassifier.trainPocketPerceptron(spark,
+      classifierFeatures(corpusDocs).localCheckpoint(true),
+      rounds = classifierRounds)
+    ServingIndex(hashes, sh, grams, bench, weights)
+  }
+
+  /** Per-batch-doc serving decision against a frozen [[ServingIndex]]:
+    * the incremental tiers composed into the same priority-ordered
+    * keep/drop/redact manifest as the batch capstone. `prior` folds
+    * earlier micro-batches of the SAME ingest so the labels are
+    * invariant under any in-(doc_id)-order batch split:
+    *   - exact: batch_exact fires when the hash is in an earlier
+    *     batch OR an earlier row of this batch (corpus_exact wins);
+    *   - near-dup: earlier batches' shingles join the corpus side of
+    *     the LSH operator (the merged near_dup signal is identical to
+    *     the one-shot run's);
+    *   - substring: earlier batches' grams ride
+    *     SubstringDedup.incrementalDedup's priorIngestGrams
+    *     (n_corpus_dup + n_batch_dup is split-invariant).
+    * Contamination, quality, and the frozen classifier are stateless
+    * per batch. Per-ingest cost tracks the BATCH everywhere. */
+  def servingDecisions(spark: SparkSession, batchDocs: DataFrame,
+      idx: ServingIndex, prior: IngestPrior, cfg: Config): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // exact tier: corpus set membership + keep-first (prior-batch aware)
+    val priorH = prior.hashes
+      .map(_.select(col("h")).distinct().withColumn("in_prior", lit(1)))
+      .getOrElse(spark.emptyDataFrame
+        .withColumn("h", lit("")).withColumn("in_prior", lit(1)).limit(0))
+    val byHash = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val exact = batchDocs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("rn", row_number().over(byHash))
+      .join(idx.corpusHashes.withColumn("in_corpus", lit(1)),
+        Seq("h"), "left")
+      .join(priorH, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("in_corpus") === 1, 1).otherwise(0).as("corpus_exact"),
+        when(col("in_corpus").isNull &&
+          (col("in_prior") === 1 || col("rn") > 1), 1).otherwise(0)
+          .as("batch_exact"))
+    // LSH tier: prior batches' shingles join the corpus side
+    val corpusSide = prior.shingles
+      .map(idx.corpusShingles.unionByName(_)).getOrElse(idx.corpusShingles)
+    val batchSh = TextDedup.shingles(batchDocs).localCheckpoint(true)
+    val nd = TextDedup.incrementalDedup(
+        corpusSh = corpusSide, batchSh = batchSh,
+        batchIds = batchDocs.select(col("doc_id")))
+      .select(col("doc_id"),
+        when(col("status") =!= "new", 1).otherwise(0).as("near_dup"))
+    // substring tier
+    val batchAnchors = SubstringDedup.anchors(batchDocs)
+      .localCheckpoint(true)
+    val srep = SubstringDedup.incrementalDedup(
+        indexGrams = idx.indexGrams, batchAnchors = batchAnchors,
+        priorIngestGrams = prior.grams)
+      .select(col("doc_id"),
+        (col("n_corpus_dup") + col("n_batch_dup")).as("dup_anchors"))
+    // contamination vs the indexed benchmark suite
+    val cont = TextDedup.shingles(batchDocs, n = 5)
+      .join(broadcast(idx.benchGrams), col("s") === col("bs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(count(bs) * 10000 DIV count(1) AS BIGINT)")
+        .as("overlap_bp"))
+    // quality rules + frozen classifier
+    val q = TextDedup.withTokens(batchDocs).select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      QualityFilters.meanTokenLenCentichars(col("w")).as("mwl_cc"),
+      TextStats.hasAnyStopword("w", cfg.stopwords).as("has_stop"))
+    val margins = LinearClassifier.score(spark,
+        classifierFeatures(batchDocs), idx.weights)
+      .select(col("doc_id"), col("margin"))
+    val m = batchDocs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(nd, Seq("doc_id"), "left")
+      .join(srep, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .join(q, Seq("doc_id"))
+      .join(margins, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("corpus_exact"), col("batch_exact"),
+        coalesce(col("near_dup"), lit(0)).cast("int").as("near_dup"),
+        coalesce(col("dup_anchors"), lit(0L)).cast("long")
+          .as("dup_anchors"),
+        coalesce(col("overlap_bp"), lit(0L)).cast("long").as("overlap_bp"),
+        col("n_tokens"),
+        when(col("n_tokens") >= cfg.minTokens &&
+          col("mwl_cc").between(cfg.mwlLoCc, cfg.mwlHiCc) &&
+          col("has_stop"), 1).otherwise(0).as("quality_pass"),
+        coalesce(col("margin"), lit(0L)).cast("long").as("margin"))
+    val reason =
+      when(col("doc_id") % cfg.benchmarkMod === 0, "benchmark_member")
+        .when(col("corpus_exact") === 1, "corpus_exact_dup")
+        .when(col("batch_exact") === 1, "batch_exact_dup")
+        .when(col("near_dup") === 1, "near_dup")
+        .when(col("overlap_bp") >= cfg.contaminatedBp, "contaminated")
+        .when(col("quality_pass") === 0, "low_quality")
+        .when(col("margin") <= 0, "classifier_reject")
+        .when(col("dup_anchors") > 0 || col("overlap_bp") > 0, "dup_spans")
+        .otherwise("clean")
+    m.withColumn("reason", reason)
+      .withColumn("decision",
+        when(col("reason") === "clean", "keep")
+          .when(col("reason") === "dup_spans", "redact")
+          .otherwise("drop"))
+  }
+
   /** The `quality_classifier` feature relation: md5-hashed bigram
     * bucket counts + the constant bias feature, labeled by the length
     * band (see DataPipelineQueries3.qualityClassifier for why that is

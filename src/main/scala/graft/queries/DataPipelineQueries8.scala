@@ -26,9 +26,9 @@ object DataPipelineQueries8 {
     * (the standalone `quality_classifier` row keeps the full 8-round
     * pocket training and its measured accuracy). Halves the capstone's
     * driver-paced round jobs. Both engines use this same constant. */
-  private val CapstoneRounds = 4
+  private[queries] val CapstoneRounds = 4
 
-  private def capstoneConfig = TextCuration.Config(
+  private[queries] def capstoneConfig = TextCuration.Config(
     stopwords = DataPipelineQueries2.stopAll,
     classifierRounds = CapstoneRounds)
 
@@ -271,7 +271,10 @@ object DataPipelineQueries8 {
     * materialized index relations. Priority-ordered decision identical
     * in shape to `text_curation_manifest`; the oracle replays every
     * tier and the decision. */
-  val incrementalCuration = sql("incremental_curation",
+  /** Shared with `stream_curation` (StreamingQueries): streaming and
+    * batch serving decisions are identical by construction, so the
+    * oracle is this SQL verbatim there. */
+  private[queries] lazy val IncrementalCurationOracle: String =
     s"""WITH w AS (
          SELECT doc_id, lang, n_chars, text,
            list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -439,93 +442,16 @@ object DataPipelineQueries8 {
          CASE WHEN reason = 'clean' THEN 'keep'
               WHEN reason = 'dup_spans' THEN 'redact'
               ELSE 'drop' END AS decision
-       FROM lab""") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+       FROM lab"""
+
+  val incrementalCuration = sql("incremental_curation",
+    IncrementalCurationOracle) { (s, d) =>
     val docs = Tables.documents(s, d)
     val isBatch = col("doc_id") % 4 === 0
-    val batchDocs = docs.where(isBatch)
-    // exact tier against the corpus content-hash set + batch keep-first
-    val corpusHashes = docs.where(!isBatch)
-      .select(md5(col("text")).as("h")).distinct()
-      .withColumn("in_corpus", lit(1))
-    val byHash = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-    val exact = batchDocs
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .withColumn("rn", row_number().over(byHash))
-      .join(corpusHashes, Seq("h"), "left")
-      .select(col("doc_id"),
-        when(col("in_corpus") === 1, 1).otherwise(0).as("corpus_exact"),
-        when(col("in_corpus").isNull && col("rn") > 1, 1).otherwise(0)
-          .as("batch_exact"))
-    // LSH tier: the incremental band-index operator
-    val sh = DataPipelineQueries.checkpointedShingles(s, d)
-    val nd = TextDedup.incrementalDedup(
-        corpusSh = sh.where(!isBatch), batchSh = sh.where(isBatch),
-        batchIds = batchDocs.select(col("doc_id")))
-      .select(col("doc_id"),
-        when(col("status") =!= "new", 1).otherwise(0).as("near_dup"))
-    // substring tier: incremental anchor labels against the gram index
-    val anch = SubstringDedup.anchors(docs).localCheckpoint(true)
-    val srep = SubstringDedup.incrementalDedup(
-        indexGrams = anch.where(!isBatch),
-        batchAnchors = anch.where(isBatch))
-      .select(col("doc_id"),
-        (col("n_corpus_dup") + col("n_batch_dup")).as("dup_anchors"))
-    // contamination vs the INDEXED benchmark suite (bounded, broadcast)
-    val g5 = TextDedup.shingles(docs, n = 5).localCheckpoint(true)
-    val bench = g5.filter(!isBatch && col("doc_id") % 7 === 0)
-      .select(col("s").as("bs")).distinct()
-    val cont = g5.filter(isBatch)
-      .join(broadcast(bench), col("s") === col("bs"), "left")
-      .groupBy(col("doc_id"))
-      .agg(expr("CAST(count(bs) * 10000 DIV count(1) AS BIGINT)")
-        .as("overlap_bp"))
-    // quality rules (stateless, batch only)
-    val q = TextDedup.withTokens(batchDocs).select(col("doc_id"),
-      size(col("w")).cast("long").as("n_tokens"),
-      graft.functions.QualityFilters.meanTokenLenCentichars(col("w"))
-        .as("mwl_cc"),
-      graft.functions.TextStats
-        .hasAnyStopword("w", DataPipelineQueries2.stopAll).as("has_stop"))
-    // classifier: trained on the CORPUS, scoring the batch (frozen)
-    val featsAll = TextCuration.classifierFeatures(docs)
-      .localCheckpoint(true)
-    val weights = graft.functions.LinearClassifier.trainPocketPerceptron(
-      s, featsAll.where(!isBatch), rounds = CapstoneRounds)
-    val margins = graft.functions.LinearClassifier
-      .score(s, featsAll.where(isBatch), weights)
-      .select(col("doc_id"), col("margin"))
-    val m = batchDocs.select(col("doc_id"))
-      .join(exact, Seq("doc_id"))
-      .join(nd, Seq("doc_id"), "left")
-      .join(srep, Seq("doc_id"), "left")
-      .join(cont, Seq("doc_id"), "left")
-      .join(q, Seq("doc_id"))
-      .join(margins, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("corpus_exact"), col("batch_exact"),
-        coalesce(col("near_dup"), lit(0)).cast("int").as("near_dup"),
-        coalesce(col("dup_anchors"), lit(0L)).cast("long")
-          .as("dup_anchors"),
-        coalesce(col("overlap_bp"), lit(0L)).cast("long").as("overlap_bp"),
-        col("n_tokens"),
-        when(col("n_tokens") >= 20 && col("mwl_cc").between(300, 799) &&
-          col("has_stop"), 1).otherwise(0).as("quality_pass"),
-        coalesce(col("margin"), lit(0L)).cast("long").as("margin"))
-    val reason =
-      when(col("doc_id") % 7 === 0, "benchmark_member")
-        .when(col("corpus_exact") === 1, "corpus_exact_dup")
-        .when(col("batch_exact") === 1, "batch_exact_dup")
-        .when(col("near_dup") === 1, "near_dup")
-        .when(col("overlap_bp") >= 1000, "contaminated")
-        .when(col("quality_pass") === 0, "low_quality")
-        .when(col("margin") <= 0, "classifier_reject")
-        .when(col("dup_anchors") > 0 || col("overlap_bp") > 0, "dup_spans")
-        .otherwise("clean")
-    m.withColumn("reason", reason)
-      .withColumn("decision",
-        when(col("reason") === "clean", "keep")
-          .when(col("reason") === "dup_spans", "redact")
-          .otherwise("drop"))
+    val idx = TextCuration.buildServingIndex(s, docs.where(!isBatch),
+      capstoneConfig, classifierRounds = CapstoneRounds)
+    TextCuration.servingDecisions(s, docs.where(isBatch), idx,
+      TextCuration.IngestPrior(), capstoneConfig)
   }
 
   /** Unigram-LM (SentencePiece-style) subword segmentation — the

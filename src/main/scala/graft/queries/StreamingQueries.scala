@@ -359,6 +359,22 @@ object StreamingQueries {
     graft.streaming.StreamingJobs.streamingSubstrDedup(s, d, dir)
   }
 
+  /** STREAMING serving-mode curation
+    * (StreamingJobs.streamingCuration): the full priority-ordered
+    * keep/drop/redact decision per micro-batch against the frozen
+    * ServingIndex, with ALL stateful tiers folded across micro-batches
+    * (content hashes, shingles, anchor grams) so labels are
+    * batch-split-invariant; streaming == batch by construction and the
+    * oracle is `incremental_curation`'s SQL verbatim. */
+  val streamCuration = sql("stream_curation",
+    DataPipelineQueries8.IncrementalCurationOracle) { (s, d) =>
+    val dir = sys.props("java.io.tmpdir") + "/graft_stream_curation_" +
+      java.util.UUID.randomUUID().toString
+    graft.streaming.StreamingJobs.streamingCuration(s, d, dir,
+      DataPipelineQueries8.capstoneConfig,
+      DataPipelineQueries8.CapstoneRounds)
+  }
+
   /** Streaming media ingest with REAL sample-level decode
     * (StreamingJobs.streamingMediaDecode): micro-batches synthesize
     * and fully decode PCM-16 WAVs (every int16 sample read back),
@@ -394,5 +410,5 @@ object StreamingQueries {
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent,
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,
-    streamSubstrDedup, streamMediaDecode)
+    streamSubstrDedup, streamMediaDecode, streamCuration)
 }

@@ -488,6 +488,71 @@ object StreamingJobs {
     spark.read.parquet(outDir).drop("batch_id")
   }
 
+  /** STREAMING serving-mode curation — the continuous-ingest face of
+    * `incremental_curation` and the capstone of the streaming family:
+    * the frozen [[graft.functions.TextCuration.ServingIndex]] (content
+    * hashes, shingles, anchor grams, benchmark 5-grams, classifier
+    * weights) is built ONCE from the indexed corpus; each micro-batch
+    * of incoming documents (doc_id % 4 = 0) gets the full
+    * priority-ordered keep/drop/redact decision via
+    * `TextCuration.servingDecisions` inside foreachBatch, landing
+    * through the idempotent batch_id writer.
+    *
+    * Batch-split invariance (ALL stateful tiers, not just substring):
+    * each processed micro-batch folds its content hashes, shingles,
+    * and anchor grams into an `IngestPrior` that later micro-batches
+    * label against — exact dups of earlier batches label batch_exact,
+    * near-dups ride the corpus side of the LSH operator (the merged
+    * near_dup signal is split-invariant), substring grams ride
+    * priorIngestGrams. The fold is guarded by batch id with one level
+    * of pre-fold history, so a re-invoked micro-batch (the retry the
+    * writer absorbs) labels against the state before its own fold.
+    * Like `streamingSubstrDedup`, the fold is per-RUN state — a
+    * durable-restart deployment persists the ingest relations as
+    * KeyedTables between restarts. Oracle: `incremental_curation`'s
+    * SQL verbatim. */
+  def streamingCuration(spark: SparkSession, sfDir: String,
+      outDir: String, cfg: graft.functions.TextCuration.Config,
+      classifierRounds: Int): DataFrame = {
+    import graft.functions.{SubstringDedup, TextCuration, TextDedup}
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isBatch = col("doc_id") % 4 === 0
+    val idx = TextCuration.buildServingIndex(spark, all.where(!isBatch),
+      cfg, classifierRounds)
+    val docs = spark.readStream.schema(all.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val writer = idempotentBatchWriter(spark, outDir)
+    val qname = "graft_stream_curation"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    var prior = TextCuration.IngestPrior()
+    var priorBeforeLastFold = TextCuration.IngestPrior()
+    var lastFolded = -1L
+    val q = docs.where(isBatch).writeStream.queryName(qname)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val use = if (id == lastFolded) priorBeforeLastFold else prior
+        writer(TextCuration.servingDecisions(spark, batch, idx, use, cfg),
+          id)
+        if (id > lastFolded) {
+          def fold(cur: Option[org.apache.spark.sql.DataFrame],
+              add: org.apache.spark.sql.DataFrame) = Some(cur
+            .map(_.unionByName(add).distinct().localCheckpoint(true))
+            .getOrElse(add.distinct().localCheckpoint(true)))
+          priorBeforeLastFold = prior
+          prior = TextCuration.IngestPrior(
+            hashes = fold(prior.hashes,
+              batch.select(md5(col("text")).as("h"))),
+            shingles = fold(prior.shingles, TextDedup.shingles(batch)),
+            grams = fold(prior.grams,
+              SubstringDedup.anchors(batch).select(col("g"))))
+          lastFolded = id
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.read.parquet(outDir).drop("batch_id")
+  }
+
   /** Streaming benchmark decontamination: documents arrive as a
     * stream, their 5-grams are checked against the STATIC held-out
     * benchmark gram set (docs ≡ 0 mod 7), and per-source benchmark-hit

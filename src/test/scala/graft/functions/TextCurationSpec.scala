@@ -69,6 +69,49 @@ class TextCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("servingDecisions is batch-split-invariant: two sequential " +
+      "micro-batches with folded IngestPrior == the one-shot run") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sfDir)
+    val isBatch = col("doc_id") % 4 === 0
+    val cfg = TextCuration.Config(stopwords = Seq(
+      "the", "a", "of", "and", "to", "in",
+      "el", "la", "los", "de", "y", "que",
+      "der", "die", "das", "und", "ein", "ist",
+      "le", "les", "des", "et", "un", "une"),
+      classifierRounds = 2) // spec speed; invariance is rounds-agnostic
+    val idx = TextCuration.buildServingIndex(spark,
+      docs.where(!isBatch), cfg, classifierRounds = 2)
+    def collectDecisions(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("decision"), r.getAs[String]("reason"))).toMap
+    val oneShot = collectDecisions(TextCuration.servingDecisions(spark,
+      docs.where(isBatch), idx, TextCuration.IngestPrior(), cfg))
+    // split the ingest in doc_id order at the median batch id
+    val ids = docs.where(isBatch).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val b1 = docs.where(isBatch && col("doc_id") < mid)
+    val b2 = docs.where(isBatch && col("doc_id") >= mid)
+    val first = collectDecisions(TextCuration.servingDecisions(spark,
+      b1, idx, TextCuration.IngestPrior(), cfg))
+    val prior = TextCuration.IngestPrior(
+      hashes = Some(b1.select(md5(col("text")).as("h")).distinct()),
+      shingles = Some(TextDedup.shingles(b1)),
+      grams = Some(SubstringDedup.anchors(b1).select(col("g")).distinct()))
+    val second = collectDecisions(TextCuration.servingDecisions(spark,
+      b2, idx, prior, cfg))
+    val split = first ++ second
+    // decisions must match; reasons may shift only between the
+    // equivalent duplicate labels (an earlier-batch exact dup labels
+    // batch_exact_dup either way; an earlier-batch NEAR dup labels
+    // near_dup either way via the folded corpus side)
+    assert(split.keySet === oneShot.keySet)
+    split.foreach { case (id, (dec, reason)) =>
+      assert(dec === oneShot(id)._1, s"doc $id decision")
+      assert(reason === oneShot(id)._2, s"doc $id reason")
+    }
+  }
+
   test("per-reason counters through Pipeline.runWithResult agree with " +
       "the relational aggregation; mapper-calls == corpus size") {
     import spark.implicits._
