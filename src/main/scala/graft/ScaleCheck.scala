@@ -495,6 +495,40 @@ object ScaleCheck {
         .groupBy(col("decision"), col("reason")).count().count()
     }
 
+    // Serving-mode curation ingest (r9): FIXED batch against a GROWING
+    // indexed corpus. The claim under probe is the serving contract
+    // itself: once the ServingIndex is materialized (index build —
+    // corpus-linear, priced separately), the per-ingest decision cost
+    // tracks the BATCH, with the corpus entering only through set
+    // joins against its materialized relations (content hashes, band
+    // index, gram set, bench grams, weights).
+    time("serving_ingest") {
+      import graft.functions.TextCuration
+      val cfg = TextCuration.Config(stopwords = Seq(
+        "the", "a", "of", "and", "to", "in",
+        "el", "la", "los", "de", "y", "que",
+        "der", "die", "das", "und", "ein", "ist",
+        "le", "les", "des", "et", "un", "une"),
+        classifierRounds = 2)
+      val t0 = System.nanoTime()
+      val idx = TextCuration.buildServingIndex(spark, docs, cfg,
+        classifierRounds = 2)
+      val tIdx = (System.nanoTime() - t0) / 1e9
+      // fixed batch: the base corpus's docs, ids shifted clear of the
+      // replicated corpus id space
+      val batch = Tables.documents(spark, sfDir)
+        .withColumn("doc_id", col("doc_id") + 999L * shift)
+        .localCheckpoint(true)
+      val t1 = System.nanoTime()
+      val n = TextCuration.servingDecisions(spark, batch, idx,
+        TextCuration.IngestPrior(), cfg).count()
+      val tIngest = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"[scale]   serving: index build $tIdx%.2f s (corpus-linear, " +
+          f"one-time), fixed-batch ingest $tIngest%.2f s")
+      n
+    }
+
     // global training shuffle: range repartition on the md5 key +
     // zipWithIndex (a count job + the attach pass) — the sort is the
     // cost, O(n log n) with no single-partition stage

@@ -213,6 +213,7 @@ object TextCuration {
   final case class ServingIndex(
       corpusHashes: DataFrame,
       corpusShingles: DataFrame,
+      corpusBands: DataFrame,
       indexGrams: DataFrame,
       benchGrams: DataFrame,
       weights: Map[String, Long])
@@ -234,6 +235,12 @@ object TextCuration {
     val hashes = corpusDocs.select(md5(col("text")).as("h")).distinct()
       .localCheckpoint(true)
     val sh = TextDedup.shingles(corpusDocs).localCheckpoint(true)
+    // the MATERIALIZED band index: with it, per-ingest LSH runs no
+    // corpus-proportional work beyond the by-id candidate fetch
+    val cBands = TextDedup.lshBands(
+        TextDedup.minhashSignatures(sh, numHashes = 12),
+        bands = 4, rowsPerBand = 3)
+      .localCheckpoint(true)
     val grams = SubstringDedup.anchors(corpusDocs)
       .select(col("g")).distinct().localCheckpoint(true)
     val bench = TextDedup.shingles(corpusDocs, n = 5)
@@ -242,7 +249,7 @@ object TextCuration {
     val weights = LinearClassifier.trainPocketPerceptron(spark,
       classifierFeatures(corpusDocs).localCheckpoint(true),
       rounds = classifierRounds)
-    ServingIndex(hashes, sh, grams, bench, weights)
+    ServingIndex(hashes, sh, cBands, grams, bench, weights)
   }
 
   /** Per-batch-doc serving decision against a frozen [[ServingIndex]]:
@@ -280,13 +287,22 @@ object TextCuration {
         when(col("in_corpus").isNull &&
           (col("in_prior") === 1 || col("rn") > 1), 1).otherwise(0)
           .as("batch_exact"))
-    // LSH tier: prior batches' shingles join the corpus side
+    // LSH tier: prior batches' shingles join the corpus side; the
+    // MATERIALIZED band index means no corpus-proportional band
+    // derivation per ingest — only prior batches' bands (batch-sized)
+    // are derived here
     val corpusSide = prior.shingles
       .map(idx.corpusShingles.unionByName(_)).getOrElse(idx.corpusShingles)
+    val corpusBands = prior.shingles
+      .map(ps => idx.corpusBands.unionByName(TextDedup.lshBands(
+        TextDedup.minhashSignatures(ps, numHashes = 12),
+        bands = 4, rowsPerBand = 3)))
+      .getOrElse(idx.corpusBands)
     val batchSh = TextDedup.shingles(batchDocs).localCheckpoint(true)
     val nd = TextDedup.incrementalDedup(
         corpusSh = corpusSide, batchSh = batchSh,
-        batchIds = batchDocs.select(col("doc_id")))
+        batchIds = batchDocs.select(col("doc_id")),
+        corpusBandsOpt = Some(corpusBands))
       .select(col("doc_id"),
         when(col("status") =!= "new", 1).otherwise(0).as("near_dup"))
     // substring tier

@@ -340,14 +340,24 @@ object TextDedup {
     *                 candidate docs' rows are ever read
     * @param batchSh  shingles of the incoming batch
     * @param batchIds one row per batch doc (`doc_id`) — docs with no
-    *                 shingles still get a `new` row */
+    *                 shingles still get a `new` row
+    * @param corpusBandsOpt the MATERIALIZED band index (doc_id, band,
+    *                 sig — `lshBands(minhashSignatures(corpusSh))`)
+    *                 when the deployment keeps it between ingests, as
+    *                 a production pipeline does: with it, NO
+    *                 corpus-proportional work runs per ingest except
+    *                 the by-id candidate fetch. None = derive from
+    *                 corpusSh (corpus-linear per call — fine for
+    *                 one-shot jobs, not for a serving loop). */
   def incrementalDedup(corpusSh: DataFrame, batchSh: DataFrame,
       batchIds: DataFrame, numHashes: Int = 12, bands: Int = 4,
       num: Int = 4, den: Int = 5,
-      maxBroadcastCandidates: Long = 100000L): DataFrame = {
+      maxBroadcastCandidates: Long = 100000L,
+      corpusBandsOpt: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val cIdx = lshBands(minhashSignatures(corpusSh, numHashes), bands, rows)
+    val cIdx = corpusBandsOpt.getOrElse(
+      lshBands(minhashSignatures(corpusSh, numHashes), bands, rows))
     val bBands = lshBands(minhashSignatures(batchSh, numHashes), bands, rows)
     // candidate (batch, corpus) pairs = band-bucket collisions against
     // the index: one equi join keyed on (band, sig)
