@@ -486,12 +486,13 @@ object ScaleCheck {
     time("curation_manifest") {
       val sh = graft.functions.TextDedup.shingles(docs)
         .localCheckpoint(true)
+      // classifierRounds = 4: the shipped capstone configuration
+      // (DataPipelineQueries8.CapstoneRounds), so the probe prices the
+      // query the suite actually runs
       graft.functions.TextCuration.manifest(spark, docs, sh,
-        graft.functions.TextCuration.Config(stopwords = Seq(
-          "the", "a", "of", "and", "to", "in",
-          "el", "la", "los", "de", "y", "que",
-          "der", "die", "das", "und", "ein", "ist",
-          "le", "les", "des", "et", "un", "une")))
+        graft.functions.TextCuration.Config(
+          stopwords = graft.functions.TextCuration.DemoStopwords,
+          classifierRounds = 4))
         .groupBy(col("decision"), col("reason")).count().count()
     }
 
@@ -504,15 +505,10 @@ object ScaleCheck {
     // index, gram set, bench grams, weights).
     time("serving_ingest") {
       import graft.functions.TextCuration
-      val cfg = TextCuration.Config(stopwords = Seq(
-        "the", "a", "of", "and", "to", "in",
-        "el", "la", "los", "de", "y", "que",
-        "der", "die", "das", "und", "ein", "ist",
-        "le", "les", "des", "et", "un", "une"),
+      val cfg = TextCuration.Config(stopwords = graft.functions.TextCuration.DemoStopwords,
         classifierRounds = 2)
       val t0 = System.nanoTime()
-      val idx = TextCuration.buildServingIndex(spark, docs, cfg,
-        classifierRounds = 2)
+      val idx = TextCuration.buildServingIndex(spark, docs, cfg)
       val tIdx = (System.nanoTime() - t0) / 1e9
       // fixed batch: the base corpus's docs, ids shifted clear of the
       // replicated corpus id space

@@ -44,6 +44,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextCuration {
 
+  /** The multi-language demo stop list the suite's quality rules use
+    * (en/es/de/fr function words) — ONE definition shared by the
+    * queries, the scale probes, and the specs, so the rule can never
+    * silently diverge between them. */
+  val DemoStopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in",          // en
+    "el", "la", "los", "de", "y", "que",           // es
+    "der", "die", "das", "und", "ein", "ist",      // de
+    "le", "les", "des", "et", "un", "une")         // fr
+
   /** Tunable policy knobs; defaults mirror the standalone tier queries
     * (`quality_funnel`, `decontaminate_overlap`, `quality_classifier`)
     * so the manifest is exactly their composition. */
@@ -221,17 +231,22 @@ object TextCuration {
   /** Grams/hashes/shingles of EARLIER micro-batches of the same
     * logical ingest — the fold that makes streaming labels
     * batch-split-invariant (see [[servingDecisions]]). All None =
-    * one-shot batch semantics. */
+    * one-shot batch semantics. `bands` carries the DERIVED LSH bands
+    * of the prior shingles: fold them alongside the shingles (each
+    * batch derives only its own, batch-sized bands) — re-deriving
+    * bands from the cumulative shingle union per micro-batch would
+    * make per-batch cost grow with the whole ingest so far. */
   final case class IngestPrior(
       hashes: Option[DataFrame] = None,
       shingles: Option[DataFrame] = None,
-      grams: Option[DataFrame] = None)
+      grams: Option[DataFrame] = None,
+      bands: Option[DataFrame] = None)
 
   /** Build the serving index from the corpus (the docs an ingest is
     * deduped against). Checkpoints every relation — these persist
     * between ingests by contract. */
   def buildServingIndex(spark: SparkSession, corpusDocs: DataFrame,
-      cfg: Config, classifierRounds: Int): ServingIndex = {
+      cfg: Config): ServingIndex = {
     val hashes = corpusDocs.select(md5(col("text")).as("h")).distinct()
       .localCheckpoint(true)
     val sh = TextDedup.shingles(corpusDocs).localCheckpoint(true)
@@ -248,7 +263,7 @@ object TextCuration {
       .select(col("s").as("bs")).distinct().localCheckpoint(true)
     val weights = LinearClassifier.trainPocketPerceptron(spark,
       classifierFeatures(corpusDocs).localCheckpoint(true),
-      rounds = classifierRounds)
+      rounds = cfg.classifierRounds)
     ServingIndex(hashes, sh, cBands, grams, bench, weights)
   }
 
@@ -266,9 +281,16 @@ object TextCuration {
     *     SubstringDedup.incrementalDedup's priorIngestGrams
     *     (n_corpus_dup + n_batch_dup is split-invariant).
     * Contamination, quality, and the frozen classifier are stateless
-    * per batch. Per-ingest cost tracks the BATCH everywhere. */
+    * per batch. Per-ingest cost tracks the BATCH everywhere.
+    *
+    * `batchShinglesOpt` / `batchAnchorsOpt`: the (checkpointed) batch
+    * relations when the caller already computed them — the streaming
+    * wrapper folds the same relations into the next IngestPrior, and
+    * the per-char anchor scan must not run twice per micro-batch. */
   def servingDecisions(spark: SparkSession, batchDocs: DataFrame,
-      idx: ServingIndex, prior: IngestPrior, cfg: Config): DataFrame = {
+      idx: ServingIndex, prior: IngestPrior, cfg: Config,
+      batchShinglesOpt: Option[DataFrame] = None,
+      batchAnchorsOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // exact tier: corpus set membership + keep-first (prior-batch aware)
     val priorH = prior.hashes
@@ -288,17 +310,19 @@ object TextCuration {
           (col("in_prior") === 1 || col("rn") > 1), 1).otherwise(0)
           .as("batch_exact"))
     // LSH tier: prior batches' shingles join the corpus side; the
-    // MATERIALIZED band index means no corpus-proportional band
-    // derivation per ingest — only prior batches' bands (batch-sized)
-    // are derived here
+    // MATERIALIZED band index (and the FOLDED prior bands) mean no
+    // band derivation beyond this batch's own happens per ingest — a
+    // caller without folded bands (one-shot use) pays a derive over
+    // the prior shingles as fallback
     val corpusSide = prior.shingles
       .map(idx.corpusShingles.unionByName(_)).getOrElse(idx.corpusShingles)
-    val corpusBands = prior.shingles
-      .map(ps => idx.corpusBands.unionByName(TextDedup.lshBands(
-        TextDedup.minhashSignatures(ps, numHashes = 12),
+    val priorBands = prior.bands.orElse(prior.shingles.map(ps =>
+      TextDedup.lshBands(TextDedup.minhashSignatures(ps, numHashes = 12),
         bands = 4, rowsPerBand = 3)))
-      .getOrElse(idx.corpusBands)
-    val batchSh = TextDedup.shingles(batchDocs).localCheckpoint(true)
+    val corpusBands = priorBands
+      .map(idx.corpusBands.unionByName(_)).getOrElse(idx.corpusBands)
+    val batchSh = batchShinglesOpt.getOrElse(
+      TextDedup.shingles(batchDocs).localCheckpoint(true))
     val nd = TextDedup.incrementalDedup(
         corpusSh = corpusSide, batchSh = batchSh,
         batchIds = batchDocs.select(col("doc_id")),
@@ -306,8 +330,8 @@ object TextCuration {
       .select(col("doc_id"),
         when(col("status") =!= "new", 1).otherwise(0).as("near_dup"))
     // substring tier
-    val batchAnchors = SubstringDedup.anchors(batchDocs)
-      .localCheckpoint(true)
+    val batchAnchors = batchAnchorsOpt.getOrElse(
+      SubstringDedup.anchors(batchDocs).localCheckpoint(true))
     val srep = SubstringDedup.incrementalDedup(
         indexGrams = idx.indexGrams, batchAnchors = batchAnchors,
         priorIngestGrams = prior.grams)

@@ -32,11 +32,7 @@ object DataPipelineQueries2 {
            w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' ' || w[CAST(i AS INT)+2] AS s
          FROM w, LATERAL (SELECT unnest(range(1, greatest(len(w)-1, 1))) AS i) t)"""
 
-  private[queries] val stopAll = Seq(
-    "the", "a", "of", "and", "to", "in",          // en
-    "el", "la", "los", "de", "y", "que",           // es
-    "der", "die", "das", "und", "ein", "ist",      // de
-    "le", "les", "des", "et", "un", "une")         // fr
+  private[queries] val stopAll = graft.functions.TextCuration.DemoStopwords
 
   /** Sequential quality-filter funnel: how many documents survive each
     * rule of the chain (min length → mean token length → has stopwords

@@ -449,7 +449,7 @@ object DataPipelineQueries8 {
     val docs = Tables.documents(s, d)
     val isBatch = col("doc_id") % 4 === 0
     val idx = TextCuration.buildServingIndex(s, docs.where(!isBatch),
-      capstoneConfig, classifierRounds = CapstoneRounds)
+      capstoneConfig)
     TextCuration.servingDecisions(s, docs.where(isBatch), idx,
       TextCuration.IngestPrior(), capstoneConfig)
   }

@@ -371,8 +371,7 @@ object StreamingQueries {
     val dir = sys.props("java.io.tmpdir") + "/graft_stream_curation_" +
       java.util.UUID.randomUUID().toString
     graft.streaming.StreamingJobs.streamingCuration(s, d, dir,
-      DataPipelineQueries8.capstoneConfig,
-      DataPipelineQueries8.CapstoneRounds)
+      DataPipelineQueries8.capstoneConfig)
   }
 
   /** Streaming media ingest with REAL sample-level decode

@@ -197,15 +197,85 @@ object KeyedTable {
     holder
   }
 
+  /** Table metadata sidecar: the creation-time bucket count and the
+    * table schema, written by [[create]] and consulted by every later
+    * mutation. Without it, a caller passing a DIFFERENT numBuckets
+    * than the table was created with would compute touched buckets
+    * under the wrong modulus — an upsert would duplicate keys, and a
+    * delete would SILENTLY RETAIN roughly half the named rows (a
+    * silent right-to-be-forgotten failure). The stored count wins
+    * over the parameter; tables created before the sidecar existed
+    * fall back to the caller's value. The stored schema also keeps an
+    * emptied table (every row deleted) readable. */
+  private def metaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_table_meta")
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      numBuckets: Int, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = metaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$numBuckets\n${schema.json}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, dir: String)
+      : Option[(Int, org.apache.spark.sql.types.StructType)] = {
+    val p = metaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      val nl = txt.indexOf('\n')
+      Some((txt.substring(0, nl).trim.toInt,
+        org.apache.spark.sql.types.DataType.fromJson(txt.substring(nl + 1))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The table's authoritative bucket count: sidecar metadata when
+    * present (creation-time truth), else the caller's value. */
+  private def resolveBuckets(spark: SparkSession, dir: String,
+      callerValue: Int): Int =
+    readMeta(spark, dir).map(_._1).getOrElse(callerValue)
+
+  /** True when the table currently holds no partition directories —
+    * the state a delete that removes every row leaves behind. */
+  private def isEmptyTable(spark: SparkSession, dir: String): Boolean = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(base) || !fs.listStatus(base).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("__bucket="))
+  }
+
   /** Create (or replace) the bucketed table from a full snapshot. */
   def create(df: DataFrame, dir: String, keyCol: String,
-      numBuckets: Int = 16): Unit =
-    df.withColumn("__bucket", bucket(keyCol, numBuckets))
-      .write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(dir)
+      numBuckets: Int = 16): Unit = {
+    val withB = df.withColumn("__bucket", bucket(keyCol, numBuckets))
+    withB.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(dir)
+    writeMeta(df.sparkSession, dir, numBuckets, withB.schema)
+  }
 
-  /** Read the table back without the physical bucket column. */
+  /** Read the table back without the physical bucket column. An
+    * emptied table (all rows deleted) reads as zero rows with the
+    * creation-time schema. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).drop("__bucket")
+    if (isEmptyTable(spark, dir))
+      readMeta(spark, dir) match {
+        case Some((_, schema)) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            .drop("__bucket")
+        case None => spark.read.parquet(dir).drop("__bucket") // loud
+      }
+    else spark.read.parquet(dir).drop("__bucket")
 
   /** Delete a batch of keys — the right-to-be-forgotten operation a
     * training-data store must support (the reference's Datastore gave
@@ -225,8 +295,12 @@ object KeyedTable {
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String, numBuckets: Int = 16): Unit =
     withTableLock(spark, dir) {
+      // an emptied table has nothing to delete — the retried-delete
+      // no-op path after a previous delete removed every row
+      if (!isEmptyTable(spark, dir)) {
+      val nb = resolveBuckets(spark, dir, numBuckets)
       val del = keys.select(col(keyCol))
-        .withColumn("__bucket", bucket(keyCol, numBuckets))
+        .withColumn("__bucket", bucket(keyCol, nb))
         .localCheckpoint(true)
       val touched = del.select("__bucket").distinct()
         .collect().map(_.getInt(0)).sorted // bounded by numBuckets
@@ -254,6 +328,7 @@ object KeyedTable {
         touched.filterNot(surviving).foreach { b =>
           fs.delete(new org.apache.hadoop.fs.Path(dir, s"__bucket=$b"), true)
         }
+      }
       }
     }
 
@@ -369,12 +444,20 @@ object KeyedTable {
     * overwrite so no task reads a file the commit is about to replace. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, numBuckets: Int = 16): Unit = withTableLock(spark, dir) {
-    val up = updates.withColumn("__bucket", bucket(keyCol, numBuckets))
+    val nb = resolveBuckets(spark, dir, numBuckets)
+    val up = updates.withColumn("__bucket", bucket(keyCol, nb))
       .localCheckpoint(true)
     val touched = up.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted // bounded by numBuckets
-    val existing = spark.read.parquet(dir)
-      .filter(col("__bucket").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
+    // an emptied table (all rows deleted) has no files to read:
+    // survivors are empty and the upsert degenerates to pure inserts
+    val existing =
+      if (isEmptyTable(spark, dir))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], up.schema)
+      else spark.read.parquet(dir)
+        .filter(col("__bucket")
+          .isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
     val survivors = existing.join(
       broadcast(up.select(col(keyCol))), Seq(keyCol), "left_anti")
     val merged = up.unionByName(survivors).localCheckpoint(true)

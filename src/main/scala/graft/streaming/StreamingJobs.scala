@@ -413,6 +413,23 @@ object StreamingJobs {
     spark.read.parquet(outDir).drop("batch_id")
   }
 
+  /** One-level fold guard for per-RUN ingest state: micro-batches fold
+    * monotonically by batch id, and a RE-INVOKED batch (streaming
+    * retries only replay the latest) reads the state captured BEFORE
+    * its own fold — keeping the idempotent-writer contract without the
+    * fold double-counting. foreachBatch runs sequentially, so the
+    * mutation is single-threaded by construction. Shared by every
+    * streaming wrapper that folds prior-ingest state
+    * (streamingSubstrDedup, streamingCuration). */
+  private final class IngestFoldGuard[S](empty: S) {
+    private var cur = empty
+    private var beforeLast = empty
+    private var lastFolded = -1L
+    def stateFor(id: Long): S = if (id == lastFolded) beforeLast else cur
+    def fold(id: Long)(f: S => S): Unit =
+      if (id > lastFolded) { beforeLast = cur; cur = f(cur); lastFolded = id }
+  }
+
   /** Streaming ingestion dedup for the SUBSTRING tier: incoming docs
     * (doc_id % 4 = 0) run the exact batch operator
     * (`SubstringDedup.incrementalDedup`) per micro-batch inside
@@ -455,32 +472,23 @@ object StreamingJobs {
     val writer = idempotentBatchWriter(spark, outDir)
     val qname = "graft_stream_substr_dedup"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
-    // grams of already-processed micro-batches of this ingest, keyed by
-    // the highest folded batch id; one level of pre-fold history makes
-    // a RE-INVOKED batch (streaming retries only replay the latest)
-    // label against the state before its own fold — idempotent output.
-    // foreachBatch runs sequentially, so the var swaps are
-    // single-threaded by contract
-    var priorGrams: Option[DataFrame] = None
-    var priorBeforeLastFold: Option[DataFrame] = None
-    var lastFolded = -1L
+    // grams of already-processed micro-batches of this ingest, guarded
+    // by batch id (IngestFoldGuard: a re-invoked batch labels against
+    // the state before its own fold — idempotent output)
+    val guard = new IngestFoldGuard[Option[DataFrame]](None)
     val q = docs.where(isBatch).writeStream.queryName(qname)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val prior =
-          if (id == lastFolded) priorBeforeLastFold else priorGrams
         val batchAnchors = SubstringDedup.anchors(batch)
           .localCheckpoint(true)
         writer(SubstringDedup.incrementalDedup(
           indexGrams = idxGrams,
           batchAnchors = batchAnchors,
-          priorIngestGrams = prior), id)
-        if (id > lastFolded) {
+          priorIngestGrams = guard.stateFor(id)), id)
+        guard.fold(id) { prior =>
           val bg = batchAnchors.select(col("g")).distinct()
-          priorBeforeLastFold = priorGrams
-          priorGrams = Some(priorGrams
+          Some(prior
             .map(_.unionByName(bg).distinct().localCheckpoint(true))
             .getOrElse(bg.localCheckpoint(true)))
-          lastFolded = id
         }
       }
       .trigger(Trigger.AvailableNow()).start()
@@ -512,40 +520,47 @@ object StreamingJobs {
     * KeyedTables between restarts. Oracle: `incremental_curation`'s
     * SQL verbatim. */
   def streamingCuration(spark: SparkSession, sfDir: String,
-      outDir: String, cfg: graft.functions.TextCuration.Config,
-      classifierRounds: Int): DataFrame = {
+      outDir: String,
+      cfg: graft.functions.TextCuration.Config): DataFrame = {
     import graft.functions.{SubstringDedup, TextCuration, TextDedup}
     val all = spark.read.parquet(s"$sfDir/documents.parquet")
     val isBatch = col("doc_id") % 4 === 0
-    val idx = TextCuration.buildServingIndex(spark, all.where(!isBatch),
-      cfg, classifierRounds)
+    val idx = TextCuration.buildServingIndex(spark, all.where(!isBatch), cfg)
     val docs = spark.readStream.schema(all.schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
     val writer = idempotentBatchWriter(spark, outDir)
     val qname = "graft_stream_curation"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
-    var prior = TextCuration.IngestPrior()
-    var priorBeforeLastFold = TextCuration.IngestPrior()
-    var lastFolded = -1L
+    val guard =
+      new IngestFoldGuard[TextCuration.IngestPrior](TextCuration.IngestPrior())
     val q = docs.where(isBatch).writeStream.queryName(qname)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        val use = if (id == lastFolded) priorBeforeLastFold else prior
-        writer(TextCuration.servingDecisions(spark, batch, idx, use, cfg),
-          id)
-        if (id > lastFolded) {
+        // batch relations computed ONCE and shared between the decision
+        // and the fold — the per-char anchor scan must not run twice
+        val batchSh = TextDedup.shingles(batch).localCheckpoint(true)
+        val batchAnchors = SubstringDedup.anchors(batch)
+          .localCheckpoint(true)
+        writer(TextCuration.servingDecisions(spark, batch, idx,
+          guard.stateFor(id), cfg,
+          batchShinglesOpt = Some(batchSh),
+          batchAnchorsOpt = Some(batchAnchors)), id)
+        guard.fold(id) { prior =>
           def fold(cur: Option[org.apache.spark.sql.DataFrame],
               add: org.apache.spark.sql.DataFrame) = Some(cur
             .map(_.unionByName(add).distinct().localCheckpoint(true))
             .getOrElse(add.distinct().localCheckpoint(true)))
-          priorBeforeLastFold = prior
-          prior = TextCuration.IngestPrior(
+          // bands fold DERIVED per batch (batch-sized work): folding
+          // shingles alone would force later batches to re-derive bands
+          // over the cumulative ingest — quadratic across a run
+          TextCuration.IngestPrior(
             hashes = fold(prior.hashes,
               batch.select(md5(col("text")).as("h"))),
-            shingles = fold(prior.shingles, TextDedup.shingles(batch)),
-            grams = fold(prior.grams,
-              SubstringDedup.anchors(batch).select(col("g"))))
-          lastFolded = id
+            shingles = fold(prior.shingles, batchSh),
+            grams = fold(prior.grams, batchAnchors.select(col("g"))),
+            bands = fold(prior.bands, TextDedup.lshBands(
+              TextDedup.minhashSignatures(batchSh, numHashes = 12),
+              bands = 4, rowsPerBand = 3)))
         }
       }
       .trigger(Trigger.AvailableNow()).start()

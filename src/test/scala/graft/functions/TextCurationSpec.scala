@@ -20,11 +20,7 @@ class TextCurationSpec extends AnyFunSuite {
     val docs = graft.core.Tables.documents(spark, TestSpark.sfDir)
     val sh = TextDedup.shingles(docs)
     TextCuration.manifest(spark, docs, sh,
-      TextCuration.Config(stopwords = Seq(
-        "the", "a", "of", "and", "to", "in",
-        "el", "la", "los", "de", "y", "que",
-        "der", "die", "das", "und", "ein", "ist",
-        "le", "les", "des", "et", "un", "une")))
+      TextCuration.Config(stopwords = graft.functions.TextCuration.DemoStopwords))
       .localCheckpoint(true)
   }
 
@@ -73,14 +69,10 @@ class TextCurationSpec extends AnyFunSuite {
       "micro-batches with folded IngestPrior == the one-shot run") {
     val docs = graft.core.Tables.documents(spark, TestSpark.sfDir)
     val isBatch = col("doc_id") % 4 === 0
-    val cfg = TextCuration.Config(stopwords = Seq(
-      "the", "a", "of", "and", "to", "in",
-      "el", "la", "los", "de", "y", "que",
-      "der", "die", "das", "und", "ein", "ist",
-      "le", "les", "des", "et", "un", "une"),
+    val cfg = TextCuration.Config(stopwords = graft.functions.TextCuration.DemoStopwords,
       classifierRounds = 2) // spec speed; invariance is rounds-agnostic
     val idx = TextCuration.buildServingIndex(spark,
-      docs.where(!isBatch), cfg, classifierRounds = 2)
+      docs.where(!isBatch), cfg)
     def collectDecisions(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[String]("decision"), r.getAs[String]("reason"))).toMap
@@ -94,10 +86,14 @@ class TextCurationSpec extends AnyFunSuite {
     val b2 = docs.where(isBatch && col("doc_id") >= mid)
     val first = collectDecisions(TextCuration.servingDecisions(spark,
       b1, idx, TextCuration.IngestPrior(), cfg))
+    val b1Sh = TextDedup.shingles(b1)
     val prior = TextCuration.IngestPrior(
       hashes = Some(b1.select(md5(col("text")).as("h")).distinct()),
-      shingles = Some(TextDedup.shingles(b1)),
-      grams = Some(SubstringDedup.anchors(b1).select(col("g")).distinct()))
+      shingles = Some(b1Sh),
+      grams = Some(SubstringDedup.anchors(b1).select(col("g")).distinct()),
+      bands = Some(TextDedup.lshBands(
+        TextDedup.minhashSignatures(b1Sh, numHashes = 12),
+        bands = 4, rowsPerBand = 3)))
     val second = collectDecisions(TextCuration.servingDecisions(spark,
       b2, idx, prior, cfg))
     val split = first ++ second

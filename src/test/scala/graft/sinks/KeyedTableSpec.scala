@@ -242,6 +242,49 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(!fs.exists(lock), "lease released after delete")
   }
 
+  test("table metadata makes the bucket count authoritative: a delete " +
+      "(or upsert) called with the WRONG numBuckets still works — no " +
+      "silent right-to-be-forgotten failure") {
+    val dir = freshDir()
+    KeyedTable.create(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 8)
+    // caller passes the default 16: without the sidecar, touched
+    // buckets would be computed mod 16 while rows live mod 8 and
+    // roughly half the named keys would silently survive
+    val doomed = (1L to 100L by 2).toDF("k")
+    KeyedTable.delete(spark, dir, doomed, "k") // numBuckets = 16 default
+    assert(contents(dir).keySet === (2L to 100L by 2).toSet,
+      "every named key deleted despite the mismatched caller value")
+    KeyedTable.upsert(spark, dir, Seq((2L, "U2")).toDF("k", "v"), "k")
+    assert(contents(dir)(2L) === "U2")
+    assert(contents(dir).size === 50)
+  }
+
+  test("deleting EVERY row leaves a readable empty table; retrying the " +
+      "delete is a no-op; a later upsert revives it") {
+    val dir = freshDir()
+    KeyedTable.create(
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    val everything = (1L to 40L).toDF("k")
+    KeyedTable.delete(spark, dir, everything, "k", numBuckets = 4)
+    // readable as zero rows with the creation-time schema
+    val empty = KeyedTable.read(spark, dir)
+    assert(empty.count() === 0)
+    assert(empty.schema.fieldNames.toSeq === Seq("k", "v"))
+    // the documented retry contract survives the empty state
+    KeyedTable.delete(spark, dir, everything, "k", numBuckets = 4)
+    assert(KeyedTable.read(spark, dir).count() === 0)
+    // and an upsert into the emptied table degenerates to inserts
+    KeyedTable.upsert(spark, dir, Seq((7L, "BACK")).toDF("k", "v"), "k",
+      numBuckets = 4)
+    assert(contents(dir) === Map(7L -> "BACK"))
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lock))
+  }
+
   test("a second concurrent writer fails loudly instead of corrupting") {
     val dir = freshDir()
     KeyedTable.create(
