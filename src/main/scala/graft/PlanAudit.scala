@@ -147,7 +147,15 @@ object PlanAudit {
       "bit-level decode (Rice residuals, fixed predictors, CRC " +
       "verification) in one mapPartitions over a core-count " +
       "repartition — no shuffle after the repartition, cost linear " +
-      "in clips; pure public-spec integer arithmetic."))
+      "in clips; pure public-spec integer arithmetic."),
+    "incremental_curation" -> ("Serving-mode curation: the classifier " +
+      "trains on the CORPUS before the plan (frozen model); the plan " +
+      "labels the BATCH against materialized index relations only — " +
+      "content-hash set join, band-index equi join + by-id verify " +
+      "fetch, gram-set join, broadcast benchmark 5-grams, broadcast " +
+      "weight relation — meeting in per-doc left joins. The " +
+      "serving_ingest decade probe measures per-ingest cost FLAT " +
+      "across a 10x corpus growth (BENCH_NOTES)."))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
