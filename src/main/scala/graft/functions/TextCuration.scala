@@ -54,6 +54,23 @@ object TextCuration {
     "der", "die", "das", "und", "ein", "ist",      // de
     "le", "les", "des", "et", "un", "une")         // fr
 
+  /** Broadcast cap for the benchmark gram relations: the eval suite is
+    * bounded by INTENT, but the demo definition (doc_id % benchmarkMod
+    * == 0) makes the set corpus-proportional — an unconditional hint
+    * would eventually OOM the driver on a large corpus despite the
+    * "bounded by the eval suite" claim. Same count-gating discipline
+    * as TextDedup.verifyCandidates / duplicatedAnchors. */
+  private[functions] val MaxBroadcastBenchRows = 5000000L
+
+  /** Broadcast-hint a relation only when its measured size is under
+    * [[MaxBroadcastBenchRows]]; above the cap the relation goes
+    * un-hinted and AQE sizes the join. The input is checkpointed so
+    * the gating count and the join share one materialization. */
+  private def gatedBroadcast(df: DataFrame): DataFrame = {
+    val b = df.localCheckpoint(true)
+    if (b.count() <= MaxBroadcastBenchRows) broadcast(b) else b
+  }
+
   /** Tunable policy knobs; defaults mirror the standalone tier queries
     * (`quality_funnel`, `decontaminate_overlap`, `quality_classifier`)
     * so the manifest is exactly their composition. */
@@ -108,7 +125,7 @@ object TextCuration {
     val bench = g5.filter(col("doc_id") % cfg.benchmarkMod === 0)
       .select(col("s").as("bs")).distinct()
     val cont = g5.filter(col("doc_id") % cfg.benchmarkMod =!= 0)
-      .join(broadcast(bench), col("s") === col("bs"), "left")
+      .join(gatedBroadcast(bench), col("s") === col("bs"), "left")
       .groupBy(col("doc_id"))
       .agg(expr("CAST(count(bs) * 10000 DIV count(1) AS BIGINT)")
         .as("overlap_bp"))
@@ -195,7 +212,7 @@ object TextCuration {
     val bg = anch.filter(col("doc_id") % cfg.benchmarkMod === 0)
       .select(col("g")).distinct()
     val leaked = anch.filter(col("doc_id") % cfg.benchmarkMod =!= 0)
-      .join(broadcast(bg), Seq("g"), "leftsemi")
+      .join(gatedBroadcast(bg), Seq("g"), "leftsemi")
     val marked = dup.select(col("doc_id"), col("pos"))
       .unionByName(leaked.select(col("doc_id"), col("pos"))).distinct()
     val redactIds = manifest.filter(col("reason") === "dup_spans")
@@ -339,7 +356,7 @@ object TextCuration {
         (col("n_corpus_dup") + col("n_batch_dup")).as("dup_anchors"))
     // contamination vs the indexed benchmark suite
     val cont = TextDedup.shingles(batchDocs, n = 5)
-      .join(broadcast(idx.benchGrams), col("s") === col("bs"), "left")
+      .join(gatedBroadcast(idx.benchGrams), col("s") === col("bs"), "left")
       .groupBy(col("doc_id"))
       .agg(expr("CAST(count(bs) * 10000 DIV count(1) AS BIGINT)")
         .as("overlap_bp"))

@@ -313,6 +313,22 @@ object KeyedTable {
           .localCheckpoint(true)
         val surviving = survivors.select("__bucket").distinct()
           .collect().map(_.getInt(0)).toSet
+        // fully-emptied buckets: a dynamic overwrite never rewrites a
+        // partition it emits no rows for, so their dirs are removed
+        // explicitly — and BEFORE the survivors' commit. Every row in
+        // an emptied bucket is a named delete target, so removing the
+        // dir is applying part of the delete; ordering it first means
+        // no crash point leaves doomed rows behind a COMPLETED commit
+        // (crash before the commit = a partial delete either way, and
+        // re-running the same delete finishes it: the vanished buckets
+        // read as empty and the survivor rewrite is idempotent). Safe
+        // to remove before the write because `survivors` is already
+        // localCheckpointed — no write task re-reads the deleted files.
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        touched.filterNot(surviving).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir, s"__bucket=$b"), true)
+        }
         if (surviving.nonEmpty) {
           val key = "spark.sql.sources.partitionOverwriteMode"
           val old = spark.conf.getOption(key)
@@ -320,13 +336,6 @@ object KeyedTable {
           try survivors.write.mode(SaveMode.Overwrite)
             .partitionBy("__bucket").parquet(dir)
           finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-        }
-        // fully-emptied buckets: no output rows -> never overwritten
-        // above; remove their partition dirs explicitly
-        val base = new org.apache.hadoop.fs.Path(dir)
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        touched.filterNot(surviving).foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(dir, s"__bucket=$b"), true)
         }
       }
       }

@@ -702,10 +702,65 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** Test-local replay of the STEREO fixture's generating formulas —
+    * independent of Flac.synthStereoSamples (two-implementations
+    * rule), folded INTERLEAVED as the decoder and the spec MD5 do. */
+  private def flacStereoRefInterleaved(nFrames: Int, blockSize: Int,
+      seed: Long): Seq[Int] =
+    (0 until nFrames).flatMap { f =>
+      def m(v: Long, mod: Long) = (((v % mod) + mod) % mod).toInt
+      val l = new Array[Int](blockSize)
+      val r = new Array[Int](blockSize)
+      l(0) = m(seed * 241 + f * 37, 16384) - 8192
+      r(0) = m(seed * 199 + f * 53, 16384) - 8192
+      for (i <- 1 until blockSize) {
+        l(i) = l(i - 1) + m(seed * 13 + f * 7 + i * 11, 64) - 32
+        r(i) = r(i - 1) + m(seed * 17 + f * 29 + i * 5, 64) - 32
+      }
+      (0 until blockSize).flatMap(i => Seq(l(i), r(i)))
+    }
+
+  test("FLAC stereo + LPC: all four channel assignments and both LPC " +
+      "orders decode to the formula replay (spec MD5 verified)") {
+    for (seed <- Seq(0L, 5L, 42L, 987654321L);
+         (nf, bs) <- Seq((4, 32), (8, 64), (5, 256))) {
+      val b = Flac.synthFlacStereoLpc(nf, bs, 44100, seed)
+      val st = Flac.decodeFlac(b).get
+      assert(st.channels === 2 && st.sampleRate === 44100)
+      val ref = flacStereoRefInterleaved(nf, bs, seed)
+      assert(st.nSamples === ref.length.toLong, s"seed=$seed $nf x $bs")
+      assert(st.sumAbs === ref.map(v => math.abs(v.toLong)).sum,
+        s"seed=$seed $nf x $bs")
+      assert(st.sumSq === ref.map(v => v.toLong * v).sum,
+        s"seed=$seed $nf x $bs")
+      assert(st.peak === ref.map(v => math.abs(v.toLong)).max)
+      val zc = ref.zip(ref.tail).count { case (a, c) => (a < 0) != (c < 0) }
+      assert(st.zeroCrossings === zc, s"seed=$seed $nf x $bs")
+    }
+  }
+
+  test("FLAC stereo stream declines on corruption like the mono path") {
+    val b = Flac.synthFlacStereoLpc(6, 64, 22050, 3L)
+    assert(Flac.decodeFlac(b.dropRight(1)).isEmpty, "truncated stream")
+    for (off <- Seq(60, b.length / 2, b.length - 4)) {
+      val bad = b.clone(); bad(off) = (bad(off) ^ 0x08).toByte
+      assert(Flac.decodeFlac(bad).isEmpty, s"bit flip at $off")
+    }
+    // sample-MD5 flip (STREAMINFO offsets 26..41) is invisible to the
+    // frame CRCs and must be caught by the stream-level verify
+    val badMd5 = b.clone(); badMd5(33) = (badMd5(33) ^ 0x02).toByte
+    assert(Flac.decodeFlac(badMd5).isEmpty)
+  }
+
   test("FLAC strict declines (quarantine contract): truncation, bit " +
       "flips caught by CRC, foreign formats not claimed") {
     val b = Flac.synthFlac(4, 64, 16000, 7L)
     assert(Flac.decodeFlac(b.dropRight(1)).isEmpty, "truncated stream")
+    // trailing garbage after the last frame: even ONE stray byte is
+    // outside the envelope (a clean stream ends with zero bits left)
+    assert(Flac.decodeFlac(b :+ 0x00.toByte).isEmpty, "1 trailing byte")
+    assert(Flac.decodeFlac(b ++ Array[Byte](0x7f, 0x11)).isEmpty,
+      "2 trailing bytes")
     // flip one bit mid-stream: either a header (CRC-8) or frame body
     // (CRC-16) — both must decline, never return wrong samples
     for (off <- Seq(50, b.length / 2, b.length - 3)) {
