@@ -229,6 +229,54 @@ object TextCuration {
         md5(col("text_scrubbed")).as("sig"))
   }
 
+  /** BYTE-tier manifest execution — [[applyManifest]] with the scrub
+    * stitched at UTF-8 BYTE offsets, for genuinely multibyte corpora
+    * where char-offset stitching would mis-place every cut after the
+    * first multibyte codepoint. `anchors`/`dupAnchors` must be the
+    * BYTE anchor relations ([[SubstringDedup.anchorsBytes]]) the
+    * manifest's dup-span tier already consumed, so manifest and apply
+    * share one anchor scan exactly as the char tier does.
+    *
+    * Mechanics: the byte spans embed into HEX space (byte span [s, e]
+    * ↦ hex span [2s-1, 2e] over `hex(encode(text))`, the same 1:1
+    * encoding [[SubstringDedup.anchorsBytes]] grams use), where the
+    * generic char-offset scrub machinery applies verbatim — adjacency
+    * is merged in byte space first, so the embedding preserves island
+    * structure. Spans may start or end mid-codepoint; the output is a
+    * BYTE sequence (pinned by md5 of its hex), not necessarily valid
+    * UTF-8 — the honest semantics of byte-offset scrubbing. Returns
+    * (doc_id, decision, n_bytes_out, sig) for surviving documents. At
+    * 100 TB the hex detour doubles scrub-stage bytes; a production
+    * variant slices BinaryType directly with the same span algebra. */
+  def applyManifestBytes(spark: SparkSession, docs: DataFrame,
+      manifest: DataFrame, cfg: Config, anchors: DataFrame,
+      dupAnchors: DataFrame): DataFrame = {
+    val bg = anchors.filter(col("doc_id") % cfg.benchmarkMod === 0)
+      .select(col("g")).distinct()
+    val leaked = anchors.filter(col("doc_id") % cfg.benchmarkMod =!= 0)
+      .join(gatedBroadcast(bg), Seq("g"), "leftsemi")
+    val marked = dupAnchors.select(col("doc_id"), col("pos"))
+      .unionByName(leaked.select(col("doc_id"), col("pos"))).distinct()
+    val redactIds = manifest.filter(col("reason") === "dup_spans")
+      .select(col("doc_id"))
+    val byteSpans = SubstringDedup.duplicatedSpans(
+        marked.join(redactIds, Seq("doc_id"), "leftsemi"))
+      .localCheckpoint(true) // feeds the pre-segment window AND the tail
+    val hexSpans = byteSpans.select(col("doc_id"),
+      (col("span_start") * 2 - 1).as("span_start"),
+      (col("span_end") * 2).as("span_end"))
+    val hexDocs = docs.select(col("doc_id"),
+      hex(encode(col("text"), "UTF-8")).as("hx"))
+    val scrubbed = SubstringDedup.scrub(hexDocs, hexSpans, textCol = "hx")
+    manifest.filter(col("decision") =!= "drop")
+      .select(col("doc_id"), col("decision"))
+      .join(scrubbed, Seq("doc_id"))
+      .select(col("doc_id"), col("decision"),
+        expr("CAST(length(text_scrubbed) DIV 2 AS BIGINT)")
+          .as("n_bytes_out"),
+        md5(col("text_scrubbed")).as("sig"))
+  }
+
   /** The frozen corpus-side state a serving-mode curation ingest
     * labels against — every member a MATERIALIZED index relation (or a
     * driver-held bounded model), computed once per index build, never

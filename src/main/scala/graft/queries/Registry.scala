@@ -11,6 +11,7 @@ object Registry {
       DataPipelineQueries3.all ++ DataPipelineQueries4.all ++
       DataPipelineQueries5.all ++ DataPipelineQueries6.all ++
       DataPipelineQueries7.all ++ DataPipelineQueries8.all ++
+      DataPipelineQueries9.all ++
       MultimodalQueries.all ++ StreamingQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) =>

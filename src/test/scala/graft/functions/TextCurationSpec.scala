@@ -108,6 +108,54 @@ class TextCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-tier scrub: hex-space stitching equals an independent " +
+      "byte-splicing reference, and spans really split codepoints") {
+    import org.apache.spark.sql.functions._
+    val docs2 = graft.core.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), expr("replace(text, 'e', 'é')").as("text"))
+    val anch = SubstringDedup.anchorsBytes(docs2).localCheckpoint(true)
+    val spans = SubstringDedup.duplicatedSpans(
+      SubstringDedup.duplicatedAnchors(anch)).localCheckpoint(true)
+    val spanRows = spans.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("span_start"), r.getAs[Int]("span_end")))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sorted).toMap
+    assert(spanRows.nonEmpty, "fixture must produce duplicated byte spans")
+    // the engine path: spans embedded into hex space, char scrub algebra
+    val hexDocs = docs2.select(col("doc_id"),
+      hex(encode(col("text"), "UTF-8")).as("hx"))
+    val hexSpans = spans.select(col("doc_id"),
+      (col("span_start") * 2 - 1).as("span_start"),
+      (col("span_end") * 2).as("span_end"))
+    val engine = SubstringDedup.scrub(hexDocs, hexSpans, textCol = "hx")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text_scrubbed")).toMap
+    // the reference path: splice the UTF-8 byte array directly
+    val texts = docs2.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    var boundaryInsideCodepoint = 0
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val ss = spanRows.getOrElse(id, Array.empty[(Int, Int)])
+      val buf = new java.io.ByteArrayOutputStream()
+      var cur = 0 // 0-based next byte to keep
+      ss.foreach { case (s1, e1) =>
+        buf.write(bytes, cur, (s1 - 1) - cur) // spans are 1-based inclusive
+        cur = math.min(e1, bytes.length)
+        def isCont(i: Int) = i >= 0 && i < bytes.length &&
+          (bytes(i) & 0xc0) == 0x80
+        // a span boundary lands mid-codepoint when the first removed
+        // byte or the first kept byte after it is a continuation byte
+        if (isCont(s1 - 1) || isCont(e1)) boundaryInsideCodepoint += 1
+      }
+      if (cur < bytes.length) buf.write(bytes, cur, bytes.length - cur)
+      val refHex = buf.toByteArray.map(b => f"${b & 0xff}%02X").mkString
+      assert(engine(id) === refHex, s"doc $id byte stitch")
+    }
+    assert(boundaryInsideCodepoint > 0,
+      "fixture must exercise spans whose cuts split an 'é' in half")
+  }
+
   test("per-reason counters through Pipeline.runWithResult agree with " +
       "the relational aggregation; mapper-calls == corpus size") {
     import spark.implicits._
