@@ -374,6 +374,35 @@ object StreamingQueries {
       DataPipelineQueries8.capstoneConfig)
   }
 
+  /** DURABLE streaming curation with a mid-ingest CRASH AND RESTART
+    * (StreamingJobs.streamingCurationDurable): the ingest is staged as
+    * THREE ordered micro-batch files; the frozen ServingIndex persists
+    * as KeyedTables; run 1 processes batch 0, then batch 1 writes its
+    * output, folds its state, and dies BEFORE its checkpoint commit
+    * (the worst crash point — everything half applied); run 2 LOADS
+    * the persisted index (no rebuild, no re-train), re-runs batch 1
+    * under the same id (the idempotent writer overwrites its own
+    * partition; the batch-id-stamped state fold upserts its own rows —
+    * a no-op), and finishes batch 2 against the durably folded prior.
+    * Decisions must equal the one-shot serving run: the oracle is
+    * `incremental_curation`'s SQL verbatim, so this row proves
+    * restart-invariance end to end, not just batch-split-invariance. */
+  val streamCurationResume = sql("stream_curation_resume",
+    DataPipelineQueries8.IncrementalCurationOracle) { (s, d) =>
+    val base = sys.props("java.io.tmpdir") + "/graft_stream_resume_" +
+      java.util.UUID.randomUUID().toString
+    val cfg = DataPipelineQueries8.capstoneConfig
+    graft.streaming.StreamingJobs.stageIngestFiles(s, d,
+      s"$base/staging", nFiles = 3)
+    // run 1: injected crash after batch 1's output + state fold
+    graft.streaming.StreamingJobs.streamingCurationDurable(s, d,
+      s"$base/out", s"$base/state", s"$base/staging", cfg,
+      failAt = Some(1L))
+    // run 2: index-load + ingest-resume from the streaming checkpoint
+    graft.streaming.StreamingJobs.streamingCurationDurable(s, d,
+      s"$base/out", s"$base/state", s"$base/staging", cfg)
+  }
+
   /** Streaming media ingest with REAL sample-level decode
     * (StreamingJobs.streamingMediaDecode): micro-batches synthesize
     * and fully decode PCM-16 WAVs (every int16 sample read back),
@@ -409,5 +438,6 @@ object StreamingQueries {
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent,
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,
-    streamSubstrDedup, streamMediaDecode, streamCuration)
+    streamSubstrDedup, streamMediaDecode, streamCuration,
+    streamCurationResume)
 }

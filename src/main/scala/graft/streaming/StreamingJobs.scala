@@ -568,6 +568,131 @@ object StreamingJobs {
     spark.read.parquet(outDir).drop("batch_id")
   }
 
+  /** Stage the ingest side of the documents table (doc_id % 4 = 0) as
+    * `nFiles` single-file parquets in doc_id order with strictly
+    * increasing modification times, so a file-source stream with
+    * maxFilesPerTrigger=1 delivers them as `nFiles` ordered
+    * micro-batches — the multi-batch ingest shape the one-file
+    * testdata cannot produce naturally. Returns the file count. */
+  def stageIngestFiles(spark: SparkSession, sfDir: String,
+      stagingDir: String, nFiles: Int): Int = {
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batch = all.where(col("doc_id") % 4 === 0)
+    val ids = batch.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val cuts = (1 until nFiles).map(i => ids(i * ids.length / nFiles))
+    val fs = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
+    val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
+    for (i <- 0 until nFiles) {
+      val slice = batch.where(col("doc_id") >= bounds(i) &&
+        col("doc_id") < bounds(i + 1))
+      val tmp = s"$stagingDir/_stage_$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .find(_.getPath.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"staging slice $i wrote no parquet part")).getPath
+      val dst = new org.apache.hadoop.fs.Path(stagingDir, f"ingest_$i%03d.parquet")
+      fs.rename(part, dst)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // file-source ordering is by modification time: space them out
+      fs.setTimes(dst, (i + 1) * 60000L, -1)
+    }
+    nFiles
+  }
+
+  /** DURABLE streaming serving-mode curation — `streamingCuration`
+    * with BOTH state tiers persisted as KeyedTables (ServingState), so
+    * the ingest survives process restarts:
+    *   - the frozen ServingIndex is built ONCE and saved under
+    *     `stateDir/index`; every later invocation LOADS it (no
+    *     re-scan, no re-train — the index-load production shape);
+    *   - each committed micro-batch folds its content hashes,
+    *     shingles, anchor grams, and DERIVED bands into KeyedTables
+    *     under `stateDir/ingest`, content-keyed and
+    *     batch-id-stamped; micro-batch B labels against rows with
+    *     batch_id < B, which is retry-correct at every crash point
+    *     (see ServingState's scaladoc — no in-memory fold guard);
+    *   - Spark's own streaming checkpoint (`stateDir/checkpoint`)
+    *     carries source progress, so a restarted query resumes at the
+    *     first uncommitted micro-batch with the SAME batch id and the
+    *     idempotent batch_id writer absorbs the re-run.
+    * Decisions are therefore batch-split-invariant AND
+    * restart-invariant: any crash/restart sequence over the staged
+    * files yields the one-shot `incremental_curation` answer.
+    *
+    * `failAt`: fault-injection seam — the named micro-batch throws
+    * AFTER writing its output and folding its state but BEFORE its
+    * checkpoint commit (the worst crash point: everything half
+    * applied), and the query dies as a real crash would. The caller
+    * re-invokes to resume; the induced failure fires only on the
+    * first attempt of that id within this invocation. */
+  def streamingCurationDurable(spark: SparkSession, sfDir: String,
+      outDir: String, stateDir: String, stagingDir: String,
+      cfg: graft.functions.TextCuration.Config,
+      failAt: Option[Long] = None): DataFrame = {
+    import graft.functions.{SubstringDedup, TextCuration, TextDedup}
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    val idx =
+      if (ServingState.indexExists(spark, stateDir))
+        ServingState.loadServingIndex(spark, stateDir)
+      else {
+        val built = TextCuration.buildServingIndex(spark,
+          all.where(col("doc_id") % 4 =!= 0), cfg)
+        ServingState.saveServingIndex(spark, built, stateDir)
+        // serve THIS run off the persisted store too: the run after a
+        // restart sees identical relations by construction
+        ServingState.loadServingIndex(spark, stateDir)
+      }
+    val docs = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagingDir)
+    val writer = idempotentBatchWriter(spark, outDir)
+    val qname = "graft_stream_curation_durable"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    var failed = false
+    val q = docs.writeStream.queryName(qname)
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val batchSh = TextDedup.shingles(batch).localCheckpoint(true)
+        val batchAnchors = SubstringDedup.anchors(batch)
+          .localCheckpoint(true)
+        writer(TextCuration.servingDecisions(spark, batch, idx,
+          ServingState.priorFor(spark, stateDir, id), cfg,
+          batchShinglesOpt = Some(batchSh),
+          batchAnchorsOpt = Some(batchAnchors)), id)
+        ServingState.fold(spark, stateDir, id,
+          hashes = batch.select(md5(col("text")).as("h")),
+          shingles = batchSh,
+          grams = batchAnchors.select(col("g")),
+          bands = TextDedup.lshBands(
+            TextDedup.minhashSignatures(batchSh, numHashes = 12),
+            bands = 4, rowsPerBand = 3))
+        if (failAt.contains(id) && !failed) {
+          failed = true
+          throw new IllegalStateException(
+            s"graft-injected crash after batch $id state fold")
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    // an induced crash is the test's intent, not a failure to surface;
+    // anything else propagates
+    def causedByInjection(t: Throwable): Boolean =
+      t != null && (String.valueOf(t.getMessage)
+        .contains("graft-injected crash") || causedByInjection(t.getCause))
+    try { q.processAllAvailable() }
+    catch {
+      case e: Throwable if failAt.isDefined && causedByInjection(e) => ()
+    }
+    finally { q.stop() }
+    q.exception.foreach { e =>
+      if (!(failAt.isDefined && causedByInjection(e))) throw e
+    }
+    spark.read.parquet(outDir).drop("batch_id")
+  }
+
   /** Streaming benchmark decontamination: documents arrive as a
     * stream, their 5-grams are checked against the STATIC held-out
     * benchmark gram set (docs ≡ 0 mod 7), and per-source benchmark-hit

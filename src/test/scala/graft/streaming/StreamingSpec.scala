@@ -140,6 +140,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad === 0, "codegen'd cosine must be bit-identical to HOF form")
   }
 
+  test("durable streaming curation survives a mid-ingest crash: " +
+      "restart resumes from the persisted index + fold and equals the " +
+      "one-shot run; a third invocation is a no-op") {
+    import graft.functions.TextCuration
+    val base = "/tmp/graft-test-durable-curation"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val cfg = TextCuration.Config(
+      stopwords = TextCuration.DemoStopwords,
+      classifierRounds = 2) // spec speed; invariance is rounds-agnostic
+    val staged = StreamingJobs.stageIngestFiles(spark, d,
+      s"$base/staging", nFiles = 3)
+    assert(staged === 3)
+    // run 1: injected crash after batch 1 wrote output + folded state
+    // but BEFORE its checkpoint commit — the worst crash point
+    StreamingJobs.streamingCurationDurable(spark, d, s"$base/out",
+      s"$base/state", s"$base/staging", cfg, failAt = Some(1L))
+    assert(ServingState.indexExists(spark, s"$base/state"),
+      "the ServingIndex must be durably persisted by run 1")
+    // run 2: loads the index (no rebuild), re-runs batch 1 under the
+    // same id, finishes batch 2 against the durably folded prior
+    val resumed = StreamingJobs.streamingCurationDurable(spark, d,
+      s"$base/out", s"$base/state", s"$base/staging", cfg)
+    def decisions(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("decision"), r.getAs[String]("reason"))).toMap
+    val got = decisions(resumed)
+    // one-shot reference: the batch serving operator over the whole
+    // ingest with an empty prior (what an uninterrupted run computes)
+    val docs = graft.core.Tables.documents(spark, d)
+    val isBatch = org.apache.spark.sql.functions.col("doc_id") % 4 === 0
+    val idx = TextCuration.buildServingIndex(spark,
+      docs.where(!isBatch), cfg)
+    val oneShot = decisions(TextCuration.servingDecisions(spark,
+      docs.where(isBatch), idx, TextCuration.IngestPrior(), cfg))
+    assert(got.keySet === oneShot.keySet,
+      "restart must lose no documents and duplicate none")
+    got.foreach { case (id, dr) =>
+      assert(dr === oneShot(id), s"doc $id after crash+restart")
+    }
+    // run 3: nothing left to ingest — the checkpoint yields no batches
+    // and the output table is unchanged (idempotent re-invocation)
+    val again = decisions(StreamingJobs.streamingCurationDurable(spark, d,
+      s"$base/out", s"$base/state", s"$base/staging", cfg))
+    assert(again === got)
+    rm(new java.io.File(base))
+  }
+
   test("session_window MERGES an event at a gap of exactly the window") {
     // Pins the boundary the session_window_native oracle encodes
     // (new session iff gap > window, i.e. merge is INCLUSIVE at exactly
