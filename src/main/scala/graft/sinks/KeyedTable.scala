@@ -294,6 +294,16 @@ object KeyedTable {
     * the write lease. */
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String, numBuckets: Int = 16): Unit =
+    deleteImpl(spark, dir, keys, keyCol, numBuckets, () => ())
+
+  /** Test seam: `onEmptiedRemoved` fires after the fully-emptied
+    * bucket dirs are removed but BEFORE the survivors' commit — the
+    * one crash point a delete still has (a partial delete that a
+    * retry completes); specs inject a crash there to pin the
+    * delete-then-compact lifecycle pairing. */
+  private[sinks] def deleteImpl(spark: SparkSession, dir: String,
+      keys: DataFrame, keyCol: String, numBuckets: Int,
+      onEmptiedRemoved: () => Unit): Unit =
     withTableLock(spark, dir) {
       // an emptied table has nothing to delete — the retried-delete
       // no-op path after a previous delete removed every row
@@ -329,6 +339,7 @@ object KeyedTable {
         touched.filterNot(surviving).foreach { b =>
           fs.delete(new org.apache.hadoop.fs.Path(dir, s"__bucket=$b"), true)
         }
+        onEmptiedRemoved()
         if (surviving.nonEmpty) {
           val key = "spark.sql.sources.partitionOverwriteMode"
           val old = spark.conf.getOption(key)

@@ -190,6 +190,80 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(contents(dir) === rowsBefore)
   }
 
+  test("crash-pair: delete dies mid-way, compact runs, delete retries — " +
+      "table readable at every step, no resurrection, retry completes") {
+    val dir = freshDir()
+    fragmentedTable(dir, numBuckets = 4)
+    val rowsBefore = contents(dir)
+    // doom EVERY key of one bucket (so its dir empties) plus a few
+    // keys scattered across other buckets
+    val bucketOf = (1L to 200L).map { k =>
+      k -> spark.range(1).select(
+        pmod(xxhash64(lit(k)), lit(4L)).cast("int")).as[Int].head()
+    }.toMap
+    val emptiedBucket = bucketOf(1L)
+    val doomed = (1L to 200L).filter(bucketOf(_) == emptiedBucket) ++
+      (1L to 200L).filter(bucketOf(_) != emptiedBucket).take(5)
+    // crash AFTER the emptied dirs are removed, BEFORE the survivors'
+    // commit — the delete's one remaining crash window
+    val crashed = intercept[RuntimeException] {
+      KeyedTable.deleteImpl(spark, dir, doomed.toDF("k"), "k", 4,
+        onEmptiedRemoved = () => throw new RuntimeException("crash"))
+    }
+    assert(crashed.getMessage === "crash")
+    val lock = new org.apache.hadoop.fs.Path(dir, "_graft_write_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(lock), "lease released even on a crashed delete")
+    // partial-delete state: the emptied bucket's rows are gone (that
+    // part of the delete applied), every other row still present —
+    // and the table READS cleanly
+    val mid = contents(dir)
+    val emptiedKeys = (1L to 200L).filter(bucketOf(_) == emptiedBucket).toSet
+    assert(mid.keySet === rowsBefore.keySet -- emptiedKeys,
+      "crash window = partial delete, never corruption")
+    // a compaction between the crash and the retry must succeed and
+    // change no rows (it is a writer like any other under the lease)
+    KeyedTable.compact(spark, dir)
+    assert(contents(dir) === mid, "compact after crashed delete")
+    // the RETRIED delete completes the job exactly
+    KeyedTable.delete(spark, dir, doomed.toDF("k"), "k", 4)
+    assert(contents(dir) === rowsBefore.view
+      .filterKeys(k => !doomed.contains(k)).toMap)
+    // and one more compact + delete retry: both no-ops on rows
+    KeyedTable.compact(spark, dir)
+    KeyedTable.delete(spark, dir, doomed.toDF("k"), "k", 4)
+    assert(contents(dir) === rowsBefore.view
+      .filterKeys(k => !doomed.contains(k)).toMap)
+  }
+
+  test("crash-pair: compact dies after one bucket, delete runs, compact " +
+      "retries — rows always exact, fragmentation fully resolved") {
+    val dir = freshDir()
+    fragmentedTable(dir, numBuckets = 4)
+    val rowsBefore = contents(dir)
+    val filesBefore = parquetFilesPerBucket(dir)
+    assert(filesBefore.count(_._2 > 1) >= 2,
+      s"need >= 2 fragmented buckets: $filesBefore")
+    val crashed = intercept[RuntimeException] {
+      KeyedTable.compactImpl(spark, dir, None, 128L << 20,
+        onBucketCompacted = _ => throw new RuntimeException("crash"))
+    }
+    assert(crashed.getMessage === "crash")
+    assert(contents(dir) === rowsBefore, "crashed compact changed rows")
+    // a delete lands between the crashed compact and its retry: doom a
+    // few keys, including some in the still-fragmented buckets
+    val doomed = Seq(2L, 3L, 5L, 8L, 13L, 21L)
+    KeyedTable.delete(spark, dir, doomed.toDF("k"), "k", 4)
+    val expected = rowsBefore.view
+      .filterKeys(k => !doomed.contains(k)).toMap
+    assert(contents(dir) === expected, "delete after crashed compact")
+    // the compact retry finishes the remaining buckets
+    KeyedTable.compact(spark, dir)
+    assert(contents(dir) === expected)
+    assert(parquetFilesPerBucket(dir).values.forall(_ === 1),
+      "every bucket compacted after the retry")
+  }
+
   test("delete removes exactly the named keys — O(batch) bucket " +
       "touching, idempotent retry, and a fully-emptied bucket's " +
       "partition dir disappears instead of resurrecting its rows") {
