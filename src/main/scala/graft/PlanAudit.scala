@@ -155,7 +155,28 @@ object PlanAudit {
       "fetch, gram-set join, broadcast benchmark 5-grams, broadcast " +
       "weight relation — meeting in per-doc left joins. The " +
       "serving_ingest decade probe measures per-ingest cost FLAT " +
-      "across a 10x corpus growth (BENCH_NOTES)."))
+      "across a 10x corpus growth (BENCH_NOTES)."),
+    "text_curation_apply_bytes" -> ("Byte-tier capstone apply: the " +
+      "manifest's tiers keep their own keyed exchanges (the substring " +
+      "tier on BYTE anchors — same shuffle-free flatMap + one " +
+      "gram-keyed exchange); the scrub embeds byte spans into hex " +
+      "space (pure column arithmetic) and reuses the char scrub " +
+      "algebra — per-doc span windows, substring cuts, one per-doc " +
+      "stitch aggregate. No new exchange class vs text_curation_apply; " +
+      "the hex detour doubles scrub-stage bytes only (a production " +
+      "variant slices BinaryType directly)."),
+    "audio_flac_lpc_stats" -> ("Stateless per-doc stereo synth + REAL " +
+      "LPC decode (quantized-coefficient predictors, four stereo " +
+      "channel assignments, CRC + stream-MD5 verification) in one " +
+      "mapPartitions over a core-count repartition — the " +
+      "audio_flac_stats shape; decode cost linear in clips, zero " +
+      "shuffles after the repartition."))
+    // stream_curation_resume is deliberately NOT explain-audited: its
+    // fn executes the full crash+restart pipeline and the terminal
+    // plan is just the output-table scan. Its per-micro-batch plan is
+    // incremental_curation's (audited above) with index relations read
+    // from bucketed KeyedTables; state folds are O(batch)-bucket keyed
+    // upserts; build vs ingest cost split lives in BENCH_FULL.json.
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -311,7 +311,7 @@ object TextCuration {
     * deduped against). Checkpoints every relation — these persist
     * between ingests by contract. */
   def buildServingIndex(spark: SparkSession, corpusDocs: DataFrame,
-      cfg: Config): ServingIndex = {
+      cfg: Config): ServingIndex = graft.BenchProbe.time("index_build") {
     val hashes = corpusDocs.select(md5(col("text")).as("h")).distinct()
       .localCheckpoint(true)
     val sh = TextDedup.shingles(corpusDocs).localCheckpoint(true)

@@ -273,8 +273,16 @@ object DataPipelineQueries8 {
     * tier and the decision. */
   /** Shared with `stream_curation` (StreamingQueries): streaming and
     * batch serving decisions are identical by construction, so the
-    * oracle is this SQL verbatim there. */
+    * oracle is this SQL verbatim there. `stream_curation_resume`
+    * ingests the mod-8 SLICE of the batch side against the same
+    * corpus (restart-invariance needs real batches, not a big
+    * ingest), so the batch-membership predicate is a parameter; the
+    * corpus predicate (doc_id % 4 <> 0) is fixed — docs matching
+    * neither are simply not ingested. */
   private[queries] lazy val IncrementalCurationOracle: String =
+    incrementalCurationOracleFor("% 4 = 0")
+
+  private[queries] def incrementalCurationOracleFor(bp: String): String =
     s"""WITH w AS (
          SELECT doc_id, lang, n_chars, text,
            list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -287,7 +295,7 @@ object DataPipelineQueries8 {
          SELECT doc_id, md5(text) AS h,
            row_number() OVER (PARTITION BY md5(text)
              ORDER BY doc_id) AS rn
-         FROM documents WHERE doc_id % 4 = 0),
+         FROM documents WHERE doc_id $bp),
        sh AS (
          SELECT DISTINCT doc_id,
            w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] || ' '
@@ -307,7 +315,7 @@ object DataPipelineQueries8 {
        cand AS (
          SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
          FROM bands b JOIN bands c ON b.band = c.band AND b.sig = c.sig
-         WHERE b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0),
+         WHERE b.doc_id $bp AND c.doc_id % 4 <> 0),
        com AS (
          SELECT cd.bdoc, cd.cdoc, count(*) AS common
          FROM cand cd JOIN sh a ON a.doc_id = cd.bdoc
@@ -321,7 +329,7 @@ object DataPipelineQueries8 {
          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 = 0),
+         WHERE a.doc_id $bp AND b.doc_id $bp),
        bcom AS (
          SELECT c.d1, c.d2, count(*) AS common
          FROM bcand c JOIN sh a ON a.doc_id = c.d1
@@ -334,7 +342,7 @@ object DataPipelineQueries8 {
        sidx AS (
          SELECT DISTINCT gram FROM anch WHERE doc_id % 4 <> 0),
        sb AS (
-         SELECT doc_id, pos, gram FROM anch WHERE doc_id % 4 = 0),
+         SELECT doc_id, pos, gram FROM anch WHERE doc_id $bp),
        slab AS (
          SELECT doc_id, pos, gram,
            row_number() OVER (PARTITION BY gram
@@ -361,14 +369,14 @@ object DataPipelineQueries8 {
          SELECT g.doc_id,
            CAST(count(b5.s) * 10000 // count(*) AS BIGINT) AS overlap_bp
          FROM g5 g LEFT JOIN b5 ON b5.s = g.s
-         WHERE g.doc_id % 4 = 0
+         WHERE g.doc_id $bp
          GROUP BY g.doc_id),
        q AS (
          SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
            floor(length(array_to_string(w, '')) * 100.0
              / greatest(len(w), 1)) AS mwl_cc,
            len(list_filter(w, x -> x IN ($stopList))) >= 1 AS has_stop
-         FROM w WHERE doc_id % 4 = 0),
+         FROM w WHERE doc_id $bp),
        f0 AS MATERIALIZED (
          SELECT doc_id, n_chars,
            substr(md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]),
@@ -390,7 +398,7 @@ object DataPipelineQueries8 {
            substr(md5(w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]),
              1, 2) AS b
          FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
-         WHERE len(w) >= 2 AND doc_id % 4 = 0),
+         WHERE len(w) >= 2 AND doc_id $bp),
        fb AS (
          SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cnt
          FROM fb0 GROUP BY 1, 2
@@ -424,7 +432,7 @@ object DataPipelineQueries8 {
          LEFT JOIN contb ON contb.doc_id = d.doc_id
          JOIN q ON q.doc_id = d.doc_id
          LEFT JOIN mb ON mb.doc_id = d.doc_id
-         WHERE d.doc_id % 4 = 0),
+         WHERE d.doc_id $bp),
        lab AS (
          SELECT *, CASE
            WHEN doc_id % 7 = 0 THEN 'benchmark_member'

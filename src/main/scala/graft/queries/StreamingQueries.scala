@@ -388,17 +388,23 @@ object StreamingQueries {
     * `incremental_curation`'s SQL verbatim, so this row proves
     * restart-invariance end to end, not just batch-split-invariance. */
   val streamCurationResume = sql("stream_curation_resume",
-    DataPipelineQueries8.IncrementalCurationOracle) { (s, d) =>
+    // the mod-8 SLICE of the batch side plays the ingest (restart
+    // invariance needs real batches and a real crash, not a large
+    // ingest — StreamingSpec runs the wider 3-file variant); corpus
+    // and serving semantics are unchanged
+    DataPipelineQueries8.incrementalCurationOracleFor("% 8 = 0")) { (s, d) =>
     val base = sys.props("java.io.tmpdir") + "/graft_stream_resume_" +
       java.util.UUID.randomUUID().toString
     val cfg = DataPipelineQueries8.capstoneConfig
     graft.streaming.StreamingJobs.stageIngestFiles(s, d,
-      s"$base/staging", nFiles = 3)
-    // run 1: injected crash after batch 1's output + state fold
+      s"$base/staging", nFiles = 2, batchMod = 8L)
+    // run 1: batch 0 commits; batch 1 writes output + folds state,
+    // then dies before its checkpoint commit
     graft.streaming.StreamingJobs.streamingCurationDurable(s, d,
       s"$base/out", s"$base/state", s"$base/staging", cfg,
       failAt = Some(1L))
-    // run 2: index-load + ingest-resume from the streaming checkpoint
+    // run 2: index-load + ingest-resume — batch 1 re-runs under the
+    // same id against batch 0's durably folded prior
     graft.streaming.StreamingJobs.streamingCurationDurable(s, d,
       s"$base/out", s"$base/state", s"$base/staging", cfg)
   }

@@ -41,6 +41,13 @@ object ServingState {
   private def indexDir(dir: String) = s"$dir/index"
   private def stateTable(dir: String, name: String) = s"$dir/ingest/$name"
 
+  /** Bucket count for the check-scale state tables: every fold/upsert
+    * pays one Spark job per touched bucket's rewrite, so the bounded
+    * replay keeps tables coarse; a production deployment sizes this to
+    * the ingest (the KeyedTable sizing rule — a bucket ≈ a few hundred
+    * MB), passed through here. */
+  private val CheckNumBuckets = 4
+
   /** True when a persisted ServingIndex exists at `dir` (the marker is
     * the weights table — written last by [[saveServingIndex]], so a
     * crash mid-save reads as absent and the index rebuilds). */
@@ -55,16 +62,22 @@ object ServingState {
     * the weights map (bounded by the classifier's bucket space) lands
     * last as the completion marker. */
   def saveServingIndex(spark: SparkSession, idx: TextCuration.ServingIndex,
-      dir: String): Unit = {
+      dir: String): Unit = graft.BenchProbe.time("index_build") {
     import spark.implicits._
     val d = indexDir(dir)
-    KeyedTable.create(idx.corpusHashes, s"$d/hashes", keyCol = "h")
-    KeyedTable.create(idx.corpusShingles, s"$d/shingles", keyCol = "doc_id")
-    KeyedTable.create(idx.corpusBands, s"$d/bands", keyCol = "doc_id")
-    KeyedTable.create(idx.indexGrams, s"$d/grams", keyCol = "g")
-    KeyedTable.create(idx.benchGrams, s"$d/bench", keyCol = "bs")
+    KeyedTable.create(idx.corpusHashes, s"$d/hashes", keyCol = "h",
+      numBuckets = CheckNumBuckets)
+    KeyedTable.create(idx.corpusShingles, s"$d/shingles",
+      keyCol = "doc_id", numBuckets = CheckNumBuckets)
+    KeyedTable.create(idx.corpusBands, s"$d/bands", keyCol = "doc_id",
+      numBuckets = CheckNumBuckets)
+    KeyedTable.create(idx.indexGrams, s"$d/grams", keyCol = "g",
+      numBuckets = CheckNumBuckets)
+    KeyedTable.create(idx.benchGrams, s"$d/bench", keyCol = "bs",
+      numBuckets = CheckNumBuckets)
     KeyedTable.create(
-      idx.weights.toSeq.toDF("b", "wv"), s"$d/weights", keyCol = "b")
+      idx.weights.toSeq.toDF("b", "wv"), s"$d/weights", keyCol = "b",
+      numBuckets = CheckNumBuckets)
   }
 
   /** Load a persisted ServingIndex. Relations are served straight off
@@ -100,8 +113,10 @@ object ServingState {
       val exists = new org.apache.hadoop.fs.Path(s"$table/_graft_table_meta")
         .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(
           new org.apache.hadoop.fs.Path(s"$table/_graft_table_meta"))
-      if (exists) KeyedTable.upsert(spark, table, rows, keyCol = "k")
-      else KeyedTable.create(rows, table, keyCol = "k")
+      if (exists) KeyedTable.upsert(spark, table, rows, keyCol = "k",
+        numBuckets = CheckNumBuckets)
+      else KeyedTable.create(rows, table, keyCol = "k",
+        numBuckets = CheckNumBuckets)
     }
     val sep = lit(":")
     up("hashes", hashes.select(col("h")),
