@@ -525,6 +525,66 @@ object ScaleCheck {
       n
     }
 
+    // DURABLE serving-mode curation (r10): the streaming capstone's
+    // persistence path — ServingIndex saved/loaded as KeyedTables,
+    // each micro-batch's decision computed against the STORE (not
+    // localCheckpoints) and its state folded into batch-id-stamped
+    // KeyedTables. Claims under probe as the CORPUS grows a decade:
+    // (a) index save is corpus-linear (one-time, priced separately);
+    // (b) per-micro-batch decision+fold cost tracks the BATCH — the
+    // corpus enters only through set joins against the bucketed
+    // store; (c) the prior-fold machinery's cost tracks the INGEST so
+    // far (folded batches), never the corpus.
+    time("durable_serving") {
+      import graft.functions.TextCuration
+      import graft.streaming.ServingState
+      val cfg = TextCuration.Config(
+        stopwords = graft.functions.TextCuration.DemoStopwords,
+        classifierRounds = 2)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-durable").toString + "/s"
+      val t0 = System.nanoTime()
+      val built = TextCuration.buildServingIndex(spark, docs, cfg)
+      val tIdx = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      ServingState.saveServingIndex(spark, built, stateDir)
+      val idx = ServingState.loadServingIndex(spark, stateDir)
+      val tSave = (System.nanoTime() - t1) / 1e9
+      // three FIXED micro-batches: base-corpus docs, ids shifted clear
+      // of the replicated corpus id space, split by doc_id thirds
+      val baseBatch = Tables.documents(spark, sfDir)
+        .withColumn("doc_id", col("doc_id") + 999L * shift)
+        .localCheckpoint(true)
+      var n = 0L
+      for (b <- 0 until 3) {
+        val slice = baseBatch.filter(col("doc_id") % 3 === b)
+          .localCheckpoint(true)
+        val tb = System.nanoTime()
+        val batchSh = graft.functions.TextDedup.shingles(slice)
+          .localCheckpoint(true)
+        val batchAnchors = graft.functions.SubstringDedup.anchors(slice)
+          .localCheckpoint(true)
+        n += TextCuration.servingDecisions(spark, slice, idx,
+          ServingState.priorFor(spark, stateDir, b), cfg,
+          batchShinglesOpt = Some(batchSh),
+          batchAnchorsOpt = Some(batchAnchors)).count()
+        ServingState.fold(spark, stateDir, b,
+          hashes = slice.select(md5(col("text")).as("h")),
+          shingles = batchSh,
+          grams = batchAnchors.select(col("g")),
+          bands = graft.functions.TextDedup.lshBands(
+            graft.functions.TextDedup.minhashSignatures(batchSh,
+              numHashes = 12), bands = 4, rowsPerBand = 3))
+        System.err.println(f"[scale]   durable batch $b: " +
+          f"${(System.nanoTime() - tb) / 1e9}%.2f s (decision + fold " +
+          "against the bucketed store)")
+      }
+      System.err.println(
+        f"[scale]   durable: index build $tIdx%.2f s + save/load " +
+          f"$tSave%.2f s (corpus-linear, one-time)")
+      n
+    }
+
     // global training shuffle: range repartition on the md5 key +
     // zipWithIndex (a count job + the attach pass) — the sort is the
     // cost, O(n log n) with no single-partition stage

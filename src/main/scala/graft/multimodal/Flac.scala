@@ -13,13 +13,14 @@ package graft.multimodal
   * non-negative shift) subframes; independent / left-side /
   * right-side / mid-side channel assignments (side subframes at
   * bps+1, per spec); Rice methods 0 (4-bit params) and 1 (5-bit
-  * params) with any partition order; wasted-bits shifts (applied per
+  * params) with any partition order, including ESCAPED partitions
+  * (n-bit signed verbatim residuals); wasted-bits shifts (applied per
   * subframe BEFORE stereo reconstruction, per spec); UTF-8-coded
   * frame numbers; CRC-8 header and CRC-16 frame checksums VERIFIED.
   * Anything outside that envelope — >2 channels, a negative LPC
-  * shift, the escaped coefficient precision, an escaped Rice
-  * partition, a checksum mismatch, trailing bytes, a hostile length —
-  * declines the clip (quarantine routing, not silent truncation).
+  * shift, the escaped coefficient precision, a checksum mismatch,
+  * trailing bytes, a hostile length — declines the clip (quarantine
+  * routing, not silent truncation).
   *
   * The fixture synthesizer emits spec-layout streams whose frame
   * headers, Rice partitions, and checksums are real: a nibble-level
@@ -248,18 +249,31 @@ object Flac {
         var part = 0
         while (part < nParts) {
           val k = r.readBits(pBits).toInt
-          if (k == escape) decline() // escaped partitions: out of scope
           val cnt = (blockSize >> partOrder) -
             (if (part == 0) order else 0)
           if (cnt < 0) decline()
-          var j = 0
-          while (j < cnt) {
-            val q = r.readUnary()
-            val rem = if (k > 0) r.readBits(k) else 0L
-            val res = zigzagDecode((q.toLong << k) | rem)
-            s(i) = (predict(s, i) + res).toInt
-            i += 1
-            j += 1
+          if (k == escape) {
+            // ESCAPED partition (pure integer per spec): 5-bit width n,
+            // then cnt residuals as n-bit signed verbatim (n = 0 means
+            // every residual in the partition is zero)
+            val n = r.readBits(5).toInt
+            var j = 0
+            while (j < cnt) {
+              val res = if (n == 0) 0 else r.readSigned(n)
+              s(i) = (predict(s, i) + res).toInt
+              i += 1
+              j += 1
+            }
+          } else {
+            var j = 0
+            while (j < cnt) {
+              val q = r.readUnary()
+              val rem = if (k > 0) r.readBits(k) else 0L
+              val res = zigzagDecode((q.toLong << k) | rem)
+              s(i) = (predict(s, i) + res).toInt
+              i += 1
+              j += 1
+            }
           }
           part += 1
         }
@@ -467,21 +481,36 @@ object Flac {
 
   /** Rice residual coding shared by both fixture muxers: method 0
     * (4-bit params), partition order 1 (2 partitions), param per
-    * partition from [[riceParam]]. blockSize must be even. */
+    * partition from [[riceParam]] — or, with `escaped = true`, both
+    * partitions written as spec ESCAPED partitions (escape code, 5-bit
+    * width, n-bit signed verbatim residuals). blockSize must be
+    * even. */
   private def writeRicePartitions(w: BitWriter, res: Seq[Int],
-      blockSize: Int, order: Int): Unit = {
+      blockSize: Int, order: Int, escaped: Boolean = false): Unit = {
     w.writeBits(0L, 2) // rice method 0 (4-bit params)
     w.writeBits(1L, 4) // partition order 1 -> 2 partitions
     val half = blockSize / 2
     val p1 = res.take(half - order)
     val p2 = res.drop(half - order)
     for (part <- Seq(p1, p2)) {
-      val k = riceParam(part)
-      w.writeBits(k.toLong, 4)
-      part.foreach { v =>
-        val z = if (v >= 0) 2L * v else -2L * v - 1L
-        w.writeUnary((z >>> k).toInt)
-        if (k > 0) w.writeBits(z & ((1L << k) - 1), k)
+      if (escaped) {
+        // smallest signed width holding every residual (0 iff all zero)
+        val n = part.foldLeft(0) { (acc, v) =>
+          var b = 1
+          while (v < -(1L << (b - 1)) || v > (1L << (b - 1)) - 1) b += 1
+          math.max(acc, if (v == 0) 0 else b)
+        }
+        w.writeBits(0xfL, 4) // escape code
+        w.writeBits(n.toLong, 5)
+        if (n > 0) part.foreach(v => w.writeBits(v.toLong & ((1L << n) - 1), n))
+      } else {
+        val k = riceParam(part)
+        w.writeBits(k.toLong, 4)
+        part.foreach { v =>
+          val z = if (v >= 0) 2L * v else -2L * v - 1L
+          w.writeUnary((z >>> k).toInt)
+          if (k > 0) w.writeBits(z & ((1L << k) - 1), k)
+        }
       }
     }
   }
@@ -603,7 +632,8 @@ object Flac {
     * the decoder's own in reverse:
     * res(i) = s(i) - ((Σ coef(c)·s(i-1-c)) >> shift). */
   private def writeLpcSubframe(w: BitWriter, s: Array[Int], sfBps: Int,
-      coefs: Array[Int], shift: Int, prec: Int): Unit = {
+      coefs: Array[Int], shift: Int, prec: Int,
+      escaped: Boolean = false): Unit = {
     val order = coefs.length
     w.writeBits(0L, 1)                  // padding bit
     w.writeBits(32L + (order - 1), 6)   // LPC subframe, order coded
@@ -621,7 +651,7 @@ object Flac {
       while (c < order) { acc += coefs(c).toLong * s(i - 1 - c); c += 1 }
       s(i) - (acc >> shift).toInt
     }
-    writeRicePartitions(w, res, s.length, order)
+    writeRicePartitions(w, res, s.length, order, escaped)
   }
 
   /** LPC coefficient sets the stereo fixture cycles (order 2 on even
@@ -695,8 +725,12 @@ object Flac {
       val headerBytes = w.toBytesNoAlign()
       w.writeBits(crc8(headerBytes, 0, headerBytes.length).toLong, 8)
       val (coefs, shift) = LpcConfigs(f % 2)
-      writeLpcSubframe(w, c0, bps0, coefs, shift, prec = 5)
-      writeLpcSubframe(w, c1, bps1, coefs, shift, prec = 5)
+      // every third frame codes its residuals as ESCAPED partitions
+      // (n-bit signed verbatim), so the fixture walks both branches of
+      // the spec's residual coder
+      val esc = f % 3 == 2
+      writeLpcSubframe(w, c0, bps0, coefs, shift, prec = 5, escaped = esc)
+      writeLpcSubframe(w, c1, bps1, coefs, shift, prec = 5, escaped = esc)
       w.alignByte()
       val frameBytes = w.toBytesNoAlign()
       w.writeBits(crc16(frameBytes, 0, frameBytes.length).toLong, 16)

@@ -563,8 +563,11 @@ object MultimodalQueries {
     * without psychoacoustics): every document synthesizes a stereo
     * 16-bit stream whose EVERY subframe is LPC (order 2 / order 3 by
     * frame parity) and whose channel assignment cycles independent /
-    * left-side / right-side / mid-side, with real CRC-8/CRC-16 and
-    * the spec's interleaved-sample MD5 verified end to end. The
+    * left-side / right-side / mid-side — every third frame's
+    * residuals coded as ESCAPED partitions (n-bit signed verbatim) so
+    * both branches of the spec's residual coder execute — with real
+    * CRC-8/CRC-16 and the spec's interleaved-sample MD5 verified end
+    * to end. The
     * oracle replays the generating random-walk FORMULAS and the
     * interleaved fold — never the bytes — so a coefficient-read,
     * shift, side-reconstruction, or bit-packing bug on either side
