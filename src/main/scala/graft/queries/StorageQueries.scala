@@ -386,6 +386,71 @@ object StorageQueries {
     * bucket's partition disappears rather than resurrecting rows
     * (KeyedTableSpec pins that edge — this check pins the surviving
     * relation). */
+  /** The same keyed merge through the MVCC manifest table
+    * (VersionedKeyedTable) — the optimistic-concurrency store where
+    * disjoint concurrent writers both commit (KeyedTable's write
+    * lease instead fails the second loudly). Same mutation batch and
+    * oracle as `upsert_keyed`, PLUS a delete, so the row pins upsert
+    * semantics AND the emptied-bucket-as-manifest-entry path through
+    * the commit protocol end to end. */
+  val upsertVersioned = sql("upsert_versioned",
+    s"""WITH base AS (
+          SELECT c_custkey AS k,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v
+          FROM customer),
+        up AS (
+          SELECT c_custkey AS k,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 2 AS DOUBLE) AS v
+          FROM customer WHERE c_custkey % 10 = 3
+          UNION ALL
+          SELECT c_custkey + 1000000 AS k, CAST(c_custkey AS DOUBLE) AS v
+          FROM customer WHERE c_custkey % 100 = 7),
+        merged AS (
+          SELECT k, v FROM up
+          UNION ALL
+          SELECT b.k, b.v FROM base b
+          WHERE b.k NOT IN (SELECT k FROM up))
+        SELECT k, v FROM merged WHERE k % 5 <> 0""") { (s, d) =>
+    import graft.sinks.VersionedKeyedTable
+    val dir = scratch("versioned")
+    val cust = Tables.customer(s, d)
+    val base = cust.select(col("c_custkey").as("k"),
+      col("c_acctbal").cast(Dec).cast("double").as("v"))
+    VersionedKeyedTable.create(base, dir, "k")
+    val updates = cust.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("k"),
+        (col("c_acctbal").cast(Dec) * 2).cast("double").as("v"))
+      .unionByName(cust.filter(col("c_custkey") % 100 === 7)
+        .select((col("c_custkey") + 1000000L).as("k"),
+          col("c_custkey").cast("double").as("v")))
+    VersionedKeyedTable.upsert(s, dir, updates, "k")
+    val doomed = VersionedKeyedTable.read(s, dir)
+      .filter(col("k") % 5 === 0).select(col("k"))
+    VersionedKeyedTable.delete(s, dir, doomed, "k")
+    VersionedKeyedTable.read(s, dir).select(col("k"), col("v"))
+  }
+
+  /** Snapshot time travel through the manifest log: after the same
+    * create → upsert sequence, reading VERSION 1 returns the creation
+    * snapshot bit-exactly — the oracle is the base relation alone,
+    * so a store that mutated v1's files in place (instead of writing
+    * new ones) breaks the hash. */
+  val versionedTimeTravel = sql("versioned_time_travel",
+    s"""SELECT c_custkey AS k,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v
+        FROM customer""") { (s, d) =>
+    import graft.sinks.VersionedKeyedTable
+    val dir = scratch("timetravel")
+    val cust = Tables.customer(s, d)
+    val base = cust.select(col("c_custkey").as("k"),
+      col("c_acctbal").cast(Dec).cast("double").as("v"))
+    VersionedKeyedTable.create(base, dir, "k")
+    VersionedKeyedTable.upsert(s, dir,
+      cust.select(col("c_custkey").as("k"),
+        lit(0.0).as("v")), "k")
+    VersionedKeyedTable.read(s, dir, version = Some(1L))
+  }
+
   val deleteKeyed = sql("delete_keyed",
     s"""SELECT c_custkey AS k,
           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v
@@ -404,7 +469,8 @@ object StorageQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    upsertKeyed, deleteKeyed, pqIndexUpsert, substrIndexUpsert,
+    upsertKeyed, upsertVersioned, versionedTimeTravel,
+    deleteKeyed, pqIndexUpsert, substrIndexUpsert,
     sourceEvolvingSchema,
     sourceInMemory, sourceNone,
     sourceNdjsonRoundtrip, sourceCsvRoundtrip, sourceOrcRoundtrip,

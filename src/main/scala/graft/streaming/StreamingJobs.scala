@@ -637,19 +637,24 @@ object StreamingJobs {
   def streamingCurationDurable(spark: SparkSession, sfDir: String,
       outDir: String, stateDir: String, stagingDir: String,
       cfg: graft.functions.TextCuration.Config,
-      failAt: Option[Long] = None): DataFrame = {
+      failAt: Option[Long] = None,
+      indexDirOpt: Option[String] = None): DataFrame = {
     import graft.functions.{SubstringDedup, TextCuration, TextDedup}
     val all = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the index may live OUTSIDE the per-run stateDir (indexDirOpt):
+    // it is frozen corpus-side state, shared by every ingest of the
+    // same corpus — only the ingest fold + checkpoint are per-run
+    val idxDir = indexDirOpt.getOrElse(stateDir)
     val idx =
-      if (ServingState.indexExists(spark, stateDir))
-        ServingState.loadServingIndex(spark, stateDir)
+      if (ServingState.indexExists(spark, idxDir))
+        ServingState.loadServingIndex(spark, idxDir)
       else {
         val built = TextCuration.buildServingIndex(spark,
           all.where(col("doc_id") % 4 =!= 0), cfg)
-        ServingState.saveServingIndex(spark, built, stateDir)
+        ServingState.saveServingIndex(spark, built, idxDir)
         // serve THIS run off the persisted store too: the run after a
         // restart sees identical relations by construction
-        ServingState.loadServingIndex(spark, stateDir)
+        ServingState.loadServingIndex(spark, idxDir)
       }
     val docs = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", "1")

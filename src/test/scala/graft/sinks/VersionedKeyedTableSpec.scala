@@ -1,0 +1,217 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.TestSpark
+
+/** The optimistic-concurrency contract: snapshot-isolated reads, CAS
+  * commits, rebase on disjoint conflict, recompute on overlap — each
+  * path pinned deterministically through the onBeforeCommit seam, then
+  * exercised with REAL racing threads. */
+class VersionedKeyedTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-versioned").toString + "/t"
+
+  private def contents(dir: String, version: Option[Long] = None)
+      : Map[Long, String] =
+    VersionedKeyedTable.read(spark, dir, version)
+      .as[(Long, String)].collect().toMap
+
+  /** Keys grouped by their bucket under numBuckets=4, so tests can
+    * build provably disjoint / overlapping writers. */
+  private lazy val bucketOf: Map[Long, Int] =
+    (1L to 400L).map { k =>
+      k -> spark.range(1).select(
+        pmod(xxhash64(lit(k)), lit(4L)).cast("int")).as[Int].head()
+    }.toMap
+
+  test("create/read/upsert/delete round trip with time travel and an " +
+      "emptied bucket as a plain manifest entry") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    assert(contents(dir) === (1L to 100L).map(i => i -> s"v$i").toMap)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((7L, "NEW7"), (101L, "NEW101")).toDF("k", "v"), "k")
+    val afterUpsert = contents(dir)
+    assert(afterUpsert(7L) === "NEW7" && afterUpsert(101L) === "NEW101")
+    assert(afterUpsert.size === 101 && afterUpsert(8L) === "v8")
+    // empty one bucket entirely: no dynamic-overwrite edge — the next
+    // manifest simply lists it with no files
+    val doomed = (1L to 101L).filter(k => bucketOf.getOrElse(k, -1) == 0)
+    assert(doomed.nonEmpty)
+    VersionedKeyedTable.delete(spark, dir, doomed.toDF("k"), "k")
+    val afterDelete = contents(dir)
+    assert(afterDelete.keySet === afterUpsert.keySet -- doomed)
+    // time travel: version 1 is still the creation snapshot
+    assert(contents(dir, Some(1L)) ===
+      (1L to 100L).map(i => i -> s"v$i").toMap)
+    assert(contents(dir, Some(2L)) === afterUpsert)
+  }
+
+  test("disjoint-bucket race REBASES: the loser's files commit without " +
+      "a data rewrite and both writers' rows land") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    val aKeys = (1L to 100L).filter(k => bucketOf(k) == 0).take(10)
+    val bKeys = (1L to 100L).filter(k => bucketOf(k) == 1).take(10)
+    assert(aKeys.nonEmpty && bKeys.nonEmpty)
+    var bRan = false
+    // A writes its files; before A's CAS, B commits a DISJOINT-bucket
+    // upsert — A must lose the CAS once, classify the conflict as
+    // disjoint, and rebase the same files onto B's snapshot
+    VersionedKeyedTable.mutate(spark, dir,
+      aKeys.map(k => (k, "A")).toDF("k", "v"), "k", isDelete = false,
+      onBeforeCommit = () => if (!bRan) {
+        bRan = true
+        VersionedKeyedTable.upsert(spark, dir,
+          bKeys.map(k => (k, "B")).toDF("k", "v"), "k")
+      })
+    val got = contents(dir)
+    aKeys.foreach(k => assert(got(k) === "A", s"key $k"))
+    bKeys.foreach(k => assert(got(k) === "B", s"key $k"))
+    // three commits total: create, B, A-rebased
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L)
+  }
+
+  test("overlapping-bucket race RECOMPUTES: the loser re-applies its " +
+      "puts on the winner's state — serializable put order") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    val shared = (1L to 100L).filter(k => bucketOf(k) == 2).take(8)
+    assert(shared.size >= 2)
+    var bRan = false
+    VersionedKeyedTable.mutate(spark, dir,
+      shared.map(k => (k, "A")).toDF("k", "v"), "k", isDelete = false,
+      onBeforeCommit = () => if (!bRan) {
+        bRan = true
+        VersionedKeyedTable.upsert(spark, dir,
+          shared.map(k => (k, "B")).toDF("k", "v"), "k")
+      })
+    // B committed first; A recomputed from B's snapshot and re-applied
+    // its puts — A's values win everywhere (B-then-A serial order)
+    val got = contents(dir)
+    shared.foreach(k => assert(got(k) === "A", s"key $k"))
+    assert(got.size === 100)
+  }
+
+  test("REAL racing threads on disjoint key ranges: every writer " +
+      "commits, no rows lost, one version per commit") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      Seq((0L, "seed")).toDF("k", "v"), dir, "k", numBuckets = 8)
+    val writers = 4
+    val latch = new java.util.concurrent.CountDownLatch(writers)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          val rows = (1L to 20L).map(i => (w * 1000L + i, s"w$w-$i"))
+          latch.countDown(); latch.await() // maximize overlap
+          VersionedKeyedTable.upsert(spark, dir,
+            rows.toDF("k", "v"), "k")
+        } catch { case t: Throwable => errs.add(t) }
+      }, s"graft-versioned-writer-$w")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    val got = contents(dir)
+    assert(got.size === 1 + writers * 20)
+    for (w <- 0 until writers; i <- 1L to 20L)
+      assert(got(w * 1000L + i) === s"w$w-$i")
+    assert(VersionedKeyedTable.snapshot(spark, dir).version ===
+      1L + writers)
+  }
+
+  test("REAL racing threads on the SAME keys: the final state is one " +
+      "writer's puts applied last — never an interleaved mix") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 50L).map(i => (i, "seed")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    val contested = (1L to 50L).filter(k => bucketOf(k) == 3)
+    assert(contested.size >= 3)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("A", "B").map { who =>
+      new Thread(() => {
+        try {
+          latch.countDown(); latch.await()
+          VersionedKeyedTable.upsert(spark, dir,
+            contested.map(k => (k, who)).toDF("k", "v"), "k")
+        } catch { case t: Throwable => errs.add(t) }
+      }, s"graft-versioned-$who")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    val got = contents(dir)
+    val winners = contested.map(got).toSet
+    assert(winners.size === 1 && (winners("A") || winners("B")),
+      s"contested keys must all show ONE writer's puts, got $winners")
+  }
+
+  test("snapshot-isolated reader: a DataFrame resolved before a commit " +
+      "keeps reading its version's immutable files") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 40L).map(i => (i, "old")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    val pinned = VersionedKeyedTable.read(spark, dir) // resolves v1 files
+    VersionedKeyedTable.upsert(spark, dir,
+      (1L to 40L).map(i => (i, "new")).toDF("k", "v"), "k")
+    // the pinned plan still reads v1's files — unchanged results
+    assert(pinned.as[(Long, String)].collect().toMap.values.toSet ===
+      Set("old"))
+    assert(contents(dir).values.toSet === Set("new"))
+  }
+
+  test("crash pre-commit leaves only unreferenced files; vacuum removes " +
+      "them and old versions; vacuumed version reads fail loudly") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 60L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    val before = contents(dir)
+    // writer dies after writing data files, before its CAS
+    intercept[RuntimeException] {
+      VersionedKeyedTable.mutate(spark, dir,
+        Seq((5L, "X")).toDF("k", "v"), "k", isDelete = false,
+        onBeforeCommit = () => throw new RuntimeException("crash"))
+    }
+    assert(contents(dir) === before, "no partially-applied state")
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((5L, "Y"), (6L, "Z")).toDF("k", "v"), "k")
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((7L, "W")).toDF("k", "v"), "k")
+    val latest = contents(dir)
+    VersionedKeyedTable.vacuum(spark, dir, keepVersions = 2)
+    assert(contents(dir) === latest, "latest survives vacuum")
+    // version 1 is gone — pinned readers past retention fail loudly
+    intercept[IllegalStateException] {
+      VersionedKeyedTable.read(spark, dir, Some(1L)).collect()
+    }
+    // every remaining data file is referenced by a retained version
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val onDisk = walk(new java.io.File(s"$dir/data"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath.stripPrefix(
+        new java.io.File(dir).getAbsolutePath + "/")).toSet
+    val referenced = Seq(
+        VersionedKeyedTable.snapshot(spark, dir),
+        VersionedKeyedTable.snapshot(spark, dir,
+          Some(VersionedKeyedTable.snapshot(spark, dir).version - 1)))
+      .flatMap(_.files.values.flatten).toSet
+    assert(onDisk === referenced,
+      "vacuum must keep exactly the retained versions' files")
+  }
+}
