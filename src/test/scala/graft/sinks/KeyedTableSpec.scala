@@ -196,11 +196,10 @@ class KeyedTableSpec extends AnyFunSuite {
     fragmentedTable(dir, numBuckets = 4)
     val rowsBefore = contents(dir)
     // doom EVERY key of one bucket (so its dir empties) plus a few
-    // keys scattered across other buckets
-    val bucketOf = (1L to 200L).map { k =>
-      k -> spark.range(1).select(
-        pmod(xxhash64(lit(k)), lit(4L)).cast("int")).as[Int].head()
-    }.toMap
+    // keys scattered across other buckets (bucket map in one job)
+    val bucketOf = spark.range(1, 201).select(col("id"),
+        pmod(xxhash64(col("id")), lit(4L)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
     val emptiedBucket = bucketOf(1L)
     val doomed = (1L to 200L).filter(bucketOf(_) == emptiedBucket) ++
       (1L to 200L).filter(bucketOf(_) != emptiedBucket).take(5)

@@ -22,12 +22,11 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
 
   /** Keys grouped by their bucket under numBuckets=4, so tests can
-    * build provably disjoint / overlapping writers. */
+    * build provably disjoint / overlapping writers (one Spark job). */
   private lazy val bucketOf: Map[Long, Int] =
-    (1L to 400L).map { k =>
-      k -> spark.range(1).select(
-        pmod(xxhash64(lit(k)), lit(4L)).cast("int")).as[Int].head()
-    }.toMap
+    spark.range(1, 401).select(col("id"),
+        pmod(xxhash64(col("id")), lit(4L)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
 
   test("create/read/upsert/delete round trip with time travel and an " +
       "emptied bucket as a plain manifest entry") {
