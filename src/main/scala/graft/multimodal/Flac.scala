@@ -500,6 +500,7 @@ object Flac {
           while (v < -(1L << (b - 1)) || v > (1L << (b - 1)) - 1) b += 1
           math.max(acc, if (v == 0) 0 else b)
         }
+        require(n <= 31, s"escaped-partition width $n exceeds the 5-bit field")
         w.writeBits(0xfL, 4) // escape code
         w.writeBits(n.toLong, 5)
         if (n > 0) part.foreach(v => w.writeBits(v.toLong & ((1L << n) - 1), n))

@@ -350,29 +350,42 @@ object VersionedKeyedTable {
   }
 
   /** Remove versions older than the latest `keepVersions` and every
-    * data file none of the retained versions references. Standard
-    * optimistic-store caveat: an in-flight reader or writer pinned to
-    * a vacuumed version fails loudly on its next file access — size
-    * the retention window to the longest expected reader. */
+    * data file none of the retained versions references. Two safety
+    * rails: (a) an in-flight WRITER's files exist unreferenced between
+    * its data write and its manifest CAS, so commit dirs modified
+    * within `graceMs` are never touched — size it above the longest
+    * expected write; (b) a reader or writer pinned to a vacuumed
+    * VERSION fails loudly on its next file access — size the retention
+    * window to the longest expected reader (the standard
+    * optimistic-store caveat). */
   def vacuum(spark: SparkSession, dir: String,
-      keepVersions: Int = 2): Unit = {
+      keepVersions: Int = 2, graceMs: Long = 900000L): Unit = {
     val fs = hfs(spark, dir)
     val versions = listVersions(fs, dir)
-    if (versions.size <= keepVersions) return
-    val (drop, keep) = versions.splitAt(versions.size - keepVersions)
+    // file reclamation runs even when no version needs dropping: a
+    // previous vacuum may have pruned the log while the grace window
+    // deferred its files — re-running finishes the job
+    val (drop, keep) =
+      if (versions.size <= keepVersions) (Seq.empty[Long], versions)
+      else versions.splitAt(versions.size - keepVersions)
     val referenced = keep.flatMap { v =>
       parseManifest(v, readVersionFile(fs, versionPath(dir, v)))
         .map(_.files.values.flatten.toSeq).getOrElse(Seq.empty)
     }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new Path(dir, "data")
     if (fs.exists(dataDir)) {
       fs.listStatus(dataDir).foreach { commit =>
         val rel0 = s"data/${commit.getPath.getName}"
-        fs.listStatus(commit.getPath).foreach { bd =>
-          if (bd.isDirectory) fs.listStatus(bd.getPath).foreach { f =>
-            val rel = s"$rel0/${bd.getPath.getName}/${f.getPath.getName}"
-            if (f.getPath.getName.endsWith(".parquet") &&
-              !referenced.contains(rel)) fs.delete(f.getPath, false)
+        // a commit dir younger than the grace window may belong to an
+        // in-flight writer whose manifest CAS has not happened yet
+        if (commit.getModificationTime < cutoff) {
+          fs.listStatus(commit.getPath).foreach { bd =>
+            if (bd.isDirectory) fs.listStatus(bd.getPath).foreach { f =>
+              val rel = s"$rel0/${bd.getPath.getName}/${f.getPath.getName}"
+              if (f.getPath.getName.endsWith(".parquet") &&
+                !referenced.contains(rel)) fs.delete(f.getPath, false)
+            }
           }
         }
       }

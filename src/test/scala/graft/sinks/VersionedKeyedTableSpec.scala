@@ -192,7 +192,20 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     VersionedKeyedTable.upsert(spark, dir,
       Seq((7L, "W")).toDF("k", "v"), "k")
     val latest = contents(dir)
+    // default grace window: freshly-written commit dirs (a possibly
+    // in-flight writer's) are protected — nothing is deleted here
+    def parquetCount(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/data"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val beforeGraced = parquetCount()
     VersionedKeyedTable.vacuum(spark, dir, keepVersions = 2)
+    assert(parquetCount() === beforeGraced,
+      "grace window must protect fresh (possibly in-flight) files")
+    // zero grace: the full reclamation path
+    VersionedKeyedTable.vacuum(spark, dir, keepVersions = 2, graceMs = 0L)
     assert(contents(dir) === latest, "latest survives vacuum")
     // version 1 is gone — pinned readers past retention fail loudly
     intercept[IllegalStateException] {
