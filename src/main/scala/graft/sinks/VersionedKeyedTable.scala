@@ -281,6 +281,63 @@ object VersionedKeyedTable {
       keyCol: String): Unit =
     mutate(spark, dir, keys, keyCol, isDelete = true, () => ())
 
+  /** SERIALIZABLE read-modify-write: `derive` computes a put batch
+    * FROM the table's current snapshot, and the commit succeeds only
+    * if NO other commit landed since that snapshot was read — bucket
+    * overlap is irrelevant here, because the derivation may have read
+    * ANY row, so any intervening commit invalidates it and the whole
+    * derivation re-runs against the new snapshot. This is the
+    * primitive plain [[upsert]] (puts of given values) cannot
+    * express: two concurrent `transact`-ed increments of the same key
+    * both land (no lost update), where two concurrent upserts of
+    * derived values would overwrite each other. Bounded retries, then
+    * a loud failure.
+    *
+    * `derive` receives the snapshot as a DataFrame and returns the
+    * put batch (full rows, table schema); it must be a pure function
+    * of its input — side effects re-run per retry. */
+  def transact(spark: SparkSession, dir: String, keyCol: String)(
+      derive: DataFrame => DataFrame): Unit = {
+    val (nb, schema) = readMeta(spark, dir)
+    val fs = hfs(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 10) throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir: transact contention exceeded " +
+          "10 attempts")
+      val snap = snapshot(spark, dir)
+      val snapDF = read(spark, dir, Some(snap.version))
+      val batch = derive(snapDF)
+        .withColumn("__bucket", bucketOf(keyCol, nb))
+        .localCheckpoint(true) // pin the derivation before any racer commits
+      val myTouched = batch.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (myTouched.isEmpty) return
+      val existingPaths = myTouched.toSeq.sorted
+        .flatMap(b => snap.files.getOrElse(b, Seq.empty))
+        .map(f => s"$dir/$f")
+      val existing =
+        if (existingPaths.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(existingPaths: _*)
+      val merged = existing.join(
+          broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
+        .unionByName(batch.drop("__bucket"))
+      val newFiles = writeDataFiles(spark, dir,
+        merged.withColumn("__bucket", bucketOf(keyCol, nb))
+          .localCheckpoint(true))
+      val manifest = snap.files ++
+        myTouched.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
+      // strict CAS at snapshot+1: NO rebase — any intervening commit
+      // means the derivation read stale state and must re-run
+      if (tryCommit(fs, dir, versionPath(dir, snap.version + 1),
+          renderManifest(myTouched, manifest))) return
+      // lost: loop re-reads, re-derives, re-writes (orphans -> vacuum)
+    }
+  }
+
   /** Test seam: `onBeforeCommit` runs between data-file write and the
     * manifest CAS — specs inject a racing commit there to pin the
     * rebase and recompute paths deterministically. */

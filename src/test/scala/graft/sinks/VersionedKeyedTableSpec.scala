@@ -158,6 +158,36 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       s"contested keys must all show ONE writer's puts, got $winners")
   }
 
+  test("transact: concurrent derived increments BOTH land — the lost " +
+      "update plain value-puts cannot avoid") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 30L).map(i => (i, 0L)).toDF("k", "n"), dir, "k",
+      numBuckets = 4)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { w =>
+      new Thread(() => {
+        try {
+          latch.countDown(); latch.await() // collide the derivations
+          VersionedKeyedTable.transact(spark, dir, "k") { snap =>
+            // derived update: every row's counter + 1 (reads the
+            // whole table — any intervening commit must re-derive)
+            snap.select(col("k"), (col("n") + 1L).as("n"))
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      }, s"graft-transact-$w")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"transact failed: ${Option(errs.peek())}")
+    val got = VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(2L),
+      s"both increments must land on every key, got ${got.values.toSet}")
+    // and the log shows both committed: create + 2 transacts
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L)
+  }
+
   test("snapshot-isolated reader: a DataFrame resolved before a commit " +
       "keeps reading its version's immutable files") {
     val dir = freshDir()
