@@ -259,6 +259,16 @@ class PlanSpec extends AnyFunSuite {
       s"apply plan grew to $exchanges exchanges — a tier regressed")
   }
 
+  test("text_curation_apply_bytes: the byte-tier apply keeps the apply " +
+      "plan shape — no cartesian, bounded exchanges (hex embedding is " +
+      "pure column arithmetic, not a new exchange class)") {
+    val p = plan("text_curation_apply_bytes")
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 16,
+      s"byte apply plan grew to $exchanges exchanges — a tier regressed")
+  }
+
   test("join_q10: filters reach both fact scans, nation broadcasts, top-k avoids global sort") {
     val p = plan("join_q10")
     assert(p.contains("EqualTo(l_returnflag,R)"),
