@@ -100,19 +100,27 @@ object VersionedKeyedTable {
 
   /** One committed table state: the version number, the full
     * bucket → data-file listing (paths relative to the table dir),
-    * and the buckets this version's commit changed. */
+    * the buckets this version's commit changed, and the schema AT
+    * THIS VERSION (None only for pre-evolution manifests — the meta
+    * sidecar's creation schema governs those). */
   final case class Snapshot(version: Long, files: Map[Int, Seq[String]],
-      touched: Set[Int])
+      touched: Set[Int],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def versionsDir(dir: String) = new Path(dir, "_versions")
   private def versionPath(dir: String, v: Long) =
     new Path(versionsDir(dir), f"v$v%012d")
 
   private def renderManifest(touched: Set[Int],
-      files: Map[Int, Seq[String]]): String = {
+      files: Map[Int, Seq[String]],
+      schema: org.apache.spark.sql.types.StructType): String = {
     val sb = new StringBuilder
     sb.append("touched\t").append(touched.toSeq.sorted.mkString(","))
       .append('\n')
+    // per-VERSION schema: additive evolution changes it going forward
+    // while time-travel reads keep each version's own (schema.json is
+    // a single line — no tabs or newlines)
+    sb.append("schema\t").append(schema.json).append('\n')
     files.toSeq.sortBy(_._1).foreach { case (b, fs0) =>
       fs0.foreach(f => sb.append(b).append('\t').append(f).append('\n'))
       if (fs0.isEmpty) sb.append(b).append("\t-\n") // emptied bucket
@@ -129,17 +137,21 @@ object VersionedKeyedTable {
     if (!lines.headOption.exists(_.startsWith("touched\t"))) return None
     val touched = lines.head.stripPrefix("touched\t").split(',')
       .filter(_.nonEmpty).map(_.toInt).toSet
+    val schema = lines.find(_.startsWith("schema\t")).map(ln =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(ln.stripPrefix("schema\t"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     val files = scala.collection.mutable.Map.empty[Int, Vector[String]]
     lines.iterator.drop(1).takeWhile(_ != "#end").foreach { ln =>
       val t = ln.indexOf('\t')
-      if (t > 0) {
+      if (t > 0 && !ln.startsWith("schema\t")) {
         val b = ln.substring(0, t).toInt
         val f = ln.substring(t + 1)
         if (f == "-") files.getOrElseUpdate(b, Vector.empty)
         else files(b) = files.getOrElse(b, Vector.empty) :+ f
       }
     }
-    Some(Snapshot(v, files.toMap, touched))
+    Some(Snapshot(v, files.toMap, touched, schema))
   }
 
   private def readVersionFile(fs: FileSystem, p: Path): String = {
@@ -251,15 +263,16 @@ object VersionedKeyedTable {
     val all = (0 until numBuckets)
       .map(b => b -> files.getOrElse(b, Seq.empty)).toMap
     while (!tryCommit(fs, dir, versionPath(dir, v),
-        renderManifest(all.keySet, all))) { v += 1 }
+        renderManifest(all.keySet, all, df.schema))) { v += 1 }
   }
 
   /** Read the table at the latest (or a named) version — snapshot
     * isolation by construction: every referenced file is immutable. */
   def read(spark: SparkSession, dir: String,
       version: Option[Long] = None): DataFrame = {
-    val (_, schema) = readMeta(spark, dir)
+    val (_, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
+    val schema = snap.schema.getOrElse(metaSchema)
     val paths = snap.files.values.flatten.map(f => s"$dir/$f").toSeq
     if (paths.isEmpty)
       spark.createDataFrame(
@@ -298,7 +311,7 @@ object VersionedKeyedTable {
     * of its input — side effects re-run per retry. */
   def transact(spark: SparkSession, dir: String, keyCol: String)(
       derive: DataFrame => DataFrame): Unit = {
-    val (nb, schema) = readMeta(spark, dir)
+    val (nb, metaSchema) = readMeta(spark, dir)
     val fs = hfs(spark, dir)
     var attempts = 0
     while (true) {
@@ -317,6 +330,7 @@ object VersionedKeyedTable {
       val existingPaths = myTouched.toSeq.sorted
         .flatMap(b => snap.files.getOrElse(b, Seq.empty))
         .map(f => s"$dir/$f")
+      val schema = snap.schema.getOrElse(metaSchema)
       val existing =
         if (existingPaths.isEmpty)
           spark.createDataFrame(
@@ -324,7 +338,7 @@ object VersionedKeyedTable {
         else spark.read.schema(schema).parquet(existingPaths: _*)
       val merged = existing.join(
           broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
-        .unionByName(batch.drop("__bucket"))
+        .unionByName(batch.drop("__bucket"), allowMissingColumns = true)
       val newFiles = writeDataFiles(spark, dir,
         merged.withColumn("__bucket", bucketOf(keyCol, nb))
           .localCheckpoint(true))
@@ -333,7 +347,10 @@ object VersionedKeyedTable {
       // strict CAS at snapshot+1: NO rebase — any intervening commit
       // means the derivation read stale state and must re-run
       if (tryCommit(fs, dir, versionPath(dir, snap.version + 1),
-          renderManifest(myTouched, manifest))) return
+          renderManifest(myTouched, manifest,
+            org.apache.spark.sql.types.StructType(
+              schema.fields ++ merged.schema.fields.filterNot(f =>
+                schema.fieldNames.contains(f.name)))))) return
       // lost: loop re-reads, re-derives, re-writes (orphans -> vacuum)
     }
   }
@@ -344,7 +361,7 @@ object VersionedKeyedTable {
   private[sinks] def mutate(spark: SparkSession, dir: String,
       rows: DataFrame, keyCol: String, isDelete: Boolean,
       onBeforeCommit: () => Unit): Unit = {
-    val (nb, schema) = readMeta(spark, dir)
+    val (nb, metaSchema) = readMeta(spark, dir)
     val fs = hfs(spark, dir)
     val batch = rows.withColumn("__bucket", bucketOf(keyCol, nb))
       .localCheckpoint(true)
@@ -358,20 +375,39 @@ object VersionedKeyedTable {
       if (attempts > 10) throw new IllegalStateException(
         s"VersionedKeyedTable at $dir: commit contention exceeded 10 " +
           "attempts — backlogged writers on the same buckets")
-      // merge against THIS snapshot's touched-bucket files
+      // merge against THIS snapshot's touched-bucket files, under
+      // the snapshot's schema EVOLVED by any columns the update batch
+      // adds (additive only; shared columns must keep their type) —
+      // old files read the added columns as null, the parquet
+      // missing-column contract the source_evolving_schema row pins
+      val current = snap.schema.getOrElse(metaSchema)
+      val updSchema = org.apache.spark.sql.types.StructType(
+        batch.schema.fields.filterNot(_.name == "__bucket"))
+      updSchema.fields.foreach { f =>
+        current.fields.find(_.name == f.name).foreach { cf =>
+          require(cf.dataType == f.dataType,
+            s"schema evolution is additive only: column '${f.name}' " +
+              s"cannot change ${cf.dataType} -> ${f.dataType}")
+        }
+      }
+      val evolved = org.apache.spark.sql.types.StructType(
+        current.fields ++
+          updSchema.fields.filterNot(f =>
+            current.fieldNames.contains(f.name)))
       val existingPaths = myTouched.toSeq.sorted
         .flatMap(b => snap.files.getOrElse(b, Seq.empty))
         .map(f => s"$dir/$f")
       val existing =
         if (existingPaths.isEmpty)
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(existingPaths: _*)
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved)
+        else spark.read.schema(evolved).parquet(existingPaths: _*)
       val survivors = existing.join(
         broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
       val merged =
         if (isDelete) survivors
-        else survivors.unionByName(batch.drop("__bucket"))
+        else survivors.unionByName(batch.drop("__bucket"),
+          allowMissingColumns = true)
       val newFiles = writeDataFiles(spark, dir,
         merged.withColumn("__bucket", bucketOf(keyCol, nb))
           .localCheckpoint(true)) // never read a file a racer vacuums
@@ -383,8 +419,14 @@ object VersionedKeyedTable {
       while (!resolved) {
         val manifest = base.files ++
           myTouched.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
+        // the committed schema carries forward any columns a DISJOINT
+        // racer added (rebase keeps both evolutions additive)
+        val commitSchema = org.apache.spark.sql.types.StructType(
+          evolved.fields ++
+            base.schema.getOrElse(metaSchema).fields.filterNot(f =>
+              evolved.fieldNames.contains(f.name)))
         if (tryCommit(fs, dir, versionPath(dir, base.version + 1),
-            renderManifest(myTouched, manifest))) return
+            renderManifest(myTouched, manifest, commitSchema))) return
         val cur = snapshot(spark, dir)
         val interveningTouched =
           (base.version + 1 to cur.version).flatMap { v =>

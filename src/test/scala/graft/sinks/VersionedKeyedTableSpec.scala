@@ -158,6 +158,43 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       s"contested keys must all show ONE writer's puts, got $winners")
   }
 
+  test("additive schema evolution: new columns read null for old rows, " +
+      "time travel keeps each version's schema, type changes refused") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    // widen: the update batch carries a new column
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, "NEW3", 33L), (21L, "NEW21", 42L)).toDF("k", "v", "extra"),
+      "k")
+    val widened = VersionedKeyedTable.read(spark, dir)
+    assert(widened.columns.toSeq === Seq("k", "v", "extra"))
+    val rows = widened.as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(3L) === (("NEW3", Some(33L))))
+    assert(rows(21L) === (("NEW21", Some(42L))))
+    assert(rows(5L) === (("v5", None)), "old rows read the column null")
+    // time travel: version 1 keeps the pre-evolution schema
+    assert(VersionedKeyedTable.read(spark, dir, Some(1L))
+      .columns.toSeq === Seq("k", "v"))
+    // a narrower later put still works (missing columns become null —
+    // put semantics replace the whole row)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, "NARROW3")).toDF("k", "v"), "k")
+    val after = VersionedKeyedTable.read(spark, dir)
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(after(3L) === (("NARROW3", None)))
+    assert(after(21L) === (("NEW21", Some(42L))))
+    // type change is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((4L, 99L)).toDF("k", "v"), "k")
+    }
+    assert(e.getMessage.contains("additive only"))
+  }
+
   test("transact: concurrent derived increments BOTH land — the lost " +
       "update plain value-puts cannot avoid") {
     val dir = freshDir()
