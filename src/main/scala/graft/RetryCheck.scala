@@ -28,6 +28,7 @@ object RetryCheck {
   // separate trackers for the upsert/delete write-path scenarios
   val upsertAttempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
   val deleteAttempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+  val versionedAttempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -132,8 +133,41 @@ object RetryCheck {
     println(s"[retry-check] delete-exactly-once=$deleteOk " +
       s"delete-partitions-retried=$deleteRetried rows=${afterDelete.size}")
 
+    // --- VERSIONED store under injected write-path failures ---
+    // (the optimistic MVCC path: a mutation whose batch computation
+    // fails mid-task must still commit exactly one new version with
+    // exactly the batch's puts — task retry happens BELOW the manifest
+    // CAS, so the log shows one commit, never a half-written one)
+    val vdir = java.nio.file.Files
+      .createTempDirectory("graft-retry-versioned").toString + "/t"
+    graft.sinks.VersionedKeyedTable.create(base, vdir, "k")
+    val vUpdates = spark.range(0, 20, 1, 4).as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val n = versionedAttempts
+          .computeIfAbsent(pid, _ => new AtomicInteger(0)).incrementAndGet()
+        it.flatMap { x =>
+          if (n == 1 && x % 5 == 4)
+            throw new RuntimeException(
+              s"injected versioned failure, partition $pid")
+          Seq((x * 5, s"U${x * 5}"), (x * 5 + 1000, s"I${x * 5 + 1000}"))
+        }
+      }.toDF("k", "v")
+    graft.sinks.VersionedKeyedTable.upsert(spark, vdir, vUpdates, "k")
+    val vGot = graft.sinks.VersionedKeyedTable.read(spark, vdir)
+      .as[(Long, String)].collect().toMap
+    val versionedOk = vGot == expected
+    val versionedRetried = versionedAttempts.size == 4 &&
+      versionedAttempts.values.stream.allMatch(a => a.get == 2)
+    val oneCommit =
+      graft.sinks.VersionedKeyedTable.snapshot(spark, vdir).version == 2L
+    println(s"[retry-check] versioned-exactly-once=$versionedOk " +
+      s"versioned-partitions-retried=$versionedRetried " +
+      s"versioned-one-commit=$oneCommit rows=${vGot.size}")
+
     spark.stop()
     if (!(ok1 && ok2 && exactUnderFailure && overOnRecompute &&
-      upsertOk && upsertRetried && deleteOk && deleteRetried)) sys.exit(1)
+      upsertOk && upsertRetried && deleteOk && deleteRetried &&
+      versionedOk && versionedRetried && oneCommit)) sys.exit(1)
   }
 }
