@@ -585,6 +585,39 @@ object ScaleCheck {
       n
     }
 
+    // VERSIONED store mutation (r10): a FIXED put/delete batch against
+    // a table that grows a decade, with numBuckets scaled so bucket
+    // SIZE stays constant (the KeyedTable sizing rule: a real
+    // deployment holds bucket ≈ a few hundred MB as the table grows).
+    // Claims: create is table-linear (one-time); the fixed-batch
+    // upsert and delete stay FLAT — each reads and rewrites only the
+    // buckets its keys hash into, and the manifest CAS is metadata.
+    time("versioned_mutation") {
+      import graft.sinks.VersionedKeyedTable
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-scale-versioned").toString + "/t"
+      val base = c.select(col("c_custkey").as("k"),
+        col("c_acctbal").cast("double").as("v"))
+      val t0 = System.nanoTime()
+      VersionedKeyedTable.create(base, dir, "k",
+        numBuckets = 16 * copies)
+      val tCreate = (System.nanoTime() - t0) / 1e9
+      val batchKeys = (1L to 100L)
+      val t1 = System.nanoTime()
+      VersionedKeyedTable.upsert(spark, dir,
+        batchKeys.map(k => (k, -1.0)).toDF("k", "v"), "k")
+      val tUp = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      VersionedKeyedTable.delete(spark, dir,
+        batchKeys.take(50).toDF("k"), "k")
+      val tDel = (System.nanoTime() - t2) / 1e9
+      System.err.println(
+        f"[scale]   versioned: create $tCreate%.2f s (table-linear, " +
+          f"one-time), fixed-batch upsert $tUp%.2f s, delete $tDel%.2f s")
+      VersionedKeyedTable.read(spark, dir).count()
+    }
+
     // global training shuffle: range repartition on the md5 key +
     // zipWithIndex (a count job + the attach pass) — the sort is the
     // cost, O(n log n) with no single-partition stage
