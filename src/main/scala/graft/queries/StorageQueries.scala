@@ -430,6 +430,34 @@ object StorageQueries {
     VersionedKeyedTable.read(s, dir).select(col("k"), col("v"))
   }
 
+  /** Additive schema evolution through the MUTABLE store — the
+    * `source_evolving_schema` analogue where generations are
+    * VERSIONS: the table is created 2-column, a later put batch
+    * carries a third column, and the merged read shows the new
+    * column NULL for every pre-evolution row and populated for the
+    * updated ones (old files read missing columns as null under the
+    * evolved per-version schema). The oracle computes the same merge
+    * with an explicit NULL. */
+  val versionedSchemaEvolution = sql("versioned_schema_evolution",
+    s"""SELECT c_custkey AS k,
+          CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v,
+          CASE WHEN c_custkey % 10 = 3
+            THEN CAST(c_custkey * 7 AS BIGINT) END AS extra
+        FROM customer""") { (s, d) =>
+    import graft.sinks.VersionedKeyedTable
+    val dir = scratch("evolve")
+    val cust = Tables.customer(s, d)
+    VersionedKeyedTable.create(
+      cust.select(col("c_custkey").as("k"),
+        col("c_acctbal").cast(Dec).cast("double").as("v")), dir, "k")
+    VersionedKeyedTable.upsert(s, dir,
+      cust.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey").as("k"),
+          col("c_acctbal").cast(Dec).cast("double").as("v"),
+          (col("c_custkey") * 7).cast("long").as("extra")), "k")
+    VersionedKeyedTable.read(s, dir)
+  }
+
   /** Snapshot time travel through the manifest log: after the same
     * create → upsert sequence, reading VERSION 1 returns the creation
     * snapshot bit-exactly — the oracle is the base relation alone,
@@ -470,6 +498,7 @@ object StorageQueries {
 
   val all: Seq[QueryDef] = Seq(
     upsertKeyed, upsertVersioned, versionedTimeTravel,
+    versionedSchemaEvolution,
     deleteKeyed, pqIndexUpsert, substrIndexUpsert,
     sourceEvolvingSchema,
     sourceInMemory, sourceNone,
