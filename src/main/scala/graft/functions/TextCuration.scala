@@ -66,7 +66,7 @@ object TextCuration {
     * [[MaxBroadcastBenchRows]]; above the cap the relation goes
     * un-hinted and AQE sizes the join. The input is checkpointed so
     * the gating count and the join share one materialization. */
-  private def gatedBroadcast(df: DataFrame): DataFrame = {
+  private[graft] def gatedBroadcast(df: DataFrame): DataFrame = {
     val b = df.localCheckpoint(true)
     if (b.count() <= MaxBroadcastBenchRows) broadcast(b) else b
   }
@@ -323,9 +323,12 @@ object TextCuration {
       .localCheckpoint(true)
     val grams = SubstringDedup.anchors(corpusDocs)
       .select(col("g")).distinct().localCheckpoint(true)
-    val bench = TextDedup.shingles(corpusDocs, n = 5)
+    // gated ONCE here (checkpoint + count + hint): the stored
+    // relation is what every per-ingest decision joins — a per-batch
+    // gate would re-materialize and re-count it every micro-batch
+    val bench = gatedBroadcast(TextDedup.shingles(corpusDocs, n = 5)
       .filter(col("doc_id") % cfg.benchmarkMod === 0)
-      .select(col("s").as("bs")).distinct().localCheckpoint(true)
+      .select(col("s").as("bs")).distinct())
     val weights = LinearClassifier.trainPocketPerceptron(spark,
       classifierFeatures(corpusDocs).localCheckpoint(true),
       rounds = cfg.classifierRounds)
@@ -403,8 +406,11 @@ object TextCuration {
       .select(col("doc_id"),
         (col("n_corpus_dup") + col("n_batch_dup")).as("dup_anchors"))
     // contamination vs the indexed benchmark suite
+    // idx.benchGrams arrives pre-gated (buildServingIndex /
+    // ServingState.loadServingIndex apply the broadcast gate once per
+    // index build or load, never per micro-batch)
     val cont = TextDedup.shingles(batchDocs, n = 5)
-      .join(gatedBroadcast(idx.benchGrams), col("s") === col("bs"), "left")
+      .join(idx.benchGrams, col("s") === col("bs"), "left")
       .groupBy(col("doc_id"))
       .agg(expr("CAST(count(bs) * 10000 DIV count(1) AS BIGINT)")
         .as("overlap_bp"))

@@ -376,17 +376,19 @@ object StreamingQueries {
 
   /** DURABLE streaming curation with a mid-ingest CRASH AND RESTART
     * (StreamingJobs.streamingCurationDurable): the ingest is staged as
-    * THREE ordered micro-batch files; the frozen ServingIndex persists
-    * as KeyedTables; run 1 processes batch 0, then batch 1 writes its
+    * TWO ordered micro-batch files; the frozen ServingIndex persists
+    * as KeyedTables; run 1 commits batch 0, then batch 1 writes its
     * output, folds its state, and dies BEFORE its checkpoint commit
     * (the worst crash point — everything half applied); run 2 LOADS
-    * the persisted index (no rebuild, no re-train), re-runs batch 1
+    * the persisted index (no rebuild, no re-train) and re-runs batch 1
     * under the same id (the idempotent writer overwrites its own
     * partition; the batch-id-stamped state fold upserts its own rows —
-    * a no-op), and finishes batch 2 against the durably folded prior.
-    * Decisions must equal the one-shot serving run: the oracle is
-    * `incremental_curation`'s SQL verbatim, so this row proves
-    * restart-invariance end to end, not just batch-split-invariance. */
+    * a no-op) against batch 0's durably folded prior. Decisions must
+    * equal the one-shot serving run: the oracle is the serving SQL
+    * over the mod-8 ingest slice, so this row proves
+    * restart-invariance end to end, not just batch-split-invariance.
+    * (StreamingSpec runs the wider THREE-file variant, where a fresh
+    * post-crash batch also labels against the durable prior.) */
   val streamCurationResume = sql("stream_curation_resume",
     // the mod-8 SLICE of the batch side plays the ingest (restart
     // invariance needs real batches and a real crash, not a large

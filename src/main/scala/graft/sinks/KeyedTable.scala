@@ -25,8 +25,29 @@ import org.apache.spark.sql.functions._
   */
 object KeyedTable {
 
-  private def bucket(keyCol: String, numBuckets: Int) =
+  private[sinks] def bucket(keyCol: String, numBuckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
+
+  /** Read a small control file fully (meta sidecars, manifests). */
+  private[sinks] def readFully(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** True when a keyed table (this store or [[VersionedKeyedTable]])
+    * exists at `dir` — the metadata sidecar is the authoritative
+    * marker, so callers never hand-roll its filename. */
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = metaPath(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Lease duration written into the lock marker: a holder that has
     * not heartbeat-renewed within this window is presumed crashed. */
@@ -207,10 +228,10 @@ object KeyedTable {
     * over the parameter; tables created before the sidecar existed
     * fall back to the caller's value. The stored schema also keeps an
     * emptied table (every row deleted) readable. */
-  private def metaPath(dir: String) =
+  private[sinks] def metaPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_graft_table_meta")
 
-  private def writeMeta(spark: SparkSession, dir: String,
+  private[sinks] def writeMeta(spark: SparkSession, dir: String,
       numBuckets: Int, schema: org.apache.spark.sql.types.StructType): Unit = {
     val p = metaPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -219,20 +240,13 @@ object KeyedTable {
     finally out.close()
   }
 
-  private def readMeta(spark: SparkSession, dir: String)
+  private[sinks] def readMeta(spark: SparkSession, dir: String)
       : Option[(Int, org.apache.spark.sql.types.StructType)] = {
     val p = metaPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else try {
-      val in = fs.open(p)
-      val txt = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](4096)
-        var n = in.read(tmp)
-        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        buf.toString("UTF-8")
-      } finally in.close()
+      val txt = readFully(fs, p)
       val nl = txt.indexOf('\n')
       Some((txt.substring(0, nl).trim.toInt,
         org.apache.spark.sql.types.DataType.fromJson(txt.substring(nl + 1))

@@ -61,40 +61,24 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object VersionedKeyedTable {
 
+  // meta sidecar, bucket expression, and control-file IO are SHARED
+  // with KeyedTable (one definition of the sidecar format and the
+  // bucket function — the two stores can never silently diverge)
   private def bucketOf(keyCol: String, numBuckets: Int) =
-    pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
+    KeyedTable.bucket(keyCol, numBuckets)
 
   private def hfs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // ---- meta sidecar (creation-time truth, as in KeyedTable) --------
-
-  private def metaPath(dir: String) = new Path(dir, "_graft_table_meta")
-
   private def writeMeta(spark: SparkSession, dir: String, numBuckets: Int,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
-    val fs = hfs(spark, dir)
-    val out = fs.create(metaPath(dir), true)
-    try out.write(s"$numBuckets\n${schema.json}".getBytes("UTF-8"))
-    finally out.close()
-  }
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    KeyedTable.writeMeta(spark, dir, numBuckets, schema)
 
   private def readMeta(spark: SparkSession, dir: String)
-      : (Int, org.apache.spark.sql.types.StructType) = {
-    val fs = hfs(spark, dir)
-    val in = fs.open(metaPath(dir))
-    val txt = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](4096)
-      var n = in.read(tmp)
-      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-      buf.toString("UTF-8")
-    } finally in.close()
-    val nl = txt.indexOf('\n')
-    (txt.substring(0, nl).trim.toInt,
-      org.apache.spark.sql.types.DataType.fromJson(txt.substring(nl + 1))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-  }
+      : (Int, org.apache.spark.sql.types.StructType) =
+    KeyedTable.readMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir has no metadata sidecar"))
 
   // ---- manifest log ------------------------------------------------
 
@@ -154,16 +138,8 @@ object VersionedKeyedTable {
     Some(Snapshot(v, files.toMap, touched, schema))
   }
 
-  private def readVersionFile(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](8192)
-      var n = in.read(tmp)
-      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-      buf.toString("UTF-8")
-    } finally in.close()
-  }
+  private def readVersionFile(fs: FileSystem, p: Path): String =
+    KeyedTable.readFully(fs, p)
 
   private def listVersions(fs: FileSystem, dir: String): Seq[Long] = {
     val vd = versionsDir(dir)
@@ -192,6 +168,19 @@ object VersionedKeyedTable {
         s"VersionedKeyedTable at $dir has no " +
           version.fold("committed version")(v => s"complete version v$v")))
   }
+
+  /** The next CLAIMABLE version number at or after `atLeast`: one past
+    * the highest claimed name, complete or torn. A torn claim (a
+    * crashed weak-scheme writer's file without `#end`) permanently
+    * occupies its number — committers must skip past it, or a single
+    * dead claim at latest-complete+1 would wedge the protocol forever.
+    * Weak-scheme caveat, documented: a glacially slow fallback writer
+    * whose claim is skipped and who then finishes lands at a number
+    * BELOW the latest — readers resolve the latest complete manifest,
+    * so that late commit is never observed (lost, not corrupting). */
+  private def nextClaimable(fs: FileSystem, dir: String,
+      atLeast: Long): Long =
+    math.max(atLeast, listVersions(fs, dir).lastOption.getOrElse(0L) + 1)
 
   /** Atomic claim of version file `target` with `content`. Local
     * filesystems get a true CAS: content lands in a temp file and a
@@ -331,6 +320,18 @@ object VersionedKeyedTable {
         .flatMap(b => snap.files.getOrElse(b, Seq.empty))
         .map(f => s"$dir/$f")
       val schema = snap.schema.getOrElse(metaSchema)
+      // same additive-only rule as mutate: a derivation that changes
+      // an existing column's type would write files later reads
+      // cannot convert — refuse loudly before anything lands
+      org.apache.spark.sql.types.StructType(
+          batch.schema.fields.filterNot(_.name == "__bucket"))
+        .fields.foreach { f =>
+          schema.fields.find(_.name == f.name).foreach { cf =>
+            require(cf.dataType == f.dataType,
+              s"schema evolution is additive only: column '${f.name}' " +
+                s"cannot change ${cf.dataType} -> ${f.dataType}")
+          }
+        }
       val existing =
         if (existingPaths.isEmpty)
           spark.createDataFrame(
@@ -346,12 +347,25 @@ object VersionedKeyedTable {
         myTouched.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
       // strict CAS at snapshot+1: NO rebase — any intervening commit
       // means the derivation read stale state and must re-run
-      if (tryCommit(fs, dir, versionPath(dir, snap.version + 1),
-          renderManifest(myTouched, manifest,
-            org.apache.spark.sql.types.StructType(
-              schema.fields ++ merged.schema.fields.filterNot(f =>
-                schema.fieldNames.contains(f.name)))))) return
-      // lost: loop re-reads, re-derives, re-writes (orphans -> vacuum)
+      // strict CAS: any NEW COMPLETE version re-runs the derivation;
+      // a lost CAS with no new complete version means a TORN claim
+      // (dead weak-scheme writer) — skip past it, derivation intact
+      val content = renderManifest(myTouched, manifest,
+        org.apache.spark.sql.types.StructType(
+          schema.fields ++ merged.schema.fields.filterNot(f =>
+            schema.fieldNames.contains(f.name))))
+      var target = snap.version + 1
+      var committed = false
+      var stale = false
+      while (!committed && !stale) {
+        if (tryCommit(fs, dir, versionPath(dir, target), content))
+          committed = true
+        else if (snapshot(spark, dir).version > snap.version)
+          stale = true // someone really committed: re-derive
+        else target = nextClaimable(fs, dir, target + 1) // torn claim
+      }
+      if (committed) return
+      // stale: loop re-reads, re-derives, re-writes (orphans -> vacuum)
     }
   }
 
@@ -372,8 +386,8 @@ object VersionedKeyedTable {
     var attempts = 0
     while (true) {
       attempts += 1
-      if (attempts > 10) throw new IllegalStateException(
-        s"VersionedKeyedTable at $dir: commit contention exceeded 10 " +
+      if (attempts > 20) throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir: commit contention exceeded 20 " +
           "attempts — backlogged writers on the same buckets")
       // merge against THIS snapshot's touched-bucket files, under
       // the snapshot's schema EVOLVED by any columns the update batch
@@ -415,8 +429,15 @@ object VersionedKeyedTable {
       // rebase loop: re-target the SAME written files onto newer
       // snapshots while the intervening commits stay bucket-disjoint
       var base = snap
+      var target = base.version + 1
       var resolved = false
       while (!resolved) {
+        // bounded like the outer loop: a rebase retry is cheap but a
+        // pathological claim stream must still surface, not spin
+        attempts += 1
+        if (attempts > 20) throw new IllegalStateException(
+          s"VersionedKeyedTable at $dir: commit contention exceeded " +
+            "20 attempts — backlogged writers on this table")
         val manifest = base.files ++
           myTouched.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
         // the committed schema carries forward any columns a DISJOINT
@@ -425,24 +446,37 @@ object VersionedKeyedTable {
           evolved.fields ++
             base.schema.getOrElse(metaSchema).fields.filterNot(f =>
               evolved.fieldNames.contains(f.name)))
-        if (tryCommit(fs, dir, versionPath(dir, base.version + 1),
+        if (tryCommit(fs, dir, versionPath(dir, target),
             renderManifest(myTouched, manifest, commitSchema))) return
         val cur = snapshot(spark, dir)
-        val interveningTouched =
-          (base.version + 1 to cur.version).flatMap { v =>
-            val p = versionPath(dir, v)
-            if (!fs.exists(p)) Seq.empty
-            else parseManifest(v, readVersionFile(fs, p))
-              .map(_.touched.toSeq).getOrElse(Seq.empty)
-          }.toSet
-        if ((interveningTouched & myTouched).nonEmpty) {
-          // overlap: merge inputs are stale — recompute from the
-          // winner's snapshot (puts re-apply serializably); the files
-          // just written become unreferenced (vacuum removes them)
-          snap = cur
-          resolved = true
+        if (cur.version <= base.version) {
+          // CAS lost but NO new complete version exists: the claim
+          // blocking us is TORN (a dead weak-scheme writer) — skip
+          // past every claimed name, same base, no data rewrite.
+          // Unreachable on file:// (the hard-link CAS is atomic with
+          // content, so a lost CAS always means a complete commit);
+          // on weak schemes a glacially slow writer whose claim we
+          // skip lands below the latest and is never observed (the
+          // documented lost-not-corrupting fallback semantics).
+          target = nextClaimable(fs, dir, target + 1)
         } else {
-          base = cur // disjoint: rebase the same files, retry the CAS
+          val interveningTouched =
+            (base.version + 1 to cur.version).flatMap { v =>
+              val p = versionPath(dir, v)
+              if (!fs.exists(p)) Seq.empty
+              else parseManifest(v, readVersionFile(fs, p))
+                .map(_.touched.toSeq).getOrElse(Seq.empty)
+            }.toSet
+          if ((interveningTouched & myTouched).nonEmpty) {
+            // overlap: merge inputs are stale — recompute from the
+            // winner's snapshot (puts re-apply serializably); the files
+            // just written become unreferenced (vacuum removes them)
+            snap = cur
+            resolved = true
+          } else {
+            base = cur // disjoint: rebase the same files, retry the CAS
+            target = math.max(base.version + 1, target)
+          }
         }
       }
     }
@@ -460,7 +494,23 @@ object VersionedKeyedTable {
   def vacuum(spark: SparkSession, dir: String,
       keepVersions: Int = 2, graceMs: Long = 900000L): Unit = {
     val fs = hfs(spark, dir)
-    val versions = listVersions(fs, dir)
+    // retention math runs over COMPLETE versions only: counting a torn
+    // claim toward keepVersions could retain nothing parseable and
+    // reclaim every referenced file. Torn claims past the grace window
+    // are dead weak-scheme writers — their files are reclaimed and the
+    // claim name removed (a re-commit at an old number would sit below
+    // the latest complete version and never be observed anyway).
+    val cutoffTorn = System.currentTimeMillis() - graceMs
+    val parsed = listVersions(fs, dir).map { v =>
+      val p = versionPath(dir, v)
+      v -> parseManifest(v, readVersionFile(fs, p))
+    }
+    parsed.collect { case (v, None) => v }.foreach { v =>
+      val p = versionPath(dir, v)
+      if (fs.getFileStatus(p).getModificationTime < cutoffTorn)
+        fs.delete(p, false)
+    }
+    val versions = parsed.collect { case (v, Some(_)) => v }
     // file reclamation runs even when no version needs dropping: a
     // previous vacuum may have pruned the log while the grace window
     // deferred its files — re-running finishes the job
@@ -471,6 +521,8 @@ object VersionedKeyedTable {
       parseManifest(v, readVersionFile(fs, versionPath(dir, v)))
         .map(_.files.values.flatten.toSeq).getOrElse(Seq.empty)
     }.toSet
+    require(keep.nonEmpty || versions.isEmpty,
+      s"vacuum at $dir would retain no complete version")
     val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new Path(dir, "data")
     if (fs.exists(dataDir)) {

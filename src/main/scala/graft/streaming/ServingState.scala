@@ -51,11 +51,8 @@ object ServingState {
   /** True when a persisted ServingIndex exists at `dir` (the marker is
     * the weights table — written last by [[saveServingIndex]], so a
     * crash mid-save reads as absent and the index rebuilds). */
-  def indexExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(
-      s"${indexDir(dir)}/weights/_graft_table_meta")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  def indexExists(spark: SparkSession, dir: String): Boolean =
+    KeyedTable.exists(spark, s"${indexDir(dir)}/weights")
 
   /** Persist every ServingIndex relation as a KeyedTable under
     * `dir/index`. Buckets are keyed on each relation's natural column;
@@ -92,7 +89,10 @@ object ServingState {
       corpusShingles = KeyedTable.read(spark, s"$d/shingles"),
       corpusBands = KeyedTable.read(spark, s"$d/bands"),
       indexGrams = KeyedTable.read(spark, s"$d/grams"),
-      benchGrams = KeyedTable.read(spark, s"$d/bench"),
+      // broadcast-gated ONCE per load (the per-restart cost), so each
+      // micro-batch's contamination join pays no gating jobs
+      benchGrams = TextCuration.gatedBroadcast(
+        KeyedTable.read(spark, s"$d/bench")),
       weights = KeyedTable.read(spark, s"$d/weights")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
@@ -110,10 +110,8 @@ object ServingState {
       val rows = df.distinct()
         .withColumn("batch_id", lit(batchId))
         .withColumn("k", md5(keyExpr))
-      val exists = new org.apache.hadoop.fs.Path(s"$table/_graft_table_meta")
-        .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(
-          new org.apache.hadoop.fs.Path(s"$table/_graft_table_meta"))
-      if (exists) KeyedTable.upsert(spark, table, rows, keyCol = "k",
+      if (KeyedTable.exists(spark, table))
+        KeyedTable.upsert(spark, table, rows, keyCol = "k",
         numBuckets = CheckNumBuckets)
       else KeyedTable.create(rows, table, keyCol = "k",
         numBuckets = CheckNumBuckets)
@@ -138,9 +136,7 @@ object ServingState {
       : TextCuration.IngestPrior = {
     def tbl(name: String, cols: Seq[String]): Option[DataFrame] = {
       val table = stateTable(dir, name)
-      val p = new org.apache.hadoop.fs.Path(s"$table/_graft_table_meta")
-      if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-        None
+      if (!KeyedTable.exists(spark, table)) None
       else Some(KeyedTable.read(spark, table)
         .filter(col("batch_id") < batchId)
         .select(cols.map(col): _*))

@@ -585,9 +585,15 @@ object StreamingJobs {
     val batch = all.where(col("doc_id") % batchMod === 0)
     val ids = batch.select(col("doc_id")).orderBy(col("doc_id"))
       .collect().map(_.getLong(0))
+    require(ids.length >= nFiles,
+      s"stageIngestFiles: only ${ids.length} docs match doc_id % " +
+        s"$batchMod == 0 — cannot stage $nFiles non-empty files")
     val cuts = (1 until nFiles).map(i => ids(i * ids.length / nFiles))
     val fs = new org.apache.hadoop.fs.Path(stagingDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a reused staging dir with leftover files from a prior (possibly
+    // wider) run would silently re-ingest stale documents — start clean
+    fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
     fs.mkdirs(new org.apache.hadoop.fs.Path(stagingDir))
     val bounds = (Long.MinValue +: cuts) :+ Long.MaxValue
     for (i <- 0 until nFiles) {

@@ -225,6 +225,41 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L)
   }
 
+  test("a torn version claim (crashed weak-scheme writer) never wedges " +
+      "the protocol: mutate and transact skip past it, vacuum's " +
+      "retention ignores it and reclaims the dead claim") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 30L).map(i => (i, 0L)).toDF("k", "n"), dir, "k",
+      numBuckets = 4)
+    // plant a torn claim at v2: content without the '#end' marker —
+    // what a fallback-scheme writer crashing mid-write leaves behind
+    val torn = java.nio.file.Paths.get(s"$dir/_versions/v000000000002")
+    java.nio.file.Files.write(torn,
+      "touched\t0\n0\tdata/ghost.parquet\n".getBytes("UTF-8"))
+    // upsert must skip the dead claim and commit (previously: the CAS
+    // at latest-complete+1 = v2 would fail forever)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((1L, 7L)).toDF("k", "n"), "k")
+    val got = VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 7L && got.size === 30)
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L,
+      "the commit lands past the torn claim")
+    // transact takes the same skip without re-deriving spuriously
+    VersionedKeyedTable.transact(spark, dir, "k")(snap =>
+      snap.select(col("k"), (col("n") + 1L).as("n")))
+    assert(VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long)].collect().toMap.apply(1L) === 8L)
+    // vacuum: the torn claim counts toward NOTHING — complete versions
+    // govern retention, and the dead claim itself is reclaimed
+    VersionedKeyedTable.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(!java.nio.file.Files.exists(torn), "dead claim reclaimed")
+    assert(VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long)].collect().toMap.apply(1L) === 8L,
+      "the latest complete version survives retention")
+  }
+
   test("snapshot-isolated reader: a DataFrame resolved before a commit " +
       "keeps reading its version's immutable files") {
     val dir = freshDir()
