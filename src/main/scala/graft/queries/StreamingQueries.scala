@@ -403,10 +403,20 @@ object StreamingQueries {
     // invocation builds and saves it; every later one LOADS it — the
     // production restart shape, and the bench's second run prices
     // pure index-load ingest instead of re-paying the one-time build
-    val docsFile = new java.io.File(s"$d/documents.parquet")
+    // key = corpus identity (path + per-FILE parquet sizes/mtimes —
+    // File.length() on a directory is meaningless) + the index-build
+    // CODE version, so editing build/classifier logic invalidates the
+    // cache instead of silently serving a stale index
+    val docsDir = new java.io.File(s"$d/documents.parquet")
+    val parts = Option(docsDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(",")
     val corpusId = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d:${docsFile.length}:${docsFile.lastModified}"
-        .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      .digest(
+        s"$d:${graft.streaming.ServingState.IndexCodeVersion}:$parts"
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
     val sharedIndexDir = sys.props("java.io.tmpdir") +
       s"/graft_resume_index_$corpusId"
     graft.streaming.StreamingJobs.stageIngestFiles(s, d,

@@ -84,20 +84,29 @@ object VersionedKeyedTable {
 
   /** One committed table state: the version number, the full
     * bucket → data-file listing (paths relative to the table dir),
-    * the buckets this version's commit changed, and the schema AT
-    * THIS VERSION (None only for pre-evolution manifests — the meta
-    * sidecar's creation schema governs those). */
+    * the buckets this version's commit changed, the schema AT THIS
+    * VERSION (None only for pre-evolution manifests — the meta
+    * sidecar's creation schema governs those), and per-file ZONE MAPS
+    * (key min/max, URL-encoded strings; absent for files written
+    * before zone maps existed — those are never pruned). */
   final case class Snapshot(version: Long, files: Map[Int, Seq[String]],
       touched: Set[Int],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      stats: Map[String, (String, String)] = Map.empty)
 
   private def versionsDir(dir: String) = new Path(dir, "_versions")
   private def versionPath(dir: String, v: Long) =
     new Path(versionsDir(dir), f"v$v%012d")
 
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   private def renderManifest(touched: Set[Int],
       files: Map[Int, Seq[String]],
-      schema: org.apache.spark.sql.types.StructType): String = {
+      schema: org.apache.spark.sql.types.StructType,
+      stats: Map[String, (String, String)]): String = {
     val sb = new StringBuilder
     sb.append("touched\t").append(touched.toSeq.sorted.mkString(","))
       .append('\n')
@@ -106,7 +115,15 @@ object VersionedKeyedTable {
     // a single line — no tabs or newlines)
     sb.append("schema\t").append(schema.json).append('\n')
     files.toSeq.sortBy(_._1).foreach { case (b, fs0) =>
-      fs0.foreach(f => sb.append(b).append('\t').append(f).append('\n'))
+      fs0.foreach { f =>
+        sb.append(b).append('\t').append(f)
+        // zone map rides the file's own line (URL-encoded: the key
+        // may be a string containing tabs/newlines)
+        stats.get(f).foreach { case (mn, mx) =>
+          sb.append('\t').append(enc(mn)).append('\t').append(enc(mx))
+        }
+        sb.append('\n')
+      }
       if (fs0.isEmpty) sb.append(b).append("\t-\n") // emptied bucket
     }
     sb.append("#end\n")
@@ -126,16 +143,23 @@ object VersionedKeyedTable {
         .fromJson(ln.stripPrefix("schema\t"))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val files = scala.collection.mutable.Map.empty[Int, Vector[String]]
+    val stats = scala.collection.mutable.Map.empty[String, (String, String)]
     lines.iterator.drop(1).takeWhile(_ != "#end").foreach { ln =>
-      val t = ln.indexOf('\t')
-      if (t > 0 && !ln.startsWith("schema\t")) {
-        val b = ln.substring(0, t).toInt
-        val f = ln.substring(t + 1)
-        if (f == "-") files.getOrElseUpdate(b, Vector.empty)
-        else files(b) = files.getOrElse(b, Vector.empty) :+ f
+      if (!ln.startsWith("schema\t")) {
+        val parts = ln.split('\t')
+        if (parts.length >= 2) {
+          val b = parts(0).toInt
+          val f = parts(1)
+          if (f == "-") files.getOrElseUpdate(b, Vector.empty)
+          else {
+            files(b) = files.getOrElse(b, Vector.empty) :+ f
+            if (parts.length >= 4)
+              stats(f) = (dec(parts(2)), dec(parts(3)))
+          }
+        }
       }
     }
-    Some(Snapshot(v, files.toMap, touched, schema))
+    Some(Snapshot(v, files.toMap, touched, schema, stats.toMap))
   }
 
   private def readVersionFile(fs: FileSystem, p: Path): String =
@@ -186,8 +210,13 @@ object VersionedKeyedTable {
     * filesystems get a true CAS: content lands in a temp file and a
     * HARD LINK claims the version name — link(2) fails with EEXIST if
     * a racer won, and the content is complete the instant the name
-    * exists. Other schemes fall back to create-if-absent + write,
-    * whose torn-write window the `#end` marker makes detectable. */
+    * exists. Other schemes write the FULL content (with `#end`) to a
+    * temp file and claim the name by rename — atomic-with-content on
+    * HDFS-like filesystems, so there is no create-to-write gap in
+    * which a live racer looks like a dead torn claim. Only schemes
+    * that EMULATE rename (object-store copy+delete) retain a torn
+    * window, which the `#end` marker makes detectable and
+    * [[awaitBlockingClaim]] bounds. */
   private def tryCommit(fs: FileSystem, dir: String, target: Path,
       content: String): Boolean = {
     fs.mkdirs(versionsDir(dir))
@@ -204,30 +233,62 @@ object VersionedKeyedTable {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally java.nio.file.Files.deleteIfExists(local(tmp))
     } else {
-      val created =
-        try fs.createNewFile(target)
+      val tmp = new Path(versionsDir(dir),
+        s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      val won =
+        try !fs.exists(target) && fs.rename(tmp, target)
         catch { case _: java.io.IOException => false }
-      if (created) {
-        val out = fs.create(target, true)
-        try out.write(content.getBytes("UTF-8")) finally out.close()
-      }
-      created
+      if (!won) fs.delete(tmp, false)
+      won
     }
+  }
+
+  /** How long a committer waits on a blocking incomplete claim before
+    * declaring it torn (weak schemes only — the file:// hard-link CAS
+    * makes a lost CAS imply a complete commit). Total wait =
+    * polls × interval; sized for rename-emulation latency, not for
+    * writer runtime, because a rename-claimed manifest is complete
+    * before the name ever exists. */
+  private[sinks] var tornClaimPolls = 10
+  private[sinks] var tornClaimPollMs = 200L
+
+  /** After a lost CAS with NO new complete version: the blocking claim
+    * is either a dead writer's torn file or (on a rename-emulating
+    * scheme) a live racer mid-claim. Poll briefly for a complete
+    * commit to appear; `true` means one did (the caller re-reads the
+    * log), `false` after the bound means the claim is adjudicated
+    * torn and skipped. On file:// this returns immediately — the
+    * hard-link CAS cannot present a live-but-incomplete claim. */
+  private def awaitBlockingClaim(fs: FileSystem, spark: SparkSession,
+      dir: String, baseVersion: Long): Boolean = {
+    if (fs.getUri.getScheme == "file") return false
+    var i = 0
+    while (i < tornClaimPolls) {
+      Thread.sleep(tornClaimPollMs)
+      if (snapshot(spark, dir).version > baseVersion) return true
+      i += 1
+    }
+    false
   }
 
   // ---- data files --------------------------------------------------
 
   /** Write `withBucket` (data columns + __bucket) as immutable files
-    * under a fresh commit dir; returns bucket → relative paths. The
-    * partition column stays in the PATH, so data files carry the pure
-    * data schema. */
+    * under a fresh commit dir; returns bucket → relative paths plus a
+    * per-file ZONE MAP (key min/max) computed in one distributed pass
+    * over only the new files — O(batch), never O(table). The partition
+    * column stays in the PATH, so data files carry the pure data
+    * schema. */
   private def writeDataFiles(spark: SparkSession, dir: String,
-      withBucket: DataFrame): Map[Int, Seq[String]] = {
+      withBucket: DataFrame, keyCol: String)
+      : (Map[Int, Seq[String]], Map[String, (String, String)]) = {
     val rel = s"data/c-${java.util.UUID.randomUUID()}"
     withBucket.write.partitionBy("__bucket").parquet(s"$dir/$rel")
     val fs = hfs(spark, dir)
     val base = new Path(s"$dir/$rel")
-    fs.listStatus(base).toSeq
+    val files = fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
       .map { d =>
         val b = d.getPath.getName.stripPrefix("__bucket=").toInt
@@ -235,6 +296,23 @@ object VersionedKeyedTable {
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(f => s"$rel/__bucket=${b}/${f.getPath.getName}")
       }.toMap
+    val stats =
+      if (files.valuesIterator.forall(_.isEmpty)) Map.empty[String, (String, String)]
+      else spark.read.parquet(s"$dir/$rel")
+        .groupBy(input_file_name().as("f"), col("__bucket").cast("int").as("b"))
+        .agg(min(col(keyCol)).cast("string").as("mn"),
+          max(col(keyCol)).cast("string").as("mx"))
+        .collect() // bounded: one row per freshly-written file
+        .flatMap { r =>
+          if (r.isNullAt(2) || r.isNullAt(3)) None // all-null-key file
+          else {
+            val uri = r.getString(0)
+            val name = uri.substring(uri.lastIndexOf('/') + 1)
+            Some(s"$rel/__bucket=${r.getInt(1)}/$name" ->
+              (r.getString(2), r.getString(3)))
+          }
+        }.toMap
+    (files, stats)
   }
 
   // ---- public API --------------------------------------------------
@@ -245,14 +323,14 @@ object VersionedKeyedTable {
       numBuckets: Int = 16): Unit = {
     val spark = df.sparkSession
     writeMeta(spark, dir, numBuckets, df.schema)
-    val files = writeDataFiles(spark, dir,
-      df.withColumn("__bucket", bucketOf(keyCol, numBuckets)))
+    val (files, stats) = writeDataFiles(spark, dir,
+      df.withColumn("__bucket", bucketOf(keyCol, numBuckets)), keyCol)
     val fs = hfs(spark, dir)
     var v = listVersions(fs, dir).lastOption.getOrElse(0L) + 1
     val all = (0 until numBuckets)
       .map(b => b -> files.getOrElse(b, Seq.empty)).toMap
     while (!tryCommit(fs, dir, versionPath(dir, v),
-        renderManifest(all.keySet, all, df.schema))) { v += 1 }
+        renderManifest(all.keySet, all, df.schema, stats))) { v += 1 }
   }
 
   /** Read the table at the latest (or a named) version — snapshot
@@ -340,9 +418,9 @@ object VersionedKeyedTable {
       val merged = existing.join(
           broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
         .unionByName(batch.drop("__bucket"), allowMissingColumns = true)
-      val newFiles = writeDataFiles(spark, dir,
+      val (newFiles, newStats) = writeDataFiles(spark, dir,
         merged.withColumn("__bucket", bucketOf(keyCol, nb))
-          .localCheckpoint(true))
+          .localCheckpoint(true), keyCol)
       val manifest = snap.files ++
         myTouched.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
       // strict CAS at snapshot+1: NO rebase — any intervening commit
@@ -353,7 +431,8 @@ object VersionedKeyedTable {
       val content = renderManifest(myTouched, manifest,
         org.apache.spark.sql.types.StructType(
           schema.fields ++ merged.schema.fields.filterNot(f =>
-            schema.fieldNames.contains(f.name))))
+            schema.fieldNames.contains(f.name))),
+        snap.stats ++ newStats)
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -362,6 +441,8 @@ object VersionedKeyedTable {
           committed = true
         else if (snapshot(spark, dir).version > snap.version)
           stale = true // someone really committed: re-derive
+        else if (awaitBlockingClaim(fs, spark, dir, snap.version))
+          stale = true // the blocking claim completed: re-derive
         else target = nextClaimable(fs, dir, target + 1) // torn claim
       }
       if (committed) return
@@ -374,7 +455,29 @@ object VersionedKeyedTable {
     * rebase and recompute paths deterministically. */
   private[sinks] def mutate(spark: SparkSession, dir: String,
       rows: DataFrame, keyCol: String, isDelete: Boolean,
-      onBeforeCommit: () => Unit): Unit = {
+      onBeforeCommit: () => Unit): Unit =
+    mutateWith(spark, dir, rows, keyCol, onBeforeCommit) {
+      (existing, batch) =>
+        val survivors = existing.join(
+          broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
+        if (isDelete) survivors
+        else survivors.unionByName(batch.drop("__bucket"),
+          allowMissingColumns = true)
+    }
+
+  /** The optimistic-commit core every keyed mutation rides: `remerge`
+    * computes the touched buckets' NEW contents from their current
+    * rows (`existing`, read under the additively-evolved schema) and
+    * the checkpointed mutation batch (`batch`, data columns +
+    * `__bucket`). It must be a pure function of its inputs — an
+    * overlap conflict re-runs it against the winner's snapshot.
+    * Upsert, delete, and [[merge]] are thin remerge lambdas over this
+    * one protocol, so rebase/recompute/torn-claim handling exists
+    * exactly once. */
+  private[sinks] def mutateWith(spark: SparkSession, dir: String,
+      rows: DataFrame, keyCol: String,
+      onBeforeCommit: () => Unit)(
+      remerge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
     val fs = hfs(spark, dir)
     val batch = rows.withColumn("__bucket", bucketOf(keyCol, nb))
@@ -416,15 +519,10 @@ object VersionedKeyedTable {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved)
         else spark.read.schema(evolved).parquet(existingPaths: _*)
-      val survivors = existing.join(
-        broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
-      val merged =
-        if (isDelete) survivors
-        else survivors.unionByName(batch.drop("__bucket"),
-          allowMissingColumns = true)
-      val newFiles = writeDataFiles(spark, dir,
+      val merged = remerge(existing, batch)
+      val (newFiles, newStats) = writeDataFiles(spark, dir,
         merged.withColumn("__bucket", bucketOf(keyCol, nb))
-          .localCheckpoint(true)) // never read a file a racer vacuums
+          .localCheckpoint(true), keyCol) // never read a file a racer vacuums
       onBeforeCommit()
       // rebase loop: re-target the SAME written files onto newer
       // snapshots while the intervening commits stay bucket-disjoint
@@ -447,17 +545,24 @@ object VersionedKeyedTable {
             base.schema.getOrElse(metaSchema).fields.filterNot(f =>
               evolved.fieldNames.contains(f.name)))
         if (tryCommit(fs, dir, versionPath(dir, target),
-            renderManifest(myTouched, manifest, commitSchema))) return
-        val cur = snapshot(spark, dir)
+            renderManifest(myTouched, manifest, commitSchema,
+              base.stats ++ newStats))) return
+        val cur0 = snapshot(spark, dir)
+        val cur =
+          if (cur0.version > base.version) cur0
+          else if (awaitBlockingClaim(fs, spark, dir, base.version))
+            snapshot(spark, dir) // the blocking claim completed
+          else cur0
         if (cur.version <= base.version) {
-          // CAS lost but NO new complete version exists: the claim
-          // blocking us is TORN (a dead weak-scheme writer) — skip
-          // past every claimed name, same base, no data rewrite.
-          // Unreachable on file:// (the hard-link CAS is atomic with
-          // content, so a lost CAS always means a complete commit);
-          // on weak schemes a glacially slow writer whose claim we
-          // skip lands below the latest and is never observed (the
-          // documented lost-not-corrupting fallback semantics).
+          // CAS lost, NO new complete version, and the bounded poll
+          // saw none appear: the claim blocking us is adjudicated
+          // TORN (a dead weak-scheme writer) — skip past every
+          // claimed name, same base, no data rewrite. Unreachable on
+          // file:// (the hard-link CAS is atomic with content, so a
+          // lost CAS always means a complete commit); on
+          // rename-claiming weak schemes a manifest is complete
+          // before its name exists, so only rename-EMULATION crashes
+          // reach here, after the poll bound.
           target = nextClaimable(fs, dir, target + 1)
         } else {
           val interveningTouched =
@@ -480,6 +585,244 @@ object VersionedKeyedTable {
         }
       }
     }
+  }
+
+  /** MERGE INTO — the general three-clause keyed merge (the SQL
+    * `MERGE` statement's semantics, expressed over the same optimistic
+    * commit core as upsert/delete):
+    *
+    *  - a source row whose key MATCHES a table row is deleted when
+    *    `whenMatchedDelete` holds, else updated by the
+    *    `whenMatchedUpdate` assignments (unassigned columns keep
+    *    their table value; empty map = the row is kept verbatim);
+    *  - a source row with no match is inserted when
+    *    `insertNotMatched` (columns the source lacks become null);
+    *  - table rows with no matching source row are untouched.
+    *
+    * Condition and assignment expressions see the table row as alias
+    * `t` and the source row as alias `s` (e.g.
+    * `col("s.v") > col("t.v")`, update `"v" -> (col("t.v") + col("s.v"))`).
+    *
+    * Scale: the merge join runs only over the buckets the source's
+    * keys hash into — O(source + touched buckets), never O(table) —
+    * and concurrent disjoint-bucket merges both commit (the
+    * rebase/recompute protocol is [[mutateWith]]'s). Schema evolution
+    * stays additive: source-only columns extend the schema, shared
+    * columns must keep their type. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      insertNotMatched: Boolean = true): Unit =
+    mutateWith(spark, dir, source, keyCol, () => ()) { (existing, batch) =>
+      val src = batch.drop("__bucket")
+      val srcCols = src.columns.toSet
+      val t = existing.alias("t")
+      val sAl = src.alias("s")
+      val tKey = col(s"t.$keyCol")
+      val sKey = col(s"s.$keyCol")
+      val matched = tKey.isNotNull && sKey.isNotNull
+      val outCols = existing.schema.fields.map { f =>
+        val tc = col(s"t.${f.name}")
+        val sc =
+          if (srcCols(f.name)) col(s"s.${f.name}")
+          else lit(null).cast(f.dataType)
+        when(tKey.isNull, sc) // not matched by target: insert values
+          .when(matched,
+            whenMatchedUpdate.getOrElse(f.name, tc)) // update assignment
+          .otherwise(tc) // not matched by source: untouched
+          .as(f.name)
+      }
+      val keep =
+        when(tKey.isNull, lit(insertNotMatched))
+          .when(matched,
+            !coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false)))
+          .otherwise(lit(true))
+      t.join(sAl, tKey === sKey, "full_outer")
+        .where(keep)
+        .select(outCols.toSeq: _*)
+    }
+
+  /** CHANGE DATA FEED: the NET row-level diff between two committed
+    * versions — what an incremental consumer (a materialized view, a
+    * downstream sync) applies instead of re-reading the table. Output:
+    * the key, `change_type` ∈ insert | update | delete, every data
+    * column's NEW value (null for deletes), and its OLD value as
+    * `<col>_prev` (null for inserts).
+    *
+    * Adjacent versions give the per-commit event log; a wider span
+    * gives the collapsed net change (a row upserted then deleted in
+    * the span does not appear).
+    *
+    * Scale: only buckets TOUCHED by the span's commits are read, from
+    * exactly two snapshots — the diff join is O(changed region), never
+    * O(table), and both sides arrive bucket-aligned. Both snapshots
+    * are read under the TO version's schema (additive evolution makes
+    * old files read missing columns as null). */
+  def changesBetween(spark: SparkSession, dir: String, keyCol: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changesBetween needs fromVersion < toVersion, got " +
+        s"$fromVersion >= $toVersion")
+    val (_, metaSchema) = readMeta(spark, dir)
+    val from = snapshot(spark, dir, Some(fromVersion))
+    val to = snapshot(spark, dir, Some(toVersion))
+    val fs = hfs(spark, dir)
+    val touched = (fromVersion + 1 to toVersion).flatMap { v =>
+      val p = versionPath(dir, v)
+      if (!fs.exists(p)) Seq.empty
+      else parseManifest(v, readVersionFile(fs, p))
+        .map(_.touched.toSeq).getOrElse(Seq.empty)
+    }.toSet
+    val schema = to.schema.getOrElse(metaSchema)
+    def side(s: Snapshot): DataFrame = {
+      val paths = touched.toSeq.sorted
+        .flatMap(b => s.files.getOrElse(b, Seq.empty))
+        .map(f => s"$dir/$f")
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+    }
+    val o = side(from).alias("o")
+    val n = side(to).alias("n")
+    val oKey = col(s"o.$keyCol")
+    val nKey = col(s"n.$keyCol")
+    val dataCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
+    val sameRow = dataCols
+      .map(c => col(s"o.$c") <=> col(s"n.$c"))
+      .foldLeft(lit(true))(_ && _)
+    val ct = when(oKey.isNull, lit("insert"))
+      .when(nKey.isNull, lit("delete"))
+      .when(!sameRow, lit("update")) // else null: unchanged row
+    o.join(n, oKey === nKey, "full_outer")
+      .where(ct.isNotNull)
+      .select((coalesce(nKey, oKey).as(keyCol) +: ct.as("change_type") +:
+        (dataCols.map(c => col(s"n.$c").as(c)) ++
+          dataCols.map(c => col(s"o.$c").as(s"${c}_prev")))): _*)
+  }
+
+  /** RESTORE the table to the state of an earlier version — rollback
+    * as a NEW commit whose manifest re-references the old version's
+    * immutable files. O(metadata): no data is read or copied, history
+    * is preserved (the bad commits stay time-travelable until vacuum),
+    * and [[changesBetween]] across the restore shows exactly the
+    * reverted rows. `touched` is the set of buckets whose file lists
+    * differ from the current latest, so concurrent disjoint writers
+    * conflict-check correctly against the restore. Strict CAS: any
+    * intervening commit re-diffs against the new latest. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Unit = {
+    val (_, metaSchema) = readMeta(spark, dir)
+    val fs = hfs(spark, dir)
+    val target = snapshot(spark, dir, Some(toVersion))
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 10) throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir: restore contention exceeded " +
+          "10 attempts")
+      val cur = snapshot(spark, dir)
+      val touched = (target.files.keySet ++ cur.files.keySet).filter(b =>
+        target.files.getOrElse(b, Seq.empty) !=
+          cur.files.getOrElse(b, Seq.empty))
+      if (touched.isEmpty) return // already at the target state
+      val content = renderManifest(touched, target.files,
+        target.schema.getOrElse(metaSchema), target.stats)
+      var v = cur.version + 1
+      var committed = false
+      var stale = false
+      while (!committed && !stale) {
+        if (tryCommit(fs, dir, versionPath(dir, v), content))
+          committed = true
+        else if (snapshot(spark, dir).version > cur.version)
+          stale = true // someone committed: re-diff and retry
+        else if (awaitBlockingClaim(fs, spark, dir, cur.version))
+          stale = true
+        else v = nextClaimable(fs, dir, v + 1) // torn claim
+      }
+      if (committed) return
+    }
+  }
+
+  /** The zone-map FILE PRUNING a range read performs, exposed for
+    * inspection: (files kept, total files) at the given version for a
+    * numeric-key range [lo, hi]. A file is kept when its zone map can
+    * intersect the range — or when it has no zone map (pre-zone-map
+    * files and non-numeric stats are never pruned, only skipped). */
+  def rangeFiles(spark: SparkSession, dir: String, lo: Long, hi: Long,
+      version: Option[Long] = None): (Seq[String], Int) = {
+    val snap = snapshot(spark, dir, version)
+    val all = snap.files.values.flatten.toSeq
+    val kept = all.filter { f =>
+      snap.stats.get(f) match {
+        case Some((mn, mx)) =>
+          (mn.toLongOption, mx.toLongOption) match {
+            case (Some(a), Some(b)) => !(b < lo || a > hi)
+            case _ => true // non-numeric stats: cannot prune safely
+          }
+        case None => true // no zone map recorded: must read
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** Range read with ZONE-MAP DATA SKIPPING: only files whose
+    * (min, max) key interval intersects [lo, hi] are scanned; the
+    * residual filter guarantees exactness. At 100 TB this is the
+    * manifest-level analogue of parquet row-group statistics, applied
+    * BEFORE any split is planned — a key-localized query touches the
+    * few files that cover it, not every file of every bucket (hash
+    * bucketing spreads a key RANGE over all buckets, so bucket pruning
+    * cannot help here; the per-file zone map can). */
+  def readRange(spark: SparkSession, dir: String, keyCol: String,
+      lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
+    val (_, metaSchema) = readMeta(spark, dir)
+    val snap = snapshot(spark, dir, version)
+    val schema = snap.schema.getOrElse(metaSchema)
+    val (kept, _) = rangeFiles(spark, dir, lo, hi, version)
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
+    df.where(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** Point-lookup read: the given keys' rows, touching only the
+    * BUCKETS the keys hash into, zone-map-filtered within them —
+    * O(k) buckets' files for k keys, never a table scan. The key list
+    * is driver-held and bounded (`require`) — this is the dimension-
+    * lookup / debugging path, not a join replacement. */
+  def readKeys(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long], version: Option[Long] = None): DataFrame = {
+    require(keys.size <= 100000,
+      s"readKeys is for bounded point lookups (${keys.size} keys); " +
+        "join against read() for larger key sets")
+    val (nb, metaSchema) = readMeta(spark, dir)
+    val snap = snapshot(spark, dir, version)
+    val schema = snap.schema.getOrElse(metaSchema)
+    import spark.implicits._
+    val wanted = keys.toDF(keyCol)
+      .select(bucketOf(keyCol, nb)).distinct()
+      .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+    val candidate = snap.files.filter(e => wanted(e._1))
+      .values.flatten.toSeq
+    val kept = candidate.filter { f =>
+      snap.stats.get(f) match {
+        case Some((mn, mx)) =>
+          (mn.toLongOption, mx.toLongOption) match {
+            case (Some(a), Some(b)) => keys.exists(k => k >= a && k <= b)
+            case _ => true
+          }
+        case None => true
+      }
+    }
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
+    df.where(col(keyCol).isin(keys: _*))
   }
 
   /** Remove versions older than the latest `keepVersions` and every
@@ -517,15 +860,20 @@ object VersionedKeyedTable {
     val (drop, keep) =
       if (versions.size <= keepVersions) (Seq.empty[Long], versions)
       else versions.splitAt(versions.size - keepVersions)
-    val referenced = keep.flatMap { v =>
-      parseManifest(v, readVersionFile(fs, versionPath(dir, v)))
-        .map(_.files.values.flatten.toSeq).getOrElse(Seq.empty)
-    }.toSet
+    // referenced set comes straight off the snapshots already parsed
+    // above — no second read+parse of the same control files
+    val keepSet = keep.toSet
+    val referenced = parsed
+      .collect { case (v, Some(s)) if keepSet(v) => s }
+      .flatMap(_.files.values.flatten).toSet
     require(keep.nonEmpty || versions.isEmpty,
       s"vacuum at $dir would retain no complete version")
     val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new Path(dir, "data")
     if (fs.exists(dataDir)) {
+      // pass 1: compute deletion candidates against the initial
+      // listing (no deletes yet)
+      val candidates = Seq.newBuilder[(Path, String)]
       fs.listStatus(dataDir).foreach { commit =>
         val rel0 = s"data/${commit.getPath.getName}"
         // a commit dir younger than the grace window may belong to an
@@ -535,10 +883,27 @@ object VersionedKeyedTable {
             if (bd.isDirectory) fs.listStatus(bd.getPath).foreach { f =>
               val rel = s"$rel0/${bd.getPath.getName}/${f.getPath.getName}"
               if (f.getPath.getName.endsWith(".parquet") &&
-                !referenced.contains(rel)) fs.delete(f.getPath, false)
+                !referenced.contains(rel)) candidates += (f.getPath -> rel)
             }
           }
         }
+      }
+      // pass 2: re-list the log and retain anything a manifest
+      // committed SINCE the initial listing references — a writer
+      // whose write-to-CAS gap outran graceMs is caught here, so the
+      // reclamation race shrinks from the grace window to the gap
+      // between this listing and the deletes below
+      val seen = parsed.map(_._1).toSet
+      val lateReferenced = listVersions(fs, dir)
+        .filterNot(seen)
+        .flatMap { v =>
+          val p = versionPath(dir, v)
+          if (!fs.exists(p)) Seq.empty
+          else parseManifest(v, readVersionFile(fs, p))
+            .map(_.files.values.flatten.toSeq).getOrElse(Seq.empty)
+        }.toSet
+      candidates.result().foreach { case (p, rel) =>
+        if (!lateReferenced.contains(rel)) fs.delete(p, false)
       }
     }
     drop.foreach(v => fs.delete(versionPath(dir, v), false))

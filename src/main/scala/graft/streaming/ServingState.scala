@@ -41,6 +41,13 @@ object ServingState {
   private def indexDir(dir: String) = s"$dir/index"
   private def stateTable(dir: String, name: String) = s"$dir/ingest/$name"
 
+  /** Version marker for the PERSISTED index format and the logic that
+    * builds it (shingling, banding, anchor selection, classifier
+    * training). BUMP THIS on any change to index-build semantics: it
+    * salts every cross-run index cache key, so a stale persisted
+    * index from older code can never serve a newer run. */
+  val IndexCodeVersion = "r11.1"
+
   /** Bucket count for the check-scale state tables: every fold/upsert
     * pays one Spark job per touched bucket's rewrite, so the bounded
     * replay keeps tables coarse; a production deployment sizes this to
@@ -55,13 +62,19 @@ object ServingState {
     KeyedTable.exists(spark, s"${indexDir(dir)}/weights")
 
   /** Persist every ServingIndex relation as a KeyedTable under
-    * `dir/index`. Buckets are keyed on each relation's natural column;
-    * the weights map (bounded by the classifier's bucket space) lands
-    * last as the completion marker. */
+    * `dir/index`. The six tables land in a scratch directory that is
+    * RENAMED into place once complete, so the index becomes visible
+    * atomically: a concurrent saver can never expose a half-written
+    * index to [[indexExists]], and the loser of the rename race
+    * discards its scratch copy and uses the winner's (the tables are
+    * deterministic functions of the corpus, so either copy serves).
+    * Inside the scratch dir the weights map (bounded by the
+    * classifier's bucket space) still lands last, so even a crash
+    * mid-scratch-write followed by a manual rename reads as absent. */
   def saveServingIndex(spark: SparkSession, idx: TextCuration.ServingIndex,
       dir: String): Unit = graft.BenchProbe.time("index_build") {
     import spark.implicits._
-    val d = indexDir(dir)
+    val d = s"${indexDir(dir)}-build-${java.util.UUID.randomUUID()}"
     KeyedTable.create(idx.corpusHashes, s"$d/hashes", keyCol = "h",
       numBuckets = CheckNumBuckets)
     KeyedTable.create(idx.corpusShingles, s"$d/shingles",
@@ -75,6 +88,29 @@ object ServingState {
     KeyedTable.create(
       idx.weights.toSeq.toDF("b", "wv"), s"$d/weights", keyCol = "b",
       numBuckets = CheckNumBuckets)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(d)
+    val dst = new org.apache.hadoop.fs.Path(indexDir(dir))
+    val won =
+      if (fs.getUri.getScheme == "file") {
+        // rename(2): fails if dst exists non-empty, so exactly one
+        // concurrent saver wins — no exists-check TOCTOU (Hadoop's
+        // local rename would instead NEST tmp inside an existing dst)
+        try {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(org.apache.hadoop.fs.Path
+              .getPathWithoutSchemeAndAuthority(tmp).toString),
+            java.nio.file.Paths.get(org.apache.hadoop.fs.Path
+              .getPathWithoutSchemeAndAuthority(dst).toString),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.io.IOException => false }
+      } else {
+        try !fs.exists(dst) && fs.rename(tmp, dst)
+        catch { case _: java.io.IOException => false }
+      }
+    if (!won) fs.delete(tmp, true) // a racer's index is already live
   }
 
   /** Load a persisted ServingIndex. Relations are served straight off

@@ -260,6 +260,305 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       "the latest complete version survives retention")
   }
 
+  test("merge: three-clause MERGE INTO — matched-delete, matched-update " +
+      "with t/s expressions, not-matched-insert, untouched non-matches") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 20L).map(i => (i, i * 10L)).toDF("k", "n"), dir, "k",
+      numBuckets = 4)
+    // source: keys 1-5 (matched, n small -> delete when s.flag),
+    // 16-25 (16-20 matched -> update n = t.n + s.n; 21-25 inserted)
+    val source = ((1L to 5L).map(i => (i, 1000L, true)) ++
+      (16L to 25L).map(i => (i, i, false))).toDF("k", "n", "flag")
+    VersionedKeyedTable.merge(spark, dir, source, "k",
+      whenMatchedDelete = Some(col("s.flag")),
+      whenMatchedUpdate = Map("n" -> (col("t.n") + col("s.n"))))
+    val got = VersionedKeyedTable.read(spark, dir)
+      .select(col("k"), col("n")).as[(Long, Long)].collect().toMap
+    // 1-5 deleted; 6-15 untouched; 16-20 updated to 10k+k; 21-25
+    // inserted with source's n (flag column extends the schema: null
+    // for untouched rows, carried for inserts)
+    assert((1L to 5L).forall(k => !got.contains(k)))
+    (6L to 15L).foreach(k => assert(got(k) === k * 10L))
+    (16L to 20L).foreach(k => assert(got(k) === k * 10L + k))
+    (21L to 25L).foreach(k => assert(got(k) === k))
+    assert(got.size === 20)
+    // additive evolution: the source-only column is readable
+    val flags = VersionedKeyedTable.read(spark, dir)
+      .select(col("k"), col("flag")).as[(Long, Option[Boolean])]
+      .collect().toMap
+    assert(flags(8L) === None && flags(22L) === Some(false))
+  }
+
+  test("merge: empty update map keeps matched rows verbatim; " +
+      "insertNotMatched=false makes it filter-only") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 2)
+    VersionedKeyedTable.merge(spark, dir,
+      Seq((3L, "zap"), (99L, "ghost")).toDF("k", "v"), "k",
+      insertNotMatched = false)
+    val got = contents(dir)
+    assert(got(3L) === "v3", "no update clause: matched row untouched")
+    assert(!got.contains(99L), "insertNotMatched=false drops new keys")
+    assert(got.size === 10)
+  }
+
+  test("changesBetween: net diff classifies insert/update/delete with " +
+      "prev values, collapses upsert-then-delete, and skips unchanged " +
+      "rows in touched buckets") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 40L).map(i => (i, i * 1L)).toDF("k", "n"), dir, "k",
+      numBuckets = 4)
+    // v2: update 1-10 (+100), insert 41-45
+    VersionedKeyedTable.upsert(spark, dir,
+      ((1L to 10L).map(i => (i, i + 100L)) ++
+        (41L to 45L).map(i => (i, i))).toDF("k", "n"), "k")
+    // v3: delete 5-8 and 41 (41 = inserted-then-deleted: must vanish
+    // from the net diff), delete 20 (present since v1)
+    VersionedKeyedTable.delete(spark, dir,
+      (Seq(5L, 6L, 7L, 8L, 41L, 20L)).toDF("k"), "k")
+    val cdf = VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 3L)
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val inserts = cdf.collect { case (k, ("insert", _, _)) => k }.toSet
+    val updates = cdf.collect { case (k, ("update", _, _)) => k }.toSet
+    val deletes = cdf.collect { case (k, ("delete", _, _)) => k }.toSet
+    assert(inserts === (42L to 45L).toSet)
+    assert(updates === Set(1L, 2L, 3L, 4L, 9L, 10L))
+    assert(deletes === Set(5L, 6L, 7L, 8L, 20L))
+    assert(cdf(3L) === (("update", Some(103L), Some(3L))), "new + prev")
+    assert(cdf(42L) === (("insert", Some(42L), None)))
+    assert(cdf(20L) === (("delete", None, Some(20L))))
+    // unchanged rows in touched buckets (e.g. 11-19 share buckets with
+    // the mutated keys) never appear
+    assert(cdf.size === inserts.size + updates.size + deletes.size)
+    // adjacent span = the per-commit event log: v2->v3 shows only the
+    // deletes, including 41 (it existed AT v2)
+    val log23 = VersionedKeyedTable.changesBetween(spark, dir, "k", 2L, 3L)
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+    assert(log23.map(_._1).toSet === Set(5L, 6L, 7L, 8L, 41L, 20L))
+    assert(log23.forall(_._2 === "delete"))
+  }
+
+  test("restore: rollback is a metadata-only commit; history stays " +
+      "time-travelable and the CDF across the restore shows the " +
+      "reverted rows") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, "BAD3"), (31L, "BAD31")).toDF("k", "v"), "k")
+    VersionedKeyedTable.delete(spark, dir, Seq(7L).toDF("k"), "k")
+    val dataFilesBefore = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/data"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    VersionedKeyedTable.restore(spark, dir, 1L)
+    // state equals v1 exactly
+    assert(contents(dir) === (1L to 30L).map(i => i -> s"v$i").toMap)
+    // metadata-only: no new data files were written
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(walk(new java.io.File(s"$dir/data"))
+      .count(_.getName.endsWith(".parquet")) === dataFilesBefore)
+    // history preserved: the bad versions still read
+    assert(contents(dir, Some(3L)).get(3L) === Some("BAD3"))
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === 4L)
+    // CDF across the restore = exactly the reverted rows
+    val cdf = VersionedKeyedTable.changesBetween(spark, dir, "k", 3L, 4L)
+      .as[(Long, String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cdf === Map(
+      3L -> (("update", Some("v3"), Some("BAD3"))),
+      31L -> (("delete", None, Some("BAD31"))),
+      7L -> (("insert", Some("v7"), None))))
+    // restoring to the current state is a no-op commit
+    VersionedKeyedTable.restore(spark, dir, 4L)
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === 4L)
+  }
+
+  test("zone maps: range reads prune files by manifest min/max and " +
+      "point lookups touch only the keys' buckets") {
+    val dir = freshDir()
+    // key-sorted repartitionByRange layout gives each file a narrow
+    // key interval — the layout a zone map rewards
+    VersionedKeyedTable.create(
+      spark.range(1, 2001).select(col("id").as("k"),
+          (col("id") * 3L).as("n"))
+        .repartitionByRange(8, col("k")),
+      dir, "k", numBuckets = 4)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((5L, 555L), (1500L, 4500L)).toDF("k", "n"), "k")
+    val (kept, total) =
+      VersionedKeyedTable.rangeFiles(spark, dir, 100L, 120L)
+    assert(kept.size < total,
+      s"zone map must prune files (kept ${kept.size} of $total)")
+    val got = VersionedKeyedTable.readRange(spark, dir, "k", 100L, 120L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (100L to 120L).map(i => i -> i * 3L).toMap)
+    // the updated row reads from the new file through the range path
+    assert(VersionedKeyedTable.readRange(spark, dir, "k", 5L, 5L)
+      .as[(Long, Long)].collect().toMap === Map(5L -> 555L))
+    // point lookups: only the keys' buckets are candidates
+    val pts = VersionedKeyedTable.readKeys(spark, dir, "k",
+      Seq(5L, 700L, 1500L))
+      .as[(Long, Long)].collect().toMap
+    assert(pts === Map(5L -> 555L, 700L -> 2100L, 1500L -> 4500L))
+  }
+
+  // ---- weak-scheme (non-file) fallback paths ----------------------
+  // Local disk exposed under scheme weak:// — the hard-link CAS is
+  // bypassed, so commits take the rename-claim fallback and CAS losses
+  // take the bounded torn-claim poll.
+
+  private def weakDir(): (String, String) = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.weak.impl", classOf[WeakFileSystem].getName)
+    val local = Files.createTempDirectory("graft-weak").toString + "/t"
+    (s"weak://$local", local)
+  }
+
+  /** Strip the trailing `#end` off a committed manifest, turning it
+    * back into what a mid-claim (or dead) weak-scheme writer exposes;
+    * returns the full content for later restoration. */
+  private def tearManifest(localDir: String, v: Long): Array[Byte] = {
+    val p = java.nio.file.Paths.get(f"$localDir/_versions/v$v%012d")
+    val full = java.nio.file.Files.readAllBytes(p)
+    java.nio.file.Files.write(p, full.dropRight("#end\n".length))
+    full
+  }
+
+  test("weak scheme: rename-claimed commits round-trip — upsert, " +
+      "overlap recompute, and read all work off the fallback CAS") {
+    val (dir, _) = weakDir()
+    VersionedKeyedTable.create(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, "NEW3"), (31L, "NEW31")).toDF("k", "v"), "k")
+    val got = contents(dir)
+    assert(got(3L) === "NEW3" && got(31L) === "NEW31" && got.size === 31)
+    // the deterministic overlap race (seam-injected) still serializes
+    var bRan = false
+    val shared = (1L to 30L).filter(k => bucketOf(k) == 2).take(4)
+    VersionedKeyedTable.mutate(spark, dir,
+      shared.map(k => (k, "A")).toDF("k", "v"), "k", isDelete = false,
+      onBeforeCommit = () => if (!bRan) {
+        bRan = true
+        VersionedKeyedTable.upsert(spark, dir,
+          shared.map(k => (k, "B")).toDF("k", "v"), "k")
+      })
+    shared.foreach(k => assert(contents(dir)(k) === "A"))
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === 4L)
+  }
+
+  test("weak scheme: a claim that COMPLETES during the bounded poll is " +
+      "a real commit — the loser recomputes over it instead of " +
+      "skipping it as torn and dropping its rows") {
+    val (dir, local) = weakDir()
+    // one bucket: every commit overlaps, so a skipped-as-torn claim
+    // that later completes would be a silently lost update
+    VersionedKeyedTable.create(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, "k", numBuckets = 1)
+    // racer's commit lands normally at v2, then is torn back to the
+    // mid-claim shape (name exists, no '#end' yet)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((2L, "b2")).toDF("k", "v"), "k")
+    val full = tearManifest(local, 2L)
+    val (polls0, ms0) =
+      (VersionedKeyedTable.tornClaimPolls, VersionedKeyedTable.tornClaimPollMs)
+    VersionedKeyedTable.tornClaimPolls = 50
+    VersionedKeyedTable.tornClaimPollMs = 100L
+    try {
+      // the racer "finishes its write" while the loser is polling
+      val restorer = new Thread(() => {
+        Thread.sleep(500L)
+        java.nio.file.Files.write(java.nio.file.Paths.get(
+          f"$local/_versions/v${2L}%012d"), full)
+      })
+      restorer.start()
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((1L, "a3")).toDF("k", "v"), "k")
+      restorer.join()
+      // both updates visible: the loser waited, saw v2 complete, and
+      // recomputed on top of it (overlap) rather than committing a
+      // manifest based on v1 that erases b2
+      assert(contents(dir) === Map(1L -> "a3", 2L -> "b2"))
+      assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L)
+    } finally {
+      VersionedKeyedTable.tornClaimPolls = polls0
+      VersionedKeyedTable.tornClaimPollMs = ms0
+    }
+  }
+
+  test("weak scheme: transact re-derives over a claim that completes " +
+      "mid-poll — the increment lands on the racer's state") {
+    val (dir, local) = weakDir()
+    VersionedKeyedTable.create(
+      Seq((1L, 0L)).toDF("k", "n"), dir, "k", numBuckets = 1)
+    VersionedKeyedTable.transact(spark, dir, "k")(snap =>
+      snap.select(col("k"), (col("n") + 1L).as("n"))) // v2: n=1
+    val full = tearManifest(local, 2L)
+    val (polls0, ms0) =
+      (VersionedKeyedTable.tornClaimPolls, VersionedKeyedTable.tornClaimPollMs)
+    VersionedKeyedTable.tornClaimPolls = 50
+    VersionedKeyedTable.tornClaimPollMs = 100L
+    try {
+      val restorer = new Thread(() => {
+        Thread.sleep(500L)
+        java.nio.file.Files.write(java.nio.file.Paths.get(
+          f"$local/_versions/v${2L}%012d"), full)
+      })
+      restorer.start()
+      VersionedKeyedTable.transact(spark, dir, "k")(snap =>
+        snap.select(col("k"), (col("n") + 1L).as("n")))
+      restorer.join()
+      // serializable: the second increment derived from n=1, not from
+      // the stale v1 a torn-skip would have re-exposed
+      assert(VersionedKeyedTable.read(spark, dir)
+        .as[(Long, Long)].collect().toMap.apply(1L) === 2L)
+      assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L)
+    } finally {
+      VersionedKeyedTable.tornClaimPolls = polls0
+      VersionedKeyedTable.tornClaimPollMs = ms0
+    }
+  }
+
+  test("weak scheme: a claim that stays incomplete past the poll bound " +
+      "is adjudicated torn — bounded wait, then the commit skips past") {
+    val (dir, _) = weakDir()
+    VersionedKeyedTable.create(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, "k", numBuckets = 1)
+    val (polls0, ms0) =
+      (VersionedKeyedTable.tornClaimPolls, VersionedKeyedTable.tornClaimPollMs)
+    VersionedKeyedTable.tornClaimPolls = 2
+    VersionedKeyedTable.tornClaimPollMs = 50L
+    try {
+      // a dead writer's claim at v2 that never completes
+      val (_, local) = (dir, dir.stripPrefix("weak://"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        f"$local/_versions/v${2L}%012d"),
+        "touched\t0\n0\tdata/ghost.parquet\n".getBytes("UTF-8"))
+      val t0 = System.nanoTime()
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((1L, "a2")).toDF("k", "v"), "k")
+      val waitedMs = (System.nanoTime() - t0) / 1000000L
+      assert(waitedMs >= 100L, s"must poll before skipping (${waitedMs}ms)")
+      assert(contents(dir) === Map(1L -> "a2", 2L -> "b"))
+      assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L,
+        "the commit lands past the dead claim")
+    } finally {
+      VersionedKeyedTable.tornClaimPolls = polls0
+      VersionedKeyedTable.tornClaimPollMs = ms0
+    }
+  }
+
   test("snapshot-isolated reader: a DataFrame resolved before a commit " +
       "keeps reading its version's immutable files") {
     val dir = freshDir()
