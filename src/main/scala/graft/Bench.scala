@@ -95,7 +95,9 @@ object Bench {
       name.startsWith("delete_")) "governance"
     else if (name.startsWith("scan") || name.startsWith("source") ||
       name.startsWith("range") || name.startsWith("upsert") ||
-      name.startsWith("compaction") || name.startsWith("zorder")) "storage"
+      name.startsWith("compaction") || name.startsWith("zorder") ||
+      name.startsWith("versioned") || name.startsWith("merge_into") ||
+      name.startsWith("ivm")) "storage"
     else if (name.startsWith("join") || name.startsWith("subquery") ||
       name.startsWith("sql_")) "join"
     else if (name.startsWith("agg") || name.startsWith("window") ||

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sinks.{IncrementalView, VersionedKeyedTable}
+
+/** The versioned store's QUERY surface — round 11: the operations a
+  * lakehouse table exposes beyond put/get, each oracle-checked by
+  * replaying the mutation history relationally in DuckDB:
+  * change-data-feed, three-clause MERGE, metadata-only restore,
+  * zone-map data skipping, and CDF-driven incremental view
+  * maintenance. (Reference analogue: DatastoreOutput leaned on the
+  * Datastore for mutation/versioning semantics —
+  * outputs/DatastoreOutput.java:1-50; here the table format itself
+  * provides them, so every derived pipeline can consume CHANGES
+  * instead of re-reading state.)
+  */
+object StorageQueries2 {
+  import QueryDef._
+
+  private val Dec = "decimal(12,2)"
+
+  private def scratch(prefix: String): String =
+    sys.props("java.io.tmpdir") + "/graft_" + prefix + "_" +
+      java.util.UUID.randomUUID().toString
+
+  /** CHANGE DATA FEED: create → upsert (updates + inserts) → delete,
+    * then read the NET diff v1→v3. The oracle recomputes each class
+    * from the mutation rules: inserts that survived the delete,
+    * updates off the delete set (with new AND prev values), deletes
+    * with their ORIGINAL value — and the upsert-then-delete keys
+    * (c%10=3 ∧ c%4=3) plus insert-then-delete keys (c%100=7 ∧ c%4=3)
+    * must NOT appear, pinning net-collapse semantics. Only buckets
+    * touched by the span are read (the CDF scale contract). */
+  val versionedCdf = sql("versioned_cdf",
+    s"""WITH ins AS (
+          SELECT c_custkey + 1000000 AS k, CAST(c_custkey AS DOUBLE) AS v
+          FROM customer
+          WHERE c_custkey % 100 = 7 AND (c_custkey + 1000000) % 4 <> 3),
+        upd AS (
+          SELECT c_custkey AS k,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 2 AS DOUBLE) AS v,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v_prev
+          FROM customer
+          WHERE c_custkey % 10 = 3 AND c_custkey % 4 <> 3
+            AND CAST(c_acctbal AS DECIMAL(12,2)) <> 0),
+        del AS (
+          SELECT c_custkey AS k,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v_prev
+          FROM customer WHERE c_custkey % 4 = 3)
+        SELECT k, 'insert' AS change_type, v, CAST(NULL AS DOUBLE) AS v_prev
+        FROM ins
+        UNION ALL
+        SELECT k, 'update' AS change_type, v, v_prev FROM upd
+        UNION ALL
+        SELECT k, 'delete' AS change_type, CAST(NULL AS DOUBLE) AS v, v_prev
+        FROM del""") { (s, d) =>
+    val dir = scratch("cdf")
+    val cust = Tables.customer(s, d)
+    val base = cust.select(col("c_custkey").as("k"),
+      col("c_acctbal").cast(Dec).cast("double").as("v"))
+    VersionedKeyedTable.create(base, dir, "k")
+    VersionedKeyedTable.upsert(s, dir,
+      cust.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey").as("k"),
+          (col("c_acctbal").cast(Dec) * 2).cast("double").as("v"))
+        .unionByName(cust.filter(col("c_custkey") % 100 === 7)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            col("c_custkey").cast("double").as("v"))), "k")
+    VersionedKeyedTable.delete(s, dir,
+      VersionedKeyedTable.read(s, dir)
+        .filter(col("k") % 4 === 3).select(col("k")), "k")
+    VersionedKeyedTable.changesBetween(s, dir, "k", 1L, 3L)
+  }
+
+  /** MERGE INTO — the three-clause merge in one statement: source rows
+    * for every c%4=0 key delete the target when its balance is
+    * negative and otherwise add s.inc to it; source rows with fresh
+    * keys (c%9=0, shifted) insert. The oracle replays the CASE
+    * algebra; both engines do the identical double addition. */
+  val mergeIntoVersioned = sql("merge_into_versioned",
+    s"""WITH base AS (
+          SELECT c_custkey AS k,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v
+          FROM customer)
+        SELECT k,
+          CASE WHEN k % 4 = 0 THEN v + CAST(100 AS DOUBLE) ELSE v END AS v
+        FROM base WHERE NOT (k % 4 = 0 AND v < 0)
+        UNION ALL
+        SELECT c_custkey + 2000000 AS k, CAST(c_custkey AS DOUBLE) AS v
+        FROM customer WHERE c_custkey % 9 = 0""") { (s, d) =>
+    val dir = scratch("merge")
+    val cust = Tables.customer(s, d)
+    VersionedKeyedTable.create(
+      cust.select(col("c_custkey").as("k"),
+        col("c_acctbal").cast(Dec).cast("double").as("v")), dir, "k")
+    val source = cust.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("k"),
+        lit(null).cast("double").as("v"),
+        lit(100.0).as("inc"))
+      .unionByName(cust.filter(col("c_custkey") % 9 === 0)
+        .select((col("c_custkey") + 2000000L).as("k"),
+          col("c_custkey").cast("double").as("v"),
+          lit(null).cast("double").as("inc")))
+    VersionedKeyedTable.merge(s, dir, source, "k",
+      whenMatchedDelete = Some(col("t.v") < 0),
+      whenMatchedUpdate = Map("v" -> (col("t.v") + col("s.inc"))))
+    VersionedKeyedTable.read(s, dir).select(col("k"), col("v"))
+  }
+
+  /** RESTORE: two bad commits (zero-out all balances, delete a third
+    * of the keys) are rolled back by a METADATA-ONLY commit
+    * re-referencing v1's immutable files, and the restored table is
+    * LIVE — a further upsert (tripled balances for c%11=0) lands on
+    * top. The oracle is the base relation with only the post-restore
+    * mutation applied: if restore copied, re-read, or missed state,
+    * the hash breaks. */
+  val versionedRestore = sql("versioned_restore",
+    s"""SELECT c_custkey AS k,
+          CASE WHEN c_custkey % 11 = 0
+            THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 3 AS DOUBLE)
+            ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+          END AS v
+        FROM customer""") { (s, d) =>
+    val dir = scratch("restore")
+    val cust = Tables.customer(s, d)
+    VersionedKeyedTable.create(
+      cust.select(col("c_custkey").as("k"),
+        col("c_acctbal").cast(Dec).cast("double").as("v")), dir, "k")
+    VersionedKeyedTable.upsert(s, dir,
+      cust.select(col("c_custkey").as("k"), lit(0.0).as("v")), "k")
+    VersionedKeyedTable.delete(s, dir,
+      cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k")), "k")
+    VersionedKeyedTable.restore(s, dir, 1L)
+    VersionedKeyedTable.upsert(s, dir,
+      cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey").as("k"),
+          (col("c_acctbal").cast(Dec) * 3).cast("double").as("v")), "k")
+    VersionedKeyedTable.read(s, dir)
+  }
+
+  /** ZONE-MAP DATA SKIPPING: orders land range-partitioned (each file
+    * covers a narrow key interval — the layout zone maps reward), an
+    * upsert adds fresh files, and a key-range read scans ONLY files
+    * whose manifest (min, max) intersects the range — the `require`
+    * fails the row if pruning ever stops working. Hash bucketing
+    * spreads a key range over every bucket, so this is the pruning
+    * dimension bucket layout cannot provide. */
+  val versionedDataSkipping = sql("versioned_data_skipping",
+    s"""SELECT o_orderkey AS k, o_custkey AS ck,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            + CASE WHEN o_orderkey % 1000 = 0 THEN 7 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""") { (s, d) =>
+    val dir = scratch("skip")
+    val ord = Tables.orders(s, d)
+    val base = ord.select(col("o_orderkey").as("k"),
+      col("o_custkey").as("ck"),
+      (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
+    VersionedKeyedTable.create(
+      base.repartitionByRange(8, col("k")), dir, "k")
+    VersionedKeyedTable.upsert(s, dir,
+      base.filter(col("k") % 1000 === 0)
+        .withColumn("cents", col("cents") + 7L), "k")
+    val (kept, total) = VersionedKeyedTable.rangeFiles(s, dir, 1000L, 5000L)
+    require(kept.size < total,
+      s"zone maps must prune the range read (kept ${kept.size}/$total)")
+    VersionedKeyedTable.readRange(s, dir, "k", 1000L, 5000L)
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE: a per-customer (count, cents-sum)
+    * view over the versioned orders table is created once at v1, then
+    * advanced through an insert+update commit and a delete commit
+    * using ONLY each span's CDF — O(delta) per refresh, never a
+    * re-aggregate. The oracle aggregates the FINAL base state
+    * directly: the delta-maintained view must equal the recompute,
+    * count and exact cents-sum both. */
+  val ivmRefresh = sql("ivm_refresh",
+    s"""WITH fin AS (
+          SELECT o_custkey AS g,
+            CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+              + CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 <> 2
+                     THEN 500 ELSE 0 END AS cents
+          FROM orders WHERE o_orderkey % 11 <> 0)
+        SELECT g, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS total
+        FROM fin GROUP BY g""") { (s, d) =>
+    val baseDir = scratch("ivm_base")
+    val viewDir = scratch("ivm_view")
+    val ord = Tables.orders(s, d)
+    val rows = ord.select(col("o_orderkey").as("k"),
+      col("o_custkey").as("g"),
+      (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
+    VersionedKeyedTable.create(rows.filter(col("k") % 3 =!= 2),
+      baseDir, "k")
+    val watermark = IncrementalView.createFrom(
+      s, baseDir, viewDir, "g", "cents")
+    // commit 2: the late slice arrives, and %7 rows already present
+    // get a 5-dollar correction
+    VersionedKeyedTable.upsert(s, baseDir,
+      rows.filter(col("k") % 3 === 2)
+        .unionByName(rows.filter(col("k") % 7 === 0 && col("k") % 3 =!= 2)
+          .withColumn("cents", col("cents") + 500L)), "k")
+    // commit 3: a compliance delete
+    VersionedKeyedTable.delete(s, baseDir,
+      rows.filter(col("k") % 11 === 0).select(col("k")), "k")
+    IncrementalView.refreshToLatest(
+      s, baseDir, viewDir, "k", "g", "cents", watermark)
+    VersionedKeyedTable.read(s, viewDir)
+      .select(col("g"), col("cnt"), col("total"))
+  }
+
+  val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
+    versionedRestore, versionedDataSkipping, ivmRefresh)
+}

@@ -433,6 +433,24 @@ object StreamingQueries {
       indexDirOpt = Some(sharedIndexDir))
   }
 
+  /** STREAMING CDF INGESTION (StreamingJobs.streamingCdfIngest): a
+    * versioned base table absorbs micro-batches of late orders while a
+    * per-customer (count, cents) materialized view advances by
+    * consuming only each commit's change-data-feed. Split-invariant
+    * and state-layer idempotent (a replayed batch's re-upsert yields
+    * an empty CDF), so the oracle is the plain aggregate over the
+    * whole relation — any double-applied or missed delta breaks the
+    * exact integer sums. */
+  val streamCdfIngest = sql("stream_cdf_ingest",
+    """SELECT o_custkey AS g, count(*) AS cnt,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+         AS BIGINT) AS total
+       FROM orders GROUP BY o_custkey""") { (s, d) =>
+    val dir = sys.props("java.io.tmpdir") + "/graft_stream_cdf_" +
+      java.util.UUID.randomUUID().toString
+    graft.streaming.StreamingJobs.streamingCdfIngest(s, d, dir)
+  }
+
   /** Streaming media ingest with REAL sample-level decode
     * (StreamingJobs.streamingMediaDecode): micro-batches synthesize
     * and fully decode PCM-16 WAVs (every int16 sample read back),
@@ -469,5 +487,5 @@ object StreamingQueries {
     streamDedup, funnel, cohortRetention, asofPriorEvent,
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,
     streamSubstrDedup, streamMediaDecode, streamCuration,
-    streamCurationResume)
+    streamCurationResume, streamCdfIngest)
 }

@@ -173,6 +173,17 @@ object VersionedKeyedTable {
       .map(_.drop(1).toLong).sorted
   }
 
+  /** Every COMPLETE committed version, ascending — the numbers a
+    * consumer may time-travel to or span with [[changesBetween]]
+    * (claim numbers can have gaps where torn claims were skipped). */
+  def completeVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = hfs(spark, dir)
+    listVersions(fs, dir).filter { v =>
+      val p = versionPath(dir, v)
+      fs.exists(p) && parseManifest(v, readVersionFile(fs, p)).isDefined
+    }
+  }
+
   /** The snapshot at `version`, or the latest complete one. */
   def snapshot(spark: SparkSession, dir: String,
       version: Option[Long] = None): Snapshot = {
