@@ -29,6 +29,7 @@ object RetryCheck {
   val upsertAttempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
   val deleteAttempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
   val versionedAttempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+  val mergeAttempts = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -165,9 +166,51 @@ object RetryCheck {
       s"versioned-partitions-retried=$versionedRetried " +
       s"versioned-one-commit=$oneCommit rows=${vGot.size}")
 
+    // --- three-clause MERGE under injected source failures ---
+    // (the merge's full-outer remerge runs inside the same optimistic
+    // protocol: a source whose computation fails mid-task must apply
+    // each clause exactly once after retry — deletes don't double,
+    // updates don't compound, inserts don't duplicate, and the log
+    // shows ONE new version)
+    val mSource = spark.range(0, 40, 1, 4).as[Long]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val n = mergeAttempts
+          .computeIfAbsent(pid, _ => new AtomicInteger(0)).incrementAndGet()
+        it.map { x =>
+          if (n == 1 && x % 10 == 9)
+            throw new RuntimeException(
+              s"injected merge failure, partition $pid")
+          // keys 0,3,6..117: k%2==0 -> matched (k<100) or insert;
+          // flag deletes every k%4==0 matched row
+          (x * 3, s"M${x * 3}", x * 3 % 4 == 0)
+        }
+      }.toDF("k", "v", "del")
+    graft.sinks.VersionedKeyedTable.merge(spark, vdir, mSource, "k",
+      whenMatchedDelete = Some(col("s.del")),
+      whenMatchedUpdate = Map("v" ->
+        concat(col("t.v"), lit("+"), col("s.v"))))
+    val mGot = graft.sinks.VersionedKeyedTable.read(spark, vdir)
+      .select(col("k"), col("v")).as[(Long, String)].collect().toMap
+    val mKeys = (0L until 40L).map(_ * 3)
+    val mExpected = (expected -- mKeys.filter(k => k < 1100 &&
+        expected.contains(k) && k % 4 == 0)) ++
+      mKeys.filter(k => expected.contains(k) && k % 4 != 0)
+        .map(k => k -> s"${expected(k)}+M$k") ++
+      mKeys.filterNot(expected.contains).map(k => k -> s"M$k")
+    val mergeOk = mGot == mExpected
+    val mergeRetried = mergeAttempts.size == 4 &&
+      mergeAttempts.values.stream.allMatch(a => a.get == 2)
+    val mergeOneCommit =
+      graft.sinks.VersionedKeyedTable.snapshot(spark, vdir).version == 3L
+    println(s"[retry-check] merge-exactly-once=$mergeOk " +
+      s"merge-partitions-retried=$mergeRetried " +
+      s"merge-one-commit=$mergeOneCommit rows=${mGot.size}")
+
     spark.stop()
     if (!(ok1 && ok2 && exactUnderFailure && overOnRecompute &&
       upsertOk && upsertRetried && deleteOk && deleteRetried &&
-      versionedOk && versionedRetried && oneCommit)) sys.exit(1)
+      versionedOk && versionedRetried && oneCommit &&
+      mergeOk && mergeRetried && mergeOneCommit)) sys.exit(1)
   }
 }

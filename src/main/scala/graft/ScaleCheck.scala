@@ -618,6 +618,58 @@ object ScaleCheck {
       VersionedKeyedTable.read(spark, dir).count()
     }
 
+    // CDF + incremental view maintenance (r11): the base table grows a
+    // decade (orders ×copies, bucket size held constant), the view is
+    // created ONCE (table-linear by definition), then a FIXED mutation
+    // batch commits and the view refreshes from the commit's
+    // change-data-feed. Claims: changesBetween reads only the touched
+    // buckets of two snapshots — FLAT as the table grows a decade —
+    // and the IVM refresh (delta aggregate + view merge) is O(delta),
+    // FLAT likewise. This is the composition that makes a 100 TB
+    // derived table affordable: per-commit cost tracks the commit.
+    time("versioned_cdf_ivm") {
+      import graft.sinks.{IncrementalView, VersionedKeyedTable}
+      import spark.implicits._
+      val baseDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-cdf").toString + "/t"
+      val viewDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-ivm").toString + "/t"
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_custkey").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      VersionedKeyedTable.create(base, baseDir, "k",
+        numBuckets = 16 * copies)
+      val t0 = System.nanoTime()
+      val watermark = IncrementalView.createFrom(
+        spark, baseDir, viewDir, "g", "cents", numBuckets = 4 * copies)
+      val tView = (System.nanoTime() - t0) / 1e9
+      // fixed batch: 50 updates of existing keys + 50 fresh inserts
+      val existing = base.select(col("k"), col("g")).limit(50)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val batch = (existing.map { case (k, g) => (k, g, 777L) } ++
+        (1L to 50L).map(i => (-i, i % 7, 100L))).toSeq
+        .toDF("k", "g", "cents")
+      val t1 = System.nanoTime()
+      VersionedKeyedTable.upsert(spark, baseDir, batch, "k")
+      val tUp = (System.nanoTime() - t1) / 1e9
+      val latest = VersionedKeyedTable.snapshot(spark, baseDir).version
+      val t2 = System.nanoTime()
+      val cdfRows = VersionedKeyedTable.changesBetween(
+        spark, baseDir, "k", watermark, latest).count()
+      val tCdf = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      IncrementalView.refresh(spark, baseDir, viewDir, "k", "g",
+        "cents", watermark, latest)
+      val tIvm = (System.nanoTime() - t3) / 1e9
+      System.err.println(
+        f"[scale]   cdf/ivm: view create $tView%.2f s (table-linear, " +
+          f"one-time), fixed-batch upsert $tUp%.2f s, cdf read " +
+          f"$tCdf%.2f s ($cdfRows rows), ivm refresh $tIvm%.2f s " +
+          "(both O(delta): touched buckets + changed groups only)")
+      VersionedKeyedTable.read(spark, viewDir).count()
+    }
+
     // global training shuffle: range repartition on the md5 key +
     // zipWithIndex (a count job + the attach pass) — the sort is the
     // cost, O(n log n) with no single-partition stage

@@ -92,7 +92,8 @@ object VersionedKeyedTable {
   final case class Snapshot(version: Long, files: Map[Int, Seq[String]],
       touched: Set[Int],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      stats: Map[String, (String, String)] = Map.empty)
+      stats: Map[String, (String, String)] = Map.empty,
+      changes: Option[Seq[String]] = None)
 
   private def versionsDir(dir: String) = new Path(dir, "_versions")
   private def versionPath(dir: String, v: Long) =
@@ -106,7 +107,8 @@ object VersionedKeyedTable {
   private def renderManifest(touched: Set[Int],
       files: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType,
-      stats: Map[String, (String, String)]): String = {
+      stats: Map[String, (String, String)],
+      changes: Option[Seq[String]]): String = {
     val sb = new StringBuilder
     sb.append("touched\t").append(touched.toSeq.sorted.mkString(","))
       .append('\n')
@@ -114,6 +116,14 @@ object VersionedKeyedTable {
     // while time-travel reads keep each version's own (schema.json is
     // a single line — no tabs or newlines)
     sb.append("schema\t").append(schema.json).append('\n')
+    // commit-time CHANGE CAPTURE file listing: `-` = captured, no
+    // changed rows; absent = this commit did not capture (pre-capture
+    // manifests, metadata-only restores) and CDF spans crossing it
+    // fall back to the snapshot diff
+    changes.foreach { cs =>
+      if (cs.isEmpty) sb.append("changes\t-\n")
+      else cs.foreach(c => sb.append("changes\t").append(c).append('\n'))
+    }
     files.toSeq.sortBy(_._1).foreach { case (b, fs0) =>
       fs0.foreach { f =>
         sb.append(b).append('\t').append(f)
@@ -144,8 +154,14 @@ object VersionedKeyedTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val files = scala.collection.mutable.Map.empty[Int, Vector[String]]
     val stats = scala.collection.mutable.Map.empty[String, (String, String)]
+    val changes = Vector.newBuilder[String]
+    var captured = false
     lines.iterator.drop(1).takeWhile(_ != "#end").foreach { ln =>
-      if (!ln.startsWith("schema\t")) {
+      if (ln.startsWith("changes\t")) {
+        captured = true
+        val c = ln.stripPrefix("changes\t")
+        if (c != "-") changes += c
+      } else if (!ln.startsWith("schema\t")) {
         val parts = ln.split('\t')
         if (parts.length >= 2) {
           val b = parts(0).toInt
@@ -159,7 +175,8 @@ object VersionedKeyedTable {
         }
       }
     }
-    Some(Snapshot(v, files.toMap, touched, schema, stats.toMap))
+    Some(Snapshot(v, files.toMap, touched, schema, stats.toMap,
+      if (captured) Some(changes.result()) else None))
   }
 
   private def readVersionFile(fs: FileSystem, p: Path): String =
@@ -326,6 +343,45 @@ object VersionedKeyedTable {
     (files, stats)
   }
 
+  /** Row-level diff old → new, classified: the key, `change_type` ∈
+    * insert | update | delete, every data column's new value, and its
+    * old value as `<col>_prev`. Shared by commit-time change capture
+    * (old = the touched buckets before the mutation, new = after) and
+    * the snapshot-diff CDF fallback. */
+  private def classifyDiff(oldDF: DataFrame, newDF: DataFrame,
+      keyCol: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val o = oldDF.alias("o")
+    val n = newDF.alias("n")
+    val oKey = col(s"o.$keyCol")
+    val nKey = col(s"n.$keyCol")
+    val dataCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
+    val sameRow = dataCols
+      .map(c => col(s"o.$c") <=> col(s"n.$c"))
+      .foldLeft(lit(true))(_ && _)
+    val ct = when(oKey.isNull, lit("insert"))
+      .when(nKey.isNull, lit("delete"))
+      .when(!sameRow, lit("update")) // else null: unchanged row
+    o.join(n, oKey === nKey, "full_outer")
+      .where(ct.isNotNull)
+      .select((coalesce(nKey, oKey).as(keyCol) +: ct.as("change_type") +:
+        (dataCols.map(c => col(s"n.$c").as(c)) ++
+          dataCols.map(c => col(s"o.$c").as(s"${c}_prev")))): _*)
+  }
+
+  /** Persist a commit's captured change rows as immutable files under
+    * `data/ch-<uuid>`; returns their relative paths (recorded in the
+    * manifest, reclaimed by vacuum with their version). */
+  private def writeChangeFiles(spark: SparkSession, dir: String,
+      changeRows: DataFrame): Seq[String] = {
+    val rel = s"data/ch-${java.util.UUID.randomUUID()}"
+    changeRows.write.parquet(s"$dir/$rel")
+    val fs = hfs(spark, dir)
+    fs.listStatus(new Path(s"$dir/$rel")).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => s"$rel/${f.getPath.getName}")
+  }
+
   // ---- public API --------------------------------------------------
 
   /** Create the table from a full snapshot (version 1, or a full
@@ -341,7 +397,7 @@ object VersionedKeyedTable {
     val all = (0 until numBuckets)
       .map(b => b -> files.getOrElse(b, Seq.empty)).toMap
     while (!tryCommit(fs, dir, versionPath(dir, v),
-        renderManifest(all.keySet, all, df.schema, stats))) { v += 1 }
+        renderManifest(all.keySet, all, df.schema, stats, None))) { v += 1 }
   }
 
   /** Read the table at the latest (or a named) version — snapshot
@@ -363,14 +419,16 @@ object VersionedKeyedTable {
     * commit (loser rebases); overlapping writers serialize by
     * recompute-retry. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCol: String): Unit =
-    mutate(spark, dir, updates, keyCol, isDelete = false, () => ())
+      keyCol: String, captureChanges: Boolean = true): Unit =
+    mutate(spark, dir, updates, keyCol, isDelete = false, () => (),
+      captureChanges)
 
   /** Keyed delete batch (same optimistic protocol; an emptied bucket
     * is just an empty manifest entry — no overwrite edge case). */
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
-      keyCol: String): Unit =
-    mutate(spark, dir, keys, keyCol, isDelete = true, () => ())
+      keyCol: String, captureChanges: Boolean = true): Unit =
+    mutate(spark, dir, keys, keyCol, isDelete = true, () => (),
+      captureChanges)
 
   /** SERIALIZABLE read-modify-write: `derive` computes a put batch
     * FROM the table's current snapshot, and the commit succeeds only
@@ -429,9 +487,14 @@ object VersionedKeyedTable {
       val merged = existing.join(
           broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
         .unionByName(batch.drop("__bucket"), allowMissingColumns = true)
-      val (newFiles, newStats) = writeDataFiles(spark, dir,
-        merged.withColumn("__bucket", bucketOf(keyCol, nb))
-          .localCheckpoint(true), keyCol)
+        .withColumn("__bucket", bucketOf(keyCol, nb))
+        .localCheckpoint(true)
+      val (newFiles, newStats) = writeDataFiles(spark, dir, merged, keyCol)
+      val evolvedTx = org.apache.spark.sql.types.StructType(
+        schema.fields ++ merged.schema.fields.filterNot(f =>
+          f.name == "__bucket" || schema.fieldNames.contains(f.name)))
+      val changeFiles = writeChangeFiles(spark, dir,
+        classifyDiff(existing, merged.drop("__bucket"), keyCol, evolvedTx))
       val manifest = snap.files ++
         myTouched.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
       // strict CAS at snapshot+1: NO rebase — any intervening commit
@@ -439,11 +502,8 @@ object VersionedKeyedTable {
       // strict CAS: any NEW COMPLETE version re-runs the derivation;
       // a lost CAS with no new complete version means a TORN claim
       // (dead weak-scheme writer) — skip past it, derivation intact
-      val content = renderManifest(myTouched, manifest,
-        org.apache.spark.sql.types.StructType(
-          schema.fields ++ merged.schema.fields.filterNot(f =>
-            schema.fieldNames.contains(f.name))),
-        snap.stats ++ newStats)
+      val content = renderManifest(myTouched, manifest, evolvedTx,
+        snap.stats ++ newStats, Some(changeFiles))
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -466,8 +526,9 @@ object VersionedKeyedTable {
     * rebase and recompute paths deterministically. */
   private[sinks] def mutate(spark: SparkSession, dir: String,
       rows: DataFrame, keyCol: String, isDelete: Boolean,
-      onBeforeCommit: () => Unit): Unit =
-    mutateWith(spark, dir, rows, keyCol, onBeforeCommit) {
+      onBeforeCommit: () => Unit,
+      captureChanges: Boolean = true): Unit =
+    mutateWith(spark, dir, rows, keyCol, onBeforeCommit, captureChanges) {
       (existing, batch) =>
         val survivors = existing.join(
           broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
@@ -487,7 +548,8 @@ object VersionedKeyedTable {
     * exactly once. */
   private[sinks] def mutateWith(spark: SparkSession, dir: String,
       rows: DataFrame, keyCol: String,
-      onBeforeCommit: () => Unit)(
+      onBeforeCommit: () => Unit,
+      captureChanges: Boolean = true)(
       remerge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
     val fs = hfs(spark, dir)
@@ -531,9 +593,20 @@ object VersionedKeyedTable {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved)
         else spark.read.schema(evolved).parquet(existingPaths: _*)
       val merged = remerge(existing, batch)
-      val (newFiles, newStats) = writeDataFiles(spark, dir,
-        merged.withColumn("__bucket", bucketOf(keyCol, nb))
-          .localCheckpoint(true), keyCol) // never read a file a racer vacuums
+        .withColumn("__bucket", bucketOf(keyCol, nb))
+        .localCheckpoint(true) // never read a file a racer vacuums
+      val (newFiles, newStats) = writeDataFiles(spark, dir, merged, keyCol)
+      // commit-time CHANGE CAPTURE: the mutation already holds the
+      // touched buckets' before (existing) and after (merged) states,
+      // so the CDF rows cost one more pass over the touched region —
+      // and every later changesBetween over this commit reads
+      // O(changed rows) instead of re-diffing bucket snapshots.
+      // captureChanges=false skips the pass for write-only tables;
+      // spans crossing such a commit take the snapshot-diff fallback
+      val changeFiles =
+        if (!captureChanges) None
+        else Some(writeChangeFiles(spark, dir,
+          classifyDiff(existing, merged.drop("__bucket"), keyCol, evolved)))
       onBeforeCommit()
       // rebase loop: re-target the SAME written files onto newer
       // snapshots while the intervening commits stay bucket-disjoint
@@ -557,7 +630,7 @@ object VersionedKeyedTable {
               evolved.fieldNames.contains(f.name)))
         if (tryCommit(fs, dir, versionPath(dir, target),
             renderManifest(myTouched, manifest, commitSchema,
-              base.stats ++ newStats))) return
+              base.stats ++ newStats, changeFiles))) return
         val cur0 = snapshot(spark, dir)
         val cur =
           if (cur0.version > base.version) cur0
@@ -624,8 +697,10 @@ object VersionedKeyedTable {
       keyCol: String,
       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
       whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
-      insertNotMatched: Boolean = true): Unit =
-    mutateWith(spark, dir, source, keyCol, () => ()) { (existing, batch) =>
+      insertNotMatched: Boolean = true,
+      captureChanges: Boolean = true): Unit =
+    mutateWith(spark, dir, source, keyCol, () => (),
+      captureChanges) { (existing, batch) =>
       val src = batch.drop("__bucket")
       val srcCols = src.columns.toSet
       val t = existing.alias("t")
@@ -663,13 +738,20 @@ object VersionedKeyedTable {
     *
     * Adjacent versions give the per-commit event log; a wider span
     * gives the collapsed net change (a row upserted then deleted in
-    * the span does not appear).
+    * the span does not appear; a row mutated back to its starting
+    * value does not either).
     *
-    * Scale: only buckets TOUCHED by the span's commits are read, from
-    * exactly two snapshots — the diff join is O(changed region), never
-    * O(table), and both sides arrive bucket-aligned. Both snapshots
-    * are read under the TO version's schema (additive evolution makes
-    * old files read missing columns as null). */
+    * Scale — two tiers:
+    *  - when every commit in the span CAPTURED its changes (mutations
+    *    do; see [[mutateWith]]), the feed is the union of the span's
+    *    change files collapsed per key — '''O(changed rows)''' read,
+    *    independent of table AND bucket size;
+    *  - otherwise (a metadata-only [[restore]] or a pre-capture
+    *    commit in the span) it falls back to diffing the two
+    *    snapshots over the span's TOUCHED buckets — O(changed
+    *    region), still never O(table).
+    * Old files read under the TO version's schema (additive evolution
+    * makes missing columns null). */
   def changesBetween(spark: SparkSession, dir: String, keyCol: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
@@ -679,38 +761,76 @@ object VersionedKeyedTable {
     val from = snapshot(spark, dir, Some(fromVersion))
     val to = snapshot(spark, dir, Some(toVersion))
     val fs = hfs(spark, dir)
-    val touched = (fromVersion + 1 to toVersion).flatMap { v =>
+    val span = (fromVersion + 1 to toVersion).flatMap { v =>
       val p = versionPath(dir, v)
-      if (!fs.exists(p)) Seq.empty
+      if (!fs.exists(p)) None
       else parseManifest(v, readVersionFile(fs, p))
-        .map(_.touched.toSeq).getOrElse(Seq.empty)
-    }.toSet
-    val schema = to.schema.getOrElse(metaSchema)
-    def side(s: Snapshot): DataFrame = {
-      val paths = touched.toSeq.sorted
-        .flatMap(b => s.files.getOrElse(b, Seq.empty))
-        .map(f => s"$dir/$f")
-      if (paths.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(paths: _*)
     }
-    val o = side(from).alias("o")
-    val n = side(to).alias("n")
-    val oKey = col(s"o.$keyCol")
-    val nKey = col(s"n.$keyCol")
+    val schema = to.schema.getOrElse(metaSchema)
     val dataCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
-    val sameRow = dataCols
-      .map(c => col(s"o.$c") <=> col(s"n.$c"))
-      .foldLeft(lit(true))(_ && _)
-    val ct = when(oKey.isNull, lit("insert"))
-      .when(nKey.isNull, lit("delete"))
-      .when(!sameRow, lit("update")) // else null: unchanged row
-    o.join(n, oKey === nKey, "full_outer")
-      .where(ct.isNotNull)
-      .select((coalesce(nKey, oKey).as(keyCol) +: ct.as("change_type") +:
-        (dataCols.map(c => col(s"n.$c").as(c)) ++
-          dataCols.map(c => col(s"o.$c").as(s"${c}_prev")))): _*)
+    val outNames = keyCol +: "change_type" +:
+      (dataCols ++ dataCols.map(_ + "_prev"))
+    if (span.nonEmpty && span.forall(_.changes.isDefined)) {
+      // fast path: union the span's captured change files, collapse
+      // per key to (first change's prev, last change's new)
+      val parts = span.flatMap { s =>
+        val fls = s.changes.get.map(f => s"$dir/$f")
+        if (fls.isEmpty) None
+        else Some(spark.read.parquet(fls: _*)
+          .withColumn("_v", lit(s.version)))
+      }
+      val cdfSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(keyCol,
+          schema(keyCol).dataType) +:
+        org.apache.spark.sql.types.StructField("change_type",
+          org.apache.spark.sql.types.StringType) +:
+        (dataCols.map(c => schema(c).copy(name = c, nullable = true)) ++
+          dataCols.map(c => schema(c).copy(name = c + "_prev",
+            nullable = true))))
+      if (parts.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdfSchema)
+      val unioned = parts.reduce(
+        (a, b) => a.unionByName(b, allowMissingColumns = true))
+      // columns a pre-evolution change file lacks read as typed nulls
+      val all = (dataCols ++ dataCols.map(_ + "_prev")).foldLeft(unioned) {
+        (df, c) =>
+          val base = if (c.endsWith("_prev")) c.stripSuffix("_prev") else c
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast(schema(base).dataType))
+      }
+      val firstS = min_by(struct(col("change_type") +:
+        dataCols.map(c => col(s"${c}_prev")): _*), col("_v"))
+      val lastS = max_by(struct(col("change_type") +:
+        dataCols.map(c => col(c)): _*), col("_v"))
+      val g = all.groupBy(col(keyCol)).agg(firstS.as("f"), lastS.as("l"))
+      val hadOld = col("f.change_type") =!= "insert"
+      val hasNew = col("l.change_type") =!= "delete"
+      val same = dataCols
+        .map(c => col(s"f.${c}_prev") <=> col(s"l.$c"))
+        .foldLeft(lit(true))(_ && _)
+      val ct = when(!hadOld && hasNew, lit("insert"))
+        .when(hadOld && !hasNew, lit("delete"))
+        .when(hadOld && hasNew && !same, lit("update")) // else null
+      g.where(ct.isNotNull)
+        .select((col(keyCol) +: ct.as("change_type") +:
+          (dataCols.map(c => col(s"l.$c").as(c)) ++
+            dataCols.map(c => col(s"f.${c}_prev").as(s"${c}_prev")))): _*)
+    } else {
+      // fallback: snapshot diff over the span's touched buckets
+      val touched = span.flatMap(_.touched).toSet
+      def side(s: Snapshot): DataFrame = {
+        val paths = touched.toSeq.sorted
+          .flatMap(b => s.files.getOrElse(b, Seq.empty))
+          .map(f => s"$dir/$f")
+        if (paths.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(paths: _*)
+      }
+      classifyDiff(side(from), side(to), keyCol, schema)
+        .select(outNames.map(col): _*)
+    }
   }
 
   /** RESTORE the table to the state of an earlier version — rollback
@@ -737,8 +857,11 @@ object VersionedKeyedTable {
         target.files.getOrElse(b, Seq.empty) !=
           cur.files.getOrElse(b, Seq.empty))
       if (touched.isEmpty) return // already at the target state
+      // metadata-only by design: no change file is computed (that
+      // would re-read the diffed buckets) — CDF spans crossing a
+      // restore take the snapshot-diff fallback
       val content = renderManifest(touched, target.files,
-        target.schema.getOrElse(metaSchema), target.stats)
+        target.schema.getOrElse(metaSchema), target.stats, None)
       var v = cur.version + 1
       var committed = false
       var stale = false
@@ -876,7 +999,8 @@ object VersionedKeyedTable {
     val keepSet = keep.toSet
     val referenced = parsed
       .collect { case (v, Some(s)) if keepSet(v) => s }
-      .flatMap(_.files.values.flatten).toSet
+      .flatMap(s => s.files.values.flatten ++
+        s.changes.getOrElse(Seq.empty)).toSet
     require(keep.nonEmpty || versions.isEmpty,
       s"vacuum at $dir would retain no complete version")
     val cutoff = System.currentTimeMillis() - graceMs
@@ -895,6 +1019,11 @@ object VersionedKeyedTable {
               val rel = s"$rel0/${bd.getPath.getName}/${f.getPath.getName}"
               if (f.getPath.getName.endsWith(".parquet") &&
                 !referenced.contains(rel)) candidates += (f.getPath -> rel)
+            } else {
+              // change-capture commit dirs (ch-*) hold parquet directly
+              val rel = s"$rel0/${bd.getPath.getName}"
+              if (bd.getPath.getName.endsWith(".parquet") &&
+                !referenced.contains(rel)) candidates += (bd.getPath -> rel)
             }
           }
         }
@@ -911,7 +1040,9 @@ object VersionedKeyedTable {
           val p = versionPath(dir, v)
           if (!fs.exists(p)) Seq.empty
           else parseManifest(v, readVersionFile(fs, p))
-            .map(_.files.values.flatten.toSeq).getOrElse(Seq.empty)
+            .map(s => (s.files.values.flatten ++
+              s.changes.getOrElse(Seq.empty)).toSeq)
+            .getOrElse(Seq.empty)
         }.toSet
       candidates.result().foreach { case (p, rel) =>
         if (!lateReferenced.contains(rel)) fs.delete(p, false)

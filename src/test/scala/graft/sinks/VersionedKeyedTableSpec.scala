@@ -341,6 +341,41 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       .as[(Long, String, Option[Long], Option[Long])].collect()
     assert(log23.map(_._1).toSet === Set(5L, 6L, 7L, 8L, 41L, 20L))
     assert(log23.forall(_._2 === "delete"))
+    // v4 REVERTS key 9 to its v1 value: the net span 1->4 must drop it
+    // (mutated-back-to-start is not a change), while 2->4 shows it as
+    // the update it is from v2's viewpoint
+    VersionedKeyedTable.upsert(spark, dir, Seq((9L, 9L)).toDF("k", "n"), "k")
+    val net14 = VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 4L)
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(!net14.contains(9L), "revert-to-start collapses out")
+    assert(net14(10L) === "update", "non-reverted update survives")
+    val net24 = VersionedKeyedTable.changesBetween(spark, dir, "k", 2L, 4L)
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(net24(9L) === (("update", Some(9L), Some(109L))))
+  }
+
+  test("captureChanges=false: the commit skips the capture pass and " +
+      "CDF spans crossing it fall back to the snapshot diff with " +
+      "identical results") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 20L).map(i => (i, i)).toDF("k", "n"), dir, "k",
+      numBuckets = 4)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, 33L), (21L, 21L)).toDF("k", "n"), "k",
+      captureChanges = false)
+    VersionedKeyedTable.delete(spark, dir, Seq(5L).toDF("k"), "k")
+    assert(VersionedKeyedTable.snapshot(spark, dir,
+      Some(2L)).changes === None, "opt-out commit records no capture")
+    val cdf = VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 3L)
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cdf === Map(
+      3L -> (("update", Some(33L), Some(3L))),
+      21L -> (("insert", Some(21L), None)),
+      5L -> (("delete", None, Some(5L)))))
   }
 
   test("restore: rollback is a metadata-only commit; history stays " +
@@ -623,8 +658,10 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
         VersionedKeyedTable.snapshot(spark, dir),
         VersionedKeyedTable.snapshot(spark, dir,
           Some(VersionedKeyedTable.snapshot(spark, dir).version - 1)))
-      .flatMap(_.files.values.flatten).toSet
+      .flatMap(s => s.files.values.flatten ++
+        s.changes.getOrElse(Seq.empty)).toSet
     assert(onDisk === referenced,
-      "vacuum must keep exactly the retained versions' files")
+      "vacuum must keep exactly the retained versions' files " +
+        "(data AND captured-change files)")
   }
 }
