@@ -210,6 +210,51 @@ object StorageQueries2 {
       .select(col("g"), col("cnt"), col("total"))
   }
 
+  /** COMPACTION through the commit protocol: a create + upsert leave
+    * multi-file buckets (each commit writes one file per writer task
+    * per bucket); compact() collapses every bucket to one file in a
+    * CDF-invisible commit. The in-row requires pin the physical claim
+    * (all buckets ≤1 file, strictly fewer files than before); the
+    * oracle pins the logical one (content identical to the merge). */
+  val versionedCompact = sql("versioned_compact",
+    s"""WITH base AS (
+          SELECT c_custkey AS k,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS v
+          FROM customer),
+        up AS (
+          SELECT c_custkey AS k,
+            CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 2 AS DOUBLE) AS v
+          FROM customer WHERE c_custkey % 10 = 3)
+        SELECT k, v FROM up
+        UNION ALL
+        SELECT b.k, b.v FROM base b
+        WHERE b.k NOT IN (SELECT k FROM up)""") { (s, d) =>
+    val dir = scratch("compact")
+    val cust = Tables.customer(s, d)
+    VersionedKeyedTable.create(
+      cust.select(col("c_custkey").as("k"),
+          col("c_acctbal").cast(Dec).cast("double").as("v"))
+        .repartition(8), dir, "k")
+    VersionedKeyedTable.upsert(s, dir,
+      cust.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey").as("k"),
+          (col("c_acctbal").cast(Dec) * 2).cast("double").as("v"))
+        .repartition(8), "k")
+    val before = VersionedKeyedTable.snapshot(s, dir)
+    VersionedKeyedTable.compact(s, dir, "k")
+    val after = VersionedKeyedTable.snapshot(s, dir)
+    require(after.files.values.forall(_.size <= 1),
+      "compaction must leave at most one file per bucket")
+    require(after.files.values.map(_.size).sum <
+      before.files.values.map(_.size).sum,
+      "compaction must reduce the file count")
+    require(VersionedKeyedTable.changesBetween(s, dir, "k",
+        before.version, after.version).isEmpty,
+      "compaction must be CDF-invisible")
+    VersionedKeyedTable.read(s, dir)
+  }
+
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
-    versionedRestore, versionedDataSkipping, ivmRefresh)
+    versionedRestore, versionedDataSkipping, ivmRefresh,
+    versionedCompact)
 }

@@ -878,6 +878,62 @@ object VersionedKeyedTable {
     }
   }
 
+  /** COMPACT fragmented buckets: every bucket holding more than
+    * `maxFilesPerBucket` files is rewritten as one file set (fresh
+    * zone maps included) and committed through the same optimistic
+    * CAS. Logically a no-op — the commit records an EMPTY captured
+    * change set, so CDF consumers see nothing and incremental views
+    * skip it entirely; physically it bounds file counts after
+    * streams of small commits (the maintenance op every
+    * continuously-ingested table needs). Concurrency: an intervening
+    * commit re-runs the scan — compaction never wins over a writer's
+    * data (bounded retries; a contended table just stays fragmented
+    * until quiet). Old files remain referenced by old versions until
+    * [[vacuum]]. */
+  def compact(spark: SparkSession, dir: String, keyCol: String,
+      maxFilesPerBucket: Int = 1): Unit = {
+    val (nb, metaSchema) = readMeta(spark, dir)
+    val fs = hfs(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 5) throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir: compaction lost to concurrent " +
+          "writers 5 times — run it when the table is quieter")
+      val snap = snapshot(spark, dir)
+      val frag = snap.files.filter(_._2.size > maxFilesPerBucket).keySet
+      if (frag.isEmpty) return
+      val schema = snap.schema.getOrElse(metaSchema)
+      val paths = frag.toSeq.sorted
+        .flatMap(b => snap.files.getOrElse(b, Seq.empty))
+        .map(f => s"$dir/$f")
+      // one output file per fragmented bucket: repartition on the
+      // bucket id so each write task owns whole buckets
+      val rows = spark.read.schema(schema).parquet(paths: _*)
+        .withColumn("__bucket", bucketOf(keyCol, nb))
+      val (newFiles, newStats) = writeDataFiles(spark, dir,
+        rows.repartition(math.max(1, frag.size / 4), col("__bucket"))
+          .localCheckpoint(true), keyCol)
+      val manifest = snap.files ++
+        frag.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
+      val content = renderManifest(frag, manifest, schema,
+        snap.stats ++ newStats, Some(Seq.empty))
+      var target = snap.version + 1
+      var committed = false
+      var stale = false
+      while (!committed && !stale) {
+        if (tryCommit(fs, dir, versionPath(dir, target), content))
+          committed = true
+        else if (snapshot(spark, dir).version > snap.version)
+          stale = true // a writer got in: re-scan and retry
+        else if (awaitBlockingClaim(fs, spark, dir, snap.version))
+          stale = true
+        else target = nextClaimable(fs, dir, target + 1) // torn claim
+      }
+      if (committed) return
+    }
+  }
+
   /** The zone-map FILE PRUNING a range read performs, exposed for
     * inspection: (files kept, total files) at the given version for a
     * numeric-key range [lo, hi]. A file is kept when its zone map can

@@ -356,6 +356,46 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     assert(net24(9L) === (("update", Some(9L), Some(109L))))
   }
 
+  test("compact: fragmented buckets collapse to one file each, content " +
+      "and zone maps intact, CDF-invisible, old versions readable") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 400L).map(i => (i, i * 2L)).toDF("k", "n")
+        .repartition(8), dir, "k", numBuckets = 4)
+    VersionedKeyedTable.upsert(spark, dir,
+      (1L to 50L).map(i => (i, i * 100L)).toDF("k", "n").repartition(8),
+      "k")
+    val before = VersionedKeyedTable.snapshot(spark, dir)
+    assert(before.files.values.exists(_.size > 1), "fragmented fixture")
+    val expect = VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    VersionedKeyedTable.compact(spark, dir, "k")
+    val after = VersionedKeyedTable.snapshot(spark, dir)
+    assert(after.version === before.version + 1)
+    assert(after.files.values.forall(_.size <= 1),
+      s"every bucket compacts to one file, got " +
+        s"${after.files.view.mapValues(_.size).toMap}")
+    assert(VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long)].collect().toMap === expect, "content unchanged")
+    // compaction is invisible to CDF consumers: the span crossing it
+    // nets to exactly the real mutation, and the compaction commit
+    // alone nets to nothing
+    assert(VersionedKeyedTable.changesBetween(spark, dir, "k",
+      before.version, after.version).count() === 0L)
+    assert(VersionedKeyedTable.changesBetween(spark, dir, "k",
+      1L, after.version).count() === 50L)
+    // fresh zone maps cover the compacted files
+    val (kept, total) = VersionedKeyedTable.rangeFiles(spark, dir, 1L, 400L)
+    assert(kept.size === total && after.files.values.flatten
+      .forall(f => after.stats.contains(f)))
+    // time travel to the pre-compaction version still reads
+    assert(VersionedKeyedTable.read(spark, dir, Some(before.version))
+      .as[(Long, Long)].collect().toMap === expect)
+    // idempotent: nothing left to compact, no new version
+    VersionedKeyedTable.compact(spark, dir, "k")
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === after.version)
+  }
+
   test("captureChanges=false: the commit skips the capture pass and " +
       "CDF spans crossing it fall back to the snapshot diff with " +
       "identical results") {
