@@ -254,7 +254,69 @@ object StorageQueries2 {
     VersionedKeyedTable.read(s, dir)
   }
 
+  /** CURATION FEED — the round-11 composition: per-document curation
+    * decisions LIVE in a versioned table, and the training-mix report
+    * (docs + tokens per decision) is a CDF-maintained view that never
+    * re-reads the corpus.
+    *   v1  decisions for the standing corpus (keep/drop by token and
+    *       length rules) + the mix view created once;
+    *   v2  an ingest batch MERGEs its decisions in (inserts);
+    *   v3  a policy pass re-labels doc_id%8=1 to 'redacted' via a
+    *       matched-update merge — a GROUP-MOVING update the view
+    *       absorbs as (-1 old group, +1 new group) from the CDF alone.
+    * The oracle computes the final decisions and aggregates directly:
+    * the delta-maintained view must equal the recompute. At 100 TB
+    * each stage is O(its own batch): decisions are computed per
+    * ingest, the merge touches the batch's buckets, the view refresh
+    * reads captured change rows. */
+  val curationFeed = sql("curation_feed",
+    """WITH t AS (
+         SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS tokens,
+           length(text) AS n_chars
+         FROM documents),
+       d AS (
+         SELECT doc_id, tokens,
+           CASE WHEN doc_id % 8 = 1 THEN 'redacted'
+                WHEN tokens BETWEEN 5 AND 5000 AND n_chars >= 20
+                  THEN 'keep'
+                ELSE 'drop' END AS decision
+         FROM t)
+       SELECT decision, count(*) AS cnt,
+         CAST(sum(tokens) AS BIGINT) AS total_tokens
+       FROM d GROUP BY decision""") { (s, d) =>
+    val baseDir = scratch("feed_base")
+    val viewDir = scratch("feed_view")
+    def decisions(df: DataFrame): DataFrame = df
+      .withColumn("tokens",
+        expr("size(array_remove(split(text, ' '), ''))").cast("long"))
+      .select(col("doc_id"),
+        when(col("tokens").between(5, 5000) && length(col("text")) >= 20,
+          "keep").otherwise("drop").as("decision"),
+        col("tokens"))
+    val docs = Tables.documents(s, d)
+    val isIngest = col("doc_id") % 4 === 0
+    VersionedKeyedTable.create(
+      decisions(docs.where(!isIngest)), baseDir, "doc_id")
+    val watermark = IncrementalView.createFrom(
+      s, baseDir, viewDir, "decision", "tokens")
+    // v2: the ingest batch's decisions merge in
+    VersionedKeyedTable.merge(s, baseDir,
+      decisions(docs.where(isIngest)), "doc_id")
+    // v3: policy re-label — a matched-update that MOVES groups
+    VersionedKeyedTable.merge(s, baseDir,
+      docs.where(col("doc_id") % 8 === 1).select(col("doc_id")),
+      "doc_id",
+      whenMatchedUpdate = Map("decision" -> lit("redacted")),
+      insertNotMatched = false)
+    IncrementalView.refreshToLatest(
+      s, baseDir, viewDir, "doc_id", "decision", "tokens", watermark)
+    VersionedKeyedTable.read(s, viewDir)
+      .select(col("decision"), col("cnt"), col("total").as("total_tokens"))
+  }
+
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
     versionedRestore, versionedDataSkipping, ivmRefresh,
-    versionedCompact)
+    versionedCompact, curationFeed)
 }

@@ -418,6 +418,33 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       5L -> (("delete", None, Some(5L)))))
   }
 
+  test("plan shape: the CDF fast path scans captured change files " +
+      "only (never bucket data), and range reads scan only zone-map " +
+      "surviving files") {
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.inputFiles.toSeq
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      spark.range(1, 1001).select(col("id").as("k"), (col("id") * 2L).as("n"))
+        .repartitionByRange(8, col("k")), dir, "k", numBuckets = 4)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((5L, 50L), (900L, 9000L)).toDF("k", "n"), "k")
+    val cdfFiles = scannedFiles(
+      VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 2L))
+    assert(cdfFiles.nonEmpty && cdfFiles.forall(_.contains("/ch-")),
+      s"CDF must read change files only, scanned: ${cdfFiles.take(3)}")
+    assert(cdfFiles.forall(f => !f.contains("__bucket=")),
+      "CDF fast path must never touch bucket data files")
+    // range read: scanned set == the zone-map-surviving set, a strict
+    // subset of the table's files
+    val (kept, total) = VersionedKeyedTable.rangeFiles(spark, dir, 10L, 40L)
+    assert(kept.size < total)
+    val rangeFilesScanned = scannedFiles(
+      VersionedKeyedTable.readRange(spark, dir, "k", 10L, 40L))
+    assert(rangeFilesScanned.size === kept.size,
+      "the range plan must scan exactly the zone-map survivors")
+  }
+
   test("restore: rollback is a metadata-only commit; history stays " +
       "time-travelable and the CDF across the restore shows the " +
       "reverted rows") {
