@@ -451,6 +451,26 @@ object StreamingQueries {
     graft.streaming.StreamingJobs.streamingCdfIngest(s, d, dir)
   }
 
+  /** The same CDF-ingest pipeline under a mid-ingest CRASH AND
+    * RESTART: run 1 dies after micro-batch 1's base commit but before
+    * its view refresh (base and view disagree at the crash point);
+    * run 2 resumes off the streaming checkpoint — the replayed batch
+    * re-upserts into an empty-change version and the view catches up
+    * from its own durably stamped watermark. The oracle is the same
+    * plain aggregate: any double-applied or dropped span breaks the
+    * exact counts. */
+  val streamCdfResume = sql("stream_cdf_resume",
+    """SELECT o_custkey AS g, count(*) AS cnt,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+         AS BIGINT) AS total
+       FROM orders GROUP BY o_custkey""") { (s, d) =>
+    val dir = sys.props("java.io.tmpdir") + "/graft_stream_cdf_rs_" +
+      java.util.UUID.randomUUID().toString
+    graft.streaming.StreamingJobs.streamingCdfIngest(s, d, dir,
+      failAt = Some(1L))
+    graft.streaming.StreamingJobs.streamingCdfIngest(s, d, dir)
+  }
+
   /** Streaming media ingest with REAL sample-level decode
     * (StreamingJobs.streamingMediaDecode): micro-batches synthesize
     * and fully decode PCM-16 WAVs (every int16 sample read back),
@@ -487,5 +507,5 @@ object StreamingQueries {
     streamDedup, funnel, cohortRetention, asofPriorEvent,
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,
     streamSubstrDedup, streamMediaDecode, streamCuration,
-    streamCurationResume, streamCdfIngest)
+    streamCurationResume, streamCdfIngest, streamCdfResume)
 }

@@ -35,6 +35,12 @@ object IncrementalView {
     * pays), grouped by `groupCol`, counting rows and summing the
     * integral `valueCol`. Returns the base version the view now
     * reflects — the caller's refresh watermark. */
+  /** Commit-metadata key recording the base version a view commit
+    * reflects — stamped atomically with every create/refresh commit,
+    * so the view's own log IS the refresh watermark (see
+    * [[committedWatermark]]). */
+  val AppliedBaseKey = "ivm.appliedBase"
+
   def createFrom(spark: SparkSession, baseDir: String, viewDir: String,
       groupCol: String, valueCol: String,
       numBuckets: Int = 16): Long = {
@@ -42,8 +48,24 @@ object IncrementalView {
     val agg = VersionedKeyedTable.read(spark, baseDir, Some(snap.version))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
-    VersionedKeyedTable.create(agg, viewDir, groupCol, numBuckets)
+    VersionedKeyedTable.create(agg, viewDir, groupCol, numBuckets,
+      commitMeta = Map(AppliedBaseKey -> snap.version.toString))
     snap.version
+  }
+
+  /** The base version the view DURABLY reflects: the latest view
+    * commit's stamped watermark. Exactly-once refresh discipline
+    * across crashes falls out of commit atomicity — a refresh that
+    * died before its merge commit left no stamp (the span re-applies,
+    * correctly), one that died after left the stamp (the span is
+    * skipped). Empty-delta spans commit nothing and re-walk
+    * harmlessly (their CDF is empty by definition). */
+  def committedWatermark(spark: SparkSession, viewDir: String): Long = {
+    val snap = VersionedKeyedTable.snapshot(spark, viewDir)
+    snap.meta.get(AppliedBaseKey).map(_.toLong).getOrElse(
+      throw new IllegalStateException(
+        s"view at $viewDir carries no $AppliedBaseKey stamp — was it " +
+          "created by IncrementalView.createFrom?"))
   }
 
   /** Advance the view from base version `fromVersion` to `toVersion`
@@ -57,6 +79,12 @@ object IncrementalView {
       baseKey: String, groupCol: String, valueCol: String,
       fromVersion: Long, toVersion: Long): Unit = {
     if (fromVersion >= toVersion) return
+    // idempotence guard: a span at or below the view's durable
+    // watermark has already been applied — a crashed-and-retried
+    // maintainer (or a caller holding a stale watermark) is a no-op,
+    // never a double count
+    if (VersionedKeyedTable.snapshot(spark, viewDir).meta
+        .get(AppliedBaseKey).exists(_.toLong >= toVersion)) return
     val cdf = VersionedKeyedTable.changesBetween(
       spark, baseDir, baseKey, fromVersion, toVersion)
     val oldSide = cdf
@@ -78,8 +106,21 @@ object IncrementalView {
       whenMatchedDelete = Some(col("t.cnt") + col("s.cnt") === 0L),
       whenMatchedUpdate = Map(
         "cnt" -> (col("t.cnt") + col("s.cnt")),
-        "total" -> (col("t.total") + col("s.total"))))
+        "total" -> (col("t.total") + col("s.total"))),
+      // the watermark advances ATOMICALLY with the delta application:
+      // a crash leaves either both or neither — exactly-once refresh
+      commitMeta = Map(AppliedBaseKey -> toVersion.toString))
   }
+
+  /** Crash-safe [[refreshToLatest]]: the starting watermark comes from
+    * the view's own committed log, so a restarted maintainer resumes
+    * exactly where the last durable refresh left off — an interrupted
+    * span re-applies, a committed one never does. */
+  def refreshFromCommitted(spark: SparkSession, baseDir: String,
+      viewDir: String, baseKey: String, groupCol: String,
+      valueCol: String): Long =
+    refreshToLatest(spark, baseDir, viewDir, baseKey, groupCol,
+      valueCol, committedWatermark(spark, viewDir))
 
   /** Refresh through every version between the watermark and the
     * base's latest, one span per committed version (the event-log

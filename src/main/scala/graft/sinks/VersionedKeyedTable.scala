@@ -93,7 +93,8 @@ object VersionedKeyedTable {
       touched: Set[Int],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       stats: Map[String, (String, String)] = Map.empty,
-      changes: Option[Seq[String]] = None)
+      changes: Option[Seq[String]] = None,
+      meta: Map[String, String] = Map.empty)
 
   private def versionsDir(dir: String) = new Path(dir, "_versions")
   private def versionPath(dir: String, v: Long) =
@@ -108,10 +109,19 @@ object VersionedKeyedTable {
       files: Map[Int, Seq[String]],
       schema: org.apache.spark.sql.types.StructType,
       stats: Map[String, (String, String)],
-      changes: Option[Seq[String]]): String = {
+      changes: Option[Seq[String]],
+      meta: Map[String, String] = Map.empty): String = {
     val sb = new StringBuilder
     sb.append("touched\t").append(touched.toSeq.sorted.mkString(","))
       .append('\n')
+    // opaque per-COMMIT metadata (URL-encoded): consumers record facts
+    // atomically with the commit itself — e.g. an incremental view
+    // stamps the base version a refresh applied, making the refresh
+    // exactly-once across crashes (the watermark IS the commit)
+    meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb.append("meta\t").append(enc(k)).append('\t').append(enc(v))
+        .append('\n')
+    }
     // per-VERSION schema: additive evolution changes it going forward
     // while time-travel reads keep each version's own (schema.json is
     // a single line — no tabs or newlines)
@@ -156,11 +166,15 @@ object VersionedKeyedTable {
     val stats = scala.collection.mutable.Map.empty[String, (String, String)]
     val changes = Vector.newBuilder[String]
     var captured = false
+    val meta = scala.collection.mutable.Map.empty[String, String]
     lines.iterator.drop(1).takeWhile(_ != "#end").foreach { ln =>
       if (ln.startsWith("changes\t")) {
         captured = true
         val c = ln.stripPrefix("changes\t")
         if (c != "-") changes += c
+      } else if (ln.startsWith("meta\t")) {
+        val parts = ln.split('\t')
+        if (parts.length >= 3) meta(dec(parts(1))) = dec(parts(2))
       } else if (!ln.startsWith("schema\t")) {
         val parts = ln.split('\t')
         if (parts.length >= 2) {
@@ -176,7 +190,7 @@ object VersionedKeyedTable {
       }
     }
     Some(Snapshot(v, files.toMap, touched, schema, stats.toMap,
-      if (captured) Some(changes.result()) else None))
+      if (captured) Some(changes.result()) else None, meta.toMap))
   }
 
   private def readVersionFile(fs: FileSystem, p: Path): String =
@@ -387,7 +401,8 @@ object VersionedKeyedTable {
   /** Create the table from a full snapshot (version 1, or a full
     * replace committed as the next version of an existing table). */
   def create(df: DataFrame, dir: String, keyCol: String,
-      numBuckets: Int = 16): Unit = {
+      numBuckets: Int = 16,
+      commitMeta: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     writeMeta(spark, dir, numBuckets, df.schema)
     val (files, stats) = writeDataFiles(spark, dir,
@@ -397,7 +412,8 @@ object VersionedKeyedTable {
     val all = (0 until numBuckets)
       .map(b => b -> files.getOrElse(b, Seq.empty)).toMap
     while (!tryCommit(fs, dir, versionPath(dir, v),
-        renderManifest(all.keySet, all, df.schema, stats, None))) { v += 1 }
+        renderManifest(all.keySet, all, df.schema, stats, None,
+          commitMeta))) { v += 1 }
   }
 
   /** Read the table at the latest (or a named) version — snapshot
@@ -549,7 +565,8 @@ object VersionedKeyedTable {
   private[sinks] def mutateWith(spark: SparkSession, dir: String,
       rows: DataFrame, keyCol: String,
       onBeforeCommit: () => Unit,
-      captureChanges: Boolean = true)(
+      captureChanges: Boolean = true,
+      commitMeta: Map[String, String] = Map.empty)(
       remerge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
     val fs = hfs(spark, dir)
@@ -630,7 +647,7 @@ object VersionedKeyedTable {
               evolved.fieldNames.contains(f.name)))
         if (tryCommit(fs, dir, versionPath(dir, target),
             renderManifest(myTouched, manifest, commitSchema,
-              base.stats ++ newStats, changeFiles))) return
+              base.stats ++ newStats, changeFiles, commitMeta))) return
         val cur0 = snapshot(spark, dir)
         val cur =
           if (cur0.version > base.version) cur0
@@ -698,9 +715,10 @@ object VersionedKeyedTable {
       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
       whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
       insertNotMatched: Boolean = true,
-      captureChanges: Boolean = true): Unit =
+      captureChanges: Boolean = true,
+      commitMeta: Map[String, String] = Map.empty): Unit =
     mutateWith(spark, dir, source, keyCol, () => (),
-      captureChanges) { (existing, batch) =>
+      captureChanges, commitMeta) { (existing, batch) =>
       val src = batch.drop("__bucket")
       val srcCols = src.columns.toSet
       val t = existing.alias("t")

@@ -822,37 +822,61 @@ object StreamingJobs {
     * producing a version whose CDF is EMPTY — the refresh no-ops
     * (cheaper and stronger than a batch-id output guard: idempotence
     * holds at the STATE layer, not just at the sink). */
+  /** `failAt`: fault-injection seam — the named micro-batch throws
+    * AFTER its base-table upsert committed but BEFORE the view
+    * refresh (the worst crash point: base and view disagree). A
+    * re-invocation with the same `workDir` resumes: Spark's
+    * checkpoint replays the uncommitted micro-batch, whose re-upsert
+    * produces an EMPTY-change version (state-layer idempotence), and
+    * the view catches up from its own durable watermark
+    * (IncrementalView.refreshFromCommitted) — the missed span applies
+    * exactly once, the replayed one not at all. */
   def streamingCdfIngest(spark: SparkSession, sfDir: String,
-      workDir: String): DataFrame = {
-    import graft.sinks.{IncrementalView, VersionedKeyedTable}
+      workDir: String, failAt: Option[Long] = None): DataFrame = {
+    import graft.sinks.{IncrementalView, KeyedTable, VersionedKeyedTable}
     val rows = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey").as("k"), col("o_custkey").as("g"),
         (col("o_totalprice").cast("decimal(12,2)") * 100)
           .cast("long").as("cents"))
     val baseDir = s"$workDir/base"
     val viewDir = s"$workDir/view"
-    VersionedKeyedTable.create(rows.filter(col("k") % 3 =!= 2),
-      baseDir, "k")
-    var watermark = IncrementalView.createFrom(
-      spark, baseDir, viewDir, "g", "cents")
-    stageKeyedSlices(spark, rows.filter(col("k") % 3 === 2), "k",
-      s"$workDir/staging", nFiles = 3)
+    if (!KeyedTable.exists(spark, baseDir)) {
+      VersionedKeyedTable.create(rows.filter(col("k") % 3 =!= 2),
+        baseDir, "k")
+      IncrementalView.createFrom(spark, baseDir, viewDir, "g", "cents")
+      stageKeyedSlices(spark, rows.filter(col("k") % 3 === 2), "k",
+        s"$workDir/staging", nFiles = 3)
+    }
     val stream = spark.readStream.schema(rows.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$workDir/staging")
     val qname = "graft_stream_cdf"
     spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    var failed = false
     val q = stream.writeStream.queryName(qname)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .option("checkpointLocation", s"$workDir/checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         VersionedKeyedTable.upsert(spark, baseDir, batch, "k")
-        // foreachBatch is sequential: the watermark advance is
-        // single-threaded, and a production restart would re-derive it
-        // from the view's own committed metadata
-        watermark = IncrementalView.refreshToLatest(
-          spark, baseDir, viewDir, "k", "g", "cents", watermark)
+        if (failAt.contains(id) && !failed) {
+          failed = true
+          throw new IllegalStateException(
+            s"graft-injected crash after batch $id base commit")
+        }
+        // the view advances from its own committed watermark — no
+        // in-memory state survives (or needs to survive) a restart
+        IncrementalView.refreshFromCommitted(
+          spark, baseDir, viewDir, "k", "g", "cents"): Unit
       }
       .trigger(Trigger.AvailableNow()).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    def injected(t: Throwable): Boolean =
+      t != null && (String.valueOf(t.getMessage)
+        .contains("graft-injected crash") || injected(t.getCause))
+    try { q.processAllAvailable() }
+    catch { case e: Throwable if failAt.isDefined && injected(e) => () }
+    finally { q.stop() }
+    q.exception.foreach { e =>
+      if (!(failAt.isDefined && injected(e))) throw e
+    }
     VersionedKeyedTable.read(spark, viewDir)
       .select(col("g"), col("cnt"), col("total"))
   }

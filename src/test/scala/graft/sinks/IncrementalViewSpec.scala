@@ -1,0 +1,104 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.TestSpark
+
+/** The delta rule under every lifecycle event the CDF can emit —
+  * inserts, value updates, GROUP-MOVING updates, deletes down to
+  * group disappearance — plus the exactly-once watermark discipline
+  * that makes refresh crash-safe. */
+class IncrementalViewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): (String, String) = (
+    Files.createTempDirectory("graft-ivm-base").toString + "/t",
+    Files.createTempDirectory("graft-ivm-view").toString + "/t")
+
+  private def viewOf(viewDir: String): Map[String, (Long, Long)] =
+    VersionedKeyedTable.read(spark, viewDir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  private def recompute(baseDir: String): Map[String, (Long, Long)] =
+    VersionedKeyedTable.read(spark, baseDir)
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"),
+        sum(col("v")).as("total"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("delta maintenance equals recompute through inserts, updates, " +
+      "group moves, and group-emptying deletes") {
+    val (baseDir, viewDir) = fresh()
+    VersionedKeyedTable.create(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("k", "g", "v"), baseDir, "k", numBuckets = 2)
+    var wm = IncrementalView.createFrom(
+      spark, baseDir, viewDir, "g", "v", numBuckets = 2)
+    assert(viewOf(viewDir) === recompute(baseDir))
+    // v2: insert + value update + GROUP MOVE (key 3: b -> a)
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((5L, "b", 50L), (1L, "a", 11L), (3L, "a", 30L))
+        .toDF("k", "g", "v"), "k")
+    // v3: delete key 4 — group c disappears entirely
+    VersionedKeyedTable.delete(spark, baseDir, Seq(4L).toDF("k"), "k")
+    wm = IncrementalView.refreshToLatest(
+      spark, baseDir, viewDir, "k", "g", "v", wm)
+    val got = viewOf(viewDir)
+    assert(got === recompute(baseDir))
+    assert(got === Map("a" -> ((3L, 61L)), "b" -> ((1L, 50L))))
+    assert(!got.contains("c"), "an emptied group is deleted, not zeroed")
+  }
+
+  test("exactly-once watermark: a re-applied span is a no-op, the " +
+      "stamp rides the view's own commits, and refreshFromCommitted " +
+      "resumes where the last durable refresh stopped") {
+    val (baseDir, viewDir) = fresh()
+    VersionedKeyedTable.create(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "v"),
+      baseDir, "k", numBuckets = 2)
+    IncrementalView.createFrom(
+      spark, baseDir, viewDir, "g", "v", numBuckets = 2)
+    assert(IncrementalView.committedWatermark(spark, viewDir) === 1L)
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((3L, "a", 30L)).toDF("k", "g", "v"), "k")
+    IncrementalView.refresh(spark, baseDir, viewDir, "k", "g", "v", 1L, 2L)
+    assert(viewOf(viewDir)("a") === ((2L, 40L)))
+    assert(IncrementalView.committedWatermark(spark, viewDir) === 2L)
+    // a crashed-and-retried maintainer re-applies the same span: the
+    // durable stamp makes it a no-op — never a double count
+    IncrementalView.refresh(spark, baseDir, viewDir, "k", "g", "v", 1L, 2L)
+    assert(viewOf(viewDir)("a") === ((2L, 40L)), "no double application")
+    // two more base commits, then a restart-shaped catch-up from the
+    // committed stamp alone (no caller-held watermark)
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((4L, "b", 40L)).toDF("k", "g", "v"), "k")
+    VersionedKeyedTable.delete(spark, baseDir, Seq(1L).toDF("k"), "k")
+    val wm = IncrementalView.refreshFromCommitted(
+      spark, baseDir, viewDir, "k", "g", "v")
+    assert(wm === 4L)
+    assert(viewOf(viewDir) === recompute(baseDir))
+    // and once caught up, another catch-up finds nothing to do
+    assert(IncrementalView.refreshFromCommitted(
+      spark, baseDir, viewDir, "k", "g", "v") === 4L)
+    assert(viewOf(viewDir) === recompute(baseDir))
+  }
+
+  test("refresh across a compaction span is a no-op (CDF-invisible) " +
+      "and the watermark discipline survives it") {
+    val (baseDir, viewDir) = fresh()
+    VersionedKeyedTable.create(
+      (1L to 40L).map(i => (i, if (i % 2 == 0) "e" else "o", i))
+        .toDF("k", "g", "v").repartition(4), baseDir, "k", numBuckets = 2)
+    IncrementalView.createFrom(
+      spark, baseDir, viewDir, "g", "v", numBuckets = 2)
+    VersionedKeyedTable.compact(spark, baseDir, "k")
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((41L, "o", 41L)).toDF("k", "g", "v"), "k")
+    IncrementalView.refreshFromCommitted(
+      spark, baseDir, viewDir, "k", "g", "v")
+    assert(viewOf(viewDir) === recompute(baseDir))
+  }
+}
