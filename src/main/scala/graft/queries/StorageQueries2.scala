@@ -316,7 +316,87 @@ object StorageQueries2 {
       .select(col("decision"), col("cnt"), col("total").as("total_tokens"))
   }
 
+  /** ANN INDEX MAINTENANCE FROM THE CDF — the per-ROW derived-table
+    * complement to `ivm_refresh`'s aggregate: embeddings live in a
+    * versioned table; the IVF cell index is a derived table advanced
+    * by ONE three-clause merge over the span's change feed (inserts
+    * assign, updates re-assign — a mutated vector can change cells —
+    * deletes drop), with cell computation run ONLY on changed vectors.
+    * The oracle recomputes every cell from the final embedding state
+    * (original first-8 codebook, negated %7 vectors, %11=3 deletes):
+    * the incrementally-maintained index must equal the full
+    * recompute. At 100 TB: re-embedding a batch re-indexes exactly
+    * that batch. */
+  val annIndexCdf = sql("ann_index_cdf",
+    """WITH fin AS (
+         SELECT vec_id,
+           CASE WHEN vec_id % 7 = 0
+             THEN list_transform(embedding, x -> -x)
+             ELSE embedding END AS embedding
+         FROM embeddings WHERE vec_id % 11 <> 3),
+       c AS (
+         SELECT vec_id AS cid, embedding AS cemb,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnrm
+         FROM embeddings WHERE vec_id < 8),
+       n AS (
+         SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         FROM fin)
+       SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM (
+         SELECT a.vec_id, c.cid, row_number() OVER (
+           PARTITION BY a.vec_id ORDER BY
+             (list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(c.cemb[CAST(i AS INT)] AS DOUBLE)))
+              / (a.nrm * c.cnrm)) DESC, c.cid) AS rn
+         FROM n a CROSS JOIN c) t WHERE rn = 1""") { (s, d) =>
+    import graft.functions.VectorSearch
+    val baseDir = scratch("annbase")
+    val idxDir = scratch("annidx")
+    val emb = Tables.embeddings(s, d)
+    // the coarse codebook is FROZEN at index build (first 8 original
+    // vectors) — mutations re-assign against it, they never retrain
+    val cents = VectorSearch.firstKCodebook(emb, 8)
+    def cellsOf(df: DataFrame): DataFrame =
+      VectorSearch.assignWithCodebook(df, cents)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+    VersionedKeyedTable.create(
+      emb.where(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), col("embedding")), baseDir, "vec_id")
+    VersionedKeyedTable.create(
+      cellsOf(VersionedKeyedTable.read(s, baseDir)), idxDir, "vec_id")
+    // v2: the held-out vectors arrive
+    VersionedKeyedTable.upsert(s, baseDir,
+      emb.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding")), "vec_id")
+    // v3: a re-embedding pass flips every %7 vector
+    VersionedKeyedTable.upsert(s, baseDir,
+      emb.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> -x)").as("embedding")), "vec_id")
+    // v4: a deletion batch
+    VersionedKeyedTable.delete(s, baseDir,
+      emb.where(col("vec_id") % 11 === 3).select(col("vec_id")), "vec_id")
+    // one CDF read + one merge maintains the index across all three
+    val cdf = VersionedKeyedTable.changesBetween(
+      s, baseDir, "vec_id", 1L, 4L).localCheckpoint(true)
+    val source = cellsOf(
+        cdf.where(col("change_type") =!= "delete")
+          .select(col("vec_id"), col("embedding")))
+      .withColumn("del", lit(false))
+      .unionByName(cdf.where(col("change_type") === "delete")
+        .select(col("vec_id"), lit(null).cast("long").as("cell"),
+          lit(true).as("del")))
+    VersionedKeyedTable.merge(s, idxDir, source, "vec_id",
+      whenMatchedDelete = Some(col("s.del")),
+      whenMatchedUpdate = Map("cell" -> col("s.cell")))
+    VersionedKeyedTable.read(s, idxDir)
+      .select(col("vec_id"), col("cell"))
+  }
+
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
     versionedRestore, versionedDataSkipping, ivmRefresh,
-    versionedCompact, curationFeed)
+    versionedCompact, curationFeed, annIndexCdf)
 }

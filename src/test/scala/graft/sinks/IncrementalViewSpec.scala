@@ -86,6 +86,45 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(viewOf(viewDir) === recompute(baseDir))
   }
 
+  test("REAL race: writers commit to the base while the maintainer " +
+      "refreshes concurrently — the caught-up view equals the recompute") {
+    val (baseDir, viewDir) = fresh()
+    VersionedKeyedTable.create(
+      Seq((0L, "seed", 1L)).toDF("k", "g", "v"), baseDir, "k",
+      numBuckets = 4)
+    IncrementalView.createFrom(
+      spark, baseDir, viewDir, "g", "v", numBuckets = 2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writersDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writers = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          for (b <- 0 until 4) {
+            VersionedKeyedTable.upsert(spark, baseDir,
+              (1L to 10L).map(i => (w * 1000L + b * 100L + i,
+                s"g${(i + w) % 3}", i)).toDF("k", "g", "v"), "k")
+          }
+        } catch { case t: Throwable => errs.add(t) }
+        finally { writersDone.incrementAndGet(): Unit }
+      }, s"graft-ivm-writer-$w")
+    }
+    val maintainer = new Thread(() => {
+      try {
+        while (writersDone.get() < 2) {
+          IncrementalView.refreshFromCommitted(
+            spark, baseDir, viewDir, "k", "g", "v"): Unit
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    }, "graft-ivm-maintainer")
+    writers.foreach(_.start()); maintainer.start()
+    writers.foreach(_.join(180000)); maintainer.join(180000)
+    assert(errs.isEmpty, s"race failed: ${Option(errs.peek())}")
+    IncrementalView.refreshFromCommitted(
+      spark, baseDir, viewDir, "k", "g", "v")
+    assert(viewOf(viewDir) === recompute(baseDir),
+      "every committed span applied exactly once under the race")
+  }
+
   test("refresh across a compaction span is a no-op (CDF-invisible) " +
       "and the watermark discipline survives it") {
     val (baseDir, viewDir) = fresh()
