@@ -396,7 +396,37 @@ object StorageQueries2 {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** DYNAMIC data skipping through Catalyst: the table exposed as a
+    * DataFrame whose WHERE clause on the key prunes files via the
+    * manifest zone maps at PLANNING time (ZoneMapFileIndex) — no
+    * explicit range call, and the pruned scan composes with a
+    * downstream aggregate. The in-row require pins that the query's
+    * own predicate drove the pruning. */
+  val versionedQueryPushdown = sql("versioned_query_pushdown",
+    s"""SELECT o_custkey AS ck, count(*) AS cnt,
+          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+            AS BIGINT)) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey BETWEEN 2000 AND 9000
+        GROUP BY o_custkey""") { (s, d) =>
+    val dir = scratch("pushdown")
+    val ord = Tables.orders(s, d)
+    VersionedKeyedTable.create(
+      ord.select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
+        .repartitionByRange(8, col("k")), dir, "k")
+    val (df, idx) = VersionedKeyedTable.tableIndexed(s, dir, "k")
+    val out = df.where(col("k") >= 2000L && col("k") <= 9000L)
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+      .localCheckpoint(true) // execute now so the prune count is real
+    val (kept, total) = idx.lastListed
+    require(kept < total,
+      s"the WHERE clause must drive file pruning (kept $kept/$total)")
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
     versionedRestore, versionedDataSkipping, ivmRefresh,
-    versionedCompact, curationFeed, annIndexCdf)
+    versionedCompact, curationFeed, annIndexCdf,
+    versionedQueryPushdown)
 }

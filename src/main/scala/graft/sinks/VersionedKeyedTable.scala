@@ -996,6 +996,35 @@ object VersionedKeyedTable {
     df.where(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
+  /** The table as a CATALYST-INTEGRATED DataFrame: any `WHERE` clause
+    * on the key column prunes data files through the manifest's zone
+    * maps BEFORE split planning ([[ZoneMapFileIndex]]) — `readRange`'s
+    * skipping without the explicit range call, composable with every
+    * downstream operator. Snapshot-pinned like [[read]]. */
+  def table(spark: SparkSession, dir: String, keyCol: String,
+      version: Option[Long] = None): DataFrame =
+    tableIndexed(spark, dir, keyCol, version)._1
+
+  /** [[table]] plus its file index, whose `lastListed` exposes the
+    * (kept, total) file counts of the most recent query — the
+    * observability hook specs and in-row assertions pin dynamic
+    * pruning with. */
+  private[graft] def tableIndexed(spark: SparkSession, dir: String,
+      keyCol: String, version: Option[Long] = None)
+      : (DataFrame, ZoneMapFileIndex) = {
+    val (_, metaSchema) = readMeta(spark, dir)
+    val snap = snapshot(spark, dir, version)
+    val schema = snap.schema.getOrElse(metaSchema)
+    val index = new ZoneMapFileIndex(spark, dir, snap, keyCol)
+    val relation = org.apache.spark.sql.execution.datasources
+      .HadoopFsRelation(index, new org.apache.spark.sql.types.StructType(),
+        schema, None,
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat,
+        Map.empty[String, String])(spark)
+    (spark.baseRelationToDataFrame(relation), index)
+  }
+
   /** Point-lookup read: the given keys' rows, touching only the
     * BUCKETS the keys hash into, zone-map-filtered within them —
     * O(k) buckets' files for k keys, never a table scan. The key list

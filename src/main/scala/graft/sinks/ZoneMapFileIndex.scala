@@ -1,0 +1,130 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, LessThan,
+  LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** Catalyst-integrated zone-map data skipping for
+  * [[VersionedKeyedTable]]: a [[FileIndex]] whose `listFiles` prunes
+  * the snapshot's data files against the manifest's per-file key
+  * (min, max) using the QUERY'S OWN predicates — the dynamic face of
+  * `readRange`, where the bounds come from any `WHERE` clause on the
+  * key instead of an explicit range call. Spark hands every data
+  * filter to the index before split planning, so a key-localized
+  * query never plans tasks for files it cannot match — the same
+  * mechanism partition pruning uses, applied at FILE granularity
+  * from table-format metadata (what Delta/Iceberg do with their
+  * stats; reduced here to the manifest the store already keeps).
+  *
+  * Handled predicate shapes (conjuncts over the key column):
+  * `= < <= > >= IN`, with long-typed literals; everything else keeps
+  * every file (pruning is an optimization, the residual filter Spark
+  * applies anyway guarantees exactness — so unknown shapes are safe,
+  * never wrong). Files without recorded stats are never pruned.
+  */
+final class ZoneMapFileIndex(
+    spark: SparkSession, dir: String,
+    snap: VersionedKeyedTable.Snapshot, keyCol: String)
+    extends FileIndex {
+
+  private val relFiles: Seq[String] = snap.files.values.flatten.toSeq
+  private val statuses: Seq[FileStatus] = {
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    relFiles.map(f => fs.getFileStatus(new Path(s"$dir/$f")))
+  }
+  private val statsByPath: Map[Path, (Long, Long)] =
+    relFiles.zip(statuses).flatMap { case (rel, st) =>
+      snap.stats.get(rel).flatMap { case (mn, mx) =>
+        (mn.toLongOption, mx.toLongOption) match {
+          case (Some(a), Some(b)) => Some(st.getPath -> (a, b))
+          case _ => None
+        }
+      }
+    }.toMap
+
+  /** Observability for specs and in-row assertions: (files listed for
+    * the last query, total files in the snapshot). */
+  @volatile var lastListed: (Int, Int) = (relFiles.size, relFiles.size)
+
+  override def rootPaths: Seq[Path] = Seq(new Path(dir))
+  override def partitionSchema: StructType = new StructType()
+  override def inputFiles: Array[String] =
+    statuses.map(_.getPath.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def isKey(e: Expression): Boolean = e match {
+    case a: Attribute => a.name == keyCol
+    case _ => false
+  }
+
+  private def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, _) => Some(v)
+    case Literal(v: Int, _) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** The key interval [lo, hi] implied by the filters' key conjuncts
+    * (None bound = unbounded); IN-sets contribute their min/max. */
+  private def keyBounds(filters: Seq[Expression])
+      : (Option[Long], Option[Long]) = {
+    var lo = Option.empty[Long]
+    var hi = Option.empty[Long]
+    def raiseLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def lowerHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    filters.flatMap(conjuncts).foreach {
+      case EqualTo(a, l) if isKey(a) && longLit(l).isDefined =>
+        raiseLo(longLit(l).get); lowerHi(longLit(l).get)
+      case EqualTo(l, a) if isKey(a) && longLit(l).isDefined =>
+        raiseLo(longLit(l).get); lowerHi(longLit(l).get)
+      case GreaterThanOrEqual(a, l) if isKey(a) && longLit(l).isDefined =>
+        raiseLo(longLit(l).get)
+      case GreaterThan(a, l) if isKey(a) && longLit(l).isDefined =>
+        raiseLo(longLit(l).get + 1)
+      case LessThanOrEqual(a, l) if isKey(a) && longLit(l).isDefined =>
+        lowerHi(longLit(l).get)
+      case LessThan(a, l) if isKey(a) && longLit(l).isDefined =>
+        lowerHi(longLit(l).get - 1)
+      case GreaterThanOrEqual(l, a) if isKey(a) && longLit(l).isDefined =>
+        lowerHi(longLit(l).get)
+      case GreaterThan(l, a) if isKey(a) && longLit(l).isDefined =>
+        lowerHi(longLit(l).get - 1)
+      case LessThanOrEqual(l, a) if isKey(a) && longLit(l).isDefined =>
+        raiseLo(longLit(l).get)
+      case LessThan(l, a) if isKey(a) && longLit(l).isDefined =>
+        raiseLo(longLit(l).get + 1)
+      case In(a, vs) if isKey(a) && vs.nonEmpty &&
+          vs.forall(longLit(_).isDefined) =>
+        val set = vs.map(longLit(_).get)
+        raiseLo(set.min); lowerHi(set.max)
+      case _ => () // unknown shape: contributes no bound (never prunes)
+    }
+    (lo, hi)
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val (lo, hi) = keyBounds(dataFilters)
+    val kept = statuses.filter { st =>
+      statsByPath.get(st.getPath) match {
+        case Some((mn, mx)) =>
+          lo.forall(mx >= _) && hi.forall(mn <= _)
+        case None => true // no zone map recorded: must read
+      }
+    }
+    lastListed = (kept.size, statuses.size)
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+}

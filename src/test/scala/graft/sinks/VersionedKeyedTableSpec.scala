@@ -396,6 +396,35 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     assert(VersionedKeyedTable.snapshot(spark, dir).version === after.version)
   }
 
+  test("Catalyst-integrated zone maps: WHERE clauses on the key prune " +
+      "files dynamically before split planning; unknown predicates " +
+      "never prune and never break") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      spark.range(1, 2001).select(col("id").as("k"),
+          (col("id") * 3L).as("n"))
+        .repartitionByRange(8, col("k")), dir, "k", numBuckets = 4)
+    val (df, idx) = VersionedKeyedTable.tableIndexed(spark, dir, "k")
+    val got = df.where(col("k") >= 100L && col("k") <= 120L)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (100L to 120L).map(i => i -> i * 3L).toMap)
+    val (kept1, total) = idx.lastListed
+    assert(kept1 < total, s"range WHERE must prune ($kept1/$total)")
+    // equality and IN shapes prune too
+    assert(df.where(col("k") === 1500L).as[(Long, Long)].collect()
+      .toMap === Map(1500L -> 4500L))
+    assert(idx.lastListed._1 < total)
+    assert(df.where(col("k").isin(5L, 6L, 7L)).count() === 3L)
+    assert(idx.lastListed._1 < total)
+    // a non-key predicate contributes no bound: all files read,
+    // result exact
+    assert(df.where(col("n") === 300L).count() === 1L)
+    assert(idx.lastListed._1 === total)
+    // the pruned plan composes with downstream operators
+    assert(df.where(col("k") between (1L, 50L))
+      .agg(sum(col("n"))).as[Long].head() === (1L to 50L).map(_ * 3L).sum)
+  }
+
   test("captureChanges=false: the commit skips the capture pass and " +
       "CDF spans crossing it fall back to the snapshot diff with " +
       "identical results") {
@@ -443,6 +472,35 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       VersionedKeyedTable.readRange(spark, dir, "k", 10L, 40L))
     assert(rangeFilesScanned.size === kept.size,
       "the range plan must scan exactly the zone-map survivors")
+  }
+
+  test("CDF across additive schema evolution: spans mixing pre- and " +
+      "post-evolution change files read under the TO schema, late " +
+      "columns null where they did not exist") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 10L).map(i => (i, i)).toDF("k", "n"), dir, "k",
+      numBuckets = 2)
+    // v2: pre-evolution update (change file has columns k, n, n_prev)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((1L, 11L)).toDF("k", "n"), "k")
+    // v3: the batch adds a column (change file gains extra, extra_prev)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((2L, 22L, "x2"), (11L, 110L, "x11")).toDF("k", "n", "extra"),
+      "k")
+    val cdf = VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 3L)
+    assert(cdf.columns.toSeq ===
+      Seq("k", "change_type", "n", "extra", "n_prev", "extra_prev"))
+    val got = cdf
+      .as[(Long, String, Option[Long], Option[String], Option[Long],
+        Option[String])].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "update", Some(11L), None, Some(1L), None)),
+      "pre-evolution change rows read the late column as null")
+    assert(got(2L) === ((2L, "update", Some(22L), Some("x2"), Some(2L),
+      None)))
+    assert(got(11L) === ((11L, "insert", Some(110L), Some("x11"), None,
+      None)))
+    assert(got.size === 3)
   }
 
   test("restore: rollback is a metadata-only commit; history stays " +
