@@ -215,6 +215,30 @@ object VersionedKeyedTable {
     }
   }
 
+  /** TIMESTAMP AS OF: the latest complete version whose manifest was
+    * committed at or before `tsMillis` (manifest-file mtime — the
+    * commit instant, since a claim only exists once its content is
+    * durable). Loud failure when the table did not exist yet or the
+    * span was vacuumed. */
+  def versionAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): Long = {
+    val fs = hfs(spark, dir)
+    val at = listVersions(fs, dir)
+      .filter { v =>
+        val p = versionPath(dir, v)
+        fs.getFileStatus(p).getModificationTime <= tsMillis &&
+          parseManifest(v, readVersionFile(fs, p)).isDefined
+      }
+    at.lastOption.getOrElse(throw new IllegalStateException(
+      s"VersionedKeyedTable at $dir has no complete version committed " +
+        s"at or before $tsMillis (created later, or vacuumed past it)"))
+  }
+
+  /** [[read]] pinned to the state as of a wall-clock instant. */
+  def readAsOf(spark: SparkSession, dir: String,
+      tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAsOf(spark, dir, tsMillis)))
+
   /** The snapshot at `version`, or the latest complete one. */
   def snapshot(spark: SparkSession, dir: String,
       version: Option[Long] = None): Snapshot = {

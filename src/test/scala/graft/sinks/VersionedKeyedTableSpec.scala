@@ -474,6 +474,29 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       "the range plan must scan exactly the zone-map survivors")
   }
 
+  test("TIMESTAMP AS OF resolves the commit instant: reads pin to the " +
+      "version current at the given wall clock, pre-creation asks fail " +
+      "loudly") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 10L).map(i => (i, "v1")).toDF("k", "v"), dir, "k",
+      numBuckets = 2)
+    val t1 = java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths
+      .get(s"$dir/_versions/v000000000001")).toMillis
+    Thread.sleep(1100)
+    VersionedKeyedTable.upsert(spark, dir,
+      (1L to 10L).map(i => (i, "v2")).toDF("k", "v"), "k")
+    assert(VersionedKeyedTable.versionAsOf(spark, dir, t1) === 1L)
+    assert(VersionedKeyedTable.readAsOf(spark, dir, t1)
+      .as[(Long, String)].collect().forall(_._2 === "v1"))
+    assert(VersionedKeyedTable.versionAsOf(spark, dir,
+      System.currentTimeMillis()) === 2L)
+    val e = intercept[IllegalStateException] {
+      VersionedKeyedTable.versionAsOf(spark, dir, t1 - 3600000L)
+    }
+    assert(e.getMessage.contains("no complete version"))
+  }
+
   test("CDF across additive schema evolution: spans mixing pre- and " +
       "post-evolution change files read under the TO schema, late " +
       "columns null where they did not exist") {
