@@ -198,7 +198,14 @@ object PlanAudit {
       "ONLY over the span's changed vectors off the change-file scan; " +
       "one three-clause merge applies assign/re-assign/drop to the " +
       "index's touched buckets. Re-embedding a batch re-indexes " +
-      "exactly that batch."))
+      "exactly that batch."),
+    "versioned_query_pushdown" -> ("Catalyst-integrated zone maps: " +
+      "the WHERE clause's key predicates reach ZoneMapFileIndex." +
+      "listFiles BEFORE split planning, so the FileScan holds only " +
+      "zone-map-surviving files (in-row require pins kept < total); " +
+      "the pruned scan feeds a partial/final aggregate like any " +
+      "parquet relation — file-granularity partition pruning from " +
+      "table-format metadata."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is
