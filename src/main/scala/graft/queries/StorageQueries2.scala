@@ -21,6 +21,15 @@ object StorageQueries2 {
 
   private val Dec = "decimal(12,2)"
 
+  /** Bucket count for these checks' tables: every commit pays one
+    * Spark job per touched bucket's rewrite (plus the zone-map and
+    * change-capture passes), so the bounded checks keep tables coarse
+    * — the same sizing rule as ServingState.CheckNumBuckets. A
+    * production deployment sizes buckets to the data (a bucket ≈ a
+    * few hundred MB), which the decade probes exercise by scaling
+    * `numBuckets` with the table. */
+  private val CheckBuckets = 4
+
   private def scratch(prefix: String): String =
     sys.props("java.io.tmpdir") + "/graft_" + prefix + "_" +
       java.util.UUID.randomUUID().toString
@@ -60,7 +69,7 @@ object StorageQueries2 {
     val cust = Tables.customer(s, d)
     val base = cust.select(col("c_custkey").as("k"),
       col("c_acctbal").cast(Dec).cast("double").as("v"))
-    VersionedKeyedTable.create(base, dir, "k")
+    VersionedKeyedTable.create(base, dir, "k", CheckBuckets)
     VersionedKeyedTable.upsert(s, dir,
       cust.filter(col("c_custkey") % 10 === 3)
         .select(col("c_custkey").as("k"),
@@ -94,7 +103,8 @@ object StorageQueries2 {
     val cust = Tables.customer(s, d)
     VersionedKeyedTable.create(
       cust.select(col("c_custkey").as("k"),
-        col("c_acctbal").cast(Dec).cast("double").as("v")), dir, "k")
+        col("c_acctbal").cast(Dec).cast("double").as("v")), dir, "k",
+      CheckBuckets)
     val source = cust.filter(col("c_custkey") % 4 === 0)
       .select(col("c_custkey").as("k"),
         lit(null).cast("double").as("v"),
@@ -127,7 +137,8 @@ object StorageQueries2 {
     val cust = Tables.customer(s, d)
     VersionedKeyedTable.create(
       cust.select(col("c_custkey").as("k"),
-        col("c_acctbal").cast(Dec).cast("double").as("v")), dir, "k")
+        col("c_acctbal").cast(Dec).cast("double").as("v")), dir, "k",
+      CheckBuckets)
     VersionedKeyedTable.upsert(s, dir,
       cust.select(col("c_custkey").as("k"), lit(0.0).as("v")), "k")
     VersionedKeyedTable.delete(s, dir,
@@ -159,7 +170,7 @@ object StorageQueries2 {
       col("o_custkey").as("ck"),
       (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
     VersionedKeyedTable.create(
-      base.repartitionByRange(8, col("k")), dir, "k")
+      base.repartitionByRange(8, col("k")), dir, "k", CheckBuckets)
     VersionedKeyedTable.upsert(s, dir,
       base.filter(col("k") % 1000 === 0)
         .withColumn("cents", col("cents") + 7L), "k")
@@ -192,9 +203,9 @@ object StorageQueries2 {
       col("o_custkey").as("g"),
       (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
     VersionedKeyedTable.create(rows.filter(col("k") % 3 =!= 2),
-      baseDir, "k")
+      baseDir, "k", CheckBuckets)
     val watermark = IncrementalView.createFrom(
-      s, baseDir, viewDir, "g", "cents")
+      s, baseDir, viewDir, "g", "cents", numBuckets = CheckBuckets)
     // commit 2: the late slice arrives, and %7 rows already present
     // get a 5-dollar correction
     VersionedKeyedTable.upsert(s, baseDir,
@@ -234,7 +245,7 @@ object StorageQueries2 {
     VersionedKeyedTable.create(
       cust.select(col("c_custkey").as("k"),
           col("c_acctbal").cast(Dec).cast("double").as("v"))
-        .repartition(8), dir, "k")
+        .repartition(8), dir, "k", CheckBuckets)
     VersionedKeyedTable.upsert(s, dir,
       cust.filter(col("c_custkey") % 10 === 3)
         .select(col("c_custkey").as("k"),
@@ -298,9 +309,10 @@ object StorageQueries2 {
     val docs = Tables.documents(s, d)
     val isIngest = col("doc_id") % 4 === 0
     VersionedKeyedTable.create(
-      decisions(docs.where(!isIngest)), baseDir, "doc_id")
+      decisions(docs.where(!isIngest)), baseDir, "doc_id", CheckBuckets)
     val watermark = IncrementalView.createFrom(
-      s, baseDir, viewDir, "decision", "tokens")
+      s, baseDir, viewDir, "decision", "tokens",
+      numBuckets = CheckBuckets)
     // v2: the ingest batch's decisions merge in
     VersionedKeyedTable.merge(s, baseDir,
       decisions(docs.where(isIngest)), "doc_id")
@@ -364,9 +376,11 @@ object StorageQueries2 {
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
     VersionedKeyedTable.create(
       emb.where(col("vec_id") % 5 =!= 0)
-        .select(col("vec_id"), col("embedding")), baseDir, "vec_id")
+        .select(col("vec_id"), col("embedding")), baseDir, "vec_id",
+      CheckBuckets)
     VersionedKeyedTable.create(
-      cellsOf(VersionedKeyedTable.read(s, baseDir)), idxDir, "vec_id")
+      cellsOf(VersionedKeyedTable.read(s, baseDir)), idxDir, "vec_id",
+      CheckBuckets)
     // v2: the held-out vectors arrive
     VersionedKeyedTable.upsert(s, baseDir,
       emb.where(col("vec_id") % 5 === 0)
@@ -413,7 +427,7 @@ object StorageQueries2 {
     VersionedKeyedTable.create(
       ord.select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
           (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
-        .repartitionByRange(8, col("k")), dir, "k")
+        .repartitionByRange(8, col("k")), dir, "k", CheckBuckets)
     val (df, idx) = VersionedKeyedTable.tableIndexed(s, dir, "k")
     val out = df.where(col("k") >= 2000L && col("k") <= 9000L)
       .groupBy(col("ck"))

@@ -840,12 +840,16 @@ object StreamingJobs {
           .cast("long").as("cents"))
     val baseDir = s"$workDir/base"
     val viewDir = s"$workDir/view"
-    if (!KeyedTable.exists(spark, baseDir)) {
+    if (!KeyedTable.exists(spark, baseDir)) graft.BenchProbe.time("index_build") {
+      // one-time: base table + view creation + staging (coarse check
+      // buckets — each commit pays per-touched-bucket jobs; production
+      // sizes buckets to the data)
       VersionedKeyedTable.create(rows.filter(col("k") % 3 =!= 2),
-        baseDir, "k")
-      IncrementalView.createFrom(spark, baseDir, viewDir, "g", "cents")
+        baseDir, "k", numBuckets = 4)
+      IncrementalView.createFrom(spark, baseDir, viewDir, "g", "cents",
+        numBuckets = 4)
       stageKeyedSlices(spark, rows.filter(col("k") % 3 === 2), "k",
-        s"$workDir/staging", nFiles = 3)
+        s"$workDir/staging", nFiles = 3): Unit
     }
     val stream = spark.readStream.schema(rows.schema)
       .option("maxFilesPerTrigger", "1")
