@@ -53,19 +53,38 @@ object IncrementalView {
     snap.version
   }
 
-  /** The base version the view DURABLY reflects: the latest view
-    * commit's stamped watermark. Exactly-once refresh discipline
-    * across crashes falls out of commit atomicity — a refresh that
-    * died before its merge commit left no stamp (the span re-applies,
-    * correctly), one that died after left the stamp (the span is
-    * skipped). Empty-delta spans commit nothing and re-walk
-    * harmlessly (their CDF is empty by definition). */
-  def committedWatermark(spark: SparkSession, viewDir: String): Long = {
-    val snap = VersionedKeyedTable.snapshot(spark, viewDir)
-    snap.meta.get(AppliedBaseKey).map(_.toLong).getOrElse(
+  /** The base version the view DURABLY reflects: the most recent
+    * stamped watermark in the view's commit lineage. Non-refresh
+    * commits to the view (a compaction, a restore) carry no stamp —
+    * the walk follows base pointers back until it finds one, so
+    * maintenance on the view never erases the watermark. Exactly-once
+    * refresh discipline across crashes falls out of commit atomicity:
+    * a refresh that died before its merge commit left no stamp (the
+    * span re-applies, correctly), one that died after left the stamp
+    * (the span is skipped). Empty-delta spans commit nothing and
+    * re-walk harmlessly (their CDF is empty by definition). */
+  def committedWatermark(spark: SparkSession, viewDir: String): Long =
+    committedWatermarkOpt(spark, viewDir).getOrElse(
       throw new IllegalStateException(
         s"view at $viewDir carries no $AppliedBaseKey stamp — was it " +
           "created by IncrementalView.createFrom?"))
+
+  private def committedWatermarkOpt(spark: SparkSession,
+      viewDir: String): Option[Long] = {
+    var cur = VersionedKeyedTable.snapshot(spark, viewDir)
+    while (true) {
+      cur.meta.get(AppliedBaseKey).map(_.toLong) match {
+        case some @ Some(_) => return some
+        case None =>
+          cur.meta.get(VersionedKeyedTable.BaseKey)
+            .flatMap(_.toLongOption) match {
+            case None => return None
+            case Some(b) =>
+              cur = VersionedKeyedTable.snapshot(spark, viewDir, Some(b))
+          }
+      }
+    }
+    None // unreachable
   }
 
   /** Advance the view from base version `fromVersion` to `toVersion`
@@ -75,16 +94,63 @@ object IncrementalView {
     * updates therefore maintain both groups. Idempotence is the
     * caller's watermark discipline: apply each span exactly once, in
     * order. */
+  /** SINGLE-MAINTAINER exclusion for a view: refreshes are guarded by
+    * an atomic-exclusive lock file under the view dir, because two
+    * concurrent maintainers would both pass the watermark guard and
+    * the loser's optimistic merge retry would re-apply its
+    * NON-IDEMPOTENT delta onto the winner's already-refreshed state —
+    * double counts. A second maintainer fails LOUDLY instead; a lock
+    * older than `staleLockMs` (a crashed maintainer — refreshes are
+    * minutes, not hours) is stolen with a log line. Reentrant within
+    * a thread so refreshToLatest's span walk acquires once. */
+  private val lockHeld = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+  private val staleLockMs = 600000L
+
+  private def withMaintainerLock[T](spark: SparkSession,
+      viewDir: String)(body: => T): T =
+    if (lockHeld.get) body
+    else {
+      val fs = new org.apache.hadoop.fs.Path(viewDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lock = new org.apache.hadoop.fs.Path(viewDir, "_maintainer.lock")
+      def acquire(): Boolean =
+        try fs.createNewFile(lock)
+        catch { case _: java.io.IOException => false }
+      var got = acquire()
+      if (!got && fs.exists(lock) && System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > staleLockMs) {
+        // provably stale: the holder crashed long ago — steal loudly
+        System.err.println(s"[incremental-view] stealing stale " +
+          s"maintainer lock at $lock")
+        fs.delete(lock, false)
+        got = acquire()
+      }
+      if (!got) throw new IllegalStateException(
+        s"another maintainer holds the refresh lock at $lock — " +
+          "views are single-maintainer (concurrent refreshes would " +
+          "double-apply deltas); wait for it or remove a stale lock")
+      lockHeld.set(true)
+      try body finally {
+        lockHeld.set(false)
+        fs.delete(lock, false): Unit
+      }
+    }
+
   def refresh(spark: SparkSession, baseDir: String, viewDir: String,
       baseKey: String, groupCol: String, valueCol: String,
-      fromVersion: Long, toVersion: Long): Unit = {
+      fromVersion: Long, toVersion: Long): Unit
+      = withMaintainerLock(spark, viewDir) {
     if (fromVersion >= toVersion) return
     // idempotence guard: a span at or below the view's durable
     // watermark has already been applied — a crashed-and-retried
     // maintainer (or a caller holding a stale watermark) is a no-op,
-    // never a double count
-    if (VersionedKeyedTable.snapshot(spark, viewDir).meta
-        .get(AppliedBaseKey).exists(_.toLong >= toVersion)) return
+    // never a double count. NOTE this is crash-retry protection for a
+    // SINGLE maintainer; concurrent maintainers are excluded by the
+    // refresh lock (see withMaintainerLock).
+    if (committedWatermarkOpt(spark, viewDir).exists(_ >= toVersion))
+      return
     val cdf = VersionedKeyedTable.changesBetween(
       spark, baseDir, baseKey, fromVersion, toVersion)
     val oldSide = cdf
@@ -128,19 +194,36 @@ object IncrementalView {
     * watermark. */
   def refreshToLatest(spark: SparkSession, baseDir: String,
       viewDir: String, baseKey: String, groupCol: String,
-      valueCol: String, fromVersion: Long): Long = {
-    // walk COMPLETE versions only — claim numbers can have gaps where
-    // torn claims were skipped
-    val versions = VersionedKeyedTable.completeVersions(spark, baseDir)
-      .dropWhile(_ < fromVersion)
-    require(versions.headOption.contains(fromVersion),
-      s"view watermark $fromVersion is not a complete version of " +
-        s"$baseDir (vacuumed past the watermark?)")
-    versions.sliding(2).foreach {
-      case Seq(a, b) =>
-        refresh(spark, baseDir, viewDir, baseKey, groupCol, valueCol, a, b)
-      case _ => ()
+      valueCol: String, fromVersion: Long): Long
+      = withMaintainerLock(spark, viewDir) {
+    val latest = VersionedKeyedTable.snapshot(spark, baseDir).version
+    if (latest <= fromVersion) latest
+    else VersionedKeyedTable.lineageSpan(
+        spark, baseDir, fromVersion, latest) match {
+      case Some(snaps) =>
+        // the base-pointer chain: parses exactly the span's manifests
+        // (not the whole log) and excludes out-of-lineage commits
+        var prev = fromVersion
+        snaps.foreach { s =>
+          refresh(spark, baseDir, viewDir, baseKey, groupCol, valueCol,
+            prev, s.version)
+          prev = s.version
+        }
+        latest
+      case None =>
+        // legacy/pre-base-pointer log: walk every complete version
+        val versions = VersionedKeyedTable
+          .completeVersions(spark, baseDir).dropWhile(_ < fromVersion)
+        require(versions.headOption.contains(fromVersion),
+          s"view watermark $fromVersion is not a complete version of " +
+            s"$baseDir (vacuumed past the watermark?)")
+        versions.sliding(2).foreach {
+          case Seq(a, b) =>
+            refresh(spark, baseDir, viewDir, baseKey, groupCol,
+              valueCol, a, b)
+          case _ => ()
+        }
+        versions.last
     }
-    versions.last
   }
 }

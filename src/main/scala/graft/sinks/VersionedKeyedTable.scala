@@ -96,6 +96,15 @@ object VersionedKeyedTable {
       changes: Option[Seq[String]] = None,
       meta: Map[String, String] = Map.empty)
 
+  /** Commit-metadata key every writer stamps with the version its
+    * commit was BUILT ON. The base pointers make the table's true
+    * LINEAGE reconstructible: on weak schemes, a claim skipped as
+    * torn that completes late sits in the log but is reachable from
+    * no later commit's chain — CDF spans and incremental-view walks
+    * follow the chain, so an out-of-lineage commit can never inject
+    * its delta (readers already ignored it: latest-complete wins). */
+  private[sinks] val BaseKey = "graft.base"
+
   private def versionsDir(dir: String) = new Path(dir, "_versions")
   private def versionPath(dir: String, v: Long) =
     new Path(versionsDir(dir), f"v$v%012d")
@@ -226,8 +235,12 @@ object VersionedKeyedTable {
     val at = listVersions(fs, dir)
       .filter { v =>
         val p = versionPath(dir, v)
-        fs.getFileStatus(p).getModificationTime <= tsMillis &&
+        // a concurrent vacuum may delete a listed version between the
+        // listing and the stat — skip, don't throw from a read
+        try fs.exists(p) &&
+          fs.getFileStatus(p).getModificationTime <= tsMillis &&
           parseManifest(v, readVersionFile(fs, p)).isDefined
+        catch { case _: java.io.FileNotFoundException => false }
       }
     at.lastOption.getOrElse(throw new IllegalStateException(
       s"VersionedKeyedTable at $dir has no complete version committed " +
@@ -276,13 +289,14 @@ object VersionedKeyedTable {
     * filesystems get a true CAS: content lands in a temp file and a
     * HARD LINK claims the version name — link(2) fails with EEXIST if
     * a racer won, and the content is complete the instant the name
-    * exists. Other schemes write the FULL content (with `#end`) to a
-    * temp file and claim the name by rename — atomic-with-content on
-    * HDFS-like filesystems, so there is no create-to-write gap in
-    * which a live racer looks like a dead torn claim. Only schemes
-    * that EMULATE rename (object-store copy+delete) retain a torn
-    * window, which the `#end` marker makes detectable and
-    * [[awaitBlockingClaim]] bounds. */
+    * exists. Other schemes claim by ATOMIC-EXCLUSIVE CREATE
+    * (createNewFile — exactly one racer can ever win a name; an
+    * exists-check + rename would be a TOCTOU on schemes whose rename
+    * overwrites, silently replacing a committed manifest) and then
+    * write the content: the create-to-write gap is the torn window
+    * the `#end` marker makes detectable and [[awaitBlockingClaim]]
+    * bounds on the loser side — a live racer mid-write is waited for,
+    * never adjudicated dead. */
   private def tryCommit(fs: FileSystem, dir: String, target: Path,
       content: String): Boolean = {
     fs.mkdirs(versionsDir(dir))
@@ -299,15 +313,14 @@ object VersionedKeyedTable {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally java.nio.file.Files.deleteIfExists(local(tmp))
     } else {
-      val tmp = new Path(versionsDir(dir),
-        s".tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      val won =
-        try !fs.exists(target) && fs.rename(tmp, target)
+      val created =
+        try fs.createNewFile(target)
         catch { case _: java.io.IOException => false }
-      if (!won) fs.delete(tmp, false)
-      won
+      if (created) {
+        val out = fs.create(target, true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+      }
+      created
     }
   }
 
@@ -543,7 +556,8 @@ object VersionedKeyedTable {
       // a lost CAS with no new complete version means a TORN claim
       // (dead weak-scheme writer) — skip past it, derivation intact
       val content = renderManifest(myTouched, manifest, evolvedTx,
-        snap.stats ++ newStats, Some(changeFiles))
+        snap.stats ++ newStats, Some(changeFiles),
+        Map(BaseKey -> snap.version.toString))
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -671,7 +685,8 @@ object VersionedKeyedTable {
               evolved.fieldNames.contains(f.name)))
         if (tryCommit(fs, dir, versionPath(dir, target),
             renderManifest(myTouched, manifest, commitSchema,
-              base.stats ++ newStats, changeFiles, commitMeta))) return
+              base.stats ++ newStats, changeFiles,
+              commitMeta + (BaseKey -> base.version.toString)))) return
         val cur0 = snapshot(spark, dir)
         val cur =
           if (cur0.version > base.version) cur0
@@ -740,7 +755,13 @@ object VersionedKeyedTable {
       whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
       insertNotMatched: Boolean = true,
       captureChanges: Boolean = true,
-      commitMeta: Map[String, String] = Map.empty): Unit =
+      commitMeta: Map[String, String] = Map.empty): Unit = {
+    // a key-reassigning update would write rows into buckets outside
+    // the commit's touched set — the manifest would drop them. Keys
+    // are immutable under MERGE (delete + insert expresses a move).
+    require(!whenMatchedUpdate.contains(keyCol),
+      s"merge may not reassign the key column '$keyCol' — " +
+        "express a key move as matched-delete + a fresh insert")
     mutateWith(spark, dir, source, keyCol, () => (),
       captureChanges, commitMeta) { (existing, batch) =>
       val src = batch.drop("__bucket")
@@ -770,6 +791,7 @@ object VersionedKeyedTable {
         .where(keep)
         .select(outCols.toSeq: _*)
     }
+  }
 
   /** CHANGE DATA FEED: the NET row-level diff between two committed
     * versions — what an incremental consumer (a materialized view, a
@@ -794,6 +816,32 @@ object VersionedKeyedTable {
     *    region), still never O(table).
     * Old files read under the TO version's schema (additive evolution
     * makes missing columns null). */
+  /** The commit LINEAGE from `to` back to `from` (exclusive),
+    * following each manifest's base pointer: the snapshots whose
+    * deltas actually produced `to`'s state from `from`'s, ascending.
+    * None when the chain cannot be established — a legacy manifest
+    * without a base pointer, a vacuumed link, or `from` not an
+    * ancestor of `to` — in which case a consumer must fall back to
+    * STATE diffing (always correct: it compares snapshots, not
+    * commit deltas). */
+  private[sinks] def lineageSpan(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long): Option[Seq[Snapshot]] =
+    try {
+      val acc = scala.collection.mutable.ListBuffer[Snapshot]()
+      var cur = snapshot(spark, dir, Some(toVersion))
+      while (cur.version > fromVersion) {
+        acc += cur
+        cur.meta.get(BaseKey).flatMap(_.toLongOption) match {
+          case None => return None
+          case Some(b) if b < fromVersion => return None
+          case Some(b) if b == fromVersion =>
+            return Some(acc.toList.reverse)
+          case Some(b) => cur = snapshot(spark, dir, Some(b))
+        }
+      }
+      if (acc.isEmpty) Some(Seq.empty) else None // to <= from
+    } catch { case _: IllegalStateException => None } // vacuumed link
+
   def changesBetween(spark: SparkSession, dir: String, keyCol: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
@@ -803,16 +851,27 @@ object VersionedKeyedTable {
     val from = snapshot(spark, dir, Some(fromVersion))
     val to = snapshot(spark, dir, Some(toVersion))
     val fs = hfs(spark, dir)
-    val span = (fromVersion + 1 to toVersion).flatMap { v =>
-      val p = versionPath(dir, v)
-      if (!fs.exists(p)) None
-      else parseManifest(v, readVersionFile(fs, p))
-    }
+    // the span is the LINEAGE chain when base pointers allow — an
+    // out-of-lineage commit (a skipped weak-scheme claim completing
+    // late) can then never inject its delta; without a chain, fall
+    // back to every version in the numeric range (their touched sets
+    // only widen the state diff — over-inclusion is safe)
+    val chain = lineageSpan(spark, dir, fromVersion, toVersion)
+    val span = chain.getOrElse(
+      (fromVersion + 1 to toVersion).flatMap { v =>
+        val p = versionPath(dir, v)
+        if (!fs.exists(p)) None
+        else parseManifest(v, readVersionFile(fs, p))
+      })
     val schema = to.schema.getOrElse(metaSchema)
     val dataCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
     val outNames = keyCol +: "change_type" +:
       (dataCols ++ dataCols.map(_ + "_prev"))
-    if (span.nonEmpty && span.forall(_.changes.isDefined)) {
+    // the captured-change fast path is sound only over a PROVEN
+    // lineage — chain.isDefined — since change files are commit
+    // deltas, not state
+    if (chain.isDefined && span.nonEmpty &&
+        span.forall(_.changes.isDefined)) {
       // fast path: union the span's captured change files, collapse
       // per key to (first change's prev, last change's new)
       val parts = span.flatMap { s =>
@@ -903,7 +962,8 @@ object VersionedKeyedTable {
       // would re-read the diffed buckets) — CDF spans crossing a
       // restore take the snapshot-diff fallback
       val content = renderManifest(touched, target.files,
-        target.schema.getOrElse(metaSchema), target.stats, None)
+        target.schema.getOrElse(metaSchema), target.stats, None,
+        Map(BaseKey -> cur.version.toString))
       var v = cur.version + 1
       var committed = false
       var stale = false
@@ -959,7 +1019,8 @@ object VersionedKeyedTable {
       val manifest = snap.files ++
         frag.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
       val content = renderManifest(frag, manifest, schema,
-        snap.stats ++ newStats, Some(Seq.empty))
+        snap.stats ++ newStats, Some(Seq.empty),
+        Map(BaseKey -> snap.version.toString))
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -1063,7 +1124,11 @@ object VersionedKeyedTable {
     val snap = snapshot(spark, dir, version)
     val schema = snap.schema.getOrElse(metaSchema)
     import spark.implicits._
+    // hash under the TABLE's key type: xxhash64 is physical-type-
+    // sensitive (hash of 5: Int != 5: Long), so a literal Long list
+    // against e.g. an Int key column must be cast before bucketing
     val wanted = keys.toDF(keyCol)
+      .select(col(keyCol).cast(schema(keyCol).dataType).as(keyCol))
       .select(bucketOf(keyCol, nb)).distinct()
       .collect().map(_.getInt(0)).toSet // bounded by numBuckets
     val candidate = snap.files.filter(e => wanted(e._1))

@@ -35,9 +35,25 @@ final class ZoneMapFileIndex(
 
   private val relFiles: Seq[String] = snap.files.values.flatten.toSeq
   private val statuses: Seq[FileStatus] = {
+    // one listStatus per PARENT DIRECTORY, not one getFileStatus RPC
+    // per file: a snapshot's files cluster under a handful of commit
+    // dirs, so this is O(dirs) metadata calls even for wide tables
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    relFiles.map(f => fs.getFileStatus(new Path(s"$dir/$f")))
+    val byParent = relFiles.groupBy(f => f.take(f.lastIndexOf('/')))
+    val listed: Map[String, Map[String, FileStatus]] =
+      byParent.keys.map { parent =>
+        parent -> fs.listStatus(new Path(s"$dir/$parent"))
+          .map(st => st.getPath.getName -> st).toMap
+      }.toMap
+    relFiles.map { f =>
+      val parent = f.take(f.lastIndexOf('/'))
+      val name = f.drop(f.lastIndexOf('/') + 1)
+      listed(parent).getOrElse(name,
+        throw new IllegalStateException(
+          s"VersionedKeyedTable at $dir: manifest references missing " +
+            s"file $f (vacuumed past this version?)"))
+    }
   }
   private val statsByPath: Map[Path, (Long, Long)] =
     relFiles.zip(statuses).flatMap { case (rel, st) =>

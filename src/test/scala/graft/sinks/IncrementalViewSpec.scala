@@ -126,7 +126,8 @@ class IncrementalViewSpec extends AnyFunSuite {
   }
 
   test("refresh across a compaction span is a no-op (CDF-invisible) " +
-      "and the watermark discipline survives it") {
+      "and the watermark discipline survives maintenance on BOTH " +
+      "tables — compacting the view does not erase the stamp") {
     val (baseDir, viewDir) = fresh()
     VersionedKeyedTable.create(
       (1L to 40L).map(i => (i, if (i % 2 == 0) "e" else "o", i))
@@ -139,5 +140,44 @@ class IncrementalViewSpec extends AnyFunSuite {
     IncrementalView.refreshFromCommitted(
       spark, baseDir, viewDir, "k", "g", "v")
     assert(viewOf(viewDir) === recompute(baseDir))
+    // maintenance on the VIEW: compaction carries no watermark stamp,
+    // but committedWatermark walks the base-pointer chain back to the
+    // last refresh commit — the stamp survives
+    VersionedKeyedTable.compact(spark, viewDir, "g")
+    val wm = IncrementalView.committedWatermark(spark, viewDir)
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((42L, "e", 42L)).toDF("k", "g", "v"), "k")
+    IncrementalView.refreshFromCommitted(
+      spark, baseDir, viewDir, "k", "g", "v")
+    assert(viewOf(viewDir) === recompute(baseDir))
+    assert(IncrementalView.committedWatermark(spark, viewDir) > wm)
+  }
+
+  test("single-maintainer lock: a held lock fails a second refresh " +
+      "loudly; a provably stale lock is stolen") {
+    val (baseDir, viewDir) = fresh()
+    VersionedKeyedTable.create(
+      Seq((1L, "a", 10L)).toDF("k", "g", "v"), baseDir, "k",
+      numBuckets = 2)
+    IncrementalView.createFrom(
+      spark, baseDir, viewDir, "g", "v", numBuckets = 2)
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((2L, "a", 20L)).toDF("k", "g", "v"), "k")
+    // another maintainer "holds" the lock
+    val lock = java.nio.file.Paths.get(s"$viewDir/_maintainer.lock")
+    java.nio.file.Files.createFile(lock)
+    val e = intercept[IllegalStateException] {
+      IncrementalView.refreshFromCommitted(
+        spark, baseDir, viewDir, "k", "g", "v")
+    }
+    assert(e.getMessage.contains("another maintainer"))
+    // a crashed maintainer's stale lock (old mtime) is stolen
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000L))
+    IncrementalView.refreshFromCommitted(
+      spark, baseDir, viewDir, "k", "g", "v")
+    assert(viewOf(viewDir) === recompute(baseDir))
+    assert(!java.nio.file.Files.exists(lock), "lock released after")
   }
 }

@@ -290,6 +290,58 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     assert(flags(8L) === None && flags(22L) === Some(false))
   }
 
+  test("merge refuses key-reassigning updates: a moved key would land " +
+      "in a bucket outside the commit's manifest") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      Seq((1L, "a")).toDF("k", "v"), dir, "k", numBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      VersionedKeyedTable.merge(spark, dir,
+        Seq((1L, "b")).toDF("k", "v"), "k",
+        whenMatchedUpdate = Map("k" -> (col("t.k") + 1000L)))
+    }
+    assert(e.getMessage.contains("may not reassign the key"))
+  }
+
+  test("lineage: an out-of-lineage complete version (a skipped claim " +
+      "that finished late) is excluded from CDF spans by the base-" +
+      "pointer chain — its delta can never double-apply") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "n"), dir, "k", numBuckets = 1)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((1L, 11L)).toDF("k", "n"), "k") // v2, base=1
+    // a weak-scheme writer claims v3 and stalls: plant the torn claim
+    val v3 = java.nio.file.Paths.get(f"$dir/_versions/v${3L}%012d")
+    java.nio.file.Files.write(v3,
+      "touched\t0\n0\tdata/ghost.parquet\n".getBytes("UTF-8"))
+    // a live writer skips it and commits v4 (base=2)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((2L, 22L)).toDF("k", "n"), "k")
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === 4L)
+    // the stalled writer now FINISHES v3 — complete, never in lineage,
+    // and maliciously re-referencing v2's change file so a span that
+    // wrongly included it would visibly double-apply v2's delta
+    val v2changes = VersionedKeyedTable.snapshot(spark, dir, Some(2L))
+      .changes.get
+    val v2snap = VersionedKeyedTable.snapshot(spark, dir, Some(2L))
+    val files = v2snap.files(0).map(f => s"0\t$f").mkString("\n")
+    java.nio.file.Files.write(v3,
+      (s"touched\t0\nmeta\tgraft.base\t2\n" +
+        v2changes.map(c => s"changes\t$c\n").mkString +
+        files + "\n#end\n").getBytes("UTF-8"))
+    assert(VersionedKeyedTable.completeVersions(spark, dir)
+      .contains(3L), "the late commit is complete in the log")
+    // the net CDF 1->4 follows the chain 4(base 2)->2(base 1): exactly
+    // the two real deltas, v3's injected copy excluded
+    val cdf = VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 4L)
+      .as[(Long, String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cdf === Map(
+      1L -> (("update", Some(11L), Some(10L))),
+      2L -> (("update", Some(22L), Some(20L)))))
+  }
+
   test("merge: empty update map keeps matched rows verbatim; " +
       "insertNotMatched=false makes it filter-only") {
     val dir = freshDir()
@@ -617,8 +669,9 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     full
   }
 
-  test("weak scheme: rename-claimed commits round-trip — upsert, " +
-      "overlap recompute, and read all work off the fallback CAS") {
+  test("weak scheme: exclusive-create-claimed commits round-trip — " +
+      "upsert, overlap recompute, and read all work off the fallback " +
+      "CAS") {
     val (dir, _) = weakDir()
     VersionedKeyedTable.create(
       (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",

@@ -4,11 +4,12 @@ import java.net.URI
 
 /** Test-only filesystem: local disk under a NON-file scheme, so specs
   * can drive VersionedKeyedTable's weak-scheme fallback paths (the
-  * rename-based claim and the bounded torn-claim poll) on a real
-  * filesystem. Registered per-spec via
-  * `hadoopConfiguration.set("fs.weak.impl", ...)`. Like HDFS — and
-  * unlike raw POSIX rename — a claim rename only lands when the
-  * target name is free, which the store's exists-check provides. */
+  * atomic-exclusive-create claim and the bounded torn-claim poll) on
+  * a real filesystem. Registered per-spec via
+  * `hadoopConfiguration.set("fs.weak.impl", ...)`. createNewFile maps
+  * to File.createNewFile — atomically exclusive, like the HDFS
+  * overwrite=false create — so exactly one racer can ever win a
+  * version name here too. */
 class WeakFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: URI = URI.create("weak:///")
   override def getScheme: String = "weak"
