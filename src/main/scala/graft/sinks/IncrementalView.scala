@@ -146,13 +146,17 @@ object IncrementalView {
     // idempotence guard: a span at or below the view's durable
     // watermark has already been applied — a crashed-and-retried
     // maintainer (or a caller holding a stale watermark) is a no-op,
-    // never a double count. NOTE this is crash-retry protection for a
-    // SINGLE maintainer; concurrent maintainers are excluded by the
-    // refresh lock (see withMaintainerLock).
-    if (committedWatermarkOpt(spark, viewDir).exists(_ >= toVersion))
-      return
+    // never a double count. A span that merely STARTS below the
+    // watermark is clamped to it: the prefix [from, watermark] is
+    // already in the view, so re-reading it would double-apply — only
+    // the (watermark, to] remainder is new. NOTE this is crash-retry
+    // protection for a SINGLE maintainer; concurrent maintainers are
+    // excluded by the refresh lock (see withMaintainerLock).
+    val watermark = committedWatermarkOpt(spark, viewDir)
+    if (watermark.exists(_ >= toVersion)) return
+    val effFrom = watermark.fold(fromVersion)(math.max(fromVersion, _))
     val cdf = VersionedKeyedTable.changesBetween(
-      spark, baseDir, baseKey, fromVersion, toVersion)
+      spark, baseDir, baseKey, effFrom, toVersion)
     val oldSide = cdf
       .where(col("change_type").isin("delete", "update"))
       .select(col(s"${groupCol}_prev").as(groupCol),

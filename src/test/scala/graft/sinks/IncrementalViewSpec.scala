@@ -86,6 +86,28 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(viewOf(viewDir) === recompute(baseDir))
   }
 
+  test("a span STARTING below the durable watermark is clamped to it: " +
+      "only the unapplied remainder lands, never the committed prefix") {
+    val (baseDir, viewDir) = fresh()
+    VersionedKeyedTable.create(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "v"),
+      baseDir, "k", numBuckets = 2)
+    IncrementalView.createFrom(
+      spark, baseDir, viewDir, "g", "v", numBuckets = 2)
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((3L, "a", 30L)).toDF("k", "g", "v"), "k")
+    IncrementalView.refresh(spark, baseDir, viewDir, "k", "g", "v", 1L, 2L)
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((4L, "a", 40L)).toDF("k", "g", "v"), "k")
+    // a caller holding a STALE watermark asks for the whole (1, 3]
+    // span: the (1, 2] prefix is already in the view — re-applying it
+    // would double-count key 3 — so the refresh clamps to (2, 3]
+    IncrementalView.refresh(spark, baseDir, viewDir, "k", "g", "v", 1L, 3L)
+    assert(viewOf(viewDir)("a") === ((3L, 80L)),
+      "the committed prefix must not re-apply under a stale caller span")
+    assert(viewOf(viewDir) === recompute(baseDir))
+  }
+
   test("REAL race: writers commit to the base while the maintainer " +
       "refreshes concurrently — the caught-up view equals the recompute") {
     val (baseDir, viewDir) = fresh()
