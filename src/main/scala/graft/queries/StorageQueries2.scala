@@ -410,6 +410,44 @@ object StorageQueries2 {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** BLOOM-FILTER file skipping: the point-lookup complement of
+    * `versioned_data_skipping` — the table lands HASH-SCATTERED
+    * (repartition(8), no range clustering), so every file's zone map
+    * spans ~the whole key domain and prunes nothing; the per-file key
+    * blooms (written as each commit's `_blooms.tsv` sidecar in the
+    * same stats pass) still prune a bounded key probe down to the
+    * files that actually hold the keys. The require pins that blooms
+    * beat zone maps on this layout; the oracle pins exactness (a
+    * false NEGATIVE — a wrongly pruned file — would drop rows and
+    * break the hash). At 100 TB this is the Delta/Parquet bloom-index
+    * shape: per-file sketches, loaded per commit dir, consulted only
+    * after bucket + zone-map candidates are known. */
+  val versionedBloomSkipping = sql("versioned_bloom_skipping",
+    s"""SELECT c_custkey AS k,
+          CASE WHEN c_custkey % 10 = 3
+            THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 2 AS DOUBLE)
+            ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+          END AS v
+        FROM customer
+        WHERE c_custkey IN (7, 23, 33, 64, 93, 111)""") { (s, d) =>
+    val dir = scratch("bloom")
+    val cust = Tables.customer(s, d)
+    VersionedKeyedTable.create(
+      cust.select(col("c_custkey").as("k"),
+          col("c_acctbal").cast(Dec).cast("double").as("v"))
+        .repartition(8), dir, "k", CheckBuckets)
+    VersionedKeyedTable.upsert(s, dir,
+      cust.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey").as("k"),
+          (col("c_acctbal").cast(Dec) * 2).cast("double").as("v"))
+        .repartition(8), "k")
+    val probes = Seq(7L, 23L, 33L, 64L, 93L, 111L)
+    val (kept, total) = VersionedKeyedTable.keyFiles(s, dir, "k", probes)
+    require(kept.size < total,
+      s"blooms must prune the point lookup (kept ${kept.size}/$total)")
+    VersionedKeyedTable.readKeys(s, dir, "k", probes)
+  }
+
   /** DYNAMIC data skipping through Catalyst: the table exposed as a
     * DataFrame whose WHERE clause on the key prunes files via the
     * manifest zone maps at PLANNING time (ZoneMapFileIndex) — no
@@ -440,7 +478,7 @@ object StorageQueries2 {
   }
 
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
-    versionedRestore, versionedDataSkipping, ivmRefresh,
-    versionedCompact, curationFeed, annIndexCdf,
+    versionedRestore, versionedDataSkipping, versionedBloomSkipping,
+    ivmRefresh, versionedCompact, curationFeed, annIndexCdf,
     versionedQueryPushdown)
 }

@@ -354,12 +354,39 @@ object VersionedKeyedTable {
 
   // ---- data files --------------------------------------------------
 
+  /** Bits per freshly-written file's key bloom filter (serialized
+    * size ≈ bits/8 bytes; the sidecar is per COMMIT, never in the
+    * manifest). Sized so a file of ~bits/8 keys keeps a useful false-
+    * positive rate — a production deployment sizes it to its target
+    * rows-per-file; an oversubscribed bloom saturates and merely stops
+    * pruning (never wrong). */
+  private[sinks] var bloomBitsPerFile: Int = 65536
+
+  /** Name of the per-commit bloom sidecar: `relpath TAB base64(bloom)`
+    * per data file, addressed by convention next to the commit's
+    * bucket dirs — the manifest format is untouched, so blooms are a
+    * pure read-side optimization old logs simply lack. */
+  private val BloomSidecar = "_blooms.tsv"
+
+  private def isIntegralKey(
+      t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
   /** Write `withBucket` (data columns + __bucket) as immutable files
     * under a fresh commit dir; returns bucket → relative paths plus a
     * per-file ZONE MAP (key min/max) computed in one distributed pass
-    * over only the new files — O(batch), never O(table). The partition
-    * column stays in the PATH, so data files carry the pure data
-    * schema. */
+    * over only the new files — O(batch), never O(table). The same pass
+    * builds a per-file KEY BLOOM (integral keys only) persisted as the
+    * commit's `_blooms.tsv` sidecar: the point-lookup complement of
+    * zone maps, since hash-scattered keys give every file a full-range
+    * (min, max) that prunes nothing while the bloom still can. The
+    * partition column stays in the PATH, so data files carry the pure
+    * data schema. */
   private def writeDataFiles(spark: SparkSession, dir: String,
       withBucket: DataFrame, keyCol: String)
       : (Map[Int, Seq[String]], Map[String, (String, String)]) = {
@@ -375,14 +402,45 @@ object VersionedKeyedTable {
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(f => s"$rel/__bucket=${b}/${f.getPath.getName}")
       }.toMap
+    val keyType = withBucket.schema.fields
+      .find(_.name == keyCol).map(_.dataType)
+    val withBloom = keyType.exists(isIntegralKey)
     val stats =
       if (files.valuesIterator.forall(_.isEmpty)) Map.empty[String, (String, String)]
-      else spark.read.parquet(s"$dir/$rel")
-        .groupBy(input_file_name().as("f"), col("__bucket").cast("int").as("b"))
-        .agg(min(col(keyCol)).cast("string").as("mn"),
-          max(col(keyCol)).cast("string").as("mx"))
-        .collect() // bounded: one row per freshly-written file
-        .flatMap { r =>
+      else {
+        if (withBloom) graft.functions.BloomFunctions.register(spark)
+        val aggs = Seq(min(col(keyCol)).cast("string").as("mn"),
+            max(col(keyCol)).cast("string").as("mx")) ++
+          (if (withBloom) Seq(expr(
+            // raw key longs (LongUpdater putLong), so the read side's
+            // mightContainLong(key) probes the identical encoding
+            s"graft_bloom_agg(CAST(`$keyCol` AS BIGINT), " +
+              s"${math.max(1, bloomBitsPerFile / 8)}L, " +
+              s"${bloomBitsPerFile}L)").as("bloom"))
+          else Seq.empty)
+        val rows = spark.read.parquet(s"$dir/$rel")
+          .groupBy(input_file_name().as("f"),
+            col("__bucket").cast("int").as("b"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect() // bounded: one row per freshly-written file
+        if (withBloom) {
+          val lines = rows.flatMap { r =>
+            if (r.isNullAt(4)) None // all-null-key file: no bloom
+            else {
+              val uri = r.getString(0)
+              val name = uri.substring(uri.lastIndexOf('/') + 1)
+              Some(s"$rel/__bucket=${r.getInt(1)}/$name\t" +
+                java.util.Base64.getEncoder.encodeToString(
+                  r.getAs[Array[Byte]](4)))
+            }
+          }
+          if (lines.nonEmpty) {
+            val out = fs.create(new Path(base, BloomSidecar), true)
+            try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+            finally out.close()
+          }
+        }
+        rows.flatMap { r =>
           if (r.isNullAt(2) || r.isNullAt(3)) None // all-null-key file
           else {
             val uri = r.getString(0)
@@ -391,7 +449,73 @@ object VersionedKeyedTable {
               (r.getString(2), r.getString(3)))
           }
         }.toMap
+      }
     (files, stats)
+  }
+
+  /** The key blooms of a snapshot's candidate files, loaded lazily per
+    * COMMIT DIR (one sidecar read covers every candidate in that
+    * commit): relpath → deserialized filter. Files whose commit wrote
+    * no sidecar (string keys, pre-bloom logs) are simply absent —
+    * callers must treat absence as "cannot prune". */
+  private def bloomsFor(fs: FileSystem, dir: String,
+      relFiles: Seq[String])
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val byCommit = relFiles.groupBy { f =>
+      // data/c-<uuid>/__bucket=N/part-*.parquet -> data/c-<uuid>
+      val i = f.indexOf('/', f.indexOf('/') + 1)
+      if (i < 0) f else f.take(i)
+    }
+    byCommit.keys.flatMap { commitRel =>
+      val p = new Path(s"$dir/$commitRel/$BloomSidecar")
+      if (!fs.exists(p)) Seq.empty
+      else KeyedTable.readFully(fs, p).split('\n').toSeq
+        .filter(_.contains('\t')).flatMap { ln =>
+          val Array(f, b64) = ln.split('\t')
+          try Some(f -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b64))))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+    }.toMap
+  }
+
+  /** The file pruning a [[readKeys]] point lookup performs, exposed
+    * for inspection: (files kept, candidate files in the keys'
+    * buckets) at the given version. A candidate survives only if its
+    * zone map can contain SOME key AND its bloom might contain some
+    * key (files without either are never pruned). */
+  def keyFiles(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[Long], version: Option[Long] = None)
+      : (Seq[String], Int) = {
+    val (nb, metaSchema) = readMeta(spark, dir)
+    val snap = snapshot(spark, dir, version)
+    val schema = snap.schema.getOrElse(metaSchema)
+    import spark.implicits._
+    val wanted = keys.toDF(keyCol)
+      .select(col(keyCol).cast(schema(keyCol).dataType).as(keyCol))
+      .select(bucketOf(keyCol, nb)).distinct()
+      .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+    val candidate = snap.files.filter(e => wanted(e._1))
+      .values.flatten.toSeq
+    val zoneKept = candidate.filter { f =>
+      snap.stats.get(f) match {
+        case Some((mn, mx)) =>
+          (mn.toLongOption, mx.toLongOption) match {
+            case (Some(a), Some(b)) => keys.exists(k => k >= a && k <= b)
+            case _ => true
+          }
+        case None => true
+      }
+    }
+    val blooms = bloomsFor(hfs(spark, dir), dir, zoneKept)
+    val kept = zoneKept.filter { f =>
+      blooms.get(f) match {
+        case Some(bl) => keys.exists(bl.mightContainLong)
+        case None => true // no bloom recorded: must read
+      }
+    }
+    (kept, candidate.size)
   }
 
   /** Row-level diff old → new, classified: the key, `change_type` ∈
@@ -1111,38 +1235,26 @@ object VersionedKeyedTable {
   }
 
   /** Point-lookup read: the given keys' rows, touching only the
-    * BUCKETS the keys hash into, zone-map-filtered within them —
-    * O(k) buckets' files for k keys, never a table scan. The key list
-    * is driver-held and bounded (`require`) — this is the dimension-
-    * lookup / debugging path, not a join replacement. */
+    * BUCKETS the keys hash into, zone-map- AND bloom-filtered within
+    * them ([[keyFiles]]) — O(k) buckets' files for k keys, never a
+    * table scan, and within a bucket only files that might actually
+    * hold a probed key (hash-scattered layouts give every file a
+    * full-range zone map; the per-file bloom is what prunes there).
+    * The key list is driver-held and bounded (`require`) — this is the
+    * dimension-lookup / debugging path, not a join replacement. */
   def readKeys(spark: SparkSession, dir: String, keyCol: String,
       keys: Seq[Long], version: Option[Long] = None): DataFrame = {
     require(keys.size <= 100000,
       s"readKeys is for bounded point lookups (${keys.size} keys); " +
         "join against read() for larger key sets")
-    val (nb, metaSchema) = readMeta(spark, dir)
+    val (_, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
     val schema = snap.schema.getOrElse(metaSchema)
-    import spark.implicits._
     // hash under the TABLE's key type: xxhash64 is physical-type-
     // sensitive (hash of 5: Int != 5: Long), so a literal Long list
     // against e.g. an Int key column must be cast before bucketing
-    val wanted = keys.toDF(keyCol)
-      .select(col(keyCol).cast(schema(keyCol).dataType).as(keyCol))
-      .select(bucketOf(keyCol, nb)).distinct()
-      .collect().map(_.getInt(0)).toSet // bounded by numBuckets
-    val candidate = snap.files.filter(e => wanted(e._1))
-      .values.flatten.toSeq
-    val kept = candidate.filter { f =>
-      snap.stats.get(f) match {
-        case Some((mn, mx)) =>
-          (mn.toLongOption, mx.toLongOption) match {
-            case (Some(a), Some(b)) => keys.exists(k => k >= a && k <= b)
-            case _ => true
-          }
-        case None => true
-      }
-    }
+    // (keyFiles applies the same cast before bucketing)
+    val (kept, _) = keyFiles(spark, dir, keyCol, keys, version)
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(
@@ -1199,25 +1311,38 @@ object VersionedKeyedTable {
     val dataDir = new Path(dir, "data")
     if (fs.exists(dataDir)) {
       // pass 1: compute deletion candidates against the initial
-      // listing (no deletes yet)
+      // listing (no deletes yet); per commit dir, note whether ANY of
+      // its data files stays referenced — when none does, the dir's
+      // bloom sidecar has nothing left to describe and is reclaimed
+      // with the last file
       val candidates = Seq.newBuilder[(Path, String)]
+      val sidecarIfOrphaned = Seq.newBuilder[Path]
       fs.listStatus(dataDir).foreach { commit =>
         val rel0 = s"data/${commit.getPath.getName}"
         // a commit dir younger than the grace window may belong to an
         // in-flight writer whose manifest CAS has not happened yet
         if (commit.getModificationTime < cutoff) {
+          var anyReferenced = false
+          var sidecar = Option.empty[Path]
           fs.listStatus(commit.getPath).foreach { bd =>
             if (bd.isDirectory) fs.listStatus(bd.getPath).foreach { f =>
               val rel = s"$rel0/${bd.getPath.getName}/${f.getPath.getName}"
-              if (f.getPath.getName.endsWith(".parquet") &&
-                !referenced.contains(rel)) candidates += (f.getPath -> rel)
+              if (f.getPath.getName.endsWith(".parquet")) {
+                if (!referenced.contains(rel)) candidates += (f.getPath -> rel)
+                else anyReferenced = true
+              }
+            } else if (bd.getPath.getName == BloomSidecar) {
+              sidecar = Some(bd.getPath)
             } else {
               // change-capture commit dirs (ch-*) hold parquet directly
               val rel = s"$rel0/${bd.getPath.getName}"
-              if (bd.getPath.getName.endsWith(".parquet") &&
-                !referenced.contains(rel)) candidates += (bd.getPath -> rel)
+              if (bd.getPath.getName.endsWith(".parquet")) {
+                if (!referenced.contains(rel)) candidates += (bd.getPath -> rel)
+                else anyReferenced = true
+              }
             }
           }
+          if (!anyReferenced) sidecar.foreach(sidecarIfOrphaned += _)
         }
       }
       // pass 2: re-list the log and retain anything a manifest
@@ -1238,6 +1363,14 @@ object VersionedKeyedTable {
         }.toSet
       candidates.result().foreach { case (p, rel) =>
         if (!lateReferenced.contains(rel)) fs.delete(p, false)
+      }
+      // reclaim bloom sidecars of commit dirs that retain no data file
+      // (pass-1 found none referenced; a late manifest referencing
+      // anything under the dir vetoes, same rule as the files)
+      sidecarIfOrphaned.result().foreach { p =>
+        val dirRel = s"data/${p.getParent.getName}/"
+        if (!lateReferenced.exists(_.startsWith(dirRel)))
+          fs.delete(p, false)
       }
     }
     drop.foreach(v => fs.delete(versionPath(dir, v), false))

@@ -865,4 +865,66 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       "vacuum must keep exactly the retained versions' files " +
         "(data AND captured-change files)")
   }
+
+  test("bloom file skipping: point lookups prune hash-scattered files " +
+      "zone maps cannot, absent keys prune to nothing, and results " +
+      "stay exact") {
+    val dir = freshDir()
+    // shuffled keys: every file spans ~the full key range, so the
+    // zone-map tier keeps everything and only the bloom can prune
+    val rnd = new scala.util.Random(7)
+    VersionedKeyedTable.create(
+      rnd.shuffle((1L to 4000L).toVector).map(i => (i, s"v$i"))
+        .toDF("k", "v").repartition(8), dir, "k", numBuckets = 2)
+    val snap = VersionedKeyedTable.snapshot(spark, dir)
+    assert(snap.files.values.map(_.size).sum >= 8,
+      "fixture needs multiple files per bucket")
+    val probes = Seq(3L, 977L, 2044L)
+    val (kept, total) = VersionedKeyedTable.keyFiles(
+      spark, dir, "k", probes)
+    assert(total >= 8)
+    assert(kept.size < total,
+      s"blooms must prune full-range files (kept ${kept.size}/$total)")
+    assert(VersionedKeyedTable.readKeys(spark, dir, "k", probes)
+      .as[(Long, String)].collect().toMap ===
+      probes.map(k => k -> s"v$k").toMap)
+    // absent keys: every file's bloom rejects (up to fp noise), and
+    // the read is exactly empty regardless
+    val absent = Seq(999999L, 888888L)
+    val (keptAbsent, _) = VersionedKeyedTable.keyFiles(
+      spark, dir, "k", absent)
+    assert(keptAbsent.size <= 2,
+      s"absent keys should bloom-prune ~all files (${keptAbsent.size})")
+    assert(VersionedKeyedTable.readKeys(spark, dir, "k", absent).isEmpty)
+  }
+
+  test("bloom sidecars: non-integral keys write none (lookups still " +
+      "work), and vacuum reclaims a sidecar with its commit dir") {
+    val sdir = freshDir()
+    VersionedKeyedTable.create(
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), sdir, "k",
+      numBuckets = 2)
+    def sidecars(d: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$d/data")).filter(_.getName == "_blooms.tsv")
+    }
+    assert(sidecars(sdir).isEmpty, "string keys carry no bloom sidecar")
+    // vacuum reclamation: two upserts strand v1's commit dir entirely
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 2)
+    assert(sidecars(dir).size === 1)
+    VersionedKeyedTable.upsert(spark, dir,
+      (1L to 40L).map(i => (i, s"w$i")).toDF("k", "v"), "k")
+    val nBefore = sidecars(dir).size
+    VersionedKeyedTable.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    val after = sidecars(dir)
+    assert(after.size < nBefore,
+      "an orphaned commit dir's bloom sidecar must be reclaimed")
+    // the retained commit's sidecar survives and lookups stay exact
+    assert(VersionedKeyedTable.readKeys(spark, dir, "k", Seq(7L))
+      .as[(Long, String)].collect().toSeq === Seq((7L, "w7")))
+  }
 }
