@@ -448,6 +448,44 @@ object StorageQueries2 {
     VersionedKeyedTable.readKeys(s, dir, "k", probes)
   }
 
+  /** CLUSTERED LAYOUT MAINTENANCE: orders land HASH-SCATTERED (every
+    * file spans ~the whole key domain — zone maps prune nothing),
+    * then `cluster()` rewrites each bucket key-sorted into bounded
+    * files, and the SAME range read now prunes through the freshly
+    * tight manifest zone maps. The requires pin the physical claim
+    * (clustering strictly improves pruning and the commit is
+    * CDF-invisible); the oracle pins the logical one (the range read
+    * over the clustered layout is exact). The 100 TB shape: a
+    * continuously-ingested table runs this after a stream of
+    * unordered commits, paying one bucket-local rewrite to make every
+    * later key-localized query O(covering files). */
+  val versionedClusterSkipping = sql("versioned_cluster_skipping",
+    s"""SELECT o_orderkey AS k, o_custkey AS ck,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            AS cents
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""") { (s, d) =>
+    val dir = scratch("cluster")
+    val ord = Tables.orders(s, d)
+    VersionedKeyedTable.create(
+      ord.select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
+        .repartition(8), dir, "k", CheckBuckets)
+    val before = VersionedKeyedTable.snapshot(s, dir)
+    val (keptBefore, _) = VersionedKeyedTable.rangeFiles(s, dir, 1000L, 5000L)
+    VersionedKeyedTable.cluster(s, dir, "k",
+      targetRowsPerFile = math.max(500L,
+        VersionedKeyedTable.read(s, dir).count() / 16))
+    val after = VersionedKeyedTable.snapshot(s, dir)
+    val (kept, total) = VersionedKeyedTable.rangeFiles(s, dir, 1000L, 5000L)
+    require(kept.size < keptBefore.size && kept.size < total,
+      s"clustering must improve range pruning " +
+        s"(kept ${keptBefore.size} -> ${kept.size} of $total)")
+    require(VersionedKeyedTable.changesBetween(s, dir, "k",
+        before.version, after.version).isEmpty,
+      "clustering must be CDF-invisible")
+    VersionedKeyedTable.readRange(s, dir, "k", 1000L, 5000L)
+  }
+
   /** DYNAMIC data skipping through Catalyst: the table exposed as a
     * DataFrame whose WHERE clause on the key prunes files via the
     * manifest zone maps at PLANNING time (ZoneMapFileIndex) — no
@@ -479,6 +517,6 @@ object StorageQueries2 {
 
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
     versionedRestore, versionedDataSkipping, versionedBloomSkipping,
-    ivmRefresh, versionedCompact, curationFeed, annIndexCdf,
-    versionedQueryPushdown)
+    versionedClusterSkipping, ivmRefresh, versionedCompact,
+    curationFeed, annIndexCdf, versionedQueryPushdown)
 }

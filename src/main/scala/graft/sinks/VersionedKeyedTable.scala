@@ -388,10 +388,14 @@ object VersionedKeyedTable {
     * partition column stays in the PATH, so data files carry the pure
     * data schema. */
   private def writeDataFiles(spark: SparkSession, dir: String,
-      withBucket: DataFrame, keyCol: String)
+      withBucket: DataFrame, keyCol: String,
+      maxRecordsPerFile: Long = 0L)
       : (Map[Int, Seq[String]], Map[String, (String, String)]) = {
     val rel = s"data/c-${java.util.UUID.randomUUID()}"
-    withBucket.write.partitionBy("__bucket").parquet(s"$dir/$rel")
+    val w = withBucket.write.partitionBy("__bucket")
+    (if (maxRecordsPerFile > 0L)
+       w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(s"$dir/$rel")
     val fs = hfs(spark, dir)
     val base = new Path(s"$dir/$rel")
     val files = fs.listStatus(base).toSeq
@@ -1117,32 +1121,78 @@ object VersionedKeyedTable {
     * until quiet). Old files remain referenced by old versions until
     * [[vacuum]]. */
   def compact(spark: SparkSession, dir: String, keyCol: String,
-      maxFilesPerBucket: Int = 1): Unit = {
+      maxFilesPerBucket: Int = 1): Unit =
+    rewriteBuckets(spark, dir, keyCol, "compaction",
+      pick = snap => snap.files.filter(_._2.size > maxFilesPerBucket)
+        .keySet,
+      // one output file per fragmented bucket: repartition on the
+      // bucket id so each write task owns whole buckets
+      shape = (rows, n) =>
+        rows.repartition(math.max(1, n / 4), col("__bucket")),
+      maxRecordsPerFile = 0L)
+
+  /** CLUSTER the table's physical layout BY KEY: every multi-file (or
+    * oversized) bucket is rewritten with its rows key-sorted and split
+    * at `targetRowsPerFile` boundaries, so each data file covers a
+    * narrow, disjoint key interval and the manifest zone maps become
+    * maximally selective — `readRange`/[[table]] range queries then
+    * prune to the few files that cover the range, where a
+    * hash-scattered write order leaves every file spanning ~the whole
+    * key domain and prunes nothing. This is the one-dimensional
+    * OPTIMIZE/clustering maintenance a lakehouse table runs after a
+    * stream of unordered commits (the 2-D composite-key form is
+    * `functions.Layout.zkey` applied to a derived column). Same
+    * optimistic protocol and CDF-invisible commit as [[compact]];
+    * logically a no-op, physically a layout change. */
+  def cluster(spark: SparkSession, dir: String, keyCol: String,
+      targetRowsPerFile: Long = 1000000L): Unit =
+    rewriteBuckets(spark, dir, keyCol, "clustering",
+      pick = snap => snap.files.filter(_._2.nonEmpty).keySet,
+      // whole buckets per task, rows sorted by (bucket, key): the
+      // writer's required ordering (partition col prefix) is already
+      // satisfied, so the key sort survives into the files and
+      // maxRecordsPerFile chunks each bucket's sorted run into
+      // contiguous key intervals
+      shape = (rows, n) =>
+        rows.repartition(math.max(1, n / 4), col("__bucket"))
+          .sortWithinPartitions(col("__bucket"), col(keyCol)),
+      maxRecordsPerFile = math.max(1L, targetRowsPerFile))
+
+  /** The shared maintenance-rewrite core behind [[compact]] and
+    * [[cluster]]: pick buckets off the current snapshot, rewrite their
+    * rows through `shape`, commit the relisted buckets as a
+    * CDF-invisible version (empty captured change set) under the same
+    * optimistic CAS as every mutation — an intervening writer re-runs
+    * the scan (maintenance never wins over a writer's data), bounded
+    * retries, torn claims skipped. */
+  private def rewriteBuckets(spark: SparkSession, dir: String,
+      keyCol: String, label: String,
+      pick: Snapshot => Set[Int],
+      shape: (DataFrame, Int) => DataFrame,
+      maxRecordsPerFile: Long): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
     val fs = hfs(spark, dir)
     var attempts = 0
     while (true) {
       attempts += 1
       if (attempts > 5) throw new IllegalStateException(
-        s"VersionedKeyedTable at $dir: compaction lost to concurrent " +
+        s"VersionedKeyedTable at $dir: $label lost to concurrent " +
           "writers 5 times — run it when the table is quieter")
       val snap = snapshot(spark, dir)
-      val frag = snap.files.filter(_._2.size > maxFilesPerBucket).keySet
-      if (frag.isEmpty) return
+      val picked = pick(snap)
+      if (picked.isEmpty) return
       val schema = snap.schema.getOrElse(metaSchema)
-      val paths = frag.toSeq.sorted
+      val paths = picked.toSeq.sorted
         .flatMap(b => snap.files.getOrElse(b, Seq.empty))
         .map(f => s"$dir/$f")
-      // one output file per fragmented bucket: repartition on the
-      // bucket id so each write task owns whole buckets
       val rows = spark.read.schema(schema).parquet(paths: _*)
         .withColumn("__bucket", bucketOf(keyCol, nb))
       val (newFiles, newStats) = writeDataFiles(spark, dir,
-        rows.repartition(math.max(1, frag.size / 4), col("__bucket"))
-          .localCheckpoint(true), keyCol)
+        shape(rows, picked.size).localCheckpoint(true), keyCol,
+        maxRecordsPerFile)
       val manifest = snap.files ++
-        frag.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
-      val content = renderManifest(frag, manifest, schema,
+        picked.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
+      val content = renderManifest(picked, manifest, schema,
         snap.stats ++ newStats, Some(Seq.empty),
         Map(BaseKey -> snap.version.toString))
       var target = snap.version + 1

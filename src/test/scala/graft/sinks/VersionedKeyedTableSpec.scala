@@ -898,6 +898,45 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     assert(VersionedKeyedTable.readKeys(spark, dir, "k", absent).isEmpty)
   }
 
+  test("cluster: key-sorted bounded files make zone maps selective on " +
+      "a hash-scattered table, content unchanged, CDF-invisible") {
+    val dir = freshDir()
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((1L to 4000L).toVector).map(i => (i, s"v$i"))
+    VersionedKeyedTable.create(
+      rows.toDF("k", "v").repartition(8), dir, "k", numBuckets = 2)
+    val (keptBefore, totalBefore) =
+      VersionedKeyedTable.rangeFiles(spark, dir, 100L, 200L)
+    assert(totalBefore >= 8)
+    assert(keptBefore.size > totalBefore / 2,
+      "hash-scattered files should span ~the whole key range")
+    val before = VersionedKeyedTable.snapshot(spark, dir)
+    VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 500L)
+    val after = VersionedKeyedTable.snapshot(spark, dir)
+    val (keptAfter, totalAfter) =
+      VersionedKeyedTable.rangeFiles(spark, dir, 100L, 200L)
+    assert(keptAfter.size < keptBefore.size &&
+      keptAfter.size <= totalAfter / 2,
+      s"clustered zone maps must prune (kept ${keptAfter.size}/$totalAfter)")
+    // per-file key intervals are DISJOINT within a bucket (the sorted
+    // run really survived the write) — overlapping intervals would
+    // mean the writer re-shuffled rows across the sort
+    after.files.foreach { case (_, fs0) =>
+      val ivs = fs0.flatMap(after.stats.get)
+        .map { case (a, b) => (a.toLong, b.toLong) }.sortBy(_._1)
+      ivs.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+          "clustered files within a bucket must cover disjoint key runs")
+        case _ => ()
+      }
+    }
+    assert(VersionedKeyedTable.changesBetween(spark, dir, "k",
+      before.version, after.version).isEmpty, "clustering is CDF-invisible")
+    assert(contents(dir) === rows.toMap, "content unchanged")
+    assert(VersionedKeyedTable.readRange(spark, dir, "k", 100L, 200L)
+      .count() === 101L)
+  }
+
   test("bloom sidecars: non-integral keys write none (lookups still " +
       "work), and vacuum reclaims a sidecar with its commit dir") {
     val sdir = freshDir()
