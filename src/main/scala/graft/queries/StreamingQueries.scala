@@ -502,7 +502,41 @@ object StreamingQueries {
     graft.streaming.StreamingJobs.streamingMediaDecode(s, d)
   }
 
+  /** STREAM-STREAM AS-OF JOIN (StreamingJobs.streamingAsOfJoin): view
+    * events enriched with the user's latest prior purchase while BOTH
+    * sides arrive as time-ordered micro-batches — the temporal join
+    * Spark's stream-stream joins cannot express (latest-prior is an
+    * argmax, not a range). Matching is watermark-finalized per key via
+    * event-time timers, so only lefts the FINAL watermark passed
+    * (max event time − 1 h) emit — the cutoff the oracle replays with
+    * DuckDB's ASOF LEFT JOIN over the same µs arithmetic (watermarks
+    * truncate to ms, hence the //1000*1000). Equal-time purchases
+    * tie-break by max cents on both engines. A dropped carry row, a
+    * double-fired timer, or a batch-boundary-dependent match would all
+    * break the hash. */
+  val streamAsOfJoin = sql("stream_asof_join",
+    """WITH e AS (
+         SELECT user_id, event_id, event_type,
+           epoch_ns(ts) // 1000 AS ms,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events WHERE event_type IN ('view', 'purchase')),
+       cut AS (SELECT (max(ms) // 1000 - 3600000) * 1000 AS c FROM e),
+       l AS (SELECT user_id, event_id, ms FROM e
+             WHERE event_type = 'view'),
+       r AS (SELECT user_id, ms AS rt, max(cents) AS cents FROM e
+             WHERE event_type = 'purchase' GROUP BY 1, 2)
+       SELECT l.user_id, l.event_id, l.ms,
+         r.cents AS asof_cents, r.rt AS asof_ms
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ms >= r.rt
+       WHERE l.ms < (SELECT c FROM cut)""") { (s, d) =>
+    val staging = sys.props("java.io.tmpdir") + "/graft_stream_asof_" +
+      java.util.UUID.randomUUID().toString
+    StreamingJobs.streamingAsOfJoin(s, d, staging)
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
+    streamAsOfJoin,
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent,
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,

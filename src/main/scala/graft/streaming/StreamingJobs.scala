@@ -372,6 +372,126 @@ object StreamingJobs {
     spark.table(qname)
   }
 
+  case class AsOfIn(user_id: Long, event_id: Long, is_left: Boolean,
+      ms: Long, cents: Long, ts: java.sql.Timestamp)
+  case class AsOfLeft(ms: Long, event_id: Long)
+  case class AsOfRight(ms: Long, cents: Long)
+  case class AsOfBuf(lefts: Seq[AsOfLeft], rights: Seq[AsOfRight])
+  case class AsOfOut(user_id: Long, event_id: Long, ms: Long,
+      asof_cents: Option[Long], asof_ms: Option[Long])
+
+  /** STREAM-STREAM AS-OF JOIN — the temporal enrichment operator Spark
+    * has no built-in for (Flink calls it a temporal join; the batch
+    * form is `functions.AsOf`): every left event is matched to the
+    * latest right event at or before its time for the same key, with
+    * BOTH sides arriving as streams. Stream-stream equi/range joins
+    * cannot express "latest prior" (it is an argmax, not a range), so
+    * this is the (d)-tier custom state machine:
+    *
+    *  - both sides ride ONE keyed `flatMapGroupsWithState` under an
+    *    event-time watermark; arriving rows buffer per key;
+    *  - a left finalizes only once the watermark passes its event time
+    *    — every right at or before it has then provably arrived — so
+    *    emissions are ARRIVAL-ORDER-INVARIANT within the watermark
+    *    delay (nothing here assumes in-batch or cross-batch ordering);
+    *  - finalization is watermark-DRIVEN, not data-driven: a key with
+    *    pending lefts arms an event-time timer
+    *    (`GroupStateTimeout.EventTimeTimeout`), so a quiet key still
+    *    emits when the watermark passes it (the no-data micro-batch
+    *    fires the timer);
+    *  - state is bounded: finalized lefts leave; of the rights at or
+    *    before the watermark only the LATEST survives (any older right
+    *    is dominated for every future left) — per key that is the
+    *    in-flight window plus ONE carry row, the temporal-table
+    *    footprint, O(live keys) at 100 TB like every keyed state op.
+    *
+    * Left = view events, right = purchase events (value in cents);
+    * equal-time rights tie-break by max cents, matching the oracle's
+    * pre-reduced right side. Emits exactly the lefts the FINAL
+    * watermark passed (max event time minus `delay`) — the
+    * append-mode production contract the oracle replays with a
+    * DuckDB ASOF LEFT JOIN under the same cutoff. */
+  def streamingAsOfJoin(spark: SparkSession, sfDir: String,
+      stagingDir: String, nFiles: Int = 4,
+      delay: String = "1 hour", delayMs: Long = 3600000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // stage the two event types as time-ordered micro-batch files (the
+    // one-file testdata cannot produce multiple batches naturally);
+    // time order means nothing ever arrives late — the operator itself
+    // only relies on the watermark contract, not on ordering
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        (col("event_type") === "view").as("is_left"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("ms"))
+    stageKeyedSlices(spark, ev, "ms", stagingDir, nFiles)
+    val schema = spark.read.parquet(stagingDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+      .withWatermark("ts", delay)
+      // the watermark-tagged event-time column must stay in the
+      // stateful operator's input (event-time timeouts require it)
+      .select(col("user_id"), col("event_id"), col("is_left"),
+        col("ms"), col("cents"), col("ts"))
+      .as[AsOfIn]
+
+    def finalizeDue(key: Long, st: AsOfBuf, wmUs: Long)
+        : (Vector[AsOfOut], AsOfBuf) = {
+      val (due, still) = st.lefts.partition(_.ms < wmUs)
+      val sortedR = st.rights.sortBy(r => (r.ms, r.cents))
+      val out = due.sortBy(l => (l.ms, l.event_id)).map { l =>
+        val m = sortedR.foldLeft(Option.empty[AsOfRight]) { (acc, r) =>
+          if (r.ms <= l.ms) Some(r) else acc // sorted: last wins
+        }
+        AsOfOut(key, l.event_id, l.ms, m.map(_.cents), m.map(_.ms))
+      }.toVector
+      // rights at/below the watermark: only the latest can ever match
+      // a future (not-yet-finalizable) left — evict the dominated rest
+      val (future, past) = sortedR.partition(_.ms > wmUs)
+      (out, AsOfBuf(still, past.lastOption.toSeq ++ future))
+    }
+
+    def fn(key: Long, it: Iterator[AsOfIn],
+        state: GroupState[AsOfBuf]): Iterator[AsOfOut] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val st0 = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+      val arrived = it.toVector
+      val st1 = AsOfBuf(
+        st0.lefts ++ arrived.filter(_.is_left)
+          .map(e => AsOfLeft(e.ms, e.event_id)),
+        st0.rights ++ arrived.filterNot(_.is_left)
+          .map(e => AsOfRight(e.ms, e.cents)))
+      val (out, st2) = finalizeDue(key, st1, wmUs)
+      if (st2.lefts.isEmpty && st2.rights.isEmpty) state.remove()
+      else {
+        state.update(st2)
+        if (st2.lefts.nonEmpty) {
+          // wake this key when the watermark passes its oldest pending
+          // left (must arm strictly above the current watermark)
+          val wmMs = state.getCurrentWatermarkMs()
+          state.setTimeoutTimestamp(
+            math.max(st2.lefts.map(_.ms).min / 1000L, wmMs + 1L))
+        }
+      }
+      out.iterator
+    }
+
+    val qname = "graft_stream_asof"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    withStreamShufflePartitions(spark, 8) {
+      val q = stream.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(fn)
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    spark.table(qname)
+  }
+
   /** Streaming ingestion dedup — the continuous-ingest face of
     * `TextDedup.incrementalDedup`, the operating mode of a 100 TB
     * training pipeline: documents arrive as a stream and each

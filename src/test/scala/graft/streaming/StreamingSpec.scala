@@ -235,6 +235,48 @@ class StreamingSpec extends AnyFunSuite {
     rm(new java.io.File(base))
   }
 
+  test("stream-stream as-of join is batch-split-invariant and equals " +
+      "the batch as-of join under the final-watermark cutoff") {
+    def run(n: Int): Map[Long, (Long, Option[Long], Option[Long])] = {
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-asof-spec").toString + "/s"
+      StreamingJobs.streamingAsOfJoin(spark, d, staging, nFiles = n)
+        .collect().map(r => r.getLong(1) -> ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    }
+    val two = run(2)
+    val four = run(4)
+    assert(two === four,
+      "micro-batch boundaries must not change as-of matches")
+    // batch reference: functions.AsOf over the same sides, restricted
+    // to the lefts the final watermark passed (ms-truncated like the
+    // engine's watermark)
+    val ev = graft.core.Tables.events(spark, d)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cut = (ev.agg(max(col("ms"))).head.getLong(0) / 1000L
+      - 3600000L) * 1000L
+    val left = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ms"))
+    val right = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ms")).agg(max(col("cents")).as("cents"))
+    val batch = graft.functions.AsOf.joinAsOf(
+        left, right, "user_id", "ms", "cents")
+      .where(col("ms") < cut)
+      .collect().map(r => r.getAs[Long]("event_id") -> ((
+        r.getAs[Long]("ms"),
+        Option(r.getAs[java.lang.Long]("asof_cents")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("asof_ms")).map(_.toLong)))).toMap
+    assert(four === batch,
+      "streaming as-of must equal the batch as-of under the cutoff")
+    assert(four.values.exists(_._2.isDefined) &&
+      four.values.exists(_._2.isEmpty),
+      "fixture must exercise both matched and unmatched lefts")
+  }
+
   test("session_window MERGES an event at a gap of exactly the window") {
     // Pins the boundary the session_window_native oracle encodes
     // (new session iff gap > window, i.e. merge is INCLUSIVE at exactly
