@@ -205,7 +205,22 @@ object PlanAudit {
       "zone-map-surviving files (in-row require pins kept < total); " +
       "the pruned scan feeds a partial/final aggregate like any " +
       "parquet relation — file-granularity partition pruning from " +
-      "table-format metadata."))
+      "table-format metadata."),
+    "versioned_bloom_skipping" -> ("Point-lookup file skipping: the " +
+      "terminal plan scans ONLY the files that survived bucket -> " +
+      "zone-map -> per-file-bloom pruning (in-row require pins " +
+      "kept < total on a hash-scattered layout where zone maps keep " +
+      "everything), then applies the residual isin filter. Blooms " +
+      "load one sidecar per commit dir, never per file; the decade " +
+      "probe holds kept at O(probes) while candidates grow 10x."),
+    "versioned_cluster_skipping" -> ("Clustered layout: after " +
+      "cluster() the terminal range read scans only the files whose " +
+      "now-disjoint key intervals cover [lo, hi] (in-row requires pin " +
+      "pruning strictly improved and the commit CDF-invisible); the " +
+      "rewrite itself is one repartition-on-bucket + " +
+      "sortWithinPartitions(bucket, key) whose required-ordering " +
+      "prefix lets the sorted run survive into maxRecordsPerFile " +
+      "chunks — no extra sort node in the write plan."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is

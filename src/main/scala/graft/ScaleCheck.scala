@@ -670,6 +670,50 @@ object ScaleCheck {
       VersionedKeyedTable.read(spark, viewDir).count()
     }
 
+    // Clustered layout + bloom point lookups (r11): the table grows a
+    // decade with numBuckets held CONSTANT and rows-per-file held
+    // constant, so FILES PER BUCKET grow 10x — the read-layout control
+    // (the mutation probes above pin the orthogonal bucket-sizing
+    // rule). Claims: cluster() is table-linear (one-time maintenance);
+    // after it, a FIXED key-range read keeps a ~constant file set
+    // (~one covering file per bucket at any table size — zone maps
+    // skip the 10x-growing rest) and a FIXED 20-key point lookup keeps
+    // O(probes) files through the blooms while its CANDIDATE set grows
+    // 10x. Without the layout/sketch tiers both reads scan everything.
+    time("versioned_layout_reads") {
+      import graft.sinks.VersionedKeyedTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-scale-layout").toString + "/t"
+      val base = c.select(col("c_custkey").as("k"),
+        col("c_acctbal").cast("double").as("v"))
+      VersionedKeyedTable.create(base.repartition(8), dir, "k",
+        numBuckets = 16)
+      val t0 = System.nanoTime()
+      VersionedKeyedTable.cluster(spark, dir, "k",
+        targetRowsPerFile = 1000L)
+      val tCluster = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nRange = VersionedKeyedTable
+        .readRange(spark, dir, "k", 1000L, 3000L).count()
+      val tRange = (System.nanoTime() - t1) / 1e9
+      val (rKept, rTotal) = VersionedKeyedTable
+        .rangeFiles(spark, dir, 1000L, 3000L)
+      val probes = (1L to 20L).map(_ * 61L)
+      val t2 = System.nanoTime()
+      val nPoint = VersionedKeyedTable
+        .readKeys(spark, dir, "k", probes).count()
+      val tPoint = (System.nanoTime() - t2) / 1e9
+      val (kKept, kTotal) = VersionedKeyedTable
+        .keyFiles(spark, dir, "k", probes)
+      System.err.println(
+        f"[scale]   layout: cluster $tCluster%.2f s (table-linear, " +
+          f"one-time); fixed range read $tRange%.2f s " +
+          f"(${rKept.size}/$rTotal files, $nRange rows); fixed 20-key " +
+          f"lookup $tPoint%.2f s (${kKept.size}/$kTotal files, " +
+          f"$nPoint rows) — kept counts stay ~constant as total grows")
+      nRange + nPoint
+    }
+
     // global training shuffle: range repartition on the md5 key +
     // zipWithIndex (a count job + the attach pass) — the sort is the
     // cost, O(n log n) with no single-partition stage

@@ -472,9 +472,12 @@ object StorageQueries2 {
         .repartition(8), dir, "k", CheckBuckets)
     val before = VersionedKeyedTable.snapshot(s, dir)
     val (keptBefore, _) = VersionedKeyedTable.rangeFiles(s, dir, 1000L, 5000L)
+    // sized so every bucket splits into several files at ANY check SF
+    // (a bucket that fits one file leaves nothing for zone maps to
+    // prune within it)
     VersionedKeyedTable.cluster(s, dir, "k",
-      targetRowsPerFile = math.max(500L,
-        VersionedKeyedTable.read(s, dir).count() / 16))
+      targetRowsPerFile = math.max(100L,
+        VersionedKeyedTable.read(s, dir).count() / 32))
     val after = VersionedKeyedTable.snapshot(s, dir)
     val (kept, total) = VersionedKeyedTable.rangeFiles(s, dir, 1000L, 5000L)
     require(kept.size < keptBefore.size && kept.size < total,
