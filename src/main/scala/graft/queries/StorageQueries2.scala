@@ -489,6 +489,57 @@ object StorageQueries2 {
     VersionedKeyedTable.readRange(s, dir, "k", 1000L, 5000L)
   }
 
+  /** SHALLOW CLONE: the orders table is branched at v2 with ZERO data
+    * copied (hard links to the source's immutable files), then the two
+    * tables diverge — the clone deletes a slice, the source doubles
+    * another — and the SOURCE is vacuumed to one retained version.
+    * The result is the CLONE's content: correct only if the branch
+    * reflected exactly v2, took neither sibling's later mutation, and
+    * survived the source's vacuum (links make reclamation per-table).
+    * The requires pin divergence and the zero-copy claim (clone v1
+    * references the same file count as source v2 without a rewrite
+    * commit). At 100 TB a clone is O(files) metadata — the dev/test
+    * branch primitive. */
+  val versionedClone = sql("versioned_clone",
+    s"""WITH base AS (
+          SELECT o_orderkey AS k,
+            CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+              AS cents
+          FROM orders),
+        v2 AS (
+          SELECT k,
+            CASE WHEN k % 10 = 3 THEN cents * 2 ELSE cents END AS cents
+          FROM base)
+        SELECT k, cents FROM v2 WHERE k % 4 <> 1""") { (s, d) =>
+    val src = scratch("clone_src")
+    val dst = scratch("clone_dst")
+    val ord = Tables.orders(s, d)
+    val base = ord.select(col("o_orderkey").as("k"),
+      (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
+    VersionedKeyedTable.create(base, src, "k", CheckBuckets)
+    VersionedKeyedTable.upsert(s, src,
+      base.filter(col("k") % 10 === 3)
+        .withColumn("cents", col("cents") * 2), "k")
+    VersionedKeyedTable.cloneAt(s, src, dst)
+    val srcSnap = VersionedKeyedTable.snapshot(s, src)
+    val dstSnap = VersionedKeyedTable.snapshot(s, dst)
+    require(dstSnap.version == 1L &&
+      dstSnap.files.values.map(_.size).sum ==
+        srcSnap.files.values.map(_.size).sum,
+      "clone must reference the source version's files, not rewrite them")
+    // diverge: clone-only delete, source-only upsert, then source vacuum
+    VersionedKeyedTable.delete(s, dst,
+      base.filter(col("k") % 4 === 1).select(col("k")), "k")
+    VersionedKeyedTable.upsert(s, src,
+      base.filter(col("k") % 7 === 0)
+        .withColumn("cents", col("cents") * 3), "k")
+    VersionedKeyedTable.vacuum(s, src, keepVersions = 1, graceMs = 0L)
+    require(VersionedKeyedTable.read(s, src)
+        .filter(col("k") % 7 === 0 && col("k") % 10 =!= 3).limit(1)
+        .count() >= 0, "source stays readable after its vacuum")
+    VersionedKeyedTable.read(s, dst)
+  }
+
   /** DYNAMIC data skipping through Catalyst: the table exposed as a
     * DataFrame whose WHERE clause on the key prunes files via the
     * manifest zone maps at PLANNING time (ZoneMapFileIndex) — no
@@ -520,6 +571,7 @@ object StorageQueries2 {
 
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
     versionedRestore, versionedDataSkipping, versionedBloomSkipping,
-    versionedClusterSkipping, ivmRefresh, versionedCompact,
-    curationFeed, annIndexCdf, versionedQueryPushdown)
+    versionedClusterSkipping, versionedClone, ivmRefresh,
+    versionedCompact, curationFeed, annIndexCdf,
+    versionedQueryPushdown)
 }

@@ -1313,6 +1313,85 @@ object VersionedKeyedTable {
     df.where(col(keyCol).isin(keys: _*))
   }
 
+  /** SHALLOW CLONE: a new, fully independent table at `dstDir` whose
+    * v1 references the SOURCE's immutable files — via hard links on
+    * local filesystems (one link(2) per file, zero data copied; other
+    * schemes fall back to a copy), preserving relative paths so zone
+    * maps and bloom sidecars carry over verbatim. Because a link is an
+    * independent directory entry over the same blocks, the two tables
+    * then diverge without any interaction: mutations on either stay
+    * private, and a [[vacuum]] on one can never break the other (it
+    * unlinks its own names; shared blocks live until the last name
+    * goes). This is the zero-cost dev/test-branch primitive
+    * (Delta/Iceberg's SHALLOW CLONE — theirs references the source
+    * path and breaks if the source vacuums; the link form does not).
+    * O(files) metadata ops, no data movement. */
+  def cloneAt(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Long] = None): Unit = {
+    val (nb, metaSchema) = readMeta(spark, srcDir)
+    val snap = snapshot(spark, srcDir, version)
+    val schema = snap.schema.getOrElse(metaSchema)
+    writeMeta(spark, dstDir, nb, schema)
+    val fs = hfs(spark, srcDir)
+    val local = fs.getUri.getScheme == "file"
+    def localPath(p: Path) = java.nio.file.Paths.get(
+      Path.getPathWithoutSchemeAndAuthority(p).toString)
+    // every referenced data file + each involved commit dir's bloom
+    // sidecar (harmless if it lists files the clone does not reference
+    // — lookups are by relative path)
+    val rels = snap.files.values.flatten.toSeq
+    val sidecars = rels.map { f =>
+      val i = f.indexOf('/', f.indexOf('/') + 1)
+      if (i < 0) f else f.take(i)
+    }.distinct.map(c => s"$c/$BloomSidecar")
+      .filter(r => fs.exists(new Path(s"$srcDir/$r")))
+    (rels ++ sidecars).foreach { rel =>
+      val src = new Path(s"$srcDir/$rel")
+      val dst = new Path(s"$dstDir/$rel")
+      fs.mkdirs(dst.getParent)
+      try {
+        if (local) java.nio.file.Files.createLink(
+          localPath(dst), localPath(src))
+        else org.apache.hadoop.fs.FileUtil.copy(
+          fs, src, fs, dst, false, spark.sparkContext.hadoopConfiguration)
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"cloneAt raced a vacuum on $srcDir (missing $rel) — " +
+              "retry against a retained version")
+      }
+    }
+    var v = 1L
+    val content = renderManifest(snap.files.keySet, snap.files, schema,
+      snap.stats, None,
+      Map("graft.clonedFrom" -> s"$srcDir@v${snap.version}"))
+    while (!tryCommit(fs, dstDir, versionPath(dstDir, v), content)) v += 1
+  }
+
+  /** DESCRIBE HISTORY: one row per complete version — version, commit
+    * instant (manifest mtime, ms), buckets touched, files referenced,
+    * whether the commit captured changes and how many change files,
+    * the base version it was built on, and its commit metadata keys.
+    * Metadata-scale (parses the log, reads no data). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fs = hfs(spark, dir)
+    import spark.implicits._
+    listVersions(fs, dir).flatMap { v =>
+      val p = versionPath(dir, v)
+      parseManifest(v, readVersionFile(fs, p)).map { s =>
+        (v, fs.getFileStatus(p).getModificationTime,
+          s.touched.size.toLong,
+          s.files.values.map(_.size).sum.toLong,
+          s.changes.isDefined,
+          s.changes.map(_.size.toLong).getOrElse(-1L),
+          s.meta.get(BaseKey).flatMap(_.toLongOption).getOrElse(-1L),
+          s.meta.keys.toSeq.sorted.mkString(","))
+      }
+    }.toDF("version", "committed_at_ms", "n_touched_buckets",
+      "n_files", "captured_changes", "n_change_files", "base_version",
+      "meta_keys")
+  }
+
   /** Remove versions older than the latest `keepVersions` and every
     * data file none of the retained versions references. Two safety
     * rails: (a) an in-flight WRITER's files exist unreferenced between

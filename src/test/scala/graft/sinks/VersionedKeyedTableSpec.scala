@@ -866,6 +866,47 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
         "(data AND captured-change files)")
   }
 
+  test("shallow clone: zero-copy branch diverges independently and " +
+      "survives a vacuum of the source; history() reads the log") {
+    val src = freshDir()
+    val dst = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), src, "k",
+      numBuckets = 4)
+    VersionedKeyedTable.upsert(spark, src,
+      Seq((7L, "UP7"), (101L, "NEW101")).toDF("k", "v"), "k")
+    VersionedKeyedTable.cloneAt(spark, src, dst)
+    val atClone = contents(src)
+    assert(contents(dst) === atClone, "clone equals the source version")
+    // divergence: each table mutates privately
+    VersionedKeyedTable.delete(spark, dst,
+      (1L to 100L).filter(_ % 4 == 1).toDF("k"), "k")
+    VersionedKeyedTable.upsert(spark, src,
+      Seq((9L, "SRC9")).toDF("k", "v"), "k")
+    val expectDst = atClone.filterNot(e => e._1 <= 100 && e._1 % 4 == 1)
+    assert(contents(dst) === expectDst)
+    assert(contents(src) === atClone + (9L -> "SRC9"))
+    // vacuum the SOURCE to one version: files only the clone still
+    // names survive as its own directory entries (hard links) — the
+    // clone's full history stays readable, including ITS v1
+    VersionedKeyedTable.vacuum(spark, src, keepVersions = 1, graceMs = 0L)
+    assert(contents(dst) === expectDst,
+      "source vacuum must not reclaim blocks the clone references")
+    assert(contents(dst, Some(1L)) === atClone,
+      "the clone's own time travel survives the source vacuum")
+    // history: complete versions ascending with base-pointer lineage
+    val h = VersionedKeyedTable.history(spark, src)
+      .orderBy(col("version"))
+      .select(col("version"), col("base_version"), col("meta_keys"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(h.map(_._1).toSeq === h.map(_._1).sorted.toSeq)
+    assert(h.drop(1).forall(r => r._2 >= 1L),
+      "every post-create commit stamps its base version")
+    val hc = VersionedKeyedTable.history(spark, dst).collect()
+    assert(hc.exists(_.getAs[String]("meta_keys")
+      .contains("graft.clonedFrom")), "clone provenance in commit meta")
+  }
+
   test("bloom file skipping: point lookups prune hash-scattered files " +
       "zone maps cannot, absent keys prune to nothing, and results " +
       "stay exact") {
