@@ -1240,6 +1240,125 @@ object Multimodal {
       Some(out.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The three EXIF IFD0 fields an image-ingest metadata gate reads:
+    * orientation (tag 0x0112 — the rotate-before-train field), the
+    * capture timestamp (0x0132, "YYYY:MM:DD HH:MM:SS"), and the
+    * camera make (0x010F). */
+  case class ExifMeta(orientation: Int, dateTime: String, make: String)
+
+  /** Splice a minimal spec-correct EXIF APP1 segment into a JPEG,
+    * right after SOI: marker FFE1, big-endian segment length,
+    * "Exif\0\0", then a little-endian TIFF ("II", magic 42) whose IFD0
+    * carries Make (ASCII, out-of-line), Orientation (SHORT, inline),
+    * and DateTime (ASCII 20 bytes, out-of-line) — entries in
+    * ascending-tag order with offsets relative to the TIFF header, as
+    * TIFF 6.0 requires. Decoders skip unknown APP segments, so the
+    * image still decodes bit-identically. Throws on non-JPEG input. */
+  def addJpegExif(jpeg: Array[Byte], orientation: Int, dateTime: String,
+      make: String): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "addJpegExif: input is not a JPEG (no SOI)")
+    val makeB = make.getBytes("US-ASCII") :+ 0.toByte
+    val dtB = dateTime.getBytes("US-ASCII") :+ 0.toByte
+    require(dtB.length == 20,
+      "EXIF DateTime must be 'YYYY:MM:DD HH:MM:SS' (19 chars)")
+    // TIFF: header(8) + count(2) + 3 entries(36) + nextIFD(4) = 50,
+    // then the out-of-line value area
+    val makeOff = 50
+    val dtOff = makeOff + makeB.length
+    val tiff = java.nio.ByteBuffer.allocate(dtOff + dtB.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    tiff.putShort(3)
+    tiff.putShort(0x010f.toShort).putShort(2).putInt(makeB.length)
+      .putInt(makeOff)
+    tiff.putShort(0x0112.toShort).putShort(3).putInt(1)
+      .putShort(orientation.toShort).putShort(0)
+    tiff.putShort(0x0132.toShort).putShort(2).putInt(dtB.length)
+      .putInt(dtOff)
+    tiff.putInt(0) // no IFD1
+    tiff.put(makeB).put(dtB)
+    val body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      tiff.array()
+    val seg = java.nio.ByteBuffer.allocate(4 + body.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .put(0xff.toByte).put(0xe1.toByte)
+      .putShort((2 + body.length).toShort).put(body).array()
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+
+  /** Parse a JPEG's EXIF IFD0 — a real marker-segment walk (SOI, then
+    * FF-marker frames with big-endian lengths, stopping at SOS) to the
+    * first APP1 "Exif" segment, then a strict TIFF walk: either byte
+    * order ("II"/"MM"), magic 42, bounds-checked IFD0 entries,
+    * inline-vs-offset ASCII values per the 4-byte rule. Declines
+    * (None) on non-JPEG bytes, no EXIF, bad TIFF magic, out-of-bounds
+    * offsets, or any of the three fields missing — the strict
+    * quarantine contract every decoder here follows. */
+  def readJpegExif(bytes: Array[Byte]): Option[ExifMeta] =
+    try {
+      if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8) return None
+      var off = 2
+      var tiffOff = -1
+      var tiffEnd = -1
+      while (tiffOff < 0 && off + 4 <= bytes.length) {
+        if ((bytes(off) & 0xff) != 0xff) return None
+        val m = bytes(off + 1) & 0xff
+        if (m == 0xda) return None // SOS: image data — no EXIF found
+        val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > bytes.length) return None
+        if (m == 0xe1 && len >= 8 &&
+          new String(bytes, off + 4, 4, "US-ASCII") == "Exif" &&
+          bytes(off + 8) == 0 && bytes(off + 9) == 0) {
+          tiffOff = off + 10
+          tiffEnd = off + 2 + len
+        }
+        off += 2 + len
+      }
+      if (tiffOff < 0) return None
+      val le = bytes(tiffOff) == 'I'.toByte && bytes(tiffOff + 1) == 'I'.toByte
+      val be = bytes(tiffOff) == 'M'.toByte && bytes(tiffOff + 1) == 'M'.toByte
+      if (!le && !be) return None
+      def u16(p: Int): Int =
+        if (le) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+      def u32(p: Int): Long =
+        if (le) (u16(p).toLong) | (u16(p + 2).toLong << 16)
+        else (u16(p).toLong << 16) | u16(p + 2).toLong
+      if (u16(tiffOff + 2) != 42) return None
+      val ifd = tiffOff + u32(tiffOff + 4).toInt
+      if (ifd + 2 > tiffEnd) return None
+      val n = u16(ifd)
+      if (ifd + 2 + 12 * n + 4 > tiffEnd) return None
+      var orientation = Option.empty[Int]
+      var dateTime = Option.empty[String]
+      var make = Option.empty[String]
+      def ascii(entry: Int, cnt: Int): Option[String] = {
+        val p = if (cnt <= 4) entry + 8 else tiffOff + u32(entry + 8).toInt
+        if (p + cnt > tiffEnd || cnt < 1) None
+        else Some(new String(bytes, p,
+          if (bytes(p + cnt - 1) == 0) cnt - 1 else cnt, "US-ASCII"))
+      }
+      var i = 0
+      while (i < n) {
+        val e = ifd + 2 + 12 * i
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val cnt = u32(e + 4).toInt
+        tag match {
+          case 0x0112 if typ == 3 && cnt == 1 =>
+            orientation = Some(u16(e + 8))
+          case 0x0132 if typ == 2 => dateTime = ascii(e, cnt)
+          case 0x010f if typ == 2 => make = ascii(e, cnt)
+          case _ => ()
+        }
+        i += 1
+      }
+      for (o <- orientation; dt <- dateTime; mk <- make)
+        yield ExifMeta(o, dt, mk)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Average-hash fold over an explicit gray array (≤ 64 pixels):
     * floor mean, bit i set when gray(i) > mean, split into 32-bit
     * halves. The shared core of [[averageHash]] (which feeds it from

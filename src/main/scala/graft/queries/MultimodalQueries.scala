@@ -1216,6 +1216,52 @@ object MultimodalQueries {
       .toDF("doc_id", "n_text", "title", "lang", "dims")
   }
 
+  /** EXIF metadata through REAL JPEG/TIFF surgery — the second
+    * sidecar-metadata format family next to PNG tEXt: each document's
+    * real JDK-encoded JPEG gets a spec-correct APP1 Exif segment
+    * (little-endian TIFF, IFD0 with Make/Orientation/DateTime, inline
+    * vs out-of-line values per TIFF's 4-byte rule) spliced after SOI,
+    * and the distributed path walks marker segments + the TIFF IFD
+    * back out. Orientation is THE field a vision ingest must read
+    * before training (pixels are stored unrotated). The image must
+    * still decode after surgery (dims pinned); every field derives
+    * from doc_id arithmetic both engines replay. */
+  val imageExifMeta = sql("image_exif_meta",
+    """SELECT doc_id,
+         CAST(1 + doc_id % 8 AS INT) AS orientation,
+         '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           AS date_time,
+         'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+         CAST(8008 AS INT) AS dims
+       FROM documents""") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism) // cores, not files
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val dt = f"2024:01:${1 + id % 28}%02d " +
+            f"${id % 24}%02d:${id % 60}%02d:${id % 60}%02d"
+          val tagged = Multimodal.addJpegExif(
+            Multimodal.synthJpeg(8, 8, id),
+            orientation = (1 + id % 8).toInt, dateTime = dt,
+            make = s"cam${id % 5}")
+          val meta = Multimodal.readJpegExif(tagged).getOrElse(
+            throw new IllegalStateException(
+              s"image_exif_meta: EXIF parse failed for doc $id"))
+          val dims = Multimodal.decodeGray(tagged)
+            .map(t => t._1 * 1000 + t._2).getOrElse(-1)
+          (id, meta.orientation, meta.dateTime, meta.make, dims)
+        }
+      }
+      .toDF("doc_id", "orientation", "date_time", "make", "dims")
+  }
+
   /** End-to-end multimodal curation manifest — the query this library
     * exists for, as one declarative plan: every document's text,
     * audio, and image modalities are gated in a SINGLE pass (one scan,
@@ -1313,6 +1359,6 @@ object MultimodalQueries {
     imageAhash, videoFrameSample,
     videoMjpegFrames, imageNeardup, videoNeardup, audioNeardup,
     mediaQuarantine, flacQuarantine, imageDownscale, audioResample,
-    imageMetadata,
+    imageMetadata, imageExifMeta,
     multimodalManifest)
 }

@@ -789,6 +789,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAdpcm(b).isEmpty)
   }
 
+  test("EXIF: splice -> parse round trip, image still decodes, and " +
+      "strict declines (no EXIF / bad magic / truncated value area)") {
+    val jpeg = Multimodal.synthJpeg(8, 8, 7L)
+    val dt = "2024:03:09 11:22:33"
+    val tagged = Multimodal.addJpegExif(jpeg, 6, dt, "camX")
+    assert(Multimodal.readJpegExif(tagged) ===
+      Some(Multimodal.ExifMeta(6, dt, "camX")))
+    // the spliced APP1 is transparent to the decoder
+    assert(Multimodal.decodeGray(tagged).map(t => (t._1, t._2)) ===
+      Some((8, 8)))
+    // no EXIF at all: decline, not a default
+    assert(Multimodal.readJpegExif(jpeg).isEmpty)
+    // corrupt TIFF magic (the 42 after the byte order): decline
+    val badMagic = tagged.clone()
+    val tiffAt = {
+      // SOI(2) + FFE1(2) + len(2) + "Exif\0\0"(6) -> TIFF header
+      12
+    }
+    badMagic(tiffAt + 2) = 99.toByte
+    assert(Multimodal.readJpegExif(badMagic).isEmpty)
+    // truncation mid-segment (the length field outruns the bytes):
+    // decline at the bounds check, never a partial parse
+    assert(Multimodal.readJpegExif(tagged.take(tiffAt + 30)).isEmpty)
+    // non-JPEG bytes: decline
+    assert(Multimodal.readJpegExif("not a jpeg".getBytes).isEmpty)
+  }
+
   test("sha256 matches Spark's own sha2 over the same bytes") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
