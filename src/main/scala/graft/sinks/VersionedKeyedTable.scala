@@ -605,7 +605,13 @@ object VersionedKeyedTable {
       captureChanges)
 
   /** Keyed delete batch (same optimistic protocol; an emptied bucket
-    * is just an empty manifest entry — no overwrite edge case). */
+    * is just an empty manifest entry — no overwrite edge case).
+    * Right-to-be-forgotten note: with `captureChanges=true` the delete
+    * commit's OWN change files record the doomed rows' previous values
+    * (that is what a CDF is for) — a compliance purge that must erase
+    * the bytes runs `delete(captureChanges = false)` and then [[vacuum]]s
+    * past every version that referenced the rows (spec-pinned:
+    * byte-level absence across all surviving files). */
   def delete(spark: SparkSession, dir: String, keys: DataFrame,
       keyCol: String, captureChanges: Boolean = true): Unit =
     mutate(spark, dir, keys, keyCol, isDelete = true, () => (),

@@ -866,6 +866,42 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
         "(data AND captured-change files)")
   }
 
+  test("compliance purge: delete(captureChanges=false) + vacuum " +
+      "leaves NO byte-level trace of the keys anywhere under the table") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 60L).map(i => (i, s"secret$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+    // v2 captures changes as usual — its ch- files hold row VALUES and
+    // must also be reclaimed once the version drops out of retention
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((7L, "secret7b"), (13L, "secret13b")).toDF("k", "v"), "k")
+    // the purge delete itself must NOT capture: a captured diff would
+    // persist the doomed rows' prev values in the retained version's
+    // own change files — the CDF/erasure trade a deployment must pick
+    VersionedKeyedTable.delete(spark, dir,
+      Seq(7L, 13L).toDF("k"), "k", captureChanges = false)
+    VersionedKeyedTable.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    val got = contents(dir)
+    assert(!got.contains(7L) && !got.contains(13L) && got.size === 58)
+    // byte-level: every parquet file still on disk is readable data
+    // (no ch- change files survive) and none carries the purged keys
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val files = walk(new java.io.File(s"$dir/data"))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    assert(!files.exists(_.getAbsolutePath.contains("/ch-")),
+      "no change file may outlive the purge")
+    val onDisk = spark.read
+      .parquet(files.map(_.getAbsolutePath): _*)
+      .as[(Long, String)].collect()
+    assert(!onDisk.exists(r => r._1 == 7L || r._1 == 13L),
+      "purged keys must not exist in ANY surviving file")
+    assert(!onDisk.exists(r => r._2.contains("secret7") ||
+      r._2.contains("secret13")), "purged values gone byte-for-byte")
+  }
+
   test("shallow clone: zero-copy branch diverges independently and " +
       "survives a vacuum of the source; history() reads the log") {
     val src = freshDir()
