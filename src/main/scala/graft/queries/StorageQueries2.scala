@@ -534,9 +534,11 @@ object StorageQueries2 {
       base.filter(col("k") % 7 === 0)
         .withColumn("cents", col("cents") * 3), "k")
     VersionedKeyedTable.vacuum(s, src, keepVersions = 1, graceMs = 0L)
-    require(VersionedKeyedTable.read(s, src)
-        .filter(col("k") % 7 === 0 && col("k") % 10 =!= 3).limit(1)
-        .count() >= 0, "source stays readable after its vacuum")
+    // full-table read: a vacuum that reclaimed any still-referenced
+    // source file fails here, and the count pins no row was lost
+    // (the source saw only value mutations, never inserts/deletes)
+    require(VersionedKeyedTable.read(s, src).count() == base.count(),
+      "source must stay fully readable after its vacuum")
     VersionedKeyedTable.read(s, dst)
   }
 

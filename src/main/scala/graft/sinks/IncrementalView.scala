@@ -146,15 +146,18 @@ object IncrementalView {
     // idempotence guard: a span at or below the view's durable
     // watermark has already been applied — a crashed-and-retried
     // maintainer (or a caller holding a stale watermark) is a no-op,
-    // never a double count. A span that merely STARTS below the
-    // watermark is clamped to it: the prefix [from, watermark] is
-    // already in the view, so re-reading it would double-apply — only
-    // the (watermark, to] remainder is new. NOTE this is crash-retry
-    // protection for a SINGLE maintainer; concurrent maintainers are
-    // excluded by the refresh lock (see withMaintainerLock).
+    // never a double count. When a durable watermark exists it is
+    // AUTHORITATIVE over the caller's fromVersion in both directions:
+    // a span starting below it would re-apply the committed prefix
+    // (double count), and a span starting above it would silently skip
+    // the (watermark, from] changes and then stamp toVersion —
+    // permanently corrupting the view. Either way the only correct
+    // span is (watermark, to]. NOTE this is crash-retry protection for
+    // a SINGLE maintainer; concurrent maintainers are excluded by the
+    // refresh lock (see withMaintainerLock).
     val watermark = committedWatermarkOpt(spark, viewDir)
     if (watermark.exists(_ >= toVersion)) return
-    val effFrom = watermark.fold(fromVersion)(math.max(fromVersion, _))
+    val effFrom = watermark.getOrElse(fromVersion)
     val cdf = VersionedKeyedTable.changesBetween(
       spark, baseDir, baseKey, effFrom, toVersion)
     val oldSide = cdf

@@ -94,7 +94,8 @@ object VersionedKeyedTable {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       stats: Map[String, (String, String)] = Map.empty,
       changes: Option[Seq[String]] = None,
-      meta: Map[String, String] = Map.empty)
+      meta: Map[String, String] = Map.empty,
+      counts: Map[String, Long] = Map.empty)
 
   /** Commit-metadata key every writer stamps with the version its
     * commit was BUILT ON. The base pointers make the table's true
@@ -119,7 +120,8 @@ object VersionedKeyedTable {
       schema: org.apache.spark.sql.types.StructType,
       stats: Map[String, (String, String)],
       changes: Option[Seq[String]],
-      meta: Map[String, String] = Map.empty): String = {
+      meta: Map[String, String] = Map.empty,
+      counts: Map[String, Long] = Map.empty): String = {
     val sb = new StringBuilder
     sb.append("touched\t").append(touched.toSeq.sorted.mkString(","))
       .append('\n')
@@ -147,9 +149,12 @@ object VersionedKeyedTable {
       fs0.foreach { f =>
         sb.append(b).append('\t').append(f)
         // zone map rides the file's own line (URL-encoded: the key
-        // may be a string containing tabs/newlines)
+        // may be a string containing tabs/newlines), followed by the
+        // file's ROW COUNT when known (cluster() convergence + cheap
+        // metadata; old manifests without it parse fine)
         stats.get(f).foreach { case (mn, mx) =>
           sb.append('\t').append(enc(mn)).append('\t').append(enc(mx))
+          counts.get(f).foreach(c => sb.append('\t').append(c))
         }
         sb.append('\n')
       }
@@ -173,6 +178,7 @@ object VersionedKeyedTable {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val files = scala.collection.mutable.Map.empty[Int, Vector[String]]
     val stats = scala.collection.mutable.Map.empty[String, (String, String)]
+    val counts = scala.collection.mutable.Map.empty[String, Long]
     val changes = Vector.newBuilder[String]
     var captured = false
     val meta = scala.collection.mutable.Map.empty[String, String]
@@ -194,12 +200,15 @@ object VersionedKeyedTable {
             files(b) = files.getOrElse(b, Vector.empty) :+ f
             if (parts.length >= 4)
               stats(f) = (dec(parts(2)), dec(parts(3)))
+            if (parts.length >= 5)
+              parts(4).toLongOption.foreach(counts(f) = _)
           }
         }
       }
     }
     Some(Snapshot(v, files.toMap, touched, schema, stats.toMap,
-      if (captured) Some(changes.result()) else None, meta.toMap))
+      if (captured) Some(changes.result()) else None, meta.toMap,
+      counts.toMap))
   }
 
   private def readVersionFile(fs: FileSystem, p: Path): String =
@@ -368,6 +377,7 @@ object VersionedKeyedTable {
     * pure read-side optimization old logs simply lack. */
   private val BloomSidecar = "_blooms.tsv"
 
+  // Spark's IntegralType marker is private[sql]; enumerate explicitly
   private def isIntegralKey(
       t: org.apache.spark.sql.types.DataType): Boolean = t match {
     case org.apache.spark.sql.types.LongType |
@@ -390,7 +400,8 @@ object VersionedKeyedTable {
   private def writeDataFiles(spark: SparkSession, dir: String,
       withBucket: DataFrame, keyCol: String,
       maxRecordsPerFile: Long = 0L)
-      : (Map[Int, Seq[String]], Map[String, (String, String)]) = {
+      : (Map[Int, Seq[String]], Map[String, (String, String)],
+         Map[String, Long]) = {
     val rel = s"data/c-${java.util.UUID.randomUUID()}"
     val w = withBucket.write.partitionBy("__bucket")
     (if (maxRecordsPerFile > 0L)
@@ -409,12 +420,14 @@ object VersionedKeyedTable {
     val keyType = withBucket.schema.fields
       .find(_.name == keyCol).map(_.dataType)
     val withBloom = keyType.exists(isIntegralKey)
-    val stats =
-      if (files.valuesIterator.forall(_.isEmpty)) Map.empty[String, (String, String)]
+    val (stats, counts) =
+      if (files.valuesIterator.forall(_.isEmpty))
+        (Map.empty[String, (String, String)], Map.empty[String, Long])
       else {
         if (withBloom) graft.functions.BloomFunctions.register(spark)
         val aggs = Seq(min(col(keyCol)).cast("string").as("mn"),
-            max(col(keyCol)).cast("string").as("mx")) ++
+            max(col(keyCol)).cast("string").as("mx"),
+            count(lit(1)).as("cnt")) ++
           (if (withBloom) Seq(expr(
             // raw key longs (LongUpdater putLong), so the read side's
             // mightContainLong(key) probes the identical encoding
@@ -427,16 +440,17 @@ object VersionedKeyedTable {
             col("__bucket").cast("int").as("b"))
           .agg(aggs.head, aggs.tail: _*)
           .collect() // bounded: one row per freshly-written file
+        def relOf(r: org.apache.spark.sql.Row): String = {
+          val uri = r.getString(0)
+          s"$rel/__bucket=${r.getInt(1)}/" +
+            uri.substring(uri.lastIndexOf('/') + 1)
+        }
         if (withBloom) {
           val lines = rows.flatMap { r =>
-            if (r.isNullAt(4)) None // all-null-key file: no bloom
-            else {
-              val uri = r.getString(0)
-              val name = uri.substring(uri.lastIndexOf('/') + 1)
-              Some(s"$rel/__bucket=${r.getInt(1)}/$name\t" +
-                java.util.Base64.getEncoder.encodeToString(
-                  r.getAs[Array[Byte]](4)))
-            }
+            if (r.isNullAt(5)) None // all-null-key file: no bloom
+            else Some(relOf(r) + "\t" +
+              java.util.Base64.getEncoder.encodeToString(
+                r.getAs[Array[Byte]](5)))
           }
           if (lines.nonEmpty) {
             val out = fs.create(new Path(base, BloomSidecar), true)
@@ -444,17 +458,14 @@ object VersionedKeyedTable {
             finally out.close()
           }
         }
-        rows.flatMap { r =>
+        val st = rows.flatMap { r =>
           if (r.isNullAt(2) || r.isNullAt(3)) None // all-null-key file
-          else {
-            val uri = r.getString(0)
-            val name = uri.substring(uri.lastIndexOf('/') + 1)
-            Some(s"$rel/__bucket=${r.getInt(1)}/$name" ->
-              (r.getString(2), r.getString(3)))
-          }
+          else Some(relOf(r) -> (r.getString(2), r.getString(3)))
         }.toMap
+        val cn = rows.map(r => relOf(r) -> r.getLong(4)).toMap
+        (st, cn)
       }
-    (files, stats)
+    (files, stats, counts)
   }
 
   /** The key blooms of a snapshot's candidate files, loaded lazily per
@@ -473,13 +484,17 @@ object VersionedKeyedTable {
     byCommit.keys.flatMap { commitRel =>
       val p = new Path(s"$dir/$commitRel/$BloomSidecar")
       if (!fs.exists(p)) Seq.empty
-      else KeyedTable.readFully(fs, p).split('\n').toSeq
-        .filter(_.contains('\t')).flatMap { ln =>
-          val Array(f, b64) = ln.split('\t')
-          try Some(f -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(
-              java.util.Base64.getDecoder.decode(b64))))
-          catch { case scala.util.control.NonFatal(_) => None }
+      else KeyedTable.readFully(fs, p).split('\n').toSeq.flatMap { ln =>
+          // tolerate any malformed line (torn sidecar write): an
+          // unreadable bloom means "cannot prune", never a crash
+          try {
+            val i = ln.indexOf('\t')
+            if (i <= 0 || ln.indexOf('\t', i + 1) >= 0) None
+            else Some(ln.take(i) ->
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(
+                  java.util.Base64.getDecoder.decode(ln.drop(i + 1)))))
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
     }.toMap
   }
@@ -494,7 +509,18 @@ object VersionedKeyedTable {
       : (Seq[String], Int) = {
     val (nb, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
-    val schema = snap.schema.getOrElse(metaSchema)
+    keyFilesOf(spark, dir, keyCol, keys, snap, nb,
+      snap.schema.getOrElse(metaSchema))
+  }
+
+  /** [[keyFiles]] against an ALREADY-RESOLVED snapshot — so a read can
+    * prune and scan under ONE snapshot (resolving twice would both
+    * double the log I/O and open a window where the kept files and the
+    * schema come from different versions). */
+  private def keyFilesOf(spark: SparkSession, dir: String,
+      keyCol: String, keys: Seq[Long], snap: Snapshot, nb: Int,
+      schema: org.apache.spark.sql.types.StructType)
+      : (Seq[String], Int) = {
     import spark.implicits._
     val wanted = keys.toDF(keyCol)
       .select(col(keyCol).cast(schema(keyCol).dataType).as(keyCol))
@@ -570,7 +596,7 @@ object VersionedKeyedTable {
       commitMeta: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     writeMeta(spark, dir, numBuckets, df.schema)
-    val (files, stats) = writeDataFiles(spark, dir,
+    val (files, stats, counts) = writeDataFiles(spark, dir,
       df.withColumn("__bucket", bucketOf(keyCol, numBuckets)), keyCol)
     val fs = hfs(spark, dir)
     var v = listVersions(fs, dir).lastOption.getOrElse(0L) + 1
@@ -578,7 +604,7 @@ object VersionedKeyedTable {
       .map(b => b -> files.getOrElse(b, Seq.empty)).toMap
     while (!tryCommit(fs, dir, versionPath(dir, v),
         renderManifest(all.keySet, all, df.schema, stats, None,
-          commitMeta))) { v += 1 }
+          commitMeta, counts))) { v += 1 }
   }
 
   /** Read the table at the latest (or a named) version — snapshot
@@ -676,7 +702,8 @@ object VersionedKeyedTable {
         .unionByName(batch.drop("__bucket"), allowMissingColumns = true)
         .withColumn("__bucket", bucketOf(keyCol, nb))
         .localCheckpoint(true)
-      val (newFiles, newStats) = writeDataFiles(spark, dir, merged, keyCol)
+      val (newFiles, newStats, newCounts) =
+        writeDataFiles(spark, dir, merged, keyCol)
       val evolvedTx = org.apache.spark.sql.types.StructType(
         schema.fields ++ merged.schema.fields.filterNot(f =>
           f.name == "__bucket" || schema.fieldNames.contains(f.name)))
@@ -691,7 +718,7 @@ object VersionedKeyedTable {
       // (dead weak-scheme writer) — skip past it, derivation intact
       val content = renderManifest(myTouched, manifest, evolvedTx,
         snap.stats ++ newStats, Some(changeFiles),
-        Map(BaseKey -> snap.version.toString))
+        Map(BaseKey -> snap.version.toString), snap.counts ++ newCounts)
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -784,7 +811,8 @@ object VersionedKeyedTable {
       val merged = remerge(existing, batch)
         .withColumn("__bucket", bucketOf(keyCol, nb))
         .localCheckpoint(true) // never read a file a racer vacuums
-      val (newFiles, newStats) = writeDataFiles(spark, dir, merged, keyCol)
+      val (newFiles, newStats, newCounts) =
+        writeDataFiles(spark, dir, merged, keyCol)
       // commit-time CHANGE CAPTURE: the mutation already holds the
       // touched buckets' before (existing) and after (merged) states,
       // so the CDF rows cost one more pass over the touched region —
@@ -820,7 +848,8 @@ object VersionedKeyedTable {
         if (tryCommit(fs, dir, versionPath(dir, target),
             renderManifest(myTouched, manifest, commitSchema,
               base.stats ++ newStats, changeFiles,
-              commitMeta + (BaseKey -> base.version.toString)))) return
+              commitMeta + (BaseKey -> base.version.toString),
+              base.counts ++ newCounts))) return
         val cur0 = snapshot(spark, dir)
         val cur =
           if (cur0.version > base.version) cur0
@@ -1097,7 +1126,7 @@ object VersionedKeyedTable {
       // restore take the snapshot-diff fallback
       val content = renderManifest(touched, target.files,
         target.schema.getOrElse(metaSchema), target.stats, None,
-        Map(BaseKey -> cur.version.toString))
+        Map(BaseKey -> cur.version.toString), target.counts)
       var v = cur.version + 1
       var committed = false
       var stale = false
@@ -1153,7 +1182,15 @@ object VersionedKeyedTable {
   def cluster(spark: SparkSession, dir: String, keyCol: String,
       targetRowsPerFile: Long = 1000000L): Unit =
     rewriteBuckets(spark, dir, keyCol, "clustering",
-      pick = snap => snap.files.filter(_._2.nonEmpty).keySet,
+      // CONVERGENT pick: a bucket is already clustered when every file
+      // carries stats + a row count, no file exceeds the target, and
+      // the key intervals are pairwise disjoint (the signature a
+      // cluster rewrite leaves) — re-running on a quiet table is a
+      // no-op instead of an O(table) rewrite. Pre-counts manifests and
+      // overlapping/oversized layouts rewrite.
+      pick = snap => snap.files.filter { case (_, fs0) =>
+        fs0.nonEmpty && !isClustered(snap, fs0, targetRowsPerFile)
+      }.keySet,
       // whole buckets per task, rows sorted by (bucket, key): the
       // writer's required ordering (partition col prefix) is already
       // satisfied, so the key sort survives into the files and
@@ -1163,6 +1200,26 @@ object VersionedKeyedTable {
         rows.repartition(math.max(1, n / 4), col("__bucket"))
           .sortWithinPartitions(col("__bucket"), col(keyCol)),
       maxRecordsPerFile = math.max(1L, targetRowsPerFile))
+
+  /** Whether a bucket's files already have the layout [[cluster]]
+    * produces: full stats + counts, all within the size target, and
+    * pairwise-disjoint key intervals (numeric when both bounds parse
+    * as longs, else the string order of the recorded cast values). */
+  private def isClustered(snap: Snapshot, fs0: Seq[String],
+      targetRowsPerFile: Long): Boolean = {
+    if (!fs0.forall(f => snap.stats.contains(f) &&
+        snap.counts.get(f).exists(_ <= targetRowsPerFile))) return false
+    val ivs = fs0.map(snap.stats)
+    val numeric = ivs.forall { case (a, b) =>
+      a.toLongOption.isDefined && b.toLongOption.isDefined }
+    val sorted =
+      if (numeric) ivs.sortBy(_._1.toLong) else ivs.sorted
+    sorted.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) =>
+        if (numeric) hi.toLong < lo2.toLong else hi < lo2
+      case _ => true
+    }
+  }
 
   /** The shared maintenance-rewrite core behind [[compact]] and
     * [[cluster]]: pick buckets off the current snapshot, rewrite their
@@ -1193,14 +1250,14 @@ object VersionedKeyedTable {
         .map(f => s"$dir/$f")
       val rows = spark.read.schema(schema).parquet(paths: _*)
         .withColumn("__bucket", bucketOf(keyCol, nb))
-      val (newFiles, newStats) = writeDataFiles(spark, dir,
+      val (newFiles, newStats, newCounts) = writeDataFiles(spark, dir,
         shape(rows, picked.size).localCheckpoint(true), keyCol,
         maxRecordsPerFile)
       val manifest = snap.files ++
         picked.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
       val content = renderManifest(picked, manifest, schema,
         snap.stats ++ newStats, Some(Seq.empty),
-        Map(BaseKey -> snap.version.toString))
+        Map(BaseKey -> snap.version.toString), snap.counts ++ newCounts)
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -1303,14 +1360,15 @@ object VersionedKeyedTable {
     require(keys.size <= 100000,
       s"readKeys is for bounded point lookups (${keys.size} keys); " +
         "join against read() for larger key sets")
-    val (_, metaSchema) = readMeta(spark, dir)
+    val (nb, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
     val schema = snap.schema.getOrElse(metaSchema)
     // hash under the TABLE's key type: xxhash64 is physical-type-
     // sensitive (hash of 5: Int != 5: Long), so a literal Long list
     // against e.g. an Int key column must be cast before bucketing
-    // (keyFiles applies the same cast before bucketing)
-    val (kept, _) = keyFiles(spark, dir, keyCol, keys, version)
+    // (keyFilesOf applies the same cast; pruning and scan share THIS
+    // snapshot, so a concurrent commit cannot split them)
+    val (kept, _) = keyFilesOf(spark, dir, keyCol, keys, snap, nb, schema)
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(
@@ -1361,7 +1419,10 @@ object VersionedKeyedTable {
         else org.apache.hadoop.fs.FileUtil.copy(
           fs, src, fs, dst, false, spark.sparkContext.hadoopConfiguration)
       } catch {
-        case _: java.io.FileNotFoundException =>
+        // createLink throws nio NoSuchFileException, FileUtil.copy the
+        // io one — neither is a subclass of the other
+        case _: java.io.FileNotFoundException |
+             _: java.nio.file.NoSuchFileException =>
           throw new IllegalStateException(
             s"cloneAt raced a vacuum on $srcDir (missing $rel) — " +
               "retry against a retained version")
@@ -1370,7 +1431,7 @@ object VersionedKeyedTable {
     var v = 1L
     val content = renderManifest(snap.files.keySet, snap.files, schema,
       snap.stats, None,
-      Map("graft.clonedFrom" -> s"$srcDir@v${snap.version}"))
+      Map("graft.clonedFrom" -> s"$srcDir@v${snap.version}"), snap.counts)
     while (!tryCommit(fs, dstDir, versionPath(dstDir, v), content)) v += 1
   }
 

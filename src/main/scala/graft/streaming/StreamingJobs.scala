@@ -413,7 +413,7 @@ object StreamingJobs {
     * DuckDB ASOF LEFT JOIN under the same cutoff. */
   def streamingAsOfJoin(spark: SparkSession, sfDir: String,
       stagingDir: String, nFiles: Int = 4,
-      delay: String = "1 hour", delayMs: Long = 3600000L): DataFrame = {
+      delayMs: Long = 3600000L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // stage the two event types as time-ordered micro-batch files (the
@@ -430,7 +430,7 @@ object StreamingJobs {
     val schema = spark.read.parquet(stagingDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stagingDir)
-      .withWatermark("ts", delay)
+      .withWatermark("ts", s"$delayMs milliseconds")
       // the watermark-tagged event-time column must stay in the
       // stateful operator's input (event-time timeouts require it)
       .select(col("user_id"), col("event_id"), col("is_left"),
@@ -467,12 +467,18 @@ object StreamingJobs {
       if (st2.lefts.isEmpty && st2.rights.isEmpty) state.remove()
       else {
         state.update(st2)
-        if (st2.lefts.nonEmpty) {
-          // wake this key when the watermark passes its oldest pending
-          // left (must arm strictly above the current watermark)
+        // wake this key when the watermark passes its oldest pending
+        // work: an unfinalized left, OR a future right that will need
+        // compacting down to the single carry row once the watermark
+        // passes it (without this, a quiet key's right buffer would be
+        // retained forever — state must converge to carry-row-only).
+        // Must arm strictly above the current watermark.
+        val wake = st2.lefts.map(_.ms) ++
+          st2.rights.map(_.ms).filter(_ > wmUs)
+        if (wake.nonEmpty) {
           val wmMs = state.getCurrentWatermarkMs()
           state.setTimeoutTimestamp(
-            math.max(st2.lefts.map(_.ms).min / 1000L, wmMs + 1L))
+            math.max(wake.min / 1000L, wmMs + 1L))
         }
       }
       out.iterator

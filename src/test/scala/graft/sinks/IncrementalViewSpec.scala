@@ -106,6 +106,16 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(viewOf(viewDir)("a") === ((3L, 80L)),
       "the committed prefix must not re-apply under a stale caller span")
     assert(viewOf(viewDir) === recompute(baseDir))
+    // the OTHER direction: a span starting ABOVE the watermark must
+    // not skip the (watermark, from] gap — the durable watermark is
+    // authoritative over the caller's fromVersion entirely
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((5L, "a", 50L)).toDF("k", "g", "v"), "k") // v4 (unapplied)
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((6L, "b", 60L)).toDF("k", "g", "v"), "k") // v5
+    IncrementalView.refresh(spark, baseDir, viewDir, "k", "g", "v", 4L, 5L)
+    assert(viewOf(viewDir) === recompute(baseDir),
+      "a gap span must refresh from the watermark, never skip changes")
   }
 
   test("REAL race: writers commit to the base while the maintainer " +

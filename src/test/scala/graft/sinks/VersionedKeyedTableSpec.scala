@@ -1012,6 +1012,19 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     assert(contents(dir) === rows.toMap, "content unchanged")
     assert(VersionedKeyedTable.readRange(spark, dir, "k", 100L, 200L)
       .count() === 101L)
+    // CONVERGENCE: a second cluster() on the already-clustered table
+    // is a no-op — no rewrite, no new version (the periodic-
+    // maintenance usage must not re-pay O(table) every run)
+    VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 500L)
+    assert(VersionedKeyedTable.snapshot(spark, dir).version ===
+      after.version, "re-clustering a clustered table must be a no-op")
+    // but a mutation that breaks the layout re-triggers it
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((5000L, "x")).toDF("k", "v"), "k")
+    VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 500L)
+    assert(VersionedKeyedTable.snapshot(spark, dir).version >
+      after.version + 1, "a post-mutation cluster must rewrite again")
+    assert(contents(dir) === rows.toMap + (5000L -> "x"))
   }
 
   test("bloom sidecars: non-integral keys write none (lookups still " +
