@@ -489,6 +489,45 @@ object StorageQueries2 {
     VersionedKeyedTable.readRange(s, dir, "k", 1000L, 5000L)
   }
 
+  /** SECONDARY-COLUMN data skipping: hash bucketing spreads any
+    * o_custkey range over every bucket and the KEY zone maps say
+    * nothing about it — `clusterBy(ck)` sorts each bucket on the
+    * secondary column and stamps named per-file (min, max) maps into
+    * the manifest, which later mutations INHERIT, so a ck-localized
+    * read prunes to covering files across the mixed post-upsert
+    * layout. Requires pin that nothing pruned before, that clustering
+    * prunes after, and that the upsert's fresh files carry the map;
+    * the oracle pins exactness. The OPTIMIZE-BY-other-column story at
+    * 100 TB: one bucket-local rewrite buys file-granularity pruning on
+    * a second dimension. */
+  val versionedSecondarySkipping = sql("versioned_secondary_skipping",
+    s"""SELECT o_orderkey AS k, o_custkey AS ck,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+            + CASE WHEN o_orderkey % 1000 = 0 THEN 7 ELSE 0 END AS cents
+        FROM orders WHERE o_custkey BETWEEN 100 AND 400""") { (s, d) =>
+    val dir = scratch("sec")
+    val ord = Tables.orders(s, d)
+    val base = ord.select(col("o_orderkey").as("k"),
+      col("o_custkey").as("ck"),
+      (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
+    VersionedKeyedTable.create(base.repartition(8), dir, "k", CheckBuckets)
+    val (keptBefore, _) =
+      VersionedKeyedTable.rangeFilesOn(s, dir, "ck", 100L, 400L)
+    VersionedKeyedTable.clusterBy(s, dir, "k", "ck",
+      targetRowsPerFile = math.max(100L, base.count() / 32))
+    val (kept, total) =
+      VersionedKeyedTable.rangeFilesOn(s, dir, "ck", 100L, 400L)
+    require(kept.size < keptBefore.size && kept.size < total,
+      s"secondary maps must prune (kept ${keptBefore.size} -> " +
+        s"${kept.size} of $total)")
+    // an ordinary upsert inherits the ck stats column; the read stays
+    // exact across the mixed clustered + fresh layout
+    VersionedKeyedTable.upsert(s, dir,
+      base.filter(col("k") % 1000 === 0)
+        .withColumn("cents", col("cents") + 7L), "k")
+    VersionedKeyedTable.readRangeOn(s, dir, "ck", 100L, 400L)
+  }
+
   /** SHALLOW CLONE: the orders table is branched at v2 with ZERO data
     * copied (hard links to the source's immutable files), then the two
     * tables diverge — the clone deletes a slice, the source doubles
@@ -573,7 +612,8 @@ object StorageQueries2 {
 
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
     versionedRestore, versionedDataSkipping, versionedBloomSkipping,
-    versionedClusterSkipping, versionedClone, ivmRefresh,
+    versionedClusterSkipping, versionedSecondarySkipping,
+    versionedClone, ivmRefresh,
     versionedCompact, curationFeed, annIndexCdf,
     versionedQueryPushdown)
 }

@@ -95,7 +95,8 @@ object VersionedKeyedTable {
       stats: Map[String, (String, String)] = Map.empty,
       changes: Option[Seq[String]] = None,
       meta: Map[String, String] = Map.empty,
-      counts: Map[String, Long] = Map.empty)
+      counts: Map[String, Long] = Map.empty,
+      extraStats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   /** Commit-metadata key every writer stamps with the version its
     * commit was BUILT ON. The base pointers make the table's true
@@ -121,7 +122,8 @@ object VersionedKeyedTable {
       stats: Map[String, (String, String)],
       changes: Option[Seq[String]],
       meta: Map[String, String] = Map.empty,
-      counts: Map[String, Long] = Map.empty): String = {
+      counts: Map[String, Long] = Map.empty,
+      extraStats: Map[String, Map[String, (String, String)]] = Map.empty): String = {
     val sb = new StringBuilder
     sb.append("touched\t").append(touched.toSeq.sorted.mkString(","))
       .append('\n')
@@ -154,7 +156,17 @@ object VersionedKeyedTable {
         // metadata; old manifests without it parse fine)
         stats.get(f).foreach { case (mn, mx) =>
           sb.append('\t').append(enc(mn)).append('\t').append(enc(mx))
-          counts.get(f).foreach(c => sb.append('\t').append(c))
+          counts.get(f).foreach { c =>
+            sb.append('\t').append(c)
+            // SECONDARY-column zone maps as named (col, min, max)
+            // triples — self-describing, so readers need no catalog
+            // and old manifests without them parse fine
+            extraStats.getOrElse(f, Map.empty).toSeq.sortBy(_._1)
+              .foreach { case (cName, (a, b)) =>
+                sb.append('\t').append(enc(cName))
+                  .append('\t').append(enc(a)).append('\t').append(enc(b))
+              }
+          }
         }
         sb.append('\n')
       }
@@ -179,6 +191,8 @@ object VersionedKeyedTable {
     val files = scala.collection.mutable.Map.empty[Int, Vector[String]]
     val stats = scala.collection.mutable.Map.empty[String, (String, String)]
     val counts = scala.collection.mutable.Map.empty[String, Long]
+    val extras = scala.collection.mutable
+      .Map.empty[String, Map[String, (String, String)]]
     val changes = Vector.newBuilder[String]
     var captured = false
     val meta = scala.collection.mutable.Map.empty[String, String]
@@ -202,13 +216,18 @@ object VersionedKeyedTable {
               stats(f) = (dec(parts(2)), dec(parts(3)))
             if (parts.length >= 5)
               parts(4).toLongOption.foreach(counts(f) = _)
+            if (parts.length >= 8) {
+              val triples = (5 until parts.length - 2 by 3).map(i =>
+                dec(parts(i)) -> (dec(parts(i + 1)), dec(parts(i + 2))))
+              if (triples.nonEmpty) extras(f) = triples.toMap
+            }
           }
         }
       }
     }
     Some(Snapshot(v, files.toMap, touched, schema, stats.toMap,
       if (captured) Some(changes.result()) else None, meta.toMap,
-      counts.toMap))
+      counts.toMap, extras.toMap))
   }
 
   private def readVersionFile(fs: FileSystem, p: Path): String =
@@ -399,9 +418,11 @@ object VersionedKeyedTable {
     * data schema. */
   private def writeDataFiles(spark: SparkSession, dir: String,
       withBucket: DataFrame, keyCol: String,
-      maxRecordsPerFile: Long = 0L)
+      maxRecordsPerFile: Long = 0L,
+      statsCols: Seq[String] = Nil)
       : (Map[Int, Seq[String]], Map[String, (String, String)],
-         Map[String, Long]) = {
+         Map[String, Long],
+         Map[String, Map[String, (String, String)]]) = {
     val rel = s"data/c-${java.util.UUID.randomUUID()}"
     val w = withBucket.write.partitionBy("__bucket")
     (if (maxRecordsPerFile > 0L)
@@ -420,9 +441,13 @@ object VersionedKeyedTable {
     val keyType = withBucket.schema.fields
       .find(_.name == keyCol).map(_.dataType)
     val withBloom = keyType.exists(isIntegralKey)
-    val (stats, counts) =
+    // secondary stats only for columns the batch actually carries
+    val extraCols = statsCols.distinct
+      .filter(c => c != keyCol && withBucket.columns.contains(c))
+    val (stats, counts, extra) =
       if (files.valuesIterator.forall(_.isEmpty))
-        (Map.empty[String, (String, String)], Map.empty[String, Long])
+        (Map.empty[String, (String, String)], Map.empty[String, Long],
+          Map.empty[String, Map[String, (String, String)]])
       else {
         if (withBloom) graft.functions.BloomFunctions.register(spark)
         val aggs = Seq(min(col(keyCol)).cast("string").as("mn"),
@@ -434,7 +459,10 @@ object VersionedKeyedTable {
             s"graft_bloom_agg(CAST(`$keyCol` AS BIGINT), " +
               s"${math.max(1, bloomBitsPerFile / 8)}L, " +
               s"${bloomBitsPerFile}L)").as("bloom"))
-          else Seq.empty)
+          else Seq.empty) ++
+          extraCols.flatMap(c => Seq(
+            min(col(c)).cast("string").as(s"mn_$c"),
+            max(col(c)).cast("string").as(s"mx_$c")))
         val rows = spark.read.parquet(s"$dir/$rel")
           .groupBy(input_file_name().as("f"),
             col("__bucket").cast("int").as("b"))
@@ -463,10 +491,28 @@ object VersionedKeyedTable {
           else Some(relOf(r) -> (r.getString(2), r.getString(3)))
         }.toMap
         val cn = rows.map(r => relOf(r) -> r.getLong(4)).toMap
-        (st, cn)
+        val extraBase = if (withBloom) 6 else 5
+        val ex = rows.flatMap { r =>
+          val perCol = extraCols.zipWithIndex.flatMap { case (c, i) =>
+            val (mnI, mxI) = (extraBase + 2 * i, extraBase + 2 * i + 1)
+            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+            else Some(c -> (r.getString(mnI), r.getString(mxI)))
+          }.toMap
+          if (perCol.isEmpty) None else Some(relOf(r) -> perCol)
+        }.toMap
+        (st, cn, ex)
       }
-    (files, stats, counts)
+    (files, stats, counts, extra)
   }
+
+  /** The secondary-stats column set a mutation must maintain: whatever
+    * columns the current snapshot's files already carry extra stats
+    * for — self-propagating, so one clusterBy (or a stats-collecting
+    * create) keeps the pruning dimension alive across later upserts
+    * without any catalog. */
+  private def inheritedStatsCols(snap: Snapshot): Seq[String] =
+    snap.extraStats.valuesIterator.flatMap(_.keysIterator)
+      .toSet.toSeq.sorted
 
   /** The key blooms of a snapshot's candidate files, loaded lazily per
     * COMMIT DIR (one sidecar read covers every candidate in that
@@ -593,18 +639,20 @@ object VersionedKeyedTable {
     * replace committed as the next version of an existing table). */
   def create(df: DataFrame, dir: String, keyCol: String,
       numBuckets: Int = 16,
-      commitMeta: Map[String, String] = Map.empty): Unit = {
+      commitMeta: Map[String, String] = Map.empty,
+      statsColumns: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     writeMeta(spark, dir, numBuckets, df.schema)
-    val (files, stats, counts) = writeDataFiles(spark, dir,
-      df.withColumn("__bucket", bucketOf(keyCol, numBuckets)), keyCol)
+    val (files, stats, counts, extra) = writeDataFiles(spark, dir,
+      df.withColumn("__bucket", bucketOf(keyCol, numBuckets)), keyCol,
+      statsCols = statsColumns)
     val fs = hfs(spark, dir)
     var v = listVersions(fs, dir).lastOption.getOrElse(0L) + 1
     val all = (0 until numBuckets)
       .map(b => b -> files.getOrElse(b, Seq.empty)).toMap
     while (!tryCommit(fs, dir, versionPath(dir, v),
         renderManifest(all.keySet, all, df.schema, stats, None,
-          commitMeta, counts))) { v += 1 }
+          commitMeta, counts, extra))) { v += 1 }
   }
 
   /** Read the table at the latest (or a named) version — snapshot
@@ -702,8 +750,9 @@ object VersionedKeyedTable {
         .unionByName(batch.drop("__bucket"), allowMissingColumns = true)
         .withColumn("__bucket", bucketOf(keyCol, nb))
         .localCheckpoint(true)
-      val (newFiles, newStats, newCounts) =
-        writeDataFiles(spark, dir, merged, keyCol)
+      val (newFiles, newStats, newCounts, newExtra) =
+        writeDataFiles(spark, dir, merged, keyCol,
+          statsCols = inheritedStatsCols(snap))
       val evolvedTx = org.apache.spark.sql.types.StructType(
         schema.fields ++ merged.schema.fields.filterNot(f =>
           f.name == "__bucket" || schema.fieldNames.contains(f.name)))
@@ -718,7 +767,8 @@ object VersionedKeyedTable {
       // (dead weak-scheme writer) — skip past it, derivation intact
       val content = renderManifest(myTouched, manifest, evolvedTx,
         snap.stats ++ newStats, Some(changeFiles),
-        Map(BaseKey -> snap.version.toString), snap.counts ++ newCounts)
+        Map(BaseKey -> snap.version.toString), snap.counts ++ newCounts,
+        snap.extraStats ++ newExtra)
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -811,8 +861,9 @@ object VersionedKeyedTable {
       val merged = remerge(existing, batch)
         .withColumn("__bucket", bucketOf(keyCol, nb))
         .localCheckpoint(true) // never read a file a racer vacuums
-      val (newFiles, newStats, newCounts) =
-        writeDataFiles(spark, dir, merged, keyCol)
+      val (newFiles, newStats, newCounts, newExtra) =
+        writeDataFiles(spark, dir, merged, keyCol,
+          statsCols = inheritedStatsCols(snap))
       // commit-time CHANGE CAPTURE: the mutation already holds the
       // touched buckets' before (existing) and after (merged) states,
       // so the CDF rows cost one more pass over the touched region —
@@ -849,7 +900,8 @@ object VersionedKeyedTable {
             renderManifest(myTouched, manifest, commitSchema,
               base.stats ++ newStats, changeFiles,
               commitMeta + (BaseKey -> base.version.toString),
-              base.counts ++ newCounts))) return
+              base.counts ++ newCounts,
+              base.extraStats ++ newExtra))) return
         val cur0 = snapshot(spark, dir)
         val cur =
           if (cur0.version > base.version) cur0
@@ -1126,7 +1178,8 @@ object VersionedKeyedTable {
       // restore take the snapshot-diff fallback
       val content = renderManifest(touched, target.files,
         target.schema.getOrElse(metaSchema), target.stats, None,
-        Map(BaseKey -> cur.version.toString), target.counts)
+        Map(BaseKey -> cur.version.toString), target.counts,
+        target.extraStats)
       var v = cur.version + 1
       var committed = false
       var stale = false
@@ -1189,7 +1242,8 @@ object VersionedKeyedTable {
       // no-op instead of an O(table) rewrite. Pre-counts manifests and
       // overlapping/oversized layouts rewrite.
       pick = snap => snap.files.filter { case (_, fs0) =>
-        fs0.nonEmpty && !isClustered(snap, fs0, targetRowsPerFile)
+        fs0.nonEmpty &&
+          !isClustered(snap, fs0, targetRowsPerFile, snap.stats.get)
       }.keySet,
       // whole buckets per task, rows sorted by (bucket, key): the
       // writer's required ordering (partition col prefix) is already
@@ -1201,15 +1255,39 @@ object VersionedKeyedTable {
           .sortWithinPartitions(col("__bucket"), col(keyCol)),
       maxRecordsPerFile = math.max(1L, targetRowsPerFile))
 
-  /** Whether a bucket's files already have the layout [[cluster]]
-    * produces: full stats + counts, all within the size target, and
-    * pairwise-disjoint key intervals (numeric when both bounds parse
-    * as longs, else the string order of the recorded cast values). */
+  /** [[cluster]] on a SECONDARY column: each bucket's rows are sorted
+    * by `byCol` (key as tiebreak) and split at `targetRowsPerFile`, and
+    * from this commit on every file carries a named (min, max) zone map
+    * for `byCol` in the manifest — later mutations inherit the column
+    * automatically (inheritedStatsCols), so the pruning dimension
+    * survives ordinary upserts. [[readRangeOn]] then prunes range
+    * queries on `byCol` the way [[readRange]] does on the key — the
+    * OPTIMIZE-BY-other-column layout (one dimension; compose
+    * `functions.Layout.zkey` into a derived column for true 2-D). */
+  def clusterBy(spark: SparkSession, dir: String, keyCol: String,
+      byCol: String, targetRowsPerFile: Long = 1000000L): Unit =
+    rewriteBuckets(spark, dir, keyCol, s"clustering by $byCol",
+      pick = snap => snap.files.filter { case (_, fs0) =>
+        fs0.nonEmpty && !isClustered(snap, fs0, targetRowsPerFile,
+          f => snap.extraStats.get(f).flatMap(_.get(byCol)))
+      }.keySet,
+      shape = (rows, n) =>
+        rows.repartition(math.max(1, n / 4), col("__bucket"))
+          .sortWithinPartitions(col("__bucket"), col(byCol), col(keyCol)),
+      maxRecordsPerFile = math.max(1L, targetRowsPerFile),
+      ensureStatsCols = Seq(byCol))
+
+  /** Whether a bucket's files already have the layout a cluster
+    * rewrite produces along the dimension `statsOf` reads: full stats
+    * + counts, all within the size target, and pairwise-disjoint
+    * intervals (numeric when both bounds parse as longs, else the
+    * string order of the recorded cast values). */
   private def isClustered(snap: Snapshot, fs0: Seq[String],
-      targetRowsPerFile: Long): Boolean = {
-    if (!fs0.forall(f => snap.stats.contains(f) &&
+      targetRowsPerFile: Long,
+      statsOf: String => Option[(String, String)]): Boolean = {
+    if (!fs0.forall(f => statsOf(f).isDefined &&
         snap.counts.get(f).exists(_ <= targetRowsPerFile))) return false
-    val ivs = fs0.map(snap.stats)
+    val ivs = fs0.flatMap(statsOf)
     val numeric = ivs.forall { case (a, b) =>
       a.toLongOption.isDefined && b.toLongOption.isDefined }
     val sorted =
@@ -1232,7 +1310,8 @@ object VersionedKeyedTable {
       keyCol: String, label: String,
       pick: Snapshot => Set[Int],
       shape: (DataFrame, Int) => DataFrame,
-      maxRecordsPerFile: Long): Unit = {
+      maxRecordsPerFile: Long,
+      ensureStatsCols: Seq[String] = Nil): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
     val fs = hfs(spark, dir)
     var attempts = 0
@@ -1250,14 +1329,18 @@ object VersionedKeyedTable {
         .map(f => s"$dir/$f")
       val rows = spark.read.schema(schema).parquet(paths: _*)
         .withColumn("__bucket", bucketOf(keyCol, nb))
-      val (newFiles, newStats, newCounts) = writeDataFiles(spark, dir,
-        shape(rows, picked.size).localCheckpoint(true), keyCol,
-        maxRecordsPerFile)
+      val (newFiles, newStats, newCounts, newExtra) =
+        writeDataFiles(spark, dir,
+          shape(rows, picked.size).localCheckpoint(true), keyCol,
+          maxRecordsPerFile,
+          statsCols = (inheritedStatsCols(snap) ++ ensureStatsCols)
+            .distinct)
       val manifest = snap.files ++
         picked.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
       val content = renderManifest(picked, manifest, schema,
         snap.stats ++ newStats, Some(Seq.empty),
-        Map(BaseKey -> snap.version.toString), snap.counts ++ newCounts)
+        Map(BaseKey -> snap.version.toString), snap.counts ++ newCounts,
+        snap.extraStats ++ newExtra)
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -1316,6 +1399,48 @@ object VersionedKeyedTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
     df.where(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** [[rangeFiles]] on a SECONDARY column's named zone maps (written
+    * by [[clusterBy]] and inherited by later mutations): (files kept,
+    * total). Files without a recorded map for `statCol` are never
+    * pruned. */
+  def rangeFilesOn(spark: SparkSession, dir: String, statCol: String,
+      lo: Long, hi: Long, version: Option[Long] = None)
+      : (Seq[String], Int) = {
+    val snap = snapshot(spark, dir, version)
+    val all = snap.files.values.flatten.toSeq
+    val kept = all.filter { f =>
+      snap.extraStats.get(f).flatMap(_.get(statCol)) match {
+        case Some((mn, mx)) =>
+          (mn.toLongOption, mx.toLongOption) match {
+            case (Some(a), Some(b)) => !(b < lo || a > hi)
+            case _ => true
+          }
+        case None => true // no map recorded for this column: must read
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** Range read on a SECONDARY column with data skipping through its
+    * named zone maps — [[readRange]]'s pruning on a non-key dimension.
+    * Hash bucketing spreads ANY value range over every bucket, and the
+    * key zone maps say nothing about other columns; after a
+    * [[clusterBy]] the named per-file maps are tight, so a
+    * `statCol`-localized query touches only covering files. */
+  def readRangeOn(spark: SparkSession, dir: String, statCol: String,
+      lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
+    val (_, metaSchema) = readMeta(spark, dir)
+    val snap = snapshot(spark, dir, version)
+    val schema = snap.schema.getOrElse(metaSchema)
+    val (kept, _) = rangeFilesOn(spark, dir, statCol, lo, hi, version)
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
+    df.where(col(statCol) >= lo && col(statCol) <= hi)
   }
 
   /** The table as a CATALYST-INTEGRATED DataFrame: any `WHERE` clause
@@ -1431,7 +1556,8 @@ object VersionedKeyedTable {
     var v = 1L
     val content = renderManifest(snap.files.keySet, snap.files, schema,
       snap.stats, None,
-      Map("graft.clonedFrom" -> s"$srcDir@v${snap.version}"), snap.counts)
+      Map("graft.clonedFrom" -> s"$srcDir@v${snap.version}"), snap.counts,
+      snap.extraStats)
     while (!tryCommit(fs, dstDir, versionPath(dstDir, v), content)) v += 1
   }
 

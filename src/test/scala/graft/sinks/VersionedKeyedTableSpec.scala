@@ -866,6 +866,57 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
         "(data AND captured-change files)")
   }
 
+  test("clusterBy: secondary-column zone maps prune reads on a non-key " +
+      "dimension, converge, and survive later upserts (inherited stats)") {
+    val dir = freshDir()
+    val rnd = new scala.util.Random(13)
+    // c is decorrelated from k, so neither key order nor key zone maps
+    // say anything about a c-range — only the named maps can prune
+    val rows = rnd.shuffle((1L to 4000L).toVector)
+      .map(k => (k, (k * 7919L) % 4000L, s"v$k"))
+    VersionedKeyedTable.create(
+      rows.toDF("k", "c", "v").repartition(8), dir, "k", numBuckets = 2)
+    val (keptBefore, total) =
+      VersionedKeyedTable.rangeFilesOn(spark, dir, "c", 100L, 300L)
+    assert(keptBefore.size === total, "no named maps yet: nothing prunes")
+    VersionedKeyedTable.clusterBy(spark, dir, "k", "c",
+      targetRowsPerFile = 500L)
+    val after = VersionedKeyedTable.snapshot(spark, dir)
+    val (kept, total2) =
+      VersionedKeyedTable.rangeFilesOn(spark, dir, "c", 100L, 300L)
+    assert(kept.size < total2 / 2,
+      s"named maps must prune the c-range (kept ${kept.size}/$total2)")
+    // per-bucket c-intervals disjoint: the secondary sort survived
+    after.files.foreach { case (_, fs0) =>
+      val ivs = fs0.flatMap(f => after.extraStats.get(f).flatMap(_.get("c")))
+        .map { case (a, b) => (a.toLong, b.toLong) }.sortBy(_._1)
+      ivs.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi < lo2)
+        case _ => ()
+      }
+    }
+    val expect = rows.filter(r => r._2 >= 100L && r._2 <= 300L).toSet
+    assert(VersionedKeyedTable.readRangeOn(spark, dir, "c", 100L, 300L)
+      .as[(Long, Long, String)].collect().toSet === expect)
+    // convergence: re-running is a no-op
+    VersionedKeyedTable.clusterBy(spark, dir, "k", "c",
+      targetRowsPerFile = 500L)
+    assert(VersionedKeyedTable.snapshot(spark, dir).version ===
+      after.version)
+    // inheritance: an ordinary upsert's new files carry c maps too,
+    // and the read stays exact across the mixed layout
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((9001L, 150L, "NEW")).toDF("k", "c", "v"), "k")
+    val snap3 = VersionedKeyedTable.snapshot(spark, dir)
+    val newFiles = snap3.files.values.flatten.toSet --
+      after.files.values.flatten.toSet
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(f => snap3.extraStats.get(f).exists(_.contains("c"))),
+      "mutations must inherit the secondary-stats column")
+    assert(VersionedKeyedTable.readRangeOn(spark, dir, "c", 100L, 300L)
+      .count() === expect.size + 1L)
+  }
+
   test("compliance purge: delete(captureChanges=false) + vacuum " +
       "leaves NO byte-level trace of the keys anywhere under the table") {
     val dir = freshDir()
