@@ -213,6 +213,19 @@ object PlanAudit {
       "everything), then applies the residual isin filter. Blooms " +
       "load one sidecar per commit dir, never per file; the decade " +
       "probe holds kept at O(probes) while candidates grow 10x."),
+    "versioned_secondary_skipping" -> ("Secondary-column zone maps: " +
+      "clusterBy(ck) sorts each bucket on the non-key column and " +
+      "stamps named per-file (min, max) triples into the manifest; " +
+      "the terminal ck-range read scans only covering files (requires " +
+      "pin no-prune-before vs prune-after), and a later upsert's " +
+      "fresh files INHERIT the stats column so the read stays exact " +
+      "across the mixed layout."),
+    "versioned_secondary_pushdown" -> ("Catalyst face of the named " +
+      "maps: the WHERE clause on the SECONDARY column reaches " +
+      "ZoneMapFileIndex.listFiles (per-column bounds over key + every " +
+      "named stats column) before split planning — in-row require " +
+      "pins kept < total; the pruned scan feeds the grouped aggregate " +
+      "like any parquet relation."),
     "versioned_cluster_skipping" -> ("Clustered layout: after " +
       "cluster() the terminal range read scans only the files whose " +
       "now-disjoint key intervals cover [lo, hi] (in-row requires pin " +

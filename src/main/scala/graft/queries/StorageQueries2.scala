@@ -610,10 +610,42 @@ object StorageQueries2 {
     out
   }
 
+  /** SECONDARY-column pruning through CATALYST: after clusterBy(ck)
+    * the table's DataFrame prunes files from a WHERE clause on the
+    * SECONDARY column at planning time (ZoneMapFileIndex reads the
+    * named manifest maps) — no explicit range call, composing with the
+    * downstream aggregate. The require pins that the ck predicate
+    * itself drove file pruning on a layout where key zone maps know
+    * nothing. */
+  val versionedSecondaryPushdown = sql("versioned_secondary_pushdown",
+    s"""SELECT o_custkey AS ck, count(*) AS cnt,
+          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+            AS BIGINT)) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey BETWEEN 50 AND 120
+        GROUP BY o_custkey""") { (s, d) =>
+    val dir = scratch("secpush")
+    val ord = Tables.orders(s, d)
+    VersionedKeyedTable.create(
+      ord.select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
+        .repartition(8), dir, "k", CheckBuckets)
+    VersionedKeyedTable.clusterBy(s, dir, "k", "ck",
+      targetRowsPerFile = math.max(100L, ord.count() / 32))
+    val (df, idx) = VersionedKeyedTable.tableIndexed(s, dir, "k")
+    val out = df.where(col("ck") >= 50L && col("ck") <= 120L)
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("cents"))
+      .localCheckpoint(true) // execute now so the prune count is real
+    val (kept, total) = idx.lastListed
+    require(kept < total,
+      s"the secondary WHERE clause must drive pruning ($kept/$total)")
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
     versionedRestore, versionedDataSkipping, versionedBloomSkipping,
     versionedClusterSkipping, versionedSecondarySkipping,
     versionedClone, ivmRefresh,
     versionedCompact, curationFeed, annIndexCdf,
-    versionedQueryPushdown)
+    versionedQueryPushdown, versionedSecondaryPushdown)
 }

@@ -65,6 +65,24 @@ final class ZoneMapFileIndex(
       }
     }.toMap
 
+  /** Named SECONDARY-column maps (written by clusterBy, inherited by
+    * mutations): path → column → numeric (min, max). Predicates on any
+    * of these columns prune exactly like key predicates. */
+  private val extraByPath: Map[Path, Map[String, (Long, Long)]] =
+    relFiles.zip(statuses).flatMap { case (rel, st) =>
+      val perCol = snap.extraStats.getOrElse(rel, Map.empty)
+        .flatMap { case (c, (mn, mx)) =>
+          (mn.toLongOption, mx.toLongOption) match {
+            case (Some(a), Some(b)) => Some(c -> (a, b))
+            case _ => None
+          }
+        }
+      if (perCol.isEmpty) None else Some(st.getPath -> perCol)
+    }.toMap
+
+  private val extraCols: Set[String] =
+    extraByPath.valuesIterator.flatMap(_.keysIterator).toSet
+
   /** Observability for specs and in-row assertions: (files listed for
     * the last query, total files in the snapshot). */
   @volatile var lastListed: (Int, Int) = (relFiles.size, relFiles.size)
@@ -81,9 +99,10 @@ final class ZoneMapFileIndex(
     case other => Seq(other)
   }
 
-  private def isKey(e: Expression): Boolean = e match {
-    case a: Attribute => a.name == keyCol
-    case _ => false
+  private def nameOf(e: Expression): Option[String] = e match {
+    case a: Attribute if a.name == keyCol || extraCols(a.name) =>
+      Some(a.name)
+    case _ => None
   }
 
   private def longLit(e: Expression): Option[Long] = e match {
@@ -92,53 +111,78 @@ final class ZoneMapFileIndex(
     case _ => None
   }
 
-  /** The key interval [lo, hi] implied by the filters' key conjuncts
-    * (None bound = unbounded); IN-sets contribute their min/max. */
-  private def keyBounds(filters: Seq[Expression])
-      : (Option[Long], Option[Long]) = {
-    var lo = Option.empty[Long]
-    var hi = Option.empty[Long]
-    def raiseLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
-    def lowerHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+  /** Per-COLUMN intervals [lo, hi] implied by the filters' conjuncts
+    * over the key column and every named stats column (None bound =
+    * unbounded); IN-sets contribute their min/max. */
+  private def colBounds(filters: Seq[Expression])
+      : Map[String, (Option[Long], Option[Long])] = {
+    val bounds = scala.collection.mutable
+      .Map.empty[String, (Option[Long], Option[Long])]
+    def raiseLo(c: String, v: Long): Unit = {
+      val (lo, hi) = bounds.getOrElse(c, (None, None))
+      bounds(c) = (Some(lo.fold(v)(math.max(_, v))), hi)
+    }
+    def lowerHi(c: String, v: Long): Unit = {
+      val (lo, hi) = bounds.getOrElse(c, (None, None))
+      bounds(c) = (lo, Some(hi.fold(v)(math.min(_, v))))
+    }
     filters.flatMap(conjuncts).foreach {
-      case EqualTo(a, l) if isKey(a) && longLit(l).isDefined =>
-        raiseLo(longLit(l).get); lowerHi(longLit(l).get)
-      case EqualTo(l, a) if isKey(a) && longLit(l).isDefined =>
-        raiseLo(longLit(l).get); lowerHi(longLit(l).get)
-      case GreaterThanOrEqual(a, l) if isKey(a) && longLit(l).isDefined =>
-        raiseLo(longLit(l).get)
-      case GreaterThan(a, l) if isKey(a) && longLit(l).isDefined =>
-        raiseLo(longLit(l).get + 1)
-      case LessThanOrEqual(a, l) if isKey(a) && longLit(l).isDefined =>
-        lowerHi(longLit(l).get)
-      case LessThan(a, l) if isKey(a) && longLit(l).isDefined =>
-        lowerHi(longLit(l).get - 1)
-      case GreaterThanOrEqual(l, a) if isKey(a) && longLit(l).isDefined =>
-        lowerHi(longLit(l).get)
-      case GreaterThan(l, a) if isKey(a) && longLit(l).isDefined =>
-        lowerHi(longLit(l).get - 1)
-      case LessThanOrEqual(l, a) if isKey(a) && longLit(l).isDefined =>
-        raiseLo(longLit(l).get)
-      case LessThan(l, a) if isKey(a) && longLit(l).isDefined =>
-        raiseLo(longLit(l).get + 1)
-      case In(a, vs) if isKey(a) && vs.nonEmpty &&
+      case EqualTo(a, l) if nameOf(a).isDefined && longLit(l).isDefined =>
+        raiseLo(nameOf(a).get, longLit(l).get)
+        lowerHi(nameOf(a).get, longLit(l).get)
+      case EqualTo(l, a) if nameOf(a).isDefined && longLit(l).isDefined =>
+        raiseLo(nameOf(a).get, longLit(l).get)
+        lowerHi(nameOf(a).get, longLit(l).get)
+      case GreaterThanOrEqual(a, l)
+          if nameOf(a).isDefined && longLit(l).isDefined =>
+        raiseLo(nameOf(a).get, longLit(l).get)
+      case GreaterThan(a, l)
+          if nameOf(a).isDefined && longLit(l).isDefined =>
+        raiseLo(nameOf(a).get, longLit(l).get + 1)
+      case LessThanOrEqual(a, l)
+          if nameOf(a).isDefined && longLit(l).isDefined =>
+        lowerHi(nameOf(a).get, longLit(l).get)
+      case LessThan(a, l)
+          if nameOf(a).isDefined && longLit(l).isDefined =>
+        lowerHi(nameOf(a).get, longLit(l).get - 1)
+      case GreaterThanOrEqual(l, a)
+          if nameOf(a).isDefined && longLit(l).isDefined =>
+        lowerHi(nameOf(a).get, longLit(l).get)
+      case GreaterThan(l, a)
+          if nameOf(a).isDefined && longLit(l).isDefined =>
+        lowerHi(nameOf(a).get, longLit(l).get - 1)
+      case LessThanOrEqual(l, a)
+          if nameOf(a).isDefined && longLit(l).isDefined =>
+        raiseLo(nameOf(a).get, longLit(l).get)
+      case LessThan(l, a)
+          if nameOf(a).isDefined && longLit(l).isDefined =>
+        raiseLo(nameOf(a).get, longLit(l).get + 1)
+      case In(a, vs) if nameOf(a).isDefined && vs.nonEmpty &&
           vs.forall(longLit(_).isDefined) =>
         val set = vs.map(longLit(_).get)
-        raiseLo(set.min); lowerHi(set.max)
+        raiseLo(nameOf(a).get, set.min); lowerHi(nameOf(a).get, set.max)
       case _ => () // unknown shape: contributes no bound (never prunes)
     }
-    (lo, hi)
+    bounds.toMap
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (lo, hi) = keyBounds(dataFilters)
-    val kept = statuses.filter { st =>
-      statsByPath.get(st.getPath) match {
-        case Some((mn, mx)) =>
+    val bounds = colBounds(dataFilters)
+    def survives(stats: Option[(Long, Long)],
+        b: Option[(Option[Long], Option[Long])]): Boolean =
+      (stats, b) match {
+        case (Some((mn, mx)), Some((lo, hi))) =>
           lo.forall(mx >= _) && hi.forall(mn <= _)
-        case None => true // no zone map recorded: must read
+        case _ => true // no map or no bound for this column: must read
       }
+    val kept = statuses.filter { st =>
+      survives(statsByPath.get(st.getPath), bounds.get(keyCol)) &&
+        bounds.forall { case (c, b) =>
+          c == keyCol ||
+            survives(extraByPath.get(st.getPath).flatMap(_.get(c)),
+              Some(b))
+        }
     }
     lastListed = (kept.size, statuses.size)
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
