@@ -711,7 +711,31 @@ object ScaleCheck {
           f"(${rKept.size}/$rTotal files, $nRange rows); fixed 20-key " +
           f"lookup $tPoint%.2f s (${kKept.size}/$kTotal files, " +
           f"$nPoint rows) — kept counts stay ~constant as total grows")
-      nRange + nPoint
+      // SECONDARY dimension: clusterBy(nation) then a fixed-
+      // SELECTIVITY nation-range read — replication preserves the
+      // nation distribution, so selected rows grow WITH the table and
+      // the honest claim is proportional pruning (kept/total fraction
+      // ~the range's selectivity at any scale), not a constant count
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("graft-scale-layout2").toString + "/t"
+      VersionedKeyedTable.create(
+        c.select(col("c_custkey").as("k"),
+          col("c_nationkey").cast("long").as("n"),
+          col("c_acctbal").cast("double").as("v")).repartition(8),
+        dir2, "k", numBuckets = 16)
+      VersionedKeyedTable.clusterBy(spark, dir2, "k", "n",
+        targetRowsPerFile = 1000L)
+      val t3 = System.nanoTime()
+      val nSec = VersionedKeyedTable
+        .readRangeOn(spark, dir2, "n", 5L, 9L).count()
+      val tSec = (System.nanoTime() - t3) / 1e9
+      val (sKept, sTotal) = VersionedKeyedTable
+        .rangeFilesOn(spark, dir2, "n", 5L, 9L)
+      System.err.println(
+        f"[scale]   layout2: secondary 20%%-selectivity read " +
+          f"$tSec%.2f s (${sKept.size}/$sTotal files, $nSec rows) — " +
+          "kept fraction tracks selectivity, not table size")
+      nRange + nPoint + nSec
     }
 
     // global training shuffle: range repartition on the md5 key +
