@@ -697,7 +697,7 @@ object ScaleCheck {
         .readRange(spark, dir, "k", 1000L, 3000L).count()
       val tRange = (System.nanoTime() - t1) / 1e9
       val (rKept, rTotal) = VersionedKeyedTable
-        .rangeFiles(spark, dir, 1000L, 3000L)
+        .rangeFiles(spark, dir, "k", 1000L, 3000L)
       val probes = (1L to 20L).map(_ * 61L)
       val t2 = System.nanoTime()
       val nPoint = VersionedKeyedTable

@@ -174,7 +174,7 @@ object StorageQueries2 {
     VersionedKeyedTable.upsert(s, dir,
       base.filter(col("k") % 1000 === 0)
         .withColumn("cents", col("cents") + 7L), "k")
-    val (kept, total) = VersionedKeyedTable.rangeFiles(s, dir, 1000L, 5000L)
+    val (kept, total) = VersionedKeyedTable.rangeFiles(s, dir, "k", 1000L, 5000L)
     require(kept.size < total,
       s"zone maps must prune the range read (kept ${kept.size}/$total)")
     VersionedKeyedTable.readRange(s, dir, "k", 1000L, 5000L)
@@ -471,7 +471,7 @@ object StorageQueries2 {
           (col("o_totalprice").cast(Dec) * 100).cast("long").as("cents"))
         .repartition(8), dir, "k", CheckBuckets)
     val before = VersionedKeyedTable.snapshot(s, dir)
-    val (keptBefore, _) = VersionedKeyedTable.rangeFiles(s, dir, 1000L, 5000L)
+    val (keptBefore, _) = VersionedKeyedTable.rangeFiles(s, dir, "k", 1000L, 5000L)
     // sized so every bucket splits into several files at ANY check SF
     // (a bucket that fits one file leaves nothing for zone maps to
     // prune within it)
@@ -479,7 +479,7 @@ object StorageQueries2 {
       targetRowsPerFile = math.max(100L,
         VersionedKeyedTable.read(s, dir).count() / 32))
     val after = VersionedKeyedTable.snapshot(s, dir)
-    val (kept, total) = VersionedKeyedTable.rangeFiles(s, dir, 1000L, 5000L)
+    val (kept, total) = VersionedKeyedTable.rangeFiles(s, dir, "k", 1000L, 5000L)
     require(kept.size < keptBefore.size && kept.size < total,
       s"clustering must improve range pruning " +
         s"(kept ${keptBefore.size} -> ${kept.size} of $total)")

@@ -396,6 +396,20 @@ object VersionedKeyedTable {
     * pure read-side optimization old logs simply lack. */
   private val BloomSidecar = "_blooms.tsv"
 
+  /** Whether numeric pruning may be applied to `name`'s recorded
+    * stats: ONLY when the column's schema type is integral. Stats are
+    * min/max of the column CAST TO STRING — for an integral column
+    * that preserves the numeric envelope, but for a string column it
+    * is the STRING-ordered envelope (e.g. a file holding {"9","10"}
+    * records mn="10", mx="9"), and parsing those as longs would prune
+    * files whose rows match — wrong results, not just missed
+    * pruning. Non-integral columns therefore never numeric-prune;
+    * their stats serve string-semantics consumers (isClustered). */
+  private def numericPrunable(
+      schema: org.apache.spark.sql.types.StructType,
+      name: String): Boolean =
+    schema.fields.find(_.name == name).exists(f => isIntegralKey(f.dataType))
+
   // Spark's IntegralType marker is private[sql]; enumerate explicitly
   private def isIntegralKey(
       t: org.apache.spark.sql.types.DataType): Boolean = t match {
@@ -574,16 +588,21 @@ object VersionedKeyedTable {
       .collect().map(_.getInt(0)).toSet // bounded by numBuckets
     val candidate = snap.files.filter(e => wanted(e._1))
       .values.flatten.toSeq
-    val zoneKept = candidate.filter { f =>
-      snap.stats.get(f) match {
-        case Some((mn, mx)) =>
-          (mn.toLongOption, mx.toLongOption) match {
-            case (Some(a), Some(b)) => keys.exists(k => k >= a && k <= b)
-            case _ => true
-          }
-        case None => true
+    // numeric zone checks only for integral keys: string-ordered
+    // envelopes numeric-parsed would wrongly prune (numericPrunable)
+    val zonePrunable = numericPrunable(schema, keyCol)
+    val zoneKept =
+      if (!zonePrunable) candidate
+      else candidate.filter { f =>
+        snap.stats.get(f) match {
+          case Some((mn, mx)) =>
+            (mn.toLongOption, mx.toLongOption) match {
+              case (Some(a), Some(b)) => keys.exists(k => k >= a && k <= b)
+              case _ => true
+            }
+          case None => true
+        }
       }
-    }
     val blooms = bloomsFor(hfs(spark, dir), dir, zoneKept)
     val kept = zoneKept.filter { f =>
       blooms.get(f) match {
@@ -1265,7 +1284,10 @@ object VersionedKeyedTable {
     * OPTIMIZE-BY-other-column layout (one dimension; compose
     * `functions.Layout.zkey` into a derived column for true 2-D). */
   def clusterBy(spark: SparkSession, dir: String, keyCol: String,
-      byCol: String, targetRowsPerFile: Long = 1000000L): Unit =
+      byCol: String, targetRowsPerFile: Long = 1000000L): Unit = {
+    require(byCol != keyCol,
+      s"clusterBy on the key column is cluster() — named maps are " +
+        "never written for the key")
     rewriteBuckets(spark, dir, keyCol, s"clustering by $byCol",
       pick = snap => snap.files.filter { case (_, fs0) =>
         fs0.nonEmpty && !isClustered(snap, fs0, targetRowsPerFile,
@@ -1276,6 +1298,7 @@ object VersionedKeyedTable {
           .sortWithinPartitions(col("__bucket"), col(byCol), col(keyCol)),
       maxRecordsPerFile = math.max(1L, targetRowsPerFile),
       ensureStatsCols = Seq(byCol))
+  }
 
   /** Whether a bucket's files already have the layout a cluster
     * rewrite produces along the dimension `statsOf` reads: full stats
@@ -1285,16 +1308,29 @@ object VersionedKeyedTable {
   private def isClustered(snap: Snapshot, fs0: Seq[String],
       targetRowsPerFile: Long,
       statsOf: String => Option[(String, String)]): Boolean = {
-    if (!fs0.forall(f => statsOf(f).isDefined &&
+    // every file must be size-bounded with a KNOWN count; files
+    // WITHOUT a map are tolerated (an all-null dimension file — a
+    // rewrite cannot give it one, so requiring it would re-rewrite
+    // forever), they just never prune
+    if (!fs0.forall(f =>
         snap.counts.get(f).exists(_ <= targetRowsPerFile))) return false
     val ivs = fs0.flatMap(statsOf)
+    // a bucket with NO mapped file has never been stamped along this
+    // dimension — rewrite it (a wholly-null-dimension bucket re-sorts
+    // every run: it cannot carry maps, bounded by its own size)
+    if (ivs.isEmpty) return false
     val numeric = ivs.forall { case (a, b) =>
       a.toLongOption.isDefined && b.toLongOption.isDefined }
     val sorted =
-      if (numeric) ivs.sortBy(_._1.toLong) else ivs.sorted
+      if (numeric) ivs.sortBy(iv => (iv._1.toLong, iv._2.toLong))
+      else ivs.sorted
+    // TOUCHING intervals are clustered: a value spanning a file
+    // boundary (duplicate-heavy dimension — file1 max == file2 min)
+    // is the best a sorted split can do; only true overlap (a later
+    // file starting BELOW an earlier file's max) means unsorted
     sorted.sliding(2).forall {
       case Seq((_, hi), (lo2, _)) =>
-        if (numeric) hi.toLong < lo2.toLong else hi < lo2
+        if (numeric) hi.toLong <= lo2.toLong else hi <= lo2
       case _ => true
     }
   }
@@ -1362,20 +1398,38 @@ object VersionedKeyedTable {
     * numeric-key range [lo, hi]. A file is kept when its zone map can
     * intersect the range — or when it has no zone map (pre-zone-map
     * files and non-numeric stats are never pruned, only skipped). */
-  def rangeFiles(spark: SparkSession, dir: String, lo: Long, hi: Long,
+  def rangeFiles(spark: SparkSession, dir: String, keyCol: String,
+      lo: Long, hi: Long,
       version: Option[Long] = None): (Seq[String], Int) = {
+    val (_, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
+    rangeFilesBy(snap, lo, hi, snap.stats.get,
+      prunable = numericPrunable(
+        snap.schema.getOrElse(metaSchema), keyCol))
+  }
+
+  /** The one range-prune rule both the key and the named secondary
+    * maps use: keep a file unless `prunable` AND its recorded interval
+    * provably misses [lo, hi] under NUMERIC order. `prunable` must be
+    * true only for integral-typed columns (see [[numericPrunable]]) —
+    * string-ordered envelopes numeric-parsed would prune matching
+    * rows. */
+  private def rangeFilesBy(snap: Snapshot, lo: Long, hi: Long,
+      statsOf: String => Option[(String, String)],
+      prunable: Boolean): (Seq[String], Int) = {
     val all = snap.files.values.flatten.toSeq
-    val kept = all.filter { f =>
-      snap.stats.get(f) match {
-        case Some((mn, mx)) =>
-          (mn.toLongOption, mx.toLongOption) match {
-            case (Some(a), Some(b)) => !(b < lo || a > hi)
-            case _ => true // non-numeric stats: cannot prune safely
-          }
-        case None => true // no zone map recorded: must read
+    val kept =
+      if (!prunable) all
+      else all.filter { f =>
+        statsOf(f) match {
+          case Some((mn, mx)) =>
+            (mn.toLongOption, mx.toLongOption) match {
+              case (Some(a), Some(b)) => !(b < lo || a > hi)
+              case _ => true // unparseable stats: cannot prune safely
+            }
+          case None => true // no zone map recorded: must read
+        }
       }
-    }
     (kept, all.size)
   }
 
@@ -1392,7 +1446,7 @@ object VersionedKeyedTable {
     val (_, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
     val schema = snap.schema.getOrElse(metaSchema)
-    val (kept, _) = rangeFiles(spark, dir, lo, hi, version)
+    val (kept, _) = rangeFiles(spark, dir, keyCol, lo, hi, version)
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(
@@ -1408,19 +1462,12 @@ object VersionedKeyedTable {
   def rangeFilesOn(spark: SparkSession, dir: String, statCol: String,
       lo: Long, hi: Long, version: Option[Long] = None)
       : (Seq[String], Int) = {
+    val (_, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
-    val all = snap.files.values.flatten.toSeq
-    val kept = all.filter { f =>
-      snap.extraStats.get(f).flatMap(_.get(statCol)) match {
-        case Some((mn, mx)) =>
-          (mn.toLongOption, mx.toLongOption) match {
-            case (Some(a), Some(b)) => !(b < lo || a > hi)
-            case _ => true
-          }
-        case None => true // no map recorded for this column: must read
-      }
-    }
-    (kept, all.size)
+    rangeFilesBy(snap, lo, hi,
+      f => snap.extraStats.get(f).flatMap(_.get(statCol)),
+      prunable = numericPrunable(
+        snap.schema.getOrElse(metaSchema), statCol))
   }
 
   /** Range read on a SECONDARY column with data skipping through its
@@ -1462,7 +1509,7 @@ object VersionedKeyedTable {
     val (_, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
     val schema = snap.schema.getOrElse(metaSchema)
-    val index = new ZoneMapFileIndex(spark, dir, snap, keyCol)
+    val index = new ZoneMapFileIndex(spark, dir, snap, keyCol, schema)
     val relation = org.apache.spark.sql.execution.datasources
       .HadoopFsRelation(index, new org.apache.spark.sql.types.StructType(),
         schema, None,

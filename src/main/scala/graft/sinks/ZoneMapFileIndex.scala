@@ -30,8 +30,22 @@ import org.apache.spark.sql.types.StructType
   */
 final class ZoneMapFileIndex(
     spark: SparkSession, dir: String,
-    snap: VersionedKeyedTable.Snapshot, keyCol: String)
+    snap: VersionedKeyedTable.Snapshot, keyCol: String,
+    dataSchema: StructType)
     extends FileIndex {
+
+  // numeric pruning is sound only for integral-typed columns: the
+  // recorded stats are string-cast envelopes, and STRING order differs
+  // from numeric order (a file holding {"9","10"} records mn="10",
+  // mx="9") — parsing those as longs would prune matching rows
+  private def integral(name: String): Boolean =
+    dataSchema.fields.find(_.name == name).exists(_.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
 
   private val relFiles: Seq[String] = snap.files.values.flatten.toSeq
   private val statuses: Seq[FileStatus] = {
@@ -56,7 +70,8 @@ final class ZoneMapFileIndex(
     }
   }
   private val statsByPath: Map[Path, (Long, Long)] =
-    relFiles.zip(statuses).flatMap { case (rel, st) =>
+    if (!integral(keyCol)) Map.empty
+    else relFiles.zip(statuses).flatMap { case (rel, st) =>
       snap.stats.get(rel).flatMap { case (mn, mx) =>
         (mn.toLongOption, mx.toLongOption) match {
           case (Some(a), Some(b)) => Some(st.getPath -> (a, b))
@@ -73,7 +88,7 @@ final class ZoneMapFileIndex(
       val perCol = snap.extraStats.getOrElse(rel, Map.empty)
         .flatMap { case (c, (mn, mx)) =>
           (mn.toLongOption, mx.toLongOption) match {
-            case (Some(a), Some(b)) => Some(c -> (a, b))
+            case (Some(a), Some(b)) if integral(c) => Some(c -> (a, b))
             case _ => None
           }
         }

@@ -437,7 +437,7 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     assert(VersionedKeyedTable.changesBetween(spark, dir, "k",
       1L, after.version).count() === 50L)
     // fresh zone maps cover the compacted files
-    val (kept, total) = VersionedKeyedTable.rangeFiles(spark, dir, 1L, 400L)
+    val (kept, total) = VersionedKeyedTable.rangeFiles(spark, dir, "k", 1L, 400L)
     assert(kept.size === total && after.files.values.flatten
       .forall(f => after.stats.contains(f)))
     // time travel to the pre-compaction version still reads
@@ -518,7 +518,7 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       "CDF fast path must never touch bucket data files")
     // range read: scanned set == the zone-map-surviving set, a strict
     // subset of the table's files
-    val (kept, total) = VersionedKeyedTable.rangeFiles(spark, dir, 10L, 40L)
+    val (kept, total) = VersionedKeyedTable.rangeFiles(spark, dir, "k", 10L, 40L)
     assert(kept.size < total)
     val rangeFilesScanned = scannedFiles(
       VersionedKeyedTable.readRange(spark, dir, "k", 10L, 40L))
@@ -631,7 +631,7 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     VersionedKeyedTable.upsert(spark, dir,
       Seq((5L, 555L), (1500L, 4500L)).toDF("k", "n"), "k")
     val (kept, total) =
-      VersionedKeyedTable.rangeFiles(spark, dir, 100L, 120L)
+      VersionedKeyedTable.rangeFiles(spark, dir, "k", 100L, 120L)
     assert(kept.size < total,
       s"zone map must prune files (kept ${kept.size} of $total)")
     val got = VersionedKeyedTable.readRange(spark, dir, "k", 100L, 120L)
@@ -917,6 +917,48 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       .count() === expect.size + 1L)
   }
 
+  test("clusterBy guards: string-typed dimensions never numeric-prune " +
+      "(string envelopes would drop matching rows), duplicate-heavy " +
+      "dimensions converge, and byCol == keyCol is refused") {
+    // 1. STRING dimension holding digit strings: string order inverts
+    // the numeric envelope (a file with {"9","10"} records mn="10",
+    // mx="9") — numeric pruning would drop the row "9"; the type
+    // guard keeps every file and the read stays exact
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 200L).map(i => (i, (i % 20).toString))
+        .toDF("k", "s").repartition(8), dir, "k", numBuckets = 2)
+    VersionedKeyedTable.clusterBy(spark, dir, "k", "s",
+      targetRowsPerFile = 30L)
+    val (kept, total) = VersionedKeyedTable.rangeFilesOn(
+      spark, dir, "s", 9L, 9L)
+    assert(kept.size === total,
+      "non-integral dimensions must keep every file (never prune)")
+    assert(VersionedKeyedTable.readRangeOn(spark, dir, "s", 9L, 9L)
+      .count() === 10L, "all s=\"9\" rows survive (200/20 values)")
+    // 2. duplicate-heavy LONG dimension: sorted files share boundary
+    // values, which is the best a split can do — still converges
+    val dir2 = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 400L).map(i => (i, i % 4)).toDF("k", "n").repartition(8),
+      dir2, "k", numBuckets = 2)
+    VersionedKeyedTable.clusterBy(spark, dir2, "k", "n",
+      targetRowsPerFile = 50L)
+    val v = VersionedKeyedTable.snapshot(spark, dir2).version
+    VersionedKeyedTable.clusterBy(spark, dir2, "k", "n",
+      targetRowsPerFile = 50L)
+    assert(VersionedKeyedTable.snapshot(spark, dir2).version === v,
+      "touching intervals (shared boundary values) must converge")
+    assert(VersionedKeyedTable.readRangeOn(spark, dir2, "n", 2L, 2L)
+      .count() === 100L)
+    // 3. clusterBy on the key column is a loud error, not a silent
+    // never-converging rewrite
+    val e = intercept[IllegalArgumentException] {
+      VersionedKeyedTable.clusterBy(spark, dir2, "k", "k")
+    }
+    assert(e.getMessage.contains("cluster()"))
+  }
+
   test("compliance purge: delete(captureChanges=false) + vacuum " +
       "leaves NO byte-level trace of the keys anywhere under the table") {
     val dir = freshDir()
@@ -1034,7 +1076,7 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     VersionedKeyedTable.create(
       rows.toDF("k", "v").repartition(8), dir, "k", numBuckets = 2)
     val (keptBefore, totalBefore) =
-      VersionedKeyedTable.rangeFiles(spark, dir, 100L, 200L)
+      VersionedKeyedTable.rangeFiles(spark, dir, "k", 100L, 200L)
     assert(totalBefore >= 8)
     assert(keptBefore.size > totalBefore / 2,
       "hash-scattered files should span ~the whole key range")
@@ -1042,7 +1084,7 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 500L)
     val after = VersionedKeyedTable.snapshot(spark, dir)
     val (keptAfter, totalAfter) =
-      VersionedKeyedTable.rangeFiles(spark, dir, 100L, 200L)
+      VersionedKeyedTable.rangeFiles(spark, dir, "k", 100L, 200L)
     assert(keptAfter.size < keptBefore.size &&
       keptAfter.size <= totalAfter / 2,
       s"clustered zone maps must prune (kept ${keptAfter.size}/$totalAfter)")
