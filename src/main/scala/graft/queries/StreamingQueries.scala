@@ -535,8 +535,38 @@ object StreamingQueries {
     StreamingJobs.streamingAsOfJoin(s, d, staging)
   }
 
+  /** The streaming as-of join under a TOLERANCE bound (pandas
+    * merge_asof parity, the streaming face of `join_asof_tolerance`):
+    * purchases staler than 6 hours null out at finalization — an
+    * exact-µs post-match projection, so the state machine and the
+    * watermark contract are unchanged and the oracle adds one WHERE
+    * over the same ASOF LEFT JOIN. */
+  val streamAsOfTolerance = sql("stream_asof_tolerance",
+    """WITH e AS (
+         SELECT user_id, event_id, event_type,
+           epoch_ns(ts) // 1000 AS ms,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events WHERE event_type IN ('view', 'purchase')),
+       cut AS (SELECT (max(ms) // 1000 - 3600000) * 1000 AS c FROM e),
+       l AS (SELECT user_id, event_id, ms FROM e
+             WHERE event_type = 'view'),
+       r AS (SELECT user_id, ms AS rt, max(cents) AS cents FROM e
+             WHERE event_type = 'purchase' GROUP BY 1, 2)
+       SELECT l.user_id, l.event_id, l.ms,
+         CASE WHEN l.ms - r.rt <= 21600000000 THEN r.cents END
+           AS asof_cents,
+         CASE WHEN l.ms - r.rt <= 21600000000 THEN r.rt END AS asof_ms
+       FROM l ASOF LEFT JOIN r
+         ON l.user_id = r.user_id AND l.ms >= r.rt
+       WHERE l.ms < (SELECT c FROM cut)""") { (s, d) =>
+    val staging = sys.props("java.io.tmpdir") + "/graft_stream_asoft_" +
+      java.util.UUID.randomUUID().toString
+    StreamingJobs.streamingAsOfJoin(s, d, staging,
+      toleranceUs = Some(21600000000L)) // 6 hours in µs
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
-    streamAsOfJoin,
+    streamAsOfJoin, streamAsOfTolerance,
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent,
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,

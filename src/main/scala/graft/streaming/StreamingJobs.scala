@@ -413,7 +413,8 @@ object StreamingJobs {
     * DuckDB ASOF LEFT JOIN under the same cutoff. */
   def streamingAsOfJoin(spark: SparkSession, sfDir: String,
       stagingDir: String, nFiles: Int = 4,
-      delayMs: Long = 3600000L): DataFrame = {
+      delayMs: Long = 3600000L,
+      toleranceUs: Option[Long] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     // stage the two event types as time-ordered micro-batch files (the
@@ -444,7 +445,11 @@ object StreamingJobs {
       val out = due.sortBy(l => (l.ms, l.event_id)).map { l =>
         val m = sortedR.foldLeft(Option.empty[AsOfRight]) { (acc, r) =>
           if (r.ms <= l.ms) Some(r) else acc // sorted: last wins
-        }
+        // tolerance (pandas merge_asof): the carry-forward already
+        // found the nearest prior right — a match staler than the
+        // bound simply nulls, exactly like the batch operator's
+        // post-window projection
+        }.filter(r => toleranceUs.forall(t => l.ms - r.ms <= t))
         AsOfOut(key, l.event_id, l.ms, m.map(_.cents), m.map(_.ms))
       }.toVector
       // rights at/below the watermark: only the latest can ever match
