@@ -642,10 +642,65 @@ object StorageQueries2 {
     out
   }
 
+  /** ANN SERVING OFF THE CLUSTERED STORE — the cross-module
+    * composition realizing the claim the IVF-PQ scaladoc makes ("the
+    * probed-cell filter is partition pruning on the cell-clustered
+    * layout"): the cell index lives in the versioned store CLUSTERED
+    * BY CELL, a query batch probes its nprobe cells, and ONLY the
+    * files covering those cells are read (require-pinned) before the
+    * exact in-cell re-rank. The oracle is `ann_ivf_search`'s SQL
+    * VERBATIM: the storage layer must be completely transparent — the
+    * pruned-file route returns bit-identical answers to the
+    * materialized-relation route, or the hash breaks. At 100 TB the
+    * index read is O(probed cells' files), never the index scan. */
+  val annIndexServing = QueryDef("ann_index_serving", (s, d) => {
+    import graft.functions.VectorSearch
+    val dir = scratch("annserve")
+    val emb = Tables.embeddings(s, d)
+    val cents = VectorSearch.firstKCodebook(emb, 8)
+    val corpus = VectorSearch.assignWithCodebook(
+      emb.where(col("vec_id") % 5 =!= 0), cents)
+    VersionedKeyedTable.create(
+      corpus.select(col("vec_id"), col("cell").cast("long").as("cell")),
+      dir, "vec_id", CheckBuckets)
+    VersionedKeyedTable.clusterBy(s, dir, "vec_id", "cell",
+      targetRowsPerFile = math.max(50L,
+        VersionedKeyedTable.read(s, dir).count() / 32))
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    // the batch's probed cells (bounded by the codebook — 8 here)
+    val probedCells = VectorSearch.multiProbeAssign(batch, cents, 2)
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // read ONLY the files covering the probed cells; prove pruning
+    val total = VersionedKeyedTable.snapshot(s, dir)
+      .files.values.map(_.size).sum
+    val keptAll = probedCells.flatMap(c =>
+      VersionedKeyedTable.rangeFilesOn(s, dir, "cell", c, c)._1).distinct
+    require(probedCells.length < cents.length || keptAll.size == total,
+      "fixture sanity") // all 8 cells probed => nothing CAN prune
+    if (probedCells.length < cents.length)
+      require(keptAll.size < total,
+        s"probed-cell reads must prune index files " +
+          s"(${keptAll.size}/$total for ${probedCells.length} cells)")
+    val fetched = probedCells.map(c =>
+        VersionedKeyedTable.readRangeOn(s, dir, "cell", c, c))
+      .reduce(_ unionByName _)
+    // re-attach embeddings by id; ivfSearch consults exactly the
+    // probed cells, so the restricted index is transparent
+    val fetchedAssigned = fetched
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    VectorSearch.ivfSearch(batch, fetchedAssigned, cents, k = 1,
+        nprobe = 2)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        round(col("cosim"), 3).as("sim"))
+  }, DataPipelineQueries2.annIvfSearch.oracle)
+
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
     versionedRestore, versionedDataSkipping, versionedBloomSkipping,
     versionedClusterSkipping, versionedSecondarySkipping,
     versionedClone, ivmRefresh,
     versionedCompact, curationFeed, annIndexCdf,
-    versionedQueryPushdown, versionedSecondaryPushdown)
+    versionedQueryPushdown, versionedSecondaryPushdown,
+    annIndexServing)
 }
