@@ -565,8 +565,46 @@ object StreamingQueries {
       toleranceUs = Some(21600000000L)) // 6 hours in µs
   }
 
+  /** Stream-stream LEFT OUTER join (StreamingJobs.signupPurchaseLeftOuter):
+    * signups matched to a purchase within the following hour, PLUS
+    * null-extended rows for signups the engine can PROVE will never
+    * match — emitted when the watermark (min of both sides' max event
+    * time − 2 h, ms-truncated) passes the signup's one-hour join
+    * window. The oracle replays both tiers: every matched pair, and
+    * unmatched signups whose window end sits strictly below the final
+    * watermark. The continuously-computable "did not convert" set a
+    * batch join can only produce after the fact. */
+  val streamJoinOuter = sql("stream_join_outer",
+    """WITH s AS (
+         SELECT user_id, event_id AS signup_event,
+           epoch_ns(ts) // 1000 AS s_us
+         FROM events WHERE event_type = 'signup'),
+       p AS (
+         SELECT user_id, event_id AS purchase_event,
+           epoch_ns(ts) // 1000 AS p_us
+         FROM events WHERE event_type = 'purchase'),
+       wm AS (
+         SELECT least((SELECT max(s_us) // 1000 FROM s),
+                      (SELECT max(p_us) // 1000 FROM p))
+                - 7200000 AS w),
+       m AS (
+         SELECT s.user_id, s.signup_event, p.purchase_event, s.s_us
+         FROM s JOIN p ON s.user_id = p.user_id
+           AND p.p_us >= s.s_us AND p.p_us < s.s_us + 3600000000)
+       SELECT user_id, signup_event, purchase_event, s_us FROM m
+       UNION ALL
+       SELECT s.user_id, s.signup_event,
+         CAST(NULL AS BIGINT) AS purchase_event, s.s_us
+       FROM s
+       WHERE NOT EXISTS (SELECT 1 FROM p
+           WHERE p.user_id = s.user_id
+             AND p.p_us >= s.s_us AND p.p_us < s.s_us + 3600000000)
+         AND s.s_us // 1000 + 3600000 < (SELECT w FROM wm)""") { (s, d) =>
+    StreamingJobs.signupPurchaseLeftOuter(s, d)
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
-    streamAsOfJoin, streamAsOfTolerance,
+    streamAsOfJoin, streamAsOfTolerance, streamJoinOuter,
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent,
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,

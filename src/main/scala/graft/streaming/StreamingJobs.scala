@@ -192,6 +192,45 @@ object StreamingJobs {
     spark.table(qname)
   }
 
+  /** Stream-stream LEFT OUTER join under watermarks: like
+    * [[signupPurchaseJoin]], but signups with NO purchase in the
+    * following hour ALSO emit (null-extended) — once the watermark
+    * passes their join window and the engine can PROVE no match can
+    * arrive. Inner matches emit during data batches; outer rows emit
+    * at state eviction, which needs the no-data micro-batches (the
+    * final watermark = min of both sides' max event time − delay).
+    * The unbounded-production contract for "did NOT convert" analytics
+    * — a batch left join can only say that after the fact; this says
+    * it continuously with bounded state. */
+  def signupPurchaseLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val signups = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_event"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "2 hours")
+    val purchases = eventsStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_event"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user")
+        && col("p_ts") >= col("s_ts")
+        && col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("s_user").as("user_id"), col("signup_event"),
+        col("purchase_event"), unix_micros(col("s_ts")).as("s_us"))
+    val qname = "graft_stream_join_outer"
+    spark.streams.active.filter(_.name == qname).foreach(_.stop())
+    withStreamShufflePartitions(spark, 4) {
+      val q = joined.writeStream
+        .outputMode("append").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    spark.table(qname)
+  }
+
   /** Stream-static join: streamed events enrich against a STATIC
     * dimension (customer → nation), then aggregate per nation. The
     * static side is broadcast — each micro-batch joins map-side with
