@@ -226,6 +226,12 @@ object PlanAudit {
       "named stats column) before split planning — in-row require " +
       "pins kept < total; the pruned scan feeds the grouped aggregate " +
       "like any parquet relation."),
+    "ann_index_serving" -> ("Cross-module serving composition: the " +
+      "terminal plan joins the PROBED CELLS' index rows (read from " +
+      "only the files whose named cell maps cover them — in-row " +
+      "require) back to embeddings and re-ranks in-cell; the oracle " +
+      "is ann_ivf_search's SQL verbatim, so the clustered store is " +
+      "pinned bit-transparent."),
     "versioned_cluster_skipping" -> ("Clustered layout: after " +
       "cluster() the terminal range read scans only the files whose " +
       "now-disjoint key intervals cover [lo, hi] (in-row requires pin " +
