@@ -696,11 +696,49 @@ object StorageQueries2 {
         round(col("cosim"), 3).as("sim"))
   }, DataPipelineQueries2.annIvfSearch.oracle)
 
+  /** METADATA-ONLY COUNT: per-file row counts ride every commit's
+    * manifest, so count(*) at any version is a manifest sum — zero
+    * data files opened (the require pins the fast path answered).
+    * The oracle counts relationally: a drifted count (a commit whose
+    * stats pass miscounted, a stale carry after rebase) breaks the
+    * hash. Emitted per VERSION across a create → upsert-with-inserts
+    * → delete history, so the counts must be right at every snapshot,
+    * not just the latest. */
+  val versionedFastCount = sql("versioned_fast_count",
+    s"""SELECT 1 AS v, (SELECT count(*) FROM customer) AS n
+        UNION ALL
+        SELECT 2 AS v, (SELECT count(*) FROM customer)
+          + (SELECT count(*) FROM customer WHERE c_custkey % 100 = 7) AS n
+        UNION ALL
+        SELECT 3 AS v, (SELECT count(*) FROM customer WHERE c_custkey % 3 <> 0)
+          + (SELECT count(*) FROM customer
+             WHERE c_custkey % 100 = 7 AND (c_custkey + 1000000) % 3 <> 0)
+          AS n""") { (s, d) =>
+    import s.implicits._
+    val dir = scratch("fastcount")
+    val cust = Tables.customer(s, d)
+    val base = cust.select(col("c_custkey").as("k"),
+      col("c_acctbal").cast(Dec).cast("double").as("v"))
+    VersionedKeyedTable.create(base, dir, "k", CheckBuckets)
+    VersionedKeyedTable.upsert(s, dir,
+      base.filter(col("k") % 100 === 7)
+        .withColumn("k", col("k") + 1000000L), "k")
+    VersionedKeyedTable.delete(s, dir,
+      VersionedKeyedTable.read(s, dir)
+        .filter(col("k") % 3 === 0).select(col("k")), "k")
+    (1L to 3L).map { v =>
+      val n = VersionedKeyedTable.countRows(s, dir, Some(v)).getOrElse(
+        throw new IllegalStateException(
+          s"fast count must be answerable from the manifest at v$v"))
+      (v, n)
+    }.toDF("v", "n")
+  }
+
   val all: Seq[QueryDef] = Seq(versionedCdf, mergeIntoVersioned,
     versionedRestore, versionedDataSkipping, versionedBloomSkipping,
     versionedClusterSkipping, versionedSecondarySkipping,
     versionedClone, ivmRefresh,
     versionedCompact, curationFeed, annIndexCdf,
     versionedQueryPushdown, versionedSecondaryPushdown,
-    annIndexServing)
+    annIndexServing, versionedFastCount)
 }

@@ -1608,6 +1608,21 @@ object VersionedKeyedTable {
     while (!tryCommit(fs, dstDir, versionPath(dstDir, v), content)) v += 1
   }
 
+  /** Metadata-only COUNT(*): the sum of the manifest's per-file row
+    * counts when EVERY referenced file carries one — zero data files
+    * opened (the fast path a `SELECT count(*)` planner takes off
+    * table-format statistics). None when any file predates row counts
+    * (pre-counts manifests) — the caller falls back to
+    * `read(...).count()`; never a guess. */
+  def countRows(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Option[Long] = {
+    val snap = snapshot(spark, dir, version)
+    val files = snap.files.values.flatten.toSeq
+    if (files.forall(snap.counts.contains))
+      Some(files.map(snap.counts).sum)
+    else None
+  }
+
   /** DESCRIBE HISTORY: one row per complete version — version, commit
     * instant (manifest mtime, ms), buckets touched, files referenced,
     * whether the commit captured changes and how many change files,
