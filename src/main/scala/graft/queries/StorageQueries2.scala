@@ -664,27 +664,35 @@ object StorageQueries2 {
       corpus.select(col("vec_id"), col("cell").cast("long").as("cell")),
       dir, "vec_id", CheckBuckets)
     VersionedKeyedTable.clusterBy(s, dir, "vec_id", "cell",
+      // manifest-backed count: the fast path this store provides —
+      // no data file is opened to size the rewrite
       targetRowsPerFile = math.max(50L,
-        VersionedKeyedTable.read(s, dir).count() / 32))
+        VersionedKeyedTable.countRows(s, dir).getOrElse(0L) / 32))
     val batch = emb.where(col("vec_id") % 5 === 0)
     // the batch's probed cells (bounded by the codebook — 8 here)
     val probedCells = VectorSearch.multiProbeAssign(batch, cents, 2)
       .select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // read ONLY the files covering the probed cells; prove pruning
-    val total = VersionedKeyedTable.snapshot(s, dir)
-      .files.values.map(_.size).sum
-    val keptAll = probedCells.flatMap(c =>
-      VersionedKeyedTable.rangeFilesOn(s, dir, "cell", c, c)._1).distinct
-    require(probedCells.length < cents.length || keptAll.size == total,
-      "fixture sanity") // all 8 cells probed => nothing CAN prune
-    if (probedCells.length < cents.length)
+    // ONE pruning pass: the union of the probed cells' covering files
+    var total = 0
+    val keptAll = probedCells.flatMap { c =>
+      val (kept, t) = VersionedKeyedTable.rangeFilesOn(s, dir, "cell", c, c)
+      total = t; kept
+    }.distinct
+    // pruning is only POSSIBLE when the probes leave some populated
+    // cell untouched (a dead centroid can make the probed cells cover
+    // every file — correct, nothing to prune)
+    val populated = corpus.select(col("cell").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    if (!populated.subsetOf(probedCells.toSet))
       require(keptAll.size < total,
         s"probed-cell reads must prune index files " +
           s"(${keptAll.size}/$total for ${probedCells.length} cells)")
-    val fetched = probedCells.map(c =>
-        VersionedKeyedTable.readRangeOn(s, dir, "cell", c, c))
-      .reduce(_ unionByName _)
+    // read the covering files ONCE; the cell filter restores exactness
+    // (a boundary file straddling two probed cells scans once, not
+    // once per cell)
+    val fetched = s.read.parquet(keptAll.map(f => s"$dir/$f"): _*)
+      .where(col("cell").isin(probedCells: _*))
     // re-attach embeddings by id; ivfSearch consults exactly the
     // probed cells, so the restricted index is transparent
     val fetchedAssigned = fetched
