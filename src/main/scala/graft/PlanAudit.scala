@@ -239,7 +239,42 @@ object PlanAudit {
       "rewrite itself is one repartition-on-bucket + " +
       "sortWithinPartitions(bucket, key) whose required-ordering " +
       "prefix lets the sorted run survive into maxRecordsPerFile " +
-      "chunks — no extra sort node in the write plan."))
+      "chunks — no extra sort node in the write plan."),
+    "versioned_ts_pushdown" -> ("Typed zone maps, Catalyst face: the " +
+      "raw WHERE on the TIMESTAMP key reaches ZoneMapFileIndex as " +
+      "Literal(Long micros, TimestampType) — exactly the epoch-micro " +
+      "image the manifest records (statImage) — so file pruning needs " +
+      "no conversion and happens before split planning (in-row " +
+      "require pins kept < total). The 'yesterday's events' query " +
+      "shape: a time-localized scan touches only covering files."),
+    "versioned_ts_skipping" -> ("Typed zone maps, explicit face: " +
+      "cluster() on a ts key converges on the epoch-image stats and " +
+      "readRange prunes in the same image; the terminal plan scans " +
+      "only interval-covering files with the residual unix_micros " +
+      "filter restoring exactness."),
+    "versioned_str_bloom_skipping" -> ("String-key blooms: every " +
+      "commit blooms xxhash64(key) into the sidecar; point lookups " +
+      "prune bucket -> string-envelope -> bloom (in-row require on a " +
+      "hash-scattered layout), then apply the residual isin. The " +
+      "terminal plan scans only bloom-surviving files."),
+    "ivm_refresh_minmax" -> ("Full-aggregate IVM: the refresh plan is " +
+      "one change-file scan feeding (a) the signed count/sum delta " +
+      "aggregate, (b) the insert-side envelope-extension aggregate, " +
+      "and (c) the deleted-extremum detection join against the view; " +
+      "affected groups re-aggregate min/max from the base AT the " +
+      "span's version through the zone-map isin path — bounded by " +
+      "changed groups, never an O(table) re-scan — and ONE merge " +
+      "commit applies both tiers with the watermark stamped " +
+      "atomically (carry columns feed the redo flags without " +
+      "becoming view state)."),
+    "versioned_replica_sync" -> ("CDF replica consumer: each span is " +
+      "one change-file scan -> keep-predicate projection -> a single " +
+      "three-clause merge over the replica's touched buckets " +
+      "(matched-delete on crossing out or base delete, matched-update " +
+      "to the new values, guarded not-matched insert on crossing in); " +
+      "the stamp rides the merge's own commit metadata, so catch-up " +
+      "is exactly-once and O(span's changed rows) — the terminal plan " +
+      "is the replica's bucketed parquet scan."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is

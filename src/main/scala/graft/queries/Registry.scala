@@ -7,7 +7,7 @@ object Registry {
       RelationalQueries3.all ++ RelationalQueries4.all ++
       RelationalQueries5.all ++
       TpchQueries.all ++ MapReduceQueries.all ++ StorageQueries.all ++
-      StorageQueries2.all ++
+      StorageQueries2.all ++ StorageQueries3.all ++
       DataPipelineQueries.all ++ DataPipelineQueries2.all ++
       DataPipelineQueries3.all ++ DataPipelineQueries4.all ++
       DataPipelineQueries5.all ++ DataPipelineQueries6.all ++

@@ -690,9 +690,19 @@ object StorageQueries2 {
           s"(${keptAll.size}/$total for ${probedCells.length} cells)")
     // read the covering files ONCE; the cell filter restores exactness
     // (a boundary file straddling two probed cells scans once, not
-    // once per cell)
-    val fetched = s.read.parquet(keptAll.map(f => s"$dir/$f"): _*)
-      .where(col("cell").isin(probedCells: _*))
+    // once per cell). Zero covering files (every probed centroid dead)
+    // must yield an EMPTY index, not a schemaless-read crash.
+    val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType)))
+    val fetched =
+      if (keptAll.isEmpty)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+      else s.read.parquet(keptAll.map(f => s"$dir/$f"): _*)
+        .where(col("cell").isin(probedCells: _*))
     // re-attach embeddings by id; ivfSearch consults exactly the
     // probed cells, so the restricted index is transparent
     val fetchedAssigned = fetched

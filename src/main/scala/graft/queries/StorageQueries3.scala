@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sinks.VersionedKeyedTable
+
+/** TYPED data skipping on the versioned store — round 12: zone maps
+  * and blooms for NON-INTEGRAL keys. Time-keyed tables are the most
+  * common 100 TB shape (event logs, CDC feeds), and a store that can
+  * only prune long keys reads every file of every bucket for a
+  * time-range query. DATE/TIMESTAMP columns now record
+  * order-preserving epoch images (days / micros) in the manifest, so
+  * the one numeric pruning rule covers them; STRING keys keep their
+  * native string envelopes (string-order pruning) and hash into the
+  * bloom sidecar. The reference's own range splitter was typed the
+  * same way — python/src/mapreduce/property_range.py:316-423 splits
+  * datetime ranges, java/.../DatastoreShardStrategy.java:406 handles
+  * long/double/string/date — our store should prune at least what it
+  * could shard.
+  */
+object StorageQueries3 {
+  import QueryDef._
+
+  private val CheckBuckets = 4
+
+  private def scratch(prefix: String): String =
+    sys.props("java.io.tmpdir") + "/graft_" + prefix + "_" +
+      java.util.UUID.randomUUID().toString
+
+  /** TIMESTAMP-KEYED DATA SKIPPING: events keyed by their event time,
+    * clustered so each file covers a narrow time interval, then a
+    * mid-history range read — the manifest's epoch-micro zone maps
+    * must prune (in-row require), and the answer must equal DuckDB's
+    * over the same µs bounds (both engines derive lo/hi from the
+    * relation's own min/max with identical integer arithmetic). At
+    * 100 TB this is the "yesterday's events" query touching only
+    * yesterday's files. */
+  val versionedTsSkipping = sql("versioned_ts_skipping",
+    """WITH b AS (SELECT min(epoch_ns(ts) // 1000) AS mn,
+                        max(epoch_ns(ts) // 1000) AS mx FROM events),
+       r AS (SELECT mn + (mx - mn) // 4 AS lo,
+                    mn + (mx - mn) // 2 AS hi FROM b)
+       SELECT count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         min(event_id) AS min_eid, max(event_id) AS max_eid
+       FROM events, r
+       WHERE epoch_ns(ts) // 1000 BETWEEN r.lo AND r.hi""") { (s, d) =>
+    val dir = scratch("tsskip")
+    val ev = Tables.events(s, d).select(col("ts"), col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val n = ev.count()
+    VersionedKeyedTable.create(ev.repartition(8), dir, "ts", CheckBuckets)
+    VersionedKeyedTable.cluster(s, dir, "ts",
+      targetRowsPerFile = math.max(100L, n / 32))
+    val r = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+    val (kept, total) = VersionedKeyedTable.rangeFiles(s, dir, "ts", lo, hi)
+    require(kept.size < total,
+      s"ts zone maps must prune the clustered layout (${kept.size}/$total)")
+    VersionedKeyedTable.readRange(s, dir, "ts", lo, hi)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        min(col("event_id")).as("min_eid"),
+        max(col("event_id")).as("max_eid"))
+  }
+
+  /** CATALYST TIMESTAMP PUSHDOWN: the same time-keyed table queried
+    * through [[VersionedKeyedTable.table]] with a plain WHERE on the
+    * raw ts column — Catalyst's timestamp literals ARE epoch micros,
+    * so the FileIndex prunes them against the manifest images with no
+    * conversion, before split planning (in-row require via
+    * lastListed). The declarative face of versioned_ts_skipping,
+    * composable with any downstream operator. */
+  val versionedTsPushdown = sql("versioned_ts_pushdown",
+    """WITH b AS (SELECT min(epoch_ns(ts) // 1000) AS mn,
+                        max(epoch_ns(ts) // 1000) AS mx FROM events),
+       r AS (SELECT mn + (mx - mn) // 4 AS lo,
+                    mn + (mx - mn) // 2 AS hi FROM b)
+       SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM events, r
+       WHERE epoch_ns(ts) // 1000 BETWEEN r.lo AND r.hi
+       GROUP BY event_type""") { (s, d) =>
+    val dir = scratch("tspush")
+    val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val n = ev.count()
+    VersionedKeyedTable.create(ev.repartition(8), dir, "ts", CheckBuckets)
+    VersionedKeyedTable.cluster(s, dir, "ts",
+      targetRowsPerFile = math.max(100L, n / 32))
+    val r = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+    def inst(us: Long) = java.time.Instant.ofEpochSecond(
+      us / 1000000L, (us % 1000000L) * 1000L)
+    val (df, idx) = VersionedKeyedTable.tableIndexed(s, dir, "ts")
+    val out = df.where(col("ts") >= lit(inst(lo)) &&
+        col("ts") <= lit(inst(hi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .localCheckpoint(true) // execute now so the prune count is real
+    val (kept, total) = idx.lastListed
+    require(kept < total,
+      s"the ts WHERE clause must drive file pruning ($kept/$total)")
+    out
+  }
+
+  /** STRING-KEY BLOOM SKIPPING: documents keyed by a derived string
+    * id, scattered across many small files (the hash-ingest layout
+    * where every file's string envelope spans ~the whole key domain
+    * and zone maps alone prune nothing) — point lookups must prune
+    * through the xxhash64 bloom sidecar (in-row require) and return
+    * exactly the probed keys' rows, absent probes included. */
+  val versionedStrBloomSkipping = sql("versioned_str_bloom_skipping",
+    """SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS k,
+         n_chars, lang
+       FROM documents WHERE doc_id IN (1, 2, 3, 7, 11)""") { (s, d) =>
+    val dir = scratch("strbloom")
+    val docs = Tables.documents(s, d).select(
+      concat(lit("doc-"), lpad(col("doc_id").cast("string"), 6, "0"))
+        .as("k"),
+      col("n_chars"), col("lang"))
+    VersionedKeyedTable.create(docs.repartition(16), dir, "k",
+      CheckBuckets)
+    val probe = Seq(1L, 2L, 3L, 7L, 11L).map(i => f"doc-$i%06d")
+    val (kept, cand) = VersionedKeyedTable.keyFilesStr(s, dir, "k", probe)
+    require(kept.size < cand,
+      s"string-key blooms must prune scattered files (${kept.size}/$cand)")
+    // absent key: prunes to nothing (and the read stays exactly empty)
+    val (keptAbsent, _) = VersionedKeyedTable.keyFilesStr(s, dir, "k",
+      Seq("doc-zzzzzz"))
+    require(keptAbsent.isEmpty ||
+        VersionedKeyedTable.readKeysStr(s, dir, "k", Seq("doc-zzzzzz"))
+          .isEmpty,
+      "an absent string key must read empty")
+    VersionedKeyedTable.readKeysStr(s, dir, "k", probe)
+  }
+
+  /** IVM WITH MIN/MAX: the (cnt, total, mn, mx) view maintained off
+    * the CDF across a history that DELETES group extrema — the
+    * non-self-maintainable case. Inserts extend the envelope as a
+    * pure delta; deletes that reach a group's recorded extremum
+    * re-aggregate min/max for EXACTLY those groups from the base at
+    * the span's version (O(affected groups), never O(table)), and
+    * both tiers land in one atomic merge with the watermark. avg is
+    * the derived pair total/cnt — one double division of identical
+    * operands on both engines (bit-exact). The oracle recomputes the
+    * final state relationally; a stale extremum after the delete, a
+    * double-applied span, or a missed re-derive breaks the hash. */
+  val ivmRefreshMinmax = sql("ivm_refresh_minmax",
+    """WITH m AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             * CASE WHEN o_orderkey % 10 = 1 THEN 2 ELSE 1 END AS cents
+         FROM orders),
+       f AS (SELECT * FROM m WHERE cents <= 25000000)
+       SELECT g, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS total,
+         min(cents) AS mn, max(cents) AS mx,
+         CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg
+       FROM f GROUP BY g""") { (s, d) =>
+    import graft.sinks.IncrementalView
+    val baseDir = scratch("ivmmm_base")
+    val viewDir = scratch("ivmmm_view")
+    val rows = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_custkey").as("g"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+    // v1: the on-time slice; full view created off it
+    VersionedKeyedTable.create(rows.filter(col("k") % 3 =!= 2),
+      baseDir, "k", CheckBuckets)
+    val watermark = IncrementalView.createFromFull(
+      s, baseDir, viewDir, "g", "cents", numBuckets = CheckBuckets)
+    // v2: the late slice arrives (insert tier: envelopes EXTEND)
+    VersionedKeyedTable.upsert(s, baseDir,
+      rows.filter(col("k") % 3 === 2), "k")
+    IncrementalView.refreshToLatestFull(
+      s, baseDir, viewDir, "k", "g", "cents", watermark)
+    // v3: a correction doubles every %10=1 row — updates whose OLD
+    // value may have been a group extremum (re-derive tier)
+    VersionedKeyedTable.upsert(s, baseDir,
+      rows.filter(col("k") % 10 === 1)
+        .withColumn("cents", col("cents") * 2), "k")
+    // v4: delete every row above $250k — the MAX of many groups goes,
+    // and the view must recover each one's runner-up exactly
+    VersionedKeyedTable.delete(s, baseDir,
+      VersionedKeyedTable.read(s, baseDir)
+        .filter(col("cents") > 25000000L).select(col("k")), "k")
+    IncrementalView.refreshFromCommittedFull(
+      s, baseDir, viewDir, "k", "g", "cents")
+    VersionedKeyedTable.read(s, viewDir)
+      .select(col("g"), col("cnt"), col("total"), col("mn"), col("mx"),
+        (col("total").cast("double") / col("cnt").cast("double"))
+          .as("avg"))
+  }
+
+  /** CDF REPLICA SYNC (ChangeFeed.syncReplica): a filtered replica —
+    * the serving-copy / region-mirror / compliance-subset shape —
+    * kept in sync by consuming ONLY each commit's change feed, one
+    * three-clause merge per span with the base version stamped
+    * atomically in the merge's own commit. Updates CROSS the
+    * replica's predicate in both directions (doubled rows leave,
+    * halved rows enter), inserts enter if they qualify, deletes
+    * leave; the oracle recomputes the final filtered state
+    * relationally, so a row that failed to enter, leave, or die
+    * breaks the hash. */
+  val versionedReplicaSync = sql("versioned_replica_sync",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents0
+         FROM orders),
+       m AS (
+         SELECT k, g,
+           CASE WHEN k % 10 = 1 THEN cents0 * 2
+                WHEN k % 10 = 3 THEN cents0 // 2
+                ELSE cents0 END AS cents
+         FROM base
+         UNION ALL
+         SELECT k + 10000000 AS k, g, cents0 AS cents FROM base
+         WHERE k % 100 = 7)
+       SELECT k, g, cents FROM m
+       WHERE k % 13 <> 0 AND cents <= 20000000""") { (s, d) =>
+    import graft.sinks.ChangeFeed
+    val baseDir = scratch("repl_base")
+    val replDir = scratch("repl_copy")
+    val rows = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_custkey").as("g"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+    VersionedKeyedTable.create(rows, baseDir, "k", CheckBuckets)
+    // replica created at v1: the filtered snapshot, stamp = v1
+    ChangeFeed.syncReplica(s, baseDir, replDir, "k",
+      rowFilter = col("cents") <= 20000000L, numBuckets = CheckBuckets)
+    // v2: corrections (×2 leaves the replica, ÷2 enters) + inserts
+    VersionedKeyedTable.upsert(s, baseDir,
+      rows.filter(col("k") % 10 === 1)
+        .withColumn("cents", col("cents") * 2)
+        .unionByName(rows.filter(col("k") % 10 === 3)
+          .withColumn("cents", expr("cents DIV 2")))
+        .unionByName(rows.filter(col("k") % 100 === 7)
+          .withColumn("k", col("k") + 10000000L)), "k")
+    // v3: a purge
+    VersionedKeyedTable.delete(s, baseDir,
+      VersionedKeyedTable.read(s, baseDir)
+        .filter(col("k") % 13 === 0).select(col("k")), "k")
+    // catch-up consumes the two spans' CDFs — O(changed rows) each
+    ChangeFeed.syncReplica(s, baseDir, replDir, "k",
+      rowFilter = col("cents") <= 20000000L, numBuckets = CheckBuckets)
+    VersionedKeyedTable.read(s, replDir)
+      .select(col("k"), col("g"), col("cents"))
+  }
+
+  val all: Seq[QueryDef] = Seq(versionedTsSkipping, versionedTsPushdown,
+    versionedStrBloomSkipping, ivmRefreshMinmax, versionedReplicaSync)
+}

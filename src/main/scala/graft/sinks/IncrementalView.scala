@@ -203,34 +203,161 @@ object IncrementalView {
       viewDir: String, baseKey: String, groupCol: String,
       valueCol: String, fromVersion: Long): Long
       = withMaintainerLock(spark, viewDir) {
-    val latest = VersionedKeyedTable.snapshot(spark, baseDir).version
-    if (latest <= fromVersion) latest
-    else VersionedKeyedTable.lineageSpan(
-        spark, baseDir, fromVersion, latest) match {
-      case Some(snaps) =>
-        // the base-pointer chain: parses exactly the span's manifests
-        // (not the whole log) and excludes out-of-lineage commits
-        var prev = fromVersion
-        snaps.foreach { s =>
-          refresh(spark, baseDir, viewDir, baseKey, groupCol, valueCol,
-            prev, s.version)
-          prev = s.version
-        }
-        latest
-      case None =>
-        // legacy/pre-base-pointer log: walk every complete version
-        val versions = VersionedKeyedTable
-          .completeVersions(spark, baseDir).dropWhile(_ < fromVersion)
-        require(versions.headOption.contains(fromVersion),
-          s"view watermark $fromVersion is not a complete version of " +
-            s"$baseDir (vacuumed past the watermark?)")
-        versions.sliding(2).foreach {
-          case Seq(a, b) =>
-            refresh(spark, baseDir, viewDir, baseKey, groupCol,
-              valueCol, a, b)
-          case _ => ()
-        }
-        versions.last
+    graft.sinks.ChangeFeed.walkSpans(spark, baseDir, fromVersion) {
+      (a, b) =>
+        refresh(spark, baseDir, viewDir, baseKey, groupCol, valueCol,
+          a, b)
+    }
+  }
+
+  // ---- FULL aggregate view: count, sum, min, max (avg derived) -----
+
+  /** [[createFrom]] maintaining (cnt, total, mn, mx) per group — avg
+    * is total/cnt at read time, the standard derived-pair form. Min
+    * and max are NOT self-maintainable under deletes (losing a
+    * group's extremum says nothing about the runner-up), so
+    * [[refreshFull]] pairs the delta rule with a bounded per-group
+    * re-derive — the classic escape for non-distributive aggregates. */
+  def createFromFull(spark: SparkSession, baseDir: String,
+      viewDir: String, groupCol: String, valueCol: String,
+      numBuckets: Int = 16): Long = {
+    val snap = VersionedKeyedTable.snapshot(spark, baseDir)
+    val agg = VersionedKeyedTable.read(spark, baseDir, Some(snap.version))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"),
+        min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    VersionedKeyedTable.create(agg, viewDir, groupCol, numBuckets,
+      commitMeta = Map(AppliedBaseKey -> snap.version.toString))
+    snap.version
+  }
+
+  /** Driver-side cap on the re-derive group list: below it the
+    * affected groups ride an `isin` filter through the Catalyst table
+    * path (file-pruned when the base is clusterBy'd on the group
+    * column); above it a semi join — same result, no driver list. */
+  private[sinks] var rederiveIsinCap = 10000
+
+  /** [[refresh]] for the full view. Count and sum advance by the
+    * signed delta rule exactly as before. Min/max advance in two
+    * tiers:
+    *
+    *  - inserts (and updates' new values) can only EXTEND a group's
+    *    envelope: `mn' = least(mn, min(new values))` — pure delta,
+    *    no base access;
+    *  - deletes (and updates' old values) can BREAK it: a group whose
+    *    deleted values reach its recorded mn or mx loses the proof of
+    *    its extremum, so exactly those groups re-aggregate min/max
+    *    from the base AT the span's target version — O(affected
+    *    groups' rows), never O(table), and file-pruned when the base
+    *    is clustered by the group column (the zone-map `isin` path).
+    *
+    * Both tiers land in ONE merge commit (re-derive flags ride carry
+    * columns), so the watermark stays atomic with the application —
+    * the exactly-once contract is unchanged. */
+  def refreshFull(spark: SparkSession, baseDir: String, viewDir: String,
+      baseKey: String, groupCol: String, valueCol: String,
+      fromVersion: Long, toVersion: Long): Unit
+      = withMaintainerLock(spark, viewDir) {
+    if (fromVersion >= toVersion) return
+    val watermark = committedWatermarkOpt(spark, viewDir)
+    if (watermark.exists(_ >= toVersion)) return
+    val effFrom = watermark.getOrElse(fromVersion)
+    val cdf = VersionedKeyedTable.changesBetween(
+        spark, baseDir, baseKey, effFrom, toVersion)
+      .localCheckpoint(true) // four consumers; compute the span once
+    val oldSide = cdf
+      .where(col("change_type").isin("delete", "update"))
+      .select(col(s"${groupCol}_prev").as(groupCol),
+        (-col(s"${valueCol}_prev")).as("d_total"), lit(-1L).as("d_cnt"))
+    val newSide = cdf
+      .where(col("change_type").isin("insert", "update"))
+      .select(col(groupCol), col(valueCol).as("d_total"),
+        lit(1L).as("d_cnt"))
+    val delta = oldSide.unionByName(newSide)
+      .groupBy(col(groupCol))
+      .agg(sum(col("d_cnt")).as("cnt"), sum(col("d_total")).as("total"))
+    // extension tier: new values per group (inserts + update news)
+    val newMM = cdf
+      .where(col("change_type").isin("insert", "update"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+    // break tier: groups whose DELETED values reach the recorded
+    // envelope (old group for updates — a group-moving update is a
+    // delete on its old group)
+    val delMM = cdf
+      .where(col("change_type").isin("delete", "update"))
+      .groupBy(col(s"${groupCol}_prev").as(groupCol))
+      .agg(min(col(s"${valueCol}_prev")).as("del_mn"),
+        max(col(s"${valueCol}_prev")).as("del_mx"))
+    val viewCur = VersionedKeyedTable.read(spark, viewDir)
+      .select(col(groupCol), col("mn"), col("mx"))
+    val affected = delMM.join(viewCur, Seq(groupCol))
+      .where(col("del_mn") <= col("mn") || col("del_mx") >= col("mx"))
+      .select(col(groupCol))
+      .localCheckpoint(true)
+    val nAffected = affected.count()
+    val baseAt = {
+      val keys = if (nAffected > 0 && nAffected <= rederiveIsinCap)
+        Some(affected.collect().map(_.get(0)).toSeq) else None
+      keys match {
+        case Some(ks) =>
+          // bounded list: the Catalyst table path prunes base files by
+          // the group column's zone maps (clusterBy layout) before any
+          // split is planned
+          VersionedKeyedTable.table(spark, baseDir, baseKey,
+            Some(toVersion)).where(col(groupCol).isin(ks: _*))
+        case None =>
+          VersionedKeyedTable.read(spark, baseDir, Some(toVersion))
+            .join(affected, Seq(groupCol), "left_semi")
+      }
+    }
+    val red = baseAt.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("abs_mn"), max(col(valueCol)).as("abs_mx"))
+      .withColumn("redo", lit(true))
+    val source = delta
+      .join(newMM, Seq(groupCol), "full_outer")
+      .join(affected.withColumn("redo0", lit(true)), Seq(groupCol), "left")
+      .join(red, Seq(groupCol), "left")
+      .select(col(groupCol),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        col("mn"), col("mx"),
+        coalesce(col("redo0"), lit(false)).as("redo"),
+        col("abs_mn"), col("abs_mx"))
+    VersionedKeyedTable.merge(spark, viewDir, source, groupCol,
+      whenMatchedDelete = Some(col("t.cnt") + col("s.cnt") === 0L),
+      whenMatchedUpdate = Map(
+        "cnt" -> (col("t.cnt") + col("s.cnt")),
+        "total" -> (col("t.total") + col("s.total")),
+        // redo: the re-derived absolute envelope (exact at toVersion);
+        // else extend-only (least/greatest ignore a null s side)
+        "mn" -> when(col("s.redo"), col("s.abs_mn"))
+          .otherwise(least(col("t.mn"), col("s.mn"))),
+        "mx" -> when(col("s.redo"), col("s.abs_mx"))
+          .otherwise(greatest(col("t.mx"), col("s.mx")))),
+      commitMeta = Map(AppliedBaseKey -> toVersion.toString),
+      carryCols = Set("redo", "abs_mn", "abs_mx"))
+  }
+
+  /** Crash-safe full-view catch-up off the view's own durable
+    * watermark — [[refreshFromCommitted]] for the (cnt, total, mn,
+    * mx) view. */
+  def refreshFromCommittedFull(spark: SparkSession, baseDir: String,
+      viewDir: String, baseKey: String, groupCol: String,
+      valueCol: String): Long =
+    refreshToLatestFull(spark, baseDir, viewDir, baseKey, groupCol,
+      valueCol, committedWatermark(spark, viewDir))
+
+  /** [[refreshToLatest]] for the full view: one [[refreshFull]] per
+    * committed base version along the lineage chain. */
+  def refreshToLatestFull(spark: SparkSession, baseDir: String,
+      viewDir: String, baseKey: String, groupCol: String,
+      valueCol: String, fromVersion: Long): Long
+      = withMaintainerLock(spark, viewDir) {
+    graft.sinks.ChangeFeed.walkSpans(spark, baseDir, fromVersion) {
+      (a, b) =>
+        refreshFull(spark, baseDir, viewDir, baseKey, groupCol,
+          valueCol, a, b)
     }
   }
 }

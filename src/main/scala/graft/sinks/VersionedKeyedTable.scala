@@ -313,24 +313,28 @@ object VersionedKeyedTable {
       atLeast: Long): Long =
     math.max(atLeast, listVersions(fs, dir).lastOption.getOrElse(0L) + 1)
 
-  /** Atomic claim of version file `target` with `content`. Local
-    * filesystems get a true CAS: content lands in a temp file and a
-    * HARD LINK claims the version name — link(2) fails with EEXIST if
-    * a racer won, and the content is complete the instant the name
-    * exists. Other schemes claim by ATOMIC-EXCLUSIVE CREATE
-    * (createNewFile — exactly one racer can ever win a name; an
-    * exists-check + rename would be a TOCTOU on schemes whose rename
-    * overwrites, silently replacing a committed manifest) and then
-    * write the content: the create-to-write gap is the torn window
-    * the `#end` marker makes detectable and [[awaitBlockingClaim]]
-    * bounds on the loser side — a live racer mid-write is waited for,
-    * never adjudicated dead. */
-  private def tryCommit(fs: FileSystem, dir: String, target: Path,
-      content: String): Boolean = {
-    fs.mkdirs(versionsDir(dir))
-    if (fs.getUri.getScheme == "file") {
-      val tmp = new Path(versionsDir(dir),
-        s".tmp-${java.util.UUID.randomUUID()}")
+  /** One way of CLAIMING a version name with content — the commit
+    * protocol's only filesystem-dependent move, factored so each
+    * scheme gets the strongest primitive it actually has. The key
+    * property a backend declares is `atomicWithContent`: whether a
+    * claim NAME can ever be observed without its complete content.
+    * Atomic backends have NO torn window — a lost CAS always implies
+    * a complete commit, so losers never poll ([[awaitBlockingClaim]])
+    * and torn-claim adjudication is unreachable. */
+  private[sinks] sealed trait ClaimBackend {
+    def atomicWithContent: Boolean
+    def tryClaim(fs: FileSystem, versions: Path, target: Path,
+        content: String): Boolean
+  }
+
+  /** file://— content lands in a temp file and a HARD LINK claims the
+    * name: link(2) fails with EEXIST if a racer won, and the content
+    * is complete the instant the name exists. */
+  private[sinks] object LinkCasClaim extends ClaimBackend {
+    val atomicWithContent = true
+    def tryClaim(fs: FileSystem, versions: Path, target: Path,
+        content: String): Boolean = {
+      val tmp = new Path(versions, s".tmp-${java.util.UUID.randomUUID()}")
       val local = (p: Path) => java.nio.file.Paths.get(
         Path.getPathWithoutSchemeAndAuthority(p).toString)
       java.nio.file.Files.write(local(tmp), content.getBytes("UTF-8"))
@@ -340,7 +344,43 @@ object VersionedKeyedTable {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally java.nio.file.Files.deleteIfExists(local(tmp))
-    } else {
+    }
+  }
+
+  /** HDFS-semantics schemes — rename is atomic and FAILS when the
+    * destination exists (the HDFS `rename` contract), so writing the
+    * full content to a temp file and renaming it onto the version
+    * name is a true CAS, atomic with content: a writer that crashes
+    * mid-claim leaves only an unreferenced temp file, never a torn
+    * claim. This closes the create-to-write window the
+    * exclusive-create fallback's `#end` marker + bounded poll exist
+    * to manage. */
+  private[sinks] object RenameClaim extends ClaimBackend {
+    val atomicWithContent = true
+    def tryClaim(fs: FileSystem, versions: Path, target: Path,
+        content: String): Boolean = {
+      val tmp = new Path(versions, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      val won = try fs.rename(tmp, target)
+        catch { case _: java.io.IOException => false }
+      if (!won) fs.delete(tmp, false): Unit
+      won
+    }
+  }
+
+  /** The documented FALLBACK for schemes with neither primitive:
+    * ATOMIC-EXCLUSIVE CREATE claims the name (createNewFile — exactly
+    * one racer can ever win; an exists-check + rename would be a
+    * TOCTOU on schemes whose rename OVERWRITES, silently replacing a
+    * committed manifest), then the content is written. The
+    * create-to-write gap is the torn window the `#end` marker makes
+    * detectable and [[awaitBlockingClaim]] bounds on the loser side —
+    * a live racer mid-write is waited for, never adjudicated dead. */
+  private[sinks] object ExclusiveCreateClaim extends ClaimBackend {
+    val atomicWithContent = false
+    def tryClaim(fs: FileSystem, versions: Path, target: Path,
+        content: String): Boolean = {
       val created =
         try fs.createNewFile(target)
         catch { case _: java.io.IOException => false }
@@ -350,6 +390,24 @@ object VersionedKeyedTable {
       }
       created
     }
+  }
+
+  /** Schemes whose rename is known atomic-no-overwrite (the HDFS
+    * family). Mutable so a deployment whose store honors the HDFS
+    * rename contract can register its scheme (specs register a
+    * masquerading local scheme to drive the path). */
+  private[sinks] val renameClaimSchemes: scala.collection.mutable.Set[String] =
+    scala.collection.mutable.Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  private[sinks] def claimBackendFor(fs: FileSystem): ClaimBackend =
+    if (fs.getUri.getScheme == "file") LinkCasClaim
+    else if (renameClaimSchemes.contains(fs.getUri.getScheme)) RenameClaim
+    else ExclusiveCreateClaim
+
+  private def tryCommit(fs: FileSystem, dir: String, target: Path,
+      content: String): Boolean = {
+    fs.mkdirs(versionsDir(dir))
+    claimBackendFor(fs).tryClaim(fs, versionsDir(dir), target, content)
   }
 
   /** How long a committer waits on a blocking incomplete claim before
@@ -362,15 +420,16 @@ object VersionedKeyedTable {
   private[sinks] var tornClaimPollMs = 200L
 
   /** After a lost CAS with NO new complete version: the blocking claim
-    * is either a dead writer's torn file or (on a rename-emulating
-    * scheme) a live racer mid-claim. Poll briefly for a complete
+    * is either a dead writer's torn file or (on the exclusive-create
+    * fallback) a live racer mid-claim. Poll briefly for a complete
     * commit to appear; `true` means one did (the caller re-reads the
     * log), `false` after the bound means the claim is adjudicated
-    * torn and skipped. On file:// this returns immediately — the
-    * hard-link CAS cannot present a live-but-incomplete claim. */
+    * torn and skipped. On atomic-with-content backends (file:// hard
+    * links, HDFS-family renames) this returns immediately — a claim
+    * name cannot exist without complete content there. */
   private def awaitBlockingClaim(fs: FileSystem, spark: SparkSession,
       dir: String, baseVersion: Long): Boolean = {
-    if (fs.getUri.getScheme == "file") return false
+    if (claimBackendFor(fs).atomicWithContent) return false
     var i = 0
     while (i < tornClaimPolls) {
       Thread.sleep(tornClaimPollMs)
@@ -397,18 +456,31 @@ object VersionedKeyedTable {
   private val BloomSidecar = "_blooms.tsv"
 
   /** Whether numeric pruning may be applied to `name`'s recorded
-    * stats: ONLY when the column's schema type is integral. Stats are
-    * min/max of the column CAST TO STRING — for an integral column
-    * that preserves the numeric envelope, but for a string column it
-    * is the STRING-ordered envelope (e.g. a file holding {"9","10"}
-    * records mn="10", mx="9"), and parsing those as longs would prune
-    * files whose rows match — wrong results, not just missed
-    * pruning. Non-integral columns therefore never numeric-prune;
-    * their stats serve string-semantics consumers (isClustered). */
-  private def numericPrunable(
+    * stats: ONLY when the column's schema type records a NUMERIC
+    * IMAGE — integral columns record the value itself, DATE columns
+    * epoch days and TIMESTAMP columns epoch micros (order-preserving
+    * integral images; see [[statImage]]), so time-keyed tables prune
+    * exactly like long-keyed ones. A STRING column's stats are its
+    * string-ordered envelope (e.g. a file holding {"9","10"} records
+    * mn="10", mx="9"), and parsing those as longs would prune files
+    * whose rows match — wrong results, not just missed pruning —
+    * so string columns serve only string-order consumers
+    * (isClustered, the string-bounds pruning in [[ZoneMapFileIndex]],
+    * [[keyFilesStr]]). The reference's own range splitter was typed
+    * the same way (python/src/mapreduce/property_range.py:316-423
+    * splits datetime ranges; java DatastoreShardStrategy.java:406
+    * long/double/string/date). */
+  private[sinks] def numericPrunable(
       schema: org.apache.spark.sql.types.StructType,
       name: String): Boolean =
-    schema.fields.find(_.name == name).exists(f => isIntegralKey(f.dataType))
+    schema.fields.find(_.name == name)
+      .exists(f => hasNumericImage(f.dataType))
+
+  private[sinks] def hasNumericImage(
+      t: org.apache.spark.sql.types.DataType): Boolean =
+    isIntegralKey(t) ||
+      t == org.apache.spark.sql.types.DateType ||
+      t == org.apache.spark.sql.types.TimestampType
 
   // Spark's IntegralType marker is private[sql]; enumerate explicitly
   private def isIntegralKey(
@@ -419,6 +491,24 @@ object VersionedKeyedTable {
          org.apache.spark.sql.types.ByteType => true
     case _ => false
   }
+
+  /** The image a column's manifest stats are recorded in (and that
+    * range predicates must be expressed in): identity for integral
+    * columns, epoch DAYS for DATE, epoch MICROS for TIMESTAMP — each
+    * a monotone integral image, so min/max commute with it and ONE
+    * numeric pruning rule serves longs, dates and timestamps alike.
+    * (Catalyst's own literals use the same images — a `WHERE ts >=
+    * TIMESTAMP'...'` carries Literal(micros, TimestampType) — which
+    * is what lets [[ZoneMapFileIndex]] prune typed predicates with no
+    * conversion at all.) Every other type is its own image: strings
+    * keep their native string-ordered envelope. */
+  private def statImage(t: org.apache.spark.sql.types.DataType,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    t match {
+      case org.apache.spark.sql.types.DateType => unix_date(c)
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c
+    }
 
   /** Write `withBucket` (data columns + __bucket) as immutable files
     * under a fresh commit dir; returns bucket → relative paths plus a
@@ -454,7 +544,17 @@ object VersionedKeyedTable {
       }.toMap
     val keyType = withBucket.schema.fields
       .find(_.name == keyCol).map(_.dataType)
-    val withBloom = keyType.exists(isIntegralKey)
+    val isStrKey = keyType.contains(org.apache.spark.sql.types.StringType)
+    // blooms: integral keys bloom the RAW long; STRING keys bloom
+    // xxhash64(key) (seed 42, Spark's default) — the read side probes
+    // the matching encoding by the key's SCHEMA TYPE (keyFilesOf /
+    // keyFilesStrOf), so build and probe can never disagree
+    val withBloom = keyType.exists(isIntegralKey) || isStrKey
+    def typeOf(c: String): org.apache.spark.sql.types.DataType =
+      withBucket.schema.fields.find(_.name == c).get.dataType
+    def mnmx(c: String): Seq[org.apache.spark.sql.Column] = Seq(
+      min(statImage(typeOf(c), col(c))).cast("string"),
+      max(statImage(typeOf(c), col(c))).cast("string"))
     // secondary stats only for columns the batch actually carries
     val extraCols = statsCols.distinct
       .filter(c => c != keyCol && withBucket.columns.contains(c))
@@ -464,19 +564,19 @@ object VersionedKeyedTable {
           Map.empty[String, Map[String, (String, String)]])
       else {
         if (withBloom) graft.functions.BloomFunctions.register(spark)
-        val aggs = Seq(min(col(keyCol)).cast("string").as("mn"),
-            max(col(keyCol)).cast("string").as("mx"),
-            count(lit(1)).as("cnt")) ++
+        val bloomIn =
+          if (isStrKey) s"xxhash64(`$keyCol`)"
+          else s"CAST(`$keyCol` AS BIGINT)"
+        val aggs = mnmx(keyCol).zip(Seq("mn", "mx"))
+            .map { case (c, n) => c.as(n) } ++
+          Seq(count(lit(1)).as("cnt")) ++
           (if (withBloom) Seq(expr(
-            // raw key longs (LongUpdater putLong), so the read side's
-            // mightContainLong(key) probes the identical encoding
-            s"graft_bloom_agg(CAST(`$keyCol` AS BIGINT), " +
+            s"graft_bloom_agg($bloomIn, " +
               s"${math.max(1, bloomBitsPerFile / 8)}L, " +
               s"${bloomBitsPerFile}L)").as("bloom"))
           else Seq.empty) ++
-          extraCols.flatMap(c => Seq(
-            min(col(c)).cast("string").as(s"mn_$c"),
-            max(col(c)).cast("string").as(s"mx_$c")))
+          extraCols.flatMap(c => mnmx(c).zip(Seq(s"mn_$c", s"mx_$c"))
+            .map { case (cc, n) => cc.as(n) })
         val rows = spark.read.parquet(s"$dir/$rel")
           .groupBy(input_file_name().as("f"),
             col("__bucket").cast("int").as("b"))
@@ -559,6 +659,10 @@ object VersionedKeyedTable {
     }.toMap
   }
 
+  /** Shared driver-side bound for point-lookup key lists
+    * ([[readKeys]], [[keyFiles]] and their string-key variants). */
+  private[sinks] val MaxPointLookupKeys = 100000
+
   /** The file pruning a [[readKeys]] point lookup performs, exposed
     * for inspection: (files kept, candidate files in the keys'
     * buckets) at the given version. A candidate survives only if its
@@ -567,6 +671,12 @@ object VersionedKeyedTable {
   def keyFiles(spark: SparkSession, dir: String, keyCol: String,
       keys: Seq[Long], version: Option[Long] = None)
       : (Seq[String], Int) = {
+    // same bound as readKeys: the key list is driver-held and probed
+    // per candidate file (zone maps, then blooms) — O(files × keys)
+    // driver work must stay bounded
+    require(keys.size <= MaxPointLookupKeys,
+      s"keyFiles is for bounded point lookups (${keys.size} keys); " +
+        "join against read() for larger key sets")
     val (nb, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
     keyFilesOf(spark, dir, keyCol, keys, snap, nb,
@@ -588,9 +698,13 @@ object VersionedKeyedTable {
       .collect().map(_.getInt(0)).toSet // bounded by numBuckets
     val candidate = snap.files.filter(e => wanted(e._1))
       .values.flatten.toSeq
-    // numeric zone checks only for integral keys: string-ordered
-    // envelopes numeric-parsed would wrongly prune (numericPrunable)
-    val zonePrunable = numericPrunable(schema, keyCol)
+    // numeric zone checks only for INTEGRAL keys: string-ordered
+    // envelopes numeric-parsed would wrongly prune, and a Seq[Long]
+    // probe against a date/timestamp key has no defined unit (the
+    // string-key path is keyFilesStrOf; time keys range-read instead)
+    val zonePrunable =
+      schema.fields.find(_.name == keyCol).exists(f =>
+        isIntegralKey(f.dataType))
     val zoneKept =
       if (!zonePrunable) candidate
       else candidate.filter { f =>
@@ -834,7 +948,8 @@ object VersionedKeyedTable {
       rows: DataFrame, keyCol: String,
       onBeforeCommit: () => Unit,
       captureChanges: Boolean = true,
-      commitMeta: Map[String, String] = Map.empty)(
+      commitMeta: Map[String, String] = Map.empty,
+      carryCols: Set[String] = Set.empty)(
       remerge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
     val fs = hfs(spark, dir)
@@ -854,10 +969,15 @@ object VersionedKeyedTable {
       // the snapshot's schema EVOLVED by any columns the update batch
       // adds (additive only; shared columns must keep their type) —
       // old files read the added columns as null, the parquet
-      // missing-column contract the source_evolving_schema row pins
+      // missing-column contract the source_evolving_schema row pins.
+      // `carryCols` are batch-side HELPER columns (a merge's
+      // assignment inputs that are not table state — e.g. an
+      // incremental view's re-derive flags): excluded from evolution,
+      // visible to `remerge`, and absent from its output's schema
       val current = snap.schema.getOrElse(metaSchema)
       val updSchema = org.apache.spark.sql.types.StructType(
-        batch.schema.fields.filterNot(_.name == "__bucket"))
+        batch.schema.fields.filterNot(f =>
+          f.name == "__bucket" || carryCols(f.name)))
       updSchema.fields.foreach { f =>
         current.fields.find(_.name == f.name).foreach { cf =>
           require(cf.dataType == f.dataType,
@@ -970,7 +1090,10 @@ object VersionedKeyedTable {
     *    `whenMatchedUpdate` assignments (unassigned columns keep
     *    their table value; empty map = the row is kept verbatim);
     *  - a source row with no match is inserted when
-    *    `insertNotMatched` (columns the source lacks become null);
+    *    `insertNotMatched` — or, when `insertNotMatchedWhen` is
+    *    given, when that per-row condition holds (SQL MERGE's
+    *    `WHEN NOT MATCHED AND <cond>`); columns the source lacks
+    *    become null;
     *  - table rows with no matching source row are untouched.
     *
     * Condition and assignment expressions see the table row as alias
@@ -989,15 +1112,27 @@ object VersionedKeyedTable {
       whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
       insertNotMatched: Boolean = true,
       captureChanges: Boolean = true,
-      commitMeta: Map[String, String] = Map.empty): Unit = {
+      commitMeta: Map[String, String] = Map.empty,
+      carryCols: Set[String] = Set.empty,
+      insertNotMatchedWhen: Option[org.apache.spark.sql.Column] = None)
+      : Unit = {
     // a key-reassigning update would write rows into buckets outside
     // the commit's touched set — the manifest would drop them. Keys
     // are immutable under MERGE (delete + insert expresses a move).
     require(!whenMatchedUpdate.contains(keyCol),
       s"merge may not reassign the key column '$keyCol' — " +
         "express a key move as matched-delete + a fresh insert")
+    // carry columns feed condition/assignment expressions through the
+    // `s` alias without ever becoming table state — they must be
+    // source-only names, or an assignment meaning "the table column"
+    // and one meaning "my helper" would collide
+    require(carryCols.forall(source.columns.contains),
+      s"carryCols ${carryCols.mkString(",")} must be source columns")
     mutateWith(spark, dir, source, keyCol, () => (),
-      captureChanges, commitMeta) { (existing, batch) =>
+      captureChanges, commitMeta, carryCols) { (existing, batch) =>
+      carryCols.foreach(c => require(
+        !existing.columns.contains(c),
+        s"carry column '$c' collides with a table column — rename it"))
       val src = batch.drop("__bucket")
       val srcCols = src.columns.toSet
       val t = existing.alias("t")
@@ -1016,8 +1151,13 @@ object VersionedKeyedTable {
           .otherwise(tc) // not matched by source: untouched
           .as(f.name)
       }
+      // WHEN NOT MATCHED [AND <cond>] THEN INSERT: a conditional
+      // clause (SQL MERGE's guarded insert) overrides the boolean
+      val insertGate = insertNotMatchedWhen
+        .map(c => coalesce(c, lit(false)))
+        .getOrElse(lit(insertNotMatched))
       val keep =
-        when(tKey.isNull, lit(insertNotMatched))
+        when(tKey.isNull, insertGate)
           .when(matched,
             !coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false)))
           .otherwise(lit(true))
@@ -1252,7 +1392,8 @@ object VersionedKeyedTable {
     * optimistic protocol and CDF-invisible commit as [[compact]];
     * logically a no-op, physically a layout change. */
   def cluster(spark: SparkSession, dir: String, keyCol: String,
-      targetRowsPerFile: Long = 1000000L): Unit =
+      targetRowsPerFile: Long = 1000000L): Unit = {
+    val (_, metaSchema) = readMeta(spark, dir)
     rewriteBuckets(spark, dir, keyCol, "clustering",
       // CONVERGENT pick: a bucket is already clustered when every file
       // carries stats + a row count, no file exceeds the target, and
@@ -1262,7 +1403,8 @@ object VersionedKeyedTable {
       // overlapping/oversized layouts rewrite.
       pick = snap => snap.files.filter { case (_, fs0) =>
         fs0.nonEmpty &&
-          !isClustered(snap, fs0, targetRowsPerFile, snap.stats.get)
+          !isClustered(snap, fs0, targetRowsPerFile, snap.stats.get,
+            numericPrunable(snap.schema.getOrElse(metaSchema), keyCol))
       }.keySet,
       // whole buckets per task, rows sorted by (bucket, key): the
       // writer's required ordering (partition col prefix) is already
@@ -1273,6 +1415,7 @@ object VersionedKeyedTable {
         rows.repartition(math.max(1, n / 4), col("__bucket"))
           .sortWithinPartitions(col("__bucket"), col(keyCol)),
       maxRecordsPerFile = math.max(1L, targetRowsPerFile))
+  }
 
   /** [[cluster]] on a SECONDARY column: each bucket's rows are sorted
     * by `byCol` (key as tiebreak) and split at `targetRowsPerFile`, and
@@ -1288,10 +1431,12 @@ object VersionedKeyedTable {
     require(byCol != keyCol,
       s"clusterBy on the key column is cluster() — named maps are " +
         "never written for the key")
+    val (_, metaSchema) = readMeta(spark, dir)
     rewriteBuckets(spark, dir, keyCol, s"clustering by $byCol",
       pick = snap => snap.files.filter { case (_, fs0) =>
         fs0.nonEmpty && !isClustered(snap, fs0, targetRowsPerFile,
-          f => snap.extraStats.get(f).flatMap(_.get(byCol)))
+          f => snap.extraStats.get(f).flatMap(_.get(byCol)),
+          numericPrunable(snap.schema.getOrElse(metaSchema), byCol))
       }.keySet,
       shape = (rows, n) =>
         rows.repartition(math.max(1, n / 4), col("__bucket"))
@@ -1303,11 +1448,19 @@ object VersionedKeyedTable {
   /** Whether a bucket's files already have the layout a cluster
     * rewrite produces along the dimension `statsOf` reads: full stats
     * + counts, all within the size target, and pairwise-disjoint
-    * intervals (numeric when both bounds parse as longs, else the
-    * string order of the recorded cast values). */
+    * intervals. Interval order is NUMERIC only when the dimension's
+    * SCHEMA TYPE makes the recorded stats numeric ([[numericPrunable]])
+    * — a STRING column holding digit strings records string-ordered
+    * envelopes (min="10", max="9") that happen to parse as longs, and
+    * judging those numerically would misread disjointness and rewrite
+    * such a table on every maintenance run, forever. Legacy manifests
+    * whose stats predate the typed encoding (a string-cast timestamp)
+    * fail the parse check and fall back to string order — at worst a
+    * re-sort, never a wrong read. */
   private def isClustered(snap: Snapshot, fs0: Seq[String],
       targetRowsPerFile: Long,
-      statsOf: String => Option[(String, String)]): Boolean = {
+      statsOf: String => Option[(String, String)],
+      numericType: Boolean): Boolean = {
     // every file must be size-bounded with a KNOWN count; files
     // WITHOUT a map are tolerated (an all-null dimension file — a
     // rewrite cannot give it one, so requiring it would re-rewrite
@@ -1319,7 +1472,7 @@ object VersionedKeyedTable {
     // dimension — rewrite it (a wholly-null-dimension bucket re-sorts
     // every run: it cannot carry maps, bounded by its own size)
     if (ivs.isEmpty) return false
-    val numeric = ivs.forall { case (a, b) =>
+    val numeric = numericType && ivs.forall { case (a, b) =>
       a.toLongOption.isDefined && b.toLongOption.isDefined }
     val sorted =
       if (numeric) ivs.sortBy(iv => (iv._1.toLong, iv._2.toLong))
@@ -1452,7 +1605,10 @@ object VersionedKeyedTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
-    df.where(col(keyCol) >= lo && col(keyCol) <= hi)
+    // residual filter in the SAME image the bounds are expressed in
+    // (epoch days / micros for date / timestamp keys)
+    val k = statImage(schema(keyCol).dataType, col(keyCol))
+    df.where(k >= lo && k <= hi)
   }
 
   /** [[rangeFiles]] on a SECONDARY column's named zone maps (written
@@ -1487,7 +1643,8 @@ object VersionedKeyedTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
-    df.where(col(statCol) >= lo && col(statCol) <= hi)
+    val c = statImage(schema(statCol).dataType, col(statCol))
+    df.where(c >= lo && c <= hi)
   }
 
   /** The table as a CATALYST-INTEGRATED DataFrame: any `WHERE` clause
@@ -1529,7 +1686,7 @@ object VersionedKeyedTable {
     * dimension-lookup / debugging path, not a join replacement. */
   def readKeys(spark: SparkSession, dir: String, keyCol: String,
       keys: Seq[Long], version: Option[Long] = None): DataFrame = {
-    require(keys.size <= 100000,
+    require(keys.size <= MaxPointLookupKeys,
       s"readKeys is for bounded point lookups (${keys.size} keys); " +
         "join against read() for larger key sets")
     val (nb, metaSchema) = readMeta(spark, dir)
@@ -1541,6 +1698,85 @@ object VersionedKeyedTable {
     // (keyFilesOf applies the same cast; pruning and scan share THIS
     // snapshot, so a concurrent commit cannot split them)
     val (kept, _) = keyFilesOf(spark, dir, keyCol, keys, snap, nb, schema)
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
+    df.where(col(keyCol).isin(keys: _*))
+  }
+
+  /** [[keyFiles]] for STRING-keyed tables: candidates are pruned by
+    * the string-ordered zone envelopes (the manifest records a string
+    * column's native min/max, so `mn <= k <= mx` in STRING order is
+    * exact) and by the bloom sidecar, probed as
+    * `mightContainLong(xxhash64(key))` — the hash image
+    * [[writeDataFiles]] blooms string keys under. */
+  def keyFilesStr(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[String], version: Option[Long] = None)
+      : (Seq[String], Int) = {
+    require(keys.size <= MaxPointLookupKeys,
+      s"keyFilesStr is for bounded point lookups (${keys.size} keys); " +
+        "join against read() for larger key sets")
+    val (nb, metaSchema) = readMeta(spark, dir)
+    val snap = snapshot(spark, dir, version)
+    keyFilesStrOf(spark, dir, keyCol, keys, snap, nb,
+      snap.schema.getOrElse(metaSchema))
+  }
+
+  /** xxhash64 image of a string key with Spark's default seed — MUST
+    * match the SQL `xxhash64(key)` the bloom build aggregates, or
+    * probes would silently never prune. */
+  private def strKeyHash(k: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(k),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  private def keyFilesStrOf(spark: SparkSession, dir: String,
+      keyCol: String, keys: Seq[String], snap: Snapshot, nb: Int,
+      schema: org.apache.spark.sql.types.StructType)
+      : (Seq[String], Int) = {
+    import spark.implicits._
+    require(schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"keyFilesStr probes STRING keys; '$keyCol' is " +
+        s"${schema(keyCol).dataType} — use keyFiles/readKeys")
+    val wanted = keys.toDF(keyCol)
+      .select(bucketOf(keyCol, nb)).distinct()
+      .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+    val candidate = snap.files.filter(e => wanted(e._1))
+      .values.flatten.toSeq
+    // string-order zone check against the native string envelopes
+    val zoneKept = candidate.filter { f =>
+      snap.stats.get(f) match {
+        case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+        case None => true // no zone map recorded: must read
+      }
+    }
+    val hashes = keys.map(strKeyHash)
+    val blooms = bloomsFor(hfs(spark, dir), dir, zoneKept)
+    val kept = zoneKept.filter { f =>
+      blooms.get(f) match {
+        case Some(bl) => hashes.exists(bl.mightContainLong)
+        case None => true // no bloom recorded: must read
+      }
+    }
+    (kept, candidate.size)
+  }
+
+  /** [[readKeys]] for STRING-keyed tables: the given keys' rows,
+    * zone- and bloom-pruned within the keys' buckets
+    * ([[keyFilesStr]]). Same bounded-driver-list contract. */
+  def readKeysStr(spark: SparkSession, dir: String, keyCol: String,
+      keys: Seq[String], version: Option[Long] = None): DataFrame = {
+    require(keys.size <= MaxPointLookupKeys,
+      s"readKeysStr is for bounded point lookups (${keys.size} keys); " +
+        "join against read() for larger key sets")
+    val (nb, metaSchema) = readMeta(spark, dir)
+    val snap = snapshot(spark, dir, version)
+    val schema = snap.schema.getOrElse(metaSchema)
+    val (kept, _) =
+      keyFilesStrOf(spark, dir, keyCol, keys, snap, nb, schema)
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(
@@ -1567,8 +1803,17 @@ object VersionedKeyedTable {
     val (nb, metaSchema) = readMeta(spark, srcDir)
     val snap = snapshot(spark, srcDir, version)
     val schema = snap.schema.getOrElse(metaSchema)
-    writeMeta(spark, dstDir, nb, schema)
     val fs = hfs(spark, srcDir)
+    // refuse a LIVE destination: overwriting an existing table's meta
+    // and CAS-appending a manifest referencing ANOTHER table's files
+    // would silently corrupt the destination's version chain — clone
+    // only into a dir with no table state
+    require(KeyedTable.readMeta(spark, dstDir).isEmpty &&
+        listVersions(hfs(spark, dstDir), dstDir).isEmpty,
+      s"cloneAt destination $dstDir already holds a table " +
+        "(meta sidecar or version log present) — clone into a fresh " +
+        "directory; overwriting would corrupt its version chain")
+    writeMeta(spark, dstDir, nb, schema)
     val local = fs.getUri.getScheme == "file"
     def localPath(p: Path) = java.nio.file.Paths.get(
       Path.getPathWithoutSchemeAndAuthority(p).toString)

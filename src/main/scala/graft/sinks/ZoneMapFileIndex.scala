@@ -34,18 +34,23 @@ final class ZoneMapFileIndex(
     dataSchema: StructType)
     extends FileIndex {
 
-  // numeric pruning is sound only for integral-typed columns: the
-  // recorded stats are string-cast envelopes, and STRING order differs
-  // from numeric order (a file holding {"9","10"} records mn="10",
-  // mx="9") — parsing those as longs would prune matching rows
-  private def integral(name: String): Boolean =
-    dataSchema.fields.find(_.name == name).exists(_.dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType => true
-      case _ => false
-    })
+  // numeric pruning is sound only for columns whose recorded stats
+  // are a NUMERIC IMAGE (integral values; epoch days for DATE, epoch
+  // micros for TIMESTAMP — VersionedKeyedTable.statImage): a plain
+  // string column's stats are its string-ordered envelope (a file
+  // holding {"9","10"} records mn="10", mx="9") — parsing those as
+  // longs would prune matching rows. String columns instead prune in
+  // STRING order against string literals (colStrBounds). Catalyst's
+  // own literal encodings line up with the images exactly: a
+  // timestamp literal IS Long micros and a date literal Int days, so
+  // typed predicates need no conversion here at all.
+  private def numericImage(name: String): Boolean =
+    dataSchema.fields.find(_.name == name)
+      .exists(f => VersionedKeyedTable.hasNumericImage(f.dataType))
+
+  private def stringTyped(name: String): Boolean =
+    dataSchema.fields.find(_.name == name)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
 
   private val relFiles: Seq[String] = snap.files.values.flatten.toSeq
   private val statuses: Seq[FileStatus] = {
@@ -70,14 +75,22 @@ final class ZoneMapFileIndex(
     }
   }
   private val statsByPath: Map[Path, (Long, Long)] =
-    if (!integral(keyCol)) Map.empty
+    if (!numericImage(keyCol)) Map.empty
     else relFiles.zip(statuses).flatMap { case (rel, st) =>
       snap.stats.get(rel).flatMap { case (mn, mx) =>
         (mn.toLongOption, mx.toLongOption) match {
           case (Some(a), Some(b)) => Some(st.getPath -> (a, b))
-          case _ => None
+          case _ => None // legacy string-image stats: never prune
         }
       }
+    }.toMap
+
+  /** String-keyed tables' native string envelopes, pruned in STRING
+    * order against string literals. */
+  private val strStatsByPath: Map[Path, (String, String)] =
+    if (!stringTyped(keyCol)) Map.empty
+    else relFiles.zip(statuses).flatMap { case (rel, st) =>
+      snap.stats.get(rel).map(st.getPath -> _)
     }.toMap
 
   /** Named SECONDARY-column maps (written by clusterBy, inherited by
@@ -88,15 +101,25 @@ final class ZoneMapFileIndex(
       val perCol = snap.extraStats.getOrElse(rel, Map.empty)
         .flatMap { case (c, (mn, mx)) =>
           (mn.toLongOption, mx.toLongOption) match {
-            case (Some(a), Some(b)) if integral(c) => Some(c -> (a, b))
+            case (Some(a), Some(b)) if numericImage(c) => Some(c -> (a, b))
             case _ => None
           }
         }
       if (perCol.isEmpty) None else Some(st.getPath -> perCol)
     }.toMap
 
+  /** String-typed secondary maps — the clusterBy-on-a-string-column
+    * layout prunes here. */
+  private val extraStrByPath: Map[Path, Map[String, (String, String)]] =
+    relFiles.zip(statuses).flatMap { case (rel, st) =>
+      val perCol = snap.extraStats.getOrElse(rel, Map.empty)
+        .filter { case (c, _) => stringTyped(c) }
+      if (perCol.isEmpty) None else Some(st.getPath -> perCol)
+    }.toMap
+
   private val extraCols: Set[String] =
-    extraByPath.valuesIterator.flatMap(_.keysIterator).toSet
+    extraByPath.valuesIterator.flatMap(_.keysIterator).toSet ++
+      extraStrByPath.valuesIterator.flatMap(_.keysIterator)
 
   /** Observability for specs and in-row assertions: (files listed for
     * the last query, total files in the snapshot). */
@@ -124,6 +147,69 @@ final class ZoneMapFileIndex(
     case Literal(v: Long, _) => Some(v)
     case Literal(v: Int, _) => Some(v.toLong)
     case _ => None
+  }
+
+  private def strLit(e: Expression): Option[String] = e match {
+    case Literal(u: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => Some(u.toString)
+    case _ => None
+  }
+
+  /** Per-COLUMN string intervals implied by conjuncts over
+    * STRING-typed key/stats columns. Strict bounds stay inclusive
+    * (strings have no +1) — conservative, never wrong. */
+  private def colStrBounds(filters: Seq[Expression])
+      : Map[String, (Option[String], Option[String])] = {
+    val bounds = scala.collection.mutable
+      .Map.empty[String, (Option[String], Option[String])]
+    def raiseLo(c: String, v: String): Unit = {
+      val (lo, hi) = bounds.getOrElse(c, (None, None))
+      bounds(c) = (Some(lo.fold(v)(l => if (l >= v) l else v)), hi)
+    }
+    def lowerHi(c: String, v: String): Unit = {
+      val (lo, hi) = bounds.getOrElse(c, (None, None))
+      bounds(c) = (lo, Some(hi.fold(v)(h => if (h <= v) h else v)))
+    }
+    def strName(e: Expression): Option[String] =
+      nameOf(e).filter(stringTyped)
+    filters.flatMap(conjuncts).foreach {
+      case EqualTo(a, l) if strName(a).isDefined && strLit(l).isDefined =>
+        raiseLo(strName(a).get, strLit(l).get)
+        lowerHi(strName(a).get, strLit(l).get)
+      case EqualTo(l, a) if strName(a).isDefined && strLit(l).isDefined =>
+        raiseLo(strName(a).get, strLit(l).get)
+        lowerHi(strName(a).get, strLit(l).get)
+      case GreaterThanOrEqual(a, l)
+          if strName(a).isDefined && strLit(l).isDefined =>
+        raiseLo(strName(a).get, strLit(l).get)
+      case GreaterThan(a, l)
+          if strName(a).isDefined && strLit(l).isDefined =>
+        raiseLo(strName(a).get, strLit(l).get)
+      case LessThanOrEqual(a, l)
+          if strName(a).isDefined && strLit(l).isDefined =>
+        lowerHi(strName(a).get, strLit(l).get)
+      case LessThan(a, l)
+          if strName(a).isDefined && strLit(l).isDefined =>
+        lowerHi(strName(a).get, strLit(l).get)
+      case GreaterThanOrEqual(l, a)
+          if strName(a).isDefined && strLit(l).isDefined =>
+        lowerHi(strName(a).get, strLit(l).get)
+      case GreaterThan(l, a)
+          if strName(a).isDefined && strLit(l).isDefined =>
+        lowerHi(strName(a).get, strLit(l).get)
+      case LessThanOrEqual(l, a)
+          if strName(a).isDefined && strLit(l).isDefined =>
+        raiseLo(strName(a).get, strLit(l).get)
+      case LessThan(l, a)
+          if strName(a).isDefined && strLit(l).isDefined =>
+        raiseLo(strName(a).get, strLit(l).get)
+      case In(a, vs) if strName(a).isDefined && vs.nonEmpty &&
+          vs.forall(strLit(_).isDefined) =>
+        val set = vs.map(strLit(_).get)
+        raiseLo(strName(a).get, set.min); lowerHi(strName(a).get, set.max)
+      case _ => () // unknown shape: contributes no bound (never prunes)
+    }
+    bounds.toMap
   }
 
   /** Per-COLUMN intervals [lo, hi] implied by the filters' conjuncts
@@ -184,18 +270,26 @@ final class ZoneMapFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = colBounds(dataFilters)
-    def survives(stats: Option[(Long, Long)],
-        b: Option[(Option[Long], Option[Long])]): Boolean =
+    val sBounds = colStrBounds(dataFilters)
+    def survives[T](stats: Option[(T, T)],
+        b: Option[(Option[T], Option[T])])(
+        implicit ord: Ordering[T]): Boolean =
       (stats, b) match {
         case (Some((mn, mx)), Some((lo, hi))) =>
-          lo.forall(mx >= _) && hi.forall(mn <= _)
+          lo.forall(ord.gteq(mx, _)) && hi.forall(ord.lteq(mn, _))
         case _ => true // no map or no bound for this column: must read
       }
     val kept = statuses.filter { st =>
       survives(statsByPath.get(st.getPath), bounds.get(keyCol)) &&
+        survives(strStatsByPath.get(st.getPath), sBounds.get(keyCol)) &&
         bounds.forall { case (c, b) =>
           c == keyCol ||
             survives(extraByPath.get(st.getPath).flatMap(_.get(c)),
+              Some(b))
+        } &&
+        sBounds.forall { case (c, b) =>
+          c == keyCol ||
+            survives(extraStrByPath.get(st.getPath).flatMap(_.get(c)),
               Some(b))
         }
     }

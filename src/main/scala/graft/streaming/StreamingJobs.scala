@@ -539,6 +539,12 @@ object StreamingJobs {
         .trigger(Trigger.AvailableNow()).start()
       try { q.processAllAvailable() } finally { q.stop() }
     }
+    // the memory sink holds the full result; the staged event slice
+    // is dead weight now — reclaim it (a leaked UUID dir per run
+    // otherwise accumulates across bench/test invocations)
+    new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(stagingDir), true): Unit
     spark.table(qname)
   }
 

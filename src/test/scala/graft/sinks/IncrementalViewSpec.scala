@@ -52,6 +52,87 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(!got.contains("c"), "an emptied group is deleted, not zeroed")
   }
 
+  private def fullViewOf(viewDir: String)
+      : Map[String, (Long, Long, Long, Long)] =
+    VersionedKeyedTable.read(spark, viewDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  private def recomputeFull(baseDir: String)
+      : Map[String, (Long, Long, Long, Long)] =
+    VersionedKeyedTable.read(spark, baseDir)
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"),
+        sum(col("v")).as("total"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("full view: min/max survive extremum deletes (re-derive tier), " +
+      "extend on inserts (delta tier), and track group moves — " +
+      "equal to recompute at every span") {
+    val (baseDir, viewDir) = fresh()
+    VersionedKeyedTable.create(
+      Seq((1L, "a", 10L), (2L, "a", 50L), (3L, "a", 30L),
+        (4L, "b", 7L), (5L, "b", 70L), (6L, "c", 40L))
+        .toDF("k", "g", "v"), baseDir, "k", numBuckets = 2)
+    val wm = IncrementalView.createFromFull(
+      spark, baseDir, viewDir, "g", "v", numBuckets = 2)
+    assert(fullViewOf(viewDir) === recomputeFull(baseDir))
+    // v2: delete a's MAX (k2=50) and b's MIN (k4=7) — both groups
+    // must recover their runner-up exactly (the non-self-maintainable
+    // case a pure delta rule cannot handle)
+    VersionedKeyedTable.delete(spark, baseDir,
+      Seq(2L, 4L).toDF("k"), "k")
+    IncrementalView.refreshToLatestFull(
+      spark, baseDir, viewDir, "k", "g", "v", wm)
+    var got = fullViewOf(viewDir)
+    assert(got === recomputeFull(baseDir))
+    assert(got("a") === ((2L, 40L, 10L, 30L)), "a's max fell to 30")
+    assert(got("b") === ((1L, 70L, 70L, 70L)), "b's min rose to 70")
+    // v3: inserts extend envelopes; an update REPLACES a's min (10->5)
+    // and a GROUP MOVE takes c's only row to b (c disappears, b's
+    // envelope re-derives around the arrival)
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((7L, "a", 100L), (1L, "a", 5L), (6L, "b", 40L))
+        .toDF("k", "g", "v"), "k")
+    // v4: delete b's new min (k6=40)
+    VersionedKeyedTable.delete(spark, baseDir, Seq(6L).toDF("k"), "k")
+    IncrementalView.refreshFromCommittedFull(
+      spark, baseDir, viewDir, "k", "g", "v")
+    got = fullViewOf(viewDir)
+    assert(got === recomputeFull(baseDir))
+    assert(got("a") === ((3L, 135L, 5L, 100L)))
+    assert(got("b") === ((1L, 70L, 70L, 70L)))
+    assert(!got.contains("c"), "an emptied group is deleted, not zeroed")
+    // exactly-once: a crash-retry of the caught-up maintainer no-ops
+    val nv = VersionedKeyedTable.completeVersions(spark, viewDir).size
+    IncrementalView.refreshFromCommittedFull(
+      spark, baseDir, viewDir, "k", "g", "v")
+    assert(VersionedKeyedTable.completeVersions(spark, viewDir).size
+      === nv)
+    assert(fullViewOf(viewDir) === recomputeFull(baseDir))
+  }
+
+  test("full view: the semi-join re-derive path (above the isin cap) " +
+      "produces the same result") {
+    val cap0 = IncrementalView.rederiveIsinCap
+    IncrementalView.rederiveIsinCap = 0 // force the semi-join path
+    try {
+      val (baseDir, viewDir) = fresh()
+      VersionedKeyedTable.create(
+        (1L to 60L).map(i => (i, s"g${i % 5}", i)).toDF("k", "g", "v"),
+        baseDir, "k", numBuckets = 2)
+      val wm = IncrementalView.createFromFull(
+        spark, baseDir, viewDir, "g", "v", numBuckets = 2)
+      // delete every group's max (k 56..60)
+      VersionedKeyedTable.delete(spark, baseDir,
+        (56L to 60L).toDF("k"), "k")
+      IncrementalView.refreshToLatestFull(
+        spark, baseDir, viewDir, "k", "g", "v", wm)
+      assert(fullViewOf(viewDir) === recomputeFull(baseDir))
+    } finally IncrementalView.rederiveIsinCap = cap0
+  }
+
   test("exactly-once watermark: a re-applied span is a no-op, the " +
       "stamp rides the view's own commits, and refreshFromCommitted " +
       "resumes where the last durable refresh stopped") {

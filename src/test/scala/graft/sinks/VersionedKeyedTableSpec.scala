@@ -795,6 +795,74 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     }
   }
 
+  // ---- rename-claim backend (HDFS semantics) ----------------------
+
+  private def hdfsLikeDir(): (String, String) = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.hdfslike.impl", classOf[HdfsLikeFileSystem].getName)
+    VersionedKeyedTable.renameClaimSchemes += "hdfslike"
+    val local = Files.createTempDirectory("graft-hdfslike").toString + "/t"
+    (s"hdfslike://$local", local)
+  }
+
+  test("rename claim backend: commits round-trip, and a crashed " +
+      "mid-claim writer leaves NO torn claim — only an unreferenced " +
+      "temp file, so the next commit neither polls nor skips") {
+    val (dir, local) = hdfsLikeDir()
+    VersionedKeyedTable.create(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 2)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, "NEW3"), (31L, "NEW31")).toDF("k", "v"), "k")
+    val got = contents(dir)
+    assert(got(3L) === "NEW3" && got(31L) === "NEW31" && got.size === 31)
+    // a writer that died mid-claim: full content in a temp file, the
+    // rename never happened — the version NAMESPACE is untouched
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$local/_versions/.tmp-dead-writer"),
+      "touched\t0\n0\tdata/ghost.parquet\n#end\n".getBytes("UTF-8"))
+    val (polls0, ms0) =
+      (VersionedKeyedTable.tornClaimPolls, VersionedKeyedTable.tornClaimPollMs)
+    // make any accidental poll VERY visible in wall time
+    VersionedKeyedTable.tornClaimPolls = 50
+    VersionedKeyedTable.tornClaimPollMs = 200L
+    try {
+      val t0 = System.nanoTime()
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((1L, "a3")).toDF("k", "v"), "k")
+      val waitedMs = (System.nanoTime() - t0) / 1000000L
+      assert(waitedMs < 5000L,
+        s"an atomic-with-content backend must never poll (${waitedMs}ms)")
+      assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L,
+        "the commit lands at the NEXT number — no claim was torn")
+      assert(contents(dir)(1L) === "a3")
+    } finally {
+      VersionedKeyedTable.tornClaimPolls = polls0
+      VersionedKeyedTable.tornClaimPollMs = ms0
+    }
+  }
+
+  test("rename claim backend: a lost rename CAS always means a " +
+      "COMPLETE racing commit — the loser recomputes over it " +
+      "immediately, no poll, no lost update") {
+    val (dir, _) = hdfsLikeDir()
+    VersionedKeyedTable.create(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, "k", numBuckets = 1)
+    // seam-injected race on the SAME bucket: B commits between A's
+    // data write and A's claim — A's rename loses to a COMPLETE v2
+    // and must recompute (puts re-apply serializably)
+    var bRan = false
+    VersionedKeyedTable.mutate(spark, dir,
+      Seq((1L, "A")).toDF("k", "v"), "k", isDelete = false,
+      onBeforeCommit = () => if (!bRan) {
+        bRan = true
+        VersionedKeyedTable.upsert(spark, dir,
+          Seq((2L, "B")).toDF("k", "v"), "k")
+      })
+    assert(contents(dir) === Map(1L -> "A", 2L -> "B"))
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L)
+  }
+
   test("snapshot-isolated reader: a DataFrame resolved before a commit " +
       "keeps reading its version's immutable files") {
     val dir = freshDir()
@@ -957,6 +1025,107 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
       VersionedKeyedTable.clusterBy(spark, dir2, "k", "k")
     }
     assert(e.getMessage.contains("cluster()"))
+    // 4. CONVERGENCE on the digit-string dimension: its envelopes
+    // parse as longs but are STRING-ordered — interval order must
+    // follow the SCHEMA type, or every maintenance run would misjudge
+    // disjointness and pay a full O(table) rewrite forever
+    val v1 = VersionedKeyedTable.snapshot(spark, dir).version
+    VersionedKeyedTable.clusterBy(spark, dir, "k", "s",
+      targetRowsPerFile = 30L)
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === v1,
+      "a re-run on a string-clustered table must be a no-op commit")
+  }
+
+  test("typed zone maps: TIMESTAMP keys record epoch-micro images — " +
+      "cluster converges, readRange prunes, and Catalyst WHERE " +
+      "clauses with timestamp literals prune through table()") {
+    val dir = freshDir()
+    val t0 = 1700000000000000L // µs
+    val rows = (1L to 600L).map { i =>
+      (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(0, (t0 + i * 60000000L) * 1000L)),
+        i)
+    }.toDF("ts", "n")
+    VersionedKeyedTable.create(rows.repartition(8), dir, "ts",
+      numBuckets = 2)
+    VersionedKeyedTable.cluster(spark, dir, "ts",
+      targetRowsPerFile = 60L)
+    val v = VersionedKeyedTable.snapshot(spark, dir).version
+    VersionedKeyedTable.cluster(spark, dir, "ts",
+      targetRowsPerFile = 60L)
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === v,
+      "epoch-image stats must let cluster() converge on a ts key")
+    // explicit range read in the µs image
+    val (lo, hi) = (t0 + 100L * 60000000L, t0 + 130L * 60000000L)
+    val (kept, total) = VersionedKeyedTable.rangeFiles(
+      spark, dir, "ts", lo, hi)
+    assert(kept.size < total,
+      s"ts zone maps must prune a clustered layout ($kept/$total)")
+    assert(VersionedKeyedTable.readRange(spark, dir, "ts", lo, hi)
+      .count() === 31L)
+    // Catalyst-integrated: a WHERE on the raw ts column prunes files
+    // at planning time (timestamp literals ARE Long micros)
+    val (df, idx) = VersionedKeyedTable.tableIndexed(spark, dir, "ts")
+    val n = df.where(col("ts") >=
+          lit(java.time.Instant.ofEpochSecond(0, lo * 1000L)) &&
+        col("ts") <= lit(java.time.Instant.ofEpochSecond(0, hi * 1000L)))
+      .count()
+    assert(n === 31L)
+    val (k2, t2) = idx.lastListed
+    assert(k2 < t2, s"Catalyst ts predicate must prune files ($k2/$t2)")
+    // a mutation inherits the typed encoding: upsert then re-read
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        0, (t0 + 105L * 60000000L) * 1000L)), 99999L)).toDF("ts", "n"),
+      "ts")
+    assert(VersionedKeyedTable.readRange(spark, dir, "ts", lo, hi)
+      .where(col("n") === 99999L).count() === 1L)
+  }
+
+  test("typed zone maps: a DATE secondary column prunes via clusterBy " +
+      "in the epoch-day image, including Catalyst date literals") {
+    val dir = freshDir()
+    val rows = (1L to 400L).map { i =>
+      (i, java.sql.Date.valueOf(java.time.LocalDate
+        .ofEpochDay(19000L + i % 40)))
+    }.toDF("k", "d")
+    VersionedKeyedTable.create(rows.repartition(8), dir, "k",
+      numBuckets = 2)
+    VersionedKeyedTable.clusterBy(spark, dir, "k", "d",
+      targetRowsPerFile = 50L)
+    val (kept, total) = VersionedKeyedTable.rangeFilesOn(
+      spark, dir, "d", 19010L, 19012L)
+    assert(kept.size < total,
+      s"date zone maps must prune after clusterBy ($kept/$total)")
+    assert(VersionedKeyedTable.readRangeOn(spark, dir, "d",
+      19010L, 19012L).count() === 30L)
+    val (df, idx) = VersionedKeyedTable.tableIndexed(spark, dir, "k")
+    val n = df.where(col("d") ===
+      lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19011L))))
+      .count()
+    assert(n === 10L)
+    val (k2, t2) = idx.lastListed
+    assert(k2 < t2, s"Catalyst date predicate must prune ($k2/$t2)")
+  }
+
+  test("Catalyst string-order pruning: a clustered STRING secondary " +
+      "column prunes WHERE clauses with string literals, exactly") {
+    val dir = freshDir()
+    val rows = (1L to 400L).map(i => (i, f"g${i % 40}%02d"))
+      .toDF("k", "s")
+    VersionedKeyedTable.create(rows.repartition(8), dir, "k",
+      numBuckets = 2)
+    VersionedKeyedTable.clusterBy(spark, dir, "k", "s",
+      targetRowsPerFile = 50L)
+    val (df, idx) = VersionedKeyedTable.tableIndexed(spark, dir, "k")
+    val n = df.where(col("s") >= "g10" && col("s") <= "g12").count()
+    assert(n === 30L)
+    val (k2, t2) = idx.lastListed
+    assert(k2 < t2,
+      s"string envelopes must prune string predicates ($k2/$t2)")
+    // digit-string inversion stays exact: zero-padded here, but probe
+    // an equality that string order places correctly regardless
+    assert(df.where(col("s") === "g05").count() === 10L)
   }
 
   test("compliance purge: delete(captureChanges=false) + vacuum " +
@@ -1034,6 +1203,14 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     val hc = VersionedKeyedTable.history(spark, dst).collect()
     assert(hc.exists(_.getAs[String]("meta_keys")
       .contains("graft.clonedFrom")), "clone provenance in commit meta")
+    // cloning INTO a live table would overwrite its meta and append a
+    // manifest referencing another table's files — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedKeyedTable.cloneAt(spark, src, dst)
+    }
+    assert(e.getMessage.contains("already holds a table"))
+    assert(contents(dst) === expectDst,
+      "a refused clone must leave the destination untouched")
   }
 
   test("bloom file skipping: point lookups prune hash-scattered files " +
@@ -1120,18 +1297,42 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     assert(contents(dir) === rows.toMap + (5000L -> "x"))
   }
 
-  test("bloom sidecars: non-integral keys write none (lookups still " +
-      "work), and vacuum reclaims a sidecar with its commit dir") {
+  test("bloom sidecars: STRING keys bloom xxhash64(key) — point " +
+      "lookups prune scattered files, absent keys prune to nothing — " +
+      "and vacuum reclaims a sidecar with its commit dir") {
     val sdir = freshDir()
+    // many small files per bucket (repartition) so probes have
+    // something to prune; string zone envelopes barely help on a
+    // hash-scattered layout — the bloom is what prunes
     VersionedKeyedTable.create(
-      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), sdir, "k",
+      (1L to 300L).map(i => (f"id-${i * 7919 % 1000}%03d", i))
+        .toDF("k", "v").repartition(12), sdir, "k",
       numBuckets = 2)
     def sidecars(d: String): Seq[java.io.File] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
       walk(new java.io.File(s"$d/data")).filter(_.getName == "_blooms.tsv")
     }
-    assert(sidecars(sdir).isEmpty, "string keys carry no bloom sidecar")
+    assert(sidecars(sdir).nonEmpty, "string keys carry a bloom sidecar")
+    val probe = Seq(f"id-${3L * 7919 % 1000}%03d")
+    val (kept, cand) = VersionedKeyedTable.keyFilesStr(
+      spark, sdir, "k", probe)
+    assert(kept.size < cand,
+      s"string-key blooms must prune scattered files ($kept/$cand)")
+    val got = VersionedKeyedTable.readKeysStr(spark, sdir, "k", probe)
+      .as[(String, Long)].collect()
+    assert(got.nonEmpty && got.forall(_._1 == probe.head),
+      "pruned lookup returns exactly the probed key's rows")
+    // absent key: zone + bloom pruning leaves (almost) nothing; the
+    // result is exactly empty either way
+    assert(VersionedKeyedTable.readKeysStr(spark, sdir, "k",
+      Seq("zz-absent")).count() === 0L)
+    // probing a long-keyed path against a string key fails loudly
+    val te = intercept[IllegalArgumentException] {
+      VersionedKeyedTable.keyFilesStr(spark, sdir, "v",
+        Seq("1"))
+    }
+    assert(te.getMessage.contains("STRING keys"))
     // vacuum reclamation: two upserts strand v1's commit dir entirely
     val dir = freshDir()
     VersionedKeyedTable.create(
