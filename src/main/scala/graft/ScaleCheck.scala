@@ -670,6 +670,68 @@ object ScaleCheck {
       VersionedKeyedTable.read(spark, viewDir).count()
     }
 
+    // Full-aggregate IVM (r12): the (cnt, total, mn, mx) view under
+    // EXTREMUM DELETES while the base grows a decade. One-time costs
+    // (create, clusterBy on the group column, view create) are
+    // table-linear by definition; the per-refresh claim is that a
+    // FIXED batch — 50 updates + the deletion of 20 fixed groups'
+    // current max rows — costs O(delta): the delta/extension tiers
+    // read only change files, and the re-derive tier re-aggregates
+    // ONLY the 20 affected groups through the zone-map isin path,
+    // which after clusterBy(g) keeps a ~constant file set while the
+    // table's files grow 10x. Without the clustered layout the
+    // re-derive would scan every file — the probe prices the layout
+    // the scaladoc prescribes.
+    time("versioned_ivm_minmax") {
+      import graft.sinks.{IncrementalView, VersionedKeyedTable}
+      import spark.implicits._
+      val baseDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-ivmm").toString + "/t"
+      val viewDir = java.nio.file.Files
+        .createTempDirectory("graft-scale-ivmmv").toString + "/t"
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_custkey").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      val nRows = base.count()
+      val t0 = System.nanoTime()
+      VersionedKeyedTable.create(base, baseDir, "k",
+        numBuckets = 16 * copies)
+      VersionedKeyedTable.clusterBy(spark, baseDir, "k", "g",
+        targetRowsPerFile = math.max(1000L, nRows / (32L * copies)))
+      val watermark = IncrementalView.createFromFull(
+        spark, baseDir, viewDir, "g", "cents", numBuckets = 4 * copies)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      // fixed batch: 50 value updates + delete the CURRENT max row of
+      // 20 fixed groups (g 1..20 — the first copy's range, so the
+      // affected-group interval stays constant as the table grows)
+      val existing = base.select(col("k"), col("g")).limit(50)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      VersionedKeyedTable.upsert(spark, baseDir,
+        existing.map { case (k, g) => (k, g, 777L) }.toSeq
+          .toDF("k", "g", "cents"), "k")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g"))
+        .orderBy(col("cents").desc, col("k"))
+      val doomed = VersionedKeyedTable.table(spark, baseDir, "k")
+        .where(col("g") >= 1L && col("g") <= 20L)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("k"))
+        .localCheckpoint(true)
+      VersionedKeyedTable.delete(spark, baseDir, doomed, "k")
+      val t1 = System.nanoTime()
+      IncrementalView.refreshToLatestFull(spark, baseDir, viewDir,
+        "k", "g", "cents", watermark)
+      val tIvm = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"[scale]   ivm_minmax: build (create+clusterBy+view) " +
+          f"$tBuild%.2f s (table-linear, one-time); refresh of the " +
+          f"fixed update+extremum-delete batch $tIvm%.2f s " +
+          "(O(delta): change files + 20 affected groups' covering " +
+          "files only)")
+      VersionedKeyedTable.read(spark, viewDir).count()
+    }
+
     // Clustered layout + bloom point lookups (r11): the table grows a
     // decade with numBuckets held CONSTANT and rows-per-file held
     // constant, so FILES PER BUCKET grow 10x — the read-layout control

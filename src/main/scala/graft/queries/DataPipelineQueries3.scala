@@ -161,11 +161,17 @@ object DataPipelineQueries3 {
     val cnt = bg.groupBy(col("w1").as("c1"), col("w2").as("c2"))
       .agg(count(lit(1)).as("num"))
     val tot = cnt.groupBy(col("c1").as("t1")).agg(sum(col("num")).as("den"))
-    bg.join(cnt, col("w1") === col("c1") && col("w2") === col("c2"))
-      .join(tot, col("w1") === col("t1"))
+    // per-BIGRAM bits precomputed on the distinct-bigram relation
+    // (cnt ⋈ tot — both grouped, both small), so the 100×-larger
+    // per-OCCURRENCE relation bg shuffles ONCE for its lookup join
+    // instead of twice (bg ⋈ cnt then re-shuffle for ⋈ tot)
+    val bits = cnt.join(tot, col("c1") === col("t1"))
+      .select(col("c1"), col("c2"),
+        (length(bin(expr("den div num"))) - 1).cast("long").as("bits"))
+    bg.join(bits, col("w1") === col("c1") && col("w2") === col("c2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(length(bin(expr("den div num"))) - 1).as("sum_bits"))
+        sum(col("bits")).as("sum_bits"))
   }
 
   /** DSIR-shape importance weights (Xie et al. 2023, public paper:

@@ -289,8 +289,32 @@ object IncrementalView {
       .groupBy(col(s"${groupCol}_prev").as(groupCol))
       .agg(min(col(s"${valueCol}_prev")).as("del_mn"),
         max(col(s"${valueCol}_prev")).as("del_mx"))
-    val viewCur = VersionedKeyedTable.read(spark, viewDir)
-      .select(col(groupCol), col("mn"), col("mx"))
+      .localCheckpoint(true)
+    // the recorded envelopes of EXACTLY the delete-touched groups:
+    // the view is KEYED by the group column, so a bounded group list
+    // rides the bucket+zone+bloom point-lookup path — O(probed
+    // buckets' surviving files), not a view scan that would grow with
+    // the group count; unbounded lists fall back to the full read
+    val nDel = delMM.count()
+    val viewCur = {
+      val vSchema = VersionedKeyedTable.read(spark, viewDir).schema
+      val gType = vSchema(groupCol).dataType
+      val integralG = Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType).contains(gType)
+      val stringG = gType == org.apache.spark.sql.types.StringType
+      val full =
+        if (nDel == 0 || nDel > rederiveIsinCap || !(integralG || stringG))
+          VersionedKeyedTable.read(spark, viewDir)
+        else if (integralG)
+          VersionedKeyedTable.readKeys(spark, viewDir, groupCol,
+            delMM.select(col(groupCol)).collect()
+              .map(_.get(0).asInstanceOf[Number].longValue).toSeq)
+        else
+          VersionedKeyedTable.readKeysStr(spark, viewDir, groupCol,
+            delMM.select(col(groupCol)).collect()
+              .map(_.getString(0)).toSeq)
+      full.select(col(groupCol), col("mn"), col("mx"))
+    }
     val affected = delMM.join(viewCur, Seq(groupCol))
       .where(col("del_mn") <= col("mn") || col("del_mx") >= col("mx"))
       .select(col(groupCol))
