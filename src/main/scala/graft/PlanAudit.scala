@@ -274,7 +274,22 @@ object PlanAudit {
       "to the new values, guarded not-matched insert on crossing in); " +
       "the stamp rides the merge's own commit metadata, so catch-up " +
       "is exactly-once and O(span's changed rows) — the terminal plan " +
-      "is the replica's bucketed parquet scan."))
+      "is the replica's bucketed parquet scan."),
+    "stream_cdf_source" -> ("The CDF as a NATIVE streaming source " +
+      "(DataSource V2 MicroBatchStream): offsets are commit versions, " +
+      "planInputPartitions walks the lineage span and plans ONE " +
+      "partition per immutable change file (a big commit " +
+      "parallelizes, a compaction contributes nothing), and Spark's " +
+      "own offset log gives exactly-once CDC across restarts — the " +
+      "terminal plan here is the drained parquet sink's scan; the " +
+      "streaming micro-batch plan is a MicroBatchScan over " +
+      "CdfPartitionReaders."),
+    "versioned_zorder_skipping" -> ("2-D z-order skipping: clusterBy " +
+      "on the Morton key gives every file a tight (custkey, day) box; " +
+      "the manifest's named maps for BOTH source dimensions (long + " +
+      "timestamp epoch-micro image) prune the Catalyst box query " +
+      "before split planning (in-row require pins kept < total) — " +
+      "OPTIMIZE ZORDER BY, reduced to clusterBy + typed zone maps."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is

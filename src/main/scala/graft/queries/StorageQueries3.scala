@@ -264,6 +264,64 @@ object StorageQueries3 {
       .select(col("k"), col("g"), col("cents"))
   }
 
+  /** 2-D Z-ORDER DATA SKIPPING: the OPTIMIZE ZORDER BY analogue —
+    * orders carry a Morton key over (custkey, order day) and the
+    * table is clusterBy'd on it, so each file covers a tight box in
+    * BOTH dimensions at once (a plain sort only prunes its leading
+    * column); the manifest keeps named zone maps for the custkey
+    * (long) AND the order date (timestamp — epoch-micro image), and a
+    * Catalyst 2-D box query prunes through both before split
+    * planning (in-row require). The composition of round 12's typed
+    * maps with `Layout.zkey`: at 100 TB this is the
+    * "this customer segment, this quarter" query touching only
+    * box-covering files. */
+  val versionedZorderSkipping = sql("versioned_zorder_skipping",
+    """SELECT count(*) AS n,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+           AS BIGINT)) AS BIGINT) AS cents,
+         min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+       FROM orders
+       WHERE o_custkey BETWEEN 300 AND 450
+         AND o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1997-07-01'""") { (s, d) =>
+    import graft.functions.Layout
+    val dir = scratch("zskip")
+    val ord = Tables.orders(s, d)
+    val rows = ord.select(col("o_orderkey").as("k"),
+      col("o_custkey").as("x"),
+      // the testdata's parquet annotation reads as TIMESTAMP_NTZ;
+      // the UTC session cast gives the instant DuckDB's naive
+      // literals denote (see the events normalization in Tables)
+      col("o_orderdate").cast("timestamp").as("ts"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+      // Morton key over (custkey, epoch DAY) — day granularity keeps
+      // the interleave's low bits meaningful (raw micros are noise)
+      .withColumn("z", Layout.zkey(col("x"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long")))
+    val n = rows.count()
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows.repartition(8), dir, "k",
+        CheckBuckets, statsColumns = Seq("x", "ts"))
+      VersionedKeyedTable.clusterBy(s, dir, "k", "z",
+        targetRowsPerFile = math.max(100L, n / 32))
+    }
+    // string→timestamp cast folds under the UTC session zone — the
+    // same instant DuckDB's naive TIMESTAMP literal denotes
+    def ts(iso: String) = lit(iso).cast("timestamp")
+    val (df, idx) = VersionedKeyedTable.tableIndexed(s, dir, "k")
+    val out = df.where(col("x") >= 300L && col("x") <= 450L &&
+        col("ts") >= ts("1997-01-01") && col("ts") < ts("1997-07-01"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .localCheckpoint(true) // execute now so the prune count is real
+    val (kept, total) = idx.lastListed
+    require(kept < total,
+      s"the 2-D box must prune z-clustered files ($kept/$total)")
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(versionedTsSkipping, versionedTsPushdown,
-    versionedStrBloomSkipping, ivmRefreshMinmax, versionedReplicaSync)
+    versionedStrBloomSkipping, ivmRefreshMinmax, versionedReplicaSync,
+    versionedZorderSkipping)
 }

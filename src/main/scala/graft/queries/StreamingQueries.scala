@@ -603,11 +603,91 @@ object StreamingQueries {
     StreamingJobs.signupPurchaseLeftOuter(s, d)
   }
 
+  /** THE CDF AS A NATIVE STREAMING SOURCE (sinks.v2.CdfSource): a
+    * versioned table consumed with `spark.readStream` — commit
+    * versions are the offsets, each commit's captured change files
+    * are its micro-batch partitions, and Spark's checkpoint gives
+    * exactly-once CDC (the Delta readStream contract, reduced to the
+    * store's manifest). The history commits an upsert (updates +
+    * inserts) and a delete; the stream drains through a parquet sink
+    * and the oracle recomputes every commit's classified diff
+    * relationally WITH its `_commit_version` — a dropped partition,
+    * a replayed span, or a mis-typed null (`*_prev` on inserts, new
+    * values on deletes) breaks the hash. */
+  val streamCdfSource = sql("stream_cdf_source",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents0
+         FROM orders),
+       v2i AS (
+         SELECT k, 'insert' AS change_type, g, cents0 AS cents,
+           CAST(NULL AS BIGINT) AS g_prev,
+           CAST(NULL AS BIGINT) AS cents_prev,
+           CAST(2 AS BIGINT) AS _commit_version
+         FROM base WHERE k % 3 = 2),
+       v2u AS (
+         SELECT k, 'update' AS change_type, g, cents0 * 2 AS cents,
+           g AS g_prev, cents0 AS cents_prev,
+           CAST(2 AS BIGINT) AS _commit_version
+         FROM base WHERE k % 3 <> 2 AND k % 10 = 1),
+       m AS (
+         SELECT k, g,
+           CASE WHEN k % 3 <> 2 AND k % 10 = 1 THEN cents0 * 2
+                ELSE cents0 END AS cents
+         FROM base),
+       v3d AS (
+         SELECT k, 'delete' AS change_type,
+           CAST(NULL AS BIGINT) AS g, CAST(NULL AS BIGINT) AS cents,
+           g AS g_prev, cents AS cents_prev,
+           CAST(3 AS BIGINT) AS _commit_version
+         FROM m WHERE k % 7 = 0)
+       SELECT * FROM v2i
+       UNION ALL SELECT * FROM v2u
+       UNION ALL SELECT * FROM v3d""") { (s, d) =>
+    import graft.sinks.VersionedKeyedTable
+    val base = sys.props("java.io.tmpdir") + "/graft_cdfsrc_" +
+      java.util.UUID.randomUUID().toString
+    val dir = s"$base/table"
+    val rows = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows.filter(col("k") % 3 =!= 2),
+        dir, "k", numBuckets = 4)
+    }
+    // v2: the late slice inserts; on-time %10=1 rows get doubled
+    VersionedKeyedTable.upsert(s, dir,
+      rows.filter(col("k") % 3 === 2)
+        .unionByName(rows.filter(col("k") % 3 =!= 2 && col("k") % 10 === 1)
+          .withColumn("cents", col("cents") * 2)), "k")
+    // v3: a purge of %7 keys (current state)
+    VersionedKeyedTable.delete(s, dir,
+      VersionedKeyedTable.read(s, dir)
+        .filter(col("k") % 7 === 0).select(col("k")), "k")
+    val q = s.readStream.format("graft.sinks.v2.CdfSource")
+      .option("path", dir).option("keyCol", "k")
+      .option("startingVersion", "1")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$base/out")
+      .select(col("k"), col("change_type"), col("g"), col("cents"),
+        col("g_prev"), col("cents_prev"), col("_commit_version"))
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
     streamAsOfJoin, streamAsOfTolerance, streamJoinOuter,
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
     streamDedup, funnel, cohortRetention, asofPriorEvent,
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,
     streamSubstrDedup, streamMediaDecode, streamCuration,
-    streamCurationResume, streamCdfIngest, streamCdfResume)
+    streamCurationResume, streamCdfIngest, streamCdfResume,
+    streamCdfSource)
 }

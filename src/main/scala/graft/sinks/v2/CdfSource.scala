@@ -1,0 +1,251 @@
+package graft.sinks.v2
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sinks.VersionedKeyedTable
+
+/** The versioned store's change data feed as a GENUINE Structured
+  * Streaming source — a DataSource V2 [[MicroBatchStream]] whose
+  * OFFSETS ARE COMMIT VERSIONS: every committed version is one
+  * durable, replayable micro-batch of that commit's captured change
+  * rows, so any streaming job can subscribe to a table with
+  * `readStream` and get exactly-once CDC through Spark's own
+  * checkpoint/offset machinery (what Delta's `readStream` does for
+  * its change feed, reduced to the manifest this store already
+  * keeps — the [[graft.sinks.ChangeFeed]] batch walk, lifted into
+  * the engine's native streaming contract):
+  *
+  * {{{
+  * spark.readStream.format("graft.sinks.v2.CdfSource")
+  *   .option("path", tableDir).option("keyCol", "k")
+  *   .option("startingVersion", "1")   // consume changes AFTER v1
+  *   .load()
+  * }}}
+  *
+  * Schema: key, change_type ∈ insert|update|delete, every data
+  * column's new value, its old value as `<col>_prev`, and
+  * `_commit_version` (the Delta CDF convention) — fixed at stream
+  * start from the table's current schema, like every table-format
+  * streaming source.
+  *
+  * Semantics and scale:
+  *  - `latestOffset` is a manifest listing (metadata-only);
+  *    `planInputPartitions(a, b)` walks the LINEAGE chain (a, b] so
+  *    an out-of-lineage commit can never inject rows, and plans ONE
+  *    PARTITION PER CHANGE FILE — a big commit parallelizes across
+  *    the cluster, an empty one (compaction) contributes nothing;
+  *  - every partition reads an IMMUTABLE file, so a replayed batch
+  *    (checkpoint recovery) is bit-identical — exactly-once falls
+  *    out of immutability + Spark's offset log;
+  *  - the source REQUIRES captured spans (a commit with
+  *    `captureChanges=false` in range fails loudly at planning, the
+  *    Delta "change data feed not enabled" contract) — the
+  *    snapshot-diff fallback is a batch-only affordance;
+  *  - `startingVersion` defaults to the LATEST version at stream
+  *    start (consume only future commits); vacuuming past an
+  *    unconsumed span fails the stream loudly, never silently skips.
+  *
+  * (Reference analogue: none — the reference re-ran the whole
+  * MapReduce when inputs changed; a subscribable commit log is what
+  * replaces those re-runs at 100 TB.)
+  */
+class CdfSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdfSource.cdfSchema(
+      CdfSource.tableSchema(options.get("path")),
+      CdfSource.required(options, "keyCol"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new CdfTable(CdfSource.required(opts, "path"),
+      CdfSource.required(opts, "keyCol"),
+      Option(opts.get("startingVersion")).map(_.toLong))
+  }
+}
+
+object CdfSource {
+  private[v2] def required(opts: CaseInsensitiveStringMap,
+      key: String): String =
+    Option(opts.get(key)).getOrElse(throw new IllegalArgumentException(
+      s"CdfSource: option '$key' is required"))
+
+  private[v2] def tableSchema(dir: String): StructType = {
+    val spark = SparkSession.active
+    val snap = VersionedKeyedTable.snapshot(spark, dir)
+    snap.schema.getOrElse(
+      graft.sinks.KeyedTable.readMeta(spark, dir).map(_._2).getOrElse(
+        throw new IllegalStateException(
+          s"CdfSource: no table at $dir")))
+  }
+
+  /** The stream's fixed output schema: key, change_type, data cols,
+    * their `_prev` twins, `_commit_version`. */
+  private[v2] def cdfSchema(table: StructType,
+      keyCol: String): StructType = {
+    val dataCols = table.fields.filterNot(_.name == keyCol)
+    StructType(
+      table.fields.filter(_.name == keyCol).map(_.copy(nullable = false)) ++
+        Array(StructField("change_type", StringType, nullable = false)) ++
+        dataCols.map(_.copy(nullable = true)) ++
+        dataCols.map(f => f.copy(name = f.name + "_prev", nullable = true)) ++
+        Array(StructField("_commit_version", LongType, nullable = false)))
+  }
+}
+
+class CdfTable(dir: String, keyCol: String, startingVersion: Option[Long])
+    extends Table with SupportsRead {
+  private val schema0 =
+    CdfSource.cdfSchema(CdfSource.tableSchema(dir), keyCol)
+  override def name: String = s"graft_cdf($dir)"
+  override def schema: StructType = schema0
+  override def capabilities: util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema0
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new CdfMicroBatchStream(dir, keyCol, schema0, startingVersion)
+      }
+    }
+}
+
+/** Offset = the highest commit version whose changes are consumed. */
+case class CdfOffset(version: Long) extends Offset {
+  override def json: String = s"""{"version":$version}"""
+}
+
+/** One change file of one commit — a whole input partition, so a
+  * commit's CDC parallelizes per file. Column names resolve by NAME
+  * in the reader (a pre-evolution change file simply lacks the late
+  * columns — they read as null). */
+case class CdfInputPartition(path: String, version: Long)
+    extends InputPartition
+
+class CdfMicroBatchStream(dir: String, keyCol: String,
+    schema: StructType, startingVersion: Option[Long])
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset =
+    CdfOffset(startingVersion.getOrElse(
+      VersionedKeyedTable.snapshot(spark, dir).version))
+
+  override def latestOffset(): Offset =
+    CdfOffset(VersionedKeyedTable.snapshot(spark, dir).version)
+
+  override def deserializeOffset(json: String): Offset = {
+    // {"version":N} — no JSON library needed for one long field
+    val m = """\{\s*"version"\s*:\s*(\d+)\s*\}""".r
+    json.trim match {
+      case m(v) => CdfOffset(v.toLong)
+      case other => throw new IllegalArgumentException(
+        s"CdfSource: unparseable offset '$other'")
+    }
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[CdfOffset].version
+    val b = end.asInstanceOf[CdfOffset].version
+    if (b <= a) return Array.empty
+    // the lineage chain (a, b]: exactly the commits whose deltas
+    // produced b's state from a's — an out-of-lineage late claim can
+    // never inject rows. A broken chain (vacuumed link, pre-pointer
+    // manifest) is a loud failure: a CDC stream must never guess.
+    val span = VersionedKeyedTable.lineageSpan(spark, dir, a, b)
+      .getOrElse(throw new IllegalStateException(
+        s"CdfSource: cannot establish commit lineage ($a, $b] at " +
+          s"$dir — vacuumed past an unconsumed span, or a " +
+          "pre-base-pointer log"))
+    span.flatMap { s =>
+      val changes = s.changes.getOrElse(throw new IllegalStateException(
+        s"CdfSource: version ${s.version} of $dir did not capture " +
+          "changes (captureChanges=false) — a CDC stream needs " +
+          "captured spans; start after it or re-enable capture"))
+      changes.map(f => CdfInputPartition(s"$dir/$f", s.version))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdfReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class CdfReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdfInputPartition]
+    new CdfPartitionReader(p.path, p.version, schema)
+  }
+}
+
+/** Reads one immutable change-parquet file into [[InternalRow]]s of
+  * the stream schema via parquet-hadoop's Group API — by NAME, with
+  * absent fields (pre-evolution files) and unset fields read as
+  * null. Supported column types are the keyed store's own: integral,
+  * floating, boolean, string, date (INT32 days), timestamp (INT64
+  * micros — Spark's non-legacy writer encoding, which wrote these
+  * very files). */
+class CdfPartitionReader(path: String, version: Long,
+    schema: StructType) extends PartitionReader[InternalRow] {
+
+  private val reader = org.apache.parquet.hadoop.ParquetReader
+    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(path))
+    .withConf(new org.apache.hadoop.conf.Configuration())
+    .build()
+
+  private var cur: org.apache.parquet.example.data.Group = _
+
+  override def next(): Boolean = {
+    cur = reader.read()
+    cur != null
+  }
+
+  private def value(g: org.apache.parquet.example.data.Group,
+      name: String, dt: DataType): Any = {
+    val gt = g.getType
+    if (!gt.containsField(name)) return null
+    val idx = gt.getFieldIndex(name)
+    if (g.getFieldRepetitionCount(idx) == 0) return null // null cell
+    dt match {
+      case LongType | TimestampType => g.getLong(idx, 0)
+      case IntegerType | DateType => g.getInteger(idx, 0)
+      case ShortType => g.getInteger(idx, 0).toShort
+      case ByteType => g.getInteger(idx, 0).toByte
+      case DoubleType => g.getDouble(idx, 0)
+      case FloatType => g.getFloat(idx, 0)
+      case BooleanType => g.getBoolean(idx, 0)
+      case StringType => UTF8String.fromString(g.getString(idx, 0))
+      case other => throw new UnsupportedOperationException(
+        s"CdfSource: unsupported column type $other for '$name'")
+    }
+  }
+
+  override def get(): InternalRow = {
+    val vals = schema.fields.map { f =>
+      if (f.name == "_commit_version") version
+      else value(cur, f.name, f.dataType)
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def close(): Unit = reader.close()
+}
