@@ -53,7 +53,14 @@ import graft.sinks.VersionedKeyedTable
   *    snapshot-diff fallback is a batch-only affordance;
   *  - `startingVersion` defaults to the LATEST version at stream
   *    start (consume only future commits); vacuuming past an
-  *    unconsumed span fails the stream loudly, never silently skips.
+  *    unconsumed span fails the stream loudly, never silently skips;
+  *  - `maxVersionsPerTrigger` is ADMISSION CONTROL
+  *    (SupportsAdmissionControl): each micro-batch advances at most
+  *    that many commits along the lineage chain, so a consumer
+  *    resuming against a deep backlog catches up in bounded batches;
+  *    under Trigger.AvailableNow (SupportsTriggerAvailableNow) the
+  *    end offset pins at start and the engine loops bounded batches
+  *    until caught up.
   *
   * (Reference analogue: none — the reference re-ran the whole
   * MapReduce when inputs changed; a subscribable commit log is what
@@ -70,7 +77,8 @@ class CdfSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     new CdfTable(CdfSource.required(opts, "path"),
       CdfSource.required(opts, "keyCol"),
-      Option(opts.get("startingVersion")).map(_.toLong))
+      Option(opts.get("startingVersion")).map(_.toLong),
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong))
   }
 }
 
@@ -103,7 +111,8 @@ object CdfSource {
   }
 }
 
-class CdfTable(dir: String, keyCol: String, startingVersion: Option[Long])
+class CdfTable(dir: String, keyCol: String, startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   private val schema0 =
     CdfSource.cdfSchema(CdfSource.tableSchema(dir), keyCol)
@@ -117,7 +126,8 @@ class CdfTable(dir: String, keyCol: String, startingVersion: Option[Long])
         override def readSchema(): StructType = schema0
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
-          new CdfMicroBatchStream(dir, keyCol, schema0, startingVersion)
+          new CdfMicroBatchStream(dir, keyCol, schema0, startingVersion,
+            maxVersionsPerTrigger)
       }
     }
 }
@@ -135,16 +145,66 @@ case class CdfInputPartition(path: String, version: Long)
     extends InputPartition
 
 class CdfMicroBatchStream(dir: String, keyCol: String,
-    schema: StructType, startingVersion: Option[Long])
-    extends MicroBatchStream {
+    schema: StructType, startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
+
+  /** Trigger.AvailableNow contract: the end of "available" is PINNED
+    * at stream start, and the engine then loops bounded micro-batches
+    * (the read limit) until the pinned offset is reached — without
+    * this, an admission-controlled source degrades to a single
+    * Trigger.Once batch that both ignores the limit and stops early. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(VersionedKeyedTable.snapshot(spark, dir).version)
 
   override def initialOffset(): Offset =
     CdfOffset(startingVersion.getOrElse(
       VersionedKeyedTable.snapshot(spark, dir).version))
 
   override def latestOffset(): Offset =
+    CdfOffset(VersionedKeyedTable.snapshot(spark, dir).version)
+
+  /** ADMISSION CONTROL: `maxVersionsPerTrigger` bounds each
+    * micro-batch to that many COMMITS — a consumer resuming against a
+    * deep backlog catches up in bounded batches instead of one giant
+    * span (under Trigger.AvailableNow the engine loops until caught
+    * up). The clamp walks the lineage chain, so a bounded end offset
+    * always names a commit the span planner can reach — version
+    * numbers may have gaps (skipped torn claims), so `start + n`
+    * arithmetic would be wrong. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxVersionsPerTrigger
+      .map(n => org.apache.spark.sql.connector.read.streaming
+        .ReadLimit.maxRows(n))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming
+        .ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val s = start.asInstanceOf[CdfOffset].version
+    val latest0 = VersionedKeyedTable.snapshot(spark, dir).version
+    val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
+    maxVersionsPerTrigger match {
+      case Some(n) if latest > s =>
+        VersionedKeyedTable.lineageSpan(spark, dir, s, latest) match {
+          case Some(snaps) if snaps.nonEmpty =>
+            CdfOffset(snaps.take(math.min(n, Int.MaxValue).toInt)
+              .last.version)
+          case _ => CdfOffset(latest) // no chain: let planning fail loudly
+        }
+      case _ => CdfOffset(latest)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
     CdfOffset(VersionedKeyedTable.snapshot(spark, dir).version)
 
   override def deserializeOffset(json: String): Offset = {

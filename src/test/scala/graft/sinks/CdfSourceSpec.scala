@@ -69,6 +69,44 @@ class CdfSourceSpec extends AnyFunSuite {
       "no earlier span replays through the checkpoint")
   }
 
+  test("admission control: maxVersionsPerTrigger=1 drains a 3-commit " +
+      "backlog as 3 bounded micro-batches, one commit each, complete") {
+    val dir = fresh("ac"); val ckpt = fresh("acc")
+    VersionedKeyedTable.create(
+      Seq((1L, "a", 10L)).toDF("k", "s", "v"), dir, "k", numBuckets = 2)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((2L, "b", 20L)).toDF("k", "s", "v"), "k") // v2
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, "c", 30L)).toDF("k", "s", "v"), "k") // v3
+    VersionedKeyedTable.delete(spark, dir, Seq(1L).toDF("k"), "k") // v4
+    val batches =
+      scala.collection.mutable.ArrayBuffer[(Long, Set[Long], Long)]()
+    val q = spark.readStream.format("graft.sinks.v2.CdfSource")
+      .option("path", dir).option("keyCol", "k")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.select(col("_commit_version")).collect()
+          .map(_.getLong(0))
+        batches.synchronized {
+          batches += ((id, rows.toSet, rows.length.toLong)): Unit
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = batches.filter(_._3 > 0)
+    assert(nonEmpty.length === 3,
+      s"three commits => three bounded batches (got $batches)")
+    assert(nonEmpty.forall(_._2.size == 1),
+      "each batch holds exactly one commit's rows")
+    assert(nonEmpty.map(_._2).reduce(_ ++ _) === Set(2L, 3L, 4L),
+      "the batches cover the whole backlog in order")
+  }
+
   test("a CDF-invisible maintenance commit contributes an empty " +
       "micro-batch, and a captureChanges=false commit in range fails " +
       "the stream loudly") {
