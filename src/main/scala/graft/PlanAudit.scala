@@ -289,7 +289,24 @@ object PlanAudit {
       "the manifest's named maps for BOTH source dimensions (long + " +
       "timestamp epoch-micro image) prune the Catalyst box query " +
       "before split planning (in-row require pins kept < total) — " +
-      "OPTIMIZE ZORDER BY, reduced to clusterBy + typed zone maps."))
+      "OPTIMIZE ZORDER BY, reduced to clusterBy + typed zone maps."),
+    "versioned_sql_catalog" -> ("The store as a SQL catalog " +
+      "(TableCatalog): identifiers resolve through loadTable, VERSION " +
+      "AS OF / TIMESTAMP AS OF through its time-travel overloads, and " +
+      "the DSv2 scan prunes data files against the manifest zone maps " +
+      "from the PUSHED filters before partitions are planned (in-row " +
+      "require pins kept < total) while retaining every filter as a " +
+      "residual — pruning skips files, never rows. Column pruning " +
+      "reaches the Group reader."),
+    "stream_sink_versioned" -> ("The store as a NATIVE streaming sink " +
+      "(DataSource V2 StreamingWrite): executors stage their " +
+      "partitions as parquet (Group writer — data never funnels " +
+      "through the driver), the driver's epoch commit is ONE keyed " +
+      "upsert stamping graft.sinkEpoch.<queryId> atomically in the " +
+      "commit metadata — a replayed epoch finds its stamp in the " +
+      "lineage and skips (the in-row require pins exactly one commit " +
+      "per micro-batch). Terminal plan: the table's bucketed parquet " +
+      "scan."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is

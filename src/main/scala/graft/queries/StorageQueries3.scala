@@ -321,7 +321,68 @@ object StorageQueries3 {
     out
   }
 
+  /** THE STORE AS A SQL CATALOG (sinks.v2.GraftCatalog): a versioned
+    * table resolved by SQL identifier through Spark's catalog
+    * contract, with the engine's own time-travel syntax — one SELECT
+    * reads the CURRENT state (its key-range WHERE pruning data files
+    * through the manifest zone maps, require-pinned), a second reads
+    * `VERSION AS OF 1`, and the union must equal the relational
+    * replay of both snapshots. A catalog that resolved the wrong
+    * snapshot, dropped the residual filter, or mis-typed a column
+    * through the Group reader breaks the hash. */
+  val versionedSqlCatalog = sql("versioned_sql_catalog",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders),
+       cur AS (
+         SELECT k, g,
+           CASE WHEN k % 10 = 1 THEN cents * 2 ELSE cents END AS cents
+         FROM base)
+       SELECT 'v1' AS at, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS cents
+       FROM base WHERE k BETWEEN 1000 AND 3000
+       UNION ALL
+       SELECT 'cur' AS at, count(*) AS n,
+         CAST(sum(cents) AS BIGINT) AS cents
+       FROM cur WHERE k BETWEEN 1000 AND 3000""") { (s, d) =>
+    val cat = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(10)
+    val baseDir = scratch("sqlcat")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.base", baseDir)
+    val rows = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_custkey").as("g"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows.repartition(8),
+        s"$baseDir/orders_v", "k", CheckBuckets)
+      VersionedKeyedTable.cluster(s, s"$baseDir/orders_v", "k",
+        targetRowsPerFile = math.max(100L, rows.count() / 32))
+    }
+    VersionedKeyedTable.upsert(s, s"$baseDir/orders_v",
+      rows.filter(col("k") % 10 === 1)
+        .withColumn("cents", col("cents") * 2), "k")
+    val out = s.sql(
+      s"""SELECT 'cur' AS at, count(*) AS n,
+            CAST(sum(cents) AS BIGINT) AS cents
+          FROM $cat.orders_v WHERE k BETWEEN 1000 AND 3000""")
+      .localCheckpoint(true) // execute now so the prune count is real
+    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    require(kept < total,
+      s"the SQL WHERE must prune files through the catalog ($kept/$total)")
+    val v1 = s.sql(
+      s"""SELECT 'v1' AS at, count(*) AS n,
+            CAST(sum(cents) AS BIGINT) AS cents
+          FROM $cat.orders_v VERSION AS OF 1
+          WHERE k BETWEEN 1000 AND 3000""")
+    v1.unionByName(out)
+  }
+
   val all: Seq[QueryDef] = Seq(versionedTsSkipping, versionedTsPushdown,
     versionedStrBloomSkipping, ivmRefreshMinmax, versionedReplicaSync,
-    versionedZorderSkipping)
+    versionedZorderSkipping, versionedSqlCatalog)
 }

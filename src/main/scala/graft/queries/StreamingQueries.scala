@@ -682,6 +682,69 @@ object StreamingQueries {
         col("g_prev"), col("cents_prev"), col("_commit_version"))
   }
 
+  /** THE VERSIONED STORE AS A NATIVE STREAMING SINK
+    * (sinks.v2.VersionedTableSink): `writeStream` lands each
+    * micro-batch as ONE keyed upsert commit, exactly-once through the
+    * epoch stamp in the table's own commit metadata (the Delta
+    * txnAppId/txnVersion idempotent-write contract). Four staged
+    * micro-batches — three disjoint key slices and a LAST correction
+    * batch that re-puts every %10=1 key doubled — must leave exactly
+    * the last-write-wins keyed state and exactly four commits (the
+    * in-row require: a replayed or split epoch changes the commit
+    * count even when puts hide it). Oracle = the final state
+    * relationally. */
+  val streamSinkVersioned = sql("stream_sink_versioned",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders WHERE o_orderkey % 3 <> 0)
+       SELECT k, g,
+         CASE WHEN k % 10 = 1 THEN cents * 2 ELSE cents END AS cents
+       FROM base""") { (s, d) =>
+    import graft.sinks.VersionedKeyedTable
+    val base = sys.props("java.io.tmpdir") + "/graft_vsink_" +
+      java.util.UUID.randomUUID().toString
+    val staging = s"$base/staging"
+    val table = s"$base/table"
+    val rows = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      .filter(col("k") % 3 =!= 0)
+    graft.streaming.StreamingJobs.stageKeyedSlices(
+      s, rows, "k", staging, nFiles = 3)
+    // the correction arrives LAST (strictly later mtime): re-puts of
+    // %10=1 keys at doubled cents — last-write-wins must hold
+    Thread.sleep(10L)
+    val tmp = s"$base/_corr"
+    rows.filter(col("k") % 10 === 1)
+      .withColumn("cents", col("cents") * 2)
+      .coalesce(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    fs.rename(part,
+      new org.apache.hadoop.fs.Path(staging, "zz_correction.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+    val schema = s.read.parquet(staging).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+      .writeStream.format("graft.sinks.v2.VersionedTableSink")
+      .option("path", table).option("keyCol", "k")
+      .option("numBuckets", "4")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val nv = VersionedKeyedTable.completeVersions(s, table).size
+    require(nv == 4,
+      s"four micro-batches must land as exactly four commits (got $nv)")
+    VersionedKeyedTable.read(s, table)
+      .select(col("k"), col("g"), col("cents"))
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
     streamAsOfJoin, streamAsOfTolerance, streamJoinOuter,
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
@@ -689,5 +752,5 @@ object StreamingQueries {
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,
     streamSubstrDedup, streamMediaDecode, streamCuration,
     streamCurationResume, streamCdfIngest, streamCdfResume,
-    streamCdfSource)
+    streamCdfSource, streamSinkVersioned)
 }

@@ -232,11 +232,16 @@ object KeyedTable {
     new org.apache.hadoop.fs.Path(dir, "_graft_table_meta")
 
   private[sinks] def writeMeta(spark: SparkSession, dir: String,
-      numBuckets: Int, schema: org.apache.spark.sql.types.StructType): Unit = {
+      numBuckets: Int, schema: org.apache.spark.sql.types.StructType,
+      keyCol: Option[String] = None): Unit = {
     val p = metaPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"$numBuckets\n${schema.json}".getBytes("UTF-8"))
+    // line 3 (key=<url-encoded col>) is additive: pre-key sidecars
+    // simply lack it, and readMeta parses by line, never by tail
+    val tail = keyCol.fold("")(k =>
+      "\nkey=" + java.net.URLEncoder.encode(k, "UTF-8"))
+    try out.write(s"$numBuckets\n${schema.json}$tail".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -246,12 +251,26 @@ object KeyedTable {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else try {
-      val txt = readFully(fs, p)
-      val nl = txt.indexOf('\n')
-      Some((txt.substring(0, nl).trim.toInt,
-        org.apache.spark.sql.types.DataType.fromJson(txt.substring(nl + 1))
+      val lines = readFully(fs, p).split('\n')
+      Some((lines(0).trim.toInt,
+        org.apache.spark.sql.types.DataType.fromJson(lines(1))
           .asInstanceOf[org.apache.spark.sql.types.StructType]))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The table's KEY COLUMN from the sidecar (recorded since the
+    * sidecar gained its `key=` line; None for older tables — callers
+    * must degrade, e.g. the SQL catalog skips key-predicate
+    * pruning). */
+  private[sinks] def readMetaKey(spark: SparkSession,
+      dir: String): Option[String] = {
+    val p = metaPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try readFully(fs, p).split('\n')
+      .find(_.startsWith("key="))
+      .map(l => java.net.URLDecoder.decode(l.stripPrefix("key="), "UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** The table's authoritative bucket count: sidecar metadata when
@@ -274,7 +293,8 @@ object KeyedTable {
       numBuckets: Int = 16): Unit = {
     val withB = df.withColumn("__bucket", bucket(keyCol, numBuckets))
     withB.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(dir)
-    writeMeta(df.sparkSession, dir, numBuckets, withB.schema)
+    writeMeta(df.sparkSession, dir, numBuckets, withB.schema,
+      Some(keyCol))
   }
 
   /** Read the table back without the physical bucket column. An

@@ -71,8 +71,9 @@ object VersionedKeyedTable {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def writeMeta(spark: SparkSession, dir: String, numBuckets: Int,
-      schema: org.apache.spark.sql.types.StructType): Unit =
-    KeyedTable.writeMeta(spark, dir, numBuckets, schema)
+      schema: org.apache.spark.sql.types.StructType,
+      keyCol: Option[String] = None): Unit =
+    KeyedTable.writeMeta(spark, dir, numBuckets, schema, keyCol)
 
   private def readMeta(spark: SparkSession, dir: String)
       : (Int, org.apache.spark.sql.types.StructType) =
@@ -775,7 +776,7 @@ object VersionedKeyedTable {
       commitMeta: Map[String, String] = Map.empty,
       statsColumns: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    writeMeta(spark, dir, numBuckets, df.schema)
+    writeMeta(spark, dir, numBuckets, df.schema, Some(keyCol))
     val (files, stats, counts, extra) = writeDataFiles(spark, dir,
       df.withColumn("__bucket", bucketOf(keyCol, numBuckets)), keyCol,
       statsCols = statsColumns)
@@ -807,9 +808,10 @@ object VersionedKeyedTable {
     * commit (loser rebases); overlapping writers serialize by
     * recompute-retry. */
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
-      keyCol: String, captureChanges: Boolean = true): Unit =
+      keyCol: String, captureChanges: Boolean = true,
+      commitMeta: Map[String, String] = Map.empty): Unit =
     mutate(spark, dir, updates, keyCol, isDelete = false, () => (),
-      captureChanges)
+      captureChanges, commitMeta)
 
   /** Keyed delete batch (same optimistic protocol; an emptied bucket
     * is just an empty manifest entry — no overwrite edge case).
@@ -925,8 +927,10 @@ object VersionedKeyedTable {
   private[sinks] def mutate(spark: SparkSession, dir: String,
       rows: DataFrame, keyCol: String, isDelete: Boolean,
       onBeforeCommit: () => Unit,
-      captureChanges: Boolean = true): Unit =
-    mutateWith(spark, dir, rows, keyCol, onBeforeCommit, captureChanges) {
+      captureChanges: Boolean = true,
+      commitMeta: Map[String, String] = Map.empty): Unit =
+    mutateWith(spark, dir, rows, keyCol, onBeforeCommit, captureChanges,
+      commitMeta) {
       (existing, batch) =>
         val survivors = existing.join(
           broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
@@ -1813,7 +1817,8 @@ object VersionedKeyedTable {
       s"cloneAt destination $dstDir already holds a table " +
         "(meta sidecar or version log present) — clone into a fresh " +
         "directory; overwriting would corrupt its version chain")
-    writeMeta(spark, dstDir, nb, schema)
+    writeMeta(spark, dstDir, nb, schema,
+      KeyedTable.readMetaKey(spark, srcDir))
     val local = fs.getUri.getScheme == "file"
     def localPath(p: Path) = java.nio.file.Paths.get(
       Path.getPathWithoutSchemeAndAuthority(p).toString)
@@ -2003,5 +2008,15 @@ object VersionedKeyedTable {
       }
     }
     drop.foreach(v => fs.delete(versionPath(dir, v), false))
+    // a crashed streaming-sink job can strand staged files (its abort
+    // never ran); anything under _staging older than the grace window
+    // belongs to no live epoch — the sink deletes its own files at
+    // commit/abort within seconds
+    val stagingDir = new Path(dir, "_staging")
+    if (fs.exists(stagingDir)) {
+      fs.listStatus(stagingDir).foreach { f =>
+        if (f.getModificationTime < cutoff) fs.delete(f.getPath, false)
+      }
+    }
   }
 }

@@ -256,56 +256,10 @@ class CdfReaderFactory(schema: StructType)
   }
 }
 
-/** Reads one immutable change-parquet file into [[InternalRow]]s of
-  * the stream schema via parquet-hadoop's Group API — by NAME, with
-  * absent fields (pre-evolution files) and unset fields read as
-  * null. Supported column types are the keyed store's own: integral,
-  * floating, boolean, string, date (INT32 days), timestamp (INT64
-  * micros — Spark's non-legacy writer encoding, which wrote these
-  * very files). */
+/** One commit's change file as a stream partition — the shared
+  * [[GroupParquetPartitionReader]] with the commit version injected
+  * as the `_commit_version` virtual column. */
 class CdfPartitionReader(path: String, version: Long,
-    schema: StructType) extends PartitionReader[InternalRow] {
-
-  private val reader = org.apache.parquet.hadoop.ParquetReader
-    .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-      new org.apache.hadoop.fs.Path(path))
-    .withConf(new org.apache.hadoop.conf.Configuration())
-    .build()
-
-  private var cur: org.apache.parquet.example.data.Group = _
-
-  override def next(): Boolean = {
-    cur = reader.read()
-    cur != null
-  }
-
-  private def value(g: org.apache.parquet.example.data.Group,
-      name: String, dt: DataType): Any = {
-    val gt = g.getType
-    if (!gt.containsField(name)) return null
-    val idx = gt.getFieldIndex(name)
-    if (g.getFieldRepetitionCount(idx) == 0) return null // null cell
-    dt match {
-      case LongType | TimestampType => g.getLong(idx, 0)
-      case IntegerType | DateType => g.getInteger(idx, 0)
-      case ShortType => g.getInteger(idx, 0).toShort
-      case ByteType => g.getInteger(idx, 0).toByte
-      case DoubleType => g.getDouble(idx, 0)
-      case FloatType => g.getFloat(idx, 0)
-      case BooleanType => g.getBoolean(idx, 0)
-      case StringType => UTF8String.fromString(g.getString(idx, 0))
-      case other => throw new UnsupportedOperationException(
-        s"CdfSource: unsupported column type $other for '$name'")
-    }
-  }
-
-  override def get(): InternalRow = {
-    val vals = schema.fields.map { f =>
-      if (f.name == "_commit_version") version
-      else value(cur, f.name, f.dataType)
-    }
-    InternalRow.fromSeq(vals.toIndexedSeq)
-  }
-
-  override def close(): Unit = reader.close()
-}
+    schema: StructType)
+    extends GroupParquetPartitionReader(path, schema,
+      Map("_commit_version" -> version))

@@ -1,0 +1,312 @@
+package graft.sinks.v2
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCatalog, TableCapability, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.{KeyedTable, VersionedKeyedTable}
+
+/** The versioned store as a SPARK SQL CATALOG — register once:
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft",
+  *   "graft.sinks.v2.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.base", "/data/tables")
+  * }}}
+  * and every `VersionedKeyedTable` under the base directory is a SQL
+  * identifier with the engine's OWN time-travel syntax:
+  * {{{
+  * SELECT * FROM graft.orders
+  * SELECT * FROM graft.orders VERSION AS OF 3
+  * SELECT * FROM graft.orders TIMESTAMP AS OF '2026-01-01 00:00:00'
+  * }}}
+  * `VERSION AS OF` resolves through `loadTable(ident, version)` and
+  * `TIMESTAMP AS OF` through the commit-instant rule `versionAsOf`
+  * uses — the same snapshots the programmatic API pins.
+  *
+  * Scans are DSv2 with BOTH pushdowns a planner needs:
+  *  - filter pushdown prunes DATA FILES against the manifest's zone
+  *    maps (typed images for the key column recorded in the meta
+  *    sidecar's `key=` line, named maps for clusterBy'd columns,
+  *    string envelopes in string order) BEFORE any partition is
+  *    planned — every pushed filter is also RETAINED as a residual,
+  *    so pruning can only skip files, never rows;
+  *  - column pruning reaches the Group reader, which materializes
+  *    only the requested fields.
+  *
+  * Read-only by design: DDL/DML route through the programmatic API
+  * (create/upsert/delete/merge), whose optimistic-commit semantics a
+  * SQL INSERT could not express losslessly. (Reference analogue: the
+  * reference had no SQL surface at all; this is the store meeting
+  * Spark's catalog contract so BI-style SQL reaches the same
+  * snapshots.) */
+class GraftCatalog extends TableCatalog {
+  private var catName: String = _
+  private var base: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    base = Option(options.get("base")).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftCatalog '$name' requires spark.sql.catalog.$name.base"))
+  }
+
+  override def name(): String = catName
+
+  private def spark = SparkSession.active
+
+  private def dirOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$base/", "/", "")
+
+  override def tableExists(ident: Identifier): Boolean =
+    KeyedTable.readMeta(spark, dirOf(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = new org.apache.hadoop.fs.Path(
+      (namespace.foldLeft(base)(_ + "/" + _)))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => KeyedTable.readMeta(spark,
+        (namespace.foldLeft(base)(_ + "/" + _)) + "/" + n).isDefined)
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val dir = dirOf(ident)
+    if (KeyedTable.readMeta(spark, dir).isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftSqlTable(dir, ident.toString, version)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftCatalog: VERSION AS OF takes a version number, " +
+          s"got '$version'"))))
+
+  /** `TIMESTAMP AS OF <ts>` (micros since epoch from Spark). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, Some(VersionedKeyedTable.versionAsOf(
+      spark, dirOf(ident), timestampMicros / 1000L)))
+
+  private def readOnly: Nothing = throw new UnsupportedOperationException(
+    "GraftCatalog is read-only — mutate through the " +
+      "VersionedKeyedTable API (create/upsert/delete/merge), whose " +
+      "optimistic commit semantics SQL DML cannot express")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = readOnly
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = readOnly
+  override def dropTable(ident: Identifier): Boolean = readOnly
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = readOnly
+}
+
+class GraftSqlTable(dir: String, ident: String, version: Option[Long])
+    extends Table with SupportsRead {
+  private def spark = SparkSession.active
+  private val snap = VersionedKeyedTable.snapshot(spark, dir, version)
+  private val tableSchema: StructType = snap.schema.getOrElse(
+    KeyedTable.readMeta(spark, dir).get._2)
+  private val keyCol: Option[String] = KeyedTable.readMetaKey(spark, dir)
+
+  override def name: String = ident + version.fold("")(v => s"@v$v")
+  override def schema: StructType = tableSchema
+  override def capabilities: util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, snap, tableSchema, keyCol)
+}
+
+class GraftScanBuilder(dir: String,
+    snap: VersionedKeyedTable.Snapshot, tableSchema: StructType,
+    keyCol: Option[String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  /** Long image of a literal under the column's recorded stat image
+    * (identity for integral, epoch days for date, epoch micros for
+    * timestamp) — None when the literal's runtime type does not fit
+    * the column (never prune on a guess). */
+  private def longImage(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  private def numericCol(name: String): Boolean =
+    tableSchema.fields.find(_.name == name)
+      .exists(f => VersionedKeyedTable.hasNumericImage(f.dataType))
+  private def stringCol(name: String): Boolean =
+    tableSchema.fields.find(_.name == name)
+      .exists(_.dataType == StringType)
+
+  /** A filter participates in pruning when it constrains a column we
+    * hold stats for, in a shape the zone maps can answer. */
+  private def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => bound(a, v).isDefined
+    case GreaterThan(a, v) => bound(a, v).isDefined
+    case GreaterThanOrEqual(a, v) => bound(a, v).isDefined
+    case LessThan(a, v) => bound(a, v).isDefined
+    case LessThanOrEqual(a, v) => bound(a, v).isDefined
+    case In(a, vs) => vs.nonEmpty && vs.forall(v => bound(a, v).isDefined)
+    case _ => false
+  }
+
+  private def bound(col: String, v: Any): Option[Either[Long, String]] =
+    if (numericCol(col)) longImage(v).map(Left(_))
+    else if (stringCol(col)) v match {
+      case s: String => Some(Right(s))
+      case _ => None
+    }
+    else None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(prunable)
+    filters // every filter stays a residual: pruning skips files, not rows
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Per-column [lo, hi] in the stat image, from the accepted
+    * conjuncts (strict bounds widen by one / stay inclusive — only
+    * ever conservative). */
+  private def bounds(): (Map[String, (Option[Long], Option[Long])],
+      Map[String, (Option[String], Option[String])]) = {
+    val num = scala.collection.mutable
+      .Map.empty[String, (Option[Long], Option[Long])]
+    val str = scala.collection.mutable
+      .Map.empty[String, (Option[String], Option[String])]
+    def raise(c: String, v: Either[Long, String]): Unit = v match {
+      case Left(l) =>
+        val (lo, hi) = num.getOrElse(c, (None, None))
+        num(c) = (Some(lo.fold(l)(math.max(_, l))), hi)
+      case Right(s) =>
+        val (lo, hi) = str.getOrElse(c, (None, None))
+        str(c) = (Some(lo.fold(s)(x => if (x >= s) x else s)), hi)
+    }
+    def lower(c: String, v: Either[Long, String]): Unit = v match {
+      case Left(l) =>
+        val (lo, hi) = num.getOrElse(c, (None, None))
+        num(c) = (lo, Some(hi.fold(l)(math.min(_, l))))
+      case Right(s) =>
+        val (lo, hi) = str.getOrElse(c, (None, None))
+        str(c) = (lo, Some(hi.fold(s)(x => if (x <= s) x else s)))
+    }
+    accepted.foreach {
+      case EqualTo(a, v) => bound(a, v).foreach { b =>
+        raise(a, b); lower(a, b) }
+      case GreaterThan(a, v) => bound(a, v).foreach(raise(a, _))
+      case GreaterThanOrEqual(a, v) => bound(a, v).foreach(raise(a, _))
+      case LessThan(a, v) => bound(a, v).foreach(lower(a, _))
+      case LessThanOrEqual(a, v) => bound(a, v).foreach(lower(a, _))
+      case In(a, vs) =>
+        val bs = vs.flatMap(bound(a, _))
+        if (bs.length == vs.length && bs.nonEmpty) {
+          (bs.head, bs.last) match {
+            case (Left(_), _) =>
+              val ls = bs.collect { case Left(l) => l }
+              raise(a, Left(ls.min)); lower(a, Left(ls.max))
+            case (Right(_), _) =>
+              val ss = bs.collect { case Right(s) => s }
+              raise(a, Right(ss.min)); lower(a, Right(ss.max))
+          }
+        }
+      case _ => ()
+    }
+    (num.toMap, str.toMap)
+  }
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+
+    override def toBatch: Batch = new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val (num, str) = bounds()
+        def surviveNum(stats: Option[(String, String)],
+            b: Option[(Option[Long], Option[Long])]): Boolean =
+          (stats.flatMap { case (mn, mx) =>
+            for (a <- mn.toLongOption; c <- mx.toLongOption)
+              yield (a, c) }, b) match {
+            case (Some((mn, mx)), Some((lo, hi))) =>
+              lo.forall(mx >= _) && hi.forall(mn <= _)
+            case _ => true
+          }
+        def surviveStr(stats: Option[(String, String)],
+            b: Option[(Option[String], Option[String])]): Boolean =
+          (stats, b) match {
+            case (Some((mn, mx)), Some((lo, hi))) =>
+              lo.forall(mx >= _) && hi.forall(mn <= _)
+            case _ => true
+          }
+        val files = snap.files.values.flatten.toSeq
+        val kept = files.filter { f =>
+          val keyOk = keyCol.forall { k =>
+            (if (numericCol(k)) surviveNum(snap.stats.get(f), num.get(k))
+             else true) &&
+            (if (stringCol(k)) surviveStr(snap.stats.get(f), str.get(k))
+             else true)
+          }
+          val extras = snap.extraStats.getOrElse(f, Map.empty)
+          keyOk && num.forall { case (c, b) =>
+            keyCol.contains(c) || !numericCol(c) ||
+              surviveNum(extras.get(c), Some(b))
+          } && str.forall { case (c, b) =>
+            keyCol.contains(c) || !stringCol(c) ||
+              surviveStr(extras.get(c), Some(b))
+          }
+        }
+        GraftScanBuilder.lastPlanned.set((kept.size, files.size))
+        kept.map(f =>
+          GraftFilePartition(s"$dir/$f"): InputPartition).toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new GraftFileReaderFactory(required)
+    }
+  }
+}
+
+object GraftScanBuilder {
+  /** Observability for specs and in-row assertions: (files planned
+    * for the last scan, total files in the snapshot). */
+  val lastPlanned = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+}
+
+case class GraftFilePartition(path: String) extends InputPartition
+
+class GraftFileReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new GroupParquetPartitionReader(
+      partition.asInstanceOf[GraftFilePartition].path, schema)
+}

@@ -1,0 +1,89 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.TestSpark
+
+/** The store behind Spark's catalog contract: SQL identifiers,
+  * VERSION/TIMESTAMP AS OF time travel, zone-map file pruning from
+  * pushed filters, column pruning, and the read-only stance. */
+class GraftCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val base: String = {
+    val b = Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.base", b)
+    b
+  }
+
+  test("SQL over the catalog: identifier reads, VERSION AS OF and " +
+      "TIMESTAMP AS OF resolve the same snapshots the API pins") {
+    val dir = s"$base/t1"
+    VersionedKeyedTable.create(
+      (1L to 100L).map(i => (i, s"v$i", i * 10L)).toDF("k", "s", "v"),
+      dir, "k", numBuckets = 2)
+    Thread.sleep(20L)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20L)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((1L, "NEW", 999L)).toDF("k", "s", "v"), "k")
+    // current state
+    assert(spark.sql("SELECT s FROM gcat.t1 WHERE k = 1")
+      .as[String].head() === "NEW")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.t1")
+      .as[Long].head() === 100L)
+    // version time travel
+    assert(spark.sql("SELECT s FROM gcat.t1 VERSION AS OF 1 WHERE k = 1")
+      .as[String].head() === "v1")
+    // timestamp time travel (instant between the two commits)
+    val iso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(betweenMs))
+    assert(spark.sql(
+        s"SELECT s FROM gcat.t1 TIMESTAMP AS OF '$iso' WHERE k = 1")
+      .as[String].head() === "v1")
+    // aggregate parity with the API read
+    val apiSum = VersionedKeyedTable.read(spark, dir)
+      .agg(sum(col("v"))).as[Long].head()
+    assert(spark.sql("SELECT sum(v) FROM gcat.t1").as[Long].head()
+      === apiSum)
+  }
+
+  test("pushed filters prune data files through the manifest's zone " +
+      "maps before partitions are planned; residuals keep rows exact") {
+    val dir = s"$base/t2"
+    VersionedKeyedTable.create(
+      (1L to 2000L).map(i => (i, i % 50, s"g${i % 7}"))
+        .toDF("k", "x", "s").repartition(8), dir, "k", numBuckets = 2)
+    VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 200L)
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM gcat.t2 WHERE k BETWEEN 100 AND 250")
+      .as[Long].head()
+    assert(n === 151L)
+    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    assert(kept < total,
+      s"the key range must prune clustered files ($kept/$total)")
+    // string-column predicate stays exact (string envelopes)
+    assert(spark.sql(
+        "SELECT count(*) AS n FROM gcat.t2 WHERE s = 'g3'")
+      .as[Long].head() === 2000L / 7 + (if (3 <= 2000 % 7) 1 else 0))
+  }
+
+  test("the catalog is read-only and missing tables fail as SQL " +
+      "expects") {
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("DROP TABLE gcat.t1")
+    }
+    assert(e.getMessage.contains("read-only"))
+    val miss = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gcat.nope").collect()
+    }
+    assert(miss.getMessage.toLowerCase.contains("cannot be found") ||
+      miss.getMessage.toLowerCase.contains("not found"))
+  }
+}

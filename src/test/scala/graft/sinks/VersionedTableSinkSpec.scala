@@ -1,0 +1,135 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import graft.TestSpark
+
+/** writeStream into the versioned store: one upsert commit per
+  * micro-batch, exactly-once through epoch stamps in the table's own
+  * commit metadata, checkpointed restart, and the full
+  * readStream → table → readStream composition. */
+class VersionedTableSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(name: String): String =
+    Files.createTempDirectory(s"graft-vsink-$name").toString + "/t"
+
+  private def stage(dir: String, slices: Seq[Seq[(Long, String, Long)]],
+      startIdx: Int = 0): Unit =
+    slices.zipWithIndex.foreach { case (rows, i0) =>
+      val i = startIdx + i0
+      val tmp = s"$dir/_tmp_$i"
+      rows.toDF("k", "s", "v").coalesce(1).write.parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(dir, f"b$i%03d.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      Thread.sleep(5L) // strictly increasing mtimes → batch order
+    }
+
+  private def drain(src: String, table: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format("graft.sinks.v2.VersionedTableSink")
+      .option("path", table).option("keyCol", "k")
+      .option("numBuckets", "2")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("writeStream upserts one commit per micro-batch, creates the " +
+      "table on the first epoch, and a checkpointed restart applies " +
+      "ONLY new batches — with epoch stamps in the commit lineage") {
+    val src = fresh("src"); val table = fresh("tbl"); val ckpt = fresh("ck")
+    stage(src, Seq(
+      Seq((1L, "a", 10L), (2L, "b", 20L)),
+      Seq((3L, "c", 30L), (1L, "a2", 11L)))) // batch 2 updates k1
+    drain(src, table, ckpt)
+    val got = VersionedKeyedTable.read(spark, table)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "a2", 11L), (2L, "b", 20L), (3L, "c", 30L)))
+    assert(VersionedKeyedTable.completeVersions(spark, table).size === 2,
+      "one commit per micro-batch, exactly")
+    // consumer down; a new file arrives; restart off the checkpoint
+    stage(src, Seq(Seq((4L, "d", 40L))), startIdx = 2)
+    drain(src, table, ckpt)
+    assert(VersionedKeyedTable.read(spark, table).count() === 4L)
+    assert(VersionedKeyedTable.completeVersions(spark, table).size === 3,
+      "the restart applied exactly the one new batch")
+    // the epoch stamp rides the table's own commits
+    val hist = VersionedKeyedTable.history(spark, table)
+      .agg(max(col("meta_keys"))).head().getString(0)
+    assert(hist.contains("graft.sinkEpoch."),
+      s"epoch stamps must ride commit metadata (got $hist)")
+  }
+
+  test("a replayed epoch is a no-op: commit(epoch) called twice with " +
+      "the same messages applies once — the stamp walk catches the " +
+      "crash-after-table-commit window") {
+    val table = fresh("replay")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    VersionedKeyedTable.create(
+      Seq((1L, 10L)).toDF("k", "v"), table, "k", numBuckets = 2)
+    val write = new graft.sinks.v2.VersionedStreamingWrite(
+      table, "k", 2, true, "q-test", schema)
+    def staged(): Array[org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+      val p = s"$table/_staging/manual-${java.util.UUID.randomUUID()}.parquet"
+      val w = new graft.sinks.v2.StagingParquetWriter(p, schema)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(2L, 20L))
+      Array(w.commit())
+    }
+    write.commit(7L, staged())
+    assert(VersionedKeyedTable.read(spark, table).count() === 2L)
+    val v = VersionedKeyedTable.completeVersions(spark, table).size
+    // the replay: a fresh set of staged files for the SAME epoch
+    write.commit(7L, staged())
+    assert(VersionedKeyedTable.completeVersions(spark, table).size === v,
+      "the replayed epoch must not commit")
+    assert(VersionedKeyedTable.read(spark, table).count() === 2L)
+    // and no staged files survive either path
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = new org.apache.hadoop.fs.Path(s"$table/_staging")
+    assert(!fs.exists(st) || fs.listStatus(st).isEmpty)
+  }
+
+  test("composition: readStream (CdfSource) of an upstream table, " +
+      "through a transform, writeStream (VersionedTableSink) into a " +
+      "downstream table — commit-log in, commit-log out") {
+    val up = fresh("up"); val down = fresh("down"); val ckpt = fresh("cc")
+    VersionedKeyedTable.create(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), up, "k", numBuckets = 2)
+    VersionedKeyedTable.upsert(spark, up,
+      Seq((3L, 30L), (1L, 11L)).toDF("k", "v"), "k")
+    VersionedKeyedTable.upsert(spark, up,
+      Seq((4L, 40L)).toDF("k", "v"), "k")
+    val q = spark.readStream.format("graft.sinks.v2.CdfSource")
+      .option("path", up).option("keyCol", "k")
+      .option("startingVersion", "1")
+      .load()
+      .where(col("change_type") =!= "delete")
+      .select(col("k"), (col("v") * 100).as("cents"))
+      .writeStream.format("graft.sinks.v2.VersionedTableSink")
+      .option("path", down).option("keyCol", "k")
+      .option("numBuckets", "2")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = VersionedKeyedTable.read(spark, down)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1100L, 3L -> 3000L, 4L -> 4000L))
+  }
+}
