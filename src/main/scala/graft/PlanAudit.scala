@@ -298,6 +298,13 @@ object PlanAudit {
       "require pins kept < total) while retaining every filter as a " +
       "residual — pruning skips files, never rows. Column pruning " +
       "reaches the Group reader."),
+    "versioned_sql_fast_agg" -> ("Metadata-only SQL aggregates: " +
+      "count(*) folds the manifest's per-file row counts and min/max " +
+      "fold the zone-map envelopes — complete DSv2 aggregate " +
+      "pushdown, the scan plans ONE pre-aggregated row and ZERO data " +
+      "files (require-pinned); a filter or an unanswerable aggregate " +
+      "(sum) declines to the ordinary pruned scan. The RangeSource " +
+      "closed-form discipline applied to the store's statistics."),
     "stream_sink_versioned" -> ("The store as a NATIVE streaming sink " +
       "(DataSource V2 StreamingWrite): executors stage their " +
       "partitions as parquet (Group writer — data never funnels " +

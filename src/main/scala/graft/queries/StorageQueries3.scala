@@ -382,7 +382,58 @@ object StorageQueries3 {
     v1.unionByName(out)
   }
 
+  /** METADATA-ONLY SQL AGGREGATES (GraftCatalog aggregate pushdown):
+    * `count(*)` folds the manifest's per-file row counts and
+    * `min/max` fold the per-file zone-map envelopes — COMPLETE DSv2
+    * pushdown, ZERO data files planned (the in-row require pins it
+    * via lastPlanned), across a create → upsert history so the
+    * manifest carry must be right, not just the create's. The ts
+    * column exercises the typed epoch image end to end: the folded
+    * micros come back as a TIMESTAMP the oracle formats identically.
+    * A filtered count on the same table then takes the ordinary
+    * pruned scan — both paths one SQL surface. */
+  val versionedSqlFastAgg = sql("versioned_sql_fast_agg",
+    """WITH m AS (
+         SELECT o_orderkey AS k, o_orderdate AS ts
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 10000000 AS k, o_orderdate AS ts
+         FROM orders WHERE o_orderkey % 100 = 7)
+       SELECT count(*) AS n, min(k) AS mn, max(k) AS mx,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+         (SELECT count(*) FROM m WHERE k BETWEEN 100 AND 5000)
+           AS n_filtered
+       FROM m""") { (s, d) =>
+    val cat = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(10)
+    val baseDir = scratch("fastagg")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.base", baseDir)
+    val rows = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderdate").cast("timestamp").as("ts"))
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows.repartition(8),
+        s"$baseDir/t", "k", CheckBuckets, statsColumns = Seq("ts"))
+    }
+    // a later commit must CARRY the stats forward correctly
+    VersionedKeyedTable.upsert(s, s"$baseDir/t",
+      rows.filter(col("k") % 100 === 7)
+        .withColumn("k", col("k") + 10000000L), "k")
+    val fast = s.sql(
+      s"""SELECT count(*) AS n, min(k) AS mn, max(k) AS mx,
+            date_format(min(ts), 'yyyy-MM-dd HH:mm:ss') AS min_ts
+          FROM $cat.t""").localCheckpoint(true)
+    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    require(kept == 0 && total > 0,
+      s"metadata aggregates must plan zero file reads ($kept/$total)")
+    val filtered = s.sql(
+      s"""SELECT count(*) AS n_filtered FROM $cat.t
+          WHERE k BETWEEN 100 AND 5000""")
+    fast.crossJoin(filtered)
+  }
+
   val all: Seq[QueryDef] = Seq(versionedTsSkipping, versionedTsPushdown,
     versionedStrBloomSkipping, ivmRefreshMinmax, versionedReplicaSync,
-    versionedZorderSkipping, versionedSqlCatalog)
+    versionedZorderSkipping, versionedSqlCatalog, versionedSqlFastAgg)
 }

@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCatalog, TableCapability, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
@@ -137,10 +139,13 @@ class GraftScanBuilder(dir: String,
     snap: VersionedKeyedTable.Snapshot, tableSchema: StructType,
     keyCol: Option[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var accepted: Array[Filter] = Array.empty
+  private var sawFilters = false
   private var required: StructType = tableSchema
+  private var aggRow: Option[(StructType, Seq[Any])] = None
 
   /** Long image of a literal under the column's recorded stat image
     * (identity for integral, epoch days for date, epoch micros for
@@ -188,6 +193,7 @@ class GraftScanBuilder(dir: String,
     else None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     accepted = filters.filter(prunable)
     filters // every filter stays a residual: pruning skips files, not rows
   }
@@ -195,6 +201,107 @@ class GraftScanBuilder(dir: String,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // ---- METADATA-ONLY AGGREGATES ------------------------------------
+  // COUNT(*) is the manifest's row-count sum and MIN/MAX of a
+  // stats-covered column is the fold of its per-file envelopes — the
+  // Delta/Iceberg "answer the aggregate from statistics" fast path,
+  // COMPLETE pushdown only (no grouping, no filters, every referenced
+  // file carrying the needed stat); anything else declines and the
+  // ordinary scan runs. Zero data files open on the fast path — the
+  // agg scan plans zero partitions' worth of reads.
+
+  private def singleCol(
+      children: Array[org.apache.spark.sql.connector.expressions.Expression])
+      : Option[String] = children match {
+    case Array(nr: NamedReference) if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def allFiles: Seq[String] = snap.files.values.flatten.toSeq
+
+  private def statOf(f: String, c: String): Option[(String, String)] =
+    if (keyCol.contains(c)) snap.stats.get(f)
+    else snap.extraStats.get(f).flatMap(_.get(c))
+
+  /** Typed value from a stat image string, or None when the column's
+    * type has no faithful image (floats are string-cast — decline). */
+  private def typedImage(c: String, img: String): Option[Any] =
+    tableSchema.fields.find(_.name == c).flatMap(_.dataType match {
+      case LongType | TimestampType => img.toLongOption
+      case IntegerType | DateType => img.toLongOption.map(_.toInt)
+      case ShortType => img.toLongOption.map(_.toShort)
+      case ByteType => img.toLongOption.map(_.toByte)
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(img))
+      case _ => None
+    })
+
+  /** The fold of a column's per-file envelopes: Some(value-or-null)
+    * when EVERY referenced file carries a parseable stat for it (an
+    * empty table folds to SQL's null), None when any file lacks one
+    * (pre-stats files, all-null files — indistinguishable, so never
+    * guess). */
+  private def metaExtremum(c: String, takeMin: Boolean): Option[Any] = {
+    val files = allFiles
+    if (files.isEmpty) return Some(null)
+    val vals = files.map(f => statOf(f, c)
+      .map(s => if (takeMin) s._1 else s._2)
+      .flatMap(typedImage(c, _)))
+    if (vals.exists(_.isEmpty)) None
+    else {
+      val vs = vals.map(_.get)
+      val lt: (Any, Any) => Boolean = (a, b) => (a, b) match {
+        case (x: Long, y: Long) => x < y
+        case (x: Int, y: Int) => x < y
+        case (x: Short, y: Short) => x < y
+        case (x: Byte, y: Byte) => x < y
+        case (x: org.apache.spark.unsafe.types.UTF8String,
+              y: org.apache.spark.unsafe.types.UTF8String) =>
+          x.compareTo(y) < 0
+        case _ => false
+      }
+      Some(vs.reduce((a, b) =>
+        if (if (takeMin) lt(a, b) else lt(b, a)) a else b))
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggValuesFor(agg).isDefined
+
+  private def aggValuesFor(agg: Aggregation)
+      : Option[Seq[(DataType, Boolean, Any)]] = {
+    if (sawFilters || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    val vals = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        VersionedKeyedTable.countRows(
+            SparkSession.active, dir, Some(snap.version))
+          .map(n => (LongType: DataType, false, n: Any))
+      case m: Min => singleCol(m.children).flatMap { c =>
+        metaExtremum(c, takeMin = true).map(v =>
+          (tableSchema.fields.find(_.name == c).get.dataType, true, v))
+      }
+      case m: Max => singleCol(m.children).flatMap { c =>
+        metaExtremum(c, takeMin = false).map(v =>
+          (tableSchema.fields.find(_.name == c).get.dataType, true, v))
+      }
+      case _ => None
+    }
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    aggValuesFor(agg) match {
+      case Some(vals) =>
+        val schema = vals.zipWithIndex.foldLeft(new StructType()) {
+          case (sc, ((dt, nullable, _), i)) => sc.add(s"agg_$i", dt, nullable)
+        }
+        aggRow = Some((schema, vals.map(_._3)))
+        true
+      case None => false
+    }
 
   /** Per-column [lo, hi] in the stat image, from the accepted
     * conjuncts (strict bounds widen by one / stay inclusive — only
@@ -245,7 +352,23 @@ class GraftScanBuilder(dir: String,
     (num.toMap, str.toMap)
   }
 
-  override def build(): Scan = new Scan {
+  override def build(): Scan = aggRow match {
+    case Some((aggSchema, vals)) => new Scan {
+      override def readSchema(): StructType = aggSchema
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] = {
+          // the metadata fast path: ZERO data files planned
+          GraftScanBuilder.lastPlanned.set((0, allFiles.size))
+          Array(GraftAggPartition(vals))
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new GraftAggReaderFactory
+      }
+    }
+    case None => buildRowScan()
+  }
+
+  private def buildRowScan(): Scan = new Scan {
     override def readSchema(): StructType = required
 
     override def toBatch: Batch = new Batch {
@@ -309,4 +432,21 @@ class GraftFileReaderFactory(schema: StructType)
       : PartitionReader[InternalRow] =
     new GroupParquetPartitionReader(
       partition.asInstanceOf[GraftFilePartition].path, schema)
+}
+
+/** One pre-aggregated row computed from manifest metadata — the whole
+  * result of a completely-pushed aggregate. */
+case class GraftAggPartition(values: Seq[Any]) extends InputPartition
+
+class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val vals = partition.asInstanceOf[GraftAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(vals)
+      override def close(): Unit = ()
+    }
+  }
 }

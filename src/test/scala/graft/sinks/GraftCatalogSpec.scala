@@ -74,6 +74,34 @@ class GraftCatalogSpec extends AnyFunSuite {
       .as[Long].head() === 2000L / 7 + (if (3 <= 2000 % 7) 1 else 0))
   }
 
+  test("aggregate pushdown: count(*)/min/max answer from the manifest " +
+      "with ZERO data files planned; a WHERE clause declines to the " +
+      "ordinary scan; results stay exact either way") {
+    val dir = s"$base/t3"
+    VersionedKeyedTable.create(
+      (1L to 500L).map(i => (i, f"s$i%04d", i * 3))
+        .toDF("k", "s", "v").repartition(4), dir, "k", numBuckets = 2)
+    val r = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM gcat.t3")
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((500L, 1L, 500L)))
+    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    assert(kept === 0 && total > 0,
+      s"metadata aggregates must plan zero file reads ($kept/$total)")
+    // string MIN/MAX fold the string envelopes
+    assert(spark.sql("SELECT min(s), max(s) FROM gcat.t3")
+      .as[(String, String)].head() === (("s0001", "s0500")))
+    // a filter declines the fast path — the ordinary pruned scan runs
+    val n2 = spark.sql(
+      "SELECT count(*) AS n FROM gcat.t3 WHERE k <= 100").as[Long].head()
+    assert(n2 === 100L)
+    val (kept2, _) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    assert(kept2 > 0, "a filtered aggregate must read data files")
+    // an aggregate the manifest cannot answer (sum) declines too
+    assert(spark.sql("SELECT sum(v) FROM gcat.t3").as[Long].head()
+      === (1L to 500L).map(_ * 3).sum)
+  }
+
   test("the catalog is read-only and missing tables fail as SQL " +
       "expects") {
     val e = intercept[UnsupportedOperationException] {
