@@ -677,9 +677,17 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(s"$base/out")
+    // materialize off the temp dirs, then reclaim them — a leaked
+    // UUID dir per run otherwise accumulates across bench/test
+    // invocations (the StreamingJobs.stageKeyedSlices cleanup rule)
+    val out = s.read.parquet(s"$base/out")
       .select(col("k"), col("change_type"), col("g"), col("cents"),
         col("g_prev"), col("cents_prev"), col("_commit_version"))
+      .localCheckpoint(true)
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true): Unit
+    out
   }
 
   /** THE VERSIONED STORE AS A NATIVE STREAMING SINK
@@ -741,8 +749,14 @@ object StreamingQueries {
     val nv = VersionedKeyedTable.completeVersions(s, table).size
     require(nv == 4,
       s"four micro-batches must land as exactly four commits (got $nv)")
-    VersionedKeyedTable.read(s, table)
+    // materialize, then reclaim the run's temp table/staging/ckpt dirs
+    val out = VersionedKeyedTable.read(s, table)
       .select(col("k"), col("g"), col("cents"))
+      .localCheckpoint(true)
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true): Unit
+    out
   }
 
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,

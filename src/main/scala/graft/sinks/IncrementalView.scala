@@ -384,4 +384,178 @@ object IncrementalView {
           valueCol, a, b)
     }
   }
+
+  // ---- MULTI-AGGREGATE view: N value columns in one refresh pass ---
+
+  /** [[createFromFull]] over SEVERAL value columns at once: one row
+    * per group holding a shared `cnt` plus, per value column `c`,
+    * `total_c`, `mn_c`, `mx_c` (avg derived at read time). One view,
+    * one refresh pass, ONE CDF read per span — the shape a real
+    * dashboard view has (a per-customer view tracks order count AND
+    * spend AND quantity envelopes together, not in three tables). */
+  def createFromFullMulti(spark: SparkSession, baseDir: String,
+      viewDir: String, groupCol: String, valueCols: Seq[String],
+      numBuckets: Int = 16): Long = {
+    require(valueCols.nonEmpty, "createFromFullMulti needs value columns")
+    val snap = VersionedKeyedTable.snapshot(spark, baseDir)
+    val aggs = count(lit(1)).as("cnt") +: valueCols.flatMap(c => Seq(
+      sum(col(c)).as(s"total_$c"),
+      min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val agg = VersionedKeyedTable.read(spark, baseDir, Some(snap.version))
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+    VersionedKeyedTable.create(agg, viewDir, groupCol, numBuckets,
+      commitMeta = Map(AppliedBaseKey -> snap.version.toString))
+    snap.version
+  }
+
+  /** [[refreshFull]] generalized to N value columns, same two tiers,
+    * ONE CDF localCheckpoint and ONE merge commit for all of them:
+    *  - counts and every column's sum advance by the signed delta;
+    *  - every column's envelope EXTENDS from the span's new values;
+    *  - a group re-derives when ANY column's deleted values reach
+    *    that column's recorded extremum — and the bounded re-derive
+    *    pass recomputes ALL columns' envelopes for those groups in
+    *    one aggregate (re-deriving only the broken column would read
+    *    the same files anyway; the group list is what's bounded).
+    * Scale: per span this stays O(changed rows) + O(affected groups'
+    * covering files) — columns multiply the aggregate width, never
+    * the data read. */
+  def refreshFullMulti(spark: SparkSession, baseDir: String,
+      viewDir: String, baseKey: String, groupCol: String,
+      valueCols: Seq[String], fromVersion: Long, toVersion: Long): Unit
+      = withMaintainerLock(spark, viewDir) {
+    require(valueCols.nonEmpty, "refreshFullMulti needs value columns")
+    if (fromVersion >= toVersion) return
+    val watermark = committedWatermarkOpt(spark, viewDir)
+    if (watermark.exists(_ >= toVersion)) return
+    val effFrom = watermark.getOrElse(fromVersion)
+    val cdf = VersionedKeyedTable.changesBetween(
+        spark, baseDir, baseKey, effFrom, toVersion)
+      .localCheckpoint(true) // four consumers; compute the span once
+    val oldSide = cdf
+      .where(col("change_type").isin("delete", "update"))
+      .select(col(s"${groupCol}_prev").as(groupCol) +:
+        lit(-1L).as("d_cnt") +:
+        valueCols.map(c => (-col(s"${c}_prev")).as(s"d_$c")): _*)
+    val newSide = cdf
+      .where(col("change_type").isin("insert", "update"))
+      .select(col(groupCol) +: lit(1L).as("d_cnt") +:
+        valueCols.map(c => col(c).as(s"d_$c")): _*)
+    val dAggs = sum(col("d_cnt")).as("cnt") +:
+      valueCols.map(c => sum(col(s"d_$c")).as(s"total_$c"))
+    val delta = oldSide.unionByName(newSide)
+      .groupBy(col(groupCol)).agg(dAggs.head, dAggs.tail: _*)
+    // extension tier: per-column new-value envelopes
+    val nAggs = valueCols.flatMap(c => Seq(
+      min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    val newMM = cdf
+      .where(col("change_type").isin("insert", "update"))
+      .groupBy(col(groupCol)).agg(nAggs.head, nAggs.tail: _*)
+    // break tier: per-column deleted-value envelopes
+    val delAggs = valueCols.flatMap(c => Seq(
+      min(col(s"${c}_prev")).as(s"del_mn_$c"),
+      max(col(s"${c}_prev")).as(s"del_mx_$c")))
+    val delMM = cdf
+      .where(col("change_type").isin("delete", "update"))
+      .groupBy(col(s"${groupCol}_prev").as(groupCol))
+      .agg(delAggs.head, delAggs.tail: _*)
+      .localCheckpoint(true)
+    val nDel = delMM.count()
+    val viewCur = {
+      val vSchema = VersionedKeyedTable.read(spark, viewDir).schema
+      val gType = vSchema(groupCol).dataType
+      val integralG = Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType).contains(gType)
+      val stringG = gType == org.apache.spark.sql.types.StringType
+      val full =
+        if (nDel == 0 || nDel > rederiveIsinCap || !(integralG || stringG))
+          VersionedKeyedTable.read(spark, viewDir)
+        else if (integralG)
+          VersionedKeyedTable.readKeys(spark, viewDir, groupCol,
+            delMM.select(col(groupCol)).collect()
+              .map(_.get(0).asInstanceOf[Number].longValue).toSeq)
+        else
+          VersionedKeyedTable.readKeysStr(spark, viewDir, groupCol,
+            delMM.select(col(groupCol)).collect()
+              .map(_.getString(0)).toSeq)
+      full.select(col(groupCol) +: valueCols.flatMap(c =>
+        Seq(col(s"mn_$c"), col(s"mx_$c"))): _*)
+    }
+    // ANY column's broken envelope re-derives the group
+    val broken = valueCols.map(c =>
+        col(s"del_mn_$c") <= col(s"mn_$c") ||
+          col(s"del_mx_$c") >= col(s"mx_$c"))
+      .reduce(_ || _)
+    val affected = delMM.join(viewCur, Seq(groupCol))
+      .where(broken)
+      .select(col(groupCol))
+      .localCheckpoint(true)
+    val nAffected = affected.count()
+    val baseAt = {
+      val keys = if (nAffected > 0 && nAffected <= rederiveIsinCap)
+        Some(affected.collect().map(_.get(0)).toSeq) else None
+      keys match {
+        case Some(ks) =>
+          VersionedKeyedTable.table(spark, baseDir, baseKey,
+            Some(toVersion)).where(col(groupCol).isin(ks: _*))
+        case None =>
+          VersionedKeyedTable.read(spark, baseDir, Some(toVersion))
+            .join(affected, Seq(groupCol), "left_semi")
+      }
+    }
+    val rAggs = valueCols.flatMap(c => Seq(
+      min(col(c)).as(s"abs_mn_$c"), max(col(c)).as(s"abs_mx_$c")))
+    val red = baseAt.groupBy(col(groupCol))
+      .agg(rAggs.head, rAggs.tail: _*)
+      .withColumn("redo", lit(true))
+    val sourceCols: Seq[org.apache.spark.sql.Column] =
+      Seq(col(groupCol), coalesce(col("cnt"), lit(0L)).as("cnt")) ++
+        valueCols.map(c =>
+          coalesce(col(s"total_$c"), lit(0L)).as(s"total_$c")) ++
+        valueCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))) ++
+        Seq(coalesce(col("redo0"), lit(false)).as("redo")) ++
+        valueCols.flatMap(c =>
+          Seq(col(s"abs_mn_$c"), col(s"abs_mx_$c")))
+    val source = delta
+      .join(newMM, Seq(groupCol), "full_outer")
+      .join(affected.withColumn("redo0", lit(true)), Seq(groupCol), "left")
+      .join(red, Seq(groupCol), "left")
+      .select(sourceCols: _*)
+    val updates = Map("cnt" -> (col("t.cnt") + col("s.cnt"))) ++
+      valueCols.flatMap(c => Seq(
+        s"total_$c" -> (col(s"t.total_$c") + col(s"s.total_$c")),
+        s"mn_$c" -> when(col("s.redo"), col(s"s.abs_mn_$c"))
+          .otherwise(least(col(s"t.mn_$c"), col(s"s.mn_$c"))),
+        s"mx_$c" -> when(col("s.redo"), col(s"s.abs_mx_$c"))
+          .otherwise(greatest(col(s"t.mx_$c"), col(s"s.mx_$c")))))
+    VersionedKeyedTable.merge(spark, viewDir, source, groupCol,
+      whenMatchedDelete = Some(col("t.cnt") + col("s.cnt") === 0L),
+      whenMatchedUpdate = updates,
+      commitMeta = Map(AppliedBaseKey -> toVersion.toString),
+      carryCols = Set("redo") ++
+        valueCols.flatMap(c => Seq(s"abs_mn_$c", s"abs_mx_$c")))
+  }
+
+  /** Crash-safe multi-view catch-up off the view's durable
+    * watermark — [[refreshFromCommittedFull]] for N value columns. */
+  def refreshFromCommittedFullMulti(spark: SparkSession, baseDir: String,
+      viewDir: String, baseKey: String, groupCol: String,
+      valueCols: Seq[String]): Long =
+    refreshToLatestFullMulti(spark, baseDir, viewDir, baseKey, groupCol,
+      valueCols, committedWatermark(spark, viewDir))
+
+  /** [[refreshToLatestFull]] for N value columns: one
+    * [[refreshFullMulti]] per committed base version along the
+    * lineage chain. */
+  def refreshToLatestFullMulti(spark: SparkSession, baseDir: String,
+      viewDir: String, baseKey: String, groupCol: String,
+      valueCols: Seq[String], fromVersion: Long): Long
+      = withMaintainerLock(spark, viewDir) {
+    graft.sinks.ChangeFeed.walkSpans(spark, baseDir, fromVersion) {
+      (a, b) =>
+        refreshFullMulti(spark, baseDir, viewDir, baseKey, groupCol,
+          valueCols, a, b)
+    }
+  }
 }

@@ -370,6 +370,49 @@ object VersionedKeyedTable {
     }
   }
 
+  /** Object stores with CONDITIONAL WRITES — the S3 `If-None-Match: *`
+    * / GCS `ifGenerationMatch=0` / Azure create-with-ETag contract: a
+    * PUT uploads the FULL manifest body and the store publishes it
+    * atomically iff the name is absent, failing the whole request on
+    * conflict. The object is therefore either invisible or complete —
+    * never torn — which makes this backend atomic-with-content like
+    * the link and rename claims, with NO temp file and NO rename
+    * emulation (object stores have neither). Through Hadoop the
+    * primitive is `create(path, overwrite = false)` + write + close
+    * on a connector whose close() performs the conditional upload
+    * (s3a with fs.s3a.create.conditional.enabled, gs, abfs): the name
+    * appears only when close() succeeds. Conflict surfaces as
+    * FileAlreadyExistsException at create OR as the conditional-PUT
+    * failure at close — both read as a lost CAS and the committer
+    * re-reads the log. */
+  private[sinks] object ConditionalPutClaim extends ClaimBackend {
+    val atomicWithContent = true
+    def tryClaim(fs: FileSystem, versions: Path, target: Path,
+        content: String): Boolean =
+      try {
+        val out = fs.create(target, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        // create-time conflict (the connector knew) or close-time
+        // conditional-PUT failure (the store said no): lost CAS
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+  }
+
+  /** Schemes whose `create(overwrite=false)` is a true conditional
+    * write (content-atomic PUT-if-absent). Mutable like
+    * [[renameClaimSchemes]]: a deployment registers its store once
+    * conditional writes are enabled on the connector; specs register
+    * a masquerading local scheme that defers visibility to close().
+    * NOT defaulted to s3a/gs/abfs — on a connector with conditional
+    * writes DISABLED, create(overwrite=false) is a HEAD-then-PUT
+    * TOCTOU that could overwrite a committed manifest; the operator
+    * opts in per deployment. */
+  private[sinks] val condPutClaimSchemes: scala.collection.mutable.Set[String] =
+    scala.collection.mutable.Set.empty
+
   /** The documented FALLBACK for schemes with neither primitive:
     * ATOMIC-EXCLUSIVE CREATE claims the name (createNewFile — exactly
     * one racer can ever win; an exists-check + rename would be a
@@ -403,6 +446,8 @@ object VersionedKeyedTable {
   private[sinks] def claimBackendFor(fs: FileSystem): ClaimBackend =
     if (fs.getUri.getScheme == "file") LinkCasClaim
     else if (renameClaimSchemes.contains(fs.getUri.getScheme)) RenameClaim
+    else if (condPutClaimSchemes.contains(fs.getUri.getScheme))
+      ConditionalPutClaim
     else ExclusiveCreateClaim
 
   private def tryCommit(fs: FileSystem, dir: String, target: Path,
@@ -476,6 +521,22 @@ object VersionedKeyedTable {
       name: String): Boolean =
     schema.fields.find(_.name == name)
       .exists(f => hasNumericImage(f.dataType))
+
+  /** BINARY (UTF-8 byte) ordering over strings — the order Spark's
+    * min/max aggregated the manifest's string envelopes in
+    * (UTF8String compares bytewise = by code point), which diverges
+    * from java.lang.String's UTF-16 code-unit order for
+    * supplementary-plane characters (an emoji sorts BELOW U+E000+ in
+    * UTF-8 order but ABOVE it in UTF-16 order, because it encodes as
+    * surrogates 0xD800+). Every consumer of a string envelope MUST
+    * compare in this order, or a file legitimately containing a
+    * probed key could be pruned — silently dropped rows, not a missed
+    * optimization. */
+  private[graft] object Utf8Ord extends Ordering[String] {
+    def compare(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  }
 
   private[sinks] def hasNumericImage(
       t: org.apache.spark.sql.types.DataType): Boolean =
@@ -1478,16 +1539,19 @@ object VersionedKeyedTable {
     if (ivs.isEmpty) return false
     val numeric = numericType && ivs.forall { case (a, b) =>
       a.toLongOption.isDefined && b.toLongOption.isDefined }
+    // string intervals order in UTF-8 binary order (Utf8Ord) — the
+    // order the envelopes were aggregated in, so the overlap test
+    // agrees with what the pruning consumers will see
     val sorted =
       if (numeric) ivs.sortBy(iv => (iv._1.toLong, iv._2.toLong))
-      else ivs.sorted
+      else ivs.sorted(Ordering.Tuple2(Utf8Ord, Utf8Ord))
     // TOUCHING intervals are clustered: a value spanning a file
     // boundary (duplicate-heavy dimension — file1 max == file2 min)
     // is the best a sorted split can do; only true overlap (a later
     // file starting BELOW an earlier file's max) means unsorted
     sorted.sliding(2).forall {
       case Seq((_, hi), (lo2, _)) =>
-        if (numeric) hi.toLong <= lo2.toLong else hi <= lo2
+        if (numeric) hi.toLong <= lo2.toLong else Utf8Ord.lteq(hi, lo2)
       case _ => true
     }
   }
@@ -1750,10 +1814,15 @@ object VersionedKeyedTable {
       .collect().map(_.getInt(0)).toSet // bounded by numBuckets
     val candidate = snap.files.filter(e => wanted(e._1))
       .values.flatten.toSeq
-    // string-order zone check against the native string envelopes
+    // string-order zone check against the native string envelopes —
+    // in UTF-8 BINARY order (Utf8Ord), the order the stats were
+    // aggregated in; java.lang.String's UTF-16 order would prune
+    // files whose envelopes legitimately contain a probed key when
+    // supplementary-plane characters are involved
     val zoneKept = candidate.filter { f =>
       snap.stats.get(f) match {
-        case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+        case Some((mn, mx)) =>
+          keys.exists(k => Utf8Ord.gteq(k, mn) && Utf8Ord.lteq(k, mx))
         case None => true // no zone map recorded: must read
       }
     }
@@ -1907,7 +1976,8 @@ object VersionedKeyedTable {
     * window to the longest expected reader (the standard
     * optimistic-store caveat). */
   def vacuum(spark: SparkSession, dir: String,
-      keepVersions: Int = 2, graceMs: Long = 900000L): Unit = {
+      keepVersions: Int = 2, graceMs: Long = 900000L,
+      stagingGraceMs: Long = 3600000L): Unit = {
     val fs = hfs(spark, dir)
     // retention math runs over COMPLETE versions only: counting a torn
     // claim toward keepVersions could retain nothing parseable and
@@ -2009,13 +2079,18 @@ object VersionedKeyedTable {
     }
     drop.foreach(v => fs.delete(versionPath(dir, v), false))
     // a crashed streaming-sink job can strand staged files (its abort
-    // never ran); anything under _staging older than the grace window
-    // belongs to no live epoch — the sink deletes its own files at
-    // commit/abort within seconds
+    // never ran). Staged files are CREATED at epoch start and live
+    // until the epoch's driver commit, so the staging grace must
+    // exceed the LONGEST micro-batch, not the longest write — it gets
+    // its own, longer window (never below graceMs): a vacuum racing a
+    // slow-but-live epoch must not delete its staged inputs mid-epoch
     val stagingDir = new Path(dir, "_staging")
+    val stagingCutoff =
+      System.currentTimeMillis() - math.max(graceMs, stagingGraceMs)
     if (fs.exists(stagingDir)) {
       fs.listStatus(stagingDir).foreach { f =>
-        if (f.getModificationTime < cutoff) fs.delete(f.getPath, false)
+        if (f.getModificationTime < stagingCutoff)
+          fs.delete(f.getPath, false)
       }
     }
   }

@@ -157,18 +157,23 @@ final class ZoneMapFileIndex(
 
   /** Per-COLUMN string intervals implied by conjuncts over
     * STRING-typed key/stats columns. Strict bounds stay inclusive
-    * (strings have no +1) — conservative, never wrong. */
+    * (strings have no +1) — conservative, never wrong. All
+    * comparisons run in UTF-8 BINARY order
+    * ([[VersionedKeyedTable.Utf8Ord]]) — the order Spark aggregated
+    * the envelopes in; java.lang.String order diverges on
+    * supplementary-plane characters and would prune matching files. */
+  private val utf8 = VersionedKeyedTable.Utf8Ord
   private def colStrBounds(filters: Seq[Expression])
       : Map[String, (Option[String], Option[String])] = {
     val bounds = scala.collection.mutable
       .Map.empty[String, (Option[String], Option[String])]
     def raiseLo(c: String, v: String): Unit = {
       val (lo, hi) = bounds.getOrElse(c, (None, None))
-      bounds(c) = (Some(lo.fold(v)(l => if (l >= v) l else v)), hi)
+      bounds(c) = (Some(lo.fold(v)(l => utf8.max(l, v))), hi)
     }
     def lowerHi(c: String, v: String): Unit = {
       val (lo, hi) = bounds.getOrElse(c, (None, None))
-      bounds(c) = (lo, Some(hi.fold(v)(h => if (h <= v) h else v)))
+      bounds(c) = (lo, Some(hi.fold(v)(h => utf8.min(h, v))))
     }
     def strName(e: Expression): Option[String] =
       nameOf(e).filter(stringTyped)
@@ -206,7 +211,8 @@ final class ZoneMapFileIndex(
       case In(a, vs) if strName(a).isDefined && vs.nonEmpty &&
           vs.forall(strLit(_).isDefined) =>
         val set = vs.map(strLit(_).get)
-        raiseLo(strName(a).get, set.min); lowerHi(strName(a).get, set.max)
+        raiseLo(strName(a).get, set.min(utf8))
+        lowerHi(strName(a).get, set.max(utf8))
       case _ => () // unknown shape: contributes no bound (never prunes)
     }
     bounds.toMap
@@ -281,7 +287,8 @@ final class ZoneMapFileIndex(
       }
     val kept = statuses.filter { st =>
       survives(statsByPath.get(st.getPath), bounds.get(keyCol)) &&
-        survives(strStatsByPath.get(st.getPath), sBounds.get(keyCol)) &&
+        survives(strStatsByPath.get(st.getPath), sBounds.get(keyCol))(
+          utf8) &&
         bounds.forall { case (c, b) =>
           c == keyCol ||
             survives(extraByPath.get(st.getPath).flatMap(_.get(c)),
@@ -290,7 +297,7 @@ final class ZoneMapFileIndex(
         sBounds.forall { case (c, b) =>
           c == keyCol ||
             survives(extraStrByPath.get(st.getPath).flatMap(_.get(c)),
-              Some(b))
+              Some(b))(utf8)
         }
     }
     lastListed = (kept.size, statuses.size)

@@ -75,10 +75,15 @@ class CdfSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val sv = Option(opts.get("startingVersion")).map(_.toLong)
+    val st = Option(opts.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "CdfSource: startingVersion and startingTimestamp are mutually " +
+        "exclusive — pick one starting rule")
     new CdfTable(CdfSource.required(opts, "path"),
       CdfSource.required(opts, "keyCol"),
-      Option(opts.get("startingVersion")).map(_.toLong),
-      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong))
+      sv, Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
+      st.map(CdfSource.parseTsMillis))
   }
 }
 
@@ -87,6 +92,19 @@ object CdfSource {
       key: String): String =
     Option(opts.get(key)).getOrElse(throw new IllegalArgumentException(
       s"CdfSource: option '$key' is required"))
+
+  /** `startingTimestamp` accepts epoch millis or a
+    * `yyyy-MM-dd HH:mm:ss[.f...]` local instant (the
+    * `TIMESTAMP AS OF` literal forms). */
+  private[v2] def parseTsMillis(s: String): Long =
+    s.trim.toLongOption.getOrElse(
+      try java.sql.Timestamp.valueOf(s.trim).getTime
+      catch {
+        case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"CdfSource: unparseable startingTimestamp '$s' — epoch " +
+              "millis or 'yyyy-MM-dd HH:mm:ss[.f]'")
+      })
 
   private[v2] def tableSchema(dir: String): StructType = {
     val spark = SparkSession.active
@@ -112,7 +130,8 @@ object CdfSource {
 }
 
 class CdfTable(dir: String, keyCol: String, startingVersion: Option[Long],
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingTsMillis: Option[Long] = None)
     extends Table with SupportsRead {
   private val schema0 =
     CdfSource.cdfSchema(CdfSource.tableSchema(dir), keyCol)
@@ -127,7 +146,7 @@ class CdfTable(dir: String, keyCol: String, startingVersion: Option[Long],
         override def toMicroBatchStream(
             checkpointLocation: String): MicroBatchStream =
           new CdfMicroBatchStream(dir, keyCol, schema0, startingVersion,
-            maxVersionsPerTrigger)
+            maxVersionsPerTrigger, startingTsMillis)
       }
     }
 }
@@ -146,7 +165,8 @@ case class CdfInputPartition(path: String, version: Long)
 
 class CdfMicroBatchStream(dir: String, keyCol: String,
     schema: StructType, startingVersion: Option[Long],
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingTsMillis: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -163,9 +183,19 @@ class CdfMicroBatchStream(dir: String, keyCol: String,
     availableNowCap =
       Some(VersionedKeyedTable.snapshot(spark, dir).version)
 
+  /** The starting rule: `startingVersion` names the last ALREADY-
+    * CONSUMED version (changes strictly after it stream);
+    * `startingTimestamp` resolves through [[VersionedKeyedTable
+    * .versionAsOf]] — the SAME commit-instant rule `TIMESTAMP AS OF`
+    * uses — so the stream delivers every change committed AFTER the
+    * state as of that instant: `readAsOf(ts)` + this stream replays
+    * to current, with no seam. Default: the latest version at stream
+    * start (future commits only). */
   override def initialOffset(): Offset =
-    CdfOffset(startingVersion.getOrElse(
-      VersionedKeyedTable.snapshot(spark, dir).version))
+    CdfOffset(startingVersion
+      .orElse(startingTsMillis.map(
+        VersionedKeyedTable.versionAsOf(spark, dir, _)))
+      .getOrElse(VersionedKeyedTable.snapshot(spark, dir).version))
 
   override def latestOffset(): Offset =
     CdfOffset(VersionedKeyedTable.snapshot(spark, dir).version)
@@ -186,17 +216,43 @@ class CdfMicroBatchStream(dir: String, keyCol: String,
       .getOrElse(org.apache.spark.sql.connector.read.streaming
         .ReadLimit.allAvailable())
 
+  /** The engine hands back the limit [[getDefaultReadLimit]] declared
+    * (possibly wrapped in a composite under Trigger.AvailableNow).
+    * This source's admission unit is the COMMIT, but Spark's public
+    * ReadLimit vocabulary has no "units" knob — so the contract,
+    * pinned by spec, is: a ReadMaxRows carried here MEANS max
+    * commits per micro-batch (the label is Spark's, the unit is the
+    * source's — exactly how Kafka's maxOffsetsPerTrigger rides the
+    * same class for offsets, not rows). Composite limits take the
+    * strictest commit bound they contain; allAvailable contributes
+    * no bound. */
+  private def maxCommitsOf(
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Option[Long] = {
+    import org.apache.spark.sql.connector.read.streaming.{
+      CompositeReadLimit, ReadMaxRows}
+    limit match {
+      case r: ReadMaxRows => Some(r.maxRows)
+      case c: CompositeReadLimit =>
+        c.getReadLimits.toSeq.flatMap(maxCommitsOf).minOption
+      case _ => None
+    }
+  }
+
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : Offset = {
     val s = start.asInstanceOf[CdfOffset].version
     val latest0 = VersionedKeyedTable.snapshot(spark, dir).version
     val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
-    maxVersionsPerTrigger match {
+    // honor the ENGINE's limit (what we declared, possibly composed);
+    // fall back to the option so a direct call still clamps
+    maxCommitsOf(limit).orElse(maxVersionsPerTrigger) match {
       case Some(n) if latest > s =>
         VersionedKeyedTable.lineageSpan(spark, dir, s, latest) match {
           case Some(snaps) if snaps.nonEmpty =>
-            CdfOffset(snaps.take(math.min(n, Int.MaxValue).toInt)
+            CdfOffset(snaps.take(
+              math.min(math.max(1L, n), Int.MaxValue).toInt)
               .last.version)
           case _ => CdfOffset(latest) // no chain: let planning fail loudly
         }
@@ -241,25 +297,27 @@ class CdfMicroBatchStream(dir: String, keyCol: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdfReaderFactory(schema)
+    new CdfReaderFactory(schema, SerializableHadoopConf.fromSession(spark))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-class CdfReaderFactory(schema: StructType)
+class CdfReaderFactory(schema: StructType, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdfInputPartition]
-    new CdfPartitionReader(p.path, p.version, schema)
+    new CdfPartitionReader(p.path, p.version, schema, conf)
   }
 }
 
 /** One commit's change file as a stream partition — the shared
   * [[GroupParquetPartitionReader]] with the commit version injected
-  * as the `_commit_version` virtual column. */
+  * as the `_commit_version` virtual column and the SESSION's Hadoop
+  * conf (not a fresh one — custom schemes/credentials must reach the
+  * executor-side reader). */
 class CdfPartitionReader(path: String, version: Long,
-    schema: StructType)
+    schema: StructType, conf: SerializableHadoopConf)
     extends GroupParquetPartitionReader(path, schema,
-      Map("_commit_version" -> version))
+      Map("_commit_version" -> version), Some(conf))

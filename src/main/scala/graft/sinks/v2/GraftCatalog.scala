@@ -43,12 +43,15 @@ import graft.sinks.{KeyedTable, VersionedKeyedTable}
   *  - column pruning reaches the Group reader, which materializes
   *    only the requested fields.
   *
-  * Read-only by design: DDL/DML route through the programmatic API
-  * (create/upsert/delete/merge), whose optimistic-commit semantics a
-  * SQL INSERT could not express losslessly. (Reference analogue: the
-  * reference had no SQL surface at all; this is the store meeting
-  * Spark's catalog contract so BI-style SQL reaches the same
-  * snapshots.) */
+  * DML: `INSERT INTO cat.t ...` is supported and lands as ONE
+  * optimistic upsert commit (put semantics — the table is keyed), so
+  * SQL writers get the same CDF capture, zone maps and concurrency
+  * the programmatic API gives. DDL (CREATE/ALTER/DROP/RENAME) stays
+  * refused: table layout (key, buckets) is the store's create-time
+  * contract, expressed through `VersionedKeyedTable.create`.
+  * (Reference analogue: the reference had no SQL surface at all;
+  * this is the store meeting Spark's catalog contract so BI-style
+  * SQL reaches the same snapshots.) */
 class GraftCatalog extends TableCatalog {
   private var catName: String = _
   private var base: String = _
@@ -104,9 +107,10 @@ class GraftCatalog extends TableCatalog {
       spark, dirOf(ident), timestampMicros / 1000L)))
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "GraftCatalog is read-only — mutate through the " +
-      "VersionedKeyedTable API (create/upsert/delete/merge), whose " +
-      "optimistic commit semantics SQL DML cannot express")
+    "GraftCatalog supports SQL reads and INSERT INTO (one upsert " +
+      "commit); DDL routes through the VersionedKeyedTable API — " +
+      "table layout (key column, buckets) is the store's create-time " +
+      "contract")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -119,7 +123,8 @@ class GraftCatalog extends TableCatalog {
 }
 
 class GraftSqlTable(dir: String, ident: String, version: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private def spark = SparkSession.active
   private val snap = VersionedKeyedTable.snapshot(spark, dir, version)
   private val tableSchema: StructType = snap.schema.getOrElse(
@@ -129,10 +134,91 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
   override def name: String = ident + version.fold("")(v => s"@v$v")
   override def schema: StructType = tableSchema
   override def capabilities: util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, snap, tableSchema, keyCol)
+
+  /** SQL DML: `INSERT INTO cat.t ...` lands as ONE optimistic upsert
+    * commit — and because the table is KEYED, the insert carries the
+    * store's put contract (replace-by-key), exactly what the
+    * programmatic `upsert` does; the Delta answer would be MERGE, but
+    * a keyed store has only puts. Executors stage parquet under
+    * `_staging/` (the [[VersionedTableSink]] mechanics), the driver's
+    * commit applies them as one upsert stamped with
+    * `graft.sql.insert = <queryId>` in commit metadata. Time-travel
+    * identifiers refuse writes (history is immutable), and
+    * `INSERT OVERWRITE` is unsupported by construction (no
+    * SupportsTruncate/SupportsOverwrite face — replacing a table is a
+    * create, not DML). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (version.isDefined) throw new UnsupportedOperationException(
+      s"cannot INSERT INTO a time-travel snapshot of $ident — " +
+        "versions are immutable; write to the current table")
+    val key = keyCol.getOrElse(throw new UnsupportedOperationException(
+      s"table $ident records no key column in its meta sidecar — " +
+        "SQL INSERT needs the key to upsert by"))
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite = {
+            require(info.schema().fieldNames.contains(key),
+              s"INSERT schema must carry the key column '$key' (got " +
+                s"${info.schema().fieldNames.mkString(", ")})")
+            new GraftSqlBatchWrite(dir, key, info.queryId(), info.schema())
+          }
+        }
+    }
+  }
+}
+
+/** One SQL INSERT as one upsert commit: tasks stage parquet on the
+  * executors (no driver funnel), the driver commit reads the staged
+  * files as a DataFrame and runs the store's own optimistic upsert —
+  * concurrency, CDF capture, zone maps and blooms all come from the
+  * commit path SQL now shares with the programmatic API. */
+class GraftSqlBatchWrite(dir: String, keyCol: String, queryId: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private def spark = SparkSession.active
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new GraftSqlWriterFactory(dir, schema,
+      SerializableHadoopConf.fromSession(spark))
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val staged = messages.collect {
+      case StagedFileMessage(p, n) if n > 0 => p
+    }
+    try {
+      if (staged.isEmpty) return // INSERT of zero rows: no commit
+      val rows = spark.read.schema(schema).parquet(staged: _*)
+      VersionedKeyedTable.upsert(spark, dir, rows, keyCol,
+        commitMeta = Map("graft.sql.insert" -> queryId))
+    } finally StagedFileMessage.cleanup(spark, dir, messages)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = StagedFileMessage.cleanup(spark, dir, messages)
+}
+
+class GraftSqlWriterFactory(dir: String, schema: StructType,
+    conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new StagingParquetWriter(
+      s"$dir/_staging/sql-p$partitionId-t$taskId-" +
+        s"${java.util.UUID.randomUUID()}.parquet", schema, Some(conf))
 }
 
 class GraftScanBuilder(dir: String,
@@ -312,13 +398,16 @@ class GraftScanBuilder(dir: String,
       .Map.empty[String, (Option[Long], Option[Long])]
     val str = scala.collection.mutable
       .Map.empty[String, (Option[String], Option[String])]
+    // string bounds compose in UTF-8 BINARY order (Utf8Ord) — the
+    // order the envelopes were aggregated in
+    val utf8 = VersionedKeyedTable.Utf8Ord
     def raise(c: String, v: Either[Long, String]): Unit = v match {
       case Left(l) =>
         val (lo, hi) = num.getOrElse(c, (None, None))
         num(c) = (Some(lo.fold(l)(math.max(_, l))), hi)
       case Right(s) =>
         val (lo, hi) = str.getOrElse(c, (None, None))
-        str(c) = (Some(lo.fold(s)(x => if (x >= s) x else s)), hi)
+        str(c) = (Some(lo.fold(s)(x => utf8.max(x, s))), hi)
     }
     def lower(c: String, v: Either[Long, String]): Unit = v match {
       case Left(l) =>
@@ -326,7 +415,7 @@ class GraftScanBuilder(dir: String,
         num(c) = (lo, Some(hi.fold(l)(math.min(_, l))))
       case Right(s) =>
         val (lo, hi) = str.getOrElse(c, (None, None))
-        str(c) = (lo, Some(hi.fold(s)(x => if (x <= s) x else s)))
+        str(c) = (lo, Some(hi.fold(s)(x => utf8.min(x, s))))
     }
     accepted.foreach {
       case EqualTo(a, v) => bound(a, v).foreach { b =>
@@ -344,7 +433,7 @@ class GraftScanBuilder(dir: String,
               raise(a, Left(ls.min)); lower(a, Left(ls.max))
             case (Right(_), _) =>
               val ss = bs.collect { case Right(s) => s }
-              raise(a, Right(ss.min)); lower(a, Right(ss.max))
+              raise(a, Right(ss.min(utf8))); lower(a, Right(ss.max(utf8)))
           }
         }
       case _ => ()
@@ -368,53 +457,76 @@ class GraftScanBuilder(dir: String,
     case None => buildRowScan()
   }
 
-  private def buildRowScan(): Scan = new Scan {
-    override def readSchema(): StructType = required
-
-    override def toBatch: Batch = new Batch {
-      override def planInputPartitions(): Array[InputPartition] = {
-        val (num, str) = bounds()
-        def surviveNum(stats: Option[(String, String)],
-            b: Option[(Option[Long], Option[Long])]): Boolean =
-          (stats.flatMap { case (mn, mx) =>
-            for (a <- mn.toLongOption; c <- mx.toLongOption)
-              yield (a, c) }, b) match {
-            case (Some((mn, mx)), Some((lo, hi))) =>
-              lo.forall(mx >= _) && hi.forall(mn <= _)
-            case _ => true
-          }
-        def surviveStr(stats: Option[(String, String)],
-            b: Option[(Option[String], Option[String])]): Boolean =
-          (stats, b) match {
-            case (Some((mn, mx)), Some((lo, hi))) =>
-              lo.forall(mx >= _) && hi.forall(mn <= _)
-            case _ => true
-          }
-        val files = snap.files.values.flatten.toSeq
-        val kept = files.filter { f =>
-          val keyOk = keyCol.forall { k =>
-            (if (numericCol(k)) surviveNum(snap.stats.get(f), num.get(k))
-             else true) &&
-            (if (stringCol(k)) surviveStr(snap.stats.get(f), str.get(k))
-             else true)
-          }
-          val extras = snap.extraStats.getOrElse(f, Map.empty)
-          keyOk && num.forall { case (c, b) =>
-            keyCol.contains(c) || !numericCol(c) ||
-              surviveNum(extras.get(c), Some(b))
-          } && str.forall { case (c, b) =>
-            keyCol.contains(c) || !stringCol(c) ||
-              surviveStr(extras.get(c), Some(b))
-          }
-        }
-        GraftScanBuilder.lastPlanned.set((kept.size, files.size))
-        kept.map(f =>
-          GraftFilePartition(s"$dir/$f"): InputPartition).toArray
+  /** The ROW scan: manifest zone-map FILE pruning (ours) composed
+    * with Spark's OWN vectorized parquet scan (theirs). The kept file
+    * set — pruned against the manifest's typed/string envelopes
+    * BEFORE any partition is planned — becomes the file index of a
+    * [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]],
+    * so within each kept file the read is everything Spark's native
+    * path gives: VECTORIZED columnar decode (whole-stage-codegen
+    * friendly), COLUMN-CHUNK projection (a 2-column SELECT over a
+    * 20-column table decodes 2 columns, not 20), parquet ROW-GROUP
+    * statistics pruning from the pushed filters, and both timestamp
+    * encodings (INT96/INT64). The Group reader remains only for
+    * [[CdfSource]] change files, whose narrow schema it fits. At
+    * 100×: the manifest prunes files driver-side at metadata scale;
+    * everything per-file rides the same reader the warehouse's plain
+    * parquet scans use. */
+  private def buildRowScan(): Scan = {
+    val spark = SparkSession.active
+    val (num, str) = bounds()
+    def surviveNum(stats: Option[(String, String)],
+        b: Option[(Option[Long], Option[Long])]): Boolean =
+      (stats.flatMap { case (mn, mx) =>
+        for (a <- mn.toLongOption; c <- mx.toLongOption)
+          yield (a, c) }, b) match {
+        case (Some((mn, mx)), Some((lo, hi))) =>
+          lo.forall(mx >= _) && hi.forall(mn <= _)
+        case _ => true
       }
-
-      override def createReaderFactory(): PartitionReaderFactory =
-        new GraftFileReaderFactory(required)
+    def surviveStr(stats: Option[(String, String)],
+        b: Option[(Option[String], Option[String])]): Boolean =
+      (stats, b) match {
+        case (Some((mn, mx)), Some((lo, hi))) =>
+          // UTF-8 binary order — matches the envelope's own order
+          val utf8 = VersionedKeyedTable.Utf8Ord
+          lo.forall(utf8.gteq(mx, _)) && hi.forall(utf8.lteq(mn, _))
+        case _ => true
+      }
+    val files = snap.files.values.flatten.toSeq
+    val kept = files.filter { f =>
+      val keyOk = keyCol.forall { k =>
+        (if (numericCol(k)) surviveNum(snap.stats.get(f), num.get(k))
+         else true) &&
+        (if (stringCol(k)) surviveStr(snap.stats.get(f), str.get(k))
+         else true)
+      }
+      val extras = snap.extraStats.getOrElse(f, Map.empty)
+      keyOk && num.forall { case (c, b) =>
+        keyCol.contains(c) || !numericCol(c) ||
+          surviveNum(extras.get(c), Some(b))
+      } && str.forall { case (c, b) =>
+        keyCol.contains(c) || !stringCol(c) ||
+          surviveStr(extras.get(c), Some(b))
+      }
     }
+    GraftScanBuilder.lastPlanned.set((kept.size, files.size))
+    GraftScanBuilder.lastReadSchema.set(required.fieldNames.toSeq)
+    val index = new org.apache.spark.sql.execution.datasources
+      .InMemoryFileIndex(spark,
+        kept.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f")),
+        Map.empty, Some(tableSchema))
+    // a DEFENSIVE COPY: ParquetScan.createReaderFactory mutates the
+    // conf it is given (read-support keys, SQLConf mirror keys) —
+    // never hand it the session-global one
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      spark, conf, index, tableSchema, required,
+      new StructType() /* no partition columns: buckets live in the
+        manifest, not in directory names the scan must decode */,
+      accepted, CaseInsensitiveStringMap.empty(), None,
+      Seq.empty, Seq.empty)
   }
 }
 
@@ -422,16 +534,12 @@ object GraftScanBuilder {
   /** Observability for specs and in-row assertions: (files planned
     * for the last scan, total files in the snapshot). */
   val lastPlanned = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
-}
 
-case class GraftFilePartition(path: String) extends InputPartition
-
-class GraftFileReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] =
-    new GroupParquetPartitionReader(
-      partition.asInstanceOf[GraftFilePartition].path, schema)
+  /** The column set the last ROW scan actually decoded (the pruned
+    * read schema handed to the vectorized parquet scan) — what specs
+    * pin projection pushdown with. */
+  val lastReadSchema =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
 }
 
 /** One pre-aggregated row computed from manifest metadata — the whole

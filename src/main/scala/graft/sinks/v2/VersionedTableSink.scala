@@ -85,6 +85,22 @@ class VersionedSinkTable(dir: String, keyCol: String, numBuckets: Int,
 case class StagedFileMessage(path: String, rows: Long)
     extends WriterCommitMessage
 
+object StagedFileMessage {
+  /** Remove every staged file a write's tasks produced — shared by
+    * commit (staging is dead weight once the table commit landed) and
+    * abort (leave no state: visibility IS the manifest commit). */
+  private[v2] def cleanup(spark: SparkSession, dir: String,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case StagedFileMessage(p, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), false): Unit
+      case _ => ()
+    }
+  }
+}
+
 class VersionedStreamingWrite(dir: String, keyCol: String,
     numBuckets: Int, captureChanges: Boolean, queryId: String,
     schema: StructType) extends StreamingWrite {
@@ -94,7 +110,8 @@ class VersionedStreamingWrite(dir: String, keyCol: String,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new VersionedSinkWriterFactory(dir, schema)
+    new VersionedSinkWriterFactory(dir, schema,
+      SerializableHadoopConf.fromSession(spark))
 
   /** The epoch the table DURABLY holds for this query — walked off
     * the commit lineage like every consumer stamp. */
@@ -124,32 +141,32 @@ class VersionedStreamingWrite(dir: String, keyCol: String,
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = cleanup(messages)
 
-  private def cleanup(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.foreach {
-      case StagedFileMessage(p, _) =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), false): Unit
-      case _ => ()
-    }
-  }
+  private def cleanup(messages: Array[WriterCommitMessage]): Unit =
+    StagedFileMessage.cleanup(spark, dir, messages)
 }
 
-class VersionedSinkWriterFactory(dir: String, schema: StructType)
+class VersionedSinkWriterFactory(dir: String, schema: StructType,
+    conf: SerializableHadoopConf)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new StagingParquetWriter(
       s"$dir/_staging/e$epochId-p$partitionId-t$taskId-" +
-        s"${java.util.UUID.randomUUID()}.parquet", schema)
+        s"${java.util.UUID.randomUUID()}.parquet", schema, Some(conf))
 }
 
 /** Writes InternalRows to one staged parquet file via the
   * parquet-hadoop Group API — the writer-side mirror of
   * [[CdfPartitionReader]], same supported types, nulls skipped
-  * (optional fields). */
-class StagingParquetWriter(path: String, schema: StructType)
+  * (optional fields). Carries the session's Hadoop conf so staging
+  * works on non-default filesystems. */
+class StagingParquetWriter(path: String, schema: StructType,
+    hadoopConf: Option[SerializableHadoopConf] = None)
     extends DataWriter[InternalRow] {
+
+  private def baseConf(): org.apache.hadoop.conf.Configuration =
+    hadoopConf.map(c => new org.apache.hadoop.conf.Configuration(c.value))
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA,
     PrimitiveType, Types}
@@ -185,7 +202,7 @@ class StagingParquetWriter(path: String, schema: StructType)
       messageType)
 
   private val writer = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = baseConf()
     org.apache.parquet.hadoop.example.GroupWriteSupport
       .setSchema(messageType, conf)
     org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -230,7 +247,7 @@ class StagingParquetWriter(path: String, schema: StructType)
   override def abort(): Unit = {
     writer.close()
     new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .getFileSystem(baseConf())
       .delete(new org.apache.hadoop.fs.Path(path), false): Unit
   }
 

@@ -133,4 +133,104 @@ class CdfSourceSpec extends AnyFunSuite {
       else String.valueOf(t.getMessage) +: msgs(t.getCause)
     assert(msgs(e).exists(_.contains("did not capture")))
   }
+
+  test("startingTimestamp resolves through the TIMESTAMP AS OF rule: " +
+      "the stream delivers every change committed AFTER the state as " +
+      "of that instant — and is mutually exclusive with " +
+      "startingVersion") {
+    val dir = fresh("ts-start"); val ckpt = fresh("ts-ck")
+    VersionedKeyedTable.create(
+      Seq((1L, 10L)).toDF("k", "v"), dir, "k", numBuckets = 1)
+    Thread.sleep(1200L) // commit-instant resolution rides file mtimes
+    val cut = System.currentTimeMillis()
+    Thread.sleep(1200L)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((2L, 20L)).toDF("k", "v"), "k") // v2: after the cut
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, 30L)).toDF("k", "v"), "k") // v3
+    val out = fresh("ts-out")
+    val q = spark.readStream.format("graft.sinks.v2.CdfSource")
+      .option("path", dir).option("keyCol", "k")
+      .option("startingTimestamp", cut.toString)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+      .select(col("k"), col("_commit_version"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 2L), (3L, 3L)),
+      "only the post-cut commits' changes must stream")
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft.sinks.v2.CdfSource")
+        .option("path", dir).option("keyCol", "k")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", cut.toString)
+        .load()
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
+  test("the engine's ReadLimit is honored with COMMITS as the unit: " +
+      "maxRows(n) clamps to n commits along the lineage, composite " +
+      "limits take the strictest bound, allAvailable is unbounded") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = fresh("rl")
+    VersionedKeyedTable.create(
+      Seq((1L, 10L)).toDF("k", "v"), dir, "k", numBuckets = 1) // v1
+    (2L to 4L).foreach(i => VersionedKeyedTable.upsert(spark, dir,
+      Seq((i, i * 10L)).toDF("k", "v"), "k")) // v2..v4
+    val stream = new graft.sinks.v2.CdfMicroBatchStream(
+      dir, "k", org.apache.spark.sql.types.StructType(Nil), Some(1L))
+    def endAt(limit: ReadLimit): Long =
+      stream.latestOffset(graft.sinks.v2.CdfOffset(1L), limit)
+        .asInstanceOf[graft.sinks.v2.CdfOffset].version
+    assert(endAt(ReadLimit.maxRows(2L)) === 3L,
+      "maxRows(2) means two commits: (1, 3]")
+    assert(endAt(ReadLimit.compositeLimit(Array(
+      ReadLimit.allAvailable(), ReadLimit.maxRows(1L)))) === 2L,
+      "a composite limit takes its strictest commit bound")
+    assert(endAt(ReadLimit.allAvailable()) === 4L,
+      "allAvailable drains to the latest commit")
+  }
+
+  test("timestamp data columns stream through the change reader under " +
+      "BOTH parquet encodings Spark writes — INT96 (the default " +
+      "outputTimestampType) and INT64 micros") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456")
+    val t1 = java.sql.Timestamp.valueOf("2026-06-07 08:09:10.654321")
+    def run(outputType: String): Set[(Long, String,
+        Option[java.sql.Timestamp], Option[java.sql.Timestamp])] = {
+      val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", outputType)
+      try {
+        val dir = fresh(s"ts-$outputType"); val ckpt = fresh("tsc")
+        VersionedKeyedTable.create(
+          Seq((1L, t0)).toDF("k", "ts"), dir, "k", numBuckets = 1)
+        // the upsert's CHANGE FILE carries ts and ts_prev — written by
+        // Spark's parquet writer in the session's encoding, read back
+        // by the Group reader (the very path that must decode INT96)
+        VersionedKeyedTable.upsert(spark, dir,
+          Seq((1L, t1), (2L, t0)).toDF("k", "ts"), "k")
+        val out = fresh("tso")
+        drain(dir, ckpt, out)
+        spark.read.parquet(out)
+          .select(col("k"), col("change_type"), col("ts"), col("ts_prev"))
+          .as[(Long, String, Option[java.sql.Timestamp],
+            Option[java.sql.Timestamp])]
+          .collect().toSet
+      } finally spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", prev)
+    }
+    val expected = Set(
+      (1L, "update", Some(t1), Some(t0)),
+      (2L, "insert", Some(t0), None))
+    assert(run("INT96") === expected,
+      "INT96-encoded change-file timestamps must decode to micros")
+    assert(run("TIMESTAMP_MICROS") === expected,
+      "INT64-micro change-file timestamps must decode identically")
+  }
 }

@@ -102,16 +102,79 @@ class GraftCatalogSpec extends AnyFunSuite {
       === (1L to 500L).map(_ * 3).sum)
   }
 
-  test("the catalog is read-only and missing tables fail as SQL " +
-      "expects") {
+  test("DDL refuses (DROP/ALTER route through the API) and missing " +
+      "tables fail as SQL expects") {
     val e = intercept[UnsupportedOperationException] {
       spark.sql("DROP TABLE gcat.t1")
     }
-    assert(e.getMessage.contains("read-only"))
+    assert(e.getMessage.contains("DDL routes through"))
     val miss = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM gcat.nope").collect()
     }
     assert(miss.getMessage.toLowerCase.contains("cannot be found") ||
       miss.getMessage.toLowerCase.contains("not found"))
+  }
+
+  test("the row scan rides Spark's vectorized parquet scan: the " +
+      "pruned read schema reaches the parquet reader (a 2-column " +
+      "SELECT over a wide table decodes 2 columns) and the physical " +
+      "plan is a ParquetScan") {
+    val dir = s"$base/t4"
+    VersionedKeyedTable.create(
+      (1L to 400L).map(i => (i, i * 2, i * 3, i * 5, s"s$i", i % 7))
+        .toDF("k", "a", "b", "c", "s", "m").repartition(4),
+      dir, "k", numBuckets = 2)
+    val q = spark.sql("SELECT sum(b) AS sb FROM gcat.t4 WHERE k <= 100")
+    assert(q.as[Long].head() === (1L to 100L).map(_ * 3).sum)
+    val readCols = graft.sinks.v2.GraftScanBuilder.lastReadSchema.get()
+    assert(readCols.toSet === Set("k", "b"),
+      s"projection must prune to the referenced columns (got $readCols)")
+    assert(q.queryExecution.executedPlan.toString.contains("ParquetScan"),
+      "the catalog row scan must be Spark's vectorized ParquetScan")
+  }
+
+  test("timestamp columns scan correctly through the catalog row " +
+      "path under the default INT96 parquet encoding") {
+    val dir = s"$base/t5"
+    val t0 = java.sql.Timestamp.valueOf("2026-03-04 05:06:07.123456")
+    val t1 = java.sql.Timestamp.valueOf("2026-03-05 06:07:08.654321")
+    VersionedKeyedTable.create(
+      Seq((1L, t0), (2L, t1)).toDF("k", "ts"), dir, "k", numBuckets = 1)
+    assert(spark.sql("SELECT ts FROM gcat.t5 WHERE k = 2")
+      .as[java.sql.Timestamp].head() === t1)
+    assert(spark.sql(
+        "SELECT count(*) AS n FROM gcat.t5 " +
+          "WHERE ts >= TIMESTAMP'2026-03-05 00:00:00'")
+      .as[Long].head() === 1L)
+  }
+
+  test("INSERT INTO lands as exactly one upsert commit with put " +
+      "semantics (replace-by-key), stamped in commit metadata; " +
+      "INSERT into a time-travel snapshot refuses") {
+    val dir = s"$base/t6"
+    VersionedKeyedTable.create(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v"),
+      dir, "k", numBuckets = 2)
+    spark.sql(
+      "INSERT INTO gcat.t6 VALUES (2, 'B2', 222), (3, 'c', 30)")
+    assert(VersionedKeyedTable.completeVersions(spark, dir).size === 2,
+      "one INSERT = one commit")
+    val got = VersionedKeyedTable.read(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "a", 10L), (2L, "B2", 222L), (3L, "c", 30L)),
+      "colliding keys replace, new keys append (put semantics)")
+    assert(VersionedKeyedTable.snapshot(spark, dir).meta
+      .contains("graft.sql.insert"))
+    // the same rows through the catalog scan (write face = read face)
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.t6 WHERE v >= 30")
+      .as[Long].head() === 2L)
+    // history is immutable: no DML on a pinned snapshot
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.t6 VERSION AS OF 1 VALUES (9,'z',9)")
+    }
+    assert(e.getMessage.toLowerCase.contains("time-travel") ||
+      e.getMessage.toLowerCase.contains("version") ||
+      e.getMessage.toLowerCase.contains("not support"),
+      s"unexpected error: ${e.getMessage}")
   }
 }

@@ -293,4 +293,66 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(viewOf(viewDir) === recompute(baseDir))
     assert(!java.nio.file.Files.exists(lock), "lock released after")
   }
+
+  private def multiViewOf(viewDir: String)
+      : Map[String, Seq[Long]] =
+    VersionedKeyedTable.read(spark, viewDir)
+      .select(col("g"), col("cnt"),
+        col("total_v"), col("mn_v"), col("mx_v"),
+        col("total_w"), col("mn_w"), col("mx_w"))
+      .collect()
+      .map(r => r.getString(0) -> (1 to 7).map(r.getLong)).toMap
+
+  private def recomputeMulti(baseDir: String): Map[String, Seq[Long]] =
+    VersionedKeyedTable.read(spark, baseDir)
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"),
+        sum(col("v")).as("total_v"), min(col("v")).as("mn_v"),
+        max(col("v")).as("mx_v"),
+        sum(col("w")).as("total_w"), min(col("w")).as("mn_w"),
+        max(col("w")).as("mx_w"))
+      .collect()
+      .map(r => r.getString(0) -> (1 to 7).map(r.getLong)).toMap
+
+  test("multi-aggregate view: two value columns maintained in one " +
+      "pass — a delete can break ONE column's envelope and extend " +
+      "nothing on the other, and both recover exactly") {
+    val (baseDir, viewDir) = fresh()
+    // w is deliberately ANTI-correlated with v: the row holding a
+    // group's v-max holds its w-min, so one delete breaks both
+    // columns' envelopes at once
+    VersionedKeyedTable.create(
+      Seq((1L, "a", 10L, 90L), (2L, "a", 50L, 5L), (3L, "a", 30L, 70L),
+        (4L, "b", 7L, 93L), (5L, "b", 70L, 30L))
+        .toDF("k", "g", "v", "w"), baseDir, "k", numBuckets = 2)
+    val wm = IncrementalView.createFromFullMulti(
+      spark, baseDir, viewDir, "g", Seq("v", "w"), numBuckets = 2)
+    assert(multiViewOf(viewDir) === recomputeMulti(baseDir))
+    // delete a's v-max/w-min (k2) and b's v-min/w-max (k4): every
+    // broken column must recover its runner-up, per group, in ONE
+    // refresh commit
+    VersionedKeyedTable.delete(spark, baseDir, Seq(2L, 4L).toDF("k"), "k")
+    IncrementalView.refreshToLatestFullMulti(
+      spark, baseDir, viewDir, "k", "g", Seq("v", "w"), wm)
+    var got = multiViewOf(viewDir)
+    assert(got === recomputeMulti(baseDir))
+    assert(got("a") === Seq(2L, 40L, 10L, 30L, 160L, 70L, 90L))
+    assert(got("b") === Seq(1L, 70L, 70L, 70L, 30L, 30L, 30L))
+    // inserts extend both envelopes as pure delta; an update replaces
+    // a's v-min; a group move empties b into a new group c
+    VersionedKeyedTable.upsert(spark, baseDir,
+      Seq((6L, "a", 100L, 1L), (1L, "a", 5L, 95L), (5L, "c", 70L, 30L))
+        .toDF("k", "g", "v", "w"), "k")
+    IncrementalView.refreshFromCommittedFullMulti(
+      spark, baseDir, viewDir, "k", "g", Seq("v", "w"))
+    got = multiViewOf(viewDir)
+    assert(got === recomputeMulti(baseDir))
+    assert(!got.contains("b"), "the emptied group is deleted")
+    assert(got("c") === Seq(1L, 70L, 70L, 70L, 30L, 30L, 30L))
+    // exactly-once: a caught-up retry commits nothing
+    val nv = VersionedKeyedTable.completeVersions(spark, viewDir).size
+    IncrementalView.refreshFromCommittedFullMulti(
+      spark, baseDir, viewDir, "k", "g", Seq("v", "w"))
+    assert(VersionedKeyedTable.completeVersions(spark, viewDir).size
+      === nv)
+  }
 }

@@ -863,6 +863,79 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L)
   }
 
+  // ---- conditional-put claim backend (object-store semantics) -----
+
+  private def condPutDir(): (String, String) = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.condput.impl", classOf[CondPutFileSystem].getName)
+    VersionedKeyedTable.condPutClaimSchemes += "condput"
+    val local = Files.createTempDirectory("graft-condput").toString + "/t"
+    (s"condput://$local", local)
+  }
+
+  test("conditional-put claim backend: commits round-trip, and a " +
+      "crashed mid-claim writer leaves NOTHING visible — the name " +
+      "only exists once the conditional PUT completes, so the next " +
+      "commit neither polls nor skips") {
+    val (dir, local) = condPutDir()
+    VersionedKeyedTable.create(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 2)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, "NEW3"), (31L, "NEW31")).toDF("k", "v"), "k")
+    val got = contents(dir)
+    assert(got(3L) === "NEW3" && got(31L) === "NEW31" && got.size === 31)
+    // a writer that died mid-claim: create() called, bytes written,
+    // close() NEVER ran — on a conditional-write store the object was
+    // never published, so the version namespace is untouched
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = fs.create(new org.apache.hadoop.fs.Path(
+      f"$dir/_versions/v${3L}%012d"), false)
+    dead.write("touched\t0\n0\tdata/ghost.parquet\n#end\n"
+      .getBytes("UTF-8")) // never closed
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      f"$local/_versions/v${3L}%012d")),
+      "an unpublished conditional PUT must be invisible")
+    val (polls0, ms0) =
+      (VersionedKeyedTable.tornClaimPolls, VersionedKeyedTable.tornClaimPollMs)
+    // make any accidental poll VERY visible in wall time
+    VersionedKeyedTable.tornClaimPolls = 50
+    VersionedKeyedTable.tornClaimPollMs = 200L
+    try {
+      val t0 = System.nanoTime()
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((1L, "a3")).toDF("k", "v"), "k")
+      val waitedMs = (System.nanoTime() - t0) / 1000000L
+      assert(waitedMs < 5000L,
+        s"an atomic-with-content backend must never poll (${waitedMs}ms)")
+      assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L,
+        "the commit claims the number the dead writer never published")
+      assert(contents(dir)(1L) === "a3")
+    } finally {
+      VersionedKeyedTable.tornClaimPolls = polls0
+      VersionedKeyedTable.tornClaimPollMs = ms0
+    }
+  }
+
+  test("conditional-put claim backend: a lost conditional PUT always " +
+      "means a COMPLETE racing commit — the loser recomputes over it " +
+      "immediately, no poll, no lost update") {
+    val (dir, _) = condPutDir()
+    VersionedKeyedTable.create(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, "k", numBuckets = 1)
+    var bRan = false
+    VersionedKeyedTable.mutate(spark, dir,
+      Seq((1L, "A")).toDF("k", "v"), "k", isDelete = false,
+      onBeforeCommit = () => if (!bRan) {
+        bRan = true
+        VersionedKeyedTable.upsert(spark, dir,
+          Seq((2L, "B")).toDF("k", "v"), "k")
+      })
+    assert(contents(dir) === Map(1L -> "A", 2L -> "B"))
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === 3L)
+  }
+
   test("snapshot-isolated reader: a DataFrame resolved before a commit " +
       "keeps reading its version's immutable files") {
     val dir = freshDir()
@@ -1349,5 +1422,39 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     // the retained commit's sidecar survives and lookups stay exact
     assert(VersionedKeyedTable.readKeys(spark, dir, "k", Seq(7L))
       .as[(Long, String)].collect().toSeq === Seq((7L, "w7")))
+  }
+
+  test("string zone pruning compares in UTF-8 binary order, not " +
+      "java.lang.String order: a supplementary-plane envelope must " +
+      "not prune a probed key it legitimately contains") {
+    // UTF-8 byte order: U+E000 (EE 80 80) < U+F000 (EF 80 80) <
+    // U+1F600 (F0 9F 98 80). UTF-16 code-unit order DISAGREES:
+    // U+1F600 encodes as surrogates (0xD83D 0xDE00), so java.lang
+    // .String sorts it BELOW both — an envelope aggregated by Spark
+    // as (U+E000, U+1F600) probed with U+F000 would be pruned under
+    // String order ("\uf000" > "\ud83d\ude00"), silently dropping
+    // the row.
+    val probe = "\uf000"
+    val keys = Seq("\ue000", probe, "\ud83d\ude00")
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "v").coalesce(1), // one file => one envelope
+      dir, "k", numBuckets = 1)
+    // Spark's own min/max on the file must have recorded the UTF-8
+    // envelope (sanity: the emoji IS the max in stat order)
+    val snap = VersionedKeyedTable.snapshot(spark, dir)
+    val (mn, mx) = snap.stats.values.head
+    assert(mn == "\ue000" && mx == "\ud83d\ude00",
+      s"expected UTF-8-ordered envelope, got ($mn, $mx)")
+    // point lookup: zone + bloom path must keep the file
+    val got = VersionedKeyedTable.readKeysStr(spark, dir, "k",
+      Seq(probe)).as[(String, Long)].collect()
+    assert(got.toSeq === Seq((probe, 1L)),
+      "UTF-16 envelope comparison pruned a matching file")
+    // Catalyst path: the FileIndex's string bounds must keep it too
+    val (df, idx) = VersionedKeyedTable.tableIndexed(spark, dir, "k")
+    assert(df.where(col("k") === probe).count() === 1L)
+    assert(idx.lastListed._1 === 1, "the file must be listed, not pruned")
   }
 }
