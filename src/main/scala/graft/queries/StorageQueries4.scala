@@ -216,6 +216,60 @@ object StorageQueries4 {
         col("total_weight"), col("mn_weight"), col("mx_weight"))
   }
 
+  /** SQL `DELETE FROM` THROUGH THE CATALOG: the doomed keys resolve
+    * through the zone-map-pruned scan (a key-ranged DELETE on the
+    * clustered layout plans only covering files — require-pinned) and
+    * die in ONE CDF-captured delete commit. The oracle recomputes the
+    * surviving state relationally; a half-applied delete, a key that
+    * escaped the range, or a collateral kill breaks the hash. */
+  val versionedSqlDelete = sql("versioned_sql_delete",
+    """WITH m AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders),
+       kept AS (
+         SELECT * FROM m
+         WHERE NOT (k BETWEEN 150 AND 900 AND cents > 10000000))
+       SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+         min(k) AS mn, max(k) AS mx
+       FROM kept""") { (s, d) =>
+    val baseDir = scratch("sqldel")
+    val cat = freshCat(s, baseDir)
+    val rows = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_custkey").as("g"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+    val n = rows.count()
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows.repartition(8),
+        s"$baseDir/t", "k", CheckBuckets)
+      VersionedKeyedTable.cluster(s, s"$baseDir/t", "k",
+        targetRowsPerFile = math.max(100L, n / 32))
+    }
+    // the physical pin BEFORE the mutation: the snapshot the DELETE's
+    // doomed-key scan reads prunes its key range through the clustered
+    // zone maps (the delete rewrite then replaces touched buckets)
+    val (keptR, totalR) = VersionedKeyedTable.rangeFiles(
+      s, s"$baseDir/t", "k", 150L, 900L)
+    require(keptR.size < totalR,
+      s"the DELETE's key range must prune clustered files " +
+        s"(${keptR.size}/$totalR)")
+    // cluster may no-op at tiny SFs (already-clustered layout commits
+    // nothing) — pin the DELETE itself as exactly ONE commit
+    val nvBefore =
+      VersionedKeyedTable.completeVersions(s, s"$baseDir/t").size
+    s.sql(s"""DELETE FROM $cat.t
+              WHERE k BETWEEN 150 AND 900 AND cents > 10000000""")
+    val nvAfter =
+      VersionedKeyedTable.completeVersions(s, s"$baseDir/t").size
+    require(nvAfter == nvBefore + 1,
+      s"one DELETE must be exactly one commit ($nvBefore -> $nvAfter)")
+    s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+              FROM $cat.t""")
+  }
+
   val all: Seq[QueryDef] = Seq(versionedSqlWideScan, versionedSqlInsert,
-    ivmRefreshMulti)
+    ivmRefreshMulti, versionedSqlDelete)
 }

@@ -43,12 +43,15 @@ import graft.sinks.{KeyedTable, VersionedKeyedTable}
   *  - column pruning reaches the Group reader, which materializes
   *    only the requested fields.
   *
-  * DML: `INSERT INTO cat.t ...` is supported and lands as ONE
-  * optimistic upsert commit (put semantics — the table is keyed), so
-  * SQL writers get the same CDF capture, zone maps and concurrency
-  * the programmatic API gives. DDL (CREATE/ALTER/DROP/RENAME) stays
-  * refused: table layout (key, buckets) is the store's create-time
-  * contract, expressed through `VersionedKeyedTable.create`.
+  * DML: `INSERT INTO cat.t ...` lands as ONE optimistic upsert
+  * commit (put semantics — the table is keyed), `DELETE FROM cat.t
+  * WHERE ...` as one delete commit with the doomed keys resolved
+  * through the zone-map-pruned scan, and `TRUNCATE TABLE` as a
+  * delete-all — so SQL writers get the same CDF capture, zone maps
+  * and concurrency the programmatic API gives. DDL
+  * (CREATE/ALTER/DROP/RENAME) stays refused: table layout (key,
+  * buckets) is the store's create-time contract, expressed through
+  * `VersionedKeyedTable.create`.
   * (Reference analogue: the reference had no SQL surface at all;
   * this is the store meeting Spark's catalog contract so BI-style
   * SQL reaches the same snapshots.) */
@@ -124,7 +127,8 @@ class GraftCatalog extends TableCatalog {
 
 class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private def spark = SparkSession.active
   private val snap = VersionedKeyedTable.snapshot(spark, dir, version)
   private val tableSchema: StructType = snap.schema.getOrElse(
@@ -139,6 +143,65 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, snap, tableSchema, keyCol)
+
+  /** `DELETE FROM cat.t WHERE ...` (and `TRUNCATE TABLE` through the
+    * SupportsDelete default, which deletes with an always-true
+    * filter): the doomed KEYS are computed through the zone-map-pruned
+    * Catalyst table path — a key-ranged DELETE plans only covering
+    * files — and removed in ONE optimistic delete commit, CDF-captured
+    * like every mutation. Conditions must be expressible as source
+    * filters (`canDeleteWhere` declines the rest, so Spark errors
+    * loudly instead of half-deleting); arbitrary-expression DELETEs
+    * route through the programmatic API. */
+  private def filterColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+      case StringContains(a, p) => Some(col(a).contains(p))
+      case And(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+      case Not(c) => filterColumn(c).map(not)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    version.isEmpty && keyCol.isDefined &&
+      filters.forall(f => filterColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (version.isDefined) throw new UnsupportedOperationException(
+      s"cannot DELETE FROM a time-travel snapshot of $ident")
+    val key = keyCol.getOrElse(throw new UnsupportedOperationException(
+      s"table $ident records no key column — DELETE needs it"))
+    val cond = filters.flatMap(filterColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // doomed keys resolve through the pruned table path: a
+    // key/stat-ranged DELETE reads only covering files
+    val doomed = VersionedKeyedTable.table(spark, dir, key)
+      .where(cond)
+      .select(org.apache.spark.sql.functions.col(key))
+    VersionedKeyedTable.delete(spark, dir, doomed, key)
+  }
 
   /** SQL DML: `INSERT INTO cat.t ...` lands as ONE optimistic upsert
     * commit — and because the table is KEYED, the insert carries the

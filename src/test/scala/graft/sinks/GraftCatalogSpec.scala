@@ -177,4 +177,36 @@ class GraftCatalogSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("not support"),
       s"unexpected error: ${e.getMessage}")
   }
+
+  test("DELETE FROM lands as one CDF-captured delete commit (doomed " +
+      "keys resolved through the pruned scan); TRUNCATE TABLE empties " +
+      "the table; untranslatable conditions refuse loudly") {
+    val dir = s"$base/t7"
+    VersionedKeyedTable.create(
+      (1L to 200L).map(i => (i, i % 10, s"s$i")).toDF("k", "m", "s"),
+      dir, "k", numBuckets = 2)
+    spark.sql("DELETE FROM gcat.t7 WHERE k BETWEEN 50 AND 149 AND m = 3")
+    assert(VersionedKeyedTable.completeVersions(spark, dir).size === 2,
+      "one DELETE = one commit")
+    val left = VersionedKeyedTable.read(spark, dir)
+      .select(col("k")).as[Long].collect().toSet
+    val expected = (1L to 200L)
+      .filterNot(i => i >= 50 && i <= 149 && i % 10 == 3).toSet
+    assert(left === expected)
+    // the delete is CDF-visible like every mutation
+    val changes = VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 2L)
+    assert(changes.where(col("change_type") === "delete").count() === 10L)
+    // an expression filters can't carry refuses loudly, deletes nothing
+    val n0 = VersionedKeyedTable.read(spark, dir).count()
+    val e = intercept[Exception] { // analysis-time refusal, version-varied type
+      spark.sql("DELETE FROM gcat.t7 WHERE k % 7 = 0")
+    }
+    assert(VersionedKeyedTable.read(spark, dir).count() === n0,
+      s"a refused DELETE must delete nothing (${e.getMessage})")
+    // TRUNCATE = delete-all through the same commit path
+    spark.sql("TRUNCATE TABLE gcat.t7")
+    assert(VersionedKeyedTable.read(spark, dir).count() === 0L)
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.t7")
+      .as[Long].head() === 0L)
+  }
 }
