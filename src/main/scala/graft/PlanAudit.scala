@@ -296,8 +296,34 @@ object PlanAudit {
       "the DSv2 scan prunes data files against the manifest zone maps " +
       "from the PUSHED filters before partitions are planned (in-row " +
       "require pins kept < total) while retaining every filter as a " +
-      "residual — pruning skips files, never rows. Column pruning " +
-      "reaches the Group reader."),
+      "residual — pruning skips files, never rows. The row scan then " +
+      "DELEGATES to Spark's own ParquetScan over the kept files: " +
+      "vectorized columnar decode, projection, row-group pruning."),
+    "versioned_sql_wide_scan" -> ("Wide-table catalog scan: a " +
+      "3-column query over a 21-column clustered table — the manifest " +
+      "prunes FILES (kept < total, require-pinned), the pruned read " +
+      "schema reaches Spark's ParquetScan so only the 3 referenced " +
+      "columns' chunks decode (lastReadSchema require), and the scan " +
+      "is vectorized/columnar (plan-string require). The round-12 " +
+      "Group reader decoded all 21 columns row-at-a-time here."),
+    "versioned_sql_insert" -> ("SQL INSERT INTO as DML: executors " +
+      "stage parquet under _staging (no driver funnel), the driver " +
+      "commit applies ONE optimistic upsert with put semantics, " +
+      "stamped graft.sql.insert in commit metadata (require-pinned: " +
+      "one commit, stamp present, SQL face == API face)."),
+    "versioned_sql_delete" -> ("SQL DELETE FROM as DML: the doomed " +
+      "keys resolve through the zone-map-pruned Catalyst table path " +
+      "(the key-ranged condition plans only covering files — " +
+      "require-pinned against the pre-delete snapshot) and die in ONE " +
+      "CDF-captured delete commit (require-pinned +1)."),
+    "ivm_refresh_multi" -> ("Multi-aggregate IVM: N value columns' " +
+      "(sum, min, max) plus the shared count advance in ONE pass per " +
+      "span — one CDF localCheckpoint feeds the delta, extension and " +
+      "break tiers for ALL columns, the bounded re-derive recomputes " +
+      "every column's envelope for exactly the affected groups " +
+      "(point-lookup path under the isin cap), and everything lands " +
+      "in one atomic merge commit. Columns widen the aggregate, " +
+      "never the data read."),
     "versioned_sql_fast_agg" -> ("Metadata-only SQL aggregates: " +
       "count(*) folds the manifest's per-file row counts and min/max " +
       "fold the zone-map envelopes — complete DSv2 aggregate " +

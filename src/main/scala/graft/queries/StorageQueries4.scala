@@ -79,7 +79,7 @@ object StorageQueries4 {
       s"""SELECT count(*) AS n, CAST(sum(c03) AS BIGINT) AS s3,
             min(c17) AS mn17
           FROM $cat.w WHERE k BETWEEN 2000 AND 6000""")
-    val out = q.localCheckpoint(true) // execute: prune + schema are real
+    q.localCheckpoint(true) // execute NOW: prune + read schema are real
     val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
     require(kept < total,
       s"the key-range WHERE must prune files ($kept/$total)")
@@ -90,7 +90,7 @@ object StorageQueries4 {
     val planStr = q.queryExecution.executedPlan.toString
     require(planStr.contains("ParquetScan"),
       "the catalog row scan must ride Spark's vectorized parquet scan")
-    out
+    q // the live plan (the audited evidence), not the checkpoint RDD
   }
 
   /** SQL `INSERT INTO` THROUGH THE CATALOG (GraftCatalog DML): the
