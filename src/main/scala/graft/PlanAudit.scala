@@ -316,6 +316,20 @@ object PlanAudit {
       "(the key-ranged condition plans only covering files — " +
       "require-pinned against the pre-delete snapshot) and die in ONE " +
       "CDF-captured delete commit (require-pinned +1)."),
+    "versioned_sql_merge" -> ("SQL MERGE INTO as a group-based " +
+      "copy-on-write row-level operation (whole-table group): " +
+      "Spark's rewrite computes the full new content (pass-throughs " +
+      "carry, matched rows update or delete, unmatched source rows " +
+      "insert), executors stage it, and the driver lands ONE " +
+      "replaceAll commit PINNED to the snapshot the rewrite read — " +
+      "a racer fails the statement, never a silent lost update. " +
+      "Require-pinned: one commit + the graft.sql.merge stamp."),
+    "versioned_sql_overwrite" -> ("SQL INSERT OVERWRITE as one " +
+      "atomic whole-table replace (the nightly batch-refresh shape): " +
+      "no visible empty state, and the commit's CDF is the NET keyed " +
+      "diff (require-pinned: updates == surviving rows, deletes == " +
+      "removed rows, zero inserts for this shape) so downstream " +
+      "views/replicas/streams consume the overwrite incrementally."),
     "ivm_refresh_multi" -> ("Multi-aggregate IVM: N value columns' " +
       "(sum, min, max) plus the shared count advance in ONE pass per " +
       "span — one CDF localCheckpoint feeds the delta, extension and " +

@@ -270,6 +270,125 @@ object StorageQueries4 {
               FROM $cat.t""")
   }
 
+  /** SQL `MERGE INTO` THROUGH THE CATALOG — the copy-on-write
+    * row-level path: matched rows update, matched negatives delete,
+    * unmatched source rows insert, in ONE replace commit pinned to
+    * the snapshot the rewrite read (a racer would fail the statement,
+    * never silently lose writes). The oracle recomputes the merged
+    * state relationally with the same three clauses. */
+  val versionedSqlMerge = sql("versioned_sql_merge",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders WHERE o_orderkey % 3 <> 2),
+       src AS (
+         SELECT o_orderkey AS mk,
+           CASE WHEN o_orderkey % 5 = 0 THEN -1
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 200
+                  AS BIGINT) END AS mv,
+           o_custkey AS mg
+         FROM orders WHERE o_orderkey % 2 = 0),
+       merged AS (
+         SELECT b.k, b.g,
+           CASE WHEN s.mk IS NOT NULL AND s.mv >= 0 THEN s.mv
+                ELSE b.cents END AS cents
+         FROM base b LEFT JOIN src s ON b.k = s.mk
+         WHERE s.mk IS NULL OR s.mv >= 0
+         UNION ALL
+         SELECT s.mk AS k, s.mg AS g, s.mv AS cents
+         FROM src s LEFT JOIN base b ON b.k = s.mk
+         WHERE b.k IS NULL AND s.mv >= 0)
+       SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+         min(k) AS mn, max(k) AS mx
+       FROM merged""") { (s, d) =>
+    val baseDir = scratch("sqlmerge")
+    val cat = freshCat(s, baseDir)
+    val money = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(
+        Tables.orders(s, d).filter(col("o_orderkey") % 3 =!= 2)
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("g"),
+            money.as("cents")).repartition(4),
+        s"$baseDir/t", "k", CheckBuckets)
+    }
+    Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("mk"),
+        when(col("o_orderkey") % 5 === 0, lit(-1L))
+          .otherwise((money * 2)).as("mv"),
+        col("o_custkey").as("mg"))
+      .createOrReplaceTempView("graft_sql_merge_src")
+    val v0 = VersionedKeyedTable.completeVersions(s, s"$baseDir/t").size
+    s.sql(
+      s"""MERGE INTO $cat.t t USING graft_sql_merge_src s ON t.k = s.mk
+          WHEN MATCHED AND s.mv < 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET cents = s.mv
+          WHEN NOT MATCHED AND s.mv >= 0 THEN
+            INSERT (k, g, cents) VALUES (s.mk, s.mg, s.mv)""")
+    require(VersionedKeyedTable.completeVersions(s, s"$baseDir/t").size
+      == v0 + 1, "one MERGE must be exactly one commit")
+    val snap = VersionedKeyedTable.snapshot(s, s"$baseDir/t")
+    require(snap.meta.contains("graft.sql.merge"),
+      "the merge commit must carry its stamp")
+    s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+              FROM $cat.t""")
+  }
+
+  /** SQL `INSERT OVERWRITE` THROUGH THE CATALOG: the whole table
+    * replaced in ONE atomic commit (the nightly batch-refresh shape),
+    * CDF-captured as the NET keyed diff so downstream views/streams
+    * consume the overwrite like any other commit — the in-row require
+    * pins one commit and a CDF whose inserts/updates/deletes
+    * reconcile exactly with the old and new row counts. */
+  val versionedSqlOverwrite = sql("versioned_sql_overwrite",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders),
+       replaced AS (
+         SELECT k, g, cents * 3 AS cents FROM base WHERE k % 2 = 0)
+       SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+         min(k) AS mn, max(k) AS mx
+       FROM replaced""") { (s, d) =>
+    val baseDir = scratch("sqlover")
+    val cat = freshCat(s, baseDir)
+    val money = (col("o_totalprice").cast("decimal(12,2)") * 100)
+      .cast("long")
+    val rows = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_custkey").as("g"), money.as("cents"))
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows.repartition(4),
+        s"$baseDir/t", "k", CheckBuckets)
+    }
+    val nOld = rows.count()
+    s.sql(s"""INSERT OVERWRITE $cat.t
+              SELECT k, g, cents * 3 AS cents FROM $cat.t
+              WHERE k % 2 = 0""")
+    val versions = VersionedKeyedTable.completeVersions(s, s"$baseDir/t")
+    require(versions.size == 2,
+      s"one INSERT OVERWRITE must be exactly one commit " +
+        s"(got ${versions.size})")
+    // the CDF reconciles: every even key updates (×3), every odd
+    // key deletes — net diff, not a blind remove-all/add-all
+    val cdf = VersionedKeyedTable
+      .changesBetween(s, s"$baseDir/t", "k", 1L, versions.max)
+      .groupBy(col("change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nNew = VersionedKeyedTable.read(s, s"$baseDir/t").count()
+    require(cdf.getOrElse("delete", 0L) == nOld - nNew &&
+        cdf.getOrElse("update", 0L) == nNew &&
+        cdf.getOrElse("insert", 0L) == 0L,
+      s"the overwrite CDF must be the net keyed diff (got $cdf for " +
+        s"$nOld -> $nNew rows)")
+    s.sql(s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+                min(k) AS mn, max(k) AS mx
+              FROM $cat.t""")
+  }
+
   val all: Seq[QueryDef] = Seq(versionedSqlWideScan, versionedSqlInsert,
-    ivmRefreshMulti, versionedSqlDelete)
+    ivmRefreshMulti, versionedSqlDelete, versionedSqlMerge,
+    versionedSqlOverwrite)
 }

@@ -375,12 +375,15 @@ object KeyedTable {
         }
         onEmptiedRemoved()
         if (surviving.nonEmpty) {
-          val key = "spark.sql.sources.partitionOverwriteMode"
-          val old = spark.conf.getOption(key)
-          spark.conf.set(key, "dynamic")
-          try survivors.write.mode(SaveMode.Overwrite)
+          // dynamic overwrite as a PER-WRITE OPTION, never a session
+          // conf: under foreachBatch the write executes with the
+          // STREAMING CLONE session's conf, so a conf set here (on the
+          // caller's session) may not be the one the write reads — a
+          // static-mode clone would then TRUNCATE the whole table on a
+          // one-bucket rewrite. The option rides the write itself.
+          survivors.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket").parquet(dir)
-          finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
         }
       }
       }
@@ -471,12 +474,10 @@ object KeyedTable {
               binDfs.head.schema)
             .withColumn("__bucket", lit(b))
             .localCheckpoint(true) // never read a file the commit replaces
-          val key = "spark.sql.sources.partitionOverwriteMode"
-          val old = spark.conf.getOption(key)
-          spark.conf.set(key, "dynamic")
-          try merged.write.mode(SaveMode.Overwrite)
+          // per-write dynamic option (see upsert for why never a conf)
+          merged.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket").parquet(dir)
-          finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
           onBucketCompacted(b)
           val after = fs.listStatus(path).count(f =>
             f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -515,10 +516,16 @@ object KeyedTable {
     val survivors = existing.join(
       broadcast(up.select(col(keyCol))), Seq(keyCol), "left_anti")
     val merged = up.unionByName(survivors).localCheckpoint(true)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val old = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try merged.write.mode(SaveMode.Overwrite).partitionBy("__bucket").parquet(dir)
-    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // dynamic overwrite as a PER-WRITE OPTION, never a session conf:
+    // under foreachBatch this write executes with the STREAMING CLONE
+    // session's conf (SQLConf.get is thread-local), so a conf set on
+    // the caller's session object may not be the conf the write
+    // actually reads — a static-mode clone would then TRUNCATE the
+    // whole table on a one-bucket upsert (every untouched bucket's
+    // rows silently gone). The write option is read by the insert
+    // command itself, independent of session or thread.
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(dir)
   }
 }

@@ -850,6 +850,102 @@ object VersionedKeyedTable {
           commitMeta, counts, extra))) { v += 1 }
   }
 
+  /** REPLACE the table's ENTIRE content in ONE atomic commit — the
+    * INSERT OVERWRITE / batch-refresh primitive (the nightly
+    * dimension-rebuild shape; Delta's overwrite as remove-all +
+    * add-all in one transaction), and the landing half of
+    * copy-on-write SQL UPDATE/MERGE. The replacement rows are FIXED
+    * (checkpointed once; data files written once); only the captured
+    * CDF diff re-derives when the CAS is lost — content is the
+    * caller's, the diff must stay honest against the snapshot the
+    * commit actually replaces. With `expectedVersion` the commit
+    * instead FAILS LOUDLY on any intervening commit
+    * (ConcurrentModificationException): the caller derived the
+    * content FROM that snapshot, so retrying with the same rows would
+    * silently drop the racer's writes — SQL UPDATE/MERGE route here
+    * and surface the standard serializable-conflict error.
+    *
+    * CDF: with `captureChanges` the commit captures the NET keyed
+    * diff old → new (insert/update/delete, `_prev` values), so views,
+    * replicas and CDC streams consume an overwrite like any other
+    * commit — O(old + new), which a full replace already pays. */
+  def replaceAll(spark: SparkSession, dir: String, rows: DataFrame,
+      keyCol: String, captureChanges: Boolean = true,
+      commitMeta: Map[String, String] = Map.empty,
+      expectedVersion: Option[Long] = None): Unit = {
+    val (nb, metaSchema) = readMeta(spark, dir)
+    val fs = hfs(spark, dir)
+    val pinned = rows.withColumn("__bucket", bucketOf(keyCol, nb))
+      .localCheckpoint(true)
+    var written: Option[(Map[Int, Seq[String]],
+      Map[String, (String, String)], Map[String, Long],
+      Map[String, Map[String, (String, String)]])] = None
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 10) throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir: replaceAll contention " +
+          "exceeded 10 attempts")
+      val snap = snapshot(spark, dir)
+      expectedVersion.filter(_ != snap.version).foreach { v =>
+        throw new java.util.ConcurrentModificationException(
+          s"replaceAll at $dir expected version $v but found " +
+            s"${snap.version} — the replacement content was derived " +
+            "from a stale snapshot; re-run the statement")
+      }
+      val schema = snap.schema.getOrElse(metaSchema)
+      val dataFields = pinned.schema.fields.filterNot(_.name == "__bucket")
+      dataFields.foreach { f =>
+        schema.fields.find(_.name == f.name).foreach { cf =>
+          require(cf.dataType == f.dataType,
+            s"schema evolution is additive only: column '${f.name}' " +
+              s"cannot change ${cf.dataType} -> ${f.dataType}")
+        }
+      }
+      val evolved = org.apache.spark.sql.types.StructType(
+        schema.fields ++ dataFields.filterNot(f =>
+          schema.fieldNames.contains(f.name)))
+      val (newFiles, newStats, newCounts, newExtra) = written.getOrElse {
+        val w = writeDataFiles(spark, dir, pinned, keyCol,
+          statsCols = inheritedStatsCols(snap))
+        written = Some(w); w
+      }
+      val changes =
+        if (!captureChanges) None
+        else {
+          val oldPaths = snap.files.values.flatten
+            .map(f => s"$dir/$f").toSeq
+          val old =
+            if (oldPaths.isEmpty) spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              evolved)
+            else spark.read.schema(evolved).parquet(oldPaths: _*)
+          Some(writeChangeFiles(spark, dir,
+            classifyDiff(old, pinned.drop("__bucket"), keyCol, evolved)))
+        }
+      val all = (0 until nb)
+        .map(b => b -> newFiles.getOrElse(b, Seq.empty)).toMap
+      val content = renderManifest(all.keySet, all, evolved, newStats,
+        changes, commitMeta + (BaseKey -> snap.version.toString),
+        newCounts, newExtra)
+      var target = snap.version + 1
+      var committed = false
+      var stale = false
+      while (!committed && !stale) {
+        if (tryCommit(fs, dir, versionPath(dir, target), content))
+          committed = true
+        else if (snapshot(spark, dir).version > snap.version)
+          stale = true // a racer landed: re-diff (or fail, if pinned)
+        else if (awaitBlockingClaim(fs, spark, dir, snap.version))
+          stale = true
+        else target = nextClaimable(fs, dir, target + 1) // torn claim
+      }
+      if (committed) return
+      // stale: the next loop iteration re-reads the snapshot — the
+      // expectedVersion guard throws there; the unpinned path re-diffs
+    }
+  }
+
   /** Read the table at the latest (or a named) version — snapshot
     * isolation by construction: every referenced file is immutable. */
   def read(spark: SparkSession, dir: String,

@@ -128,7 +128,25 @@ class GraftCatalog extends TableCatalog {
 class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file`: the data file a row lives in — queryable like
+    * Delta/Iceberg's file metadata column, and the metadata attribute
+    * the row-level operations REQUIRE (Spark only applies its
+    * data/metadata write projections — stripping the internal
+    * `__row_operation` marker — when the operation declares one). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = "_file"
+      override def dataType: org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "relative path of the data file holding the row"
+    })
   private def spark = SparkSession.active
   private val snap = VersionedKeyedTable.snapshot(spark, dir, version)
   private val tableSchema: StructType = snap.schema.getOrElse(
@@ -139,7 +157,8 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
   override def schema: StructType = tableSchema
   override def capabilities: util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, snap, tableSchema, keyCol)
@@ -224,7 +243,26 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     val key = keyCol.getOrElse(throw new UnsupportedOperationException(
       s"table $ident records no key column in its meta sidecar — " +
         "SQL INSERT needs the key to upsert by"))
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      private var overwrite = false
+      // INSERT OVERWRITE: Spark expresses "replace the whole table"
+      // as truncate + append on one builder — we land it as ONE
+      // atomic replaceAll commit, never a visible empty state
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      // under partitionOverwriteMode=dynamic Spark plans
+      // OverwritePartitionsDynamic instead; on an UNPARTITIONED keyed
+      // table "the partitions present in the data" is the whole
+      // table, so dynamic degenerates to the same full replace (the
+      // Hive unpartitioned-table behavior)
+      override def overwriteDynamicPartitions()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch
@@ -232,11 +270,130 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
             require(info.schema().fieldNames.contains(key),
               s"INSERT schema must carry the key column '$key' (got " +
                 s"${info.schema().fieldNames.mkString(", ")})")
-            new GraftSqlBatchWrite(dir, key, info.queryId(), info.schema())
+            if (overwrite)
+              new GraftReplaceBatchWrite(dir, key, info.queryId(),
+                info.schema(), expectedVersion = None,
+                stampKey = "graft.sql.overwrite")
+            else
+              new GraftSqlBatchWrite(dir, key, info.queryId(),
+                info.schema())
           }
         }
     }
   }
+
+  /** SQL UPDATE / MERGE INTO / expression-DELETE, as GROUP-BASED
+    * (copy-on-write) row-level operations with the WHOLE TABLE as the
+    * group: Spark's rewrite rules compute the table's full new
+    * content (unmatched rows pass through, matched rows update or
+    * drop, unmatched source rows insert) and the write REPLACES the
+    * content in one commit, pinned to the snapshot the rewrite READ —
+    * an intervening commit fails the statement with the standard
+    * serializable-conflict error instead of silently dropping the
+    * racer's writes. Filter-expressible DELETEs never reach this
+    * path (Spark's OptimizeMetadataOnlyDeleteFromTable routes them to
+    * [[deleteWhere]]'s O(matching buckets) commit). At 100 TB the
+    * whole-table rewrite is the coarse mode by design — surgical
+    * key-level mutations route through the store's own
+    * upsert/delete/merge, which rewrite only touched buckets; SQL
+    * UPDATE/MERGE is the declarative face for the batch-refresh
+    * shapes that rewrite most rows anyway. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (version.isDefined) throw new UnsupportedOperationException(
+      s"cannot UPDATE/MERGE/DELETE a time-travel snapshot of $ident — " +
+        "versions are immutable; write to the current table")
+    val key = keyCol.getOrElse(throw new UnsupportedOperationException(
+      s"table $ident records no key column — row-level SQL needs it"))
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(dir, key, snap, tableSchema,
+          info.command)
+    }
+  }
+}
+
+/** One SQL UPDATE/MERGE/DELETE as scan + full replace: the scan reads
+  * the PINNED snapshot, the write lands [[VersionedKeyedTable
+  * .replaceAll]] with `expectedVersion` = that snapshot — read and
+  * replace are one serializable unit. */
+class GraftRowLevelOperation(dir: String, keyCol: String,
+    snap: VersionedKeyedTable.Snapshot, tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  override def command
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(dir, snap, tableSchema, Some(keyCol))
+
+  /** Spark applies its ReplaceData row projections (which strip the
+    * internal `__row_operation` marker before the connector's writer)
+    * only when the operation declares metadata attributes — `_file`
+    * is ours, served by the scan as a per-partition virtual column. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("_file"))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new GraftReplaceBatchWrite(dir, keyCol, info.queryId(),
+              info.schema(), expectedVersion = Some(snap.version),
+              stampKey = "graft.sql." + cmd.toString.toLowerCase)
+        }
+    }
+}
+
+/** Replace-the-table batch write: tasks stage parquet on executors,
+  * the driver commit is ONE [[VersionedKeyedTable.replaceAll]] —
+  * CDF-captured, optionally pinned to an expected snapshot version
+  * (the row-level-operation contract). An empty staged set is a
+  * LEGITIMATE replacement (a DELETE that matched everything): the
+  * table empties, unlike INSERT's empty no-op. */
+class GraftReplaceBatchWrite(dir: String, keyCol: String,
+    queryId: String, schema: StructType, expectedVersion: Option[Long],
+    stampKey: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private def spark = SparkSession.active
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new GraftSqlWriterFactory(dir, schema,
+      SerializableHadoopConf.fromSession(spark))
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val staged = messages.collect {
+      case StagedFileMessage(p, n) if n > 0 => p
+    }
+    try {
+      val rows =
+        if (staged.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(staged.toIndexedSeq: _*)
+      VersionedKeyedTable.replaceAll(spark, dir, rows, keyCol,
+        commitMeta = Map(stampKey -> queryId),
+        expectedVersion = expectedVersion)
+    } finally StagedFileMessage.cleanup(spark, dir, messages)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = StagedFileMessage.cleanup(spark, dir, messages)
 }
 
 /** One SQL INSERT as one upsert commit: tasks stage parquet on the
@@ -575,21 +732,60 @@ class GraftScanBuilder(dir: String,
     }
     GraftScanBuilder.lastPlanned.set((kept.size, files.size))
     GraftScanBuilder.lastReadSchema.set(required.fieldNames.toSeq)
-    val index = new org.apache.spark.sql.execution.datasources
-      .InMemoryFileIndex(spark,
-        kept.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f")),
-        Map.empty, Some(tableSchema))
-    // a DEFENSIVE COPY: ParquetScan.createReaderFactory mutates the
-    // conf it is given (read-support keys, SQLConf mirror keys) —
-    // never hand it the session-global one
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
-      spark, conf, index, tableSchema, required,
-      new StructType() /* no partition columns: buckets live in the
-        manifest, not in directory names the scan must decode */,
-      accepted, CaseInsensitiveStringMap.empty(), None,
-      Seq.empty, Seq.empty)
+    if (required.fieldNames.contains("_file")) {
+      // the METADATA-COLUMN path (row-level operations' CoW read, or
+      // an explicit SELECT _file): one partition per kept file, the
+      // Group reader injecting the file's relative path as the
+      // virtual `_file`. Full-width by nature — a rewrite carries
+      // every column anyway — so the row-at-a-time reader is the
+      // right tool here; plain scans stay on the vectorized path.
+      val req = required
+      val conf = SerializableHadoopConf.fromSession(spark)
+      new Scan {
+        override def readSchema(): StructType = req
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            kept.map(f =>
+              GraftMetaFilePartition(s"$dir/$f", f): InputPartition)
+              .toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new GraftMetaFileReaderFactory(req, conf)
+        }
+      }
+    } else {
+      val index = new org.apache.spark.sql.execution.datasources
+        .InMemoryFileIndex(spark,
+          kept.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f")),
+          Map.empty, Some(tableSchema))
+      // a DEFENSIVE COPY: ParquetScan.createReaderFactory mutates the
+      // conf it is given (read-support keys, SQLConf mirror keys) —
+      // never hand it the session-global one
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+        spark, conf, index, tableSchema, required,
+        new StructType() /* no partition columns: buckets live in the
+          manifest, not in directory names the scan must decode */,
+        accepted, CaseInsensitiveStringMap.empty(), None,
+        Seq.empty, Seq.empty)
+    }
+  }
+}
+
+/** One data file with its manifest-relative path — the partition of
+  * the metadata-column scan. */
+case class GraftMetaFilePartition(path: String, rel: String)
+    extends InputPartition
+
+class GraftMetaFileReaderFactory(schema: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftMetaFilePartition]
+    new GroupParquetPartitionReader(p.path, schema,
+      Map("_file" ->
+        org.apache.spark.unsafe.types.UTF8String.fromString(p.rel)),
+      Some(conf))
   }
 }
 

@@ -214,6 +214,12 @@ class StagingParquetWriter(path: String, schema: StructType,
 
   private var n = 0L
 
+  /** Row-level operations hand (metadata, record) pairs — the
+    * metadata (`_file` provenance) is the planner's business, the
+    * staged bytes are the record's. */
+  override def write(metadata: InternalRow, record: InternalRow): Unit =
+    write(record)
+
   override def write(row: InternalRow): Unit = {
     val g = factory.newGroup()
     var i = 0

@@ -329,10 +329,16 @@ object StreamingJobs {
     * with per-slice tmp files, output_writers.py:851-1053). */
   def idempotentBatchWriter(spark: SparkSession, outDir: String)
       : (DataFrame, Long) => Unit = { (df, batchId) =>
-    df.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // dynamic overwrite as a PER-WRITE OPTION, not a session conf:
+    // inside foreachBatch the write executes under the STREAMING
+    // CLONE session's conf, so a conf set on the caller's session may
+    // not be the one the write reads (and setting the clone's without
+    // restore leaks it into every later write on that thread) — the
+    // option rides the write itself, session- and thread-agnostic
     df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
   }
 
   /** Stream events to parquet through the idempotent foreachBatch

@@ -196,17 +196,117 @@ class GraftCatalogSpec extends AnyFunSuite {
     // the delete is CDF-visible like every mutation
     val changes = VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 2L)
     assert(changes.where(col("change_type") === "delete").count() === 10L)
-    // an expression filters can't carry refuses loudly, deletes nothing
+    // an expression the filter API can't carry routes through the
+    // copy-on-write row-level path instead — one replace commit
     val n0 = VersionedKeyedTable.read(spark, dir).count()
-    val e = intercept[Exception] { // analysis-time refusal, version-varied type
-      spark.sql("DELETE FROM gcat.t7 WHERE k % 7 = 0")
-    }
-    assert(VersionedKeyedTable.read(spark, dir).count() === n0,
-      s"a refused DELETE must delete nothing (${e.getMessage})")
+    val v0 = VersionedKeyedTable.completeVersions(spark, dir).size
+    spark.sql("DELETE FROM gcat.t7 WHERE k % 7 = 0")
+    assert(VersionedKeyedTable.completeVersions(spark, dir).size
+      === v0 + 1, "an expression DELETE is one CoW replace commit")
+    val survivors = VersionedKeyedTable.read(spark, dir)
+      .select(col("k")).as[Long].collect().toSet
+    assert(survivors === expected.filterNot(_ % 7 == 0) &&
+      survivors.size < n0)
     // TRUNCATE = delete-all through the same commit path
     spark.sql("TRUNCATE TABLE gcat.t7")
     assert(VersionedKeyedTable.read(spark, dir).count() === 0L)
     assert(spark.sql("SELECT count(*) AS n FROM gcat.t7")
       .as[Long].head() === 0L)
+  }
+
+  test("UPDATE and MERGE INTO run as copy-on-write row-level " +
+      "operations: one pinned replace commit each, net CDF capture, " +
+      "and the _file metadata column is queryable") {
+    val dir = s"$base/t8"
+    VersionedKeyedTable.create(
+      (1L to 20L).map(i => (i, i % 4, i * 10L)).toDF("k", "m", "v"),
+      dir, "k", numBuckets = 2)
+    // UPDATE: matched rows change, the rest pass through untouched
+    spark.sql("UPDATE gcat.t8 SET v = v * 2 WHERE m = 1")
+    assert(VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet ===
+      (1L to 20L).map(i =>
+        (i, i % 4, if (i % 4 == 1) i * 20L else i * 10L)).toSet)
+    // the replace commit captures the NET diff — exactly the 5
+    // changed rows, never the 15 pass-throughs
+    val cdf = VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 2L)
+    assert(cdf.groupBy(col("change_type")).count()
+      .as[(String, Long)].collect().toMap === Map("update" -> 5L))
+    assert(VersionedKeyedTable.snapshot(spark, dir).meta
+      .contains("graft.sql.update"))
+    // MERGE INTO: matched update + matched-conditional delete +
+    // not-matched insert, one commit
+    Seq((2L, 999L), (8L, -1L), (100L, 111L)).toDF("mk", "mv")
+      .createOrReplaceTempView("graft_merge_src")
+    spark.sql(
+      """MERGE INTO gcat.t8 t USING graft_merge_src s ON t.k = s.mk
+         WHEN MATCHED AND s.mv < 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = s.mv
+         WHEN NOT MATCHED THEN INSERT (k, m, v) VALUES (s.mk, 0, s.mv)""")
+    val got = VersionedKeyedTable.read(spark, dir)
+      .where(col("k").isin(2L, 8L, 100L))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 2L, 999L), (100L, 0L, 111L)),
+      "k=2 updated in place, k=8 deleted, k=100 inserted")
+    assert(VersionedKeyedTable.snapshot(spark, dir).meta
+      .contains("graft.sql.merge"))
+    // the _file metadata column resolves like Delta/Iceberg's
+    val files = spark.sql("SELECT DISTINCT _file FROM gcat.t8")
+      .as[String].collect()
+    assert(files.nonEmpty && files.forall(_.startsWith("data/")),
+      s"_file must carry manifest-relative paths (got ${files.take(2)
+        .mkString(",")})")
+  }
+
+  test("INSERT OVERWRITE replaces the whole table in ONE atomic " +
+      "commit (no visible empty state), CDF-captured as the net diff") {
+    val dir = s"$base/t9"
+    VersionedKeyedTable.create(
+      (1L to 10L).map(i => (i, i * 10L)).toDF("k", "v"),
+      dir, "k", numBuckets = 2)
+    spark.sql(
+      "INSERT OVERWRITE gcat.t9 SELECT k, v * 100 FROM gcat.t9 WHERE k <= 3")
+    assert(VersionedKeyedTable.completeVersions(spark, dir).size === 2,
+      "one INSERT OVERWRITE = one commit")
+    assert(VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long)].collect().toSet ===
+      Set((1L, 1000L), (2L, 2000L), (3L, 3000L)))
+    val cdf = VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 2L)
+    assert(cdf.groupBy(col("change_type")).count()
+      .as[(String, Long)].collect().toMap ===
+      Map("update" -> 3L, "delete" -> 7L),
+      "the overwrite's CDF is the net keyed diff")
+    assert(VersionedKeyedTable.snapshot(spark, dir).meta
+      .contains("graft.sql.overwrite"))
+    // under partitionOverwriteMode=dynamic Spark plans
+    // OverwritePartitionsDynamic — on an unpartitioned keyed table it
+    // must degenerate to the same full replace
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try spark.sql(
+      "INSERT OVERWRITE gcat.t9 SELECT k, v * 10 FROM gcat.t9 WHERE k = 1")
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    assert(VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long)].collect().toSet === Set((1L, 10000L)),
+      "dynamic-mode overwrite of an unpartitioned table replaces all")
+  }
+
+  test("replaceAll with expectedVersion fails loudly on an " +
+      "intervening commit — the serializable copy-on-write conflict") {
+    val dir = s"$base/t10"
+    VersionedKeyedTable.create(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), dir, "k", numBuckets = 2)
+    val pinned = VersionedKeyedTable.snapshot(spark, dir).version
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, 30L)).toDF("k", "v"), "k") // the racer lands first
+    val e = intercept[java.util.ConcurrentModificationException] {
+      VersionedKeyedTable.replaceAll(spark, dir,
+        Seq((9L, 90L)).toDF("k", "v"), "k",
+        expectedVersion = Some(pinned))
+    }
+    assert(e.getMessage.contains("stale snapshot"))
+    // nothing half-applied: the racer's state is intact
+    assert(VersionedKeyedTable.read(spark, dir).count() === 3L)
   }
 }

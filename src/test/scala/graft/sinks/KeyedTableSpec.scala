@@ -539,4 +539,26 @@ class KeyedTableSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") &&
       scan.contains("__bucket"), s"no partition filter in:\n$scan")
   }
+
+  test("the bucket overwrite is SESSION-CONF-INDEPENDENT: an " +
+      "explicitly static partitionOverwriteMode cannot make a " +
+      "one-bucket upsert truncate the other buckets (the write-level " +
+      "option governs — the foreachBatch clone-session landmine)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-keyed-static").toString + "/t"
+    KeyedTable.create(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 8)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "static")
+    try KeyedTable.upsert(spark, dir,
+      Seq((1L, "NEW")).toDF("k", "v"), "k")
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    val got = KeyedTable.read(spark, dir).as[(Long, String)]
+      .collect().toMap
+    assert(got.size === 100 && got(1L) === "NEW" && got(50L) === "v50",
+      "a static-mode session must not turn a bucket rewrite into a " +
+        "table truncation")
+  }
 }
