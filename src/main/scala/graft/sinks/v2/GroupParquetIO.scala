@@ -35,9 +35,11 @@ object SerializableHadoopConf {
 
 /** Shared executor-side parquet → [[InternalRow]] reader over the
   * parquet-hadoop Group API, used by every custom DSv2 surface that
-  * reads the store's immutable files ([[CdfSource]] partitions; the
-  * [[GraftCatalog]] row scan rides Spark's vectorized parquet scan
-  * instead). Fields resolve BY NAME — absent fields (pre-evolution
+  * reads the store's immutable files: [[CdfSource]] partitions and
+  * the catalog's `_file` metadata-column scan (the row-level
+  * operations' full-width CoW read); plain [[GraftCatalog]] row scans
+  * ride Spark's vectorized parquet scan instead. Fields resolve BY
+  * NAME — absent fields (pre-evolution
   * files) and unset cells read as null; `virtual` columns are
   * constants injected per partition (a commit version, a file
   * provenance tag). Supported types are the keyed store's own:
