@@ -8,7 +8,7 @@ object Registry {
       RelationalQueries5.all ++
       TpchQueries.all ++ MapReduceQueries.all ++ StorageQueries.all ++
       StorageQueries2.all ++ StorageQueries3.all ++
-      StorageQueries4.all ++
+      StorageQueries4.all ++ StorageQueries5.all ++
       DataPipelineQueries.all ++ DataPipelineQueries2.all ++
       DataPipelineQueries3.all ++ DataPipelineQueries4.all ++
       DataPipelineQueries5.all ++ DataPipelineQueries6.all ++

@@ -88,8 +88,11 @@ object StorageQueries4 {
       s"projection must reach the parquet scan: a 3-column query over " +
         s"a 21-column table decoded ${readCols.mkString(",")}")
     val planStr = q.queryExecution.executedPlan.toString
-    require(planStr.contains("ParquetScan"),
-      "the catalog row scan must ride Spark's vectorized parquet scan")
+    require(planStr.contains("GraftRowScan"),
+      "the catalog row scan must be the runtime-filterable " +
+        "GraftRowScan (whose delegate is Spark's vectorized parquet " +
+        "scan — pinned by the read-schema require above and the " +
+        "ColumnarToRow assertion in GraftCatalogSpec)")
     q // the live plan (the audited evidence), not the checkpoint RDD
   }
 

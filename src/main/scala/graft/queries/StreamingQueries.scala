@@ -759,6 +759,85 @@ object StreamingQueries {
     out
   }
 
+  /** STREAMING IVM: the maintained (cnt, total, mn, mx) view kept in
+    * step with a LIVE change feed — the CDF stream (admission-
+    * controlled to one commit per micro-batch) is the TRIGGER, and
+    * each foreachBatch invocation runs the view's crash-safe catch-up
+    * off its own durable watermark. The two exactly-once mechanisms
+    * compose instead of fighting: the stream's checkpoint makes
+    * triggering at-least-once across restarts, the view's
+    * per-span stamps make the refresh idempotent — a replayed batch
+    * finds the watermark already advanced and no-ops. At 100 TB this
+    * is the standing dashboard: commits land on the base table from
+    * anywhere (batch upserts, the streaming sink, SQL DML), and the
+    * view follows within a trigger without ever re-reading the base.
+    * In-row requires pin that the view's watermark reached the base's
+    * latest version THROUGH the stream (no manual refresh call). */
+  val streamIvmRefresh = sql("stream_ivm_refresh",
+    """WITH m AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders),
+       f AS (SELECT * FROM m WHERE k % 7 <> 0)
+       SELECT g, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS total,
+         min(cents) AS mn, max(cents) AS mx,
+         CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg
+       FROM f GROUP BY g""") { (s, d) =>
+    import graft.sinks.{IncrementalView, VersionedKeyedTable}
+    val base = sys.props("java.io.tmpdir") + "/graft_ivmstream_" +
+      java.util.UUID.randomUUID().toString
+    val baseDir = s"$base/table"
+    val viewDir = s"$base/view"
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows.filter(col("k") % 3 =!= 2),
+        baseDir, "k", numBuckets = 4)
+      IncrementalView.createFromFull(
+        s, baseDir, viewDir, "g", "cents", numBuckets = 4): Unit
+    }
+    // commits the view has NOT seen: the late slice (insert tier) and
+    // a purge that takes group extrema with it (re-derive tier)
+    VersionedKeyedTable.upsert(s, baseDir,
+      rows.filter(col("k") % 3 === 2), "k")
+    VersionedKeyedTable.delete(s, baseDir,
+      VersionedKeyedTable.read(s, baseDir)
+        .filter(col("k") % 7 === 0).select(col("k")), "k")
+    val q = s.readStream.format("graft.sinks.v2.CdfSource")
+      .option("path", baseDir).option("keyCol", "k")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1") // one commit per batch
+      .load()
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the batch IS the signal; the refresh walks the lineage off
+        // the view's durable watermark (idempotent under replay)
+        IncrementalView.refreshFromCommittedFull(
+          s, baseDir, viewDir, "k", "g", "cents"): Unit
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val latest = VersionedKeyedTable.completeVersions(s, baseDir).max
+    require(IncrementalView.committedWatermark(s, viewDir) == latest,
+      "the stream-triggered refreshes must carry the view to the " +
+        "base's latest version")
+    val out = VersionedKeyedTable.read(s, viewDir)
+      .select(col("g"), col("cnt"), col("total"), col("mn"), col("mx"),
+        (col("total").cast("double") / col("cnt").cast("double"))
+          .as("avg"))
+      .localCheckpoint(true)
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true): Unit
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(streamWindowAgg, streamSlidingWindow,
     streamAsOfJoin, streamAsOfTolerance, streamJoinOuter,
     streamJoin, sessionize, sessionWindowNative, streamSessionWindow,
@@ -766,5 +845,5 @@ object StreamingQueries {
     streamStaticJoin, streamDecontaminate, streamIncrementalDedup,
     streamSubstrDedup, streamMediaDecode, streamCuration,
     streamCurationResume, streamCdfIngest, streamCdfResume,
-    streamCdfSource, streamSinkVersioned)
+    streamCdfSource, streamSinkVersioned, streamIvmRefresh)
 }

@@ -695,7 +695,7 @@ object VersionedKeyedTable {
     * commit): relpath → deserialized filter. Files whose commit wrote
     * no sidecar (string keys, pre-bloom logs) are simply absent —
     * callers must treat absence as "cannot prune". */
-  private def bloomsFor(fs: FileSystem, dir: String,
+  private[sinks] def bloomsFor(fs: FileSystem, dir: String,
       relFiles: Seq[String])
       : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
     val byCommit = relFiles.groupBy { f =>
@@ -1891,7 +1891,7 @@ object VersionedKeyedTable {
   /** xxhash64 image of a string key with Spark's default seed — MUST
     * match the SQL `xxhash64(key)` the bloom build aggregates, or
     * probes would silently never prune. */
-  private def strKeyHash(k: String): Long =
+  private[sinks] def strKeyHash(k: String): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString(k),
       org.apache.spark.sql.types.StringType, 42L)

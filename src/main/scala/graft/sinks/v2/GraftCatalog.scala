@@ -48,16 +48,40 @@ import graft.sinks.{KeyedTable, VersionedKeyedTable}
   * WHERE ...` as one delete commit with the doomed keys resolved
   * through the zone-map-pruned scan, and `TRUNCATE TABLE` as a
   * delete-all — so SQL writers get the same CDF capture, zone maps
-  * and concurrency the programmatic API gives. DDL
-  * (CREATE/ALTER/DROP/RENAME) stays refused: table layout (key,
-  * buckets) is the store's create-time contract, expressed through
-  * `VersionedKeyedTable.create`.
+  * and concurrency the programmatic API gives. DDL: `CREATE TABLE`
+  * (layout from a bucket transform or TBLPROPERTIES — the key column
+  * is mandatory), CTAS, and `DROP TABLE` (refused on directories that
+  * are not stores); ALTER/RENAME stay API-only because a table's
+  * layout is fixed at creation.
+  *
+  * The catalog is ALSO a FunctionCatalog serving the store's `bucket`
+  * placement function — what lets a scan's KeyGroupedPartitioning
+  * resolve, so co-bucketed store tables join WITHOUT a shuffle (see
+  * [[GraftRowScan]] and [[GraftBucketUnbound]]).
   * (Reference analogue: the reference had no SQL surface at all;
   * this is the store meeting Spark's catalog contract so BI-style
   * SQL reaches the same snapshots.) */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catName: String = _
   private var base: String = _
+
+  /** The FUNCTION face: Catalyst loads `bucket` from the table's own
+    * catalog when it resolves the `bucket(n, key)` transform a scan's
+    * KeyGroupedPartitioning reports — serving it is what lets two
+    * co-bucketed store tables join WITHOUT a shuffle (the
+    * storage-partitioned join). */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      new GraftBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -110,17 +134,80 @@ class GraftCatalog extends TableCatalog {
       spark, dirOf(ident), timestampMicros / 1000L)))
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "GraftCatalog supports SQL reads and INSERT INTO (one upsert " +
-      "commit); DDL routes through the VersionedKeyedTable API — " +
-      "table layout (key column, buckets) is the store's create-time " +
-      "contract")
+    "GraftCatalog supports SQL reads, DML, CREATE TABLE/CTAS and " +
+      "DROP TABLE; ALTER/RENAME route through the " +
+      "VersionedKeyedTable API — a table's layout (key column, " +
+      "buckets) is fixed at creation")
 
+  /** SQL DDL: `CREATE TABLE cat.t (…) PARTITIONED BY (bucket(8, k))`
+    * — or with `TBLPROPERTIES ('key'='k', 'buckets'='8')` — creates
+    * an EMPTY versioned table (meta sidecar + version-1 commit), and
+    * CTAS rides the same path: Spark creates the table, then lands
+    * the query's rows through the ordinary INSERT face (one upsert
+    * commit), so a CTAS is exactly two commits with full CDF capture
+    * from the first row on. The key column is MANDATORY (it is the
+    * store's layout contract): named either by the single bucket
+    * transform's column or by the `key` property. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly
+      properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (KeyedTable.readMeta(spark, dir).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.toString)
+    val props = properties
+    val (bucketKey, bucketN): (Option[String], Option[Int]) =
+      partitions.toSeq match {
+        case Seq() => (None, None)
+        case Seq(t) if t.name == "bucket" =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value.toString.toInt
+          }
+          val c = t.references.headOption
+            .map(_.fieldNames().mkString("."))
+          (c, n)
+        case other => throw new UnsupportedOperationException(
+          s"GraftCatalog tables are bucketed by ONE key column — " +
+            s"PARTITIONED BY (bucket(n, key)) or TBLPROPERTIES " +
+            s"('key'='…'); got ${other.mkString(", ")}")
+      }
+    val key = bucketKey.orElse(Option(props.get("key"))).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE TABLE $ident needs its key column: PARTITIONED BY " +
+          "(bucket(n, key)) or TBLPROPERTIES ('key'='<col>')"))
+    require(schema.fieldNames.contains(key),
+      s"key column '$key' is not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val buckets = bucketN
+      .orElse(Option(props.get("buckets")).map(_.toInt))
+      .getOrElse(16)
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    VersionedKeyedTable.create(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      dir, key, buckets,
+      commitMeta = Map("graft.sql.create" -> ident.toString))
+    new GraftSqlTable(dir, ident.toString, None)
+  }
+
+  /** `DROP TABLE cat.t`: removes the table directory — but ONLY when
+    * it actually holds a store (the meta sidecar is present); any
+    * other directory is refused, so a mis-typed identifier can never
+    * recursively delete arbitrary data. Returns false for a missing
+    * table (Spark turns that into IF EXISTS semantics). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (KeyedTable.readMeta(spark, dir).isEmpty) false
+    else {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+  }
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly
 }
@@ -149,19 +236,39 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     })
   private def spark = SparkSession.active
   private val snap = VersionedKeyedTable.snapshot(spark, dir, version)
+  private val numBuckets: Int = KeyedTable.readMeta(spark, dir).get._1
   private val tableSchema: StructType = snap.schema.getOrElse(
     KeyedTable.readMeta(spark, dir).get._2)
   private val keyCol: Option[String] = KeyedTable.readMetaKey(spark, dir)
 
   override def name: String = ident + version.fold("")(v => s"@v$v")
   override def schema: StructType = tableSchema
+
+  /** The store's physical layout, declared: `bucket(n, key)`. What
+    * DESCRIBE shows — and the contract the scan's
+    * KeyGroupedPartitioning report is grounded in. */
+  override def partitioning(): Array[Transform] =
+    keyCol.toArray.map(k =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(numBuckets, k))
+
+  /** What `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES` surface:
+    * the layout contract and the pinned snapshot's coordinates. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    keyCol.foreach(m.put("key", _))
+    m.put("buckets", numBuckets.toString)
+    m.put("version", snap.version.toString)
+    m.put("data_files", snap.files.valuesIterator.map(_.size).sum.toString)
+    m
+  }
   override def capabilities: util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, snap, tableSchema, keyCol)
+    new GraftScanBuilder(dir, snap, tableSchema, keyCol, Some(numBuckets))
 
   /** `DELETE FROM cat.t WHERE ...` (and `TRUNCATE TABLE` through the
     * SupportsDelete default, which deletes with an always-true
@@ -443,7 +550,7 @@ class GraftSqlWriterFactory(dir: String, schema: StructType,
 
 class GraftScanBuilder(dir: String,
     snap: VersionedKeyedTable.Snapshot, tableSchema: StructType,
-    keyCol: Option[String])
+    keyCol: Option[String], numBuckets: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -453,23 +560,8 @@ class GraftScanBuilder(dir: String,
   private var required: StructType = tableSchema
   private var aggRow: Option[(StructType, Seq[Any])] = None
 
-  /** Long image of a literal under the column's recorded stat image
-    * (identity for integral, epoch days for date, epoch micros for
-    * timestamp) — None when the literal's runtime type does not fit
-    * the column (never prune on a guess). */
-  private def longImage(v: Any): Option[Long] = v match {
-    case l: Long => Some(l)
-    case i: Int => Some(i.toLong)
-    case s: Short => Some(s.toLong)
-    case b: Byte => Some(b.toLong)
-    case t: java.sql.Timestamp =>
-      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
-    case t: java.time.Instant =>
-      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
-    case d: java.time.LocalDate => Some(d.toEpochDay)
-    case _ => None
-  }
+  private def longImage(v: Any): Option[Long] =
+    GraftScanBuilder.longImage(v)
 
   private def numericCol(name: String): Boolean =
     tableSchema.fields.find(_.name == name)
@@ -753,6 +845,115 @@ class GraftScanBuilder(dir: String,
         }
       }
     } else {
+      new GraftRowScan(dir, snap, tableSchema, required, accepted,
+        keyCol, kept, numBuckets)
+    }
+  }
+}
+
+/** The catalog ROW scan: manifest-pruned files handed to Spark's own
+  * vectorized [[org.apache.spark.sql.execution.datasources.v2.parquet
+  * .ParquetScan]] — PLUS RUNTIME file pruning
+  * ([[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]],
+  * the Iceberg/Delta dynamic-partition-pruning analogue): when this
+  * table is the FACT side of an equi join whose other side is small
+  * and filtered, Spark's `PartitionPruning` rule injects a dynamic
+  * subquery on the join key, the dim side's broadcast result arrives
+  * here as an `In` filter at EXECUTION time, and the scan re-prunes
+  * its file set against the manifest's zone maps and bloom sidecars
+  * BEFORE any partition is read. At 100 TB this is the star-join
+  * story: `fact JOIN dim WHERE dim.region = 'EU'` reads only the fact
+  * files whose key envelopes/blooms can hold the EU keys — no static
+  * predicate on the fact required. Driver work stays bounded: key
+  * sets above [[VersionedKeyedTable.MaxPointLookupKeys]] collapse to
+  * one [min, max] range probe (zone maps only, no per-key loop).
+  * Pruning is conservative by construction — files without stats or
+  * blooms are never dropped, and the runtime filter is ALSO applied
+  * row-wise by the join itself, so a kept false-positive file costs
+  * I/O, never correctness. */
+class GraftRowScan(dir: String,
+    snap: VersionedKeyedTable.Snapshot,
+    tableSchema: StructType, required: StructType,
+    accepted: Array[Filter], keyCol: Option[String],
+    keptAtPlan: Seq[String], numBuckets: Option[Int] = None)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  @volatile private var kept: Seq[String] = keptAtPlan
+  @volatile private var inner
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+    null
+
+  private def spark = SparkSession.active
+
+  // ---- storage-partitioned reads -----------------------------------
+  // The store's layout IS a key-clustering: bucket(n, key) by
+  // pmod(xxhash64(key), n). Reported to Catalyst as
+  // KeyGroupedPartitioning — with the `bucket` function served by
+  // GraftCatalog's FunctionCatalog face — a key equi join between two
+  // co-bucketed store tables and a groupBy(key) aggregation both run
+  // WITHOUT their shuffle. Opt-in via Spark's own switch
+  // (spark.sql.sources.v2.bucketing.enabled), because bucket-grouped
+  // planning caps a plain scan's parallelism at the bucket count —
+  // default split-level planning stays the right answer for everything
+  // that doesn't exploit the clustering.
+
+  /** `<parent>/<fileName>` → owning bucket. Bare file names repeat
+    * across bucket directories (each bucket dir holds the same
+    * `part-NNNNN-<uuid>` names from one write job), so the key is the
+    * last TWO path segments — unique across the snapshot by
+    * construction. Empty on a collision — the conservative "cannot
+    * group" answer. */
+  private def tailKey(p: String): String = {
+    val segs = p.split('/')
+    segs.takeRight(math.min(2, segs.length)).mkString("/")
+  }
+
+  private lazy val nameToBucket: Map[String, Int] = {
+    val pairs = snap.files.toSeq.flatMap { case (b, fs) =>
+      fs.map(f => tailKey(f) -> b)
+    }
+    if (pairs.map(_._1).distinct.size != pairs.size) Map.empty
+    else pairs.toMap
+  }
+
+  /** Buckets holding PLAN-TIME kept files, in stable order. Runtime
+    * filtering narrows files WITHIN this grouping (a pruned bucket
+    * keeps an empty partition) so the reported partition values never
+    * change under a runtime filter. */
+  private lazy val bucketsAtPlan: Seq[Int] =
+    keptAtPlan.flatMap(f => nameToBucket.get(tailKey(f)))
+      .distinct.sorted
+
+  private def v2BucketingOn: Boolean =
+    spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+      .toBoolean
+
+  private def spjActive: Boolean =
+    v2BucketingOn && keyCol.isDefined && numBuckets.isDefined &&
+      required.fieldNames.contains(keyCol.get) &&
+      nameToBucket.nonEmpty && bucketsAtPlan.nonEmpty
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjActive)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(numBuckets.get, keyCol.get)),
+          bucketsAtPlan.size)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+
+  /** The delegate over the CURRENT kept set, rebuilt after a runtime
+    * filter narrows it (BatchScanExec calls `toBatch` again after
+    * `filter`, per the SupportsRuntimeFiltering contract). */
+  private def current
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
+    var c = inner
+    if (c == null) {
       val index = new org.apache.spark.sql.execution.datasources
         .InMemoryFileIndex(spark,
           kept.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f")),
@@ -762,14 +963,181 @@ class GraftScanBuilder(dir: String,
       // never hand it the session-global one
       val conf = new org.apache.hadoop.conf.Configuration(
         spark.sparkContext.hadoopConfiguration)
-      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      c = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
         spark, conf, index, tableSchema, required,
         new StructType() /* no partition columns: buckets live in the
           manifest, not in directory names the scan must decode */,
         accepted, CaseInsensitiveStringMap.empty(), None,
         Seq.empty, Seq.empty)
+      inner = c
+    }
+    c
+  }
+
+  override def readSchema(): StructType = required
+
+  /** Default: the delegate's split-level partitions (parallelism from
+    * file splits). Under v2 bucketing: the SAME PartitionedFiles
+    * regrouped one-partition-per-bucket, each carrying its bucket id
+    * as the partition key — what BatchScanExec groups
+    * KeyGroupedPartitioning on. The reader factory is the delegate's
+    * either way (vectorized parquet). */
+  override def toBatch: Batch = {
+    val delegate = current.toBatch
+    if (!spjActive) delegate
+    else new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val pfs = delegate.planInputPartitions().flatMap {
+          case fp: org.apache.spark.sql.execution.datasources
+            .FilePartition => fp.files
+        }
+        val byBucket = pfs.groupBy(pf =>
+          nameToBucket.get(tailKey(pf.toPath.toUri.getPath)))
+        bucketsAtPlan.zipWithIndex.map { case (b, i) =>
+          new GraftBucketFilePartition(i,
+            byBucket.getOrElse(Some(b), Array.empty),
+            InternalRow(b)): InputPartition
+        }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        delegate.createReaderFactory()
     }
   }
+
+  override def description(): String =
+    s"GraftRowScan $dir files=${kept.size}/${keptAtPlan.size}" +
+      (if (spjActive) s" buckets=${bucketsAtPlan.size}" else "")
+
+  /** Accurate size/row-count for the planner's broadcast decisions:
+    * the delegate folds the kept files' on-disk sizes (FileScan's own
+    * estimate), so a well-pruned store table broadcasts when it
+    * should. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    current.estimateStatistics()
+
+  /** Join columns a runtime filter can prune FILES on: the key column
+    * (zone maps + bloom sidecars) and every clusterBy'd column
+    * carrying named zone maps in the manifest — intersected with the
+    * scan's PROJECTED output, because Spark resolves these references
+    * against the pruned read schema (a column this scan doesn't emit
+    * can't be a join key of this scan anyway). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val extras: Set[String] =
+      snap.extraStats.values.flatMap(_.keys).toSet
+    val visible = required.fieldNames.toSet
+    (keyCol.toSet ++ extras).intersect(visible).toArray.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  private def dataTypeOf(c: String): Option[DataType] =
+    tableSchema.fields.find(_.name == c).map(_.dataType)
+
+  private def statOf(f: String, c: String): Option[(String, String)] =
+    if (keyCol.contains(c)) snap.stats.get(f)
+    else snap.extraStats.get(f).flatMap(_.get(c))
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    var files = kept
+    filters.foreach { f =>
+      val colVals: Option[(String, Seq[Any])] = f match {
+        case In(a, vs) => Some((a, vs.toSeq.filter(_ != null)))
+        case EqualTo(a, v) if v != null => Some((a, Seq(v)))
+        case _ => None
+      }
+      colVals.foreach { case (c, vs) =>
+        dataTypeOf(c).foreach { dt =>
+          if (VersionedKeyedTable.hasNumericImage(dt)) {
+            val imgs = vs.map(GraftScanBuilder.longImage)
+            if (vs.nonEmpty && imgs.forall(_.isDefined)) {
+              val ks = imgs.map(_.get)
+              val bounded =
+                ks.size <= VersionedKeyedTable.MaxPointLookupKeys
+              val (lo, hi) = (ks.min, ks.max)
+              files = files.filter { fl =>
+                statOf(fl, c).flatMap { case (mn, mx) =>
+                  for (a <- mn.toLongOption; b <- mx.toLongOption)
+                    yield
+                      if (bounded) ks.exists(k => k >= a && k <= b)
+                      else hi >= a && lo <= b
+                }.getOrElse(true) // no parseable stat: must read
+              }
+              // key-column point sets also probe the bloom sidecars
+              // (built over the RAW long for integral keys only)
+              if (bounded && keyCol.contains(c) && isIntegral(dt) &&
+                  files.nonEmpty) {
+                val fs = new org.apache.hadoop.fs.Path(dir)
+                  .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                val blooms = VersionedKeyedTable.bloomsFor(fs, dir, files)
+                files = files.filter { fl =>
+                  blooms.get(fl) match {
+                    case Some(bl) => ks.exists(bl.mightContainLong)
+                    case None => true
+                  }
+                }
+              }
+            }
+          } else if (dt == StringType) {
+            val ss = vs.collect {
+              case s: String => s
+              case u: org.apache.spark.unsafe.types.UTF8String =>
+                u.toString
+            }
+            if (ss.size == vs.size && ss.nonEmpty) {
+              val utf8 = VersionedKeyedTable.Utf8Ord
+              val bounded =
+                ss.size <= VersionedKeyedTable.MaxPointLookupKeys
+              val (lo, hi) = (ss.min(utf8), ss.max(utf8))
+              files = files.filter { fl =>
+                statOf(fl, c).map { case (mn, mx) =>
+                  if (bounded)
+                    ss.exists(k => utf8.gteq(k, mn) && utf8.lteq(k, mx))
+                  else utf8.gteq(hi, mn) && utf8.lteq(lo, mx)
+                }.getOrElse(true)
+              }
+              // string keys bloom xxhash64(key) — probe the image
+              if (bounded && keyCol.contains(c) && files.nonEmpty) {
+                val fs = new org.apache.hadoop.fs.Path(dir)
+                  .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                val blooms = VersionedKeyedTable.bloomsFor(fs, dir, files)
+                val hashes = ss.map(VersionedKeyedTable.strKeyHash)
+                files = files.filter { fl =>
+                  blooms.get(fl) match {
+                    case Some(bl) => hashes.exists(bl.mightContainLong)
+                    case None => true
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (files.size != kept.size) {
+      kept = files
+      inner = null // next toBatch plans the narrowed file set
+    }
+    GraftScanBuilder.lastRuntimeFiltered.set((files.size, keptAtPlan.size))
+  }
+}
+
+/** A bucket's worth of parquet splits, keyed by its bucket id — the
+  * partition unit of storage-partitioned reads. Extends Spark's own
+  * FilePartition so the delegate's ParquetPartitionReaderFactory
+  * consumes it unchanged (vectorized path intact). */
+class GraftBucketFilePartition(index: Int,
+    files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(
+      index, files)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** One data file with its manifest-relative path — the partition of
@@ -790,9 +1158,32 @@ class GraftMetaFileReaderFactory(schema: StructType,
 }
 
 object GraftScanBuilder {
+  /** Long image of a literal under the column's recorded stat image
+    * (identity for integral, epoch days for date, epoch micros for
+    * timestamp) — None when the literal's runtime type does not fit
+    * the column (never prune on a guess). */
+  def longImage(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
   /** Observability for specs and in-row assertions: (files planned
     * for the last scan, total files in the snapshot). */
   val lastPlanned = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** (files kept after the last RUNTIME filter, files at plan time) —
+    * what specs pin dynamic join-key file pruning with. */
+  val lastRuntimeFiltered =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
 
   /** The column set the last ROW scan actually decoded (the pruned
     * read schema handed to the vectorized parquet scan) — what specs

@@ -102,12 +102,49 @@ class GraftCatalogSpec extends AnyFunSuite {
       === (1L to 500L).map(_ * 3).sum)
   }
 
-  test("DDL refuses (DROP/ALTER route through the API) and missing " +
-      "tables fail as SQL expects") {
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql("DROP TABLE gcat.t1")
+  test("SQL DDL lifecycle: CREATE TABLE fixes the layout (key + " +
+      "buckets), CTAS lands the query's rows, DROP TABLE removes only " +
+      "real stores; ALTER/RENAME still refuse") {
+    // CREATE with the bucket transform naming the key column
+    spark.sql("CREATE TABLE gcat.ddl1 (k BIGINT, s STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    assert(KeyedTable.readMeta(spark, s"$base/ddl1").get._1 === 4)
+    assert(KeyedTable.readMetaKey(spark, s"$base/ddl1") === Some("k"))
+    spark.sql("INSERT INTO gcat.ddl1 VALUES (1, 'a', 10), (2, 'b', 20)")
+    assert(spark.sql("SELECT sum(v) FROM gcat.ddl1").as[Long].head()
+      === 30L)
+    // creating it again must refuse (no silent overwrite)
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE gcat.ddl1 (k BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
     }
-    assert(e.getMessage.contains("DDL routes through"))
+    // a key column is MANDATORY — it is the store's layout contract
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.ddlbad (k BIGINT, v BIGINT)")
+    }
+    // CTAS: layout from TBLPROPERTIES, rows from the query
+    spark.sql("CREATE TABLE gcat.ddl2 TBLPROPERTIES " +
+      "('key'='k', 'buckets'='2') AS " +
+      "SELECT k, v * 2 AS w FROM gcat.ddl1")
+    assert(spark.sql("SELECT sum(w) FROM gcat.ddl2").as[Long].head()
+      === 60L)
+    assert(KeyedTable.readMeta(spark, s"$base/ddl2").get._1 === 2)
+    // DROP removes the store; the directory is gone afterwards
+    spark.sql("DROP TABLE gcat.ddl2")
+    assert(!new java.io.File(s"$base/ddl2").exists())
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gcat.ddl2").collect()
+    }
+    // IF EXISTS on a missing table is a no-op; without it, it fails
+    spark.sql("DROP TABLE IF EXISTS gcat.ddl2")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DROP TABLE gcat.ddl2")
+    }
+    // ALTER/RENAME remain API-only (layout is fixed at creation)
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE gcat.ddl1 RENAME TO gcat.ddl1b")
+    }
     val miss = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM gcat.nope").collect()
     }
@@ -124,13 +161,20 @@ class GraftCatalogSpec extends AnyFunSuite {
       (1L to 400L).map(i => (i, i * 2, i * 3, i * 5, s"s$i", i % 7))
         .toDF("k", "a", "b", "c", "s", "m").repartition(4),
       dir, "k", numBuckets = 2)
+    // collect() on THIS dataset finalizes ITS adaptive plan (as[]/
+    // head() would spawn a separate QueryExecution and leave q's
+    // AQE plan unfinalized)
     val q = spark.sql("SELECT sum(b) AS sb FROM gcat.t4 WHERE k <= 100")
-    assert(q.as[Long].head() === (1L to 100L).map(_ * 3).sum)
+      .as[Long]
+    assert(q.collect()(0) === (1L to 100L).map(_ * 3).sum)
     val readCols = graft.sinks.v2.GraftScanBuilder.lastReadSchema.get()
     assert(readCols.toSet === Set("k", "b"),
       s"projection must prune to the referenced columns (got $readCols)")
-    assert(q.queryExecution.executedPlan.toString.contains("ParquetScan"),
-      "the catalog row scan must be Spark's vectorized ParquetScan")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftRowScan"),
+      "the catalog row scan must be the runtime-filterable GraftRowScan")
+    assert(plan.contains("ColumnarToRow"),
+      "the delegate must produce COLUMNAR (vectorized parquet) batches")
   }
 
   test("timestamp columns scan correctly through the catalog row " +
@@ -308,5 +352,172 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale snapshot"))
     // nothing half-applied: the racer's state is intact
     assert(VersionedKeyedTable.read(spark, dir).count() === 3L)
+  }
+
+  test("runtime filtering: a broadcast equi join's dim keys re-prune " +
+      "the fact file set at execution time through zone maps and " +
+      "blooms; rows stay exact") {
+    val dir = s"$base/rt1"
+    VersionedKeyedTable.create(
+      (1L to 4000L).map(i => (i, i * 3L)).toDF("k", "v").repartition(8),
+      dir, "k", numBuckets = 2)
+    // key-clustered: each file covers a narrow disjoint key range
+    VersionedKeyedTable.cluster(spark, dir, "k",
+      targetRowsPerFile = 250L)
+    // the dim must be (a) FILE-backed — a LocalRelation constant-folds
+    // its filter away and PartitionPruning sees no selective predicate
+    // — and (b) filtered on a NON-key column: a predicate on the join
+    // key itself is propagated onto the fact side STATICALLY by
+    // InferFiltersFromConstraints and the manifest prunes at plan
+    // time, leaving the runtime filter nothing to do. grp = k/50 is
+    // opaque to the optimizer, so only the runtime key set can prune.
+    (1L to 4000L).map(i => (i, i / 50L)).toDF("k", "grp")
+      .write.parquet(s"$base/rt1dim")
+    val dim = spark.read.parquet(s"$base/rt1dim")
+      .where(col("grp") === 2L).select("k") // keys 100..149
+    graft.sinks.v2.GraftScanBuilder.lastRuntimeFiltered.set((0, 0))
+    val row = spark.table("gcat.rt1")
+      .join(broadcast(dim), "k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .as[(Long, Long)].head()
+    assert(row === ((50L, (100L to 149L).sum * 3L)))
+    val (rtKept, atPlan) =
+      graft.sinks.v2.GraftScanBuilder.lastRuntimeFiltered.get()
+    assert(atPlan > 0, "the runtime filter must have fired")
+    assert(rtKept < atPlan,
+      s"dim keys must prune fact files at runtime ($rtKept/$atPlan)")
+  }
+
+  test("runtime filtering is conservative and exact at the edges: " +
+      "absent dim keys prune everything; stats-less columns prune " +
+      "nothing; results never lose rows") {
+    val dir = s"$base/rt2"
+    VersionedKeyedTable.create(
+      (1L to 1000L).map(i => (i, s"s${i % 13}", i))
+        .toDF("k", "tag", "v").repartition(4), dir, "k", numBuckets = 2)
+    VersionedKeyedTable.cluster(spark, dir, "k",
+      targetRowsPerFile = 125L)
+    // absent keys (file-backed, filtered on the non-key grp column so
+    // nothing reaches the fact statically): blooms/zones prune every
+    // file at runtime, the join returns empty
+    Seq((90001L, 1L), (90002L, 1L), (5L, 2L)).toDF("k", "grp")
+      .write.parquet(s"$base/rt2dim")
+    val ghost = spark.read.parquet(s"$base/rt2dim")
+      .where(col("grp") === 1L).select("k")
+    graft.sinks.v2.GraftScanBuilder.lastRuntimeFiltered.set((-1, -1))
+    assert(spark.table("gcat.rt2").join(broadcast(ghost), "k")
+      .count() === 0L)
+    val (ghostKept, ghostPlan) =
+      graft.sinks.v2.GraftScanBuilder.lastRuntimeFiltered.get()
+    assert(ghostPlan > 0 && ghostKept === 0,
+      s"absent keys must prune every file ($ghostKept/$ghostPlan)")
+    // a join on a column with NO recorded stats must not prune —
+    // and must still be exact (the scan declines file pruning, the
+    // join itself filters rows)
+    val tagDim = Seq("s3").toDF("tag")
+    val n = spark.table("gcat.rt2").join(broadcast(tagDim), "tag")
+      .count()
+    assert(n === (1L to 1000L).count(_ % 13 == 3))
+  }
+
+  /** ShuffleExchangeExec count across the EXECUTED adaptive plan,
+    * descending into materialized query stages (where AQE hides the
+    * exchanges from a plain collect). */
+  private def shuffleCount(
+      p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    p match {
+      case a: AdaptiveSparkPlanExec => shuffleCount(a.executedPlan)
+      case q: QueryStageExec => shuffleCount(q.plan)
+      case s: ShuffleExchangeLike =>
+        1 + s.children.map(shuffleCount).sum
+      case other => other.children.map(shuffleCount).sum
+    }
+  }
+
+  private def withSpj[A](f: => A): A = {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "true")
+    spark.conf.set(keys(2), "-1") // force a non-broadcast join
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("storage-partitioned join: two co-bucketed store tables join " +
+      "on the key with NO shuffle on either side; groupBy(key) " +
+      "aggregates with NO exchange at all; results stay exact") {
+    VersionedKeyedTable.create(
+      (1L to 3000L).map(i => (i, i * 2L)).toDF("k", "v").repartition(4),
+      s"$base/spj1", "k", numBuckets = 4)
+    VersionedKeyedTable.create(
+      (1L to 3000L).filter(_ % 3 != 0).map(i => (i, i * 5L))
+        .toDF("k", "w").repartition(4),
+      s"$base/spj2", "k", numBuckets = 4)
+    withSpj {
+      val j = spark.table("gcat.spj1").join(spark.table("gcat.spj2"), "k")
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      // collect j ITSELF so its adaptive plan finalizes (an .as[]
+      // view would execute a separate QueryExecution)
+      val row = j.collect()(0)
+      val expect = (1L to 3000L).filter(_ % 3 != 0)
+      assert((row.getLong(0), row.getLong(1)) ===
+        ((expect.size.toLong, expect.map(i => i * 7L).sum)))
+      // exactly ONE shuffle: the final single-partition fold of the
+      // aggregate — the JOIN itself moved nothing
+      assert(shuffleCount(j.queryExecution.executedPlan) === 1,
+        j.queryExecution.executedPlan.toString.take(2000))
+      // groupBy on the bucket key: partial+final collapse in place,
+      // zero exchanges anywhere
+      val g = spark.table("gcat.spj1").groupBy(col("k"))
+        .agg(sum(col("v")).as("sv"))
+      assert(g.collect().length === 3000)
+      assert(shuffleCount(g.queryExecution.executedPlan) === 0,
+        g.queryExecution.executedPlan.toString.take(2000))
+    }
+    // with v2 bucketing OFF (the default), the same join still answers
+    // exactly — partitions stay split-planned, Spark shuffles as usual
+    val off = spark.table("gcat.spj1").join(spark.table("gcat.spj2"), "k")
+      .agg(sum(col("v") + col("w")).as("s")).as[Long].head()
+    assert(off === (1L to 3000L).filter(_ % 3 != 0).map(_ * 7L).sum)
+  }
+
+  test("the served bucket function matches the store's placement " +
+      "rule exactly, for long AND string keys") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val fLong = new graft.sinks.v2.GraftBucketBound(
+      org.apache.spark.sql.types.LongType)
+    val fStr = new graft.sinks.v2.GraftBucketBound(
+      org.apache.spark.sql.types.StringType)
+    val n = 7
+    // the store's own rule, computed by Spark SQL
+    val viaSql = spark.range(1, 500).toDF("k")
+      .select(col("k"),
+        pmod(xxhash64(col("k")), lit(n.toLong)).cast("int").as("b"),
+        pmod(xxhash64(concat(lit("s"), col("k"))), lit(n.toLong))
+          .cast("int").as("bs"))
+      .collect()
+    viaSql.foreach { r =>
+      val k = r.getLong(0)
+      assert(fLong.produceResult(InternalRow(n, k)) === r.getInt(1),
+        s"long key $k")
+      assert(fStr.produceResult(
+          InternalRow(n, UTF8String.fromString(s"s$k"))) === r.getInt(2),
+        s"string key s$k")
+    }
+    // the catalog serves it
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.FunctionCatalog]
+    val fn = cat.loadFunction(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "bucket"))
+    assert(fn.name() === "bucket")
   }
 }
