@@ -245,6 +245,76 @@ object StorageQueries5 {
       .toDF("n", "s", "mx")
   }
 
+  /** SQL MAINTENANCE PROCEDURES (DSv2 ProcedureCatalog — Spark 4's
+    * `CALL`, the statement Iceberg pioneered for table services): the
+    * full OPTIMIZE lifecycle from SQL — `CALL cat.compact` merges a
+    * fragmented commit history to one file per bucket, `CALL
+    * cat.cluster` rewrites each bucket key-sorted so zone maps turn
+    * selective, `CALL cat.vacuum` reclaims unreferenced versions
+    * without committing. Each call returns its evidence row
+    * (version/file counts before and after), pinned by in-row
+    * requires; the oracle then verifies the maintained table still
+    * answers a key-range aggregate exactly — layout changed,
+    * logical content untouched, and the range scan now PRUNES
+    * (kept < total required). With DDL + DML already SQL-reachable,
+    * a SQL-only operator can run the store's whole lifecycle. */
+  val versionedSqlMaintenance = sql("versioned_sql_maintenance",
+    """WITH t AS (
+         SELECT o_orderkey AS k,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders),
+       f AS (SELECT * FROM t WHERE k BETWEEN 1000 AND 5000)
+     SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+       min(k) AS mn, max(k) AS mx
+     FROM f""") { (s, d) =>
+    val baseDir = scratch("sqlmaint")
+    val cat = freshCat(s, baseDir)
+    val rows = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+    val n = rows.count()
+    graft.BenchProbe.time("index_build") {
+      // three commits of interleaved slices: a deliberately
+      // fragmented, unordered history — what maintenance exists for
+      VersionedKeyedTable.create(rows.filter(col("k") % 3 === 0)
+        .repartition(8), s"$baseDir/t", "k", CheckBuckets)
+      VersionedKeyedTable.upsert(s, s"$baseDir/t",
+        rows.filter(col("k") % 3 === 1).repartition(8), "k")
+      VersionedKeyedTable.upsert(s, s"$baseDir/t",
+        rows.filter(col("k") % 3 === 2).repartition(8), "k")
+    }
+    val c = s.sql(
+      s"CALL $cat.compact(tbl => 't', max_files_per_bucket => 1)")
+      .collect()(0)
+    require(c.getLong(2) == c.getLong(1) + 1 &&
+        c.getInt(4) <= CheckBuckets && c.getInt(4) < c.getInt(3),
+      s"compaction must merge the fragmented history to <=1 file per " +
+        s"bucket in ONE layout commit (${c.getInt(3)} -> ${c.getInt(4)})")
+    val target = math.max(50L, n / 64)
+    val k = s.sql(
+      s"CALL $cat.cluster(tbl => 't', target_rows_per_file => $target)")
+      .collect()(0)
+    require(k.getInt(4) > k.getInt(3),
+      s"clustering must split each bucket at the row target " +
+        s"(${k.getInt(3)} -> ${k.getInt(4)})")
+    val q = s.sql(
+      s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+            min(k) AS mn, max(k) AS mx
+          FROM $cat.t WHERE k BETWEEN 1000 AND 5000""")
+      .localCheckpoint(true)
+    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    require(kept < total,
+      s"the CALLed clustering must make the range scan prune " +
+        s"($kept/$total)")
+    val v = s.sql(s"CALL $cat.vacuum(tbl => 't', keep_versions => 1)")
+      .collect()(0)
+    require(v.getLong(2) == v.getLong(1),
+      "vacuum reclaims storage without committing")
+    q
+  }
+
   val all: Seq[QueryDef] =
-    Seq(versionedRuntimeFilter, versionedSqlDdl, versionedSpj)
+    Seq(versionedRuntimeFilter, versionedSqlDdl, versionedSpj,
+      versionedSqlMaintenance)
 }

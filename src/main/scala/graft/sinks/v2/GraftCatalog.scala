@@ -62,7 +62,8 @@ import graft.sinks.{KeyedTable, VersionedKeyedTable}
   * this is the store meeting Spark's catalog contract so BI-style
   * SQL reaches the same snapshots.) */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var base: String = _
 
@@ -82,6 +83,23 @@ class GraftCatalog extends TableCatalog
       new GraftBucketUnbound
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
+
+  /** The PROCEDURE face: `CALL cat.compact/cluster/cluster_by/vacuum`
+    * — the store's maintenance operations from SQL (see
+    * [[GraftProcedures]]). */
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftProcedures.All.map(Identifier.of(Array.empty, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    if (ident.namespace().isEmpty)
+      GraftProcedures(base, ident.name())
+    else throw new IllegalArgumentException(
+      s"no such procedure $ident (available: " +
+        GraftProcedures.All.mkString(", ") + ")")
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

@@ -488,6 +488,50 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(off === (1L to 3000L).filter(_ % 3 != 0).map(_ * 7L).sum)
   }
 
+  test("SQL maintenance procedures: CALL cluster tightens the layout " +
+      "(range scans prune), CALL compact merges fragments, CALL " +
+      "vacuum runs without committing; unknown procedures refuse") {
+    val dir = s"$base/proc1"
+    VersionedKeyedTable.create(
+      (1L to 1000L).filter(_ % 2 == 0).map(i => (i, i * 3L))
+        .toDF("k", "v").repartition(4), dir, "k", numBuckets = 2)
+    VersionedKeyedTable.upsert(spark,
+      dir, (1L to 1000L).filter(_ % 2 == 1).map(i => (i, i * 3L))
+        .toDF("k", "v").repartition(4), "k")
+    // fragmented: 2 commits × 4 parts × 2 buckets
+    val r1 = spark.sql(
+      "CALL gcat.compact(tbl => 'proc1', max_files_per_bucket => 1)")
+      .collect()(0)
+    assert(r1.getString(0) === "proc1")
+    assert(r1.getLong(2) === r1.getLong(1) + 1, "one layout commit")
+    assert(r1.getInt(4) <= 2 && r1.getInt(4) < r1.getInt(3),
+      s"compaction must merge to <=1 file/bucket " +
+        s"(${r1.getInt(3)} -> ${r1.getInt(4)})")
+    val r2 = spark.sql(
+      "CALL gcat.cluster(tbl => 'proc1', target_rows_per_file => 100)")
+      .collect()(0)
+    assert(r2.getInt(4) > r2.getInt(3), "clustering splits at targets")
+    // the clustered layout prunes a key-range scan
+    assert(spark.sql(
+        "SELECT count(*) AS n FROM gcat.proc1 WHERE k BETWEEN 100 AND 250")
+      .as[Long].head() === 151L)
+    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    assert(kept < total,
+      s"the CALLed clustering must make zone maps selective ($kept/$total)")
+    // vacuum reclaims without committing; rows intact
+    val r3 = spark.sql(
+      "CALL gcat.vacuum(tbl => 'proc1', keep_versions => 1)").collect()(0)
+    assert(r3.getLong(2) === r3.getLong(1), "vacuum commits nothing")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.proc1")
+      .as[Long].head() === 1000L)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("CALL gcat.nope(tbl => 'proc1')")
+    }
+    intercept[Exception] {
+      spark.sql("CALL gcat.compact(tbl => 'missing_table')").collect()
+    }
+  }
+
   test("the served bucket function matches the store's placement " +
       "rule exactly, for long AND string keys") {
     import org.apache.spark.sql.catalyst.InternalRow
