@@ -353,7 +353,48 @@ object PlanAudit {
       "commit metadata — a replayed epoch finds its stamp in the " +
       "lineage and skips (the in-row require pins exactly one commit " +
       "per micro-batch). Terminal plan: the table's bucketed parquet " +
-      "scan."))
+      "scan."),
+    "versioned_runtime_filter" -> ("DSv2 runtime file pruning " +
+      "(SupportsRuntimeFiltering — the dynamic-partition-pruning " +
+      "shape): the fact side of a broadcast equi join whose dim is " +
+      "filtered on a NON-key column, so no static mechanism can copy " +
+      "the predicate across; the dim's surviving key set arrives at " +
+      "the scan as an In filter at EXECUTION time and re-prunes the " +
+      "manifest file set through zone maps + bloom sidecars before " +
+      "any partition is read (in-row require: the filter FIRED and " +
+      "DROPPED files). The plan shows the BatchScan carrying " +
+      "dynamicpruningexpression RuntimeFilters."),
+    "versioned_spj" -> ("Storage-partitioned join " +
+      "(SupportsReportPartitioning + KeyGroupedPartitioning + the " +
+      "catalog-served bucket function): two store tables bucketed by " +
+      "the same count cluster identically (pmod(xxhash64(key), n)), " +
+      "so their key equi join needs NO exchange on either side " +
+      "(in-row require: exactly ONE shuffle in the whole plan — the " +
+      "final scalar fold) and groupBy(key) aggregates in place. The " +
+      "terminal plan here is the assembled 1-row result; the SPJ " +
+      "evidence is the require + GraftCatalogSpec's structural " +
+      "shuffle count."),
+    "versioned_sql_ddl" -> ("SQL DDL lifecycle: CTAS creates the " +
+      "versioned table (layout from TBLPROPERTIES — key column and " +
+      "bucket count are the create-time contract), INSERT INTO lands " +
+      "one more upsert commit, the readback aggregates through the " +
+      "catalog scan, DROP TABLE removes the store (require-pinned: " +
+      "the directory is gone). Terminal plan: the checkpointed " +
+      "aggregate row."),
+    "versioned_sql_maintenance" -> ("SQL maintenance procedures " +
+      "(DSv2 ProcedureCatalog, Spark 4 CALL): compact merges a " +
+      "3-commit fragmented history to <=1 file/bucket in ONE layout " +
+      "commit, cluster rewrites buckets key-sorted so the following " +
+      "key-range aggregate PRUNES (kept < total require), vacuum " +
+      "reclaims without committing — each CALL returns its " +
+      "version/file-count evidence row, require-pinned."),
+    "stream_ivm_refresh" -> ("Streaming IVM: the CDF stream " +
+      "(admission-controlled to one commit per micro-batch) TRIGGERS " +
+      "the full view's refresh in foreachBatch; the view's durable " +
+      "per-span stamps make the refresh idempotent under the " +
+      "stream's at-least-once replay (in-row require: the watermark " +
+      "reached the base's latest version through the stream alone). " +
+      "Terminal plan: the maintained view's bucketed scan."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is

@@ -968,6 +968,60 @@ object ScaleCheck {
       graft.functions.Fingerprints.bandedHammingPairs(hashes, 6).count()
     }
 
+    // STORAGE-PARTITIONED JOIN at a decade (r13): two co-bucketed
+    // store tables joined on the key — once with v2 bucketing ON
+    // (KeyGroupedPartitioning honoured: ZERO join-side shuffles) and
+    // once OFF (both sides exchange). The claim: the SPJ plan removes
+    // the two fact-side exchanges entirely, so its advantage GROWS
+    // with data volume — at 100 TB the shuffle is the cost, and it is
+    // simply not in the plan. Bucket count scales with copies (the
+    // parallelism unit under SPJ is the bucket).
+    time("versioned_spj") {
+      import graft.sinks.VersionedKeyedTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-scale-spj").toString
+      val t1 = o.select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      val t2 = li.groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("lines"))
+      VersionedKeyedTable.create(t1, s"$base/t1", "k",
+        numBuckets = 8 * copies)
+      VersionedKeyedTable.create(t2, s"$base/t2", "k",
+        numBuckets = 8 * copies)
+      val cat = "gscale"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sinks.v2.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+      def joined() = spark.table(s"$cat.t1")
+        .join(spark.table(s"$cat.t2"), "k")
+        .agg(count(lit(1)).as("n"), sum(col("cents") * col("lines")))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val s0 = System.nanoTime()
+        val rowsOn = joined().collect()(0).getLong(0)
+        val tOn = (System.nanoTime() - s0) / 1e9
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        val s1 = System.nanoTime()
+        val rowsOff = joined().collect()(0).getLong(0)
+        val tOff = (System.nanoTime() - s1) / 1e9
+        require(rowsOn == rowsOff, s"SPJ must be exact ($rowsOn/$rowsOff)")
+        System.err.println(
+          f"[scale]   spj: co-bucketed key join at ${copies}x — " +
+            f"bucketing ON $tOn%.2f s (zero join-side exchanges) vs " +
+            f"OFF $tOff%.2f s (both sides shuffle); identical rows")
+        rowsOn
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      }
+    }
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","copies":$copies,"unit":"sec","ops":$qs,"sf":"$sfDir"}""")
