@@ -314,7 +314,82 @@ object StorageQueries5 {
     q
   }
 
+  /** BATCH CHANGE READS (the Delta `table_changes` shape, completing
+    * the CDF's third face: programmatic walk → streaming source →
+    * now SQL batch): the catalog serves `cat.`t$changes`` — every
+    * captured change after the create commit as an ordinary relation,
+    * with `WHERE _commit_version ...` predicates pruning WHOLE change
+    * files before any row is read (each change file belongs to
+    * exactly one commit; in-row require pins planned < span) and
+    * `VERSION AS OF` bounding the feed. The oracle replays the same
+    * mutation history relationally — a lost change row, a phantom
+    * from an out-of-lineage commit, or a mis-joined _prev image all
+    * break the hash. At 100 TB this is the audit/backfill query: "what
+    * changed in commits (a, b]" reads only those commits' change
+    * files, never the table. */
+  val versionedCdfBatch = sql("versioned_cdf_batch",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents0
+         FROM orders),
+       v2i AS (
+         SELECT k, 'insert' AS change_type, g, cents0 AS cents,
+           CAST(NULL AS BIGINT) AS g_prev,
+           CAST(NULL AS BIGINT) AS cents_prev,
+           CAST(2 AS BIGINT) AS _commit_version
+         FROM base WHERE k % 3 = 2),
+       v2u AS (
+         SELECT k, 'update' AS change_type, g, cents0 * 2 AS cents,
+           g AS g_prev, cents0 AS cents_prev,
+           CAST(2 AS BIGINT) AS _commit_version
+         FROM base WHERE k % 3 <> 2 AND k % 10 = 1),
+       m AS (
+         SELECT k, g,
+           CASE WHEN k % 3 <> 2 AND k % 10 = 1 THEN cents0 * 2
+                ELSE cents0 END AS cents
+         FROM base),
+       v3d AS (
+         SELECT k, 'delete' AS change_type,
+           CAST(NULL AS BIGINT) AS g, CAST(NULL AS BIGINT) AS cents,
+           g AS g_prev, cents AS cents_prev,
+           CAST(3 AS BIGINT) AS _commit_version
+         FROM m WHERE k % 7 = 0)
+       SELECT * FROM v2i
+       UNION ALL SELECT * FROM v2u
+       UNION ALL SELECT * FROM v3d""") { (s, d) =>
+    val baseDir = scratch("cdfbatch")
+    val cat = freshCat(s, baseDir)
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows.filter(col("k") % 3 =!= 2),
+        s"$baseDir/t", "k", CheckBuckets)
+    }
+    // v2: late slice inserts + %10=1 doubles; v3: purge of %7 keys
+    VersionedKeyedTable.upsert(s, s"$baseDir/t",
+      rows.filter(col("k") % 3 === 2)
+        .unionByName(rows.filter(col("k") % 3 =!= 2 && col("k") % 10 === 1)
+          .withColumn("cents", col("cents") * 2)), "k")
+    VersionedKeyedTable.delete(s, s"$baseDir/t",
+      VersionedKeyedTable.read(s, s"$baseDir/t")
+        .filter(col("k") % 7 === 0).select(col("k")), "k")
+    // a bounded slice proves file pruning: only v3's files plan
+    graft.sinks.v2.CdfSource.lastBatchPlanned.set((0, 0))
+    val v3n = s.sql(s"SELECT count(*) AS n FROM $cat.`t$$changes` " +
+      "WHERE _commit_version = 3").head().getLong(0)
+    val (planned, span) = graft.sinks.v2.CdfSource.lastBatchPlanned.get()
+    require(span == 2 && planned == 1,
+      s"the =3 predicate must plan only v3's change files ($planned/$span)")
+    require(v3n > 0, "the purge commit must have captured deletes")
+    s.sql(s"""SELECT k, change_type, g, cents, g_prev, cents_prev,
+          _commit_version
+        FROM $cat.`t$$changes`""")
+  }
+
   val all: Seq[QueryDef] =
     Seq(versionedRuntimeFilter, versionedSqlDdl, versionedSpj,
-      versionedSqlMaintenance)
+      versionedSqlMaintenance, versionedCdfBatch)
 }

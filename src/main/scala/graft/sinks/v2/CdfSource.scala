@@ -83,11 +83,17 @@ class CdfSource extends TableProvider {
     new CdfTable(CdfSource.required(opts, "path"),
       CdfSource.required(opts, "keyCol"),
       sv, Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
-      st.map(CdfSource.parseTsMillis))
+      st.map(CdfSource.parseTsMillis),
+      Option(opts.get("endingVersion")).map(_.toLong))
   }
 }
 
 object CdfSource {
+  /** Observability for specs and in-row assertions: (commits planned
+    * by the last BATCH scan after `_commit_version` pruning, commits
+    * in the requested span). */
+  val lastBatchPlanned =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
   private[v2] def required(opts: CaseInsensitiveStringMap,
       key: String): String =
     Option(opts.get(key)).getOrElse(throw new IllegalArgumentException(
@@ -131,24 +137,126 @@ object CdfSource {
 
 class CdfTable(dir: String, keyCol: String, startingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Long] = None,
-    startingTsMillis: Option[Long] = None)
+    startingTsMillis: Option[Long] = None,
+    endingVersion: Option[Long] = None)
     extends Table with SupportsRead {
   private val schema0 =
     CdfSource.cdfSchema(CdfSource.tableSchema(dir), keyCol)
   override def name: String = s"graft_cdf($dir)"
   override def schema: StructType = schema0
   override def capabilities: util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema0
-        override def toMicroBatchStream(
-            checkpointLocation: String): MicroBatchStream =
-          new CdfMicroBatchStream(dir, keyCol, schema0, startingVersion,
-            maxVersionsPerTrigger, startingTsMillis)
-      }
+    new CdfScanBuilder(dir, keyCol, schema0, startingVersion,
+      maxVersionsPerTrigger, startingTsMillis, endingVersion)
+}
+
+/** Builder for BOTH read shapes over the change feed. The BATCH shape
+  * is Delta's `table_changes`: every captured change in
+  * `(startingVersion, endingVersion ?: latest]` as one DataFrame —
+  * {{{
+  * spark.read.format("graft.sinks.v2.CdfSource")
+  *   .option("path", dir).option("keyCol", "k")
+  *   .option("startingVersion", "1")        // REQUIRED for batch
+  *   .option("endingVersion", "5")          // optional, default latest
+  *   .load()
+  * }}}
+  * — with FILE pruning from pushed `_commit_version` predicates: each
+  * change file belongs to exactly one commit, so a
+  * `WHERE _commit_version >= x` plans only the bounded span's files
+  * (bounds narrow the span BEFORE the captured-changes requirement is
+  * enforced — commits the query excludes don't have to have capture
+  * on). All filters stay residuals: pruning skips files, never rows. */
+class CdfScanBuilder(dir: String, keyCol: String, schema0: StructType,
+    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Long],
+    startingTsMillis: Option[Long], endingVersion: Option[Long])
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+
+  import org.apache.spark.sql.sources._
+
+  private var accepted: Array[Filter] = Array.empty
+  // pushed bounds on _commit_version (inclusive)
+  private var verLo: Option[Long] = None
+  private var verHi: Option[Long] = None
+
+  private def tighten(lo: Option[Long], hi: Option[Long]): Unit = {
+    lo.foreach(l => verLo = Some(verLo.fold(l)(math.max(_, l))))
+    hi.foreach(h => verHi = Some(verHi.fold(h)(math.min(_, h))))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters
+    filters.foreach {
+      case EqualTo("_commit_version", v: Long) =>
+        tighten(Some(v), Some(v))
+      case GreaterThan("_commit_version", v: Long) =>
+        tighten(Some(v + 1), None)
+      case GreaterThanOrEqual("_commit_version", v: Long) =>
+        tighten(Some(v), None)
+      case LessThan("_commit_version", v: Long) =>
+        tighten(None, Some(v - 1))
+      case LessThanOrEqual("_commit_version", v: Long) =>
+        tighten(None, Some(v))
+      case In("_commit_version", vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Long]) =>
+        val ls = vs.map(_.asInstanceOf[Long])
+        tighten(Some(ls.min), Some(ls.max))
+      case _ => ()
     }
+    filters // ALL filters stay residuals — pruning only skips files
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = schema0
+
+    override def toMicroBatchStream(
+        checkpointLocation: String): MicroBatchStream =
+      new CdfMicroBatchStream(dir, keyCol, schema0, startingVersion,
+        maxVersionsPerTrigger, startingTsMillis)
+
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      new org.apache.spark.sql.connector.read.Batch {
+        override def planInputPartitions(): Array[InputPartition] = {
+          val spark = SparkSession.active
+          val start = startingVersion
+            .orElse(startingTsMillis.map(
+              VersionedKeyedTable.versionAsOf(spark, dir, _)))
+            .getOrElse(throw new IllegalArgumentException(
+              "CdfSource batch read requires startingVersion or " +
+                "startingTimestamp (changes strictly after it) — " +
+                "the Delta table_changes contract"))
+          val end = endingVersion.getOrElse(
+            VersionedKeyedTable.snapshot(spark, dir).version)
+          if (end <= start) return Array.empty
+          val span = VersionedKeyedTable.lineageSpan(
+            spark, dir, start, end).getOrElse(
+            throw new IllegalStateException(
+              s"CdfSource: cannot establish commit lineage " +
+                s"($start, $end] at $dir"))
+          // version bounds narrow the span BEFORE the capture
+          // requirement — excluded commits need no change files
+          val bounded = span.filter(s =>
+            verLo.forall(s.version >= _) && verHi.forall(s.version <= _))
+          CdfSource.lastBatchPlanned.set((bounded.size, span.size))
+          bounded.flatMap { s =>
+            val changes = s.changes.getOrElse(
+              throw new IllegalStateException(
+                s"CdfSource: version ${s.version} of $dir did not " +
+                  "capture changes (captureChanges=false) — narrow " +
+                  "the version range past it or re-enable capture"))
+            changes.map(f =>
+              CdfInputPartition(s"$dir/$f", s.version): InputPartition)
+          }.toArray
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new CdfReaderFactory(schema0,
+            SerializableHadoopConf.fromSession(SparkSession.active))
+      }
+  }
 }
 
 /** Offset = the highest commit version whose changes are consumed. */

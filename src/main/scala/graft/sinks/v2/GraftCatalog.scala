@@ -131,6 +131,25 @@ class GraftCatalog extends TableCatalog
   }
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
+    // `t$changes`: the table's change feed as a BATCH relation (the
+    // Delta table_changes shape) — every captured change AFTER the
+    // create commit, with `WHERE _commit_version ...` predicates
+    // pruning whole change files. `VERSION AS OF v` bounds the feed
+    // at v (endingVersion). SQL needs backticks for the `$`:
+    // SELECT * FROM cat.`t$changes` WHERE _commit_version >= 2
+    if (ident.name().endsWith("$changes")) {
+      val baseName = ident.name().stripSuffix("$changes")
+      val dir = (ident.namespace() :+ baseName)
+        .mkString(s"$base/", "/", "")
+      if (KeyedTable.readMeta(spark, dir).isEmpty)
+        throw new NoSuchTableException(ident)
+      val key = KeyedTable.readMetaKey(spark, dir).getOrElse(
+        throw new UnsupportedOperationException(
+          s"table $baseName records no key column — the change feed " +
+            "needs the keyed contract"))
+      return new CdfTable(dir, key, startingVersion = Some(1L),
+        endingVersion = version)
+    }
     val dir = dirOf(ident)
     if (KeyedTable.readMeta(spark, dir).isEmpty)
       throw new NoSuchTableException(ident)
@@ -146,10 +165,18 @@ class GraftCatalog extends TableCatalog
         s"GraftCatalog: VERSION AS OF takes a version number, " +
           s"got '$version'"))))
 
-  /** `TIMESTAMP AS OF <ts>` (micros since epoch from Spark). */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+  /** `TIMESTAMP AS OF <ts>` (micros since epoch from Spark). For a
+    * `t$changes` identifier the instant resolves against the BASE
+    * table's commit log and bounds the feed there. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val resolveDir =
+      if (ident.name().endsWith("$changes"))
+        (ident.namespace() :+ ident.name().stripSuffix("$changes"))
+          .mkString(s"$base/", "/", "")
+      else dirOf(ident)
     load(ident, Some(VersionedKeyedTable.versionAsOf(
-      spark, dirOf(ident), timestampMicros / 1000L)))
+      spark, resolveDir, timestampMicros / 1000L)))
+  }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
     "GraftCatalog supports SQL reads, DML, CREATE TABLE/CTAS and " +

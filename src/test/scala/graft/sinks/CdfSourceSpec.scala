@@ -233,4 +233,75 @@ class CdfSourceSpec extends AnyFunSuite {
     assert(run("TIMESTAMP_MICROS") === expected,
       "INT64-micro change-file timestamps must decode identically")
   }
+
+  test("BATCH change reads (the table_changes shape): the full span " +
+      "in one DataFrame, endingVersion bounds it, _commit_version " +
+      "predicates prune whole change files, and batch without a " +
+      "starting rule refuses") {
+    val dir = fresh("batch")
+    VersionedKeyedTable.create(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), dir, "k", numBuckets = 2)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((1L, 11L), (3L, 30L)).toDF("k", "v"), "k") // v2
+    VersionedKeyedTable.delete(spark, dir, Seq(2L).toDF("k"), "k") // v3
+    def batch(extra: Map[String, String] = Map.empty) = {
+      val r = spark.read.format("graft.sinks.v2.CdfSource")
+        .option("path", dir).option("keyCol", "k")
+      extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    }
+    // everything after create, one batch
+    val all = batch(Map("startingVersion" -> "1"))
+      .select(col("k"), col("change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(all === Set((1L, "update", 2L), (3L, "insert", 2L),
+      (2L, "delete", 3L)))
+    // endingVersion bounds the feed
+    assert(batch(Map("startingVersion" -> "1", "endingVersion" -> "2"))
+      .select(col("_commit_version")).as[Long].collect().toSet === Set(2L))
+    // a version predicate prunes commits (whole change files) BEFORE
+    // rows are read — and the residual keeps rows exact
+    graft.sinks.v2.CdfSource.lastBatchPlanned.set((0, 0))
+    assert(batch(Map("startingVersion" -> "1"))
+      .where(col("_commit_version") === 3L)
+      .select(col("k")).as[Long].collect().toSeq === Seq(2L))
+    val (planned, span) = graft.sinks.v2.CdfSource.lastBatchPlanned.get()
+    assert(span === 2 && planned === 1,
+      s"the = 3 predicate must plan only v3's change files ($planned/$span)")
+    // batch needs an explicit starting rule (the table_changes contract)
+    val e = intercept[Exception] {
+      batch().collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("the catalog serves the feed as `t$changes`: SQL batch reads " +
+      "with version pruning and VERSION AS OF bounding; the feed is " +
+      "read-only") {
+    val base = Files.createTempDirectory("graft-cdfsql").toString
+    spark.conf.set("spark.sql.catalog.gcdf",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcdf.base", base)
+    val dir = s"$base/t"
+    VersionedKeyedTable.create(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), dir, "k", numBuckets = 2)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((1L, 11L), (3L, 30L)).toDF("k", "v"), "k") // v2
+    VersionedKeyedTable.delete(spark, dir, Seq(2L).toDF("k"), "k") // v3
+    val got = spark.sql(
+        "SELECT k, change_type, _commit_version FROM gcdf.`t$changes`")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "update", 2L), (3L, "insert", 2L),
+      (2L, "delete", 3L)))
+    // WHERE prunes; VERSION AS OF bounds at the named commit
+    assert(spark.sql("SELECT k FROM gcdf.`t$changes` " +
+        "WHERE _commit_version > 2").as[Long].collect().toSeq === Seq(2L))
+    assert(spark.sql(
+        "SELECT _commit_version FROM gcdf.`t$changes` VERSION AS OF 2")
+      .as[Long].collect().toSet === Set(2L))
+    // the feed refuses writes (no write face at all)
+    intercept[Exception] {
+      spark.sql("INSERT INTO gcdf.`t$changes` VALUES " +
+        "(9, 'insert', 9, NULL, NULL, NULL, 9)")
+    }
+  }
 }
