@@ -999,24 +999,79 @@ object ScaleCheck {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set(
         "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // steady-state per mode: warm-up + min-of-3 — a single
+      // iteration at local[32] with a page-cached 10x input is
+      // dominated by JIT/GC noise, not by the exchange under test.
+      // The LOAD-BEARING metric is shuffle BYTES: local shuffles are
+      // memcpy through the page cache (wall-neutral on one box), but
+      // at cluster scale those bytes cross the network — what SPJ
+      // deletes from the plan is exactly that traffic.
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // listener events drain asynchronously; a short settle before
+      // each byte reading is enough (modes differ by orders of
+      // magnitude, not percent)
+      def settle(): Long = { Thread.sleep(500); shuffleBytes.get() }
+      def best(f: () => Long): (Long, Double, Long) = {
+        f()
+        var rows = 0L
+        var bytes = 0L
+        val t = (1 to 3).map { _ =>
+          val b0 = settle()
+          val s = System.nanoTime()
+          rows = f()
+          val dt = (System.nanoTime() - s) / 1e9
+          bytes = settle() - b0
+          dt
+        }.min
+        (rows, t, bytes)
+      }
       try {
         spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-        val s0 = System.nanoTime()
-        val rowsOn = joined().collect()(0).getLong(0)
-        val tOn = (System.nanoTime() - s0) / 1e9
+        val (rowsOn, tOn, bOn) =
+          best(() => joined().collect()(0).getLong(0))
+        // ONE-SIDED: the fact (store) joined to a PLAIN relation —
+        // with shuffle.enabled, Spark re-clusters ONLY the plain side
+        // by the catalog-served bucket function; the fact reads in
+        // place (the 100 TB fact × ad-hoc dim shape)
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+        val plainDim = t2.localCheckpoint(true)
+        val (rowsOne, tOne, bOne) = best(() =>
+          spark.table(s"$cat.t1").join(plainDim, "k")
+            .agg(count(lit(1)).as("n")).collect()(0).getLong(0))
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.shuffle.enabled")
         spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-        val s1 = System.nanoTime()
-        val rowsOff = joined().collect()(0).getLong(0)
-        val tOff = (System.nanoTime() - s1) / 1e9
-        require(rowsOn == rowsOff, s"SPJ must be exact ($rowsOn/$rowsOff)")
+        val (rowsOff, tOff, bOff) =
+          best(() => joined().collect()(0).getLong(0))
+        require(rowsOn == rowsOff && rowsOne == rowsOff,
+          s"SPJ must be exact ($rowsOn/$rowsOne/$rowsOff)")
+        def mb(b: Long): String = f"${b / 1048576.0}%.1f MB"
         System.err.println(
-          f"[scale]   spj: co-bucketed key join at ${copies}x — " +
-            f"bucketing ON $tOn%.2f s (zero join-side exchanges) vs " +
-            f"OFF $tOff%.2f s (both sides shuffle); identical rows")
+          f"[scale]   spj (min-of-3, warmed): co-bucketed key join " +
+            f"at ${copies}x — bucketing ON $tOn%.2f s / ${mb(bOn)} " +
+            f"shuffled (zero join-side exchanges) vs OFF $tOff%.2f s " +
+            f"/ ${mb(bOff)} (both sides shuffle); one-sided vs a " +
+            f"PLAIN dim $tOne%.2f s / ${mb(bOne)} (only the dim " +
+            "re-clusters, by the served bucket function); identical " +
+            "rows. Local shuffles are page-cache memcpy (wall-" +
+            "neutral on one box); the deleted BYTES are network " +
+            "traffic at cluster scale.")
         rowsOn
       } finally {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.shuffle.enabled")
         spark.conf.unset(
           "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
       }

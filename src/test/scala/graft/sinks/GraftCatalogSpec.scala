@@ -532,6 +532,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("one-sided storage-partitioned join: a PLAIN relation joined " +
+      "to a store table shuffles BY THE SERVED BUCKET FUNCTION while " +
+      "the store side never moves; rows stay exact") {
+    VersionedKeyedTable.create(
+      (1L to 3000L).map(i => (i, i * 2L)).toDF("k", "v").repartition(4),
+      s"$base/spjone", "k", numBuckets = 4)
+    (1L to 3000L).filter(_ % 3 == 0).map(i => (i, i * 5L))
+      .toDF("k", "w").write.parquet(s"$base/spjone_dim")
+    val dim = spark.read.parquet(s"$base/spjone_dim")
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.take(2).foreach(spark.conf.set(_, "true"))
+    spark.conf.set(keys(2), "-1")
+    try {
+      val q = spark.table("gcat.spjone").join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(col("v") + col("w")).as("s"))
+      val row = q.collect()(0)
+      val expect = (1L to 3000L).filter(_ % 3 == 0)
+      assert((row.getLong(0), row.getLong(1)) ===
+        ((expect.size.toLong, expect.map(_ * 7L).sum)))
+      // exactly TWO shuffles: the dim re-clustered by the store's own
+      // bucket function (produceResult evaluated per row) + the final
+      // scalar fold — the store side reads in place
+      assert(shuffleCount(q.queryExecution.executedPlan) === 2,
+        q.queryExecution.executedPlan.toString.take(2000))
+      val finalPlan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(finalPlan.contains("keygroupedpartitioning(") &&
+        finalPlan.contains("GraftBucketBound"),
+        "the dim exchange must hash with the catalog-served bucket " +
+          "function, not Spark's murmur3 — the store's placement IS " +
+          "the distribution:\n" + finalPlan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("the served bucket function matches the store's placement " +
       "rule exactly, for long AND string keys") {
     import org.apache.spark.sql.catalyst.InternalRow
