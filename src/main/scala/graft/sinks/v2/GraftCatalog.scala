@@ -150,6 +150,47 @@ class GraftCatalog extends TableCatalog
       return new CdfTable(dir, key, startingVersion = Some(1L),
         endingVersion = version)
     }
+    // `t$history` / `t$files`: the commit log and the current
+    // snapshot's file-level layout as driver-materialized relations
+    // (metadata scale — they read the manifest, never data).
+    // `VERSION AS OF v` bounds the history at v / pins the file
+    // listing to v's snapshot.
+    if (ident.name().endsWith("$history") ||
+        ident.name().endsWith("$files")) {
+      val isHistory = ident.name().endsWith("$history")
+      val suffix = if (isHistory) "$history" else "$files"
+      val dir = (ident.namespace() :+ ident.name().stripSuffix(suffix))
+        .mkString(s"$base/", "/", "")
+      if (KeyedTable.readMeta(spark, dir).isEmpty)
+        throw new NoSuchTableException(ident)
+      def utf8(s: String) =
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      return if (isHistory)
+        new GraftMetaTable(ident.toString, GraftCatalog.HistorySchema,
+          () => {
+            val rows = VersionedKeyedTable.history(
+                SparkSession.active, dir).collect()
+              .filter(r => version.forall(r.getLong(0) <= _))
+            rows.map(r => InternalRow(r.getLong(0), r.getLong(1),
+              r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5),
+              r.getLong(6), utf8(r.getString(7))))
+          })
+      else
+        new GraftMetaTable(ident.toString, GraftCatalog.FilesSchema,
+          () => {
+            val snap = VersionedKeyedTable.snapshot(
+              SparkSession.active, dir, version)
+            snap.files.toArray.sortBy(_._1).flatMap { case (b, fs) =>
+              fs.sorted.map { f =>
+                val (mn, mx) = snap.stats.get(f)
+                  .map { case (a, c) => (utf8(a), utf8(c)) }
+                  .getOrElse((null, null))
+                InternalRow(b, utf8(f),
+                  snap.counts.get(f).map(Long.box).orNull, mn, mx)
+              }
+            }
+          })
+    }
     val dir = dirOf(ident)
     if (KeyedTable.readMeta(spark, dir).isEmpty)
       throw new NoSuchTableException(ident)
@@ -166,14 +207,15 @@ class GraftCatalog extends TableCatalog
           s"got '$version'"))))
 
   /** `TIMESTAMP AS OF <ts>` (micros since epoch from Spark). For a
-    * `t$changes` identifier the instant resolves against the BASE
-    * table's commit log and bounds the feed there. */
+    * `t$changes` / `t$history` / `t$files` identifier the instant
+    * resolves against the BASE table's commit log and bounds the
+    * virtual relation there. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val resolveDir =
-      if (ident.name().endsWith("$changes"))
-        (ident.namespace() :+ ident.name().stripSuffix("$changes"))
-          .mkString(s"$base/", "/", "")
-      else dirOf(ident)
+    val resolveDir = Seq("$changes", "$history", "$files")
+      .find(ident.name().endsWith)
+      .map(sfx => (ident.namespace() :+ ident.name().stripSuffix(sfx))
+        .mkString(s"$base/", "/", ""))
+      .getOrElse(dirOf(ident))
     load(ident, Some(VersionedKeyedTable.versionAsOf(
       spark, resolveDir, timestampMicros / 1000L)))
   }
@@ -464,6 +506,49 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
         new GraftRowLevelOperation(dir, key, snap, tableSchema,
           info.command)
     }
+  }
+}
+
+object GraftCatalog {
+  /** `t$history` — one row per complete commit (metadata scale). */
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at_ms", LongType, nullable = false),
+    StructField("n_touched_buckets", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("captured_changes", BooleanType, nullable = false),
+    StructField("n_change_files", LongType, nullable = false),
+    StructField("base_version", LongType, nullable = false),
+    StructField("meta_keys", StringType, nullable = false)))
+
+  /** `t$files` — the snapshot's data files with their manifest stats
+    * (rows / key envelope nullable: pre-stats commits lack them). */
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("key_min", StringType, nullable = true),
+    StructField("key_max", StringType, nullable = true)))
+}
+
+/** A driver-materialized metadata relation (`t$history` / `t$files`):
+  * a [[org.apache.spark.sql.connector.read.LocalScan]] computed from
+  * the manifest at scan time — Spark plans it as a LocalTableScan,
+  * no executor tasks, no data files touched. */
+class GraftMetaTable(ident: String, schema0: StructType,
+    compute: () => Array[InternalRow])
+    extends Table with SupportsRead {
+  override def name: String = ident
+  override def schema: StructType = schema0
+  override def capabilities: util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = compute()
+        override def readSchema(): StructType = schema0
+      }
   }
 }
 
@@ -976,7 +1061,11 @@ class GraftRowScan(dir: String,
     spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
       .toBoolean
 
-  private def spjActive: Boolean =
+  /** Decided ONCE (first evaluation, during planning) and pinned for
+    * the scan's lifetime: `outputPartitioning` promises the partition
+    * shape `toBatch` must then deliver, so a session-conf flip
+    * between optimization and execution must not split the two. */
+  private lazy val spjActive: Boolean =
     v2BucketingOn && keyCol.isDefined && numBuckets.isDefined &&
       required.fieldNames.contains(keyCol.get) &&
       nameToBucket.nonEmpty && bucketsAtPlan.nonEmpty

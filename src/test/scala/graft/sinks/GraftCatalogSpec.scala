@@ -530,6 +530,44 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("CALL gcat.compact(tbl => 'missing_table')").collect()
     }
+    // declared parameter DEFAULTS bind when omitted
+    val r4 = spark.sql("CALL gcat.compact(tbl => 'proc1')").collect()(0)
+    assert(r4.getString(0) === "proc1")
+  }
+
+  test("metadata tables: `t$history` walks the commit log and " +
+      "`t$files` lists the snapshot's layout with manifest stats — " +
+      "metadata scale, VERSION AS OF pins both") {
+    val dir = s"$base/meta1"
+    VersionedKeyedTable.create(
+      (1L to 100L).map(i => (i, i * 3L)).toDF("k", "v"), dir, "k",
+      numBuckets = 2)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((200L, 600L)).toDF("k", "v"), "k")
+    val hist = spark.sql("SELECT version, captured_changes, " +
+        "n_files FROM gcat.`meta1$history` ORDER BY version").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(!hist(0).getBoolean(1) && hist(1).getBoolean(1),
+      "create does not capture changes; the upsert does")
+    // VERSION AS OF bounds the history
+    assert(spark.sql(
+        "SELECT count(*) FROM gcat.`meta1$history` VERSION AS OF 1")
+      .as[Long].head() === 1L)
+    // files: every snapshot file with its rows + key envelope
+    val files = spark.sql("SELECT bucket, file, rows, key_min, key_max " +
+      "FROM gcat.`meta1$files`").collect()
+    val snap = VersionedKeyedTable.snapshot(spark, dir)
+    assert(files.length === snap.files.valuesIterator.map(_.size).sum)
+    assert(files.map(_.getLong(2)).sum === 101L,
+      "manifest row counts must cover the table")
+    // the pinned v1 listing excludes the upsert's files
+    assert(spark.sql(
+        "SELECT sum(rows) FROM gcat.`meta1$files` VERSION AS OF 1")
+      .as[Long].head() === 100L)
+    // metadata relations plan as local scans — no file reads at all
+    val plan = spark.sql("SELECT * FROM gcat.`meta1$files`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan.take(500))
   }
 
   test("one-sided storage-partitioned join: a PLAIN relation joined " +
