@@ -394,7 +394,42 @@ object PlanAudit {
       "per-span stamps make the refresh idempotent under the " +
       "stream's at-least-once replay (in-row require: the watermark " +
       "reached the base's latest version through the stream alone). " +
-      "Terminal plan: the maintained view's bucketed scan."))
+      "Terminal plan: the maintained view's bucketed scan."),
+    "versioned_mor_delete" -> ("Merge-on-read delete (equality-" +
+      "delete files / deletion vectors over the manifest log): the " +
+      "commit writes ONLY per-bucket delete files — the in-row " +
+      "require pins the data file set byte-identical to the " +
+      "parent's — after a zone+bloom-PRUNED existence semi-join " +
+      "(driver-bounded batches read covering files, never whole " +
+      "buckets). Reads anti-join the pending keys (the left_anti in " +
+      "this plan); metadata COUNT(*) subtracts exactly; a later " +
+      "upsert REVIVES keys and consumes its buckets' entries."),
+    "versioned_mor_compact" -> ("Compaction as delete PURGE: " +
+      "compact() picks every bucket carrying pending delete files, " +
+      "materializes the post-delete state (applyDeletes inside the " +
+      "rewrite), and clears the manifest's delete section in one " +
+      "CDF-invisible commit — restoring the no-anti-join vectorized " +
+      "read and metadata min/max pushdown; vacuum then reclaims the " +
+      "consumed delete files (require-pinned: files gone). Terminal " +
+      "plan: the purged table's grouped aggregate."),
+    "versioned_mor_sql" -> ("MOR deletes through SQL: count(*) " +
+      "still answers METADATA-ONLY (manifest row counts minus " +
+      "recorded delete counts — zero files planned, require-pinned) " +
+      "while min/max DECLINES to a real scan (a deleted extremum " +
+      "makes envelope folds unsound); the vectorized row scan " +
+      "filters deleted keys in-reader (the key rides as a trailing " +
+      "projection column when absent); spark.graft.delete.mode=mor " +
+      "routes SQL DELETE itself through the deferred path " +
+      "(require-pinned: data files untouched)."),
+    "versioned_sql_update_pruned" -> ("Group-based SQL UPDATE: the " +
+      "CoW scan prunes to the files whose key envelopes intersect " +
+      "the WHERE (zone maps), and the write replaces EXACTLY those " +
+      "files via replaceFiles — require-pinned both ways: most " +
+      "pre-update files SURVIVE in the manifest (surgical rewrite) " +
+      "and the full row count is preserved (nothing dropped — the " +
+      "failure a whole-table replace under a pruned scan would " +
+      "cause, found and fixed this round). expectedVersion keeps " +
+      "the statement serializable."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is

@@ -1077,6 +1077,51 @@ object ScaleCheck {
       }
     }
 
+    // MERGE-ON-READ vs COPY-ON-WRITE delete (r13): numBuckets held
+    // FIXED (16) so buckets GROW with the decade — the 100 TB regime,
+    // where a surgical delete must not pay a bucket rewrite. The same
+    // fixed 50-key batch is deleted both ways on the same clustered
+    // table: CoW rewrites every touched bucket (bucket-size-linear:
+    // read + rewrite + stats + blooms), MOR writes only delete files
+    // + CDF rows after a zone+bloom-pruned existence probe of the
+    // covering files (O(batch)). The post-delete read prices the
+    // pending anti-join; compact() then purges it.
+    time("versioned_mor_delete") {
+      import graft.sinks.VersionedKeyedTable
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-scale-mor").toString + "/t"
+      val base = c.select(col("c_custkey").as("k"),
+        col("c_acctbal").cast("double").as("v"))
+      VersionedKeyedTable.create(base, dir, "k", numBuckets = 16)
+      VersionedKeyedTable.cluster(spark, dir, "k",
+        targetRowsPerFile = 200000L)
+      val cowKeys = (1L to 50L).toDF("k")
+      val t1 = System.nanoTime()
+      VersionedKeyedTable.delete(spark, dir, cowKeys, "k")
+      val tCow = (System.nanoTime() - t1) / 1e9
+      val morKeys = (51L to 100L).toDF("k")
+      val t2 = System.nanoTime()
+      VersionedKeyedTable.deleteMor(spark, dir, morKeys, "k")
+      val tMor = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val n = VersionedKeyedTable.read(spark, dir).count()
+      val tRead = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      VersionedKeyedTable.compact(spark, dir, "k",
+        maxFilesPerBucket = 64)
+      val tPurge = (System.nanoTime() - t4) / 1e9
+      require(VersionedKeyedTable.snapshot(spark, dir).deletes.isEmpty,
+        "compact must purge the pending deletes")
+      System.err.println(
+        f"[scale]   mor: fixed 50-key delete at ${copies}x — CoW " +
+          f"$tCow%.2f s (rewrites touched buckets, table-linear at " +
+          f"fixed bucket count) vs MOR $tMor%.2f s (delete files + " +
+          f"pruned existence probe, flat); pending-delete read " +
+          f"$tRead%.2f s; purge (delete-bucket compact) $tPurge%.2f s")
+      n
+    }
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","copies":$copies,"unit":"sec","ops":$qs,"sf":"$sfDir"}""")

@@ -97,7 +97,17 @@ object VersionedKeyedTable {
       changes: Option[Seq[String]] = None,
       meta: Map[String, String] = Map.empty,
       counts: Map[String, Long] = Map.empty,
-      extraStats: Map[String, Map[String, (String, String)]] = Map.empty)
+      extraStats: Map[String, Map[String, (String, String)]] = Map.empty,
+      /** MERGE-ON-READ delete files per bucket (the Iceberg
+        * equality-delete / Delta deletion-vector shape): each file
+        * holds keys of rows deleted WITHOUT rewriting the bucket's
+        * data files — readers anti-join them, copy-on-write mutations
+        * CONSUME them (a bucket rewrite materializes the post-delete
+        * state, so its commit clears the bucket's delete entries).
+        * Invariant: a live delete file holds only keys that EXISTED
+        * at its commit, each in exactly one live delete file — what
+        * keeps metadata-only COUNT(*) exact under deferred deletes. */
+      deletes: Map[Int, Seq[String]] = Map.empty)
 
   /** Commit-metadata key every writer stamps with the version its
     * commit was BUILT ON. The base pointers make the table's true
@@ -124,7 +134,8 @@ object VersionedKeyedTable {
       changes: Option[Seq[String]],
       meta: Map[String, String] = Map.empty,
       counts: Map[String, Long] = Map.empty,
-      extraStats: Map[String, Map[String, (String, String)]] = Map.empty): String = {
+      extraStats: Map[String, Map[String, (String, String)]] = Map.empty,
+      deletes: Map[Int, Seq[String]] = Map.empty): String = {
     val sb = new StringBuilder
     sb.append("touched\t").append(touched.toSeq.sorted.mkString(","))
       .append('\n')
@@ -173,6 +184,17 @@ object VersionedKeyedTable {
       }
       if (fs0.isEmpty) sb.append(b).append("\t-\n") // emptied bucket
     }
+    // merge-on-read DELETE files: `delete TAB bucket TAB relpath TAB
+    // rows` — rows always known (the writer counted them), kept per
+    // line so metadata COUNT(*) can subtract them without opening any
+    // file; pre-MOR manifests simply have no such lines
+    deletes.toSeq.sortBy(_._1).foreach { case (b, fs0) =>
+      fs0.foreach { f =>
+        sb.append("delete\t").append(b).append('\t').append(f)
+        counts.get(f).foreach(c => sb.append('\t').append(c))
+        sb.append('\n')
+      }
+    }
     sb.append("#end\n")
     sb.toString
   }
@@ -197,11 +219,20 @@ object VersionedKeyedTable {
     val changes = Vector.newBuilder[String]
     var captured = false
     val meta = scala.collection.mutable.Map.empty[String, String]
+    val dels = scala.collection.mutable.Map.empty[Int, Vector[String]]
     lines.iterator.drop(1).takeWhile(_ != "#end").foreach { ln =>
       if (ln.startsWith("changes\t")) {
         captured = true
         val c = ln.stripPrefix("changes\t")
         if (c != "-") changes += c
+      } else if (ln.startsWith("delete\t")) {
+        val parts = ln.split('\t')
+        if (parts.length >= 3) {
+          val b = parts(1).toInt
+          dels(b) = dels.getOrElse(b, Vector.empty) :+ parts(2)
+          if (parts.length >= 4)
+            parts(3).toLongOption.foreach(counts(parts(2)) = _)
+        }
       } else if (ln.startsWith("meta\t")) {
         val parts = ln.split('\t')
         if (parts.length >= 3) meta(dec(parts(1))) = dec(parts(2))
@@ -228,7 +259,7 @@ object VersionedKeyedTable {
     }
     Some(Snapshot(v, files.toMap, touched, schema, stats.toMap,
       if (captured) Some(changes.result()) else None, meta.toMap,
-      counts.toMap, extras.toMap))
+      counts.toMap, extras.toMap, dels.toMap))
   }
 
   private def readVersionFile(fs: FileSystem, p: Path): String =
@@ -828,6 +859,227 @@ object VersionedKeyedTable {
       .map(f => s"$rel/${f.getPath.getName}")
   }
 
+  // ---- merge-on-read deletes ---------------------------------------
+
+  /** A snapshot's merge-on-read delete-key relation (optionally
+    * restricted to some buckets): one column, the key, typed from the
+    * live schema. None when no delete files exist — the common case;
+    * readers then skip the anti-join entirely, so pre-MOR plan shapes
+    * are untouched. */
+  private[sinks] def deleteKeysDF(spark: SparkSession, dir: String,
+      snap: Snapshot, schema: org.apache.spark.sql.types.StructType,
+      keyCol: String, buckets: Option[Set[Int]] = None)
+      : Option[DataFrame] = {
+    val rels = (buckets match {
+      case Some(bs) => snap.deletes.view.filterKeys(bs).values.toSeq
+      case None => snap.deletes.values.toSeq
+    }).flatten
+    if (rels.isEmpty) None
+    else {
+      val keySchema = org.apache.spark.sql.types.StructType(
+        Seq(schema(keyCol).copy(nullable = false)))
+      Some(spark.read.schema(keySchema)
+        .parquet(rels.map(f => s"$dir/$f"): _*))
+    }
+  }
+
+  /** Anti-join `df` against the snapshot's delete keys — the read-side
+    * half of deferred deletes. Identity (no plan change) when the
+    * snapshot has no delete files. The delete relation is small by
+    * regimen (compaction consumes it), so AQE broadcasts the anti-join
+    * side; data-side filters and projections still push to the scan
+    * through the join. */
+  private[sinks] def applyDeletes(spark: SparkSession, dir: String,
+      snap: Snapshot, schema: org.apache.spark.sql.types.StructType,
+      keyCol: String, df: DataFrame,
+      buckets: Option[Set[Int]] = None): DataFrame =
+    deleteKeysDF(spark, dir, snap, schema, keyCol, buckets) match {
+      case None => df
+      case Some(dk) => df.join(dk, Seq(keyCol), "left_anti")
+    }
+
+  /** Persist a MOR delete batch's keys as immutable per-bucket files
+    * under `data/dl-<uuid>`; returns bucket → relative paths and each
+    * file's ROW COUNT (always recorded — what keeps COUNT(*)
+    * metadata-only under deferred deletes). */
+  private def writeDeleteFiles(spark: SparkSession, dir: String,
+      doomedKeys: DataFrame /* keyCol + __bucket */)
+      : (Map[Int, Seq[String]], Map[String, Long]) = {
+    val rel = s"data/dl-${java.util.UUID.randomUUID()}"
+    doomedKeys.write.partitionBy("__bucket").parquet(s"$dir/$rel")
+    val fs = hfs(spark, dir)
+    val base = new Path(s"$dir/$rel")
+    val files = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
+      .map { d =>
+        val b = d.getPath.getName.stripPrefix("__bucket=").toInt
+        b -> fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"$rel/__bucket=${b}/${f.getPath.getName}")
+      }.filter(_._2.nonEmpty).toMap
+    if (files.isEmpty) return (Map.empty, Map.empty)
+    val rows = spark.read.parquet(s"$dir/$rel")
+      .groupBy(input_file_name().as("f"),
+        col("__bucket").cast("int").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect() // bounded: one row per freshly-written delete file
+    val cnts = rows.map { r =>
+      val uri = r.getString(0)
+      (s"$rel/__bucket=${r.getInt(1)}/" +
+        uri.substring(uri.lastIndexOf('/') + 1)) -> r.getLong(2)
+    }.toMap
+    (files, cnts)
+  }
+
+  /** MERGE-ON-READ delete: the given keys' rows become invisible in
+    * ONE commit that writes only per-bucket DELETE FILES — no data
+    * file is read back in bulk, rewritten, or dropped. Copy-on-write
+    * [[delete]] rewrites every touched bucket's files, the right cost
+    * when the delete is dense; at 100 TB deleting a handful of keys
+    * from TB-scale buckets must instead cost O(doomed rows):
+    * Iceberg's equality deletes / Delta's deletion vectors,
+    * re-expressed over the manifest log. Every read path anti-joins
+    * the live delete files; copy-on-write mutations and [[compact]]
+    * CONSUME them (their rewrite materializes the post-delete state,
+    * so their commit clears the bucket's entries); metadata COUNT(*)
+    * subtracts their recorded row counts.
+    *
+    * The batch is first semi-joined against the touched buckets' LIVE
+    * state (zone-map-scoped to those buckets, prior delete files
+    * applied), so a delete file holds exactly the doomed keys that
+    * EXISTED — absent or already-deleted keys are a no-op, never a
+    * double-count — and each live delete file's keys appear in no
+    * other live delete file, the invariant exact metadata counts rest
+    * on. CDF: the commit captures ordinary delete change rows (with
+    * `_prev` values) from the same semi-join, so views, replicas and
+    * streams cannot tell deferred from copy-on-write deletes.
+    * Concurrency is [[mutateWith]]'s optimistic protocol: disjoint
+    * racers rebase (my delete files stay valid — their buckets'
+    * data and delete entries are untouched), overlap re-runs the
+    * existence check, torn claims are skipped. */
+  def deleteMor(spark: SparkSession, dir: String, keys: DataFrame,
+      keyCol: String, captureChanges: Boolean = true,
+      commitMeta: Map[String, String] = Map.empty): Unit = {
+    val (nb, metaSchema) = readMeta(spark, dir)
+    // read paths resolve the anti-join key from the meta sidecar —
+    // a MOR delete under a different (or unrecorded) key would write
+    // files no reader could ever apply
+    require(KeyedTable.readMetaKey(spark, dir).contains(keyCol),
+      s"deleteMor key '$keyCol' must match the table's recorded key " +
+        s"column (${KeyedTable.readMetaKey(spark, dir).getOrElse("none")})")
+    val fs = hfs(spark, dir)
+    val batch = keys.select(col(keyCol))
+      .where(col(keyCol).isNotNull).distinct()
+      .withColumn("__bucket", bucketOf(keyCol, nb))
+      .localCheckpoint(true)
+    val myTouched = batch.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+    if (myTouched.isEmpty) return
+    // DRIVER-BOUNDED batches prune the existence read through the
+    // point-lookup path (zone maps + blooms): a surgical delete on a
+    // clustered 100 TB table reads the few COVERING files, never
+    // whole buckets — the pruning is conservative, and the semi-join
+    // below is the exact residual either way. Unbounded batches read
+    // the touched buckets (still O(touched region), no rewrite).
+    val keyList: Option[Either[Seq[Long], Seq[String]]] = {
+      val bounded = batch.count() <= MaxPointLookupKeys
+      if (!bounded) None
+      else metaSchema(keyCol).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          Some(Right(batch.select(col(keyCol))
+            .collect().map(_.getString(0)).toSeq))
+        case t if isIntegralKey(t) =>
+          Some(Left(batch.select(col(keyCol).cast("long"))
+            .collect().map(_.getLong(0)).toSeq))
+        case _ => None // date/timestamp keys: bucket-scoped read
+      }
+    }
+    var snap = snapshot(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 20) throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir: deleteMor contention exceeded " +
+          "20 attempts — backlogged writers on the same buckets")
+      val schema = snap.schema.getOrElse(metaSchema)
+      val existingRels: Seq[String] = keyList match {
+        case Some(Left(ks)) =>
+          keyFilesOf(spark, dir, keyCol, ks, snap, nb, schema)._1
+        case Some(Right(ss)) =>
+          keyFilesStrOf(spark, dir, keyCol, ss, snap, nb, schema)._1
+        case None => myTouched.toSeq.sorted
+          .flatMap(b => snap.files.getOrElse(b, Seq.empty))
+      }
+      val existingPaths = existingRels.map(f => s"$dir/$f")
+      val existingRaw =
+        if (existingPaths.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(existingPaths: _*)
+      val existing = applyDeletes(spark, dir, snap, schema, keyCol,
+        existingRaw, Some(myTouched))
+      val doomedRows = existing.join(
+          broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_semi")
+        .localCheckpoint(true) // pin before any racer commits/vacuums
+      if (doomedRows.isEmpty) return // nothing exists to delete
+      val (delFiles, delCounts) = writeDeleteFiles(spark, dir,
+        doomedRows.select(col(keyCol))
+          .withColumn("__bucket", bucketOf(keyCol, nb)))
+      val changeFiles =
+        if (!captureChanges) None
+        else Some(writeChangeFiles(spark, dir,
+          classifyDiff(doomedRows,
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              schema),
+            keyCol, schema)))
+      // rebase loop — mutateWith's shape: disjoint racers keep my
+      // delete files valid; overlap re-runs the existence check
+      var base = snap
+      var target = base.version + 1
+      var resolved = false
+      while (!resolved) {
+        attempts += 1
+        if (attempts > 20) throw new IllegalStateException(
+          s"VersionedKeyedTable at $dir: deleteMor contention " +
+            "exceeded 20 attempts — backlogged writers on this table")
+        val newDeletes = (base.deletes ++ myTouched.toSeq.map(b =>
+          b -> (base.deletes.getOrElse(b, Seq.empty) ++
+            delFiles.getOrElse(b, Seq.empty)))).filter(_._2.nonEmpty)
+        if (tryCommit(fs, dir, versionPath(dir, target),
+            renderManifest(myTouched, base.files,
+              base.schema.getOrElse(metaSchema), base.stats, changeFiles,
+              commitMeta + (BaseKey -> base.version.toString),
+              base.counts ++ delCounts, base.extraStats, newDeletes)))
+          return
+        val cur0 = snapshot(spark, dir)
+        val cur =
+          if (cur0.version > base.version) cur0
+          else if (awaitBlockingClaim(fs, spark, dir, base.version))
+            snapshot(spark, dir)
+          else cur0
+        if (cur.version <= base.version) {
+          target = nextClaimable(fs, dir, target + 1) // torn claim
+        } else {
+          val interveningTouched =
+            (base.version + 1 to cur.version).flatMap { v =>
+              val p = versionPath(dir, v)
+              if (!fs.exists(p)) Seq.empty
+              else parseManifest(v, readVersionFile(fs, p))
+                .map(_.touched.toSeq).getOrElse(Seq.empty)
+            }.toSet
+          if ((interveningTouched & myTouched).nonEmpty) {
+            snap = cur // overlap: existence check is stale — recompute
+            resolved = true
+          } else {
+            base = cur // disjoint: same delete files, retry the CAS
+            target = math.max(base.version + 1, target)
+          }
+        }
+      }
+    }
+  }
+
   // ---- public API --------------------------------------------------
 
   /** Create the table from a full snapshot (version 1, or a full
@@ -915,11 +1167,14 @@ object VersionedKeyedTable {
         else {
           val oldPaths = snap.files.values.flatten
             .map(f => s"$dir/$f").toSeq
-          val old =
+          // diff against the LIVE old state: pending MOR deletes
+          // applied (a replace also clears every delete entry — the
+          // committed manifest simply carries none)
+          val old = applyDeletes(spark, dir, snap, evolved, keyCol,
             if (oldPaths.isEmpty) spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               evolved)
-            else spark.read.schema(evolved).parquet(oldPaths: _*)
+            else spark.read.schema(evolved).parquet(oldPaths: _*))
           Some(writeChangeFiles(spark, dir,
             classifyDiff(old, pinned.drop("__bucket"), keyCol, evolved)))
         }
@@ -946,6 +1201,132 @@ object VersionedKeyedTable {
     }
   }
 
+  /** REPLACE a SPECIFIC SET of data files in one commit: drop
+    * `removeRels` from the manifest, add files written from `rows` —
+    * the GROUP-BASED (copy-on-write) row-level write. Spark's SQL
+    * UPDATE/MERGE/DELETE rewrite reads exactly the GROUPS (files)
+    * containing matching rows — static zone-map pruning on the
+    * statement's WHERE narrows the read set — and its ReplaceData
+    * output carries ONLY those files' rows (matched rows updated or
+    * dropped, the rest carried verbatim). The write must therefore
+    * replace exactly the files the scan read: replacing the whole
+    * table would silently drop every unread file's rows. At 100 TB
+    * this is also the efficiency contract — a key-ranged UPDATE
+    * rewrites the few covering files, not the table.
+    *
+    * Key reassignment is safe here (unlike [[merge]]): an updated
+    * row's OLD file is by construction in `removeRels` (the row was
+    * read from it), and the new row lands in its key's bucket
+    * normally, so a key move is one removal plus one placement.
+    *
+    * Pending MOR deletes: callers must remove ALL data files when the
+    * snapshot carries delete entries (`require`d) — the commit clears
+    * them (the rewrite materialized the post-delete state); partial
+    * file replacement under pending deletes would leave dangling
+    * delete keys double-counted by metadata COUNT(*).
+    *
+    * With `expectedVersion` the commit FAILS LOUDLY on any
+    * intervening commit (the serializable-conflict contract row-level
+    * SQL rides); without it, the file set and CDF diff re-derive
+    * against each new snapshot (then `removeRels` must still exist
+    * there — callers pin a version in practice). */
+  def replaceFiles(spark: SparkSession, dir: String,
+      removeRels: Seq[String], rows: DataFrame, keyCol: String,
+      expectedVersion: Option[Long],
+      captureChanges: Boolean = true,
+      commitMeta: Map[String, String] = Map.empty): Unit = {
+    val (nb, metaSchema) = readMeta(spark, dir)
+    val fs = hfs(spark, dir)
+    val removed = removeRels.toSet
+    val pinned = rows.withColumn("__bucket", bucketOf(keyCol, nb))
+      .localCheckpoint(true)
+    var written: Option[(Map[Int, Seq[String]],
+      Map[String, (String, String)], Map[String, Long],
+      Map[String, Map[String, (String, String)]])] = None
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 10) throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir: replaceFiles contention " +
+          "exceeded 10 attempts")
+      val snap = snapshot(spark, dir)
+      expectedVersion.filter(_ != snap.version).foreach { v =>
+        throw new java.util.ConcurrentModificationException(
+          s"replaceFiles at $dir expected version $v but found " +
+            s"${snap.version} — the replacement content was derived " +
+            "from a stale snapshot; re-run the statement")
+      }
+      val live = snap.files.values.flatten.toSet
+      require(removed.subsetOf(live),
+        s"replaceFiles: ${removed.diff(live).take(3).mkString(", ")} " +
+          "not in the current snapshot — stale file set")
+      require(snap.deletes.isEmpty || removed == live,
+        "replaceFiles under pending merge-on-read deletes must " +
+          "replace ALL data files (partial replacement would leave " +
+          "dangling delete keys); compact() first, or scan unpruned")
+      val schema = snap.schema.getOrElse(metaSchema)
+      val dataFields = pinned.schema.fields.filterNot(_.name == "__bucket")
+      dataFields.foreach { f =>
+        schema.fields.find(_.name == f.name).foreach { cf =>
+          require(cf.dataType == f.dataType,
+            s"schema evolution is additive only: column '${f.name}' " +
+              s"cannot change ${cf.dataType} -> ${f.dataType}")
+        }
+      }
+      val evolved = org.apache.spark.sql.types.StructType(
+        schema.fields ++ dataFields.filterNot(f =>
+          schema.fieldNames.contains(f.name)))
+      val (newFiles, newStats, newCounts, newExtra) = written.getOrElse {
+        val w = writeDataFiles(spark, dir, pinned, keyCol,
+          statsCols = inheritedStatsCols(snap))
+        written = Some(w); w
+      }
+      val changes =
+        if (!captureChanges) None
+        else {
+          // net diff of the REPLACED REGION only — untouched files
+          // cannot change, so the diff is O(replaced + new), the cost
+          // the rewrite already paid
+          val oldPaths = removeRels.map(f => s"$dir/$f")
+          val old = applyDeletes(spark, dir, snap, evolved, keyCol,
+            if (oldPaths.isEmpty) spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              evolved)
+            else spark.read.schema(evolved).parquet(oldPaths: _*))
+          Some(writeChangeFiles(spark, dir,
+            classifyDiff(old, pinned.drop("__bucket"), keyCol, evolved)))
+        }
+      val manifest = (0 until nb).map { b =>
+        b -> (snap.files.getOrElse(b, Seq.empty)
+          .filterNot(removed) ++ newFiles.getOrElse(b, Seq.empty))
+      }.toMap
+      val touched = manifest.keySet.filter(b =>
+        manifest(b) != snap.files.getOrElse(b, Seq.empty)).toSet
+      if (touched.isEmpty) return // nothing changed: no commit
+      val content = renderManifest(touched, manifest, evolved,
+        (snap.stats -- removed) ++ newStats, changes,
+        commitMeta + (BaseKey -> snap.version.toString),
+        (snap.counts -- removed) ++ newCounts,
+        (snap.extraStats -- removed) ++ newExtra,
+        Map.empty /* empty by the require above, or cleared by the
+          full replacement */)
+      var target = snap.version + 1
+      var committed = false
+      var stale = false
+      while (!committed && !stale) {
+        if (tryCommit(fs, dir, versionPath(dir, target), content))
+          committed = true
+        else if (snapshot(spark, dir).version > snap.version)
+          stale = true // a racer landed: the expectedVersion guard
+                       // throws on the next pass, or we re-derive
+        else if (awaitBlockingClaim(fs, spark, dir, snap.version))
+          stale = true
+        else target = nextClaimable(fs, dir, target + 1) // torn claim
+      }
+      if (committed) return
+    }
+  }
+
   /** Read the table at the latest (or a named) version — snapshot
     * isolation by construction: every referenced file is immutable. */
   def read(spark: SparkSession, dir: String,
@@ -954,11 +1335,26 @@ object VersionedKeyedTable {
     val snap = snapshot(spark, dir, version)
     val schema = snap.schema.getOrElse(metaSchema)
     val paths = snap.files.values.flatten.map(f => s"$dir/$f").toSeq
-    if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+    val df =
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(paths: _*)
+    applyDeletes(spark, dir, snap, schema, morKeyCol(spark, dir, snap),
+      df)
   }
+
+  /** The key column MOR reads anti-join on — the meta sidecar's
+    * record ([[deleteMor]] requires it at write time, so a snapshot
+    * carrying delete files can always resolve it; tables without
+    * deletes never consult it). */
+  private def morKeyCol(spark: SparkSession, dir: String,
+      snap: Snapshot): String =
+    if (snap.deletes.isEmpty) "" // never consulted: applyDeletes no-ops
+    else KeyedTable.readMetaKey(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir carries merge-on-read delete " +
+          "files but its meta sidecar records no key column"))
 
   /** Keyed put batch: rows whose key exists are replaced, new keys
     * inserted. Optimistic: concurrent disjoint-bucket writers both
@@ -1032,11 +1428,12 @@ object VersionedKeyedTable {
                 s"cannot change ${cf.dataType} -> ${f.dataType}")
           }
         }
-      val existing =
+      val existing = applyDeletes(spark, dir, snap, schema, keyCol,
         if (existingPaths.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(existingPaths: _*)
+        else spark.read.schema(schema).parquet(existingPaths: _*),
+        Some(myTouched))
       val merged = existing.join(
           broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
         .unionByName(batch.drop("__bucket"), allowMissingColumns = true)
@@ -1060,7 +1457,7 @@ object VersionedKeyedTable {
       val content = renderManifest(myTouched, manifest, evolvedTx,
         snap.stats ++ newStats, Some(changeFiles),
         Map(BaseKey -> snap.version.toString), snap.counts ++ newCounts,
-        snap.extraStats ++ newExtra)
+        snap.extraStats ++ newExtra, snap.deletes -- myTouched)
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -1153,11 +1550,17 @@ object VersionedKeyedTable {
       val existingPaths = myTouched.toSeq.sorted
         .flatMap(b => snap.files.getOrElse(b, Seq.empty))
         .map(f => s"$dir/$f")
-      val existing =
+      val existingRaw =
         if (existingPaths.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved)
         else spark.read.schema(evolved).parquet(existingPaths: _*)
+      // merge against the LIVE state: pending MOR delete files of the
+      // touched buckets applied — the rewrite below then materializes
+      // the post-delete state, CONSUMING those entries (cleared from
+      // the committed manifest)
+      val existing = applyDeletes(spark, dir, snap, evolved, keyCol,
+        existingRaw, Some(myTouched))
       val merged = remerge(existing, batch)
         .withColumn("__bucket", bucketOf(keyCol, nb))
         .localCheckpoint(true) // never read a file a racer vacuums
@@ -1201,7 +1604,10 @@ object VersionedKeyedTable {
               base.stats ++ newStats, changeFiles,
               commitMeta + (BaseKey -> base.version.toString),
               base.counts ++ newCounts,
-              base.extraStats ++ newExtra))) return
+              base.extraStats ++ newExtra,
+              // touched buckets' pending deletes are CONSUMED by the
+              // rewrite; disjoint racers' entries carry forward
+              base.deletes -- myTouched))) return
         val cur0 = snapshot(spark, dir)
         val cur =
           if (cur0.version > base.version) cur0
@@ -1453,16 +1859,21 @@ object VersionedKeyedTable {
           (dataCols.map(c => col(s"l.$c").as(c)) ++
             dataCols.map(c => col(s"f.${c}_prev").as(s"${c}_prev")))): _*)
     } else {
-      // fallback: snapshot diff over the span's touched buckets
+      // fallback: snapshot diff over the span's touched buckets —
+      // each side is that snapshot's LIVE state (its own pending MOR
+      // delete files applied), so a deferred delete diffs exactly
+      // like a copy-on-write one
       val touched = span.flatMap(_.touched).toSet
       def side(s: Snapshot): DataFrame = {
         val paths = touched.toSeq.sorted
           .flatMap(b => s.files.getOrElse(b, Seq.empty))
           .map(f => s"$dir/$f")
-        if (paths.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(paths: _*)
+        val raw =
+          if (paths.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.schema(schema).parquet(paths: _*)
+        applyDeletes(spark, dir, s, schema, keyCol, raw, Some(touched))
       }
       classifyDiff(side(from), side(to), keyCol, schema)
         .select(outNames.map(col): _*)
@@ -1489,9 +1900,15 @@ object VersionedKeyedTable {
         s"VersionedKeyedTable at $dir: restore contention exceeded " +
           "10 attempts")
       val cur = snapshot(spark, dir)
-      val touched = (target.files.keySet ++ cur.files.keySet).filter(b =>
+      // a bucket differs when its data files OR its pending MOR delete
+      // files differ — restoring across a deferred delete must revive
+      // (or re-impose) the delete entries with the files
+      val touched = (target.files.keySet ++ cur.files.keySet ++
+          target.deletes.keySet ++ cur.deletes.keySet).filter(b =>
         target.files.getOrElse(b, Seq.empty) !=
-          cur.files.getOrElse(b, Seq.empty))
+          cur.files.getOrElse(b, Seq.empty) ||
+        target.deletes.getOrElse(b, Seq.empty) !=
+          cur.deletes.getOrElse(b, Seq.empty))
       if (touched.isEmpty) return // already at the target state
       // metadata-only by design: no change file is computed (that
       // would re-read the diffed buckets) — CDF spans crossing a
@@ -1499,7 +1916,7 @@ object VersionedKeyedTable {
       val content = renderManifest(touched, target.files,
         target.schema.getOrElse(metaSchema), target.stats, None,
         Map(BaseKey -> cur.version.toString), target.counts,
-        target.extraStats)
+        target.extraStats, target.deletes)
       var v = cur.version + 1
       var committed = false
       var stale = false
@@ -1531,8 +1948,12 @@ object VersionedKeyedTable {
   def compact(spark: SparkSession, dir: String, keyCol: String,
       maxFilesPerBucket: Int = 1): Unit =
     rewriteBuckets(spark, dir, keyCol, "compaction",
+      // fragmented buckets AND buckets carrying pending merge-on-read
+      // delete files: compaction is also the PURGE that folds deferred
+      // deletes back into plain data files (restoring the vectorized
+      // no-anti-join read path and metadata min/max pushdown)
       pick = snap => snap.files.filter(_._2.size > maxFilesPerBucket)
-        .keySet,
+        .keySet ++ snap.deletes.keySet,
       // one output file per fragmented bucket: repartition on the
       // bucket id so each write task owns whole buckets
       shape = (rows, n) =>
@@ -1680,7 +2101,16 @@ object VersionedKeyedTable {
       val paths = picked.toSeq.sorted
         .flatMap(b => snap.files.getOrElse(b, Seq.empty))
         .map(f => s"$dir/$f")
-      val rows = spark.read.schema(schema).parquet(paths: _*)
+      // a maintenance rewrite materializes the LIVE state: pending MOR
+      // delete files of the picked buckets are applied here and their
+      // entries cleared below — compact() IS the delete-purge operation
+      val rows = applyDeletes(spark, dir, snap, schema, keyCol,
+          if (paths.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              schema)
+          else spark.read.schema(schema).parquet(paths: _*),
+          Some(picked))
         .withColumn("__bucket", bucketOf(keyCol, nb))
       val (newFiles, newStats, newCounts, newExtra) =
         writeDataFiles(spark, dir,
@@ -1693,7 +2123,7 @@ object VersionedKeyedTable {
       val content = renderManifest(picked, manifest, schema,
         snap.stats ++ newStats, Some(Seq.empty),
         Map(BaseKey -> snap.version.toString), snap.counts ++ newCounts,
-        snap.extraStats ++ newExtra)
+        snap.extraStats ++ newExtra, snap.deletes -- picked)
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -1772,7 +2202,8 @@ object VersionedKeyedTable {
     // residual filter in the SAME image the bounds are expressed in
     // (epoch days / micros for date / timestamp keys)
     val k = statImage(schema(keyCol).dataType, col(keyCol))
-    df.where(k >= lo && k <= hi)
+    applyDeletes(spark, dir, snap, schema, keyCol,
+      df.where(k >= lo && k <= hi))
   }
 
   /** [[rangeFiles]] on a SECONDARY column's named zone maps (written
@@ -1808,7 +2239,8 @@ object VersionedKeyedTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
     val c = statImage(schema(statCol).dataType, col(statCol))
-    df.where(c >= lo && c <= hi)
+    applyDeletes(spark, dir, snap, schema,
+      morKeyCol(spark, dir, snap), df.where(c >= lo && c <= hi))
   }
 
   /** The table as a CATALYST-INTEGRATED DataFrame: any `WHERE` clause
@@ -1837,7 +2269,11 @@ object VersionedKeyedTable {
         new org.apache.spark.sql.execution.datasources.parquet
           .ParquetFileFormat,
         Map.empty[String, String])(spark)
-    (spark.baseRelationToDataFrame(relation), index)
+    // pending MOR deletes ride ABOVE the indexed scan: filters and
+    // projections still push through the anti-join to the pruned
+    // relation, and tables without delete files keep the bare scan
+    (applyDeletes(spark, dir, snap, schema, keyCol,
+      spark.baseRelationToDataFrame(relation)), index)
   }
 
   /** Point-lookup read: the given keys' rows, touching only the
@@ -1867,7 +2303,8 @@ object VersionedKeyedTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
-    df.where(col(keyCol).isin(keys: _*))
+    applyDeletes(spark, dir, snap, schema, keyCol,
+      df.where(col(keyCol).isin(keys: _*)))
   }
 
   /** [[keyFiles]] for STRING-keyed tables: candidates are pruned by
@@ -1951,7 +2388,8 @@ object VersionedKeyedTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
-    df.where(col(keyCol).isin(keys: _*))
+    applyDeletes(spark, dir, snap, schema, keyCol,
+      df.where(col(keyCol).isin(keys: _*)))
   }
 
   /** SHALLOW CLONE: a new, fully independent table at `dstDir` whose
@@ -1990,7 +2428,8 @@ object VersionedKeyedTable {
     // every referenced data file + each involved commit dir's bloom
     // sidecar (harmless if it lists files the clone does not reference
     // — lookups are by relative path)
-    val rels = snap.files.values.flatten.toSeq
+    val rels = snap.files.values.flatten.toSeq ++
+      snap.deletes.values.flatten.toSeq
     val sidecars = rels.map { f =>
       val i = f.indexOf('/', f.indexOf('/') + 1)
       if (i < 0) f else f.take(i)
@@ -2019,7 +2458,7 @@ object VersionedKeyedTable {
     val content = renderManifest(snap.files.keySet, snap.files, schema,
       snap.stats, None,
       Map("graft.clonedFrom" -> s"$srcDir@v${snap.version}"), snap.counts,
-      snap.extraStats)
+      snap.extraStats, snap.deletes)
     while (!tryCommit(fs, dstDir, versionPath(dstDir, v), content)) v += 1
   }
 
@@ -2033,8 +2472,13 @@ object VersionedKeyedTable {
       version: Option[Long] = None): Option[Long] = {
     val snap = snapshot(spark, dir, version)
     val files = snap.files.values.flatten.toSeq
-    if (files.forall(snap.counts.contains))
-      Some(files.map(snap.counts).sum)
+    val delFiles = snap.deletes.values.flatten.toSeq
+    // pending MOR deletes SUBTRACT exactly: a live delete file holds
+    // only keys that existed, each in exactly one live delete file
+    // (deleteMor's existence semi-join is what pins the invariant)
+    if (files.forall(snap.counts.contains) &&
+        delFiles.forall(snap.counts.contains))
+      Some(files.map(snap.counts).sum - delFiles.map(snap.counts).sum)
     else None
   }
 
@@ -2104,6 +2548,7 @@ object VersionedKeyedTable {
     val referenced = parsed
       .collect { case (v, Some(s)) if keepSet(v) => s }
       .flatMap(s => s.files.values.flatten ++
+        s.deletes.values.flatten ++
         s.changes.getOrElse(Seq.empty)).toSet
     require(keep.nonEmpty || versions.isEmpty,
       s"vacuum at $dir would retain no complete version")
@@ -2158,6 +2603,7 @@ object VersionedKeyedTable {
           if (!fs.exists(p)) Seq.empty
           else parseManifest(v, readVersionFile(fs, p))
             .map(s => (s.files.values.flatten ++
+              s.deletes.values.flatten ++
               s.changes.getOrElse(Seq.empty)).toSeq)
             .getOrElse(Seq.empty)
         }.toSet

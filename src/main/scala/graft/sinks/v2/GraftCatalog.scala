@@ -156,15 +156,33 @@ class GraftCatalog extends TableCatalog
     // `VERSION AS OF v` bounds the history at v / pins the file
     // listing to v's snapshot.
     if (ident.name().endsWith("$history") ||
-        ident.name().endsWith("$files")) {
+        ident.name().endsWith("$files") ||
+        ident.name().endsWith("$deletes")) {
       val isHistory = ident.name().endsWith("$history")
-      val suffix = if (isHistory) "$history" else "$files"
+      val isDeletes = ident.name().endsWith("$deletes")
+      val suffix =
+        if (isHistory) "$history"
+        else if (isDeletes) "$deletes" else "$files"
       val dir = (ident.namespace() :+ ident.name().stripSuffix(suffix))
         .mkString(s"$base/", "/", "")
       if (KeyedTable.readMeta(spark, dir).isEmpty)
         throw new NoSuchTableException(ident)
       def utf8(s: String) =
         org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      // `t$deletes`: the snapshot's pending merge-on-read delete
+      // files (bucket, file, doomed-row count) — empty once
+      // compaction purges them
+      if (isDeletes)
+        return new GraftMetaTable(ident.toString,
+          GraftCatalog.DeletesSchema,
+          () => {
+            val snap = VersionedKeyedTable.snapshot(
+              SparkSession.active, dir, version)
+            snap.deletes.toArray.sortBy(_._1).flatMap { case (b, fs) =>
+              fs.sorted.map(f => InternalRow(b, utf8(f),
+                snap.counts.get(f).map(Long.box).orNull))
+            }
+          })
       return if (isHistory)
         new GraftMetaTable(ident.toString, GraftCatalog.HistorySchema,
           () => {
@@ -211,7 +229,7 @@ class GraftCatalog extends TableCatalog
     * resolves against the BASE table's commit log and bounds the
     * virtual relation there. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val resolveDir = Seq("$changes", "$history", "$files")
+    val resolveDir = Seq("$changes", "$history", "$files", "$deletes")
       .find(ident.name().endsWith)
       .map(sfx => (ident.namespace() :+ ident.name().stripSuffix(sfx))
         .mkString(s"$base/", "/", ""))
@@ -347,6 +365,8 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     m.put("buckets", numBuckets.toString)
     m.put("version", snap.version.toString)
     m.put("data_files", snap.files.valuesIterator.map(_.size).sum.toString)
+    m.put("delete_files",
+      snap.deletes.valuesIterator.map(_.size).sum.toString)
     m
   }
   override def capabilities: util.Set[TableCapability] =
@@ -413,7 +433,15 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     val doomed = VersionedKeyedTable.table(spark, dir, key)
       .where(cond)
       .select(org.apache.spark.sql.functions.col(key))
-    VersionedKeyedTable.delete(spark, dir, doomed, key)
+    // spark.graft.delete.mode=mor defers the delete as per-bucket
+    // delete files (no bucket rewrite — the Delta
+    // delta.enableDeletionVectors switch's shape); default rewrites
+    // copy-on-write, the right cost for dense deletes
+    if (spark.conf.getOption("spark.graft.delete.mode")
+        .exists(_.equalsIgnoreCase("mor")))
+      VersionedKeyedTable.deleteMor(spark, dir, doomed, key,
+        commitMeta = Map("graft.sql.delete" -> "mor"))
+    else VersionedKeyedTable.delete(spark, dir, doomed, key)
   }
 
   /** SQL DML: `INSERT INTO cat.t ...` lands as ONE optimistic upsert
@@ -529,6 +557,13 @@ object GraftCatalog {
     StructField("rows", LongType, nullable = true),
     StructField("key_min", StringType, nullable = true),
     StructField("key_max", StringType, nullable = true)))
+
+  /** `t$deletes` — the snapshot's pending merge-on-read delete files
+    * (each `rows` doomed keys; empty after compaction purges). */
+  val DeletesSchema: StructType = StructType(Seq(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("rows", LongType, nullable = true)))
 }
 
 /** A driver-materialized metadata relation (`t$history` / `t$files`):
@@ -552,14 +587,23 @@ class GraftMetaTable(ident: String, schema0: StructType,
   }
 }
 
-/** One SQL UPDATE/MERGE/DELETE as scan + full replace: the scan reads
-  * the PINNED snapshot, the write lands [[VersionedKeyedTable
-  * .replaceAll]] with `expectedVersion` = that snapshot — read and
-  * replace are one serializable unit. */
+/** One SQL UPDATE/MERGE/DELETE as scan + GROUP replace: the scan
+  * reads the PINNED snapshot's matching files (zone-map pruning on
+  * the statement's condition narrows the set — a key-ranged UPDATE
+  * rewrites only covering files), the write lands
+  * [[VersionedKeyedTable.replaceFiles]] over EXACTLY the files the
+  * scan planned, with `expectedVersion` = that snapshot — read and
+  * replace are one serializable unit, and unread files' rows are
+  * untouched by construction (replacing more than was read would
+  * silently drop them). */
 class GraftRowLevelOperation(dir: String, keyCol: String,
     snap: VersionedKeyedTable.Snapshot, tableSchema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** The data files the CoW scan planned — set at scan build (driver,
+    * during planning), consumed by the write's commit. */
+  @volatile private var plannedFiles: Seq[String] = _
 
   override def command
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
@@ -567,7 +611,8 @@ class GraftRowLevelOperation(dir: String, keyCol: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    new GraftScanBuilder(dir, snap, tableSchema, Some(keyCol))
+    new GraftScanBuilder(dir, snap, tableSchema, Some(keyCol),
+      onRowLevelPlan = fs => plannedFiles = fs)
 
   /** Spark applies its ReplaceData row projections (which strip the
     * internal `__row_operation` marker before the connector's writer)
@@ -588,20 +633,32 @@ class GraftRowLevelOperation(dir: String, keyCol: String,
               : org.apache.spark.sql.connector.write.BatchWrite =
             new GraftReplaceBatchWrite(dir, keyCol, info.queryId(),
               info.schema(), expectedVersion = Some(snap.version),
-              stampKey = "graft.sql." + cmd.toString.toLowerCase)
+              stampKey = "graft.sql." + cmd.toString.toLowerCase,
+              replaceOnly = Some(() => {
+                val fs = plannedFiles
+                if (fs == null) throw new IllegalStateException(
+                  "row-level write committed before its CoW scan was " +
+                    "planned — no file set to replace")
+                fs
+              }))
         }
     }
 }
 
-/** Replace-the-table batch write: tasks stage parquet on executors,
-  * the driver commit is ONE [[VersionedKeyedTable.replaceAll]] —
-  * CDF-captured, optionally pinned to an expected snapshot version
-  * (the row-level-operation contract). An empty staged set is a
-  * LEGITIMATE replacement (a DELETE that matched everything): the
-  * table empties, unlike INSERT's empty no-op. */
+/** Replace batch write: tasks stage parquet on executors, the driver
+  * commit is ONE replace — the WHOLE table
+  * ([[VersionedKeyedTable.replaceAll]], the INSERT OVERWRITE face) or,
+  * with `replaceOnly`, EXACTLY the files the row-level CoW scan
+  * planned ([[VersionedKeyedTable.replaceFiles]] — the group-based
+  * contract: ReplaceData's output carries only the READ files' rows,
+  * so replacing more would drop unread rows). CDF-captured, optionally
+  * pinned to an expected snapshot version. An empty staged set is a
+  * LEGITIMATE replacement (a DELETE that matched everything the scan
+  * read). */
 class GraftReplaceBatchWrite(dir: String, keyCol: String,
     queryId: String, schema: StructType, expectedVersion: Option[Long],
-    stampKey: String)
+    stampKey: String,
+    replaceOnly: Option[() => Seq[String]] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private def spark = SparkSession.active
 
@@ -622,9 +679,16 @@ class GraftReplaceBatchWrite(dir: String, keyCol: String,
         if (staged.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else spark.read.schema(schema).parquet(staged.toIndexedSeq: _*)
-      VersionedKeyedTable.replaceAll(spark, dir, rows, keyCol,
-        commitMeta = Map(stampKey -> queryId),
-        expectedVersion = expectedVersion)
+      replaceOnly match {
+        case Some(filesOf) =>
+          VersionedKeyedTable.replaceFiles(spark, dir, filesOf(), rows,
+            keyCol, expectedVersion = expectedVersion,
+            commitMeta = Map(stampKey -> queryId))
+        case None =>
+          VersionedKeyedTable.replaceAll(spark, dir, rows, keyCol,
+            commitMeta = Map(stampKey -> queryId),
+            expectedVersion = expectedVersion)
+      }
     } finally StagedFileMessage.cleanup(spark, dir, messages)
   }
 
@@ -680,7 +744,11 @@ class GraftSqlWriterFactory(dir: String, schema: StructType,
 
 class GraftScanBuilder(dir: String,
     snap: VersionedKeyedTable.Snapshot, tableSchema: StructType,
-    keyCol: Option[String], numBuckets: Option[Int] = None)
+    keyCol: Option[String], numBuckets: Option[Int] = None,
+    /** Row-level operations pass this to learn which files their CoW
+      * scan planned — the exact set the group-based write must then
+      * replace (see [[VersionedKeyedTable.replaceFiles]]). */
+    onRowLevelPlan: Seq[String] => Unit = null)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -772,6 +840,11 @@ class GraftScanBuilder(dir: String,
     * (pre-stats files, all-null files — indistinguishable, so never
     * guess). */
   private def metaExtremum(c: String, takeMin: Boolean): Option[Any] = {
+    // pending MERGE-ON-READ deletes may have removed the recorded
+    // extremum's row — envelope folds are unsound until compaction
+    // purges the delete files; COUNT(*) is unaffected (countRows
+    // subtracts exact delete counts)
+    if (snap.deletes.nonEmpty) return None
     val files = allFiles
     if (files.isEmpty) return Some(null)
     val vals = files.map(f => statOf(f, c)
@@ -936,7 +1009,7 @@ class GraftScanBuilder(dir: String,
         case _ => true
       }
     val files = snap.files.values.flatten.toSeq
-    val kept = files.filter { f =>
+    val keptPruned = files.filter { f =>
       val keyOk = keyCol.forall { k =>
         (if (numericCol(k)) surviveNum(snap.stats.get(f), num.get(k))
          else true) &&
@@ -952,7 +1025,7 @@ class GraftScanBuilder(dir: String,
           surviveStr(extras.get(c), Some(b))
       }
     }
-    GraftScanBuilder.lastPlanned.set((kept.size, files.size))
+    GraftScanBuilder.lastPlanned.set((keptPruned.size, files.size))
     GraftScanBuilder.lastReadSchema.set(required.fieldNames.toSeq)
     if (required.fieldNames.contains("_file")) {
       // the METADATA-COLUMN path (row-level operations' CoW read, or
@@ -963,6 +1036,16 @@ class GraftScanBuilder(dir: String,
       // right tool here; plain scans stay on the vectorized path.
       val req = required
       val conf = SerializableHadoopConf.fromSession(spark)
+      val delRels = snap.deletes.values.flatten.toSeq
+      // a ROW-LEVEL CoW read under pending MOR deletes must scan ALL
+      // files: a partial replacement would leave dangling delete keys
+      // (replaceFiles refuses it) — pruning resumes after compaction
+      val kept =
+        if (onRowLevelPlan != null && delRels.nonEmpty) files
+        else keptPruned
+      GraftScanBuilder.lastPlanned.set((kept.size, files.size))
+      // the group-based write replaces EXACTLY this file set
+      if (onRowLevelPlan != null) onRowLevelPlan(kept)
       new Scan {
         override def readSchema(): StructType = req
         override def toBatch: Batch = new Batch {
@@ -970,13 +1053,31 @@ class GraftScanBuilder(dir: String,
             kept.map(f =>
               GraftMetaFilePartition(s"$dir/$f", f): InputPartition)
               .toArray
-          override def createReaderFactory(): PartitionReaderFactory =
-            new GraftMetaFileReaderFactory(req, conf)
+          override def createReaderFactory(): PartitionReaderFactory = {
+            // pending MOR deletes must not resurrect through the CoW
+            // read (an UPDATE/MERGE rewrite carries every surviving
+            // row — a deleted row slipping in here would come back).
+            // The key rides as a trailing extra field when the
+            // projection lacks it (downstream reads ordinals 0..n-1).
+            if (delRels.isEmpty) new GraftMetaFileReaderFactory(req, conf)
+            else {
+              val k = keyCol.getOrElse(throw new IllegalStateException(
+                s"$dir carries merge-on-read delete files but records " +
+                  "no key column"))
+              val reqPlus =
+                if (req.fieldNames.contains(k)) req
+                else req.add(tableSchema(k))
+              new MorFilterReaderFactory(
+                new GraftMetaFileReaderFactory(reqPlus, conf), dir,
+                delRels, k, tableSchema(k).dataType,
+                reqPlus.fieldIndex(k), conf)
+            }
+          }
         }
       }
     } else {
       new GraftRowScan(dir, snap, tableSchema, required, accepted,
-        keyCol, kept, numBuckets)
+        keyCol, keptPruned, numBuckets)
     }
   }
 }
@@ -1017,6 +1118,35 @@ class GraftRowScan(dir: String,
     null
 
   private def spark = SparkSession.active
+
+  // ---- merge-on-read deletes ---------------------------------------
+  // A snapshot with pending delete files filters deleted keys in the
+  // reader (the DSv2 seat of the anti-join the programmatic paths
+  // apply). The inner parquet read carries the key as a trailing
+  // extra column when the projection lacks it — downstream consumes
+  // ordinals 0..n-1 of readSchema(), so the extra field is invisible.
+  // Row-based while deletes are pending; compaction purges them and
+  // restores the vectorized path.
+  private val delRels: Seq[String] = snap.deletes.values.flatten.toSeq
+  private val morKeyName: Option[String] =
+    if (delRels.isEmpty) None
+    else Some(keyCol.getOrElse(throw new IllegalStateException(
+      s"$dir carries merge-on-read delete files but records no key " +
+        "column")))
+  private val innerSchema: StructType = morKeyName match {
+    case Some(k) if !required.fieldNames.contains(k) =>
+      required.add(tableSchema(k))
+    case _ => required
+  }
+
+  private def morWrap(factory: PartitionReaderFactory)
+      : PartitionReaderFactory = morKeyName match {
+    case None => factory
+    case Some(k) =>
+      new MorFilterReaderFactory(factory, dir, delRels, k,
+        tableSchema(k).dataType, innerSchema.fieldIndex(k),
+        SerializableHadoopConf.fromSession(spark))
+  }
 
   // ---- storage-partitioned reads -----------------------------------
   // The store's layout IS a key-clustering: bucket(n, key) by
@@ -1098,7 +1228,7 @@ class GraftRowScan(dir: String,
       val conf = new org.apache.hadoop.conf.Configuration(
         spark.sparkContext.hadoopConfiguration)
       c = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
-        spark, conf, index, tableSchema, required,
+        spark, conf, index, tableSchema, innerSchema,
         new StructType() /* no partition columns: buckets live in the
           manifest, not in directory names the scan must decode */,
         accepted, CaseInsensitiveStringMap.empty(), None,
@@ -1118,8 +1248,15 @@ class GraftRowScan(dir: String,
     * either way (vectorized parquet). */
   override def toBatch: Batch = {
     val delegate = current.toBatch
-    if (!spjActive) delegate
-    else new Batch {
+    if (!spjActive) {
+      if (morKeyName.isEmpty) delegate
+      else new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          delegate.planInputPartitions()
+        override def createReaderFactory(): PartitionReaderFactory =
+          morWrap(delegate.createReaderFactory())
+      }
+    } else new Batch {
       override def planInputPartitions(): Array[InputPartition] = {
         val pfs = delegate.planInputPartitions().flatMap {
           case fp: org.apache.spark.sql.execution.datasources
@@ -1134,7 +1271,7 @@ class GraftRowScan(dir: String,
         }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        delegate.createReaderFactory()
+        morWrap(delegate.createReaderFactory())
     }
   }
 

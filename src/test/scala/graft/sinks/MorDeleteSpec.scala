@@ -1,0 +1,309 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import graft.TestSpark
+
+/** MERGE-ON-READ deletes (`deleteMor`): deferred per-bucket delete
+  * files instead of bucket rewrites — the Iceberg equality-delete /
+  * Delta deletion-vector shape over the manifest log. Pins: no data
+  * file moves on a MOR delete; every read path applies the deletes;
+  * copy-on-write mutations and compaction CONSUME them; metadata
+  * COUNT(*) stays exact; CDF captures ordinary delete rows; clone /
+  * restore / vacuum carry or reclaim the files correctly; and the SQL
+  * catalog filters deleted keys on all three scan shapes (vectorized
+  * row scan, `_file` CoW read, aggregate pushdown declining min/max
+  * but not count). */
+class MorDeleteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-mor").toString + "/t"
+
+  private def contents(dir: String, version: Option[Long] = None)
+      : Map[Long, String] =
+    VersionedKeyedTable.read(spark, dir, version)
+      .as[(Long, String)].collect().toMap
+
+  private def make(dir: String, n: Long = 100L): Unit =
+    VersionedKeyedTable.create(
+      (1L to n).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+      numBuckets = 4)
+
+  test("deleteMor hides rows WITHOUT touching data files; time travel " +
+      "still sees them; countRows subtracts exactly") {
+    val dir = freshDir()
+    make(dir)
+    val before = VersionedKeyedTable.snapshot(spark, dir)
+    VersionedKeyedTable.deleteMor(spark, dir,
+      Seq(3L, 7L, 50L).toDF("k"), "k")
+    val after = VersionedKeyedTable.snapshot(spark, dir)
+    // the delete commit moved NO data file — that is the point
+    assert(after.files === before.files,
+      "a MOR delete must not rewrite, add or drop data files")
+    assert(after.deletes.nonEmpty &&
+      after.deletes.values.flatten.nonEmpty)
+    val now = contents(dir)
+    assert(now.size === 97 && !now.contains(3L) && !now.contains(7L) &&
+      !now.contains(50L) && now(4L) === "v4")
+    // time travel: the pre-delete version still reads all 100
+    assert(contents(dir, Some(before.version)).size === 100)
+    // metadata-only count stays exact under pending deletes
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(97L))
+  }
+
+  test("absent and already-deleted keys are no-ops: no commit, no " +
+      "double-count in the delete files") {
+    val dir = freshDir()
+    make(dir)
+    VersionedKeyedTable.deleteMor(spark, dir, Seq(10L).toDF("k"), "k")
+    val v1 = VersionedKeyedTable.snapshot(spark, dir).version
+    // absent key: nothing exists to delete -> no new version
+    VersionedKeyedTable.deleteMor(spark, dir, Seq(9999L).toDF("k"), "k")
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === v1)
+    // already-deleted key rides the existence check the same way
+    VersionedKeyedTable.deleteMor(spark, dir, Seq(10L).toDF("k"), "k")
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === v1)
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(99L))
+    // a mixed batch deletes only what exists, once
+    VersionedKeyedTable.deleteMor(spark, dir,
+      Seq(10L, 11L, 8888L).toDF("k"), "k")
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(98L))
+    assert(!contents(dir).contains(11L))
+  }
+
+  test("an upsert of a MOR-deleted key REVIVES it and CONSUMES the " +
+      "bucket's delete entries; other buckets' deletes survive") {
+    val dir = freshDir()
+    make(dir)
+    // two keys in provably different buckets under numBuckets=4
+    val byBucket = spark.range(1, 101).select(col("id"),
+        pmod(xxhash64(col("id")), lit(4L)).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    val (kA, kB) = {
+      val a = byBucket.keys.head
+      (a, byBucket.keys.find(k => byBucket(k) != byBucket(a)).get)
+    }
+    VersionedKeyedTable.deleteMor(spark, dir,
+      Seq(kA, kB).toDF("k"), "k")
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((kA, "REVIVED")).toDF("k", "v"), "k")
+    val snap = VersionedKeyedTable.snapshot(spark, dir)
+    assert(!snap.deletes.contains(byBucket(kA)),
+      "the rewrite of kA's bucket must consume its delete entries")
+    assert(snap.deletes.contains(byBucket(kB)),
+      "kB's untouched bucket keeps its pending delete file")
+    val now = contents(dir)
+    assert(now(kA) === "REVIVED" && !now.contains(kB))
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(99L))
+  }
+
+  test("compact PURGES pending deletes: reads unchanged, delete " +
+      "entries gone, vacuum then reclaims the delete files") {
+    val dir = freshDir()
+    make(dir)
+    VersionedKeyedTable.deleteMor(spark, dir,
+      (1L to 20L).toDF("k"), "k")
+    val pendingRels = VersionedKeyedTable.snapshot(spark, dir)
+      .deletes.values.flatten.toSeq
+    assert(pendingRels.nonEmpty)
+    VersionedKeyedTable.compact(spark, dir, "k")
+    val snap = VersionedKeyedTable.snapshot(spark, dir)
+    assert(snap.deletes.isEmpty, "compaction must consume delete files")
+    assert(contents(dir).size === 80 && !contents(dir).contains(5L))
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(80L))
+    // with the consuming commit as the only retained version, vacuum
+    // reclaims the now-unreferenced delete files
+    VersionedKeyedTable.vacuum(spark, dir, keepVersions = 1,
+      graceMs = 0L, stagingGraceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pendingRels.foreach { rel =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")),
+        s"vacuum must reclaim consumed delete file $rel")
+    }
+    assert(contents(dir).size === 80)
+  }
+
+  test("CDF: a MOR delete captures ordinary delete change rows with " +
+      "_prev values — consumers cannot tell deferred from CoW") {
+    val dir = freshDir()
+    make(dir)
+    val v0 = VersionedKeyedTable.snapshot(spark, dir).version
+    VersionedKeyedTable.deleteMor(spark, dir,
+      Seq(3L, 7L).toDF("k"), "k")
+    val v1 = VersionedKeyedTable.snapshot(spark, dir).version
+    val ch = VersionedKeyedTable.changesBetween(spark, dir, "k", v0, v1)
+      .select("k", "change_type", "v_prev").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(ch.toSeq === Seq((3L, "delete", "v3"), (7L, "delete", "v7")))
+  }
+
+  test("point lookups, range reads and the Catalyst table path all " +
+      "apply pending deletes") {
+    val dir = freshDir()
+    make(dir)
+    VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 20L)
+    VersionedKeyedTable.deleteMor(spark, dir,
+      Seq(10L, 11L, 12L).toDF("k"), "k")
+    assert(VersionedKeyedTable.readKeys(spark, dir, "k",
+      Seq(10L, 13L)).as[(Long, String)].collect().toSeq
+      === Seq((13L, "v13")))
+    assert(VersionedKeyedTable.readRange(spark, dir, "k", 9L, 14L)
+      .select("k").as[Long].collect().sorted.toSeq
+      === Seq(9L, 13L, 14L))
+    assert(VersionedKeyedTable.table(spark, dir, "k")
+      .where(col("k") between (9L, 14L))
+      .select("k").as[Long].collect().sorted.toSeq
+      === Seq(9L, 13L, 14L))
+  }
+
+  test("merge() over pending deletes treats a deleted key as NOT " +
+      "matched (inserts fresh instead of updating a ghost)") {
+    val dir = freshDir()
+    make(dir)
+    VersionedKeyedTable.deleteMor(spark, dir, Seq(5L).toDF("k"), "k")
+    VersionedKeyedTable.merge(spark, dir,
+      Seq((5L, "MERGED"), (6L, "MERGED")).toDF("k", "v"), "k",
+      whenMatchedUpdate = Map("v" -> concat(col("t.v"), lit("+upd"))))
+    val now = contents(dir)
+    assert(now(5L) === "MERGED", "deleted key must insert fresh")
+    assert(now(6L) === "v6+upd", "live key must take the update branch")
+  }
+
+  test("clone and restore carry pending deletes with the snapshot") {
+    val dir = freshDir()
+    make(dir)
+    VersionedKeyedTable.deleteMor(spark, dir,
+      Seq(1L, 2L).toDF("k"), "k")
+    val vDel = VersionedKeyedTable.snapshot(spark, dir).version
+    // clone at the MOR-delete snapshot: the copy must hide the keys
+    val dst = freshDir()
+    VersionedKeyedTable.cloneAt(spark, dir, dst)
+    assert(contents(dst).size === 98 && !contents(dst).contains(1L))
+    assert(VersionedKeyedTable.countRows(spark, dst) === Some(98L))
+    // bury the deletes under a CoW rewrite, then restore across it
+    VersionedKeyedTable.compact(spark, dir, "k")
+    assert(VersionedKeyedTable.snapshot(spark, dir).deletes.isEmpty)
+    VersionedKeyedTable.restore(spark, dir, vDel)
+    val snap = VersionedKeyedTable.snapshot(spark, dir)
+    assert(snap.deletes.nonEmpty,
+      "restore must re-impose the target version's delete entries")
+    assert(contents(dir).size === 98 && !contents(dir).contains(2L))
+  }
+
+  test("string-keyed MOR delete rides the same paths (UTF-8 envelope " +
+      "pruning, bloom sidecars, readKeysStr)") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 60L).map(i => (f"doc$i%03d", i)).toDF("k", "n"), dir, "k",
+      numBuckets = 4)
+    VersionedKeyedTable.deleteMor(spark, dir,
+      Seq("doc005", "doc006").toDF("k"), "k")
+    assert(VersionedKeyedTable.read(spark, dir).count() === 58L)
+    assert(VersionedKeyedTable.readKeysStr(spark, dir, "k",
+      Seq("doc005", "doc007")).select("n").as[Long].collect().toSeq
+      === Seq(7L))
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(58L))
+  }
+
+  test("REGRESSION: a zone-map-pruned SQL UPDATE rewrites ONLY the " +
+      "covering files and loses no rows (group-based replace, not " +
+      "whole-table replace)") {
+    val base = Files.createTempDirectory("graft-rf-cat").toString
+    spark.conf.set("spark.sql.catalog.rcat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rcat.base", base)
+    val dir = s"$base/t"
+    VersionedKeyedTable.create(
+      (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "s"), dir, "k",
+      numBuckets = 2)
+    VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 200L)
+    val filesBefore = VersionedKeyedTable.snapshot(spark, dir)
+      .files.values.flatten.toSet
+    spark.sql("UPDATE rcat.t SET s = 'X' WHERE k <= 3")
+    // the whole point: every row survives; only matched rows changed
+    assert(spark.sql("SELECT count(*) AS n FROM rcat.t")
+      .as[Long].head() === 2000L)
+    assert(spark.sql("SELECT count(*) AS n FROM rcat.t WHERE s = 'X'")
+      .as[Long].head() === 3L)
+    assert(spark.sql("SELECT s FROM rcat.t WHERE k = 1999")
+      .as[String].head() === "v1999")
+    // and the efficiency half: the clustered layout pruned the CoW
+    // read, so MOST pre-update files survive untouched in the manifest
+    val after = VersionedKeyedTable.snapshot(spark, dir)
+    val surviving = after.files.values.flatten.toSet & filesBefore
+    assert(surviving.size > filesBefore.size / 2,
+      s"a key-ranged UPDATE must rewrite only covering files " +
+        s"(${surviving.size}/${filesBefore.size} survived)")
+    // MERGE rides the same group replace
+    (2100L to 2105L).map(i => (i, s"m$i")).toDF("k", "s")
+      .createOrReplaceTempView("mor_merge_src")
+    spark.sql(
+      """MERGE INTO rcat.t AS t USING mor_merge_src AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM rcat.t")
+      .as[Long].head() === 2006L)
+    // expression DELETE (not filter-expressible -> row-level path)
+    spark.sql("DELETE FROM rcat.t WHERE k % 1000 = 7 AND length(s) > 1")
+    assert(spark.sql("SELECT count(*) AS n FROM rcat.t")
+      .as[Long].head() === 2004L)
+  }
+
+  test("SQL catalog over pending deletes: row scans filter, count(*) " +
+      "stays metadata-only and exact, min/max declines to a real " +
+      "scan, t$deletes lists the files, CoW UPDATE does not " +
+      "resurrect, and delete.mode=mor defers SQL DELETE") {
+    val base = Files.createTempDirectory("graft-mor-cat").toString
+    spark.conf.set("spark.sql.catalog.mcat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mcat.base", base)
+    val dir = s"$base/t"
+    VersionedKeyedTable.create(
+      (1L to 100L).map(i => (i, s"v$i", i * 2L)).toDF("k", "s", "x"),
+      dir, "k", numBuckets = 2)
+    VersionedKeyedTable.deleteMor(spark, dir,
+      Seq(1L, 100L).toDF("k"), "k")
+    // vectorized-path row scan: deleted keys filtered even when the
+    // projection lacks the key column
+    assert(spark.sql("SELECT s FROM mcat.t ORDER BY s LIMIT 1")
+      .as[String].head() === "v10")
+    assert(spark.sql("SELECT sum(x) AS s FROM mcat.t WHERE k <= 5")
+      .as[Long].head() === (2L to 5L).map(_ * 2L).sum)
+    // count(*): still answered from the manifest, zero files planned
+    assert(spark.sql("SELECT count(*) AS n FROM mcat.t")
+      .as[Long].head() === 98L)
+    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    assert(kept === 0 && total > 0,
+      s"count(*) must stay metadata-only under MOR deletes ($kept/$total)")
+    // min/max: the deleted extremum makes envelope folds unsound —
+    // declines to a scan and returns the LIVE extremum
+    assert(spark.sql("SELECT min(k) AS mn, max(k) AS mx FROM mcat.t")
+      .as[(Long, Long)].head() === ((2L, 99L)))
+    // metadata table
+    assert(spark.sql("SELECT sum(rows) AS r FROM mcat.`t$deletes`")
+      .as[Long].head() === 2L)
+    // CoW UPDATE (the _file scan) must not resurrect deleted keys
+    spark.sql("UPDATE mcat.t SET s = concat(s, '!') WHERE k <= 3")
+    assert(spark.sql("SELECT count(*) AS n FROM mcat.t")
+      .as[Long].head() === 98L)
+    assert(spark.sql("SELECT s FROM mcat.t WHERE k = 2")
+      .as[String].head() === "v2!")
+    assert(spark.sql("SELECT count(*) AS n FROM mcat.t WHERE k = 1")
+      .as[Long].head() === 0L)
+    // SQL DELETE under spark.graft.delete.mode=mor defers: data files
+    // stay put, a delete file appears
+    val beforeFiles = VersionedKeyedTable.snapshot(spark, dir).files
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM mcat.t WHERE k = 50")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val after = VersionedKeyedTable.snapshot(spark, dir)
+    assert(after.files === beforeFiles &&
+      after.deletes.values.flatten.nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM mcat.t")
+      .as[Long].head() === 97L)
+  }
+}
