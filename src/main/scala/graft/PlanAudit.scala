@@ -421,6 +421,29 @@ object PlanAudit {
       "projection column when absent); spark.graft.delete.mode=mor " +
       "routes SQL DELETE itself through the deferred path " +
       "(require-pinned: data files untouched)."),
+    "versioned_mor_upsert" -> ("Merge-on-read UPSERT (the Iceberg " +
+      "MoR write over the manifest log): the commit APPENDS new data " +
+      "files — sequence-stamped with the committing version — plus an " +
+      "equality-delete for the replaced keys that kills strictly " +
+      "BELOW that sequence, so the batch's own rows survive and " +
+      "exactly the newest row per key stays live. Require-pinned: " +
+      "every pre-existing data file survives the commit, appended " +
+      "files carry the commit's sequence, metadata COUNT(*) stays " +
+      "exact (each delete entry kills exactly one older visible " +
+      "row). Reads pay per-sequence-class anti-joins until compact() " +
+      "folds the backlog — write-fast/read-amplified, chosen per " +
+      "call site."),
+    "stream_mor_ingest" -> ("Merge-on-read STREAMING ingest " +
+      "(writeStream with writeMode=mor): every micro-batch appends " +
+      "data files + a sequence-stamped delete — per-epoch cost is " +
+      "O(batch) regardless of table size, where copy-on-write mode " +
+      "rewrites touched buckets per epoch (write amplification that " +
+      "grows with bucket size — the wrong curve for 100 TB " +
+      "continuous ingest). Require-pinned: one commit per " +
+      "micro-batch, data file sets only GROW along the lineage, " +
+      "last-write-wins across epochs via the sequence rule, and the " +
+      "closing compact() folds the backlog without changing the " +
+      "count. Exactly-once still rides the epoch stamp."),
     "versioned_sql_update_pruned" -> ("Group-based SQL UPDATE: the " +
       "CoW scan prunes to the files whose key envelopes intersect " +
       "the WHERE (zone maps), and the write replaces EXACTLY those " +

@@ -1104,6 +1104,17 @@ object ScaleCheck {
       val t2 = System.nanoTime()
       VersionedKeyedTable.deleteMor(spark, dir, morKeys, "k")
       val tMor = (System.nanoTime() - t2) / 1e9
+      // the same comparison for UPSERTS — the streaming-ingest shape:
+      // a fixed 50-row put batch, copy-on-write (bucket rewrite) vs
+      // merge-on-read (append + sequence-stamped delete)
+      val cowUp = (101L to 150L).map(k => (k, -2.0)).toDF("k", "v")
+      val t2b = System.nanoTime()
+      VersionedKeyedTable.upsert(spark, dir, cowUp, "k")
+      val tCowUp = (System.nanoTime() - t2b) / 1e9
+      val morUp = (151L to 200L).map(k => (k, -3.0)).toDF("k", "v")
+      val t2c = System.nanoTime()
+      VersionedKeyedTable.upsertMor(spark, dir, morUp, "k")
+      val tMorUp = (System.nanoTime() - t2c) / 1e9
       val t3 = System.nanoTime()
       val n = VersionedKeyedTable.read(spark, dir).count()
       val tRead = (System.nanoTime() - t3) / 1e9
@@ -1114,11 +1125,13 @@ object ScaleCheck {
       require(VersionedKeyedTable.snapshot(spark, dir).deletes.isEmpty,
         "compact must purge the pending deletes")
       System.err.println(
-        f"[scale]   mor: fixed 50-key delete at ${copies}x — CoW " +
-          f"$tCow%.2f s (rewrites touched buckets, table-linear at " +
-          f"fixed bucket count) vs MOR $tMor%.2f s (delete files + " +
-          f"pruned existence probe, flat); pending-delete read " +
-          f"$tRead%.2f s; purge (delete-bucket compact) $tPurge%.2f s")
+        f"[scale]   mor: fixed 50-key batches at ${copies}x — delete: " +
+          f"CoW $tCow%.2f s (rewrites touched buckets, table-linear " +
+          f"at fixed bucket count) vs MOR $tMor%.2f s (delete files + " +
+          f"pruned existence probe, flat); upsert: CoW $tCowUp%.2f s " +
+          f"vs MOR $tMorUp%.2f s (append + stamped delete, flat); " +
+          f"pending-state read $tRead%.2f s; purge (compact) " +
+          f"$tPurge%.2f s")
       n
     }
 

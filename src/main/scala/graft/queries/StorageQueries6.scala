@@ -235,7 +235,145 @@ object StorageQueries6 {
     VersionedKeyedTable.read(s, dir)
   }
 
+  /** MERGE-ON-READ UPSERT: put semantics that APPEND instead of
+    * rewriting — new data files + a sequence-stamped equality-delete
+    * for the replaced keys (the Iceberg MoR write over the manifest
+    * log). Copy-on-write upsert's write amplification grows with
+    * bucket size; at 100 TB a continuously-updated table must pay
+    * O(batch) per commit. In-row requires pin the contract: every
+    * pre-existing data file SURVIVES the commit, the appended files
+    * carry the commit's sequence, metadata COUNT(*) stays exact, and
+    * the sequence rule keeps exactly the newest row per key live
+    * (the batch's own rows survive its delete file). */
+  val versionedMorUpsert = sql("versioned_mor_upsert",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders)
+       SELECT k, g,
+         CASE WHEN k % 10 = 1 THEN cents * 3 ELSE cents END AS cents
+       FROM base
+       UNION ALL
+       SELECT o_orderkey + 100000000 AS k, CAST(-1 AS BIGINT) AS g,
+         CAST(7 AS BIGINT) AS cents
+       FROM orders WHERE o_orderkey % 97 = 0""") { (s, d) =>
+    val baseDir = scratch("morup")
+    val dir = s"$baseDir/t"
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows, dir, "k", CheckBuckets)
+    }
+    val before = VersionedKeyedTable.snapshot(s, dir)
+    val beforeFiles = before.files.valuesIterator.flatten.toSet
+    val batch = rows.filter(col("k") % 10 === 1)
+        .withColumn("cents", col("cents") * 3)
+      .unionByName(rows.filter(col("k") % 97 === 0)
+        .select((col("k") + 100000000L).as("k"),
+          lit(-1L).as("g"), lit(7L).as("cents")))
+    VersionedKeyedTable.upsertMor(s, dir, batch, "k")
+    val after = VersionedKeyedTable.snapshot(s, dir)
+    val afterFiles = after.files.valuesIterator.flatten.toSet
+    require(beforeFiles.subsetOf(afterFiles),
+      "a MOR upsert must not rewrite or drop any existing data file")
+    require((afterFiles -- beforeFiles).forall(f =>
+        after.seqs.get(f).contains(after.version)),
+      "appended files must carry the commit's sequence")
+    val expected = rows.count() +
+      rows.filter(col("k") % 97 === 0).count()
+    require(VersionedKeyedTable.countRows(s, dir).contains(expected),
+      "metadata COUNT(*) must stay exact across a MOR upsert")
+    VersionedKeyedTable.read(s, dir)
+  }
+
+  /** MERGE-ON-READ STREAMING INGEST: `writeStream` into the store
+    * with `writeMode=mor` — every micro-batch APPENDS data files plus
+    * a sequence-stamped delete for replaced keys, so per-epoch cost
+    * is O(batch) no matter how large the table has grown (the 100 TB
+    * continuous-ingest shape; copy-on-write mode rewrites touched
+    * buckets per epoch). Exactly-once still rides the epoch stamp in
+    * commit metadata. In-row requires pin: one commit per micro-batch,
+    * NO pre-existing data file ever dropped by an ingest commit
+    * (append-only file sets along the lineage), last-write-wins
+    * across epochs via the sequence rule, and a closing compact()
+    * folds the whole backlog without changing the answer. */
+  val streamMorIngest = sql("stream_mor_ingest",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders WHERE o_orderkey % 3 <> 0)
+       SELECT k, g,
+         CASE WHEN k % 10 = 1 THEN cents * 2 ELSE cents END AS cents
+       FROM base""") { (s, d) =>
+    val base = scratch("morstream")
+    val staging = s"$base/staging"
+    val table = s"$base/table"
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      .filter(col("k") % 3 =!= 0)
+    graft.streaming.StreamingJobs.stageKeyedSlices(
+      s, rows, "k", staging, nFiles = 3)
+    // the correction lands LAST: re-puts of %10=1 keys at doubled
+    // cents — the sequence rule must make the last write win
+    Thread.sleep(10L)
+    val tmp = s"$base/_corr"
+    rows.filter(col("k") % 10 === 1)
+      .withColumn("cents", col("cents") * 2)
+      .coalesce(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    fs.rename(part,
+      new org.apache.hadoop.fs.Path(staging, "zz_correction.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+    val schema = s.read.parquet(staging).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+      .writeStream.format("graft.sinks.v2.VersionedTableSink")
+      .option("path", table).option("keyCol", "k")
+      .option("numBuckets", "4").option("writeMode", "mor")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val versions = VersionedKeyedTable.completeVersions(s, table)
+    require(versions.size == 4,
+      s"four micro-batches must land as four commits (got " +
+        s"${versions.size})")
+    // append-only ingest: along the lineage, every commit's data file
+    // set CONTAINS its parent's — no bucket was ever rewritten
+    versions.sliding(2).foreach {
+      case Seq(a, b) =>
+        val fa = VersionedKeyedTable.snapshot(s, table, Some(a))
+          .files.valuesIterator.flatten.toSet
+        val fb = VersionedKeyedTable.snapshot(s, table, Some(b))
+          .files.valuesIterator.flatten.toSet
+        require(fa.subsetOf(fb),
+          s"MOR ingest must never drop a data file (v$a -> v$b)")
+      case _ => ()
+    }
+    // fold the backlog; the answer must not change
+    val liveBefore = VersionedKeyedTable.countRows(s, table)
+    VersionedKeyedTable.compact(s, table, "k")
+    require(VersionedKeyedTable.snapshot(s, table).deletes.isEmpty,
+      "compact must purge the ingest backlog")
+    require(VersionedKeyedTable.countRows(s, table) == liveBefore,
+      "the purge must not change the live count")
+    val out = VersionedKeyedTable.read(s, table)
+      .select(col("k"), col("g"), col("cents"))
+      .localCheckpoint(true)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true): Unit
+    out
+  }
+
   val all: Seq[QueryDef] =
     Seq(versionedMorDelete, versionedMorCompact, versionedMorSql,
-      versionedSqlUpdatePruned)
+      versionedSqlUpdatePruned, versionedMorUpsert, streamMorIngest)
 }

@@ -104,10 +104,23 @@ object VersionedKeyedTable {
         * data files — readers anti-join them, copy-on-write mutations
         * CONSUME them (a bucket rewrite materializes the post-delete
         * state, so its commit clears the bucket's delete entries).
-        * Invariant: a live delete file holds only keys that EXISTED
-        * at its commit, each in exactly one live delete file — what
-        * keeps metadata-only COUNT(*) exact under deferred deletes. */
-      deletes: Map[Int, Seq[String]] = Map.empty)
+        * Invariant: a live delete file holds only keys that were
+        * VISIBLE at its commit — so each delete entry kills exactly
+        * one older data row, which keeps metadata-only COUNT(*)
+        * exact by subtraction even when [[upsertMor]] re-adds a key
+        * in a newer file. */
+      deletes: Map[Int, Seq[String]] = Map.empty,
+      /** Per-file SEQUENCE numbers (the commit version that added the
+        * file) — the Iceberg sequence-number rule that makes
+        * merge-on-read UPSERTS possible: a delete file applies only
+        * to data files with a STRICTLY LOWER sequence, so a key
+        * re-added by a later [[upsertMor]] survives the delete entry
+        * that killed its older row. Files absent from this map (all
+        * pre-MoR files, and every file of a copy-on-write commit
+        * that consumed its buckets' deletes) read as sequence 0 —
+        * every delete applies, which is exactly the pre-sequence
+        * behavior. */
+      seqs: Map[String, Long] = Map.empty)
 
   /** Commit-metadata key every writer stamps with the version its
     * commit was BUILT ON. The base pointers make the table's true
@@ -135,7 +148,8 @@ object VersionedKeyedTable {
       meta: Map[String, String] = Map.empty,
       counts: Map[String, Long] = Map.empty,
       extraStats: Map[String, Map[String, (String, String)]] = Map.empty,
-      deletes: Map[Int, Seq[String]] = Map.empty): String = {
+      deletes: Map[Int, Seq[String]] = Map.empty,
+      seqs: Map[String, Long] = Map.empty): String = {
     val sb = new StringBuilder
     sb.append("touched\t").append(touched.toSeq.sorted.mkString(","))
       .append('\n')
@@ -195,6 +209,16 @@ object VersionedKeyedTable {
         sb.append('\n')
       }
     }
+    // per-file SEQUENCE numbers: `seq TAB relpath TAB n` — only files
+    // a MoR commit added carry one (absent = 0, the oldest class);
+    // filtered to files this manifest still references, so rewrites
+    // shed stale entries with the files themselves
+    val seqRef: Set[String] = files.valuesIterator.flatten.toSet ++
+      deletes.valuesIterator.flatten.toSet
+    seqs.view.filterKeys(seqRef).toSeq.sortBy(_._1).foreach {
+      case (f, n) =>
+        sb.append("seq\t").append(f).append('\t').append(n).append('\n')
+    }
     sb.append("#end\n")
     sb.toString
   }
@@ -220,6 +244,7 @@ object VersionedKeyedTable {
     var captured = false
     val meta = scala.collection.mutable.Map.empty[String, String]
     val dels = scala.collection.mutable.Map.empty[Int, Vector[String]]
+    val seqs = scala.collection.mutable.Map.empty[String, Long]
     lines.iterator.drop(1).takeWhile(_ != "#end").foreach { ln =>
       if (ln.startsWith("changes\t")) {
         captured = true
@@ -233,6 +258,10 @@ object VersionedKeyedTable {
           if (parts.length >= 4)
             parts(3).toLongOption.foreach(counts(parts(2)) = _)
         }
+      } else if (ln.startsWith("seq\t")) {
+        val parts = ln.split('\t')
+        if (parts.length >= 3)
+          parts(2).toLongOption.foreach(seqs(parts(1)) = _)
       } else if (ln.startsWith("meta\t")) {
         val parts = ln.split('\t')
         if (parts.length >= 3) meta(dec(parts(1))) = dec(parts(2))
@@ -259,7 +288,7 @@ object VersionedKeyedTable {
     }
     Some(Snapshot(v, files.toMap, touched, schema, stats.toMap,
       if (captured) Some(changes.result()) else None, meta.toMap,
-      counts.toMap, extras.toMap, dels.toMap))
+      counts.toMap, extras.toMap, dels.toMap, seqs.toMap))
   }
 
   private def readVersionFile(fs: FileSystem, p: Path): String =
@@ -861,42 +890,58 @@ object VersionedKeyedTable {
 
   // ---- merge-on-read deletes ---------------------------------------
 
-  /** A snapshot's merge-on-read delete-key relation (optionally
-    * restricted to some buckets): one column, the key, typed from the
-    * live schema. None when no delete files exist — the common case;
-    * readers then skip the anti-join entirely, so pre-MOR plan shapes
-    * are untouched. */
-  private[sinks] def deleteKeysDF(spark: SparkSession, dir: String,
+  /** The sequence a DATA file reads at: absent = 0 (pre-MoR files and
+    * copy-on-write commits' files — every delete applies, the
+    * pre-sequence behavior). */
+  private[sinks] def dataSeq(snap: Snapshot, f: String): Long =
+    snap.seqs.getOrElse(f, 0L)
+
+  /** The sequence a DELETE file applies below: absent = +inf (a
+    * legacy unstamped delete kills every current file — safe only
+    * while no NEWER data file exists; [[upsertMor]] refuses to append
+    * over unstamped deletes). */
+  private[sinks] def deleteSeq(snap: Snapshot, f: String): Long =
+    snap.seqs.getOrElse(f, Long.MaxValue)
+
+  /** The merge-on-read SCAN: read the given data files with the
+    * snapshot's pending delete files applied under the SEQUENCE rule
+    * — a delete file kills a row only in data files with a STRICTLY
+    * LOWER sequence (so a key re-added by a later [[upsertMor]]
+    * survives the delete that killed its older row). With no pending
+    * deletes this is a plain parquet scan (identical plan to pre-MoR
+    * reads); with deletes the files group into their few sequence
+    * classes, each anti-joined against exactly the delete files above
+    * it and unioned — filters/projections push through the joins to
+    * every class's scan, and the delete relations are small by
+    * regimen (compaction consumes them). `buckets` restricts which
+    * delete entries can apply (deletes are bucket-local by key
+    * hashing, so a bucket-scoped read loads only its own). */
+  private[sinks] def morScan(spark: SparkSession, dir: String,
       snap: Snapshot, schema: org.apache.spark.sql.types.StructType,
-      keyCol: String, buckets: Option[Set[Int]] = None)
-      : Option[DataFrame] = {
-    val rels = (buckets match {
+      keyCol: String, rels: Seq[String],
+      buckets: Option[Set[Int]] = None): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (rels.isEmpty) return empty
+    val delRels = (buckets match {
       case Some(bs) => snap.deletes.view.filterKeys(bs).values.toSeq
       case None => snap.deletes.values.toSeq
     }).flatten
-    if (rels.isEmpty) None
-    else {
-      val keySchema = org.apache.spark.sql.types.StructType(
-        Seq(schema(keyCol).copy(nullable = false)))
-      Some(spark.read.schema(keySchema)
-        .parquet(rels.map(f => s"$dir/$f"): _*))
-    }
+    def scan(fs0: Seq[String]): DataFrame =
+      spark.read.schema(schema).parquet(fs0.map(f => s"$dir/$f"): _*)
+    if (delRels.isEmpty) return scan(rels)
+    val keySchema = org.apache.spark.sql.types.StructType(
+      Seq(schema(keyCol).copy(nullable = false)))
+    rels.groupBy(dataSeq(snap, _)).toSeq.sortBy(_._1).map {
+      case (s, classFiles) =>
+        val applicable = delRels.filter(d => deleteSeq(snap, d) > s)
+        if (applicable.isEmpty) scan(classFiles)
+        else scan(classFiles).join(
+          spark.read.schema(keySchema)
+            .parquet(applicable.map(f => s"$dir/$f"): _*),
+          Seq(keyCol), "left_anti")
+    }.reduce(_ unionByName _)
   }
-
-  /** Anti-join `df` against the snapshot's delete keys — the read-side
-    * half of deferred deletes. Identity (no plan change) when the
-    * snapshot has no delete files. The delete relation is small by
-    * regimen (compaction consumes it), so AQE broadcasts the anti-join
-    * side; data-side filters and projections still push to the scan
-    * through the join. */
-  private[sinks] def applyDeletes(spark: SparkSession, dir: String,
-      snap: Snapshot, schema: org.apache.spark.sql.types.StructType,
-      keyCol: String, df: DataFrame,
-      buckets: Option[Set[Int]] = None): DataFrame =
-    deleteKeysDF(spark, dir, snap, schema, keyCol, buckets) match {
-      case None => df
-      case Some(dk) => df.join(dk, Seq(keyCol), "left_anti")
-    }
 
   /** Persist a MOR delete batch's keys as immutable per-bucket files
     * under `data/dl-<uuid>`; returns bucket → relative paths and each
@@ -1010,14 +1055,8 @@ object VersionedKeyedTable {
         case None => myTouched.toSeq.sorted
           .flatMap(b => snap.files.getOrElse(b, Seq.empty))
       }
-      val existingPaths = existingRels.map(f => s"$dir/$f")
-      val existingRaw =
-        if (existingPaths.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(existingPaths: _*)
-      val existing = applyDeletes(spark, dir, snap, schema, keyCol,
-        existingRaw, Some(myTouched))
+      val existing = morScan(spark, dir, snap, schema, keyCol,
+        existingRels, Some(myTouched))
       val doomedRows = existing.join(
           broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_semi")
         .localCheckpoint(true) // pin before any racer commits/vacuums
@@ -1046,11 +1085,17 @@ object VersionedKeyedTable {
         val newDeletes = (base.deletes ++ myTouched.toSeq.map(b =>
           b -> (base.deletes.getOrElse(b, Seq.empty) ++
             delFiles.getOrElse(b, Seq.empty)))).filter(_._2.nonEmpty)
+        // the delete files are SEQUENCE-STAMPED with the committing
+        // version: they kill below it, so rows a LATER upsertMor
+        // appends (higher sequence) stay alive
+        val newSeqs = base.seqs ++
+          delFiles.valuesIterator.flatten.map(_ -> target)
         if (tryCommit(fs, dir, versionPath(dir, target),
             renderManifest(myTouched, base.files,
               base.schema.getOrElse(metaSchema), base.stats, changeFiles,
               commitMeta + (BaseKey -> base.version.toString),
-              base.counts ++ delCounts, base.extraStats, newDeletes)))
+              base.counts ++ delCounts, base.extraStats, newDeletes,
+              newSeqs)))
           return
         val cur0 = snapshot(spark, dir)
         val cur =
@@ -1073,6 +1118,191 @@ object VersionedKeyedTable {
             resolved = true
           } else {
             base = cur // disjoint: same delete files, retry the CAS
+            target = math.max(base.version + 1, target)
+          }
+        }
+      }
+    }
+  }
+
+  /** MERGE-ON-READ UPSERT: put semantics in one commit that APPENDS
+    * new data files and records an equality-delete file for the
+    * replaced keys — NO bucket rewrite (copy-on-write [[upsert]]
+    * reads and rewrites every touched bucket's files, write
+    * amplification that grows with bucket size; at 100 TB a
+    * continuously-ingesting table — the streaming-sink shape — must
+    * pay O(batch) per commit instead). The Iceberg merge-on-read
+    * write, reduced to the manifest log:
+    *
+    *  - the batch's rows land as ordinary new data files (zone maps,
+    *    blooms, row counts — all stats machinery applies), SEQUENCE-
+    *    STAMPED with the committing version;
+    *  - keys that were VISIBLE at the snapshot get an equality-delete
+    *    file stamped the same version: it kills their OLDER rows
+    *    (strictly lower sequence) while the batch's own rows — same
+    *    sequence — survive, so repeated upserts of one key leave
+    *    exactly the newest row live;
+    *  - metadata COUNT(*) stays exact: each delete entry kills
+    *    exactly one older visible row (the existence semi-join is
+    *    against the merge-on-read state), so data counts minus
+    *    delete counts is the live count even with a key's rows in
+    *    several files;
+    *  - CDF captures ordinary insert/update rows (with `_prev` from
+    *    the replaced rows), indistinguishable from copy-on-write;
+    *  - reads pay the sequence-class anti-joins until [[compact]]
+    *    (or any copy-on-write mutation of the bucket) folds the
+    *    pending state back into plain files — the
+    *    write-fast/read-amplified trade merge-on-read IS, chosen per
+    *    call site.
+    *
+    * Refuses to append over UNSTAMPED pending delete files (legacy
+    * entries whose sequence is unknown apply to everything — a new
+    * row would be killed by an older delete): run [[compact]] first.
+    * Concurrency is the shared optimistic protocol: disjoint racers
+    * rebase (my files stay valid), overlap re-runs the existence
+    * check, torn claims are skipped. */
+  def upsertMor(spark: SparkSession, dir: String, rows: DataFrame,
+      keyCol: String, captureChanges: Boolean = true,
+      commitMeta: Map[String, String] = Map.empty): Unit = {
+    val (nb, metaSchema) = readMeta(spark, dir)
+    require(KeyedTable.readMetaKey(spark, dir).contains(keyCol),
+      s"upsertMor key '$keyCol' must match the table's recorded key " +
+        s"column (${KeyedTable.readMetaKey(spark, dir).getOrElse("none")})")
+    val fs = hfs(spark, dir)
+    val batch = rows.where(col(keyCol).isNotNull)
+      .dropDuplicates(keyCol)
+      .withColumn("__bucket", bucketOf(keyCol, nb))
+      .localCheckpoint(true)
+    val myTouched = batch.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+    if (myTouched.isEmpty) return
+    // bounded batches prune the existence/prev read through the
+    // point-lookup path (zone maps + blooms) — see deleteMor
+    val keyList: Option[Either[Seq[Long], Seq[String]]] = {
+      val bounded = batch.count() <= MaxPointLookupKeys
+      if (!bounded) None
+      else metaSchema(keyCol).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          Some(Right(batch.select(col(keyCol))
+            .collect().map(_.getString(0)).toSeq))
+        case t if isIntegralKey(t) =>
+          Some(Left(batch.select(col(keyCol).cast("long"))
+            .collect().map(_.getLong(0)).toSeq))
+        case _ => None
+      }
+    }
+    var snap = snapshot(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 20) throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir: upsertMor contention exceeded " +
+          "20 attempts — backlogged writers on the same buckets")
+      val current = snap.schema.getOrElse(metaSchema)
+      // additive-only schema evolution, the shared mutate contract
+      val updSchema = org.apache.spark.sql.types.StructType(
+        batch.schema.fields.filterNot(_.name == "__bucket"))
+      updSchema.fields.foreach { f =>
+        current.fields.find(_.name == f.name).foreach { cf =>
+          require(cf.dataType == f.dataType,
+            s"schema evolution is additive only: column '${f.name}' " +
+              s"cannot change ${cf.dataType} -> ${f.dataType}")
+        }
+      }
+      val evolved = org.apache.spark.sql.types.StructType(
+        current.fields ++ updSchema.fields.filterNot(f =>
+          current.fieldNames.contains(f.name)))
+      // refuse unstamped pending deletes in my buckets: their
+      // sequence is unknown (= +inf), so they would kill the rows
+      // this commit appends
+      myTouched.foreach { b =>
+        snap.deletes.getOrElse(b, Seq.empty).foreach { d =>
+          require(snap.seqs.contains(d),
+            s"upsertMor at $dir: bucket $b carries an unstamped " +
+              s"pending delete file ($d) that would kill appended " +
+              "rows — run compact() first")
+        }
+      }
+      val existingRels: Seq[String] = keyList match {
+        case Some(Left(ks)) =>
+          keyFilesOf(spark, dir, keyCol, ks, snap, nb, evolved)._1
+        case Some(Right(ss)) =>
+          keyFilesStrOf(spark, dir, keyCol, ss, snap, nb, evolved)._1
+        case None => myTouched.toSeq.sorted
+          .flatMap(b => snap.files.getOrElse(b, Seq.empty))
+      }
+      // the rows this upsert REPLACES — visible state only
+      val prevRows = morScan(spark, dir, snap, evolved, keyCol,
+          existingRels, Some(myTouched))
+        .join(broadcast(batch.select(col(keyCol))), Seq(keyCol),
+          "left_semi")
+        .localCheckpoint(true)
+      val (newFiles, newStats, newCounts, newExtra) =
+        writeDataFiles(spark, dir, batch, keyCol,
+          statsCols = inheritedStatsCols(snap))
+      val (delFiles, delCounts) =
+        if (prevRows.isEmpty) (Map.empty[Int, Seq[String]],
+          Map.empty[String, Long])
+        else writeDeleteFiles(spark, dir,
+          prevRows.select(col(keyCol))
+            .withColumn("__bucket", bucketOf(keyCol, nb)))
+      val changeFiles =
+        if (!captureChanges) None
+        else Some(writeChangeFiles(spark, dir,
+          classifyDiff(prevRows, batch.drop("__bucket"), keyCol,
+            evolved)))
+      var base = snap
+      var target = base.version + 1
+      var resolved = false
+      while (!resolved) {
+        attempts += 1
+        if (attempts > 20) throw new IllegalStateException(
+          s"VersionedKeyedTable at $dir: upsertMor contention " +
+            "exceeded 20 attempts — backlogged writers on this table")
+        val manifest = base.files ++ myTouched.toSeq.map(b =>
+          b -> (base.files.getOrElse(b, Seq.empty) ++
+            newFiles.getOrElse(b, Seq.empty)))
+        val newDeletes = (base.deletes ++ myTouched.toSeq.map(b =>
+          b -> (base.deletes.getOrElse(b, Seq.empty) ++
+            delFiles.getOrElse(b, Seq.empty)))).filter(_._2.nonEmpty)
+        // new data AND delete files stamp the committing version:
+        // the deletes kill strictly below it, the appended rows sit
+        // AT it and survive
+        val newSeqs = base.seqs ++
+          (newFiles.valuesIterator.flatten ++
+            delFiles.valuesIterator.flatten).map(_ -> target)
+        val commitSchema = org.apache.spark.sql.types.StructType(
+          evolved.fields ++
+            base.schema.getOrElse(metaSchema).fields.filterNot(f =>
+              evolved.fieldNames.contains(f.name)))
+        if (tryCommit(fs, dir, versionPath(dir, target),
+            renderManifest(myTouched, manifest, commitSchema,
+              base.stats ++ newStats, changeFiles,
+              commitMeta + (BaseKey -> base.version.toString),
+              base.counts ++ newCounts ++ delCounts,
+              base.extraStats ++ newExtra, newDeletes, newSeqs)))
+          return
+        val cur0 = snapshot(spark, dir)
+        val cur =
+          if (cur0.version > base.version) cur0
+          else if (awaitBlockingClaim(fs, spark, dir, base.version))
+            snapshot(spark, dir)
+          else cur0
+        if (cur.version <= base.version) {
+          target = nextClaimable(fs, dir, target + 1) // torn claim
+        } else {
+          val interveningTouched =
+            (base.version + 1 to cur.version).flatMap { v =>
+              val p = versionPath(dir, v)
+              if (!fs.exists(p)) Seq.empty
+              else parseManifest(v, readVersionFile(fs, p))
+                .map(_.touched.toSeq).getOrElse(Seq.empty)
+            }.toSet
+          if ((interveningTouched & myTouched).nonEmpty) {
+            snap = cur // overlap: prev/existence is stale — recompute
+            resolved = true
+          } else {
+            base = cur // disjoint: same files, retry the CAS
             target = math.max(base.version + 1, target)
           }
         }
@@ -1165,16 +1395,11 @@ object VersionedKeyedTable {
       val changes =
         if (!captureChanges) None
         else {
-          val oldPaths = snap.files.values.flatten
-            .map(f => s"$dir/$f").toSeq
           // diff against the LIVE old state: pending MOR deletes
           // applied (a replace also clears every delete entry — the
           // committed manifest simply carries none)
-          val old = applyDeletes(spark, dir, snap, evolved, keyCol,
-            if (oldPaths.isEmpty) spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              evolved)
-            else spark.read.schema(evolved).parquet(oldPaths: _*))
+          val old = morScan(spark, dir, snap, evolved, keyCol,
+            snap.files.values.flatten.toSeq)
           Some(writeChangeFiles(spark, dir,
             classifyDiff(old, pinned.drop("__bucket"), keyCol, evolved)))
         }
@@ -1287,12 +1512,8 @@ object VersionedKeyedTable {
           // net diff of the REPLACED REGION only — untouched files
           // cannot change, so the diff is O(replaced + new), the cost
           // the rewrite already paid
-          val oldPaths = removeRels.map(f => s"$dir/$f")
-          val old = applyDeletes(spark, dir, snap, evolved, keyCol,
-            if (oldPaths.isEmpty) spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              evolved)
-            else spark.read.schema(evolved).parquet(oldPaths: _*))
+          val old = morScan(spark, dir, snap, evolved, keyCol,
+            removeRels)
           Some(writeChangeFiles(spark, dir,
             classifyDiff(old, pinned.drop("__bucket"), keyCol, evolved)))
         }
@@ -1309,7 +1530,8 @@ object VersionedKeyedTable {
         (snap.counts -- removed) ++ newCounts,
         (snap.extraStats -- removed) ++ newExtra,
         Map.empty /* empty by the require above, or cleared by the
-          full replacement */)
+          full replacement */,
+        snap.seqs /* render keeps only surviving files' entries */)
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -1334,14 +1556,8 @@ object VersionedKeyedTable {
     val (_, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
     val schema = snap.schema.getOrElse(metaSchema)
-    val paths = snap.files.values.flatten.map(f => s"$dir/$f").toSeq
-    val df =
-      if (paths.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(paths: _*)
-    applyDeletes(spark, dir, snap, schema, morKeyCol(spark, dir, snap),
-      df)
+    morScan(spark, dir, snap, schema, morKeyCol(spark, dir, snap),
+      snap.files.values.flatten.toSeq)
   }
 
   /** The key column MOR reads anti-join on — the meta sidecar's
@@ -1412,9 +1628,6 @@ object VersionedKeyedTable {
       val myTouched = batch.select("__bucket").distinct()
         .collect().map(_.getInt(0)).toSet
       if (myTouched.isEmpty) return
-      val existingPaths = myTouched.toSeq.sorted
-        .flatMap(b => snap.files.getOrElse(b, Seq.empty))
-        .map(f => s"$dir/$f")
       val schema = snap.schema.getOrElse(metaSchema)
       // same additive-only rule as mutate: a derivation that changes
       // an existing column's type would write files later reads
@@ -1428,11 +1641,9 @@ object VersionedKeyedTable {
                 s"cannot change ${cf.dataType} -> ${f.dataType}")
           }
         }
-      val existing = applyDeletes(spark, dir, snap, schema, keyCol,
-        if (existingPaths.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(existingPaths: _*),
+      val existing = morScan(spark, dir, snap, schema, keyCol,
+        myTouched.toSeq.sorted
+          .flatMap(b => snap.files.getOrElse(b, Seq.empty)),
         Some(myTouched))
       val merged = existing.join(
           broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
@@ -1457,7 +1668,8 @@ object VersionedKeyedTable {
       val content = renderManifest(myTouched, manifest, evolvedTx,
         snap.stats ++ newStats, Some(changeFiles),
         Map(BaseKey -> snap.version.toString), snap.counts ++ newCounts,
-        snap.extraStats ++ newExtra, snap.deletes -- myTouched)
+        snap.extraStats ++ newExtra, snap.deletes -- myTouched,
+        snap.seqs)
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -1547,20 +1759,14 @@ object VersionedKeyedTable {
         current.fields ++
           updSchema.fields.filterNot(f =>
             current.fieldNames.contains(f.name)))
-      val existingPaths = myTouched.toSeq.sorted
-        .flatMap(b => snap.files.getOrElse(b, Seq.empty))
-        .map(f => s"$dir/$f")
-      val existingRaw =
-        if (existingPaths.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved)
-        else spark.read.schema(evolved).parquet(existingPaths: _*)
       // merge against the LIVE state: pending MOR delete files of the
-      // touched buckets applied — the rewrite below then materializes
-      // the post-delete state, CONSUMING those entries (cleared from
-      // the committed manifest)
-      val existing = applyDeletes(spark, dir, snap, evolved, keyCol,
-        existingRaw, Some(myTouched))
+      // touched buckets applied under the sequence rule — the rewrite
+      // below then materializes the post-delete state, CONSUMING
+      // those entries (cleared from the committed manifest)
+      val existing = morScan(spark, dir, snap, evolved, keyCol,
+        myTouched.toSeq.sorted
+          .flatMap(b => snap.files.getOrElse(b, Seq.empty)),
+        Some(myTouched))
       val merged = remerge(existing, batch)
         .withColumn("__bucket", bucketOf(keyCol, nb))
         .localCheckpoint(true) // never read a file a racer vacuums
@@ -1607,7 +1813,8 @@ object VersionedKeyedTable {
               base.extraStats ++ newExtra,
               // touched buckets' pending deletes are CONSUMED by the
               // rewrite; disjoint racers' entries carry forward
-              base.deletes -- myTouched))) return
+              base.deletes -- myTouched,
+              base.seqs))) return
         val cur0 = snapshot(spark, dir)
         val cur =
           if (cur0.version > base.version) cur0
@@ -1864,17 +2071,11 @@ object VersionedKeyedTable {
       // delete files applied), so a deferred delete diffs exactly
       // like a copy-on-write one
       val touched = span.flatMap(_.touched).toSet
-      def side(s: Snapshot): DataFrame = {
-        val paths = touched.toSeq.sorted
-          .flatMap(b => s.files.getOrElse(b, Seq.empty))
-          .map(f => s"$dir/$f")
-        val raw =
-          if (paths.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          else spark.read.schema(schema).parquet(paths: _*)
-        applyDeletes(spark, dir, s, schema, keyCol, raw, Some(touched))
-      }
+      def side(s: Snapshot): DataFrame =
+        morScan(spark, dir, s, schema, keyCol,
+          touched.toSeq.sorted
+            .flatMap(b => s.files.getOrElse(b, Seq.empty)),
+          Some(touched))
       classifyDiff(side(from), side(to), keyCol, schema)
         .select(outNames.map(col): _*)
     }
@@ -1916,7 +2117,7 @@ object VersionedKeyedTable {
       val content = renderManifest(touched, target.files,
         target.schema.getOrElse(metaSchema), target.stats, None,
         Map(BaseKey -> cur.version.toString), target.counts,
-        target.extraStats, target.deletes)
+        target.extraStats, target.deletes, target.seqs)
       var v = cur.version + 1
       var committed = false
       var stale = false
@@ -2098,18 +2299,13 @@ object VersionedKeyedTable {
       val picked = pick(snap)
       if (picked.isEmpty) return
       val schema = snap.schema.getOrElse(metaSchema)
-      val paths = picked.toSeq.sorted
-        .flatMap(b => snap.files.getOrElse(b, Seq.empty))
-        .map(f => s"$dir/$f")
       // a maintenance rewrite materializes the LIVE state: pending MOR
-      // delete files of the picked buckets are applied here and their
-      // entries cleared below — compact() IS the delete-purge operation
-      val rows = applyDeletes(spark, dir, snap, schema, keyCol,
-          if (paths.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              schema)
-          else spark.read.schema(schema).parquet(paths: _*),
+      // delete files of the picked buckets are applied here (sequence
+      // rule) and their entries cleared below — compact() IS the
+      // delete-purge operation
+      val rows = morScan(spark, dir, snap, schema, keyCol,
+          picked.toSeq.sorted
+            .flatMap(b => snap.files.getOrElse(b, Seq.empty)),
           Some(picked))
         .withColumn("__bucket", bucketOf(keyCol, nb))
       val (newFiles, newStats, newCounts, newExtra) =
@@ -2123,7 +2319,8 @@ object VersionedKeyedTable {
       val content = renderManifest(picked, manifest, schema,
         snap.stats ++ newStats, Some(Seq.empty),
         Map(BaseKey -> snap.version.toString), snap.counts ++ newCounts,
-        snap.extraStats ++ newExtra, snap.deletes -- picked)
+        snap.extraStats ++ newExtra, snap.deletes -- picked,
+        snap.seqs)
       var target = snap.version + 1
       var committed = false
       var stale = false
@@ -2194,16 +2391,11 @@ object VersionedKeyedTable {
     val snap = snapshot(spark, dir, version)
     val schema = snap.schema.getOrElse(metaSchema)
     val (kept, _) = rangeFiles(spark, dir, keyCol, lo, hi, version)
-    val df =
-      if (kept.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
+    val df = morScan(spark, dir, snap, schema, keyCol, kept)
     // residual filter in the SAME image the bounds are expressed in
     // (epoch days / micros for date / timestamp keys)
     val k = statImage(schema(keyCol).dataType, col(keyCol))
-    applyDeletes(spark, dir, snap, schema, keyCol,
-      df.where(k >= lo && k <= hi))
+    df.where(k >= lo && k <= hi)
   }
 
   /** [[rangeFiles]] on a SECONDARY column's named zone maps (written
@@ -2233,14 +2425,10 @@ object VersionedKeyedTable {
     val snap = snapshot(spark, dir, version)
     val schema = snap.schema.getOrElse(metaSchema)
     val (kept, _) = rangeFilesOn(spark, dir, statCol, lo, hi, version)
-    val df =
-      if (kept.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
+    val df = morScan(spark, dir, snap, schema,
+      morKeyCol(spark, dir, snap), kept)
     val c = statImage(schema(statCol).dataType, col(statCol))
-    applyDeletes(spark, dir, snap, schema,
-      morKeyCol(spark, dir, snap), df.where(c >= lo && c <= hi))
+    df.where(c >= lo && c <= hi)
   }
 
   /** The table as a CATALYST-INTEGRATED DataFrame: any `WHERE` clause
@@ -2262,18 +2450,50 @@ object VersionedKeyedTable {
     val (_, metaSchema) = readMeta(spark, dir)
     val snap = snapshot(spark, dir, version)
     val schema = snap.schema.getOrElse(metaSchema)
-    val index = new ZoneMapFileIndex(spark, dir, snap, keyCol, schema)
-    val relation = org.apache.spark.sql.execution.datasources
-      .HadoopFsRelation(index, new org.apache.spark.sql.types.StructType(),
-        schema, None,
-        new org.apache.spark.sql.execution.datasources.parquet
-          .ParquetFileFormat,
-        Map.empty[String, String])(spark)
-    // pending MOR deletes ride ABOVE the indexed scan: filters and
-    // projections still push through the anti-join to the pruned
-    // relation, and tables without delete files keep the bare scan
-    (applyDeletes(spark, dir, snap, schema, keyCol,
-      spark.baseRelationToDataFrame(relation)), index)
+    def indexed(s: Snapshot): (DataFrame, ZoneMapFileIndex) = {
+      val index = new ZoneMapFileIndex(spark, dir, s, keyCol, schema)
+      val relation = org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation(index,
+          new org.apache.spark.sql.types.StructType(),
+          schema, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat,
+          Map.empty[String, String])(spark)
+      (spark.baseRelationToDataFrame(relation), index)
+    }
+    if (snap.deletes.isEmpty) indexed(snap)
+    else {
+      // pending MOR deletes: one indexed relation PER SEQUENCE CLASS
+      // (a filtered Snapshot view feeds each ZoneMapFileIndex, so
+      // zone-map pruning survives), each anti-joined against exactly
+      // the delete files above its sequence, unioned. Filters and
+      // projections push through the joins into every class's pruned
+      // scan. The returned index is the largest class's — the
+      // observability hook only; tables without deletes (the steady
+      // state after compaction) keep the single bare relation.
+      val delRels = snap.deletes.values.flatten.toSeq
+      val keySchema = org.apache.spark.sql.types.StructType(
+        Seq(schema(keyCol).copy(nullable = false)))
+      val classes = snap.files.toSeq
+        .flatMap { case (b, fs0) => fs0.map(f => (b, f)) }
+        .groupBy { case (_, f) => dataSeq(snap, f) }
+        .toSeq.sortBy(_._1)
+      val parts = classes.map { case (s, bf) =>
+        val classFiles = bf.groupBy(_._1).view
+          .mapValues(_.map(_._2)).toMap
+        val (df, idx) = indexed(snap.copy(files = classFiles))
+        val applicable = delRels.filter(d => deleteSeq(snap, d) > s)
+        val filtered =
+          if (applicable.isEmpty) df
+          else df.join(
+            spark.read.schema(keySchema)
+              .parquet(applicable.map(f => s"$dir/$f"): _*),
+            Seq(keyCol), "left_anti")
+        (filtered, idx, bf.size)
+      }
+      (parts.map(_._1).reduce(_ unionByName _),
+        parts.maxBy(_._3)._2)
+    }
   }
 
   /** Point-lookup read: the given keys' rows, touching only the
@@ -2298,13 +2518,8 @@ object VersionedKeyedTable {
     // (keyFilesOf applies the same cast; pruning and scan share THIS
     // snapshot, so a concurrent commit cannot split them)
     val (kept, _) = keyFilesOf(spark, dir, keyCol, keys, snap, nb, schema)
-    val df =
-      if (kept.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
-    applyDeletes(spark, dir, snap, schema, keyCol,
-      df.where(col(keyCol).isin(keys: _*)))
+    morScan(spark, dir, snap, schema, keyCol, kept)
+      .where(col(keyCol).isin(keys: _*))
   }
 
   /** [[keyFiles]] for STRING-keyed tables: candidates are pruned by
@@ -2383,13 +2598,8 @@ object VersionedKeyedTable {
     val schema = snap.schema.getOrElse(metaSchema)
     val (kept, _) =
       keyFilesStrOf(spark, dir, keyCol, keys, snap, nb, schema)
-    val df =
-      if (kept.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(f => s"$dir/$f"): _*)
-    applyDeletes(spark, dir, snap, schema, keyCol,
-      df.where(col(keyCol).isin(keys: _*)))
+    morScan(spark, dir, snap, schema, keyCol, kept)
+      .where(col(keyCol).isin(keys: _*))
   }
 
   /** SHALLOW CLONE: a new, fully independent table at `dstDir` whose
@@ -2458,7 +2668,7 @@ object VersionedKeyedTable {
     val content = renderManifest(snap.files.keySet, snap.files, schema,
       snap.stats, None,
       Map("graft.clonedFrom" -> s"$srcDir@v${snap.version}"), snap.counts,
-      snap.extraStats, snap.deletes)
+      snap.extraStats, snap.deletes, snap.seqs)
     while (!tryCommit(fs, dstDir, versionPath(dstDir, v), content)) v += 1
   }
 

@@ -1046,19 +1046,27 @@ class GraftScanBuilder(dir: String,
       GraftScanBuilder.lastPlanned.set((kept.size, files.size))
       // the group-based write replaces EXACTLY this file set
       if (onRowLevelPlan != null) onRowLevelPlan(kept)
+      // per-file partitions pair naturally with per-SEQUENCE-CLASS
+      // delete filtering (the upsertMor rule: a delete kills only
+      // strictly-older files), so pending MOR state cannot resurrect
+      // deleted rows NOR kill re-added ones through the CoW read.
+      // The key rides as a trailing extra field when the projection
+      // lacks it (downstream reads ordinals 0..n-1).
+      val classes: Seq[Long] =
+        kept.map(VersionedKeyedTable.dataSeq(snap, _)).distinct.sorted
+      val classIdx: Map[Long, Int] = classes.zipWithIndex.toMap
+      val snapForSeq = snap
       new Scan {
         override def readSchema(): StructType = req
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            kept.map(f =>
-              GraftMetaFilePartition(s"$dir/$f", f): InputPartition)
-              .toArray
+            kept.map { f =>
+              val p = GraftMetaFilePartition(s"$dir/$f", f)
+              if (delRels.isEmpty) p: InputPartition
+              else SeqClassPartition(p,
+                classIdx(VersionedKeyedTable.dataSeq(snapForSeq, f)))
+            }.toArray
           override def createReaderFactory(): PartitionReaderFactory = {
-            // pending MOR deletes must not resurrect through the CoW
-            // read (an UPDATE/MERGE rewrite carries every surviving
-            // row — a deleted row slipping in here would come back).
-            // The key rides as a trailing extra field when the
-            // projection lacks it (downstream reads ordinals 0..n-1).
             if (delRels.isEmpty) new GraftMetaFileReaderFactory(req, conf)
             else {
               val k = keyCol.getOrElse(throw new IllegalStateException(
@@ -1067,10 +1075,15 @@ class GraftScanBuilder(dir: String,
               val reqPlus =
                 if (req.fieldNames.contains(k)) req
                 else req.add(tableSchema(k))
-              new MorFilterReaderFactory(
-                new GraftMetaFileReaderFactory(reqPlus, conf), dir,
-                delRels, k, tableSchema(k).dataType,
-                reqPlus.fieldIndex(k), conf)
+              val base = new GraftMetaFileReaderFactory(reqPlus, conf)
+              new SeqClassDispatchFactory(classes.map { s =>
+                val applicable = delRels.filter(d =>
+                  VersionedKeyedTable.deleteSeq(snapForSeq, d) > s)
+                if (applicable.isEmpty) base
+                else new MorFilterReaderFactory(base, dir, applicable,
+                  k, tableSchema(k).dataType, reqPlus.fieldIndex(k),
+                  conf): PartitionReaderFactory
+              })
             }
           }
         }
@@ -1113,8 +1126,9 @@ class GraftRowScan(dir: String,
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   @volatile private var kept: Seq[String] = keptAtPlan
-  @volatile private var inner
-      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =
+  @volatile private var inners
+      : Seq[(Long,
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)] =
     null
 
   private def spark = SparkSession.active
@@ -1139,14 +1153,29 @@ class GraftRowScan(dir: String,
     case _ => required
   }
 
-  private def morWrap(factory: PartitionReaderFactory)
+  /** Delete files that apply to data files of sequence `s` — the
+    * strictly-above rule that keeps [[VersionedKeyedTable.upsertMor]]'s
+    * re-added rows alive. */
+  private def applicableDeletes(s: Long): Seq[String] =
+    delRels.filter(d => VersionedKeyedTable.deleteSeq(snap, d) > s)
+
+  private def morWrapFor(s: Long, factory: PartitionReaderFactory)
       : PartitionReaderFactory = morKeyName match {
     case None => factory
     case Some(k) =>
-      new MorFilterReaderFactory(factory, dir, delRels, k,
+      val applicable = applicableDeletes(s)
+      if (applicable.isEmpty) factory
+      else new MorFilterReaderFactory(factory, dir, applicable, k,
         tableSchema(k).dataType, innerSchema.fieldIndex(k),
         SerializableHadoopConf.fromSession(spark))
   }
+
+  /** The sequence classes of the PLAN-TIME kept set (one class — 0 —
+    * for every table no [[VersionedKeyedTable.upsertMor]] touched).
+    * Pinned at planning like spjActive: runtime filtering can only
+    * SHRINK a class, never add one. */
+  private lazy val classesAtPlan: Seq[Long] =
+    keptAtPlan.map(VersionedKeyedTable.dataSeq(snap, _)).distinct.sorted
 
   // ---- storage-partitioned reads -----------------------------------
   // The store's layout IS a key-clustering: bucket(n, key) by
@@ -1198,7 +1227,11 @@ class GraftRowScan(dir: String,
   private lazy val spjActive: Boolean =
     v2BucketingOn && keyCol.isDefined && numBuckets.isDefined &&
       required.fieldNames.contains(keyCol.get) &&
-      nameToBucket.nonEmpty && bucketsAtPlan.nonEmpty
+      nameToBucket.nonEmpty && bucketsAtPlan.nonEmpty &&
+      // bucket-grouped partitions mix files of different sequence
+      // classes, which the per-class delete filter cannot untangle —
+      // SPJ stands down until compaction folds the classes back
+      (delRels.isEmpty || classesAtPlan.size == 1)
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -1211,31 +1244,41 @@ class GraftRowScan(dir: String,
     else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
 
-  /** The delegate over the CURRENT kept set, rebuilt after a runtime
-    * filter narrows it (BatchScanExec calls `toBatch` again after
-    * `filter`, per the SupportsRuntimeFiltering contract). */
-  private def current
+  private def buildScan(files: Seq[String])
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
-    var c = inner
-    if (c == null) {
-      val index = new org.apache.spark.sql.execution.datasources
-        .InMemoryFileIndex(spark,
-          kept.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f")),
-          Map.empty, Some(tableSchema))
-      // a DEFENSIVE COPY: ParquetScan.createReaderFactory mutates the
-      // conf it is given (read-support keys, SQLConf mirror keys) —
-      // never hand it the session-global one
-      val conf = new org.apache.hadoop.conf.Configuration(
-        spark.sparkContext.hadoopConfiguration)
-      c = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
-        spark, conf, index, tableSchema, innerSchema,
-        new StructType() /* no partition columns: buckets live in the
-          manifest, not in directory names the scan must decode */,
-        accepted, CaseInsensitiveStringMap.empty(), None,
-        Seq.empty, Seq.empty)
-      inner = c
+    val index = new org.apache.spark.sql.execution.datasources
+      .InMemoryFileIndex(spark,
+        files.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f")),
+        Map.empty, Some(tableSchema))
+    // a DEFENSIVE COPY: ParquetScan.createReaderFactory mutates the
+    // conf it is given (read-support keys, SQLConf mirror keys) —
+    // never hand it the session-global one
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      spark, conf, index, tableSchema, innerSchema,
+      new StructType() /* no partition columns: buckets live in the
+        manifest, not in directory names the scan must decode */,
+      accepted, CaseInsensitiveStringMap.empty(), None,
+      Seq.empty, Seq.empty)
+  }
+
+  /** One delegate ParquetScan PER SEQUENCE CLASS of the CURRENT kept
+    * set (exactly one class — the whole set — for tables with no
+    * pending merge-on-read state), rebuilt after a runtime filter
+    * narrows it (BatchScanExec calls `toBatch` again after `filter`,
+    * per the SupportsRuntimeFiltering contract). */
+  private def classScans(): Seq[(Long,
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)] = {
+    var cs = inners
+    if (cs == null) {
+      cs = kept.groupBy(VersionedKeyedTable.dataSeq(snap, _))
+        .toSeq.sortBy(_._1)
+        .map { case (s, fs) => s -> buildScan(fs) }
+      if (cs.isEmpty) cs = Seq(0L -> buildScan(Seq.empty))
+      inners = cs
     }
-    c
+    cs
   }
 
   override def readSchema(): StructType = required
@@ -1247,31 +1290,55 @@ class GraftRowScan(dir: String,
     * KeyGroupedPartitioning on. The reader factory is the delegate's
     * either way (vectorized parquet). */
   override def toBatch: Batch = {
-    val delegate = current.toBatch
-    if (!spjActive) {
-      if (morKeyName.isEmpty) delegate
+    val classes = classScans()
+    if (spjActive) {
+      // single class by the spjActive pin — bucket-grouped partitions
+      val (cseq, sc) = classes.head
+      val delegate = sc.toBatch
+      new Batch {
+        override def planInputPartitions(): Array[InputPartition] = {
+          val pfs = delegate.planInputPartitions().flatMap {
+            case fp: org.apache.spark.sql.execution.datasources
+              .FilePartition => fp.files
+          }
+          val byBucket = pfs.groupBy(pf =>
+            nameToBucket.get(tailKey(pf.toPath.toUri.getPath)))
+          bucketsAtPlan.zipWithIndex.map { case (b, i) =>
+            new GraftBucketFilePartition(i,
+              byBucket.getOrElse(Some(b), Array.empty),
+              InternalRow(b)): InputPartition
+          }.toArray
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          morWrapFor(cseq, delegate.createReaderFactory())
+      }
+    } else if (classes.size == 1) {
+      val (cseq, sc) = classes.head
+      val delegate = sc.toBatch
+      if (morKeyName.isEmpty || applicableDeletes(cseq).isEmpty)
+        delegate // the steady state: pure vectorized scan
       else new Batch {
         override def planInputPartitions(): Array[InputPartition] =
           delegate.planInputPartitions()
         override def createReaderFactory(): PartitionReaderFactory =
-          morWrap(delegate.createReaderFactory())
+          morWrapFor(cseq, delegate.createReaderFactory())
       }
-    } else new Batch {
-      override def planInputPartitions(): Array[InputPartition] = {
-        val pfs = delegate.planInputPartitions().flatMap {
-          case fp: org.apache.spark.sql.execution.datasources
-            .FilePartition => fp.files
-        }
-        val byBucket = pfs.groupBy(pf =>
-          nameToBucket.get(tailKey(pf.toPath.toUri.getPath)))
-        bucketsAtPlan.zipWithIndex.map { case (b, i) =>
-          new GraftBucketFilePartition(i,
-            byBucket.getOrElse(Some(b), Array.empty),
-            InternalRow(b)): InputPartition
-        }.toArray
+    } else {
+      // MULTI-CLASS (upsertMor appended over older files): each
+      // class's partitions ride its own delegate, tagged so the
+      // dispatching factory pairs them with the class's delete set
+      val parts = classes.map { case (s, sc) => (s, sc.toBatch) }
+      new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          parts.zipWithIndex.flatMap { case ((_, b), ci) =>
+            b.planInputPartitions()
+              .map(p => SeqClassPartition(p, ci): InputPartition)
+          }.toArray
+        override def createReaderFactory(): PartitionReaderFactory =
+          new SeqClassDispatchFactory(parts.map { case (s, b) =>
+            morWrapFor(s, b.createReaderFactory())
+          })
       }
-      override def createReaderFactory(): PartitionReaderFactory =
-        morWrap(delegate.createReaderFactory())
     }
   }
 
@@ -1285,7 +1352,23 @@ class GraftRowScan(dir: String,
     * should. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
-    current.estimateStatistics()
+    classScans() match {
+      case Seq((_, sc)) => sc.estimateStatistics()
+      case cs =>
+        // fold the classes' size/row estimates (pending MOR deletes
+        // make this a slight over-estimate — acceptable for planner
+        // sizing; compaction restores the single-scan path)
+        val ss = cs.map(_._2.estimateStatistics())
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(
+              ss.map(s => s.sizeInBytes().orElse(0L)).sum)
+          override def numRows(): java.util.OptionalLong =
+            if (ss.forall(_.numRows().isPresent))
+              java.util.OptionalLong.of(ss.map(_.numRows().getAsLong).sum)
+            else java.util.OptionalLong.empty()
+        }
+    }
 
   /** Join columns a runtime filter can prune FILES on: the key column
     * (zone maps + bloom sidecars) and every clusterBy'd column
@@ -1392,7 +1475,7 @@ class GraftRowScan(dir: String,
     }
     if (files.size != kept.size) {
       kept = files
-      inner = null // next toBatch plans the narrowed file set
+      inners = null // next toBatch plans the narrowed file set
     }
     GraftScanBuilder.lastRuntimeFiltered.set((files.size, keptAtPlan.size))
   }

@@ -54,6 +54,27 @@ object MorDeleteSet {
   * (key-extended) projected columns and prunes row groups; the
   * columnar fast path returns with compaction, which purges the
   * delete files. */
+/** An inner partition tagged with its SEQUENCE-CLASS index — how a
+  * multi-class scan (a table [[graft.sinks.VersionedKeyedTable
+  * .upsertMor]] appended to) pairs each partition with the delete
+  * set that applies to its files' sequence. */
+case class SeqClassPartition(inner: InputPartition, classIdx: Int)
+    extends InputPartition
+
+/** Dispatches each [[SeqClassPartition]] to its class's (possibly
+  * delete-filtering) factory. Row-based: multi-class only exists
+  * while merge-on-read state is pending. */
+class SeqClassDispatchFactory(factories: Seq[PartitionReaderFactory])
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    false
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SeqClassPartition]
+    factories(p.classIdx).createReader(p.inner)
+  }
+}
+
 class MorFilterReaderFactory(inner: PartitionReaderFactory, dir: String,
     rels: Seq[String], keyName: String, keyType: DataType, keyIdx: Int,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {

@@ -53,15 +53,22 @@ class VersionedTableSink extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val mode = Option(opts.get("writeMode")).getOrElse("cow")
+    require(mode == "cow" || mode == "mor",
+      s"VersionedTableSink: writeMode must be 'cow' (bucket-rewrite " +
+        s"upserts, the default) or 'mor' (merge-on-read appends); " +
+        s"got '$mode'")
     new VersionedSinkTable(CdfSource.required(opts, "path"),
       CdfSource.required(opts, "keyCol"),
       Option(opts.get("numBuckets")).map(_.toInt).getOrElse(16),
-      Option(opts.get("captureChanges")).forall(_.toBoolean))
+      Option(opts.get("captureChanges")).forall(_.toBoolean),
+      morMode = mode == "mor")
   }
 }
 
 class VersionedSinkTable(dir: String, keyCol: String, numBuckets: Int,
-    captureChanges: Boolean) extends Table with SupportsWrite {
+    captureChanges: Boolean, morMode: Boolean = false)
+    extends Table with SupportsWrite {
   override def name: String = s"graft_sink($dir)"
   override def schema: StructType = new StructType()
   override def capabilities: util.Set[TableCapability] =
@@ -75,7 +82,7 @@ class VersionedSinkTable(dir: String, keyCol: String, numBuckets: Int,
               s"key column '$keyCol' (got " +
               s"${info.schema().fieldNames.mkString(", ")})")
           new VersionedStreamingWrite(dir, keyCol, numBuckets,
-            captureChanges, info.queryId(), info.schema())
+            captureChanges, info.queryId(), info.schema(), morMode)
         }
       }
     }
@@ -103,7 +110,8 @@ object StagedFileMessage {
 
 class VersionedStreamingWrite(dir: String, keyCol: String,
     numBuckets: Int, captureChanges: Boolean, queryId: String,
-    schema: StructType) extends StreamingWrite {
+    schema: StructType, morMode: Boolean = false)
+    extends StreamingWrite {
 
   private def spark = SparkSession.active
   private def stampKey = s"graft.sinkEpoch.$queryId"
@@ -130,6 +138,15 @@ class VersionedStreamingWrite(dir: String, keyCol: String,
       val rows = spark.read.schema(schema).parquet(staged: _*)
       if (KeyedTable.readMeta(spark, dir).isEmpty)
         VersionedKeyedTable.create(rows, dir, keyCol, numBuckets,
+          commitMeta = Map(stampKey -> epochId.toString))
+      else if (morMode)
+        // merge-on-read ingest: the micro-batch APPENDS data files +
+        // a sequence-stamped equality-delete for replaced keys — per-
+        // epoch cost is O(batch) regardless of how large the table's
+        // buckets have grown (the 100 TB continuous-ingest shape;
+        // compact() on a maintenance cadence folds the backlog)
+        VersionedKeyedTable.upsertMor(spark, dir, rows, keyCol,
+          captureChanges,
           commitMeta = Map(stampKey -> epochId.toString))
       else
         VersionedKeyedTable.upsert(spark, dir, rows, keyCol,

@@ -209,6 +209,124 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(VersionedKeyedTable.countRows(spark, dir) === Some(58L))
   }
 
+  test("upsertMor APPENDS instead of rewriting: old data files stay, " +
+      "new files + a sequence-stamped delete file land, reads show " +
+      "the newest values, countRows stays exact") {
+    val dir = freshDir()
+    make(dir)
+    val before = VersionedKeyedTable.snapshot(spark, dir)
+    val beforeFiles = before.files.values.flatten.toSet
+    VersionedKeyedTable.upsertMor(spark, dir,
+      Seq((3L, "NEW3"), (101L, "NEW101")).toDF("k", "v"), "k")
+    val after = VersionedKeyedTable.snapshot(spark, dir)
+    val afterFiles = after.files.values.flatten.toSet
+    assert(beforeFiles.subsetOf(afterFiles),
+      "a MOR upsert must not rewrite or drop any existing data file")
+    assert((afterFiles -- beforeFiles).nonEmpty, "new files appended")
+    assert((afterFiles -- beforeFiles).forall(f =>
+        after.seqs.get(f).contains(after.version)),
+      "appended files must be sequence-stamped with the commit")
+    assert(after.deletes.values.flatten.nonEmpty,
+      "the replaced key needs a delete entry for its older row")
+    val now = contents(dir)
+    assert(now.size === 101 && now(3L) === "NEW3" &&
+      now(101L) === "NEW101" && now(4L) === "v4")
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(101L))
+    // time travel still shows the pre-upsert row
+    assert(contents(dir, Some(before.version))(3L) === "v3")
+  }
+
+  test("sequence rule end-to-end: upsert -> delete -> re-upsert of " +
+      "ONE key leaves exactly the newest row live; repeated upserts " +
+      "never double-count") {
+    val dir = freshDir()
+    make(dir, 40L)
+    VersionedKeyedTable.upsertMor(spark, dir,
+      Seq((7L, "gen2")).toDF("k", "v"), "k")
+    VersionedKeyedTable.upsertMor(spark, dir,
+      Seq((7L, "gen3")).toDF("k", "v"), "k")
+    assert(contents(dir)(7L) === "gen3")
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(40L))
+    VersionedKeyedTable.deleteMor(spark, dir, Seq(7L).toDF("k"), "k")
+    assert(!contents(dir).contains(7L))
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(39L))
+    VersionedKeyedTable.upsertMor(spark, dir,
+      Seq((7L, "gen4")).toDF("k", "v"), "k")
+    assert(contents(dir)(7L) === "gen4",
+      "a later upsert must survive the earlier delete (sequence rule)")
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(40L))
+    // point lookup and Catalyst path agree across the classes
+    assert(VersionedKeyedTable.readKeys(spark, dir, "k", Seq(7L))
+      .as[(Long, String)].collect().toSeq === Seq((7L, "gen4")))
+    assert(VersionedKeyedTable.table(spark, dir, "k")
+      .where(col("k") === 7L).as[(Long, String)].collect().toSeq
+      === Seq((7L, "gen4")))
+    // compaction folds the classes back to plain files
+    VersionedKeyedTable.compact(spark, dir, "k")
+    val purged = VersionedKeyedTable.snapshot(spark, dir)
+    assert(purged.deletes.isEmpty && purged.seqs.isEmpty)
+    assert(contents(dir)(7L) === "gen4" &&
+      VersionedKeyedTable.countRows(spark, dir) === Some(40L))
+  }
+
+  test("upsertMor captures ordinary CDF insert/update rows with " +
+      "_prev values; a copy-on-write mutation consumes the pending " +
+      "state exactly") {
+    val dir = freshDir()
+    make(dir, 30L)
+    val v0 = VersionedKeyedTable.snapshot(spark, dir).version
+    VersionedKeyedTable.upsertMor(spark, dir,
+      Seq((5L, "UP5"), (99L, "IN99")).toDF("k", "v"), "k")
+    val v1 = VersionedKeyedTable.snapshot(spark, dir).version
+    val ch = VersionedKeyedTable.changesBetween(spark, dir, "k", v0, v1)
+      .select("k", "change_type", "v", "v_prev")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(ch.toSeq === Seq((5L, "update", "UP5", "v5"),
+      (99L, "insert", "IN99", null)))
+    // a CoW upsert on the same bucket materializes and clears
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((5L, "COW5")).toDF("k", "v"), "k")
+    val now = contents(dir)
+    assert(now(5L) === "COW5" && now(99L) === "IN99" && now.size === 31)
+    assert(VersionedKeyedTable.countRows(spark, dir) === Some(31L))
+  }
+
+  test("SQL catalog over pending upsertMor state: multi-class scans " +
+      "return exactly the live rows, count(*) stays metadata-only, " +
+      "and a CoW UPDATE folds the state without losing rows") {
+    val base = Files.createTempDirectory("graft-morup-cat").toString
+    spark.conf.set("spark.sql.catalog.ucat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ucat.base", base)
+    val dir = s"$base/t"
+    VersionedKeyedTable.create(
+      (1L to 50L).map(i => (i, s"v$i", i * 10L)).toDF("k", "s", "x"),
+      dir, "k", numBuckets = 2)
+    VersionedKeyedTable.upsertMor(spark, dir,
+      Seq((1L, "UP1", -1L), (60L, "IN60", -2L)).toDF("k", "s", "x"),
+      "k")
+    assert(spark.sql("SELECT s FROM ucat.t WHERE k = 1")
+      .as[String].head() === "UP1")
+    assert(spark.sql("SELECT count(*) AS n FROM ucat.t")
+      .as[Long].head() === 51L)
+    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    assert(kept === 0 && total > 0,
+      s"count(*) must stay metadata-only under MOR state ($kept/$total)")
+    assert(spark.sql(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM ucat.t")
+      .as[Long].head() === (2L to 50L).map(_ * 10L).sum - 1L - 2L)
+    // CoW UPDATE over the pending state: scan-all + per-class filter,
+    // then the group replace folds everything — nothing lost, nothing
+    // resurrected
+    spark.sql("UPDATE ucat.t SET s = concat(s, '!') WHERE k <= 2")
+    assert(spark.sql("SELECT count(*) AS n FROM ucat.t")
+      .as[Long].head() === 51L)
+    assert(spark.sql("SELECT s FROM ucat.t WHERE k = 1")
+      .as[String].head() === "UP1!")
+    assert(VersionedKeyedTable.snapshot(spark, dir).deletes.isEmpty,
+      "the full CoW replace must consume the pending delete files")
+  }
+
   test("REGRESSION: a zone-map-pruned SQL UPDATE rewrites ONLY the " +
       "covering files and loses no rows (group-based replace, not " +
       "whole-table replace)") {
