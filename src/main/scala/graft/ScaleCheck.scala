@@ -1096,25 +1096,47 @@ object ScaleCheck {
       VersionedKeyedTable.create(base, dir, "k", numBuckets = 16)
       VersionedKeyedTable.cluster(spark, dir, "k",
         targetRowsPerFile = 200000L)
+      // BYTES a commit writes — the honest axis locally (fixed JVM/
+      // job costs dominate wall at this scale; at 100 TB the bytes
+      // ARE the cost): sum of file sizes the new manifest references
+      // that the old one did not (data + delete files)
+      val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def refs() = {
+        val s = VersionedKeyedTable.snapshot(spark, dir)
+        (s.files.valuesIterator.flatten ++
+          s.deletes.valuesIterator.flatten).toSet
+      }
+      def addedBytes(before: Set[String]): Long =
+        (refs() -- before).toSeq.map(f => hfs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).sum
       val cowKeys = (1L to 50L).toDF("k")
+      var mark = refs()
       val t1 = System.nanoTime()
       VersionedKeyedTable.delete(spark, dir, cowKeys, "k")
       val tCow = (System.nanoTime() - t1) / 1e9
+      val bCow = addedBytes(mark)
       val morKeys = (51L to 100L).toDF("k")
+      mark = refs()
       val t2 = System.nanoTime()
       VersionedKeyedTable.deleteMor(spark, dir, morKeys, "k")
       val tMor = (System.nanoTime() - t2) / 1e9
+      val bMor = addedBytes(mark)
       // the same comparison for UPSERTS — the streaming-ingest shape:
       // a fixed 50-row put batch, copy-on-write (bucket rewrite) vs
       // merge-on-read (append + sequence-stamped delete)
       val cowUp = (101L to 150L).map(k => (k, -2.0)).toDF("k", "v")
+      mark = refs()
       val t2b = System.nanoTime()
       VersionedKeyedTable.upsert(spark, dir, cowUp, "k")
       val tCowUp = (System.nanoTime() - t2b) / 1e9
+      val bCowUp = addedBytes(mark)
       val morUp = (151L to 200L).map(k => (k, -3.0)).toDF("k", "v")
+      mark = refs()
       val t2c = System.nanoTime()
       VersionedKeyedTable.upsertMor(spark, dir, morUp, "k")
       val tMorUp = (System.nanoTime() - t2c) / 1e9
+      val bMorUp = addedBytes(mark)
       val t3 = System.nanoTime()
       val n = VersionedKeyedTable.read(spark, dir).count()
       val tRead = (System.nanoTime() - t3) / 1e9
@@ -1124,12 +1146,14 @@ object ScaleCheck {
       val tPurge = (System.nanoTime() - t4) / 1e9
       require(VersionedKeyedTable.snapshot(spark, dir).deletes.isEmpty,
         "compact must purge the pending deletes")
+      def mb(b: Long): String = f"${b / 1048576.0}%.2f MB"
       System.err.println(
         f"[scale]   mor: fixed 50-key batches at ${copies}x — delete: " +
-          f"CoW $tCow%.2f s (rewrites touched buckets, table-linear " +
-          f"at fixed bucket count) vs MOR $tMor%.2f s (delete files + " +
-          f"pruned existence probe, flat); upsert: CoW $tCowUp%.2f s " +
-          f"vs MOR $tMorUp%.2f s (append + stamped delete, flat); " +
+          f"CoW $tCow%.2f s / ${mb(bCow)} written (rewrites touched " +
+          f"buckets, table-linear at fixed bucket count) vs MOR " +
+          f"$tMor%.2f s / ${mb(bMor)} (delete files + pruned " +
+          f"existence probe, flat); upsert: CoW $tCowUp%.2f s / " +
+          f"${mb(bCowUp)} vs MOR $tMorUp%.2f s / ${mb(bMorUp)}; " +
           f"pending-state read $tRead%.2f s; purge (compact) " +
           f"$tPurge%.2f s")
       n
