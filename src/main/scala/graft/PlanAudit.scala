@@ -444,6 +444,16 @@ object PlanAudit {
       "last-write-wins across epochs via the sequence rule, and the " +
       "closing compact() folds the backlog without changing the " +
       "count. Exactly-once still rides the epoch stamp."),
+    "versioned_tags" -> ("Immutable named snapshots (tags): one " +
+      "create-if-absent on the claim backend pins a version under a " +
+      "name (idempotent on the same version, a move is refused — " +
+      "re-point = drop + re-create, explicit), SQL reaches it as " +
+      "VERSION AS OF 'name' / CALL tag / t$tags, and VACUUM RETAINS " +
+      "tagged versions (manifest + files) past its retention count " +
+      "until drop_tag releases them. Require-pinned: retention-1 " +
+      "vacuum reclaimed the untagged intermediates while the tagged " +
+      "snapshot still reads in full. Terminal plan: the tagged-vs-" +
+      "current anti-join union."),
     "versioned_sql_update_pruned" -> ("Group-based SQL UPDATE: the " +
       "CoW scan prunes to the files whose key envelopes intersect " +
       "the WHERE (zone maps), and the write replaces EXACTLY those " +

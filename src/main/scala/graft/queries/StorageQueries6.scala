@@ -373,7 +373,104 @@ object StorageQueries6 {
     out
   }
 
+  /** TAGS: immutable named snapshots with vacuum retention — the
+    * audit/repro pin every production table needs (`VERSION AS OF
+    * 'release'` instead of a version number someone wrote down). The
+    * lifecycle in one row: tag the pristine state, mutate, vacuum
+    * past it with retention 1 — the in-row requires pin that the
+    * UNTAGGED intermediate versions were reclaimed while the tagged
+    * snapshot still reads IN FULL (manifest + data files survive) —
+    * then read the final state through the catalog and the tagged
+    * state through `VERSION AS OF 'name'`. */
+  val versionedTags = sql("versioned_tags",
+    """SELECT o_orderkey AS k, o_custkey AS g,
+         CAST(0 AS BIGINT) AS tagged_only
+       FROM orders WHERE (o_orderkey % 4) <> 0
+       UNION ALL
+       SELECT o_orderkey AS k, o_custkey AS g,
+         CAST(1 AS BIGINT) AS tagged_only
+       FROM orders WHERE (o_orderkey % 4) = 0""") { (s, d) =>
+    val baseDir = scratch("tags")
+    val cat = freshCat(s, baseDir)
+    val dir = s"$baseDir/t"
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("g"))
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows, dir, "k", CheckBuckets)
+    }
+    s.sql(s"CALL $cat.tag(tbl => 't', name => 'pristine')")
+    // two mutation commits, then vacuum past them with retention 1
+    VersionedKeyedTable.delete(s, dir,
+      rows.filter(col("k") % 4 === 0).select(col("k")), "k")
+    VersionedKeyedTable.upsert(s, dir,
+      rows.filter(col("k") % 16 === 1), "k")
+    VersionedKeyedTable.vacuum(s, dir, keepVersions = 1, graceMs = 0L,
+      stagingGraceMs = 0L)
+    val live = VersionedKeyedTable.completeVersions(s, dir).toSet
+    require(live == Set(1L, 3L),
+      s"vacuum must reclaim untagged intermediates but RETAIN the " +
+        s"tagged v1 (got $live)")
+    val tagged = s.sql(
+      s"SELECT k, g FROM $cat.t VERSION AS OF 'pristine'")
+    val current = s.sql(s"SELECT k, g FROM $cat.t")
+    require(tagged.count() > current.count(),
+      "the tagged snapshot must still read in full past the vacuum")
+    // rows only in the tagged snapshot are exactly the deleted %4 set
+    tagged.join(current, Seq("k"), "left_anti")
+      .withColumn("tagged_only", lit(1L))
+      .unionByName(current.withColumn("tagged_only", lit(0L)))
+  }
+
+  /** COMPOSITION: an incremental view maintained over MERGE-ON-READ
+    * mutations — upsertMor and deleteMor capture ordinary CDF change
+    * rows, so the view's refresh machinery (delta aggregate + merge
+    * commit + durable watermark) consumes them EXACTLY like
+    * copy-on-write commits; a compaction purge in the span is
+    * CDF-invisible and contributes nothing. This is the 100 TB
+    * composition that matters: O(batch) MoR ingest feeding O(delta)
+    * view maintenance, with neither tier ever re-reading the base. */
+  val ivmOverMor = sql("ivm_over_mor",
+    """WITH fin AS (
+         SELECT o_custkey AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             * CASE WHEN o_orderkey % 13 = 1 THEN 2 ELSE 1 END AS cents
+         FROM orders
+         WHERE (o_orderkey % 3) <> 2 AND (o_orderkey % 17) <> 0)
+       SELECT g, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS total
+       FROM fin GROUP BY g""") { (s, d) =>
+    import graft.sinks.IncrementalView
+    val baseDir = scratch("ivmmor_base")
+    val viewDir = scratch("ivmmor_view")
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      .filter(col("k") % 3 =!= 2)
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows, baseDir, "k", CheckBuckets)
+    }
+    val watermark = IncrementalView.createFrom(
+      s, baseDir, viewDir, "g", "cents", numBuckets = CheckBuckets)
+    // MoR commit 2: %13=1 rows corrected to doubled cents (append +
+    // stamped delete — no bucket rewrite)
+    VersionedKeyedTable.upsertMor(s, baseDir,
+      rows.filter(col("k") % 13 === 1)
+        .withColumn("cents", col("cents") * 2), "k")
+    // MoR commit 3: a compliance delete, deferred
+    VersionedKeyedTable.deleteMor(s, baseDir,
+      rows.filter(col("k") % 17 === 0).select(col("k")), "k")
+    // commit 4: the purge — CDF-invisible, the view must skip it
+    VersionedKeyedTable.compact(s, baseDir, "k")
+    require(VersionedKeyedTable.snapshot(s, baseDir).deletes.isEmpty,
+      "compact must have purged the MoR backlog before the refresh")
+    IncrementalView.refreshToLatest(
+      s, baseDir, viewDir, "k", "g", "cents", watermark)
+    VersionedKeyedTable.read(s, viewDir)
+      .select(col("g"), col("cnt"), col("total"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(versionedMorDelete, versionedMorCompact, versionedMorSql,
-      versionedSqlUpdatePruned, versionedMorUpsert, streamMorIngest)
+      versionedSqlUpdatePruned, versionedMorUpsert, streamMorIngest,
+      versionedTags, ivmOverMor)
 }

@@ -2716,6 +2716,87 @@ object VersionedKeyedTable {
       "meta_keys")
   }
 
+  // ---- tags ---------------------------------------------------------
+
+  private def tagsDir(dir: String) = new Path(dir, "_tags")
+  private def tagPath(dir: String, name: String) =
+    new Path(tagsDir(dir), enc(name))
+
+  /** TAG a committed version with an immutable NAME (the
+    * Iceberg/Delta named-snapshot shape): `release-2026-08` resolves
+    * forever to the same snapshot — `VERSION AS OF 'release-2026-08'`
+    * in SQL, [[readTagged]] programmatically — and [[vacuum]] RETAINS
+    * tagged versions (manifest + files) past its retention count, so
+    * a pinned audit/repro snapshot survives routine reclamation until
+    * [[deleteTag]] releases it. Creation is one create-if-absent on
+    * the claim backend (atomic with content where the scheme allows):
+    * re-tagging the SAME version is an idempotent no-op, a DIFFERENT
+    * version fails loudly — tags never move (re-point = delete +
+    * re-create, an explicit two-step). Purely-numeric names are
+    * refused (they would be ambiguous under `VERSION AS OF`).
+    * Defaults to the latest complete version; returns the tagged
+    * version. */
+  def tag(spark: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(name.nonEmpty && name.toLongOption.isEmpty,
+      s"tag name '$name' must be non-empty and non-numeric " +
+        "(numeric strings are version literals under VERSION AS OF)")
+    val fs = hfs(spark, dir)
+    // the tagged version must exist and be complete — loud otherwise
+    val v = snapshot(spark, dir, version).version
+    fs.mkdirs(tagsDir(dir))
+    if (claimBackendFor(fs).tryClaim(fs, tagsDir(dir),
+        tagPath(dir, name), s"$v\n#end\n")) v
+    else tagVersion(spark, dir, name) match {
+      case Some(existing) if existing == v => v // idempotent re-tag
+      case Some(existing) => throw new IllegalStateException(
+        s"tag '$name' at $dir already points to v$existing — tags " +
+          s"never move; deleteTag first to re-point it (wanted v$v)")
+      case None => throw new IllegalStateException(
+        s"tag '$name' at $dir lost its creation race to a torn " +
+          "claim — deleteTag the remnant and retry")
+    }
+  }
+
+  /** The version a tag resolves to, or None (missing or torn). */
+  def tagVersion(spark: SparkSession, dir: String,
+      name: String): Option[Long] = {
+    val fs = hfs(spark, dir)
+    val p = tagPath(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val txt = readVersionFile(fs, p)
+      // torn weak-scheme writes lack the end marker: not a tag
+      if (!txt.split('\n').lastOption.contains("#end")) None
+      else txt.split('\n').headOption.flatMap(_.toLongOption)
+    }
+  }
+
+  /** Every live tag: name → version (torn remnants skipped). */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val fs = hfs(spark, dir)
+    val td = tagsDir(dir)
+    if (!fs.exists(td)) Map.empty
+    else fs.listStatus(td).toSeq.map(_.getPath.getName)
+      .flatMap(n => tagVersion(spark, dir, dec(n)).map(dec(n) -> _))
+      .toMap
+  }
+
+  /** Remove a tag (releases its vacuum retention). Returns whether
+    * anything was removed. */
+  def deleteTag(spark: SparkSession, dir: String,
+      name: String): Boolean = {
+    val fs = hfs(spark, dir)
+    fs.delete(tagPath(dir, name), false)
+  }
+
+  /** [[read]] pinned to a tagged version. */
+  def readTagged(spark: SparkSession, dir: String,
+      name: String): DataFrame =
+    read(spark, dir, Some(tagVersion(spark, dir, name).getOrElse(
+      throw new IllegalStateException(
+        s"no tag '$name' on the table at $dir"))))
+
   /** Remove versions older than the latest `keepVersions` and every
     * data file none of the retained versions references. Two safety
     * rails: (a) an in-flight WRITER's files exist unreferenced between
@@ -2749,9 +2830,14 @@ object VersionedKeyedTable {
     // file reclamation runs even when no version needs dropping: a
     // previous vacuum may have pruned the log while the grace window
     // deferred its files — re-running finishes the job
-    val (drop, keep) =
+    val (drop0, keep0) =
       if (versions.size <= keepVersions) (Seq.empty[Long], versions)
       else versions.splitAt(versions.size - keepVersions)
+    // TAGGED versions are pinned: retained (manifest + files) past
+    // the retention count until deleteTag releases them
+    val taggedVs = tags(spark, dir).values.toSet
+    val drop = drop0.filterNot(taggedVs)
+    val keep = keep0 ++ drop0.filter(taggedVs)
     // referenced set comes straight off the snapshots already parsed
     // above — no second read+parse of the same control files
     val keepSet = keep.toSet

@@ -157,18 +157,29 @@ class GraftCatalog extends TableCatalog
     // listing to v's snapshot.
     if (ident.name().endsWith("$history") ||
         ident.name().endsWith("$files") ||
-        ident.name().endsWith("$deletes")) {
+        ident.name().endsWith("$deletes") ||
+        ident.name().endsWith("$tags")) {
       val isHistory = ident.name().endsWith("$history")
       val isDeletes = ident.name().endsWith("$deletes")
+      val isTags = ident.name().endsWith("$tags")
       val suffix =
         if (isHistory) "$history"
-        else if (isDeletes) "$deletes" else "$files"
+        else if (isDeletes) "$deletes"
+        else if (isTags) "$tags" else "$files"
       val dir = (ident.namespace() :+ ident.name().stripSuffix(suffix))
         .mkString(s"$base/", "/", "")
       if (KeyedTable.readMeta(spark, dir).isEmpty)
         throw new NoSuchTableException(ident)
       def utf8(s: String) =
         org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      // `t$tags`: the table's live tags (name, version)
+      if (isTags)
+        return new GraftMetaTable(ident.toString,
+          GraftCatalog.TagsSchema,
+          () => VersionedKeyedTable.tags(SparkSession.active, dir)
+            .toArray.sortBy(_._1).map { case (n, v) =>
+              InternalRow(utf8(n), v)
+            })
       // `t$deletes`: the snapshot's pending merge-on-read delete
       // files (bucket, file, doomed-row count) — empty once
       // compaction purges them
@@ -217,20 +228,37 @@ class GraftCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
-  /** `VERSION AS OF <v>`. */
+  /** `VERSION AS OF <v>` — a number pins that version; any other
+    * string resolves as a TAG name on the table (immutable named
+    * snapshots; `VERSION AS OF 'release-2026-08'`). Metadata-suffixed
+    * identifiers (`t$changes`/`t$history`/`t$files`/`t$deletes`)
+    * resolve the tag against the BASE table's log. */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"GraftCatalog: VERSION AS OF takes a version number, " +
-          s"got '$version'"))))
+    version.toLongOption match {
+      case Some(v) => load(ident, Some(v))
+      case None =>
+        val resolveDir =
+          Seq("$changes", "$history", "$files", "$deletes")
+            .find(ident.name().endsWith)
+            .map(sfx =>
+              (ident.namespace() :+ ident.name().stripSuffix(sfx))
+                .mkString(s"$base/", "/", ""))
+            .getOrElse(dirOf(ident))
+        load(ident, Some(
+          VersionedKeyedTable.tagVersion(spark, resolveDir, version)
+            .getOrElse(throw new IllegalArgumentException(
+              s"GraftCatalog: VERSION AS OF '$version' — not a " +
+                s"version number and no such tag on $resolveDir"))))
+    }
 
   /** `TIMESTAMP AS OF <ts>` (micros since epoch from Spark). For a
     * `t$changes` / `t$history` / `t$files` identifier the instant
     * resolves against the BASE table's commit log and bounds the
     * virtual relation there. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val resolveDir = Seq("$changes", "$history", "$files", "$deletes")
-      .find(ident.name().endsWith)
+    val resolveDir =
+      Seq("$changes", "$history", "$files", "$deletes", "$tags")
+        .find(ident.name().endsWith)
       .map(sfx => (ident.namespace() :+ ident.name().stripSuffix(sfx))
         .mkString(s"$base/", "/", ""))
       .getOrElse(dirOf(ident))
@@ -564,6 +592,11 @@ object GraftCatalog {
     StructField("bucket", IntegerType, nullable = false),
     StructField("file", StringType, nullable = false),
     StructField("rows", LongType, nullable = true)))
+
+  /** `t$tags` — the table's live tags (immutable named snapshots). */
+  val TagsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
 }
 
 /** A driver-materialized metadata relation (`t$history` / `t$files`):
@@ -722,7 +755,15 @@ class GraftSqlBatchWrite(dir: String, keyCol: String, queryId: String,
     try {
       if (staged.isEmpty) return // INSERT of zero rows: no commit
       val rows = spark.read.schema(schema).parquet(staged: _*)
-      VersionedKeyedTable.upsert(spark, dir, rows, keyCol,
+      // spark.graft.insert.mode=mor defers the put as appended data
+      // files + a sequence-stamped delete (no bucket rewrite — the
+      // continuous-ingest SQL face; compact() folds the backlog);
+      // default is the copy-on-write upsert
+      if (spark.conf.getOption("spark.graft.insert.mode")
+          .exists(_.equalsIgnoreCase("mor")))
+        VersionedKeyedTable.upsertMor(spark, dir, rows, keyCol,
+          commitMeta = Map("graft.sql.insert" -> queryId))
+      else VersionedKeyedTable.upsert(spark, dir, rows, keyCol,
         commitMeta = Map("graft.sql.insert" -> queryId))
     } finally StagedFileMessage.cleanup(spark, dir, messages)
   }

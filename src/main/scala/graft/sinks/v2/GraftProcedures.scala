@@ -40,7 +40,8 @@ object GraftProcedures {
     StructField("files_before", IntegerType, nullable = false),
     StructField("files_after", IntegerType, nullable = false)))
 
-  val All: Seq[String] = Seq("compact", "cluster", "cluster_by", "vacuum")
+  val All: Seq[String] =
+    Seq("compact", "cluster", "cluster_by", "vacuum", "tag", "drop_tag")
 
   def apply(base: String, name: String): UnboundProcedure = name match {
     case "compact" => new GraftProc(base, "compact",
@@ -84,6 +85,33 @@ object GraftProcedures {
           args: InternalRow): Unit =
         VersionedKeyedTable.vacuum(spark, dir,
           keepVersions = args.getInt(1))
+    }
+    // `CALL cat.tag(tbl => 't', name => 'release-1')` pins the
+    // LATEST complete version (or an explicit `version`) under an
+    // immutable name — vacuum then retains it; drop_tag releases it.
+    // Version-neutral operations: the evidence row's before == after.
+    case "tag" => new GraftProc(base, "tag",
+      Array(
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", LongType)
+          .defaultValue("-1").build())) {
+      def run(spark: SparkSession, dir: String, key: String,
+          args: InternalRow): Unit = {
+        val v = args.getLong(2)
+        VersionedKeyedTable.tag(spark, dir,
+          args.getUTF8String(1).toString,
+          if (v < 0) None else Some(v)): Unit
+      }
+    }
+    case "drop_tag" => new GraftProc(base, "drop_tag",
+      Array(
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+      def run(spark: SparkSession, dir: String, key: String,
+          args: InternalRow): Unit =
+        VersionedKeyedTable.deleteTag(spark, dir,
+          args.getUTF8String(1).toString): Unit
     }
     case other => throw new IllegalArgumentException(
       s"no such procedure $other (available: ${All.mkString(", ")})")
