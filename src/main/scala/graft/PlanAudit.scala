@@ -444,6 +444,15 @@ object PlanAudit {
       "last-write-wins across epochs via the sequence rule, and the " +
       "closing compact() folds the backlog without changing the " +
       "count. Exactly-once still rides the epoch stamp."),
+    "ivm_over_mor" -> ("IVM over merge-on-read mutations: upsertMor/" +
+      "deleteMor capture ordinary CDF change rows, so the view's " +
+      "refresh consumes a MoR history exactly like copy-on-write " +
+      "commits — delta aggregate over the span's change files, one " +
+      "merge commit, durable watermark — and the compaction purge in " +
+      "the span is CDF-invisible (empty captured set, skipped). The " +
+      "100 TB composition: O(batch) ingest feeding O(delta) " +
+      "maintenance, neither tier re-reading the base. Terminal plan: " +
+      "the view's bucketed scan."),
     "versioned_tags" -> ("Immutable named snapshots (tags): one " +
       "create-if-absent on the claim backend pins a version under a " +
       "name (idempotent on the same version, a move is refused — " +
