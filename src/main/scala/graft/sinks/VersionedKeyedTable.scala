@@ -923,7 +923,18 @@ object VersionedKeyedTable {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     if (rels.isEmpty) return empty
-    val delRels = (buckets match {
+    // deletes are bucket-local by key hashing — callers that pass no
+    // bucket set still only need the deletes of the buckets their
+    // FILES live in, parsed off the `__bucket=N` path segment (a
+    // point lookup must not pay O(all delete files); any unparsable
+    // path falls back to every bucket, conservative as ever)
+    val scopedBuckets: Option[Set[Int]] = buckets.orElse {
+      val bs = rels.map { f =>
+        "__bucket=(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toInt)
+      }
+      if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+    }
+    val delRels = (scopedBuckets match {
       case Some(bs) => snap.deletes.view.filterKeys(bs).values.toSeq
       case None => snap.deletes.values.toSeq
     }).flatten
@@ -1356,6 +1367,10 @@ object VersionedKeyedTable {
       commitMeta: Map[String, String] = Map.empty,
       expectedVersion: Option[Long] = None): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
+    require(KeyedTable.readMetaKey(spark, dir).forall(_ == keyCol),
+      s"replaceAll at $dir: key '$keyCol' does not match the " +
+        s"table's recorded key column " +
+        s"(${KeyedTable.readMetaKey(spark, dir).getOrElse("none")})")
     val fs = hfs(spark, dir)
     val pinned = rows.withColumn("__bucket", bucketOf(keyCol, nb))
       .localCheckpoint(true)
@@ -1461,6 +1476,10 @@ object VersionedKeyedTable {
       captureChanges: Boolean = true,
       commitMeta: Map[String, String] = Map.empty): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
+    require(KeyedTable.readMetaKey(spark, dir).forall(_ == keyCol),
+      s"replaceFiles at $dir: key '$keyCol' does not match the " +
+        s"table's recorded key column " +
+        s"(${KeyedTable.readMetaKey(spark, dir).getOrElse("none")})")
     val fs = hfs(spark, dir)
     val removed = removeRels.toSet
     val pinned = rows.withColumn("__bucket", bucketOf(keyCol, nb))
@@ -1613,6 +1632,10 @@ object VersionedKeyedTable {
   def transact(spark: SparkSession, dir: String, keyCol: String)(
       derive: DataFrame => DataFrame): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
+    require(KeyedTable.readMetaKey(spark, dir).forall(_ == keyCol),
+      s"transact at $dir: key '$keyCol' does not match the table's " +
+        s"recorded key column " +
+        s"(${KeyedTable.readMetaKey(spark, dir).getOrElse("none")})")
     val fs = hfs(spark, dir)
     var attempts = 0
     while (true) {
@@ -1722,6 +1745,13 @@ object VersionedKeyedTable {
       carryCols: Set[String] = Set.empty)(
       remerge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
+    // the recorded key IS the layout contract: a wrong-column mutation
+    // would hash rows into wrong buckets AND read pending MOR delete
+    // files as all-null (resurrecting deleted rows) — refuse loudly
+    require(KeyedTable.readMetaKey(spark, dir).forall(_ == keyCol),
+      s"mutation at $dir: key '$keyCol' does not match the table's " +
+        s"recorded key column " +
+        s"(${KeyedTable.readMetaKey(spark, dir).getOrElse("none")})")
     val fs = hfs(spark, dir)
     val batch = rows.withColumn("__bucket", bucketOf(keyCol, nb))
       .localCheckpoint(true)
@@ -2287,6 +2317,15 @@ object VersionedKeyedTable {
       shape: (DataFrame, Int) => DataFrame,
       maxRecordsPerFile: Long,
       ensureStatsCols: Seq[String] = Nil): Unit = {
+    // the rewrite consumes pending MOR delete files, which hold ONLY
+    // the recorded key column — a wrong-column maintenance call would
+    // read them as all-null, drop nothing in the anti-join, and
+    // permanently RESURRECT deleted rows while clearing the entries;
+    // refuse before touching anything
+    require(KeyedTable.readMetaKey(spark, dir).forall(_ == keyCol),
+      s"$label at $dir: key '$keyCol' does not match the table's " +
+        s"recorded key column " +
+        s"(${KeyedTable.readMetaKey(spark, dir).getOrElse("none")})")
     val (nb, metaSchema) = readMeta(spark, dir)
     val fs = hfs(spark, dir)
     var attempts = 0
@@ -2892,6 +2931,18 @@ object VersionedKeyedTable {
       // reclamation race shrinks from the grace window to the gap
       // between this listing and the deletes below
       val seen = parsed.map(_._1).toSet
+      // a TAG may also have landed since the initial read — re-read
+      // and retain any late-tagged dropped version's files (its
+      // manifest is spared below for the same reason), closing the
+      // tag-vs-vacuum race to the gap between this re-read and the
+      // deletes
+      val lateTaggedVs = tags(spark, dir).values.toSet
+        .intersect(drop.toSet)
+      val lateTagReferenced = parsed
+        .collect { case (v, Some(s)) if lateTaggedVs(v) => s }
+        .flatMap(s => s.files.values.flatten ++
+          s.deletes.values.flatten ++
+          s.changes.getOrElse(Seq.empty)).toSet
       val lateReferenced = listVersions(fs, dir)
         .filterNot(seen)
         .flatMap { v =>
@@ -2902,7 +2953,7 @@ object VersionedKeyedTable {
               s.deletes.values.flatten ++
               s.changes.getOrElse(Seq.empty)).toSeq)
             .getOrElse(Seq.empty)
-        }.toSet
+        }.toSet ++ lateTagReferenced
       candidates.result().foreach { case (p, rel) =>
         if (!lateReferenced.contains(rel)) fs.delete(p, false)
       }
@@ -2915,7 +2966,11 @@ object VersionedKeyedTable {
           fs.delete(p, false)
       }
     }
-    drop.foreach(v => fs.delete(versionPath(dir, v), false))
+    // final tag re-read right before the manifest deletes — a tag
+    // that landed mid-vacuum keeps its version's manifest
+    val finalTagged = tags(spark, dir).values.toSet
+    drop.filterNot(finalTagged)
+      .foreach(v => fs.delete(versionPath(dir, v), false))
     // a crashed streaming-sink job can strand staged files (its abort
     // never ran). Staged files are CREATED at epoch start and live
     // until the epoch's driver commit, so the staging grace must

@@ -238,7 +238,7 @@ class GraftCatalog extends TableCatalog
       case Some(v) => load(ident, Some(v))
       case None =>
         val resolveDir =
-          Seq("$changes", "$history", "$files", "$deletes")
+          Seq("$changes", "$history", "$files", "$deletes", "$tags")
             .find(ident.name().endsWith)
             .map(sfx =>
               (ident.namespace() :+ ident.name().stripSuffix(sfx))
@@ -1313,9 +1313,17 @@ class GraftRowScan(dir: String,
       org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)] = {
     var cs = inners
     if (cs == null) {
-      cs = kept.groupBy(VersionedKeyedTable.dataSeq(snap, _))
-        .toSeq.sortBy(_._1)
-        .map { case (s, fs) => s -> buildScan(fs) }
+      // sequence classes matter ONLY while delete files are pending
+      // (stamps outlive their deletes — an all-new-keys upsertMor
+      // writes stamped files with no delete file, and a consumed
+      // backlog leaves stamps behind until the bucket is rewritten):
+      // with delRels empty, ONE scan serves everything — vectorized,
+      // SPJ-groupable, no per-class split
+      cs =
+        if (delRels.isEmpty) Seq(0L -> buildScan(kept))
+        else kept.groupBy(VersionedKeyedTable.dataSeq(snap, _))
+          .toSeq.sortBy(_._1)
+          .map { case (s, fs) => s -> buildScan(fs) }
       if (cs.isEmpty) cs = Seq(0L -> buildScan(Seq.empty))
       inners = cs
     }

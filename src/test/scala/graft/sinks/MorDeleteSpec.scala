@@ -327,6 +327,61 @@ class MorDeleteSpec extends AnyFunSuite {
       "the full CoW replace must consume the pending delete files")
   }
 
+  test("REGRESSION: sequence stamps OUTLIVE their deletes — an " +
+      "all-new-keys upsertMor leaves stamped files with no pending " +
+      "delete, and catalog scans (incl. storage-partitioned reads) " +
+      "must still read every class") {
+    val base = Files.createTempDirectory("graft-spjmor-cat").toString
+    spark.conf.set("spark.sql.catalog.scat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.scat.base", base)
+    val dir = s"$base/t"
+    VersionedKeyedTable.create(
+      (1L to 40L).map(i => (i, i * 2L)).toDF("k", "x"), dir, "k", 2)
+    // ALL-NEW keys: prevRows empty -> NO delete file, but the
+    // appended data files are sequence-stamped
+    VersionedKeyedTable.upsertMor(spark, dir,
+      (41L to 60L).map(i => (i, i * 2L)).toDF("k", "x"), "k")
+    val snap = VersionedKeyedTable.snapshot(spark, dir)
+    assert(snap.deletes.isEmpty && snap.seqs.nonEmpty,
+      "the regression precondition: stamps without pending deletes")
+    // plain catalog scan sees both classes
+    assert(spark.sql("SELECT count(*) AS n FROM scat.t WHERE x > 0")
+      .as[Long].head() === 60L)
+    // storage-partitioned (bucket-grouped) scan must too — the bug
+    // was classes.head dropping every stamped file's rows
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM (SELECT k, max(x) FROM scat.t " +
+          "GROUP BY k)").as[Long].head()
+      assert(n === 60L,
+        "bucket-grouped reads must include upsertMor-appended files")
+    } finally
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
+  test("REGRESSION: maintenance and mutations with a WRONG key " +
+      "column are refused (a wrong-key compact would read delete " +
+      "files as all-null and resurrect deleted rows)") {
+    val dir = freshDir()
+    make(dir, 30L)
+    VersionedKeyedTable.deleteMor(spark, dir, Seq(5L).toDF("k"), "k")
+    intercept[IllegalArgumentException] {
+      VersionedKeyedTable.compact(spark, dir, "v")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq(("x", 1L)).toDF("v", "k"), "v")
+    }
+    // the table is untouched: deletes pending, row still hidden
+    assert(VersionedKeyedTable.snapshot(spark, dir).deletes.nonEmpty)
+    assert(!contents(dir).contains(5L) && contents(dir).size === 29)
+    // the RIGHT key still works
+    VersionedKeyedTable.compact(spark, dir, "k")
+    assert(VersionedKeyedTable.snapshot(spark, dir).deletes.isEmpty)
+  }
+
   test("REGRESSION: a zone-map-pruned SQL UPDATE rewrites ONLY the " +
       "covering files and loses no rows (group-based replace, not " +
       "whole-table replace)") {
