@@ -650,7 +650,10 @@ object VersionedKeyedTable {
          Map[String, Long],
          Map[String, Map[String, (String, String)]]) = {
     val rel = s"data/c-${java.util.UUID.randomUUID()}"
-    val w = withBucket.write.partitionBy("__bucket")
+    // CHECK constraints guard every row in the write's own pass — a
+    // violation fails the job here, before any manifest can commit
+    val guarded = withConstraintChecks(spark, dir, withBucket)
+    val w = guarded.write.partitionBy("__bucket")
     (if (maxRecordsPerFile > 0L)
        w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(s"$dir/$rel")
@@ -1971,6 +1974,80 @@ object VersionedKeyedTable {
     }
   }
 
+  /** APPLY a CDC EVENT FEED — upserts and deletes tagged with a
+    * per-key SEQUENCE — with out-of-order and duplicate delivery
+    * handled (the Delta Live Tables `APPLY CHANGES INTO` shape, built
+    * on [[merge]]'s conditional clauses): each event is
+    * (key, sequence, op, full row image), and the table converges to
+    * "the highest-sequence event per key, deletes removing the row"
+    * no matter how the feed is batched, ordered, or replayed.
+    *
+    *  - WITHIN a batch: only the latest event per key applies
+    *    (sequence desc; a delete outranks an upsert at the same
+    *    sequence — the conservative tie).
+    *  - ACROSS batches: the applied sequence is TABLE STATE (`seqCol`
+    *    is a real column, stamped by every apply), and the merge's
+    *    clauses are gated on `source.seq > target.seq` — a stale or
+    *    replayed event is a per-row no-op, so redelivery is idempotent
+    *    and late events never regress a newer row. A matched row with
+    *    a NULL stored sequence (written by a plain upsert) accepts any
+    *    event.
+    *  - Deletes remove the row AND its sequence (no tombstone
+    *    retention): an event OLDER than a delete, arriving AFTER it,
+    *    re-inserts the key — the documented tradeoff of
+    *    tombstone-free CDC (Delta's APPLY CHANGES has the same window
+    *    without `applyAsDeletes` retention); feeds whose deletes are
+    *    terminal per key (the common CDC contract) are exact.
+    *
+    * Events carry the FULL row image: a table column absent from the
+    * feed keeps its target value on update and inserts as null. One
+    * optimistic commit per call; O(touched buckets), CDF-captured.
+    * At 100 TB this is the standing ingest shape: a Kafka/Debezium
+    * feed lands in arrival order, and correctness comes from the
+    * sequence gate, not from coordination upstream. */
+  def applyChanges(spark: SparkSession, dir: String, feed: DataFrame,
+      keyCol: String, seqCol: String, opCol: String,
+      deleteOp: String = "D",
+      commitMeta: Map[String, String] = Map.empty): Unit = {
+    Seq(keyCol, seqCol, opCol).foreach(c => require(
+      feed.columns.contains(c),
+      s"applyChanges: the feed lacks required column '$c' " +
+        s"(found ${feed.columns.mkString(", ")})"))
+    val (_, metaSchema) = readMeta(spark, dir)
+    val schema = snapshot(spark, dir).schema.getOrElse(metaSchema)
+    require(schema.fieldNames.contains(seqCol),
+      s"applyChanges: sequence column '$seqCol' must be a TABLE " +
+        "column — the applied sequence is table state (create the " +
+        "table with it)")
+    require(!schema.fieldNames.contains(opCol),
+      s"applyChanges: op column '$opCol' collides with a table " +
+        "column — rename it in the feed")
+    // within-batch dedup: latest event per key; delete outranks
+    // upsert at an equal sequence (deterministic, conservative)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(col(seqCol).desc,
+        when(col(opCol) === deleteOp, 1).otherwise(0).desc)
+    val latest = feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val sSeq = col(s"s.$seqCol")
+    val tSeq = col(s"t.$seqCol")
+    // a stored NULL sequence (plain-upsert provenance) accepts any event
+    val fresh = coalesce(sSeq > tSeq, tSeq.isNull)
+    val isDel = col(s"s.$opCol") === deleteOp
+    val feedCols = latest.columns.toSet
+    val updates = schema.fieldNames.filterNot(_ == keyCol).collect {
+      case c if feedCols(c) =>
+        c -> when(fresh && !isDel, col(s"s.$c")).otherwise(col(s"t.$c"))
+    }.toMap
+    merge(spark, dir, latest, keyCol,
+      whenMatchedDelete = Some(isDel && fresh),
+      whenMatchedUpdate = updates,
+      insertNotMatchedWhen = Some(!isDel),
+      commitMeta = commitMeta,
+      carryCols = Set(opCol))
+  }
+
   /** CHANGE DATA FEED: the NET row-level diff between two committed
     * versions — what an incremental consumer (a materialized view, a
     * downstream sync) applies instead of re-reading the table. Output:
@@ -2835,6 +2912,216 @@ object VersionedKeyedTable {
     read(spark, dir, Some(tagVersion(spark, dir, name).getOrElse(
       throw new IllegalStateException(
         s"no tag '$name' on the table at $dir"))))
+
+  // ---- CHECK CONSTRAINTS --------------------------------------------
+
+  private def constraintsDir(dir: String) = new Path(dir, "_constraints")
+  private def constraintPath(dir: String, name: String) =
+    new Path(constraintsDir(dir), enc(name))
+
+  /** ADD a named CHECK constraint: a boolean SQL predicate every row
+    * of every future commit must satisfy (the Delta
+    * `ALTER TABLE ADD CONSTRAINT` contract; NOT NULL is just
+    * `col IS NOT NULL`). The EXISTING table is validated first — a
+    * constraint the current rows violate is refused, so a live
+    * constraint always means "every row ever committed under it
+    * passed". Enforcement rides [[writeDataFiles]]'s own write pass
+    * (a per-row guard expression, NOT an extra scan — at 100 TB an
+    * extra validation pass per commit would double write I/O), and
+    * covers EVERY write surface: upsert/delete/merge/transact,
+    * merge-on-read appends, SQL INSERT/UPDATE/MERGE/OVERWRITE, the
+    * streaming sink, and layout rewrites. A violating batch fails the
+    * write job BEFORE its manifest commits — the table is unchanged
+    * (orphaned part-files reclaim via [[vacuum]], like any failed
+    * write). SQL-null semantics: a row where the predicate is NULL
+    * PASSES (the SQL CHECK rule — use `IS NOT NULL` to reject nulls).
+    * Columns a batch does not carry (additive schema evolution)
+    * evaluate as null, so evolution-lagging writers keep the same
+    * null-passes rule. Re-adding an identical constraint is an
+    * idempotent no-op; a different predicate under a live name fails
+    * loudly (drop first). NOTE the add itself does not serialize with
+    * in-flight data commits (the constraint claim is a sidecar, not a
+    * manifest CAS): a writer whose batch was already validated against
+    * the old constraint set may land violating rows in the race
+    * window — re-run the validation read after adding when that
+    * window matters. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+      check: String): Unit = {
+    require(name.nonEmpty, "constraint name must be non-empty")
+    // must resolve against the table schema AND be boolean — loud now,
+    // not at some future writer's commit
+    val probe = read(spark, dir).select(expr(check).as("c"))
+    require(probe.schema.fields.head.dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"constraint '$name' must be a BOOLEAN predicate, got " +
+        s"${probe.schema.fields.head.dataType.simpleString}: $check")
+    // the ALTER TABLE contract: current rows must already satisfy it
+    val bad = read(spark, dir)
+      .filter(!coalesce(expr(check), lit(true))).limit(1).collect()
+    require(bad.isEmpty,
+      s"cannot add constraint '$name' CHECK ($check): existing rows " +
+        s"violate it, e.g. ${bad.headOption.fold("")(_.toString)}")
+    val fs = hfs(spark, dir)
+    fs.mkdirs(constraintsDir(dir))
+    if (!claimBackendFor(fs).tryClaim(fs, constraintsDir(dir),
+        constraintPath(dir, name), enc(check) + "\n#end\n")) {
+      constraints(spark, dir).get(name) match {
+        case Some(existing) if existing == check => () // idempotent
+        case Some(existing) => throw new IllegalStateException(
+          s"constraint '$name' at $dir already holds CHECK " +
+            s"($existing) — constraints never mutate in place; " +
+            "dropConstraint first")
+        case None => throw new IllegalStateException(
+          s"constraint '$name' at $dir lost its creation race to a " +
+            "torn claim — dropConstraint the remnant and retry")
+      }
+    }
+  }
+
+  /** Remove a named constraint (future commits stop enforcing it).
+    * Returns whether anything was removed. */
+  def dropConstraint(spark: SparkSession, dir: String,
+      name: String): Boolean =
+    hfs(spark, dir).delete(constraintPath(dir, name), false)
+
+  /** Every live constraint: name → CHECK predicate (torn remnants
+    * skipped, like torn tags). */
+  def constraints(spark: SparkSession, dir: String): Map[String, String] = {
+    val fs = hfs(spark, dir)
+    val cd = constraintsDir(dir)
+    if (!fs.exists(cd)) Map.empty
+    else fs.listStatus(cd).toSeq.map(_.getPath.getName).flatMap { n =>
+      val txt = readVersionFile(fs, new Path(cd, n))
+      val lines = txt.split('\n')
+      if (!lines.lastOption.contains("#end")) None // torn weak-scheme write
+      else lines.headOption.map(h => dec(n) -> dec(h))
+    }.toMap
+  }
+
+  /** The enforcement hook: fold each live constraint into the write
+    * plan as a per-row guard — `assert_true` throws (failing the write
+    * job before any manifest commit) on the first row whose predicate
+    * is FALSE; TRUE and NULL pass. Columns the batch lacks are padded
+    * as nulls for evaluation only, then dropped — the written schema
+    * is untouched. Zero extra jobs: the guard rides the same pass that
+    * writes the parquet. */
+  private def withConstraintChecks(spark: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val cs = constraints(spark, dir)
+    if (cs.isEmpty) return df
+    val cols = df.columns.toSet
+    cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(e)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.name
+        }
+      val missing = refs.distinct.filterNot(cols)
+      val padded = missing.foldLeft(d)((dd, c) =>
+        dd.withColumn(c, lit(null)))
+      val checked = padded.filter(coalesce(
+        assert_true(coalesce(expr(e), lit(true)),
+          lit(s"constraint '$n' violated: CHECK ($e)")),
+        lit(true)))
+      if (missing.isEmpty) checked else checked.drop(missing: _*)
+    }
+  }
+
+  // ---- IDEMPOTENT FILE INGEST (the COPY INTO shape) -----------------
+
+  private def ingestDir(dir: String) = new Path(dir, "_ingest")
+
+  /** A source file's ingest identity: relative path + length. Source
+    * files are treated as IMMUTABLE (the lake convention COPY INTO
+    * assumes) — a path re-appearing with a different length reads as a
+    * NEW file and re-ingests (its rows are keyed puts, so the table
+    * converges regardless). */
+  private def ingestIdentity(rel: String, len: Long): String =
+    s"$rel|$len"
+
+  /** Source-file identities already loaded into the table. One
+    * listStatus — metadata scale, like the manifest log itself. */
+  def ingestedFiles(spark: SparkSession, dir: String): Set[String] = {
+    val fs = hfs(spark, dir)
+    val id = ingestDir(dir)
+    if (!fs.exists(id)) Set.empty
+    else fs.listStatus(id).toSeq.map(s => dec(s.getPath.getName)).toSet
+  }
+
+  /** Idempotent bulk file ingest — the `COPY INTO` shape: load every
+    * DATA FILE under `sourceDir` the table has not already ingested,
+    * as ONE keyed upsert commit, and remember the loaded files so a
+    * RE-RUN is a no-op. The operational contract that makes
+    * scheduled backfills safe to fire blindly: "load whatever landed
+    * in the bucket since last time" without an external watermark.
+    *
+    * Mechanics: candidate files (non-hidden regular files, recursive)
+    * are identified by relative-path + length; the already-ingested
+    * set lives as one marker file per source file under `_ingest/`
+    * (markers survive [[vacuum]] — the registry's lifetime is the
+    * table's, not the retention window's). Fresh files are read
+    * together in one `spark.read` (source-format parallelism), upsert
+    * in one commit stamped `graft.ingest.files` with the batch's
+    * identities, and the markers land AFTER the commit — a crash
+    * between the two re-ingests that batch on the next run, which the
+    * keyed put contract makes idempotent in effect (at-least-once
+    * markers, exactly-once table state). Two concurrent ingests of
+    * the same directory may both load a file for the same reason —
+    * convergent, never lost.
+    *
+    * At 100 TB: the marker registry is O(source files) metadata (the
+    * same ledger Delta's COPY INTO keeps in its txn log), the data
+    * path is one distributed read + one optimistic commit, and
+    * nothing is ever listed twice except names.
+    *
+    * Returns the number of files ingested by THIS call (0 = caught
+    * up, no commit). */
+  def ingestFiles(spark: SparkSession, dir: String, sourceDir: String,
+      keyCol: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): Int = {
+    val fs = hfs(spark, dir)
+    val srcRoot = new Path(sourceDir)
+    val srcFs = srcRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(srcFs.exists(srcRoot),
+      s"ingestFiles: source directory $sourceDir does not exist")
+    val rootUri = srcFs.makeQualified(srcRoot).toString
+    def walk(p: Path): Seq[(String, Long)] =
+      srcFs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else {
+            val q = srcFs.makeQualified(s.getPath).toString
+            Seq((q.stripPrefix(rootUri).stripPrefix("/"), s.getLen))
+          }
+        }
+    val candidates = walk(srcRoot)
+    val seen = ingestedFiles(spark, dir)
+    val fresh = candidates.filterNot { case (rel, len) =>
+      seen(ingestIdentity(rel, len)) }
+    if (fresh.isEmpty) return 0
+    val paths = fresh.map { case (rel, _) => s"$rootUri/$rel" }
+    val rows = spark.read.format(format).options(options)
+      .load(paths: _*)
+    require(rows.columns.contains(keyCol),
+      s"ingestFiles: source files lack the key column '$keyCol' " +
+        s"(found ${rows.columns.mkString(", ")})")
+    val ids = fresh.map { case (rel, len) => ingestIdentity(rel, len) }
+    upsert(spark, dir, rows, keyCol,
+      commitMeta = Map("graft.ingest.files" -> ids.mkString("\n"),
+        "graft.ingest.source" -> sourceDir))
+    // markers AFTER the commit: a crash window re-ingests (idempotent
+    // puts), never skips
+    fs.mkdirs(ingestDir(dir))
+    val backend = claimBackendFor(fs)
+    ids.foreach { id =>
+      backend.tryClaim(fs, ingestDir(dir),
+        new Path(ingestDir(dir), enc(id)), "1\n#end\n"): Unit
+    }
+    fresh.size
+  }
 
   /** Remove versions older than the latest `keepVersions` and every
     * data file none of the retained versions references. Two safety

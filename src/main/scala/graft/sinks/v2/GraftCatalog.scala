@@ -395,6 +395,9 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     m.put("data_files", snap.files.valuesIterator.map(_.size).sum.toString)
     m.put("delete_files",
       snap.deletes.valuesIterator.map(_.size).sum.toString)
+    // live CHECK constraints, Delta-style `constraint.<name>` keys
+    VersionedKeyedTable.constraints(spark, dir).toSeq.sortBy(_._1)
+      .foreach { case (n, e) => m.put(s"constraint.$n", e) }
     m
   }
   override def capabilities: util.Set[TableCapability] =

@@ -41,7 +41,8 @@ object GraftProcedures {
     StructField("files_after", IntegerType, nullable = false)))
 
   val All: Seq[String] =
-    Seq("compact", "cluster", "cluster_by", "vacuum", "tag", "drop_tag")
+    Seq("compact", "cluster", "cluster_by", "vacuum", "tag", "drop_tag",
+      "add_constraint", "drop_constraint", "ingest_files")
 
   def apply(base: String, name: String): UnboundProcedure = name match {
     case "compact" => new GraftProc(base, "compact",
@@ -112,6 +113,46 @@ object GraftProcedures {
           args: InternalRow): Unit =
         VersionedKeyedTable.deleteTag(spark, dir,
           args.getUTF8String(1).toString): Unit
+    }
+    // `CALL cat.add_constraint(tbl => 't', name => 'pos',
+    //  check_expr => 'qty > 0')` — a named CHECK every future commit
+    // enforces on every written row (existing rows validated first);
+    // drop_constraint releases it. Version-neutral: before == after.
+    case "add_constraint" => new GraftProc(base, "add_constraint",
+      Array(
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("check_expr", StringType).build())) {
+      def run(spark: SparkSession, dir: String, key: String,
+          args: InternalRow): Unit =
+        VersionedKeyedTable.addConstraint(spark, dir,
+          args.getUTF8String(1).toString,
+          args.getUTF8String(2).toString)
+    }
+    case "drop_constraint" => new GraftProc(base, "drop_constraint",
+      Array(
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+      def run(spark: SparkSession, dir: String, key: String,
+          args: InternalRow): Unit =
+        VersionedKeyedTable.dropConstraint(spark, dir,
+          args.getUTF8String(1).toString): Unit
+    }
+    // `CALL cat.ingest_files(tbl => 't', source => '/lake/raw',
+    //  format => 'parquet')` — idempotent COPY INTO: loads only files
+    // not yet ingested (one upsert commit), a caught-up re-run is a
+    // no-op (before == after in the evidence row).
+    case "ingest_files" => new GraftProc(base, "ingest_files",
+      Array(
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("source", StringType).build(),
+        ProcedureParameter.in("format", StringType)
+          .defaultValue("'parquet'").build())) {
+      def run(spark: SparkSession, dir: String, key: String,
+          args: InternalRow): Unit =
+        VersionedKeyedTable.ingestFiles(spark, dir,
+          args.getUTF8String(1).toString, key,
+          format = args.getUTF8String(2).toString): Unit
     }
     case other => throw new IllegalArgumentException(
       s"no such procedure $other (available: ${All.mkString(", ")})")

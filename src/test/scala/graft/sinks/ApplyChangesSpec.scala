@@ -1,0 +1,92 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.TestSpark
+
+/** APPLY CHANGES (CDC feed apply): out-of-order and duplicate events
+  * converge to highest-sequence-per-key, deletes remove rows, replays
+  * are per-row no-ops across batches, stale events never regress, a
+  * delete outranks an upsert at an equal sequence, and a NULL stored
+  * sequence (plain-upsert provenance) accepts any event. */
+class ApplyChangesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-cdc").toString + "/t"
+
+  private def state(dir: String): Map[Long, (Long, String)] =
+    VersionedKeyedTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2))).toMap
+
+  test("within-batch out-of-order + duplicates converge to latest; " +
+      "deletes remove; late insert for an absent key is dropped") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      Seq((1L, 0L, "init"), (2L, 0L, "init")).toDF("k", "seq", "v"),
+      dir, "k", 4)
+    val feed = Seq(
+      (1L, 2L, "U", "newer"), (1L, 1L, "U", "older"), // out of order
+      (2L, 5L, "D", ""), (2L, 3L, "U", "doomed"),     // delete wins
+      (3L, 1L, "I", "fresh"), (3L, 1L, "I", "fresh"), // duplicate insert
+      (4L, 7L, "D", "")                                // delete of absent
+    ).toDF("k", "seq", "op", "v")
+    VersionedKeyedTable.applyChanges(spark, dir, feed, "k", "seq", "op")
+    assert(state(dir) === Map(
+      1L -> (2L, "newer"), 3L -> (1L, "fresh")))
+  }
+
+  test("cross-batch: replay is a per-row no-op (zero change rows), " +
+      "stale events never regress, equal sequence is already-applied") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      Seq((1L, 10L, "ten")).toDF("k", "seq", "v"), dir, "k", 4)
+    val b1 = Seq((1L, 20L, "U", "twenty"), (2L, 1L, "I", "two"))
+      .toDF("k", "seq", "op", "v")
+    VersionedKeyedTable.applyChanges(spark, dir, b1, "k", "seq", "op")
+    assert(state(dir) === Map(1L -> (20L, "twenty"), 2L -> (1L, "two")))
+    // replay the whole batch: state identical AND the commit's change
+    // feed is EMPTY — per-row idempotence, not just convergence
+    val vBefore = VersionedKeyedTable.snapshot(spark, dir).version
+    VersionedKeyedTable.applyChanges(spark, dir, b1, "k", "seq", "op")
+    val vAfter = VersionedKeyedTable.snapshot(spark, dir).version
+    assert(state(dir) === Map(1L -> (20L, "twenty"), 2L -> (1L, "two")))
+    assert(VersionedKeyedTable.changesBetween(spark, dir, "k",
+      vBefore, vAfter).count() === 0L)
+    // stale event (seq 15 < applied 20) is a no-op
+    VersionedKeyedTable.applyChanges(spark, dir,
+      Seq((1L, 15L, "U", "stale")).toDF("k", "seq", "op", "v"),
+      "k", "seq", "op")
+    assert(state(dir)(1L) === ((20L, "twenty")))
+    // stale delete is ALSO a no-op (the sequence gate guards deletes)
+    VersionedKeyedTable.applyChanges(spark, dir,
+      Seq((1L, 15L, "D", "")).toDF("k", "seq", "op", "v"),
+      "k", "seq", "op")
+    assert(state(dir).contains(1L))
+  }
+
+  test("a NULL stored sequence accepts any event; feed/table contract " +
+      "violations fail loudly") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      Seq((1L, Option.empty[Long], "manual")).toDF("k", "seq", "v"),
+      dir, "k", 4)
+    VersionedKeyedTable.applyChanges(spark, dir,
+      Seq((1L, 1L, "U", "cdc")).toDF("k", "seq", "op", "v"),
+      "k", "seq", "op")
+    assert(state(dir)(1L) === ((1L, "cdc")))
+    // op column colliding with a table column is refused
+    intercept[IllegalArgumentException] {
+      VersionedKeyedTable.applyChanges(spark, dir,
+        Seq((1L, 2L, "U", "x")).toDF("k", "seq", "v", "extra"),
+        "k", "seq", "v")
+    }
+    // feed missing the sequence column is refused
+    intercept[IllegalArgumentException] {
+      VersionedKeyedTable.applyChanges(spark, dir,
+        Seq((1L, "U")).toDF("k", "op"), "k", "seq", "op")
+    }
+  }
+}

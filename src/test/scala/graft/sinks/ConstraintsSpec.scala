@@ -1,0 +1,121 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.TestSpark
+
+/** CHECK CONSTRAINTS: named boolean predicates enforced on every row
+  * every commit writes (the Delta ADD CONSTRAINT contract) — creation
+  * semantics (existing rows validated, idempotent re-add, refused
+  * mutation), enforcement across write surfaces (upsert / merge /
+  * SQL INSERT), SQL-null semantics (NULL passes), additive-evolution
+  * padding (absent columns evaluate as null), and the failed-write
+  * guarantee (a violating batch leaves the table unchanged). */
+class ConstraintsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-constraints").toString + "/t"
+
+  test("add validates existing rows; lists; idempotent re-add; " +
+      "refused mutation; drop releases") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 50L).map(i => (i, i * 2)).toDF("k", "qty"), dir, "k", 4)
+    // a predicate current rows violate is refused
+    intercept[IllegalArgumentException] {
+      VersionedKeyedTable.addConstraint(spark, dir, "big",
+        "qty > 50")
+    }
+    // a non-boolean expression is refused loudly at add time
+    intercept[IllegalArgumentException] {
+      VersionedKeyedTable.addConstraint(spark, dir, "notbool", "qty + 1")
+    }
+    VersionedKeyedTable.addConstraint(spark, dir, "pos", "qty > 0")
+    VersionedKeyedTable.addConstraint(spark, dir, "pos", "qty > 0") // no-op
+    intercept[IllegalStateException] { // constraints never mutate in place
+      VersionedKeyedTable.addConstraint(spark, dir, "pos", "qty > 1")
+    }
+    assert(VersionedKeyedTable.constraints(spark, dir) ===
+      Map("pos" -> "qty > 0"))
+    assert(VersionedKeyedTable.dropConstraint(spark, dir, "pos"))
+    assert(VersionedKeyedTable.constraints(spark, dir).isEmpty)
+  }
+
+  test("violating upsert fails BEFORE commit — version and content " +
+      "unchanged; valid upsert lands; NULL passes (SQL CHECK rule)") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 20L).map(i => (i, java.lang.Long.valueOf(i))).toDF("k", "qty"),
+      dir, "k", 4)
+    VersionedKeyedTable.addConstraint(spark, dir, "pos", "qty > 0")
+    val before = VersionedKeyedTable.snapshot(spark, dir).version
+    val ex = intercept[Exception] {
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((21L, java.lang.Long.valueOf(-5L))).toDF("k", "qty"), "k")
+    }
+    assert(ex.toString.contains("pos") || Option(ex.getCause)
+      .exists(_.toString.contains("pos")) ||
+      ex.getMessage.contains("pos"))
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === before)
+    assert(VersionedKeyedTable.read(spark, dir).count() === 20L)
+    // NULL predicate passes — the SQL CHECK rule
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((22L, Option.empty[Long])).toDF("k", "qty"), "k")
+    // and a valid batch lands
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((23L, Option(9L))).toDF("k", "qty"), "k")
+    assert(VersionedKeyedTable.read(spark, dir).count() === 22L)
+  }
+
+  test("enforced on the merge path; a batch missing the constrained " +
+      "column (additive evolution) passes as null") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 10L).map(i => (i, java.lang.Long.valueOf(i))).toDF("k", "qty"),
+      dir, "k", 4)
+    VersionedKeyedTable.addConstraint(spark, dir, "cap", "qty <= 100")
+    // merge assignment that would push qty past the cap must fail
+    val before = VersionedKeyedTable.snapshot(spark, dir).version
+    intercept[Exception] {
+      VersionedKeyedTable.merge(spark, dir,
+        Seq((1L, java.lang.Long.valueOf(200L))).toDF("k", "qty"), "k",
+        whenMatchedUpdate = Map("qty" ->
+          org.apache.spark.sql.functions.col("s.qty")))
+    }
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === before)
+    // a key-only delete batch (no qty column at all) is unaffected
+    VersionedKeyedTable.delete(spark, dir, Seq(10L).toDF("k"), "k")
+    assert(VersionedKeyedTable.read(spark, dir).count() === 9L)
+  }
+
+  test("SQL INSERT through the catalog enforces; add_constraint / " +
+      "drop_constraint procedures; properties expose constraints") {
+    val base = Files.createTempDirectory("graft-constraints-sql").toString
+    val dir = s"$base/t"
+    VersionedKeyedTable.create(
+      (1L to 5L).map(i => (i, java.lang.Long.valueOf(i))).toDF("k", "qty"),
+      dir, "k", 4)
+    val cat = "gcons" + scala.util.Random.alphanumeric.take(6)
+      .mkString.toLowerCase
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    spark.sql(s"CALL $cat.add_constraint(tbl => 't', name => 'pos', " +
+      "check_expr => 'qty > 0')")
+    assert(VersionedKeyedTable.constraints(spark, dir) ===
+      Map("pos" -> "qty > 0"))
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (99, -1)")
+    }
+    assert(VersionedKeyedTable.read(spark, dir).count() === 5L)
+    spark.sql(s"INSERT INTO $cat.t VALUES (99, 1)")
+    assert(VersionedKeyedTable.read(spark, dir).count() === 6L)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("constraint.pos").contains("qty > 0"))
+    spark.sql(s"CALL $cat.drop_constraint(tbl => 't', name => 'pos')")
+    assert(VersionedKeyedTable.constraints(spark, dir).isEmpty)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.TestSpark
+
+/** IDEMPOTENT FILE INGEST (the COPY INTO shape): only never-ingested
+  * source files load, a caught-up re-run commits nothing, new files
+  * arriving between runs load incrementally, hidden/underscore names
+  * are skipped, and the marker registry survives vacuum. */
+class IngestFilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scratch(p: String): String =
+    Files.createTempDirectory("graft-ingest-" + p).toString
+
+  test("first run loads all; re-run is a no-op; a new file loads " +
+      "incrementally; hidden files skipped") {
+    val src = scratch("src")
+    val dir = scratch("tbl") + "/t"
+    (1L to 10L).map(i => (i, s"a$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/batch1")
+    (11L to 20L).map(i => (i, s"b$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/batch2")
+    VersionedKeyedTable.create(
+      spark.emptyDataset[(Long, String)].toDF("k", "v"), dir, "k", 4)
+    val n1 = VersionedKeyedTable.ingestFiles(spark, dir, src, "k")
+    assert(n1 >= 2) // at least one data file per batch dir
+    assert(VersionedKeyedTable.read(spark, dir).count() === 20L)
+    val vAfter = VersionedKeyedTable.snapshot(spark, dir).version
+    // caught up: no new files, no commit
+    assert(VersionedKeyedTable.ingestFiles(spark, dir, src, "k") === 0)
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === vAfter)
+    // a third batch lands; only it loads
+    (21L to 25L).map(i => (i, s"c$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/batch3")
+    val n3 = VersionedKeyedTable.ingestFiles(spark, dir, src, "k")
+    assert(n3 >= 1)
+    assert(VersionedKeyedTable.read(spark, dir).count() === 25L)
+    // the parquet _SUCCESS markers were never candidates
+    assert(VersionedKeyedTable.ingestedFiles(spark, dir)
+      .forall(id => !id.contains("_SUCCESS")))
+  }
+
+  test("marker registry survives vacuum; ingest commit stamps its " +
+      "file list in commit metadata") {
+    val src = scratch("src2")
+    val dir = scratch("tbl2") + "/t"
+    (1L to 5L).map(i => (i, i * 2)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/b1")
+    VersionedKeyedTable.create(
+      spark.emptyDataset[(Long, Long)].toDF("k", "v"), dir, "k", 4)
+    VersionedKeyedTable.ingestFiles(spark, dir, src, "k")
+    val snap = VersionedKeyedTable.snapshot(spark, dir)
+    assert(snap.meta.get("graft.ingest.files").exists(_.nonEmpty))
+    assert(snap.meta.get("graft.ingest.source").contains(src))
+    // churn versions past retention, then vacuum — markers survive
+    (1 to 3).foreach(i => VersionedKeyedTable.upsert(spark, dir,
+      Seq((100L + i, 0L)).toDF("k", "v"), "k"))
+    VersionedKeyedTable.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(VersionedKeyedTable.ingestedFiles(spark, dir).nonEmpty)
+    assert(VersionedKeyedTable.ingestFiles(spark, dir, src, "k") === 0)
+  }
+
+  test("missing key column in source files fails loudly; missing " +
+      "source dir fails loudly") {
+    val src = scratch("src3")
+    val dir = scratch("tbl3") + "/t"
+    (1L to 3L).map(i => (i, i)).toDF("notk", "v")
+      .coalesce(1).write.parquet(s"$src/b1")
+    VersionedKeyedTable.create(
+      spark.emptyDataset[(Long, Long)].toDF("k", "v"), dir, "k", 4)
+    intercept[IllegalArgumentException] {
+      VersionedKeyedTable.ingestFiles(spark, dir, src, "k")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedKeyedTable.ingestFiles(spark, dir, src + "/nope", "k")
+    }
+  }
+}
