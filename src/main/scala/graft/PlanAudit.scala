@@ -471,7 +471,32 @@ object PlanAudit {
       "and the full row count is preserved (nothing dropped — the " +
       "failure a whole-table replace under a pruned scan would " +
       "cause, found and fixed this round). expectedVersion keeps " +
-      "the statement serializable."))
+      "the statement serializable."),
+    "versioned_constraints" -> ("CHECK constraints: enforcement is a " +
+      "per-row assert_true guard folded INTO the write's own pass — " +
+      "no separate validation scan, so a constrained commit costs " +
+      "the same I/O as an unconstrained one (at 100 TB a second " +
+      "pass would double write cost). A violating batch fails the " +
+      "write job before any manifest commits (require-pinned: " +
+      "version unchanged). The terminal plan here is the ordinary " +
+      "per-bucket vectorized table read — constraints leave no " +
+      "trace on the read side."),
+    "versioned_apply_changes" -> ("CDC APPLY CHANGES: window-dedup " +
+      "over the BATCH (latest event per key) + ONE conditional " +
+      "full-outer merge whose clauses are gated per-row on " +
+      "source.seq > target.seq — disorder and redelivery are " +
+      "absorbed by the gate, never by re-reading the table " +
+      "(require-pinned: a replayed batch's commit has an EMPTY " +
+      "change feed). O(batch + touched buckets); the terminal plan " +
+      "is the table read."),
+    "stream_mor_autocompact" -> ("Auto-compaction under streaming " +
+      "MoR ingest: autoCompactFilesPerBucket folds any bucket " +
+      "crossing the threshold in a surgical fragmentedOnly compact " +
+      "commit after the epoch's data commit (require-pinned: the " +
+      "closing snapshot has no bucket above threshold and " +
+      "compaction commits interleave with the epochs). The closing " +
+      "read plans a BOUNDED file set per bucket; pending deletes " +
+      "in never-compacted buckets still anti-join on read."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is

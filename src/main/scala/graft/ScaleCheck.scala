@@ -732,6 +732,85 @@ object ScaleCheck {
       VersionedKeyedTable.read(spark, viewDir).count()
     }
 
+    // APPLY CHANGES (r13): a FIXED CDC batch against a decade-grown
+    // table. The apply is window-dedup over the BATCH + one
+    // conditional merge over the batch's touched buckets — the claim
+    // is O(batch + touched buckets), never O(table), and a REPLAY of
+    // the same batch (the at-least-once delivery case) costs the same
+    // O(delta) while changing nothing.
+    time("versioned_apply_changes") {
+      import graft.sinks.VersionedKeyedTable
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-scale-cdc").toString + "/t"
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_custkey").as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+        .withColumn("seq", lit(0L))
+      VersionedKeyedTable.create(base, dir, "k",
+        numBuckets = 16 * copies)
+      val existing = base.select(col("k"), col("g")).limit(100)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // fixed feed: 50 updates, 25 deletes, 25 inserts, PLUS a full
+      // duplicate shipment of every event (in-batch redelivery)
+      val events =
+        existing.take(50).map { case (k, g) => (k, g, 900L, 5L, "U") } ++
+        existing.slice(50, 75).map { case (k, g) =>
+          (k, g, 0L, 6L, "D") } ++
+        (1L to 25L).map(i => (-i, i % 7, 100L, 1L, "I"))
+      val feed = (events ++ events).toSeq
+        .toDF("k", "g", "cents", "seq", "op")
+      val t0 = System.nanoTime()
+      VersionedKeyedTable.applyChanges(spark, dir, feed,
+        "k", "seq", "op")
+      val tApply = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      VersionedKeyedTable.applyChanges(spark, dir, feed,
+        "k", "seq", "op") // cross-batch replay: per-row no-op
+      val tReplay = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"[scale]   apply_changes: fixed 100-event batch (x2 dup) " +
+          f"$tApply%.2f s, full replay $tReplay%.2f s (both " +
+          "O(batch + touched buckets); the replay commit's change " +
+          "feed is empty)")
+      VersionedKeyedTable.read(spark, dir).count()
+    }
+
+    // COPY INTO (r13): the ingest registry grows with every file ever
+    // loaded (here `copies` source slices ingested up front — the
+    // decade-grown backlog), and the claim is that a CAUGHT-UP re-run
+    // is metadata-only (one listStatus of source + one of the marker
+    // registry, no Spark job) and ingesting ONE new file costs O(that
+    // file + its touched buckets), not O(registry) data work.
+    time("versioned_copy_into") {
+      import graft.sinks.VersionedKeyedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-copy").toString
+      val src = s"$root/src"
+      val dir = s"$root/t"
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_custkey").as("g"))
+      (0 until copies).foreach(i =>
+        base.filter(pmod(col("k"), lit(copies)) === i)
+          .coalesce(1).write.parquet(s"$src/slice$i"))
+      VersionedKeyedTable.create(base.limit(0), dir, "k",
+        numBuckets = 16 * copies)
+      val n0 = VersionedKeyedTable.ingestFiles(spark, dir, src, "k")
+      val t0 = System.nanoTime()
+      val n1 = VersionedKeyedTable.ingestFiles(spark, dir, src, "k")
+      val tNoop = (System.nanoTime() - t0) / 1e9
+      base.limit(1000).coalesce(1).write.parquet(s"$src/late")
+      val t1 = System.nanoTime()
+      val n2 = VersionedKeyedTable.ingestFiles(spark, dir, src, "k")
+      val tOne = (System.nanoTime() - t1) / 1e9
+      System.err.println(
+        f"[scale]   copy_into: backlog $n0 files ingested; caught-up " +
+          f"re-run $tNoop%.3f s ($n1 files, metadata-only); one new " +
+          f"file $tOne%.2f s ($n2 files, O(file + touched buckets))")
+      VersionedKeyedTable.read(spark, dir).count()
+    }
+
     // Clustered layout + bloom point lookups (r11): the table grows a
     // decade with numBuckets held CONSTANT and rows-per-file held
     // constant, so FILES PER BUCKET grow 10x — the read-layout control

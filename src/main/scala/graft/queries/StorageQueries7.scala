@@ -275,7 +275,74 @@ object StorageQueries7 {
     out
   }
 
+  /** AUTO-COMPACTION under streaming MoR ingest: every micro-batch
+    * APPENDS files (O(batch) writes), so an unattended stream must
+    * bound its own read amplification — `autoCompactFilesPerBucket=2`
+    * folds any bucket that crosses 2 data files in a surgical
+    * fragmentedOnly compact commit right after the epoch's data
+    * commit. In-row requires pin the contract: the closing snapshot
+    * has NO bucket above the threshold, at least one auto-compaction
+    * commit interleaved with the epochs, and the answer is unchanged
+    * (pending deletes in never-compacted buckets still apply on
+    * read). At 100 TB this is the difference between a standing
+    * ingest that stays readable and one that needs a babysitter. */
+  val streamMorAutocompact = sql("stream_mor_autocompact",
+    """WITH base AS (
+         SELECT o_orderkey AS k, o_custkey AS g
+         FROM orders WHERE o_orderkey % 3 <> 0)
+       SELECT k,
+         CASE WHEN k % 10 = 3 THEN CAST(-7 AS BIGINT) ELSE g END AS g
+       FROM base""") { (s, d) =>
+    val base = scratch("autocompact")
+    val staging = s"$base/staging"
+    val table = s"$base/table"
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("g"))
+      .filter(col("k") % 3 =!= 0)
+    graft.streaming.StreamingJobs.stageKeyedSlices(
+      s, rows, "k", staging, nFiles = 3)
+    // the correction lands LAST: re-puts of %10=3 keys — its epoch
+    // writes MoR delete files that may never see a compact, so the
+    // closing read must still apply them
+    Thread.sleep(10L)
+    val tmp = s"$base/_corr"
+    rows.filter(col("k") % 10 === 3)
+      .withColumn("g", lit(-7L))
+      .coalesce(1).write.parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    fs.rename(part,
+      new org.apache.hadoop.fs.Path(staging, "zz_correction.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+    val schema = s.read.parquet(staging).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+      .writeStream.format("graft.sinks.v2.VersionedTableSink")
+      .option("path", table).option("keyCol", "k")
+      .option("numBuckets", "4").option("writeMode", "mor")
+      .option("autoCompactFilesPerBucket", "2")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val snap = VersionedKeyedTable.snapshot(s, table)
+    require(snap.files.valuesIterator.forall(_.size <= 2),
+      "auto-compaction must keep every bucket at or under the " +
+        s"threshold (got ${snap.files.view.mapValues(_.size).toMap})")
+    // 4 staged files = 4 epochs = 4 commits (the first is the
+    // create); anything beyond is an interleaved auto-compaction
+    require(VersionedKeyedTable.completeVersions(s, table).size >= 5,
+      "at least one auto-compaction commit must have interleaved " +
+        s"(got ${VersionedKeyedTable.completeVersions(s, table).size})")
+    val out = VersionedKeyedTable.read(s, table)
+      .select(col("k"), col("g")).localCheckpoint(true)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true): Unit
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(
     versionedConstraints, versionedCopyInto, versionedApplyChanges,
-    streamApplyChanges)
+    streamApplyChanges, streamMorAutocompact)
 }

@@ -2254,14 +2254,25 @@ object VersionedKeyedTable {
     * until quiet). Old files remain referenced by old versions until
     * [[vacuum]]. */
   def compact(spark: SparkSession, dir: String, keyCol: String,
-      maxFilesPerBucket: Int = 1): Unit =
+      maxFilesPerBucket: Int = 1,
+      /** false = ALSO purge every bucket with pending merge-on-read
+        * delete files (the full maintenance pass, the default); true =
+        * rewrite ONLY buckets whose data-file count exceeds the
+        * threshold (their own delete files still fold — a rewritten
+        * bucket always consumes its backlog). The surgical mode the
+        * streaming sink's auto-compaction uses: under continuous MoR
+        * ingest most buckets carry SOME pending delete at any instant,
+        * and an unscoped pass would rewrite the whole table every
+        * trigger. */
+      fragmentedOnly: Boolean = false): Unit =
     rewriteBuckets(spark, dir, keyCol, "compaction",
       // fragmented buckets AND buckets carrying pending merge-on-read
       // delete files: compaction is also the PURGE that folds deferred
       // deletes back into plain data files (restoring the vectorized
       // no-anti-join read path and metadata min/max pushdown)
       pick = snap => snap.files.filter(_._2.size > maxFilesPerBucket)
-        .keySet ++ snap.deletes.keySet,
+        .keySet ++ (if (fragmentedOnly) Set.empty[Int]
+                    else snap.deletes.keySet),
       // one output file per fragmented bucket: repartition on the
       // bucket id so each write task owns whole buckets
       shape = (rows, n) =>

@@ -158,14 +158,20 @@ class GraftCatalog extends TableCatalog
     if (ident.name().endsWith("$history") ||
         ident.name().endsWith("$files") ||
         ident.name().endsWith("$deletes") ||
-        ident.name().endsWith("$tags")) {
+        ident.name().endsWith("$tags") ||
+        ident.name().endsWith("$constraints") ||
+        ident.name().endsWith("$ingest")) {
       val isHistory = ident.name().endsWith("$history")
       val isDeletes = ident.name().endsWith("$deletes")
       val isTags = ident.name().endsWith("$tags")
+      val isConstraints = ident.name().endsWith("$constraints")
+      val isIngest = ident.name().endsWith("$ingest")
       val suffix =
         if (isHistory) "$history"
         else if (isDeletes) "$deletes"
-        else if (isTags) "$tags" else "$files"
+        else if (isTags) "$tags"
+        else if (isConstraints) "$constraints"
+        else if (isIngest) "$ingest" else "$files"
       val dir = (ident.namespace() :+ ident.name().stripSuffix(suffix))
         .mkString(s"$base/", "/", "")
       if (KeyedTable.readMeta(spark, dir).isEmpty)
@@ -180,6 +186,28 @@ class GraftCatalog extends TableCatalog
             .toArray.sortBy(_._1).map { case (n, v) =>
               InternalRow(utf8(n), v)
             })
+      // `t$constraints`: the live CHECK constraints (name, check_expr)
+      if (isConstraints)
+        return new GraftMetaTable(ident.toString,
+          GraftCatalog.ConstraintsSchema,
+          () => VersionedKeyedTable.constraints(SparkSession.active, dir)
+            .toArray.sortBy(_._1).map { case (n, e) =>
+              InternalRow(utf8(n), utf8(e))
+            })
+      // `t$ingest`: the COPY INTO registry — every source-file
+      // identity (relative path + length) already loaded
+      if (isIngest)
+        return new GraftMetaTable(ident.toString,
+          GraftCatalog.IngestSchema,
+          () => VersionedKeyedTable.ingestedFiles(SparkSession.active,
+              dir).toArray.sorted.map { id =>
+            val cut = id.lastIndexOf('|')
+            val (rel, len) =
+              if (cut < 0) (id, null)
+              else (id.take(cut),
+                id.drop(cut + 1).toLongOption.map(Long.box).orNull)
+            InternalRow(utf8(rel), len)
+          })
       // `t$deletes`: the snapshot's pending merge-on-read delete
       // files (bucket, file, doomed-row count) — empty once
       // compaction purges them
@@ -238,7 +266,8 @@ class GraftCatalog extends TableCatalog
       case Some(v) => load(ident, Some(v))
       case None =>
         val resolveDir =
-          Seq("$changes", "$history", "$files", "$deletes", "$tags")
+          Seq("$changes", "$history", "$files", "$deletes",
+            "$tags", "$constraints", "$ingest")
             .find(ident.name().endsWith)
             .map(sfx =>
               (ident.namespace() :+ ident.name().stripSuffix(sfx))
@@ -257,7 +286,8 @@ class GraftCatalog extends TableCatalog
     * virtual relation there. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val resolveDir =
-      Seq("$changes", "$history", "$files", "$deletes", "$tags")
+      Seq("$changes", "$history", "$files", "$deletes",
+            "$tags", "$constraints", "$ingest")
         .find(ident.name().endsWith)
       .map(sfx => (ident.namespace() :+ ident.name().stripSuffix(sfx))
         .mkString(s"$base/", "/", ""))
@@ -600,6 +630,16 @@ object GraftCatalog {
   val TagsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("version", LongType, nullable = false)))
+
+  /** `t$constraints` — the live CHECK constraints. */
+  val ConstraintsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("check_expr", StringType, nullable = false)))
+
+  /** `t$ingest` — the COPY INTO registry (loaded source files). */
+  val IngestSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("length", LongType, nullable = true)))
 }
 
 /** A driver-materialized metadata relation (`t$history` / `t$files`):

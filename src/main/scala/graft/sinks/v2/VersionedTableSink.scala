@@ -58,16 +58,22 @@ class VersionedTableSink extends TableProvider {
       s"VersionedTableSink: writeMode must be 'cow' (bucket-rewrite " +
         s"upserts, the default) or 'mor' (merge-on-read appends); " +
         s"got '$mode'")
+    val autoCompact = Option(opts.get("autoCompactFilesPerBucket"))
+      .map(_.toInt).getOrElse(0)
+    require(autoCompact >= 0,
+      s"autoCompactFilesPerBucket must be >= 0 (0 = off); got " +
+        s"$autoCompact")
     new VersionedSinkTable(CdfSource.required(opts, "path"),
       CdfSource.required(opts, "keyCol"),
       Option(opts.get("numBuckets")).map(_.toInt).getOrElse(16),
       Option(opts.get("captureChanges")).forall(_.toBoolean),
-      morMode = mode == "mor")
+      morMode = mode == "mor", autoCompact = autoCompact)
   }
 }
 
 class VersionedSinkTable(dir: String, keyCol: String, numBuckets: Int,
-    captureChanges: Boolean, morMode: Boolean = false)
+    captureChanges: Boolean, morMode: Boolean = false,
+    autoCompact: Int = 0)
     extends Table with SupportsWrite {
   override def name: String = s"graft_sink($dir)"
   override def schema: StructType = new StructType()
@@ -82,7 +88,8 @@ class VersionedSinkTable(dir: String, keyCol: String, numBuckets: Int,
               s"key column '$keyCol' (got " +
               s"${info.schema().fieldNames.mkString(", ")})")
           new VersionedStreamingWrite(dir, keyCol, numBuckets,
-            captureChanges, info.queryId(), info.schema(), morMode)
+            captureChanges, info.queryId(), info.schema(), morMode,
+            autoCompact)
         }
       }
     }
@@ -110,7 +117,8 @@ object StagedFileMessage {
 
 class VersionedStreamingWrite(dir: String, keyCol: String,
     numBuckets: Int, captureChanges: Boolean, queryId: String,
-    schema: StructType, morMode: Boolean = false)
+    schema: StructType, morMode: Boolean = false,
+    autoCompact: Int = 0)
     extends StreamingWrite {
 
   private def spark = SparkSession.active
@@ -152,6 +160,21 @@ class VersionedStreamingWrite(dir: String, keyCol: String,
         VersionedKeyedTable.upsert(spark, dir, rows, keyCol,
           captureChanges,
           commitMeta = Map(stampKey -> epochId.toString))
+      // AUTO-COMPACTION: unattended ingest must bound its own read
+      // amplification — when any bucket's data-file count crosses the
+      // threshold, fold THOSE buckets (surgical fragmentedOnly mode:
+      // under MoR most buckets carry some pending delete at any
+      // instant, and an unscoped pass would rewrite the whole table
+      // every trigger; a rewritten bucket always consumes its own
+      // delete backlog). The compact is its own CDF-invisible layout
+      // commit AFTER the epoch's data commit — a crash between the
+      // two re-runs only the compact (the epoch stamp skips the
+      // upsert), so exactly-once is untouched.
+      if (autoCompact > 0 &&
+          VersionedKeyedTable.snapshot(spark, dir).files
+            .valuesIterator.exists(_.size > autoCompact))
+        VersionedKeyedTable.compact(spark, dir, keyCol,
+          maxFilesPerBucket = autoCompact, fragmentedOnly = true)
     } finally cleanup(messages)
   }
 

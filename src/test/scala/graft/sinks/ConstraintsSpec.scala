@@ -115,7 +115,12 @@ class ConstraintsSpec extends AnyFunSuite {
     val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props.get("constraint.pos").contains("qty > 0"))
+    // the t$constraints metadata relation mirrors the registry
+    assert(spark.sql(s"SELECT name, check_expr FROM $cat.`t$$constraints`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("pos", "qty > 0")))
     spark.sql(s"CALL $cat.drop_constraint(tbl => 't', name => 'pos')")
     assert(VersionedKeyedTable.constraints(spark, dir).isEmpty)
+    assert(spark.sql(s"SELECT * FROM $cat.`t$$constraints`").count() === 0L)
   }
 }

@@ -63,6 +63,28 @@ class IngestFilesSpec extends AnyFunSuite {
     assert(VersionedKeyedTable.ingestFiles(spark, dir, src, "k") === 0)
   }
 
+  test("t$ingest metadata relation lists the loaded registry with " +
+      "file lengths") {
+    val src = scratch("src4")
+    val base = scratch("tbl4")
+    val dir = s"$base/t"
+    (1L to 5L).map(i => (i, i)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/b1")
+    VersionedKeyedTable.create(
+      spark.emptyDataset[(Long, Long)].toDF("k", "v"), dir, "k", 4)
+    VersionedKeyedTable.ingestFiles(spark, dir, src, "k")
+    val cat = "ging" + scala.util.Random.alphanumeric.take(6)
+      .mkString.toLowerCase
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val rows = spark.sql(s"SELECT file, length FROM $cat.`t$$ingest`")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0).endsWith(".parquet") &&
+      !r.isNullAt(1) && r.getLong(1) > 0L))
+  }
+
   test("missing key column in source files fails loudly; missing " +
       "source dir fails loudly") {
     val src = scratch("src3")

@@ -132,4 +132,43 @@ class VersionedTableSinkSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1100L, 3L -> 3000L, 4L -> 4000L))
   }
+
+  test("autoCompactFilesPerBucket bounds per-bucket data files under " +
+      "MoR ingest: the threshold-crossing epoch triggers a surgical " +
+      "compact commit and the answer is unchanged") {
+    val src = fresh("acsrc"); val table = fresh("actbl")
+    val ckpt = fresh("acck")
+    // 5 single-file batches, disjoint keys hitting both buckets — MoR
+    // appends one data file per touched bucket per epoch
+    stage(src, (0 until 5).map(i =>
+      Seq((i * 2L, s"a$i", i * 10L), (i * 2L + 1, s"b$i", i * 10L + 1))))
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.format("graft.sinks.v2.VersionedTableSink")
+      .option("path", table).option("keyCol", "k")
+      .option("numBuckets", "2").option("writeMode", "mor")
+      .option("autoCompactFilesPerBucket", "2")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val snap = VersionedKeyedTable.snapshot(spark, table)
+    assert(snap.files.valuesIterator.forall(_.size <= 2),
+      s"no bucket may exceed the threshold: " +
+        s"${snap.files.view.mapValues(_.size).toMap}")
+    // 5 epochs = 5 data commits; extra versions are the compactions
+    assert(VersionedKeyedTable.completeVersions(spark, table).size > 5,
+      "the threshold crossings must have produced compact commits")
+    assert(VersionedKeyedTable.read(spark, table).count() === 10L)
+    // the bad option value fails loudly at stream build
+    intercept[Exception] {
+      spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("graft.sinks.v2.VersionedTableSink")
+        .option("path", table).option("keyCol", "k")
+        .option("autoCompactFilesPerBucket", "-1")
+        .option("checkpointLocation", fresh("acbad"))
+        .trigger(Trigger.AvailableNow()).start()
+    }
+  }
 }
