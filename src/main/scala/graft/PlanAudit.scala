@@ -496,7 +496,16 @@ object PlanAudit {
       "closing snapshot has no bucket above threshold and " +
       "compaction commits interleave with the epochs). The closing " +
       "read plans a BOUNDED file set per bucket; pending deletes " +
-      "in never-compacted buckets still anti-join on read."))
+      "in never-compacted buckets still anti-join on read."),
+    "stream_table_tail" -> ("readStream.table(cat.t): the catalog " +
+      "table tailed as a native stream of row POST-IMAGES — commit " +
+      "versions are the offsets (the CdfSource machinery), each " +
+      "change file is one partition read in the TABLE's pruned " +
+      "schema (change_type rides as a hidden trailing field for the " +
+      "delete check, then drops), deletes fail loudly unless " +
+      "ignoreDeletes, and the initial snapshot composes as batch-at-V " +
+      "+ tail-from-V. Require-pinned: no CDF columns, no pre-start " +
+      "rows."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is

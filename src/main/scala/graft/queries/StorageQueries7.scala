@@ -22,6 +22,16 @@ object StorageQueries7 {
     sys.props("java.io.tmpdir") + "/graft_" + prefix + "_" +
       java.util.UUID.randomUUID().toString
 
+  private def freshCat(s: org.apache.spark.sql.SparkSession,
+      baseDir: String): String = {
+    val cat = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(10)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.base", baseDir)
+    cat
+  }
+
   /** CHECK CONSTRAINTS: a named boolean predicate every commit
     * enforces on every row it writes, in the write's own pass (no
     * extra scan — at 100 TB a separate validation pass would double
@@ -342,7 +352,57 @@ object StorageQueries7 {
     out
   }
 
+  /** STREAMING TABLE TAIL: `spark.readStream.table("cat.t")` — the
+    * catalog table as a native stream of row POST-IMAGES (the Delta
+    * streaming-source shape): commit versions are the offsets, each
+    * upsert commit is one micro-batch, rows arrive in the TABLE's
+    * schema (no CDF columns), and the initial snapshot composes as a
+    * batch read at V + a tail from V. In-row requires pin: the tail
+    * carries no pre-start rows and no CDF metadata columns. Oracle:
+    * the post-images of exactly the two post-create commits. */
+  val streamTableTail = sql("stream_table_tail",
+    """SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 2 THEN o_custkey + 1000
+              ELSE o_custkey END AS g
+       FROM orders WHERE o_orderkey % 3 <> 0""") { (s, d) =>
+    val baseDir = scratch("tailcat")
+    val dir = s"$baseDir/t"
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("g"))
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(
+        rows.filter(col("k") % 3 === 0), dir, "k", CheckBuckets)
+    }
+    // two post-create commits: fresh inserts, then value rewrites
+    VersionedKeyedTable.upsert(s, dir, rows.filter(col("k") % 3 === 1),
+      "k")
+    VersionedKeyedTable.upsert(s, dir,
+      rows.filter(col("k") % 3 === 2)
+        .withColumn("g", col("g") + 1000L), "k")
+    val cat = freshCat(s, baseDir)
+    val mem = "tail_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(10)
+    val q = s.readStream.option("startingVersion", "1")
+      .table(s"$cat.t")
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", s"$baseDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = s.table(mem)
+    require(got.columns.toSeq == Seq("k", "g"),
+      s"the tail must carry the TABLE schema, no CDF columns " +
+        s"(got ${got.columns.mkString(", ")})")
+    require(got.filter(col("k") % 3 === 0).count() == 0L,
+      "the tail must not replay rows from before startingVersion")
+    val out = got.localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(baseDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(baseDir), true): Unit
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(
     versionedConstraints, versionedCopyInto, versionedApplyChanges,
-    streamApplyChanges, streamMorAutocompact)
+    streamApplyChanges, streamMorAutocompact, streamTableTail)
 }

@@ -2000,7 +2000,11 @@ object VersionedKeyedTable {
     *    terminal per key (the common CDC contract) are exact.
     *
     * Events carry the FULL row image: a table column absent from the
-    * feed keeps its target value on update and inserts as null. One
+    * feed keeps its target value on update and inserts as null.
+    * Events should carry a NON-NULL sequence: a null-sequence event
+    * sorts last within its batch and never beats a sequenced stored
+    * row (its matched clauses gate false) — it can only land on keys
+    * with no sequenced state. One
     * optimistic commit per call; O(touched buckets), CDF-captured.
     * At 100 TB this is the standing ingest shape: a Kafka/Debezium
     * feed lands in arrival order, and correctness comes from the

@@ -420,6 +420,77 @@ class CdfReaderFactory(schema: StructType, conf: SerializableHadoopConf)
   }
 }
 
+/** `spark.readStream.table("cat.t")` — TAILING a catalog table as a
+  * stream of ROW POST-IMAGES: the same commit-version offsets,
+  * lineage-span planning, admission control and Trigger.AvailableNow
+  * contract as [[CdfMicroBatchStream]] (it IS one), but each change
+  * file is read in the TABLE's (pruned) schema — inserts and updates
+  * emit their new row, and a DELETE FAILS the stream loudly (a
+  * keyed-table tail cannot express a retraction as an append; the
+  * Delta streaming-source contract) unless `ignoreDeletes=true` skips
+  * them. The store's put semantics make updates ordinary — unlike
+  * Delta's default, an update streams as its post-image rather than
+  * failing, because replace-by-key IS this table's append analogue.
+  * Starting rule: `startingVersion` (changes strictly after it) or
+  * default = the latest version at stream start; the initial snapshot
+  * composes as a batch read at version V + a tail from V, with no
+  * seam. */
+class TableTailMicroBatchStream(dir: String, keyCol: String,
+    required: StructType, startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Long], ignoreDeletes: Boolean)
+    extends CdfMicroBatchStream(dir, keyCol, required, startingVersion,
+      maxVersionsPerTrigger) {
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TableTailReaderFactory(required, ignoreDeletes,
+      SerializableHadoopConf.fromSession(SparkSession.active))
+}
+
+class TableTailReaderFactory(required: StructType,
+    ignoreDeletes: Boolean, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdfInputPartition]
+    new TableTailPartitionReader(p.path, p.version, required,
+      ignoreDeletes, conf)
+  }
+}
+
+/** One change file read as POST-IMAGES in the table's pruned schema:
+  * fields resolve by name (`change_type` rides as a trailing hidden
+  * field for the delete check, then drops). */
+class TableTailPartitionReader(path: String, version: Long,
+    required: StructType, ignoreDeletes: Boolean,
+    conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+  private val full = required.add("change_type", StringType)
+  private val inner =
+    new GroupParquetPartitionReader(path, full, Map.empty, Some(conf))
+  private var cur: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val r = inner.get()
+      val ct = r.getUTF8String(required.length)
+      if (ct != null && ct.toString == "delete") {
+        if (!ignoreDeletes) throw new IllegalStateException(
+          s"streaming table tail hit a DELETE at commit v$version — " +
+            "a row stream cannot express retractions; consume the " +
+            "change feed instead (readStream CdfSource / " +
+            "cat.`t$changes`) or set ignoreDeletes=true to skip them")
+      } else {
+        cur = InternalRow.fromSeq(
+          r.toSeq(full).take(required.length).toIndexedSeq)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
+}
+
 /** One commit's change file as a stream partition — the shared
   * [[GroupParquetPartitionReader]] with the commit version injected
   * as the `_commit_version` virtual column and the SESSION's Hadoop

@@ -432,11 +432,13 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
   }
   override def capabilities: util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, snap, tableSchema, keyCol, Some(numBuckets))
+    new GraftScanBuilder(dir, snap, tableSchema, keyCol, Some(numBuckets),
+      scanOptions = options, timeTravel = version.isDefined)
 
   /** `DELETE FROM cat.t WHERE ...` (and `TRUNCATE TABLE` through the
     * SupportsDelete default, which deletes with an always-true
@@ -832,7 +834,15 @@ class GraftScanBuilder(dir: String,
     /** Row-level operations pass this to learn which files their CoW
       * scan planned — the exact set the group-based write must then
       * replace (see [[VersionedKeyedTable.replaceFiles]]). */
-    onRowLevelPlan: Seq[String] => Unit = null)
+    onRowLevelPlan: Seq[String] => Unit = null,
+    /** Reader options (`readStream.option(...)`) — consumed by the
+      * streaming tail (startingVersion / maxVersionsPerTrigger /
+      * ignoreDeletes); batch scans ignore them. */
+    scanOptions: CaseInsensitiveStringMap =
+      CaseInsensitiveStringMap.empty(),
+    /** A pinned `VERSION/TIMESTAMP AS OF` snapshot refuses streaming
+      * (history is immutable — there is nothing to tail). */
+    timeTravel: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -1174,7 +1184,7 @@ class GraftScanBuilder(dir: String,
       }
     } else {
       new GraftRowScan(dir, snap, tableSchema, required, accepted,
-        keyCol, keptPruned, numBuckets)
+        keyCol, keptPruned, numBuckets, scanOptions, timeTravel)
     }
   }
 }
@@ -1203,11 +1213,34 @@ class GraftRowScan(dir: String,
     snap: VersionedKeyedTable.Snapshot,
     tableSchema: StructType, required: StructType,
     accepted: Array[Filter], keyCol: Option[String],
-    keptAtPlan: Seq[String], numBuckets: Option[Int] = None)
+    keptAtPlan: Seq[String], numBuckets: Option[Int] = None,
+    scanOptions: CaseInsensitiveStringMap =
+      CaseInsensitiveStringMap.empty(),
+    timeTravel: Boolean = false)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** `spark.readStream.table("cat.t")`: tail the table as a stream of
+    * row POST-IMAGES (see [[TableTailMicroBatchStream]]) — the CDF
+    * offsets/lineage/admission machinery with the rows projected in
+    * THIS scan's pruned schema. Options: `startingVersion` (changes
+    * strictly after it; default = latest at stream start),
+    * `maxVersionsPerTrigger`, `ignoreDeletes`. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (timeTravel) throw new UnsupportedOperationException(
+      s"cannot stream a time-travel snapshot of $dir — versions are " +
+        "immutable; tail the current table")
+    val k = keyCol.getOrElse(throw new UnsupportedOperationException(
+      s"table at $dir records no key column — streaming reads need " +
+        "the keyed contract"))
+    new TableTailMicroBatchStream(dir, k, required,
+      Option(scanOptions.get("startingVersion")).map(_.toLong),
+      Option(scanOptions.get("maxVersionsPerTrigger")).map(_.toLong),
+      Option(scanOptions.get("ignoreDeletes")).exists(_.toBoolean))
+  }
 
   @volatile private var kept: Seq[String] = keptAtPlan
   @volatile private var inners

@@ -642,4 +642,50 @@ class GraftCatalogSpec extends AnyFunSuite {
         Array.empty, "bucket"))
     assert(fn.name() === "bucket")
   }
+
+  test("readStream.table tails the table as post-images; a delete " +
+      "fails the stream loudly; ignoreDeletes skips it; time-travel " +
+      "snapshots refuse streaming") {
+    val dir = s"$base/tail1"
+    VersionedKeyedTable.create(
+      (1L to 20L).map(i => (i, i * 10L)).toDF("k", "v"), dir, "k", 2)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((1L, 999L), (21L, 210L)).toDF("k", "v"), "k")
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((22L, 220L)).toDF("k", "v"), "k")
+    def tail(mem: String, ignoreDeletes: Boolean = false): Unit = {
+      val r = spark.readStream.option("startingVersion", "1")
+      val q = (if (ignoreDeletes) r.option("ignoreDeletes", "true")
+               else r).table("gcat.tail1")
+        .writeStream.format("memory").queryName(mem)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-tailck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    tail("tail_a")
+    // post-images of the two commits after v1, table schema, no CDF cols
+    val got = spark.table("tail_a").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 999L), (21L, 210L), (22L, 220L)))
+    assert(spark.table("tail_a").columns.toSeq === Seq("k", "v"))
+    // a delete commit fails the tail loudly...
+    VersionedKeyedTable.delete(spark, dir, Seq(21L).toDF("k"), "k")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      tail("tail_b")
+    }
+    assert(ex.getMessage.contains("DELETE") ||
+      Option(ex.getCause).exists(_.getMessage.contains("DELETE")))
+    // ...and ignoreDeletes skips it (same span, deletes dropped)
+    tail("tail_c", ignoreDeletes = true)
+    assert(spark.table("tail_c").as[(Long, Long)].collect().toSet ===
+      Set((1L, 999L), (21L, 210L), (22L, 220L)))
+    // a pinned snapshot refuses streaming (history is immutable)
+    val pinned = new graft.sinks.v2.GraftSqlTable(dir, "tail1", Some(1L))
+    val sb = pinned.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    intercept[UnsupportedOperationException] {
+      sb.build().toMicroBatchStream("/tmp/graft-tail-tt")
+    }
+  }
 }
