@@ -22,6 +22,49 @@ object StorageQueries7 {
     sys.props("java.io.tmpdir") + "/graft_" + prefix + "_" +
       java.util.UUID.randomUUID().toString
 
+  /** The shared CDC fixture: `versioned_apply_changes` (batch) and
+    * `stream_apply_changes` (foreachBatch streaming) apply the SAME
+    * event population and must reach the SAME final state — one
+    * definition of the events and one of the window-latest oracle, so
+    * the two contracts can never silently diverge. */
+  private val CdcOracle =
+    """WITH ev AS (
+         SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS seq,
+                'B' AS op, 'base' AS v
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(2 AS BIGINT), 'U', 'u2'
+         FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(1 AS BIGINT), 'U', 'u1'
+         FROM orders WHERE o_orderkey % 3 = 1
+         UNION ALL
+         SELECT o_orderkey, CAST(3 AS BIGINT), 'D', ''
+         FROM orders WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(4 AS BIGINT), 'U', 'u4'
+         FROM orders WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey, CAST(1 AS BIGINT), 'U', 'stale'
+         FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+       ), ranked AS (
+         SELECT k, seq, op, v,
+                row_number() OVER (PARTITION BY k
+                  ORDER BY seq DESC, (op = 'D') DESC) AS rn
+         FROM ev
+       )
+       SELECT k, seq, v FROM ranked WHERE rn = 1 AND op <> 'D'"""
+
+  private def orderKeys(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey").as("k"))
+
+  private def cdcEvent(o: org.apache.spark.sql.DataFrame)(
+      filter: org.apache.spark.sql.Column, seq: Long, op: String,
+      v: String): org.apache.spark.sql.DataFrame =
+    o.filter(filter).withColumn("seq", lit(seq))
+      .withColumn("op", lit(op)).withColumn("v", lit(v))
+
   private def freshCat(s: org.apache.spark.sql.SparkSession,
       baseDir: String): String = {
     val cat = "g" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -120,39 +163,11 @@ object StorageQueries7 {
     * the window-latest event per key over the full feed, computable
     * independently in SQL. */
   val versionedApplyChanges = sql("versioned_apply_changes",
-    """WITH ev AS (
-         SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS seq,
-                'B' AS op, 'base' AS v
-         FROM orders WHERE o_orderkey % 2 = 0
-         UNION ALL
-         SELECT o_orderkey, CAST(2 AS BIGINT), 'U', 'u2'
-         FROM orders WHERE o_orderkey % 3 = 0
-         UNION ALL
-         SELECT o_orderkey, CAST(1 AS BIGINT), 'U', 'u1'
-         FROM orders WHERE o_orderkey % 3 = 1
-         UNION ALL
-         SELECT o_orderkey, CAST(3 AS BIGINT), 'D', ''
-         FROM orders WHERE o_orderkey % 5 = 0
-         UNION ALL
-         SELECT o_orderkey, CAST(4 AS BIGINT), 'U', 'u4'
-         FROM orders WHERE o_orderkey % 7 = 0
-         UNION ALL
-         SELECT o_orderkey, CAST(1 AS BIGINT), 'U', 'stale'
-         FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
-       ), ranked AS (
-         SELECT k, seq, op, v,
-                row_number() OVER (PARTITION BY k
-                  ORDER BY seq DESC, (op = 'D') DESC) AS rn
-         FROM ev
-       )
-       SELECT k, seq, v FROM ranked WHERE rn = 1 AND op <> 'D'""") {
+    CdcOracle) {
       (s, d) =>
     val dir = scratch("applychanges") + "/t"
-    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"))
-    def ev(filter: org.apache.spark.sql.Column, seq: Long, op: String,
-        v: String) =
-      o.filter(filter).withColumn("seq", lit(seq))
-        .withColumn("op", lit(op)).withColumn("v", lit(v))
+    val o = orderKeys(s, d)
+    val ev = cdcEvent(o) _
     graft.BenchProbe.time("index_build") {
       VersionedKeyedTable.create(
         o.filter(col("k") % 2 === 0).withColumn("seq", lit(0L))
@@ -194,41 +209,13 @@ object StorageQueries7 {
     * stale events arriving LAST, must reach the identical final
     * table. In-row requires pin one commit per micro-batch. */
   val streamApplyChanges = sql("stream_apply_changes",
-    """WITH ev AS (
-         SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS seq,
-                'B' AS op, 'base' AS v
-         FROM orders WHERE o_orderkey % 2 = 0
-         UNION ALL
-         SELECT o_orderkey, CAST(2 AS BIGINT), 'U', 'u2'
-         FROM orders WHERE o_orderkey % 3 = 0
-         UNION ALL
-         SELECT o_orderkey, CAST(1 AS BIGINT), 'U', 'u1'
-         FROM orders WHERE o_orderkey % 3 = 1
-         UNION ALL
-         SELECT o_orderkey, CAST(3 AS BIGINT), 'D', ''
-         FROM orders WHERE o_orderkey % 5 = 0
-         UNION ALL
-         SELECT o_orderkey, CAST(4 AS BIGINT), 'U', 'u4'
-         FROM orders WHERE o_orderkey % 7 = 0
-         UNION ALL
-         SELECT o_orderkey, CAST(1 AS BIGINT), 'U', 'stale'
-         FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
-       ), ranked AS (
-         SELECT k, seq, op, v,
-                row_number() OVER (PARTITION BY k
-                  ORDER BY seq DESC, (op = 'D') DESC) AS rn
-         FROM ev
-       )
-       SELECT k, seq, v FROM ranked WHERE rn = 1 AND op <> 'D'""") {
+    CdcOracle) {
       (s, d) =>
     val base = scratch("streamcdc")
     val staging = s"$base/events"
     val dir = s"$base/t"
-    val o = Tables.orders(s, d).select(col("o_orderkey").as("k"))
-    def ev(filter: org.apache.spark.sql.Column, seq: Long, op: String,
-        v: String) =
-      o.filter(filter).withColumn("seq", lit(seq))
-        .withColumn("op", lit(op)).withColumn("v", lit(v))
+    val o = orderKeys(s, d)
+    val ev = cdcEvent(o) _
     graft.BenchProbe.time("index_build") {
       VersionedKeyedTable.create(
         o.filter(col("k") % 2 === 0).withColumn("seq", lit(0L))

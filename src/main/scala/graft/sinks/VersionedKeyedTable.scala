@@ -2040,10 +2040,17 @@ object VersionedKeyedTable {
     val fresh = coalesce(sSeq > tSeq, tSeq.isNull)
     val isDel = col(s"s.$opCol") === deleteOp
     val feedCols = latest.columns.toSet
-    val updates = schema.fieldNames.filterNot(_ == keyCol).collect {
-      case c if feedCols(c) =>
-        c -> when(fresh && !isDel, col(s"s.$c")).otherwise(col(s"t.$c"))
-    }.toMap
+    // update assignments over the EVOLVED column set (table schema ∪
+    // feed columns): a column the feed introduces evolves the table
+    // additively inside merge's remerge, so it needs an assignment
+    // too — without one, a fresh update would keep the target's null
+    // while the same batch's inserts carry the value (inconsistent
+    // row images from one batch)
+    val updates = (schema.fieldNames ++ latest.columns).distinct
+      .filterNot(c => c == keyCol || c == opCol).collect {
+        case c if feedCols(c) =>
+          c -> when(fresh && !isDel, col(s"s.$c")).otherwise(col(s"t.$c"))
+      }.toMap
     merge(spark, dir, latest, keyCol,
       whenMatchedDelete = Some(isDel && fresh),
       whenMatchedUpdate = updates,
@@ -3025,13 +3032,21 @@ object VersionedKeyedTable {
     val cs = constraints(spark, dir)
     if (cs.isEmpty) return df
     val cols = df.columns.toSet
+    // "present" must use the SESSION's resolution rule (case-
+    // insensitive by default): a constraint written as `QTY > 0`
+    // against a `qty` column resolves fine in the filter — treating
+    // it as missing would withColumn-REPLACE the real column with
+    // nulls and then drop it, silently corrupting every write
+    val resolver = spark.sessionState.analyzer.resolver
     cs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
       val refs = spark.sessionState.sqlParser.parseExpression(e)
         .collect {
           case a: org.apache.spark.sql.catalyst.analysis
               .UnresolvedAttribute => a.name
         }
-      val missing = refs.distinct.filterNot(cols)
+      val missing = refs.distinct
+        .filterNot(ref => cols.exists(c => resolver(c, ref)))
+        .groupBy(_.toLowerCase).map(_._2.head).toSeq.sorted
       val padded = missing.foldLeft(d)((dd, c) =>
         dd.withColumn(c, lit(null)))
       val checked = padded.filter(coalesce(

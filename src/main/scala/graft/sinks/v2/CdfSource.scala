@@ -437,9 +437,10 @@ class CdfReaderFactory(schema: StructType, conf: SerializableHadoopConf)
   * seam. */
 class TableTailMicroBatchStream(dir: String, keyCol: String,
     required: StructType, startingVersion: Option[Long],
-    maxVersionsPerTrigger: Option[Long], ignoreDeletes: Boolean)
+    maxVersionsPerTrigger: Option[Long], ignoreDeletes: Boolean,
+    startingTsMillis: Option[Long] = None)
     extends CdfMicroBatchStream(dir, keyCol, required, startingVersion,
-      maxVersionsPerTrigger) {
+      maxVersionsPerTrigger, startingTsMillis) {
   override def createReaderFactory(): PartitionReaderFactory =
     new TableTailReaderFactory(required, ignoreDeletes,
       SerializableHadoopConf.fromSession(SparkSession.active))

@@ -1236,10 +1236,15 @@ class GraftRowScan(dir: String,
     val k = keyCol.getOrElse(throw new UnsupportedOperationException(
       s"table at $dir records no key column — streaming reads need " +
         "the keyed contract"))
-    new TableTailMicroBatchStream(dir, k, required,
-      Option(scanOptions.get("startingVersion")).map(_.toLong),
+    val sv = Option(scanOptions.get("startingVersion")).map(_.toLong)
+    val st = Option(scanOptions.get("startingTimestamp"))
+      .map(CdfSource.parseTsMillis)
+    require(sv.isEmpty || st.isEmpty,
+      "readStream.table: startingVersion and startingTimestamp are " +
+        "mutually exclusive — pick one starting rule")
+    new TableTailMicroBatchStream(dir, k, required, sv,
       Option(scanOptions.get("maxVersionsPerTrigger")).map(_.toLong),
-      Option(scanOptions.get("ignoreDeletes")).exists(_.toBoolean))
+      Option(scanOptions.get("ignoreDeletes")).exists(_.toBoolean), st)
   }
 
   @volatile private var kept: Seq[String] = keptAtPlan

@@ -142,24 +142,28 @@ class VersionedStreamingWrite(dir: String, keyCol: String,
     }
     try {
       if (staged.isEmpty) return // empty epoch: nothing to commit
-      if (lastEpoch.exists(_ >= epochId)) return // replayed epoch
-      val rows = spark.read.schema(schema).parquet(staged: _*)
-      if (KeyedTable.readMeta(spark, dir).isEmpty)
-        VersionedKeyedTable.create(rows, dir, keyCol, numBuckets,
-          commitMeta = Map(stampKey -> epochId.toString))
-      else if (morMode)
-        // merge-on-read ingest: the micro-batch APPENDS data files +
-        // a sequence-stamped equality-delete for replaced keys — per-
-        // epoch cost is O(batch) regardless of how large the table's
-        // buckets have grown (the 100 TB continuous-ingest shape;
-        // compact() on a maintenance cadence folds the backlog)
-        VersionedKeyedTable.upsertMor(spark, dir, rows, keyCol,
-          captureChanges,
-          commitMeta = Map(stampKey -> epochId.toString))
-      else
-        VersionedKeyedTable.upsert(spark, dir, rows, keyCol,
-          captureChanges,
-          commitMeta = Map(stampKey -> epochId.toString))
+      if (!lastEpoch.exists(_ >= epochId)) { // else: replayed epoch —
+        // the data already applied exactly once; FALL THROUGH to the
+        // auto-compaction check, because the crash window this replay
+        // covers is exactly "data commit landed, compact didn't"
+        val rows = spark.read.schema(schema).parquet(staged: _*)
+        if (KeyedTable.readMeta(spark, dir).isEmpty)
+          VersionedKeyedTable.create(rows, dir, keyCol, numBuckets,
+            commitMeta = Map(stampKey -> epochId.toString))
+        else if (morMode)
+          // merge-on-read ingest: the micro-batch APPENDS data files +
+          // a sequence-stamped equality-delete for replaced keys — per-
+          // epoch cost is O(batch) regardless of how large the table's
+          // buckets have grown (the 100 TB continuous-ingest shape;
+          // compact() on a maintenance cadence folds the backlog)
+          VersionedKeyedTable.upsertMor(spark, dir, rows, keyCol,
+            captureChanges,
+            commitMeta = Map(stampKey -> epochId.toString))
+        else
+          VersionedKeyedTable.upsert(spark, dir, rows, keyCol,
+            captureChanges,
+            commitMeta = Map(stampKey -> epochId.toString))
+      }
       // AUTO-COMPACTION: unattended ingest must bound its own read
       // amplification — when any bucket's data-file count crosses the
       // threshold, fold THOSE buckets (surgical fragmentedOnly mode:
@@ -167,9 +171,11 @@ class VersionedStreamingWrite(dir: String, keyCol: String,
       // instant, and an unscoped pass would rewrite the whole table
       // every trigger; a rewritten bucket always consumes its own
       // delete backlog). The compact is its own CDF-invisible layout
-      // commit AFTER the epoch's data commit — a crash between the
-      // two re-runs only the compact (the epoch stamp skips the
-      // upsert), so exactly-once is untouched.
+      // commit AFTER the epoch's data commit, and it runs for
+      // REPLAYED epochs too — a crash between the data commit and the
+      // compact re-runs only the compact on replay, so exactly-once
+      // is untouched AND the bounded-files contract survives a crash
+      // on the final epoch.
       if (autoCompact > 0 &&
           VersionedKeyedTable.snapshot(spark, dir).files
             .valuesIterator.exists(_.size > autoCompact))

@@ -90,6 +90,30 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(VersionedKeyedTable.read(spark, dir).count() === 9L)
   }
 
+  test("a constraint referencing a column in DIFFERENT letter case " +
+      "resolves like the session would — the write keeps the real " +
+      "column and the check stays live") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 5L).map(i => (i, java.lang.Long.valueOf(i))).toDF("k", "qty"),
+      dir, "k", 4)
+    VersionedKeyedTable.addConstraint(spark, dir, "cs", "QTY > 0")
+    // a valid batch lands WITH its qty values intact (the bug this
+    // pins: case-mismatched refs once null-padded and DROPPED the
+    // real column)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((6L, Option(60L))).toDF("k", "qty"), "k")
+    val got = VersionedKeyedTable.read(spark, dir)
+    assert(got.columns.toSeq === Seq("k", "qty"))
+    assert(got.where($"k" === 6L).select("qty").as[Long].head() === 60L)
+    // and the check is live, not vacuously null
+    intercept[Exception] {
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((7L, Option(-1L))).toDF("k", "qty"), "k")
+    }
+    assert(VersionedKeyedTable.read(spark, dir).count() === 6L)
+  }
+
   test("SQL INSERT through the catalog enforces; add_constraint / " +
       "drop_constraint procedures; properties expose constraints") {
     val base = Files.createTempDirectory("graft-constraints-sql").toString

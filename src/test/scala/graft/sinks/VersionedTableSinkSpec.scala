@@ -171,4 +171,41 @@ class VersionedTableSinkSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
     }
   }
+
+  test("a REPLAYED epoch still runs auto-compaction — the crash " +
+      "window between the epoch's data commit and its compact") {
+    val table = fresh("acreplay")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    VersionedKeyedTable.create(
+      (1L to 8L).map(i => (i, i)).toDF("k", "v"), table, "k", 2)
+    def staged(): Array[org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+      val p = s"$table/_staging/ac-${java.util.UUID.randomUUID()}.parquet"
+      val w = new graft.sinks.v2.StagingParquetWriter(p, schema)
+      (9L to 16L).foreach(i =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(i, i * 10L)))
+      Array(w.commit())
+    }
+    // "crash before compact": the data commit lands with compaction
+    // OFF (the stranded state a crash between commit and compact
+    // leaves), buckets now exceed the threshold
+    new graft.sinks.v2.VersionedStreamingWrite(
+      table, "k", 2, true, "q-ac", schema, morMode = true)
+      .commit(5L, staged())
+    val snapBefore = VersionedKeyedTable.snapshot(spark, table)
+    assert(snapBefore.files.valuesIterator.exists(_.size > 1))
+    // restart replays the SAME epoch with compaction ON: the upsert
+    // must skip (epoch stamp) but the compact must run
+    new graft.sinks.v2.VersionedStreamingWrite(
+      table, "k", 2, true, "q-ac", schema, morMode = true,
+      autoCompact = 1).commit(5L, staged())
+    val snapAfter = VersionedKeyedTable.snapshot(spark, table)
+    assert(snapAfter.files.valuesIterator.forall(_.size <= 1),
+      "the replay must fold the stranded fragmentation")
+    assert(VersionedKeyedTable.read(spark, table).count() === 16L,
+      "the replayed epoch's data must not double-apply")
+  }
 }
