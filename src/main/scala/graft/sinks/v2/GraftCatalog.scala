@@ -351,6 +351,15 @@ class GraftCatalog extends TableCatalog
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
       dir, key, buckets,
       commitMeta = Map("graft.sql.create" -> ident.toString))
+    // TBLPROPERTIES ('constraint.<name>' = '<predicate>') registers
+    // CHECK constraints at creation — for CTAS they exist BEFORE the
+    // query's rows land, so the very first insert is already enforced
+    import scala.jdk.CollectionConverters._
+    props.asScala.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      if (k.startsWith("constraint."))
+        VersionedKeyedTable.addConstraint(spark, dir,
+          k.stripPrefix("constraint."), v)
+    }
     new GraftSqlTable(dir, ident.toString, None)
   }
 

@@ -147,4 +147,24 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(VersionedKeyedTable.constraints(spark, dir).isEmpty)
     assert(spark.sql(s"SELECT * FROM $cat.`t$$constraints`").count() === 0L)
   }
+
+  test("CREATE TABLE with constraint.* TBLPROPERTIES registers the " +
+      "CHECK at creation — a CTAS-shaped first insert is already " +
+      "enforced") {
+    val base = Files.createTempDirectory("graft-constraints-ddl").toString
+    val cat = "gcdl" + scala.util.Random.alphanumeric.take(6)
+      .mkString.toLowerCase
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    spark.sql(s"CREATE TABLE $cat.c1 (k BIGINT, qty BIGINT) " +
+      "TBLPROPERTIES ('key'='k', 'constraint.pos'='qty > 0')")
+    assert(VersionedKeyedTable.constraints(spark, s"$base/c1") ===
+      Map("pos" -> "qty > 0"))
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.c1 VALUES (1, -1)")
+    }
+    spark.sql(s"INSERT INTO $cat.c1 VALUES (1, 1)")
+    assert(VersionedKeyedTable.read(spark, s"$base/c1").count() === 1L)
+  }
 }

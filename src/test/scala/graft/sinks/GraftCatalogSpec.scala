@@ -680,6 +680,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     tail("tail_c", ignoreDeletes = true)
     assert(spark.table("tail_c").as[(Long, Long)].collect().toSet ===
       Set((1L, 999L), (21L, 210L), (22L, 220L)))
+    // startingTimestamp resolves through the TIMESTAMP AS OF rule:
+    // starting "now" tails only commits after the current instant —
+    // the already-landed history must NOT replay
+    val memTs = "tail_ts"
+    val qTs = spark.readStream
+      .option("startingTimestamp",
+        System.currentTimeMillis().toString)
+      .table("gcat.tail1")
+      .writeStream.format("memory").queryName(memTs)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-tailtsck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try qTs.processAllAvailable() finally qTs.stop()
+    assert(spark.table(memTs).count() === 0L)
+    // both starting rules together refuse loudly (the failure lands
+    // on the stream thread, so it surfaces as the query's exception)
+    val qBoth = spark.readStream.option("startingVersion", "1")
+      .option("startingTimestamp", "0")
+      .table("gcat.tail1")
+      .writeStream.format("memory").queryName("tail_both")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-tailbk").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val exBoth = intercept[Exception] {
+      try qBoth.processAllAvailable() finally qBoth.stop()
+    }
+    assert(exBoth.toString.contains("mutually exclusive") ||
+      Option(exBoth.getCause)
+        .exists(_.toString.contains("mutually exclusive")))
     // a pinned snapshot refuses streaming (history is immutable)
     val pinned = new graft.sinks.v2.GraftSqlTable(dir, "tail1", Some(1L))
     val sb = pinned.newScanBuilder(
