@@ -645,14 +645,25 @@ object VersionedKeyedTable {
   private def writeDataFiles(spark: SparkSession, dir: String,
       withBucket: DataFrame, keyCol: String,
       maxRecordsPerFile: Long = 0L,
-      statsCols: Seq[String] = Nil)
+      statsCols: Seq[String] = Nil,
+      /** false ONLY for maintenance rewrites ([[rewriteBuckets]]):
+        * they re-write rows that already committed, so re-running the
+        * constraint guard can only re-fail on rows that slipped in
+        * through the documented addConstraint race — and a compact/
+        * cluster (including the streaming sink's auto-compaction,
+        * which runs inside every epoch commit) that throws PERMANENTLY
+        * wedges maintenance until someone drops the constraint. DML
+        * writes always enforce. */
+      enforceConstraints: Boolean = true)
       : (Map[Int, Seq[String]], Map[String, (String, String)],
          Map[String, Long],
          Map[String, Map[String, (String, String)]]) = {
     val rel = s"data/c-${java.util.UUID.randomUUID()}"
     // CHECK constraints guard every row in the write's own pass — a
     // violation fails the job here, before any manifest can commit
-    val guarded = withConstraintChecks(spark, dir, withBucket)
+    val guarded =
+      if (enforceConstraints) withConstraintChecks(spark, dir, withBucket)
+      else withBucket
     val w = guarded.write.partitionBy("__bucket")
     (if (maxRecordsPerFile > 0L)
        w.option("maxRecordsPerFile", maxRecordsPerFile)
@@ -1987,10 +1998,14 @@ object VersionedKeyedTable {
     *    sequence — the conservative tie).
     *  - ACROSS batches: the applied sequence is TABLE STATE (`seqCol`
     *    is a real column, stamped by every apply), and the merge's
-    *    clauses are gated on `source.seq > target.seq` — a stale or
-    *    replayed event is a per-row no-op, so redelivery is idempotent
-    *    and late events never regress a newer row. A matched row with
-    *    a NULL stored sequence (written by a plain upsert) accepts any
+    *    clauses are gated on the stored sequence — upserts apply when
+    *    `source.seq > target.seq` (a stale or replayed event is a
+    *    per-row no-op, so redelivery is idempotent and late events
+    *    never regress a newer row) and deletes when `source.seq >=
+    *    target.seq`, matching the within-batch tiebreak so an
+    *    equal-sequence delete/upsert pair converges to the same state
+    *    no matter how the feed is batched. A matched row with a NULL
+    *    stored sequence (written by a plain upsert) accepts any
     *    event.
     *  - Deletes remove the row AND its sequence (no tombstone
     *    retention): an event OLDER than a delete, arriving AFTER it,
@@ -2038,6 +2053,16 @@ object VersionedKeyedTable {
     val tSeq = col(s"t.$seqCol")
     // a stored NULL sequence (plain-upsert provenance) accepts any event
     val fresh = coalesce(sSeq > tSeq, tSeq.isNull)
+    // DELETES gate on >= so the cross-batch rule matches the
+    // within-batch tiebreak (a delete outranks an upsert at an equal
+    // sequence): an equal-sequence D/U pair — which real CDC feeds do
+    // produce — reaches the SAME final state whether the two events
+    // ship in one batch (window tiebreak: delete wins) or across
+    // batches (this gate: the delete still lands against the stored
+    // seq-S row). Upserts stay STRICT (>): an upsert replaying at the
+    // stored sequence is a per-row no-op, which keeps redelivery
+    // idempotent.
+    val freshDel = coalesce(sSeq >= tSeq, tSeq.isNull)
     val isDel = col(s"s.$opCol") === deleteOp
     val feedCols = latest.columns.toSet
     // update assignments over the EVOLVED column set (table schema ∪
@@ -2052,7 +2077,7 @@ object VersionedKeyedTable {
           c -> when(fresh && !isDel, col(s"s.$c")).otherwise(col(s"t.$c"))
       }.toMap
     merge(spark, dir, latest, keyCol,
-      whenMatchedDelete = Some(isDel && fresh),
+      whenMatchedDelete = Some(isDel && freshDel),
       whenMatchedUpdate = updates,
       insertNotMatchedWhen = Some(!isDel),
       commitMeta = commitMeta,
@@ -2451,7 +2476,12 @@ object VersionedKeyedTable {
           shape(rows, picked.size).localCheckpoint(true), keyCol,
           maxRecordsPerFile,
           statsCols = (inheritedStatsCols(snap) ++ ensureStatsCols)
-            .distinct)
+            .distinct,
+          // maintenance re-writes ALREADY-COMMITTED rows: re-running
+          // the constraint guard would permanently wedge compact/
+          // cluster (and the streaming sink's auto-compaction) on a
+          // bucket poisoned through the documented addConstraint race
+          enforceConstraints = false)
       val manifest = snap.files ++
         picked.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
       val content = renderManifest(picked, manifest, schema,
@@ -2966,7 +2996,11 @@ object VersionedKeyedTable {
     * manifest CAS): a writer whose batch was already validated against
     * the old constraint set may land violating rows in the race
     * window — re-run the validation read after adding when that
-    * window matters. */
+    * window matters. Maintenance rewrites (compact/cluster, including
+    * the streaming sink's auto-compaction) deliberately do NOT
+    * re-enforce constraints on the already-committed rows they move:
+    * a bucket poisoned through the race stays compactable instead of
+    * wedging maintenance until the constraint is dropped. */
   def addConstraint(spark: SparkSession, dir: String, name: String,
       check: String): Unit = {
     require(name.nonEmpty, "constraint name must be non-empty")
@@ -2983,6 +3017,19 @@ object VersionedKeyedTable {
     require(bad.isEmpty,
       s"cannot add constraint '$name' CHECK ($check): existing rows " +
         s"violate it, e.g. ${bad.headOption.fold("")(_.toString)}")
+    registerConstraint(spark, dir, name, check)
+  }
+
+  /** Registration WITHOUT the current-rows validation — the test hook
+    * that simulates the documented addConstraint race (a concurrent
+    * writer landing rows the new constraint would reject). Production
+    * callers use [[addConstraint]]. */
+  private[graft] def addConstraintUnchecked(spark: SparkSession,
+      dir: String, name: String, check: String): Unit =
+    registerConstraint(spark, dir, name, check)
+
+  private def registerConstraint(spark: SparkSession, dir: String,
+      name: String, check: String): Unit = {
     val fs = hfs(spark, dir)
     fs.mkdirs(constraintsDir(dir))
     if (!claimBackendFor(fs).tryClaim(fs, constraintsDir(dir),
@@ -3057,6 +3104,126 @@ object VersionedKeyedTable {
     }
   }
 
+  // ---- TABLE PROPERTIES ---------------------------------------------
+
+  private def propsDir(dir: String) = new Path(dir, "_props")
+  private def propPath(dir: String, name: String) =
+    new Path(propsDir(dir), enc(name))
+
+  /** Set a persistent TABLE PROPERTY (one sidecar file per key,
+    * last-writer-wins — properties are operational knobs like
+    * `write.mode`, not versioned state; a property read mid-overwrite
+    * on a weak scheme reads as absent via the `#end` marker, never
+    * torn). Known properties: `write.mode` ∈ cow (default) | mor —
+    * the regimen SQL DML writes under (see [[v2.GraftCatalog]]). */
+  def setProperty(spark: SparkSession, dir: String, name: String,
+      value: String): Unit = {
+    require(name.nonEmpty, "property name must be non-empty")
+    val fs = hfs(spark, dir)
+    fs.mkdirs(propsDir(dir))
+    val out = fs.create(propPath(dir, name), true)
+    try out.write((enc(value) + "\n#end\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Remove a table property; returns whether anything was removed. */
+  def removeProperty(spark: SparkSession, dir: String,
+      name: String): Boolean =
+    hfs(spark, dir).delete(propPath(dir, name), false)
+
+  /** Every live table property (torn sidecars read as absent). */
+  def properties(spark: SparkSession, dir: String): Map[String, String] = {
+    val fs = hfs(spark, dir)
+    val pd = propsDir(dir)
+    if (!fs.exists(pd)) Map.empty
+    else fs.listStatus(pd).toSeq.map(_.getPath.getName).flatMap { n =>
+      val lines = readVersionFile(fs, new Path(pd, n)).split('\n')
+      if (!lines.lastOption.contains("#end")) None
+      else lines.headOption.map(h => dec(n) -> dec(h))
+    }.toMap
+  }
+
+  /** One table property, or None. */
+  def property(spark: SparkSession, dir: String,
+      name: String): Option[String] = {
+    val fs = hfs(spark, dir)
+    val p = propPath(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val lines = readVersionFile(fs, p).split('\n')
+      if (!lines.lastOption.contains("#end")) None
+      else lines.headOption.map(dec)
+    }
+  }
+
+  // ---- ADDITIVE SCHEMA EVOLUTION (the ALTER TABLE ADD COLUMNS face) --
+
+  /** ADD COLUMNS as ONE metadata-only commit: the manifest's
+    * per-version schema widens, NO data file is touched or rewritten —
+    * existing rows read the new columns as null (parquet by-name
+    * resolution), exactly what a widening upsert's implicit evolution
+    * already does ([[upsert]]/[[upsertMor]] evolve additively when a
+    * batch carries new columns; this is the DECLARATIVE form, so a SQL
+    * writer can evolve the table BEFORE any wider batch exists — Spark
+    * analyzes INSERT against the table schema, so without it a
+    * SQL-only user could never add a column). Rules: new columns must
+    * be NULLABLE (existing rows have no value to give a non-null
+    * column) and must not collide with any live column under the
+    * session's resolution rule; the commit is CDF-captured as an empty
+    * change set (no row changed). Touched buckets: none — incremental
+    * consumers skip it entirely. At 100 TB the cost is one manifest
+    * write, independent of table size. */
+  def addColumns(spark: SparkSession, dir: String,
+      newCols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    require(newCols.nonEmpty, "addColumns: no columns given")
+    newCols.foreach(f => require(f.nullable,
+      s"addColumns: new column '${f.name}' must be nullable — " +
+        "existing rows have no value for it"))
+    val (_, metaSchema) = readMeta(spark, dir)
+    val fs = hfs(spark, dir)
+    val resolver = spark.sessionState.analyzer.resolver
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 10) throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir: addColumns contention exceeded " +
+          "10 attempts")
+      val cur = snapshot(spark, dir)
+      val schema = cur.schema.getOrElse(metaSchema)
+      newCols.foreach { f =>
+        require(!schema.fieldNames.exists(resolver(_, f.name)),
+          s"addColumns: column '${f.name}' already exists " +
+            s"(${schema.fieldNames.mkString(", ")})")
+      }
+      require(newCols.map(_.name.toLowerCase).distinct.size ==
+          newCols.size,
+        s"addColumns: duplicate column names in " +
+          newCols.map(_.name).mkString(", "))
+      val evolved = org.apache.spark.sql.types.StructType(
+        schema.fields ++ newCols)
+      // metadata-only, CDF-captured as EMPTY (no row changed): spans
+      // crossing it stay on the O(changed rows) change-file path
+      val content = renderManifest(Set.empty, cur.files, evolved,
+        cur.stats, Some(Seq.empty),
+        Map(BaseKey -> cur.version.toString,
+          "graft.alter.addColumns" -> newCols.map(_.name).mkString(",")),
+        cur.counts, cur.extraStats, cur.deletes, cur.seqs)
+      var v = cur.version + 1
+      var committed = false
+      var stale = false
+      while (!committed && !stale) {
+        if (tryCommit(fs, dir, versionPath(dir, v), content))
+          committed = true
+        else if (snapshot(spark, dir).version > cur.version)
+          stale = true // someone committed: re-check collisions, retry
+        else if (awaitBlockingClaim(fs, spark, dir, cur.version))
+          stale = true
+        else v = nextClaimable(fs, dir, v + 1) // torn claim
+      }
+      if (committed) return
+    }
+  }
+
   // ---- IDEMPOTENT FILE INGEST (the COPY INTO shape) -----------------
 
   private def ingestDir(dir: String) = new Path(dir, "_ingest")
@@ -3069,13 +3236,40 @@ object VersionedKeyedTable {
   private def ingestIdentity(rel: String, len: Long): String =
     s"$rel|$len"
 
-  /** Source-file identities already loaded into the table. One
-    * listStatus — metadata scale, like the manifest log itself. */
+  /** Marker FILENAME for an ingest identity: a fixed-length SHA-256
+    * digest, NOT the encoded identity itself — deep source paths
+    * URL-encode past the filesystem's ~255-byte filename limit, and a
+    * marker that can never be created would silently re-ingest its
+    * file on every scheduled run forever (state stays convergent via
+    * keyed puts, but each run pays O(file) data work and churns a
+    * commit, defeating the no-op contract). The identity lives in the
+    * marker's CONTENT. */
+  private def ingestMarkerName(id: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(id.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Source-file identities already loaded into the table: one
+    * listStatus plus one tiny read per marker (identities are stored
+    * as marker CONTENT under digest filenames; legacy markers that
+    * encoded the identity in the filename — content "1" — still
+    * resolve). Torn markers (no `#end`) are skipped: the worst case is
+    * one redundant, idempotent re-ingest. */
   def ingestedFiles(spark: SparkSession, dir: String): Set[String] = {
     val fs = hfs(spark, dir)
     val id = ingestDir(dir)
     if (!fs.exists(id)) Set.empty
-    else fs.listStatus(id).toSeq.map(s => dec(s.getPath.getName)).toSet
+    else fs.listStatus(id).toSeq.flatMap { s =>
+      val txt = readVersionFile(fs, s.getPath)
+      val lines = txt.split('\n')
+      if (!lines.lastOption.contains("#end")) None // torn marker
+      else lines.headOption match {
+        case Some("1") => Some(dec(s.getPath.getName)) // legacy marker
+        case Some(h) => Some(dec(h))
+        case None => None
+      }
+    }.toSet
   }
 
   /** Idempotent bulk file ingest — the `COPY INTO` shape: load every
@@ -3143,12 +3337,20 @@ object VersionedKeyedTable {
       commitMeta = Map("graft.ingest.files" -> ids.mkString("\n"),
         "graft.ingest.source" -> sourceDir))
     // markers AFTER the commit: a crash window re-ingests (idempotent
-    // puts), never skips
+    // puts), never skips. Claim failures are SURFACED (a marker that
+    // repeatedly cannot land means that file re-ingests every run —
+    // convergent but not a no-op) and never fail the call: the data
+    // commit already succeeded.
     fs.mkdirs(ingestDir(dir))
     val backend = claimBackendFor(fs)
     ids.foreach { id =>
-      backend.tryClaim(fs, ingestDir(dir),
-        new Path(ingestDir(dir), enc(id)), "1\n#end\n"): Unit
+      val p = new Path(ingestDir(dir), ingestMarkerName(id))
+      if (!backend.tryClaim(fs, ingestDir(dir), p,
+          enc(id) + "\n#end\n") && !fs.exists(p))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ingestFiles at $dir: could not record ingest marker for " +
+            s"'$id' — this source file will re-ingest (idempotently) " +
+            "on every run until the marker lands")
     }
     fresh.size
   }

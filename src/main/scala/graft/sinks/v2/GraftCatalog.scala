@@ -50,9 +50,13 @@ import graft.sinks.{KeyedTable, VersionedKeyedTable}
   * delete-all — so SQL writers get the same CDF capture, zone maps
   * and concurrency the programmatic API gives. DDL: `CREATE TABLE`
   * (layout from a bucket transform or TBLPROPERTIES — the key column
-  * is mandatory), CTAS, and `DROP TABLE` (refused on directories that
-  * are not stores); ALTER/RENAME stay API-only because a table's
-  * layout is fixed at creation.
+  * is mandatory), CTAS, `DROP TABLE` (refused on directories that
+  * are not stores), `ALTER TABLE … ADD COLUMNS` (one additive
+  * schema-evolution commit — metadata-only, existing rows read the
+  * new columns as null), and `ALTER TABLE … SET/UNSET TBLPROPERTIES`
+  * for `write.mode` (cow|mor DML regimen) and `constraint.*` (CHECK
+  * constraints). RENAME and non-additive column changes are refused —
+  * a table's layout (key column, buckets) is fixed at creation.
   *
   * The catalog is ALSO a FunctionCatalog serving the store's `bucket`
   * placement function — what lets a scan's KeyGroupedPartitioning
@@ -297,10 +301,12 @@ class GraftCatalog extends TableCatalog
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "GraftCatalog supports SQL reads, DML, CREATE TABLE/CTAS and " +
-      "DROP TABLE; ALTER/RENAME route through the " +
-      "VersionedKeyedTable API — a table's layout (key column, " +
-      "buckets) is fixed at creation")
+    "GraftCatalog supports SQL reads, DML, CREATE TABLE/CTAS, DROP " +
+      "TABLE, ALTER TABLE ADD COLUMNS and ALTER TABLE SET/UNSET " +
+      "TBLPROPERTIES ('write.mode', 'constraint.*'); everything else " +
+      "(RENAME, column drops/renames/retypes, repartitioning) is " +
+      "refused — a table's layout (key column, buckets) is fixed at " +
+      "creation and evolution is additive only")
 
   /** SQL DDL: `CREATE TABLE cat.t (…) PARTITIONED BY (bucket(8, k))`
     * — or with `TBLPROPERTIES ('key'='k', 'buckets'='8')` — creates
@@ -346,19 +352,54 @@ class GraftCatalog extends TableCatalog
       .orElse(Option(props.get("buckets")).map(_.toInt))
       .getOrElse(16)
     require(buckets > 0, s"buckets must be positive (got $buckets)")
+    import scala.jdk.CollectionConverters._
+    val constraintProps = props.asScala.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith("constraint."))
+    // VALIDATE constraint predicates against the DECLARED schema
+    // BEFORE anything is created: an unresolvable column or a
+    // non-boolean predicate must fail the CREATE TABLE statement
+    // cleanly — failing after the create would leave the table
+    // durably behind, so the corrected retry hits "already exists"
+    constraintProps.foreach { case (k, v) =>
+      val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .select(org.apache.spark.sql.functions.expr(v).as("c"))
+      if (probe.schema.fields.head.dataType != BooleanType)
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $ident: TBLPROPERTIES '$k' must be a BOOLEAN " +
+            s"predicate over the declared schema, got " +
+            s"${probe.schema.fields.head.dataType.simpleString}: $v")
+    }
+    val writeMode = Option(props.get("write.mode")).map(_.toLowerCase)
+    writeMode.foreach(m => require(m == "cow" || m == "mor",
+      s"CREATE TABLE $ident: TBLPROPERTIES 'write.mode' must be " +
+        s"'cow' or 'mor' (got $m)"))
     VersionedKeyedTable.create(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
       dir, key, buckets,
       commitMeta = Map("graft.sql.create" -> ident.toString))
-    // TBLPROPERTIES ('constraint.<name>' = '<predicate>') registers
-    // CHECK constraints at creation — for CTAS they exist BEFORE the
-    // query's rows land, so the very first insert is already enforced
-    import scala.jdk.CollectionConverters._
-    props.asScala.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      if (k.startsWith("constraint."))
+    // registration after the create commit; any residual failure
+    // (e.g. a claim race) tears the fresh table down so CREATE TABLE
+    // is all-or-nothing
+    try {
+      // TBLPROPERTIES ('constraint.<name>' = '<predicate>') registers
+      // CHECK constraints at creation — for CTAS they exist BEFORE the
+      // query's rows land, so the very first insert is already enforced
+      constraintProps.foreach { case (k, v) =>
         VersionedKeyedTable.addConstraint(spark, dir,
           k.stripPrefix("constraint."), v)
+      }
+      // TBLPROPERTIES ('write.mode'='mor'): SQL DML on this table
+      // defers mutations as merge-on-read commits by default
+      writeMode.foreach(
+        VersionedKeyedTable.setProperty(spark, dir, "write.mode", _))
+    } catch {
+      case scala.util.control.NonFatal(t) =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true): Unit
+        throw t
     }
     new GraftSqlTable(dir, ident.toString, None)
   }
@@ -378,8 +419,74 @@ class GraftCatalog extends TableCatalog
     }
   }
 
+  /** `ALTER TABLE cat.t ADD COLUMNS (x BIGINT, …)`: each added column
+    * is one ADDITIVE schema-evolution commit through
+    * [[VersionedKeyedTable.addColumns]] — metadata-only, no data file
+    * touched, existing rows read the new column as null (by-name
+    * parquet resolution), the same evolution a wider programmatic
+    * upsert performs implicitly. This is what lets a SQL-ONLY user
+    * evolve a live table: Spark analyzes INSERT against the table
+    * schema, so without ALTER the catalog's schema could never widen
+    * ahead of the data. Also supported: `SET TBLPROPERTIES` /
+    * `UNSET TBLPROPERTIES` for `write.mode` (cow|mor — the regimen
+    * SQL DML writes under) and `constraint.<name>` (ADD/DROP a CHECK
+    * constraint, the Delta ALTER TABLE ADD CONSTRAINT shape).
+    * Everything else — drops, renames, retypes, repositioning, key
+    * changes — is refused: the store's evolution contract is additive
+    * only and the key column is the layout. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (KeyedTable.readMeta(spark, dir).isEmpty)
+      throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    adds.foreach { a =>
+      require(a.fieldNames().length == 1,
+        s"ALTER TABLE $ident: only top-level columns can be added " +
+          s"(got ${a.fieldNames().mkString(".")})")
+      require(a.isNullable,
+        s"ALTER TABLE $ident: added column '${a.fieldNames()(0)}' " +
+          "must be nullable — existing rows have no value for it")
+      require(a.position() == null,
+        s"ALTER TABLE $ident: column position is not supported — " +
+          "added columns append (additive evolution)")
+    }
+    if (adds.nonEmpty)
+      VersionedKeyedTable.addColumns(spark, dir, adds.map(a =>
+        StructField(a.fieldNames()(0), a.dataType(), nullable = true)))
+    changes.foreach {
+      case _: TableChange.AddColumn => () // handled above, one commit
+      case sp: TableChange.SetProperty => sp.property() match {
+        case p if p.startsWith("constraint.") =>
+          VersionedKeyedTable.addConstraint(spark, dir,
+            p.stripPrefix("constraint."), sp.value())
+        case "write.mode" =>
+          val m = sp.value().toLowerCase
+          require(m == "cow" || m == "mor",
+            s"ALTER TABLE $ident: 'write.mode' must be 'cow' or " +
+              s"'mor' (got ${sp.value()})")
+          VersionedKeyedTable.setProperty(spark, dir, "write.mode", m)
+        case other => throw new UnsupportedOperationException(
+          s"ALTER TABLE $ident SET TBLPROPERTIES: '$other' is not a " +
+            "settable property (supported: write.mode, constraint.*)")
+      }
+      case rp: TableChange.RemoveProperty => rp.property() match {
+        case p if p.startsWith("constraint.") =>
+          VersionedKeyedTable.dropConstraint(spark, dir,
+            p.stripPrefix("constraint.")): Unit
+        case "write.mode" =>
+          VersionedKeyedTable.removeProperty(spark, dir,
+            "write.mode"): Unit
+        case other => throw new UnsupportedOperationException(
+          s"ALTER TABLE $ident UNSET TBLPROPERTIES: '$other' is not " +
+            "a removable property (supported: write.mode, " +
+            "constraint.*)")
+      }
+      case _ => readOnly
+    }
+    loadTable(ident)
+  }
+
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly
 }
@@ -413,6 +520,23 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     KeyedTable.readMeta(spark, dir).get._2)
   private val keyCol: Option[String] = KeyedTable.readMetaKey(spark, dir)
 
+  /** The table's persistent write regimen (`write.mode` property):
+    * `mor` defers SQL DML as merge-on-read commits (delete files /
+    * appends — O(batch) writes, the continuous-ingest and
+    * GDPR-erasure shape), `cow` (default) rewrites buckets
+    * copy-on-write (the right cost for dense mutations). The session
+    * confs `spark.graft.delete.mode` / `spark.graft.insert.mode`
+    * override per session. */
+  private val tableWriteMor: Boolean =
+    VersionedKeyedTable.property(spark, dir, "write.mode")
+      .exists(_.equalsIgnoreCase("mor"))
+
+  private def morFor(sessionConf: String): Boolean =
+    spark.conf.getOption(sessionConf) match {
+      case Some(m) => m.equalsIgnoreCase("mor")
+      case None => tableWriteMor
+    }
+
   override def name: String = ident + version.fold("")(v => s"@v$v")
   override def schema: StructType = tableSchema
 
@@ -437,6 +561,9 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     // live CHECK constraints, Delta-style `constraint.<name>` keys
     VersionedKeyedTable.constraints(spark, dir).toSeq.sortBy(_._1)
       .foreach { case (n, e) => m.put(s"constraint.$n", e) }
+    // persistent table properties (write.mode and future knobs)
+    VersionedKeyedTable.properties(spark, dir).toSeq.sortBy(_._1)
+      .foreach { case (k, v) => m.put(k, v) }
     m
   }
   override def capabilities: util.Set[TableCapability] =
@@ -505,12 +632,18 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     val doomed = VersionedKeyedTable.table(spark, dir, key)
       .where(cond)
       .select(org.apache.spark.sql.functions.col(key))
-    // spark.graft.delete.mode=mor defers the delete as per-bucket
-    // delete files (no bucket rewrite — the Delta
-    // delta.enableDeletionVectors switch's shape); default rewrites
-    // copy-on-write, the right cost for dense deletes
-    if (spark.conf.getOption("spark.graft.delete.mode")
-        .exists(_.equalsIgnoreCase("mor")))
+    // merge-on-read routing: the table property `write.mode=mor`
+    // (or the session conf spark.graft.delete.mode=mor, which
+    // overrides either way) defers the delete as per-bucket delete
+    // files — no bucket rewrite, O(doomed keys) bytes (the Delta
+    // deletion-vectors / Iceberg equality-delete shape: a surgical
+    // `DELETE WHERE k IN (…)` on a 100 TB table writes kilobytes).
+    // TRUNCATE-shaped deletes (an always-true filter) stay
+    // copy-on-write regardless: a delete file holding EVERY key is
+    // strictly worse than the one-commit delete-all.
+    val truncateShaped = filters.isEmpty ||
+      filters.exists(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (morFor("spark.graft.delete.mode") && !truncateShaped)
       VersionedKeyedTable.deleteMor(spark, dir, doomed, key,
         commitMeta = Map("graft.sql.delete" -> "mor"))
     else VersionedKeyedTable.delete(spark, dir, doomed, key)
@@ -570,7 +703,7 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
                 stampKey = "graft.sql.overwrite")
             else
               new GraftSqlBatchWrite(dir, key, info.queryId(),
-                info.schema())
+                info.schema(), morDefault = tableWriteMor)
           }
         }
     }
@@ -790,7 +923,10 @@ class GraftReplaceBatchWrite(dir: String, keyCol: String,
   * concurrency, CDF capture, zone maps and blooms all come from the
   * commit path SQL now shares with the programmatic API. */
 class GraftSqlBatchWrite(dir: String, keyCol: String, queryId: String,
-    schema: StructType)
+    schema: StructType,
+    /** true when the table's `write.mode=mor` property routes inserts
+      * merge-on-read by default (session conf still overrides). */
+    morDefault: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private def spark = SparkSession.active
 
@@ -809,12 +945,16 @@ class GraftSqlBatchWrite(dir: String, keyCol: String, queryId: String,
     try {
       if (staged.isEmpty) return // INSERT of zero rows: no commit
       val rows = spark.read.schema(schema).parquet(staged: _*)
-      // spark.graft.insert.mode=mor defers the put as appended data
-      // files + a sequence-stamped delete (no bucket rewrite — the
-      // continuous-ingest SQL face; compact() folds the backlog);
-      // default is the copy-on-write upsert
-      if (spark.conf.getOption("spark.graft.insert.mode")
-          .exists(_.equalsIgnoreCase("mor")))
+      // merge-on-read routing (the table's write.mode=mor property,
+      // or spark.graft.insert.mode overriding per session): the put
+      // defers as appended data files + a sequence-stamped delete (no
+      // bucket rewrite — the continuous-ingest SQL face; compact()
+      // folds the backlog); default is the copy-on-write upsert
+      val mor = spark.conf.getOption("spark.graft.insert.mode") match {
+        case Some(m) => m.equalsIgnoreCase("mor")
+        case None => morDefault
+      }
+      if (mor)
         VersionedKeyedTable.upsertMor(spark, dir, rows, keyCol,
           commitMeta = Map("graft.sql.insert" -> queryId))
       else VersionedKeyedTable.upsert(spark, dir, rows, keyCol,
@@ -1183,9 +1323,15 @@ class GraftScanBuilder(dir: String,
                 val applicable = delRels.filter(d =>
                   VersionedKeyedTable.deleteSeq(snapForSeq, d) > s)
                 if (applicable.isEmpty) base
-                else new MorFilterReaderFactory(base, dir, applicable,
-                  k, tableSchema(k).dataType, reqPlus.fieldIndex(k),
-                  conf): PartitionReaderFactory
+                else {
+                  // plan-time backlog gate (driver, manifest counts):
+                  // refuse before any executor materializes the set
+                  val cap = MorDeleteSet.planCheck(SparkSession.active,
+                    dir, snapForSeq.counts, applicable)
+                  new MorFilterReaderFactory(base, dir, applicable,
+                    k, tableSchema(k).dataType, reqPlus.fieldIndex(k),
+                    conf, cap): PartitionReaderFactory
+                }
               })
             }
           }
@@ -1296,9 +1442,16 @@ class GraftRowScan(dir: String,
     case Some(k) =>
       val applicable = applicableDeletes(s)
       if (applicable.isEmpty) factory
-      else new MorFilterReaderFactory(factory, dir, applicable, k,
-        tableSchema(k).dataType, innerSchema.fieldIndex(k),
-        SerializableHadoopConf.fromSession(spark))
+      else {
+        // plan-time backlog gate (driver, manifest counts): a delete
+        // backlog past spark.graft.mor.maxDeleteRows refuses the scan
+        // with "compact first" before any executor materializes it
+        val cap = MorDeleteSet.planCheck(spark, dir, snap.counts,
+          applicable)
+        new MorFilterReaderFactory(factory, dir, applicable, k,
+          tableSchema(k).dataType, innerSchema.fieldIndex(k),
+          SerializableHadoopConf.fromSession(spark), cap)
+      }
   }
 
   /** The sequence classes of the PLAN-TIME kept set (one class — 0 —

@@ -17,35 +17,102 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * without pending deletes never reach this path — their scans are
   * byte-identical to pre-MOR plans, vectorized reads included. */
 object MorDeleteSet {
+  /** Default per-executor bound on the MATERIALIZED delete-key set
+    * (rows, summed over the scan's applicable delete files). The
+    * regimen keeps pending deletes small — compaction consumes them —
+    * but nothing upstream ENFORCES it on the batch path: a table
+    * accumulating millions of MoR-deleted keys between compactions
+    * would otherwise OOM every executor that scans it. ~2M boxed keys
+    * ≈ low hundreds of MB of HashSet — tolerable on a small executor,
+    * loud before it isn't. Override per session with
+    * `spark.graft.mor.maxDeleteRows`; the scan refuses AT PLAN TIME
+    * (driver, from the manifest's delete-file row counts — no file
+    * opened) with "compact first" above the bound. */
+  val DefaultMaxRows = 2000000L
+
+  /** The session's bound, read driver-side at plan time. */
+  def maxRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.mor.maxDeleteRows")
+      .map(_.toLong).getOrElse(DefaultMaxRows)
+
+  /** Driver-side PLAN-TIME gate: the manifest records every delete
+    * file's row count, so the size of the executor set is known
+    * before any partition is planned — a backlog past the bound
+    * refuses the scan loudly ("compact first") instead of OOMing
+    * every executor that touches the table. A delete file WITHOUT a
+    * recorded count (legacy manifests) cannot be bounded and refuses
+    * too. Returns the bound, to ship to the executors as the
+    * belt-and-braces load cap. */
+  def planCheck(spark: org.apache.spark.sql.SparkSession, dir: String,
+      counts: Map[String, Long], applicable: Seq[String]): Long = {
+    val cap = maxRows(spark)
+    val total =
+      if (applicable.forall(counts.contains)) applicable.map(counts).sum
+      else Long.MaxValue // unknown count: cannot bound — refuse
+    if (total > cap) throw new IllegalStateException(
+      s"pending merge-on-read delete backlog at $dir " +
+        (if (total == Long.MaxValue) "(a delete file with no recorded " +
+           "row count) "
+         else s"($total doomed keys) ") +
+        s"exceeds spark.graft.mor.maxDeleteRows=$cap — the per-" +
+        "executor delete set cannot be materialized safely; run " +
+        "compact() (SQL: CALL <catalog>.compact) to fold the pending " +
+        "deletes back into data files, or raise the bound for this " +
+        "session")
+    cap
+  }
+
   /** Keyed by table dir + the sorted delete-file list — immutable
     * files, so a hit can never be stale; a new delete commit has a
-    * new file list and therefore a new key. Bounded: cleared wholesale
-    * past a small entry cap (long-lived executors scanning many
-    * snapshots must not accrete dead sets). */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[Any]]()
+    * new file list and therefore a new key. LRU with per-entry
+    * eviction (access-ordered LinkedHashMap): long-lived executors
+    * scanning many snapshots shed the OLDEST set only, so a
+    * concurrent scan's live set is never dropped wholesale mid-use
+    * and reloaded by a thundering herd. Single-flight by the map's
+    * own lock: a 32-task scan pays one load. */
   private val MaxCached = 64
+  private val cache =
+    new java.util.LinkedHashMap[String, java.util.HashSet[Any]](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.HashSet[Any]])
+          : Boolean = size() > MaxCached
+    }
 
   def load(dir: String, rels: Seq[String], keyName: String,
-      keyType: DataType, conf: SerializableHadoopConf)
-      : java.util.HashSet[Any] = {
-    if (cache.size > MaxCached) cache.clear()
-    cache.computeIfAbsent(dir + "#" + rels.sorted.mkString(","), _ => {
-      val set = new java.util.HashSet[Any]()
-      val schema = StructType(Seq(StructField(keyName, keyType)))
-      rels.foreach { rel =>
-        val r = new GroupParquetPartitionReader(s"$dir/$rel", schema,
-          Map.empty, Some(conf))
-        try {
-          while (r.next()) {
-            val row = r.get()
-            if (!row.isNullAt(0)) set.add(row.get(0, keyType)): Unit
-          }
-        } finally r.close()
+      keyType: DataType, conf: SerializableHadoopConf,
+      maxRows: Long = DefaultMaxRows): java.util.HashSet[Any] =
+    cache.synchronized {
+      val key = dir + "#" + rels.sorted.mkString(",")
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val set = new java.util.HashSet[Any]()
+        val schema = StructType(Seq(StructField(keyName, keyType)))
+        rels.foreach { rel =>
+          val r = new GroupParquetPartitionReader(s"$dir/$rel", schema,
+            Map.empty, Some(conf))
+          try {
+            while (r.next()) {
+              val row = r.get()
+              if (!row.isNullAt(0)) {
+                set.add(row.get(0, keyType)): Unit
+                // executor-side backstop behind the driver's plan-time
+                // refusal (manifests whose counts lied, or a raised
+                // conf on the driver only)
+                if (set.size > maxRows) throw new IllegalStateException(
+                  s"merge-on-read delete backlog at $dir exceeds " +
+                    s"spark.graft.mor.maxDeleteRows=$maxRows while " +
+                    "loading the executor delete set — run compact() " +
+                    "to fold the pending deletes, or raise the bound")
+              }
+            }
+          } finally r.close()
+        }
+        cache.put(key, set)
+        set
       }
-      set
-    })
-  }
+    }
 }
 
 /** Wraps a row-based reader factory, dropping rows whose key (at
@@ -77,7 +144,9 @@ class SeqClassDispatchFactory(factories: Seq[PartitionReaderFactory])
 
 class MorFilterReaderFactory(inner: PartitionReaderFactory, dir: String,
     rels: Seq[String], keyName: String, keyType: DataType, keyIdx: Int,
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf,
+    maxRows: Long = MorDeleteSet.DefaultMaxRows)
+    extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     false
@@ -85,7 +154,8 @@ class MorFilterReaderFactory(inner: PartitionReaderFactory, dir: String,
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val innerReader = inner.createReader(partition)
-    val dels = MorDeleteSet.load(dir, rels, keyName, keyType, conf)
+    val dels = MorDeleteSet.load(dir, rels, keyName, keyType, conf,
+      maxRows)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean = {
