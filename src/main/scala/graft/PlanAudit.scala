@@ -303,7 +303,7 @@ object PlanAudit {
       "3-column query over a 21-column clustered table — the manifest " +
       "prunes FILES (kept < total, require-pinned), the pruned read " +
       "schema reaches Spark's ParquetScan so only the 3 referenced " +
-      "columns' chunks decode (lastReadSchema require), and the scan " +
+      "columns' chunks decode (the scan-instance readSchemaNames require), and the scan " +
       "is vectorized/columnar (plan-string require). The round-12 " +
       "Group reader decoded all 21 columns row-at-a-time here."),
     "versioned_sql_insert" -> ("SQL INSERT INTO as DML: executors " +

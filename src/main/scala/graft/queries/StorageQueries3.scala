@@ -370,8 +370,9 @@ object StorageQueries3 {
       s"""SELECT 'cur' AS at, count(*) AS n,
             CAST(sum(cents) AS BIGINT) AS cents
           FROM $cat.orders_v WHERE k BETWEEN 1000 AND 3000""")
-      .localCheckpoint(true) // execute now so the prune count is real
-    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    out.localCheckpoint(true) // execute now so the prune count is real
+    val (kept, total) =
+      graft.sinks.v2.GraftScanInspect.rowScan(out).plannedFileCounts
     require(kept < total,
       s"the SQL WHERE must prune files through the catalog ($kept/$total)")
     val v1 = s.sql(
@@ -386,7 +387,7 @@ object StorageQueries3 {
     * `count(*)` folds the manifest's per-file row counts and
     * `min/max` fold the per-file zone-map envelopes — COMPLETE DSv2
     * pushdown, ZERO data files planned (the in-row require pins it
-    * via lastPlanned), across a create → upsert history so the
+    * via the scan instance's GraftAggScan type), across a create → upsert history so the
     * manifest carry must be right, not just the create's. The ts
     * column exercises the typed epoch image end to end: the folded
     * micros come back as a TIMESTAMP the oracle formats identically.
@@ -423,10 +424,15 @@ object StorageQueries3 {
     val fast = s.sql(
       s"""SELECT count(*) AS n, min(k) AS mn, max(k) AS mx,
             date_format(min(ts), 'yyyy-MM-dd HH:mm:ss') AS min_ts
-          FROM $cat.t""").localCheckpoint(true)
-    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
-    require(kept == 0 && total > 0,
-      s"metadata aggregates must plan zero file reads ($kept/$total)")
+          FROM $cat.t""")
+    fast.localCheckpoint(true)
+    // scoped: the plan's scan must BE the metadata fold (zero data
+    // files by construction) with no row scan anywhere in it
+    require(graft.sinks.v2.GraftScanInspect.aggScans(fast)
+        .exists(_.totalFiles > 0) &&
+        graft.sinks.v2.GraftScanInspect.rowScans(fast).isEmpty,
+      "metadata aggregates must plan zero file reads (GraftAggScan " +
+        "only — no row scan in the plan)")
     val filtered = s.sql(
       s"""SELECT count(*) AS n_filtered FROM $cat.t
           WHERE k BETWEEN 100 AND 5000""")

@@ -80,10 +80,13 @@ object StorageQueries4 {
             min(c17) AS mn17
           FROM $cat.w WHERE k BETWEEN 2000 AND 6000""")
     q.localCheckpoint(true) // execute NOW: prune + read schema are real
-    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    // scoped evidence: THIS query's own scan instance, off its
+    // executed plan — not process-wide state
+    val scan = graft.sinks.v2.GraftScanInspect.rowScan(q)
+    val (kept, total) = scan.plannedFileCounts
     require(kept < total,
       s"the key-range WHERE must prune files ($kept/$total)")
-    val readCols = graft.sinks.v2.GraftScanBuilder.lastReadSchema.get()
+    val readCols = scan.readSchemaNames
     require(readCols.toSet == Set("k", "c03", "c17"),
       s"projection must reach the parquet scan: a 3-column query over " +
         s"a 21-column table decoded ${readCols.mkString(",")}")

@@ -80,16 +80,16 @@ object StorageQueries5 {
     val dim = Tables.orders(s, d)
       .where(col("o_custkey").cast("long") === minCk)
       .select(col("o_orderkey").as("k"))
-    graft.sinks.v2.GraftScanBuilder.lastRuntimeFiltered.set((0, 0))
     val q = s.table(s"$cat.f").join(broadcast(dim), "k")
       .agg(count(lit(1)).as("n"),
         sum(col("cents")).cast("long").as("s"))
     q.localCheckpoint(true) // execute NOW: the runtime filter is real
-    val (rtKept, atPlan) =
-      graft.sinks.v2.GraftScanBuilder.lastRuntimeFiltered.get()
-    require(atPlan > 0,
+    // scoped evidence: THIS join's own fact scan, off its executed plan
+    val scan = graft.sinks.v2.GraftScanInspect.rowScan(q)
+    require(scan.runtimeFilterFired,
       "the dynamic subquery must reach the scan (runtime filter fired)")
-    require(rtKept < atPlan,
+    val (rtKept, atPlan) = scan.runtimeFileCounts
+    require(atPlan > 0 && rtKept < atPlan,
       s"the dim keys must prune fact files at runtime " +
         s"($rtKept/$atPlan kept)")
     q // the live plan (the audited evidence), not the checkpoint RDD
@@ -302,8 +302,9 @@ object StorageQueries5 {
       s"""SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
             min(k) AS mn, max(k) AS mx
           FROM $cat.t WHERE k BETWEEN 1000 AND 5000""")
-      .localCheckpoint(true)
-    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    q.localCheckpoint(true)
+    val (kept, total) =
+      graft.sinks.v2.GraftScanInspect.rowScan(q).plannedFileCounts
     require(kept < total,
       s"the CALLed clustering must make the range scan prune " +
         s"($kept/$total)")

@@ -163,13 +163,15 @@ object StorageQueries6 {
       rows.filter(col("k") % 3 === 0).select(col("k")), "k")
     // metadata-only COUNT(*): zero data files planned, exact
     val live1 = rows.filter(col("k") % 3 =!= 0).count()
-    val n1 = s.sql(s"SELECT count(*) AS n FROM $cat.t")
-      .head().getLong(0)
-    val (kept, totalFiles) = graft.sinks.v2.GraftScanBuilder
-      .lastPlanned.get()
-    require(n1 == live1 && kept == 0 && totalFiles > 0,
+    val cntQ = s.sql(s"SELECT count(*) AS n FROM $cat.t")
+    val n1 = cntQ.collect()(0).getLong(0)
+    require(n1 == live1 &&
+        graft.sinks.v2.GraftScanInspect.aggScans(cntQ)
+          .exists(_.totalFiles > 0) &&
+        graft.sinks.v2.GraftScanInspect.rowScans(cntQ).isEmpty,
       s"count(*) must stay metadata-only and exact under MOR " +
-        s"deletes (n=$n1/$live1, planned=$kept/$totalFiles)")
+        s"deletes (n=$n1/$live1; plan must hold only the manifest " +
+        "fold scan)")
     // the pending files are observable from SQL
     val delRows = s.sql(
         s"SELECT coalesce(sum(rows), 0) AS r FROM $cat.`t$$deletes`")

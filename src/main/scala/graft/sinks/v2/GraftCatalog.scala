@@ -1200,18 +1200,8 @@ class GraftScanBuilder(dir: String,
   }
 
   override def build(): Scan = aggRow match {
-    case Some((aggSchema, vals)) => new Scan {
-      override def readSchema(): StructType = aggSchema
-      override def toBatch: Batch = new Batch {
-        override def planInputPartitions(): Array[InputPartition] = {
-          // the metadata fast path: ZERO data files planned
-          GraftScanBuilder.lastPlanned.set((0, allFiles.size))
-          Array(GraftAggPartition(vals))
-        }
-        override def createReaderFactory(): PartitionReaderFactory =
-          new GraftAggReaderFactory
-      }
-    }
+    case Some((aggSchema, vals)) =>
+      new GraftAggScan(aggSchema, vals, allFiles.size)
     case None => buildRowScan()
   }
 
@@ -1268,8 +1258,6 @@ class GraftScanBuilder(dir: String,
           surviveStr(extras.get(c), Some(b))
       }
     }
-    GraftScanBuilder.lastPlanned.set((keptPruned.size, files.size))
-    GraftScanBuilder.lastReadSchema.set(required.fieldNames.toSeq)
     if (required.fieldNames.contains("_file")) {
       // the METADATA-COLUMN path (row-level operations' CoW read, or
       // an explicit SELECT _file): one partition per kept file, the
@@ -1286,7 +1274,6 @@ class GraftScanBuilder(dir: String,
       val kept =
         if (onRowLevelPlan != null && delRels.nonEmpty) files
         else keptPruned
-      GraftScanBuilder.lastPlanned.set((kept.size, files.size))
       // the group-based write replaces EXACTLY this file set
       if (onRowLevelPlan != null) onRowLevelPlan(kept)
       // per-file partitions pair naturally with per-SEQUENCE-CLASS
@@ -1403,10 +1390,34 @@ class GraftRowScan(dir: String,
   }
 
   @volatile private var kept: Seq[String] = keptAtPlan
+  @volatile private var runtimeFiltered = false
   @volatile private var inners
       : Seq[(Long,
         org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan)] =
     null
+
+  // ---- scoped observability ------------------------------------------
+  // Evidence accessors for specs and in-row check-query requires, read
+  // off THIS scan instance (extract it from the executed plan via
+  // [[GraftScanInspect]]) — no process-wide state, so concurrent
+  // queries can never interleave each other's numbers.
+
+  /** (files planned after manifest zone-map pruning, total data files
+    * in the snapshot). */
+  def plannedFileCounts: (Int, Int) =
+    (keptAtPlan.size, snap.files.valuesIterator.map(_.size).sum)
+
+  /** (files kept after runtime filtering, files at plan time) — equal
+    * until a runtime filter fires. Read AFTER executing the plan. */
+  def runtimeFileCounts: (Int, Int) = (kept.size, keptAtPlan.size)
+
+  /** Whether Spark's runtime filtering ([[filter]]) reached this scan
+    * during execution — fires even when nothing could be pruned. */
+  def runtimeFilterFired: Boolean = runtimeFiltered
+
+  /** The pruned read schema handed to the vectorized parquet scan —
+    * what projection-pushdown specs pin. */
+  def readSchemaNames: Seq[String] = required.fieldNames.toSeq
 
   private def spark = SparkSession.active
 
@@ -1690,6 +1701,7 @@ class GraftRowScan(dir: String,
   }
 
   override def filter(filters: Array[Filter]): Unit = {
+    runtimeFiltered = true
     var files = kept
     filters.foreach { f =>
       val colVals: Option[(String, Seq[Any])] = f match {
@@ -1769,7 +1781,6 @@ class GraftRowScan(dir: String,
       kept = files
       inners = null // next toBatch plans the narrowed file set
     }
-    GraftScanBuilder.lastRuntimeFiltered.set((files.size, keptAtPlan.size))
   }
 }
 
@@ -1822,20 +1833,27 @@ object GraftScanBuilder {
     case _ => None
   }
 
-  /** Observability for specs and in-row assertions: (files planned
-    * for the last scan, total files in the snapshot). */
-  val lastPlanned = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+}
 
-  /** (files kept after the last RUNTIME filter, files at plan time) —
-    * what specs pin dynamic join-key file pruning with. */
-  val lastRuntimeFiltered =
-    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
-
-  /** The column set the last ROW scan actually decoded (the pruned
-    * read schema handed to the vectorized parquet scan) — what specs
-    * pin projection pushdown with. */
-  val lastReadSchema =
-    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq.empty)
+/** The METADATA-ONLY aggregate scan: the whole result of a completely
+  * pushed COUNT(*)/MIN/MAX, computed from the manifest at plan time —
+  * ZERO data files planned by construction (one synthetic partition
+  * carries the pre-folded row). Named so specs can pin the fast path
+  * by the scan's TYPE in their own executed plan ([[GraftScanInspect
+  * .aggScans]]) instead of reading process-wide state. */
+class GraftAggScan(aggSchema: StructType, vals: Seq[Any],
+    /** Data files in the snapshot the fold summarized — what the
+      * "zero of N files read" evidence is stated against. */
+    val totalFiles: Int) extends Scan {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GraftAggPartition(vals))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftAggReaderFactory
+  }
+  override def description(): String =
+    s"GraftAggScan files=0/$totalFiles (manifest fold)"
 }
 
 /** One pre-aggregated row computed from manifest metadata — the whole

@@ -61,11 +61,11 @@ class GraftCatalogSpec extends AnyFunSuite {
       (1L to 2000L).map(i => (i, i % 50, s"g${i % 7}"))
         .toDF("k", "x", "s").repartition(8), dir, "k", numBuckets = 2)
     VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 200L)
-    val n = spark.sql(
+    val q = spark.sql(
       "SELECT count(*) AS n FROM gcat.t2 WHERE k BETWEEN 100 AND 250")
-      .as[Long].head()
-    assert(n === 151L)
-    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    assert(q.collect()(0).getLong(0) === 151L)
+    val (kept, total) =
+      graft.sinks.v2.GraftScanInspect.rowScan(q).plannedFileCounts
     assert(kept < total,
       s"the key range must prune clustered files ($kept/$total)")
     // string-column predicate stays exact (string envelopes)
@@ -81,22 +81,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     VersionedKeyedTable.create(
       (1L to 500L).map(i => (i, f"s$i%04d", i * 3))
         .toDF("k", "s", "v").repartition(4), dir, "k", numBuckets = 2)
-    val r = spark.sql(
+    val q0 = spark.sql(
       "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM gcat.t3")
-      .head()
+    val r = q0.collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((500L, 1L, 500L)))
-    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
-    assert(kept === 0 && total > 0,
-      s"metadata aggregates must plan zero file reads ($kept/$total)")
+    assert(graft.sinks.v2.GraftScanInspect.aggScans(q0)
+        .exists(_.totalFiles > 0) &&
+        graft.sinks.v2.GraftScanInspect.rowScans(q0).isEmpty,
+      "metadata aggregates must plan zero file reads (GraftAggScan " +
+        "only in the plan)")
     // string MIN/MAX fold the string envelopes
     assert(spark.sql("SELECT min(s), max(s) FROM gcat.t3")
       .as[(String, String)].head() === (("s0001", "s0500")))
     // a filter declines the fast path — the ordinary pruned scan runs
-    val n2 = spark.sql(
-      "SELECT count(*) AS n FROM gcat.t3 WHERE k <= 100").as[Long].head()
-    assert(n2 === 100L)
-    val (kept2, _) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
-    assert(kept2 > 0, "a filtered aggregate must read data files")
+    val q2 = spark.sql(
+      "SELECT count(*) AS n FROM gcat.t3 WHERE k <= 100")
+    assert(q2.collect()(0).getLong(0) === 100L)
+    assert(graft.sinks.v2.GraftScanInspect.rowScan(q2)
+        .plannedFileCounts._1 > 0,
+      "a filtered aggregate must read data files")
     // an aggregate the manifest cannot answer (sum) declines too
     assert(spark.sql("SELECT sum(v) FROM gcat.t3").as[Long].head()
       === (1L to 500L).map(_ * 3).sum)
@@ -165,9 +168,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     // head() would spawn a separate QueryExecution and leave q's
     // AQE plan unfinalized)
     val q = spark.sql("SELECT sum(b) AS sb FROM gcat.t4 WHERE k <= 100")
-      .as[Long]
-    assert(q.collect()(0) === (1L to 100L).map(_ * 3).sum)
-    val readCols = graft.sinks.v2.GraftScanBuilder.lastReadSchema.get()
+    assert(q.collect()(0).getLong(0) === (1L to 100L).map(_ * 3).sum)
+    val readCols =
+      graft.sinks.v2.GraftScanInspect.rowScan(q).readSchemaNames
     assert(readCols.toSet === Set("k", "b"),
       s"projection must prune to the referenced columns (got $readCols)")
     val plan = q.queryExecution.executedPlan.toString
@@ -375,15 +378,15 @@ class GraftCatalogSpec extends AnyFunSuite {
       .write.parquet(s"$base/rt1dim")
     val dim = spark.read.parquet(s"$base/rt1dim")
       .where(col("grp") === 2L).select("k") // keys 100..149
-    graft.sinks.v2.GraftScanBuilder.lastRuntimeFiltered.set((0, 0))
-    val row = spark.table("gcat.rt1")
+    val rq = spark.table("gcat.rt1")
       .join(broadcast(dim), "k")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
-      .as[(Long, Long)].head()
-    assert(row === ((50L, (100L to 149L).sum * 3L)))
-    val (rtKept, atPlan) =
-      graft.sinks.v2.GraftScanBuilder.lastRuntimeFiltered.get()
-    assert(atPlan > 0, "the runtime filter must have fired")
+    val row = rq.collect()(0)
+    assert((row.getLong(0), row.getLong(1)) ===
+      ((50L, (100L to 149L).sum * 3L)))
+    val scan = graft.sinks.v2.GraftScanInspect.rowScan(rq)
+    assert(scan.runtimeFilterFired, "the runtime filter must have fired")
+    val (rtKept, atPlan) = scan.runtimeFileCounts
     assert(rtKept < atPlan,
       s"dim keys must prune fact files at runtime ($rtKept/$atPlan)")
   }
@@ -404,11 +407,12 @@ class GraftCatalogSpec extends AnyFunSuite {
       .write.parquet(s"$base/rt2dim")
     val ghost = spark.read.parquet(s"$base/rt2dim")
       .where(col("grp") === 1L).select("k")
-    graft.sinks.v2.GraftScanBuilder.lastRuntimeFiltered.set((-1, -1))
-    assert(spark.table("gcat.rt2").join(broadcast(ghost), "k")
-      .count() === 0L)
-    val (ghostKept, ghostPlan) =
-      graft.sinks.v2.GraftScanBuilder.lastRuntimeFiltered.get()
+    val gq = spark.table("gcat.rt2").join(broadcast(ghost), "k")
+      .agg(count(lit(1)).as("n"))
+    assert(gq.collect()(0).getLong(0) === 0L)
+    val gscan = graft.sinks.v2.GraftScanInspect.rowScan(gq)
+    assert(gscan.runtimeFilterFired, "the runtime filter must have fired")
+    val (ghostKept, ghostPlan) = gscan.runtimeFileCounts
     assert(ghostPlan > 0 && ghostKept === 0,
       s"absent keys must prune every file ($ghostKept/$ghostPlan)")
     // a join on a column with NO recorded stats must not prune —
@@ -512,10 +516,11 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect()(0)
     assert(r2.getInt(4) > r2.getInt(3), "clustering splits at targets")
     // the clustered layout prunes a key-range scan
-    assert(spark.sql(
-        "SELECT count(*) AS n FROM gcat.proc1 WHERE k BETWEEN 100 AND 250")
-      .as[Long].head() === 151L)
-    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
+    val pq = spark.sql(
+      "SELECT count(*) AS n FROM gcat.proc1 WHERE k BETWEEN 100 AND 250")
+    assert(pq.collect()(0).getLong(0) === 151L)
+    val (kept, total) =
+      graft.sinks.v2.GraftScanInspect.rowScan(pq).plannedFileCounts
     assert(kept < total,
       s"the CALLed clustering must make zone maps selective ($kept/$total)")
     // vacuum reclaims without committing; rows intact

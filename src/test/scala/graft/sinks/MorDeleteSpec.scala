@@ -307,11 +307,13 @@ class MorDeleteSpec extends AnyFunSuite {
       "k")
     assert(spark.sql("SELECT s FROM ucat.t WHERE k = 1")
       .as[String].head() === "UP1")
-    assert(spark.sql("SELECT count(*) AS n FROM ucat.t")
-      .as[Long].head() === 51L)
-    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
-    assert(kept === 0 && total > 0,
-      s"count(*) must stay metadata-only under MOR state ($kept/$total)")
+    val cq = spark.sql("SELECT count(*) AS n FROM ucat.t")
+    assert(cq.collect()(0).getLong(0) === 51L)
+    assert(graft.sinks.v2.GraftScanInspect.aggScans(cq)
+        .exists(_.totalFiles > 0) &&
+        graft.sinks.v2.GraftScanInspect.rowScans(cq).isEmpty,
+      "count(*) must stay metadata-only under MOR state (GraftAggScan " +
+        "only in the plan)")
     assert(spark.sql(
         "SELECT CAST(sum(x) AS BIGINT) AS s FROM ucat.t")
       .as[Long].head() === (2L to 50L).map(_ * 10L).sum - 1L - 2L)
@@ -447,11 +449,13 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(spark.sql("SELECT sum(x) AS s FROM mcat.t WHERE k <= 5")
       .as[Long].head() === (2L to 5L).map(_ * 2L).sum)
     // count(*): still answered from the manifest, zero files planned
-    assert(spark.sql("SELECT count(*) AS n FROM mcat.t")
-      .as[Long].head() === 98L)
-    val (kept, total) = graft.sinks.v2.GraftScanBuilder.lastPlanned.get()
-    assert(kept === 0 && total > 0,
-      s"count(*) must stay metadata-only under MOR deletes ($kept/$total)")
+    val cq = spark.sql("SELECT count(*) AS n FROM mcat.t")
+    assert(cq.collect()(0).getLong(0) === 98L)
+    assert(graft.sinks.v2.GraftScanInspect.aggScans(cq)
+        .exists(_.totalFiles > 0) &&
+        graft.sinks.v2.GraftScanInspect.rowScans(cq).isEmpty,
+      "count(*) must stay metadata-only under MOR deletes " +
+        "(GraftAggScan only in the plan)")
     // min/max: the deleted extremum makes envelope folds unsound —
     // declines to a scan and returns the LIVE extremum
     assert(spark.sql("SELECT min(k) AS mn, max(k) AS mx FROM mcat.t")
