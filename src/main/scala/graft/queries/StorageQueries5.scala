@@ -377,11 +377,15 @@ object StorageQueries5 {
     VersionedKeyedTable.delete(s, s"$baseDir/t",
       VersionedKeyedTable.read(s, s"$baseDir/t")
         .filter(col("k") % 7 === 0).select(col("k")), "k")
-    // a bounded slice proves file pruning: only v3's files plan
-    graft.sinks.v2.CdfSource.lastBatchPlanned.set((0, 0))
-    val v3n = s.sql(s"SELECT count(*) AS n FROM $cat.`t$$changes` " +
-      "WHERE _commit_version = 3").head().getLong(0)
-    val (planned, span) = graft.sinks.v2.CdfSource.lastBatchPlanned.get()
+    // a bounded slice proves file pruning: only v3's files plan —
+    // evidence read off THIS query's own scan instance
+    val vq = s.sql(s"SELECT count(*) AS n FROM $cat.`t$$changes` " +
+      "WHERE _commit_version = 3")
+    val v3n = vq.collect()(0).getLong(0)
+    val (planned, span) = graft.sinks.v2.GraftScanInspect.scans(vq)
+      .collectFirst { case c: graft.sinks.v2.CdfBatchScan =>
+        c.plannedCommitCounts }
+      .getOrElse((-1, -1))
     require(span == 2 && planned == 1,
       s"the =3 predicate must plan only v3's change files ($planned/$span)")
     require(v3n > 0, "the purge commit must have captured deletes")

@@ -503,12 +503,57 @@ object VersionedKeyedTable {
   private[sinks] val renameClaimSchemes: scala.collection.mutable.Set[String] =
     scala.collection.mutable.Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
 
-  private[sinks] def claimBackendFor(fs: FileSystem): ClaimBackend =
-    if (fs.getUri.getScheme == "file") LinkCasClaim
-    else if (renameClaimSchemes.contains(fs.getUri.getScheme)) RenameClaim
-    else if (condPutClaimSchemes.contains(fs.getUri.getScheme))
-      ConditionalPutClaim
-    else ExclusiveCreateClaim
+  /** Backend SELECTION, per scheme — the deployment story:
+    *
+    *  - `file://` → hard-link CAS (POSIX link(2) is atomic-exclusive).
+    *  - HDFS family (`hdfs`/`viewfs`/`webhdfs`/`swebhdfs`) → rename
+    *    CAS (the HDFS rename contract: atomic, fails on existing
+    *    destination).
+    *  - Object stores (`s3a`/`gs`/`abfs`) are NOT auto-detected:
+    *    whether `create(path, overwrite=false)` is a true conditional
+    *    PUT depends on the CONNECTOR'S configuration, not the scheme —
+    *    s3a only with `fs.s3a.create.conditional.enabled` (Hadoop
+    *    3.4.1+, riding S3 `If-None-Match: *`), gs via
+    *    `ifGenerationMatch=0`, abfs via create-with-ETag. On a
+    *    connector with conditional writes DISABLED the same call is a
+    *    HEAD-then-PUT TOCTOU that could overwrite a committed
+    *    manifest, so the operator must OPT IN once per deployment:
+    *    either `spark.graft.claim.condput.schemes=s3a,gs` (the conf
+    *    knob) or registering the scheme in [[condPutClaimSchemes]]
+    *    programmatically.
+    *  - Everything else → exclusive-create fallback (torn-claim
+    *    window managed by the `#end` marker + bounded loser poll).
+    *
+    * `spark.graft.claim.backend` ∈ link | rename | condput | create
+    * FORCES one backend for every scheme — the escape hatch for a
+    * store whose contract the operator knows better than the scheme
+    * table (e.g. a rename-atomic NFS mount, or an S3-compatible store
+    * with conditional writes verified). Forcing `link` on a non-local
+    * scheme fails at claim time (it uses local syscalls) — loud, never
+    * torn. Read from the active session (claims run driver-side). */
+  private[sinks] def claimBackendFor(fs: FileSystem): ClaimBackend = {
+    val conf = SparkSession.getActiveSession
+    conf.flatMap(_.conf.getOption("spark.graft.claim.backend")) match {
+      case Some("link") => LinkCasClaim
+      case Some("rename") => RenameClaim
+      case Some("condput") => ConditionalPutClaim
+      case Some("create") => ExclusiveCreateClaim
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.claim.backend must be one of link, rename, " +
+          s"condput, create (got '$other')")
+      case None =>
+        val scheme = fs.getUri.getScheme
+        val confCondPut = conf
+          .flatMap(_.conf.getOption("spark.graft.claim.condput.schemes"))
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty)
+        if (scheme == "file") LinkCasClaim
+        else if (renameClaimSchemes.contains(scheme)) RenameClaim
+        else if (condPutClaimSchemes.contains(scheme) ||
+          confCondPut.contains(scheme)) ConditionalPutClaim
+        else ExclusiveCreateClaim
+    }
+  }
 
   private def tryCommit(fs: FileSystem, dir: String, target: Path,
       content: String): Boolean = {

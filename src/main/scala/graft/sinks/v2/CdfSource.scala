@@ -36,7 +36,17 @@ import graft.sinks.VersionedKeyedTable
   * column's new value, its old value as `<col>_prev`, and
   * `_commit_version` (the Delta CDF convention) — fixed at stream
   * start from the table's current schema, like every table-format
-  * streaming source.
+  * streaming source. SCHEMA-EVOLUTION SEAM (a contract, spec-pinned,
+  * shared with the `readStream.table` tail): a mid-stream ADDITIVE
+  * evolution keeps the stream flowing in its fixed start-time schema
+  * — change files resolve by NAME, so a late column is simply
+  * invisible to the running stream (restart to pick it up; the ALTER
+  * commit itself captures an empty change set and contributes no
+  * rows); a stream or batch read started AFTER the evolution fixes
+  * the evolved schema and reads PRE-evolution change files' late
+  * columns as null. Non-additive evolution does not exist in this
+  * store (the additive-only contract), so the seam has exactly these
+  * two sides.
   *
   * Semantics and scale:
   *  - `latestOffset` is a manifest listing (metadata-only);
@@ -89,11 +99,6 @@ class CdfSource extends TableProvider {
 }
 
 object CdfSource {
-  /** Observability for specs and in-row assertions: (commits planned
-    * by the last BATCH scan after `_commit_version` pruning, commits
-    * in the requested span). */
-  val lastBatchPlanned =
-    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
   private[v2] def required(opts: CaseInsensitiveStringMap,
       key: String): String =
     Option(opts.get(key)).getOrElse(throw new IllegalArgumentException(
@@ -210,53 +215,73 @@ class CdfScanBuilder(dir: String, keyCol: String, schema0: StructType,
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new Scan {
-    override def readSchema(): StructType = schema0
+  override def build(): Scan = new CdfBatchScan(dir, keyCol, schema0,
+    startingVersion, maxVersionsPerTrigger, startingTsMillis,
+    endingVersion, verLo, verHi)
+}
 
-    override def toMicroBatchStream(
-        checkpointLocation: String): MicroBatchStream =
-      new CdfMicroBatchStream(dir, keyCol, schema0, startingVersion,
-        maxVersionsPerTrigger, startingTsMillis)
+/** The change feed's SCAN, named so specs and in-row requires read
+  * the commit-pruning evidence off THEIR OWN scan instance (via
+  * [[GraftScanInspect.scans]]) instead of process-wide state. Serves
+  * both read shapes: `toBatch` is the `table_changes` relation,
+  * `toMicroBatchStream` the streaming source. */
+class CdfBatchScan(dir: String, keyCol: String, schema0: StructType,
+    startingVersion: Option[Long], maxVersionsPerTrigger: Option[Long],
+    startingTsMillis: Option[Long], endingVersion: Option[Long],
+    verLo: Option[Long], verHi: Option[Long]) extends Scan {
 
-    override def toBatch: org.apache.spark.sql.connector.read.Batch =
-      new org.apache.spark.sql.connector.read.Batch {
-        override def planInputPartitions(): Array[InputPartition] = {
-          val spark = SparkSession.active
-          val start = startingVersion
-            .orElse(startingTsMillis.map(
-              VersionedKeyedTable.versionAsOf(spark, dir, _)))
-            .getOrElse(throw new IllegalArgumentException(
-              "CdfSource batch read requires startingVersion or " +
-                "startingTimestamp (changes strictly after it) — " +
-                "the Delta table_changes contract"))
-          val end = endingVersion.getOrElse(
-            VersionedKeyedTable.snapshot(spark, dir).version)
-          if (end <= start) return Array.empty
-          val span = VersionedKeyedTable.lineageSpan(
-            spark, dir, start, end).getOrElse(
+  @volatile private var planned: (Int, Int) = (0, 0)
+
+  /** (commits planned after `_commit_version` file pruning, commits
+    * in the requested span) — set when the batch plans, read by the
+    * pruning requires. */
+  def plannedCommitCounts: (Int, Int) = planned
+
+  override def readSchema(): StructType = schema0
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new CdfMicroBatchStream(dir, keyCol, schema0, startingVersion,
+      maxVersionsPerTrigger, startingTsMillis)
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val spark = SparkSession.active
+        val start = startingVersion
+          .orElse(startingTsMillis.map(
+            VersionedKeyedTable.versionAsOf(spark, dir, _)))
+          .getOrElse(throw new IllegalArgumentException(
+            "CdfSource batch read requires startingVersion or " +
+              "startingTimestamp (changes strictly after it) — " +
+              "the Delta table_changes contract"))
+        val end = endingVersion.getOrElse(
+          VersionedKeyedTable.snapshot(spark, dir).version)
+        if (end <= start) return Array.empty
+        val span = VersionedKeyedTable.lineageSpan(
+          spark, dir, start, end).getOrElse(
+          throw new IllegalStateException(
+            s"CdfSource: cannot establish commit lineage " +
+              s"($start, $end] at $dir"))
+        // version bounds narrow the span BEFORE the capture
+        // requirement — excluded commits need no change files
+        val bounded = span.filter(s =>
+          verLo.forall(s.version >= _) && verHi.forall(s.version <= _))
+        planned = (bounded.size, span.size)
+        bounded.flatMap { s =>
+          val changes = s.changes.getOrElse(
             throw new IllegalStateException(
-              s"CdfSource: cannot establish commit lineage " +
-                s"($start, $end] at $dir"))
-          // version bounds narrow the span BEFORE the capture
-          // requirement — excluded commits need no change files
-          val bounded = span.filter(s =>
-            verLo.forall(s.version >= _) && verHi.forall(s.version <= _))
-          CdfSource.lastBatchPlanned.set((bounded.size, span.size))
-          bounded.flatMap { s =>
-            val changes = s.changes.getOrElse(
-              throw new IllegalStateException(
-                s"CdfSource: version ${s.version} of $dir did not " +
-                  "capture changes (captureChanges=false) — narrow " +
-                  "the version range past it or re-enable capture"))
-            changes.map(f =>
-              CdfInputPartition(s"$dir/$f", s.version): InputPartition)
-          }.toArray
-        }
-        override def createReaderFactory(): PartitionReaderFactory =
-          new CdfReaderFactory(schema0,
-            SerializableHadoopConf.fromSession(SparkSession.active))
+              s"CdfSource: version ${s.version} of $dir did not " +
+                "capture changes (captureChanges=false) — narrow " +
+                "the version range past it or re-enable capture"))
+          changes.map(f =>
+            CdfInputPartition(s"$dir/$f", s.version): InputPartition)
+        }.toArray
       }
-  }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new CdfReaderFactory(schema0,
+          SerializableHadoopConf.fromSession(SparkSession.active))
+    }
 }
 
 /** Offset = the highest commit version whose changes are consumed. */

@@ -259,12 +259,16 @@ class CdfSourceSpec extends AnyFunSuite {
     assert(batch(Map("startingVersion" -> "1", "endingVersion" -> "2"))
       .select(col("_commit_version")).as[Long].collect().toSet === Set(2L))
     // a version predicate prunes commits (whole change files) BEFORE
-    // rows are read — and the residual keeps rows exact
-    graft.sinks.v2.CdfSource.lastBatchPlanned.set((0, 0))
-    assert(batch(Map("startingVersion" -> "1"))
+    // rows are read — and the residual keeps rows exact; the pruning
+    // evidence is read off THIS query's own scan instance
+    val bq = batch(Map("startingVersion" -> "1"))
       .where(col("_commit_version") === 3L)
-      .select(col("k")).as[Long].collect().toSeq === Seq(2L))
-    val (planned, span) = graft.sinks.v2.CdfSource.lastBatchPlanned.get()
+      .select(col("k"))
+    assert(bq.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val (planned, span) = graft.sinks.v2.GraftScanInspect.scans(bq)
+      .collectFirst { case c: graft.sinks.v2.CdfBatchScan =>
+        c.plannedCommitCounts }
+      .getOrElse((-1, -1))
     assert(span === 2 && planned === 1,
       s"the = 3 predicate must plan only v3's change files ($planned/$span)")
     // batch needs an explicit starting rule (the table_changes contract)
@@ -303,5 +307,93 @@ class CdfSourceSpec extends AnyFunSuite {
       spark.sql("INSERT INTO gcdf.`t$changes` VALUES " +
         "(9, 'insert', 9, NULL, NULL, NULL, 9)")
     }
+  }
+
+  test("SCHEMA-EVOLUTION SEAM, pinned as a contract: a mid-stream " +
+      "additive evolution keeps the stream flowing in its FIXED " +
+      "start-time schema (the new column is invisible until restart, " +
+      "the ALTER commit itself contributes no rows); a read started " +
+      "AFTER the evolution sees the late column — null on " +
+      "pre-evolution change files, valued on post-evolution ones") {
+    val dir = fresh("evolve"); val ckpt = fresh("evckpt")
+    VersionedKeyedTable.create(
+      Seq((1L, 10L)).toDF("k", "v"), dir, "k", numBuckets = 2)
+    // the stream's schema is fixed NOW, from the table's current shape
+    val s1 = spark.readStream.format("graft.sinks.v2.CdfSource")
+      .option("path", dir).option("keyCol", "k")
+      .option("startingVersion", "1").load()
+    assert(s1.columns.toSeq ===
+      Seq("k", "change_type", "v", "v_prev", "_commit_version"))
+    val mem = "cdf_evolve_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    val q = s1.writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((2L, 20L)).toDF("k", "v"), "k") // v2: pre-evolution
+      q.processAllAvailable()
+      // EVOLVE BEHIND THE RUNNING STREAM: one metadata-only ALTER
+      // commit (v3, empty captured change set), then a WIDER commit
+      VersionedKeyedTable.addColumns(spark, dir, Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((3L, 30L, 7L)).toDF("k", "v", "x"), "k") // v4: carries x
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(mem)
+    assert(got.columns.toSeq ===
+      Seq("k", "change_type", "v", "v_prev", "_commit_version"),
+      "the stream's schema stays FIXED at start — a restart picks " +
+        "up the evolved shape")
+    // the post-evolution row still FLOWS (by-name resolution just
+    // drops the late column); the ALTER commit contributes nothing
+    assert(got.select(col("k"), col("change_type"),
+        col("_commit_version")).as[(Long, String, Long)]
+      .collect().toSet ===
+      Set((2L, "insert", 2L), (3L, "insert", 4L)))
+    // EVOLVE-AHEAD: a fresh batch read fixes the EVOLVED schema and
+    // reads pre-evolution change files' late columns as null
+    val post = spark.read.format("graft.sinks.v2.CdfSource")
+      .option("path", dir).option("keyCol", "k")
+      .option("startingVersion", "1").load()
+    assert(post.columns.contains("x") && post.columns.contains("x_prev"))
+    val rows = post.select(col("k"), col("x")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(rows === Map(2L -> None, 3L -> Some(7L)),
+      "pre-evolution change files must read the late column as null")
+  }
+
+  test("table-tail evolution seam: a `readStream.table` tail started " +
+      "AFTER an additive evolution projects the evolved schema — " +
+      "pre-evolution post-images read the late column as null; a tail " +
+      "running ACROSS the evolution keeps its fixed pruned schema") {
+    val base = Files.createTempDirectory("graft-tailevolve").toString
+    spark.conf.set("spark.sql.catalog.gevo",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gevo.base", base)
+    val dir = s"$base/t"
+    VersionedKeyedTable.create(
+      Seq((1L, 10L)).toDF("k", "v"), dir, "k", numBuckets = 2)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((2L, 20L)).toDF("k", "v"), "k") // v2: pre-evolution
+    spark.sql("ALTER TABLE gevo.t ADD COLUMNS (x BIGINT)") // v3
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((3L, 30L, 7L)).toDF("k", "v", "x"), "k") // v4
+    val mem = "tail_evolve_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    val q = spark.readStream.option("startingVersion", "1")
+      .table("gevo.t")
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(mem)
+    assert(got.columns.toSeq === Seq("k", "v", "x"),
+      "a tail started after the evolution carries the evolved schema")
+    assert(got.as[(Long, Long, Option[Long])].collect().toSet ===
+      Set((2L, 20L, None), (3L, 30L, Some(7L))),
+      "pre-evolution post-images read the late column as null")
   }
 }
