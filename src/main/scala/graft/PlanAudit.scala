@@ -483,12 +483,14 @@ object PlanAudit {
       "trace on the read side."),
     "versioned_apply_changes" -> ("CDC APPLY CHANGES: window-dedup " +
       "over the BATCH (latest event per key) + ONE conditional " +
-      "full-outer merge whose clauses are gated per-row on " +
-      "source.seq > target.seq — disorder and redelivery are " +
-      "absorbed by the gate, never by re-reading the table " +
-      "(require-pinned: a replayed batch's commit has an EMPTY " +
-      "change feed). O(batch + touched buckets); the terminal plan " +
-      "is the table read."),
+      "full-outer merge whose clauses are gated per-row on the " +
+      "stored sequence — upserts strict (source.seq > target.seq), " +
+      "deletes inclusive (>=, matching the within-batch tiebreak so " +
+      "equal-sequence D/U pairs are batching-independent) — disorder " +
+      "and redelivery are absorbed by the gate, never by re-reading " +
+      "the table (require-pinned: a replayed batch's commit has an " +
+      "EMPTY change feed). O(batch + touched buckets); the terminal " +
+      "plan is the table read."),
     "stream_mor_autocompact" -> ("Auto-compaction under streaming " +
       "MoR ingest: autoCompactFilesPerBucket folds any bucket " +
       "crossing the threshold in a surgical fragmentedOnly compact " +
@@ -505,7 +507,55 @@ object PlanAudit {
       "delete check, then drops), deletes fail loudly unless " +
       "ignoreDeletes, and the initial snapshot composes as batch-at-V " +
       "+ tail-from-V. Require-pinned: no CDF columns, no pre-start " +
-      "rows."))
+      "rows."),
+    "versioned_sql_alter" -> ("SQL ALTER TABLE ADD COLUMNS: one " +
+      "additive schema-evolution commit, METADATA-ONLY — " +
+      "require-pinned: exactly one version, the data file set " +
+      "IDENTICAL to the parent (at 100 TB the cost is one manifest " +
+      "write, independent of table size). Pre-evolution rows read " +
+      "the late column as null through the catalog scan AND the " +
+      "evolved CDF (by-name parquet resolution); the wider SQL " +
+      "INSERT analyzes against the evolved schema immediately; the " +
+      "key column refuses. Terminal plan: the widened table's " +
+      "vectorized catalog scan."),
+    "versioned_sql_delete_mor" -> ("SQL DML under the write.mode=mor " +
+      "TABLE PROPERTY: a surgical keyed DELETE routes merge-on-read " +
+      "— require-pinned: the data file set stays IDENTICAL to the " +
+      "parent (delete files only; the decade probe's byte curve: CoW " +
+      "delete bytes grow with the table, MoR stays flat) — while the " +
+      "session cow override on the same table rewrites its touched " +
+      "buckets (pinned by the file set changing), keeping the dense-" +
+      "mutation path one conf away. INSERT under the property " +
+      "appends. Terminal plan: the table read under pending deletes " +
+      "(in-reader key filtering)."),
+    "versioned_mor_backlog" -> ("BOUNDED merge-on-read backlog: the " +
+      "per-executor delete set is capped " +
+      "(spark.graft.mor.maxDeleteRows), enforced at PLAN time from " +
+      "the manifest's delete-file row counts — an over-bound backlog " +
+      "REFUSES the DSv2 scan with 'compact first' before any " +
+      "executor materializes a set (require-pinned: the refusal " +
+      "names the remedy), while metadata COUNT(*) and the " +
+      "programmatic anti-join read stay available. compact() folds " +
+      "the backlog and the vectorized scan returns. Terminal plan: " +
+      "the post-compaction catalog scan."),
+    "versioned_apply_changes_eqseq" -> ("EQUAL-SEQUENCE CDC batching " +
+      "independence: an upsert and its equal-sequence delete applied " +
+      "in SEPARATE batches converge to the same state as one batch — " +
+      "the cross-batch delete gate (source.seq >= stored.seq) IS the " +
+      "within-batch window tiebreak (require-pinned: the later-batch " +
+      "equal-sequence delete removes the row; an equal-sequence " +
+      "upsert replay still produces an EMPTY change feed). The " +
+      "terminal plan is the table read; the contract is the merge's " +
+      "per-row gates."),
+    "versioned_ingest_deep" -> ("Deep-path idempotent ingest: COPY " +
+      "INTO markers are fixed-length SHA-256 digests with the " +
+      "identity as CONTENT, so the no-op contract holds for source " +
+      "paths whose URL-encoded identity exceeds the filesystem's " +
+      "filename limit (require-pinned: the caught-up re-run ingests " +
+      "zero files and commits NOTHING — r13's filename-encoded " +
+      "markers silently re-ingested deep files every scheduled run). " +
+      "The late deep batch loads incrementally. Terminal plan: the " +
+      "table read."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is

@@ -67,6 +67,53 @@ class ApplyChangesSpec extends AnyFunSuite {
     assert(state(dir).contains(1L))
   }
 
+  test("EQUAL-SEQUENCE delete/upsert pairs converge to the SAME state " +
+      "no matter how the feed is batched: the cross-batch delete gate " +
+      "(>=) matches the within-batch tiebreak (delete wins at a tie), " +
+      "while upsert replays at the stored sequence stay no-ops") {
+    // one batch: U@5 + D@5 -> delete wins (the window tiebreak)
+    val dir1 = freshDir()
+    VersionedKeyedTable.create(
+      Seq((9L, 0L, "seed")).toDF("k", "seq", "v"), dir1, "k", 4)
+    VersionedKeyedTable.applyChanges(spark, dir1,
+      Seq((1L, 5L, "U", "five"), (1L, 5L, "D", ""))
+        .toDF("k", "seq", "op", "v"), "k", "seq", "op")
+    assert(!state(dir1).contains(1L), "within one batch the delete wins")
+    // two batches, upsert first: the same pair must reach the same
+    // state — the delete lands against the stored seq-5 row (>= gate)
+    val dir2 = freshDir()
+    VersionedKeyedTable.create(
+      Seq((9L, 0L, "seed")).toDF("k", "seq", "v"), dir2, "k", 4)
+    VersionedKeyedTable.applyChanges(spark, dir2,
+      Seq((1L, 5L, "U", "five")).toDF("k", "seq", "op", "v"),
+      "k", "seq", "op")
+    assert(state(dir2)(1L) === ((5L, "five")))
+    VersionedKeyedTable.applyChanges(spark, dir2,
+      Seq((1L, 5L, "D", "")).toDF("k", "seq", "op", "v"),
+      "k", "seq", "op")
+    assert(!state(dir2).contains(1L),
+      "across batches the equal-sequence delete must still win — " +
+        "final state must not depend on batching")
+    // a STRICTLY stale delete (below the stored sequence) stays a no-op
+    VersionedKeyedTable.applyChanges(spark, dir2,
+      Seq((9L, 3L, "U", "nine")).toDF("k", "seq", "op", "v"),
+      "k", "seq", "op")
+    VersionedKeyedTable.applyChanges(spark, dir2,
+      Seq((9L, 2L, "D", "")).toDF("k", "seq", "op", "v"),
+      "k", "seq", "op")
+    assert(state(dir2)(9L) === ((3L, "nine")))
+    // an equal-sequence UPSERT replay is still a per-row no-op (empty
+    // change feed) — only deletes widened their gate
+    val vBefore = VersionedKeyedTable.snapshot(spark, dir2).version
+    VersionedKeyedTable.applyChanges(spark, dir2,
+      Seq((9L, 3L, "U", "replayed")).toDF("k", "seq", "op", "v"),
+      "k", "seq", "op")
+    assert(state(dir2)(9L) === ((3L, "nine")))
+    assert(VersionedKeyedTable.changesBetween(spark, dir2, "k",
+      vBefore, VersionedKeyedTable.snapshot(spark, dir2).version)
+      .count() === 0L)
+  }
+
   test("a NULL stored sequence accepts any event; feed/table contract " +
       "violations fail loudly") {
     val dir = freshDir()

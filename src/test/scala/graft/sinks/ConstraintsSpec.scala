@@ -167,4 +167,73 @@ class ConstraintsSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat.c1 VALUES (1, 1)")
     assert(VersionedKeyedTable.read(spark, s"$base/c1").count() === 1L)
   }
+
+  test("CREATE TABLE with an INVALID constraint predicate fails the " +
+      "statement CLEANLY — no table is left behind, so the corrected " +
+      "retry succeeds instead of hitting 'already exists'") {
+    val base = Files.createTempDirectory("graft-constraints-bad").toString
+    val cat = "gcbad" + scala.util.Random.alphanumeric.take(6)
+      .mkString.toLowerCase
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.base", base)
+    // unresolvable column: the predicate references a column the
+    // declared schema does not have
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad (k BIGINT, qty BIGINT) " +
+        "TBLPROPERTIES ('key'='k', 'constraint.pos'='no_such_col > 0')")
+    }
+    assert(!new java.io.File(s"$base/bad").exists(),
+      "a failed CREATE must not leave the table directory behind")
+    // non-boolean predicate: same clean failure
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad (k BIGINT, qty BIGINT) " +
+        "TBLPROPERTIES ('key'='k', 'constraint.pos'='qty + 1')")
+    }
+    assert(!new java.io.File(s"$base/bad").exists())
+    // the corrected retry works — the name was never burned
+    spark.sql(s"CREATE TABLE $cat.bad (k BIGINT, qty BIGINT) " +
+      "TBLPROPERTIES ('key'='k', 'constraint.pos'='qty > 0')")
+    spark.sql(s"INSERT INTO $cat.bad VALUES (1, 1)")
+    assert(VersionedKeyedTable.read(spark, s"$base/bad").count() === 1L)
+  }
+
+  test("a bucket poisoned through the documented addConstraint race " +
+      "cannot WEDGE maintenance: compact/cluster rewrite the committed " +
+      "rows without re-enforcing, while DML keeps enforcing — and the " +
+      "pending-MoR purge still folds under a live violated constraint") {
+    val dir = freshDir()
+    VersionedKeyedTable.create(
+      (1L to 40L).map(i => (i, i * 2)).toDF("k", "qty"), dir, "k", 4)
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((100L, -5L)).toDF("k", "qty"), "k") // the row the racer landed
+    // simulate the race window: the constraint registers WITHOUT the
+    // current-rows validation (a concurrent writer validated against
+    // the old set and committed the violating row)
+    VersionedKeyedTable.addConstraintUnchecked(spark, dir, "pos",
+      "qty > 0")
+    // a MoR delete leaves pending state compaction must consume — the
+    // exact shape the streaming sink's auto-compaction hits per epoch
+    VersionedKeyedTable.deleteMor(spark, dir, Seq(3L).toDF("k"), "k")
+    // maintenance must NOT throw on the pre-existing violating row
+    VersionedKeyedTable.compact(spark, dir, "k")
+    assert(VersionedKeyedTable.snapshot(spark, dir).deletes.isEmpty,
+      "compaction must still consume the pending deletes")
+    VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 10L)
+    // the poisoned row survives the rewrites verbatim (maintenance is
+    // logically a no-op; it never edits data)
+    assert(VersionedKeyedTable.read(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("k") === 100L)
+      .collect().map(_.getLong(1)).toSeq === Seq(-5L))
+    // DML keeps enforcing: a new violating batch still fails
+    intercept[Exception] {
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((101L, -1L)).toDF("k", "qty"), "k")
+    }
+    // and a compliant batch lands
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((101L, 1L)).toDF("k", "qty"), "k")
+    // 40 seeded + the poisoned row − the MoR-deleted key + the new row
+    assert(VersionedKeyedTable.read(spark, dir).count() === 41L)
+  }
 }

@@ -144,7 +144,7 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("DROP TABLE gcat.ddl2")
     }
-    // ALTER/RENAME remain API-only (layout is fixed at creation)
+    // RENAME remains refused (layout identity is fixed at creation)
     intercept[UnsupportedOperationException] {
       spark.sql("ALTER TABLE gcat.ddl1 RENAME TO gcat.ddl1b")
     }
@@ -723,5 +723,117 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] {
       sb.build().toMicroBatchStream("/tmp/graft-tail-tt")
     }
+  }
+
+  test("ALTER TABLE ADD COLUMNS: one additive METADATA-ONLY commit — " +
+      "no data file touched, existing rows read null, SQL INSERT sees " +
+      "the evolved schema, time travel keeps each version's shape; " +
+      "collisions (key column, any live column, any case) and " +
+      "non-additive changes refuse") {
+    spark.sql("CREATE TABLE gcat.alt1 (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, k))")
+    spark.sql("INSERT INTO gcat.alt1 VALUES (1, 10), (2, 20)")
+    val dir = s"$base/alt1"
+    val before = VersionedKeyedTable.snapshot(spark, dir)
+    spark.sql("ALTER TABLE gcat.alt1 ADD COLUMNS (x BIGINT, s STRING)")
+    val after = VersionedKeyedTable.snapshot(spark, dir)
+    assert(after.version === before.version + 1,
+      "ADD COLUMNS is exactly one commit (even for several columns)")
+    assert(after.files === before.files,
+      "metadata-only: no data file moved, added, or rewritten")
+    assert(after.schema.get.fieldNames.toSeq ===
+      Seq("k", "v", "x", "s"))
+    // pre-evolution rows read the late columns as null
+    val r = spark.sql("SELECT x, s FROM gcat.alt1 WHERE k = 1")
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // SQL INSERT analyzes against the evolved schema — the SQL-only
+    // user can now land wider rows
+    spark.sql("INSERT INTO gcat.alt1 VALUES (3, 30, 7, 'c')")
+    assert(spark.sql(
+        "SELECT k, v, x, s FROM gcat.alt1 WHERE k = 3")
+      .collect()(0).toSeq === Seq(3L, 30L, 7L, "c"))
+    // time travel keeps the pre-evolution shape at the old version
+    assert(spark.sql(
+        s"SELECT * FROM gcat.alt1 VERSION AS OF ${before.version}")
+      .columns.toSeq === Seq("k", "v"))
+    // the change feed serves the evolved schema; pre-evolution change
+    // rows read the late columns as null
+    val cdf = spark.sql("SELECT k, x FROM gcat.`alt1$changes`")
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+    assert(cdf === Map(1L -> None, 2L -> None, 3L -> Some(7L)))
+    // collisions refuse — the key column, a live column, ANY case
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.alt1 ADD COLUMNS (k BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.alt1 ADD COLUMNS (V BIGINT)")
+    }
+    // non-additive evolution refuses (drop / rename / retype)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.alt1 DROP COLUMN v")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.alt1 RENAME COLUMN v TO w")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.alt1 ALTER COLUMN v TYPE STRING")
+    }
+    // the refusals left no commit behind
+    assert(VersionedKeyedTable.snapshot(spark, dir).schema.get
+      .fieldNames.toSeq === Seq("k", "v", "x", "s"))
+  }
+
+  test("write.mode=mor table property: SQL DELETE defers as delete " +
+      "files and SQL INSERT appends merge-on-read — no bucket " +
+      "rewrite; truncate-shaped deletes stay copy-on-write; UNSET " +
+      "restores CoW; the session conf overrides the property") {
+    spark.sql("CREATE TABLE gcat.wm (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, k)) " +
+      "TBLPROPERTIES ('write.mode'='mor')")
+    val dir = s"$base/wm"
+    spark.sql("INSERT INTO gcat.wm VALUES (1, 10), (2, 20), (3, 30)")
+    val files1 = VersionedKeyedTable.snapshot(spark, dir).files
+      .values.flatten.toSet
+    // a keyed SQL DELETE writes a delete file; EVERY data file stays
+    spark.sql("DELETE FROM gcat.wm WHERE k = 2")
+    val snap2 = VersionedKeyedTable.snapshot(spark, dir)
+    assert(snap2.files.values.flatten.toSet === files1,
+      "write.mode=mor must leave the data file set identical")
+    assert(snap2.deletes.valuesIterator.flatten.nonEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.wm")
+      .collect()(0).getLong(0) === 2L)
+    // INSERT appends (put semantics preserved); prior files survive
+    spark.sql("INSERT INTO gcat.wm VALUES (1, 11), (4, 40)")
+    val snap3 = VersionedKeyedTable.snapshot(spark, dir)
+    assert(files1.subsetOf(snap3.files.values.flatten.toSet),
+      "mor INSERT appends — no pre-existing file is replaced")
+    assert(spark.sql("SELECT v FROM gcat.wm WHERE k = 1")
+      .collect()(0).getLong(0) === 11L, "put semantics survive mor")
+    // SHOW TBLPROPERTIES surfaces the regimen
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.wm").collect()
+      .map(p => p.getString(0) -> p.getString(1)).toMap
+    assert(props.get("write.mode").contains("mor"))
+    // the session conf OVERRIDES the property (cow wins here)
+    spark.conf.set("spark.graft.delete.mode", "cow")
+    try spark.sql("DELETE FROM gcat.wm WHERE k = 3")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val snap4 = VersionedKeyedTable.snapshot(spark, dir)
+    assert(snap4.files.values.flatten.toSet !== files1,
+      "the cow override must rewrite the touched bucket")
+    // truncate-shaped delete stays CoW even under mor (a delete file
+    // holding every key would be strictly worse)
+    spark.sql("DELETE FROM gcat.wm")
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.wm")
+      .collect()(0).getLong(0) === 0L)
+    // UNSET restores copy-on-write for future DML
+    spark.sql("ALTER TABLE gcat.wm UNSET TBLPROPERTIES ('write.mode')")
+    spark.sql("INSERT INTO gcat.wm VALUES (7, 70)")
+    spark.sql("DELETE FROM gcat.wm WHERE k = 7")
+    assert(VersionedKeyedTable.snapshot(spark, dir)
+      .deletes.valuesIterator.flatten.isEmpty,
+      "after UNSET a keyed DELETE rewrites copy-on-write (no delete " +
+        "file)")
   }
 }

@@ -85,6 +85,56 @@ class IngestFilesSpec extends AnyFunSuite {
       !r.isNullAt(1) && r.getLong(1) > 0L))
   }
 
+  test("DEEP source paths ingest idempotently: the marker filename is " +
+      "a fixed-length digest (a URL-encoded identity would exceed the " +
+      "filesystem's ~255-byte filename limit and silently re-ingest " +
+      "forever), the identity round-trips through marker content, and " +
+      "legacy filename-encoded markers still resolve") {
+    val src = scratch("deep")
+    val dir = scratch("tbldeep") + "/t"
+    // a source path deep enough that enc(relpath|len) > 255 bytes
+    val deep = (1 to 30).map(i => f"level_$i%02d_directory").mkString("/")
+    (1L to 5L).map(i => (i, s"d$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/$deep/leaf")
+    VersionedKeyedTable.create(
+      spark.emptyDataset[(Long, String)].toDF("k", "v"), dir, "k", 4)
+    assert(VersionedKeyedTable.ingestFiles(spark, dir, src, "k") === 1)
+    val v1 = VersionedKeyedTable.snapshot(spark, dir).version
+    // THE no-op contract the digest exists for: the re-run must see
+    // the marker (0 files, no commit), not re-pay O(file) every run
+    assert(VersionedKeyedTable.ingestFiles(spark, dir, src, "k") === 0)
+    assert(VersionedKeyedTable.snapshot(spark, dir).version === v1)
+    // the registry holds the full identity (content, not filename)
+    val ids = VersionedKeyedTable.ingestedFiles(spark, dir)
+    assert(ids.size === 1 && ids.head.startsWith(deep.take(20)),
+      s"the stored identity must be the relative path ($ids)")
+    // marker filenames are fixed-length hex digests
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_ingest"))
+      .map(_.getPath.getName).toSeq
+    assert(names.forall(n => n.length == 64 &&
+      n.forall(c => c.isDigit || ('a' to 'f').contains(c))),
+      s"marker names must be SHA-256 hex ($names)")
+    // LEGACY marker compatibility: a round-13-format marker (identity
+    // URL-encoded in the filename, content '1') still counts as
+    // ingested — upgrading must not re-ingest the whole registry
+    (6L to 9L).map(i => (i, s"x$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$src/shallow")
+    val shallowRel = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$src/shallow"))
+      .map(_.getPath.getName).find(_.endsWith(".parquet")).get
+    val shallowLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$src/shallow/$shallowRel")).getLen
+    val legacyId = java.net.URLEncoder.encode(
+      s"shallow/$shallowRel|$shallowLen", "UTF-8")
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir, "_ingest"), legacyId), true)
+    out.write("1\n#end\n".getBytes("UTF-8")); out.close()
+    assert(VersionedKeyedTable.ingestFiles(spark, dir, src, "k") === 0,
+      "a legacy filename-encoded marker must still read as ingested")
+  }
+
   test("missing key column in source files fails loudly; missing " +
       "source dir fails loudly") {
     val src = scratch("src3")

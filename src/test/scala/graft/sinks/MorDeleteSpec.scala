@@ -329,6 +329,51 @@ class MorDeleteSpec extends AnyFunSuite {
       "the full CoW replace must consume the pending delete files")
   }
 
+  test("the executor delete-set materialization is BOUNDED: a " +
+      "backlog past spark.graft.mor.maxDeleteRows refuses the DSv2 " +
+      "scan at PLAN time with 'compact first' (computed from manifest " +
+      "delete counts — no executor ever builds the set), programmatic " +
+      "reads and metadata COUNT(*) stay available, and compaction " +
+      "restores the scan") {
+    val base = Files.createTempDirectory("graft-morcap").toString
+    spark.conf.set("spark.sql.catalog.capcat",
+      classOf[graft.sinks.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.capcat.base", base)
+    val dir = s"$base/t"
+    VersionedKeyedTable.create(
+      (1L to 500L).map(i => (i, i * 2L)).toDF("k", "v"),
+      dir, "k", numBuckets = 2)
+    VersionedKeyedTable.deleteMor(spark, dir,
+      (1L to 100L).toDF("k"), "k")
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    spark.conf.set("spark.graft.mor.maxDeleteRows", "50")
+    try {
+      // the row scan refuses at plan time, loudly, with the remedy
+      val e = intercept[Exception] {
+        spark.sql("SELECT sum(v) AS s FROM capcat.t WHERE k > 0")
+          .collect()
+      }
+      assert(causes(e).exists(m => m.contains("compact") &&
+          m.contains("maxDeleteRows")),
+        s"the refusal must name the remedy (got ${causes(e)})")
+      // the programmatic read rides the anti-join (no set), unaffected
+      assert(VersionedKeyedTable.read(spark, dir).count() === 400L)
+      // metadata COUNT(*) never materializes the set either
+      val cq = spark.sql("SELECT count(*) AS n FROM capcat.t")
+      assert(cq.collect()(0).getLong(0) === 400L)
+      // compaction folds the backlog and the scan returns
+      VersionedKeyedTable.compact(spark, dir, "k")
+      assert(spark.sql("SELECT sum(k) AS s FROM capcat.t WHERE k > 0")
+        .collect()(0).getLong(0) === (101L to 500L).sum)
+    } finally spark.conf.unset("spark.graft.mor.maxDeleteRows")
+    // under the default bound a small backlog scans fine
+    VersionedKeyedTable.deleteMor(spark, dir, Seq(500L).toDF("k"), "k")
+    assert(spark.sql("SELECT sum(k) AS s FROM capcat.t WHERE k > 0")
+      .collect()(0).getLong(0) === (101L to 499L).sum)
+  }
+
   test("REGRESSION: sequence stamps OUTLIVE their deletes — an " +
       "all-new-keys upsertMor leaves stamped files with no pending " +
       "delete, and catalog scans (incl. storage-partitioned reads) " +
