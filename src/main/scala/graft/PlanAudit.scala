@@ -547,6 +547,17 @@ object PlanAudit {
       "upsert replay still produces an EMPTY change feed). The " +
       "terminal plan is the table read; the contract is the merge's " +
       "per-row gates."),
+    "versioned_wap" -> ("WRITE-AUDIT-PUBLISH (writable branches): the " +
+      "branch is a zero-copy linked clone stamped with its fork " +
+      "version — staging commits (insert/correction/purge) happen " +
+      "there, invisible on main (require-pinned), the audit reads " +
+      "exactly the publishable state, and publish lands the branch's " +
+      "NET change as ONE merge commit computed from the branch's " +
+      "CHANGE FILES — O(changed rows), never O(table). The strict " +
+      "fork gate refuses a publish whose main moved (require-pinned); " +
+      "an unchanged branch is a no-op. SQL face: CALL cat.branch / " +
+      "cat.publish. Terminal plan: main's table read after the " +
+      "publish."),
     "versioned_ingest_deep" -> ("Deep-path idempotent ingest: COPY " +
       "INTO markers are fixed-length SHA-256 digests with the " +
       "identity as CONTENT, so the no-op contract holds for source " +

@@ -339,6 +339,75 @@ object StorageQueries8 {
     VersionedKeyedTable.read(s, dir)
   }
 
+  /** WRITABLE BRANCHES — WRITE-AUDIT-PUBLISH (the Iceberg WAP
+    * workflow over the linked-clone primitive): a branch is a
+    * zero-copy independent table stamped with its FORK version; the
+    * staging writes (insert/update/delete, multiple commits) happen
+    * there, the AUDIT reads exactly the rows being published, and
+    * [[VersionedKeyedTable.publish]] lands the branch's NET change on
+    * main as ONE merge commit — O(changed rows) via the branch's
+    * change files, never O(table). In-row requires pin: main
+    * untouched until publish, the publish is exactly one commit, a
+    * STALE publish (main advanced past the fork) refuses, and a
+    * no-commit branch publishes as a no-op. Oracle: the branch
+    * pipeline recomputed relationally. */
+  val versionedWap = sql("versioned_wap",
+    """WITH base AS (
+         SELECT o_orderkey AS k,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders)
+       SELECT k,
+         CASE WHEN k % 7 = 0 THEN cents * 2 ELSE cents END AS cents
+       FROM base WHERE k % 10 <> 0""") { (s, d) =>
+    val base = scratch("wap")
+    val main = s"$base/main"; val br = s"$base/audit"
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), cents.as("cents"))
+    graft.BenchProbe.time("index_build") {
+      VersionedKeyedTable.create(rows.filter(col("k") % 4 =!= 3),
+        main, "k", CheckBuckets)
+    }
+    val fork = VersionedKeyedTable.branchFrom(s, main, br)
+    // three staging commits on the branch: the missing slice, a
+    // doubling correction, a purge — main must see NONE of it
+    VersionedKeyedTable.upsert(s, br,
+      rows.filter(col("k") % 4 === 3), "k")
+    VersionedKeyedTable.upsert(s, br,
+      rows.filter(col("k") % 7 === 0)
+        .withColumn("cents", col("cents") * 2), "k")
+    VersionedKeyedTable.delete(s, br,
+      rows.filter(col("k") % 10 === 0).select(col("k")), "k")
+    require(VersionedKeyedTable.snapshot(s, main).version == fork,
+      "staging writes must be invisible on main until publish")
+    // the AUDIT: the branch must already BE the publishable state
+    val audited = VersionedKeyedTable.read(s, br).count()
+    require(audited == rows.filter(col("k") % 10 =!= 0).count(),
+      "the audit read must see exactly the state being published")
+    val after = VersionedKeyedTable.publish(s, main, br, "k")
+    require(after == fork + 1,
+      s"the publish must be exactly ONE commit on main " +
+        s"(fork $fork -> $after)")
+    // a STALE second branch refuses once main moved past its fork
+    val stale = s"$base/stale"
+    VersionedKeyedTable.branchFrom(s, main, stale,
+      version = Some(fork))
+    VersionedKeyedTable.upsert(s, stale,
+      rows.limit(1).withColumn("cents", lit(-1L)), "k")
+    val refused =
+      try { VersionedKeyedTable.publish(s, main, stale, "k"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused,
+      "a publish whose fork main has advanced past must refuse")
+    // a no-commit branch publishes as a no-op (no commit on main)
+    val quiet = s"$base/quiet"
+    VersionedKeyedTable.branchFrom(s, main, quiet)
+    require(VersionedKeyedTable.publish(s, main, quiet, "k") == after,
+      "an unchanged branch must publish as a no-op")
+    VersionedKeyedTable.read(s, main)
+  }
+
   val all: Seq[QueryDef] = Seq(versionedSqlAlter, versionedSqlDeleteMor,
-    versionedMorBacklog, versionedApplyChangesEqseq, versionedIngestDeep)
+    versionedMorBacklog, versionedApplyChangesEqseq, versionedIngestDeep,
+    versionedWap)
 }

@@ -2829,7 +2829,10 @@ object VersionedKeyedTable {
     * path and breaks if the source vacuums; the link form does not).
     * O(files) metadata ops, no data movement. */
   def cloneAt(spark: SparkSession, srcDir: String, dstDir: String,
-      version: Option[Long] = None): Unit = {
+      version: Option[Long] = None,
+      /** Extra commit metadata for the clone's v1 manifest — how
+        * [[branchFrom]] stamps the fork coordinates. */
+      extraMeta: Map[String, String] = Map.empty): Unit = {
     val (nb, metaSchema) = readMeta(spark, srcDir)
     val snap = snapshot(spark, srcDir, version)
     val schema = snap.schema.getOrElse(metaSchema)
@@ -2880,9 +2883,106 @@ object VersionedKeyedTable {
     var v = 1L
     val content = renderManifest(snap.files.keySet, snap.files, schema,
       snap.stats, None,
-      Map("graft.clonedFrom" -> s"$srcDir@v${snap.version}"), snap.counts,
+      extraMeta + ("graft.clonedFrom" -> s"$srcDir@v${snap.version}"),
+      snap.counts,
       snap.extraStats, snap.deletes, snap.seqs)
     while (!tryCommit(fs, dstDir, versionPath(dstDir, v), content)) v += 1
+  }
+
+  // ---- WRITABLE BRANCHES (write-audit-publish) -----------------------
+
+  private[sinks] val BranchForkKey = "graft.branch.fork"
+  private[sinks] val BranchOfKey = "graft.branch.of"
+
+  /** CREATE A WRITABLE BRANCH — the WAP (write-audit-publish) seat:
+    * a zero-copy [[cloneAt]] of the table whose v1 manifest records
+    * the FORK coordinates, so [[publish]] can later land the branch's
+    * net changes back on the main table as one atomic commit. The
+    * branch is a full, independent table: every write surface
+    * (upsert/delete/merge/SQL DML/streaming sink), every constraint,
+    * and every read (audit queries, CDF) work on it unchanged, and
+    * nothing the branch does is visible on main until publish — the
+    * Iceberg WAP workflow, with the branch as a linked clone instead
+    * of an in-log ref (divergent histories never share a version
+    * log, so neither table's optimistic CAS ever contends with the
+    * other's). Returns the fork version. */
+  def branchFrom(spark: SparkSession, mainDir: String,
+      branchDir: String, version: Option[Long] = None): Long = {
+    val fork = snapshot(spark, mainDir, version).version
+    cloneAt(spark, mainDir, branchDir, version,
+      extraMeta = Map(BranchForkKey -> fork.toString,
+        BranchOfKey -> mainDir))
+    fork
+  }
+
+  /** PUBLISH a branch back to its main table: the branch's NET
+    * row-level changes since the fork — computed from its CHANGE
+    * FILES ([[changesBetween]]), O(changed rows), never O(table) —
+    * land on main as ONE merge commit (upserts replace-by-key,
+    * deletes remove; CDF-captured like any mutation, so main's
+    * consumers see the publish as ordinary changes). The audit step
+    * is whatever the caller ran against the branch before calling
+    * this — the point of WAP is that those reads saw EXACTLY the rows
+    * being published.
+    *
+    * STRICT by default: publish refuses when main has advanced past
+    * the audited fork (what was audited is no longer what would
+    * result) — re-branch/re-audit, or pass `allowDiverged = true` to
+    * merge anyway under keyed last-writer-wins semantics (the
+    * branch's changes overwrite main's for colliding keys, disjoint
+    * keys coexist). The gate is checked immediately before the merge;
+    * the residual window to a racing main commit is the standard
+    * optimistic-store caveat (the merge itself stays atomic and
+    * serializable — nothing tears).
+    *
+    * A branch with no commits past the fork publishes as a NO-OP (no
+    * commit on main). Additive schema evolution on the branch carries
+    * through (the merge evolves main the same way a wider upsert
+    * would). Returns main's version after the publish. */
+  def publish(spark: SparkSession, mainDir: String, branchDir: String,
+      keyCol: String, allowDiverged: Boolean = false,
+      commitMeta: Map[String, String] = Map.empty): Long = {
+    val branchVersions = completeVersions(spark, branchDir)
+    require(branchVersions.nonEmpty, s"publish: $branchDir has no " +
+      "complete version — not a table")
+    val v1 = branchVersions.head
+    val v1snap = snapshot(spark, branchDir, Some(v1))
+    val fork = v1snap.meta.get(BranchForkKey).flatMap(_.toLongOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"publish: $branchDir is not a branch (no recorded fork " +
+          "version) — create it with branchFrom, not cloneAt"))
+    val bSnap = snapshot(spark, branchDir)
+    val mainV = snapshot(spark, mainDir).version
+    if (bSnap.version == v1) return mainV // nothing to publish: no-op
+    if (!allowDiverged) require(mainV == fork,
+      s"publish: $mainDir advanced past the audited fork " +
+        s"(main at v$mainV, fork at v$fork) — what was audited is no " +
+        "longer what would result; re-branch and re-audit, or publish " +
+        "with allowDiverged=true (keyed last-writer-wins)")
+    val (_, metaSchema) = readMeta(spark, branchDir)
+    val schema = bSnap.schema.getOrElse(metaSchema)
+    val dataCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
+    // the branch's net change per key since the fork — change-file
+    // tier when every branch commit captured, snapshot-diff fallback
+    // otherwise (both O(changed region))
+    val feed = changesBetween(spark, branchDir, keyCol, v1,
+      bSnap.version)
+    val isDel = col("s.__publish_op") === lit("D")
+    val src = feed.select(
+      (col(keyCol) +: dataCols.map(col)) :+
+        when(col("change_type") === "delete", lit("D"))
+          .otherwise(lit("U")).as("__publish_op"): _*)
+    merge(spark, mainDir, src, keyCol,
+      whenMatchedDelete = Some(isDel),
+      whenMatchedUpdate = dataCols.map(c =>
+        c -> when(isDel, col(s"t.$c")).otherwise(col(s"s.$c"))).toMap,
+      insertNotMatchedWhen = Some(!isDel),
+      commitMeta = commitMeta ++ Map(
+        "graft.publish.from" -> branchDir,
+        "graft.publish.fork" -> fork.toString,
+        "graft.publish.branchVersion" -> bSnap.version.toString),
+      carryCols = Set("__publish_op"))
+    snapshot(spark, mainDir).version
   }
 
   /** Metadata-only COUNT(*): the sum of the manifest's per-file row

@@ -42,7 +42,8 @@ object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "cluster", "cluster_by", "vacuum", "tag", "drop_tag",
-      "add_constraint", "drop_constraint", "ingest_files")
+      "add_constraint", "drop_constraint", "ingest_files",
+      "branch", "publish")
 
   def apply(base: String, name: String): UnboundProcedure = name match {
     case "compact" => new GraftProc(base, "compact",
@@ -153,6 +154,37 @@ object GraftProcedures {
         VersionedKeyedTable.ingestFiles(spark, dir,
           args.getUTF8String(1).toString, key,
           format = args.getUTF8String(2).toString): Unit
+    }
+    // `CALL cat.branch(tbl => 't', name => 'dev')` — a WRITABLE
+    // branch of the table as the catalog identifier `dev` (a linked
+    // zero-copy clone stamped with its fork version): the WAP
+    // write-audit step happens on `cat.dev` with every SQL surface;
+    // `CALL cat.publish(tbl => 't', branch => 'dev')` then lands the
+    // branch's NET changes back on `t` as ONE merge commit, refusing
+    // if `t` advanced past the audited fork (allow_diverged => true
+    // merges keyed last-writer-wins). The evidence row's
+    // version_before/after show the publish commit (a no-change
+    // publish has before == after).
+    case "branch" => new GraftProc(base, "branch",
+      Array(
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())) {
+      def run(spark: SparkSession, dir: String, key: String,
+          args: InternalRow): Unit =
+        VersionedKeyedTable.branchFrom(spark, dir,
+          s"$base/${args.getUTF8String(1).toString}"): Unit
+    }
+    case "publish" => new GraftProc(base, "publish",
+      Array(
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build(),
+        ProcedureParameter.in("allow_diverged", BooleanType)
+          .defaultValue("false").build())) {
+      def run(spark: SparkSession, dir: String, key: String,
+          args: InternalRow): Unit =
+        VersionedKeyedTable.publish(spark, dir,
+          s"$base/${args.getUTF8String(1).toString}", key,
+          allowDiverged = args.getBoolean(2)): Unit
     }
     case other => throw new IllegalArgumentException(
       s"no such procedure $other (available: ${All.mkString(", ")})")
