@@ -1238,6 +1238,63 @@ object ScaleCheck {
       n
     }
 
+    time("versioned_wap") {
+      import graft.sinks.VersionedKeyedTable
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-wap").toString
+      val main = s"$root/main"
+      val base = c.select(col("c_custkey").as("k"),
+        col("c_acctbal").cast("double").as("v"))
+      // bucket-sizing rule of the mutation probes: buckets grow with
+      // the data so BUCKET SIZE stays constant across the decade —
+      // the publish merge's cost is per-touched-bucket at constant
+      // bucket size, which is the curve under probe
+      VersionedKeyedTable.create(base, main, "k",
+        numBuckets = 16 * copies)
+      val hfs = new org.apache.hadoop.fs.Path(main).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def refs() = {
+        val s = VersionedKeyedTable.snapshot(spark, main)
+        (s.files.valuesIterator.flatten ++
+          s.deletes.valuesIterator.flatten).toSet
+      }
+      def addedBytes(before: Set[String]): Long =
+        (refs() -- before).toSeq.map(f => hfs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$main/$f")).getLen).sum
+      // branch creation: O(referenced files) hard links, no data
+      val br = s"$root/br"
+      val t0 = System.nanoTime()
+      VersionedKeyedTable.branchFrom(spark, main, br)
+      val tBranch = (System.nanoTime() - t0) / 1e9
+      // a FIXED 200-row staging change (100 upserts + 100 deletes),
+      // two branch commits — the WAP shape at any table size
+      VersionedKeyedTable.upsert(spark, br,
+        (1L to 100L).map(k => (k, -1.0)).toDF("k", "v"), "k")
+      VersionedKeyedTable.delete(spark, br,
+        (101L to 200L).toDF("k"), "k")
+      val mark = refs()
+      val t1 = System.nanoTime()
+      VersionedKeyedTable.publish(spark, main, br, "k")
+      val tPub = (System.nanoTime() - t1) / 1e9
+      val bPub = addedBytes(mark)
+      // an unchanged branch publishes as a metadata-only no-op
+      val quiet = s"$root/quiet"
+      VersionedKeyedTable.branchFrom(spark, main, quiet)
+      val t2 = System.nanoTime()
+      VersionedKeyedTable.publish(spark, main, quiet, "k")
+      val tNoop = (System.nanoTime() - t2) / 1e9
+      val n = VersionedKeyedTable.read(spark, main).count()
+      System.err.println(
+        f"[scale]   wap at ${copies}x: branch (linked clone) " +
+          f"$tBranch%.2f s; publish of a FIXED 200-row net change " +
+          f"$tPub%.2f s / ${bPub / 1048576.0}%.2f MB written " +
+          f"(touched-bucket curve at constant bucket size — " +
+          f"saturates at min(batch, buckets), table growth adds " +
+          f"nothing past it); no-op publish $tNoop%.3f s")
+      n
+    }
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","copies":$copies,"unit":"sec","ops":$qs,"sf":"$sfDir"}""")
