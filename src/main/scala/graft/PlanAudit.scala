@@ -547,6 +547,19 @@ object PlanAudit {
       "upsert replay still produces an EMPTY change feed). The " +
       "terminal plan is the table read; the contract is the merge's " +
       "per-row gates."),
+    "versioned_sql_update_mor" -> ("DELTA-BASED SQL UPDATE/MERGE on a " +
+      "write.mode=mor table (SupportsDelta — the Iceberg MoR DML " +
+      "shape): the row-level rewrite emits per-row delete+insert " +
+      "operations (representUpdateAsDeleteAndInsert) and the write " +
+      "lands them through ONE mutateMor commit — appended " +
+      "sequence-stamped data files + equality-delete entries. " +
+      "Require-pinned: EVERY pre-existing data file survives both the " +
+      "UPDATE and the three-clause MERGE (O(matched rows) written " +
+      "where group-based CoW rewrites every file its scan read), one " +
+      "commit each, metadata COUNT(*) exact under the pending state. " +
+      "The scan prunes freely (no file set to pin — nothing is " +
+      "replaced); expectedVersion keeps the statement serializable. " +
+      "Terminal plan: the post-compaction catalog scan."),
     "versioned_wap" -> ("WRITE-AUDIT-PUBLISH (writable branches): the " +
       "branch is a zero-copy linked clone stamped with its fork " +
       "version — staging commits (insert/correction/purge) happen " +

@@ -407,7 +407,107 @@ object StorageQueries8 {
     VersionedKeyedTable.read(s, main)
   }
 
+  /** DELTA-BASED SQL UPDATE/MERGE on a `write.mode=mor` table
+    * (SupportsDelta — the Iceberg merge-on-read DML shape): the
+    * row-level rewrite emits per-row delete+insert operations and the
+    * write lands them through ONE [[VersionedKeyedTable.mutateMor]]
+    * commit — appended data files for the new images plus
+    * equality-delete entries for the old ones. In-row requires pin the
+    * physical contract: EVERY pre-existing data file survives the
+    * UPDATE and the MERGE (O(matched rows) written, where the
+    * group-based CoW path rewrites every file its scan read — at
+    * 100 TB the difference between kilobytes and terabytes for a
+    * surgical correction), one commit each, and metadata COUNT(*)
+    * exactness under the pending state. The closing compact() folds
+    * everything back to plain files. Oracle: the same mutations
+    * recomputed relationally. */
+  val versionedSqlUpdateMor = sql("versioned_sql_update_mor",
+    """WITH base AS (
+         SELECT o_orderkey AS k,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             AS cents
+         FROM orders),
+       updated AS (
+         SELECT k,
+           CASE WHEN k % 9 = 2 THEN cents + 5 ELSE cents END AS cents
+         FROM base WHERE k % 11 <> 3),
+       merged AS (
+         SELECT k,
+           CASE WHEN k % 13 = 1 THEN CAST(-1 AS BIGINT)
+                ELSE cents END AS cents
+         FROM updated)
+       SELECT k, cents FROM merged
+       UNION ALL
+       SELECT k + 20000000 AS k, CAST(7 AS BIGINT) AS cents
+       FROM base
+       WHERE k % 500 = 3 AND k % 11 <> 3 AND k % 13 <> 1""") { (s, d) =>
+    val baseDir = scratch("sqlupdmor")
+    val cat = freshCat(s, baseDir)
+    val dir = s"$baseDir/t"
+    Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), cents.as("cents"))
+      .createOrReplaceTempView("graft_updmor_src")
+    graft.BenchProbe.time("index_build") {
+      s.sql(s"""CREATE TABLE $cat.t (k BIGINT, cents BIGINT)
+        TBLPROPERTIES ('key'='k', 'buckets'='$CheckBuckets',
+          'write.mode'='mor')""")
+      s.sql(s"INSERT INTO $cat.t SELECT k, cents FROM graft_updmor_src")
+    }
+    val files0 = VersionedKeyedTable.snapshot(s, dir)
+      .files.values.flatten.toSet
+    val v0 = VersionedKeyedTable.snapshot(s, dir).version
+    // the surgical UPDATE: delta path — appended rows + delete
+    // entries, NO pre-existing file rewritten
+    s.sql(s"UPDATE $cat.t SET cents = cents + 5 WHERE k % 9 = 2")
+    val snap1 = VersionedKeyedTable.snapshot(s, dir)
+    require(snap1.version == v0 + 1 &&
+        files0.subsetOf(snap1.files.values.flatten.toSet),
+      "a delta UPDATE must append — every pre-existing data file " +
+        "survives in the manifest")
+    require(snap1.deletes.valuesIterator.flatten.nonEmpty,
+      "the matched rows' old images must die via delete entries")
+    // MERGE mixing all three clauses, one commit, still append-only
+    Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      .filter(col("k") % 13 === 1 || col("k") % 11 === 3 ||
+        col("k") % 500 === 3)
+      .withColumn("op",
+        when(col("k") % 11 === 3, lit("del"))
+          .when(col("k") % 13 === 1, lit("upd"))
+          .otherwise(lit("ins")))
+      .withColumn("nk",
+        when(col("op") === "ins", col("k") + 20000000L)
+          .otherwise(col("k")))
+      .createOrReplaceTempView("graft_updmor_feed")
+    s.sql(
+      s"""MERGE INTO $cat.t t
+          USING graft_updmor_feed f
+          ON t.k = f.nk
+          WHEN MATCHED AND f.op = 'del' THEN DELETE
+          WHEN MATCHED AND f.op = 'upd' THEN
+            UPDATE SET cents = CAST(-1 AS BIGINT)
+          WHEN NOT MATCHED AND f.op = 'ins' THEN
+            INSERT (k, cents) VALUES (f.nk, CAST(7 AS BIGINT))""")
+    val snap2 = VersionedKeyedTable.snapshot(s, dir)
+    require(snap2.version == snap1.version + 1 &&
+        files0.subsetOf(snap2.files.values.flatten.toSet),
+      "a delta MERGE must append — one commit, no pre-existing file " +
+        "rewritten")
+    // metadata COUNT(*) stays exact over the whole pending state
+    val expectN = s.sql(
+      """SELECT (SELECT count(*) FROM graft_updmor_src) -
+           (SELECT count(*) FROM graft_updmor_src WHERE k % 11 = 3) +
+           (SELECT count(*) FROM graft_updmor_src
+            WHERE k % 500 = 3 AND k % 11 <> 3 AND k % 13 <> 1)
+           AS n""").collect()(0).getLong(0)
+    val cq = s.sql(s"SELECT count(*) AS n FROM $cat.t")
+    require(cq.collect()(0).getLong(0) == expectN,
+      "metadata COUNT(*) must stay exact under delta DML state")
+    // fold the backlog; the vectorized plain-scan path returns
+    VersionedKeyedTable.compact(s, dir, "k")
+    s.sql(s"SELECT k, cents FROM $cat.t")
+  }
+
   val all: Seq[QueryDef] = Seq(versionedSqlAlter, versionedSqlDeleteMor,
     versionedMorBacklog, versionedApplyChangesEqseq, versionedIngestDeep,
-    versionedWap)
+    versionedWap, versionedSqlUpdateMor)
 }

@@ -1233,7 +1233,32 @@ object VersionedKeyedTable {
     * check, torn claims are skipped. */
   def upsertMor(spark: SparkSession, dir: String, rows: DataFrame,
       keyCol: String, captureChanges: Boolean = true,
-      commitMeta: Map[String, String] = Map.empty): Unit = {
+      commitMeta: Map[String, String] = Map.empty): Unit =
+    mutateMor(spark, dir, rows, None, keyCol, captureChanges,
+      commitMeta)
+
+  /** The GENERAL merge-on-read mutation — puts AND deletes in ONE
+    * commit: the puts land as appended, sequence-stamped data files
+    * (exactly [[upsertMor]]), and ONE equality-delete file set covers
+    * both the puts' replaced rows and `deleteKeys`' visible rows — so
+    * a SQL UPDATE expressed as delete+reinsert of the same key, or a
+    * MERGE mixing all three clauses, is one atomic commit with exact
+    * metadata counts (every delete entry kills exactly one older
+    * visible row) and ordinary CDF capture (updates with `_prev`,
+    * deletes, inserts — indistinguishable from copy-on-write).
+    *
+    * `expectedVersion` (the SQL row-level operations' serializable
+    * gate): when set, ANY intervening commit fails the call with the
+    * standard serializable-conflict error instead of rebasing — the
+    * puts/deletes were derived from that snapshot's rows, and
+    * re-applying them over racer state could clobber it. Programmatic
+    * callers that want put-semantics convergence leave it None and
+    * get [[upsertMor]]'s optimistic rebase/recompute protocol. */
+  def mutateMor(spark: SparkSession, dir: String, rows: DataFrame,
+      deleteKeys: Option[DataFrame], keyCol: String,
+      captureChanges: Boolean = true,
+      commitMeta: Map[String, String] = Map.empty,
+      expectedVersion: Option[Long] = None): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
     require(KeyedTable.readMetaKey(spark, dir).contains(keyCol),
       s"upsertMor key '$keyCol' must match the table's recorded key " +
@@ -1243,25 +1268,45 @@ object VersionedKeyedTable {
       .dropDuplicates(keyCol)
       .withColumn("__bucket", bucketOf(keyCol, nb))
       .localCheckpoint(true)
-    val myTouched = batch.select("__bucket").distinct()
+    // delete-only keys: doomed keys NOT re-put by this same commit (a
+    // key in both is an update — its delete entry comes from the
+    // existence semi-join below, like any replaced key)
+    val doomed = deleteKeys.map(_.select(col(keyCol))
+        .where(col(keyCol).isNotNull).distinct()
+        .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .withColumn("__bucket", bucketOf(keyCol, nb))
+        .localCheckpoint(true))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          metaSchema(keyCol),
+          org.apache.spark.sql.types.StructField("__bucket",
+            org.apache.spark.sql.types.IntegerType)))))
+    val allKeys = batch.select(col(keyCol), col("__bucket"))
+      .unionByName(doomed.select(col(keyCol), col("__bucket")))
+    val myTouched = allKeys.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSet // bounded by numBuckets
     if (myTouched.isEmpty) return
     // bounded batches prune the existence/prev read through the
     // point-lookup path (zone maps + blooms) — see deleteMor
     val keyList: Option[Either[Seq[Long], Seq[String]]] = {
-      val bounded = batch.count() <= MaxPointLookupKeys
+      val bounded = allKeys.count() <= MaxPointLookupKeys
       if (!bounded) None
       else metaSchema(keyCol).dataType match {
         case org.apache.spark.sql.types.StringType =>
-          Some(Right(batch.select(col(keyCol))
+          Some(Right(allKeys.select(col(keyCol))
             .collect().map(_.getString(0)).toSeq))
         case t if isIntegralKey(t) =>
-          Some(Left(batch.select(col(keyCol).cast("long"))
+          Some(Left(allKeys.select(col(keyCol).cast("long"))
             .collect().map(_.getLong(0)).toSeq))
         case _ => None
       }
     }
     var snap = snapshot(spark, dir)
+    expectedVersion.foreach(ev => require(snap.version == ev,
+      s"mutateMor at $dir: the table advanced past the snapshot the " +
+        s"mutation was derived from (v${snap.version} != v$ev) — " +
+        "serializable conflict; re-run the statement"))
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1301,14 +1346,21 @@ object VersionedKeyedTable {
         case None => myTouched.toSeq.sorted
           .flatMap(b => snap.files.getOrElse(b, Seq.empty))
       }
-      // the rows this upsert REPLACES — visible state only
+      // the rows this commit REPLACES OR DELETES — visible state only
       val prevRows = morScan(spark, dir, snap, evolved, keyCol,
           existingRels, Some(myTouched))
-        .join(broadcast(batch.select(col(keyCol))), Seq(keyCol),
+        .join(broadcast(allKeys.select(col(keyCol))), Seq(keyCol),
           "left_semi")
         .localCheckpoint(true)
+      // a pure delete of ABSENT keys is a no-op, like deleteMor's
+      if (batch.isEmpty && prevRows.isEmpty) return
       val (newFiles, newStats, newCounts, newExtra) =
-        writeDataFiles(spark, dir, batch, keyCol,
+        if (batch.isEmpty)
+          (Map.empty[Int, Seq[String]],
+            Map.empty[String, (String, String)],
+            Map.empty[String, Long],
+            Map.empty[String, Map[String, (String, String)]])
+        else writeDataFiles(spark, dir, batch, keyCol,
           statsCols = inheritedStatsCols(snap))
       val (delFiles, delCounts) =
         if (prevRows.isEmpty) (Map.empty[Int, Seq[String]],
@@ -1361,6 +1413,14 @@ object VersionedKeyedTable {
         if (cur.version <= base.version) {
           target = nextClaimable(fs, dir, target + 1) // torn claim
         } else {
+          // the serializable gate: the puts/deletes were DERIVED from
+          // the expected snapshot's rows — any intervening commit
+          // (even a bucket-disjoint one: the statement's WHERE may
+          // have read it) fails the statement instead of re-applying
+          expectedVersion.foreach(ev => throw new IllegalStateException(
+            s"mutateMor at $dir: concurrent commit v${cur.version} " +
+              s"landed after the statement's snapshot v$ev — " +
+              "serializable conflict; re-run the statement"))
           val interveningTouched =
             (base.version + 1 to cur.version).flatMap { v =>
               val p = versionPath(dir, v)

@@ -516,9 +516,17 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
   private def spark = SparkSession.active
   private val snap = VersionedKeyedTable.snapshot(spark, dir, version)
   private val numBuckets: Int = KeyedTable.readMeta(spark, dir).get._1
-  private val tableSchema: StructType = snap.schema.getOrElse(
-    KeyedTable.readMeta(spark, dir).get._2)
   private val keyCol: Option[String] = KeyedTable.readMetaKey(spark, dir)
+  /** The KEY column reports NON-NULLABLE — the keyed contract (the
+    * key is the row's identity; every write surface drops or refuses
+    * null keys), and what lets the delta row-level rewrite accept it
+    * as the row id. Under ANSI store assignment an INSERT of a null
+    * key fails at runtime instead of writing an unaddressable row. */
+  private val tableSchema: StructType = {
+    val raw = snap.schema.getOrElse(KeyedTable.readMeta(spark, dir).get._2)
+    StructType(raw.fields.map(f =>
+      if (keyCol.contains(f.name)) f.copy(nullable = false) else f))
+  }
 
   /** The table's persistent write regimen (`write.mode` property):
     * `mor` defers SQL DML as merge-on-read commits (delete files /
@@ -725,6 +733,15 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     * upsert/delete/merge, which rewrite only touched buckets; SQL
     * UPDATE/MERGE is the declarative face for the batch-refresh
     * shapes that rewrite most rows anyway. */
+  /** Row-level SQL rides ONE of two regimens, per the table's
+    * `write.mode` property (session conf
+    * `spark.graft.rowlevel.mode` overrides): copy-on-write
+    * (group-based ReplaceData — the default; see
+    * [[GraftRowLevelOperation]]) or MERGE-ON-READ (delta-based
+    * WriteDelta via [[GraftDeltaRowLevelOperation]]): a surgical SQL
+    * UPDATE/MERGE/DELETE on an opted-in table writes O(matched rows)
+    * — appended data files plus equality-delete entries in one commit
+    * — instead of rewriting every file its scan read. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -736,8 +753,12 @@ class GraftSqlTable(dir: String, ident: String, version: Option[Long])
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
-        new GraftRowLevelOperation(dir, key, snap, tableSchema,
-          info.command)
+        if (morFor("spark.graft.rowlevel.mode"))
+          new GraftDeltaRowLevelOperation(dir, key, snap, tableSchema,
+            info.command)
+        else
+          new GraftRowLevelOperation(dir, key, snap, tableSchema,
+            info.command)
     }
   }
 }
@@ -862,6 +883,171 @@ class GraftRowLevelOperation(dir: String, keyCol: String,
                 fs
               }))
         }
+    }
+}
+
+/** One SQL UPDATE/MERGE/DELETE as a DELTA-BASED row-level operation
+  * (`SupportsDelta` — the Iceberg merge-on-read DML shape): instead
+  * of the group-based read-files/replace-files cycle, Spark's rewrite
+  * emits PER-ROW operations — with `representUpdateAsDeleteAndInsert`
+  * every update arrives as a delete of the old row id plus an insert
+  * of the new image — and the write lands them through
+  * [[VersionedKeyedTable.mutateMor]] as ONE commit: appended,
+  * sequence-stamped data files for the inserts plus equality-delete
+  * files for the doomed keys. The row id IS the key column (the
+  * store's identity), so no synthetic row lineage is needed.
+  *
+  * The 100 TB point: the scan prunes FREELY (no file set to pin — the
+  * group-based CoW read must replace exactly what it reads, and under
+  * pending deletes even un-prunes; this one doesn't), and the write
+  * is O(matched rows) bytes — a surgical `UPDATE … WHERE k IN (…)` on
+  * a TB-scale bucket writes kilobytes where CoW rewrites every
+  * covering file. Serializable like the group path: the commit is
+  * pinned to the snapshot the rewrite read (`expectedVersion`), and
+  * any intervening commit fails the statement loudly. */
+class GraftDeltaRowLevelOperation(dir: String, keyCol: String,
+    snap: VersionedKeyedTable.Snapshot, tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    cmd
+
+  /** An ORDINARY pruned scan — no row-level pinning: the delta write
+    * replaces nothing, so the scan may skip every file the statement's
+    * predicates exclude (and keeps pruning under pending MoR state). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(dir, snap, tableSchema, Some(keyCol))
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(keyCol))
+
+  /** Updates split into delete + insert: the writer then needs only
+    * two verbs, and a key-reassigning UPDATE (new id ≠ old id) is
+    * correct by construction — the old key's delete entry and the new
+    * key's row land in the same commit. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftDeltaBatchWrite(dir, keyCol, info.queryId(),
+              // MERGE's WriteDelta hands an EMPTY LogicalWriteInfo
+              // schema (its row projection is plan-side); the rows
+              // always arrive in the TABLE's column order
+              if (info.schema().isEmpty) tableSchema else info.schema(),
+              StructType(Seq(tableSchema(keyCol))),
+              expectedVersion = Some(snap.version),
+              stampKey = "graft.sql." + cmd.toString.toLowerCase)
+        }
+    }
+}
+
+/** Per-task staged pair of a delta write: the task's inserted rows
+  * and its doomed row ids, each one parquet file. */
+case class GraftDeltaStagedMessage(insPath: String, insRows: Long,
+    delPath: String, delRows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** The delta batch write: executors stage (inserts, doomed ids) pairs,
+  * the driver commit lands BOTH through ONE
+  * [[VersionedKeyedTable.mutateMor]] commit pinned to the statement's
+  * snapshot. An empty delta (no row matched) commits nothing. */
+class GraftDeltaBatchWrite(dir: String, keyCol: String, queryId: String,
+    rowSchema: StructType, keySchema: StructType,
+    expectedVersion: Option[Long], stampKey: String)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  private def spark = SparkSession.active
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new GraftDeltaWriterFactory(dir, rowSchema, keySchema,
+      SerializableHadoopConf.fromSession(spark))
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val ms = messages.collect { case m: GraftDeltaStagedMessage => m }
+    try {
+      val ins = ms.collect { case m if m.insRows > 0 => m.insPath }
+      val del = ms.collect { case m if m.delRows > 0 => m.delPath }
+      if (ins.isEmpty && del.isEmpty) return // nothing matched
+      val puts =
+        if (ins.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          rowSchema)
+        else spark.read.schema(rowSchema).parquet(ins.toIndexedSeq: _*)
+      val doomed =
+        if (del.isEmpty) None
+        else Some(spark.read.schema(keySchema)
+          .parquet(del.toIndexedSeq: _*))
+      VersionedKeyedTable.mutateMor(spark, dir, puts, doomed, keyCol,
+        commitMeta = Map(stampKey -> queryId),
+        expectedVersion = expectedVersion)
+    } finally cleanup(ms)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit =
+    cleanup(messages.collect { case m: GraftDeltaStagedMessage => m })
+
+  private def cleanup(ms: Array[GraftDeltaStagedMessage]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ms.foreach { m =>
+      fs.delete(new org.apache.hadoop.fs.Path(m.insPath), false): Unit
+      fs.delete(new org.apache.hadoop.fs.Path(m.delPath), false): Unit
+    }
+  }
+}
+
+class GraftDeltaWriterFactory(dir: String, rowSchema: StructType,
+    keySchema: StructType, conf: SerializableHadoopConf)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private def path(kind: String) =
+        s"$dir/_staging/delta-$kind-p$partitionId-t$taskId-" +
+          s"${java.util.UUID.randomUUID()}.parquet"
+      private val ins =
+        new StagingParquetWriter(path("ins"), rowSchema, Some(conf))
+      private val dels =
+        new StagingParquetWriter(path("del"), keySchema, Some(conf))
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels.write(id)
+      // unreachable under representUpdateAsDeleteAndInsert, kept as
+      // the faithful fallback
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = { dels.write(id); ins.write(row) }
+      override def insert(row: InternalRow): Unit = ins.write(row)
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        val a = ins.commit().asInstanceOf[StagedFileMessage]
+        val b = dels.commit().asInstanceOf[StagedFileMessage]
+        GraftDeltaStagedMessage(a.path, a.rows, b.path, b.rows)
+      }
+      override def abort(): Unit = { ins.abort(); dels.abort() }
+      override def close(): Unit = { ins.close(); dels.close() }
     }
 }
 
