@@ -1450,8 +1450,13 @@ object VersionedKeyedTable {
       statsColumns: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     writeMeta(spark, dir, numBuckets, df.schema, Some(keyCol))
+    // NULL-keyed rows are dropped, matching upsert/delete/merge: the
+    // key is the row's identity (no later mutation could ever address
+    // a null-keyed row, and the SQL catalog declares the key
+    // non-nullable) — a keyed store never holds one
     val (files, stats, counts, extra) = writeDataFiles(spark, dir,
-      df.withColumn("__bucket", bucketOf(keyCol, numBuckets)), keyCol,
+      df.where(col(keyCol).isNotNull)
+        .withColumn("__bucket", bucketOf(keyCol, numBuckets)), keyCol,
       statsCols = statsColumns)
     val fs = hfs(spark, dir)
     var v = listVersions(fs, dir).lastOption.getOrElse(0L) + 1
@@ -1491,7 +1496,8 @@ object VersionedKeyedTable {
         s"table's recorded key column " +
         s"(${KeyedTable.readMetaKey(spark, dir).getOrElse("none")})")
     val fs = hfs(spark, dir)
-    val pinned = rows.withColumn("__bucket", bucketOf(keyCol, nb))
+    val pinned = rows.where(col(keyCol).isNotNull)
+      .withColumn("__bucket", bucketOf(keyCol, nb))
       .localCheckpoint(true)
     var written: Option[(Map[Int, Seq[String]],
       Map[String, (String, String)], Map[String, Long],
@@ -1601,7 +1607,8 @@ object VersionedKeyedTable {
         s"(${KeyedTable.readMetaKey(spark, dir).getOrElse("none")})")
     val fs = hfs(spark, dir)
     val removed = removeRels.toSet
-    val pinned = rows.withColumn("__bucket", bucketOf(keyCol, nb))
+    val pinned = rows.where(col(keyCol).isNotNull)
+      .withColumn("__bucket", bucketOf(keyCol, nb))
       .localCheckpoint(true)
     var written: Option[(Map[Int, Seq[String]],
       Map[String, (String, String)], Map[String, Long],
@@ -2998,7 +3005,11 @@ object VersionedKeyedTable {
     * A branch with no commits past the fork publishes as a NO-OP (no
     * commit on main). Additive schema evolution on the branch carries
     * through (the merge evolves main the same way a wider upsert
-    * would). Returns main's version after the publish. */
+    * would). The fork coordinates live in the branch's FIRST manifest
+    * — a [[vacuum]] on the branch that drops it makes publish refuse
+    * loudly ("not a branch"); size the branch's retention to its
+    * audit lifetime (branches are short-lived by the WAP workflow).
+    * Returns main's version after the publish. */
   def publish(spark: SparkSession, mainDir: String, branchDir: String,
       keyCol: String, allowDiverged: Boolean = false,
       commitMeta: Map[String, String] = Map.empty): Long = {

@@ -118,6 +118,21 @@ class DeltaDmlSpec extends AnyFunSuite {
       .collect()(0).getLong(0) === 10L, "the moved row keeps its image")
   }
 
+  test("the keyed contract holds everywhere the non-nullable key " +
+      "schema promises it: create/replaceAll drop null-keyed rows " +
+      "like upsert always has (no unaddressable row can exist)") {
+    val dir = Files.createTempDirectory("graft-nullkey").toString + "/t"
+    VersionedKeyedTable.create(
+      Seq((Some(1L), 10L), (None, 99L), (Some(2L), 20L))
+        .toDF("k", "v"), dir, "k", 2)
+    assert(VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long)].collect().toMap === Map(1L -> 10L, 2L -> 20L))
+    VersionedKeyedTable.replaceAll(spark, dir,
+      Seq((Some(3L), 30L), (None, 98L)).toDF("k", "v"), "k")
+    assert(VersionedKeyedTable.read(spark, dir)
+      .as[(Long, Long)].collect().toMap === Map(3L -> 30L))
+  }
+
   test("the serializable gate: a mutateMor pinned to a stale snapshot " +
       "fails loudly instead of re-applying derived rows") {
     val dir = Files.createTempDirectory("graft-deltagate").toString + "/t"
