@@ -95,6 +95,29 @@ class WapBranchSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not a branch"))
   }
 
+  test("a branch written MERGE-ON-READ publishes identically: MoR " +
+      "commits capture ordinary CDF, so the net change lands on main " +
+      "without the branch ever compacting — and main carries no " +
+      "pending MoR state afterwards") {
+    val base = fresh("mor")
+    val main = s"$base/main"; val br = s"$base/br"
+    VersionedKeyedTable.create(
+      (1L to 30L).map(i => (i, i)).toDF("k", "v"), main, "k", 4)
+    VersionedKeyedTable.branchFrom(spark, main, br)
+    VersionedKeyedTable.upsertMor(spark, br,
+      Seq((1L, -1L), (31L, 310L)).toDF("k", "v"), "k")
+    VersionedKeyedTable.deleteMor(spark, br, Seq(2L).toDF("k"), "k")
+    assert(VersionedKeyedTable.snapshot(spark, br)
+      .deletes.valuesIterator.flatten.nonEmpty,
+      "the branch really is in pending-MoR state")
+    VersionedKeyedTable.publish(spark, main, br, "k")
+    assert(state(main) === ((1L to 30L).map(i => i -> i).toMap +
+      (1L -> -1L) + (31L -> 310L)) - 2L)
+    assert(VersionedKeyedTable.snapshot(spark, main).deletes.isEmpty,
+      "the publish merge on main is copy-on-write — no pending state " +
+        "leaks across")
+  }
+
   test("additive schema evolution on the branch carries through the " +
       "publish; SQL faces: CALL cat.branch / cat.publish with the " +
       "evidence row, and the branch is an ordinary SQL identifier") {
