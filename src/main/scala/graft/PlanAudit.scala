@@ -579,7 +579,39 @@ object PlanAudit {
       "zero files and commits NOTHING — r13's filename-encoded " +
       "markers silently re-ingested deep files every scheduled run). " +
       "The late deep batch loads incrementally. Terminal plan: the " +
-      "table read."))
+      "table read."),
+    "versioned_limit_pushdown" -> ("Pushed LIMIT as FILE-PREFIX " +
+      "planning (SupportsPushDownLimit): a bare SELECT * LIMIT n " +
+      "plans the shortest manifest-ordered file prefix whose EXACT " +
+      "per-file row counts cover n (require-pinned: 1 of 8 files), " +
+      "isPartiallyPushed keeps Spark's own row-level limit on top, " +
+      "and a residual filter or pending MoR delete DECLINES " +
+      "truncation (require-pinned both ways). At 100 TB a peek query " +
+      "reads one file, not the fleet. Terminal plan: the driver-side " +
+      "evidence union."),
+    "versioned_topn_pushdown" -> ("Pushed ORDER BY key LIMIT n as " +
+      "ZONE-MAP top-N pruning (SupportsPushDownTopN): fold per-file " +
+      "(count, max) envelopes toward the extreme to bound the n-th " +
+      "key, then skip every file whose interval lies wholly beyond " +
+      "the bound — on a cluster()ed table that is the few files " +
+      "covering the extreme interval (require-pinned: kept*2 < " +
+      "planned, both directions; DESC's head cross-checked against " +
+      "the metadata-only max). Spark still sorts — the pushdown is " +
+      "partial, so pruning is pure I/O avoidance. Terminal plan: " +
+      "TakeOrderedAndProject over the truncated scan."),
+    "ivm_serve_agg" -> ("MAINTAINED-VIEW SERVING via DSv2 aggregate " +
+      "pushdown WITH grouping (GraftViewAggScan): a grouped count/" +
+      "sum/min/max over the base whose shape matches a registered " +
+      "incremental view — and whose view watermark equals EXACTLY " +
+      "the scan's snapshot version (checked against a PINNED view " +
+      "snapshot, so a racing refresh can never serve ahead) — is " +
+      "answered COMPLETE from the view's files: O(groups) I/O, no " +
+      "Aggregate node, works in any session (no optimizer extension " +
+      "to install). Staleness, filters, count(nullable), DISTINCT " +
+      "and multi-column grouping all fall back to the real " +
+      "aggregation (require-pinned across the full mutate→fallback→" +
+      "refresh→serve lifecycle). Terminal plan: a Project over the " +
+      "view's bucketed scan."))
     // stream_curation_resume is deliberately NOT explain-audited: its
     // fn executes the full crash+restart pipeline and the terminal
     // plan is just the output-table scan. Its per-micro-batch plan is

@@ -10,7 +10,7 @@ object Registry {
       StorageQueries2.all ++ StorageQueries3.all ++
       StorageQueries4.all ++ StorageQueries5.all ++
       StorageQueries6.all ++ StorageQueries7.all ++
-      StorageQueries8.all ++
+      StorageQueries8.all ++ StorageQueries9.all ++
       DataPipelineQueries.all ++ DataPipelineQueries2.all ++
       DataPipelineQueries3.all ++ DataPipelineQueries4.all ++
       DataPipelineQueries5.all ++ DataPipelineQueries6.all ++

@@ -69,9 +69,14 @@ object IncrementalView {
         s"view at $viewDir carries no $AppliedBaseKey stamp — was it " +
           "created by IncrementalView.createFrom?"))
 
-  private def committedWatermarkOpt(spark: SparkSession,
-      viewDir: String): Option[Long] = {
-    var cur = VersionedKeyedTable.snapshot(spark, viewDir)
+  /** [[committedWatermark]] starting from a PINNED view snapshot
+    * (never re-reads the view's head): the serving path's freshness
+    * check must pair the watermark with the exact snapshot it will
+    * read, or a refresh racing in between could report a NEWER
+    * watermark than the files being served. */
+  def watermarkOf(spark: SparkSession, viewDir: String,
+      from: VersionedKeyedTable.Snapshot): Option[Long] = {
+    var cur = from
     while (true) {
       cur.meta.get(AppliedBaseKey).map(_.toLong) match {
         case some @ Some(_) => return some
@@ -86,6 +91,11 @@ object IncrementalView {
     }
     None // unreachable
   }
+
+  private def committedWatermarkOpt(spark: SparkSession,
+      viewDir: String): Option[Long] =
+    watermarkOf(spark, viewDir,
+      VersionedKeyedTable.snapshot(spark, viewDir))
 
   /** Advance the view from base version `fromVersion` to `toVersion`
     * using only the CDF: every changed row contributes its OLD value

@@ -1327,6 +1327,8 @@ object VersionedKeyedTable {
       val evolved = org.apache.spark.sql.types.StructType(
         current.fields ++ updSchema.fields.filterNot(f =>
           current.fieldNames.contains(f.name)))
+      requireNotDropped(spark, dir, updSchema.fields.map(_.name)
+        .filterNot(current.fieldNames.contains))
       // refuse unstamped pending deletes in my buckets: their
       // sequence is unknown (= +inf), so they would kill the rows
       // this commit appends
@@ -1527,6 +1529,8 @@ object VersionedKeyedTable {
       val evolved = org.apache.spark.sql.types.StructType(
         schema.fields ++ dataFields.filterNot(f =>
           schema.fieldNames.contains(f.name)))
+      requireNotDropped(spark, dir, dataFields.map(_.name)
+        .filterNot(schema.fieldNames.contains).toSeq)
       val (newFiles, newStats, newCounts, newExtra) = written.getOrElse {
         val w = writeDataFiles(spark, dir, pinned, keyCol,
           statsCols = inheritedStatsCols(snap))
@@ -1646,6 +1650,8 @@ object VersionedKeyedTable {
       val evolved = org.apache.spark.sql.types.StructType(
         schema.fields ++ dataFields.filterNot(f =>
           schema.fieldNames.contains(f.name)))
+      requireNotDropped(spark, dir, dataFields.map(_.name)
+        .filterNot(schema.fieldNames.contains).toSeq)
       val (newFiles, newStats, newCounts, newExtra) = written.getOrElse {
         val w = writeDataFiles(spark, dir, pinned, keyCol,
           statsCols = inheritedStatsCols(snap))
@@ -1805,6 +1811,9 @@ object VersionedKeyedTable {
       val evolvedTx = org.apache.spark.sql.types.StructType(
         schema.fields ++ merged.schema.fields.filterNot(f =>
           f.name == "__bucket" || schema.fieldNames.contains(f.name)))
+      requireNotDropped(spark, dir, merged.schema.fieldNames.toSeq
+        .filterNot(n => n == "__bucket" ||
+          schema.fieldNames.contains(n)))
       val changeFiles = writeChangeFiles(spark, dir,
         classifyDiff(existing, merged.drop("__bucket"), keyCol, evolvedTx))
       val manifest = snap.files ++
@@ -1915,6 +1924,8 @@ object VersionedKeyedTable {
         current.fields ++
           updSchema.fields.filterNot(f =>
             current.fieldNames.contains(f.name)))
+      requireNotDropped(spark, dir, updSchema.fields.map(_.name)
+        .filterNot(current.fieldNames.contains).toSeq)
       // merge against the LIVE state: pending MOR delete files of the
       // touched buckets applied under the sequence rule — the rewrite
       // below then materializes the post-delete state, CONSUMING
@@ -3415,6 +3426,7 @@ object VersionedKeyedTable {
           newCols.size,
         s"addColumns: duplicate column names in " +
           newCols.map(_.name).mkString(", "))
+      requireNotDropped(spark, dir, newCols.map(_.name))
       val evolved = org.apache.spark.sql.types.StructType(
         schema.fields ++ newCols)
       // metadata-only, CDF-captured as EMPTY (no row changed): spans
@@ -3432,6 +3444,118 @@ object VersionedKeyedTable {
           committed = true
         else if (snapshot(spark, dir).version > cur.version)
           stale = true // someone committed: re-check collisions, retry
+        else if (awaitBlockingClaim(fs, spark, dir, cur.version))
+          stale = true
+        else v = nextClaimable(fs, dir, v + 1) // torn claim
+      }
+      if (committed) return
+    }
+  }
+
+  /** Column names ever DROPPED from this table — the tombstone set
+    * [[dropColumn]] records (one `dropped.<name>` table property per
+    * name, never a read-modify-write) and every evolution path
+    * consults: data files written before a drop still physically
+    * carry the column, so re-adding the NAME would silently resurrect
+    * those stale values into pre-drop rows (parquet by-name
+    * resolution). Iceberg avoids this with field ids and Delta with
+    * physical-name mapping; this store's data files are addressed by
+    * name, so the honest contract is a refusal — pick a new name, or
+    * rebuild the table. */
+  def droppedColumns(spark: SparkSession, dir: String): Set[String] =
+    properties(spark, dir).keysIterator
+      .filter(_.startsWith("dropped."))
+      .map(_.stripPrefix("dropped.")).toSet
+
+  /** Refuse an evolution that would re-introduce a dropped column
+    * name (see [[droppedColumns]]). Called with only the GENUINELY
+    * NEW fields of the evolution — no property read on the common
+    * no-new-columns path. */
+  private def requireNotDropped(spark: SparkSession, dir: String,
+      added: Seq[String]): Unit =
+    if (added.nonEmpty) {
+      val resolver = spark.sessionState.analyzer.resolver
+      val dropped = droppedColumns(spark, dir)
+      added.foreach { n =>
+        require(!dropped.exists(resolver(_, n)),
+          s"column '$n' was previously dropped from $dir — re-adding " +
+            "the name would resurrect stale values from data files " +
+            "written before the drop (parquet by-name resolution); " +
+            "pick a new name, or rebuild the table")
+      }
+    }
+
+  /** DROP COLUMN as ONE metadata-only commit (the ALTER TABLE DROP
+    * COLUMN face): the manifest's per-version schema narrows, NO data
+    * file is touched — old files keep the bytes (readers simply never
+    * project the column; a compliance purge that must erase the bytes
+    * rewrites via [[cluster]]/[[compact]] after the drop and then
+    * [[vacuum]]s). Time travel keeps each version's own schema, so
+    * pre-drop versions still read the column. Refused for: the key
+    * column (it IS the layout), a column any live CHECK constraint
+    * references (the constraint would pad it as null forever — drop
+    * the constraint first), and the last remaining column. The name
+    * is tombstoned BEFORE the commit ([[droppedColumns]]) — a crash
+    * between the two leaves a spurious tombstone (a refused future
+    * re-add, safe) rather than a resurrectable name (silent data
+    * corruption). Carried named stats for the column are stripped so
+    * the manifest never references a column its schema lacks. At
+    * 100 TB the cost is one manifest write, independent of table
+    * size. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
+    val (_, metaSchema) = readMeta(spark, dir)
+    val fs = hfs(spark, dir)
+    val resolver = spark.sessionState.analyzer.resolver
+    KeyedTable.readMetaKey(spark, dir).foreach { k =>
+      require(!resolver(k, name),
+        s"cannot drop '$name': it is the table's key column — the " +
+          "key is the layout (bucketing, zone maps, MoR deletes)")
+    }
+    constraints(spark, dir).toSeq.sortBy(_._1).foreach { case (cn, check) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(check)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.name
+        }
+      require(!refs.exists(resolver(_, name)),
+        s"cannot drop '$name': constraint '$cn' CHECK ($check) " +
+          "references it — drop the constraint first")
+    }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 10) throw new IllegalStateException(
+        s"VersionedKeyedTable at $dir: dropColumn contention exceeded " +
+          "10 attempts")
+      val cur = snapshot(spark, dir)
+      val schema = cur.schema.getOrElse(metaSchema)
+      val field = schema.fields.find(f => resolver(f.name, name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"dropColumn: no column '$name' in " +
+            schema.fieldNames.mkString(", ")))
+      val remaining = schema.fields.filterNot(_.name == field.name)
+      require(remaining.nonEmpty, "cannot drop the last column")
+      // tombstone FIRST (see scaladoc), idempotent across retries
+      setProperty(spark, dir, s"dropped.${field.name}", "1")
+      // strip the column's carried named stats — never reference a
+      // column the committed schema lacks
+      val prunedExtra = cur.extraStats
+        .map { case (f, m) => f -> (m - field.name) }
+        .filter(_._2.nonEmpty)
+      val content = renderManifest(Set.empty, cur.files,
+        org.apache.spark.sql.types.StructType(remaining),
+        cur.stats, Some(Seq.empty),
+        Map(BaseKey -> cur.version.toString,
+          "graft.alter.dropColumn" -> field.name),
+        cur.counts, prunedExtra, cur.deletes, cur.seqs)
+      var v = cur.version + 1
+      var committed = false
+      var stale = false
+      while (!committed && !stale) {
+        if (tryCommit(fs, dir, versionPath(dir, v), content))
+          committed = true
+        else if (snapshot(spark, dir).version > cur.version)
+          stale = true // someone committed: re-resolve, retry
         else if (awaitBlockingClaim(fs, spark, dir, cur.version))
           stale = true
         else v = nextClaimable(fs, dir, v + 1) // torn claim

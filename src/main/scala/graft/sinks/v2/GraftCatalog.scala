@@ -6,9 +6,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCatalog, TableCapability, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.expressions.NamedReference
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum => V2Sum}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
@@ -164,18 +164,21 @@ class GraftCatalog extends TableCatalog
         ident.name().endsWith("$deletes") ||
         ident.name().endsWith("$tags") ||
         ident.name().endsWith("$constraints") ||
-        ident.name().endsWith("$ingest")) {
+        ident.name().endsWith("$ingest") ||
+        ident.name().endsWith("$views")) {
       val isHistory = ident.name().endsWith("$history")
       val isDeletes = ident.name().endsWith("$deletes")
       val isTags = ident.name().endsWith("$tags")
       val isConstraints = ident.name().endsWith("$constraints")
       val isIngest = ident.name().endsWith("$ingest")
+      val isViews = ident.name().endsWith("$views")
       val suffix =
         if (isHistory) "$history"
         else if (isDeletes) "$deletes"
         else if (isTags) "$tags"
         else if (isConstraints) "$constraints"
-        else if (isIngest) "$ingest" else "$files"
+        else if (isIngest) "$ingest"
+        else if (isViews) "$views" else "$files"
       val dir = (ident.namespace() :+ ident.name().stripSuffix(suffix))
         .mkString(s"$base/", "/", "")
       if (KeyedTable.readMeta(spark, dir).isEmpty)
@@ -198,6 +201,39 @@ class GraftCatalog extends TableCatalog
             .toArray.sortBy(_._1).map { case (n, e) =>
               InternalRow(utf8(n), utf8(e))
             })
+      // `t$views`: the registered incremental views (view name,
+      // dimensions, durable watermark, freshness against the base's
+      // CURRENT version) — the operator's one-look answer to "will
+      // my rollup be served, and if not, what refresh is missing"
+      if (isViews)
+        return new GraftMetaTable(ident.toString,
+          GraftCatalog.ViewsSchema,
+          () => {
+            val spark0 = SparkSession.active
+            val baseV = VersionedKeyedTable.snapshot(spark0, dir).version
+            val cut = dir.lastIndexOf('/')
+            VersionedKeyedTable.properties(spark0, dir).toArray
+              .collect { case (k, v) if k.startsWith("ivm.view.") => v }
+              .flatMap(_.split('|') match {
+                case Array(n, gc, vc) => Some((
+                  java.net.URLDecoder.decode(n, "UTF-8"),
+                  java.net.URLDecoder.decode(gc, "UTF-8"),
+                  java.net.URLDecoder.decode(vc, "UTF-8")))
+                case _ => None
+              })
+              .sortBy(_._1)
+              .map { case (n, gc, vc) =>
+                val wm =
+                  try graft.sinks.IncrementalView.watermarkOf(spark0,
+                    s"${dir.take(cut)}/$n",
+                    VersionedKeyedTable.snapshot(spark0,
+                      s"${dir.take(cut)}/$n"))
+                  catch { case scala.util.control.NonFatal(_) => None }
+                InternalRow(utf8(n), utf8(gc), utf8(vc),
+                  wm.map(Long.box).orNull,
+                  wm.contains(baseV))
+              }
+          })
       // `t$ingest`: the COPY INTO registry — every source-file
       // identity (relative path + length) already loaded
       if (isIngest)
@@ -271,7 +307,7 @@ class GraftCatalog extends TableCatalog
       case None =>
         val resolveDir =
           Seq("$changes", "$history", "$files", "$deletes",
-            "$tags", "$constraints", "$ingest")
+            "$tags", "$constraints", "$ingest", "$views")
             .find(ident.name().endsWith)
             .map(sfx =>
               (ident.namespace() :+ ident.name().stripSuffix(sfx))
@@ -291,7 +327,7 @@ class GraftCatalog extends TableCatalog
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val resolveDir =
       Seq("$changes", "$history", "$files", "$deletes",
-            "$tags", "$constraints", "$ingest")
+            "$tags", "$constraints", "$ingest", "$views")
         .find(ident.name().endsWith)
       .map(sfx => (ident.namespace() :+ ident.name().stripSuffix(sfx))
         .mkString(s"$base/", "/", ""))
@@ -431,9 +467,17 @@ class GraftCatalog extends TableCatalog
     * `UNSET TBLPROPERTIES` for `write.mode` (cow|mor — the regimen
     * SQL DML writes under) and `constraint.<name>` (ADD/DROP a CHECK
     * constraint, the Delta ALTER TABLE ADD CONSTRAINT shape).
-    * Everything else — drops, renames, retypes, repositioning, key
-    * changes — is refused: the store's evolution contract is additive
-    * only and the key column is the layout. */
+    * `ALTER TABLE cat.t DROP COLUMN x` maps to
+    * [[VersionedKeyedTable.dropColumn]] — ONE metadata-only commit
+    * narrowing the per-version schema (no data file touched; old
+    * files keep the bytes until a rewrite), with the name TOMBSTONED
+    * so no later ADD can resurrect stale values out of pre-drop
+    * files. Refused for the key column, constraint-referenced
+    * columns, and the last column. Everything else — renames,
+    * retypes, repositioning, key changes — is refused: data files
+    * are addressed by column NAME (no field-id/physical-name
+    * indirection), so a rename would orphan every existing value;
+    * ADD a new column and backfill instead. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
@@ -456,6 +500,23 @@ class GraftCatalog extends TableCatalog
         StructField(a.fieldNames()(0), a.dataType(), nullable = true)))
     changes.foreach {
       case _: TableChange.AddColumn => () // handled above, one commit
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"ALTER TABLE $ident: only top-level columns can be " +
+            s"dropped (got ${d.fieldNames().mkString(".")})")
+        try VersionedKeyedTable.dropColumn(spark, dir, d.fieldNames()(0))
+        catch {
+          case e: IllegalArgumentException
+              if d.ifExists() && e.getMessage != null &&
+                e.getMessage.contains("no column") => ()
+        }
+      case r: TableChange.RenameColumn =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE $ident RENAME COLUMN " +
+            s"${r.fieldNames().mkString(".")}: data files are " +
+            "addressed by column name (no field-id indirection), so " +
+            "a rename would orphan every existing value — ADD a new " +
+            "column and backfill, or rebuild the table")
       case sp: TableChange.SetProperty => sp.property() match {
         case p if p.startsWith("constraint.") =>
           VersionedKeyedTable.addConstraint(spark, dir,
@@ -805,6 +866,13 @@ object GraftCatalog {
   val IngestSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("length", LongType, nullable = true)))
+
+  val ViewsSchema: StructType = StructType(Seq(
+    StructField("view", StringType, nullable = false),
+    StructField("group_col", StringType, nullable = false),
+    StructField("value_col", StringType, nullable = false),
+    StructField("watermark", LongType, nullable = true),
+    StructField("fresh", BooleanType, nullable = false)))
 }
 
 /** A driver-materialized metadata relation (`t$history` / `t$files`):
@@ -1180,12 +1248,15 @@ class GraftScanBuilder(dir: String,
     timeTravel: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var accepted: Array[Filter] = Array.empty
   private var sawFilters = false
   private var required: StructType = tableSchema
   private var aggRow: Option[(StructType, Seq[Any])] = None
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(Boolean, Int)] = None
 
   private def longImage(v: Any): Option[Long] =
     GraftScanBuilder.longImage(v)
@@ -1226,6 +1297,120 @@ class GraftScanBuilder(dir: String,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // ---- LIMIT / ORDER-BY-KEY TOP-N: FILE-PREFIX PLANNING -------------
+  // Pushed limits never answer rows here — they bound which FILES the
+  // scan plans. `isPartiallyPushed` stays true, so Spark always
+  // re-applies its own row-level limit/sort on top; truncation is
+  // therefore pure I/O avoidance and can only ever be conservative.
+  // `SELECT * FROM t LIMIT n`: the manifest's exact per-file row
+  // counts pick the shortest file prefix covering n rows — at 100 TB a
+  // peek query plans ~1 file instead of the fleet-wide scan. `ORDER BY
+  // key LIMIT n`: the n-th extreme value is bounded by folding the
+  // zone maps (sort files by max ascending, accumulate counts to n —
+  // at least n rows sit at or below that boundary), then every file
+  // whose envelope lies strictly beyond the bound is skipped; on a
+  // cluster()ed table that is the few files covering the extreme key
+  // interval. Both decline under pending merge-on-read deletes (counts
+  // overstate live rows, envelopes may be dead) and never drop a file
+  // without stats — the same conservatism as every other pruning path.
+
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit <= 0) return false
+    pushedLimit = Some(limit)
+    true
+  }
+
+  /** Spark must keep its own limit (and sort) — see above. */
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean =
+    orders match {
+      case Array(o) if limit > 0 && keyCol.isDefined =>
+        val onKey = o.expression() match {
+          case nr: NamedReference =>
+            nr.fieldNames.length == 1 && nr.fieldNames()(0) == keyCol.get
+          case _ => false
+        }
+        // null ordering is irrelevant: the store enforces the
+        // no-null-key invariant on every write surface
+        if (onKey) {
+          pushedTopN =
+            Some((o.direction() == SortDirection.ASCENDING, limit))
+          true
+        } else false
+      case _ => false
+    }
+
+  /** The shortest manifest-ordered file prefix whose exact row counts
+    * cover `n` — or the input unchanged when any count is missing. */
+  private def limitPrefix(kept: Seq[String], n: Int): Seq[String] = {
+    if (!kept.forall(snap.counts.contains)) return kept
+    val pos = snap.files.toSeq.sortBy(_._1).flatMap(_._2)
+      .zipWithIndex.toMap
+    val ordered = kept.sortBy(f => pos.getOrElse(f, Int.MaxValue))
+    val out = Seq.newBuilder[String]
+    var acc = 0L
+    val it = ordered.iterator
+    while (acc < n && it.hasNext) {
+      val f = it.next()
+      out += f
+      acc += math.max(0L, snap.counts(f))
+    }
+    out.result()
+  }
+
+  /** Zone-map top-N pruning on the key (see the section comment):
+    * keeps every file whose envelope can reach the n-extreme bound,
+    * plus every file without a parseable envelope or count. */
+  private def topNKeep(kept: Seq[String], asc: Boolean, n: Int)
+      : Seq[String] = {
+    val k = keyCol.get
+    val isNum = numericCol(k)
+    if (!isNum && !stringCol(k)) return kept
+    val utf8 = VersionedKeyedTable.Utf8Ord
+    def img(f: String)
+        : Option[(Either[Long, String], Either[Long, String])] =
+      snap.stats.get(f).flatMap { case (mn, mx) =>
+        if (isNum)
+          for (a <- mn.toLongOption; b <- mx.toLongOption)
+            yield (Left(a), Left(b))
+        else Some((Right(mn), Right(mx)))
+      }
+    def le(a: Either[Long, String], b: Either[Long, String]): Boolean =
+      (a, b) match {
+        case (Left(x), Left(y)) => x <= y
+        case (Right(x), Right(y)) => utf8.lteq(x, y)
+        case _ => true // mixed images never happen for one column
+      }
+    val withMeta = kept.map(f => (f, img(f), snap.counts.get(f)))
+    val measurable = withMeta.collect {
+      case (f, Some(iv), Some(c)) if c > 0 => (f, iv, c)
+    }
+    // fold toward the extreme: ascending accumulates files by MAX
+    // ascending (their every row is <= the running boundary);
+    // descending mirrors with MIN descending
+    val folded =
+      if (asc) measurable.sortWith((x, y) => le(x._2._2, y._2._2))
+      else measurable.sortWith((x, y) => le(y._2._1, x._2._1))
+    var acc = 0L
+    var bound: Option[Either[Long, String]] = None
+    val it = folded.iterator
+    while (acc < n && it.hasNext) {
+      val (_, iv, c) = it.next()
+      acc += c
+      bound = Some(if (asc) iv._2 else iv._1)
+    }
+    if (acc < n) kept // not enough measurable rows to bound the n-th
+    else {
+      val b = bound.get
+      withMeta.filter {
+        case (_, Some(iv), Some(_)) =>
+          if (asc) le(iv._1, b) else le(b, iv._2)
+        case _ => true // unmeasurable files are never dropped
+      }.map(_._1)
+    }
+  }
 
   // ---- METADATA-ONLY AGGREGATES ------------------------------------
   // COUNT(*) is the manifest's row-count sum and MIN/MAX of a
@@ -1298,7 +1483,7 @@ class GraftScanBuilder(dir: String,
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    aggValuesFor(agg).isDefined
+    aggValuesFor(agg).isDefined || viewServeFor(agg).isDefined
 
   private def aggValuesFor(agg: Aggregation)
       : Option[Seq[(DataType, Boolean, Any)]] = {
@@ -1330,8 +1515,142 @@ class GraftScanBuilder(dir: String,
         }
         aggRow = Some((schema, vals.map(_._3)))
         true
-      case None => false
+      case None => viewServeFor(agg) match {
+        case Some(plan) => viewServe = Some(plan); true
+        case None => false
+      }
     }
+
+  // ---- MAINTAINED-VIEW SERVING (grouped aggregate pushdown) --------
+  // The materialized-view auto-rewrite, seated in DSv2's OWN
+  // aggregate-pushdown contract so it works in ANY session (no
+  // optimizer extension to install): when a grouped aggregate over
+  // this table matches a REGISTERED incremental view (see
+  // `CALL cat.create_agg_view` — an [[IncrementalView]] full view:
+  // per-group cnt/total/mn/mx maintained from the CDF) AND that
+  // view's durable watermark equals EXACTLY this scan's snapshot
+  // version, the "complete pushdown" answer is a scan of the VIEW's
+  // files — O(groups) instead of O(table). The freshness check pairs
+  // the watermark with a PINNED view snapshot, so a refresh racing
+  // past it can never serve rows newer than this scan's version; any
+  // staleness, any filter, any unmatched aggregate falls back to the
+  // ordinary scan + real aggregation. At 100 TB this is the
+  // dashboard-query story: the big table's grouped rollup reads the
+  // few files of its maintained view, with correctness anchored to
+  // the snapshot the plan already promised.
+
+  private case class ViewServe(viewDir: String,
+      viewSnap: VersionedKeyedTable.Snapshot,
+      viewSchema: StructType, required: StructType, viewKey: String,
+      baseVersion: Long)
+
+  private var viewServe: Option[ViewServe] = None
+  private var viewServeMemo: Option[(Aggregation, Option[ViewServe])] =
+    None
+
+  private def viewServeFor(agg: Aggregation): Option[ViewServe] = {
+    // supportCompletePushDown and pushAggregation both ask — compute
+    // once per Aggregation instance (freshness must not be re-read
+    // between the two, or a racing refresh could flip the answer)
+    viewServeMemo match {
+      case Some((a, r)) if a eq agg => return r
+      case _ => ()
+    }
+    val r = computeViewServe(agg)
+    viewServeMemo = Some((agg, r))
+    r
+  }
+
+  private def computeViewServe(agg: Aggregation): Option[ViewServe] = {
+    if (sawFilters || timeTravel) return None
+    if (agg.groupByExpressions.length != 1 ||
+        agg.aggregateExpressions.isEmpty) return None
+    val g = agg.groupByExpressions()(0) match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        nr.fieldNames()(0)
+      case _ => return None
+    }
+    val spark = SparkSession.active
+    val resolver = spark.sessionState.analyzer.resolver
+    val views = VersionedKeyedTable.properties(spark, dir).toSeq
+      .collect { case (k, v) if k.startsWith("ivm.view.") => v }
+      .flatMap { v =>
+        v.split('|') match {
+          case Array(n, gc, vc) => Some((dec0(n), dec0(gc), dec0(vc)))
+          case _ => None
+        }
+      }
+    views.iterator.flatMap { case (viewName, groupCol, valueCol) =>
+      if (resolver(groupCol, g))
+        serveFrom(spark, viewName, groupCol, valueCol, agg)
+      else None
+    }.nextOption()
+  }
+
+  private def dec0(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** One registered view against the pushed aggregation: map every
+    * aggregate onto a view column or give up. */
+  private def serveFrom(spark: SparkSession, viewName: String,
+      groupCol: String, valueCol: String, agg: Aggregation)
+      : Option[ViewServe] = {
+    val resolver = spark.sessionState.analyzer.resolver
+    def isValueCol(
+        children: Array[org.apache.spark.sql.connector.expressions.Expression])
+        : Boolean = children match {
+      case Array(nr: NamedReference) if nr.fieldNames.length == 1 =>
+        resolver(nr.fieldNames()(0), valueCol)
+      case _ => false
+    }
+    val mapped: Seq[Option[String]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("cnt")
+      case s: V2Sum if !s.isDistinct && isValueCol(s.children) =>
+        Some("total")
+      case m: Min if isValueCol(m.children) => Some("mn")
+      case m: Max if isValueCol(m.children) => Some("mx")
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) return None
+    val cols = mapped.map(_.get)
+    if (cols.distinct.size != cols.size) return None // dup read names
+    val viewDir = {
+      val cut = dir.lastIndexOf('/')
+      if (cut < 0) return None
+      dir.substring(0, cut) + "/" + viewName
+    }
+    if (KeyedTable.readMeta(spark, viewDir).isEmpty) return None
+    val viewSnap =
+      try VersionedKeyedTable.snapshot(spark, viewDir)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    // freshness: the view's DURABLE watermark (walked from the PINNED
+    // snapshot) must equal exactly this scan's snapshot version
+    if (!graft.sinks.IncrementalView
+        .watermarkOf(spark, viewDir, viewSnap)
+        .contains(snap.version)) return None
+    val viewSchema = viewSnap.schema.getOrElse(
+      KeyedTable.readMeta(spark, viewDir).get._2)
+    def field(n: String): Option[StructField] =
+      viewSchema.fields.find(f => resolver(f.name, n))
+    val gField = field(groupCol).getOrElse(return None)
+    // the base group column's type must match the view's (same source
+    // column, but never trust without checking)
+    if (tableSchema.fields.find(f => resolver(f.name, groupCol))
+        .forall(_.dataType != gField.dataType)) return None
+    val aggFields = cols.map(c => field(c).getOrElse(return None))
+    // expected result types: count -> LongType; sum(int family) ->
+    // LongType (the view's total, summed the same way); min/max ->
+    // the value column's own type. The view was built by the same
+    // engine's aggregates, so its column types ARE the expected
+    // types; mismatches (schema drift) fall back.
+    if (cols.contains("cnt") &&
+        field("cnt").exists(_.dataType != LongType)) return None
+    val required = StructType(gField +: aggFields)
+    val viewKey = KeyedTable.readMetaKey(spark, viewDir)
+      .getOrElse(return None)
+    Some(ViewServe(viewDir, viewSnap, viewSchema, required, viewKey,
+      snap.version))
+  }
 
   /** Per-column [lo, hi] in the stat image, from the accepted
     * conjuncts (strict bounds widen by one / stay inclusive — only
@@ -1388,7 +1707,12 @@ class GraftScanBuilder(dir: String,
   override def build(): Scan = aggRow match {
     case Some((aggSchema, vals)) =>
       new GraftAggScan(aggSchema, vals, allFiles.size)
-    case None => buildRowScan()
+    case None => viewServe match {
+      case Some(vs) =>
+        new GraftViewAggScan(vs.viewDir, vs.viewSnap, vs.viewSchema,
+          vs.required, vs.viewKey, dir, vs.baseVersion)
+      case None => buildRowScan()
+    }
   }
 
   /** The ROW scan: manifest zone-map FILE pruning (ours) composed
@@ -1511,11 +1835,46 @@ class GraftScanBuilder(dir: String,
         }
       }
     } else {
+      // limit/top-N file truncation (plain row scans only — the
+      // metadata-column path above serves row-level rewrites, which
+      // must see every kept file). Gated on: no residual filters (a
+      // filter between scan and limit blocks the pushdown anyway, but
+      // never trust that implicitly) and no pending MoR deletes.
+      val noPendingDeletes = snap.deletes.values.forall(_.isEmpty)
+      val (keptFinal, limitPlan): (Seq[String], Option[(Int, Int)]) =
+        if (sawFilters || !noPendingDeletes) (keptPruned, None)
+        else (pushedTopN, pushedLimit) match {
+          case (Some((asc, n)), _) =>
+            val keep = topNKeep(keptPruned, asc, n)
+            (keep, Some((keep.size, keptPruned.size)))
+          case (_, Some(n)) =>
+            val keep = limitPrefix(keptPruned, n)
+            (keep, Some((keep.size, keptPruned.size)))
+          case _ => (keptPruned, None)
+        }
       new GraftRowScan(dir, snap, tableSchema, required, accepted,
-        keyCol, keptPruned, numBuckets, scanOptions, timeTravel)
+        keyCol, keptFinal, numBuckets, scanOptions, timeTravel,
+        limitPlan)
     }
   }
 }
+
+/** A grouped aggregate served COMPLETE from a maintained incremental
+  * view (see GraftScanBuilder's view-serving section): a [[GraftRowScan]]
+  * over the VIEW table's pinned snapshot, whose read schema is laid
+  * out exactly as the pushed aggregation expects (group column first,
+  * then one column per aggregate, in pushed order). The distinct type
+  * exists so specs and check queries can pin "this aggregate read the
+  * view, not the base" off the executed plan. */
+class GraftViewAggScan(viewDir: String,
+    viewSnap: VersionedKeyedTable.Snapshot, viewSchema: StructType,
+    required: StructType, viewKey: String,
+    /** The BASE table dir + snapshot version this serve is anchored
+      * to — the view's durable watermark equals it by construction. */
+    val servedBaseDir: String, val servedBaseVersion: Long)
+    extends GraftRowScan(viewDir, viewSnap, viewSchema, required,
+      Array.empty, Some(viewKey),
+      viewSnap.files.values.flatten.toSeq, None)
 
 /** The catalog ROW scan: manifest-pruned files handed to Spark's own
   * vectorized [[org.apache.spark.sql.execution.datasources.v2.parquet
@@ -1544,7 +1903,10 @@ class GraftRowScan(dir: String,
     keptAtPlan: Seq[String], numBuckets: Option[Int] = None,
     scanOptions: CaseInsensitiveStringMap =
       CaseInsensitiveStringMap.empty(),
-    timeTravel: Boolean = false)
+    timeTravel: Boolean = false,
+    /** (files planned, files kept before limit/top-N truncation) when
+      * a pushed limit participated in file planning — spec evidence. */
+    limitPlan: Option[(Int, Int)] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1604,6 +1966,11 @@ class GraftRowScan(dir: String,
   /** The pruned read schema handed to the vectorized parquet scan —
     * what projection-pushdown specs pin. */
   def readSchemaNames: Seq[String] = required.fieldNames.toSeq
+
+  /** (files planned, files kept before truncation) when a pushed
+    * LIMIT / ORDER-BY-key top-N participated in file planning; None
+    * when no limit reached the scan or truncation stood down. */
+  def limitFileCounts: Option[(Int, Int)] = limitPlan
 
   private def spark = SparkSession.active
 

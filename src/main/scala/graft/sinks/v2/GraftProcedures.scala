@@ -43,7 +43,8 @@ object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "cluster", "cluster_by", "vacuum", "tag", "drop_tag",
       "add_constraint", "drop_constraint", "ingest_files",
-      "branch", "publish")
+      "branch", "publish",
+      "create_agg_view", "refresh_view", "drop_agg_view")
 
   def apply(base: String, name: String): UnboundProcedure = name match {
     case "compact" => new GraftProc(base, "compact",
@@ -185,6 +186,73 @@ object GraftProcedures {
         VersionedKeyedTable.publish(spark, dir,
           s"$base/${args.getUTF8String(1).toString}", key,
           allowDiverged = args.getBoolean(2)): Unit
+    }
+    // `CALL cat.create_agg_view(tbl => 't', view => 't_by_g',
+    //  group_col => 'g', value_col => 'x')` — a MAINTAINED
+    // per-group (cnt, total, mn, mx) rollup as its own catalog table
+    // (IncrementalView full view), registered on the base so grouped
+    // aggregates over `t` that match are SERVED from the view's few
+    // files whenever its watermark equals the scan's snapshot
+    // (GraftViewAggScan). `refresh_view` advances it from the CDF
+    // (O(changed rows)); `drop_agg_view` removes the registration
+    // (DROP TABLE removes the data). Version-neutral on the base.
+    case "create_agg_view" => new GraftProc(base, "create_agg_view",
+      Array(
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("view", StringType).build(),
+        ProcedureParameter.in("group_col", StringType).build(),
+        ProcedureParameter.in("value_col", StringType).build(),
+        ProcedureParameter.in("buckets", IntegerType)
+          .defaultValue("8").build())) {
+      def run(spark: SparkSession, dir: String, key: String,
+          args: InternalRow): Unit = {
+        val view = args.getUTF8String(1).toString
+        val groupCol = args.getUTF8String(2).toString
+        val valueCol = args.getUTF8String(3).toString
+        val viewDir = s"$base/$view"
+        require(KeyedTable.readMeta(spark, viewDir).isEmpty,
+          s"create_agg_view: table '$view' already exists")
+        val schema = VersionedKeyedTable
+          .snapshot(spark, dir).schema
+          .getOrElse(KeyedTable.readMeta(spark, dir).get._2)
+        val resolver = spark.sessionState.analyzer.resolver
+        Seq(groupCol, valueCol).foreach(c =>
+          require(schema.fieldNames.exists(resolver(_, c)),
+            s"create_agg_view: no column '$c' in " +
+              schema.fieldNames.mkString(", ")))
+        graft.sinks.IncrementalView.createFromFull(spark, dir,
+          viewDir, groupCol, valueCol,
+          numBuckets = args.getInt(4)): Unit
+        def e(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+        VersionedKeyedTable.setProperty(spark, dir,
+          s"ivm.view.$view", s"${e(view)}|${e(groupCol)}|${e(valueCol)}")
+      }
+    }
+    case "refresh_view" => new GraftProc(base, "refresh_view",
+      Array(
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("view", StringType).build())) {
+      def run(spark: SparkSession, dir: String, key: String,
+          args: InternalRow): Unit = {
+        val view = args.getUTF8String(1).toString
+        val reg = VersionedKeyedTable.property(spark, dir,
+          s"ivm.view.$view").getOrElse(throw new IllegalArgumentException(
+            s"refresh_view: no view '$view' registered on this table " +
+              "(CALL create_agg_view first)"))
+        def d(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+        val Array(_, gc, vc) = reg.split('|')
+        graft.sinks.IncrementalView.refreshFromCommittedFull(spark,
+          dir, s"$base/$view", key, d(gc), d(vc)): Unit
+      }
+    }
+    case "drop_agg_view" => new GraftProc(base, "drop_agg_view",
+      Array(
+        ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("view", StringType).build())) {
+      def run(spark: SparkSession, dir: String, key: String,
+          args: InternalRow): Unit =
+        VersionedKeyedTable.removeProperty(spark, dir,
+          s"ivm.view.${args.getUTF8String(1).toString}"): Unit
     }
     case other => throw new IllegalArgumentException(
       s"no such procedure $other (available: ${All.mkString(", ")})")

@@ -55,4 +55,10 @@ object GraftScanInspect {
     * aggregate declined to the ordinary row scan). */
   def aggScans(df: DataFrame): Seq[GraftAggScan] =
     scans(df).collect { case s: GraftAggScan => s }
+
+  /** The maintained-view serving scans of this plan (a grouped
+    * aggregate answered from an incremental view's files — empty when
+    * the aggregate ran against the base). */
+  def viewAggScans(df: DataFrame): Seq[GraftViewAggScan] =
+    scans(df).collect { case s: GraftViewAggScan => s }
 }

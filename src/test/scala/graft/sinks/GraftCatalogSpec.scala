@@ -770,10 +770,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("ALTER TABLE gcat.alt1 ADD COLUMNS (V BIGINT)")
     }
-    // non-additive evolution refuses (drop / rename / retype)
-    intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.alt1 DROP COLUMN v")
-    }
+    // non-additive evolution refuses (rename / retype); DROP COLUMN
+    // is its own metadata-only operation — see the dedicated test
     intercept[Exception] {
       spark.sql("ALTER TABLE gcat.alt1 RENAME COLUMN v TO w")
     }
@@ -835,5 +833,262 @@ class GraftCatalogSpec extends AnyFunSuite {
       .deletes.valuesIterator.flatten.isEmpty,
       "after UNSET a keyed DELETE rewrites copy-on-write (no delete " +
         "file)")
+  }
+
+  test("pushed LIMIT plans a row-count-sufficient file prefix; " +
+      "residual filters and pending MoR deletes decline truncation") {
+    val dir = s"$base/lim"
+    VersionedKeyedTable.create(
+      (1L to 2000L).map(i => (i, i * 10L)).toDF("k", "v")
+        .repartition(8), dir, "k", numBuckets = 2)
+    val total = VersionedKeyedTable.snapshot(spark, dir)
+      .files.valuesIterator.map(_.size).sum
+    assert(total > 2, s"fixture needs several files, got $total")
+    val peek = spark.sql(
+      "SELECT count(*) AS n FROM (SELECT * FROM gcat.lim LIMIT 3)")
+    assert(peek.collect()(0).getLong(0) === 3L)
+    val ev = graft.sinks.v2.GraftScanInspect.rowScan(peek).limitFileCounts
+    assert(ev.isDefined, "pushed LIMIT must reach file planning")
+    val (planned, before) = ev.get
+    assert(planned === 1 && before === total,
+      s"LIMIT 3 over ${total} counted files must plan a one-file " +
+        s"prefix ($planned/$before)")
+    // rows stay exact: Spark's own limit rides on top (partial push)
+    assert(spark.sql("SELECT count(*) AS n FROM (SELECT * FROM " +
+        "gcat.lim LIMIT 999999)").collect()(0).getLong(0) === 2000L)
+    // a residual filter between scan and limit declines truncation
+    val filtered = spark.sql("SELECT count(*) AS n FROM (SELECT * " +
+      "FROM gcat.lim WHERE v % 20 = 0 LIMIT 100000)")
+    assert(filtered.collect()(0).getLong(0) === 1000L)
+    assert(graft.sinks.v2.GraftScanInspect.rowScans(filtered)
+      .forall(_.limitFileCounts.isEmpty),
+      "a scan under a residual filter must decline limit truncation")
+    // pending MoR deletes decline (counts overstate live rows)
+    VersionedKeyedTable.deleteMor(spark, dir,
+      Seq(1L, 2L).toDF("k"), "k")
+    val morPeek = spark.sql(
+      "SELECT count(*) AS n FROM (SELECT * FROM gcat.lim LIMIT 1999)")
+    assert(morPeek.collect()(0).getLong(0) === 1998L,
+      "LIMIT past the live row count must see deletes applied")
+    assert(graft.sinks.v2.GraftScanInspect.rowScans(morPeek)
+      .forall(_.limitFileCounts.isEmpty),
+      "pending MoR deletes must decline limit truncation")
+  }
+
+  test("pushed ORDER BY key LIMIT prunes files via zone maps on a " +
+      "clustered table, both directions, numeric and string keys") {
+    val dir = s"$base/topn"
+    VersionedKeyedTable.create(
+      (1L to 2000L).map(i => (i, i * 10L)).toDF("k", "v")
+        .repartition(8), dir, "k", numBuckets = 2)
+    VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 200L)
+    val asc = spark.sql("SELECT k FROM gcat.topn ORDER BY k LIMIT 5")
+    assert(asc.as[Long].collect().toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val (aKept, aBefore) = graft.sinks.v2.GraftScanInspect.rowScan(asc)
+      .limitFileCounts.getOrElse(fail("ASC top-N evidence missing"))
+    assert(aKept < aBefore,
+      s"ASC top-5 must prune clustered files ($aKept/$aBefore)")
+    val desc = spark.sql(
+      "SELECT k FROM gcat.topn ORDER BY k DESC LIMIT 4")
+    assert(desc.as[Long].collect().toSeq ===
+      Seq(2000L, 1999L, 1998L, 1997L))
+    val (dKept, dBefore) = graft.sinks.v2.GraftScanInspect.rowScan(desc)
+      .limitFileCounts.getOrElse(fail("DESC top-N evidence missing"))
+    assert(dKept < dBefore,
+      s"DESC top-4 must prune clustered files ($dKept/$dBefore)")
+    // a sort on a NON-key column must not push (no stats contract)
+    val byV = spark.sql("SELECT k, v FROM gcat.topn ORDER BY v LIMIT 3")
+    assert(byV.select("k").as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    assert(graft.sinks.v2.GraftScanInspect.rowScan(byV)
+      .limitFileCounts.isEmpty,
+      "top-N on a non-key column must decline")
+    // string keys prune in UTF-8 binary order (the envelopes' own)
+    val sdir = s"$base/topns"
+    VersionedKeyedTable.create(
+      (1 to 500).map(i => (f"k$i%04d", i)).toDF("k", "n")
+        .repartition(4), sdir, "k", numBuckets = 2)
+    VersionedKeyedTable.cluster(spark, sdir, "k",
+      targetRowsPerFile = 100L)
+    val sAsc = spark.sql("SELECT k FROM gcat.topns ORDER BY k LIMIT 2")
+    assert(sAsc.as[String].collect().toSeq === Seq("k0001", "k0002"))
+    val (sKept, sBefore) = graft.sinks.v2.GraftScanInspect.rowScan(sAsc)
+      .limitFileCounts.getOrElse(fail("string top-N evidence missing"))
+    assert(sKept < sBefore,
+      s"string-key top-N must prune ($sKept/$sBefore)")
+  }
+
+  test("maintained-view serving: grouped count/sum/min/max answered " +
+      "from the registered view's files while fresh; stale, filtered " +
+      "or unmatched shapes fall back to the real aggregation") {
+    val dir = s"$base/mvb"
+    // x is NULLABLE (no actual nulls): count(x) must then translate
+    // as Count(x), not count(*) — the fallback case below is real.
+    // (On a non-null column Spark itself proves count(x) == count(*)
+    // and serving the view's cnt would be correct anyway.)
+    VersionedKeyedTable.create(
+      (1L to 1000L).map(i => (i, i % 10, i * 2)).toDF("k", "g", "x0")
+        .select(col("k"), col("g"),
+          when(col("k") > 0, col("x0")).as("x")),
+      dir, "k", numBuckets = 2)
+    spark.sql("CALL gcat.create_agg_view(tbl => 'mvb', " +
+      "view => 'mvb_by_g', group_col => 'g', value_col => 'x')")
+    def viewScans(df: org.apache.spark.sql.DataFrame) =
+      graft.sinks.v2.GraftScanInspect.viewAggScans(df)
+    val q = spark.sql("SELECT g, count(*) AS c, sum(x) AS s, " +
+      "min(x) AS mn, max(x) AS mx FROM gcat.mvb GROUP BY g")
+    val rows = q.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(viewScans(q).nonEmpty, "fresh view must serve")
+    assert(rows(3L) === ((100L, (3L to 993L by 10L).map(_ * 2).sum,
+      6L, 1986L)))
+    assert(rows.size === 10)
+    // select order independent of scan layout (group col not first)
+    val q2 = spark.sql("SELECT max(x) AS mx, g, count(*) AS c " +
+      "FROM gcat.mvb GROUP BY g")
+    assert(viewScans(q2).nonEmpty)
+    assert(q2.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      .apply(0L) === 2000L)
+    // unmatched shapes fall back and stay correct: count(col),
+    // sum(DISTINCT), avg, a second grouping column, a filter
+    val fallbacks = Seq(
+      "SELECT g, count(x) AS c FROM gcat.mvb GROUP BY g",
+      "SELECT g, sum(DISTINCT x) AS s FROM gcat.mvb GROUP BY g",
+      "SELECT g, avg(x) AS a FROM gcat.mvb GROUP BY g",
+      "SELECT g, k % 2 AS h, count(*) AS c FROM gcat.mvb GROUP BY g, k % 2",
+      "SELECT g, count(*) AS c FROM gcat.mvb WHERE x > 10 GROUP BY g")
+    fallbacks.foreach { sqlText =>
+      val df = spark.sql(sqlText)
+      df.collect()
+      assert(viewScans(df).isEmpty, s"must not serve: $sqlText")
+    }
+    // t$views: the registration is observable, and fresh right now
+    val v0 = spark.sql("SELECT * FROM gcat.`mvb$views`").collect()
+    assert(v0.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getBoolean(4))).toSeq === Seq(("mvb_by_g", "g", "x", true)))
+    // staleness: ANY base commit stops serving until a refresh
+    VersionedKeyedTable.upsert(spark, dir,
+      Seq((2000L, 3L, 9000L)).toDF("k", "g", "x"), "k")
+    assert(!spark.sql("SELECT fresh FROM gcat.`mvb$views`")
+      .collect()(0).getBoolean(0), "t$views must report staleness")
+    val stale = spark.sql("SELECT g, count(*) AS c, max(x) AS mx " +
+      "FROM gcat.mvb GROUP BY g")
+    val staleRows = stale.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viewScans(stale).isEmpty, "stale view must not serve")
+    assert(staleRows(3L) === ((101L, 9000L)))
+    spark.sql("CALL gcat.refresh_view(tbl => 'mvb', view => 'mvb_by_g')")
+    val again = spark.sql("SELECT g, count(*) AS c, max(x) AS mx " +
+      "FROM gcat.mvb GROUP BY g")
+    val againRows = again.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viewScans(again).nonEmpty, "refreshed view must serve again")
+    assert(againRows(3L) === ((101L, 9000L)),
+      "served rows must reflect the refreshed state")
+    // deregistration: the aggregate returns to the base, still exact
+    spark.sql("CALL gcat.drop_agg_view(tbl => 'mvb', view => 'mvb_by_g')")
+    val dropped = spark.sql("SELECT g, count(*) AS c FROM gcat.mvb " +
+      "GROUP BY g")
+    dropped.collect()
+    assert(viewScans(dropped).isEmpty, "deregistered view must not serve")
+  }
+
+  test("limit/top-N truncation model check: random layouts, limits " +
+      "and directions always return exactly the untruncated answer") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 6) {
+      val dir = s"$base/tnm$trial"
+      val n = 200 + rnd.nextInt(1800)
+      // keys shuffled, sometimes negative, sometimes sparse
+      val keys = rnd.shuffle(
+        (1 to n).map(i => i.toLong * (1 + rnd.nextInt(3)) -
+          (if (trial % 2 == 0) 1000 else 0)).distinct.toVector)
+      VersionedKeyedTable.create(
+        keys.map(k => (k, k * 3)).toDF("k", "v").repartition(5),
+        dir, "k", numBuckets = 1 + rnd.nextInt(4))
+      if (trial % 3 != 0) // clustered AND unclustered layouts
+        VersionedKeyedTable.cluster(spark, dir, "k",
+          targetRowsPerFile = 50L + rnd.nextInt(200))
+      if (trial % 2 == 1) // sometimes with pending MoR deletes
+        VersionedKeyedTable.deleteMor(spark, dir,
+          rnd.shuffle(keys).take(20).toDF("k"), "k")
+      val live = if (trial % 2 == 1) {
+        val surviving = VersionedKeyedTable.read(spark, dir)
+          .select("k").as[Long].collect().toSet // read() applies deletes
+        keys.filter(surviving)
+      } else keys
+      val sorted = live.sorted
+      for (_ <- 0 until 4) {
+        val lim = 1 + rnd.nextInt(60)
+        val asc = rnd.nextBoolean()
+        val got = spark.sql(s"SELECT k FROM gcat.tnm$trial ORDER BY " +
+            s"k ${if (asc) "ASC" else "DESC"} LIMIT $lim")
+          .as[Long].collect().toSeq
+        val want =
+          if (asc) sorted.take(lim) else sorted.reverse.take(lim)
+        assert(got === want, s"trial=$trial lim=$lim asc=$asc")
+        val peek = spark.sql(
+          s"SELECT count(*) AS c FROM (SELECT * FROM gcat.tnm$trial " +
+            s"LIMIT $lim)").collect()(0).getLong(0)
+        assert(peek === math.min(lim, live.size).toLong)
+      }
+    }
+  }
+
+  test("DROP COLUMN: metadata-only narrow, tombstoned name, guarded " +
+      "refusals, and the implicit-widening paths honor the tombstone") {
+    val dir = s"$base/drop"
+    VersionedKeyedTable.create(
+      (1L to 100L).map(i => (i, i * 10L, i % 5, s"t$i"))
+        .toDF("k", "v", "aux", "lbl"), dir, "k", numBuckets = 2)
+    // a constraint referencing the column blocks the drop
+    VersionedKeyedTable.addConstraint(spark, dir, "aux_ok", "aux >= 0")
+    val cErr = intercept[IllegalArgumentException] {
+      VersionedKeyedTable.dropColumn(spark, dir, "aux")
+    }
+    assert(cErr.getMessage.contains("aux_ok"))
+    assert(VersionedKeyedTable.dropConstraint(spark, dir, "aux_ok"))
+    // the drop: one commit, files untouched, schema narrowed
+    val before = VersionedKeyedTable.snapshot(spark, dir)
+    spark.sql("ALTER TABLE gcat.drop DROP COLUMN aux")
+    val after = VersionedKeyedTable.snapshot(spark, dir)
+    assert(after.version === before.version + 1)
+    assert(after.files === before.files, "metadata-only")
+    assert(spark.sql("SELECT * FROM gcat.drop").columns.toSeq ===
+      Seq("k", "v", "lbl"))
+    // rows and values unaffected
+    assert(spark.sql("SELECT sum(v) AS s FROM gcat.drop")
+      .collect()(0).getLong(0) === (1L to 100L).map(_ * 10L).sum)
+    // IF EXISTS on a missing column is a no-op; plain drop errors
+    spark.sql("ALTER TABLE gcat.drop DROP COLUMN IF EXISTS ghost")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.drop DROP COLUMN ghost")
+    }
+    // the tombstone holds on EVERY evolution surface, not just ALTER:
+    // an implicit-widening upsert carrying the dropped name refuses
+    val widen = intercept[IllegalArgumentException] {
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((101L, 1010L, 9L, "t101")).toDF("k", "v", "aux", "lbl"), "k")
+    }
+    assert(widen.getMessage.contains("previously dropped"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.drop ADD COLUMNS (aux BIGINT)")
+    }
+    // a DIFFERENT name evolves fine
+    spark.sql("ALTER TABLE gcat.drop ADD COLUMNS (aux2 BIGINT)")
+    assert(spark.sql("SELECT * FROM gcat.drop").columns.toSeq ===
+      Seq("k", "v", "lbl", "aux2"))
+    // time travel reads the pre-drop schema and values
+    assert(spark.sql(s"SELECT aux FROM gcat.drop VERSION AS OF " +
+        s"${before.version} WHERE k = 7").collect()(0).getLong(0) === 2L)
+    // dropping a clusterBy stats column strips its carried zone maps
+    VersionedKeyedTable.clusterBy(spark, dir, "k", "v",
+      targetRowsPerFile = 20L)
+    assert(VersionedKeyedTable.snapshot(spark, dir).extraStats
+      .valuesIterator.exists(_.contains("v")))
+    VersionedKeyedTable.dropColumn(spark, dir, "v")
+    assert(!VersionedKeyedTable.snapshot(spark, dir).extraStats
+      .valuesIterator.exists(_.contains("v")),
+      "a dropped column's named stats must not survive in the manifest")
   }
 }
