@@ -1295,6 +1295,87 @@ object ScaleCheck {
       n
     }
 
+    time("versioned_limit_topn") {
+      import graft.sinks.VersionedKeyedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-topn").toString
+      val cat = s"gsctn$copies"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sinks.v2.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", root)
+      val base = c.select(col("c_custkey").as("k"),
+        col("c_acctbal").cast("double").as("v"))
+      VersionedKeyedTable.create(base, s"$root/t", "k", numBuckets = 4)
+      // FIXED rows-per-file so the FILE COUNT grows with the decade —
+      // the axis under probe is "files planned", which must stay
+      // bounded while the table's file population grows 10×
+      VersionedKeyedTable.cluster(spark, s"$root/t", "k",
+        targetRowsPerFile = 2000L)
+      val t0 = System.nanoTime()
+      val topn = spark.sql(s"SELECT k FROM $cat.t ORDER BY k LIMIT 10")
+      val topRows = topn.collect()
+      val tTop = (System.nanoTime() - t0) / 1e9
+      val (tKept, tTotal) = graft.sinks.v2.GraftScanInspect
+        .rowScan(topn).limitFileCounts.getOrElse(
+          sys.error("top-N pushdown must engage"))
+      val t1 = System.nanoTime()
+      val peek = spark.sql(
+        s"SELECT count(*) AS n FROM (SELECT * FROM $cat.t LIMIT 5)")
+      peek.collect()
+      val tPeek = (System.nanoTime() - t1) / 1e9
+      val (pKept, pTotal) = graft.sinks.v2.GraftScanInspect
+        .rowScan(peek).limitFileCounts.getOrElse(
+          sys.error("limit pushdown must engage"))
+      System.err.println(
+        f"[scale]   limit/topn at ${copies}x: ORDER BY k LIMIT 10 " +
+          f"planned $tKept of $tTotal files in $tTop%.2f s; " +
+          f"SELECT * LIMIT 5 planned $pKept of $pTotal files in " +
+          f"$tPeek%.2f s — the planned-file axis stays bounded while " +
+          f"the file population grows with the decade")
+      topRows.length.toLong
+    }
+
+    time("ivm_serve") {
+      import graft.sinks.VersionedKeyedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-scale-ivm").toString
+      val cat = s"gscivm$copies"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sinks.v2.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.base", root)
+      val base = o.select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 1000).as("g"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+      VersionedKeyedTable.create(base, s"$root/t", "k",
+        numBuckets = 8)
+      val q = s"SELECT g, count(*) AS cnt, sum(cents) AS total, " +
+        s"min(cents) AS mn, max(cents) AS mx FROM $cat.t GROUP BY g"
+      // the REAL aggregation (no view yet): grows with the table
+      val t0 = System.nanoTime()
+      spark.sql(q).collect()
+      val tBase = (System.nanoTime() - t0) / 1e9
+      // the maintained view: creation pays one table pass...
+      val t1 = System.nanoTime()
+      spark.sql(s"CALL $cat.create_agg_view(tbl => 't', " +
+        "view => 'tv', group_col => 'g', value_col => 'cents')")
+      val tCreate = (System.nanoTime() - t1) / 1e9
+      // ...and SERVING is O(groups) — flat across the decade
+      val t2 = System.nanoTime()
+      val served = spark.sql(q)
+      val n = served.collect().length.toLong
+      val tServe = (System.nanoTime() - t2) / 1e9
+      require(graft.sinks.v2.GraftScanInspect.viewAggScans(served)
+        .nonEmpty, "the probe's rollup must be view-served")
+      System.err.println(
+        f"[scale]   ivm_serve at ${copies}x: real aggregation " +
+          f"$tBase%.2f s (grows with the table); view create " +
+          f"$tCreate%.2f s (one pass, amortized by refreshes); " +
+          f"SERVED rollup $tServe%.2f s over $n groups — O(groups), " +
+          f"flat across the decade")
+      n
+    }
+
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_check","copies":$copies,"unit":"sec","ops":$qs,"sf":"$sfDir"}""")
