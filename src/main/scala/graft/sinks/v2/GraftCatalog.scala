@@ -2203,16 +2203,30 @@ class GraftRowScan(dir: String,
       (if (spjActive) s" buckets=${bucketsAtPlan.size}" else "")
 
   /** Accurate size/row-count for the planner's broadcast decisions:
-    * the delegate folds the kept files' on-disk sizes (FileScan's own
-    * estimate), so a well-pruned store table broadcasts when it
-    * should. */
+    * sizeInBytes is the delegate's fold of the kept files' on-disk
+    * sizes (FileScan's own estimate), so a well-pruned store table
+    * broadcasts when it should. On top of that the manifest answers
+    * what a plain file source cannot, with ZERO file reads:
+    *  - EXACT numRows: the kept files' recorded row counts (absent
+    *    when any kept file predates counts or merge-on-read deletes
+    *    are pending — never guess);
+    *  - per-column min/max + null counts
+    *    ([[org.apache.spark.sql.connector.read.colstats
+    *    .ColumnStatistics]]) folded from the zone-map envelopes for
+    *    the KEY (non-null by the write invariant) and every
+    *    clusterBy'd column carrying named maps — the planner-grade
+    *    metadata (CBO range selectivity, join estimation) a 100 TB
+    *    table cannot afford to ANALYZE by scanning. Values are
+    *    Catalyst-internal (Long / UTF8String), matching what the
+    *    stats conversion expects; columns whose envelopes are
+    *    unparseable or incomplete are simply absent. */
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics =
-    classScans() match {
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val delegate = classScans() match {
       case Seq((_, sc)) => sc.estimateStatistics()
       case cs =>
-        // fold the classes' size/row estimates (pending MOR deletes
-        // make this a slight over-estimate — acceptable for planner
+        // fold the classes' size estimates (pending MOR deletes make
+        // this a slight over-estimate — acceptable for planner
         // sizing; compaction restores the single-scan path)
         val ss = cs.map(_._2.estimateStatistics())
         new org.apache.spark.sql.connector.read.Statistics {
@@ -2225,6 +2239,85 @@ class GraftRowScan(dir: String,
             else java.util.OptionalLong.empty()
         }
     }
+    val exactRows: Option[Long] =
+      if (delRels.nonEmpty || !kept.forall(snap.counts.contains)) None
+      else Some(kept.map(snap.counts).sum)
+    val colStats = manifestColumnStats()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        delegate.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        exactRows.map(java.util.OptionalLong.of)
+          .getOrElse(delegate.numRows())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
+    }
+  }
+
+  /** Fold the kept files' envelopes into per-column statistics (see
+    * [[estimateStatistics]]); a column appears only when EVERY kept
+    * file carries a parseable envelope for it. */
+  private def manifestColumnStats(): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (delRels.nonEmpty || kept.isEmpty) return out // envelopes unsound
+    val extraCols: Seq[String] =
+      snap.extraStats.values.flatMap(_.keys).toSeq.distinct
+    def envOf(c: String, f: String): Option[(String, String)] =
+      if (keyCol.contains(c)) snap.stats.get(f)
+      else snap.extraStats.get(f).flatMap(_.get(c))
+    def fold(c: String): Option[(Any, Any, Long)] = {
+      val dt = tableSchema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(return None)
+      val numeric = VersionedKeyedTable.hasNumericImage(dt)
+      val isStr = dt == StringType
+      if (!numeric && !isStr) return None
+      val envs = kept.map(envOf(c, _))
+      if (envs.exists(_.isEmpty)) return None
+      val es = envs.map(_.get)
+      if (numeric) {
+        val parsed = es.map { case (a, b) =>
+          for (x <- a.toLongOption; y <- b.toLongOption) yield (x, y) }
+        if (parsed.exists(_.isEmpty)) return None
+        val ps = parsed.map(_.get)
+        // key rows are non-null by the write invariant; other
+        // columns' null counts are unknown (envelopes skip nulls)
+        Some((Long.box(ps.map(_._1).min), Long.box(ps.map(_._2).max),
+          if (keyCol.contains(c)) 0L else -1L))
+      } else {
+        val utf8 = VersionedKeyedTable.Utf8Ord
+        Some((
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            es.map(_._1).min(utf8)),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            es.map(_._2).max(utf8)),
+          if (keyCol.contains(c)) 0L else -1L))
+      }
+    }
+    (keyCol.toSeq ++ extraCols).distinct.foreach { c =>
+      fold(c).foreach { case (mn, mx, nulls) =>
+        out.put(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(c),
+          new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.of(mn.asInstanceOf[Object])
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.of(mx.asInstanceOf[Object])
+            override def nullCount(): java.util.OptionalLong =
+              if (nulls >= 0L) java.util.OptionalLong.of(nulls)
+              else java.util.OptionalLong.empty()
+          })
+      }
+    }
+    out
+  }
 
   /** Join columns a runtime filter can prune FILES on: the key column
     * (zone maps + bloom sidecars) and every clusterBy'd column

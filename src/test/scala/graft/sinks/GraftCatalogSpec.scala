@@ -1035,6 +1035,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest statistics reach the planner: exact row counts and " +
+      "per-column min/max/null-count with zero file reads; pending " +
+      "MoR deletes withdraw them") {
+    val dir = s"$base/stats"
+    VersionedKeyedTable.create(
+      (1L to 500L).map(i => (i, i * 2, s"s$i")).toDF("k", "v", "s")
+        .repartition(4), dir, "k", numBuckets = 2)
+    VersionedKeyedTable.clusterBy(spark, dir, "k", "v",
+      targetRowsPerFile = 100L)
+    val q = spark.sql("SELECT k, v FROM gcat.stats")
+    val st = graft.sinks.v2.GraftScanInspect.rowScan(q)
+      .estimateStatistics()
+    assert(st.numRows().getAsLong === 500L,
+      "numRows must be the manifest's exact count")
+    val cs = st.columnStats()
+    assert(cs.size() >= 2, s"key + clusterBy column stats expected, " +
+      s"got ${cs.size()}")
+    import scala.jdk.CollectionConverters._
+    val byName = cs.asScala.map { case (ref, c) =>
+      ref.fieldNames()(0) -> c }.toMap
+    assert(byName("k").min().get() === Long.box(1L))
+    assert(byName("k").max().get() === Long.box(500L))
+    assert(byName("k").nullCount().getAsLong === 0L,
+      "the key is non-null by the write invariant")
+    assert(byName("v").min().get() === Long.box(2L))
+    assert(byName("v").max().get() === Long.box(1000L))
+    assert(!byName("v").nullCount().isPresent,
+      "non-key null counts are unknown (envelopes skip nulls)")
+    // pending MoR deletes make counts/envelopes unsound — withdrawn
+    VersionedKeyedTable.deleteMor(spark, dir, Seq(1L).toDF("k"), "k")
+    val q2 = spark.sql("SELECT k FROM gcat.stats")
+    val st2 = graft.sinks.v2.GraftScanInspect.rowScan(q2)
+      .estimateStatistics()
+    assert(st2.columnStats().isEmpty,
+      "pending deletes must withdraw column stats")
+  }
+
   test("DROP COLUMN: metadata-only narrow, tombstoned name, guarded " +
       "refusals, and the implicit-widening paths honor the tombstone") {
     val dir = s"$base/drop"
