@@ -304,60 +304,80 @@ object IncrementalView {
     // the view is KEYED by the group column, so a bounded group list
     // rides the bucket+zone+bloom point-lookup path — O(probed
     // buckets' surviving files), not a view scan that would grow with
-    // the group count; unbounded lists fall back to the full read
-    val nDel = delMM.count()
-    val viewCur = {
-      val vSchema = VersionedKeyedTable.read(spark, viewDir).schema
-      val gType = vSchema(groupCol).dataType
-      val integralG = Seq(org.apache.spark.sql.types.LongType,
-        org.apache.spark.sql.types.IntegerType).contains(gType)
-      val stringG = gType == org.apache.spark.sql.types.StringType
-      val full =
-        if (nDel == 0 || nDel > rederiveIsinCap || !(integralG || stringG))
-          VersionedKeyedTable.read(spark, viewDir)
-        else if (integralG)
-          VersionedKeyedTable.readKeys(spark, viewDir, groupCol,
-            delMM.select(col(groupCol)).collect()
-              .map(_.get(0).asInstanceOf[Number].longValue).toSeq)
-        else
-          VersionedKeyedTable.readKeysStr(spark, viewDir, groupCol,
-            delMM.select(col(groupCol)).collect()
-              .map(_.getString(0)).toSeq)
-      full.select(col(groupCol), col("mn"), col("mx"))
-    }
-    val affected = delMM.join(viewCur, Seq(groupCol))
-      .where(col("del_mn") <= col("mn") || col("del_mx") >= col("mx"))
-      .select(col(groupCol))
-      .localCheckpoint(true)
-    val nAffected = affected.count()
-    val baseAt = {
-      val keys = if (nAffected > 0 && nAffected <= rederiveIsinCap)
-        Some(affected.collect().map(_.get(0)).toSeq) else None
-      keys match {
-        case Some(ks) =>
-          // bounded list: the Catalyst table path prunes base files by
-          // the group column's zone maps (clusterBy layout) before any
-          // split is planned
-          VersionedKeyedTable.table(spark, baseDir, baseKey,
-            Some(toVersion)).where(col(groupCol).isin(ks: _*))
-        case None =>
-          VersionedKeyedTable.read(spark, baseDir, Some(toVersion))
-            .join(affected, Seq(groupCol), "left_semi")
+    // the group count; unbounded lists fall back to the full read.
+    // ONE take(cap+1) both bounds the list and fetches it (the
+    // count()+collect() pair cost two jobs per span), and a span with
+    // NO delete-side rows (pure inserts — the common append span)
+    // skips the whole break tier: no view read, no affected
+    // checkpoint, no base access.
+    val delKeyRows = delMM.select(col(groupCol))
+      .take(rederiveIsinCap + 1)
+    val affected: Option[DataFrame] =
+      if (delKeyRows.isEmpty) None
+      else {
+        val boundedDel = delKeyRows.length <= rederiveIsinCap
+        val vSchema = VersionedKeyedTable.read(spark, viewDir).schema
+        val gType = vSchema(groupCol).dataType
+        val integralG = Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType).contains(gType)
+        val stringG = gType == org.apache.spark.sql.types.StringType
+        val full =
+          if (!boundedDel || !(integralG || stringG))
+            VersionedKeyedTable.read(spark, viewDir)
+          else if (integralG)
+            VersionedKeyedTable.readKeys(spark, viewDir, groupCol,
+              delKeyRows.map(_.get(0).asInstanceOf[Number].longValue)
+                .toSeq)
+          else
+            VersionedKeyedTable.readKeysStr(spark, viewDir, groupCol,
+              delKeyRows.map(_.getString(0)).toSeq)
+        val viewCur = full.select(col(groupCol), col("mn"), col("mx"))
+        Some(delMM.join(viewCur, Seq(groupCol))
+          .where(col("del_mn") <= col("mn") || col("del_mx") >= col("mx"))
+          .select(col(groupCol))
+          .localCheckpoint(true))
       }
-    }
-    val red = baseAt.groupBy(col(groupCol))
-      .agg(min(col(valueCol)).as("abs_mn"), max(col(valueCol)).as("abs_mx"))
-      .withColumn("redo", lit(true))
-    val source = delta
-      .join(newMM, Seq(groupCol), "full_outer")
-      .join(affected.withColumn("redo0", lit(true)), Seq(groupCol), "left")
-      .join(red, Seq(groupCol), "left")
-      .select(col(groupCol),
-        coalesce(col("cnt"), lit(0L)).as("cnt"),
-        coalesce(col("total"), lit(0L)).as("total"),
-        col("mn"), col("mx"),
-        coalesce(col("redo0"), lit(false)).as("redo"),
-        col("abs_mn"), col("abs_mx"))
+    val affKeyRows = affected.map(_.take(rederiveIsinCap + 1))
+      .getOrElse(Array.empty[org.apache.spark.sql.Row])
+    val source =
+      if (affKeyRows.isEmpty)
+        // no broken envelope: count/sum deltas + extend-only min/max
+        delta.join(newMM, Seq(groupCol), "full_outer")
+          .select(col(groupCol),
+            coalesce(col("cnt"), lit(0L)).as("cnt"),
+            coalesce(col("total"), lit(0L)).as("total"),
+            col("mn"), col("mx"),
+            lit(false).as("redo"),
+            lit(null).cast(newMM.schema("mn").dataType).as("abs_mn"),
+            lit(null).cast(newMM.schema("mx").dataType).as("abs_mx"))
+      else {
+        val aff = affected.get
+        val baseAt =
+          if (affKeyRows.length <= rederiveIsinCap)
+            // bounded list: the Catalyst table path prunes base files
+            // by the group column's zone maps (clusterBy layout)
+            // before any split is planned
+            VersionedKeyedTable.table(spark, baseDir, baseKey,
+              Some(toVersion))
+              .where(col(groupCol).isin(affKeyRows.map(_.get(0)).toSeq: _*))
+          else
+            VersionedKeyedTable.read(spark, baseDir, Some(toVersion))
+              .join(aff, Seq(groupCol), "left_semi")
+        val red = baseAt.groupBy(col(groupCol))
+          .agg(min(col(valueCol)).as("abs_mn"),
+            max(col(valueCol)).as("abs_mx"))
+          .withColumn("redo", lit(true))
+        delta
+          .join(newMM, Seq(groupCol), "full_outer")
+          .join(aff.withColumn("redo0", lit(true)), Seq(groupCol), "left")
+          .join(red, Seq(groupCol), "left")
+          .select(col(groupCol),
+            coalesce(col("cnt"), lit(0L)).as("cnt"),
+            coalesce(col("total"), lit(0L)).as("total"),
+            col("mn"), col("mx"),
+            coalesce(col("redo0"), lit(false)).as("redo"),
+            col("abs_mn"), col("abs_mx"))
+      }
     VersionedKeyedTable.merge(spark, viewDir, source, groupCol,
       whenMatchedDelete = Some(col("t.cnt") + col("s.cnt") === 0L),
       whenMatchedUpdate = Map(
@@ -471,67 +491,85 @@ object IncrementalView {
       .groupBy(col(s"${groupCol}_prev").as(groupCol))
       .agg(delAggs.head, delAggs.tail: _*)
       .localCheckpoint(true)
-    val nDel = delMM.count()
-    val viewCur = {
-      val vSchema = VersionedKeyedTable.read(spark, viewDir).schema
-      val gType = vSchema(groupCol).dataType
-      val integralG = Seq(org.apache.spark.sql.types.LongType,
-        org.apache.spark.sql.types.IntegerType).contains(gType)
-      val stringG = gType == org.apache.spark.sql.types.StringType
-      val full =
-        if (nDel == 0 || nDel > rederiveIsinCap || !(integralG || stringG))
-          VersionedKeyedTable.read(spark, viewDir)
-        else if (integralG)
-          VersionedKeyedTable.readKeys(spark, viewDir, groupCol,
-            delMM.select(col(groupCol)).collect()
-              .map(_.get(0).asInstanceOf[Number].longValue).toSeq)
-        else
-          VersionedKeyedTable.readKeysStr(spark, viewDir, groupCol,
-            delMM.select(col(groupCol)).collect()
-              .map(_.getString(0)).toSeq)
-      full.select(col(groupCol) +: valueCols.flatMap(c =>
-        Seq(col(s"mn_$c"), col(s"mx_$c"))): _*)
-    }
-    // ANY column's broken envelope re-derives the group
-    val broken = valueCols.map(c =>
-        col(s"del_mn_$c") <= col(s"mn_$c") ||
-          col(s"del_mx_$c") >= col(s"mx_$c"))
-      .reduce(_ || _)
-    val affected = delMM.join(viewCur, Seq(groupCol))
-      .where(broken)
-      .select(col(groupCol))
-      .localCheckpoint(true)
-    val nAffected = affected.count()
-    val baseAt = {
-      val keys = if (nAffected > 0 && nAffected <= rederiveIsinCap)
-        Some(affected.collect().map(_.get(0)).toSeq) else None
-      keys match {
-        case Some(ks) =>
-          VersionedKeyedTable.table(spark, baseDir, baseKey,
-            Some(toVersion)).where(col(groupCol).isin(ks: _*))
-        case None =>
-          VersionedKeyedTable.read(spark, baseDir, Some(toVersion))
-            .join(affected, Seq(groupCol), "left_semi")
+    // same take(cap+1) gating + pure-insert early-out as refreshFull
+    val delKeyRows = delMM.select(col(groupCol))
+      .take(rederiveIsinCap + 1)
+    val affected: Option[DataFrame] =
+      if (delKeyRows.isEmpty) None
+      else {
+        val boundedDel = delKeyRows.length <= rederiveIsinCap
+        val vSchema = VersionedKeyedTable.read(spark, viewDir).schema
+        val gType = vSchema(groupCol).dataType
+        val integralG = Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType).contains(gType)
+        val stringG = gType == org.apache.spark.sql.types.StringType
+        val full =
+          if (!boundedDel || !(integralG || stringG))
+            VersionedKeyedTable.read(spark, viewDir)
+          else if (integralG)
+            VersionedKeyedTable.readKeys(spark, viewDir, groupCol,
+              delKeyRows.map(_.get(0).asInstanceOf[Number].longValue)
+                .toSeq)
+          else
+            VersionedKeyedTable.readKeysStr(spark, viewDir, groupCol,
+              delKeyRows.map(_.getString(0)).toSeq)
+        val viewCur = full.select(col(groupCol) +: valueCols.flatMap(c =>
+          Seq(col(s"mn_$c"), col(s"mx_$c"))): _*)
+        // ANY column's broken envelope re-derives the group
+        val broken = valueCols.map(c =>
+            col(s"del_mn_$c") <= col(s"mn_$c") ||
+              col(s"del_mx_$c") >= col(s"mx_$c"))
+          .reduce(_ || _)
+        Some(delMM.join(viewCur, Seq(groupCol))
+          .where(broken)
+          .select(col(groupCol))
+          .localCheckpoint(true))
       }
-    }
-    val rAggs = valueCols.flatMap(c => Seq(
-      min(col(c)).as(s"abs_mn_$c"), max(col(c)).as(s"abs_mx_$c")))
-    val red = baseAt.groupBy(col(groupCol))
-      .agg(rAggs.head, rAggs.tail: _*)
-      .withColumn("redo", lit(true))
-    val sourceCols: Seq[org.apache.spark.sql.Column] =
-      Seq(col(groupCol), coalesce(col("cnt"), lit(0L)).as("cnt")) ++
-        valueCols.map(c =>
-          coalesce(col(s"total_$c"), lit(0L)).as(s"total_$c")) ++
-        valueCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))) ++
-        Seq(coalesce(col("redo0"), lit(false)).as("redo")) ++
-        valueCols.flatMap(c =>
-          Seq(col(s"abs_mn_$c"), col(s"abs_mx_$c")))
-    val source = delta
-      .join(newMM, Seq(groupCol), "full_outer")
-      .join(affected.withColumn("redo0", lit(true)), Seq(groupCol), "left")
-      .join(red, Seq(groupCol), "left")
-      .select(sourceCols: _*)
+    val affKeyRows = affected.map(_.take(rederiveIsinCap + 1))
+      .getOrElse(Array.empty[org.apache.spark.sql.Row])
+    val source =
+      if (affKeyRows.isEmpty) {
+        val cols: Seq[org.apache.spark.sql.Column] =
+          Seq(col(groupCol), coalesce(col("cnt"), lit(0L)).as("cnt")) ++
+            valueCols.map(c =>
+              coalesce(col(s"total_$c"), lit(0L)).as(s"total_$c")) ++
+            valueCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))) ++
+            Seq(lit(false).as("redo")) ++
+            valueCols.flatMap(c => Seq(
+              lit(null).cast(newMM.schema(s"mn_$c").dataType)
+                .as(s"abs_mn_$c"),
+              lit(null).cast(newMM.schema(s"mx_$c").dataType)
+                .as(s"abs_mx_$c")))
+        delta.join(newMM, Seq(groupCol), "full_outer").select(cols: _*)
+      } else {
+        val aff = affected.get
+        val baseAt =
+          if (affKeyRows.length <= rederiveIsinCap)
+            VersionedKeyedTable.table(spark, baseDir, baseKey,
+              Some(toVersion))
+              .where(col(groupCol).isin(affKeyRows.map(_.get(0)).toSeq: _*))
+          else
+            VersionedKeyedTable.read(spark, baseDir, Some(toVersion))
+              .join(aff, Seq(groupCol), "left_semi")
+        val rAggs = valueCols.flatMap(c => Seq(
+          min(col(c)).as(s"abs_mn_$c"), max(col(c)).as(s"abs_mx_$c")))
+        val red = baseAt.groupBy(col(groupCol))
+          .agg(rAggs.head, rAggs.tail: _*)
+          .withColumn("redo", lit(true))
+        val sourceCols: Seq[org.apache.spark.sql.Column] =
+          Seq(col(groupCol), coalesce(col("cnt"), lit(0L)).as("cnt")) ++
+            valueCols.map(c =>
+              coalesce(col(s"total_$c"), lit(0L)).as(s"total_$c")) ++
+            valueCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))) ++
+            Seq(coalesce(col("redo0"), lit(false)).as("redo")) ++
+            valueCols.flatMap(c =>
+              Seq(col(s"abs_mn_$c"), col(s"abs_mx_$c")))
+        delta
+          .join(newMM, Seq(groupCol), "full_outer")
+          .join(aff.withColumn("redo0", lit(true)), Seq(groupCol), "left")
+          .join(red, Seq(groupCol), "left")
+          .select(sourceCols: _*)
+      }
     val updates = Map("cnt" -> (col("t.cnt") + col("s.cnt"))) ++
       valueCols.flatMap(c => Seq(
         s"total_$c" -> (col(s"t.total_$c") + col(s"s.total_$c")),

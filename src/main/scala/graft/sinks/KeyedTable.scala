@@ -346,8 +346,8 @@ object KeyedTable {
       val del = keys.select(col(keyCol))
         .withColumn("__bucket", bucket(keyCol, nb))
         .localCheckpoint(true)
-      val touched = del.select("__bucket").distinct()
-        .collect().map(_.getInt(0)).sorted // bounded by numBuckets
+      val touched = VersionedKeyedTable.touchedBuckets(del)
+        .toArray.sorted // bounded by numBuckets
       if (touched.nonEmpty) {
         val existing = spark.read.parquet(dir)
           .filter(col("__bucket")
@@ -355,8 +355,7 @@ object KeyedTable {
         val survivors = existing.join(
             broadcast(del.select(col(keyCol))), Seq(keyCol), "left_anti")
           .localCheckpoint(true)
-        val surviving = survivors.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSet
+        val surviving = VersionedKeyedTable.touchedBuckets(survivors)
         // fully-emptied buckets: a dynamic overwrite never rewrites a
         // partition it emits no rows for, so their dirs are removed
         // explicitly — and BEFORE the survivors' commit. Every row in
@@ -502,8 +501,8 @@ object KeyedTable {
     val nb = resolveBuckets(spark, dir, numBuckets)
     val up = updates.withColumn("__bucket", bucket(keyCol, nb))
       .localCheckpoint(true)
-    val touched = up.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).sorted // bounded by numBuckets
+    val touched = VersionedKeyedTable.touchedBuckets(up)
+      .toArray.sorted // bounded by numBuckets
     // an emptied table (all rows deleted) has no files to read:
     // survivors are empty and the upsert degenerates to pure inserts
     val existing =

@@ -70,6 +70,165 @@ object VersionedKeyedTable {
   private def hfs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Distinct `__bucket` values of a (checkpointed) batch WITHOUT a
+    * shuffle: `distinct().collect()` plans an Exchange (2 stages + an
+    * AQE round trip) to deduplicate what is at most `numBuckets`
+    * small integers — a per-partition set + a driver union computes
+    * the same thing in one map-only stage (guide §2.4: remove
+    * shuffles outright). Called once per commit on every mutation
+    * path, so the saved stage round-trip compounds across lifecycle
+    * checks. */
+  private[sinks] def touchedBuckets(batch: DataFrame): Set[Int] = {
+    import batch.sparkSession.implicits._
+    batch.select(col("__bucket")).as[Int]
+      .mapPartitions { it =>
+        val s = scala.collection.mutable.HashSet.empty[Int]
+        while (it.hasNext) s += it.next()
+        s.iterator
+      }.collect().toSet
+  }
+
+  /** ONE map-only pass over freshly written files computing, per file
+    * (keyed by the file's URI): row count, each stat column's
+    * (min, max) — aggregated in NATIVE type with Catalyst's own
+    * interpreted ordering, stringified on the driver with Catalyst's
+    * own Cast, so the recorded envelope is identical to the previous
+    * `min(col).cast("string")` SQL aggregate — and the key bloom
+    * (same kernel `graft_bloom_agg` wraps: `sketch.BloomFilter` +
+    * `putLong`, serialized with `writeTo`, so the sidecar bytes stay
+    * `BloomFilter.readFrom`-compatible). The previous implementation
+    * was a `groupBy(input_file_name)` aggregate: an Exchange plus AQE
+    * stage round-trips on EVERY commit, shuffling a grouping that is
+    * already partition-local (scan splits never mix a small file's
+    * rows across tasks; the rare >split-size file is merged on the
+    * driver below). Guide §2.4: remove shuffles outright — this is
+    * the highest-frequency shuffle in the store, one per commit. */
+  private def perFileStats(spark: SparkSession, path: String,
+      statCols: Seq[org.apache.spark.sql.Column],
+      bloomCol: Option[org.apache.spark.sql.Column],
+      bloomBits: Long)
+      : Map[String, (Long, Seq[Option[(String, String)]],
+          Option[Array[Byte]])] = {
+    import org.apache.spark.sql.types.{DataType, StringType}
+    val proj = spark.read.parquet(path).select(
+      (input_file_name().as("__f") +: statCols) ++
+        bloomCol.map(_.cast("long").as("__h")).toSeq: _*)
+    val dts: Array[DataType] =
+      proj.schema.fields.drop(1).take(statCols.size).map(_.dataType)
+    val n = statCols.size
+    val hasBloom = bloomCol.isDefined
+    val expItems = math.max(1L, bloomBits / 8)
+    val partials = proj.queryExecution.toRdd.mapPartitions { it =>
+      // static TypeUtils access only — closing over a local def would
+      // capture the (non-serializable) enclosing object
+      val ords = dts.map(
+        org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering)
+      val accs = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Array[Any], Array[Any],
+          Array[Long], Array[org.apache.spark.util.sketch.BloomFilter])]
+      while (it.hasNext) {
+        val row = it.next()
+        val f = row.getUTF8String(0).toString
+        val a = accs.getOrElseUpdate(f,
+          (new Array[Any](n), new Array[Any](n), Array(0L),
+            new Array[org.apache.spark.util.sketch.BloomFilter](1)))
+        a._3(0) += 1
+        var i = 0
+        while (i < n) {
+          if (!row.isNullAt(i + 1)) {
+            // copy buffer-backed values: InternalRow getters can
+            // return views into memory the scan reuses per row
+            val v: Any = row.get(i + 1, dts(i)) match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+              case b: Array[Byte] => b.clone()
+              case other => other
+            }
+            if (a._1(i) == null || ords(i).compare(v, a._1(i)) < 0)
+              a._1(i) = v
+            if (a._2(i) == null || ords(i).compare(v, a._2(i)) > 0)
+              a._2(i) = v
+          }
+          i += 1
+        }
+        if (hasBloom && !row.isNullAt(n + 1)) {
+          if (a._4(0) == null)
+            a._4(0) = org.apache.spark.util.sketch.BloomFilter
+              .create(expItems, bloomBits)
+          a._4(0).putLong(row.getLong(n + 1))
+        }
+      }
+      accs.iterator.map { case (f, (mins, maxs, cnt, bf)) =>
+        val bytes =
+          if (bf(0) == null) null
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            bf(0).writeTo(bos)
+            bos.toByteArray
+          }
+        (f, cnt(0), mins, maxs, bytes)
+      }
+    }.collect()
+    // driver-side: merge partials of files that spanned scan splits,
+    // then stringify min/max with the exact Cast the SQL path used
+    val ords = dts.map(
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering)
+    val merged = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Array[Any], Array[Any], Array[Long],
+        Array[Array[Byte]])]
+    partials.foreach { case (f, cnt, mins, maxs, bytes) =>
+      merged.get(f) match {
+        case None =>
+          merged(f) = (mins, maxs, Array(cnt), Array(bytes))
+        case Some((m0, m1, c0, b0)) =>
+          c0(0) += cnt
+          var i = 0
+          while (i < n) {
+            if (mins(i) != null && (m0(i) == null ||
+                ords(i).compare(mins(i), m0(i)) < 0)) m0(i) = mins(i)
+            if (maxs(i) != null && (m1(i) == null ||
+                ords(i).compare(maxs(i), m1(i)) > 0)) m1(i) = maxs(i)
+            i += 1
+          }
+          if (bytes != null) {
+            if (b0(0) == null) b0(0) = bytes
+            else {
+              val a = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(b0(0)))
+              a.mergeInPlace(
+                org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(bytes)))
+              val bos = new java.io.ByteArrayOutputStream()
+              a.writeTo(bos)
+              b0(0) = bos.toByteArray
+            }
+          }
+      }
+    }
+    def str(v: Any, dt: DataType): String =
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(v, dt),
+        StringType, Some("UTC")).eval(null).toString
+    merged.iterator.map { case (f, (mins, maxs, cnt, bytes)) =>
+      val mnmx = (0 until n).map { i =>
+        if (mins(i) == null || maxs(i) == null) None
+        else Some((str(mins(i), dts(i)), str(maxs(i), dts(i))))
+      }
+      f -> ((cnt(0), mnmx, Option(bytes(0))))
+    }.toMap
+  }
+
+  /** Label every Spark job a commit phase runs (guide §1.5) — the
+    * UI/listener evidence that attributes the many small lifecycle
+    * jobs to their call sites. Thread-local; restores the caller's
+    * description so nested phases keep the outermost caller's label
+    * visible on jobs it runs after this phase. */
+  private def jobPhase[T](spark: SparkSession, label: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"vkt: $label")
+    try body finally sc.setJobDescription(prev)
+  }
+
   private def writeMeta(spark: SparkSession, dir: String, numBuckets: Int,
       schema: org.apache.spark.sql.types.StructType,
       keyCol: Option[String] = None): Unit =
@@ -710,9 +869,11 @@ object VersionedKeyedTable {
       if (enforceConstraints) withConstraintChecks(spark, dir, withBucket)
       else withBucket
     val w = guarded.write.partitionBy("__bucket")
-    (if (maxRecordsPerFile > 0L)
-       w.option("maxRecordsPerFile", maxRecordsPerFile)
-     else w).parquet(s"$dir/$rel")
+    jobPhase(spark, "write-data") {
+      (if (maxRecordsPerFile > 0L)
+         w.option("maxRecordsPerFile", maxRecordsPerFile)
+       else w).parquet(s"$dir/$rel")
+    }
     val fs = hfs(spark, dir)
     val base = new Path(s"$dir/$rel")
     val files = fs.listStatus(base).toSeq
@@ -733,9 +894,6 @@ object VersionedKeyedTable {
     val withBloom = keyType.exists(isIntegralKey) || isStrKey
     def typeOf(c: String): org.apache.spark.sql.types.DataType =
       withBucket.schema.fields.find(_.name == c).get.dataType
-    def mnmx(c: String): Seq[org.apache.spark.sql.Column] = Seq(
-      min(statImage(typeOf(c), col(c))).cast("string"),
-      max(statImage(typeOf(c), col(c))).cast("string"))
     // secondary stats only for columns the batch actually carries
     val extraCols = statsCols.distinct
       .filter(c => c != keyCol && withBucket.columns.contains(c))
@@ -744,36 +902,29 @@ object VersionedKeyedTable {
         (Map.empty[String, (String, String)], Map.empty[String, Long],
           Map.empty[String, Map[String, (String, String)]])
       else {
-        if (withBloom) graft.functions.BloomFunctions.register(spark)
         val bloomIn =
-          if (isStrKey) s"xxhash64(`$keyCol`)"
-          else s"CAST(`$keyCol` AS BIGINT)"
-        val aggs = mnmx(keyCol).zip(Seq("mn", "mx"))
-            .map { case (c, n) => c.as(n) } ++
-          Seq(count(lit(1)).as("cnt")) ++
-          (if (withBloom) Seq(expr(
-            s"graft_bloom_agg($bloomIn, " +
-              s"${math.max(1, bloomBitsPerFile / 8)}L, " +
-              s"${bloomBitsPerFile}L)").as("bloom"))
-          else Seq.empty) ++
-          extraCols.flatMap(c => mnmx(c).zip(Seq(s"mn_$c", s"mx_$c"))
-            .map { case (cc, n) => cc.as(n) })
-        val rows = spark.read.parquet(s"$dir/$rel")
-          .groupBy(input_file_name().as("f"),
-            col("__bucket").cast("int").as("b"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect() // bounded: one row per freshly-written file
-        def relOf(r: org.apache.spark.sql.Row): String = {
-          val uri = r.getString(0)
-          s"$rel/__bucket=${r.getInt(1)}/" +
-            uri.substring(uri.lastIndexOf('/') + 1)
+          if (!withBloom) None
+          else if (isStrKey) Some(expr(s"xxhash64(`$keyCol`)"))
+          else Some(col(keyCol).cast("long"))
+        // native-typed stat images; perFileStats stringifies with the
+        // identical Cast on the driver
+        val statCols = (keyCol +: extraCols).map(c =>
+          statImage(typeOf(c), col(c)))
+        val per = jobPhase(spark, "file-stats") {
+          perFileStats(spark, s"$dir/$rel", statCols, bloomIn,
+            bloomBitsPerFile)
+        }
+        def relOf(uri: String): String = {
+          val b = "__bucket=(\\d+)/".r.findFirstMatchIn(uri)
+            .getOrElse(throw new IllegalStateException(
+              s"freshly written data file outside a bucket dir: $uri"))
+            .group(1)
+          s"$rel/__bucket=$b/" + uri.substring(uri.lastIndexOf('/') + 1)
         }
         if (withBloom) {
-          val lines = rows.flatMap { r =>
-            if (r.isNullAt(5)) None // all-null-key file: no bloom
-            else Some(relOf(r) + "\t" +
-              java.util.Base64.getEncoder.encodeToString(
-                r.getAs[Array[Byte]](5)))
+          val lines = per.toSeq.flatMap { case (uri, (_, _, bloom)) =>
+            bloom.map(bs => relOf(uri) + "\t" + // all-null-key: no bloom
+              java.util.Base64.getEncoder.encodeToString(bs))
           }
           if (lines.nonEmpty) {
             val out = fs.create(new Path(base, BloomSidecar), true)
@@ -781,20 +932,16 @@ object VersionedKeyedTable {
             finally out.close()
           }
         }
-        val st = rows.flatMap { r =>
-          if (r.isNullAt(2) || r.isNullAt(3)) None // all-null-key file
-          else Some(relOf(r) -> (r.getString(2), r.getString(3)))
-        }.toMap
-        val cn = rows.map(r => relOf(r) -> r.getLong(4)).toMap
-        val extraBase = if (withBloom) 6 else 5
-        val ex = rows.flatMap { r =>
-          val perCol = extraCols.zipWithIndex.flatMap { case (c, i) =>
-            val (mnI, mxI) = (extraBase + 2 * i, extraBase + 2 * i + 1)
-            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-            else Some(c -> (r.getString(mnI), r.getString(mxI)))
+        val st = per.flatMap { case (uri, (_, mnmxs, _)) =>
+          mnmxs.head.map(relOf(uri) -> _) // all-null-key file: no stats
+        }
+        val cn = per.map { case (uri, (cnt, _, _)) => relOf(uri) -> cnt }
+        val ex = per.flatMap { case (uri, (_, mnmxs, _)) =>
+          val perCol = extraCols.zip(mnmxs.tail).flatMap {
+            case (c, mm) => mm.map(c -> _)
           }.toMap
-          if (perCol.isEmpty) None else Some(relOf(r) -> perCol)
-        }.toMap
+          if (perCol.isEmpty) None else Some(relOf(uri) -> perCol)
+        }
         (st, cn, ex)
       }
     (files, stats, counts, extra)
@@ -940,7 +1087,9 @@ object VersionedKeyedTable {
   private def writeChangeFiles(spark: SparkSession, dir: String,
       changeRows: DataFrame): Seq[String] = {
     val rel = s"data/ch-${java.util.UUID.randomUUID()}"
-    changeRows.write.parquet(s"$dir/$rel")
+    jobPhase(spark, "write-cdf") {
+      changeRows.write.parquet(s"$dir/$rel")
+    }
     val fs = hfs(spark, dir)
     fs.listStatus(new Path(s"$dir/$rel")).toSeq
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -1033,16 +1182,18 @@ object VersionedKeyedTable {
           .map(f => s"$rel/__bucket=${b}/${f.getPath.getName}")
       }.filter(_._2.nonEmpty).toMap
     if (files.isEmpty) return (Map.empty, Map.empty)
-    val rows = spark.read.parquet(s"$dir/$rel")
-      .groupBy(input_file_name().as("f"),
-        col("__bucket").cast("int").as("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .collect() // bounded: one row per freshly-written delete file
-    val cnts = rows.map { r =>
-      val uri = r.getString(0)
-      (s"$rel/__bucket=${r.getInt(1)}/" +
-        uri.substring(uri.lastIndexOf('/') + 1)) -> r.getLong(2)
-    }.toMap
+    // one map-only job for the per-file row counts (see perFileStats)
+    val per = jobPhase(spark, "file-stats") {
+      perFileStats(spark, s"$dir/$rel", Nil, None, 0L)
+    }
+    val cnts = per.map { case (uri, (cnt, _, _)) =>
+      val b = "__bucket=(\\d+)/".r.findFirstMatchIn(uri)
+        .getOrElse(throw new IllegalStateException(
+          s"freshly written delete file outside a bucket dir: $uri"))
+        .group(1)
+      (s"$rel/__bucket=$b/" +
+        uri.substring(uri.lastIndexOf('/') + 1)) -> cnt
+    }
     (files, cnts)
   }
 
@@ -1087,8 +1238,7 @@ object VersionedKeyedTable {
       .where(col(keyCol).isNotNull).distinct()
       .withColumn("__bucket", bucketOf(keyCol, nb))
       .localCheckpoint(true)
-    val myTouched = batch.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+    val myTouched = touchedBuckets(batch) // bounded by numBuckets
     if (myTouched.isEmpty) return
     // DRIVER-BOUNDED batches prune the existence read through the
     // point-lookup path (zone maps + blooms): a surgical delete on a
@@ -1096,19 +1246,22 @@ object VersionedKeyedTable {
     // whole buckets — the pruning is conservative, and the semi-join
     // below is the exact residual either way. Unbounded batches read
     // the touched buckets (still O(touched region), no rewrite).
-    val keyList: Option[Either[Seq[Long], Seq[String]]] = {
-      val bounded = batch.count() <= MaxPointLookupKeys
-      if (!bounded) None
-      else metaSchema(keyCol).dataType match {
+    // One take(cap+1) both decides boundedness and fetches the keys —
+    // the previous count()+collect() pair cost two jobs per delete.
+    val keyList: Option[Either[Seq[Long], Seq[String]]] =
+      metaSchema(keyCol).dataType match {
         case org.apache.spark.sql.types.StringType =>
-          Some(Right(batch.select(col(keyCol))
-            .collect().map(_.getString(0)).toSeq))
+          val rows = batch.select(col(keyCol))
+            .take(MaxPointLookupKeys + 1)
+          if (rows.length > MaxPointLookupKeys) None
+          else Some(Right(rows.map(_.getString(0)).toSeq))
         case t if isIntegralKey(t) =>
-          Some(Left(batch.select(col(keyCol).cast("long"))
-            .collect().map(_.getLong(0)).toSeq))
+          val rows = batch.select(col(keyCol).cast("long"))
+            .take(MaxPointLookupKeys + 1)
+          if (rows.length > MaxPointLookupKeys) None
+          else Some(Left(rows.map(_.getLong(0)).toSeq))
         case _ => None // date/timestamp keys: bucket-scoped read
       }
-    }
     var snap = snapshot(spark, dir)
     var attempts = 0
     while (true) {
@@ -1284,24 +1437,26 @@ object VersionedKeyedTable {
             org.apache.spark.sql.types.IntegerType)))))
     val allKeys = batch.select(col(keyCol), col("__bucket"))
       .unionByName(doomed.select(col(keyCol), col("__bucket")))
-    val myTouched = allKeys.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+    val myTouched = touchedBuckets(
+      allKeys.select(col("__bucket"))) // bounded by numBuckets
     if (myTouched.isEmpty) return
     // bounded batches prune the existence/prev read through the
-    // point-lookup path (zone maps + blooms) — see deleteMor
-    val keyList: Option[Either[Seq[Long], Seq[String]]] = {
-      val bounded = allKeys.count() <= MaxPointLookupKeys
-      if (!bounded) None
-      else metaSchema(keyCol).dataType match {
+    // point-lookup path (zone maps + blooms) — see deleteMor; one
+    // take(cap+1) replaces the count()+collect() pair
+    val keyList: Option[Either[Seq[Long], Seq[String]]] =
+      metaSchema(keyCol).dataType match {
         case org.apache.spark.sql.types.StringType =>
-          Some(Right(allKeys.select(col(keyCol))
-            .collect().map(_.getString(0)).toSeq))
+          val rows = allKeys.select(col(keyCol))
+            .take(MaxPointLookupKeys + 1)
+          if (rows.length > MaxPointLookupKeys) None
+          else Some(Right(rows.map(_.getString(0)).toSeq))
         case t if isIntegralKey(t) =>
-          Some(Left(allKeys.select(col(keyCol).cast("long"))
-            .collect().map(_.getLong(0)).toSeq))
+          val rows = allKeys.select(col(keyCol).cast("long"))
+            .take(MaxPointLookupKeys + 1)
+          if (rows.length > MaxPointLookupKeys) None
+          else Some(Left(rows.map(_.getLong(0)).toSeq))
         case _ => None
       }
-    }
     var snap = snapshot(spark, dir)
     expectedVersion.foreach(ev => require(snap.version == ev,
       s"mutateMor at $dir: the table advanced past the snapshot the " +
@@ -1780,8 +1935,7 @@ object VersionedKeyedTable {
       val batch = derive(snapDF)
         .withColumn("__bucket", bucketOf(keyCol, nb))
         .localCheckpoint(true) // pin the derivation before any racer commits
-      val myTouched = batch.select("__bucket").distinct()
-        .collect().map(_.getInt(0)).toSet
+      val myTouched = touchedBuckets(batch)
       if (myTouched.isEmpty) return
       val schema = snap.schema.getOrElse(metaSchema)
       // same additive-only rule as mutate: a derivation that changes
@@ -1814,8 +1968,16 @@ object VersionedKeyedTable {
       requireNotDropped(spark, dir, merged.schema.fieldNames.toSeq
         .filterNot(n => n == "__bucket" ||
           schema.fieldNames.contains(n)))
-      val changeFiles = writeChangeFiles(spark, dir,
-        classifyDiff(existing, merged.drop("__bucket"), keyCol, evolvedTx))
+      // key-bounded diff, as in mutateWith: the transact merge keeps
+      // every non-batch key verbatim, so only batch keys can change
+      val changeFiles = {
+        val bk = broadcast(batch.select(col(keyCol)))
+        writeChangeFiles(spark, dir,
+          classifyDiff(
+            existing.join(bk, Seq(keyCol), "left_semi"),
+            merged.drop("__bucket").join(bk, Seq(keyCol), "left_semi"),
+            keyCol, evolvedTx))
+      }
       val manifest = snap.files ++
         myTouched.toSeq.map(b => b -> newFiles.getOrElse(b, Seq.empty))
       // strict CAS at snapshot+1: NO rebase — any intervening commit
@@ -1888,10 +2050,13 @@ object VersionedKeyedTable {
         s"recorded key column " +
         s"(${KeyedTable.readMetaKey(spark, dir).getOrElse("none")})")
     val fs = hfs(spark, dir)
-    val batch = rows.withColumn("__bucket", bucketOf(keyCol, nb))
-      .localCheckpoint(true)
-    val myTouched = batch.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+    val batch = jobPhase(spark, "checkpoint-batch") {
+      rows.withColumn("__bucket", bucketOf(keyCol, nb))
+        .localCheckpoint(true)
+    }
+    val myTouched = jobPhase(spark, "touched-buckets") {
+      touchedBuckets(batch) // bounded by numBuckets; map-only stage
+    }
     if (myTouched.isEmpty) return
     var snap = snapshot(spark, dir)
     var attempts = 0
@@ -1934,9 +2099,11 @@ object VersionedKeyedTable {
         myTouched.toSeq.sorted
           .flatMap(b => snap.files.getOrElse(b, Seq.empty)),
         Some(myTouched))
-      val merged = remerge(existing, batch)
-        .withColumn("__bucket", bucketOf(keyCol, nb))
-        .localCheckpoint(true) // never read a file a racer vacuums
+      val merged = jobPhase(spark, "checkpoint-merged") {
+        remerge(existing, batch)
+          .withColumn("__bucket", bucketOf(keyCol, nb))
+          .localCheckpoint(true) // never read a file a racer vacuums
+      }
       val (newFiles, newStats, newCounts, newExtra) =
         writeDataFiles(spark, dir, merged, keyCol,
           statsCols = inheritedStatsCols(snap))
@@ -1946,11 +2113,23 @@ object VersionedKeyedTable {
       // and every later changesBetween over this commit reads
       // O(changed rows) instead of re-diffing bucket snapshots.
       // captureChanges=false skips the pass for write-only tables;
-      // spans crossing such a commit take the snapshot-diff fallback
+      // spans crossing such a commit take the snapshot-diff fallback.
+      // The diff is KEY-BOUNDED: every remerge (upsert/delete/merge/
+      // apply-changes) rewrites only batch-keyed rows — non-batch
+      // keys pass through verbatim and can never produce a change row
+      // — so both diff sides semi-join to the batch's keys first
+      // (broadcast, no shuffle) and the full-outer classify shuffles
+      // O(batch) rows instead of O(touched buckets) (guide §2.3).
       val changeFiles =
         if (!captureChanges) None
-        else Some(writeChangeFiles(spark, dir,
-          classifyDiff(existing, merged.drop("__bucket"), keyCol, evolved)))
+        else {
+          val bk = broadcast(batch.select(col(keyCol)))
+          Some(writeChangeFiles(spark, dir,
+            classifyDiff(
+              existing.join(bk, Seq(keyCol), "left_semi"),
+              merged.drop("__bucket").join(bk, Seq(keyCol), "left_semi"),
+              keyCol, evolved)))
+        }
       onBeforeCommit()
       // rebase loop: re-target the SAME written files onto newer
       // snapshots while the intervening commits stay bucket-disjoint
