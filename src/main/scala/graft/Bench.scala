@@ -299,6 +299,14 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes("UTF-8"))
+    else
+      // filtered iteration runs keep their full per-query map too —
+      // in a scratch file, so the committed BENCH_FULL.json reference
+      // (which drives the outlier re-run) is never overwritten by a
+      // subset
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_PART.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
 
     // Compact stdout line: keep the slowest queries — wall AND the
     // contention/churn evidence (cpu/gc/spread) for exactly those rows,

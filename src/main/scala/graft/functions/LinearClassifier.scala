@@ -53,14 +53,20 @@ object LinearClassifier {
       rounds: Int, maxBuckets: Int = 4096,
       biasBucket: String = "__bias__"): Map[String, Long] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // every round's margin aggregate groups by doc_id: partition the
+    // feature relation by doc_id ONCE (the checkpoint preserves the
+    // partitioning through LogicalRDD) so rounds+1 score passes reuse
+    // it instead of each paying its own exchange (guide §2.4: two
+    // operations keyed the same way share one exchange)
+    val f = feats.repartition(col("doc_id")).localCheckpoint(true)
     var w = Map.empty[String, Long]
     var bestW = w
     var bestMis = Long.MaxValue
     for (k <- 0 to rounds) {
-      val mis = score(spark, feats, w)
+      val mis = score(spark, f, w)
         .filter(col("y") * col("margin") <= 0)
         .select(col("doc_id"))
-      val delta = feats
+      val delta = f
         .join(mis, Seq("doc_id"), "leftsemi")
         .groupBy(col("b"))
         .agg(sum(col("y") * col("cnt")).as("d"),

@@ -275,22 +275,24 @@ object IncrementalView {
     val cdf = VersionedKeyedTable.changesBetween(
         spark, baseDir, baseKey, effFrom, toVersion)
       .localCheckpoint(true) // four consumers; compute the span once
+    // count/sum deltas AND the new-value envelopes ride ONE union +
+    // ONE grouped aggregate (the old/new sides tag their contribution;
+    // min/max of the tagged new values ignore the old side's nulls) —
+    // previously `delta` and `newMM` were two aggregates full-outer
+    // joined back together, an extra exchange + join per span
     val oldSide = cdf
       .where(col("change_type").isin("delete", "update"))
       .select(col(s"${groupCol}_prev").as(groupCol),
-        (-col(s"${valueCol}_prev")).as("d_total"), lit(-1L).as("d_cnt"))
+        (-col(s"${valueCol}_prev")).as("d_total"), lit(-1L).as("d_cnt"),
+        lit(null).cast(cdf.schema(valueCol).dataType).as("nv"))
     val newSide = cdf
       .where(col("change_type").isin("insert", "update"))
       .select(col(groupCol), col(valueCol).as("d_total"),
-        lit(1L).as("d_cnt"))
-    val delta = oldSide.unionByName(newSide)
+        lit(1L).as("d_cnt"), col(valueCol).as("nv"))
+    val deltaMM = oldSide.unionByName(newSide)
       .groupBy(col(groupCol))
-      .agg(sum(col("d_cnt")).as("cnt"), sum(col("d_total")).as("total"))
-    // extension tier: new values per group (inserts + update news)
-    val newMM = cdf
-      .where(col("change_type").isin("insert", "update"))
-      .groupBy(col(groupCol))
-      .agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+      .agg(sum(col("d_cnt")).as("cnt"), sum(col("d_total")).as("total"),
+        min(col("nv")).as("mn"), max(col("nv")).as("mx"))
     // break tier: groups whose DELETED values reach the recorded
     // envelope (old group for updates — a group-moving update is a
     // delete on its old group)
@@ -342,14 +344,13 @@ object IncrementalView {
     val source =
       if (affKeyRows.isEmpty)
         // no broken envelope: count/sum deltas + extend-only min/max
-        delta.join(newMM, Seq(groupCol), "full_outer")
-          .select(col(groupCol),
+        deltaMM.select(col(groupCol),
             coalesce(col("cnt"), lit(0L)).as("cnt"),
             coalesce(col("total"), lit(0L)).as("total"),
             col("mn"), col("mx"),
             lit(false).as("redo"),
-            lit(null).cast(newMM.schema("mn").dataType).as("abs_mn"),
-            lit(null).cast(newMM.schema("mx").dataType).as("abs_mx"))
+            lit(null).cast(deltaMM.schema("mn").dataType).as("abs_mn"),
+            lit(null).cast(deltaMM.schema("mx").dataType).as("abs_mx"))
       else {
         val aff = affected.get
         val baseAt =
@@ -367,8 +368,7 @@ object IncrementalView {
           .agg(min(col(valueCol)).as("abs_mn"),
             max(col(valueCol)).as("abs_mx"))
           .withColumn("redo", lit(true))
-        delta
-          .join(newMM, Seq(groupCol), "full_outer")
+        deltaMM
           .join(aff.withColumn("redo0", lit(true)), Seq(groupCol), "left")
           .join(red, Seq(groupCol), "left")
           .select(col(groupCol),
@@ -463,25 +463,29 @@ object IncrementalView {
     val cdf = VersionedKeyedTable.changesBetween(
         spark, baseDir, baseKey, effFrom, toVersion)
       .localCheckpoint(true) // four consumers; compute the span once
+    // count/sum deltas AND the per-column new-value envelopes ride
+    // ONE union + ONE grouped aggregate, as in refreshFull: the old
+    // side carries null `nv_*` columns the min/max ignore — the
+    // previous delta ⟗ newMM full-outer join and its exchange are gone
     val oldSide = cdf
       .where(col("change_type").isin("delete", "update"))
       .select(col(s"${groupCol}_prev").as(groupCol) +:
         lit(-1L).as("d_cnt") +:
-        valueCols.map(c => (-col(s"${c}_prev")).as(s"d_$c")): _*)
+        (valueCols.map(c => (-col(s"${c}_prev")).as(s"d_$c")) ++
+          valueCols.map(c =>
+            lit(null).cast(cdf.schema(c).dataType).as(s"nv_$c"))): _*)
     val newSide = cdf
       .where(col("change_type").isin("insert", "update"))
       .select(col(groupCol) +: lit(1L).as("d_cnt") +:
-        valueCols.map(c => col(c).as(s"d_$c")): _*)
+        (valueCols.map(c => col(c).as(s"d_$c")) ++
+          valueCols.map(c => col(c).as(s"nv_$c"))): _*)
     val dAggs = sum(col("d_cnt")).as("cnt") +:
-      valueCols.map(c => sum(col(s"d_$c")).as(s"total_$c"))
-    val delta = oldSide.unionByName(newSide)
+      (valueCols.map(c => sum(col(s"d_$c")).as(s"total_$c")) ++
+        valueCols.flatMap(c => Seq(
+          min(col(s"nv_$c")).as(s"mn_$c"),
+          max(col(s"nv_$c")).as(s"mx_$c"))))
+    val deltaMM = oldSide.unionByName(newSide)
       .groupBy(col(groupCol)).agg(dAggs.head, dAggs.tail: _*)
-    // extension tier: per-column new-value envelopes
-    val nAggs = valueCols.flatMap(c => Seq(
-      min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-    val newMM = cdf
-      .where(col("change_type").isin("insert", "update"))
-      .groupBy(col(groupCol)).agg(nAggs.head, nAggs.tail: _*)
     // break tier: per-column deleted-value envelopes
     val delAggs = valueCols.flatMap(c => Seq(
       min(col(s"${c}_prev")).as(s"del_mn_$c"),
@@ -536,11 +540,11 @@ object IncrementalView {
             valueCols.flatMap(c => Seq(col(s"mn_$c"), col(s"mx_$c"))) ++
             Seq(lit(false).as("redo")) ++
             valueCols.flatMap(c => Seq(
-              lit(null).cast(newMM.schema(s"mn_$c").dataType)
+              lit(null).cast(deltaMM.schema(s"mn_$c").dataType)
                 .as(s"abs_mn_$c"),
-              lit(null).cast(newMM.schema(s"mx_$c").dataType)
+              lit(null).cast(deltaMM.schema(s"mx_$c").dataType)
                 .as(s"abs_mx_$c")))
-        delta.join(newMM, Seq(groupCol), "full_outer").select(cols: _*)
+        deltaMM.select(cols: _*)
       } else {
         val aff = affected.get
         val baseAt =
@@ -564,8 +568,7 @@ object IncrementalView {
             Seq(coalesce(col("redo0"), lit(false)).as("redo")) ++
             valueCols.flatMap(c =>
               Seq(col(s"abs_mn_$c"), col(s"abs_mx_$c")))
-        delta
-          .join(newMM, Seq(groupCol), "full_outer")
+        deltaMM
           .join(aff.withColumn("redo0", lit(true)), Seq(groupCol), "left")
           .join(red, Seq(groupCol), "left")
           .select(sourceCols: _*)
