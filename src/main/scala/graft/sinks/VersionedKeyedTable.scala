@@ -1063,35 +1063,29 @@ object VersionedKeyedTable {
   private def classifyDiff(oldDF: DataFrame, newDF: DataFrame,
       keyCol: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // shape note (measured, this round): a union + groupBy-key with
+    // first(struct) computes this in ONE exchange but plans as
+    // SortAggregate (struct buffers are not hash-aggregatable), which
+    // re-sorts both sides interpreted — slower than the codegen'd
+    // full-outer SMJ below on every non-trivial diff. The join stays;
+    // the mutation paths bound BOTH inputs to the batch's keys first,
+    // which is where the real bytes win is (see mutateWith).
+    val o = oldDF.alias("o")
+    val n = newDF.alias("n")
+    val oKey = col(s"o.$keyCol")
+    val nKey = col(s"n.$keyCol")
     val dataCols = schema.fieldNames.filterNot(_ == keyCol).toSeq
-    // ONE exchange instead of a full-outer join's two: each side packs
-    // its data columns into a struct (a key-only schema packs a
-    // constant marker so presence stays observable), the union groups
-    // by key, and first(ignoreNulls) recovers the ≤1 old and ≤1 new
-    // image per key — keys are unique per side by table invariant.
-    // Map-side partial aggregation also means the exchange carries at
-    // most one (old, new) pair per key, never both sides' full rows.
-    val packed: Seq[org.apache.spark.sql.Column] =
-      if (dataCols.isEmpty) Seq(lit(1).as("__present"))
-      else dataCols.map(col)
-    val os = oldDF.select(col(keyCol), struct(packed: _*).as("__o"))
-    val ns = newDF.select(col(keyCol), struct(packed: _*).as("__n"))
-    val u = os.withColumn("__n", lit(null).cast(ns.schema("__n").dataType))
-      .unionByName(
-        ns.withColumn("__o", lit(null).cast(os.schema("__o").dataType)))
-    val g = u.groupBy(col(keyCol))
-      .agg(first(col("__o"), ignoreNulls = true).as("__o"),
-        first(col("__n"), ignoreNulls = true).as("__n"))
     val sameRow = dataCols
-      .map(c => col(s"__o.$c") <=> col(s"__n.$c"))
+      .map(c => col(s"o.$c") <=> col(s"n.$c"))
       .foldLeft(lit(true))(_ && _)
-    val ct = when(col("__o").isNull, lit("insert"))
-      .when(col("__n").isNull, lit("delete"))
+    val ct = when(oKey.isNull, lit("insert"))
+      .when(nKey.isNull, lit("delete"))
       .when(!sameRow, lit("update")) // else null: unchanged row
-    g.where(ct.isNotNull)
-      .select((col(keyCol) +: ct.as("change_type") +:
-        (dataCols.map(c => col(s"__n.$c").as(c)) ++
-          dataCols.map(c => col(s"__o.$c").as(s"${c}_prev")))): _*)
+    o.join(n, oKey === nKey, "full_outer")
+      .where(ct.isNotNull)
+      .select((coalesce(nKey, oKey).as(keyCol) +: ct.as("change_type") +:
+        (dataCols.map(c => col(s"n.$c").as(c)) ++
+          dataCols.map(c => col(s"o.$c").as(s"${c}_prev")))): _*)
   }
 
   /** Persist a commit's captured change rows as immutable files under
