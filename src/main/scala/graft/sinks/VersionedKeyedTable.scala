@@ -88,6 +88,81 @@ object VersionedKeyedTable {
       }.collect().toSet
   }
 
+  /** FileStatuses for manifest-listed relative paths with one
+    * listStatus per PARENT DIRECTORY, not one getFileStatus RPC per
+    * file: a snapshot's files cluster under a handful of commit dirs,
+    * so this is O(commit dirs) metadata calls even for wide tables. */
+  private[sinks] def statFiles(spark: SparkSession, dir: String,
+      relFiles: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] =
+    statPaths(spark, dir, relFiles.map(f => s"$dir/$f"))
+
+  /** [[statFiles]] over full path strings (staged files, absolute
+    * lists) — same one-listStatus-per-parent discipline. */
+  private[sinks] def statPaths(spark: SparkSession, root: String,
+      paths: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = hfs(spark, root)
+    val byParent = paths.groupBy(f => f.take(f.lastIndexOf('/')))
+    val listed: Map[String, Map[String, org.apache.hadoop.fs.FileStatus]] =
+      byParent.keys.map { parent =>
+        parent -> fs.listStatus(new Path(parent))
+          .map(st => st.getPath.getName -> st).toMap
+      }.toMap
+    paths.map { f =>
+      val parent = f.take(f.lastIndexOf('/'))
+      val name = f.drop(f.lastIndexOf('/') + 1)
+      listed(parent).getOrElse(name,
+        throw new IllegalStateException(
+          s"VersionedKeyedTable at $root: referenced file is missing: " +
+            s"$f (vacuumed past this version?)"))
+    }
+  }
+
+  /** [[scanFiles]] over full path strings. */
+  private[sinks] def scanPaths(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): DataFrame = {
+    // force every level nullable, as DataFrameReader.schema() does
+    // (asNullable): the evolution contract reads missing columns as
+    // null, and the vectorized reader REFUSES a missing column that
+    // the requested schema marks required
+    def nullable(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          f.copy(dataType = nullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = nullable(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = nullable(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+    val relation = org.apache.spark.sql.execution.datasources
+      .HadoopFsRelation(
+        new PreListedFileIndex(spark, new Path(root),
+          statPaths(spark, root, paths)),
+        new org.apache.spark.sql.types.StructType(),
+        nullable(schema)
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+        None,
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat,
+        Map.empty[String, String])(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  /** Scan EXACTLY the given manifest-listed files under the forced
+    * `schema` (missing columns read null — the evolution contract),
+    * via a [[PreListedFileIndex]]: no InMemoryFileIndex build and no
+    * distributed listing job, which `spark.read.parquet(paths: _*)`
+    * pays on every call (a full Spark job past
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` = 32
+    * paths — i.e. on every read of any non-trivial table). */
+  private[sinks] def scanFiles(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rels: Seq[String]): DataFrame =
+    scanPaths(spark, dir, schema, rels.map(f => s"$dir/$f"))
+
   /** ONE map-only pass over freshly written files computing, per file
     * (keyed by the file's URI): row count, each stat column's
     * (min, max) — aggregated in NATIVE type with Catalyst's own
@@ -1154,7 +1229,7 @@ object VersionedKeyedTable {
       case None => snap.deletes.values.toSeq
     }).flatten
     def scan(fs0: Seq[String]): DataFrame =
-      spark.read.schema(schema).parquet(fs0.map(f => s"$dir/$f"): _*)
+      scanFiles(spark, dir, schema, fs0)
     if (delRels.isEmpty) return scan(rels)
     val keySchema = org.apache.spark.sql.types.StructType(
       Seq(schema(keyCol).copy(nullable = false)))
@@ -1163,8 +1238,7 @@ object VersionedKeyedTable {
         val applicable = delRels.filter(d => deleteSeq(snap, d) > s)
         if (applicable.isEmpty) scan(classFiles)
         else scan(classFiles).join(
-          spark.read.schema(keySchema)
-            .parquet(applicable.map(f => s"$dir/$f"): _*),
+          scanFiles(spark, dir, keySchema, applicable),
           Seq(keyCol), "left_anti")
     }.reduce(_ unionByName _)
   }
@@ -2963,8 +3037,7 @@ object VersionedKeyedTable {
         val filtered =
           if (applicable.isEmpty) df
           else df.join(
-            spark.read.schema(keySchema)
-              .parquet(applicable.map(f => s"$dir/$f"): _*),
+            scanFiles(spark, dir, keySchema, applicable),
             Seq(keyCol), "left_anti")
         (filtered, idx, bf.size)
       }

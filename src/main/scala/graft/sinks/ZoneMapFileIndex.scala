@@ -28,6 +28,44 @@ import org.apache.spark.sql.types.StructType
   * applies anyway guarantees exactness — so unknown shapes are safe,
   * never wrong). Files without recorded stats are never pruned.
   */
+/** A [[FileIndex]] over an ALREADY-STATTED file list — the scan path
+  * for manifest-known files (`VersionedKeyedTable.scanFiles`). Where
+  * `spark.read.parquet(path, path, ...)` builds an InMemoryFileIndex
+  * that re-lists every path — and past
+  * `spark.sql.sources.parallelPartitionDiscovery.threshold` paths
+  * launches a whole DISTRIBUTED LISTING JOB for files the manifest
+  * already enumerates — this index hands Spark the statuses directly:
+  * zero listing at scan build (guide §6: manifest metadata avoids
+  * directory listing; the statuses come from one listStatus per
+  * commit dir, see [[VersionedKeyedTable.statFiles]]). */
+final class PreListedFileIndex(spark: SparkSession, root: Path,
+    files: Seq[FileStatus])
+    extends org.apache.spark.sql.execution.datasources
+      .PartitioningAwareFileIndex(spark, Map.empty, None) {
+  override def rootPaths: Seq[Path] = Seq(root)
+  override def partitionSpec()
+      : org.apache.spark.sql.execution.datasources.PartitionSpec =
+    org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
+  override protected def leafFiles
+      : scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    files.foreach(st => m(st.getPath) = st)
+    m
+  }
+  override protected def leafDirToChildrenFiles
+      : Map[Path, Array[FileStatus]] =
+    files.groupBy(_.getPath.getParent).map { case (d, fs0) =>
+      d -> fs0.toArray
+    }
+  override def refresh(): Unit = ()
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, files.toArray))
+  override def sizeInBytes: Long = files.map(_.getLen).sum
+  override def inputFiles: Array[String] =
+    files.map(_.getPath.toString).toArray
+}
+
 final class ZoneMapFileIndex(
     spark: SparkSession, dir: String,
     snap: VersionedKeyedTable.Snapshot, keyCol: String,
@@ -53,27 +91,8 @@ final class ZoneMapFileIndex(
       .exists(_.dataType == org.apache.spark.sql.types.StringType)
 
   private val relFiles: Seq[String] = snap.files.values.flatten.toSeq
-  private val statuses: Seq[FileStatus] = {
-    // one listStatus per PARENT DIRECTORY, not one getFileStatus RPC
-    // per file: a snapshot's files cluster under a handful of commit
-    // dirs, so this is O(dirs) metadata calls even for wide tables
-    val fs = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val byParent = relFiles.groupBy(f => f.take(f.lastIndexOf('/')))
-    val listed: Map[String, Map[String, FileStatus]] =
-      byParent.keys.map { parent =>
-        parent -> fs.listStatus(new Path(s"$dir/$parent"))
-          .map(st => st.getPath.getName -> st).toMap
-      }.toMap
-    relFiles.map { f =>
-      val parent = f.take(f.lastIndexOf('/'))
-      val name = f.drop(f.lastIndexOf('/') + 1)
-      listed(parent).getOrElse(name,
-        throw new IllegalStateException(
-          s"VersionedKeyedTable at $dir: manifest references missing " +
-            s"file $f (vacuumed past this version?)"))
-    }
-  }
+  private val statuses: Seq[FileStatus] =
+    VersionedKeyedTable.statFiles(spark, dir, relFiles)
   private val statsByPath: Map[Path, (Long, Long)] =
     if (!numericImage(keyCol)) Map.empty
     else relFiles.zip(statuses).flatMap { case (rel, st) =>

@@ -1060,11 +1060,12 @@ class GraftDeltaBatchWrite(dir: String, keyCol: String, queryId: String,
         if (ins.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           rowSchema)
-        else spark.read.schema(rowSchema).parquet(ins.toIndexedSeq: _*)
+        else VersionedKeyedTable.scanPaths(spark, dir, rowSchema,
+          ins.toIndexedSeq)
       val doomed =
         if (del.isEmpty) None
-        else Some(spark.read.schema(keySchema)
-          .parquet(del.toIndexedSeq: _*))
+        else Some(VersionedKeyedTable.scanPaths(spark, dir, keySchema,
+          del.toIndexedSeq))
       VersionedKeyedTable.mutateMor(spark, dir, puts, doomed, keyCol,
         commitMeta = Map(stampKey -> queryId),
         expectedVersion = expectedVersion)
@@ -1152,7 +1153,8 @@ class GraftReplaceBatchWrite(dir: String, keyCol: String,
       val rows =
         if (staged.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(staged.toIndexedSeq: _*)
+        else VersionedKeyedTable.scanPaths(spark, dir, schema,
+          staged.toIndexedSeq)
       replaceOnly match {
         case Some(filesOf) =>
           VersionedKeyedTable.replaceFiles(spark, dir, filesOf(), rows,
@@ -1198,7 +1200,8 @@ class GraftSqlBatchWrite(dir: String, keyCol: String, queryId: String,
     }
     try {
       if (staged.isEmpty) return // INSERT of zero rows: no commit
-      val rows = spark.read.schema(schema).parquet(staged: _*)
+      val rows = VersionedKeyedTable.scanPaths(spark, dir, schema,
+        staged.toIndexedSeq)
       // merge-on-read routing (the table's write.mode=mor property,
       // or spark.graft.insert.mode overriding per session): the put
       // defers as appended data files + a sequence-stamped delete (no
@@ -2094,10 +2097,13 @@ class GraftRowScan(dir: String,
 
   private def buildScan(files: Seq[String])
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan = {
-    val index = new org.apache.spark.sql.execution.datasources
-      .InMemoryFileIndex(spark,
-        files.map(f => new org.apache.hadoop.fs.Path(s"$dir/$f")),
-        Map.empty, Some(tableSchema))
+    // manifest-known files: a PreListedFileIndex hands the statuses
+    // straight to the scan (one listStatus per commit dir) — an
+    // InMemoryFileIndex here re-listed every path per scan build, and
+    // past 32 paths launched a distributed listing JOB per query
+    val index = new graft.sinks.PreListedFileIndex(spark,
+      new org.apache.hadoop.fs.Path(dir),
+      graft.sinks.VersionedKeyedTable.statFiles(spark, dir, files))
     // a DEFENSIVE COPY: ParquetScan.createReaderFactory mutates the
     // conf it is given (read-support keys, SQLConf mirror keys) —
     // never hand it the session-global one

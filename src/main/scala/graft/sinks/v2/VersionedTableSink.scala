@@ -146,7 +146,8 @@ class VersionedStreamingWrite(dir: String, keyCol: String,
         // the data already applied exactly once; FALL THROUGH to the
         // auto-compaction check, because the crash window this replay
         // covers is exactly "data commit landed, compact didn't"
-        val rows = spark.read.schema(schema).parquet(staged: _*)
+        val rows = VersionedKeyedTable.scanPaths(spark, dir, schema,
+          staged.toIndexedSeq)
         if (KeyedTable.readMeta(spark, dir).isEmpty)
           VersionedKeyedTable.create(rows, dir, keyCol, numBuckets,
             commitMeta = Map(stampKey -> epochId.toString))
