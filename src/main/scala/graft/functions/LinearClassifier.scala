@@ -53,12 +53,16 @@ object LinearClassifier {
       rounds: Int, maxBuckets: Int = 4096,
       biasBucket: String = "__bias__"): Map[String, Long] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // every round's margin aggregate groups by doc_id: partition the
-    // feature relation by doc_id ONCE (the checkpoint preserves the
-    // partitioning through LogicalRDD) so rounds+1 score passes reuse
-    // it instead of each paying its own exchange (guide §2.4: two
-    // operations keyed the same way share one exchange)
-    val f = feats.repartition(col("doc_id")).localCheckpoint(true)
+    // NOTE (round 15): round 14 pre-shuffled the feature relation by
+    // doc_id and localCheckpointed it here so the rounds+1 score
+    // passes share one exchange. That shuffles and PINS raw feature
+    // rows where each round otherwise shuffles map-side
+    // partially-aggregated per-doc rows — backwards for a
+    // cardinality-reducing aggregate (guide §2.3: aggregate before
+    // you shuffle), and the driver's bench convicted it
+    // (text_curation_apply 0.61x). Reverted to the per-round
+    // partial-agg form.
+    val f = feats
     var w = Map.empty[String, Long]
     var bestW = w
     var bestMis = Long.MaxValue

@@ -78,14 +78,50 @@ object VersionedKeyedTable {
     * shuffles outright). Called once per commit on every mutation
     * path, so the saved stage round-trip compounds across lifecycle
     * checks. */
-  private[sinks] def touchedBuckets(batch: DataFrame): Set[Int] = {
+  private[sinks] def touchedBuckets(batch: DataFrame): Set[Int] =
+    touchedBucketsAndCount(batch)._1
+
+  /** [[touchedBuckets]] PLUS the batch's exact row count, from the
+    * same single map-only pass (no extra job): the count feeds the
+    * broadcast-size gate below, so commit paths learn whether a
+    * caller-supplied batch is broadcast-safe for free. */
+  private[sinks] def touchedBucketsAndCount(batch: DataFrame)
+      : (Set[Int], Long) = {
     import batch.sparkSession.implicits._
-    batch.select(col("__bucket")).as[Int]
+    val partials = batch.select(col("__bucket")).as[Int]
       .mapPartitions { it =>
         val s = scala.collection.mutable.HashSet.empty[Int]
-        while (it.hasNext) s += it.next()
-        s.iterator
-      }.collect().toSet
+        var n = 0L
+        while (it.hasNext) { s += it.next(); n += 1 }
+        Iterator.single((s.toArray, n))
+      }.collect()
+    (partials.iterator.flatMap(_._1).toSet,
+      partials.iterator.map(_._2).sum)
+  }
+
+  /** Broadcast-key row limit for batch-key semi/anti joins. The batch
+    * in a mutation is CALLER-SUPPLIED and unbounded — at 100 TB an
+    * ingest/merge batch can carry billions of keys, and an
+    * unconditional `broadcast()` hint bypasses
+    * autoBroadcastJoinThreshold straight into the 8 GB / 512M-row
+    * broadcast cap (driver OOM). Default 4M keys ≈ tens of MB built
+    * hash relation — comfortably broadcastable on any executor —
+    * overridable per session via `spark.graft.maxBroadcastKeys`. */
+  private[sinks] def maxBroadcastKeys(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.maxBroadcastKeys")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** The batch's key relation for semi/anti joins, broadcast-hinted
+    * only when `batchRows` (a known exact count — free from
+    * [[touchedBucketsAndCount]]) is under the gate; above it the
+    * planner picks a shuffled join from its own size estimates
+    * (guide §3.1: broadcast deliberately, never unconditionally). */
+  private[sinks] def keysMaybeBroadcast(batch: DataFrame,
+      keyCol: String, batchRows: Long): DataFrame = {
+    val keys = batch.select(col(keyCol))
+    if (batchRows <= maxBroadcastKeys(batch.sparkSession))
+      broadcast(keys)
+    else keys
   }
 
   /** FileStatuses for manifest-listed relative paths with one
@@ -163,132 +199,72 @@ object VersionedKeyedTable {
       rels: Seq[String]): DataFrame =
     scanPaths(spark, dir, schema, rels.map(f => s"$dir/$f"))
 
-  /** ONE map-only pass over freshly written files computing, per file
-    * (keyed by the file's URI): row count, each stat column's
-    * (min, max) — aggregated in NATIVE type with Catalyst's own
-    * interpreted ordering, stringified on the driver with Catalyst's
-    * own Cast, so the recorded envelope is identical to the previous
-    * `min(col).cast("string")` SQL aggregate — and the key bloom
-    * (same kernel `graft_bloom_agg` wraps: `sketch.BloomFilter` +
-    * `putLong`, serialized with `writeTo`, so the sidecar bytes stay
-    * `BloomFilter.readFrom`-compatible). The previous implementation
-    * was a `groupBy(input_file_name)` aggregate: an Exchange plus AQE
-    * stage round-trips on EVERY commit, shuffling a grouping that is
-    * already partition-local (scan splits never mix a small file's
-    * rows across tasks; the rare >split-size file is merged on the
-    * driver below). Guide §2.4: remove shuffles outright — this is
-    * the highest-frequency shuffle in the store, one per commit. */
+  /** One pass over freshly written files computing, per file (keyed
+    * by the file's URI): row count, each stat column's (min, max) as
+    * strings, and the key bloom (`graft_bloom_agg` =
+    * `BloomFilterAggregate`, whose sketch bytes stay
+    * `BloomFilter.readFrom`-compatible). Shape: ONE codegen'd
+    * vectorized-scan → (object-)hash aggregate grouped by
+    * `input_file_name()`, with map-side partial aggregation — the
+    * Exchange it plans carries ONE tiny row per (file, task), so its
+    * payload is noise. Round 14 replaced this with an interpreted
+    * per-row `mapPartitions` pass over `queryExecution.toRdd` to save
+    * that Exchange; the driver's bench convicted the trade (write-heavy
+    * queries +27-39% wall, cpu +39%, gc 8x — per-row `InternalRow.get`
+    * boxing and `getInterpretedOrdering` compares on EVERY written row
+    * of EVERY commit). This restores the codegen'd aggregate (guide
+    * §1.2: per-task work dominates; the exchange payload was never the
+    * cost). Min/max aggregate in NATIVE type (statImage pre-converts
+    * date/timestamp to int/long), then cast to string AFTER the
+    * aggregate — identical envelope strings to every previous round. */
   private def perFileStats(spark: SparkSession, path: String,
       statCols: Seq[org.apache.spark.sql.Column],
-      bloomCol: Option[org.apache.spark.sql.Column],
+      bloomExpr: Option[String],
       bloomBits: Long)
       : Map[String, (Long, Seq[Option[(String, String)]],
           Option[Array[Byte]])] = {
-    import org.apache.spark.sql.types.{DataType, StringType}
-    val proj = spark.read.parquet(path).select(
-      (input_file_name().as("__f") +: statCols) ++
-        bloomCol.map(_.cast("long").as("__h")).toSeq: _*)
-    val dts: Array[DataType] =
-      proj.schema.fields.drop(1).take(statCols.size).map(_.dataType)
+    if (bloomExpr.isDefined) graft.functions.BloomFunctions.register(spark)
     val n = statCols.size
-    val hasBloom = bloomCol.isDefined
-    val expItems = math.max(1L, bloomBits / 8)
-    val partials = proj.queryExecution.toRdd.mapPartitions { it =>
-      // static TypeUtils access only — closing over a local def would
-      // capture the (non-serializable) enclosing object
-      val ords = dts.map(
-        org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering)
-      val accs = scala.collection.mutable.LinkedHashMap
-        .empty[String, (Array[Any], Array[Any],
-          Array[Long], Array[org.apache.spark.util.sketch.BloomFilter])]
-      while (it.hasNext) {
-        val row = it.next()
-        val f = row.getUTF8String(0).toString
-        val a = accs.getOrElseUpdate(f,
-          (new Array[Any](n), new Array[Any](n), Array(0L),
-            new Array[org.apache.spark.util.sketch.BloomFilter](1)))
-        a._3(0) += 1
-        var i = 0
-        while (i < n) {
-          if (!row.isNullAt(i + 1)) {
-            // copy buffer-backed values: InternalRow getters can
-            // return views into memory the scan reuses per row
-            val v: Any = row.get(i + 1, dts(i)) match {
-              case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-              case b: Array[Byte] => b.clone()
-              case other => other
-            }
-            if (a._1(i) == null || ords(i).compare(v, a._1(i)) < 0)
-              a._1(i) = v
-            if (a._2(i) == null || ords(i).compare(v, a._2(i)) > 0)
-              a._2(i) = v
-          }
-          i += 1
-        }
-        if (hasBloom && !row.isNullAt(n + 1)) {
-          if (a._4(0) == null)
-            a._4(0) = org.apache.spark.util.sketch.BloomFilter
-              .create(expItems, bloomBits)
-          a._4(0).putLong(row.getLong(n + 1))
-        }
-      }
-      accs.iterator.map { case (f, (mins, maxs, cnt, bf)) =>
-        val bytes =
-          if (bf(0) == null) null
-          else {
-            val bos = new java.io.ByteArrayOutputStream()
-            bf(0).writeTo(bos)
-            bos.toByteArray
-          }
-        (f, cnt(0), mins, maxs, bytes)
-      }
-    }.collect()
-    // driver-side: merge partials of files that spanned scan splits,
-    // then stringify min/max with the exact Cast the SQL path used
-    val ords = dts.map(
-      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering)
-    val merged = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Array[Any], Array[Any], Array[Long],
-        Array[Array[Byte]])]
-    partials.foreach { case (f, cnt, mins, maxs, bytes) =>
-      merged.get(f) match {
-        case None =>
-          merged(f) = (mins, maxs, Array(cnt), Array(bytes))
-        case Some((m0, m1, c0, b0)) =>
-          c0(0) += cnt
-          var i = 0
-          while (i < n) {
-            if (mins(i) != null && (m0(i) == null ||
-                ords(i).compare(mins(i), m0(i)) < 0)) m0(i) = mins(i)
-            if (maxs(i) != null && (m1(i) == null ||
-                ords(i).compare(maxs(i), m1(i)) > 0)) m1(i) = maxs(i)
-            i += 1
-          }
-          if (bytes != null) {
-            if (b0(0) == null) b0(0) = bytes
-            else {
-              val a = org.apache.spark.util.sketch.BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(b0(0)))
-              a.mergeInPlace(
-                org.apache.spark.util.sketch.BloomFilter.readFrom(
-                  new java.io.ByteArrayInputStream(bytes)))
-              val bos = new java.io.ByteArrayOutputStream()
-              a.writeTo(bos)
-              b0(0) = bos.toByteArray
-            }
-          }
-      }
-    }
-    def str(v: Any, dt: DataType): String =
-      org.apache.spark.sql.catalyst.expressions.Cast(
-        org.apache.spark.sql.catalyst.expressions.Literal(v, dt),
-        StringType, Some("UTC")).eval(null).toString
-    merged.iterator.map { case (f, (mins, maxs, cnt, bytes)) =>
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).as("__cnt") +:
+        (statCols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(c).cast("string").as(s"__mn$i"),
+            max(c).cast("string").as(s"__mx$i"))
+        } ++
+          bloomExpr.map(e => expr(
+            s"graft_bloom_agg($e, ${math.max(1L, bloomBits / 8)}L, " +
+              s"${bloomBits}L)").as("__bloom")).toSeq)
+    val rows = spark.read.parquet(path)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per freshly-written file
+    rows.iterator.map { r =>
       val mnmx = (0 until n).map { i =>
-        if (mins(i) == null || maxs(i) == null) None
-        else Some((str(mins(i), dts(i)), str(maxs(i), dts(i))))
+        val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
+        if (r.isNullAt(mnI) || r.isNullAt(mxI)) None // all-null column
+        else Some((r.getString(mnI), r.getString(mxI)))
       }
-      f -> ((cnt(0), mnmx, Option(bytes(0))))
+      val bloom = bloomExpr.flatMap { _ =>
+        Option(r.getAs[Array[Byte]](2 + 2 * n)) // all-null keys: no bloom
+      }
+      r.getString(0) -> ((r.getLong(1), mnmx, bloom))
+    }.toMap
+  }
+
+  /** Exact per-file row counts read from the PARQUET FOOTERS the write
+    * just produced — zero Spark jobs, zero data-page reads (guide §6:
+    * the metadata already exists; don't re-derive it with a scan).
+    * Used where only counts are needed (delete files). Returns
+    * absolute-URI-keyed counts matching [[perFileStats]]'s key shape. */
+  private def footerRowCounts(spark: SparkSession, root: String,
+      paths: Seq[String]): Map[String, Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    statPaths(spark, root, paths).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val cnt = try reader.getRecordCount finally reader.close()
+      st.getPath.toString -> cnt
     }.toMap
   }
 
@@ -979,10 +955,10 @@ object VersionedKeyedTable {
       else {
         val bloomIn =
           if (!withBloom) None
-          else if (isStrKey) Some(expr(s"xxhash64(`$keyCol`)"))
-          else Some(col(keyCol).cast("long"))
-        // native-typed stat images; perFileStats stringifies with the
-        // identical Cast on the driver
+          else if (isStrKey) Some(s"xxhash64(`$keyCol`)")
+          else Some(s"CAST(`$keyCol` AS BIGINT)")
+        // native-typed stat images; perFileStats casts to string
+        // after the aggregate
         val statCols = (keyCol +: extraCols).map(c =>
           statImage(typeOf(c), col(c)))
         val per = jobPhase(spark, "file-stats") {
@@ -1263,11 +1239,13 @@ object VersionedKeyedTable {
           .map(f => s"$rel/__bucket=${b}/${f.getPath.getName}")
       }.filter(_._2.nonEmpty).toMap
     if (files.isEmpty) return (Map.empty, Map.empty)
-    // one map-only job for the per-file row counts (see perFileStats)
+    // per-file row counts straight from the freshly written parquet
+    // footers: zero Spark jobs for the delete-file count pass
+    val relPaths = files.valuesIterator.flatten.toSeq
     val per = jobPhase(spark, "file-stats") {
-      perFileStats(spark, s"$dir/$rel", Nil, None, 0L)
+      footerRowCounts(spark, dir, relPaths.map(f => s"$dir/$f"))
     }
-    val cnts = per.map { case (uri, (cnt, _, _)) =>
+    val cnts = per.map { case (uri, cnt) =>
       val b = "__bucket=(\\d+)/".r.findFirstMatchIn(uri)
         .getOrElse(throw new IllegalStateException(
           s"freshly written delete file outside a bucket dir: $uri"))
@@ -1361,8 +1339,13 @@ object VersionedKeyedTable {
       }
       val existing = morScan(spark, dir, snap, schema, keyCol,
         existingRels, Some(myTouched))
-      val doomedRows = existing.join(
-          broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_semi")
+      // broadcast gate: a bounded keyList proves the batch holds at
+      // most MaxPointLookupKeys keys; an unbounded batch must not be
+      // broadcast-hinted (guide §3.1) — the planner joins it shuffled
+      val batchKeys =
+        if (keyList.isDefined) broadcast(batch.select(col(keyCol)))
+        else batch.select(col(keyCol))
+      val doomedRows = existing.join(batchKeys, Seq(keyCol), "left_semi")
         .localCheckpoint(true) // pin before any racer commits/vacuums
       if (doomedRows.isEmpty) return // nothing exists to delete
       val (delFiles, delCounts) = writeDeleteFiles(spark, dir,
@@ -1584,11 +1567,15 @@ object VersionedKeyedTable {
         case None => myTouched.toSeq.sorted
           .flatMap(b => snap.files.getOrElse(b, Seq.empty))
       }
-      // the rows this commit REPLACES OR DELETES — visible state only
+      // the rows this commit REPLACES OR DELETES — visible state only.
+      // Broadcast gate: a bounded keyList proves the key set is at
+      // most MaxPointLookupKeys rows; unbounded batches join shuffled
+      val allKeysRel =
+        if (keyList.isDefined) broadcast(allKeys.select(col(keyCol)))
+        else allKeys.select(col(keyCol))
       val prevRows = morScan(spark, dir, snap, evolved, keyCol,
           existingRels, Some(myTouched))
-        .join(broadcast(allKeys.select(col(keyCol))), Seq(keyCol),
-          "left_semi")
+        .join(allKeysRel, Seq(keyCol), "left_semi")
         .localCheckpoint(true)
       // a pure delete of ABSENT keys is a no-op, like deleteMor's
       if (batch.isEmpty && prevRows.isEmpty) return
@@ -2016,7 +2003,7 @@ object VersionedKeyedTable {
       val batch = derive(snapDF)
         .withColumn("__bucket", bucketOf(keyCol, nb))
         .localCheckpoint(true) // pin the derivation before any racer commits
-      val myTouched = touchedBuckets(batch)
+      val (myTouched, batchRows) = touchedBucketsAndCount(batch)
       if (myTouched.isEmpty) return
       val schema = snap.schema.getOrElse(metaSchema)
       // same additive-only rule as mutate: a derivation that changes
@@ -2036,7 +2023,8 @@ object VersionedKeyedTable {
           .flatMap(b => snap.files.getOrElse(b, Seq.empty)),
         Some(myTouched))
       val merged = existing.join(
-          broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
+          keysMaybeBroadcast(batch, keyCol, batchRows),
+          Seq(keyCol), "left_anti")
         .unionByName(batch.drop("__bucket"), allowMissingColumns = true)
         .withColumn("__bucket", bucketOf(keyCol, nb))
         .localCheckpoint(true)
@@ -2052,7 +2040,7 @@ object VersionedKeyedTable {
       // key-bounded diff, as in mutateWith: the transact merge keeps
       // every non-batch key verbatim, so only batch keys can change
       val changeFiles = {
-        val bk = broadcast(batch.select(col(keyCol)))
+        val bk = keysMaybeBroadcast(batch, keyCol, batchRows)
         writeChangeFiles(spark, dir,
           classifyDiff(
             existing.join(bk, Seq(keyCol), "left_semi"),
@@ -2098,9 +2086,8 @@ object VersionedKeyedTable {
       commitMeta: Map[String, String] = Map.empty): Unit =
     mutateWith(spark, dir, rows, keyCol, onBeforeCommit, captureChanges,
       commitMeta) {
-      (existing, batch) =>
-        val survivors = existing.join(
-          broadcast(batch.select(col(keyCol))), Seq(keyCol), "left_anti")
+      (existing, batch, batchKeys) =>
+        val survivors = existing.join(batchKeys, Seq(keyCol), "left_anti")
         if (isDelete) survivors
         else survivors.unionByName(batch.drop("__bucket"),
           allowMissingColumns = true)
@@ -2121,7 +2108,12 @@ object VersionedKeyedTable {
       captureChanges: Boolean = true,
       commitMeta: Map[String, String] = Map.empty,
       carryCols: Set[String] = Set.empty)(
-      remerge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      /** (existing, batch, batchKeys): `batchKeys` is the batch's key
+        * relation, broadcast-hinted only when the batch's exact row
+        * count (free from [[touchedBucketsAndCount]]) passes the
+        * [[maxBroadcastKeys]] gate — remerge lambdas must use it
+        * instead of hinting `batch.select(keyCol)` themselves. */
+      remerge: (DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
     val (nb, metaSchema) = readMeta(spark, dir)
     // the recorded key IS the layout contract: a wrong-column mutation
     // would hash rows into wrong buckets AND read pending MOR delete
@@ -2135,10 +2127,11 @@ object VersionedKeyedTable {
       rows.withColumn("__bucket", bucketOf(keyCol, nb))
         .localCheckpoint(true)
     }
-    val myTouched = jobPhase(spark, "touched-buckets") {
-      touchedBuckets(batch) // bounded by numBuckets; map-only stage
+    val (myTouched, batchRows) = jobPhase(spark, "touched-buckets") {
+      touchedBucketsAndCount(batch) // bounded; map-only stage
     }
     if (myTouched.isEmpty) return
+    val batchKeys = keysMaybeBroadcast(batch, keyCol, batchRows)
     var snap = snapshot(spark, dir)
     var attempts = 0
     while (true) {
@@ -2181,7 +2174,7 @@ object VersionedKeyedTable {
           .flatMap(b => snap.files.getOrElse(b, Seq.empty)),
         Some(myTouched))
       val merged = jobPhase(spark, "checkpoint-merged") {
-        remerge(existing, batch)
+        remerge(existing, batch, batchKeys)
           .withColumn("__bucket", bucketOf(keyCol, nb))
           .localCheckpoint(true) // never read a file a racer vacuums
       }
@@ -2204,7 +2197,7 @@ object VersionedKeyedTable {
       val changeFiles =
         if (!captureChanges) None
         else {
-          val bk = broadcast(batch.select(col(keyCol)))
+          val bk = batchKeys
           Some(writeChangeFiles(spark, dir,
             classifyDiff(
               existing.join(bk, Seq(keyCol), "left_semi"),
@@ -2330,7 +2323,7 @@ object VersionedKeyedTable {
     require(carryCols.forall(source.columns.contains),
       s"carryCols ${carryCols.mkString(",")} must be source columns")
     mutateWith(spark, dir, source, keyCol, () => (),
-      captureChanges, commitMeta, carryCols) { (existing, batch) =>
+      captureChanges, commitMeta, carryCols) { (existing, batch, _) =>
       carryCols.foreach(c => require(
         !existing.columns.contains(c),
         s"carry column '$c' collides with a table column — rename it"))

@@ -1457,4 +1457,55 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     assert(df.where(col("k") === probe).count() === 1L)
     assert(idx.lastListed._1 === 1, "the file must be listed, not pruned")
   }
+
+  test("broadcast gate: over-threshold batches join WITHOUT a broadcast " +
+      "hint (no BroadcastExchange) and mutations stay correct; under the " +
+      "gate the hint stays") {
+    // disable auto-broadcast so the ONLY possible BroadcastExchange in
+    // the probe plans is the explicit hint the gate controls
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAuto = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "-1")
+    try {
+      val big = spark.range(0, 1000).select(col("id").as("k"))
+      val batch = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      // above the gate (declared rows > limit): no hint -> no broadcast
+      spark.conf.set("spark.graft.maxBroadcastKeys", "1")
+      val ungated = big.join(
+        VersionedKeyedTable.keysMaybeBroadcast(batch, "k", 2L),
+        Seq("k"), "left_semi")
+      assert(!ungated.queryExecution.executedPlan.toString
+          .contains("BroadcastExchange"),
+        "over-threshold batch must not be broadcast-hinted")
+      // under the gate: the hint survives even with auto-broadcast off
+      spark.conf.set("spark.graft.maxBroadcastKeys", "1000000")
+      val gated = big.join(
+        VersionedKeyedTable.keysMaybeBroadcast(batch, "k", 2L),
+        Seq("k"), "left_semi")
+      assert(gated.queryExecution.executedPlan.toString
+          .contains("BroadcastExchange"),
+        "small batch must keep the broadcast fast path")
+      // end-to-end: a full mutation lifecycle with EVERY broadcast
+      // gated off (limit 0) produces the identical table state + CDF
+      spark.conf.set("spark.graft.maxBroadcastKeys", "0")
+      val dir = freshDir()
+      VersionedKeyedTable.create(
+        (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k",
+        numBuckets = 4)
+      VersionedKeyedTable.upsert(spark, dir,
+        Seq((7L, "NEW7"), (101L, "NEW101")).toDF("k", "v"), "k")
+      VersionedKeyedTable.delete(spark, dir, Seq(8L).toDF("k"), "k")
+      val after = contents(dir)
+      assert(after(7L) === "NEW7" && after(101L) === "NEW101")
+      assert(!after.contains(8L) && after.size === 100)
+      val cdf = VersionedKeyedTable.changesBetween(spark, dir, "k", 1L, 3L)
+        .as[(Long, String, Option[String], Option[String])].collect()
+        .map(r => r._1 -> r._2).toMap
+      assert(cdf === Map(7L -> "update", 101L -> "insert",
+        8L -> "delete"))
+    } finally {
+      spark.conf.unset("spark.graft.maxBroadcastKeys")
+      spark.conf.set(autoKey, prevAuto)
+    }
+  }
 }
