@@ -110,22 +110,48 @@ object TextCuration {
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("near_dup", lit(1))
 
+    // Tiers 3, 4 and 6 each open with a chain of EAGER driver work
+    // (the winnowing anchor checkpoint; the 5-gram checkpoint + the
+    // benchmark broadcast's gating count; the feature checkpoint + 8
+    // driver-looped training rounds) — three independent chains, so
+    // they overlap from driver threads (guide §2.6, [[graft.Par]])
+    // instead of serializing ~all of the manifest's fixed cost.
+    val Seq(anchA, g5A, fwA) = graft.Par.run[Any](spark, Seq(
+      // tier 3 scan: winnowing anchors (per-char pass)
+      () => anchorsOpt.getOrElse(
+        SubstringDedup.anchors(docs).localCheckpoint(true)),
+      // tier 4 scan: distinct per-doc 5-grams + gated benchmark side
+      // (the benchmark side is bounded by the eval suite -> broadcast)
+      () => {
+        val g5 = TextDedup.shingles(docs, n = 5).localCheckpoint(true)
+        val bench = g5.filter(col("doc_id") % cfg.benchmarkMod === 0)
+          .select(col("s").as("bs")).distinct()
+        (g5, gatedBroadcast(bench))
+      },
+      // tier 6: learned classifier (same features, label, and rounds
+      // as `quality_classifier`; docs with < 2 tokens carry no
+      // features and are out of classifier scope — the min-tokens rule
+      // gates them before the margin is ever consulted)
+      () => {
+        val feats = classifierFeatures(docs).localCheckpoint(true)
+        (feats, LinearClassifier.trainPocketPerceptron(spark, feats,
+          rounds = cfg.classifierRounds))
+      }))
+    val anch = anchA.asInstanceOf[DataFrame]
+    val (g5, benchGated) = g5A.asInstanceOf[(DataFrame, DataFrame)]
+    val (feats, weights) =
+      fwA.asInstanceOf[(DataFrame, Map[String, Long])]
+
     // tier 3: winnowing duplicated-span coverage (chars of each doc
     // inside a verbatim-repeated region anywhere in the corpus)
-    val anch = anchorsOpt.getOrElse(
-      SubstringDedup.anchors(docs).localCheckpoint(true))
     val sub = SubstringDedup.duplicatedSpans(
         dupAnchorsOpt.getOrElse(SubstringDedup.duplicatedAnchors(anch)))
       .groupBy(col("doc_id"))
       .agg(sum(col("span_end") - col("span_start") + 1).as("dup_chars"))
 
-    // tier 4: benchmark 5-gram contamination (distinct per-doc grams;
-    // the benchmark side is bounded by the eval suite -> broadcast)
-    val g5 = TextDedup.shingles(docs, n = 5).localCheckpoint(true)
-    val bench = g5.filter(col("doc_id") % cfg.benchmarkMod === 0)
-      .select(col("s").as("bs")).distinct()
+    // tier 4: benchmark 5-gram contamination
     val cont = g5.filter(col("doc_id") % cfg.benchmarkMod =!= 0)
-      .join(gatedBroadcast(bench), col("s") === col("bs"), "left")
+      .join(benchGated, col("s") === col("bs"), "left")
       .groupBy(col("doc_id"))
       .agg(expr("CAST(count(bs) * 10000 DIV count(1) AS BIGINT)")
         .as("overlap_bp"))
@@ -136,13 +162,7 @@ object TextCuration {
       QualityFilters.meanTokenLenCentichars(col("w")).as("mwl_cc"),
       TextStats.hasAnyStopword("w", cfg.stopwords).as("has_stop"))
 
-    // tier 6: learned classifier (same features, label, and rounds as
-    // `quality_classifier`; docs with < 2 tokens carry no features and
-    // are out of classifier scope — the min-tokens rule gates them
-    // before the margin is ever consulted)
-    val feats = classifierFeatures(docs).localCheckpoint(true)
-    val weights = LinearClassifier.trainPocketPerceptron(spark, feats,
-      rounds = cfg.classifierRounds)
+    // tier 6 margins under the pocket weights trained above
     val margins = LinearClassifier.score(spark, feats, weights)
       .select(col("doc_id"), col("margin"))
 
@@ -312,27 +332,40 @@ object TextCuration {
     * between ingests by contract. */
   def buildServingIndex(spark: SparkSession, corpusDocs: DataFrame,
       cfg: Config): ServingIndex = graft.BenchProbe.time("index_build") {
-    val hashes = corpusDocs.select(md5(col("text")).as("h")).distinct()
-      .localCheckpoint(true)
-    val sh = TextDedup.shingles(corpusDocs).localCheckpoint(true)
-    // the MATERIALIZED band index: with it, per-ingest LSH runs no
-    // corpus-proportional work beyond the by-id candidate fetch
-    val cBands = TextDedup.lshBands(
-        TextDedup.minhashSignatures(sh, numHashes = 12),
-        bands = 4, rowsPerBand = 3)
-      .localCheckpoint(true)
-    val grams = SubstringDedup.anchors(corpusDocs)
-      .select(col("g")).distinct().localCheckpoint(true)
-    // gated ONCE here (checkpoint + count + hint): the stored
-    // relation is what every per-ingest decision joins — a per-batch
-    // gate would re-materialize and re-count it every micro-batch
-    val bench = gatedBroadcast(TextDedup.shingles(corpusDocs, n = 5)
-      .filter(col("doc_id") % cfg.benchmarkMod === 0)
-      .select(col("s").as("bs")).distinct())
-    val weights = LinearClassifier.trainPocketPerceptron(spark,
-      classifierFeatures(corpusDocs).localCheckpoint(true),
-      rounds = cfg.classifierRounds)
-    ServingIndex(hashes, sh, cBands, grams, bench, weights)
+    // five INDEPENDENT eager chains (each a checkpoint, possibly
+    // followed by dependent eager work) — overlap them from driver
+    // threads (guide §2.6, [[graft.Par]]); the build's wall becomes
+    // ~the slowest chain (training or the anchor scan) instead of the
+    // sum of five
+    val Seq(hashesA, shBandsA, gramsA, benchA, weightsA) =
+      graft.Par.run[Any](spark, Seq(
+        () => corpusDocs.select(md5(col("text")).as("h")).distinct()
+          .localCheckpoint(true),
+        // the MATERIALIZED band index: with it, per-ingest LSH runs no
+        // corpus-proportional work beyond the by-id candidate fetch
+        () => {
+          val sh = TextDedup.shingles(corpusDocs).localCheckpoint(true)
+          (sh, TextDedup.lshBands(
+              TextDedup.minhashSignatures(sh, numHashes = 12),
+              bands = 4, rowsPerBand = 3)
+            .localCheckpoint(true))
+        },
+        () => SubstringDedup.anchors(corpusDocs)
+          .select(col("g")).distinct().localCheckpoint(true),
+        // gated ONCE here (checkpoint + count + hint): the stored
+        // relation is what every per-ingest decision joins — a
+        // per-batch gate would re-materialize and re-count it every
+        // micro-batch
+        () => gatedBroadcast(TextDedup.shingles(corpusDocs, n = 5)
+          .filter(col("doc_id") % cfg.benchmarkMod === 0)
+          .select(col("s").as("bs")).distinct()),
+        () => LinearClassifier.trainPocketPerceptron(spark,
+          classifierFeatures(corpusDocs).localCheckpoint(true),
+          rounds = cfg.classifierRounds)))
+    val (sh, cBands) = shBandsA.asInstanceOf[(DataFrame, DataFrame)]
+    ServingIndex(hashesA.asInstanceOf[DataFrame], sh, cBands,
+      gramsA.asInstanceOf[DataFrame], benchA.asInstanceOf[DataFrame],
+      weightsA.asInstanceOf[Map[String, Long]])
   }
 
   /** Per-batch-doc serving decision against a frozen [[ServingIndex]]:

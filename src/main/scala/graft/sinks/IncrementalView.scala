@@ -274,34 +274,41 @@ object IncrementalView {
     val effFrom = watermark.getOrElse(fromVersion)
     val cdf = VersionedKeyedTable.changesBetween(
         spark, baseDir, baseKey, effFrom, toVersion)
-      .localCheckpoint(true) // four consumers; compute the span once
-    // count/sum deltas AND the new-value envelopes ride ONE union +
-    // ONE grouped aggregate (the old/new sides tag their contribution;
-    // min/max of the tagged new values ignore the old side's nulls) —
-    // previously `delta` and `newMM` were two aggregates full-outer
-    // joined back together, an extra exchange + join per span
+      .localCheckpoint(true) // two scan branches; compute the span once
+    // count/sum deltas, the new-value envelopes, AND the deleted-value
+    // envelopes (break tier) all ride ONE union + ONE grouped
+    // aggregate: the old/new sides tag their contribution (`nv` = new
+    // value, null on the old side; `ov` = deleted/old value, null on
+    // the new side) and min/max ignore the other side's nulls. Round
+    // 14 folded delta+newMM; round 15 folds delMM's separate
+    // aggregate + its localCheckpoint in too, and checkpoints the one
+    // combined result so the merge source reads a materialized
+    // relation instead of re-planning the union-aggregate (two fewer
+    // job chains per refresh span).
     val oldSide = cdf
       .where(col("change_type").isin("delete", "update"))
       .select(col(s"${groupCol}_prev").as(groupCol),
         (-col(s"${valueCol}_prev")).as("d_total"), lit(-1L).as("d_cnt"),
-        lit(null).cast(cdf.schema(valueCol).dataType).as("nv"))
+        lit(null).cast(cdf.schema(valueCol).dataType).as("nv"),
+        col(s"${valueCol}_prev").as("ov"))
     val newSide = cdf
       .where(col("change_type").isin("insert", "update"))
       .select(col(groupCol), col(valueCol).as("d_total"),
-        lit(1L).as("d_cnt"), col(valueCol).as("nv"))
+        lit(1L).as("d_cnt"), col(valueCol).as("nv"),
+        lit(null).cast(cdf.schema(valueCol).dataType).as("ov"))
     val deltaMM = oldSide.unionByName(newSide)
       .groupBy(col(groupCol))
       .agg(sum(col("d_cnt")).as("cnt"), sum(col("d_total")).as("total"),
-        min(col("nv")).as("mn"), max(col("nv")).as("mx"))
+        min(col("nv")).as("mn"), max(col("nv")).as("mx"),
+        min(col("ov")).as("del_mn"), max(col("ov")).as("del_mx"))
+      .localCheckpoint(true)
     // break tier: groups whose DELETED values reach the recorded
     // envelope (old group for updates — a group-moving update is a
-    // delete on its old group)
-    val delMM = cdf
-      .where(col("change_type").isin("delete", "update"))
-      .groupBy(col(s"${groupCol}_prev").as(groupCol))
-      .agg(min(col(s"${valueCol}_prev")).as("del_mn"),
-        max(col(s"${valueCol}_prev")).as("del_mx"))
-      .localCheckpoint(true)
+    // delete on its old group). A group whose deleted values are all
+    // null can never break an envelope (the old `broken` null
+    // comparison dropped it too), so the isNotNull filter is exact.
+    val delMM = deltaMM.where(col("del_mn").isNotNull)
+      .select(col(groupCol), col("del_mn"), col("del_mx"))
     // the recorded envelopes of EXACTLY the delete-touched groups:
     // the view is KEYED by the group column, so a bounded group list
     // rides the bucket+zone+bloom point-lookup path — O(probed
@@ -462,39 +469,45 @@ object IncrementalView {
     val effFrom = watermark.getOrElse(fromVersion)
     val cdf = VersionedKeyedTable.changesBetween(
         spark, baseDir, baseKey, effFrom, toVersion)
-      .localCheckpoint(true) // four consumers; compute the span once
-    // count/sum deltas AND the per-column new-value envelopes ride
-    // ONE union + ONE grouped aggregate, as in refreshFull: the old
-    // side carries null `nv_*` columns the min/max ignore — the
-    // previous delta ⟗ newMM full-outer join and its exchange are gone
+      .localCheckpoint(true) // two scan branches; compute the span once
+    // count/sum deltas, the per-column new-value envelopes, AND the
+    // break tier's deleted-value envelopes ride ONE union + ONE
+    // grouped aggregate, checkpointed once — see refreshFull for the
+    // job accounting (delMM's separate aggregate + checkpoint folded
+    // in this round)
     val oldSide = cdf
       .where(col("change_type").isin("delete", "update"))
       .select(col(s"${groupCol}_prev").as(groupCol) +:
         lit(-1L).as("d_cnt") +:
         (valueCols.map(c => (-col(s"${c}_prev")).as(s"d_$c")) ++
           valueCols.map(c =>
-            lit(null).cast(cdf.schema(c).dataType).as(s"nv_$c"))): _*)
+            lit(null).cast(cdf.schema(c).dataType).as(s"nv_$c")) ++
+          valueCols.map(c => col(s"${c}_prev").as(s"ov_$c"))): _*)
     val newSide = cdf
       .where(col("change_type").isin("insert", "update"))
       .select(col(groupCol) +: lit(1L).as("d_cnt") +:
         (valueCols.map(c => col(c).as(s"d_$c")) ++
-          valueCols.map(c => col(c).as(s"nv_$c"))): _*)
+          valueCols.map(c => col(c).as(s"nv_$c")) ++
+          valueCols.map(c =>
+            lit(null).cast(cdf.schema(c).dataType).as(s"ov_$c"))): _*)
     val dAggs = sum(col("d_cnt")).as("cnt") +:
       (valueCols.map(c => sum(col(s"d_$c")).as(s"total_$c")) ++
         valueCols.flatMap(c => Seq(
           min(col(s"nv_$c")).as(s"mn_$c"),
-          max(col(s"nv_$c")).as(s"mx_$c"))))
+          max(col(s"nv_$c")).as(s"mx_$c"))) ++
+        valueCols.flatMap(c => Seq(
+          min(col(s"ov_$c")).as(s"del_mn_$c"),
+          max(col(s"ov_$c")).as(s"del_mx_$c"))))
     val deltaMM = oldSide.unionByName(newSide)
       .groupBy(col(groupCol)).agg(dAggs.head, dAggs.tail: _*)
-    // break tier: per-column deleted-value envelopes
-    val delAggs = valueCols.flatMap(c => Seq(
-      min(col(s"${c}_prev")).as(s"del_mn_$c"),
-      max(col(s"${c}_prev")).as(s"del_mx_$c")))
-    val delMM = cdf
-      .where(col("change_type").isin("delete", "update"))
-      .groupBy(col(s"${groupCol}_prev").as(groupCol))
-      .agg(delAggs.head, delAggs.tail: _*)
       .localCheckpoint(true)
+    // break tier: groups with at least one non-null deleted value (an
+    // all-null deleted envelope can never break a recorded one)
+    val delMM = deltaMM
+      .where(valueCols.map(c => col(s"del_mn_$c").isNotNull)
+        .reduce(_ || _))
+      .select(col(groupCol) +: valueCols.flatMap(c =>
+        Seq(col(s"del_mn_$c"), col(s"del_mx_$c"))): _*)
     // same take(cap+1) gating + pure-insert early-out as refreshFull
     val delKeyRows = delMM.select(col(groupCol))
       .take(rederiveIsinCap + 1)

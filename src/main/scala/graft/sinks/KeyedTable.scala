@@ -346,14 +346,18 @@ object KeyedTable {
       val del = keys.select(col(keyCol))
         .withColumn("__bucket", bucket(keyCol, nb))
         .localCheckpoint(true)
-      val touched = VersionedKeyedTable.touchedBuckets(del)
-        .toArray.sorted // bounded by numBuckets
+      val (touchedSet, delRows) =
+        VersionedKeyedTable.touchedBucketsAndCount(del)
+      val touched = touchedSet.toArray.sorted // bounded by numBuckets
       if (touched.nonEmpty) {
         val existing = spark.read.parquet(dir)
           .filter(col("__bucket")
             .isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
+        // size-gated broadcast: the delete batch is caller-supplied
+        // and unbounded (guide §3.1) — see keysMaybeBroadcast
         val survivors = existing.join(
-            broadcast(del.select(col(keyCol))), Seq(keyCol), "left_anti")
+            VersionedKeyedTable.keysMaybeBroadcast(del, keyCol, delRows),
+            Seq(keyCol), "left_anti")
           .localCheckpoint(true)
         val surviving = VersionedKeyedTable.touchedBuckets(survivors)
         // fully-emptied buckets: a dynamic overwrite never rewrites a
@@ -501,8 +505,9 @@ object KeyedTable {
     val nb = resolveBuckets(spark, dir, numBuckets)
     val up = updates.withColumn("__bucket", bucket(keyCol, nb))
       .localCheckpoint(true)
-    val touched = VersionedKeyedTable.touchedBuckets(up)
-      .toArray.sorted // bounded by numBuckets
+    val (touchedSet, upRows) =
+      VersionedKeyedTable.touchedBucketsAndCount(up)
+    val touched = touchedSet.toArray.sorted // bounded by numBuckets
     // an emptied table (all rows deleted) has no files to read:
     // survivors are empty and the upsert degenerates to pure inserts
     val existing =
@@ -512,8 +517,11 @@ object KeyedTable {
       else spark.read.parquet(dir)
         .filter(col("__bucket")
           .isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
+    // size-gated broadcast: the update batch is caller-supplied and
+    // unbounded (guide §3.1) — see keysMaybeBroadcast
     val survivors = existing.join(
-      broadcast(up.select(col(keyCol))), Seq(keyCol), "left_anti")
+      VersionedKeyedTable.keysMaybeBroadcast(up, keyCol, upRows),
+      Seq(keyCol), "left_anti")
     val merged = up.unionByName(survivors).localCheckpoint(true)
     // dynamic overwrite as a PER-WRITE OPTION, never a session conf:
     // under foreachBatch this write executes with the STREAMING CLONE

@@ -156,7 +156,16 @@ object VersionedKeyedTable {
   /** [[scanFiles]] over full path strings. */
   private[sinks] def scanPaths(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
-      paths: Seq[String]): DataFrame = {
+      paths: Seq[String]): DataFrame =
+    scanStatuses(spark, root, schema,
+      statPaths(spark, root, paths))
+
+  /** [[scanPaths]] over FileStatuses the caller already holds (a
+    * write path's own listing): zero metadata calls of any kind at
+    * scan build — no listing, no schema inference. */
+  private[sinks] def scanStatuses(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus]): DataFrame = {
     // force every level nullable, as DataFrameReader.schema() does
     // (asNullable): the evolution contract reads missing columns as
     // null, and the vectorized reader REFUSES a missing column that
@@ -175,8 +184,7 @@ object VersionedKeyedTable {
     }
     val relation = org.apache.spark.sql.execution.datasources
       .HadoopFsRelation(
-        new PreListedFileIndex(spark, new Path(root),
-          statPaths(spark, root, paths)),
+        new PreListedFileIndex(spark, new Path(root), statuses),
         new org.apache.spark.sql.types.StructType(),
         nullable(schema)
           .asInstanceOf[org.apache.spark.sql.types.StructType],
@@ -217,7 +225,7 @@ object VersionedKeyedTable {
     * cost). Min/max aggregate in NATIVE type (statImage pre-converts
     * date/timestamp to int/long), then cast to string AFTER the
     * aggregate — identical envelope strings to every previous round. */
-  private def perFileStats(spark: SparkSession, path: String,
+  private def perFileStats(spark: SparkSession, src: DataFrame,
       statCols: Seq[org.apache.spark.sql.Column],
       bloomExpr: Option[String],
       bloomBits: Long)
@@ -234,7 +242,7 @@ object VersionedKeyedTable {
           bloomExpr.map(e => expr(
             s"graft_bloom_agg($e, ${math.max(1L, bloomBits / 8)}L, " +
               s"${bloomBits}L)").as("__bloom")).toSeq)
-    val rows = spark.read.parquet(path)
+    val rows = src
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per freshly-written file
@@ -256,10 +264,11 @@ object VersionedKeyedTable {
     * the metadata already exists; don't re-derive it with a scan).
     * Used where only counts are needed (delete files). Returns
     * absolute-URI-keyed counts matching [[perFileStats]]'s key shape. */
-  private def footerRowCounts(spark: SparkSession, root: String,
-      paths: Seq[String]): Map[String, Long] = {
+  private def footerRowCounts(spark: SparkSession,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus])
+      : Map[String, Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    statPaths(spark, root, paths).map { st =>
+    statuses.map { st =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -927,14 +936,19 @@ object VersionedKeyedTable {
     }
     val fs = hfs(spark, dir)
     val base = new Path(s"$dir/$rel")
-    val files = fs.listStatus(base).toSeq
+    // keep the FileStatuses: the stats pass below scans exactly these
+    // files via a PreListedFileIndex under the KNOWN write schema —
+    // no re-listing and no schema-inference job per commit (guide §6)
+    val fileSts = fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
       .map { d =>
         val b = d.getPath.getName.stripPrefix("__bucket=").toInt
         b -> fs.listStatus(d.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"$rel/__bucket=${b}/${f.getPath.getName}")
       }.toMap
+    val files = fileSts.map { case (b, sts) =>
+      b -> sts.map(f => s"$rel/__bucket=${b}/${f.getPath.getName}")
+    }
     val keyType = withBucket.schema.fields
       .find(_.name == keyCol).map(_.dataType)
     val isStrKey = keyType.contains(org.apache.spark.sql.types.StringType)
@@ -961,8 +975,15 @@ object VersionedKeyedTable {
         // after the aggregate
         val statCols = (keyCol +: extraCols).map(c =>
           statImage(typeOf(c), col(c)))
+        // the files were just written and listed: scan them under the
+        // write's own schema (data columns only — __bucket lives in
+        // the path), skipping listing and inference entirely
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          guarded.schema.fields.filterNot(_.name == "__bucket"))
+        val src = scanStatuses(spark, s"$dir/$rel", dataSchema,
+          fileSts.valuesIterator.flatten.toSeq)
         val per = jobPhase(spark, "file-stats") {
-          perFileStats(spark, s"$dir/$rel", statCols, bloomIn,
+          perFileStats(spark, src, statCols, bloomIn,
             bloomBitsPerFile)
         }
         def relOf(uri: String): String = {
@@ -1230,20 +1251,21 @@ object VersionedKeyedTable {
     doomedKeys.write.partitionBy("__bucket").parquet(s"$dir/$rel")
     val fs = hfs(spark, dir)
     val base = new Path(s"$dir/$rel")
-    val files = fs.listStatus(base).toSeq
+    val fileSts = fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
       .map { d =>
         val b = d.getPath.getName.stripPrefix("__bucket=").toInt
         b -> fs.listStatus(d.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"$rel/__bucket=${b}/${f.getPath.getName}")
       }.filter(_._2.nonEmpty).toMap
+    val files = fileSts.map { case (b, sts) =>
+      b -> sts.map(f => s"$rel/__bucket=${b}/${f.getPath.getName}")
+    }
     if (files.isEmpty) return (Map.empty, Map.empty)
     // per-file row counts straight from the freshly written parquet
     // footers: zero Spark jobs for the delete-file count pass
-    val relPaths = files.valuesIterator.flatten.toSeq
     val per = jobPhase(spark, "file-stats") {
-      footerRowCounts(spark, dir, relPaths.map(f => s"$dir/$f"))
+      footerRowCounts(spark, fileSts.valuesIterator.flatten.toSeq)
     }
     val cnts = per.map { case (uri, cnt) =>
       val b = "__bucket=(\\d+)/".r.findFirstMatchIn(uri)
@@ -2540,13 +2562,13 @@ object VersionedKeyedTable {
     if (chain.isDefined && span.nonEmpty &&
         span.forall(_.changes.isDefined)) {
       // fast path: union the span's captured change files, collapse
-      // per key to (first change's prev, last change's new)
-      val parts = span.flatMap { s =>
-        val fls = s.changes.get.map(f => s"$dir/$f")
-        if (fls.isEmpty) None
-        else Some(spark.read.parquet(fls: _*)
-          .withColumn("_v", lit(s.version)))
-      }
+      // per key to (first change's prev, last change's new). Every
+      // version's files are read under the forced TO-snapshot CDF
+      // schema via a PreListedFileIndex (guide §6: no
+      // InMemoryFileIndex build / listing per version — the manifest
+      // already names the files), and a pre-evolution change file
+      // reads its missing columns as typed nulls directly from the
+      // forced schema, replacing the old per-column backfill.
       val cdfSchema = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField(keyCol,
           schema(keyCol).dataType) +:
@@ -2555,18 +2577,16 @@ object VersionedKeyedTable {
         (dataCols.map(c => schema(c).copy(name = c, nullable = true)) ++
           dataCols.map(c => schema(c).copy(name = c + "_prev",
             nullable = true))))
+      val parts = span.flatMap { s =>
+        val fls = s.changes.get
+        if (fls.isEmpty) None
+        else Some(scanFiles(spark, dir, cdfSchema, fls)
+          .withColumn("_v", lit(s.version)))
+      }
       if (parts.isEmpty)
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdfSchema)
-      val unioned = parts.reduce(
-        (a, b) => a.unionByName(b, allowMissingColumns = true))
-      // columns a pre-evolution change file lacks read as typed nulls
-      val all = (dataCols ++ dataCols.map(_ + "_prev")).foldLeft(unioned) {
-        (df, c) =>
-          val base = if (c.endsWith("_prev")) c.stripSuffix("_prev") else c
-          if (df.columns.contains(c)) df
-          else df.withColumn(c, lit(null).cast(schema(base).dataType))
-      }
+      val all = parts.reduce(_ unionByName _)
       val firstS = min_by(struct(col("change_type") +:
         dataCols.map(c => col(s"${c}_prev")): _*), col("_v"))
       val lastS = max_by(struct(col("change_type") +:

@@ -153,15 +153,21 @@ object ServingState {
         numBuckets = CheckNumBuckets)
     }
     val sep = lit(":")
-    up("hashes", hashes.select(col("h")),
-      concat(col("h"), sep, lit(batchId)))
-    up("shingles", shingles.select(col("doc_id"), col("s")),
-      concat(col("doc_id"), sep, col("s"), sep, lit(batchId)))
-    up("grams", grams.select(col("g")),
-      concat(col("g"), sep, lit(batchId)))
-    up("bands", bands.select(col("doc_id"), col("band"), col("sig")),
-      concat(col("doc_id"), sep, col("band"), sep, col("sig"), sep,
-        lit(batchId)))
+    // the four tables are disjoint directories (guide §2.6): overlap
+    // their upsert chains so the per-batch fold wall is ~the slowest
+    // table's chain, not the sum of four; a half-folded batch is
+    // retry-correct by the batch_id discipline either way
+    graft.Par.run(spark, Seq(
+      () => up("hashes", hashes.select(col("h")),
+        concat(col("h"), sep, lit(batchId))),
+      () => up("shingles", shingles.select(col("doc_id"), col("s")),
+        concat(col("doc_id"), sep, col("s"), sep, lit(batchId))),
+      () => up("grams", grams.select(col("g")),
+        concat(col("g"), sep, lit(batchId))),
+      () => up("bands", bands.select(col("doc_id"), col("band"), col("sig")),
+        concat(col("doc_id"), sep, col("band"), sep, col("sig"), sep,
+          lit(batchId)))))
+    ()
   }
 
   /** The IngestPrior for micro-batch `batchId`: all durably folded

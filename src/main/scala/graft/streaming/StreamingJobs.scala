@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamingJobs {
 
+  /** Overlap INDEPENDENT per-batch fold chains from driver threads
+    * (guide §2.6) — see [[graft.Par]]. */
+  private def inParallel[T](spark: SparkSession,
+      tasks: Seq[() => T]): Seq[T] = graft.Par.run(spark, tasks)
+
   /** Each stateful operator allocates one state store per
     * `spark.sql.shuffle.partitions` at query start (the count is pinned
     * into the checkpoint), and store setup/commit dominates a bounded
@@ -724,10 +729,11 @@ object StreamingJobs {
     val q = docs.where(isBatch).writeStream.queryName(qname)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         // batch relations computed ONCE and shared between the decision
-        // and the fold — the per-char anchor scan must not run twice
-        val batchSh = TextDedup.shingles(batch).localCheckpoint(true)
-        val batchAnchors = SubstringDedup.anchors(batch)
-          .localCheckpoint(true)
+        // and the fold — the per-char anchor scan must not run twice;
+        // the two checkpoints are independent, so they overlap
+        val Seq(batchSh, batchAnchors) = inParallel(spark, Seq(
+          () => TextDedup.shingles(batch).localCheckpoint(true),
+          () => SubstringDedup.anchors(batch).localCheckpoint(true)))
         writer(TextCuration.servingDecisions(spark, batch, idx,
           guard.stateFor(id), cfg,
           batchShinglesOpt = Some(batchSh),
@@ -739,15 +745,20 @@ object StreamingJobs {
             .getOrElse(add.distinct().localCheckpoint(true)))
           // bands fold DERIVED per batch (batch-sized work): folding
           // shingles alone would force later batches to re-derive bands
-          // over the cumulative ingest — quadratic across a run
-          TextCuration.IngestPrior(
-            hashes = fold(prior.hashes,
+          // over the cumulative ingest — quadratic across a run.
+          // The four components are independent eager checkpoints —
+          // overlap them from driver threads (guide §2.6) so the
+          // per-batch fold wall is the slowest one, not the sum
+          val Seq(h, sh, g, b) = inParallel(spark, Seq(
+            () => fold(prior.hashes,
               batch.select(md5(col("text")).as("h"))),
-            shingles = fold(prior.shingles, batchSh),
-            grams = fold(prior.grams, batchAnchors.select(col("g"))),
-            bands = fold(prior.bands, TextDedup.lshBands(
+            () => fold(prior.shingles, batchSh),
+            () => fold(prior.grams, batchAnchors.select(col("g"))),
+            () => fold(prior.bands, TextDedup.lshBands(
               TextDedup.minhashSignatures(batchSh, numHashes = 12),
-              bands = 4, rowsPerBand = 3)))
+              bands = 4, rowsPerBand = 3))))
+          TextCuration.IngestPrior(
+            hashes = h, shingles = sh, grams = g, bands = b)
         }
       }
       .trigger(Trigger.AvailableNow()).start()
@@ -864,9 +875,10 @@ object StreamingJobs {
     val q = docs.writeStream.queryName(qname)
       .option("checkpointLocation", s"$stateDir/checkpoint")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        val batchSh = TextDedup.shingles(batch).localCheckpoint(true)
-        val batchAnchors = SubstringDedup.anchors(batch)
-          .localCheckpoint(true)
+        // independent batch checkpoints overlap (guide §2.6)
+        val Seq(batchSh, batchAnchors) = inParallel(spark, Seq(
+          () => TextDedup.shingles(batch).localCheckpoint(true),
+          () => SubstringDedup.anchors(batch).localCheckpoint(true)))
         writer(TextCuration.servingDecisions(spark, batch, idx,
           ServingState.priorFor(spark, stateDir, id), cfg,
           batchShinglesOpt = Some(batchSh),

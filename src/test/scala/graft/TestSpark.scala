@@ -8,7 +8,12 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // 8 local slots (host has 32): the suite grew to 49 Spark-heavy
+      // specs + 338 smoke queries, and at local[4] the whole run
+      // overran the round harness's budget (r14: SparkContext shut
+      // down mid-suite). Shuffle partitions stay at 4 — outputs that
+      // depend on them are unchanged; only task slots doubled.
+      .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

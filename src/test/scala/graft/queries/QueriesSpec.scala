@@ -10,13 +10,24 @@ class QueriesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val d = TestSpark.sfDir
 
-  test("every query runs and every oracle entry has a query") {
+  test("every oracle entry has a query and names are unique") {
     val qs = Registry.queries
     assert(qs.size === Registry.all.size, "duplicate query names")
     Registry.oracleSql.keys.foreach(k => assert(qs.contains(k)))
-    for ((name, fn) <- qs) {
-      val n = fn(spark, d).count()
-      assert(n >= 0, s"$name failed")
+  }
+
+  // The every-query smoke pass, split per bench family: one 338-query
+  // test ran for tens of minutes and the round harness killed the JVM
+  // mid-test (r14: "SparkContext was shut down"), leaving the gate red
+  // with zero isolation of what failed. Same total coverage, bounded
+  // per-test runtime, per-family failure attribution.
+  for ((fam, names) <- Registry.queries.keys
+      .groupBy(graft.Bench.familyOf).toSeq.sortBy(_._1)) {
+    test(s"every $fam query runs (${names.size})") {
+      for (name <- names.toSeq.sorted) {
+        val n = Registry.queries(name)(spark, d).count()
+        assert(n >= 0, s"$name failed")
+      }
     }
   }
 

@@ -1361,13 +1361,19 @@ class VersionedKeyedTableSpec extends AnyFunSuite {
     VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 500L)
     assert(VersionedKeyedTable.snapshot(spark, dir).version ===
       after.version, "re-clustering a clustered table must be a no-op")
-    // but a mutation that breaks the layout re-triggers it
-    VersionedKeyedTable.upsert(spark, dir,
-      Seq((5000L, "x")).toDF("k", "v"), "k")
+    // but a mutation that breaks the layout re-triggers it. The batch
+    // must ACTUALLY break it: a single out-of-range key can land in
+    // its own file with a disjoint one-point interval, leaving the
+    // bucket legitimately clustered (a correct no-op — the broadcast
+    // anti-join preserves the survivors' sorted file runs). Spread the
+    // updates across the key range so each touched bucket's rewritten
+    // batch rows span many survivor intervals.
+    val updates = (1L to 4000L by 37).map(k => (k, "x"))
+    VersionedKeyedTable.upsert(spark, dir, updates.toDF("k", "v"), "k")
     VersionedKeyedTable.cluster(spark, dir, "k", targetRowsPerFile = 500L)
     assert(VersionedKeyedTable.snapshot(spark, dir).version >
       after.version + 1, "a post-mutation cluster must rewrite again")
-    assert(contents(dir) === rows.toMap + (5000L -> "x"))
+    assert(contents(dir) === rows.toMap ++ updates.toMap)
   }
 
   test("bloom sidecars: STRING keys bloom xxhash64(key) — point " +
