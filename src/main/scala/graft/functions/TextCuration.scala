@@ -495,7 +495,10 @@ object TextCuration {
     * the one learnable signal in this synthetic corpus — the operator
     * itself is label-agnostic). */
   def classifierFeatures(docs: DataFrame): DataFrame = {
-    val w = TextDedup.withTokens(docs).filter(size(col("w")) >= 2)
+    // per-bigram md5 hashing is the CPU: never let a one-partition
+    // local input pin it to one core (see TextDedup.spreadSmallInput)
+    val w = TextDedup.withTokens(
+      TextDedup.spreadSmallInput(docs, "doc_id")).filter(size(col("w")) >= 2)
     val y = when(col("n_chars") >= 300, 1).otherwise(-1)
     val base = w.select(col("doc_id"), y.as("y"),
         col("w"), explode(expr("sequence(0, size(w) - 2)")).as("i"))

@@ -42,6 +42,28 @@ object TextDedup {
   def withTokens(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("w", tokens(col(textCol)))
 
+  /** Parallelism guard for CPU-bound per-doc scans (the
+    * SubstringDedup.anchors discipline, shared): a small-file local
+    * corpus arrives as ONE partition, which would pin the whole
+    * tokenize/explode/hash pass to one core — spread it by the doc id
+    * first (HASH repartition on a deterministic unique key: no
+    * sort-before-repartition cost and retry-safe, guide §2.5). Two
+    * no-op cases keep it from ever hurting: inputs already at >=
+    * parallelism partitions (real-scale corpora — no shuffle is added
+    * to a properly partitioned input), and inputs the planner
+    * estimates under ~256 KB (streaming micro-batch slices — a forced
+    * 32-way exchange of a 30 KB batch costs more per-task scheduling
+    * than the serial scan it saves; measured +2.3 s on
+    * stream_curation before this gate). */
+  private[functions] def spreadSmallInput(df: DataFrame,
+      idCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(256 * 1024)) df
+    else df.repartition(target, col(idCol))
+  }
+
   /** Word n-gram shingles per document, NOT deduped: (idCol, s), one
     * row per gram position. Fully codegen'd (explode of a sequence +
     * flat projection). Use this directly when duplicates are harmless
@@ -54,7 +76,7 @@ object TextDedup {
     val gram = (0 until n)
       .map(k => if (k == 0) "w[i]" else s"w[i+$k]")
       .mkString("concat_ws(' ', ", ", ", ")")
-    withTokens(df, textCol)
+    withTokens(spreadSmallInput(df, idCol), textCol)
       .filter(size(col("w")) >= n)
       .select(col(idCol), col("w"),
         explode(expr(s"sequence(0, size(w) - $n)")).as("i"))
